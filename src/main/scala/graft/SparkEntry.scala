@@ -1,13 +1,74 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.RelationalOps
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` has a DuckDB-equivalent in `oracleSql` (same
+  * column names, same value normalization — timestamps exposed as epoch
+  * millis bigints because the testdata `events.ts` is nanosecond-precision,
+  * which Spark reads as long and DuckDB as TIMESTAMP_NS).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    RelationalOps.tripleJoin(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r1_full_scan"       -> ((s, d) => RelationalOps.fullScan(s, d)),
+    "r4_filter_eq"       -> ((s, d) => RelationalOps.filterEq(s, d)),
+    "r6_project_alias"   -> ((s, d) => RelationalOps.projectAlias(s, d)),
+    "r7_cast"            -> ((s, d) => RelationalOps.castCols(s, d)),
+    "r8_triple_join"     -> ((s, d) => RelationalOps.tripleJoin(s, d)),
+    "r9_agg_count"       -> ((s, d) => RelationalOps.aggCount(s, d)),
+    "r10_having_subquery" -> ((s, d) => RelationalOps.havingSubquery(s, d)),
+    "r11_topk"           -> ((s, d) => RelationalOps.topK(s, d)),
+    "r12_dedup_lww"      -> ((s, d) => RelationalOps.dedupLastWriteWins(s, d)),
+    "r13_json_extract"   -> ((s, d) => RelationalOps.jsonExtract(s, d)),
+    "r14_tumble_agg"     -> ((s, d) => RelationalOps.tumbleAgg(s, d)),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "r1_full_scan" -> "SELECT * FROM customer",
+    "r4_filter_eq" -> "SELECT * FROM customer WHERE c_custkey = 42",
+    "r6_project_alias" ->
+      "SELECT c_name AS full_name, c_acctbal AS balance FROM customer",
+    "r7_cast" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS id,
+        |       epoch_ms(o_orderdate) AS od_ms,
+        |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price_str
+        |FROM orders""".stripMargin,
+    "r8_triple_join" ->
+      """SELECT c.c_name AS full_name,
+        |       CAST(l.l_orderkey AS VARCHAR) AS id,
+        |       l.l_extendedprice AS price,
+        |       epoch_ms(l.l_shipdate) AS ts_ms
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey""".stripMargin,
+    "r9_agg_count" ->
+      "SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey",
+    "r10_having_subquery" ->
+      """SELECT o_custkey, cnt FROM
+        |(SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey) t
+        |WHERE cnt > 10""".stripMargin,
+    "r11_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "r12_dedup_lww" ->
+      """SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
+        |FROM events
+        |QUALIFY row_number() OVER
+        |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+    "r13_json_extract" ->
+      """SELECT event_id, json_extract_string(props, '$.k') AS k_val
+        |FROM events""".stripMargin,
+    "r14_tumble_agg" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
+        |       event_type, count(*) AS cnt,
+        |       round(sum(value), 3) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+  )
 }

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** The reference's batch relational surface (SURVEY.md §2.2 R1, R4–R12),
+  * re-expressed on the driver testdata star schema (FIXTURES.md §2 mapping:
+  * customer↔person, orders↔sporting_event_ticket, lineitem↔ticket_purchase_hist,
+  * events↔CDC changelog).
+  *
+  * Everything here is declarative DataFrame API — Catalyst handles pushdown,
+  * pruning, join strategy (broadcast for the small dim side), and partial
+  * aggregation. No RDDs, no UDFs, no collect().
+  */
+object RelationalOps {
+
+  /** Epoch millis from a parquet TIMESTAMP_NTZ column. The session timezone
+    * is UTC everywhere in this engine, so the NTZ→LTZ cast is instant-exact
+    * and matches DuckDB's epoch_ms over the same file. */
+  private def epochMs(c: Column): Column = unix_millis(c.cast("timestamp"))
+
+  /** R1 — full snapshot scan (zpln:463 `select * from t1`). */
+  def fullScan(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+
+  /** R4 — equality filter on key (zpln:665 `where uuid = 'id1'`).
+    * Predicate reaches the parquet scan as PushedFilters: [EqualTo(c_custkey,42)]. */
+  def filterEq(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).filter(col("c_custkey") === 42L)
+
+  /** R6 — projection + aliasing (zpln:2161). Column pruning: scan reads 2 cols. */
+  def projectAlias(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_name").as("full_name"), col("c_acctbal").as("balance"))
+
+  /** R7 — CAST scalar function (zpln:2161 `cast(… as string)`). */
+  def castCols(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey").cast("string").as("id"),
+        epochMs(col("o_orderdate")).as("od_ms"),
+        // double→string goes via DECIMAL(18,2): both Spark and the DuckDB
+        // oracle render the decimal identically; raw double→string differs
+        // (Java Double.toString vs DuckDB's shortest-roundtrip format).
+        col("o_totalprice").cast("decimal(18,2)").cast("string").as("price_str"))
+
+  /** R8 — 3-way inner equi-join (zpln:2161/2317):
+    * person ⋈ ticket ⋈ hist ≡ customer ⋈ orders ⋈ lineitem.
+    * customer is the small dim — Catalyst broadcasts it (AQE confirms);
+    * orders ⋈ lineitem shuffles on the shared orderkey. */
+  def tripleJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, l("l_orderkey") === o("o_orderkey"))
+      .select(
+        col("c_name").as("full_name"),
+        col("l_orderkey").cast("string").as("id"),
+        col("l_extendedprice").as("price"),
+        epochMs(col("l_shipdate")).as("ts_ms"))
+  }
+
+  /** R9 — GROUP BY + COUNT(*) hash aggregate (zpln:2757). */
+  def aggCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+
+  /** R5 + R10 — derived-table subquery re-filtered on the aggregate
+    * (zpln:2757 `select … from (…group by…) where cnt > 1`). */
+  def havingSubquery(spark: SparkSession, dir: String): DataFrame =
+    aggCount(spark, dir).filter(col("cnt") > 10)
+
+  /** R11 — Sort + Limit top-k (zpln:895 `order by id desc limit 2`).
+    * Catalyst plans TakeOrderedAndProject — per-partition top-k, no full sort. */
+  def topK(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  /** R12 — keyed dedup, last-write-wins (the Hudi PK-upsert semantics,
+    * zpln:2119/:2234): latest event per user_id, ordered by (ts, event_id). */
+  def dedupLastWriteWins(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_ms"))
+  }
+
+  /** The R9→R10 duplicate-check invariant over an upserted view
+    * (zpln:2757, must be empty per :2812). Exposed as a reusable check. */
+  def duplicateCheck(view: DataFrame, keyCol: String): DataFrame =
+    view.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
+
+  /** JSON field extraction over the events props column (engine utility;
+    * the reference's workload carries JSON-ish payloads through Lambda). */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_val"))
+
+  /** Tumbling-window aggregate over event time — the batch form of the
+    * streaming windowed agg (see graft.streaming). 1-hour tumble. */
+  def tumbleAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 3).as("sum_value"))
+      .select(unix_millis(col("w.start")).as("window_start_ms"),
+        col("event_type"), col("cnt"), col("sum_value"))
+}
