@@ -28,6 +28,7 @@ object SparkEntry {
     "r12_dedup_lww"      -> ((s, d) => RelationalOps.dedupLastWriteWins(s, d)),
     "r13_json_extract"   -> ((s, d) => RelationalOps.jsonExtract(s, d)),
     "r14_tumble_agg"     -> ((s, d) => RelationalOps.tumbleAgg(s, d)),
+    "s7_mor_upsert_replay" -> ((s, d) => graft.lake.LakeQueries.upsertReplay(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -58,6 +59,11 @@ object SparkEntry {
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
     "r12_dedup_lww" ->
+      """SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
+        |FROM events
+        |QUALIFY row_number() OVER
+        |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+    "s7_mor_upsert_replay" ->
       """SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
         |FROM events
         |QUALIFY row_number() OVER

@@ -1,0 +1,224 @@
+package graft.lake
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import java.nio.charset.StandardCharsets
+
+/** Merge-on-read keyed-upsert lake table — the engine-native analog of the
+  * reference's Hudi MERGE_ON_READ sink (reference `CDC-Hudi-Notebook.zpln:292`
+  * and `:2234`: keyed upsert, delta commits, num_or_time compaction,
+  * snapshot read = base ⟕ uncompacted logs per `:421`).
+  *
+  * On-disk layout (all paths via Hadoop FileSystem, so the same code runs on
+  * HDFS/S3A on a real cluster):
+  * {{{
+  *   <path>/timeline/<seq>.<type>.json   commit metadata (atomic rename —
+  *                                       a commit is visible iff its timeline
+  *                                       file exists; data files land first)
+  *   <path>/delta/<seq>/part-…parquet        one delta commit (upserts + deletes)
+  *   <path>/base/<seq>/part-…parquet         compacted snapshot as of <seq>
+  * }}}
+  *
+  * Every stored row carries the lake metadata columns (the `_hoodie_*` analog,
+  * reference `lib/rds-cdc-flink-hudi-stack.ts:470-489`):
+  * `_record_key` (string PK), `_commit_seqno` (long), `_commit_time` (string),
+  * `_deleted` (boolean tombstone).
+  *
+  * Scale design (100 TB bar):
+  *  - upsert/delete write through `spark.sql.shuffle.partitions`-sized hashed
+  *    writes; nothing is ever `coalesce(1)`d or collected to the driver.
+  *  - snapshot merge is ONE shuffle: union(base, deltas) → window by key —
+  *    identical shape to Hudi's MOR realtime merge. Readers that follow a
+  *    compaction touch only the base parquet (zero merge cost).
+  *  - per-batch dedup is a partial-agg-friendly window over the batch only.
+  *  - exactly-once: `batchId` recorded in the timeline; replayed micro-batches
+  *    are no-ops (the reference gets this from Flink checkpoint barriers,
+  *    zpln:89).
+  */
+final class MorTable(
+    spark: SparkSession,
+    val path: String,
+    val keyCols: Seq[String],
+    val compactionDeltaCommits: Int = 2,
+    val compactionDeltaSeconds: Long = 120L) {
+
+  import MorTable._
+
+  private val hPath = new Path(path)
+  private def fs: FileSystem = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // ---------------------------------------------------------------- timeline
+
+  /** All committed instants, ascending by seq. */
+  def timeline(): Seq[Instant] = {
+    val dir = new Path(hPath, "timeline")
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.endsWith(".json"))
+      .map { n => parseInstant(new String(readFully(fs, new Path(dir, n)), StandardCharsets.UTF_8)) }
+      .sortBy(_.seq)
+  }
+
+  private def lastSeq(tl: Seq[Instant]): Long = tl.lastOption.map(_.seq).getOrElse(0L)
+
+  /** True iff this micro-batch id already committed (exactly-once replays). */
+  def isCommitted(batchId: Long): Boolean =
+    batchId >= 0 && timeline().exists(_.batchId == batchId)
+
+  private def writeInstant(i: Instant): Unit = {
+    val dir = new Path(hPath, "timeline")
+    fs.mkdirs(dir)
+    val tmp = new Path(dir, s".${i.seq}.${i.kind}.json.tmp")
+    val dst = new Path(dir, s"${i.seq}.${i.kind}.json")
+    val out = fs.create(tmp, true)
+    try out.write(i.toJson.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    if (!fs.rename(tmp, dst)) throw new java.io.IOException(s"commit rename failed: $dst")
+  }
+
+  // ---------------------------------------------------------------- writes
+
+  /** S6/S7 — keyed upsert of a batch. Last-write-wins inside the batch by
+    * `orderWithinBatch` (deterministic; required because two rows for one key
+    * in one micro-batch must collapse the way the reference's PK sink does,
+    * zpln:2119). Rows for existing keys replace them; new keys insert.
+    */
+  def upsert(batch: DataFrame, orderWithinBatch: Seq[Column], batchId: Long = -1L): MorTable = {
+    commitDelta(withMeta(dedupBatch(batch, orderWithinBatch), deleted = false), batchId)
+    this
+  }
+
+  /** Delete by key — writes tombstones (CDC `op = D`). `keys` needs the key
+    * columns only. */
+  def delete(keys: DataFrame, batchId: Long = -1L): MorTable = {
+    val schema = snapshotSchema()
+    // pad the tombstone rows to the full table schema (nulls for data cols)
+    val padded = schema.fields.filterNot(f => keys.columns.contains(f.name))
+      .foldLeft(keys.select(keyCols.map(col): _*)) { (df, f) =>
+        df.withColumn(f.name, lit(null).cast(f.dataType))
+      }
+    commitDelta(withMeta(padded, deleted = true), batchId)
+    this
+  }
+
+  private def dedupBatch(batch: DataFrame, order: Seq[Column]): DataFrame = {
+    if (order.isEmpty) batch
+    else {
+      val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order.map(_.desc): _*)
+      batch.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    }
+  }
+
+  private def withMeta(df: DataFrame, deleted: Boolean): DataFrame =
+    df.withColumn("_record_key", concat_ws("|", keyCols.map(c => col(c).cast("string")): _*))
+      .withColumn("_deleted", lit(deleted))
+
+  private def commitDelta(df: DataFrame, batchId: Long): Unit = synchronized {
+    if (isCommitted(batchId)) return // replayed micro-batch — exactly-once no-op
+    val tl = timeline()
+    val seq = lastSeq(tl) + 1
+    val now = System.currentTimeMillis()
+    val out = df
+      .withColumn("_commit_seqno", lit(seq))
+      .withColumn("_commit_time", lit(commitTimeString(now)))
+    out.write.mode("overwrite").parquet(s"$path/delta/$seq")
+    writeInstant(Instant(seq, "delta", batchId, now))
+    maybeCompact()
+  }
+
+  // ---------------------------------------------------------------- reads
+
+  /** R1/S11 — snapshot query: latest base ⟕ replay of newer deltas,
+    * last-write-wins by `_commit_seqno` (zpln:421 semantics). */
+  def snapshot(): DataFrame = {
+    val tl = timeline()
+    if (tl.isEmpty)
+      throw new IllegalStateException(s"MorTable at $path has no commits")
+    val lastCompact = tl.filter(_.kind == "compact").lastOption
+    val deltas = tl.filter(i => i.kind == "delta" && i.seq > lastCompact.map(_.seq).getOrElse(0L))
+    val parts =
+      lastCompact.map(c => spark.read.parquet(s"$path/base/${c.seq}")).toSeq ++
+        deltas.map(d => spark.read.parquet(s"$path/delta/${d.seq}"))
+    val unioned = parts.reduce(_ unionByName _)
+    if (parts.size == 1 && lastCompact.nonEmpty) unioned.filter(!col("_deleted"))
+    else {
+      val w = Window.partitionBy(col("_record_key")).orderBy(col("_commit_seqno").desc)
+      unioned
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+        .filter(!col("_deleted"))
+    }
+  }
+
+  /** Snapshot without the lake metadata columns (user-facing read). */
+  def read(): DataFrame =
+    snapshot().drop("_record_key", "_deleted", "_commit_seqno", "_commit_time")
+
+  private def snapshotSchema() = read().schema
+
+  // ---------------------------------------------------------------- compaction
+
+  /** T4 — `num_or_time` trigger (zpln:292: `compaction.delta_commits` /
+    * `compaction.delta_seconds` / `'compaction.trigger.strategy'='num_or_time'`). */
+  def maybeCompact(nowMs: Long = System.currentTimeMillis()): Boolean = {
+    val tl = timeline()
+    val sinceCompact = tl.filter(_.seq > tl.filter(_.kind == "compact").lastOption.map(_.seq).getOrElse(0L))
+    val deltas = sinceCompact.filter(_.kind == "delta")
+    val due = deltas.size >= compactionDeltaCommits ||
+      deltas.headOption.exists(d => nowMs - d.commitMs >= compactionDeltaSeconds * 1000L)
+    if (due) compact()
+    due
+  }
+
+  /** Merge base + logs into a new base commit. Readers before the timeline
+    * rename keep seeing the old base+deltas; after it, just the new base. */
+  def compact(): Unit = synchronized {
+    val tl = timeline()
+    val seq = lastSeq(tl) + 1
+    val now = System.currentTimeMillis()
+    snapshot().write.mode("overwrite").parquet(s"$path/base/$seq")
+    writeInstant(Instant(seq, "compact", -1L, now))
+  }
+
+  /** S5 — drop the table (catalog + storage). */
+  def drop(): Unit = { fs.delete(hPath, true); () }
+}
+
+object MorTable {
+
+  /** One committed instant on the timeline. */
+  final case class Instant(seq: Long, kind: String, batchId: Long, commitMs: Long) {
+    def toJson: String =
+      s"""{"seq":$seq,"kind":"$kind","batchId":$batchId,"commitMs":$commitMs}"""
+  }
+
+  private[lake] def parseInstant(json: String): Instant = {
+    def field(name: String): String = {
+      val m = java.util.regex.Pattern.compile("\"" + name + "\":(-?\\d+|\"[a-z]+\")").matcher(json)
+      if (!m.find()) throw new IllegalArgumentException(s"bad timeline json: $json")
+      m.group(1).stripPrefix("\"").stripSuffix("\"")
+    }
+    Instant(field("seq").toLong, field("kind"), field("batchId").toLong, field("commitMs").toLong)
+  }
+
+  private[lake] def commitTimeString(ms: Long): String =
+    java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmssSSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(ms))
+
+  private[lake] def readFully(fs: FileSystem, p: Path): Array[Byte] = {
+    val in = fs.open(p)
+    try {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      in.readFully(0, buf)
+      buf
+    } finally in.close()
+  }
+
+  /** Open an existing table or prepare a handle for a new one. */
+  def apply(spark: SparkSession, path: String, keyCols: Seq[String],
+            compactionDeltaCommits: Int = 2, compactionDeltaSeconds: Long = 120L): MorTable =
+    new MorTable(spark, path, keyCols, compactionDeltaCommits, compactionDeltaSeconds)
+}

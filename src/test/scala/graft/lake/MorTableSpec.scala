@@ -1,0 +1,111 @@
+package graft.lake
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** MOR lake table semantics, mirroring the reference notebook's embedded
+  * goldens (SURVEY §5.1): 8-row batch insert (zpln:375→:521), keyed upsert
+  * replacing id1 (zpln:577→:723), snapshot reads across compaction
+  * (zpln:421), tombstone deletes, and exactly-once batch replay. */
+class MorTableSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def t1Rows = Seq(
+    ("id1", "Danny", 23, "1970-01-01 00:00:01"),
+    ("id2", "Stephen", 33, "1970-01-01 00:00:02"),
+    ("id3", "Julian", 53, "1970-01-01 00:00:03"),
+    ("id4", "Fabian", 31, "1970-01-01 00:00:04"),
+    ("id5", "Sophia", 18, "1970-01-01 00:00:05"),
+    ("id6", "Emma", 20, "1970-01-01 00:00:06"),
+    ("id7", "Bob", 44, "1970-01-01 00:00:07"),
+    ("id8", "Han", 56, "1970-01-01 00:00:08"),
+  ).toDF("uuid", "name", "age", "ts")
+
+  test("S6 batch insert: 8 rows land; snapshot returns them (zpln:521 golden)") {
+    val t = MorTable(spark, TestSpark.tmpDir("mor-insert"), Seq("uuid"),
+      compactionDeltaCommits = 100)
+    t.upsert(t1Rows, orderWithinBatch = Seq(col("ts")))
+    val got = t.read().orderBy("uuid").collect()
+    assert(got.length == 8)
+    assert(got.head.getAs[String]("name") == "Danny")
+    assert(t.snapshot().columns.contains("_commit_seqno"))
+  }
+
+  test("S7 keyed upsert: id1 replaced in place, still 8 rows (zpln:723 golden)") {
+    val t = MorTable(spark, TestSpark.tmpDir("mor-upsert"), Seq("uuid"),
+      compactionDeltaCommits = 100)
+    t.upsert(t1Rows, Seq(col("ts")))
+    t.upsert(Seq(("id1", "Francisco Morillo", 29, "2023-06-15 12:00:00"))
+      .toDF("uuid", "name", "age", "ts"), Seq(col("ts")))
+    val got = t.read().orderBy("uuid").collect()
+    assert(got.length == 8)
+    val id1 = got.head
+    assert(id1.getAs[String]("name") == "Francisco Morillo")
+    assert(id1.getAs[Int]("age") == 29)
+  }
+
+  test("R12 within-batch last-write-wins uses the given ordering") {
+    val t = MorTable(spark, TestSpark.tmpDir("mor-lww"), Seq("k"),
+      compactionDeltaCommits = 100)
+    val batch = Seq(("a", 1, 10L), ("a", 2, 20L), ("b", 9, 5L))
+      .toDF("k", "v", "ord")
+    t.upsert(batch, Seq(col("ord")))
+    val m = t.read().collect().map(r => r.getAs[String]("k") -> r.getAs[Int]("v")).toMap
+    assert(m == Map("a" -> 2, "b" -> 9))
+  }
+
+  test("delete writes tombstones; snapshot hides the key") {
+    val t = MorTable(spark, TestSpark.tmpDir("mor-del"), Seq("uuid"),
+      compactionDeltaCommits = 100)
+    t.upsert(t1Rows, Seq(col("ts")))
+    t.delete(Seq("id3", "id7").toDF("uuid"))
+    val keys = t.read().select("uuid").as[String].collect().toSet
+    assert(keys == Set("id1", "id2", "id4", "id5", "id6", "id8"))
+    // re-inserting a deleted key resurrects it (newer seqno wins)
+    t.upsert(Seq(("id3", "Julian2", 54, "2024-01-01 00:00:00"))
+      .toDF("uuid", "name", "age", "ts"), Seq(col("ts")))
+    assert(t.read().filter($"uuid" === "id3").count() == 1)
+  }
+
+  test("T4 num-trigger compaction: snapshot identical before and after (zpln:292)") {
+    val dir = TestSpark.tmpDir("mor-compact")
+    val noCompact = MorTable(spark, dir + "-ref", Seq("uuid"), compactionDeltaCommits = 100)
+    val compacting = MorTable(spark, dir, Seq("uuid"), compactionDeltaCommits = 2)
+    for (t <- Seq(noCompact, compacting)) {
+      t.upsert(t1Rows, Seq(col("ts")))
+      t.upsert(Seq(("id1", "Francisco", 29, "2023-06-15 12:00:00"))
+        .toDF("uuid", "name", "age", "ts"), Seq(col("ts")))
+      t.delete(Seq("id8").toDF("uuid"))
+    }
+    // 3 delta commits at threshold 2 → at least one compact instant exists
+    assert(compacting.timeline().exists(_.kind == "compact"))
+    assert(noCompact.timeline().forall(_.kind == "delta"))
+    val a = noCompact.read().orderBy("uuid").collect().map(_.toSeq).toSeq
+    val b = compacting.read().orderBy("uuid").collect().map(_.toSeq).toSeq
+    assert(a == b)
+    // post-compaction snapshot reads only the base (single-source fast path)
+    val afterOnlyBase = compacting.timeline().last.kind == "compact"
+    if (afterOnlyBase) assert(compacting.read().count() == 7)
+  }
+
+  test("T1 exactly-once: replaying a committed batchId is a no-op") {
+    val t = MorTable(spark, TestSpark.tmpDir("mor-once"), Seq("uuid"),
+      compactionDeltaCommits = 100)
+    t.upsert(t1Rows, Seq(col("ts")), batchId = 7L)
+    val n1 = t.timeline().size
+    t.upsert(t1Rows, Seq(col("ts")), batchId = 7L) // replay
+    assert(t.timeline().size == n1)
+    assert(t.read().count() == 8)
+  }
+
+  test("time-trigger compaction fires when the oldest delta is stale") {
+    val t = MorTable(spark, TestSpark.tmpDir("mor-time"), Seq("uuid"),
+      compactionDeltaCommits = 100, compactionDeltaSeconds = 60)
+    t.upsert(t1Rows, Seq(col("ts")))
+    assert(!t.maybeCompact()) // fresh — not due
+    assert(t.maybeCompact(nowMs = System.currentTimeMillis() + 61000L))
+    assert(t.timeline().last.kind == "compact")
+  }
+}
