@@ -28,7 +28,9 @@ object SparkEntry {
     "r12_dedup_lww"      -> ((s, d) => RelationalOps.dedupLastWriteWins(s, d)),
     "r13_json_extract"   -> ((s, d) => RelationalOps.jsonExtract(s, d)),
     "r14_tumble_agg"     -> ((s, d) => RelationalOps.tumbleAgg(s, d)),
+    "r15_sessionize"     -> ((s, d) => RelationalOps.sessionize(s, d)),
     "s7_mor_upsert_replay" -> ((s, d) => graft.lake.LakeQueries.upsertReplay(s, d)),
+    "s8_cdc_ticket_view"  -> ((s, d) => graft.streaming.PipelineQueries.ticketView(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -63,11 +65,40 @@ object SparkEntry {
         |FROM events
         |QUALIFY row_number() OVER
         |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+    "r15_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+        |         lag(epoch_ms(ts)) OVER w AS prev_ms
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, event_id, ts_ms,
+        |         sum(CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000
+        |                  THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g
+        |)
+        |SELECT user_id, session_id, min(ts_ms) AS session_start_ms,
+        |       max(ts_ms) AS session_end_ms, count(*) AS n_events
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
     "s7_mor_upsert_replay" ->
       """SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
         |FROM events
         |QUALIFY row_number() OVER
         |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+    "s8_cdc_ticket_view" ->
+      """SELECT c.c_name AS full_name,
+        |       CAST(l.l_orderkey AS VARCHAR) AS id,
+        |       l.l_extendedprice AS price,
+        |       epoch_ms(l.l_shipdate) AS ts_ms
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |QUALIFY row_number() OVER
+        |  (PARTITION BY c.c_name
+        |   ORDER BY l.l_orderkey DESC, l.l_linenumber DESC,
+        |            l.l_extendedprice DESC, l.l_shipdate DESC) = 1""".stripMargin,
     "r13_json_extract" ->
       """SELECT event_id, json_extract_string(props, '$.k') AS k_val
         |FROM events""".stripMargin,

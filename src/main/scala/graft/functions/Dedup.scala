@@ -1,0 +1,156 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication for training-data pipelines: exact, MinHash+LSH, SimHash,
+  * and exact n-gram Jaccard verification.
+  *
+  * 100 TB design rule: candidate generation is ALWAYS a shuffle on a bucket
+  * key (LSH band hash / SimHash chunk) followed by within-bucket self-joins —
+  * never an all-pairs crossJoin. Verification runs only on candidate pairs.
+  * Signatures are SQL higher-order-function expressions (codegen'd, no UDFs),
+  * so the signature pass is map-only over the corpus.
+  *
+  * ANSI-mode note (Spark 4 default): all hash arithmetic is done mod
+  * p = 2^31-1 so no 64-bit multiply can overflow-throw.
+  */
+object Dedup {
+
+  private val P = 2147483647L // 2^31 - 1, Mersenne prime
+
+  // ------------------------------------------------------------------ exact
+
+  /** Exact dedup by content hash: keep the smallest id per md5(text).
+    * One hash-shuffle; at 100 TB, hash first so the shuffle carries 32-byte
+    * digests, not documents. */
+  def exactDedup(docs: DataFrame, textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    docs.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  // ---------------------------------------------------------------- minhash
+
+  /** Word k-shingles (lowercased), the MinHash input set. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = TextAnalysis.tokens(lower(text))
+    when(size(toks) >= k,
+      array_distinct(transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, k)))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** MinHash signature (length = numHashes) via the universal hash family
+    * h_i(s) = (a_i * (xxhash64(s) mod p) + b_i) mod p, p = 2^31-1.
+    * a_i * h0 < 2^62 — ANSI-safe. */
+  def minhashSignature(shingleArr: Column, numHashes: Int = 64): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)), i => {
+      val a = pmod(xxhash64(lit("mh-a"), i), lit(P - 2)) + 1
+      val b = pmod(xxhash64(lit("mh-b"), i), lit(P))
+      aggregate(shingleArr, lit(Long.MaxValue),
+        (acc, s) => least(acc, pmod(a * pmod(xxhash64(s), lit(P)) + b, lit(P))))
+    })
+
+  /** Estimated Jaccard from two signatures: fraction of equal components. */
+  def estJaccard(sigA: Column, sigB: Column): Column =
+    size(filter(zip_with(sigA, sigB, (x, y) => x === y), e => e))
+      .cast("double") / size(sigA)
+
+  /** MinHash-LSH near-duplicate pairs: signature → band hashes → bucket
+    * self-join (candidates share ≥1 band) → signature-estimate filter.
+    * Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+    *
+    * bands*rowsPerBand must equal numHashes. With 16×4 the collision curve
+    * catches jaccard ≥ ~0.5 reliably. */
+  def minhashLsh(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+                 shingleK: Int = 3, numHashes: Int = 64,
+                 bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    val rowsPer = numHashes / bands
+    require(rowsPer * bands == numHashes, "bands must divide numHashes")
+    val sigs = docs.select(col(idCol),
+      minhashSignature(shingles(col(textCol), shingleK), numHashes).as("sig"))
+    val banded = sigs.select(col(idCol), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, concat_ws(",",
+          transform(slice(col("sig"), b * rowsPer + 1, rowsPer), _.cast("string")))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val a = banded.select(col(idCol).as("id_a"), col("sig").as("sig_a"),
+      col("band"), col("band_hash"))
+    val b = banded.select(col(idCol).as("id_b"), col("sig").as("sig_b"),
+      col("band"), col("band_hash"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        estJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .groupBy("id_a", "id_b").agg(first("est_jaccard").as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** Exact n-gram Jaccard for candidate pairs — the verify stage after LSH.
+    * `pairs` must have id_a/id_b; joins shingle sets back in (two hash
+    * joins on doc id, proportional to candidates, not corpus²). */
+  def ngramJaccard(pairs: DataFrame, docs: DataFrame,
+                   textCol: String = "text", idCol: String = "doc_id",
+                   shingleK: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol), shingles(col(textCol), shingleK).as("sh"))
+    pairs
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .drop("sh_a", "sh_b")
+  }
+
+  // ---------------------------------------------------------------- simhash
+
+  /** SimHash as 4×16-bit chunks (array<long>, chunk c = bits [16c,16c+16)).
+    * Bit k's per-token sign comes from an independent hash xxhash64(k, tok):
+    * bit k = 1 iff Σ_tokens ±1 > 0. Chunked form avoids variable 64-bit
+    * shifts (not expressible ANSI-safely) and feeds banding directly. */
+  def simhashChunks(text: Column): Column = {
+    val th = transform(TextAnalysis.tokens(lower(text)), t => xxhash64(t))
+    val pow2 = array((0 until 16).map(j => lit(1L << j)): _*)
+    transform(sequence(lit(0), lit(3)), c =>
+      aggregate(sequence(lit(0), lit(15)), lit(0L), (acc, j) => {
+        val k = c * 16 + j
+        val bitSum = aggregate(th, lit(0L),
+          (s, h) => s + when(pmod(xxhash64(k, h), 2) === 1, 1L).otherwise(-1L))
+        acc.bitwiseOR(when(bitSum > 0, element_at(pow2, j + 1)).otherwise(lit(0L)))
+      }))
+  }
+
+  /** The chunks packed into one 64-bit value (display/compare form). */
+  def simhash64(text: Column): Column = {
+    val ch = simhashChunks(text)
+    element_at(ch, 1)
+      .bitwiseOR(shiftleft(element_at(ch, 2), 16))
+      .bitwiseOR(shiftleft(element_at(ch, 3), 32))
+      .bitwiseOR(shiftleft(element_at(ch, 4), 48))
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxHamming, found by
+    * chunk-banding (pigeonhole: ≤3 differing bits over 4 16-bit chunks ⇒
+    * some chunk equal) then exact xor-popcount verify. */
+  def simhashNearDup(docs: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
+    val sigs = docs.select(col(idCol), simhashChunks(col(textCol)).as("ch"))
+    val chunked = sigs.select(col(idCol), col("ch"), posexplode(col("ch")))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
+    val a = chunked.select(col(idCol).as("id_a"), col("ch").as("ch_a"),
+      col("chunk"), col("chunk_val"))
+    val b = chunked.select(col(idCol).as("id_b"), col("ch").as("ch_b"),
+      col("chunk"), col("chunk_val"))
+    a.join(b, Seq("chunk", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        aggregate(zip_with(col("ch_a"), col("ch_b"),
+          (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")), lit(0L),
+          (s, x) => s + x).as("hamming"))
+      .groupBy("id_a", "id_b").agg(first("hamming").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+}

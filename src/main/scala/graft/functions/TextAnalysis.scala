@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization stats, quality scoring, language ID, and document
+  * fingerprinting. Everything is built from codegen'd
+  * `org.apache.spark.sql.functions` / SQL higher-order functions — no Scala
+  * UDFs — so the whole pipeline stays inside WholeStageCodegen and scales
+  * linearly with input splits (100 TB = map-only over parquet row groups).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empties dropped (robust to leading/trailing space). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword proxy count: GPT-style pre-tokenizer classes — runs of
+    * letters, single digits, or single non-alphanumeric marks. A cheap,
+    * deterministic stand-in for a real tokenizer's token count. */
+  def bpeishCount(text: Column): Column =
+    size(filter(split(text, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"), t => t =!= "" && t =!= " "))
+
+  /** Punctuation character ratio (over all chars). */
+  def punctRatio(text: Column): Column =
+    round((length(text) - length(regexp_replace(text, "[.,!?;:]", ""))).cast("double")
+      / greatest(length(text), lit(1)), 6)
+
+  /** Stopword ratio over whitespace tokens (small English stopword set). */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = EnStopwords): Column = {
+    val sw = array(stopwords.map(lit): _*)
+    round(size(filter(tokens(lower(text)), t => array_contains(sw, t))).cast("double")
+      / greatest(size(tokens(text)), lit(1)), 6)
+  }
+
+  /** Composite quality score in [0,1] — the usual pretraining-filter shape:
+    * length in a sane band, not punctuation-soup, some stopword mass
+    * (fluent prose has 20-60%), reasonable mean token length. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text)
+    val meanTokLen = length(regexp_replace(text, "\\s+", "")).cast("double") /
+      greatest(nTok, lit(1))
+    val lenOk = when(nTok.between(10, 100000), 1.0).otherwise(0.0)
+    val punctOk = when(punctRatio(text) < 0.1, 1.0).otherwise(0.0)
+    val swr = stopwordRatio(text)
+    val swOk = when(swr.between(0.05, 0.7), 1.0).otherwise(0.0)
+    val tokLenOk = when(meanTokLen.between(2.0, 12.0), 1.0).otherwise(0.0)
+    round((lenOk + punctOk + swOk + tokLenOk) / 4.0, 4)
+  }
+
+  /** Language ID over {en,es,de,fr,zh}: CJK character ratio decides zh;
+    * otherwise the highest stopword-profile hit rate wins (ties → en).
+    * Pure column expressions — a 100 TB scan stays map-only. */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    def hitRate(profile: Seq[String]): Column = {
+      val arr = array(profile.map(lit): _*)
+      size(filter(toks, t => array_contains(arr, t))).cast("double") /
+        greatest(size(toks), lit(1))
+    }
+    val cjkRatio = (length(text) -
+      length(regexp_replace(text, "[\\u4e00-\\u9fff]", ""))).cast("double") /
+      greatest(length(text), lit(1))
+    val en = hitRate(EnStopwords); val es = hitRate(EsStopwords)
+    val de = hitRate(DeStopwords); val fr = hitRate(FrStopwords)
+    when(cjkRatio > 0.05, "zh")
+      .when(es > en && es >= de && es >= fr, "es")
+      .when(de > en && de >= fr, "de")
+      .when(fr > en, "fr")
+      .otherwise("en")
+  }
+
+  /** 64-bit document fingerprint: min of Rabin-Karp-style rolling hashes of
+    * 5-token windows (winnowing's keep-the-min rule collapsed to one value).
+    * Deterministic; equal for texts that share their minimal window. */
+  def fingerprint(text: Column, window: Int = 5): Column = {
+    val toks = tokens(lower(text))
+    val n = size(toks)
+    val windows = when(n >= window,
+      transform(sequence(lit(0), n - window),
+        i => xxhash64(concat_ws(" ", slice(toks, i + 1, window)))))
+      .otherwise(array(xxhash64(concat_ws(" ", toks))))
+    array_min(windows)
+  }
+
+  /** One-pass stats projection over a documents table. */
+  def textStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      tokenCount(col("text")).as("n_tokens"),
+      bpeishCount(col("text")).as("n_bpeish"),
+      punctRatio(col("text")).as("punct_ratio"))
+
+  val EnStopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to",
+    "in", "is", "it", "that", "for", "on", "with", "as", "was", "at", "by")
+  val EsStopwords: Seq[String] = Seq("el", "la", "los", "las", "un", "una", "y",
+    "o", "de", "en", "es", "que", "por", "con", "para", "del", "se", "no")
+  val DeStopwords: Seq[String] = Seq("der", "die", "das", "ein", "eine", "und",
+    "oder", "von", "zu", "im", "ist", "dass", "für", "auf", "mit", "als", "den")
+  val FrStopwords: Seq[String] = Seq("le", "la", "les", "un", "une", "et", "ou",
+    "de", "en", "est", "que", "pour", "sur", "avec", "du", "au", "des", "ne")
+}

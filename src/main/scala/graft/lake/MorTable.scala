@@ -42,7 +42,10 @@ final class MorTable(
     val path: String,
     val keyCols: Seq[String],
     val compactionDeltaCommits: Int = 2,
-    val compactionDeltaSeconds: Long = 120L) {
+    val compactionDeltaSeconds: Long = 120L,
+    /** Pipelines that need read-before-batch recovery (exactly-once across
+      * multiple tables) defer compaction until the whole batch is durable. */
+    val autoCompact: Boolean = true) {
 
   import MorTable._
 
@@ -103,6 +106,27 @@ final class MorTable(
     this
   }
 
+  /** Apply one changelog micro-batch (envelope: op/key/before/after/seq —
+    * see graft.sources.ChangelogSource) as a SINGLE delta commit: I/U rows
+    * become upserts, D rows tombstones. Last op per key in the batch wins
+    * by seq. This is the state-table write path of the continuous pipeline
+    * (reference zpln:2317). */
+  def applyChangelog(envelope: DataFrame, batchId: Long = -1L): MorTable = {
+    val w = Window.partitionBy(col("key")).orderBy(col("seq").desc)
+    val last = envelope
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+    val rows = last.select(
+      // D rows keep the before-image (tombstone still carries the key cols)
+      when(col("op") === "D", col("before")).otherwise(col("after")).as("__r"),
+      (col("op") === "D").as("__del"))
+      .select(col("__r.*"), col("__del"))
+    val withM = rows
+      .withColumn("_record_key", concat_ws("|", keyCols.map(c => col(c).cast("string")): _*))
+      .withColumnRenamed("__del", "_deleted")
+    commitDelta(withM, batchId)
+    this
+  }
+
   private def dedupBatch(batch: DataFrame, order: Seq[Column]): DataFrame = {
     if (order.isEmpty) batch
     else {
@@ -125,15 +149,23 @@ final class MorTable(
       .withColumn("_commit_time", lit(commitTimeString(now)))
     out.write.mode("overwrite").parquet(s"$path/delta/$seq")
     writeInstant(Instant(seq, "delta", batchId, now))
-    maybeCompact()
+    if (autoCompact) maybeCompact()
   }
 
   // ---------------------------------------------------------------- reads
 
   /** R1/S11 — snapshot query: latest base ⟕ replay of newer deltas,
     * last-write-wins by `_commit_seqno` (zpln:421 semantics). */
-  def snapshot(): DataFrame = {
-    val tl = timeline()
+  def snapshot(): DataFrame = snapshotOf(timeline())
+
+  /** Snapshot as-of just before `batchId` landed — the recovery read for
+    * multi-table exactly-once (a replayed batch must see pre-batch state
+    * even if this table already committed it). Requires `autoCompact=false`
+    * so no compaction can bake the excluded delta into the base. */
+  def snapshotExcludingBatch(batchId: Long): DataFrame =
+    snapshotOf(timeline().filter(_.batchId != batchId))
+
+  private def snapshotOf(tl: Seq[Instant]): DataFrame = {
     if (tl.isEmpty)
       throw new IllegalStateException(s"MorTable at $path has no commits")
     val lastCompact = tl.filter(_.kind == "compact").lastOption
@@ -152,8 +184,14 @@ final class MorTable(
   }
 
   /** Snapshot without the lake metadata columns (user-facing read). */
-  def read(): DataFrame =
-    snapshot().drop("_record_key", "_deleted", "_commit_seqno", "_commit_time")
+  def read(): DataFrame = dropMeta(snapshot())
+
+  /** `read()` as-of just before `batchId` (see snapshotExcludingBatch). */
+  def readExcludingBatch(batchId: Long): DataFrame =
+    dropMeta(snapshotExcludingBatch(batchId))
+
+  private def dropMeta(df: DataFrame): DataFrame =
+    df.drop("_record_key", "_deleted", "_commit_seqno", "_commit_time")
 
   private def snapshotSchema() = read().schema
 

@@ -105,6 +105,25 @@ object RelationalOps {
       .select(col("event_id"),
         get_json_object(col("props"), "$.k").as("k_val"))
 
+  /** Sessionization: split each user's events into sessions at >30-minute
+    * gaps (classic gaps-and-islands; the batch twin of a session window).
+    * One window-function pass, no self-join — partition-local after the
+    * single shuffle on user_id. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_ms", lag(col("ts_ms"), 1).over(byUser))
+      .withColumn("new_s",
+        when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > 1800000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_s")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts_ms")).as("session_start_ms"),
+        max(col("ts_ms")).as("session_end_ms"),
+        count(lit(1)).as("n_events"))
+  }
+
   /** Tumbling-window aggregate over event time — the batch form of the
     * streaming windowed agg (see graft.streaming). 1-hour tumble. */
   def tumbleAgg(spark: SparkSession, dir: String): DataFrame =

@@ -52,15 +52,27 @@ object ChangelogSource {
               seqCol: String = "seq"): DataFrame = {
     val dataCols = rows.columns.toSeq.filterNot(c => c == opCol || c == seqCol)
     val rowStruct = struct(dataCols.map(col): _*)
-    // before-image = previous after-image for the same key, in seq order
+    // before-image = previous after-image for the same key, in seq order.
+    // A delete with no prior row in THIS log still carries its image in the
+    // data columns (REPLICA IDENTITY FULL: the WAL ships the full old row),
+    // so D falls back to the row's own columns — `before` is never null on D.
     val w = Window.partitionBy(keyExpr(keyCols)).orderBy(col(seqCol))
+    val lagged = lag(rowStruct, 1).over(w)
     rows.select(
       col(opCol).as("op"),
       keyExpr(keyCols).as("key"),
-      lag(rowStruct, 1).over(w).as("before"),
+      when(col(opCol) === OpInsert, lit(null))
+        .when(col(opCol) === OpDelete, coalesce(lagged, rowStruct))
+        .otherwise(lagged).as("before"),
       when(col(opCol) === OpDelete, lit(null)).otherwise(rowStruct).as("after"),
       col(seqCol).cast("long").as("seq"))
   }
+
+  /** Empty changelog with the envelope schema for `table`'s row type —
+    * the "no changes this micro-batch" input. */
+  def emptyEnvelope(table: DataFrame, keyCols: Seq[String]): DataFrame =
+    fromOps(table.limit(0).withColumn("op", lit("I")).withColumn("seq", lit(0L)),
+      keyCols)
 
   /** snapshot → binlog: the reference's default source mode (S3). */
   def snapshotThenStream(snapshot: DataFrame, log: DataFrame, keyCols: Seq[String]): DataFrame =

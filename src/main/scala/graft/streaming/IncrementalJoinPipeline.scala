@@ -1,0 +1,166 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.lake.MorTable
+
+/** The continuous CDC pipeline — Entry point B of the reference
+  * (`CDC-Hudi-Notebook.zpln:2317`):
+  *
+  * {{{
+  *   INSERT INTO ticket_view
+  *   SELECT full_name, cast(ticket.id as string), ticket_price,
+  *          cast(transaction_date_time as string)
+  *   FROM person JOIN sporting_event_ticket ON person.id = ticketholder_id
+  *               JOIN ticket_purchase_hist ON sporting_event_ticket_id = ticket.id
+  * }}}
+  *
+  * continuously maintained over three changelog inputs, upserting into a
+  * keyed MOR sink (PK = full_name ⇒ "last transaction per person",
+  * zpln:2119). Structured Streaming cannot chain two stream-stream joins
+  * over update streams (SURVEY §4), so this is incremental view maintenance
+  * in micro-batches: per batch, apply deltas to keyed state tables, find the
+  * affected root-dimension keys, recompute the join for exactly those keys
+  * against old and new state, and emit upserts + retraction deletes to the
+  * sink. One micro-batch = one lake commit (zpln:89 commit-per-checkpoint).
+  *
+  * Scale notes (100 TB bar):
+  *  - per-batch work is proportional to the CHANGED keys, not state size:
+  *    affected-key sets are broadcast; state tables are only touched through
+  *    key-equi-joins that Catalyst plans as broadcast-hash against the small
+  *    delta side.
+  *  - the one full-state shuffle per batch is each MorTable's snapshot merge;
+  *    compaction keeps that bounded (base-only read after compact).
+  *  - the sink write shuffles by sink key (hash), never coalesces.
+  *
+  * Column-name hygiene: P/T/H must have disjoint column names (true of the
+  * reference schema and the TPC-H stand-ins).
+  *
+  * @param personKey   P's primary key column
+  * @param ticketKey   T's primary key column
+  * @param ticketPersonFk  T column referencing P's key
+  * @param histTicketFk    H column referencing T's key
+  * @param histKeyCols     H's primary key columns
+  * @param histOrder   H columns ranking "the last transaction" (ascending)
+  * @param project     joined(P⋈T⋈H) → sink rows; must emit `sinkKey`
+  * @param sinkKey     sink primary key column (reference: full_name)
+  */
+final class IncrementalJoinPipeline(
+    spark: SparkSession,
+    stateDir: String,
+    personKey: String,
+    ticketKey: String,
+    ticketPersonFk: String,
+    histTicketFk: String,
+    histKeyCols: Seq[String],
+    histOrder: Seq[String],
+    project: DataFrame => DataFrame,
+    sinkKey: String,
+    sinkCompactionDeltaCommits: Int = 5) {
+
+  // autoCompact=false: states may only compact AFTER the sink commit is
+  // durable, or a replayed batch could not reconstruct pre-batch state
+  val pState = new MorTable(spark, s"$stateDir/person", Seq(personKey),
+    compactionDeltaCommits = 4, autoCompact = false)
+  val tState = new MorTable(spark, s"$stateDir/ticket", Seq(ticketKey),
+    compactionDeltaCommits = 4, autoCompact = false)
+  val hState = new MorTable(spark, s"$stateDir/hist", histKeyCols,
+    compactionDeltaCommits = 4, autoCompact = false)
+  val sink = MorTable(spark, s"$stateDir/sink", Seq(sinkKey),
+    compactionDeltaCommits = sinkCompactionDeltaCommits)
+
+  /** Seed the states (the reference's snapshot phase, zpln:1101). Empty
+    * DataFrames (with schema) are fine for binlog-only inputs. */
+  def initialize(personSnap: DataFrame, ticketSnap: DataFrame, histSnap: DataFrame): Unit = {
+    pState.upsert(personSnap, orderWithinBatch = Seq(col(personKey)), batchId = 0L)
+    tState.upsert(ticketSnap, orderWithinBatch = Seq(col(ticketKey)), batchId = 0L)
+    hState.upsert(histSnap, orderWithinBatch = histKeyCols.map(col), batchId = 0L)
+    val joined = joinAll(pState.read(), tState.read(), hState.read(), None)
+    sink.upsert(project(joined), orderWithinBatch = histOrder.map(col), batchId = 0L)
+  }
+
+  /** One micro-batch = one commit on every state table + the sink (T1).
+    * Any of the three changelogs may be empty. Replaying a committed
+    * batchId is a no-op end-to-end. */
+  def processBatch(dP: DataFrame, dT: DataFrame, dH: DataFrame, batchId: Long): Unit = {
+    if (sink.isCommitted(batchId)) return // exactly-once replay guard
+
+    // read state AS OF before this batch: on a clean run that's read(),
+    // on a partial replay (states committed, sink didn't) it excludes the
+    // half-applied batch — both paths see identical pre-batch state
+    val oldP = pState.readExcludingBatch(batchId).cache()
+    val oldT = tState.readExcludingBatch(batchId).cache()
+
+    // -- affected root keys (person ids), from all three deltas ------------
+    val pidFromP = dP.select(coalesce(col(s"after.$personKey"), col(s"before.$personKey")).as("pid"))
+    val pidFromT = dT.select(explode(array(
+      col(s"after.$ticketPersonFk"), col(s"before.$ticketPersonFk"))).as("pid"))
+    // H deltas name a ticket; resolve ticket → person through old ∪ new T
+    val histTids = dH.select(coalesce(col(s"after.$histTicketFk"), col(s"before.$histTicketFk")).as("tid"))
+      .distinct()
+    val newTPre = graft.sources.ChangelogSource.applyToState(oldT, dT, Seq(ticketKey))
+    val tUnion = oldT.select(col(ticketKey).as("tid2"), col(ticketPersonFk).as("pid"))
+      .unionByName(newTPre.select(col(ticketKey).as("tid2"), col(ticketPersonFk).as("pid")))
+    val pidFromH = histTids.join(tUnion, col("tid") === col("tid2")).select("pid")
+    val affected = pidFromP.unionByName(pidFromT).unionByName(pidFromH)
+      .filter(col("pid").isNotNull).distinct().cache()
+    affected.count() // pin before states mutate
+
+    // -- old sink keys for the affected persons (for retraction) -----------
+    val oldH = hState.readExcludingBatch(batchId)
+    val oldOutKeys = project(joinAll(oldP, oldT, oldH, Some(affected)))
+      .select(col(sinkKey)).distinct().cache()
+    oldOutKeys.count()
+
+    // -- advance the states (one delta commit each) ------------------------
+    pState.applyChangelog(dP, batchId)
+    tState.applyChangelog(dT, batchId)
+    hState.applyChangelog(dH, batchId)
+
+    // -- recompute the view for affected persons over NEW state ------------
+    val newOut = project(joinAll(pState.read(), tState.read(), hState.read(), Some(affected)))
+      .cache()
+    // last transaction per sink key (the PK-upsert collapse, zpln:2119)
+    val w = Window.partitionBy(col(sinkKey)).orderBy(histOrder.map(col(_).desc): _*)
+    val newRows = newOut.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+
+    // -- retract sink keys that vanished (person renamed / no hist left) ---
+    // upserts + retractions go to the sink as ONE changelog commit, so a
+    // crash can never land the upserts without the deletes (T1 atomicity)
+    val newKeys = newRows.select(col(sinkKey))
+    val gone = oldOutKeys.except(newKeys)
+    val sinkStruct = struct(newRows.columns.map(col): _*)
+    val ups = newRows.select(lit("U").as("op"), col(sinkKey).cast("string").as("key"),
+      lit(null).cast(newRows.schema).as("before"), sinkStruct.as("after"), lit(0L).as("seq"))
+    val delRows = newRows.columns.filterNot(_ == sinkKey)
+      .foldLeft(gone) { (df, c) => df.withColumn(c, lit(null).cast(newRows.schema(c).dataType)) }
+    val dels = delRows.select(lit("D").as("op"), col(sinkKey).cast("string").as("key"),
+      struct(newRows.columns.map(col): _*).as("before"),
+      lit(null).cast(newRows.schema).as("after"), lit(0L).as("seq"))
+    sink.applyChangelog(ups.unionByName(dels), batchId = batchId)
+
+    // batch fully durable → states may compact now (T4)
+    Seq(pState, tState, hState).foreach(_.maybeCompact())
+
+    Seq(affected, oldOutKeys, newOut, oldP, oldT).foreach(_.unpersist())
+  }
+
+  /** P ⋈ T ⋈ H, optionally restricted to an (already-small, broadcast)
+    * set of person ids — the per-batch "recompute only what changed" path. */
+  private def joinAll(p: DataFrame, t: DataFrame, h: DataFrame,
+                      personIds: Option[DataFrame]): DataFrame = {
+    val pSel = personIds match {
+      case Some(ids) => p.join(broadcast(ids.withColumnRenamed("pid", "__pid")),
+        col(personKey) === col("__pid")).drop("__pid")
+      case None => p
+    }
+    pSel.join(t, col(personKey) === col(ticketPersonFk))
+      .join(h, col(histTicketFk) === col(ticketKey))
+  }
+
+  /** The reference's data-quality invariant (zpln:2757 → empty, :2812). */
+  def duplicateCheck(): DataFrame =
+    graft.operators.RelationalOps.duplicateCheck(sink.read(), sinkKey)
+}

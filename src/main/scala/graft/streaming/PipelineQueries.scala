@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.sources.ChangelogSource
+
+/** Oracle-checkable end-to-end run of the continuous pipeline (SURVEY §7.3):
+  * the reference's `INSERT INTO ticket_view SELECT … 3-way join` (zpln:2317)
+  * on the TPC-H stand-ins (FIXTURES §2: customer↔person, orders↔ticket,
+  * lineitem↔purchase-history). */
+object PipelineQueries {
+
+  private def tempPath(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Initialize with customer+orders snapshots (zpln:1101 snapshot phase),
+    * then replay lineitem as an append-only changelog in 4 micro-batches
+    * (zpln:2078 append-mostly fact). Sink key = c_name, "last transaction"
+    * = max (l_orderkey, l_linenumber). Returns the sink snapshot, which
+    * must equal the batch QUALIFY-dedup of the same join. */
+  def ticketView(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate")
+
+    val pipe = new IncrementalJoinPipeline(
+      spark, tempPath("pipe-tv"),
+      personKey = "c_custkey",
+      ticketKey = "o_orderkey",
+      ticketPersonFk = "o_custkey",
+      histTicketFk = "l_orderkey2",
+      histKeyCols = Seq("hid"),
+      histOrder = Seq("hid"),
+      project = j => j.select(
+        col("c_name").as("full_name"),
+        col("l_orderkey2").cast("string").as("id"),
+        col("l_extendedprice").as("price"),
+        unix_millis(col("l_shipdate").cast("timestamp")).as("ts_ms"),
+        col("hid")),
+      sinkKey = "full_name")
+
+    // hist uses l_orderkey2 so P/T/H column names stay disjoint (o_orderkey
+    // is the ticket pk; l_orderkey is the fact's fk to it). The testdata has
+    // duplicate (l_orderkey, l_linenumber) pairs, so the fact PK is a
+    // surrogate `hid` = rank of the full deterministic ordering — the same
+    // total order the DuckDB oracle ranks by (replay scaffolding; a real WAL
+    // supplies its own LSN here).
+    val hist = l.withColumnRenamed("l_orderkey", "l_orderkey2")
+      .withColumn("hid", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(
+          col("l_orderkey2"), col("l_linenumber"),
+          col("l_extendedprice"), col("l_shipdate"))).cast("long"))
+
+    pipe.initialize(c, o, hist.limit(0))
+
+    val log = ChangelogSource.fromOps(
+      hist.withColumn("op", lit("I")).withColumn("seq", col("hid")),
+      Seq("hid"))
+    val emptyP = ChangelogSource.emptyEnvelope(c, Seq("c_custkey"))
+    val emptyT = ChangelogSource.emptyEnvelope(o, Seq("o_orderkey"))
+    ChangelogSource.microBatchBounds(log, 4).zipWithIndex.foreach {
+      case ((s, e), i) =>
+        pipe.processBatch(emptyP, emptyT,
+          log.filter(col("seq").between(s, e)), batchId = i + 1L)
+    }
+    pipe.sink.read().select("full_name", "id", "price", "ts_ms")
+  }
+}

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import graft.lake.MorTable
+
+/** Structured Streaming surface: the reference's continuous-query semantics
+  * (R2/R3 streaming scans, T1 checkpoint-aligned commits, T3 update
+  * propagation) expressed with `readStream`/`writeStream`, watermarks,
+  * windowed aggregation, and keyed state (`mapGroupsWithState`).
+  *
+  * The reference has no event-time windowing (SURVEY §2.4) — its streaming
+  * is changelog propagation — but a training-data pipeline at 100 TB needs
+  * watermarked aggregation and sessionization, so they're first-class here.
+  */
+object StreamingOps {
+
+  /** Typed event row (events.parquet shape, ts as epoch millis). */
+  case class Event(user_id: Long, event_id: Long, event_type: String,
+                   value: Double, ts_ms: Long)
+
+  /** Running "last event per user" keyed state. */
+  case class UserLast(user_id: Long, event_id: Long, value: Double, ts_ms: Long)
+
+  /** R2/R3 — continuous scan of a file-based changelog: new envelope parquet
+    * files under `watchDir` become micro-batches (the WAL-tail analog;
+    * zpln:1147). `schemaFrom` supplies the envelope schema. */
+  def changelogStream(spark: SparkSession, watchDir: String, schemaFrom: DataFrame): DataFrame =
+    spark.readStream
+      .schema(schemaFrom.schema)
+      .option("maxFilesPerTrigger", "1") // one log segment = one micro-batch
+      .parquet(watchDir)
+
+  /** S8/T1 — continuous INSERT INTO the lake: every micro-batch applied as
+    * exactly one MOR commit keyed by the streaming batchId (zpln:89
+    * "Hudi commits … with each checkpoint"). */
+  def streamChangelogToMor(changelog: DataFrame, table: MorTable,
+                           checkpointDir: String,
+                           trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    changelog.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        table.applyChangelog(batch, batchId): Unit
+      }
+      .start()
+
+  /** Watermarked tumbling-window aggregate (event time, 1h windows, late
+    * data beyond `lateness` dropped once the watermark passes). Works on a
+    * streaming or batch DataFrame with a TimestampType `ts`. */
+  def windowedCounts(events: DataFrame, lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .select(unix_millis(col("window.start")).as("window_start_ms"),
+        col("event_type"), col("cnt"), col("sum_value"))
+
+  /** T3 in update mode — keyed running state via mapGroupsWithState: the
+    * latest event per user, re-emitted whenever it changes (the streaming
+    * twin of RelationalOps.dedupLastWriteWins). */
+  def lastEventPerUser(events: Dataset[Event]): Dataset[UserLast] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserLast, UserLast](GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[Event], state: GroupState[UserLast]) =>
+          val incoming = it.maxBy(e => (e.ts_ms, e.event_id))
+          val newer = state.getOption.forall(s =>
+            s.ts_ms < incoming.ts_ms ||
+              (s.ts_ms == incoming.ts_ms && s.event_id < incoming.event_id))
+          val best =
+            if (newer) UserLast(uid, incoming.event_id, incoming.value, incoming.ts_ms)
+            else state.get
+          state.update(best)
+          best
+      }
+  }
+}

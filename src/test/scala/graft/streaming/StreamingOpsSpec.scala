@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.TestSpark
+import graft.lake.MorTable
+import graft.sources.ChangelogSource
+import StreamingOps.Event
+
+/** Structured Streaming semantics: micro-batched changelog → MOR commits
+  * (one batch = one commit, T1), keyed running state in update mode (T3),
+  * and watermark-driven window finalization with late-data drop. */
+class StreamingOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  test("S8/T1 file changelog stream → MOR sink: one micro-batch per segment, exactly-once ids") {
+    val watch = TestSpark.tmpDir("cl-watch")
+    val person = Seq((1.0, "Ann"), (2.0, "Bob")).toDF("id", "full_name")
+    val log = ChangelogSource.fromOps(
+      Seq(("I", 1.0, "Ann", 1L), ("I", 2.0, "Bob", 2L), ("U", 1.0, "Annette", 3L))
+        .toDF("op", "id", "full_name", "seq"), Seq("id"))
+    // two WAL segments land as two files → two micro-batches (maxFilesPerTrigger=1)
+    log.filter($"seq" <= 2).write.parquet(s"$watch/seg1")
+    log.filter($"seq" === 3).write.parquet(s"$watch/seg2")
+
+    val table = MorTable(spark, TestSpark.tmpDir("cl-mor"), Seq("id"),
+      compactionDeltaCommits = 100)
+    val q = StreamingOps.streamChangelogToMor(
+      StreamingOps.changelogStream(spark, s"$watch/*/", log),
+      table, TestSpark.tmpDir("cl-ckpt"))
+    q.awaitTermination(120000)
+    val m = table.read().collect().map(r => r.getDouble(0) -> r.getString(1)).toMap
+    assert(m == Map(1.0 -> "Annette", 2.0 -> "Bob"))
+    // one streaming micro-batch == one delta commit on the timeline
+    assert(table.timeline().count(_.kind == "delta") == 2)
+  }
+
+  test("T3 mapGroupsWithState: latest event per user, re-emitted on change") {
+    val mem = MemoryStream[Event]
+    val q = StreamingOps.lastEventPerUser(mem.toDS())
+      .writeStream.format("memory").queryName("last_ev")
+      .outputMode(OutputMode.Update()).start()
+    mem.addData(Event(1, 10, "a", 1.0, 100), Event(2, 20, "b", 2.0, 200))
+    q.processAllAvailable()
+    mem.addData(Event(1, 11, "c", 3.0, 300)) // newer for user 1
+    mem.addData(Event(1, 12, "d", 9.0, 50))  // OLDER — must not win
+    q.processAllAvailable()
+    val last = spark.table("last_ev")
+      .groupBy($"user_id").agg(max(struct($"ts_ms", $"event_id", $"value")).as("s"))
+      .select($"user_id", $"s.value".as("value"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(last == Map(1L -> 3.0, 2L -> 2.0))
+    q.stop()
+  }
+
+  test("watermark: late event beyond lateness is dropped from its window") {
+    val mem = MemoryStream[Event]
+    val events = mem.toDS().toDF()
+      .withColumn("ts", timestamp_millis($"ts_ms"))
+    val q = StreamingOps.windowedCounts(events, lateness = "10 minutes")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Append()).start()
+    val h = 3600000L
+    mem.addData(Event(1, 1, "a", 1.0, h + 60000))      // window [1h,2h)
+    q.processAllAvailable()
+    mem.addData(Event(1, 2, "a", 1.0, 3 * h))           // watermark → 2:50
+    q.processAllAvailable()
+    mem.addData(Event(1, 3, "a", 100.0, h + 120000))    // LATE: window closed
+    q.processAllAvailable()
+    mem.addData(Event(1, 4, "a", 1.0, 5 * h))           // close [3h,4h) too
+    q.processAllAvailable()
+    val rows = spark.table("win_counts")
+      .select($"window_start_ms", $"cnt", $"sum_value").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // late event (value=100) did NOT make it into the finalized [1h,2h) window
+    assert(rows(h) == ((1L, 1.0)))
+    q.stop()
+  }
+}
