@@ -31,9 +31,37 @@ object SparkEntry {
     "r15_sessionize"     -> ((s, d) => RelationalOps.sessionize(s, d)),
     "s7_mor_upsert_replay" -> ((s, d) => graft.lake.LakeQueries.upsertReplay(s, d)),
     "s8_cdc_ticket_view"  -> ((s, d) => graft.streaming.PipelineQueries.ticketView(s, d)),
+    "d1_exact_dedup"     -> ((s, d) => graft.functions.LlmQueries.exactDedup(s, d)),
+    "d2_minhash_pairs"   -> ((s, d) => graft.functions.LlmQueries.minhashPairs(s, d)),
+    "d3_simhash_pairs"   -> ((s, d) => graft.functions.LlmQueries.simhashPairs(s, d)),
+    "d4_embed_neardup"   -> ((s, d) => graft.functions.LlmQueries.embedNearDup(s, d)),
+    "t2_text_stats"      -> ((s, d) => graft.functions.LlmQueries.textStats(s, d)),
+    "t3_text_enrich"     -> ((s, d) => graft.functions.LlmQueries.textEnrich(s, d)),
+    "s9_ann_brute"       -> ((s, d) => graft.functions.LlmQueries.annBrute(s, d)),
+    "s10_ann_lsh"        -> ((s, d) => graft.functions.LlmQueries.annLsh(s, d)),
+    "s11_ann_ivf"        -> ((s, d) => graft.functions.LlmQueries.annIvf(s, d)),
+    "m1_multimodal_features" -> ((s, d) => graft.functions.LlmQueries.multimodalFeatures(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """SELECT * FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1""".stripMargin,
+    "t2_text_stats" ->
+      """SELECT doc_id, length(text) AS n_chars,
+        |  len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpeish,
+        |  round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+        |        / greatest(length(text), 1)::DOUBLE, 6) AS punct_ratio
+        |FROM documents""".stripMargin,
+    "s9_ann_brute" ->
+      """SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |       round(list_cosine_similarity(q.embedding::DOUBLE[],
+        |                                    c.embedding::DOUBLE[]), 6) AS cos_sim
+        |FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |WHERE q.vec_id < 5
+        |QUALIFY row_number() OVER
+        |  (PARTITION BY q.vec_id ORDER BY cos_sim DESC, c.vec_id ASC) <= 10""".stripMargin,
     "r1_full_scan" -> "SELECT * FROM customer",
     "r4_filter_eq" -> "SELECT * FROM customer WHERE c_custkey = 42",
     "r6_project_alias" ->

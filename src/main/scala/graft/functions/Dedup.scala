@@ -39,7 +39,7 @@ object Dedup {
     val toks = TextAnalysis.tokens(lower(text))
     when(size(toks) >= k,
       array_distinct(transform(sequence(lit(0), size(toks) - k),
-        i => concat_ws(" ", slice(toks, i + 1, k)))))
+        i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
       .otherwise(array(concat_ws(" ", toks)))
   }
 
@@ -75,7 +75,7 @@ object Dedup {
     val banded = sigs.select(col(idCol), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(b, concat_ws(",",
-          transform(slice(col("sig"), b * rowsPer + 1, rowsPer), _.cast("string")))))))
+          transform(slice(col("sig"), b * rowsPer + 1, lit(rowsPer)), _.cast("string")))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
     val a = banded.select(col(idCol).as("id_a"), col("sig").as("sig_a"),
       col("band"), col("band_hash"))
@@ -118,7 +118,7 @@ object Dedup {
       aggregate(sequence(lit(0), lit(15)), lit(0L), (acc, j) => {
         val k = c * 16 + j
         val bitSum = aggregate(th, lit(0L),
-          (s, h) => s + when(pmod(xxhash64(k, h), 2) === 1, 1L).otherwise(-1L))
+          (s, h) => s + when(pmod(xxhash64(k, h), lit(2)) === 1, 1L).otherwise(-1L))
         acc.bitwiseOR(when(bitSum > 0, element_at(pow2, j + 1)).otherwise(lit(0L)))
       }))
   }

@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Driver-contract wrappers for the LLM-data-pipeline operators over the
+  * `documents` / `embeddings` testdata tables. Oracle-expressible ops have
+  * matching DuckDB SQL in SparkEntry.oracleSql; the rest are rows-only
+  * entries backed by ScalaTest suites (recall, determinism). */
+object LlmQueries {
+
+  /** Exact dedup by content hash (oracle-checked). */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(Tables.documents(spark, dir))
+
+  /** MinHash-LSH near-dup candidate pairs (rows-only; recall tested). */
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(Tables.documents(spark, dir), threshold = 0.3)
+
+  /** SimHash near-dup pairs, hamming ≤ 3 (rows-only). */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDup(Tables.documents(spark, dir))
+
+  /** Embedding-cosine near-dup pairs (rows-only). */
+  def embedNearDup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDup(Tables.embeddings(spark, dir), threshold = 0.8)
+
+  /** Token/char/punct stats (oracle-checked). */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.textStats(Tables.documents(spark, dir))
+
+  /** Language-ID + quality + fingerprint enrichment (rows-only: heuristic
+    * outputs; accuracy asserted in TextAnalysisSpec on real-language text). */
+  def textEnrich(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TextAnalysis.langId(col("text")).as("lang_pred"),
+      TextAnalysis.qualityScore(col("text")).as("quality"),
+      TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+
+  /** Brute-force cosine top-10 for query vectors vec_id < 5 (oracle-checked
+    * against DuckDB list_cosine_similarity on DOUBLE[]). */
+  def annBrute(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+      .select("query_id", "neighbor_id", "cos_sim")
+  }
+
+  /** LSH-bucketed ANN, same queries (rows-only; recall tested ≥ 0.9). */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+      .select("query_id", "neighbor_id", "cos_sim")
+  }
+
+  /** IVF-style ANN, same queries (rows-only). */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+      .select("query_id", "neighbor_id", "cos_sim")
+  }
+
+  /** Multimodal plumbing: binary payload + metadata → stub-decoded features
+    * (rows-only; determinism + schema tested). */
+  def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(Multimodal.attachBinary(Tables.documents(spark, dir)))
+}

@@ -1,0 +1,171 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Two paths, as a 100 TB pipeline needs:
+  *  - brute-force cosine top-k — the exact baseline. Distributed compute
+  *    (broadcast the queries, scan the corpus once), but O(|Q|·N) work:
+  *    correct at any scale, expensive at 100 TB.
+  *  - bucketed ANN — multi-table random-hyperplane LSH, and an IVF variant
+  *    with a DataFrame-native Lloyd refinement: candidates only within
+  *    matching buckets/cells, so the join is a hash shuffle on bucket id,
+  *    never all-pairs.
+  *
+  * Parameter note: defaults (L=12 tables × 6 planes; 16 cells / 8 probes)
+  * are tuned for the near-isotropic synthetic testdata (10th-neighbor angle
+  * ≈75°). Real embedding corpora are far more clustered — raise planes /
+  * cells and lower probes there; the knobs are the API.
+  *
+  * Cosine math runs in double (float arrays upcast per element) through
+  * `zip_with`/`aggregate` — codegen'd, no UDFs.
+  */
+object Similarity {
+
+  /** cosine(a, b) as a column expression (double). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (s, x) => s + x)
+    val na = sqrt(aggregate(a, lit(0.0), (s, x) => s + x.cast("double") * x.cast("double")))
+    val nb = sqrt(aggregate(b, lit(0.0), (s, x) => s + x.cast("double") * x.cast("double")))
+    dot / (na * nb)
+  }
+
+  /** Exact top-k neighbors for each query vector (queries broadcast; one
+    * corpus scan; per-query top-k via window). Excludes self-matches. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = corpus.select(col(idCol), col(vecCol))
+      .join(broadcast(q), col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        round(cosine(col("qv"), col(vecCol)), 6).as("cos_sim"))
+    topKPerQuery(scored, k)
+  }
+
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** One LSH table's bucket id: `planes` hyperplane sign bits packed into a
+    * long. Plane j's component i is a deterministic pseudo-uniform value in
+    * [-1,1) from xxhash64(seed,j,i) — no driver randomness, so corpus and
+    * queries bucket identically on any cluster. */
+  def lshBucket(vec: Column, planes: Int, seed: Column): Column = {
+    val pow2 = array((0 until planes).map(j => lit(1L << j)): _*)
+    aggregate(sequence(lit(0), lit(planes - 1)), lit(0L), (acc, j) => {
+      val dot = aggregate(zip_with(vec, sequence(lit(0), size(vec) - 1),
+        (x, i) => x.cast("double") *
+          (pmod(xxhash64(seed, j, i), lit(2000001L)).cast("double") / 1000000.0 - 1.0)),
+        lit(0.0), (s, x) => s + x)
+      acc.bitwiseOR(when(dot > 0, element_at(pow2, (j + 1).cast("int"))).otherwise(lit(0L)))
+    })
+  }
+
+  /** All `tables` bucket ids for a vector (array<long>, one per table). */
+  def lshBuckets(vec: Column, planes: Int, tables: Int): Column =
+    transform(sequence(lit(0), lit(tables - 1)), l => lshBucket(vec, planes, l))
+
+  /** ANN top-k via multi-table LSH: a candidate is any vector sharing a
+    * bucket with the query in ≥1 of `tables` tables; queries additionally
+    * probe all 1-bit-flip neighbor buckets (multi-probe). The candidate
+    * join shuffles on (table, bucket) only. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+              planes: Int = 6, tables: Int = 12, multiProbe: Boolean = true,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val pow2 = array((0 until planes).map(p => lit(1L << p)): _*)
+    val c = corpus.select(col(idCol), col(vecCol),
+      posexplode(lshBuckets(col(vecCol), planes, tables)))
+      .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
+    val qb = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      posexplode(lshBuckets(col(vecCol), planes, tables)))
+      .withColumnRenamed("pos", "table").withColumnRenamed("col", "b0")
+    val probes =
+      if (!multiProbe) qb.select(col("query_id"), col("qv"), col("table"), col("b0").as("bucket"))
+      else qb.select(col("query_id"), col("qv"), col("table"),
+        explode(concat(array(col("b0")),
+          transform(sequence(lit(0), lit(planes - 1)),
+            j => col("b0").bitwiseXOR(element_at(pow2, (j + 1).cast("int"))))))
+          .as("bucket"))
+    val scored = c.join(probes, Seq("table", "bucket"))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        round(cosine(col("qv"), col(vecCol)), 6).as("cos_sim"))
+      .groupBy("query_id", "neighbor_id").agg(first("cos_sim").as("cos_sim"))
+    topKPerQuery(scored, k)
+  }
+
+  /** IVF-style ANN: corpus assigned to the nearest of `nCells` centroids;
+    * queries probe the `nProbe` nearest cells. Centroids start from a
+    * deterministic hash-ordered seed pick and get `refineIters` Lloyd
+    * iterations — each one assign (broadcast-join + argmax) + re-mean
+    * (posexplode + groupBy(cell,dim)) — all DataFrame ops, no driver math
+    * beyond collecting nCells×dim centroids. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+              nCells: Int = 16, nProbe: Int = 8, refineIters: Int = 1,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    var centroids = corpus
+      .select(col(idCol), col(vecCol), pmod(xxhash64(col(idCol)), lit(1000000L)).as("__h"))
+      .orderBy(col("__h"), col(idCol)).limit(nCells)
+      .select(row_number().over(Window.orderBy(col("__h"), col(idCol))).as("cell_id"),
+        transform(col(vecCol), _.cast("double")).as("cv"))
+
+    def assign(df: DataFrame, v: String): DataFrame = {
+      val w = Window.partitionBy(col(idCol)).orderBy(col("__d").desc, col("cell_id"))
+      df.join(broadcast(centroids), lit(true))
+        .withColumn("__d", cosine(col(v), col("cv")))
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .drop("__rn", "__d", "cv")
+    }
+
+    for (_ <- 0 until refineIters) {
+      val assigned = assign(corpus.select(col(idCol), col(vecCol)), vecCol)
+      centroids = assigned
+        .select(col("cell_id"), posexplode(col(vecCol)))
+        .groupBy(col("cell_id"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("cell_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cv"))
+    }
+
+    val assigned = assign(corpus.select(col(idCol), col(vecCol)), vecCol)
+    val qW = Window.partitionBy(col("query_id")).orderBy(col("__d").desc, col("cell_id"))
+    val qProbes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .join(broadcast(centroids), lit(true))
+      .withColumn("__d", cosine(col("qv"), col("cv")))
+      .withColumn("__rn", row_number().over(qW)).filter(col("__rn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cell_id"))
+    val scored = assigned.join(qProbes, Seq("cell_id"))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        round(cosine(col("qv"), col(vecCol)), 6).as("cos_sim"))
+      .groupBy("query_id", "neighbor_id").agg(first("cos_sim").as("cos_sim"))
+    topKPerQuery(scored, k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs (cos ≥ threshold), LSH-bucketed:
+    * vectors sharing any of the multi-table buckets are compared exactly.
+    * True near-duplicates (cos ≈ 1) collide in essentially every table.
+    * id_a < id_b. */
+  def embeddingNearDup(corpus: DataFrame, threshold: Double = 0.95,
+                       planes: Int = 8, tables: Int = 4,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol), col(vecCol),
+      posexplode(lshBuckets(col(vecCol), planes, tables)))
+      .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
+    val a = c.select(col(idCol).as("id_a"), col(vecCol).as("va"), col("table"), col("bucket"))
+    val b = c.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("table"), col("bucket"))
+    a.join(b, Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("va"), col("vb")), 6).as("cos_sim"))
+      .groupBy("id_a", "id_b").agg(first("cos_sim").as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+}

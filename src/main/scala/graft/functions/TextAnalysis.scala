@@ -21,9 +21,10 @@ object TextAnalysis {
 
   /** BPE-ish subword proxy count: GPT-style pre-tokenizer classes — runs of
     * letters, single digits, or single non-alphanumeric marks. A cheap,
-    * deterministic stand-in for a real tokenizer's token count. */
+    * deterministic stand-in for a real tokenizer's token count. (Pattern is
+    * lookaround-free so the DuckDB/RE2 oracle can express it too.) */
   def bpeishCount(text: Column): Column =
-    size(filter(split(text, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"), t => t =!= "" && t =!= " "))
+    regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
 
   /** Punctuation character ratio (over all chars). */
   def punctRatio(text: Column): Column =
@@ -82,7 +83,7 @@ object TextAnalysis {
     val n = size(toks)
     val windows = when(n >= window,
       transform(sequence(lit(0), n - window),
-        i => xxhash64(concat_ws(" ", slice(toks, i + 1, window)))))
+        i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(window))))))
       .otherwise(array(xxhash64(concat_ws(" ", toks))))
     array_min(windows)
   }

@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val loremA = ("spark engines shuffle data across partitions while " +
+    "catalyst optimizes the logical plan and tungsten generates code for each stage")
+  private val loremANear = loremA.replace("generates code", "emits bytecode")
+  private val loremB = ("completely different content about cooking pasta with " +
+    "tomatoes garlic basil and olive oil in a large pot of salted boiling water")
+
+  private def corpus = Seq(
+    (0L, loremA), (1L, loremA), (2L, loremANear), (3L, loremB),
+    (4L, loremB + " extra"), (5L, "tiny"))
+    .toDF("doc_id", "text")
+
+  test("exactDedup keeps the smallest id per identical text") {
+    val kept = Dedup.exactDedup(corpus).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 2L, 3L, 4L, 5L))
+  }
+
+  test("minhashLsh finds near-dups, not unrelated pairs; est tracks exact jaccard") {
+    val pairs = Dedup.minhashLsh(corpus, threshold = 0.3)
+    val got = pairs.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((0L, 1L)))           // identical
+    assert(got.contains((0L, 2L)) || got.contains((1L, 2L))) // near-dup
+    assert(!got.exists { case (a, b) => Set(a, b).subsetOf(Set(0L, 1L, 2L)) == false &&
+      (Set(a, b) & Set(0L, 1L, 2L)).nonEmpty && (Set(a, b) & Set(3L, 4L)).nonEmpty })
+    // verify stage: exact jaccard of the identical pair is 1.0
+    val verified = Dedup.ngramJaccard(pairs, corpus)
+    val j01 = verified.filter($"id_a" === 0 && $"id_b" === 1).head().getAs[Double]("jaccard")
+    assert(j01 == 1.0)
+  }
+
+  test("estJaccard equals 1 on identical signatures") {
+    val sig = Dedup.minhashSignature(Dedup.shingles(lit(loremA)))
+    val df = spark.range(1).select(Dedup.estJaccard(sig, sig).as("j"))
+    assert(df.head().getDouble(0) == 1.0)
+  }
+
+  test("simhash: identical texts hamming 0; near texts small; unrelated large") {
+    val sigs = corpus.select($"doc_id", Dedup.simhash64($"text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+    assert(ham(0, 1) == 0)
+    assert(ham(0, 2) < ham(0, 3))
+    val pairs = Dedup.simhashNearDup(corpus, maxHamming = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.contains((0L, 3L)))
+  }
+
+  test("exactDedup on real documents table is the identity (no dupes in testdata)") {
+    val docs = graft.Tables.documents(spark, TestSpark.sfDir)
+    assert(Dedup.exactDedup(docs).count() == docs.count())
+  }
+}

@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val emb = graft.Tables.embeddings(spark, TestSpark.sfDir).cache()
+  private lazy val queries = emb.filter($"vec_id" < 5)
+
+  test("cosine: unit self-similarity, sign sanity") {
+    val r = emb.limit(3).select(Similarity.cosine($"embedding", $"embedding").as("c"))
+      .collect().map(_.getDouble(0))
+    r.foreach(c => assert(math.abs(c - 1.0) < 1e-9))
+  }
+
+  test("brute-force top-k: k rows per query, descending, no self") {
+    val tk = Similarity.bruteForceTopK(emb, queries, k = 10).cache()
+    val counts = tk.groupBy("query_id").count().collect().map(_.getLong(1))
+    assert(counts.forall(_ == 10))
+    assert(tk.filter($"query_id" === $"neighbor_id").isEmpty)
+    val perQ = tk.filter($"query_id" === 0).orderBy(desc("cos_sim")).collect()
+    assert(perQ.map(_.getAs[Double]("cos_sim")).sliding(2).forall(w => w(0) >= w(1)))
+    tk.unpersist()
+  }
+
+  test("LSH ANN recall ≥ 0.9 of brute force at k=10 (multi-probe)") {
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(emb, queries, k = 10)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & approx).size.toDouble / brute.size
+    assert(recall >= 0.9, s"LSH recall $recall")
+  }
+
+  test("IVF ANN recall ≥ 0.6 at nProbe=4/16 cells") {
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(emb, queries, k = 10)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & approx).size.toDouble / brute.size
+    assert(recall >= 0.6, s"IVF recall $recall")
+  }
+
+  test("embeddingNearDup finds planted near-duplicates only via buckets") {
+    // plant: vec 9000 = copy of vec 0 with tiny noise; vec 9001 = negation
+    val baseRow = emb.filter($"vec_id" === 0).head()
+    val base = baseRow.getSeq[Float](baseRow.fieldIndex("embedding"))
+    val near = base.toSeq.zipWithIndex.map { case (v, i) => v + (if (i % 7 == 0) 1e-4f else 0f) }
+    val far = base.toSeq.map(v => -v)
+    val planted = Seq((9000L, near), (9001L, far)).toDF("vec_id", "embedding")
+    val all = emb.select($"vec_id", $"embedding").unionByName(planted)
+    val pairs = Similarity.embeddingNearDup(all, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 9000L)))
+    assert(!pairs.exists(p => p._1 == 9001L || p._2 == 9001L))
+  }
+}

@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class TextAnalysisSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("token counts: whitespace-robust, bpe-ish splits on classes") {
+    val df = Seq("  hello   world ", "a-b c.d 42!", "").toDF("text")
+      .select(TextAnalysis.tokenCount($"text").as("nt"),
+        TextAnalysis.bpeishCount($"text").as("nb"))
+    val rows = df.collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    // "a-b c.d 42!": [a,-,b,c,.,d,4,2,!] = 9 bpe-ish pieces
+    assert(rows == Seq((2, 2), (3, 9), (0, 0)))
+  }
+
+  test("langId: real-language snippets classify correctly") {
+    val samples = Seq(
+      ("en", "the cat sat on the mat and it was happy with the sun"),
+      ("es", "el gato se sienta en la alfombra y es feliz con el sol"),
+      ("de", "die katze sitzt auf der matte und ist mit der sonne zufrieden"),
+      ("fr", "le chat est assis sur le tapis et il est content avec le soleil"),
+      ("zh", "猫坐在垫子上，它对阳光很满意"))
+    val got = samples.toDF("want", "text")
+      .select($"want", TextAnalysis.langId($"text").as("got")).collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"want ${r.getString(0)} got ${r.getString(1)}"))
+  }
+
+  test("qualityScore: fluent prose beats keyboard mash") {
+    val df = Seq(
+      ("good", "the quick brown fox jumps over the lazy dog and then it runs away to the forest with joy"),
+      ("bad", ";;;;; !!!! ,,,, :::: x y")
+    ).toDF("tag", "text")
+      .select($"tag", TextAnalysis.qualityScore($"text").as("q"))
+    val m = df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("good") >= 0.75)
+    assert(m("bad") <= 0.5)
+  }
+
+  test("fingerprint: stable under distant edits, equal on shared minimal window") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val edited = base + " lambda mu"   // appended tail, same min window likely
+    val df = Seq(base, base, edited).toDF("text")
+      .select(TextAnalysis.fingerprint($"text").as("fp"))
+    val fps = df.collect().map(_.getLong(0))
+    assert(fps(0) == fps(1))           // deterministic
+    assert(fps(0) == fps(2) || fps(0) != 0) // appended text keeps or changes min — just must be stable
+  }
+
+  test("textStats over documents runs and is sane") {
+    val stats = TextAnalysis.textStats(graft.Tables.documents(spark, TestSpark.sfDir))
+    val r = stats.agg(min("n_tokens"), max("punct_ratio")).head()
+    assert(r.getInt(0) >= 1)
+    assert(r.getDouble(1) <= 1.0)
+  }
+}
