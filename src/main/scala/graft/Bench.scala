@@ -1,24 +1,50 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): run every SparkEntry query on
+  * SPARK_GRAFT_SF_DIR, print ONE JSON line with per-query seconds.
+  *
+  * - one warm-up action first so JIT/codegen/session startup isn't billed
+  *   to the first query;
+  * - a failed query reports {"err": …} and is EXCLUDED from `total`
+  *   (a crash must never masquerade as a fast run);
+  * - shuffle partitions default to 32 (local[32] harness; override via
+  *   SPARK_GRAFT_CPUS).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // warm-up: spin executors, JIT the scan/agg paths, load parquet footers
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    Tables.customer(spark, sfDir).count()
+
+    def q(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val outcome =
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.toString).take(200)) }
+      val sec = (System.nanoTime() - t0) / 1e9
+      (name, sec, outcome)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map {
+      case (n, sec, None) => s"${q(n)}:$sec"
+      case (n, _, Some(err)) => s"${q(n)}:{${q("err")}:${q(err)}}"
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, sec, None) => sec }.sum
+    val nFailed = results.count(_._3.isDefined)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"sf":${q(sfDir)}}""")
     spark.stop()
   }
 }

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.functions.call_function
+import graft.functions.expr.CosineSimilarity
+
+/** Engine extension wiring.
+  *
+  * Two ways in, same registry entries:
+  *  - `spark.sql.extensions=graft.GraftExtensions` at session build
+  *    (the production path — SparkSessionExtensions.injectFunction), or
+  *  - `GraftFunctions.register(spark)` on a live session (tests, Verify).
+  *
+  * SQL surface after registration: `SELECT cosine_sim(a.embedding, b.embedding)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("cosine_sim"), CosineSimilarity.info,
+      exprs => CosineSimilarity(exprs.head, exprs(1))))
+  }
+}
+
+object GraftFunctions {
+  /** Idempotent runtime registration on an existing session. */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("cosine_sim"), CosineSimilarity.info,
+      exprs => CosineSimilarity(exprs.head, exprs(1)))
+  }
+
+  /** Column-API form of the native expression. */
+  def cosineSim(a: Column, b: Column)(implicit spark: SparkSession): Column = {
+    register(spark)
+    call_function("cosine_sim", a, b)
+  }
+}

@@ -12,9 +12,11 @@ import graft.operators.RelationalOps
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Runs the SURVEY §7.3 end-to-end slice: changelog replay → incremental
+    * 3-way join → keyed MOR upsert sink → snapshot read. */
   def entry(spark: SparkSession): DataFrame =
-    RelationalOps.tripleJoin(spark, "/root/testdata/sf0.001")
+    graft.streaming.PipelineQueries.ticketView(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r1_full_scan"       -> ((s, d) => RelationalOps.fullScan(s, d)),
@@ -38,6 +40,7 @@ object SparkEntry {
     "t2_text_stats"      -> ((s, d) => graft.functions.LlmQueries.textStats(s, d)),
     "t3_text_enrich"     -> ((s, d) => graft.functions.LlmQueries.textEnrich(s, d)),
     "s9_ann_brute"       -> ((s, d) => graft.functions.LlmQueries.annBrute(s, d)),
+    "s12_ann_brute_native" -> ((s, d) => graft.functions.LlmQueries.annBruteNative(s, d)),
     "s10_ann_lsh"        -> ((s, d) => graft.functions.LlmQueries.annLsh(s, d)),
     "s11_ann_ivf"        -> ((s, d) => graft.functions.LlmQueries.annIvf(s, d)),
     "m1_multimodal_features" -> ((s, d) => graft.functions.LlmQueries.multimodalFeatures(s, d)),
@@ -54,6 +57,14 @@ object SparkEntry {
         |  round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
         |        / greatest(length(text), 1)::DOUBLE, 6) AS punct_ratio
         |FROM documents""".stripMargin,
+    "s12_ann_brute_native" ->
+      """SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |       round(list_cosine_similarity(q.embedding::DOUBLE[],
+        |                                    c.embedding::DOUBLE[]), 6) AS cos_sim
+        |FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |WHERE q.vec_id < 5
+        |QUALIFY row_number() OVER
+        |  (PARTITION BY q.vec_id ORDER BY cos_sim DESC, c.vec_id ASC) <= 10""".stripMargin,
     "s9_ann_brute" ->
       """SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |       round(list_cosine_similarity(q.embedding::DOUBLE[],

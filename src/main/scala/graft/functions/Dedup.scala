@@ -44,15 +44,35 @@ object Dedup {
   }
 
   /** MinHash signature (length = numHashes) via the universal hash family
-    * h_i(s) = (a_i * (xxhash64(s) mod p) + b_i) mod p, p = 2^31-1.
+    * h_i(s) = (a_i * h0(s) + b_i) mod p over PRE-HASHED shingles.
+    *
+    * ONE fold over the shingles, updating all components per element
+    * (zip_with accumulator) — the shingle array is referenced exactly once,
+    * so Catalyst's CollapseProject can't duplicate the upstream
+    * text→shingle→hash work the way a per-component aggregate invites.
+    * (a_i, b_i) are fixed Scala-side constants (seeded PRNG), so signature
+    * generation is pure arithmetic: numHashes × |shingles| mults/adds.
     * a_i * h0 < 2^62 — ANSI-safe. */
-  def minhashSignature(shingleArr: Column, numHashes: Int = 64): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)), i => {
-      val a = pmod(xxhash64(lit("mh-a"), i), lit(P - 2)) + 1
-      val b = pmod(xxhash64(lit("mh-b"), i), lit(P))
-      aggregate(shingleArr, lit(Long.MaxValue),
-        (acc, s) => least(acc, pmod(a * pmod(xxhash64(s), lit(P)) + b, lit(P))))
-    })
+  def minhashSignature(shingleHashes: Column, numHashes: Int = 64): Column = {
+    val rnd = new scala.util.Random(42)
+    val ab = Seq.fill(numHashes)(
+      ((rnd.nextLong() & Long.MaxValue) % (P - 2) + 1,
+        (rnd.nextLong() & Long.MaxValue) % P))
+    val abArr = arrays_zip(
+      array(ab.map(x => lit(x._1)): _*).as("a"),
+      array(ab.map(x => lit(x._2)): _*).as("b"))
+    aggregate(shingleHashes,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, h0) => zip_with(acc, abArr,
+        (accI, p) => least(accI,
+          pmod(p.getField("a") * h0 + p.getField("b"), lit(P)))))
+  }
+
+  /** Shingle base hashes (xxhash64 mod p), the minhashSignature input —
+    * compute ONCE per row (e.g. via withColumn) so the text→shingle→hash
+    * pipeline doesn't re-run per signature component. */
+  def shingleHashes(text: Column, k: Int = 3): Column =
+    transform(shingles(text, k), s => pmod(xxhash64(s), lit(P)))
 
   /** Estimated Jaccard from two signatures: fraction of equal components. */
   def estJaccard(sigA: Column, sigB: Column): Column =
@@ -70,8 +90,9 @@ object Dedup {
                  bands: Int = 16, threshold: Double = 0.5): DataFrame = {
     val rowsPer = numHashes / bands
     require(rowsPer * bands == numHashes, "bands must divide numHashes")
-    val sigs = docs.select(col(idCol),
-      minhashSignature(shingles(col(textCol), shingleK), numHashes).as("sig"))
+    val sigs = docs
+      .select(col(idCol), shingleHashes(col(textCol), shingleK).as("__h0"))
+      .select(col(idCol), minhashSignature(col("__h0"), numHashes).as("sig"))
     val banded = sigs.select(col(idCol), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(b, concat_ws(",",
@@ -111,16 +132,27 @@ object Dedup {
     * Bit k's per-token sign comes from an independent hash xxhash64(k, tok):
     * bit k = 1 iff Σ_tokens ±1 > 0. Chunked form avoids variable 64-bit
     * shifts (not expressible ANSI-safely) and feeds banding directly. */
-  def simhashChunks(text: Column): Column = {
-    val th = transform(TextAnalysis.tokens(lower(text)), t => xxhash64(t))
+  def simhashChunks(text: Column): Column =
+    simhashChunksFromHashes(transform(TextAnalysis.tokens(lower(text)), t => xxhash64(t)))
+
+  /** simhashChunks over pre-hashed tokens. ONE fold over the tokens
+    * accumulating all 64 bit-sums (zip_with accumulator), then the chunk
+    * assembly runs in `aggregate`'s finish lambda — the bit-sum array is a
+    * lambda variable there, evaluated exactly once (no CollapseProject
+    * re-expansion). */
+  def simhashChunksFromHashes(tokenHashes: Column): Column = {
     val pow2 = array((0 until 16).map(j => lit(1L << j)): _*)
-    transform(sequence(lit(0), lit(3)), c =>
-      aggregate(sequence(lit(0), lit(15)), lit(0L), (acc, j) => {
-        val k = c * 16 + j
-        val bitSum = aggregate(th, lit(0L),
-          (s, h) => s + when(pmod(xxhash64(k, h), lit(2)) === 1, 1L).otherwise(-1L))
-        acc.bitwiseOR(when(bitSum > 0, element_at(pow2, j + 1)).otherwise(lit(0L)))
-      }))
+    val bits = array((0 until 64).map(lit): _*)
+    aggregate(
+      tokenHashes,
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, bits,
+        (s, b) => s + when(pmod(xxhash64(b, h), lit(2)) === 1, 1L).otherwise(-1L)),
+      sums => transform(sequence(lit(0), lit(3)), c =>
+        aggregate(sequence(lit(0), lit(15)), lit(0L), (acc, j) =>
+          acc.bitwiseOR(
+            when(element_at(sums, (c * 16 + j + 1).cast("int")) > 0,
+              element_at(pow2, j + 1)).otherwise(lit(0L))))))
   }
 
   /** The chunks packed into one 64-bit value (display/compare form). */
@@ -137,7 +169,10 @@ object Dedup {
     * some chunk equal) then exact xor-popcount verify. */
   def simhashNearDup(docs: DataFrame, textCol: String = "text",
                      idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
-    val sigs = docs.select(col(idCol), simhashChunks(col(textCol)).as("ch"))
+    val sigs = docs
+      .select(col(idCol),
+        transform(TextAnalysis.tokens(lower(col(textCol))), t => xxhash64(t)).as("__th"))
+      .select(col(idCol), simhashChunksFromHashes(col("__th")).as("ch"))
     val chunked = sigs.select(col(idCol), col("ch"), posexplode(col("ch")))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
     val a = chunked.select(col(idCol).as("id_a"), col("ch").as("ch_a"),

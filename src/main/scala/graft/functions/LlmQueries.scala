@@ -47,6 +47,23 @@ object LlmQueries {
       .select("query_id", "neighbor_id", "cos_sim")
   }
 
+  /** Brute-force top-10 again, scored by the NATIVE codegen'd cosine
+    * expression (graft.functions.expr.CosineSimilarity) — same oracle as
+    * s9, so the custom expression is hash-checked against DuckDB too. */
+  def annBruteNative(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(call_function("cosine_sim", col("qv"), col("embedding")), 6).as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 10)
+      .drop("__rn")
+  }
+
   /** LSH-bucketed ANN, same queries (rows-only; recall tested ≥ 0.9). */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)

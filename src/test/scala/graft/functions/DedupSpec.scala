@@ -38,7 +38,7 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("estJaccard equals 1 on identical signatures") {
-    val sig = Dedup.minhashSignature(Dedup.shingles(lit(loremA)))
+    val sig = Dedup.minhashSignature(Dedup.shingleHashes(lit(loremA)))
     val df = spark.range(1).select(Dedup.estJaccard(sig, sig).as("j"))
     assert(df.head().getDouble(0) == 1.0)
   }
