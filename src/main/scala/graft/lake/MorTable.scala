@@ -45,7 +45,11 @@ final class MorTable(
     val compactionDeltaSeconds: Long = 120L,
     /** Pipelines that need read-before-batch recovery (exactly-once across
       * multiple tables) defer compaction until the whole batch is durable. */
-    val autoCompact: Boolean = true) {
+    val autoCompact: Boolean = true,
+    /** T5 — the `write.tasks`/`compaction.tasks` analog (zpln:2234:
+      * write.tasks=3): >0 hashes each commit into this many files on
+      * `_record_key`. 0 = keep the incoming partitioning. */
+    val writePartitions: Int = 0) {
 
   import MorTable._
 
@@ -144,9 +148,10 @@ final class MorTable(
     val tl = timeline()
     val seq = lastSeq(tl) + 1
     val now = System.currentTimeMillis()
-    val out = df
+    val out0 = df
       .withColumn("_commit_seqno", lit(seq))
       .withColumn("_commit_time", lit(commitTimeString(now)))
+    val out = if (writePartitions > 0) out0.repartition(writePartitions, col("_record_key")) else out0
     out.write.mode("overwrite").parquet(s"$path/delta/$seq")
     writeInstant(Instant(seq, "delta", batchId, now))
     if (autoCompact) maybeCompact()
@@ -174,7 +179,10 @@ final class MorTable(
       lastCompact.map(c => spark.read.parquet(s"$path/base/${c.seq}")).toSeq ++
         deltas.map(d => spark.read.parquet(s"$path/delta/${d.seq}"))
     val unioned = parts.reduce(_ unionByName _)
-    if (parts.size == 1 && lastCompact.nonEmpty) unioned.filter(!col("_deleted"))
+    // single source — base after compaction, or one delta commit — holds at
+    // most one row per key (per-commit dedup guarantees it): the merge
+    // window is a no-op, skip its shuffle entirely
+    if (parts.size == 1) unioned.filter(!col("_deleted"))
     else {
       val w = Window.partitionBy(col("_record_key")).orderBy(col("_commit_seqno").desc)
       unioned
@@ -215,7 +223,9 @@ final class MorTable(
     val tl = timeline()
     val seq = lastSeq(tl) + 1
     val now = System.currentTimeMillis()
-    snapshot().write.mode("overwrite").parquet(s"$path/base/$seq")
+    val snap = snapshot()
+    val out = if (writePartitions > 0) snap.repartition(writePartitions, col("_record_key")) else snap
+    out.write.mode("overwrite").parquet(s"$path/base/$seq")
     writeInstant(Instant(seq, "compact", -1L, now))
   }
 

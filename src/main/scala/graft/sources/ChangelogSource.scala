@@ -68,6 +68,20 @@ object ChangelogSource {
       col(seqCol).cast("long").as("seq"))
   }
 
+  /** Append-only envelope: every row op=I, before=null — no lag window
+    * needed (the general fromOps pays a full shuffle on the key to derive
+    * before-images; pure inserts never have one). */
+  def insertsOnly(rows: DataFrame, keyCols: Seq[String], seqCol: String = "seq"): DataFrame = {
+    val dataCols = rows.columns.toSeq.filterNot(_ == seqCol)
+    val rowStruct = struct(dataCols.map(col): _*)
+    rows.select(
+      lit(OpInsert).as("op"),
+      keyExpr(keyCols).as("key"),
+      lit(null).cast(structTypeOf(rows.select(dataCols.map(col): _*))).as("before"),
+      rowStruct.as("after"),
+      col(seqCol).cast("long").as("seq"))
+  }
+
   /** Empty changelog with the envelope schema for `table`'s row type —
     * the "no changes this micro-batch" input. */
   def emptyEnvelope(table: DataFrame, keyCols: Seq[String]): DataFrame =

@@ -86,6 +86,15 @@ final class IncrementalJoinPipeline(
   def processBatch(dP: DataFrame, dT: DataFrame, dH: DataFrame, batchId: Long): Unit = {
     if (sink.isCommitted(batchId)) return // exactly-once replay guard
 
+    // Fast path — the common CDC shape (zpln:2078: history is append-
+    // mostly): no dim/ticket changes and only inserts on the fact. Appends
+    // cannot retract anything, so the batch needs a delta-sized join plus a
+    // conditional upsert, NOT a full recompute of affected persons.
+    if (dP.isEmpty && dT.isEmpty && dH.filter(col("op") =!= "I").isEmpty) {
+      appendOnlyBatch(dH, batchId)
+      return
+    }
+
     // read state AS OF before this batch: on a clean run that's read(),
     // on a partial replay (states committed, sink didn't) it excludes the
     // half-applied batch — both paths see identical pre-batch state
@@ -145,6 +154,32 @@ final class IncrementalJoinPipeline(
     Seq(pState, tState, hState).foreach(_.maybeCompact())
 
     Seq(affected, oldOutKeys, newOut, oldP, oldT).foreach(_.unpersist())
+  }
+
+  /** Append-only micro-batch: join JUST the new fact rows against current
+    * dim/ticket state, take the per-sink-key argmax, and upsert only keys
+    * whose new "last transaction" is newer than what the sink already holds
+    * (conditional on `histOrder` — an append can advance a person's last
+    * transaction, never regress it). Work is O(|delta| + |sink|), not
+    * O(|history|). */
+  private def appendOnlyBatch(dH: DataFrame, batchId: Long): Unit = {
+    hState.applyChangelog(dH, batchId)
+    val newH = dH.select(col("after.*"))
+    val joined = pState.read()
+      .join(tState.read(), col(personKey) === col(ticketPersonFk))
+      .join(newH, col(histTicketFk) === col(ticketKey))
+    val w = Window.partitionBy(col(sinkKey)).orderBy(histOrder.map(col(_).desc): _*)
+    val candTop = project(joined)
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    val ordStruct = struct(histOrder.map(col): _*)
+    val cur = sink.read().select(col(sinkKey).as("__cur_key"),
+      struct(histOrder.map(col): _*).as("__cur_ord"))
+    val out = candTop
+      .join(cur, col(sinkKey) === col("__cur_key"), "left")
+      .filter(col("__cur_key").isNull || ordStruct > col("__cur_ord"))
+      .drop("__cur_key", "__cur_ord")
+    sink.upsert(out, orderWithinBatch = histOrder.map(col), batchId = batchId)
+    Seq(pState, tState, hState, sink).foreach(_.maybeCompact())
   }
 
   /** P ⋈ T ⋈ H, optionally restricted to an (already-small, broadcast)

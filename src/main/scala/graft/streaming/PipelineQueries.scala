@@ -55,9 +55,8 @@ object PipelineQueries {
 
     pipe.initialize(c, o, hist.limit(0))
 
-    val log = ChangelogSource.fromOps(
-      hist.withColumn("op", lit("I")).withColumn("seq", col("hid")),
-      Seq("hid"))
+    val log = ChangelogSource.insertsOnly(
+      hist.withColumn("seq", col("hid")), Seq("hid"))
     val emptyP = ChangelogSource.emptyEnvelope(c, Seq("c_custkey"))
     val emptyT = ChangelogSource.emptyEnvelope(o, Seq("o_orderkey"))
     ChangelogSource.microBatchBounds(log, 4).zipWithIndex.foreach {

@@ -39,6 +39,30 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(table.timeline().count(_.kind == "delta") == 2)
   }
 
+  test("T2 restart recovery: same checkpoint resumes, no duplicate commits") {
+    val watch = TestSpark.tmpDir("t2-watch")
+    val ckpt = TestSpark.tmpDir("t2-ckpt")
+    val log = ChangelogSource.fromOps(
+      Seq(("I", 1.0, "Ann", 1L), ("I", 2.0, "Bob", 2L), ("U", 1.0, "Annette", 3L))
+        .toDF("op", "id", "full_name", "seq"), Seq("id"))
+    val table = MorTable(spark, TestSpark.tmpDir("t2-mor"), Seq("id"),
+      compactionDeltaCommits = 100)
+    log.filter($"seq" <= 2).write.parquet(s"$watch/seg1")
+    val q1 = StreamingOps.streamChangelogToMor(
+      StreamingOps.changelogStream(spark, s"$watch/*/", log), table, ckpt)
+    q1.awaitTermination(120000)
+    val commitsAfterFirst = table.timeline().size
+    // "crash" (query ended) → new segment lands → restart with SAME checkpoint
+    log.filter($"seq" === 3).write.parquet(s"$watch/seg2")
+    val q2 = StreamingOps.streamChangelogToMor(
+      StreamingOps.changelogStream(spark, s"$watch/*/", log), table, ckpt)
+    q2.awaitTermination(120000)
+    // only the new segment became a commit; seg1 not reprocessed
+    assert(table.timeline().size == commitsAfterFirst + 1)
+    val m = table.read().collect().map(r => r.getDouble(0) -> r.getString(1)).toMap
+    assert(m == Map(1.0 -> "Annette", 2.0 -> "Bob"))
+  }
+
   test("T3 mapGroupsWithState: latest event per user, re-emitted on change") {
     val mem = MemoryStream[Event]
     val q = StreamingOps.lastEventPerUser(mem.toDS())
