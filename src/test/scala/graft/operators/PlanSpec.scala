@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** The physical plans we WANT, asserted (SURVEY §4 + builder brief:
+  * "iterate until it's the plan you'd want"). These are the properties
+  * that decide whether the same code survives a 100 TB scale-up:
+  * predicate pushdown to parquet, column pruning at the scan, broadcast
+  * of the small dim in the 3-way join, partial aggregation, and top-k
+  * without a global sort. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString()
+
+  test("R4 filter pushes to the parquet scan (PushedFilters)") {
+    val p = plan(RelationalOps.filterEq(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(c_custkey), EqualTo(c_custkey,42)]"), p)
+  }
+
+  test("R6 projection prunes the scan to the 2 referenced columns") {
+    val p = plan(RelationalOps.projectAlias(spark, dir))
+    assert(p.contains("ReadSchema: struct<c_name:string,c_acctbal:double>"), p)
+  }
+
+  test("R8 triple join broadcasts the customer dim; no cartesian anywhere") {
+    val p = plan(RelationalOps.tripleJoin(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("R9 aggregate is partial+final (map-side combine before the shuffle)") {
+    val p = plan(RelationalOps.aggCount(spark, dir))
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("R11 top-k plans TakeOrderedAndProject, not a global sort") {
+    val p = plan(RelationalOps.topK(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("R10 having-subquery pushes nothing extra but keeps agg partial") {
+    val p = plan(RelationalOps.havingSubquery(spark, dir))
+    assert(p.contains("partial_count"), p)
+    // cnt > 10 runs post-agg (derived column) — must NOT reach the scan
+    assert(!p.contains("PushedFilters: [IsNotNull(cnt)"), p)
+  }
+
+  test("t2 text stats is a map-only scan (no shuffle at all)") {
+    val df = graft.functions.TextAnalysis.textStats(graft.Tables.documents(spark, dir))
+    assert(!plan(df).contains("Exchange"), plan(df))
+  }
+}
