@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.TestSpark
+import graft.sources.ChangelogSource
+
+/** The continuous job end-to-end: multiplexed WAL files → streaming
+  * micro-batches → incremental join → MOR sink, with commit-per-trigger
+  * and restart recovery (the zpln:2317 long-running INSERT INTO). */
+class ContinuousPipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("multiplexed WAL stream drives the pipeline; one tick = one commit; restart continues") {
+    val people = Seq((1.0, "Ann"), (2.0, "Bob")).toDF("id", "full_name")
+    val tickets = Seq((10.0, 1.0), (20.0, 2.0)).toDF("tid", "holder_id")
+    val hist0 = Seq.empty[(Long, Double, Double)].toDF("hid", "ticket_id", "amt")
+
+    val pipe = new IncrementalJoinPipeline(
+      spark, TestSpark.tmpDir("cont-pipe"),
+      personKey = "id", ticketKey = "tid", ticketPersonFk = "holder_id",
+      histTicketFk = "ticket_id", histKeyCols = Seq("hid"), histOrder = Seq("hid"),
+      project = j => j.select(col("full_name"), col("amt"), col("hid")),
+      sinkKey = "full_name")
+    pipe.initialize(people, tickets, hist0)
+
+    def pLog(rows: (String, Double, String, Long)*) = ChangelogSource.fromOps(
+      rows.toSeq.toDF("op", "id", "full_name", "seq"), Seq("id"))
+    def hLog(rows: (String, Long, Double, Double, Long)*) = ChangelogSource.fromOps(
+      rows.toSeq.toDF("op", "hid", "ticket_id", "amt", "seq"), Seq("hid"))
+    val emptyP = ChangelogSource.emptyEnvelope(people, Seq("id"))
+    val emptyT = ChangelogSource.emptyEnvelope(tickets, Seq("tid"))
+    val emptyH = ChangelogSource.emptyEnvelope(hist0, Seq("hid"))
+
+    val watch = TestSpark.tmpDir("cont-wal")
+    val ckpt = TestSpark.tmpDir("cont-ckpt")
+    val sample = ContinuousPipeline.multiplex(emptyP, emptyT, emptyH)
+
+    // WAL segment 1: two purchases land
+    ContinuousPipeline.multiplex(emptyP, emptyT,
+      hLog(("I", 1L, 10.0, 5.0, 1L), ("I", 2L, 20.0, 6.0, 2L)))
+      .coalesce(1).write.parquet(s"$watch/seg1")
+    val q1 = ContinuousPipeline.start(spark, pipe, s"$watch/*/", sample, ckpt,
+      trigger = Trigger.AvailableNow())
+    q1.awaitTermination(180000)
+    val afterSeg1 = pipe.sink.read().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(afterSeg1 == Map("Ann" -> 5.0, "Bob" -> 6.0))
+    val sinkCommits1 = pipe.sink.timeline().size
+
+    // "job restart": segment 2 arrives (rename Ann + a newer purchase)
+    ContinuousPipeline.multiplex(
+      pLog(("I", 1.0, "Ann", 0L), ("U", 1.0, "Annette", 3L)).filter($"seq" === 3L),
+      emptyT, hLog(("I", 3L, 10.0, 7.5, 4L)))
+      .coalesce(1).write.parquet(s"$watch/seg2")
+    val q2 = ContinuousPipeline.start(spark, pipe, s"$watch/*/", sample, ckpt,
+      trigger = Trigger.AvailableNow())
+    q2.awaitTermination(180000)
+    val finalState = pipe.sink.read().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // Ann renamed (old key retracted) AND her last transaction advanced
+    assert(finalState == Map("Annette" -> 7.5, "Bob" -> 6.0))
+    // restart processed exactly the new segment: one more sink commit
+    assert(pipe.sink.timeline().size == sinkCommits1 + 1)
+    assert(pipe.duplicateCheck().isEmpty)
+  }
+}
