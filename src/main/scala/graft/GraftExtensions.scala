@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.functions.call_function
-import graft.functions.expr.CosineSimilarity
+import graft.functions.expr.{CosineSimilarity, MinHashAgg}
 
 /** Engine extension wiring.
   *
@@ -18,6 +18,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("cosine_sim"), CosineSimilarity.info,
       exprs => CosineSimilarity(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("minhash_agg"), MinHashAgg.info,
+      exprs => MinHashAgg(exprs.head).toAggregateExpression()))
   }
 }
 
@@ -27,6 +29,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("cosine_sim"), CosineSimilarity.info,
       exprs => CosineSimilarity(exprs.head, exprs(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("minhash_agg"), MinHashAgg.info,
+      exprs => MinHashAgg(exprs.head).toAggregateExpression())
   }
 
   /** Column-API form of the native expression. */

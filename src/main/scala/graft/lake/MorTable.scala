@@ -191,6 +191,23 @@ final class MorTable(
     }
   }
 
+  /** Incremental query (the Hudi incremental-pull analog): the net effect
+    * of all delta commits with seq > `sinceSeq` — latest image per touched
+    * key, tombstones included (`_deleted`=true rows tell the consumer what
+    * vanished). Feed a downstream pipeline exactly what changed without
+    * rescanning the table. */
+  def readIncremental(sinceSeq: Long): DataFrame = {
+    val deltas = timeline().filter(i => i.kind == "delta" && i.seq > sinceSeq)
+    if (deltas.isEmpty) return snapshot().limit(0)
+    val parts = deltas.map(d => spark.read.parquet(s"$path/delta/${d.seq}"))
+    val unioned = parts.reduce(_ unionByName _)
+    if (parts.size == 1) unioned
+    else {
+      val w = Window.partitionBy(col("_record_key")).orderBy(col("_commit_seqno").desc)
+      unioned.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    }
+  }
+
   /** Snapshot without the lake metadata columns (user-facing read). */
   def read(): DataFrame = dropMeta(snapshot())
 
