@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.functions.call_function
-import graft.functions.expr.{CosineSimilarity, MinHashAgg}
+import graft.functions.expr.{CosineSimilarity, MinHashAgg, MinHashSignature}
 
 /** Engine extension wiring.
   *
@@ -20,6 +20,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => CosineSimilarity(exprs.head, exprs(1))))
     ext.injectFunction((FunctionIdentifier("minhash_agg"), MinHashAgg.info,
       exprs => MinHashAgg(exprs.head).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("minhash_sig"), MinHashSignature.info,
+      exprs => MinHashSignature(exprs.head)))
   }
 }
 
@@ -32,6 +34,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("minhash_agg"), MinHashAgg.info,
       exprs => MinHashAgg(exprs.head).toAggregateExpression())
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("minhash_sig"), MinHashSignature.info,
+      exprs => MinHashSignature(exprs.head))
   }
 
   /** Column-API form of the native expression. */

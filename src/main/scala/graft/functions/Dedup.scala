@@ -54,13 +54,10 @@ object Dedup {
     * generation is pure arithmetic: numHashes × |shingles| mults/adds.
     * a_i * h0 < 2^62 — ANSI-safe. */
   def minhashSignature(shingleHashes: Column, numHashes: Int = 64): Column = {
-    val rnd = new scala.util.Random(42)
-    val ab = Seq.fill(numHashes)(
-      ((rnd.nextLong() & Long.MaxValue) % (P - 2) + 1,
-        (rnd.nextLong() & Long.MaxValue) % P))
+    val (as, bs) = graft.functions.expr.MinHashSignature.constants(numHashes)
     val abArr = arrays_zip(
-      array(ab.map(x => lit(x._1)): _*).as("a"),
-      array(ab.map(x => lit(x._2)): _*).as("b"))
+      array(as.map(lit).toIndexedSeq: _*).as("a"),
+      array(bs.map(lit).toIndexedSeq: _*).as("b"))
     aggregate(shingleHashes,
       array_repeat(lit(Long.MaxValue), numHashes),
       (acc, h0) => zip_with(acc, abArr,
@@ -90,9 +87,13 @@ object Dedup {
                  bands: Int = 16, threshold: Double = 0.5): DataFrame = {
     val rowsPer = numHashes / bands
     require(rowsPer * bands == numHashes, "bands must divide numHashes")
+    // signature via the native codegen'd expression (the declarative
+    // minhashSignature is its reference implementation — same constants,
+    // asserted equal in MinHashSignatureSpec)
+    graft.GraftFunctions.register(docs.sparkSession)
     val sigs = docs
       .select(col(idCol), shingleHashes(col(textCol), shingleK).as("__h0"))
-      .select(col(idCol), minhashSignature(col("__h0"), numHashes).as("sig"))
+      .select(col(idCol), call_function("minhash_sig", col("__h0")).as("sig"))
     val banded = sigs.select(col(idCol), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(b, concat_ws(",",

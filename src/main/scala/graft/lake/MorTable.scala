@@ -163,6 +163,16 @@ final class MorTable(
     * last-write-wins by `_commit_seqno` (zpln:421 semantics). */
   def snapshot(): DataFrame = snapshotOf(timeline())
 
+  /** Time-travel read: the table as of commit `asOfSeq` (inclusive) —
+    * replays only instants with seq ≤ asOfSeq, like a Hudi
+    * `as.of.instant` query. Compaction keeps old delta files, so past
+    * snapshots stay readable until a cleaner is added. */
+  def snapshotAt(asOfSeq: Long): DataFrame =
+    snapshotOf(timeline().filter(_.seq <= asOfSeq))
+
+  /** `read()` as of commit `asOfSeq` (no metadata columns). */
+  def readAt(asOfSeq: Long): DataFrame = dropMeta(snapshotAt(asOfSeq))
+
   /** Snapshot as-of just before `batchId` landed — the recovery read for
     * multi-table exactly-once (a replayed batch must see pre-batch state
     * even if this table already committed it). Requires `autoCompact=false`
@@ -178,7 +188,9 @@ final class MorTable(
     val parts =
       lastCompact.map(c => spark.read.parquet(s"$path/base/${c.seq}")).toSeq ++
         deltas.map(d => spark.read.parquet(s"$path/delta/${d.seq}"))
-    val unioned = parts.reduce(_ unionByName _)
+    // allowMissingColumns: commits written before a column was added read
+    // back with nulls for it (additive schema evolution, as Hudi allows)
+    val unioned = parts.reduce(_.unionByName(_, allowMissingColumns = true))
     // single source — base after compaction, or one delta commit — holds at
     // most one row per key (per-commit dedup guarantees it): the merge
     // window is a no-op, skip its shuffle entirely
@@ -200,7 +212,7 @@ final class MorTable(
     val deltas = timeline().filter(i => i.kind == "delta" && i.seq > sinceSeq)
     if (deltas.isEmpty) return snapshot().limit(0)
     val parts = deltas.map(d => spark.read.parquet(s"$path/delta/${d.seq}"))
-    val unioned = parts.reduce(_ unionByName _)
+    val unioned = parts.reduce(_.unionByName(_, allowMissingColumns = true))
     if (parts.size == 1) unioned
     else {
       val w = Window.partitionBy(col("_record_key")).orderBy(col("_commit_seqno").desc)

@@ -100,6 +100,31 @@ class MorTableSpec extends AnyFunSuite {
     assert(t.read().count() == 8)
   }
 
+  test("additive schema evolution: old commits read back with nulls for new columns") {
+    val t = MorTable(spark, TestSpark.tmpDir("mor-evo"), Seq("uuid"),
+      compactionDeltaCommits = 100)
+    t.upsert(Seq(("id1", "Danny")).toDF("uuid", "name"), Seq(col("uuid")))
+    t.upsert(Seq(("id2", "Emma", 20)).toDF("uuid", "name", "age"), Seq(col("uuid")))
+    val got = t.read().orderBy("uuid").collect()
+    assert(got.map(_.getAs[String]("name")).toSeq == Seq("Danny", "Emma"))
+    assert(got(0).isNullAt(got(0).fieldIndex("age")))
+    assert(got(1).getAs[Int]("age") == 20)
+  }
+
+  test("time travel: readAt(seq) reproduces any historical snapshot") {
+    val t = MorTable(spark, TestSpark.tmpDir("mor-tt"), Seq("uuid"),
+      compactionDeltaCommits = 100)
+    t.upsert(t1Rows, Seq(col("ts")))                                    // seq 1
+    t.upsert(Seq(("id1", "Francisco", 29, "2023-06-15 12:00:00"))
+      .toDF("uuid", "name", "age", "ts"), Seq(col("ts")))               // seq 2
+    t.delete(Seq("id8").toDF("uuid"))                                   // seq 3
+    assert(t.readAt(1).count() == 8)
+    assert(t.readAt(1).filter($"uuid" === "id1").head().getAs[String]("name") == "Danny")
+    assert(t.readAt(2).filter($"uuid" === "id1").head().getAs[String]("name") == "Francisco")
+    assert(t.readAt(2).count() == 8)
+    assert(t.readAt(3).count() == 7)   // == read()
+  }
+
   test("time-trigger compaction fires when the oldest delta is stale") {
     val t = MorTable(spark, TestSpark.tmpDir("mor-time"), Seq("uuid"),
       compactionDeltaCommits = 100, compactionDeltaSeconds = 60)

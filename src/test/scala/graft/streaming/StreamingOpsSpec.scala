@@ -81,6 +81,23 @@ class StreamingOpsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming dedup: duplicate ids dropped across micro-batches, state watermark-bounded") {
+    val mem = MemoryStream[Event]
+    val events = mem.toDS().toDF().withColumn("ts", timestamp_millis($"ts_ms"))
+    val q = StreamingOps.streamingDedup(events, Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(Event(1, 100, "a", 1.0, 60000), Event(1, 100, "a", 1.0, 60000))
+    q.processAllAvailable()
+    mem.addData(Event(1, 100, "a", 1.0, 61000))  // dup id in later batch
+    mem.addData(Event(2, 200, "b", 2.0, 62000))
+    q.processAllAvailable()
+    val ids = spark.table("dedup_out").select("event_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids.sorted == Seq(100L, 200L))
+    q.stop()
+  }
+
   test("watermark: late event beyond lateness is dropped from its window") {
     val mem = MemoryStream[Event]
     val events = mem.toDS().toDF()
