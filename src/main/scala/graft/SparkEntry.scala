@@ -44,12 +44,18 @@ object SparkEntry {
     "s10_ann_lsh"        -> ((s, d) => graft.functions.LlmQueries.annLsh(s, d)),
     "s11_ann_ivf"        -> ((s, d) => graft.functions.LlmQueries.annIvf(s, d)),
     "m1_multimodal_features" -> ((s, d) => graft.functions.LlmQueries.multimodalFeatures(s, d)),
+    "m0_multimodal_meta"  -> ((s, d) => graft.functions.LlmQueries.multimodalMeta(s, d)),
+    "d5_minhash_groups"   -> ((s, d) => graft.functions.LlmQueries.minhashGroups(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
     "d1_exact_dedup" ->
       """SELECT * FROM documents
         |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1""".stripMargin,
+    "m0_multimodal_meta" ->
+      """SELECT doc_id, strlen(text)::BIGINT AS byte_len,
+        |       'image/fake' AS mime
+        |FROM documents""".stripMargin,
     "t2_text_stats" ->
       """SELECT doc_id, length(text) AS n_chars,
         |  len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens,

@@ -82,4 +82,27 @@ object LlmQueries {
     * (rows-only; determinism + schema tested). */
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(Multimodal.attachBinary(Tables.documents(spark, dir)))
+
+  /** Multimodal typed-metadata side (oracle-checked: payload byte length
+    * is SQL-expressible; the fake dims aren't). */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.attachBinary(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("meta.byte_len").as("byte_len"),
+        col("meta.mime").as("mime"))
+
+  /** Corpus-level MinHash via the minhash_agg custom aggregate: one
+    * signature per source, then pairwise estimated Jaccard between sources
+    * (rows-only; the union identity is property-tested). */
+  def minhashGroups(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    val sigs = Tables.documents(spark, dir)
+      .select(col("source"), Dedup.shingleHashes(col("text")).as("__h0"))
+      .select(col("source"), call_function("minhash_sig", col("__h0")).as("sig"))
+      .groupBy("source").agg(call_function("minhash_agg", col("sig")).as("gsig"))
+    val a = sigs.select(col("source").as("src_a"), col("gsig").as("ga"))
+    val b = sigs.select(col("source").as("src_b"), col("gsig").as("gb"))
+    a.join(b, col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        round(Dedup.estJaccard(col("ga"), col("gb")), 6).as("est_jaccard"))
+  }
 }
