@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.functions.call_function
-import graft.functions.expr.{CosineSimilarity, MinHashAgg, MinHashSignature}
+import graft.functions.expr.{CosineSimilarity, MinHashAgg, MinHashSignature, SimHashChunks}
 
 /** Engine extension wiring.
   *
@@ -22,6 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => MinHashAgg(exprs.head).toAggregateExpression()))
     ext.injectFunction((FunctionIdentifier("minhash_sig"), MinHashSignature.info,
       exprs => MinHashSignature(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("simhash_chunks"), SimHashChunks.info,
+      exprs => SimHashChunks(exprs.head)))
   }
 }
 
@@ -37,6 +39,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("minhash_sig"), MinHashSignature.info,
       exprs => MinHashSignature(exprs.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("simhash_chunks"), SimHashChunks.info,
+      exprs => SimHashChunks(exprs.head))
   }
 
   /** Column-API form of the native expression. */

@@ -170,10 +170,13 @@ object Dedup {
     * some chunk equal) then exact xor-popcount verify. */
   def simhashNearDup(docs: DataFrame, textCol: String = "text",
                      idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
+    // native codegen'd chunks (graft.functions.expr.SimHashChunks) — the
+    // declarative simhashChunksFromHashes stays as the documented fold form
+    graft.GraftFunctions.register(docs.sparkSession)
     val sigs = docs
       .select(col(idCol),
         transform(TextAnalysis.tokens(lower(col(textCol))), t => xxhash64(t)).as("__th"))
-      .select(col(idCol), simhashChunksFromHashes(col("__th")).as("ch"))
+      .select(col(idCol), call_function("simhash_chunks", col("__th")).as("ch"))
     val chunked = sigs.select(col(idCol), col("ch"), posexplode(col("ch")))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
     val a = chunked.select(col(idCol).as("id_a"), col("ch").as("ch_a"),

@@ -1,0 +1,54 @@
+package graft.lake
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Model-based randomized test: any sequence of upsert/delete changelog
+  * batches applied to a MorTable equals the same sequence folded over a
+  * plain Map (the last-write-wins reference model). Runs several seeded
+  * random scripts across compaction thresholds so snapshots cross the
+  * delta-only, base-only, and base+log read shapes. */
+class MorTablePropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private case class Op(delete: Boolean, key: String, v: Int)
+
+  test("MorTable == Map fold for random upsert/delete scripts (incl. compaction)") {
+    val keys = Vector("a", "b", "c", "d", "e")
+    for (trial <- 0 until 6) {
+      val rnd = new scala.util.Random(1000 + trial)
+      val deltaCommits = Seq(2, 3, 100)(trial % 3)
+      val script = List.fill(rnd.nextInt(4) + 2)(
+        List.fill(rnd.nextInt(5) + 1)(
+          Op(rnd.nextInt(4) == 0, keys(rnd.nextInt(keys.size)), rnd.nextInt(1000))))
+
+      val t = MorTable(spark, TestSpark.tmpDir("mor-prop"), Seq("k"),
+        compactionDeltaCommits = deltaCommits)
+      var model = Map.empty[String, Int]
+      script.zipWithIndex.foreach { case (batch, bi) =>
+        // within a batch, the LAST op per key wins (arrival-order LWW)
+        val lastPerKey = batch.zipWithIndex.groupBy(_._1.key)
+          .map { case (_, ops) => ops.maxBy(_._2) }
+        val upserts = lastPerKey.collect { case (op, i) if !op.delete => (op.key, op.v, i) }.toSeq
+        val deletes = lastPerKey.collect { case (op, _) if op.delete => op.key }.toSeq
+        val rows =
+          upserts.map { case (k, v, i) => ("U", k, v, i.toLong) } ++
+            deletes.map(k => ("D", k, model.getOrElse(k, 0), 999L))
+        val env = rows.toDF("op", "k", "v", "seq")
+          .select(col("op"), col("k").as("key"),
+            when(col("op") === "D", struct(col("k"), col("v"))).as("before"),
+            when(col("op") =!= "D", struct(col("k"), col("v"))).as("after"),
+            col("seq"))
+        t.applyChangelog(env, batchId = bi.toLong)
+        upserts.foreach { case (k, v, _) => model += (k -> v) }
+        deletes.foreach(k => model -= k)
+      }
+      val got = t.read().collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      assert(got == model,
+        s"trial=$trial deltaCommits=$deltaCommits script=$script")
+      t.drop()
+    }
+  }
+}
