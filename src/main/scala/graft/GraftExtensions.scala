@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.functions.call_function
-import graft.functions.expr.{CosineSimilarity, MinHashAgg, MinHashSignature, SimHashChunks}
+import graft.functions.expr.{CosineSimilarity, MinHashAgg, MinHashBands, MinHashSignature, SigOverlap, SimHashChunks}
 
 /** Engine extension wiring.
   *
@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => MinHashSignature(exprs.head)))
     ext.injectFunction((FunctionIdentifier("simhash_chunks"), SimHashChunks.info,
       exprs => SimHashChunks(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("minhash_bands"), MinHashBands.info,
+      exprs => MinHashBands(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("sig_overlap"), SigOverlap.info,
+      exprs => SigOverlap(exprs.head, exprs(1))))
   }
 }
 
@@ -42,6 +46,12 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("simhash_chunks"), SimHashChunks.info,
       exprs => SimHashChunks(exprs.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("minhash_bands"), MinHashBands.info,
+      exprs => MinHashBands(exprs.head, exprs(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("sig_overlap"), SigOverlap.info,
+      exprs => SigOverlap(exprs.head, exprs(1)))
   }
 
   /** Column-API form of the native expression. */

@@ -95,9 +95,7 @@ object Dedup {
       .select(col(idCol), shingleHashes(col(textCol), shingleK).as("__h0"))
       .select(col(idCol), call_function("minhash_sig", col("__h0")).as("sig"))
     val banded = sigs.select(col(idCol), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(b, concat_ws(",",
-          transform(slice(col("sig"), b * rowsPer + 1, lit(rowsPer)), _.cast("string")))))))
+      posexplode(call_function("minhash_bands", col("sig"), lit(bands))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
     val a = banded.select(col(idCol).as("id_a"), col("sig").as("sig_a"),
       col("band"), col("band_hash"))
@@ -106,7 +104,9 @@ object Dedup {
     a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        estJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+        // native sig_overlap: compiled per-pair loop (estJaccard's zip_with
+        // form is its interpreted reference implementation)
+        call_function("sig_overlap", col("sig_a"), col("sig_b")).as("est_jaccard"))
       .groupBy("id_a", "id_b").agg(first("est_jaccard").as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
   }
