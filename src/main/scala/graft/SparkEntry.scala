@@ -31,6 +31,7 @@ object SparkEntry {
     "r13_json_extract"   -> ((s, d) => RelationalOps.jsonExtract(s, d)),
     "r14_tumble_agg"     -> ((s, d) => RelationalOps.tumbleAgg(s, d)),
     "r15_sessionize"     -> ((s, d) => RelationalOps.sessionize(s, d)),
+    "r2_changelog_materialize" -> ((s, d) => graft.sources.ChangelogQueries.materializeEvents(s, d)),
     "s7_mor_upsert_replay" -> ((s, d) => graft.lake.LakeQueries.upsertReplay(s, d)),
     "s8_cdc_ticket_view"  -> ((s, d) => graft.streaming.PipelineQueries.ticketView(s, d)),
     "d1_exact_dedup"     -> ((s, d) => graft.functions.LlmQueries.exactDedup(s, d)),
@@ -144,6 +145,11 @@ object SparkEntry {
         |  (PARTITION BY c.c_name
         |   ORDER BY l.l_orderkey DESC, l.l_linenumber DESC,
         |            l.l_extendedprice DESC, l.l_shipdate DESC) = 1""".stripMargin,
+    "r2_changelog_materialize" ->
+      """SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
+        |FROM events
+        |QUALIFY row_number() OVER
+        |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
     "r13_json_extract" ->
       """SELECT event_id, json_extract_string(props, '$.k') AS k_val
         |FROM events""".stripMargin,

@@ -254,8 +254,31 @@ final class MorTable(
     val now = System.currentTimeMillis()
     val snap = snapshot()
     val out = if (writePartitions > 0) snap.repartition(writePartitions, col("_record_key")) else snap
-    out.write.mode("overwrite").parquet(s"$path/base/$seq")
+    // cluster by key: parquet row-group min/max stats on _record_key let
+    // key-equality snapshot reads skip row groups entirely
+    out.sortWithinPartitions(col("_record_key"))
+      .write.mode("overwrite").parquet(s"$path/base/$seq")
     writeInstant(Instant(seq, "compact", -1L, now))
+  }
+
+  /** Cleaner (the Hudi cleaner analog): physically remove data files made
+    * redundant by the LATEST compaction — every delta/base with seq below
+    * the last compact instant, whose content is fully folded into that
+    * base. Time travel earlier than the last compaction becomes
+    * unavailable; the timeline metadata is kept (instants stay listed, like
+    * an archived timeline). Call only when no in-flight multi-table batch
+    * might still recovery-read the removed deltas. Returns #dirs removed. */
+  def clean(): Int = {
+    val tl = timeline()
+    tl.filter(_.kind == "compact").lastOption match {
+      case None => 0
+      case Some(c) =>
+        val old = tl.filter(_.seq < c.seq)
+        old.map { i =>
+          val dir = new Path(hPath, s"${if (i.kind == "compact") "base" else "delta"}/${i.seq}")
+          if (fs.exists(dir)) { fs.delete(dir, true); 1 } else 0
+        }.sum
+    }
   }
 
   /** S5 — drop the table (catalog + storage). */

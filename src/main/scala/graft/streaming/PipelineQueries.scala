@@ -55,15 +55,19 @@ object PipelineQueries {
 
     pipe.initialize(c, o, hist.limit(0))
 
+    // cache the envelope: the surrogate-key window + envelope build would
+    // otherwise recompute once for the bounds scan and once per micro-batch
     val log = ChangelogSource.insertsOnly(
-      hist.withColumn("seq", col("hid")), Seq("hid"))
+      hist.withColumn("seq", col("hid")), Seq("hid")).cache()
     val emptyP = ChangelogSource.emptyEnvelope(c, Seq("c_custkey"))
     val emptyT = ChangelogSource.emptyEnvelope(o, Seq("o_orderkey"))
-    ChangelogSource.microBatchBounds(log, 4).zipWithIndex.foreach {
-      case ((s, e), i) =>
-        pipe.processBatch(emptyP, emptyT,
-          log.filter(col("seq").between(s, e)), batchId = i + 1L)
-    }
-    pipe.sink.read().select("full_name", "id", "price", "ts_ms")
+    try {
+      ChangelogSource.microBatchBounds(log, 4).zipWithIndex.foreach {
+        case ((s, e), i) =>
+          pipe.processBatch(emptyP, emptyT,
+            log.filter(col("seq").between(s, e)), batchId = i + 1L)
+      }
+      pipe.sink.read().select("full_name", "id", "price", "ts_ms")
+    } finally { log.unpersist(); () }
   }
 }

@@ -125,6 +125,22 @@ class MorTableSpec extends AnyFunSuite {
     assert(t.readAt(3).count() == 7)   // == read()
   }
 
+  test("cleaner removes pre-compaction files; snapshot unaffected") {
+    val t = MorTable(spark, TestSpark.tmpDir("mor-clean"), Seq("uuid"),
+      compactionDeltaCommits = 2)
+    t.upsert(t1Rows, Seq(col("ts")))
+    t.upsert(Seq(("id1", "Francisco", 29, "2023-06-15 12:00:00"))
+      .toDF("uuid", "name", "age", "ts"), Seq(col("ts")))   // triggers compact
+    assert(t.timeline().last.kind == "compact")
+    val before = t.read().orderBy("uuid").collect().map(_.toSeq).toSeq
+    val removed = t.clean()
+    assert(removed == 2) // both pre-compact deltas physically gone
+    assert(!new java.io.File(s"${t.path}/delta/1").exists())
+    val after = t.read().orderBy("uuid").collect().map(_.toSeq).toSeq
+    assert(after == before)
+    assert(t.clean() == 0) // idempotent
+  }
+
   test("time-trigger compaction fires when the oldest delta is stale") {
     val t = MorTable(spark, TestSpark.tmpDir("mor-time"), Seq("uuid"),
       compactionDeltaCommits = 100, compactionDeltaSeconds = 60)
