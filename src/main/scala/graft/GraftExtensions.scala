@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.functions.call_function
-import graft.functions.expr.{CosineSimilarity, MinHashAgg, MinHashBands, MinHashSignature, SigOverlap, SimHashChunks}
+import graft.functions.expr.{CosineSimilarity, MinHashAgg, MinHashBands, MinHashSignature, ShingleHashes, SigOverlap, SimHashChunks}
 
 /** Engine extension wiring.
   *
@@ -28,6 +28,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => MinHashBands(exprs.head, exprs(1))))
     ext.injectFunction((FunctionIdentifier("sig_overlap"), SigOverlap.info,
       exprs => SigOverlap(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("shingle_hashes"), ShingleHashes.info,
+      exprs => ShingleHashes(exprs.head, exprs(1))))
   }
 }
 
@@ -52,6 +54,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("sig_overlap"), SigOverlap.info,
       exprs => SigOverlap(exprs.head, exprs(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("shingle_hashes"), ShingleHashes.info,
+      exprs => ShingleHashes(exprs.head, exprs(1)))
   }
 
   /** Column-API form of the native expression. */

@@ -87,12 +87,14 @@ object Dedup {
                  bands: Int = 16, threshold: Double = 0.5): DataFrame = {
     val rowsPer = numHashes / bands
     require(rowsPer * bands == numHashes, "bands must divide numHashes")
-    // signature via the native codegen'd expression (the declarative
-    // minhashSignature is its reference implementation — same constants,
-    // asserted equal in MinHashSignatureSpec)
+    // fully native front end: compiled shingle hashing (no shingle strings
+    // materialized) → codegen'd signature. The declarative shingleHashes/
+    // minhashSignature pair is the reference implementation (equality of
+    // the signature stage asserted in MinHashSignatureSpec).
     graft.GraftFunctions.register(docs.sparkSession)
     val sigs = docs
-      .select(col(idCol), shingleHashes(col(textCol), shingleK).as("__h0"))
+      .select(col(idCol),
+        call_function("shingle_hashes", col(textCol), lit(shingleK)).as("__h0"))
       .select(col(idCol), call_function("minhash_sig", col("__h0")).as("sig"))
     val banded = sigs.select(col(idCol), col("sig"),
       posexplode(call_function("minhash_bands", col("sig"), lit(bands))))

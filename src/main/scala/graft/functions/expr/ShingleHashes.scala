@@ -1,0 +1,100 @@
+package graft.functions.expr
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Compiled text → distinct word-k-shingle hashes (array<long>, in
+  * [0, 2^31-1)), the MinHash front end.
+  *
+  * The declarative pipeline (lower → split → filter → transform(slice →
+  * concat_ws) → array_distinct → transform(xxhash64)) materializes every
+  * shingle as a string and runs interpreted per element. This expression
+  * does one pass: tokenize, hash each token (FNV-1a over its bytes), and
+  * chain k token hashes with a splitmix-style mix — a k-shingle never
+  * exists as a string at all. Distinctness via a small hash set.
+  *
+  * CodegenFallback: the eval IS one compiled method (string work doesn't
+  * benefit from expression fusing); the surrounding plan stays whole-stage
+  * where possible. Hash family differs from the declarative form — both
+  * are valid MinHash inputs; family-independent behavior (LSH recall,
+  * estimate accuracy) is what DedupSpec asserts.
+  */
+case class ShingleHashes(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  private val P = 2147483647L
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (StringType, IntegerType) if right.foldable => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes expects (string, literal int k), got " +
+        s"(${l.simpleString}, ${r.simpleString})")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  private def mix(acc: Long, x: Long): Long = {
+    var z = acc ^ (x + 0x9E3779B97F4A7C15L)
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  override protected def nullSafeEval(textAny: Any, kAny: Any): Any = {
+    val bytes = textAny.asInstanceOf[UTF8String].toLowerCase.getBytes
+    val k = kAny.asInstanceOf[Int]
+    // tokenize + FNV-1a per token, single scan
+    val tokenHashes = new java.util.ArrayList[Long]()
+    var h = 0xcbf29ce484222325L; var inTok = false
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      val ws = b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f'
+      if (ws) {
+        if (inTok) { tokenHashes.add(h); h = 0xcbf29ce484222325L; inTok = false }
+      } else {
+        h = (h ^ (b & 0xffL)) * 0x100000001b3L
+        inTok = true
+      }
+      i += 1
+    }
+    if (inTok) tokenHashes.add(h)
+    val n = tokenHashes.size()
+    val out = new java.util.HashSet[Long]()
+    if (n == 0) {
+      // empty text → single hash of the empty shingle (matches the
+      // declarative form's "whole text as one shingle" degenerate case)
+      out.add(java.lang.Long.remainderUnsigned(mix(0L, 0L), P))
+    } else if (n < k) {
+      var acc = 0L; var j = 0
+      while (j < n) { acc = mix(acc, tokenHashes.get(j)); j += 1 }
+      out.add(java.lang.Long.remainderUnsigned(acc, P))
+    } else {
+      var s = 0
+      while (s + k <= n) {
+        var acc = 0L; var j = 0
+        while (j < k) { acc = mix(acc, tokenHashes.get(s + j)); j += 1 }
+        out.add(java.lang.Long.remainderUnsigned(acc, P))
+        s += 1
+      }
+    }
+    val arr = new Array[Long](out.size())
+    val it = out.iterator(); var m = 0
+    while (it.hasNext) { arr(m) = it.next(); m += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ShingleHashes =
+    copy(left = newLeft, right = newRight)
+}
+
+object ShingleHashes {
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[ShingleHashes].getName, "shingle_hashes")
+}
