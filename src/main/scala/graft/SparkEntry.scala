@@ -47,12 +47,111 @@ object SparkEntry {
     "m1_multimodal_features" -> ((s, d) => graft.functions.LlmQueries.multimodalFeatures(s, d)),
     "m0_multimodal_meta"  -> ((s, d) => graft.functions.LlmQueries.multimodalMeta(s, d)),
     "d5_minhash_groups"   -> ((s, d) => graft.functions.LlmQueries.minhashGroups(s, d)),
+    "d6_ngram_jaccard"    -> ((s, d) => graft.functions.LlmQueries.ngramJaccardPairs(s, d)),
+    "d7_embed_neardup_exact" -> ((s, d) => graft.functions.LlmQueries.embedNearDupExact(s, d)),
+    "t4_text_quality"     -> ((s, d) => graft.functions.LlmQueries.textQuality(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "d6_ngram_jaccard" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                     x -> x <> '') AS words
+        |  FROM documents
+        |), t AS (
+        |  SELECT doc_id, CASE WHEN len(words) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(words) - 1),
+        |        i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+        |    ELSE [array_to_string(words, ' ')] END AS sh
+        |  FROM w
+        |), n AS (SELECT doc_id, len(sh)::BIGINT AS ns FROM t
+        |), e AS (SELECT doc_id, unnest(sh) AS s FROM t
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS inter
+        |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b, inter, na.ns + nb.ns - inter AS uni
+        |FROM p JOIN n na ON na.doc_id = p.id_a JOIN n nb ON nb.doc_id = p.id_b
+        |WHERE inter * 10 >= (na.ns + nb.ns - inter) * 3""".stripMargin,
+    "d7_embed_neardup_exact" ->
+      """SELECT * FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |         round(list_cosine_similarity(a.embedding::DOUBLE[],
+        |                                      b.embedding::DOUBLE[]), 6) AS cos_sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |) WHERE cos_sim >= 0.4""".stripMargin,
+    "t4_text_quality" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                x -> x <> '') AS lt,
+        |    len(list_filter(regexp_split_to_array(text, '\s+'),
+        |                    x -> x <> '')) AS n_tok,
+        |    round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+        |          / greatest(length(text), 1)::DOUBLE, 6) AS punct_r,
+        |    (length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')))
+        |          / greatest(length(text), 1)::DOUBLE AS cjk_r,
+        |    length(regexp_replace(text, '\s+', '', 'g')) AS n_nonspace
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, n_tok, punct_r, cjk_r,
+        |    len(list_filter(lt, t -> list_contains(
+        |      ['the','a','an','and','or','of','to','in','is','it','that','for',
+        |       'on','with','as','was','at','by'], t)))
+        |      / greatest(len(lt), 1)::DOUBLE AS en_r,
+        |    len(list_filter(lt, t -> list_contains(
+        |      ['el','la','los','las','un','una','y','o','de','en','es','que',
+        |       'por','con','para','del','se','no'], t)))
+        |      / greatest(len(lt), 1)::DOUBLE AS es_r,
+        |    len(list_filter(lt, t -> list_contains(
+        |      ['der','die','das','ein','eine','und','oder','von','zu','im',
+        |       'ist','dass','für','auf','mit','als','den'], t)))
+        |      / greatest(len(lt), 1)::DOUBLE AS de_r,
+        |    len(list_filter(lt, t -> list_contains(
+        |      ['le','la','les','un','une','et','ou','de','en','est','que',
+        |       'pour','sur','avec','du','au','des','ne'], t)))
+        |      / greatest(len(lt), 1)::DOUBLE AS fr_r,
+        |    round(len(list_filter(lt, t -> list_contains(
+        |      ['the','a','an','and','or','of','to','in','is','it','that','for',
+        |       'on','with','as','was','at','by'], t)))
+        |      / greatest(n_tok, 1)::DOUBLE, 6) AS sw_r,
+        |    n_nonspace / greatest(n_tok, 1)::DOUBLE AS mean_tok_len
+        |  FROM f
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN cjk_r > 0.05 THEN 'zh'
+        |       WHEN es_r > en_r AND es_r >= de_r AND es_r >= fr_r THEN 'es'
+        |       WHEN de_r > en_r AND de_r >= fr_r THEN 'de'
+        |       WHEN fr_r > en_r THEN 'fr'
+        |       ELSE 'en' END AS lang_pred,
+        |  round(((CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+        |       + (CASE WHEN punct_r < 0.1 THEN 1.0 ELSE 0.0 END)
+        |       + (CASE WHEN sw_r BETWEEN 0.05 AND 0.7 THEN 1.0 ELSE 0.0 END)
+        |       + (CASE WHEN mean_tok_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END))
+        |       / 4.0, 4) AS quality
+        |FROM r""".stripMargin,
     "d1_exact_dedup" ->
       """SELECT * FROM documents
         |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1""".stripMargin,
+    "m1_multimodal_features" ->
+      """WITH b AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n,
+        |         list_transform(regexp_extract_all(hex(encode(text)), '(.).', 1),
+        |           c -> (strpos('0123456789ABCDEF', c) - 1) // 2) AS buckets
+        |  FROM documents
+        |)
+        |SELECT doc_id, n::BIGINT AS byte_len,
+        |       len(list_filter(buckets, x -> x = 0)) * 1000000 // n AS f0,
+        |       len(list_filter(buckets, x -> x = 1)) * 1000000 // n AS f1,
+        |       len(list_filter(buckets, x -> x = 2)) * 1000000 // n AS f2,
+        |       len(list_filter(buckets, x -> x = 3)) * 1000000 // n AS f3,
+        |       len(list_filter(buckets, x -> x = 4)) * 1000000 // n AS f4,
+        |       len(list_filter(buckets, x -> x = 5)) * 1000000 // n AS f5,
+        |       len(list_filter(buckets, x -> x = 6)) * 1000000 // n AS f6,
+        |       len(list_filter(buckets, x -> x = 7)) * 1000000 // n AS f7
+        |FROM b""".stripMargin,
     "m0_multimodal_meta" ->
       """SELECT doc_id, strlen(text)::BIGINT AS byte_len,
         |       'image/fake' AS mime
@@ -113,7 +212,7 @@ object SparkEntry {
         |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
     "r15_sessionize" ->
       """WITH g AS (
-        |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+        |  SELECT user_id, event_id, ts, epoch_ms(ts) AS ts_ms,
         |         lag(epoch_ms(ts)) OVER w AS prev_ms
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -121,7 +220,7 @@ object SparkEntry {
         |  SELECT user_id, event_id, ts_ms,
         |         sum(CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000
         |                  THEN 1 ELSE 0 END)
-        |           OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                 ROWS UNBOUNDED PRECEDING) AS session_id
         |  FROM g
         |)

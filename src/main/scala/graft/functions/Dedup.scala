@@ -129,6 +129,35 @@ object Dedup {
       .drop("sh_a", "sh_b")
   }
 
+  /** Exact n-gram Jaccard near-dup pairs over the whole corpus, via an
+    * inverted shingle index: explode distinct shingles, self-join on the
+    * shingle (pairs sharing ≥1 shingle), count shared shingles per pair,
+    * union size from the per-doc set sizes. All-integer output
+    * (id_a, id_b, inter, uni) with inter/uni ≥ num/den kept — no float
+    * rounding anywhere, so any engine reproduces it bit-for-bit.
+    *
+    * Scale note: work is Σ_shingle df(s)² — fine when near-dups are rare
+    * and shingles are k=3 word grams; a corpus-wide hot shingle would need
+    * a document-frequency cap. At 100 TB the probabilistic path (minhashLsh
+    * → ngramJaccard verify on candidates) is the default; this exact miner
+    * is the ground-truth/audit tool. */
+  def ngramJaccardPairs(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id", shingleK: Int = 3,
+                        num: Int = 3, den: Int = 10): DataFrame = {
+    val sh = docs.select(col(idCol),
+      shingles(col(textCol), shingleK).as("sh"))
+    val idx = sh.select(col(idCol), size(col("sh")).cast("long").as("ns"),
+      explode(col("sh")).as("s"))
+    val a = idx.select(col(idCol).as("id_a"), col("ns").as("na"), col("s"))
+    val b = idx.select(col(idCol).as("id_b"), col("ns").as("nb"), col("s"))
+    a.join(b, Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "na", "nb").agg(count(lit(1)).as("inter"))
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .filter(col("inter") * den >= col("uni") * num)
+      .select("id_a", "id_b", "inter", "uni")
+  }
+
   // ---------------------------------------------------------------- simhash
 
   /** SimHash as 4×16-bit chunks (array<long>, chunk c = bits [16c,16c+16)).

@@ -79,9 +79,12 @@ object LlmQueries {
   }
 
   /** Multimodal plumbing: binary payload + metadata → stub-decoded features
-    * (rows-only; determinism + schema tested). */
+    * through the mapPartitions decode boundary. The ppm byte-histogram stub
+    * is exact integer math, so this is oracle-checked end to end; width/
+    * height (xxhash64-derived fakes) are excluded — no DuckDB equivalent. */
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(Multimodal.attachBinary(Tables.documents(spark, dir)))
+      .drop("width", "height")
 
   /** Multimodal typed-metadata side (oracle-checked: payload byte length
     * is SQL-expressible; the fake dims aren't). */
@@ -89,6 +92,36 @@ object LlmQueries {
     Multimodal.attachBinary(Tables.documents(spark, dir))
       .select(col("doc_id"), col("meta.byte_len").as("byte_len"),
         col("meta.mime").as("mime"))
+
+  /** Exact n-gram Jaccard near-dup pairs (oracle-checked: all-integer
+    * intersection/union sizes, Jaccard ≥ 0.3 as 10·inter ≥ 3·uni). The
+    * ground-truth twin of d2's MinHash estimate. */
+  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(spark, dir))
+
+  /** Exact all-pairs embedding near-dup (cos ≥ 0.4 on the rounded score,
+    * oracle-checked). O(N²) ground truth for d4's LSH-bucketed variant —
+    * audit tool, not the 100 TB path. Scored by the native codegen'd
+    * cosine expression. */
+  def embedNearDupExact(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(call_function("cosine_sim", col("va"), col("vb")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.4)
+  }
+
+  /** Language-ID + composite quality score (oracle-checked — both are pure
+    * column arithmetic, mirrored in DuckDB SQL; the fingerprint stays in t3
+    * because xxhash64 has no DuckDB equivalent). */
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TextAnalysis.langId(col("text")).as("lang_pred"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
 
   /** Corpus-level MinHash via the minhash_agg custom aggregate: one
     * signature per source, then pairwise estimated Jaccard between sources

@@ -39,26 +39,32 @@ object Multimodal {
         (pmod(xxhash64(col("text"), lit(1)), lit(448)) + 64).cast("int").as("height"))
         .as("meta"))
 
-  /** Feature row produced per payload by the (stub) decoder. */
-  val FeatureSchema: StructType = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("byte_len", LongType),
-    StructField("width", IntegerType),
-    StructField("height", IntegerType),
-    StructField("features", ArrayType(DoubleType))))
+  /** Feature row produced per payload by the (stub) decoder. Features are
+    * scalar columns (f0..f7), not an array — downstream consumers (and the
+    * oracle comparator) handle flat numeric columns; an array here buys
+    * nothing and costs a per-row allocation. */
+  val FeatureSchema: StructType = StructType(
+    Seq(
+      StructField("doc_id", LongType),
+      StructField("byte_len", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType)) ++
+      (0 until 8).map(i => StructField(s"f$i", LongType)))
 
   /** ======================= STUB DECODER =======================
     * A real implementation decodes `payload` (JPEG/PNG/WAV...) and runs
     * feature extraction / resize / frame sampling here, batch-at-a-time.
     * This container has no codec libraries, so features are a deterministic
-    * function of the raw bytes: 8 byte-histogram moments. The mapPartitions
-    * boundary, schema, and batch shape are the real thing. */
-  def stubDecode(bytes: Array[Byte]): Array[Double] = {
+    * function of the raw bytes: an 8-bucket byte histogram (bucket =
+    * byte >> 5) in parts-per-million, exact integer math so any engine can
+    * reproduce it bit-for-bit. The mapPartitions boundary, schema, and batch
+    * shape are the real thing. */
+  def stubDecode(bytes: Array[Byte]): Array[Long] = {
     val hist = new Array[Long](8)
     var i = 0
     while (i < bytes.length) { hist((bytes(i) & 0xFF) >> 5) += 1; i += 1 }
-    val n = math.max(bytes.length, 1).toDouble
-    hist.map(h => math.rint(h / n * 1e6) / 1e6)
+    val n = math.max(bytes.length, 1)
+    hist.map(h => h * 1000000L / n)
   }
 
   /** Decode + feature-extract over the multimodal table. Partition-parallel;
@@ -72,8 +78,8 @@ object Multimodal {
         val id = r.getLong(0)
         val payload = r.getAs[Array[Byte]](1)
         val meta = r.getStruct(2)
-        Row(id, meta.getLong(1), meta.getInt(2), meta.getInt(3),
-          stubDecode(payload))
+        val f = stubDecode(payload)
+        Row.fromSeq(Seq[Any](id, meta.getLong(1), meta.getInt(2), meta.getInt(3)) ++ f)
       }
     }
     spark.createDataFrame(rdd, FeatureSchema)

@@ -110,10 +110,14 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
               nCells: Int = 16, nProbe: Int = 8, refineIters: Int = 1,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // cell ids via monotonically_increasing_id over the single sorted
+    // partition the limit produces — deterministic, and avoids a global
+    // window (Spark folds away constant partition keys, so even a lit()
+    // partition spec would fall back to the one-partition WindowExec)
     var centroids = corpus
       .select(col(idCol), col(vecCol), pmod(xxhash64(col(idCol)), lit(1000000L)).as("__h"))
-      .orderBy(col("__h"), col(idCol)).limit(nCells)
-      .select(row_number().over(Window.orderBy(col("__h"), col(idCol))).as("cell_id"),
+      .orderBy(col("__h"), col(idCol)).limit(nCells).coalesce(1)
+      .select(monotonically_increasing_id().as("cell_id"),
         transform(col(vecCol), _.cast("double")).as("cv"))
 
     def assign(df: DataFrame, v: String): DataFrame = {

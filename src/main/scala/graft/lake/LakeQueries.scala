@@ -11,8 +11,7 @@ import graft.Tables
   * which must equal the batch-SQL equivalent of the same replay. */
 object LakeQueries {
 
-  private def tempPath(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+  private def tempPath(prefix: String): String = graft.TempDirs.create(prefix)
 
   /** S1+S6+S7+S11+R12+T4 in one pass: replay `events` as 5 ordered
     * micro-batches of keyed upserts (key = user_id), compacting mid-replay
@@ -20,16 +19,23 @@ object LakeQueries {
     * snapshot-read. Must equal the batch last-write-wins dedup (oracle:
     * QUALIFY row_number()=1 over user_id ordered by ts, event_id).
     *
-    * The ntile window is unpartitioned — that's replay *scaffolding* (micro-
-    * batch boundaries normally come from the streaming source), not an engine
-    * operator; the engine-side work (upsert dedup, merge-read) is all hashed
-    * by key.
+    * Micro-batch boundaries are time-range buckets from approxQuantile —
+    * replay scaffolding that stays distributed (a global ntile window would
+    * funnel every event through one task). The upsert result is independent
+    * of the exact boundary placement: any time-monotonic split yields the
+    * same last-write-wins winner, because same-ts events always land in the
+    * same batch and `orderWithinBatch` breaks ties inside it.
     */
   def upsertReplay(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select("user_id", "event_id", "event_type", "value", "ts_ms", "ts_ns")
+    val qs = ev.stat.approxQuantile("ts_ns", Array(0.2, 0.4, 0.6, 0.8), 0.01)
+    val firstBucket = when(col("ts_ns") <= lit(qs(0).toLong), lit(1))
     val batched = ev
-      .withColumn("__b", ntile(5).over(Window.orderBy(col("ts_ns"), col("event_id"))))
+      .withColumn("__b",
+        qs.drop(1).zipWithIndex.foldLeft(firstBucket) { case (acc, (q, i)) =>
+          acc.when(col("ts_ns") <= lit(q.toLong), lit(i + 2))
+        }.otherwise(lit(5)))
       .cache()
     val t = MorTable(spark, tempPath("mor-replay"),
       keyCols = Seq("user_id"), compactionDeltaCommits = 3)

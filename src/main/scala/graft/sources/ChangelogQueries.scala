@@ -21,7 +21,11 @@ object ChangelogQueries {
       .withColumn("op", when(row_number().over(w) === 1, "I").otherwise("U"))
       .withColumn("seq", col("ts_ns"))
     val env = ChangelogSource.fromOps(ops, Seq("user_id"))
-    ChangelogSource.materialize(env, Seq("user_id"))
+    // seq = ts_ns is not a total order per key (duplicate (user_id, ts) pairs
+    // are possible at other scales) — event_id DESC matches the oracle's
+    // ORDER BY ts DESC, event_id DESC exactly.
+    ChangelogSource.materialize(env, Seq("user_id"),
+        tiebreak = Seq(col("after.event_id").desc))
       .select("user_id", "event_id", "event_type", "value", "ts_ms")
   }
 }

@@ -100,8 +100,9 @@ object ChangelogSource {
     * semantics of zpln:1870): I/U rows replace by key, D rows remove.
     * Pure DataFrame transform — last op per key in the batch wins, then
     * merges over the prior state. */
-  def applyToState(state: DataFrame, batch: DataFrame, keyCols: Seq[String]): DataFrame = {
-    val wb = Window.partitionBy(col("key")).orderBy(col("seq").desc)
+  def applyToState(state: DataFrame, batch: DataFrame, keyCols: Seq[String],
+                   tiebreak: Seq[Column] = Nil): DataFrame = {
+    val wb = Window.partitionBy(col("key")).orderBy(col("seq").desc +: tiebreak: _*)
     val lastPerKey = batch
       .withColumn("__rn", row_number().over(wb)).filter(col("__rn") === 1).drop("__rn")
     val upserts = lastPerKey.filter(col("op") =!= OpDelete).select(col("after.*"))
@@ -114,9 +115,15 @@ object ChangelogSource {
 
   /** Materialized continuous scan (R2/R3): fold the whole log over an
     * optional snapshot — what `SELECT * FROM person` shows after the stream
-    * settles (zpln:1147/:1527). */
-  def materialize(changelog: DataFrame, keyCols: Seq[String]): DataFrame = {
-    val w = Window.partitionBy(col("key")).orderBy(col("seq").desc)
+    * settles (zpln:1147/:1527).
+    *
+    * `tiebreak` extends the per-key ordering past `seq` — required whenever
+    * seq alone isn't a total order per key (e.g. seq = event timestamp with
+    * duplicate (key, ts) pairs), so the materialized winner is deterministic
+    * on both sides of an oracle comparison. */
+  def materialize(changelog: DataFrame, keyCols: Seq[String],
+                  tiebreak: Seq[Column] = Nil): DataFrame = {
+    val w = Window.partitionBy(col("key")).orderBy(col("seq").desc +: tiebreak: _*)
     changelog
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
       .filter(col("op") =!= OpDelete)

@@ -41,10 +41,20 @@ object ContinuousPipeline {
 
   /** Continuous INSERT INTO ticket_view: stream the multiplexed WAL dir into
     * the pipeline, one micro-batch per trigger tick, exactly-once by the
-    * streaming batchId (+1: batch 0 is the snapshot-initialize commit). */
+    * streaming batchId.
+    *
+    * Pipeline batch id = base + streamingBatchId + 1, where `base` is pinned
+    * on first start and persisted INSIDE the checkpoint directory. A restart
+    * that reuses the checkpoint reuses the same base, so replayed streaming
+    * batch ids map to their original pipeline ids (the sink's exactly-once
+    * guard skips them). A restart with a FRESH checkpoint restarts streaming
+    * ids at 0 — without the base those would collide with already-committed
+    * pipeline ids and be silently dropped; here the new base lands past the
+    * sink's max committed id, so no data is lost. */
   def start(spark: SparkSession, pipe: IncrementalJoinPipeline,
             watchDir: String, schemaFrom: DataFrame, checkpointDir: String,
-            trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+            trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery = {
+    val base = pinnedBase(spark, pipe, checkpointDir)
     StreamingOps.changelogStream(spark, watchDir, schemaFrom)
       .writeStream
       .option("checkpointLocation", checkpointDir)
@@ -53,8 +63,28 @@ object ContinuousPipeline {
         val b = batch.cache()
         try pipe.processBatch(
           demux(b, "person"), demux(b, "ticket"), demux(b, "hist"),
-          batchId + 1L)
+          base + batchId + 1L)
         finally { b.unpersist(); () }
       }
       .start()
+  }
+
+  /** Read the pinned batch-id base from the checkpoint dir, or pin it now:
+    * the sink's max committed pipeline batch id at first start. */
+  private def pinnedBase(spark: SparkSession, pipe: IncrementalJoinPipeline,
+                         checkpointDir: String): Long = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(checkpointDir, "graft-batch-base")
+    val fs = p.getFileSystem(hconf)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toLong
+      finally in.close()
+    } else {
+      val base = pipe.sink.timeline().map(_.batchId).foldLeft(0L)(math.max)
+      val out = fs.create(p, false)
+      try out.write(base.toString.getBytes("UTF-8")) finally out.close()
+      base
+    }
+  }
 }

@@ -11,8 +11,7 @@ import graft.sources.ChangelogSource
   * lineitem↔purchase-history). */
 object PipelineQueries {
 
-  private def tempPath(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+  private def tempPath(prefix: String): String = graft.TempDirs.create(prefix)
 
   /** Initialize with customer+orders snapshots (zpln:1101 snapshot phase),
     * then replay lineitem as an append-only changelog in 4 micro-batches
@@ -44,14 +43,19 @@ object PipelineQueries {
     // hist uses l_orderkey2 so P/T/H column names stay disjoint (o_orderkey
     // is the ticket pk; l_orderkey is the fact's fk to it). The testdata has
     // duplicate (l_orderkey, l_linenumber) pairs, so the fact PK is a
-    // surrogate `hid` = rank of the full deterministic ordering — the same
-    // total order the DuckDB oracle ranks by (replay scaffolding; a real WAL
+    // surrogate `hid` whose order matches the total order the DuckDB oracle
+    // ranks by: orderkey in the high bits, the within-order rank (≤17 rows
+    // per order, so 10 bits is plenty) in the low bits. The rank window is
+    // PARTITIONED by orderkey — a global row_number here would funnel the
+    // whole fact table through one task (replay scaffolding; a real WAL
     // supplies its own LSN here).
+    val perOrder = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_orderkey2"))
+      .orderBy(col("l_linenumber"), col("l_extendedprice"), col("l_shipdate"))
     val hist = l.withColumnRenamed("l_orderkey", "l_orderkey2")
-      .withColumn("hid", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(
-          col("l_orderkey2"), col("l_linenumber"),
-          col("l_extendedprice"), col("l_shipdate"))).cast("long"))
+      .withColumn("hid",
+        shiftleft(col("l_orderkey2").cast("long"), 10) +
+          row_number().over(perOrder).cast("long"))
 
     pipe.initialize(c, o, hist.limit(0))
 

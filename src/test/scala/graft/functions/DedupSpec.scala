@@ -37,6 +37,23 @@ class DedupSpec extends AnyFunSuite {
     assert(j01 == 1.0)
   }
 
+  test("ngramJaccardPairs: exact integer inter/uni, threshold honored") {
+    val pairs = Dedup.ngramJaccardPairs(corpus) // jaccard >= 0.3
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    // identical docs: inter == uni (jaccard 1)
+    val (i01, u01) = pairs((0L, 1L))
+    assert(i01 == u01 && i01 > 0)
+    // near-dup pair present with inter < uni; cross-topic pairs absent
+    assert(pairs.contains((0L, 2L)) && pairs((0L, 2L))._1 < pairs((0L, 2L))._2)
+    assert(!pairs.contains((0L, 3L)) && !pairs.contains((2L, 4L)))
+    // matches the array-based verify-stage jaccard on a shared pair
+    val j = Dedup.ngramJaccard(
+      Seq((0L, 2L)).toDF("id_a", "id_b"), corpus).head().getAs[Double]("jaccard")
+    val (i02, u02) = pairs((0L, 2L))
+    assert(math.abs(j - i02.toDouble / u02) < 1e-12)
+  }
+
   test("estJaccard equals 1 on identical signatures") {
     val sig = Dedup.minhashSignature(Dedup.shingleHashes(lit(loremA)))
     val df = spark.range(1).select(Dedup.estJaccard(sig, sig).as("j"))

@@ -23,10 +23,9 @@ class MultimodalSpec extends AnyFunSuite {
     val f2 = Multimodal.extractFeatures(mm).orderBy("doc_id").collect()
     assert(f1.toSeq == f2.toSeq)
     assert(f1.head.schema.fieldNames.toSeq ==
-      Seq("doc_id", "byte_len", "width", "height", "features"))
-    val hist = f1.head.getSeq[Double](f1.head.fieldIndex("features"))
-    assert(hist.length == 8)
-    assert(math.abs(hist.sum - 1.0) < 1e-3)
+      Seq("doc_id", "byte_len", "width", "height") ++ (0 until 8).map(i => s"f$i"))
+    val hist = (0 until 8).map(i => f1.head.getLong(f1.head.fieldIndex(s"f$i")))
+    assert(math.abs(hist.sum - 1000000L) < 1000L)
   }
 
   test("planResize: caps the longer edge, preserves aspect direction") {

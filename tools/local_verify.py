@@ -27,11 +27,16 @@ def norm(v):
         return tuple(norm(x) for x in v)
     return v
 
+def sort_key(row):
+    # None-safe, mixed-type-safe total order (None sorts first per column)
+    return tuple((v is None, str(type(v)), str(v)) for v in row)
+
 def rows_of(cols, names):
     order = sorted(range(len(names)), key=lambda i: names[i])
     cols = [cols[i] for i in order]
     return sorted(
-        tuple(norm(c[j]) for c in cols) for j in range(len(cols[0]) if cols else 0)
+        (tuple(norm(c[j]) for c in cols) for j in range(len(cols[0]) if cols else 0)),
+        key=sort_key,
     ), [names[i] for i in order]
 
 def main(sf_dir, out_dir):
