@@ -30,6 +30,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => SigOverlap(exprs.head, exprs(1))))
     ext.injectFunction((FunctionIdentifier("shingle_hashes"), ShingleHashes.info,
       exprs => ShingleHashes(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("shingle_hashes64"), ShingleHashes.info64,
+      exprs => ShingleHashes(exprs.head, exprs(1), raw = true)))
   }
 }
 
@@ -57,6 +59,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("shingle_hashes"), ShingleHashes.info,
       exprs => ShingleHashes(exprs.head, exprs(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("shingle_hashes64"), ShingleHashes.info64,
+      exprs => ShingleHashes(exprs.head, exprs(1), raw = true))
   }
 
   /** Column-API form of the native expression. */

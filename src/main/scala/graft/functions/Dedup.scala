@@ -144,8 +144,14 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id", shingleK: Int = 3,
                         num: Int = 3, den: Int = 10): DataFrame = {
+    // native one-pass shingle hashing, full 64 bits: set arithmetic on longs
+    // is exact up to hash collisions (~n²/2⁶⁵ ≈ 10⁻¹³ here), the index and
+    // join never materialize shingle strings, and the shuffle carries 8-byte
+    // keys. The string-set form (shingles/ngramJaccard) is the reference
+    // implementation this is equality-tested against.
+    graft.GraftFunctions.register(docs.sparkSession)
     val sh = docs.select(col(idCol),
-      shingles(col(textCol), shingleK).as("sh"))
+      call_function("shingle_hashes64", col(textCol), lit(shingleK)).as("sh"))
     val idx = sh.select(col(idCol), size(col("sh")).cast("long").as("ns"),
       explode(col("sh")).as("s"))
     val a = idx.select(col(idCol).as("id_a"), col("ns").as("na"), col("s"))

@@ -17,13 +17,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * chain k token hashes with a splitmix-style mix — a k-shingle never
   * exists as a string at all. Distinctness via a small hash set.
   *
+  * `raw = true` (SQL name `shingle_hashes64`) keeps the full 64-bit mixed
+  * hash instead of reducing mod 2^31-1 — for set-arithmetic consumers
+  * (exact Jaccard via inverted index) where collision probability must be
+  * negligible rather than merely small. MinHash keeps the mod-P form (its
+  * universal-hash family needs values < P).
+  *
   * CodegenFallback: the eval IS one compiled method (string work doesn't
   * benefit from expression fusing); the surrounding plan stays whole-stage
   * where possible. Hash family differs from the declarative form — both
   * are valid MinHash inputs; family-independent behavior (LSH recall,
   * estimate accuracy) is what DedupSpec asserts.
   */
-case class ShingleHashes(left: Expression, right: Expression)
+case class ShingleHashes(left: Expression, right: Expression, raw: Boolean = false)
     extends BinaryExpression with CodegenFallback {
 
   private val P = 2147483647L
@@ -36,7 +42,10 @@ case class ShingleHashes(left: Expression, right: Expression)
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "shingle_hashes"
+  override def prettyName: String = if (raw) "shingle_hashes64" else "shingle_hashes"
+
+  private def finish(acc: Long): Long =
+    if (raw) acc else java.lang.Long.remainderUnsigned(acc, P)
 
   private def mix(acc: Long, x: Long): Long = {
     var z = acc ^ (x + 0x9E3779B97F4A7C15L)
@@ -69,17 +78,17 @@ case class ShingleHashes(left: Expression, right: Expression)
     if (n == 0) {
       // empty text → single hash of the empty shingle (matches the
       // declarative form's "whole text as one shingle" degenerate case)
-      out.add(java.lang.Long.remainderUnsigned(mix(0L, 0L), P))
+      out.add(finish(mix(0L, 0L)))
     } else if (n < k) {
       var acc = 0L; var j = 0
       while (j < n) { acc = mix(acc, tokenHashes.get(j)); j += 1 }
-      out.add(java.lang.Long.remainderUnsigned(acc, P))
+      out.add(finish(acc))
     } else {
       var s = 0
       while (s + k <= n) {
         var acc = 0L; var j = 0
         while (j < k) { acc = mix(acc, tokenHashes.get(s + j)); j += 1 }
-        out.add(java.lang.Long.remainderUnsigned(acc, P))
+        out.add(finish(acc))
         s += 1
       }
     }
@@ -97,4 +106,6 @@ case class ShingleHashes(left: Expression, right: Expression)
 object ShingleHashes {
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[ShingleHashes].getName, "shingle_hashes")
+  val info64: ExpressionInfo = new ExpressionInfo(
+    classOf[ShingleHashes].getName, "shingle_hashes64")
 }
