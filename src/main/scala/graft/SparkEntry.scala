@@ -33,6 +33,7 @@ object SparkEntry {
     "r15_sessionize"     -> ((s, d) => RelationalOps.sessionize(s, d)),
     "r2_changelog_materialize" -> ((s, d) => graft.sources.ChangelogQueries.materializeEvents(s, d)),
     "s7_mor_upsert_replay" -> ((s, d) => graft.lake.LakeQueries.upsertReplay(s, d)),
+    "s13_mor_partitioned" -> ((s, d) => graft.lake.LakeQueries.partitionedReplay(s, d)),
     "s8_cdc_ticket_view"  -> ((s, d) => graft.streaming.PipelineQueries.ticketView(s, d)),
     "d1_exact_dedup"     -> ((s, d) => graft.functions.LlmQueries.exactDedup(s, d)),
     "d2_minhash_pairs"   -> ((s, d) => graft.functions.LlmQueries.minhashPairs(s, d)),
@@ -232,6 +233,12 @@ object SparkEntry {
         |FROM events
         |QUALIFY row_number() OVER
         |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+    "s13_mor_partitioned" ->
+      """SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
+        |FROM events
+        |QUALIFY row_number() OVER
+        |  (PARTITION BY event_type, user_id
+        |   ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
     "s8_cdc_ticket_view" ->
       """SELECT c.c_name AS full_name,
         |       CAST(l.l_orderkey AS VARCHAR) AS id,

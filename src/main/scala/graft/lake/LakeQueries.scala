@@ -47,4 +47,24 @@ object LakeQueries {
       t.read().select("user_id", "event_id", "event_type", "value", "ts_ms")
     } finally batched.unpersist()
   }
+
+  /** Partitioned-lake replay: same LWW upsert semantics, but through a
+    * PartitionedMorTable partitioned by event_type (the ingest-date stand-in:
+    * 5 values). Key = user_id within each partition, so the global PK is
+    * (event_type, user_id) — keys never cross partitions. Two time-ordered
+    * micro-batches; delta_commits=2 makes every touched partition compact
+    * independently mid-replay. Oracle: last event per (event_type, user_id). */
+  def partitionedReplay(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "value", "ts_ms", "ts_ns")
+    val mid = ev.stat.approxQuantile("ts_ns", Array(0.5), 0.01)(0).toLong
+    val t = new PartitionedMorTable(spark, tempPath("mor-part"),
+      keyCols = Seq("user_id"), partitionCol = "event_type",
+      compactionDeltaCommits = 2)
+    t.upsert(ev.filter(col("ts_ns") <= mid),
+      orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 1L)
+    t.upsert(ev.filter(col("ts_ns") > mid),
+      orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 2L)
+    t.read().select("user_id", "event_id", "event_type", "value", "ts_ms")
+  }
 }

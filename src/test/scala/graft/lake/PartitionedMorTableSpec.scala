@@ -1,0 +1,58 @@
+package graft.lake
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class PartitionedMorTableSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp() = graft.TempDirs.create("pmor")
+
+  test("per-partition compaction: only touched partitions compact") {
+    val t = new PartitionedMorTable(spark, tmp(), Seq("k"), "p",
+      compactionDeltaCommits = 2, autoCompact = false)
+    t.upsert(Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "p", "v"),
+      Seq(col("k")), batchId = 1L)
+    t.upsert(Seq((1L, "a", 11)).toDF("k", "p", "v"), Seq(col("k")), batchId = 2L)
+    // a has 2 delta commits (due), b has 1 (not due)
+    val compacted = t.maybeCompact()
+    assert(compacted == Seq("a"))
+    assert(t.child("a").timeline().exists(_.kind == "compact"))
+    assert(!t.child("b").timeline().exists(_.kind == "compact"))
+    // snapshot reflects LWW across partitions
+    val rows = t.read().orderBy("p", "k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(rows == Seq((1L, "a", 11), (2L, "b", 20)))
+  }
+
+  test("partition-pruned read opens only named children") {
+    val t = new PartitionedMorTable(spark, tmp(), Seq("k"), "p")
+    t.upsert(Seq((1L, "x", 1), (2L, "y", 2), (3L, "z", 3)).toDF("k", "p", "v"),
+      Seq(col("k")), batchId = 1L)
+    val pruned = t.read(Seq("y"))
+    assert(pruned.collect().map(_.getString(1)).toSeq == Seq("y"))
+    // the pruned plan scans exactly one child directory
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(scanned.contains("p=y") && !scanned.contains("p=x"))
+  }
+
+  test("replayed batchId is a per-partition no-op") {
+    val t = new PartitionedMorTable(spark, tmp(), Seq("k"), "p")
+    t.upsert(Seq((1L, "a", 1)).toDF("k", "p", "v"), Seq(col("k")), batchId = 7L)
+    t.upsert(Seq((1L, "a", 999)).toDF("k", "p", "v"), Seq(col("k")), batchId = 7L)
+    assert(t.read().head().getInt(2) == 1)
+    assert(t.child("a").timeline().count(_.kind == "delta") == 1)
+  }
+
+  test("deletes tombstone within their partition only") {
+    val t = new PartitionedMorTable(spark, tmp(), Seq("k"), "p")
+    t.upsert(Seq((1L, "a", 1), (1L, "b", 2)).toDF("k", "p", "v"),
+      Seq(col("k")), batchId = 1L)
+    t.delete(Seq((1L, "a")).toDF("k", "p"), batchId = 2L)
+    val rows = t.read().collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "b")))
+  }
+}
