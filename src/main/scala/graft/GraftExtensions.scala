@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.functions.call_function
-import graft.functions.expr.{CosineSimilarity, MinHashAgg, MinHashBands, MinHashSignature, ShingleHashes, SigOverlap, SimHashChunks}
+import graft.functions.expr.{CosineSimilarity, MinHashAgg, MinHashBands, MinHashSignature, ShingleHashes, SigOverlap, SimHashChunks, TokenHashes}
 
 /** Engine extension wiring.
   *
@@ -32,6 +32,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => ShingleHashes(exprs.head, exprs(1))))
     ext.injectFunction((FunctionIdentifier("shingle_hashes64"), ShingleHashes.info64,
       exprs => ShingleHashes(exprs.head, exprs(1), raw = true)))
+    ext.injectFunction((FunctionIdentifier("token_hashes"), TokenHashes.info,
+      exprs => TokenHashes(exprs.head)))
   }
 }
 
@@ -62,6 +64,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("shingle_hashes64"), ShingleHashes.info64,
       exprs => ShingleHashes(exprs.head, exprs(1), raw = true))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("token_hashes"), TokenHashes.info,
+      exprs => TokenHashes(exprs.head))
   }
 
   /** Column-API form of the native expression. */

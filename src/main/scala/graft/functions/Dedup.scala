@@ -212,7 +212,7 @@ object Dedup {
     graft.GraftFunctions.register(docs.sparkSession)
     val sigs = docs
       .select(col(idCol),
-        transform(TextAnalysis.tokens(lower(col(textCol))), t => xxhash64(t)).as("__th"))
+        call_function("token_hashes", col(textCol)).as("__th"))
       .select(col(idCol), call_function("simhash_chunks", col("__th")).as("ch"))
     val chunked = sigs.select(col(idCol), col("ch"), posexplode(col("ch")))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")

@@ -60,6 +60,25 @@ class DedupSpec extends AnyFunSuite {
     assert(df.head().getDouble(0) == 1.0)
   }
 
+  test("token_hashes: multiset order-preserving, lowercase, shingle-consistent") {
+    graft.GraftFunctions.register(spark)
+    def th(s: String): Seq[Long] =
+      spark.range(1).select(call_function("token_hashes", lit(s)).as("h"))
+        .head().getSeq[Long](0)
+    // multiset: repeated token keeps both occurrences, order preserved
+    val aba = th("alpha beta alpha")
+    assert(aba.length == 3 && aba(0) == aba(2) && aba(0) != aba(1))
+    // case-insensitive, whitespace-class split
+    assert(th("Alpha\tBETA\n alpha ") == aba)
+    assert(th("") == Seq.empty && th("  \n ") == Seq.empty)
+    // same tokenizer+hash family as shingle_hashes: equal distinct token
+    // count implies the k=1 shingle set has the same cardinality
+    val sh1 = spark.range(1)
+      .select(call_function("shingle_hashes64", lit("alpha beta alpha"), lit(1)).as("h"))
+      .head().getSeq[Long](0)
+    assert(sh1.length == aba.distinct.length)
+  }
+
   test("simhash: identical texts hamming 0; near texts small; unrelated large") {
     val sigs = corpus.select($"doc_id", Dedup.simhash64($"text").as("sh"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
