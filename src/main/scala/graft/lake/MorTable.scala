@@ -98,16 +98,46 @@ final class MorTable(
   }
 
   /** Delete by key — writes tombstones (CDC `op = D`). `keys` needs the key
-    * columns only. */
-  def delete(keys: DataFrame, batchId: Long = -1L): MorTable = {
+    * columns only. `seqno` overrides the stored `_commit_seqno` (used by
+    * PartitionedMorTable, whose commit counter is table-global). */
+  def delete(keys: DataFrame, batchId: Long = -1L, seqno: Option[Long] = None): MorTable = {
     val schema = snapshotSchema()
     // pad the tombstone rows to the full table schema (nulls for data cols)
     val padded = schema.fields.filterNot(f => keys.columns.contains(f.name))
       .foldLeft(keys.select(keyCols.map(col): _*)) { (df, f) =>
         df.withColumn(f.name, lit(null).cast(f.dataType))
       }
-    commitDelta(withMeta(padded, deleted = true), batchId)
+    commitDelta(withMeta(padded, deleted = true), batchId, seqno)
     this
+  }
+
+  /** Adopt an already-written delta directory (all rows carrying the meta
+    * columns, `_commit_seqno` included) as this table's next commit: one
+    * rename + one timeline instant, no Spark job. This is how
+    * [[PartitionedMorTable]] commits — ONE staged cluster write for the
+    * whole batch, then per-partition metadata-only adoption. */
+  private[lake] def adoptDelta(src: Path, batchId: Long): Unit = synchronized {
+    if (isCommitted(batchId)) { fs.delete(src, true); return } // replay no-op
+    val tl = timeline()
+    val seq = lastSeq(tl) + 1
+    val dst = new Path(hPath, s"delta/$seq")
+    fs.mkdirs(dst.getParent)
+    if (!fs.rename(src, dst)) throw new java.io.IOException(s"delta adopt rename failed: $dst")
+    writeInstant(Instant(seq, "delta", batchId, System.currentTimeMillis()))
+    // compaction is the parent's job (it batches all due partitions into one
+    // cluster write) — see PartitionedMorTable.maybeCompact
+  }
+
+  /** Adopt an already-written compacted base directory (see adoptDelta):
+    * one rename + one `compact` timeline instant, no Spark job. The staged
+    * content must be this table's full snapshot as of its current timeline. */
+  private[lake] def adoptBase(src: Path): Unit = synchronized {
+    val tl = timeline()
+    val seq = lastSeq(tl) + 1
+    val dst = new Path(hPath, s"base/$seq")
+    fs.mkdirs(dst.getParent)
+    if (!fs.rename(src, dst)) throw new java.io.IOException(s"base adopt rename failed: $dst")
+    writeInstant(Instant(seq, "compact", -1L, System.currentTimeMillis()))
   }
 
   /** Apply one changelog micro-batch (envelope: op/key/before/after/seq —
@@ -143,13 +173,14 @@ final class MorTable(
     df.withColumn("_record_key", concat_ws("|", keyCols.map(c => col(c).cast("string")): _*))
       .withColumn("_deleted", lit(deleted))
 
-  private def commitDelta(df: DataFrame, batchId: Long): Unit = synchronized {
+  private def commitDelta(df: DataFrame, batchId: Long,
+                          seqno: Option[Long] = None): Unit = synchronized {
     if (isCommitted(batchId)) return // replayed micro-batch — exactly-once no-op
     val tl = timeline()
     val seq = lastSeq(tl) + 1
     val now = System.currentTimeMillis()
     val out0 = df
-      .withColumn("_commit_seqno", lit(seq))
+      .withColumn("_commit_seqno", lit(seqno.getOrElse(seq)))
       .withColumn("_commit_time", lit(commitTimeString(now)))
     val out = if (writePartitions > 0) out0.repartition(writePartitions, col("_record_key")) else out0
     out.write.mode("overwrite").parquet(s"$path/delta/$seq")
@@ -237,13 +268,18 @@ final class MorTable(
   /** T4 — `num_or_time` trigger (zpln:292: `compaction.delta_commits` /
     * `compaction.delta_seconds` / `'compaction.trigger.strategy'='num_or_time'`). */
   def maybeCompact(nowMs: Long = System.currentTimeMillis()): Boolean = {
+    val due = compactionDue(nowMs)
+    if (due) compact()
+    due
+  }
+
+  /** True iff the num_or_time trigger would fire (no side effects). */
+  private[lake] def compactionDue(nowMs: Long = System.currentTimeMillis()): Boolean = {
     val tl = timeline()
     val sinceCompact = tl.filter(_.seq > tl.filter(_.kind == "compact").lastOption.map(_.seq).getOrElse(0L))
     val deltas = sinceCompact.filter(_.kind == "delta")
-    val due = deltas.size >= compactionDeltaCommits ||
+    deltas.size >= compactionDeltaCommits ||
       deltas.headOption.exists(d => nowMs - d.commitMs >= compactionDeltaSeconds * 1000L)
-    if (due) compact()
-    due
   }
 
   /** Merge base + logs into a new base commit. Readers before the timeline

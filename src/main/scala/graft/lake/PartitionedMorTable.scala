@@ -20,18 +20,30 @@ import org.apache.spark.sql.functions._
   *    O(table)).
   *  - **partition-pruned reads** — `read(values)` opens only the named
   *    children; nothing else is even listed.
-  *  - **bounded commit fan-out** — a commit runs one write per TOUCHED
-  *    partition (CDC batches touch the recent few). The touched-partition
-  *    set is collected to the driver; it is small by construction (it is a
-  *    GROUP BY over the partition column, not the data).
+  *  - **one cluster job per commit** — an upsert runs ONE `partitionBy`
+  *    staged write for the whole batch (one dedup shuffle over
+  *    (partition, key), one write); each touched partition then adopts its
+  *    staged directory with a metadata-only rename + timeline instant. The
+  *    commit cost is O(batch) cluster work + O(touched partitions) driver
+  *    metadata, never O(partitions) Spark jobs.
   *
-  * Exactly-once: children share the caller's batchId, so a replayed batch
-  * is a per-child no-op; a crash mid-commit re-runs only children that had
-  * not committed (their `isCommitted` returns false).
+  * Exactly-once: the parent records each batchId on its own `_timeline`
+  * (a fully replayed batch is skipped before any cluster work), and the
+  * children share the caller's batchId, so a crash mid-adoption re-runs
+  * only children that had not committed (their `isCommitted` is false).
+  *
+  * `_commit_seqno` comes from the parent's table-global commit counter —
+  * baked into the staged write before partition fan-out — so last-write-
+  * wins ordering stays consistent across upserts and deletes no matter
+  * which partitions each touched. Child timeline seqs stay child-local
+  * (they only name delta/base directories). Always write through the
+  * parent; direct `child(v).upsert` would re-enter the child-local seqno
+  * space and break the ordering.
   *
   * Partition values are rendered as strings in directory names (Hive-style
   * `p=<value>`); the partition column stays in the child data, so reads
-  * need no reconstruction.
+  * need no reconstruction. Null partition values land in the Hive default
+  * partition name.
   */
 final class PartitionedMorTable(
     spark: SparkSession,
@@ -57,28 +69,100 @@ final class PartitionedMorTable(
       .filter(_.startsWith("p=")).map(_.stripPrefix("p=")).sorted
   }
 
-  /** Keyed upsert of a batch, split by partition value. One delta commit
-    * per touched partition, all tagged with `batchId`. A key must not move
-    * between partitions (same rule as Hudi's default key/partition-path
-    * contract); use the partition column as part of the key if it can. */
+  // ------------------------------------------------------- parent timeline
+
+  /** Parent-level commit instants: the table-global `_commit_seqno` counter
+    * and the whole-batch exactly-once record. */
+  def parentTimeline(): Seq[MorTable.Instant] = {
+    val dir = new Path(hPath, "_timeline")
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).toSeq.map(_.getPath.getName).filter(_.endsWith(".json"))
+      .map { n =>
+        MorTable.parseInstant(new String(
+          MorTable.readFully(fs, new Path(dir, n)), java.nio.charset.StandardCharsets.UTF_8))
+      }.sortBy(_.seq)
+  }
+
+  /** True iff this batchId fully committed (all touched partitions adopted). */
+  def isCommitted(batchId: Long): Boolean =
+    batchId >= 0 && parentTimeline().exists(_.batchId == batchId)
+
+  private def writeParentInstant(i: MorTable.Instant): Unit = {
+    val dir = new Path(hPath, "_timeline")
+    fs.mkdirs(dir)
+    val tmp = new Path(dir, s".${i.seq}.${i.kind}.json.tmp")
+    val dst = new Path(dir, s"${i.seq}.${i.kind}.json")
+    val out = fs.create(tmp, true)
+    try out.write(i.toJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, dst)) throw new java.io.IOException(s"parent commit rename failed: $dst")
+  }
+
+  private def nextToken(): Long =
+    parentTimeline().lastOption.map(_.seq).getOrElse(0L) + 1
+
+  /** Keyed upsert of a batch: ONE staged cluster write partitioned by the
+    * partition column, then a metadata-only adoption per touched partition,
+    * all tagged with `batchId`. A key must not move between partitions
+    * (same rule as Hudi's default key/partition-path contract); use the
+    * partition column as part of the key if it can. */
   def upsert(batch: DataFrame, orderWithinBatch: Seq[Column],
              batchId: Long = -1L): PartitionedMorTable = {
-    val touched = batch.select(col(partitionCol).cast("string"))
-      .distinct().collect().map(_.getString(0))
-    touched.foreach { v =>
-      child(v).upsert(batch.filter(col(partitionCol).cast("string") === v),
-        orderWithinBatch, batchId)
-    }
+    if (isCommitted(batchId)) return this // fully replayed batch — no-op
+    val token = nextToken()
+    val now = System.currentTimeMillis()
+    val deduped =
+      if (orderWithinBatch.isEmpty) batch
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy((partitionCol +: keyCols).map(col): _*)
+          .orderBy(orderWithinBatch.map(_.desc): _*)
+        batch.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      }
+    val staged = deduped
+      .withColumn("_record_key",
+        concat_ws("|", keyCols.map(c => col(c).cast("string")): _*))
+      .withColumn("_deleted", lit(false))
+      .withColumn("_commit_seqno", lit(token))
+      .withColumn("_commit_time", lit(MorTable.commitTimeString(now)))
+      .withColumn("__p", col(partitionCol).cast("string"))
+    val stagingDir = new Path(hPath, s".staging/$token")
+    staged.write.partitionBy("__p").mode("overwrite").parquet(stagingDir.toString)
+    adoptStaged(stagingDir, batchId)
+    writeParentInstant(MorTable.Instant(token, "delta", batchId, now))
+    if (autoCompact) { maybeCompact(); () }
     this
   }
 
-  /** Tombstone deletes, split by partition (keys must carry partitionCol). */
+  /** Move every staged `__p=<value>` directory into its child table as that
+    * child's next delta commit — renames + timeline instants only. */
+  private def adoptStaged(stagingDir: Path, batchId: Long): Unit = {
+    if (fs.exists(stagingDir)) {
+      fs.listStatus(stagingDir).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith("__p=")).foreach { p =>
+          val value = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(p.getName.stripPrefix("__p="))
+          child(value).adoptDelta(p, batchId)
+        }
+      fs.delete(stagingDir, true)
+    }
+    ()
+  }
+
+  /** Tombstone deletes, split by partition (keys must carry partitionCol).
+    * Consumes a parent commit token so delete/upsert LWW ordering stays
+    * table-global. */
   def delete(keys: DataFrame, batchId: Long = -1L): PartitionedMorTable = {
+    if (isCommitted(batchId)) return this
+    val token = nextToken()
     val touched = keys.select(col(partitionCol).cast("string"))
       .distinct().collect().map(_.getString(0))
     touched.foreach { v =>
-      child(v).delete(keys.filter(col(partitionCol).cast("string") === v), batchId)
+      child(v).delete(keys.filter(col(partitionCol).cast("string") === v),
+        batchId, seqno = Some(token))
     }
+    writeParentInstant(MorTable.Instant(token, "delete", batchId, System.currentTimeMillis()))
     this
   }
 
@@ -91,10 +175,46 @@ final class PartitionedMorTable(
   }
 
   /** Trigger the num_or_time compaction check on every partition; only
-    * children whose own timeline is due actually compact. Returns the
-    * partition values that compacted. */
-  def maybeCompact(nowMs: Long = System.currentTimeMillis()): Seq[String] =
-    partitions().filter(child(_).maybeCompact(nowMs))
+    * children whose own timeline is due actually compact — and all due
+    * partitions compact in ONE cluster job (union of their snapshot merges,
+    * staged `partitionBy` write, then one metadata-only base adoption per
+    * partition). Returns the partition values that compacted. */
+  def maybeCompact(nowMs: Long = System.currentTimeMillis()): Seq[String] = {
+    val due = partitions().filter(child(_).compactionDue(nowMs))
+    compactPartitions(due)
+    due
+  }
+
+  /** Compact the named partitions in one staged cluster write. */
+  def compactPartitions(values: Seq[String]): Unit = {
+    if (values.isEmpty) return
+    val snaps = values.map { v =>
+      child(v).snapshot().withColumn("__p", lit(v))
+    }
+    val stagingDir = new Path(hPath, s".staging/compact-${System.nanoTime()}")
+    // sortWithinPartitions(__p, _record_key): satisfies the dynamic-
+    // partition writer's required ordering (partition col prefix), so no
+    // re-sort — and keeps the key clustering that lets key-equality reads
+    // skip parquet row groups on _record_key min/max stats
+    snaps.reduce(_.unionByName(_, allowMissingColumns = true))
+      .sortWithinPartitions(col("__p"), col("_record_key"))
+      .write.partitionBy("__p").mode("overwrite").parquet(stagingDir.toString)
+    val written: Set[String] =
+      if (!fs.exists(stagingDir)) Set.empty
+      else fs.listStatus(stagingDir).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith("__p=")).map { p =>
+          val value = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(p.getName.stripPrefix("__p="))
+          child(value).adoptBase(p)
+          value
+        }.toSet
+    // a fully-tombstoned partition stages nothing (its snapshot is empty);
+    // compact it child-side so the base keeps a readable parquet schema and
+    // its trigger stops firing — rare, and empty, so the extra job is tiny
+    values.filterNot(written).foreach(child(_).compact())
+    if (fs.exists(stagingDir)) fs.delete(stagingDir, true)
+    ()
+  }
 
   /** Cleaner across all partitions (see MorTable.clean). */
   def clean(): Int = partitions().map(child(_).clean()).sum
