@@ -145,10 +145,16 @@ final class MorTable(
     * become upserts, D rows tombstones. Last op per key in the batch wins
     * by seq. This is the state-table write path of the continuous pipeline
     * (reference zpln:2317). */
-  def applyChangelog(envelope: DataFrame, batchId: Long = -1L): MorTable = {
+  /** `insertOnly = true` asserts the batch carries only `op = I` rows with
+    * distinct keys (the caller usually just proved it — the append-only CDC
+    * fast path), which makes the per-key LWW window a no-op: skip its
+    * shuffle entirely. */
+  def applyChangelog(envelope: DataFrame, batchId: Long = -1L,
+                     insertOnly: Boolean = false): MorTable = {
     val w = Window.partitionBy(col("key")).orderBy(col("seq").desc)
-    val last = envelope
-      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+    val last =
+      if (insertOnly) envelope
+      else envelope.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
     val rows = last.select(
       // D rows keep the before-image (tombstone still carries the key cols)
       when(col("op") === "D", col("before")).otherwise(col("after")).as("__r"),

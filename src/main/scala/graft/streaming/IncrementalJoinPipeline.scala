@@ -163,7 +163,9 @@ final class IncrementalJoinPipeline(
     * transaction, never regress it). Work is O(|delta| + |sink|), not
     * O(|history|). */
   private def appendOnlyBatch(dH: DataFrame, batchId: Long): Unit = {
-    hState.applyChangelog(dH, batchId)
+    // the caller proved dH is insert-only; unique keys are the CDC insert
+    // contract — skip the per-key LWW window's shuffle
+    hState.applyChangelog(dH, batchId, insertOnly = true)
     val newH = dH.select(col("after.*"))
     val joined = pState.read()
       .join(tState.read(), col(personKey) === col(ticketPersonFk))
