@@ -51,9 +51,52 @@ object SparkEntry {
     "d6_ngram_jaccard"    -> ((s, d) => graft.functions.LlmQueries.ngramJaccardPairs(s, d)),
     "d7_embed_neardup_exact" -> ((s, d) => graft.functions.LlmQueries.embedNearDupExact(s, d)),
     "t4_text_quality"     -> ((s, d) => graft.functions.LlmQueries.textQuality(s, d)),
+    "r16_asof_join"       -> ((s, d) => RelationalOps.asofPurchaseClick(s, d)),
+    "r17_window_analytics" -> ((s, d) => RelationalOps.windowAnalytics(s, d)),
+    "r18_rollup_agg"      -> ((s, d) => RelationalOps.rollupAgg(s, d)),
+    "r19_salted_join"     -> ((s, d) => RelationalOps.saltedJoinOrders(s, d)),
+    "t5_hash_sample"      -> ((s, d) => graft.functions.LlmQueries.hashSample(s, d)),
+    "t6_quota_sample"     -> ((s, d) => graft.functions.LlmQueries.quotaSample(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "r16_asof_join" ->
+      """SELECT user_id, p_event_id, p_ms, c_event_id, c_ms FROM (
+        |  SELECT p.user_id, p.event_id AS p_event_id, epoch_ms(p.ts) AS p_ms,
+        |         c.event_id AS c_event_id, epoch_ms(c.ts) AS c_ms,
+        |         row_number() OVER (PARTITION BY p.event_id
+        |                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        |  FROM events p JOIN events c
+        |    ON c.user_id = p.user_id AND c.ts <= p.ts
+        |  WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |) WHERE rn = 1""".stripMargin,
+    "r17_window_analytics" ->
+      """SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value,
+        |  rank() OVER (PARTITION BY user_id ORDER BY value DESC) AS value_rank,
+        |  coalesce(lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |           -1.0) AS prev_value,
+        |  sum(round(value * 1000000)::BIGINT)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS running_micros
+        |FROM events""".stripMargin,
+    "r18_rollup_agg" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+        |       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+        |       count(*) AS cnt,
+        |       sum(round(o_totalprice * 100)::BIGINT) AS sum_cents
+        |FROM orders
+        |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin,
+    "r19_salted_join" ->
+      """SELECT o.o_orderkey, c.c_name, o.o_totalprice
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
+    "t5_hash_sample" ->
+      """SELECT * FROM documents
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT < 858993459""".stripMargin,
+    "t6_quota_sample" ->
+      """SELECT * FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY lang
+        |  ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT,
+        |           doc_id) <= 50""".stripMargin,
     "d6_ngram_jaccard" ->
       """WITH w AS (
         |  SELECT doc_id,

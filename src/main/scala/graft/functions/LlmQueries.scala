@@ -23,8 +23,26 @@ object LlmQueries {
     Dedup.simhashNearDup(Tables.documents(spark, dir))
 
   /** Embedding-cosine near-dup pairs (rows-only). */
+  /** LSH-bucketed embedding near-dup at cos >= 0.4 — the highest pair
+    * similarity in the testdata corpus is ~0.51 (see d7's exact sweep), so
+    * the old 0.8 threshold matched nothing. 4 planes x 8 tables trades
+    * bucket size for ~0.75 recall at 0.4 (recall vs d7 asserted in
+    * SimilaritySpec). */
   def embedNearDup(spark: SparkSession, dir: String): DataFrame =
-    Similarity.embeddingNearDup(Tables.embeddings(spark, dir), threshold = 0.8)
+    Similarity.embeddingNearDup(Tables.embeddings(spark, dir),
+      threshold = 0.4, planes = 4, tables = 8)
+
+  /** Deterministic ~20% sample of documents by md5(doc_id) (oracle-checked:
+    * md5 is engine-portable, rand() is not even retry-stable). */
+  def hashSample(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.hashSample(
+      Tables.documents(spark, dir), "doc_id", num = 1, den = 5)
+
+  /** Per-language quota: at most 50 docs per lang, drawn deterministically
+    * by md5 bucket (the anti-domination cap of a curation pipeline). */
+  def quotaSample(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.quotaPerGroup(
+      Tables.documents(spark, dir), groupCol = "lang", keyCol = "doc_id", n = 50)
 
   /** Token/char/punct stats (oracle-checked). */
   def textStats(spark: SparkSession, dir: String): DataFrame =

@@ -132,4 +132,62 @@ object RelationalOps {
       .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 3).as("sum_value"))
       .select(unix_millis(col("w.start")).as("window_start_ms"),
         col("event_type"), col("cnt"), col("sum_value"))
+
+  /** ROLLUP aggregate: per-(status, priority) totals, per-status subtotals,
+    * grand total in one pass (Spark expands the grouping sets and keeps the
+    * aggregation partial/map-side). Money is summed as exact bigint cents —
+    * double-sum ordering differs between engines, integer sums don't. */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sum_cents"))
+      // subtotal rows surface as NULL group keys; expose a sentinel instead
+      // (row-sort compare harnesses don't order NULLs portably)
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        col("cnt"), col("sum_cents"))
+
+  /** Window-analytics bundle over events: per-user value rank, previous
+    * value (lag), and a running exact-micros sum — one shuffle on user_id
+    * shared by all three window frames. lag's leading NULL is coalesced to
+    * -1: the compare harness sorts rows and NULLs don't order portably. */
+  def windowAnalytics(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    val byTime = byUser.orderBy(col("ts_ns"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("value_rank", rank().over(byUser.orderBy(col("value").desc)))
+      .withColumn("prev_value", coalesce(lag(col("value"), 1).over(byTime), lit(-1.0)))
+      .withColumn("running_micros",
+        sum(round(col("value") * 1000000).cast("long"))
+          .over(byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("user_id"), col("event_id"), col("ts_ms"),
+        col("value"), col("value_rank"), col("prev_value"), col("running_micros"))
+  }
+
+  /** As-of join on the events stream: each purchase picks up the user's
+    * latest click at-or-before it (see [[AsOfJoin]] — merge-scan, one
+    * shuffle, no inequality-join blow-up). Ordering runs on the full
+    * nanosecond timestamps; the output exposes oracle-stable epoch-ms. */
+  def asofPurchaseClick(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_event_id"),
+        col("ts_ns").as("p_ns"), col("ts_ms").as("p_ms"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("c_event_id"),
+        col("ts_ns").as("c_ns"), col("ts_ms").as("c_ms"))
+    AsOfJoin.asOf(p, c, "user_id", "c_user", "p_ns", "c_ns",
+        rightTieBreak = Seq("c_ns", "c_event_id"))
+      .select("user_id", "p_event_id", "p_ms", "c_event_id", "c_ms")
+  }
+
+  /** Skew-salted join checked against the plain join: salting must be a
+    * pure execution-strategy change, never a semantic one. */
+  def saltedJoinOrders(spark: SparkSession, dir: String): DataFrame =
+    Skew.saltedJoin(
+        Tables.orders(spark, dir).select("o_orderkey", "o_custkey", "o_totalprice"),
+        Tables.customer(spark, dir).select("c_custkey", "c_name"),
+        "o_custkey", "c_custkey", salt = 8)
+      .select("o_orderkey", "c_name", "o_totalprice")
 }

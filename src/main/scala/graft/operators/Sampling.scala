@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data curation at scale.
+  *
+  * Both operators key off `md5(key)` rather than `rand()`: the sample is a
+  * pure function of the data, so re-runs, retries, and incremental reruns
+  * over new partitions select the SAME rows (a rand() sample re-drawn per
+  * task attempt is not even self-consistent under speculative execution),
+  * and the oracle can reproduce it bit-for-bit (md5 is the same function
+  * in every engine, unlike xxhash64/rand seeds).
+  *
+  * Scale shape: `hashSample` is a pure filter — no shuffle, pushes through
+  * any plan, trivially parallel. `quotaPerGroup` is one hash shuffle on the
+  * group key + a bounded per-group sort (the same shape as any windowed
+  * top-k); group skew salts like any keyed operator.
+  */
+object Sampling {
+
+  /** First 8 hex chars of md5 as a uniform 32-bit bucket value. */
+  def hashBucket(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** Keep ~`num/den` of rows, deterministically by key: rows whose md5
+    * bucket falls in [0, num/den) of the 32-bit space. */
+  def hashSample(df: DataFrame, keyCol: String, num: Long, den: Long): DataFrame = {
+    require(num >= 0 && den > 0 && num <= den, s"bad fraction $num/$den")
+    // 2^32 * num / den, exact in Long arithmetic
+    df.filter(hashBucket(col(keyCol)) < lit((4294967296L * num) / den))
+  }
+
+  /** Per-group quota: at most `n` rows per value of `groupCol`, chosen as
+    * the n smallest md5 buckets (a deterministic uniform draw). The cap a
+    * curation pipeline puts on any one source/domain so no group dominates
+    * the training mix. */
+  def quotaPerGroup(df: DataFrame, groupCol: String, keyCol: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(hashBucket(col(keyCol)), col(keyCol)) // key tiebreak: total order
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n).drop("__rn")
+  }
+}

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("hashSample is deterministic, subset-consistent, and ~fraction-sized") {
+    val docs = graft.Tables.documents(spark, TestSpark.sfDir)
+    val n = docs.count().toDouble
+    val s1 = Sampling.hashSample(docs, "doc_id", 1, 5)
+    val s2 = Sampling.hashSample(docs, "doc_id", 1, 5)
+    assert(s1.count() == s2.count()) // re-run selects the same rows
+    assert(s1.exceptAll(s2).isEmpty)
+    val frac = s1.count() / n
+    assert(frac > 0.1 && frac < 0.3, s"~20% expected, got $frac")
+    // num/den monotone: a 2/5 sample contains the 1/5 sample
+    val bigger = Sampling.hashSample(docs, "doc_id", 2, 5)
+    assert(s1.exceptAll(bigger).isEmpty)
+  }
+
+  test("quotaPerGroup caps every group at n, deterministically") {
+    val docs = graft.Tables.documents(spark, TestSpark.sfDir)
+    val q = Sampling.quotaPerGroup(docs, "lang", "doc_id", 50)
+    val sizes = q.groupBy("lang").count().select("count").as[Long].collect()
+    assert(sizes.forall(_ <= 50))
+    // groups larger than the quota are cut to exactly n
+    val before = docs.groupBy("lang").count()
+      .filter(col("count") >= 50).count()
+    assert(q.groupBy("lang").count().filter(col("count") === 50).count() == before)
+    val q2 = Sampling.quotaPerGroup(docs, "lang", "doc_id", 50)
+    assert(q.exceptAll(q2).isEmpty)
+  }
+
+  test("hashBucket spreads uniformly (chi-square-ish sanity over 16 buckets)") {
+    val n = 4096
+    val counts = spark.range(n)
+      .select((Sampling.hashBucket(col("id")) % 16).as("b"))
+      .groupBy("b").count().select("count").as[Long].collect()
+    assert(counts.length == 16)
+    val expected = n / 16.0
+    assert(counts.forall(c => c > expected * 0.7 && c < expected * 1.3),
+      s"bucket counts too skewed: ${counts.mkString(",")}")
+  }
+}
