@@ -57,9 +57,54 @@ object SparkEntry {
     "r19_salted_join"     -> ((s, d) => RelationalOps.saltedJoinOrders(s, d)),
     "t5_hash_sample"      -> ((s, d) => graft.functions.LlmQueries.hashSample(s, d)),
     "t6_quota_sample"     -> ((s, d) => graft.functions.LlmQueries.quotaSample(s, d)),
+    "r20_semi_join"       -> ((s, d) => RelationalOps.semiJoin(s, d)),
+    "r21_anti_join"       -> ((s, d) => RelationalOps.antiJoin(s, d)),
+    "r22_outer_join_agg"  -> ((s, d) => RelationalOps.outerJoinAgg(s, d)),
+    "r23_intersect"       -> ((s, d) => RelationalOps.intersectKeys(s, d)),
+    "r24_except"          -> ((s, d) => RelationalOps.exceptKeys(s, d)),
+    "t7_fingerprint"      -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      graft.Tables.documents(s, d).select(col("doc_id"),
+        graft.functions.TextAnalysis.fingerprintPortable(col("text")).as("fp"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "r20_semi_join" ->
+      """SELECT * FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+    "r21_anti_join" ->
+      """SELECT * FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)""".stripMargin,
+    "r22_outer_join_agg" ->
+      """SELECT c.c_custkey, c.c_name, coalesce(t.cnt, 0)::BIGINT AS order_cnt
+        |FROM customer c LEFT JOIN
+        |  (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1) t
+        |  ON c.c_custkey = t.o_custkey""".stripMargin,
+    "r23_intersect" ->
+      """SELECT user_id FROM events
+        |INTERSECT
+        |SELECT c_custkey AS user_id FROM customer""".stripMargin,
+    "r24_except" ->
+      """SELECT c_custkey FROM customer
+        |EXCEPT
+        |SELECT user_id AS c_custkey FROM events""".stripMargin,
+    "t7_fingerprint" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                     x -> x <> '') AS words
+        |  FROM documents
+        |), t AS (
+        |  SELECT doc_id, CASE WHEN len(words) >= 5 THEN
+        |      list_transform(range(1, len(words) - 3),
+        |        i -> array_to_string(words[i:i+4], ' '))
+        |    ELSE [array_to_string(words, ' ')] END AS wins
+        |  FROM w
+        |)
+        |SELECT doc_id, list_min(list_transform(wins,
+        |  s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)) AS fp
+        |FROM t""".stripMargin,
     "r16_asof_join" ->
       """SELECT user_id, p_event_id, p_ms, c_event_id, c_ms FROM (
         |  SELECT p.user_id, p.event_id AS p_event_id, epoch_ms(p.ts) AS p_ms,

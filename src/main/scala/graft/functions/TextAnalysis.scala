@@ -88,6 +88,22 @@ object TextAnalysis {
     array_min(windows)
   }
 
+  /** [[fingerprint]] with an engine-portable hash: first 8 hex chars of md5
+    * as a 32-bit value (the same construction DuckDB/any SQL engine can
+    * evaluate), so the fingerprint is oracle-checkable bit-for-bit. Use the
+    * xxhash64 form in production (one compiled hash vs md5's allocation);
+    * use this one when two engines must agree. */
+  def fingerprintPortable(text: Column, window: Int = 5): Column = {
+    def h(c: Column) = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    val toks = tokens(lower(text))
+    val n = size(toks)
+    val windows = when(n >= window,
+      transform(sequence(lit(0), n - window),
+        i => h(concat_ws(" ", slice(toks, i + 1, lit(window))))))
+      .otherwise(array(h(concat_ws(" ", toks))))
+    array_min(windows)
+  }
+
   /** One-pass stats projection over a documents table. */
   def textStats(docs: DataFrame): DataFrame =
     docs.select(

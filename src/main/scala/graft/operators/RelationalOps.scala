@@ -182,6 +182,46 @@ object RelationalOps {
       .select("user_id", "p_event_id", "p_ms", "c_event_id", "c_ms")
   }
 
+  /** LEFT SEMI join — customers that placed at least one order. Catalyst
+    * plans the EXISTS shape as a semi join: the probe side streams, the
+    * build side holds only keys, nothing from orders is materialized. */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    Tables.customer(spark, dir)
+      .join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+  }
+
+  /** LEFT ANTI join — customers that never produced an event (NOT EXISTS).
+    * (Against events, not orders: every customer has orders in this data,
+    * and a 0-row check checks nothing.) */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("user_id"))
+    Tables.customer(spark, dir)
+      .join(e, col("c_custkey") === col("user_id"), "left_anti")
+  }
+
+  /** LEFT OUTER join against a pre-aggregated side: order count per
+    * customer INCLUDING zero-order customers. Aggregate-then-join keeps the
+    * shuffled payload one row per key, not one per order. */
+  def outerJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val cnts = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("__cnt"))
+    Tables.customer(spark, dir)
+      .join(cnts, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_name"),
+        coalesce(col("__cnt"), lit(0L)).as("order_cnt"))
+  }
+
+  /** INTERSECT — event users that are also customer keys (distinct). */
+  def intersectKeys(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(col("user_id"))
+      .intersect(Tables.customer(spark, dir).select(col("c_custkey").as("user_id")))
+
+  /** EXCEPT — customer keys that never produced an event (distinct). */
+  def exceptKeys(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(col("c_custkey"))
+      .except(Tables.events(spark, dir).select(col("user_id").as("c_custkey")))
+
   /** Skew-salted join checked against the plain join: salting must be a
     * pure execution-strategy change, never a semantic one. */
   def saltedJoinOrders(spark: SparkSession, dir: String): DataFrame =
