@@ -22,15 +22,15 @@ object LlmQueries {
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDup(Tables.documents(spark, dir))
 
-  /** Embedding-cosine near-dup pairs (rows-only). */
-  /** LSH-bucketed embedding near-dup at cos >= 0.4 — the highest pair
+  /** IVF-cell embedding near-dup at cos >= 0.4 — the highest pair
     * similarity in the testdata corpus is ~0.51 (see d7's exact sweep), so
-    * the old 0.8 threshold matched nothing. 4 planes x 8 tables trades
-    * bucket size for ~0.75 recall at 0.4 (recall vs d7 asserted in
-    * SimilaritySpec). */
+    * a near-dup-tuned threshold matches nothing here. At this moderate
+    * similarity, centroid cells bound the candidate volume where sign-LSH
+    * banding floods the verify stage (see Similarity.embeddingNearDupIvf);
+    * recall vs d7's exact sweep asserted in SimilaritySpec. */
   def embedNearDup(spark: SparkSession, dir: String): DataFrame =
-    Similarity.embeddingNearDup(Tables.embeddings(spark, dir),
-      threshold = 0.4, planes = 4, tables = 8)
+    Similarity.embeddingNearDupIvf(Tables.embeddings(spark, dir),
+      threshold = 0.4, nCells = 64, nProbe = 6)
 
   /** Deterministic ~20% sample of documents by md5(doc_id) (oracle-checked:
     * md5 is engine-portable, rand() is not even retry-stable). */

@@ -20,12 +20,17 @@ import org.apache.spark.sql.expressions.Window
   * ≈75°). Real embedding corpora are far more clustered — raise planes /
   * cells and lower probes there; the knobs are the API.
   *
-  * Cosine math runs in double (float arrays upcast per element) through
-  * `zip_with`/`aggregate` — codegen'd, no UDFs.
+  * Cosine math runs in double via the native codegen'd `cosine_sim`
+  * expression (graft.functions.expr.CosineSimilarity); the declarative
+  * `zip_with`/`aggregate` form stays as the equality-tested reference.
   */
 object Similarity {
 
-  /** cosine(a, b) as a column expression (double). */
+  /** cosine(a, b) as a declarative column expression (double) — the
+    * documented reference form. Higher-order functions run interpreted
+    * (CodegenFallback), so every hot path below scores with the NATIVE
+    * [[graft.functions.expr.CosineSimilarity]] instead ([[cosF]]);
+    * CosineSimilaritySpec pins the two to 1e-12 agreement. */
   def cosine(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (s, x) => s + x)
@@ -34,15 +39,23 @@ object Similarity {
     dot / (na * nb)
   }
 
+  /** Native codegen'd cosine (see [[graft.functions.expr.CosineSimilarity]]).
+    * Callers must have run `GraftFunctions.register` on the session. */
+  private def cosF(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+
+  private def registerOn(df: DataFrame): Unit =
+    graft.GraftFunctions.register(df.sparkSession)
+
   /** Exact top-k neighbors for each query vector (queries broadcast; one
     * corpus scan; per-query top-k via window). Excludes self-matches. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    registerOn(corpus)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val scored = corpus.select(col(idCol), col(vecCol))
       .join(broadcast(q), col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol).as("neighbor_id"),
-        round(cosine(col("qv"), col(vecCol)), 6).as("cos_sim"))
+        round(cosF(col("qv"), col(vecCol)), 6).as("cos_sim"))
     topKPerQuery(scored, k)
   }
 
@@ -79,6 +92,7 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
               planes: Int = 6, tables: Int = 12, multiProbe: Boolean = true,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    registerOn(corpus)
     val pow2 = array((0 until planes).map(p => lit(1L << p)): _*)
     val c = corpus.select(col(idCol), col(vecCol),
       posexplode(lshBuckets(col(vecCol), planes, tables)))
@@ -96,7 +110,7 @@ object Similarity {
     val scored = c.join(probes, Seq("table", "bucket"))
       .filter(col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol).as("neighbor_id"),
-        round(cosine(col("qv"), col(vecCol)), 6).as("cos_sim"))
+        round(cosF(col("qv"), col(vecCol)), 6).as("cos_sim"))
       .groupBy("query_id", "neighbor_id").agg(first("cos_sim").as("cos_sim"))
     topKPerQuery(scored, k)
   }
@@ -110,20 +124,17 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
               nCells: Int = 16, nProbe: Int = 8, refineIters: Int = 1,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    registerOn(corpus)
     // cell ids via monotonically_increasing_id over the single sorted
     // partition the limit produces — deterministic, and avoids a global
     // window (Spark folds away constant partition keys, so even a lit()
     // partition spec would fall back to the one-partition WindowExec)
-    var centroids = corpus
-      .select(col(idCol), col(vecCol), pmod(xxhash64(col(idCol)), lit(1000000L)).as("__h"))
-      .orderBy(col("__h"), col(idCol)).limit(nCells).coalesce(1)
-      .select(monotonically_increasing_id().as("cell_id"),
-        transform(col(vecCol), _.cast("double")).as("cv"))
+    var centroids = seedCentroids(corpus, nCells, idCol, vecCol)
 
     def assign(df: DataFrame, v: String): DataFrame = {
       val w = Window.partitionBy(col(idCol)).orderBy(col("__d").desc, col("cell_id"))
       df.join(broadcast(centroids), lit(true))
-        .withColumn("__d", cosine(col(v), col("cv")))
+        .withColumn("__d", cosF(col(v), col("cv")))
         .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
         .drop("__rn", "__d", "cv")
     }
@@ -142,16 +153,58 @@ object Similarity {
     val qW = Window.partitionBy(col("query_id")).orderBy(col("__d").desc, col("cell_id"))
     val qProbes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .join(broadcast(centroids), lit(true))
-      .withColumn("__d", cosine(col("qv"), col("cv")))
+      .withColumn("__d", cosF(col("qv"), col("cv")))
       .withColumn("__rn", row_number().over(qW)).filter(col("__rn") <= nProbe)
       .select(col("query_id"), col("qv"), col("cell_id"))
     val scored = assigned.join(qProbes, Seq("cell_id"))
       .filter(col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol).as("neighbor_id"),
-        round(cosine(col("qv"), col(vecCol)), 6).as("cos_sim"))
+        round(cosF(col("qv"), col(vecCol)), 6).as("cos_sim"))
       .groupBy("query_id", "neighbor_id").agg(first("cos_sim").as("cos_sim"))
     topKPerQuery(scored, k)
   }
+
+  /** Embedding near-dup pairs via IVF cells: every vector is assigned to
+    * its `nProbe` nearest of `nCells` centroids, candidates are pairs
+    * sharing a cell, verified exactly with the native cosine.
+    *
+    * This is the moderate-threshold mining shape: at cos ≈ 0.4-0.6 a
+    * sign-LSH band rarely agrees (collision prob per 8-plane table ≈ 3%),
+    * so hyperplane banding needs dozens of tables and still floods the
+    * verify stage; centroid cells exploit the corpus's own geometry
+    * instead. Candidate volume ≈ Σ_cells C(|cell|·nProbe, 2) — linear in
+    * corpus size for fixed cell occupancy (scale nCells with N). For true
+    * near-dups (cos ≥ 0.9) prefer [[embeddingNearDup]]. */
+  def embeddingNearDupIvf(corpus: DataFrame, threshold: Double = 0.4,
+                          nCells: Int = 32, nProbe: Int = 2,
+                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    registerOn(corpus)
+    val centroids = seedCentroids(corpus, nCells, idCol, vecCol)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__d").desc, col("cell_id"))
+    val assigned = corpus.select(col(idCol), col(vecCol))
+      .join(broadcast(centroids), lit(true))
+      .withColumn("__d", cosF(col(vecCol), col("cv")))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= nProbe)
+      .select(col(idCol), col(vecCol), col("cell_id"))
+    val a = assigned.select(col(idCol).as("id_a"), col(vecCol).as("va"), col("cell_id"))
+    val b = assigned.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("cell_id"))
+    a.join(b, Seq("cell_id"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosF(col("va"), col("vb")), 6).as("cos_sim"))
+      .groupBy("id_a", "id_b").agg(first("cos_sim").as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  /** Deterministic seed centroids: the `nCells` hash-smallest vectors,
+    * upcast to double (shared by [[ivfTopK]] and [[embeddingNearDupIvf]]). */
+  private def seedCentroids(corpus: DataFrame, nCells: Int,
+                            idCol: String, vecCol: String): DataFrame =
+    corpus
+      .select(col(idCol), col(vecCol), pmod(xxhash64(col(idCol)), lit(1000000L)).as("__h"))
+      .orderBy(col("__h"), col(idCol)).limit(nCells).coalesce(1)
+      .select(monotonically_increasing_id().as("cell_id"),
+        transform(col(vecCol), _.cast("double")).as("cv"))
 
   /** Embedding-cosine near-duplicate pairs (cos ≥ threshold), LSH-bucketed:
     * vectors sharing any of the multi-table buckets are compared exactly.
@@ -160,6 +213,7 @@ object Similarity {
   def embeddingNearDup(corpus: DataFrame, threshold: Double = 0.95,
                        planes: Int = 8, tables: Int = 4,
                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    registerOn(corpus)
     val c = corpus.select(col(idCol), col(vecCol),
       posexplode(lshBuckets(col(vecCol), planes, tables)))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
@@ -168,7 +222,7 @@ object Similarity {
     a.join(b, Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("va"), col("vb")), 6).as("cos_sim"))
+        round(cosF(col("va"), col("vb")), 6).as("cos_sim"))
       .groupBy("id_a", "id_b").agg(first("cos_sim").as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }

@@ -45,17 +45,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.6, s"IVF recall $recall")
   }
 
-  test("d4 config recalls >= 0.5 of the exact cos>=0.4 pairs (4 planes x 8 tables)") {
+  test("d4 config (IVF cells) recalls >= 0.8 of the exact cos>=0.4 pairs") {
     val exact = emb.as("a").join(emb.as("b"), $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"),
         Similarity.cosine($"a.embedding", $"b.embedding").as("cos"))
       .filter($"cos" >= 0.4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.nonEmpty, "testdata should contain cos>=0.4 pairs")
-    val lsh = Similarity.embeddingNearDup(emb, threshold = 0.4, planes = 4, tables = 8)
+    val ivf = Similarity.embeddingNearDupIvf(emb, threshold = 0.4, nCells = 64, nProbe = 6)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = (exact & lsh).size.toDouble / exact.size
-    assert(recall >= 0.5, s"LSH near-dup recall $recall of ${exact.size} exact pairs")
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF near-dup recall $recall of ${exact.size} exact pairs")
   }
 
   test("embeddingNearDup finds planted near-duplicates only via buckets") {
