@@ -21,6 +21,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", TempDirs.sparkLocalDir())
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -1,24 +1,70 @@
 package graft
 
-import java.nio.file.{Files, Path}
+import java.nio.file.{Files, Path, Paths}
 import scala.collection.mutable
 
-/** Temp workspace directories for replay-style queries (LakeQueries,
-  * PipelineQueries): created under java.io.tmpdir, tracked, and recursively
-  * deleted on JVM exit. Callers return lazily-read DataFrames over these
-  * dirs, so eager deletion isn't possible — the shutdown hook bounds the
-  * leak to one process lifetime instead of accumulating across runs.
+/** Temp workspace for replay-style queries (LakeQueries, PipelineQueries)
+  * and Spark scratch (shuffle/local dirs).
+  *
+  * Placement matters more than it looks: on this harness, disk-backed /tmp
+  * writes ~13 MB/s with the cost paid in SYSTEM CPU (2 GB + sync ≈ 155 s of
+  * kernel time), which stalls every concurrently-running task — the bench
+  * degraded up to 10× mid-suite purely from parquet/shuffle writeback. The
+  * same write to tmpfs takes 1.6 s. So all scratch goes to /dev/shm when
+  * present (RAM-backed, 126 G here), falling back to java.io.tmpdir.
+  *
+  * Layout: `<base>/graft-<pid>/…`, deleted by a JVM shutdown hook; on
+  * startup any `graft-<pid>` left by a dead process (crashed run) is
+  * removed so RAM never leaks across runs. Callers return lazily-read
+  * DataFrames over these dirs, so eager deletion isn't possible — the
+  * hook bounds the leak to one process lifetime.
   */
 object TempDirs {
+
+  private val pid = ProcessHandle.current().pid()
+
+  private val base: Path = {
+    val shm = Paths.get("/dev/shm")
+    val root =
+      if (Files.isDirectory(shm) && Files.isWritable(shm)) shm.resolve("graft-tmp")
+      else Paths.get(System.getProperty("java.io.tmpdir"))
+    Files.createDirectories(root)
+    // reap scratch of dead JVMs (crashed runs must not pin RAM)
+    if (root.getFileName.toString == "graft-tmp") {
+      val it = Files.list(root).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val name = p.getFileName.toString
+        if (name.startsWith("graft-")) {
+          val owner = name.stripPrefix("graft-").toLongOption
+          val alive = owner.exists(o => ProcessHandle.of(o).map[Boolean](_.isAlive).orElse(false))
+          if (!alive) deleteRecursively(p)
+        }
+      }
+    }
+    val mine = root.resolve(s"graft-$pid")
+    Files.createDirectories(mine)
+    mine
+  }
+
   private val created = mutable.ArrayBuffer.empty[Path]
 
   sys.addShutdownHook {
     created.synchronized(created.toList).foreach(deleteRecursively)
+    deleteRecursively(base)
   }
 
   def create(prefix: String): String = {
-    val p = Files.createTempDirectory(prefix)
+    val p = Files.createTempDirectory(base, prefix)
     created.synchronized { created += p }
+    p.toString
+  }
+
+  /** A per-JVM Spark local dir (shuffle, block manager) on the fast base.
+    * Pass to `spark.local.dir` before session creation. */
+  def sparkLocalDir(): String = {
+    val p = base.resolve("spark-local")
+    Files.createDirectories(p)
     p.toString
   }
 

@@ -11,6 +11,7 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", TempDirs.sparkLocalDir())
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -18,6 +19,8 @@ object TestSpark {
 
   val sfDir = "/root/testdata/sf0.001"
 
-  def tmpDir(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+  /** Scratch dir on the fast base (tmpfs when available), reaped at JVM
+    * exit — test WAL/checkpoint/lake dirs on the slow disk-backed /tmp
+    * caused minute-long writeback stalls and streaming-test flakes. */
+  def tmpDir(prefix: String): String = TempDirs.create(prefix)
 }

@@ -44,7 +44,7 @@ class ContinuousPipelineSpec extends AnyFunSuite {
       .coalesce(1).write.parquet(s"$watch/seg1")
     val q1 = ContinuousPipeline.start(spark, pipe, s"$watch/*/", sample, ckpt,
       trigger = Trigger.AvailableNow())
-    q1.awaitTermination(180000)
+    assert(q1.awaitTermination(180000), "seg1 stream did not drain in 180s")
     val afterSeg1 = pipe.sink.read().collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(afterSeg1 == Map("Ann" -> 5.0, "Bob" -> 6.0))
@@ -57,7 +57,7 @@ class ContinuousPipelineSpec extends AnyFunSuite {
       .coalesce(1).write.parquet(s"$watch/seg2")
     val q2 = ContinuousPipeline.start(spark, pipe, s"$watch/*/", sample, ckpt,
       trigger = Trigger.AvailableNow())
-    q2.awaitTermination(180000)
+    assert(q2.awaitTermination(180000), "seg2 stream did not drain in 180s")
     val finalState = pipe.sink.read().collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     // Ann renamed (old key retracted) AND her last transaction advanced
