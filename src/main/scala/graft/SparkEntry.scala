@@ -57,6 +57,8 @@ object SparkEntry {
     "r19_salted_join"     -> ((s, d) => RelationalOps.saltedJoinOrders(s, d)),
     "t5_hash_sample"      -> ((s, d) => graft.functions.LlmQueries.hashSample(s, d)),
     "t6_quota_sample"     -> ((s, d) => graft.functions.LlmQueries.quotaSample(s, d)),
+    "r25_percentiles"     -> ((s, d) => RelationalOps.percentiles(s, d)),
+    "s14_mor_incremental" -> ((s, d) => graft.lake.LakeQueries.incrementalPull(s, d)),
     "r20_semi_join"       -> ((s, d) => RelationalOps.semiJoin(s, d)),
     "r21_anti_join"       -> ((s, d) => RelationalOps.antiJoin(s, d)),
     "r22_outer_join_agg"  -> ((s, d) => RelationalOps.outerJoinAgg(s, d)),
@@ -70,6 +72,21 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "r25_percentiles" ->
+      """SELECT o_orderstatus,
+        |       round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+        |       round(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+        |       count(*) AS cnt
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "s14_mor_incremental" ->
+      """WITH b AS (
+        |  SELECT min(epoch_ns(ts)) + (max(epoch_ns(ts)) - min(epoch_ns(ts))) // 2 AS mid
+        |  FROM events
+        |)
+        |SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
+        |FROM events, b WHERE epoch_ns(ts) > b.mid
+        |QUALIFY row_number() OVER
+        |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
     "r20_semi_join" ->
       """SELECT * FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,

@@ -48,6 +48,29 @@ object LakeQueries {
     } finally batched.unpersist()
   }
 
+  /** MOR incremental pull (the Hudi incremental-query analog),
+    * oracle-checked: replay events as two time-split delta commits, then
+    * `readIncremental(sinceSeq = 1)` must return exactly the LWW winners of
+    * the second half. The split point is integer midpoint of (min, max)
+    * event-time nanos — exact integer arithmetic both engines reproduce. */
+  def incrementalPull(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "value", "ts_ms", "ts_ns")
+    val bounds = ev.agg(min(col("ts_ns")).as("mn"), max(col("ts_ns")).as("mx")).head()
+    val mn = bounds.getLong(0); val mx = bounds.getLong(1)
+    val mid = mn + (mx - mn) / 2
+    // compaction off (high trigger): the pull must see pure delta commits
+    val t = MorTable(spark, tempPath("mor-incr"),
+      keyCols = Seq("user_id"), compactionDeltaCommits = 1000)
+    t.upsert(ev.filter(col("ts_ns") <= mid),
+      orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 1L)
+    t.upsert(ev.filter(col("ts_ns") > mid),
+      orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 2L)
+    t.readIncremental(sinceSeq = 1L)
+      .filter(!col("_deleted"))
+      .select("user_id", "event_id", "event_type", "value", "ts_ms")
+  }
+
   /** Partitioned-lake replay: same LWW upsert semantics, but through a
     * PartitionedMorTable partitioned by event_type (the ingest-date stand-in:
     * 5 values). Key = user_id within each partition, so the global PK is

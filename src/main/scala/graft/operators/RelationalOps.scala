@@ -182,6 +182,18 @@ object RelationalOps {
       .select("user_id", "p_event_id", "p_ms", "c_event_id", "c_ms")
   }
 
+  /** Exact interpolated percentiles (p50/p90) per group — Spark
+    * `percentile` and DuckDB `quantile_cont` share the linear-interpolation
+    * definition, so this is hash-checkable. The approximate scale path is
+    * `approx_percentile` (t-digest, one pass, mergeable) — same call shape,
+    * not oracle-comparable by construction. */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90"),
+        count(lit(1)).as("cnt"))
+
   /** LEFT SEMI join — customers that placed at least one order. Catalyst
     * plans the EXISTS shape as a semi join: the probe side streams, the
     * build side holds only keys, nothing from orders is materialized. */
