@@ -90,7 +90,7 @@ final class IncrementalJoinPipeline(
     // mostly): no dim/ticket changes and only inserts on the fact. Appends
     // cannot retract anything, so the batch needs a delta-sized join plus a
     // conditional upsert, NOT a full recompute of affected persons.
-    if (dP.isEmpty && dT.isEmpty && dH.filter(col("op") =!= "I").isEmpty) {
+    if (knownEmpty(dP) && knownEmpty(dT) && dH.filter(col("op") =!= "I").isEmpty) {
       appendOnlyBatch(dH, batchId)
       return
     }
@@ -183,6 +183,16 @@ final class IncrementalJoinPipeline(
     sink.upsert(out, orderWithinBatch = histOrder.map(col), batchId = batchId)
     Seq(pState, tState, hState, sink).foreach(_.maybeCompact())
   }
+
+  /** Emptiness without a cluster job when the optimizer can prove it (a
+    * `limit(0)` envelope folds to an empty LocalRelation — the common
+    * "this table had no changes this batch" shape); falls back to the
+    * isEmpty action otherwise. Saves two jobs per append-only batch. */
+  private def knownEmpty(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan match {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l.data.isEmpty
+      case _ => df.isEmpty
+    }
 
   /** P ⋈ T ⋈ H, optionally restricted to an (already-small, broadcast)
     * set of person ids — the per-batch "recompute only what changed" path. */

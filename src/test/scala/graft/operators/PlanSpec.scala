@@ -53,4 +53,27 @@ class PlanSpec extends AnyFunSuite {
     val df = graft.functions.TextAnalysis.textStats(graft.Tables.documents(spark, dir))
     assert(!plan(df).contains("Exchange"), plan(df))
   }
+
+  test("t5 hash sample is a pushed-down filter scan — no shuffle, no window") {
+    val p = plan(graft.functions.LlmQueries.hashSample(spark, dir))
+    assert(!p.contains("Exchange") && !p.contains("Window"), p)
+  }
+
+  test("r20 semi / r21 anti plan as semi-family joins, nothing materialized") {
+    val semi = plan(RelationalOps.semiJoin(spark, dir))
+    assert(semi.contains("LeftSemi"), semi)
+    val anti = plan(RelationalOps.antiJoin(spark, dir))
+    assert(anti.contains("LeftAnti"), anti)
+  }
+
+  test("r25 percentile aggregate is partial+final (mergeable sketch shape)") {
+    val p = plan(RelationalOps.percentiles(spark, dir))
+    assert(p.contains("partial_percentile"), p)
+  }
+
+  test("r18 rollup expands grouping sets with partial aggregation") {
+    val p = plan(RelationalOps.rollupAgg(spark, dir))
+    assert(p.contains("Expand"), p)
+    assert(p.contains("partial_count"), p)
+  }
 }
