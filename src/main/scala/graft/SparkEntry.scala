@@ -58,6 +58,9 @@ object SparkEntry {
     "t5_hash_sample"      -> ((s, d) => graft.functions.LlmQueries.hashSample(s, d)),
     "t6_quota_sample"     -> ((s, d) => graft.functions.LlmQueries.quotaSample(s, d)),
     "r25_percentiles"     -> ((s, d) => RelationalOps.percentiles(s, d)),
+    "r26_stream_tumble"   -> ((s, d) => graft.streaming.StreamingQueries.streamTumble(s, d)),
+    "r27_scalar_subquery" -> ((s, d) => RelationalOps.scalarSubquery(s, d)),
+    "s15_mor_time_travel" -> ((s, d) => graft.lake.LakeQueries.timeTravel(s, d)),
     "s14_mor_incremental" -> ((s, d) => graft.lake.LakeQueries.incrementalPull(s, d)),
     "r20_semi_join"       -> ((s, d) => RelationalOps.semiJoin(s, d)),
     "r21_anti_join"       -> ((s, d) => RelationalOps.antiJoin(s, d)),
@@ -72,6 +75,24 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "r26_stream_tumble" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
+        |       event_type, count(*) AS cnt,
+        |       round(sum(value), 3) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "r27_scalar_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_totalprice >
+        |  (SELECT quantile_cont(o_totalprice, 0.5) FROM orders)""".stripMargin,
+    "s15_mor_time_travel" ->
+      """WITH b AS (
+        |  SELECT min(epoch_ns(ts)) + (max(epoch_ns(ts)) - min(epoch_ns(ts))) // 2 AS mid
+        |  FROM events
+        |)
+        |SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
+        |FROM events, b WHERE epoch_ns(ts) <= b.mid
+        |QUALIFY row_number() OVER
+        |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
     "r25_percentiles" ->
       """SELECT o_orderstatus,
         |       round(quantile_cont(o_totalprice, 0.5), 6) AS p50,

@@ -71,6 +71,25 @@ object LakeQueries {
       .select("user_id", "event_id", "event_type", "value", "ts_ms")
   }
 
+  /** Time-travel read, oracle-checked: after two time-split delta commits,
+    * `readAt(1)` must reproduce the table as of commit 1 — the LWW winners
+    * of the FIRST half only, as if the second commit never happened. Same
+    * deterministic midpoint split as [[incrementalPull]]. */
+  def timeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "value", "ts_ms", "ts_ns")
+    val bounds = ev.agg(min(col("ts_ns")).as("mn"), max(col("ts_ns")).as("mx")).head()
+    val mn = bounds.getLong(0); val mx = bounds.getLong(1)
+    val mid = mn + (mx - mn) / 2
+    val t = MorTable(spark, tempPath("mor-tt"),
+      keyCols = Seq("user_id"), compactionDeltaCommits = 1000)
+    t.upsert(ev.filter(col("ts_ns") <= mid),
+      orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 1L)
+    t.upsert(ev.filter(col("ts_ns") > mid),
+      orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 2L)
+    t.readAt(1L).select("user_id", "event_id", "event_type", "value", "ts_ms")
+  }
+
   /** Partitioned-lake replay: same LWW upsert semantics, but through a
     * PartitionedMorTable partitioned by event_type (the ingest-date stand-in:
     * 5 values). Key = user_id within each partition, so the global PK is

@@ -194,6 +194,19 @@ object RelationalOps {
         round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90"),
         count(lit(1)).as("cnt"))
 
+  /** Scalar subquery: orders above the median price. The threshold joins
+    * in as a broadcast single-row aggregate — the subquery evaluates once,
+    * the filter stays distributed. Median (exact interpolation) rather
+    * than avg: float summation order differs between engines, interpolated
+    * order statistics don't. */
+  def scalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val med = o.agg(expr("percentile(o_totalprice, 0.5)").as("__med"))
+    o.join(broadcast(med))
+      .filter(col("o_totalprice") > col("__med"))
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+  }
+
   /** LEFT SEMI join — customers that placed at least one order. Catalyst
     * plans the EXISTS shape as a semi join: the probe side streams, the
     * build side holds only keys, nothing from orders is materialized. */
