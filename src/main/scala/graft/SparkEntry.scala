@@ -46,6 +46,8 @@ object SparkEntry {
     "s10_ann_lsh"        -> ((s, d) => graft.functions.LlmQueries.annLsh(s, d)),
     "s11_ann_ivf"        -> ((s, d) => graft.functions.LlmQueries.annIvf(s, d)),
     "m1_multimodal_features" -> ((s, d) => graft.functions.LlmQueries.multimodalFeatures(s, d)),
+    "m2_frame_sample"     -> ((s, d) => graft.functions.Multimodal.frameSample(
+      graft.functions.Multimodal.attachBinary(graft.Tables.documents(s, d)))),
     "m0_multimodal_meta"  -> ((s, d) => graft.functions.LlmQueries.multimodalMeta(s, d)),
     "d5_minhash_groups"   -> ((s, d) => graft.functions.LlmQueries.minhashGroups(s, d)),
     "d6_ngram_jaccard"    -> ((s, d) => graft.functions.LlmQueries.ngramJaccardPairs(s, d)),
@@ -279,6 +281,15 @@ object SparkEntry {
         |       len(list_filter(buckets, x -> x = 6)) * 1000000 // n AS f6,
         |       len(list_filter(buckets, x -> x = 7)) * 1000000 // n AS f7
         |FROM b""".stripMargin,
+    "m2_frame_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+        |), f AS (
+        |  SELECT doc_id, n, unnest(range(0, (n + 4095) // 4096)) AS idx FROM d
+        |)
+        |SELECT doc_id, idx AS frame_idx, idx * 4096 AS frame_off,
+        |       least(4096, n - idx * 4096) AS frame_len
+        |FROM f WHERE idx % 4 = 0""".stripMargin,
     "m0_multimodal_meta" ->
       """SELECT doc_id, strlen(text)::BIGINT AS byte_len,
         |       'image/fake' AS mime

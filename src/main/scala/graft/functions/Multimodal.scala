@@ -85,6 +85,39 @@ object Multimodal {
     spark.createDataFrame(rdd, FeatureSchema)
   }
 
+  /** Output row per sampled frame: offsets/lengths are computed from the
+    * ACTUAL sliced byte arrays, so the oracle checks the slicing code. */
+  val FrameSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame_idx", LongType),
+    StructField("frame_off", LongType),
+    StructField("frame_len", LongType)))
+
+  /** Frame sampling (the video-payload op): treat each payload as a
+    * sequence of fixed-size frames, materialize every `stride`-th frame's
+    * bytes batch-at-a-time, emit one row per sampled frame. The byte
+    * slicing is real (a codec would decode the slice instead); the emitted
+    * lengths come from the sliced arrays, making the plumbing
+    * oracle-checkable with integer math. Explodes partition-parallel —
+    * no driver involvement, output size = |payload bytes| / stride. */
+  def frameSample(mm: DataFrame, frameBytes: Int = 4096, stride: Int = 4): DataFrame = {
+    val spark = mm.sparkSession
+    val rdd = mm.select("doc_id", "payload").rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        val nFrames = (payload.length + frameBytes - 1) / frameBytes
+        (0 until nFrames by stride).iterator.map { idx =>
+          val off = idx * frameBytes
+          val frame = java.util.Arrays.copyOfRange(
+            payload, off, math.min(off + frameBytes, payload.length))
+          Row(id, idx.toLong, off.toLong, frame.length.toLong)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, FrameSchema)
+  }
+
   /** Resize metadata transform (pure-column math on the typed side — no
     * decode needed to plan a resize). */
   def planResize(mm: DataFrame, maxDim: Int): DataFrame = {

@@ -28,6 +28,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(hist.sum - 1000000L) < 1000L)
   }
 
+  test("frameSample: strided frames tile the payload; lengths from real slices") {
+    val f = Multimodal.frameSample(mm, frameBytes = 100, stride = 2).collect()
+    assert(f.nonEmpty)
+    // every sampled index is stride-aligned and offsets are consistent
+    assert(f.forall(r => r.getLong(1) % 2 == 0 && r.getLong(2) == r.getLong(1) * 100))
+    // all frames full-size except possibly the trailing one per doc
+    val byDoc = f.groupBy(_.getLong(0))
+    byDoc.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.init.forall(_.getLong(3) == 100L))
+      assert(sorted.last.getLong(3) > 0 && sorted.last.getLong(3) <= 100L)
+    }
+  }
+
   test("planResize: caps the longer edge, preserves aspect direction") {
     val r = Multimodal.planResize(mm, maxDim = 128)
       .filter($"resize_w" > 128 || $"resize_h" > 128)

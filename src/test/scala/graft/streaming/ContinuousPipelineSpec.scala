@@ -48,7 +48,10 @@ class ContinuousPipelineSpec extends AnyFunSuite {
     val afterSeg1 = pipe.sink.read().collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(afterSeg1 == Map("Ann" -> 5.0, "Bob" -> 6.0))
-    val sinkCommits1 = pipe.sink.timeline().size
+    // count DELTA instants only: the sink's num_or_time compaction can
+    // legitimately fire on the 120 s time trigger when the suite runs slow,
+    // appending a compact instant that a raw size check would trip over
+    val sinkCommits1 = pipe.sink.timeline().count(_.kind == "delta")
 
     // "job restart": segment 2 arrives (rename Ann + a newer purchase)
     ContinuousPipeline.multiplex(
@@ -62,8 +65,8 @@ class ContinuousPipelineSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     // Ann renamed (old key retracted) AND her last transaction advanced
     assert(finalState == Map("Annette" -> 7.5, "Bob" -> 6.0))
-    // restart processed exactly the new segment: one more sink commit
-    assert(pipe.sink.timeline().size == sinkCommits1 + 1)
+    // restart processed exactly the new segment: one more sink delta commit
+    assert(pipe.sink.timeline().count(_.kind == "delta") == sinkCommits1 + 1)
     assert(pipe.duplicateCheck().isEmpty)
   }
 }
