@@ -62,6 +62,7 @@ object SparkEntry {
     "r25_percentiles"     -> ((s, d) => RelationalOps.percentiles(s, d)),
     "r26_stream_tumble"   -> ((s, d) => graft.streaming.StreamingQueries.streamTumble(s, d)),
     "r27_scalar_subquery" -> ((s, d) => RelationalOps.scalarSubquery(s, d)),
+    "r28_range_join"      -> ((s, d) => RelationalOps.rangeJoinErrClicks(s, d)),
     "s15_mor_time_travel" -> ((s, d) => graft.lake.LakeQueries.timeTravel(s, d)),
     "s14_mor_incremental" -> ((s, d) => graft.lake.LakeQueries.incrementalPull(s, d)),
     "r20_semi_join"       -> ((s, d) => RelationalOps.semiJoin(s, d)),
@@ -77,6 +78,12 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "r28_range_join" ->
+      """SELECT e.event_id AS err_id, count(*) AS n_clicks
+        |FROM events e JOIN events c
+        |  ON abs(epoch_ms(e.ts) - epoch_ms(c.ts)) <= 60000
+        |WHERE e.event_type = 'error' AND c.event_type = 'click'
+        |GROUP BY 1""".stripMargin,
     "r26_stream_tumble" ->
       """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
         |       event_type, count(*) AS cnt,

@@ -194,6 +194,19 @@ object RelationalOps {
         round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90"),
         count(lit(1)).as("cnt"))
 
+  /** Range join on the events stream: for each error event, how many
+    * clicks (any user) landed within ±60 s — binned interval join (see
+    * [[RangeJoin]]), never a cartesian. */
+  def rangeJoinErrClicks(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val err = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("ts_ms").as("err_ms"))
+    val clk = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("clk_id"), col("ts_ms").as("clk_ms"))
+    RangeJoin.intervalJoin(err, clk, "err_ms", "clk_ms", width = 60000L)
+      .groupBy(col("err_id")).agg(count(lit(1)).as("n_clicks"))
+  }
+
   /** Scalar subquery: orders above the median price. The threshold joins
     * in as a broadcast single-row aggregate — the subquery evaluates once,
     * the filter stays distributed. Median (exact interpolation) rather
