@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.functions.call_function
-import graft.functions.expr.{CosineSimilarity, MinHashAgg, MinHashBands, MinHashSignature, ShingleHashes, SigOverlap, SimHashChunks, TokenHashes}
+import graft.functions.expr.{CosineSimilarity, MinHashAgg, MinHashBands, MinHashSignature, MinHashMd5, ShingleHashes, SigOverlap, SimHashChunks, TokenHashes}
 
 /** Engine extension wiring.
   *
@@ -34,6 +34,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => ShingleHashes(exprs.head, exprs(1), raw = true)))
     ext.injectFunction((FunctionIdentifier("token_hashes"), TokenHashes.info,
       exprs => TokenHashes(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("minhash_md5"), MinHashMd5.info,
+      exprs => MinHashMd5(exprs.head, exprs(1))))
   }
 }
 
@@ -67,6 +69,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("token_hashes"), TokenHashes.info,
       exprs => TokenHashes(exprs.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("minhash_md5"), MinHashMd5.info,
+      exprs => MinHashMd5(exprs.head, exprs(1)))
   }
 
   /** Column-API form of the native expression. */

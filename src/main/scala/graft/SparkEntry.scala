@@ -51,6 +51,7 @@ object SparkEntry {
     "m0_multimodal_meta"  -> ((s, d) => graft.functions.LlmQueries.multimodalMeta(s, d)),
     "d5_minhash_groups"   -> ((s, d) => graft.functions.LlmQueries.minhashGroups(s, d)),
     "d6_ngram_jaccard"    -> ((s, d) => graft.functions.LlmQueries.ngramJaccardPairs(s, d)),
+    "d8_minhash_portable" -> ((s, d) => graft.functions.LlmQueries.minhashPortable(s, d)),
     "d7_embed_neardup_exact" -> ((s, d) => graft.functions.LlmQueries.embedNearDupExact(s, d)),
     "t4_text_quality"     -> ((s, d) => graft.functions.LlmQueries.textQuality(s, d)),
     "r16_asof_join"       -> ((s, d) => RelationalOps.asofPurchaseClick(s, d)),
@@ -189,6 +190,39 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY lang
         |  ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT,
         |           doc_id) <= 50""".stripMargin,
+    "d8_minhash_portable" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                     x -> x <> '') AS words
+        |  FROM documents
+        |), t AS (
+        |  SELECT doc_id, CASE WHEN len(words) >= 3 THEN
+        |      list_transform(range(1, len(words) - 1),
+        |        i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+        |    ELSE [array_to_string(words, ' ')] END AS sh
+        |  FROM w
+        |), sig AS (
+        |  SELECT doc_id, list_transform(range(0, 16), i ->
+        |    list_min(list_transform(sh,
+        |      s -> ('0x' || substr(md5(s || '#' || i::VARCHAR), 1, 8))::BIGINT))) AS sig
+        |  FROM t
+        |), bands AS (
+        |  SELECT doc_id, sig, unnest(range(0, 4)) AS band FROM sig
+        |), keyed AS (
+        |  SELECT doc_id, sig, band,
+        |         sig[band*4 + 1 : band*4 + 4] AS bk
+        |  FROM bands
+        |), p AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         a.sig AS sa, b.sig AS sb
+        |  FROM keyed a JOIN keyed b
+        |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+        |)
+        |SELECT id_a, id_b,
+        |       len(list_filter(range(1, 17), i -> sa[i] = sb[i]))::BIGINT AS n_match
+        |FROM p
+        |WHERE len(list_filter(range(1, 17), i -> sa[i] = sb[i])) >= 4""".stripMargin,
     "d6_ngram_jaccard" ->
       """WITH w AS (
         |  SELECT doc_id,

@@ -44,6 +44,33 @@ object LlmQueries {
     graft.operators.Sampling.quotaPerGroup(
       Tables.documents(spark, dir), groupCol = "lang", keyCol = "doc_id", n = 50)
 
+  /** The FULL MinHash+LSH pipeline, oracle-checked bit-for-bit: portable
+    * md5-family signatures (16 components), 4 bands x 4 rows, candidate
+    * pairs from band-bucket equality, component-match count >= 4
+    * (est. Jaccard >= 0.25). The xxhash-family d2 stays the production
+    * path; this proves the sketch+banding MACHINERY against an independent
+    * engine, the way t5/t6/t7 do for sampling and fingerprints. */
+  def minhashPortable(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    val sigs = Tables.documents(spark, dir)
+      .select(col("doc_id"), call_function("minhash_md5", col("text"), lit(16)).as("sig"))
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until 4).map(b => slice(col("sig"), b * 4 + 1, 4)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bk")
+    val a = banded.select(col("doc_id").as("id_a"), col("sig").as("sa"),
+      col("band"), col("bk"))
+    val b = banded.select(col("doc_id").as("id_b"), col("sig").as("sb"),
+      col("band"), col("bk"))
+    a.join(b, Seq("band", "bk"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(first("sa").as("sa"), first("sb").as("sb"))
+      .select(col("id_a"), col("id_b"),
+        aggregate(zip_with(col("sa"), col("sb"),
+          (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (s, x) => s + x)
+          .as("n_match"))
+      .filter(col("n_match") >= 4)
+  }
+
   /** Token/char/punct stats (oracle-checked). */
   def textStats(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.textStats(Tables.documents(spark, dir))

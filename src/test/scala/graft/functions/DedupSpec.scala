@@ -79,6 +79,21 @@ class DedupSpec extends AnyFunSuite {
     assert(sh1.length == aba.distinct.length)
   }
 
+  test("minhash_md5: identical texts match on all 16; unrelated on almost none") {
+    graft.GraftFunctions.register(spark)
+    def sig(s: String): Seq[Long] =
+      spark.range(1).select(call_function("minhash_md5", lit(s), lit(16)).as("s"))
+        .head().getSeq[Long](0)
+    assert(sig(loremA) == sig(loremA) && sig(loremA).length == 16)
+    val matches = sig(loremA).zip(sig(loremB)).count { case (x, y) => x == y }
+    assert(matches <= 2, s"unrelated texts matched $matches/16 components")
+    // near-dup texts share most components (their shingle sets mostly overlap)
+    val near = sig(loremA).zip(sig(loremANear)).count { case (x, y) => x == y }
+    assert(near >= 8, s"near-dup texts matched only $near/16 components")
+    // values are 32-bit unsigned (first 4 md5 bytes) — the portable range
+    assert(sig(loremA).forall(v => v >= 0 && v <= 0xffffffffL))
+  }
+
   test("simhash: identical texts hamming 0; near texts small; unrelated large") {
     val sigs = corpus.select($"doc_id", Dedup.simhash64($"text").as("sh"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
