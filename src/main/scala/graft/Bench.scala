@@ -22,6 +22,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", TempDirs.sparkLocalDir())
+      // single bounded run: the ContextCleaner's post-GC cleanup storms
+      // (RemoveShuffle/RemoveBroadcast RPCs through the block-manager
+      // endpoint) stalled every query that ran after an allocation-heavy
+      // one — a 52-query suite degraded ~2x mid-run. Scratch is reclaimed
+      // at JVM exit anyway; long-running services keep the cleaner ON.
+      .config("spark.cleaner.referenceTracking", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
