@@ -12,6 +12,8 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", TempDirs.sparkLocalDir())
+      // bounded test JVM: cleaner-storm stalls flaked slow suites (see Bench)
+      .config("spark.cleaner.referenceTracking", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
