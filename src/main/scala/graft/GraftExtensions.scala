@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.functions.call_function
-import graft.functions.expr.{CosineSimilarity, MinHashAgg, MinHashBands, MinHashSignature, MinHashMd5, ShingleHashes, SigOverlap, SimHashChunks, TokenHashes}
+import graft.functions.expr.{CosineSimilarity, MinHashAgg, MinHashBands, MinHashSignature, MinHashMd5, ShingleHashes, SigOverlap, SimHashChunks, SimHashMd5, TokenHashes}
 
 /** Engine extension wiring.
   *
@@ -36,6 +36,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => TokenHashes(exprs.head)))
     ext.injectFunction((FunctionIdentifier("minhash_md5"), MinHashMd5.info,
       exprs => MinHashMd5(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("simhash_md5"), SimHashMd5.info,
+      exprs => SimHashMd5(exprs.head)))
   }
 }
 
@@ -72,6 +74,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("minhash_md5"), MinHashMd5.info,
       exprs => MinHashMd5(exprs.head, exprs(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("simhash_md5"), SimHashMd5.info,
+      exprs => SimHashMd5(exprs.head))
   }
 
   /** Column-API form of the native expression. */

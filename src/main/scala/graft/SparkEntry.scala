@@ -52,6 +52,7 @@ object SparkEntry {
     "d5_minhash_groups"   -> ((s, d) => graft.functions.LlmQueries.minhashGroups(s, d)),
     "d6_ngram_jaccard"    -> ((s, d) => graft.functions.LlmQueries.ngramJaccardPairs(s, d)),
     "d8_minhash_portable" -> ((s, d) => graft.functions.LlmQueries.minhashPortable(s, d)),
+    "d9_simhash_portable" -> ((s, d) => graft.functions.LlmQueries.simhashPortable(s, d)),
     "d7_embed_neardup_exact" -> ((s, d) => graft.functions.LlmQueries.embedNearDupExact(s, d)),
     "t4_text_quality"     -> ((s, d) => graft.functions.LlmQueries.textQuality(s, d)),
     "r16_asof_join"       -> ((s, d) => RelationalOps.asofPurchaseClick(s, d)),
@@ -190,6 +191,33 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY lang
         |  ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT,
         |           doc_id) <= 50""".stripMargin,
+    "d9_simhash_portable" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                     x -> x <> '') AS toks
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id,
+        |         list_transform(toks,
+        |           t -> ('0x' || substr(md5(t), 1, 16))::UBIGINT) AS hs,
+        |         len(toks) AS n
+        |  FROM w
+        |)
+        |SELECT doc_id,
+        |  list_sum(list_transform(range(0, 16), j -> CASE
+        |    WHEN 2*len(list_filter(hs, x -> (x >> (0*16+j)) & 1 = 1)) > n
+        |    THEN (1<<j)::BIGINT ELSE 0 END))::BIGINT AS c0,
+        |  list_sum(list_transform(range(0, 16), j -> CASE
+        |    WHEN 2*len(list_filter(hs, x -> (x >> (1*16+j)) & 1 = 1)) > n
+        |    THEN (1<<j)::BIGINT ELSE 0 END))::BIGINT AS c1,
+        |  list_sum(list_transform(range(0, 16), j -> CASE
+        |    WHEN 2*len(list_filter(hs, x -> (x >> (2*16+j)) & 1 = 1)) > n
+        |    THEN (1<<j)::BIGINT ELSE 0 END))::BIGINT AS c2,
+        |  list_sum(list_transform(range(0, 16), j -> CASE
+        |    WHEN 2*len(list_filter(hs, x -> (x >> (3*16+j)) & 1 = 1)) > n
+        |    THEN (1<<j)::BIGINT ELSE 0 END))::BIGINT AS c3
+        |FROM h""".stripMargin,
     "d8_minhash_portable" ->
       """WITH w AS (
         |  SELECT doc_id,

@@ -71,6 +71,19 @@ object LlmQueries {
       .filter(col("n_match") >= 4)
   }
 
+  /** Portable SimHash signatures (md5 token family, 4x16-bit chunks),
+    * oracle-checked bit-for-bit — the d3 production path keeps the
+    * splitmix family; this proves the sign-accumulation sketch against an
+    * independent engine (see expr/SimHashMd5). */
+  def simhashPortable(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), call_function("simhash_md5", col("text")).as("ch"))
+      .select(col("doc_id"),
+        element_at(col("ch"), 1).as("c0"), element_at(col("ch"), 2).as("c1"),
+        element_at(col("ch"), 3).as("c2"), element_at(col("ch"), 4).as("c3"))
+  }
+
   /** Token/char/punct stats (oracle-checked). */
   def textStats(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.textStats(Tables.documents(spark, dir))

@@ -94,6 +94,18 @@ class DedupSpec extends AnyFunSuite {
     assert(sig(loremA).forall(v => v >= 0 && v <= 0xffffffffL))
   }
 
+  test("simhash_md5: hamming locality holds in the portable family too") {
+    graft.GraftFunctions.register(spark)
+    def sh(s: String): Long = {
+      val ch = spark.range(1).select(call_function("simhash_md5", lit(s)).as("c"))
+        .head().getSeq[Long](0)
+      ch(0) | (ch(1) << 16) | (ch(2) << 32) | (ch(3) << 48)
+    }
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(loremA), sh(loremA)) == 0)
+    assert(ham(sh(loremA), sh(loremANear)) < ham(sh(loremA), sh(loremB)))
+  }
+
   test("simhash: identical texts hamming 0; near texts small; unrelated large") {
     val sigs = corpus.select($"doc_id", Dedup.simhash64($"text").as("sh"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
