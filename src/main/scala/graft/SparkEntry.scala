@@ -65,6 +65,7 @@ object SparkEntry {
     "r26_stream_tumble"   -> ((s, d) => graft.streaming.StreamingQueries.streamTumble(s, d)),
     "r27_scalar_subquery" -> ((s, d) => RelationalOps.scalarSubquery(s, d)),
     "r28_range_join"      -> ((s, d) => RelationalOps.rangeJoinErrClicks(s, d)),
+    "r29_cube_agg"        -> ((s, d) => RelationalOps.cubeAgg(s, d)),
     "s15_mor_time_travel" -> ((s, d) => graft.lake.LakeQueries.timeTravel(s, d)),
     "s14_mor_incremental" -> ((s, d) => graft.lake.LakeQueries.incrementalPull(s, d)),
     "r20_semi_join"       -> ((s, d) => RelationalOps.semiJoin(s, d)),
@@ -80,6 +81,13 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "r29_cube_agg" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+        |       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+        |       count(*) AS cnt,
+        |       sum(round(o_totalprice * 100)::BIGINT) AS sum_cents
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
     "r28_range_join" ->
       """SELECT e.event_id AS err_id, count(*) AS n_clicks
         |FROM events e JOIN events c

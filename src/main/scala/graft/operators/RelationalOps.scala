@@ -148,6 +148,17 @@ object RelationalOps {
         coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
         col("cnt"), col("sum_cents"))
 
+  /** CUBE aggregate — all 2^2 grouping sets of (status, priority) in one
+    * pass (same Expand + partial-agg shape as rollup, one more set). */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sum_cents"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        col("cnt"), col("sum_cents"))
+
   /** Window-analytics bundle over events: per-user value rank, previous
     * value (lag), and a running exact-micros sum — one shuffle on user_id
     * shared by all three window frames. lag's leading NULL is coalesced to
