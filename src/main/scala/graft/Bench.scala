@@ -37,21 +37,38 @@ object Bench {
 
     def q(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
+    // per-query GC time + free memory: a co-tenant-contaminated run (host
+    // memory pressure, CPU steal) shows up as huge gc_ms / tiny free_mb on
+    // otherwise-trivial queries, so a bad driver artifact is self-diagnosing.
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+    def freeMb(): Long = {
+      val rt = Runtime.getRuntime
+      (rt.maxMemory - rt.totalMemory + rt.freeMemory) / (1024 * 1024)
+    }
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val gc0 = gcMillis()
       val t0 = System.nanoTime()
       val outcome =
         try { fn(spark, sfDir).count(); None }
         catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.toString).take(200)) }
       val sec = (System.nanoTime() - t0) / 1e9
-      (name, sec, outcome)
+      (name, sec, outcome, gcMillis() - gc0, freeMb())
     }
     val qs = results.map {
-      case (n, sec, None) => s"${q(n)}:$sec"
-      case (n, _, Some(err)) => s"${q(n)}:{${q("err")}:${q(err)}}"
+      case (n, sec, None, _, _) => s"${q(n)}:$sec"
+      case (n, _, Some(err), _, _) => s"${q(n)}:{${q("err")}:${q(err)}}"
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, sec, None) => sec }.sum
+    val diag = results.map { case (n, _, _, gc, free) =>
+      s"${q(n)}:{${q("gc_ms")}:$gc,${q("free_mb")}:$free}"
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, sec, None, _, _) => sec }.sum
     val nFailed = results.count(_._3.isDefined)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"sf":${q(sfDir)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"diag":$diag,"sf":${q(sfDir)}}""")
     spark.stop()
   }
 }

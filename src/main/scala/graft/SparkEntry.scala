@@ -85,7 +85,7 @@ object SparkEntry {
       """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
         |       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
         |       count(*) AS cnt,
-        |       sum(round(o_totalprice * 100)::BIGINT) AS sum_cents
+        |       sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
     "r28_range_join" ->
@@ -177,15 +177,15 @@ object SparkEntry {
         |  rank() OVER (PARTITION BY user_id ORDER BY value DESC) AS value_rank,
         |  coalesce(lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id),
         |           -1.0) AS prev_value,
-        |  sum(round(value * 1000000)::BIGINT)
+        |  (sum(round(value * 1000000)::BIGINT)
         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |          ROWS UNBOUNDED PRECEDING) AS running_micros
+        |          ROWS UNBOUNDED PRECEDING))::BIGINT AS running_micros
         |FROM events""".stripMargin,
     "r18_rollup_agg" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
         |       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
         |       count(*) AS cnt,
-        |       sum(round(o_totalprice * 100)::BIGINT) AS sum_cents
+        |       sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents
         |FROM orders
         |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin,
     "r19_salted_join" ->
@@ -433,10 +433,10 @@ object SparkEntry {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |), s AS (
         |  SELECT user_id, event_id, ts_ms,
-        |         sum(CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000
+        |         (sum(CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000
         |                  THEN 1 ELSE 0 END)
         |           OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                 ROWS UNBOUNDED PRECEDING) AS session_id
+        |                 ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
         |  FROM g
         |)
         |SELECT user_id, session_id, min(ts_ms) AS session_start_ms,

@@ -39,6 +39,31 @@ def rows_of(cols, names):
         key=sort_key,
     ), [names[i] for i in order]
 
+def type_tag(t):
+    """Normalized arrow type label. Deliberately distinguishes decimal from
+    int64 (the driver's hasher does; Python value compare can't — Decimal(5)==5)
+    while ignoring representation-only differences (string vs large_string,
+    timestamp unit/tz)."""
+    import pyarrow as pa
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{type_tag(t.value_type)}>"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    return str(t)
+
+def type_tags(tbl, names_sorted):
+    return {n: type_tag(tbl.schema.field(n).type) for n in names_sorted}
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -66,6 +91,11 @@ def main(sf_dir, out_dir):
         o_rows, o_sorted = rows_of(o_cols, o_names)
         if s_sorted != o_sorted:
             print(f"FAIL {name}: schema {s_sorted} != {o_sorted}"); n_fail += 1; continue
+        s_types, o_types = type_tags(tbl, s_sorted), type_tags(o_tbl, o_sorted)
+        bad_types = {n: (s_types[n], o_types[n]) for n in s_sorted if s_types[n] != o_types[n]}
+        if bad_types:
+            print(f"FAIL {name}: column types differ (spark, oracle): {bad_types}")
+            n_fail += 1; continue
         if len(s_rows) != len(o_rows):
             print(f"FAIL {name}: rows {len(s_rows)} != {len(o_rows)}"); n_fail += 1
             for r in s_rows[:3]: print("  spark:", r)
