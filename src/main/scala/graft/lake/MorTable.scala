@@ -58,32 +58,80 @@ final class MorTable(
 
   // ---------------------------------------------------------------- timeline
 
+  /** Parse cache: instant CONTENT by seq. One `listStatus` per operation
+    * stays the source of truth (other handles/processes may have committed),
+    * but instant files are immutable once renamed into place, so their
+    * parsed JSON never needs re-reading. Before this cache every operation
+    * re-read EVERY timeline file — O(total commits) driver-side FS round
+    * trips per op, the S3 metadata bottleneck at a 1-min commit cadence.
+    * Now an op costs 1 list + reads only for instants it has never seen
+    * (typically 0), and [[clean]] archival bounds the list itself. */
+  @transient @volatile private var instantCache: Map[Long, Instant] = Map.empty
+
   /** All committed instants, ascending by seq. */
   def timeline(): Seq[Instant] = {
     val dir = new Path(hPath, "timeline")
-    if (!fs.exists(dir)) return Seq.empty
-    fs.listStatus(dir).toSeq
-      .map(_.getPath.getName)
-      .filter(_.endsWith(".json"))
-      .map { n => parseInstant(new String(readFully(fs, new Path(dir, n)), StandardCharsets.UTF_8)) }
-      .sortBy(_.seq)
+    val names =
+      try { MorTable.timelineLists.incrementAndGet(); fs.listStatus(dir).toSeq.map(_.getPath.getName) }
+      catch { case _: java.io.FileNotFoundException => return Seq.empty }
+    val cached = instantCache
+    val all = names.filter(instantFileRe.matcher(_).matches).map { n =>
+      val seq = n.takeWhile(_ != '.').toLong
+      cached.getOrElse(seq, {
+        MorTable.instantReads.incrementAndGet()
+        parseInstant(new String(readFully(fs, new Path(dir, n)), StandardCharsets.UTF_8))
+      })
+    }.sortBy(_.seq)
+    instantCache = all.map(i => i.seq -> i).toMap
+    all
   }
+
+  private val instantFileRe = java.util.regex.Pattern.compile("\\d+\\.[a-z]+\\.json")
+  private def instantFileName(i: Instant): String = s"${i.seq}.${i.kind}.json"
 
   private def lastSeq(tl: Seq[Instant]): Long = tl.lastOption.map(_.seq).getOrElse(0L)
 
-  /** True iff this micro-batch id already committed (exactly-once replays). */
+  /** True iff this micro-batch id already committed (exactly-once replays).
+    * Checks live instants first, then the archived-batch summary (instants
+    * folded away by [[clean]] keep their batch ids there). */
   def isCommitted(batchId: Long): Boolean =
-    batchId >= 0 && timeline().exists(_.batchId == batchId)
+    batchId >= 0 &&
+      (timeline().exists(_.batchId == batchId) || archivedBatchIds.contains(batchId))
 
   private def writeInstant(i: Instant): Unit = {
     val dir = new Path(hPath, "timeline")
     fs.mkdirs(dir)
-    val tmp = new Path(dir, s".${i.seq}.${i.kind}.json.tmp")
-    val dst = new Path(dir, s"${i.seq}.${i.kind}.json")
+    val tmp = new Path(dir, s".${instantFileName(i)}.tmp")
+    val dst = new Path(dir, instantFileName(i))
     val out = fs.create(tmp, true)
     try out.write(i.toJson.getBytes(StandardCharsets.UTF_8)) finally out.close()
     if (!fs.rename(tmp, dst)) throw new java.io.IOException(s"commit rename failed: $dst")
+    instantCache += (i.seq -> i)
   }
+
+  // ------------------------------------------------------- archived timeline
+
+  private def archivePath = new Path(hPath, "timeline/_archived")
+
+  /** Batch ids of instants archived by [[clean]] (loaded once per handle;
+    * refreshed by clean() on this handle). Single-cleaner assumption, same
+    * as Hudi's table-service lock. */
+  @transient @volatile private var archivedCache: Set[Long] = _
+
+  private def archivedBatchIds: Set[Long] = {
+    var c = archivedCache
+    if (c == null) {
+      c = readArchivedBatchIds()
+      archivedCache = c
+    }
+    c
+  }
+
+  private def readArchivedBatchIds(): Set[Long] =
+    try {
+      val json = new String(readFully(fs, archivePath), StandardCharsets.UTF_8)
+      "-?\\d+".r.findAllIn(json.dropWhile(_ != '[')).map(_.toLong).toSet
+    } catch { case _: java.io.IOException => Set.empty }
 
   // ---------------------------------------------------------------- writes
 
@@ -303,23 +351,42 @@ final class MorTable(
     writeInstant(Instant(seq, "compact", -1L, now))
   }
 
-  /** Cleaner (the Hudi cleaner analog): physically remove data files made
-    * redundant by the LATEST compaction — every delta/base with seq below
-    * the last compact instant, whose content is fully folded into that
-    * base. Time travel earlier than the last compaction becomes
-    * unavailable; the timeline metadata is kept (instants stay listed, like
-    * an archived timeline). Call only when no in-flight multi-table batch
-    * might still recovery-read the removed deltas. Returns #dirs removed. */
-  def clean(): Int = {
+  /** Cleaner (the Hudi cleaner + archived-timeline analog): physically
+    * remove data files made redundant by the LATEST compaction — every
+    * delta/base with seq below the last compact instant, whose content is
+    * fully folded into that base — and ARCHIVE those instants: their batch
+    * ids fold into the single `timeline/_archived` summary (so
+    * exactly-once replay detection survives archival) and their timeline
+    * files are deleted. This bounds the instant listing: at a 1-minute
+    * commit cadence an unarchived timeline is ~10k files after a week, and
+    * on S3 that listing becomes the per-operation metadata bottleneck.
+    * Time travel earlier than the last compaction becomes unavailable.
+    * Call only when no in-flight multi-table batch might still
+    * recovery-read the removed deltas. Returns #data dirs removed. */
+  def clean(): Int = synchronized {
     val tl = timeline()
     tl.filter(_.kind == "compact").lastOption match {
       case None => 0
       case Some(c) =>
         val old = tl.filter(_.seq < c.seq)
-        old.map { i =>
+        val removed = old.map { i =>
           val dir = new Path(hPath, s"${if (i.kind == "compact") "base" else "delta"}/${i.seq}")
           if (fs.exists(dir)) { fs.delete(dir, true); 1 } else 0
         }.sum
+        if (old.nonEmpty) {
+          val ids = (archivedBatchIds ++ old.map(_.batchId).filter(_ >= 0)).toSeq.sorted
+          val tmp = new Path(hPath, "timeline/._archived.tmp")
+          val out = fs.create(tmp, true)
+          try out.write(s"""{"batchIds":[${ids.mkString(",")}]}"""
+            .getBytes(StandardCharsets.UTF_8)) finally out.close()
+          fs.delete(archivePath, false)
+          if (!fs.rename(tmp, archivePath))
+            throw new java.io.IOException(s"archive rename failed: $archivePath")
+          archivedCache = ids.toSet
+          old.foreach(i => fs.delete(new Path(hPath, s"timeline/${instantFileName(i)}"), false))
+          instantCache = instantCache -- old.map(_.seq)
+        }
+        removed
     }
   }
 
@@ -328,6 +395,11 @@ final class MorTable(
 }
 
 object MorTable {
+
+  /** FS-cost telemetry for the timeline (asserted in MorTableSpec: read
+    * cost must not grow with timeline length). */
+  private[lake] val timelineLists = new java.util.concurrent.atomic.AtomicLong
+  private[lake] val instantReads = new java.util.concurrent.atomic.AtomicLong
 
   /** One committed instant on the timeline. */
   final case class Instant(seq: Long, kind: String, batchId: Long, commitMs: Long) {

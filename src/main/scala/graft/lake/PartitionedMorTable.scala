@@ -150,19 +150,28 @@ final class PartitionedMorTable(
     ()
   }
 
-  /** Tombstone deletes, split by partition (keys must carry partitionCol).
-    * Consumes a parent commit token so delete/upsert LWW ordering stays
-    * table-global. */
+  /** Tombstone deletes (keys must carry partitionCol): the same ONE staged
+    * `partitionBy` cluster write + metadata-only adoption per touched
+    * partition as [[upsert]] — not a driver-side loop of per-partition
+    * Spark jobs. Tombstones carry only key/partition columns; the snapshot
+    * merge unions by name with missing columns as null, and tombstoned
+    * rows never surface, so no schema padding is needed. Consumes a parent
+    * commit token so delete/upsert LWW ordering stays table-global. */
   def delete(keys: DataFrame, batchId: Long = -1L): PartitionedMorTable = {
     if (isCommitted(batchId)) return this
     val token = nextToken()
-    val touched = keys.select(col(partitionCol).cast("string"))
-      .distinct().collect().map(_.getString(0))
-    touched.foreach { v =>
-      child(v).delete(keys.filter(col(partitionCol).cast("string") === v),
-        batchId, seqno = Some(token))
-    }
-    writeParentInstant(MorTable.Instant(token, "delete", batchId, System.currentTimeMillis()))
+    val now = System.currentTimeMillis()
+    val staged = keys.select((partitionCol +: keyCols).distinct.map(col): _*)
+      .withColumn("_record_key",
+        concat_ws("|", keyCols.map(c => col(c).cast("string")): _*))
+      .withColumn("_deleted", lit(true))
+      .withColumn("_commit_seqno", lit(token))
+      .withColumn("_commit_time", lit(MorTable.commitTimeString(now)))
+      .withColumn("__p", col(partitionCol).cast("string"))
+    val stagingDir = new Path(hPath, s".staging/$token")
+    staged.write.partitionBy("__p").mode("overwrite").parquet(stagingDir.toString)
+    adoptStaged(stagingDir, batchId)
+    writeParentInstant(MorTable.Instant(token, "delete", batchId, now))
     this
   }
 

@@ -141,6 +141,42 @@ class MorTableSpec extends AnyFunSuite {
     assert(t.clean() == 0) // idempotent
   }
 
+  test("timeline ops are O(1) instant reads regardless of timeline length") {
+    val dir = graft.TestSpark.tmpDir("mor-bigtl")
+    // forge a 1000-commit timeline directly (instant files are the contract)
+    new java.io.File(s"$dir/timeline").mkdirs()
+    for (seq <- 1 to 1000) {
+      val i = MorTable.Instant(seq, "delta", seq, 1000L + seq)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/timeline/$seq.delta.json"), i.toJson.getBytes)
+    }
+    val t = new MorTable(spark, dir, Seq("uuid"), autoCompact = false)
+    assert(t.timeline().size == 1000) // cold load parses everything once
+    val warmStart = MorTable.instantReads.get()
+    assert(t.timeline().size == 1000)
+    assert(t.isCommitted(500))
+    t.upsert(t1Rows, Seq(col("ts"))) // commit 1001
+    assert(t.timeline().size == 1001)
+    assert(MorTable.instantReads.get() == warmStart,
+      "warm timeline ops and commits must not re-read instant files")
+  }
+
+  test("clean archives instants: listing bounded, replay detection survives") {
+    val t = MorTable(spark, graft.TestSpark.tmpDir("mor-archive"), Seq("uuid"),
+      compactionDeltaCommits = 2)
+    t.upsert(t1Rows, Seq(col("ts")), batchId = 7)
+    t.upsert(Seq(("id1", "Francisco", 29, "2023-06-15 12:00:00"))
+      .toDF("uuid", "name", "age", "ts"), Seq(col("ts")), batchId = 8) // → compact
+    assert(t.timeline().map(_.kind) == Seq("delta", "delta", "compact"))
+    assert(t.clean() == 2)
+    assert(t.timeline().map(_.kind) == Seq("compact"), "archived instants must leave the listing")
+    assert(t.isCommitted(7) && t.isCommitted(8), "archived batch ids must stay replay-detected")
+    // a fresh handle (new JVM analog) sees the same archive
+    val t2 = MorTable(spark, t.path, Seq("uuid"))
+    assert(t2.isCommitted(7) && t2.isCommitted(8))
+    assert(t2.read().count() == 8)
+  }
+
   test("time-trigger compaction fires when the oldest delta is stale") {
     val t = MorTable(spark, TestSpark.tmpDir("mor-time"), Seq("uuid"),
       compactionDeltaCommits = 100, compactionDeltaSeconds = 60)

@@ -47,6 +47,26 @@ class PartitionedMorTableSpec extends AnyFunSuite {
     assert(t.child("a").timeline().count(_.kind == "delta") == 1)
   }
 
+  test("multi-partition delete runs ONE staged write, not a job per partition") {
+    val t = new PartitionedMorTable(spark, tmp(), Seq("k"), "p", autoCompact = false)
+    t.upsert(Seq((1L, "a", 1), (2L, "b", 2), (3L, "c", 3), (4L, "a", 4)).toDF("k", "p", "v"),
+      Seq(col("k")), batchId = 1L)
+    spark.sparkContext.setJobGroup("pmor-del-count", "delete", interruptOnCancel = false)
+    try t.delete(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "p"), batchId = 2L)
+    finally spark.sparkContext.clearJobGroup()
+    // status store is listener-fed (async) — poll briefly
+    def jobs = spark.sparkContext.statusTracker.getJobIdsForGroup("pmor-del-count").length
+    val deadline = System.currentTimeMillis() + 5000
+    while (jobs < 1 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(jobs >= 1 && jobs <= 2, s"expected one staged write job, saw $jobs")
+    // every touched child adopted the same table-global commit token
+    val rows = t.read().collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((4L, "a")))
+    Seq("a", "b", "c").foreach { v =>
+      assert(t.child(v).timeline().count(_.kind == "delta") == 2, s"partition $v")
+    }
+  }
+
   test("deletes tombstone within their partition only") {
     val t = new PartitionedMorTable(spark, tmp(), Seq("k"), "p")
     t.upsert(Seq((1L, "a", 1), (1L, "b", 2)).toDF("k", "p", "v"),
