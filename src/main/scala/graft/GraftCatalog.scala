@@ -4,28 +4,51 @@ import org.apache.spark.sql.SparkSession
 import graft.lake.MorTable
 
 /** Catalog surface (S5 and the Glue-catalog analog of §1.1): MOR lake
-  * tables registered as session-catalog views so the whole SQL surface —
+  * tables registered under catalog names so the whole SQL surface —
   * `SELECT * FROM t1`, `DROP TABLE IF EXISTS t1` (zpln:292/:2952) — runs
-  * through `spark.sql`. The reference stores table metadata in Glue and
-  * shares it between engines; our session catalog plays that role within
-  * the SparkSession (swap in a Hive metastore for cross-session sharing). */
+  * through `spark.sql`.
+  *
+  * Freshness contract (the Athena-reads-Glue behavior,
+  * `lib/rds-cdc-flink-hudi-stack.ts:458-519`): when the session was built
+  * with `spark.sql.extensions=graft.GraftExtensions`, a registered name is
+  * resolved by [[MorRelationResolution]] to a FRESH snapshot plan at every
+  * query — readers see each commit the moment it lands, with no
+  * re-registration. (The timeline list behind that re-resolution is one
+  * `listStatus` + cached instant parses — see MorTable.timeline.)
+  * Without the extension (a session we didn't build), `register` falls
+  * back to a temp view that snapshots the CURRENT file set and must be
+  * re-registered per commit.
+  */
 object GraftCatalog {
 
-  /** Register (or refresh) a MOR table under a catalog name. The view
-    * captures the CURRENT snapshot's file set; re-register after commits
-    * you want readers to see (one registration per commit = the reference's
-    * reader-sees-committed-data behavior). */
+  /** (session, lower(name)) → table. Session-scoped like temp views. */
+  private val registry = new java.util.concurrent.ConcurrentHashMap[String, MorTable]()
+
+  private def key(spark: SparkSession, name: String): String =
+    System.identityHashCode(spark) + "/" + name.toLowerCase(java.util.Locale.ROOT)
+
+  /** Live lookup used by the analyzer rule (None = not a graft table). */
+  private[graft] def lookup(spark: SparkSession, name: String): Option[MorTable] =
+    Option(registry.get(key(spark, name)))
+
+  private def ruleInstalled(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.sql.extensions").exists(_.contains("graft.GraftExtensions"))
+
+  /** Register (or refresh) a MOR table under a catalog name (see the
+    * freshness contract above). */
   def register(spark: SparkSession, name: String, table: MorTable): Unit =
-    table.read().createOrReplaceTempView(name)
+    if (ruleInstalled(spark)) { registry.put(key(spark, name), table); () }
+    else table.read().createOrReplaceTempView(name)
 
   /** S5 — `DROP TABLE IF EXISTS`: removes catalog metadata; storage stays
     * unless `purge`. Idempotent, like the reference's cleanup cell. */
   def dropTable(spark: SparkSession, name: String, table: Option[MorTable] = None,
                 purge: Boolean = false): Unit = {
+    registry.remove(key(spark, name))
     spark.catalog.dropTempView(name)
     if (purge) table.foreach(_.drop())
   }
 
   def exists(spark: SparkSession, name: String): Boolean =
-    spark.catalog.tableExists(name)
+    lookup(spark, name).isDefined || spark.catalog.tableExists(name)
 }

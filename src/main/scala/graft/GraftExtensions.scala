@@ -2,8 +2,11 @@ package graft
 
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions.call_function
-import graft.functions.expr.{CosineSimilarity, MinHashAgg, MinHashBands, MinHashSignature, MinHashMd5, ShingleHashes, SigOverlap, SimHashChunks, SimHashMd5, TokenHashes}
+import graft.functions.expr.{CosineSimilarity, LshBuckets, MinHashAgg, MinHashBands, MinHashSignature, MinHashMd5, NearestCells, ShingleHashes, SigOverlap, SimHashChunks, SimHashMd5, TokenHashes}
 
 /** Engine extension wiring.
   *
@@ -38,6 +41,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => MinHashMd5(exprs.head, exprs(1))))
     ext.injectFunction((FunctionIdentifier("simhash_md5"), SimHashMd5.info,
       exprs => SimHashMd5(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("lsh_buckets"), LshBuckets.info,
+      exprs => LshBuckets(exprs.head, exprs(1), exprs(2))))
+    ext.injectFunction((FunctionIdentifier("nearest_cells"), NearestCells.info,
+      exprs => NearestCells(exprs.head, exprs(1), exprs(2), exprs(3))))
+    ext.injectResolutionRule(session => new MorRelationResolution(session))
+  }
+}
+
+/** Analyzer rule: resolve a [[GraftCatalog]]-registered table name to a
+  * FRESH MOR snapshot plan — built from the table's CURRENT timeline — on
+  * every query. This is what makes `spark.sql("SELECT * FROM ticket_view")`
+  * behave like the reference's Athena-over-Glue reads (each query sees the
+  * latest commit) instead of a stale registered-at-snapshot view. */
+class MorRelationResolution(spark: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case u: UnresolvedRelation if u.multipartIdentifier.size == 1 &&
+        GraftCatalog.lookup(spark, u.multipartIdentifier.head).isDefined =>
+      GraftCatalog.lookup(spark, u.multipartIdentifier.head).get
+        .read().queryExecution.analyzed
   }
 }
 
@@ -77,6 +99,12 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("simhash_md5"), SimHashMd5.info,
       exprs => SimHashMd5(exprs.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("lsh_buckets"), LshBuckets.info,
+      exprs => LshBuckets(exprs.head, exprs(1), exprs(2)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("nearest_cells"), NearestCells.info,
+      exprs => NearestCells(exprs.head, exprs(1), exprs(2), exprs(3)))
   }
 
   /** Column-API form of the native expression. */

@@ -66,11 +66,13 @@ object Similarity {
       .drop("__rn")
   }
 
-  /** One LSH table's bucket id: `planes` hyperplane sign bits packed into a
-    * long. Plane j's component i is a deterministic pseudo-uniform value in
-    * [-1,1) from xxhash64(seed,j,i) — no driver randomness, so corpus and
-    * queries bucket identically on any cluster. */
-  def lshBucket(vec: Column, planes: Int, seed: Column): Column = {
+  /** One LSH table's bucket id — the documented REFERENCE form (interpreted
+    * higher-order fold; hot paths use the native [[lshBuckets]] instead,
+    * pinned equal in SimilaritySpec). `planes` hyperplane sign bits packed
+    * into a long. Plane j's component i is a deterministic pseudo-uniform
+    * value in [-1,1) from xxhash64(seed,j,i) — no driver randomness, so
+    * corpus and queries bucket identically on any cluster. */
+  def lshBucketRef(vec: Column, planes: Int, seed: Column): Column = {
     val pow2 = array((0 until planes).map(j => lit(1L << j)): _*)
     aggregate(sequence(lit(0), lit(planes - 1)), lit(0L), (acc, j) => {
       val dot = aggregate(zip_with(vec, sequence(lit(0), size(vec) - 1),
@@ -81,9 +83,16 @@ object Similarity {
     })
   }
 
-  /** All `tables` bucket ids for a vector (array<long>, one per table). */
+  /** All `tables` bucket ids for a vector — reference form of [[lshBuckets]]. */
+  def lshBucketsRef(vec: Column, planes: Int, tables: Int): Column =
+    transform(sequence(lit(0), lit(tables - 1)), l => lshBucketRef(vec, planes, l))
+
+  /** All `tables` bucket ids for a vector (array<long>, one per table) via
+    * the native codegen'd expression (graft.functions.expr.LshBuckets) —
+    * one fused loop per row, plane matrix computed once per executor.
+    * Callers must have run `GraftFunctions.register` on the session. */
   def lshBuckets(vec: Column, planes: Int, tables: Int): Column =
-    transform(sequence(lit(0), lit(tables - 1)), l => lshBucket(vec, planes, l))
+    call_function("lsh_buckets", vec, lit(planes), lit(tables))
 
   /** ANN top-k via multi-table LSH: a candidate is any vector sharing a
     * bucket with the query in ≥1 of `tables` tables; queries additionally
@@ -118,9 +127,14 @@ object Similarity {
   /** IVF-style ANN: corpus assigned to the nearest of `nCells` centroids;
     * queries probe the `nProbe` nearest cells. Centroids start from a
     * deterministic hash-ordered seed pick and get `refineIters` Lloyd
-    * iterations — each one assign (broadcast-join + argmax) + re-mean
-    * (posexplode + groupBy(cell,dim)) — all DataFrame ops, no driver math
-    * beyond collecting nCells×dim centroids. */
+    * iterations — each one assign + re-mean (posexplode + groupBy(cell,dim)).
+    *
+    * The assign step is ONE projection through the native `nearest_cells`
+    * expression over driver-collected centroids (bounded: nCells×dim
+    * doubles) — no row blow-up, no shuffle, whole-stage codegen. The
+    * previous shape (cross-join ×nCells + row_number window per Lloyd
+    * iteration) moved N×nCells rows through an extra shuffle to compute a
+    * per-row argmax; at 10^9 vectors that join IS the job. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
               nCells: Int = 16, nProbe: Int = 8, refineIters: Int = 1,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -129,33 +143,24 @@ object Similarity {
     // partition the limit produces — deterministic, and avoids a global
     // window (Spark folds away constant partition keys, so even a lit()
     // partition spec would fall back to the one-partition WindowExec)
-    var centroids = seedCentroids(corpus, nCells, idCol, vecCol)
+    var centroids = collectCentroids(seedCentroids(corpus, nCells, idCol, vecCol))
 
-    def assign(df: DataFrame, v: String): DataFrame = {
-      val w = Window.partitionBy(col(idCol)).orderBy(col("__d").desc, col("cell_id"))
-      df.join(broadcast(centroids), lit(true))
-        .withColumn("__d", cosF(col(v), col("cv")))
-        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-        .drop("__rn", "__d", "cv")
-    }
+    def assign(df: DataFrame, v: String): DataFrame =
+      df.withColumn("cell_id", element_at(nearestCells(col(v), centroids, 1), 1))
 
     for (_ <- 0 until refineIters) {
       val assigned = assign(corpus.select(col(idCol), col(vecCol)), vecCol)
-      centroids = assigned
+      centroids = collectCentroids(assigned
         .select(col("cell_id"), posexplode(col(vecCol)))
         .groupBy(col("cell_id"), col("pos")).agg(avg(col("col")).as("m"))
         .groupBy(col("cell_id"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).as("cv"))
+          s => s.getField("m")).as("cv")))
     }
 
     val assigned = assign(corpus.select(col(idCol), col(vecCol)), vecCol)
-    val qW = Window.partitionBy(col("query_id")).orderBy(col("__d").desc, col("cell_id"))
-    val qProbes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .join(broadcast(centroids), lit(true))
-      .withColumn("__d", cosF(col("qv"), col("cv")))
-      .withColumn("__rn", row_number().over(qW)).filter(col("__rn") <= nProbe)
-      .select(col("query_id"), col("qv"), col("cell_id"))
+    val qProbes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      explode(nearestCells(col(vecCol), centroids, nProbe)).as("cell_id"))
     val scored = assigned.join(qProbes, Seq("cell_id"))
       .filter(col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol).as("neighbor_id"),
@@ -163,6 +168,21 @@ object Similarity {
       .groupBy("query_id", "neighbor_id").agg(first("cos_sim").as("cos_sim"))
     topKPerQuery(scored, k)
   }
+
+  /** Driver-side centroid snapshot, ordered by cell id (parallel id/vector
+    * sequences — the literal arguments of `nearest_cells`). */
+  private def collectCentroids(df: DataFrame): (Seq[Long], Seq[Seq[Double]]) = {
+    val rows = df.select(col("cell_id"), col("cv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    (rows.toSeq.map(_._1), rows.toSeq.map(_._2))
+  }
+
+  /** Column form of the native nearest-cells argmax (ids/centroids embedded
+    * as foldable literals). */
+  private def nearestCells(vec: Column, centroids: (Seq[Long], Seq[Seq[Double]]),
+                           nProbe: Int): Column =
+    call_function("nearest_cells", vec,
+      typedLit(centroids._1), typedLit(centroids._2), lit(nProbe))
 
   /** Embedding near-dup pairs via IVF cells: every vector is assigned to
     * its `nProbe` nearest of `nCells` centroids, candidates are pairs
@@ -179,13 +199,9 @@ object Similarity {
                           nCells: Int = 32, nProbe: Int = 2,
                           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     registerOn(corpus)
-    val centroids = seedCentroids(corpus, nCells, idCol, vecCol)
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__d").desc, col("cell_id"))
-    val assigned = corpus.select(col(idCol), col(vecCol))
-      .join(broadcast(centroids), lit(true))
-      .withColumn("__d", cosF(col(vecCol), col("cv")))
-      .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= nProbe)
-      .select(col(idCol), col(vecCol), col("cell_id"))
+    val centroids = collectCentroids(seedCentroids(corpus, nCells, idCol, vecCol))
+    val assigned = corpus.select(col(idCol), col(vecCol),
+      explode(nearestCells(col(vecCol), centroids, nProbe)).as("cell_id"))
     val a = assigned.select(col(idCol).as("id_a"), col(vecCol).as("va"), col("cell_id"))
     val b = assigned.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("cell_id"))
     a.join(b, Seq("cell_id"))

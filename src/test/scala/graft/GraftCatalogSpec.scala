@@ -25,6 +25,23 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(!new java.io.File(t.path).exists())
   }
 
+  test("registered table is commit-fresh: SQL sees each commit, no re-register") {
+    val t = MorTable(spark, TestSpark.tmpDir("cat-fresh"), Seq("uuid"),
+      compactionDeltaCommits = 100)
+    t.upsert(Seq(("id1", "Danny", 23)).toDF("uuid", "name", "age"), Seq(col("uuid")))
+    GraftCatalog.register(spark, "t_fresh", t)
+    assert(spark.sql("SELECT count(*) AS n FROM t_fresh").head().getLong(0) == 1)
+    t.upsert(Seq(("id2", "Emma", 20)).toDF("uuid", "name", "age"), Seq(col("uuid")))
+    // NO re-register — the resolution rule must see the new commit
+    assert(spark.sql("SELECT count(*) AS n FROM t_fresh").head().getLong(0) == 2)
+    t.upsert(Seq(("id1", "Dan", 24)).toDF("uuid", "name", "age"), Seq(col("uuid")))
+    assert(spark.sql("SELECT name FROM t_fresh WHERE uuid = 'id1'")
+      .head().getString(0) == "Dan")
+    GraftCatalog.dropTable(spark, "t_fresh")
+    assert(!GraftCatalog.exists(spark, "t_fresh"))
+    intercept[Exception] { spark.sql("SELECT * FROM t_fresh").collect() }
+  }
+
   test("T5: writePartitions controls files per commit (write.tasks analog)") {
     val t = new MorTable(spark, TestSpark.tmpDir("cat-wp"), Seq("k"),
       compactionDeltaCommits = 100, writePartitions = 3)

@@ -58,6 +58,54 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"IVF near-dup recall $recall of ${exact.size} exact pairs")
   }
 
+  test("native lsh_buckets == declarative reference, bit-for-bit") {
+    graft.GraftFunctions.register(spark)
+    val diff = emb.limit(200).select(
+        Similarity.lshBuckets($"embedding", 6, 12).as("native"),
+        Similarity.lshBucketsRef($"embedding", 6, 12).as("ref"))
+      .filter($"native" =!= $"ref").count()
+    assert(diff == 0, s"$diff rows disagree")
+  }
+
+  test("lsh_buckets survives codegen (no interpreted fallback)") {
+    graft.GraftFunctions.register(spark)
+    val df = emb.limit(10).select(Similarity.lshBuckets($"embedding", 6, 12).as("b"))
+    val covered = df.queryExecution.executedPlan.exists {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec =>
+        w.toString().contains("lsh_buckets")
+      case _ => false
+    }
+    assert(covered, df.queryExecution.executedPlan.toString())
+    assert(df.collect().forall(_.getSeq[Long](0).length == 12))
+  }
+
+  test("nearest_cells matches the cosine-window argmax it replaced") {
+    graft.GraftFunctions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val nCells = 16
+    // the same seed-centroid pick ivfTopK uses, rebuilt declaratively
+    val cents = emb
+      .select($"vec_id", $"embedding", pmod(xxhash64($"vec_id"), lit(1000000L)).as("__h"))
+      .orderBy($"__h", $"vec_id").limit(nCells).coalesce(1)
+      .select(monotonically_increasing_id().as("cell_id"),
+        transform($"embedding", _.cast("double")).as("cv"))
+    val ids = cents.select("cell_id").collect().map(_.getLong(0)).sorted.toSeq
+    val cvs = cents.collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1).map(_._2).toSeq
+    // old shape: cross join × nCells, score, row_number window
+    val w = Window.partitionBy($"vec_id").orderBy($"__d".desc, $"cell_id")
+    val viaWindow = emb.select($"vec_id", $"embedding")
+      .join(broadcast(cents), lit(true))
+      .withColumn("__d", call_function("cosine_sim", $"embedding", $"cv"))
+      .withColumn("__rn", row_number().over(w)).filter($"__rn" === 1)
+      .select($"vec_id", $"cell_id")
+    // new shape: one projection
+    val viaExpr = emb.select($"vec_id",
+      element_at(call_function("nearest_cells", $"embedding",
+        typedLit(ids), typedLit(cvs), lit(1)), 1).as("cell_id"))
+    assert(viaWindow.exceptAll(viaExpr).isEmpty && viaExpr.exceptAll(viaWindow).isEmpty)
+  }
+
   test("embeddingNearDup finds planted near-duplicates only via buckets") {
     // plant: vec 9000 = copy of vec 0 with tiny noise; vec 9001 = negation
     val baseRow = emb.filter($"vec_id" === 0).head()

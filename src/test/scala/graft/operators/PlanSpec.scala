@@ -71,6 +71,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_percentile"), p)
   }
 
+  test("IVF assign is a projection: no row blow-up join, only the top-k window") {
+    val emb = graft.Tables.embeddings(spark, dir)
+    val p = plan(graft.functions.Similarity.ivfTopK(emb, emb.limit(5)))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // exactly one Window node remains: the final per-query top-k
+    // ("Window [" won't match the WindowGroupLimit nodes that top-k adds)
+    assert("Window \\[".r.findAllIn(p).size == 1, p)
+  }
+
+  test("IVF near-dup mining has no window and no nested-loop join at all") {
+    val emb = graft.Tables.embeddings(spark, dir)
+    val p = plan(graft.functions.Similarity.embeddingNearDupIvf(emb))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("r18 rollup expands grouping sets with partial aggregation") {
     val p = plan(RelationalOps.rollupAgg(spark, dir))
     assert(p.contains("Expand"), p)
