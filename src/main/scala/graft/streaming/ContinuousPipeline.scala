@@ -69,6 +69,35 @@ object ContinuousPipeline {
       .start()
   }
 
+  /** Continuous INSERT INTO driven by a live Debezium-shaped JSON tail
+    * (graft.sources.DebeziumSource): the S3/S4 source modes end-to-end from
+    * an actual `readStream`, not scripted envelope batches. Same pinned
+    * batch-id base and commit-per-trigger contract as [[start]]. */
+  def startFromDebezium(spark: SparkSession, pipe: IncrementalJoinPipeline,
+                        watchDir: String,
+                        merged: org.apache.spark.sql.types.StructType,
+                        person: graft.sources.DebeziumSource.Table,
+                        ticket: graft.sources.DebeziumSource.Table,
+                        hist: graft.sources.DebeziumSource.Table,
+                        checkpointDir: String,
+                        trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery = {
+    val base = pinnedBase(spark, pipe, checkpointDir)
+    graft.sources.DebeziumSource.streamJsonDir(spark, watchDir, merged)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.cache()
+        try pipe.processBatch(
+          graft.sources.DebeziumSource.envelope(b, person),
+          graft.sources.DebeziumSource.envelope(b, ticket),
+          graft.sources.DebeziumSource.envelope(b, hist),
+          base + batchId + 1L)
+        finally { b.unpersist(); () }
+      }
+      .start()
+  }
+
   /** Read the pinned batch-id base from the checkpoint dir, or pin it now:
     * the sink's max committed pipeline batch id at first start. */
   private def pinnedBase(spark: SparkSession, pipe: IncrementalJoinPipeline,

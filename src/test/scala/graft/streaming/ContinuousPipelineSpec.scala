@@ -69,4 +69,59 @@ class ContinuousPipelineSpec extends AnyFunSuite {
     assert(pipe.sink.timeline().count(_.kind == "delta") == sinkCommits1 + 1)
     assert(pipe.duplicateCheck().isEmpty)
   }
+
+  test("Debezium JSON tail drives the pipeline end-to-end (S3/S4 live seam)") {
+    import graft.sources.DebeziumSource
+    import org.apache.spark.sql.types._
+
+    val people = Seq((1.0, "Ann"), (2.0, "Bob")).toDF("id", "full_name")
+    val tickets = Seq((10.0, 1.0), (20.0, 2.0)).toDF("tid", "holder_id")
+    val hist0 = Seq.empty[(Long, Double, Double)].toDF("hid", "ticket_id", "amt")
+
+    val pipe = new IncrementalJoinPipeline(
+      spark, TestSpark.tmpDir("dbz-pipe"),
+      personKey = "id", ticketKey = "tid", ticketPersonFk = "holder_id",
+      histTicketFk = "ticket_id", histKeyCols = Seq("hid"), histOrder = Seq("hid"),
+      project = j => j.select(col("full_name"), col("amt"), col("hid")),
+      sinkKey = "full_name")
+    pipe.initialize(people, tickets, hist0)
+
+    // the connector's merged column set (one slot, messages tagged by table)
+    val merged = StructType(Seq(
+      StructField("id", DoubleType), StructField("full_name", StringType),
+      StructField("tid", DoubleType), StructField("holder_id", DoubleType),
+      StructField("hid", LongType), StructField("ticket_id", DoubleType),
+      StructField("amt", DoubleType)))
+    val person = DebeziumSource.Table("person", Seq("id", "full_name"), Seq("id"))
+    val ticket = DebeziumSource.Table("ticket", Seq("tid", "holder_id"), Seq("tid"))
+    val hist = DebeziumSource.Table("hist", Seq("hid", "ticket_id", "amt"), Seq("hid"))
+
+    val watch = TestSpark.tmpDir("dbz-wal")
+    val ckpt = TestSpark.tmpDir("dbz-ckpt")
+    def seg(name: String, lines: String*): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$watch/$name"),
+        lines.mkString("\n").getBytes("UTF-8"))
+
+    seg("seg1.json",
+      """{"payload":{"op":"c","before":null,"after":{"hid":1,"ticket_id":10.0,"amt":5.0},"source":{"table":"hist","lsn":1,"ts_ms":1}}}""",
+      """{"payload":{"op":"c","before":null,"after":{"hid":2,"ticket_id":20.0,"amt":6.0},"source":{"table":"hist","lsn":2,"ts_ms":2}}}""")
+    val q1 = ContinuousPipeline.startFromDebezium(spark, pipe, watch, merged,
+      person, ticket, hist, ckpt, trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    assert(q1.awaitTermination(180000), "seg1 stream did not drain in 180s")
+    val afterSeg1 = pipe.sink.read().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(afterSeg1 == Map("Ann" -> 5.0, "Bob" -> 6.0))
+
+    // live tail continues: a rename (update with before-image) + new purchase
+    seg("seg2.json",
+      """{"payload":{"op":"u","before":{"id":1.0,"full_name":"Ann"},"after":{"id":1.0,"full_name":"Annette"},"source":{"table":"person","lsn":3,"ts_ms":3}}}""",
+      """{"payload":{"op":"c","before":null,"after":{"hid":3,"ticket_id":10.0,"amt":7.5},"source":{"table":"hist","lsn":4,"ts_ms":4}}}""")
+    val q2 = ContinuousPipeline.startFromDebezium(spark, pipe, watch, merged,
+      person, ticket, hist, ckpt, trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    assert(q2.awaitTermination(180000), "seg2 stream did not drain in 180s")
+    val finalState = pipe.sink.read().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(finalState == Map("Annette" -> 7.5, "Bob" -> 6.0))
+    assert(pipe.duplicateCheck().isEmpty)
+  }
 }
