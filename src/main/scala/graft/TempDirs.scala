@@ -15,9 +15,9 @@ import scala.collection.mutable
   *
   * Layout: `<base>/graft-<pid>/…`, deleted by a JVM shutdown hook; on
   * startup any `graft-<pid>` left by a dead process (crashed run) is
-  * removed so RAM never leaks across runs. Callers return lazily-read
-  * DataFrames over these dirs, so eager deletion isn't possible — the
-  * hook bounds the leak to one process lifetime.
+  * removed so RAM never leaks across runs. Replay-style queries reclaim
+  * their dirs eagerly via [[materializeAndDelete]]; the hook bounds
+  * everything else to one process lifetime.
   */
 object TempDirs {
 
@@ -58,6 +58,20 @@ object TempDirs {
     val p = Files.createTempDirectory(base, prefix)
     created.synchronized { created += p }
     p.toString
+  }
+
+  /** Finish a replay-style query: materialize its (small) result
+    * driver-side, then delete `dir` immediately. The returned DataFrame is
+    * a local relation, so the replayed lake table is reclaimed the moment
+    * the result exists instead of accumulating in tmpfs until JVM exit —
+    * a 50+-query Verify/Bench run replays several tables and the shutdown
+    * hook alone bounds the leak only to process lifetime. Use only for
+    * gate-sized results (≤ a few thousand rows). */
+  def materializeAndDelete(df: org.apache.spark.sql.DataFrame, dir: String): org.apache.spark.sql.DataFrame = {
+    val rows = java.util.Arrays.asList(df.collect(): _*)
+    val out = df.sparkSession.createDataFrame(rows, df.schema)
+    deleteRecursively(Paths.get(dir))
+    out
   }
 
   /** A per-JVM Spark local dir (shuffle, block manager) on the fast base.

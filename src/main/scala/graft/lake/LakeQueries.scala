@@ -37,14 +37,15 @@ object LakeQueries {
           acc.when(col("ts_ns") <= lit(q.toLong), lit(i + 2))
         }.otherwise(lit(5)))
       .cache()
-    val t = MorTable(spark, tempPath("mor-replay"),
-      keyCols = Seq("user_id"), compactionDeltaCommits = 3)
+    val path = tempPath("mor-replay")
+    val t = MorTable(spark, path, keyCols = Seq("user_id"), compactionDeltaCommits = 3)
     try {
       (1 to 5).foreach { i =>
         t.upsert(batched.filter(col("__b") === i).drop("__b"),
           orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = i.toLong)
       }
-      t.read().select("user_id", "event_id", "event_type", "value", "ts_ms")
+      graft.TempDirs.materializeAndDelete(
+        t.read().select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
     } finally batched.unpersist()
   }
 
@@ -60,15 +61,16 @@ object LakeQueries {
     val mn = bounds.getLong(0); val mx = bounds.getLong(1)
     val mid = mn + (mx - mn) / 2
     // compaction off (high trigger): the pull must see pure delta commits
-    val t = MorTable(spark, tempPath("mor-incr"),
-      keyCols = Seq("user_id"), compactionDeltaCommits = 1000)
+    val path = tempPath("mor-incr")
+    val t = MorTable(spark, path, keyCols = Seq("user_id"), compactionDeltaCommits = 1000)
     t.upsert(ev.filter(col("ts_ns") <= mid),
       orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 1L)
     t.upsert(ev.filter(col("ts_ns") > mid),
       orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 2L)
-    t.readIncremental(sinceSeq = 1L)
-      .filter(!col("_deleted"))
-      .select("user_id", "event_id", "event_type", "value", "ts_ms")
+    graft.TempDirs.materializeAndDelete(
+      t.readIncremental(sinceSeq = 1L)
+        .filter(!col("_deleted"))
+        .select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
   }
 
   /** Time-travel read, oracle-checked: after two time-split delta commits,
@@ -81,13 +83,14 @@ object LakeQueries {
     val bounds = ev.agg(min(col("ts_ns")).as("mn"), max(col("ts_ns")).as("mx")).head()
     val mn = bounds.getLong(0); val mx = bounds.getLong(1)
     val mid = mn + (mx - mn) / 2
-    val t = MorTable(spark, tempPath("mor-tt"),
-      keyCols = Seq("user_id"), compactionDeltaCommits = 1000)
+    val path = tempPath("mor-tt")
+    val t = MorTable(spark, path, keyCols = Seq("user_id"), compactionDeltaCommits = 1000)
     t.upsert(ev.filter(col("ts_ns") <= mid),
       orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 1L)
     t.upsert(ev.filter(col("ts_ns") > mid),
       orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 2L)
-    t.readAt(1L).select("user_id", "event_id", "event_type", "value", "ts_ms")
+    graft.TempDirs.materializeAndDelete(
+      t.readAt(1L).select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
   }
 
   /** Partitioned-lake replay: same LWW upsert semantics, but through a
@@ -100,13 +103,15 @@ object LakeQueries {
     val ev = Tables.events(spark, dir)
       .select("user_id", "event_id", "event_type", "value", "ts_ms", "ts_ns")
     val mid = ev.stat.approxQuantile("ts_ns", Array(0.5), 0.01)(0).toLong
-    val t = new PartitionedMorTable(spark, tempPath("mor-part"),
+    val path = tempPath("mor-part")
+    val t = new PartitionedMorTable(spark, path,
       keyCols = Seq("user_id"), partitionCol = "event_type",
       compactionDeltaCommits = 2)
     t.upsert(ev.filter(col("ts_ns") <= mid),
       orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 1L)
     t.upsert(ev.filter(col("ts_ns") > mid),
       orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 2L)
-    t.read().select("user_id", "event_id", "event_type", "value", "ts_ms")
+    graft.TempDirs.materializeAndDelete(
+      t.read().select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
   }
 }

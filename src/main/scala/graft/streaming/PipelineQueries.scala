@@ -24,8 +24,9 @@ object PipelineQueries {
     val l = Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate")
 
+    val pipePath = tempPath("pipe-tv")
     val pipe = new IncrementalJoinPipeline(
-      spark, tempPath("pipe-tv"),
+      spark, pipePath,
       personKey = "c_custkey",
       ticketKey = "o_orderkey",
       ticketPersonFk = "o_custkey",
@@ -71,7 +72,8 @@ object PipelineQueries {
           pipe.processBatch(emptyP, emptyT,
             log.filter(col("seq").between(s, e)), batchId = i + 1L)
       }
-      pipe.sink.read().select("full_name", "id", "price", "ts_ms")
+      graft.TempDirs.materializeAndDelete(
+        pipe.sink.read().select("full_name", "id", "price", "ts_ms"), pipePath)
     } finally { log.unpersist(); () }
   }
 }
