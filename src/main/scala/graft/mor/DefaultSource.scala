@@ -1,0 +1,98 @@
+package graft.mor
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SaveMode}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, TableScan}
+import org.apache.spark.sql.types.StructType
+import graft.lake.MorTable
+
+/** Spark DataSource for MOR lake tables — the cross-engine/cross-session
+  * metadata seam (the reference registers its Hudi table in Glue so a
+  * DIFFERENT engine, Athena, queries it live:
+  * `lib/rds-cdc-flink-hudi-stack.ts:458-519`, `README.md:116-124`).
+  *
+  * Surface:
+  * {{{
+  *   spark.read.format("graft.mor").option("keys", "user_id").load(path)
+  *   df.write.format("graft.mor").option("keys", "user_id").mode("append").save(path)
+  *   spark.sql("CREATE TABLE t USING graft.mor OPTIONS (path '...', keys 'user_id')")
+  * }}}
+  * The CREATE TABLE form persists (path, keys) in the shared external
+  * catalog — every session of the application (and, with a Hive metastore,
+  * every future application) resolves `t` by name, the Glue analog.
+  *
+  * Freshness: the relation is just (path, keys); `buildScan` re-resolves
+  * the table's CURRENT timeline on every query execution, so a catalog
+  * table — even one cached in the session's relation cache — always reads
+  * the latest commit, like Athena reading a Glue-registered Hudi table.
+  * (Schema is pinned at relation creation, standard DataSource behavior.)
+  *
+  * This is the V1 `RelationProvider` seam (the one Hudi's own Spark
+  * integration began with) rather than DSv2: the MOR snapshot is a
+  * base ⟕ deltas merge that needs a key shuffle, which a DSv2
+  * `PartitionReader` cannot express — `buildScan` may run a full
+  * distributed plan, so the merge stays a Spark plan, not a reimplemented
+  * reader.
+  *
+  * Writes: `mode("append")` = keyed upsert (the only MOR write mode;
+  * SaveMode.Append maps to upsert exactly like Hudi's default). `keys` is
+  * required on first write; `order` (comma-separated columns, default the
+  * keys) breaks ties within the batch.
+  */
+class DefaultSource extends RelationProvider with CreatableRelationProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "graft-mor"
+
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String]): BaseRelation = {
+    val (path, keys) = pathAndKeys(parameters)
+    MorRelation(sqlContext, path, keys)
+  }
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String],
+                              data: DataFrame): BaseRelation = {
+    val (path, keys) = pathAndKeys(parameters)
+    val order = parameters.get("order")
+      .map(_.split(",").toSeq.map(_.trim)).getOrElse(keys)
+    val table = MorTable(sqlContext.sparkSession, path, keys)
+    val exists = table.timeline().nonEmpty
+    mode match {
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalStateException(s"graft.mor table already exists: $path")
+      case SaveMode.Ignore if exists => ()
+      case SaveMode.Overwrite =>
+        table.drop()
+        MorTable(sqlContext.sparkSession, path, keys)
+          .upsert(data, order.map(col)): Unit
+      case _ => // Append / first write: keyed upsert, Hudi's default
+        table.upsert(data, order.map(col)): Unit
+    }
+    MorRelation(sqlContext, path, keys)
+  }
+
+  private def pathAndKeys(parameters: Map[String, String]): (String, Seq[String]) = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft.mor requires a path"))
+    val keys = parameters.getOrElse("keys",
+      throw new IllegalArgumentException(
+        "graft.mor requires OPTIONS (keys 'k1[,k2]') — the record key columns"))
+      .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+    (path, keys)
+  }
+}
+
+/** The (path, keys) relation: schema pinned at creation, data resolved
+  * from the CURRENT timeline on every scan. */
+final case class MorRelation(sqlContext: SQLContext, path: String,
+                             keys: Seq[String]) extends BaseRelation with TableScan {
+
+  private def table = MorTable(sqlContext.sparkSession, path, keys)
+
+  override val schema: StructType = table.read().schema
+
+  override def buildScan(): RDD[Row] =
+    table.read().select(schema.fieldNames.map(col).toSeq: _*).rdd
+}

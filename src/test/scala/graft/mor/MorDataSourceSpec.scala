@@ -1,0 +1,60 @@
+package graft.mor
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.lake.MorTable
+
+/** The DataSource seam: read/write by format name, SQL DDL registration in
+  * the shared catalog, commit-fresh catalog reads, cross-session
+  * visibility (the Glue/Athena analog). */
+class MorDataSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("write.format is a keyed upsert; read.format sees the merged snapshot") {
+    val path = TestSpark.tmpDir("dsv1-rw")
+    Seq(("id1", "Danny", 23), ("id2", "Emma", 20)).toDF("uuid", "name", "age")
+      .write.format("graft.mor").option("keys", "uuid").mode("append").save(path)
+    // second append upserts id1 (Hudi's default write semantics)
+    Seq(("id1", "Dan", 24)).toDF("uuid", "name", "age")
+      .write.format("graft-mor").option("keys", "uuid").mode("append").save(path)
+    val got = spark.read.format("graft.mor").option("keys", "uuid").load(path)
+      .orderBy("uuid").collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(got.toSeq == Seq(("id1", "Dan", 24), ("id2", "Emma", 20)))
+  }
+
+  test("CREATE TABLE USING graft.mor: catalog reads are commit-fresh and cross-session") {
+    val path = TestSpark.tmpDir("dsv1-ddl")
+    Seq(("id1", "Danny", 23)).toDF("uuid", "name", "age")
+      .write.format("graft.mor").option("keys", "uuid").save(path)
+    spark.sql(s"CREATE TABLE mor_cat_t USING `graft.mor` OPTIONS (path '$path', keys 'uuid')")
+    try {
+      assert(spark.sql("SELECT name FROM mor_cat_t WHERE uuid = 'id1'")
+        .head().getString(0) == "Danny")
+      // a commit through ANY handle is visible on the next query, no REFRESH
+      MorTable(spark, path, Seq("uuid"))
+        .upsert(Seq(("id2", "Emma", 20)).toDF("uuid", "name", "age"), Seq(col("uuid")))
+      assert(spark.sql("SELECT count(*) FROM mor_cat_t").head().getLong(0) == 2)
+      // another session of the same application shares the external catalog
+      val other = spark.newSession()
+      assert(other.sql("SELECT count(*) FROM mor_cat_t").head().getLong(0) == 2)
+    } finally spark.sql("DROP TABLE IF EXISTS mor_cat_t")
+  }
+
+  test("save modes: ErrorIfExists throws, Ignore no-ops, Overwrite replaces") {
+    val path = TestSpark.tmpDir("dsv1-modes")
+    def df(v: Int) = Seq(("id1", v)).toDF("uuid", "v")
+    df(1).write.format("graft.mor").option("keys", "uuid").save(path)
+    intercept[IllegalStateException] {
+      df(2).write.format("graft.mor").option("keys", "uuid")
+        .mode("errorifexists").save(path)
+    }
+    df(3).write.format("graft.mor").option("keys", "uuid").mode("ignore").save(path)
+    assert(spark.read.format("graft.mor").option("keys", "uuid").load(path)
+      .head().getInt(1) == 1)
+    df(4).write.format("graft.mor").option("keys", "uuid").mode("overwrite").save(path)
+    assert(spark.read.format("graft.mor").option("keys", "uuid").load(path)
+      .head().getInt(1) == 4)
+  }
+}
