@@ -68,6 +68,8 @@ object SparkEntry {
     "r29_cube_agg"        -> ((s, d) => RelationalOps.cubeAgg(s, d)),
     "s15_mor_time_travel" -> ((s, d) => graft.lake.LakeQueries.timeTravel(s, d)),
     "s14_mor_incremental" -> ((s, d) => graft.lake.LakeQueries.incrementalPull(s, d)),
+    "s16_mor_datasource"  -> ((s, d) => graft.lake.LakeQueries.datasourceReplay(s, d)),
+    "d10_stream_dedup"    -> ((s, d) => graft.streaming.StreamingQueries.streamDedup(s, d)),
     "r20_semi_join"       -> ((s, d) => RelationalOps.semiJoin(s, d)),
     "r21_anti_join"       -> ((s, d) => RelationalOps.antiJoin(s, d)),
     "r22_outer_join_agg"  -> ((s, d) => RelationalOps.outerJoinAgg(s, d)),
@@ -447,6 +449,13 @@ object SparkEntry {
         |FROM events
         |QUALIFY row_number() OVER
         |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+    "s16_mor_datasource" ->
+      """SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
+        |FROM events
+        |QUALIFY row_number() OVER
+        |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+    "d10_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
     "s13_mor_partitioned" ->
       """SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
         |FROM events

@@ -93,6 +93,30 @@ object LakeQueries {
       t.readAt(1L).select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
   }
 
+  /** The DataSource surface end-to-end, oracle-checked: replay events as
+    * two time-split `df.write.format("graft.mor")` appends (append = keyed
+    * upsert) and read the snapshot back via
+    * `spark.read.format("graft.mor")`. Must equal the same batch LWW dedup
+    * as [[upsertReplay]] — proving the format write path commits the same
+    * table a direct MorTable handle would. */
+  def datasourceReplay(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "value", "ts_ms", "ts_ns")
+    val bounds = ev.agg(min(col("ts_ns")).as("mn"), max(col("ts_ns")).as("mx")).head()
+    val mn = bounds.getLong(0); val mx = bounds.getLong(1)
+    val mid = mn + (mx - mn) / 2
+    val path = tempPath("mor-ds")
+    ev.filter(col("ts_ns") <= mid).write.format("graft.mor")
+      .option("keys", "user_id").option("order", "ts_ns,event_id")
+      .mode("append").save(path)
+    ev.filter(col("ts_ns") > mid).write.format("graft.mor")
+      .option("keys", "user_id").option("order", "ts_ns,event_id")
+      .mode("append").save(path)
+    graft.TempDirs.materializeAndDelete(
+      spark.read.format("graft.mor").option("keys", "user_id").load(path)
+        .select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
+  }
+
   /** Partitioned-lake replay: same LWW upsert semantics, but through a
     * PartitionedMorTable partitioned by event_type (the ingest-date stand-in:
     * 5 values). Key = user_id within each partition, so the global PK is

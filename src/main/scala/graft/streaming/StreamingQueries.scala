@@ -43,4 +43,34 @@ object StreamingQueries {
     q.awaitTermination()
     spark.table(name)
   }
+
+  /** Streaming exact dedup over a live file stream: every (user_id,
+    * event_type) pair seen at most once, state bounded by the watermark
+    * (StreamingOps.streamingDedup — the 100 TB/day ingest shape). Which
+    * ROW survives per pair is arrival-order-dependent, so the entry emits
+    * only the deduped keys; those settle to exactly the batch DISTINCT,
+    * hash-checked against DuckDB. */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema // ts is long (nanos)
+    val name = s"graft_stream_dedup_${counter.incrementAndGet()}"
+    val watchDir = graft.TempDirs.create("stream-dedup")
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(watchDir, "events.parquet"),
+      java.nio.file.Paths.get(path).toAbsolutePath)
+    val deduped = StreamingOps.streamingDedup(
+      spark.readStream.schema(schema).parquet(watchDir)
+        .withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000"))),
+      idCols = Seq("user_id", "event_type"))
+      .select(col("user_id"), col("event_type"))
+    val q = deduped.writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
 }
