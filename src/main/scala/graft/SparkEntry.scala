@@ -69,6 +69,7 @@ object SparkEntry {
     "s15_mor_time_travel" -> ((s, d) => graft.lake.LakeQueries.timeTravel(s, d)),
     "s14_mor_incremental" -> ((s, d) => graft.lake.LakeQueries.incrementalPull(s, d)),
     "s16_mor_datasource"  -> ((s, d) => graft.lake.LakeQueries.datasourceReplay(s, d)),
+    "s17_mor_part_incremental" -> ((s, d) => graft.lake.LakeQueries.partitionedIncremental(s, d)),
     "d10_stream_dedup"    -> ((s, d) => graft.streaming.StreamingQueries.streamDedup(s, d)),
     "r20_semi_join"       -> ((s, d) => RelationalOps.semiJoin(s, d)),
     "r21_anti_join"       -> ((s, d) => RelationalOps.antiJoin(s, d)),
@@ -456,6 +457,16 @@ object SparkEntry {
         |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
     "d10_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    "s17_mor_part_incremental" ->
+      """WITH b AS (
+        |  SELECT min(epoch_ns(ts)) + (max(epoch_ns(ts)) - min(epoch_ns(ts))) // 2 AS mid
+        |  FROM events
+        |)
+        |SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
+        |FROM events, b WHERE epoch_ns(ts) > b.mid
+        |QUALIFY row_number() OVER
+        |  (PARTITION BY event_type, user_id
+        |   ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
     "s13_mor_partitioned" ->
       """SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
         |FROM events

@@ -2,8 +2,8 @@ package graft.functions.expr
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -29,7 +29,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * of a few hundred ns each.
   */
 case class MinHashMd5(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (StringType, IntegerType) if right.foldable => TypeCheckResult.TypeCheckSuccess
@@ -65,6 +65,16 @@ case class MinHashMd5(left: Expression, right: Expression)
     }
     new GenericArrayData(mins)
   }
+
+  /** Row kernel for generated code (the same method interpreted eval runs). */
+  def compute(text: AnyRef, k: Int): ArrayData =
+    nullSafeEval(text, k).asInstanceOf[ArrayData]
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, kk) => {
+      val ref = ctx.addReferenceObj("minhashMd5", this, classOf[MinHashMd5].getName)
+      s"${ev.value} = $ref.compute($t, $kk);"
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): MinHashMd5 =

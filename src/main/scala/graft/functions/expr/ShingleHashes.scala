@@ -2,8 +2,8 @@ package graft.functions.expr
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -23,14 +23,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * negligible rather than merely small. MinHash keeps the mod-P form (its
   * universal-hash family needs values < P).
   *
-  * CodegenFallback: the eval IS one compiled method (string work doesn't
-  * benefit from expression fusing); the surrounding plan stays whole-stage
-  * where possible. Hash family differs from the declarative form — both
-  * are valid MinHash inputs; family-independent behavior (LSH recall,
-  * estimate accuracy) is what DedupSpec asserts.
+  * Codegen emits a call to the same compiled kernel (string work doesn't
+  * benefit from expression fusing), so the surrounding Project keeps its
+  * whole-stage span instead of falling back. Hash family differs from the
+  * declarative form — both are valid MinHash inputs; family-independent
+  * behavior (LSH recall, estimate accuracy) is what DedupSpec asserts.
   */
 case class ShingleHashes(left: Expression, right: Expression, raw: Boolean = false)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   private val P = 2147483647L
 
@@ -97,6 +97,16 @@ case class ShingleHashes(left: Expression, right: Expression, raw: Boolean = fal
     while (it.hasNext) { arr(m) = it.next(); m += 1 }
     new GenericArrayData(arr)
   }
+
+  /** Row kernel for generated code (the same method interpreted eval runs). */
+  def compute(text: AnyRef, k: Int): ArrayData =
+    nullSafeEval(text, k).asInstanceOf[ArrayData]
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, kk) => {
+      val ref = ctx.addReferenceObj("shingleHashes", this, classOf[ShingleHashes].getName)
+      s"${ev.value} = $ref.compute($t, $kk);"
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ShingleHashes =

@@ -2,8 +2,8 @@ package graft.functions.expr
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -21,7 +21,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * and the md5 winnowing fingerprint (t7).
   */
 case class SimHashMd5(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -57,6 +57,16 @@ case class SimHashMd5(child: Expression)
     }
     new GenericArrayData(chunks)
   }
+
+  /** Row kernel for generated code (the same method interpreted eval runs). */
+  def compute(text: AnyRef): ArrayData =
+    nullSafeEval(text).asInstanceOf[ArrayData]
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      val ref = ctx.addReferenceObj("simhashMd5", this, classOf[SimHashMd5].getName)
+      s"${ev.value} = $ref.compute($t);"
+    })
 
   override protected def withNewChildInternal(newChild: Expression): SimHashMd5 =
     copy(child = newChild)

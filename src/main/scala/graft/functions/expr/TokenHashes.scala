@@ -2,8 +2,8 @@ package graft.functions.expr
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -18,7 +18,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * CodegenFallback) — this is one compiled method per row.
   */
 case class TokenHashes(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -51,6 +51,16 @@ case class TokenHashes(child: Expression)
     while (m < arr.length) { arr(m) = out.get(m); m += 1 }
     new GenericArrayData(arr)
   }
+
+  /** Row kernel for generated code (the same method interpreted eval runs). */
+  def compute(text: AnyRef): ArrayData =
+    nullSafeEval(text).asInstanceOf[ArrayData]
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      val ref = ctx.addReferenceObj("tokenHashes", this, classOf[TokenHashes].getName)
+      s"${ev.value} = $ref.compute($t);"
+    })
 
   override protected def withNewChildInternal(newChild: Expression): TokenHashes =
     copy(child = newChild)

@@ -93,6 +93,31 @@ object LakeQueries {
       t.readAt(1L).select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
   }
 
+  /** Partitioned incremental pull, oracle-checked: two time-split upserts
+    * into a PartitionedMorTable, then `readIncremental(sinceToken = 1)`
+    * must return exactly the LWW winners of the second batch per
+    * (partition, key). Same deterministic midpoint split as
+    * [[incrementalPull]]. */
+  def partitionedIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "value", "ts_ms", "ts_ns")
+    val bounds = ev.agg(min(col("ts_ns")).as("mn"), max(col("ts_ns")).as("mx")).head()
+    val mn = bounds.getLong(0); val mx = bounds.getLong(1)
+    val mid = mn + (mx - mn) / 2
+    val path = tempPath("mor-pinc")
+    val t = new PartitionedMorTable(spark, path,
+      keyCols = Seq("user_id"), partitionCol = "event_type",
+      compactionDeltaCommits = 1000, autoCompact = false)
+    t.upsert(ev.filter(col("ts_ns") <= mid),
+      orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 1L)
+    t.upsert(ev.filter(col("ts_ns") > mid),
+      orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 2L)
+    graft.TempDirs.materializeAndDelete(
+      t.readIncremental(sinceToken = 1L)
+        .filter(!col("_deleted"))
+        .select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
+  }
+
   /** The DataSource surface end-to-end, oracle-checked: replay events as
     * two time-split `df.write.format("graft.mor")` appends (append = keyed
     * upsert) and read the snapshot back via

@@ -183,6 +183,33 @@ final class PartitionedMorTable(
     sel.map(child(_).read()).reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** Incremental pull across partitions (the Hudi incremental-query analog
+    * of [[MorTable.readIncremental]], in the parent's table-global token
+    * space): the net effect of every row committed with
+    * `_commit_seqno > sinceToken` — latest image per (partition, key),
+    * tombstones included. Child timeline seqs are child-local, so the
+    * filter is row-level on `_commit_seqno`; parquet row-group min/max
+    * stats on that column skip untouched delta files. Like the
+    * unpartitioned form, tokens below the last `clean()` are unavailable. */
+  def readIncremental(sinceToken: Long, values: Seq[String] = Seq.empty): DataFrame = {
+    val sel = if (values.nonEmpty) values else partitions()
+    require(sel.nonEmpty, s"PartitionedMorTable at $path has no partitions")
+    val parts = sel.flatMap { v =>
+      val c = child(v)
+      c.timeline().filter(_.kind == "delta")
+        .map(i => spark.read.parquet(s"${c.path}/delta/${i.seq}"))
+        .reduceOption(_.unionByName(_, allowMissingColumns = true))
+    }
+    require(parts.nonEmpty, s"PartitionedMorTable at $path has no delta commits")
+    val unioned = parts.reduce(_.unionByName(_, allowMissingColumns = true))
+      .filter(col("_commit_seqno") > sinceToken)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(partitionCol), col("_record_key"))
+      .orderBy(col("_commit_seqno").desc)
+    unioned.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** Trigger the num_or_time compaction check on every partition; only
     * children whose own timeline is due actually compact — and all due
     * partitions compact in ONE cluster job (union of their snapshot merges,

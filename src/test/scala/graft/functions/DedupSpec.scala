@@ -19,6 +19,23 @@ class DedupSpec extends AnyFunSuite {
     (4L, loremB + " extra"), (5L, "tiny"))
     .toDF("doc_id", "text")
 
+  test("sketch front ends stay inside WholeStageCodegen (no fallback)") {
+    graft.GraftFunctions.register(spark)
+    // a real scan — a literal corpus constant-folds into a LocalTableScan
+    val docs = graft.Tables.documents(spark, TestSpark.sfDir).limit(10)
+    Seq("shingle_hashes(text, 3)", "token_hashes(text)",
+        "minhash_md5(text, 16)", "simhash_md5(text)").foreach { fn =>
+      val df = docs.selectExpr(s"$fn AS h")
+      val covered = df.queryExecution.executedPlan.exists {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec =>
+          w.toString().contains(fn.takeWhile(_ != '('))
+        case _ => false
+      }
+      assert(covered, s"$fn fell out of codegen:\n${df.queryExecution.executedPlan}")
+      assert(df.collect().length == 10)
+    }
+  }
+
   test("exactDedup keeps the smallest id per identical text") {
     val kept = Dedup.exactDedup(corpus).select("doc_id").as[Long].collect().toSet
     assert(kept == Set(0L, 2L, 3L, 4L, 5L))
