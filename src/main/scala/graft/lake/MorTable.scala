@@ -315,6 +315,11 @@ final class MorTable(
   private def dropMeta(df: DataFrame): DataFrame =
     df.drop("_record_key", "_deleted", "_commit_seqno", "_commit_time")
 
+  /** Data schema for tombstone padding. Derived from the full snapshot
+    * plan on purpose: schema analysis only reads parquet footers (no jobs),
+    * and the union-by-name covers commits with NARROWER schemas (staged
+    * partitioned deletes write key+meta-only deltas, so no single file is
+    * guaranteed to carry every column). */
   private def snapshotSchema() = read().schema
 
   // ---------------------------------------------------------------- compaction
