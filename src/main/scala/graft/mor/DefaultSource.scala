@@ -48,7 +48,9 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
     val (path, keys) = pathAndKeys(parameters)
-    MorRelation(sqlContext, path, keys)
+    MorRelation(sqlContext, path, keys,
+      asOf = parameters.get("asOf").map(_.toLong),
+      sinceSeq = parameters.get("sinceSeq").map(_.toLong))
   }
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
@@ -85,14 +87,34 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
 }
 
 /** The (path, keys) relation: schema pinned at creation, data resolved
-  * from the CURRENT timeline on every scan. */
+  * from the CURRENT timeline on every scan.
+  *
+  * Read modes (mirroring the engine's read surface):
+  *  - default — latest snapshot;
+  *  - `asOf` = commit seq — time-travel read ([[MorTable.readAt]]);
+  *  - `sinceSeq` = commit seq — incremental pull
+  *    ([[MorTable.readIncremental]]: net effect of newer commits, latest
+  *    image per touched key, `_deleted` tombstones included so a consumer
+  *    sees what vanished — the Hudi incremental-query analog). */
 final case class MorRelation(sqlContext: SQLContext, path: String,
-                             keys: Seq[String]) extends BaseRelation with TableScan {
+                             keys: Seq[String],
+                             asOf: Option[Long] = None,
+                             sinceSeq: Option[Long] = None)
+    extends BaseRelation with TableScan {
+
+  require(asOf.isEmpty || sinceSeq.isEmpty,
+    "graft.mor: asOf and sinceSeq are mutually exclusive")
 
   private def table = MorTable(sqlContext.sparkSession, path, keys)
 
-  override val schema: StructType = table.read().schema
+  private def scanDf() = (asOf, sinceSeq) match {
+    case (Some(seq), _) => table.readAt(seq)
+    case (_, Some(seq)) => table.readIncremental(seq)
+    case _ => table.read()
+  }
+
+  override val schema: StructType = scanDf().schema
 
   override def buildScan(): RDD[Row] =
-    table.read().select(schema.fieldNames.map(col).toSeq: _*).rdd
+    scanDf().select(schema.fieldNames.map(col).toSeq: _*).rdd
 }

@@ -42,6 +42,24 @@ class MorDataSourceSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS mor_cat_t")
   }
 
+  test("asOf time-travel and sinceSeq incremental reads through the format") {
+    val path = TestSpark.tmpDir("dsv1-tt")
+    def df(pairs: (String, Int)*) = pairs.toSeq.toDF("uuid", "v")
+    df("id1" -> 1, "id2" -> 2).write.format("graft.mor")
+      .option("keys", "uuid").save(path)                        // commit 1
+    df("id1" -> 10).write.format("graft.mor")
+      .option("keys", "uuid").mode("append").save(path)         // commit 2
+    val asOf1 = spark.read.format("graft.mor")
+      .option("keys", "uuid").option("asOf", "1").load(path)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toMap
+    assert(asOf1 == Map("id1" -> 1, "id2" -> 2))
+    val incr = spark.read.format("graft.mor")
+      .option("keys", "uuid").option("sinceSeq", "1").load(path)
+    val touched = incr.collect().map(r => (r.getAs[String]("uuid"), r.getAs[Int]("v")))
+    assert(touched.toSeq == Seq(("id1", 10)), "incremental pull = commit-2 net effect only")
+    assert(incr.columns.contains("_deleted"), "incremental keeps tombstone visibility")
+  }
+
   test("save modes: ErrorIfExists throws, Ignore no-ops, Overwrite replaces") {
     val path = TestSpark.tmpDir("dsv1-modes")
     def df(v: Int) = Seq(("id1", v)).toDF("uuid", "v")
