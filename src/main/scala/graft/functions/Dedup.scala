@@ -137,13 +137,20 @@ object Dedup {
     * rounding anywhere, so any engine reproduces it bit-for-bit.
     *
     * Scale note: work is Σ_shingle df(s)² — fine when near-dups are rare
-    * and shingles are k=3 word grams; a corpus-wide hot shingle would need
-    * a document-frequency cap. At 100 TB the probabilistic path (minhashLsh
-    * → ngramJaccard verify on candidates) is the default; this exact miner
-    * is the ground-truth/audit tool. */
+    * and shingles are k=3 word grams. A corpus-wide hot shingle (boilerplate
+    * header, license block) makes one index key quadratic; `maxDocFreq > 0`
+    * drops shingles appearing in more than that many docs from the INDEX
+    * (candidate generation) only — the well-known stop-shingle cap. With
+    * the cap, `inter` undercounts by at most the dropped shingles, so kept
+    * pairs are exact-verified survivors of a slightly stricter test: no
+    * false positives, and true near-dups (which share many rare shingles)
+    * survive. At 100 TB the probabilistic path (minhashLsh → ngramJaccard
+    * verify on candidates) is the default; this exact miner (cap off) is
+    * the ground-truth/audit tool. */
   def ngramJaccardPairs(docs: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id", shingleK: Int = 3,
-                        num: Int = 3, den: Int = 10): DataFrame = {
+                        num: Int = 3, den: Int = 10,
+                        maxDocFreq: Long = 0L): DataFrame = {
     // native one-pass shingle hashing, full 64 bits: set arithmetic on longs
     // is exact up to hash collisions (~n²/2⁶⁵ ≈ 10⁻¹³ here), the index and
     // join never materialize shingle strings, and the shuffle carries 8-byte
@@ -152,8 +159,13 @@ object Dedup {
     graft.GraftFunctions.register(docs.sparkSession)
     val sh = docs.select(col(idCol),
       call_function("shingle_hashes64", col(textCol), lit(shingleK)).as("sh"))
-    val idx = sh.select(col(idCol), size(col("sh")).cast("long").as("ns"),
+    val idx0 = sh.select(col(idCol), size(col("sh")).cast("long").as("ns"),
       explode(col("sh")).as("s"))
+    val idx =
+      if (maxDocFreq <= 0) idx0
+      else idx0.join(
+        idx0.groupBy("s").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxDocFreq).select("s"), Seq("s"))
     val a = idx.select(col(idCol).as("id_a"), col("ns").as("na"), col("s"))
     val b = idx.select(col(idCol).as("id_b"), col("ns").as("nb"), col("s"))
     a.join(b, Seq("s"))

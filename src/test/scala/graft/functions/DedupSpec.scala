@@ -71,6 +71,24 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(j - i02.toDouble / u02) < 1e-12)
   }
 
+  test("ngramJaccardPairs hot-shingle cap: no false positives, near-dups survive") {
+    // every doc shares one boilerplate sentence (the hot shingles); only
+    // 0/1 are otherwise identical
+    val boiler = "this document is provided under the standard license terms"
+    val hot = Seq(
+      (0L, s"$boiler $loremA"), (1L, s"$boiler $loremA"),
+      (2L, s"$boiler $loremB"), (3L, s"$boiler completely unrelated text about astronomy and telescopes and planetary orbits"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.ngramJaccardPairs(hot, maxDocFreq = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((0L, 1L)),
+      s"cap must keep the true near-dup and drop boilerplate-only pairs, got $capped")
+    // uncapped finds the same pair too (sanity: cap only removes candidates)
+    val full = Dedup.ngramJaccardPairs(hot)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.contains((0L, 1L)) && capped.subsetOf(full))
+  }
+
   test("estJaccard equals 1 on identical signatures") {
     val sig = Dedup.minhashSignature(Dedup.shingleHashes(lit(loremA)))
     val df = spark.range(1).select(Dedup.estJaccard(sig, sig).as("j"))
