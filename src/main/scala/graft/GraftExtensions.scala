@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions.call_function
-import graft.functions.expr.{CosineSimilarity, LshBuckets, MinHashAgg, MinHashBands, MinHashSignature, MinHashMd5, NearestCells, ShingleHashes, SigOverlap, SimHashChunks, SimHashMd5, TokenHashes}
+import graft.functions.expr.{CosineSimilarity, LshBuckets, LshBucketsMd5, MinHashAgg, MinHashBands, MinHashSignature, MinHashMd5, NearestCells, ShingleHashes, SigOverlap, SimHashChunks, SimHashMd5, TokenHashes}
 
 /** Engine extension wiring.
   *
@@ -22,7 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("cosine_sim"), CosineSimilarity.info,
       exprs => CosineSimilarity(exprs.head, exprs(1))))
     ext.injectFunction((FunctionIdentifier("minhash_agg"), MinHashAgg.info,
-      exprs => MinHashAgg(exprs.head).toAggregateExpression()))
+      exprs => MinHashAgg(exprs.head, MinHashAgg.widthOf(exprs)).toAggregateExpression()))
     ext.injectFunction((FunctionIdentifier("minhash_sig"), MinHashSignature.info,
       exprs => MinHashSignature(exprs.head)))
     ext.injectFunction((FunctionIdentifier("simhash_chunks"), SimHashChunks.info,
@@ -43,6 +43,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => SimHashMd5(exprs.head)))
     ext.injectFunction((FunctionIdentifier("lsh_buckets"), LshBuckets.info,
       exprs => LshBuckets(exprs.head, exprs(1), exprs(2))))
+    ext.injectFunction((FunctionIdentifier("lsh_buckets_md5"), LshBucketsMd5.info,
+      exprs => LshBucketsMd5(exprs.head, exprs(1), exprs(2))))
     ext.injectFunction((FunctionIdentifier("nearest_cells"), NearestCells.info,
       exprs => NearestCells(exprs.head, exprs(1), exprs(2), exprs(3))))
     ext.injectResolutionRule(session => new MorRelationResolution(session))
@@ -71,7 +73,7 @@ object GraftFunctions {
       exprs => CosineSimilarity(exprs.head, exprs(1)))
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("minhash_agg"), MinHashAgg.info,
-      exprs => MinHashAgg(exprs.head).toAggregateExpression())
+      exprs => MinHashAgg(exprs.head, MinHashAgg.widthOf(exprs)).toAggregateExpression())
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("minhash_sig"), MinHashSignature.info,
       exprs => MinHashSignature(exprs.head))
@@ -102,6 +104,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("lsh_buckets"), LshBuckets.info,
       exprs => LshBuckets(exprs.head, exprs(1), exprs(2)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("lsh_buckets_md5"), LshBucketsMd5.info,
+      exprs => LshBucketsMd5(exprs.head, exprs(1), exprs(2)))
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("nearest_cells"), NearestCells.info,
       exprs => NearestCells(exprs.head, exprs(1), exprs(2), exprs(3)))

@@ -70,6 +70,11 @@ object SparkEntry {
     "s14_mor_incremental" -> ((s, d) => graft.lake.LakeQueries.incrementalPull(s, d)),
     "s16_mor_datasource"  -> ((s, d) => graft.lake.LakeQueries.datasourceReplay(s, d)),
     "s17_mor_part_incremental" -> ((s, d) => graft.lake.LakeQueries.partitionedIncremental(s, d)),
+    "s18_ann_ivf_portable" -> ((s, d) => graft.functions.LlmQueries.annIvfPortable(s, d)),
+    "s20_ann_lsh_portable" -> ((s, d) => graft.functions.LlmQueries.annLshPortable(s, d)),
+    "s19_sql_insert"      -> ((s, d) => graft.lake.LakeQueries.sqlInsert(s, d)),
+    "d11_minhash_union"   -> ((s, d) => graft.functions.LlmQueries.minhashGroupsPortable(s, d)),
+    "r30_stream_join"     -> ((s, d) => graft.streaming.StreamingQueries.streamJoin(s, d)),
     "d10_stream_dedup"    -> ((s, d) => graft.streaming.StreamingQueries.streamDedup(s, d)),
     "r20_semi_join"       -> ((s, d) => RelationalOps.semiJoin(s, d)),
     "r21_anti_join"       -> ((s, d) => RelationalOps.antiJoin(s, d)),
@@ -84,6 +89,83 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "s18_ann_ivf_portable" ->
+      """WITH c AS (
+        |  SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cv
+        |  FROM embeddings WHERE vec_id < 8
+        |), a AS (
+        |  SELECT e.vec_id, e.embedding, c.cell_id
+        |  FROM embeddings e CROSS JOIN c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_cosine_similarity(c.cv, e.embedding::DOUBLE[]) DESC,
+        |             c.cell_id ASC) = 1
+        |), q AS (
+        |  SELECT e.vec_id AS query_id, e.embedding AS qv, c.cell_id
+        |  FROM embeddings e CROSS JOIN c
+        |  WHERE e.vec_id < 5
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_cosine_similarity(c.cv, e.embedding::DOUBLE[]) DESC,
+        |             c.cell_id ASC) <= 4
+        |)
+        |SELECT q.query_id, a.vec_id AS neighbor_id,
+        |       round(list_cosine_similarity(q.qv::DOUBLE[],
+        |                                    a.embedding::DOUBLE[]), 6) AS cos_sim
+        |FROM q JOIN a USING (cell_id)
+        |WHERE a.vec_id <> q.query_id
+        |QUALIFY row_number() OVER (PARTITION BY q.query_id
+        |  ORDER BY cos_sim DESC, neighbor_id ASC) <= 10""".stripMargin,
+    "s19_sql_insert" -> "SELECT * FROM customer",
+    "s20_ann_lsh_portable" ->
+      """WITH p AS (
+        |  SELECT t.t, j.j,
+        |         list_transform(range(0, 64), i ->
+        |           ((('0x' || substr(md5('p#' || t.t || '#' || j.j || '#' || i), 1, 8))::BIGINT
+        |             % 2000000) - 1000000) / 1000000.0) AS pl
+        |  FROM range(0, 4) t(t), range(0, 8) j(j)
+        |), b AS (
+        |  SELECT e.vec_id, p.t,
+        |         sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.pl) > 0
+        |             THEN (1 << p.j) ELSE 0 END)::BIGINT AS bucket
+        |  FROM embeddings e CROSS JOIN p
+        |  GROUP BY e.vec_id, p.t
+        |), cand AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |  FROM b q JOIN b c ON q.t = c.t AND q.bucket = c.bucket
+        |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+        |)
+        |SELECT cand.query_id, cand.neighbor_id,
+        |       round(list_cosine_similarity(qe.embedding::DOUBLE[],
+        |                                    ce.embedding::DOUBLE[]), 6) AS cos_sim
+        |FROM cand
+        |JOIN embeddings qe ON qe.vec_id = cand.query_id
+        |JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+        |QUALIFY row_number() OVER (PARTITION BY cand.query_id
+        |  ORDER BY cos_sim DESC, cand.neighbor_id ASC) <= 10""".stripMargin,
+    "d11_minhash_union" ->
+      """WITH w AS (
+        |  SELECT source,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                     x -> x <> '') AS words
+        |  FROM documents
+        |), t AS (
+        |  SELECT source, CASE WHEN len(words) >= 3 THEN
+        |      list_transform(range(1, len(words) - 1),
+        |        i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+        |    ELSE [array_to_string(words, ' ')] END AS sh
+        |  FROM w
+        |), e AS (SELECT source, unnest(sh) AS s FROM t)
+        |SELECT e.source, r.i AS slot,
+        |       min(('0x' || substr(md5(e.s || '#' || r.i::VARCHAR), 1, 8))::BIGINT) AS h
+        |FROM e CROSS JOIN range(0, 16) r(i)
+        |GROUP BY e.source, r.i""".stripMargin,
+    "r30_stream_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |       epoch_ms(p.ts) AS purchase_ms, epoch_ms(c.ts) AS click_ms
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND c.ts <= p.ts
+        | AND c.ts >= p.ts - INTERVAL 1 HOUR
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'""".stripMargin,
     "r29_cube_agg" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
         |       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,

@@ -181,6 +181,41 @@ object LlmQueries {
       TextAnalysis.langId(col("text")).as("lang_pred"),
       TextAnalysis.qualityScore(col("text")).as("quality"))
 
+  /** IVF with fixed portable centroids (the 8 lowest-id vectors), probe 4
+    * cells — pins the full IVF machinery (argmax assign, multi-probe,
+    * bucketed join, cosine top-k) bit-for-bit against DuckDB; see
+    * Similarity.ivfTopKFixed. The production Lloyd-refined path is s11. */
+  def annIvfPortable(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.ivfTopKFixed(emb, emb.filter(col("vec_id") < 5), k = 10)
+      .select("query_id", "neighbor_id", "cos_sim")
+  }
+
+  /** Multi-table LSH ANN over md5-derived hyperplanes — pins the FULL LSH
+    * pipeline (plane construction, sign bucketing, candidate equi-join,
+    * cosine top-k) bit-for-bit against DuckDB; see
+    * Similarity.lshTopKPortable. The production xxhash-plane path is s10. */
+  def annLshPortable(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.lshTopKPortable(emb, emb.filter(col("vec_id") < 5), k = 10)
+      .select("query_id", "neighbor_id", "cos_sim")
+  }
+
+  /** Corpus-level MinHash union via the minhash_agg custom aggregate over
+    * the PORTABLE md5 shingle family, one (source, slot, h) row per
+    * signature component — pins the set-union TypedImperativeAggregate
+    * itself against DuckDB (per-slot min across every shingle of every doc
+    * in the group; sig(A ∪ B) = elementwise-min). The d5 production path
+    * keeps the xxhash family. */
+  def minhashGroupsPortable(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    Tables.documents(spark, dir)
+      .select(col("source"), call_function("minhash_md5", col("text"), lit(16)).as("sig"))
+      .groupBy("source").agg(call_function("minhash_agg", col("sig"), lit(16)).as("gsig"))
+      .select(col("source"), posexplode(col("gsig")))
+      .select(col("source"), col("pos").cast("long").as("slot"), col("col").as("h"))
+  }
+
   /** Corpus-level MinHash via the minhash_agg custom aggregate: one
     * signature per source, then pairwise estimated Jaccard between sources
     * (rows-only; the union identity is property-tested). */

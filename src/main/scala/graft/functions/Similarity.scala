@@ -124,6 +124,30 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Portable-LSH ANN: the [[lshTopK]] pipeline (bucketing → candidate
+    * equi-join on (table, bucket) → exact cosine top-k; no multi-probe)
+    * over md5-derived hyperplanes ([[graft.functions.expr.LshBucketsMd5]]),
+    * so an independent SQL engine rebuilds the identical planes, buckets,
+    * candidates, and ranking — gate entry `s20_ann_lsh_portable`. The
+    * xxhash-family [[lshTopK]] stays the production path. */
+  def lshTopKPortable(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                      planes: Int = 8, tables: Int = 4,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    registerOn(corpus)
+    def buckets(vec: Column) = call_function("lsh_buckets_md5", vec, lit(planes), lit(tables))
+    val c = corpus.select(col(idCol), col(vecCol), posexplode(buckets(col(vecCol))))
+      .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
+    val qb = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      posexplode(buckets(col(vecCol))))
+      .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
+    val scored = c.join(qb, Seq("table", "bucket"))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        round(cosF(col("qv"), col(vecCol)), 6).as("cos_sim"))
+      .groupBy("query_id", "neighbor_id").agg(first("cos_sim").as("cos_sim"))
+    topKPerQuery(scored, k)
+  }
+
   /** IVF-style ANN: corpus assigned to the nearest of `nCells` centroids;
     * queries probe the `nProbe` nearest cells. Centroids start from a
     * deterministic hash-ordered seed pick and get `refineIters` Lloyd
@@ -166,6 +190,36 @@ object Similarity {
       .select(col("query_id"), col(idCol).as("neighbor_id"),
         round(cosF(col("qv"), col(vecCol)), 6).as("cos_sim"))
       .groupBy("query_id", "neighbor_id").agg(first("cos_sim").as("cos_sim"))
+    topKPerQuery(scored, k)
+  }
+
+  /** IVF probe path with FIXED, engine-portable centroids: the `nCells`
+    * lowest-id vectors ARE the centroids (cell_id = vec_id), no Lloyd
+    * refinement. Exists to pin the entire IVF machinery — native argmax
+    * assign ([[graft.functions.expr.NearestCells]]), multi-probe cell
+    * fan-out, bucketed candidate join, native cosine scoring, per-query
+    * top-k — against an independent engine: every step is deterministic
+    * and SQL-expressible, so the DuckDB oracle reproduces it exactly
+    * (gate entry `s18_ann_ivf_portable`). Production path with
+    * hash-seeded, Lloyd-refined centroids: [[ivfTopK]]. */
+  def ivfTopKFixed(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                   nCells: Int = 8, nProbe: Int = 4,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    registerOn(corpus)
+    val centroids = collectCentroids(
+      corpus.filter(col(idCol) < nCells)
+        .select(col(idCol).cast("long").as("cell_id"),
+          transform(col(vecCol), _.cast("double")).as("cv")))
+    val assigned = corpus.select(col(idCol), col(vecCol))
+      .withColumn("cell_id", element_at(nearestCells(col(vecCol), centroids, 1), 1))
+    val qProbes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      explode(nearestCells(col(vecCol), centroids, nProbe)).as("cell_id"))
+    // each corpus vector lives in exactly one cell, so (query, neighbor)
+    // pairs are unique even under multi-probe — no dedup stage needed
+    val scored = assigned.join(qProbes, Seq("cell_id"))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        round(cosF(col("qv"), col(vecCol)), 6).as("cos_sim"))
     topKPerQuery(scored, k)
   }
 

@@ -89,4 +89,10 @@ case class MinHashAgg(
 object MinHashAgg {
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[MinHashAgg].getName, "minhash_agg")
+
+  /** Signature width from the optional second literal argument of
+    * `minhash_agg(sig[, width])`; defaults to the 64-wide xxhash family. */
+  def widthOf(exprs: Seq[Expression]): Int =
+    if (exprs.length > 1) exprs(1).eval(null).asInstanceOf[Number].intValue
+    else 64
 }

@@ -142,6 +142,30 @@ object LakeQueries {
         .select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
   }
 
+  /** The reference's Flink-SQL write surface, end-to-end IN SQL: DROP
+    * TABLE IF EXISTS (S5), CREATE TABLE … USING graft.mor AS SELECT
+    * (CTAS through CreatableRelationProvider), INSERT INTO … SELECT
+    * (InsertableRelation = keyed upsert, the zpln INSERT semantics), then
+    * a plain `spark.sql` read of the catalog table. The two SELECTs
+    * overlap on c_custkey ∈ [701, 750], so those keys are written twice —
+    * the upsert must leave exactly one copy of every key. Oracle: the
+    * whole customer table. */
+  def sqlInsert(spark: SparkSession, dir: String): DataFrame = {
+    val path = tempPath("mor-sql")
+    spark.sql("DROP TABLE IF EXISTS graft_sql_customer")
+    spark.sql(
+      s"""CREATE TABLE graft_sql_customer USING `graft.mor`
+         |OPTIONS (path '$path/t', keys 'c_custkey')
+         |AS SELECT * FROM parquet.`$dir/customer.parquet` WHERE c_custkey <= 750""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO graft_sql_customer
+         |SELECT * FROM parquet.`$dir/customer.parquet` WHERE c_custkey > 700""".stripMargin)
+    val out = graft.TempDirs.materializeAndDelete(
+      spark.sql("SELECT * FROM graft_sql_customer"), path)
+    spark.sql("DROP TABLE IF EXISTS graft_sql_customer")
+    out
+  }
+
   /** Partitioned-lake replay: same LWW upsert semantics, but through a
     * PartitionedMorTable partitioned by event_type (the ingest-date stand-in:
     * 5 values). Key = user_id within each partition, so the global PK is

@@ -3,7 +3,7 @@ package graft.mor
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SaveMode}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, TableScan}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, InsertableRelation, RelationProvider, TableScan}
 import org.apache.spark.sql.types.StructType
 import graft.lake.MorTable
 
@@ -100,7 +100,7 @@ final case class MorRelation(sqlContext: SQLContext, path: String,
                              keys: Seq[String],
                              asOf: Option[Long] = None,
                              sinceSeq: Option[Long] = None)
-    extends BaseRelation with TableScan {
+    extends BaseRelation with TableScan with InsertableRelation {
 
   require(asOf.isEmpty || sinceSeq.isEmpty,
     "graft.mor: asOf and sinceSeq are mutually exclusive")
@@ -117,4 +117,17 @@ final case class MorRelation(sqlContext: SQLContext, path: String,
 
   override def buildScan(): RDD[Row] =
     scanDf().select(schema.fieldNames.map(col).toSeq: _*).rdd
+
+  /** SQL write surface — `INSERT INTO t SELECT …` is a keyed upsert
+    * (Hudi's default, the reference's Flink-SQL `INSERT INTO` semantics);
+    * `INSERT OVERWRITE` replaces the table contents. Spark has already
+    * cast the incoming rows to this relation's schema by position. */
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    require(asOf.isEmpty && sinceSeq.isEmpty,
+      "graft.mor: cannot INSERT into a time-travel or incremental read")
+    val target =
+      if (overwrite) { MorTable(sqlContext.sparkSession, path, keys).drop(); table }
+      else table
+    target.upsert(data, keys.map(col)): Unit
+  }
 }

@@ -44,6 +44,63 @@ object StreamingQueries {
     spark.table(name)
   }
 
+  /** Stream-STREAM inner join with event-time bounds: two independent
+    * live file streams over the events table (purchases vs clicks), joined
+    * per user where the click lands in the hour before the purchase. The
+    * time-range predicate plus both watermarks lets Spark evict join state
+    * (a click older than the watermark − 1 h can never match again) — the
+    * unbounded-state killer for stream-stream joins at 100 TB/day. Drained
+    * with AvailableNow, the result settles to EXACTLY the batch interval
+    * join, hash-checked against DuckDB (gate entry `r30_stream_join`). */
+  def streamJoin(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema // ts is long (nanos)
+    val name = s"graft_stream_join_${counter.incrementAndGet()}"
+    val watchDir = graft.TempDirs.create("stream-join")
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(watchDir, "events.parquet"),
+      java.nio.file.Paths.get(path).toAbsolutePath)
+    def eventStream() = spark.readStream.schema(schema).parquet(watchDir)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val purchases = eventStream().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("ts_ns").as("purchase_ns"))
+      .withWatermark("purchase_ts", "10 minutes")
+    val clicks = eventStream().filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"), col("ts_ns").as("click_ns"))
+      .withWatermark("click_ts", "10 minutes")
+    // Two layers: the JOIN carries a COARSE event-time range on the
+    // watermarked timestamp columns (µs precision — the condition Spark's
+    // state cleanup reasons about, widened 1 s each way so truncation can
+    // never exclude a true match); a stateless post-FILTER applies the
+    // EXACT window on the raw nanosecond longs. Testdata timestamps have
+    // sub-ms components, so the oracle (TIMESTAMP_NS arithmetic in DuckDB)
+    // is only reproducible at full ns precision — a µs-truncated join
+    // bound alone could flip pairs at the window boundary. Keeping the ns
+    // predicate OUT of the join condition also keeps the condition
+    // watermark-analyzable (non-event-time conjuncts defeat the state
+    // eviction analysis).
+    val joined = purchases.join(clicks,
+      col("p_user") === col("user_id") &&
+        col("click_ts") <= col("purchase_ts") + expr("interval 1 second") &&
+        col("click_ts") >= col("purchase_ts") - expr("interval 3601 seconds"))
+      .filter(col("click_ns") <= col("purchase_ns") &&
+        col("click_ns") >= col("purchase_ns") - lit(3600000000000L))
+      .select(col("purchase_id"), col("click_id"),
+        unix_millis(col("purchase_ts")).as("purchase_ms"),
+        unix_millis(col("click_ts")).as("click_ms"))
+    val q = joined.writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Streaming exact dedup over a live file stream: every (user_id,
     * event_type) pair seen at most once, state bounded by the watermark
     * (StreamingOps.streamingDedup — the 100 TB/day ingest shape). Which

@@ -33,6 +33,22 @@ class MinHashAggSpec extends AnyFunSuite {
     withSig.unpersist()
   }
 
+  test("optional width arg: minhash_agg(sig, 16) unions a 16-wide md5 family") {
+    GraftFunctions.register(spark)
+    val docs = Seq(
+      ("g1", "alpha beta gamma delta epsilon zeta eta theta"),
+      ("g1", "iota kappa lambda mu nu xi omicron pi")).toDF("g", "text")
+    val withSig = docs
+      .withColumn("sig", call_function("minhash_md5", $"text", lit(16))).cache()
+    val agg = withSig.groupBy("g")
+      .agg(call_function("minhash_agg", $"sig", lit(16)).as("gsig"))
+      .head().getSeq[Long](1)
+    val members = withSig.collect().map(r => r.getSeq[Long](r.fieldIndex("sig")))
+    val expected = members.reduce((x, y) => x.zip(y).map { case (p, q) => math.min(p, q) })
+    assert(agg.size == 16 && agg == expected)
+    withSig.unpersist()
+  }
+
   test("group-level Jaccard: same source docs more similar than disjoint") {
     GraftFunctions.register(spark)
     val a = "spark shuffles data across partitions while catalyst optimizes plans"

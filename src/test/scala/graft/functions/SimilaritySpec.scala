@@ -45,6 +45,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.6, s"IVF recall $recall")
   }
 
+  test("ivfTopKFixed with full probe (nProbe = nCells) == brute force exactly") {
+    // every cell probed ⇒ every corpus vector is a candidate ⇒ the portable
+    // IVF path must reproduce the exact top-k, scores included
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Similarity.ivfTopKFixed(emb, queries, k = 10, nCells = 8, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(full == brute)
+  }
+
   test("d4 config (IVF cells) recalls >= 0.8 of the exact cos>=0.4 pairs") {
     val exact = emb.as("a").join(emb.as("b"), $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"),
@@ -77,6 +87,39 @@ class SimilaritySpec extends AnyFunSuite {
     }
     assert(covered, df.queryExecution.executedPlan.toString())
     assert(df.collect().forall(_.getSeq[Long](0).length == 12))
+  }
+
+  test("lsh_buckets_md5: matches an independent plane rebuild, survives codegen") {
+    graft.GraftFunctions.register(spark)
+    val (planes, tables) = (8, 4)
+    // independent reimplementation of the md5 plane family (the formula the
+    // DuckDB s20 oracle uses), applied in plain Scala to a few vectors
+    def md5int(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    def expected(v: Seq[Float]): Seq[Long] =
+      (0 until tables).map { t =>
+        (0 until planes).foldLeft(0L) { (acc, j) =>
+          val dot = v.indices.foldLeft(0.0) { (s, i) =>
+            s + v(i) * ((md5int(s"p#$t#$j#$i") % 2000000L - 1000000L).toDouble / 1000000.0)
+          }
+          if (dot > 0) acc | (1L << j) else acc
+        }
+      }
+    val df = emb.limit(20).select($"vec_id", $"embedding",
+      org.apache.spark.sql.functions.call_function(
+        "lsh_buckets_md5", $"embedding", lit(planes), lit(tables)).as("b"))
+    val covered = df.queryExecution.executedPlan.exists {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec =>
+        w.toString().contains("lsh_buckets_md5")
+      case _ => false
+    }
+    assert(covered, df.queryExecution.executedPlan.toString())
+    df.collect().foreach { r =>
+      assert(r.getSeq[Long](2) == expected(r.getSeq[Float](1)),
+        s"vec ${r.getLong(0)} buckets diverge")
+    }
   }
 
   test("nearest_cells matches the cosine-window argmax it replaced") {

@@ -60,6 +60,27 @@ class MorDataSourceSpec extends AnyFunSuite {
     assert(incr.columns.contains("_deleted"), "incremental keeps tombstone visibility")
   }
 
+  test("SQL INSERT INTO is a keyed upsert; INSERT OVERWRITE replaces (CTAS + InsertableRelation)") {
+    val path = TestSpark.tmpDir("dsv1-insert")
+    spark.sql("DROP TABLE IF EXISTS mor_ins_t")
+    try {
+      spark.sql(
+        s"""CREATE TABLE mor_ins_t USING `graft.mor` OPTIONS (path '$path', keys 'uuid')
+           |AS SELECT * FROM VALUES ('id1', 'Danny', 23), ('id2', 'Emma', 20)
+           |   AS t(uuid, name, age)""".stripMargin)
+      // INSERT INTO = upsert: id1 replaced in place, id3 added
+      spark.sql(
+        "INSERT INTO mor_ins_t VALUES ('id1', 'Dan', 24), ('id3', 'Ada', 31)")
+      val got = spark.sql("SELECT * FROM mor_ins_t ORDER BY uuid")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+      assert(got.toSeq == Seq(("id1", "Dan", 24), ("id2", "Emma", 20), ("id3", "Ada", 31)))
+      // INSERT OVERWRITE replaces the table contents
+      spark.sql("INSERT OVERWRITE mor_ins_t VALUES ('id9', 'Zoe', 1)")
+      assert(spark.sql("SELECT uuid FROM mor_ins_t").collect().map(_.getString(0)).toSeq
+        == Seq("id9"))
+    } finally spark.sql("DROP TABLE IF EXISTS mor_ins_t")
+  }
+
   test("save modes: ErrorIfExists throws, Ignore no-ops, Overwrite replaces") {
     val path = TestSpark.tmpDir("dsv1-modes")
     def df(v: Int) = Seq(("id1", v)).toDF("uuid", "v")

@@ -98,6 +98,24 @@ class StreamingOpsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("stream-stream interval join settles to the batch join (r30 shape)") {
+    val got = StreamingQueries.streamJoin(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val ev = graft.Tables.events(spark, TestSpark.sfDir)
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"),
+        $"ts_ms".as("purchase_ms"), $"ts_ns".as("purchase_ns"))
+    val c = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_id"),
+        $"ts_ms".as("click_ms"), $"ts_ns".as("click_ns"))
+    val batch = p.join(c, Seq("user_id"))
+      .filter($"click_ns" <= $"purchase_ns" &&
+        $"click_ns" >= $"purchase_ns" - 3600000000000L)
+      .select($"purchase_id", $"click_id", $"purchase_ms", $"click_ms")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got.nonEmpty && got == batch)
+  }
+
   test("watermark: late event beyond lateness is dropped from its window") {
     val mem = MemoryStream[Event]
     val events = mem.toDS().toDF()
