@@ -395,6 +395,31 @@ final class MorTable(
     }
   }
 
+  /** Rollback (the Hudi restore analog): discard every commit with
+    * seq > `toSeq` — timeline instants AND their data dirs — returning the
+    * table to exactly its state as of `toSeq`. A rolled-back batchId is
+    * re-committable afterwards (its instant is gone), which is the point:
+    * re-ingest from a known-good commit after a bad deploy. Timeline files
+    * go first so a reader listing mid-rollback never resolves an instant
+    * whose data has been deleted. Fails if `toSeq` predates the cleaned
+    * horizon (those deltas are physically gone). Returns #instants
+    * rolled back. */
+  def rollback(toSeq: Long): Int = synchronized {
+    val tl = timeline()
+    require(toSeq == 0 || tl.exists(_.seq <= toSeq),
+      s"rollback($toSeq): target predates the cleaned horizon " +
+        s"(earliest available instant: ${tl.headOption.map(_.seq).getOrElse("none")})")
+    val doomed = tl.filter(_.seq > toSeq)
+    doomed.reverse.foreach { i =>
+      fs.delete(new Path(hPath, s"timeline/${instantFileName(i)}"), false)
+      val dir = new Path(hPath, s"${if (i.kind == "compact") "base" else "delta"}/${i.seq}")
+      if (fs.exists(dir)) fs.delete(dir, true)
+      ()
+    }
+    instantCache = instantCache -- doomed.map(_.seq)
+    doomed.size
+  }
+
   /** S5 — drop the table (catalog + storage). */
   def drop(): Unit = { fs.delete(hPath, true); () }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, Row, SQLContext, SaveMode}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, InsertableRelation, RelationProvider, TableScan}
 import org.apache.spark.sql.types.StructType
-import graft.lake.MorTable
+import graft.lake.{MorTable, PartitionedMorTable}
 
 /** Spark DataSource for MOR lake tables — the cross-engine/cross-session
   * metadata seam (the reference registers its Hudi table in Glue so a
@@ -17,6 +17,9 @@ import graft.lake.MorTable
   *   spark.read.format("graft.mor").option("keys", "user_id").load(path)
   *   df.write.format("graft.mor").option("keys", "user_id").mode("append").save(path)
   *   spark.sql("CREATE TABLE t USING graft.mor OPTIONS (path '...', keys 'user_id')")
+  *   // PARTITIONED BY form (routes through PartitionedMorTable):
+  *   ....option("partition", "event_type")             // reads AND writes
+  *   ....option("partitionValues", "click,purchase")   // pruned read
   * }}}
   * The CREATE TABLE form persists (path, keys) in the shared external
   * catalog — every session of the application (and, with a Hive metastore,
@@ -50,7 +53,9 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
     val (path, keys) = pathAndKeys(parameters)
     MorRelation(sqlContext, path, keys,
       asOf = parameters.get("asOf").map(_.toLong),
-      sinceSeq = parameters.get("sinceSeq").map(_.toLong))
+      sinceSeq = parameters.get("sinceSeq").map(_.toLong),
+      partitionCol = parameters.get("partition"),
+      partitionValues = partitionValues(parameters))
   }
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
@@ -59,21 +64,39 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
     val (path, keys) = pathAndKeys(parameters)
     val order = parameters.get("order")
       .map(_.split(",").toSeq.map(_.trim)).getOrElse(keys)
-    val table = MorTable(sqlContext.sparkSession, path, keys)
-    val exists = table.timeline().nonEmpty
+    val partCol = parameters.get("partition")
+    def exists = partCol match {
+      case Some(p) =>
+        new PartitionedMorTable(sqlContext.sparkSession, path, keys, p)
+          .partitions().nonEmpty
+      case None => MorTable(sqlContext.sparkSession, path, keys).timeline().nonEmpty
+    }
+    def upsert(): Unit = partCol match {
+      case Some(p) =>
+        new PartitionedMorTable(sqlContext.sparkSession, path, keys, p)
+          .upsert(data, order.map(col)): Unit
+      case None =>
+        MorTable(sqlContext.sparkSession, path, keys)
+          .upsert(data, order.map(col)): Unit
+    }
+    def drop(): Unit = partCol match {
+      case Some(p) =>
+        new PartitionedMorTable(sqlContext.sparkSession, path, keys, p).drop()
+      case None => MorTable(sqlContext.sparkSession, path, keys).drop()
+    }
     mode match {
       case SaveMode.ErrorIfExists if exists =>
         throw new IllegalStateException(s"graft.mor table already exists: $path")
       case SaveMode.Ignore if exists => ()
-      case SaveMode.Overwrite =>
-        table.drop()
-        MorTable(sqlContext.sparkSession, path, keys)
-          .upsert(data, order.map(col)): Unit
-      case _ => // Append / first write: keyed upsert, Hudi's default
-        table.upsert(data, order.map(col)): Unit
+      case SaveMode.Overwrite => drop(); upsert()
+      case _ => upsert() // Append / first write: keyed upsert, Hudi's default
     }
-    MorRelation(sqlContext, path, keys)
+    MorRelation(sqlContext, path, keys, partitionCol = partCol)
   }
+
+  private def partitionValues(parameters: Map[String, String]): Seq[String] =
+    parameters.get("partitionValues")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Seq.empty)
 
   private def pathAndKeys(parameters: Map[String, String]): (String, Seq[String]) = {
     val path = parameters.getOrElse("path",
@@ -91,25 +114,39 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
   *
   * Read modes (mirroring the engine's read surface):
   *  - default — latest snapshot;
-  *  - `asOf` = commit seq — time-travel read ([[MorTable.readAt]]);
-  *  - `sinceSeq` = commit seq — incremental pull
+  *  - `asOf` = commit seq — time-travel read ([[MorTable.readAt]];
+  *    unpartitioned tables only);
+  *  - `sinceSeq` = commit seq/token — incremental pull
   *    ([[MorTable.readIncremental]]: net effect of newer commits, latest
   *    image per touched key, `_deleted` tombstones included so a consumer
-  *    sees what vanished — the Hudi incremental-query analog). */
+  *    sees what vanished — the Hudi incremental-query analog).
+  *
+  * `partition` = column name routes everything through a
+  * [[PartitionedMorTable]] (the `PARTITIONED BY` lake form);
+  * `partitionValues` = comma list prunes the scan to those partitions
+  * without touching the others' timelines. */
 final case class MorRelation(sqlContext: SQLContext, path: String,
                              keys: Seq[String],
                              asOf: Option[Long] = None,
-                             sinceSeq: Option[Long] = None)
+                             sinceSeq: Option[Long] = None,
+                             partitionCol: Option[String] = None,
+                             partitionValues: Seq[String] = Seq.empty)
     extends BaseRelation with TableScan with InsertableRelation {
 
   require(asOf.isEmpty || sinceSeq.isEmpty,
     "graft.mor: asOf and sinceSeq are mutually exclusive")
+  require(asOf.isEmpty || partitionCol.isEmpty,
+    "graft.mor: asOf time travel is not supported on partitioned tables")
 
   private def table = MorTable(sqlContext.sparkSession, path, keys)
+  private def partTable =
+    new PartitionedMorTable(sqlContext.sparkSession, path, keys, partitionCol.get)
 
-  private def scanDf() = (asOf, sinceSeq) match {
-    case (Some(seq), _) => table.readAt(seq)
-    case (_, Some(seq)) => table.readIncremental(seq)
+  private def scanDf() = (partitionCol, asOf, sinceSeq) match {
+    case (Some(_), _, Some(seq)) => partTable.readIncremental(seq, partitionValues)
+    case (Some(_), _, _) => partTable.read(partitionValues)
+    case (None, Some(seq), _) => table.readAt(seq)
+    case (None, _, Some(seq)) => table.readIncremental(seq)
     case _ => table.read()
   }
 
@@ -125,9 +162,13 @@ final case class MorRelation(sqlContext: SQLContext, path: String,
   override def insert(data: DataFrame, overwrite: Boolean): Unit = {
     require(asOf.isEmpty && sinceSeq.isEmpty,
       "graft.mor: cannot INSERT into a time-travel or incremental read")
-    val target =
-      if (overwrite) { MorTable(sqlContext.sparkSession, path, keys).drop(); table }
-      else table
-    target.upsert(data, keys.map(col)): Unit
+    partitionCol match {
+      case Some(_) =>
+        if (overwrite) partTable.drop()
+        partTable.upsert(data, keys.map(col)): Unit
+      case None =>
+        if (overwrite) table.drop()
+        table.upsert(data, keys.map(col)): Unit
+    }
   }
 }

@@ -125,6 +125,27 @@ class MorTableSpec extends AnyFunSuite {
     assert(t.readAt(3).count() == 7)   // == read()
   }
 
+  test("rollback discards newer commits; rolled-back batchId is re-committable") {
+    val t = MorTable(spark, TestSpark.tmpDir("mor-rb"), Seq("uuid"),
+      compactionDeltaCommits = 100)
+    t.upsert(t1Rows, Seq(col("ts")), batchId = 1L)                      // seq 1
+    t.upsert(Seq(("id1", "Francisco", 29, "2023-06-15 12:00:00"))
+      .toDF("uuid", "name", "age", "ts"), Seq(col("ts")), batchId = 2L) // seq 2
+    t.delete(Seq("id8").toDF("uuid"))                                   // seq 3
+    assert(t.read().count() == 7)
+    assert(t.rollback(1) == 2) // discard the upsert and the delete
+    assert(t.read().count() == 8)
+    assert(t.read().filter($"uuid" === "id1").head().getAs[String]("name") == "Danny")
+    assert(!t.isCommitted(2L), "rolled-back batch must be re-committable")
+    // re-ingest the rolled-back batch — lands again as a fresh commit
+    t.upsert(Seq(("id1", "Francisco", 29, "2023-06-15 12:00:00"))
+      .toDF("uuid", "name", "age", "ts"), Seq(col("ts")), batchId = 2L)
+    assert(t.read().filter($"uuid" === "id1").head().getAs[String]("name") == "Francisco")
+    // rolling back past the cleaned horizon is refused
+    t.compact(); t.clean()
+    intercept[IllegalArgumentException](t.rollback(1))
+  }
+
   test("cleaner removes pre-compaction files; snapshot unaffected") {
     val t = MorTable(spark, TestSpark.tmpDir("mor-clean"), Seq("uuid"),
       compactionDeltaCommits = 2)

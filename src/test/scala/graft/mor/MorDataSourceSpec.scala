@@ -81,6 +81,35 @@ class MorDataSourceSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS mor_ins_t")
   }
 
+  test("partition option routes through PartitionedMorTable: pruned reads, SQL INSERT upsert") {
+    val path = TestSpark.tmpDir("dsv1-part")
+    def w(rows: (String, String, Int)*) = rows.toSeq.toDF("uuid", "kind", "v")
+      .write.format("graft.mor").option("keys", "uuid").option("partition", "kind")
+      .mode("append").save(path)
+    w(("id1", "a", 1), ("id2", "b", 2))
+    w(("id1", "a", 10), ("id3", "b", 3)) // id1 upserted within its partition
+    def read(opts: Map[String, String] = Map.empty) = {
+      val r = spark.read.format("graft.mor")
+        .option("keys", "uuid").option("partition", "kind")
+      opts.foreach { case (k, v) => r.option(k, v) }
+      r.load(path)
+    }
+    assert(read().collect().map(r => (r.getAs[String]("uuid"), r.getAs[Int]("v"))).toMap
+      == Map("id1" -> 10, "id2" -> 2, "id3" -> 3))
+    // pruned read sees only the named partition
+    assert(read(Map("partitionValues" -> "b")).select("uuid")
+      .collect().map(_.getString(0)).toSet == Set("id2", "id3"))
+    // SQL over the partitioned form: catalog registration + INSERT INTO upsert
+    spark.sql("DROP TABLE IF EXISTS mor_part_t")
+    try {
+      spark.sql(s"CREATE TABLE mor_part_t USING `graft.mor` " +
+        s"OPTIONS (path '$path', keys 'uuid', partition 'kind')")
+      spark.sql("INSERT INTO mor_part_t VALUES ('id2', 'b', 20)")
+      assert(spark.sql("SELECT v FROM mor_part_t WHERE uuid = 'id2'")
+        .head().getInt(0) == 20)
+    } finally spark.sql("DROP TABLE IF EXISTS mor_part_t")
+  }
+
   test("save modes: ErrorIfExists throws, Ignore no-ops, Overwrite replaces") {
     val path = TestSpark.tmpDir("dsv1-modes")
     def df(v: Int) = Seq(("id1", v)).toDF("uuid", "v")
