@@ -37,6 +37,7 @@ object StreamingQueries {
         col("event_type"), col("cnt"), col("sum_value"))
     val q = agg.writeStream
       .format("memory").queryName(name)
+      .option("checkpointLocation", graft.TempDirs.create(s"$name-ckpt"))
       .outputMode("complete")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -94,6 +95,9 @@ object StreamingQueries {
         unix_millis(col("click_ts")).as("click_ms"))
     val q = joined.writeStream
       .format("memory").queryName(name)
+      // join state checkpoints are the dominant cost of this entry — keep
+      // them on the tmpfs scratch, not disk-backed java.io.tmpdir
+      .option("checkpointLocation", graft.TempDirs.create(s"$name-ckpt"))
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -124,6 +128,7 @@ object StreamingQueries {
       .select(col("user_id"), col("event_type"))
     val q = deduped.writeStream
       .format("memory").queryName(name)
+      .option("checkpointLocation", graft.TempDirs.create(s"$name-ckpt"))
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()

@@ -87,6 +87,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("portable ANN twins keep the production plan shapes (no nested-loop joins)") {
+    val emb = graft.Tables.embeddings(spark, dir)
+    // s18: assign is a projection, candidates an equi-join on cell_id
+    val ivf = plan(graft.functions.Similarity.ivfTopKFixed(emb, emb.limit(5)))
+    assert(!ivf.contains("BroadcastNestedLoopJoin") && !ivf.contains("CartesianProduct"), ivf)
+    assert("Window \\[".r.findAllIn(ivf).size == 1, ivf)
+    // s20: candidates an equi-join on (table, bucket)
+    val lsh = plan(graft.functions.Similarity.lshTopKPortable(emb, emb.limit(5)))
+    assert(!lsh.contains("BroadcastNestedLoopJoin") && !lsh.contains("CartesianProduct"), lsh)
+  }
+
   test("r18 rollup expands grouping sets with partial aggregation") {
     val p = plan(RelationalOps.rollupAgg(spark, dir))
     assert(p.contains("Expand"), p)
