@@ -70,10 +70,12 @@ object SparkEntry {
     "s14_mor_incremental" -> ((s, d) => graft.lake.LakeQueries.incrementalPull(s, d)),
     "s16_mor_datasource"  -> ((s, d) => graft.lake.LakeQueries.datasourceReplay(s, d)),
     "s17_mor_part_incremental" -> ((s, d) => graft.lake.LakeQueries.partitionedIncremental(s, d)),
+    "s21_mor_cdc_read"    -> ((s, d) => graft.lake.LakeQueries.cdcRead(s, d)),
     "s18_ann_ivf_portable" -> ((s, d) => graft.functions.LlmQueries.annIvfPortable(s, d)),
     "s20_ann_lsh_portable" -> ((s, d) => graft.functions.LlmQueries.annLshPortable(s, d)),
     "s19_sql_insert"      -> ((s, d) => graft.lake.LakeQueries.sqlInsert(s, d)),
     "d11_minhash_union"   -> ((s, d) => graft.functions.LlmQueries.minhashGroupsPortable(s, d)),
+    "d12_dedup_clusters"  -> ((s, d) => graft.functions.LlmQueries.dedupClusters(s, d)),
     "r30_stream_join"     -> ((s, d) => graft.streaming.StreamingQueries.streamJoin(s, d)),
     "d10_stream_dedup"    -> ((s, d) => graft.streaming.StreamingQueries.streamDedup(s, d)),
     "r20_semi_join"       -> ((s, d) => RelationalOps.semiJoin(s, d)),
@@ -115,6 +117,38 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY q.query_id
         |  ORDER BY cos_sim DESC, neighbor_id ASC) <= 10""".stripMargin,
     "s19_sql_insert" -> "SELECT * FROM customer",
+    "s21_mor_cdc_read" ->
+      """WITH b AS (
+        |  SELECT min(epoch_ns(ts)) + (max(epoch_ns(ts)) - min(epoch_ns(ts))) // 2 AS mid
+        |  FROM events
+        |), e AS (
+        |  SELECT user_id, event_id, value, epoch_ms(ts) AS ts_ms, epoch_ns(ts) AS ts_ns
+        |  FROM events
+        |), lww1 AS (
+        |  SELECT e.* FROM e, b WHERE ts_ns <= mid
+        |  QUALIFY row_number() OVER
+        |    (PARTITION BY user_id ORDER BY ts_ns DESC, event_id DESC) = 1
+        |), lww2 AS (
+        |  SELECT e.* FROM e, b WHERE ts_ns > mid
+        |  QUALIFY row_number() OVER
+        |    (PARTITION BY user_id ORDER BY ts_ns DESC, event_id DESC) = 1
+        |), del AS (
+        |  SELECT DISTINCT user_id FROM e WHERE user_id % 7 = 0
+        |), aft AS (
+        |  SELECT * FROM lww2 WHERE user_id NOT IN (SELECT user_id FROM del)
+        |)
+        |SELECT 'U' AS op, a.user_id, a.event_id, a.value, a.ts_ms,
+        |       l.event_id AS before_event_id, l.value AS before_value,
+        |       l.ts_ms AS before_ts_ms
+        |FROM aft a JOIN lww1 l USING (user_id)
+        |UNION ALL
+        |SELECT 'I', a.user_id, a.event_id, a.value, a.ts_ms,
+        |       -1::BIGINT, -1.0, -1::BIGINT
+        |FROM aft a WHERE a.user_id NOT IN (SELECT user_id FROM lww1)
+        |UNION ALL
+        |SELECT 'D', l.user_id, -1::BIGINT, -1.0, -1::BIGINT,
+        |       l.event_id, l.value, l.ts_ms
+        |FROM lww1 l WHERE l.user_id IN (SELECT user_id FROM del)""".stripMargin,
     "s20_ann_lsh_portable" ->
       """WITH p AS (
         |  SELECT t.t, j.j,
@@ -158,6 +192,47 @@ object SparkEntry {
         |       min(('0x' || substr(md5(e.s || '#' || r.i::VARCHAR), 1, 8))::BIGINT) AS h
         |FROM e CROSS JOIN range(0, 16) r(i)
         |GROUP BY e.source, r.i""".stripMargin,
+    "d12_dedup_clusters" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                     x -> x <> '') AS words
+        |  FROM documents
+        |), t AS (
+        |  SELECT doc_id, CASE WHEN len(words) >= 3 THEN
+        |      list_transform(range(1, len(words) - 1),
+        |        i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+        |    ELSE [array_to_string(words, ' ')] END AS sh
+        |  FROM w
+        |), sig AS (
+        |  SELECT doc_id, list_transform(range(0, 16), i ->
+        |    list_min(list_transform(sh,
+        |      s -> ('0x' || substr(md5(s || '#' || i::VARCHAR), 1, 8))::BIGINT))) AS sig
+        |  FROM t
+        |), bands AS (
+        |  SELECT doc_id, sig, unnest(range(0, 4)) AS band FROM sig
+        |), keyed AS (
+        |  SELECT doc_id, sig, band,
+        |         sig[band*4 + 1 : band*4 + 4] AS bk
+        |  FROM bands
+        |), pr AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         a.sig AS sa, b.sig AS sb
+        |  FROM keyed a JOIN keyed b
+        |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+        |), pairs AS (
+        |  SELECT id_a, id_b FROM pr
+        |  WHERE len(list_filter(range(1, 17), i -> sa[i] = sb[i])) >= 4
+        |), e AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION
+        |  SELECT id_b, id_a FROM pairs
+        |), cc AS (
+        |  SELECT u AS v, u AS lbl FROM e
+        |  UNION
+        |  SELECT e.v, cc.lbl FROM e JOIN cc ON e.u = cc.v
+        |)
+        |SELECT v AS doc_id, min(lbl) AS cluster_id FROM cc GROUP BY v""".stripMargin,
     "r30_stream_join" ->
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
         |       epoch_ms(p.ts) AS purchase_ms, epoch_ms(c.ts) AS click_ms

@@ -20,6 +20,53 @@ object Dedup {
 
   private val P = 2147483647L // 2^31 - 1, Mersenne prime
 
+  // ------------------------------------------------- components / clusters
+
+  /** Near-duplicate pairs → duplicate CLUSTERS: connected components of
+    * the pair graph by iterative hash-min label propagation, the step a
+    * dedup pipeline needs between candidate mining and keep-one-per-group.
+    * Returns (doc_id, cluster_id) for every doc appearing in ≥1 pair,
+    * cluster_id = min doc_id reachable in its component.
+    *
+    * Each iteration is one equi-join + one groupBy-min — the standard
+    * distributed-CC shape (hash-min; GraphX's CC is the same fixpoint).
+    * Rounds needed = graph diameter; near-dup graphs are dense clusters
+    * of tiny diameter, so this converges in 2-3 rounds where a 100 TB
+    * corpus would still be <10. Convergence is an exact fixpoint check
+    * (no label changed), not a round budget; `maxIters` only guards a
+    * pathological path graph. Each round materializes through an EAGER
+    * `localCheckpoint` — NOT `cache()`: caching truncates recompute but
+    * leaves the logical plan growing (each round's plan embeds the
+    * previous round's twice, via the propagate and the fixpoint check),
+    * so by round ~10 the driver spends longer analyzing the 2^10-node
+    * plan than running it. Checkpointing swaps the lineage for a scan of
+    * the materialized blocks, keeping every round's plan constant-size —
+    * the same reason GraphFrames checkpoints its CC iterations. */
+  def connectedComponents(pairs: DataFrame, idACol: String = "id_a",
+                          idBCol: String = "id_b",
+                          maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idACol).as("u"), col(idBCol).as("v"))
+      .union(pairs.select(col(idBCol).as("u"), col(idACol).as("v")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("u")).distinct()
+      .select(col("u").as("v"), col("u").as("lbl")).localCheckpoint(true)
+    var i = 0
+    var done = false
+    while (!done && i < maxIters) {
+      // label of u flows across (u, v); keep the min seen per node
+      val next = edges.join(labels.withColumnRenamed("v", "u"), Seq("u"))
+        .select(col("v"), col("lbl"))
+        .union(labels)
+        .groupBy("v").agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      done = next.as("n").join(labels.as("o"), Seq("v"))
+        .filter(col("n.lbl") =!= col("o.lbl")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   // ------------------------------------------------------------------ exact
 
   /** Exact dedup by content hash: keep the smallest id per md5(text).

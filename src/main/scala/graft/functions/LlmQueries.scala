@@ -201,6 +201,13 @@ object LlmQueries {
       .select("query_id", "neighbor_id", "cos_sim")
   }
 
+  /** Near-dup pairs → duplicate clusters: connected components over the
+    * oracle-checked d8 pair graph (portable md5 family), so the DuckDB
+    * recursive-CTE oracle reproduces the exact same clusters the
+    * iterative hash-min propagation computes. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(minhashPortable(spark, dir))
+
   /** Corpus-level MinHash union via the minhash_agg custom aggregate over
     * the PORTABLE md5 shingle family, one (source, slot, h) row per
     * signature component — pins the set-union TypedImperativeAggregate

@@ -142,6 +142,38 @@ object LakeQueries {
         .select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
   }
 
+  /** CDC read, oracle-checked: three commits (time-split halves + a keyed
+    * delete of user_id % 7 == 0), then `readChangelog(1)` classifies the
+    * net changes of commits 2-3 — U for users updated in the second half,
+    * I for users born there, D (with before image) for deleted users that
+    * existed at commit 1; a user born in half 2 and then deleted nets out.
+    * NULL image slots are coalesced to -1 sentinels so the hash compare
+    * never depends on engine NULL ordering. */
+  def cdcRead(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "value", "ts_ms", "ts_ns")
+    val bounds = ev.agg(min(col("ts_ns")).as("mn"), max(col("ts_ns")).as("mx")).head()
+    val mn = bounds.getLong(0); val mx = bounds.getLong(1)
+    val mid = mn + (mx - mn) / 2
+    val path = tempPath("mor-cdc")
+    val t = MorTable(spark, path, keyCols = Seq("user_id"), compactionDeltaCommits = 1000)
+    t.upsert(ev.filter(col("ts_ns") <= mid),
+      orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 1L)
+    t.upsert(ev.filter(col("ts_ns") > mid),
+      orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 2L)
+    t.delete(ev.select("user_id").distinct().filter(col("user_id") % 7 === 0),
+      batchId = 3L)
+    graft.TempDirs.materializeAndDelete(
+      t.readChangelog(1L).select(
+        col("op"), col("user_id"),
+        coalesce(col("event_id"), lit(-1L)).as("event_id"),
+        coalesce(col("value"), lit(-1.0)).as("value"),
+        coalesce(col("ts_ms"), lit(-1L)).as("ts_ms"),
+        coalesce(col("before_event_id"), lit(-1L)).as("before_event_id"),
+        coalesce(col("before_value"), lit(-1.0)).as("before_value"),
+        coalesce(col("before_ts_ms"), lit(-1L)).as("before_ts_ms")), path)
+  }
+
   /** The reference's Flink-SQL write surface, end-to-end IN SQL: DROP
     * TABLE IF EXISTS (S5), CREATE TABLE … USING graft.mor AS SELECT
     * (CTAS through CreatableRelationProvider), INSERT INTO … SELECT

@@ -36,6 +36,20 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents: hash-min labels equal min reachable id; path graph converges") {
+    // two components {1,2,3,7} (via chained pairs) and {10,11}
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 7L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 10L -> 10L, 11L -> 10L))
+    // a 12-node path needs ~log-d rounds of min flooding — exercises the
+    // fixpoint loop well past one iteration
+    val path = (0L until 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(path)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels.size == 12 && labels.values.forall(_ == 0L))
+  }
+
   test("exactDedup keeps the smallest id per identical text") {
     val kept = Dedup.exactDedup(corpus).select("doc_id").as[Long].collect().toSet
     assert(kept == Set(0L, 2L, 3L, 4L, 5L))

@@ -125,6 +125,32 @@ class MorTableSpec extends AnyFunSuite {
     assert(t.readAt(3).count() == 7)   // == read()
   }
 
+  test("readChangelog classifies net I/U/D with both images; insert+delete nets out") {
+    val t = MorTable(spark, TestSpark.tmpDir("mor-cdc"), Seq("uuid"),
+      compactionDeltaCommits = 100)
+    t.upsert(t1Rows, Seq(col("ts")))                                    // seq 1
+    t.upsert(Seq(
+      ("id1", "Francisco", 29, "2023-06-15 12:00:00"),                  // update
+      ("id9", "Nova", 1, "2023-06-15 12:00:01")                         // insert
+    ).toDF("uuid", "name", "age", "ts"), Seq(col("ts")))                // seq 2
+    t.upsert(Seq(("id10", "Ghost", 2, "2023-06-15 12:00:02"))
+      .toDF("uuid", "name", "age", "ts"), Seq(col("ts")))               // seq 3
+    t.delete(Seq("id8", "id10").toDF("uuid"))                           // seq 4
+    val rows = t.readChangelog(1L).collect()
+      .map(r => r.getAs[String]("uuid") -> r).toMap
+    assert(rows.keySet == Set("id1", "id9", "id8"), "id10 nets out (born+deleted in range)")
+    assert(rows("id1").getAs[String]("op") == "U" &&
+      rows("id1").getAs[String]("name") == "Francisco" &&
+      rows("id1").getAs[String]("before_name") == "Danny")
+    assert(rows("id9").getAs[String]("op") == "I" &&
+      rows("id9").getAs[String]("before_name") == null)
+    assert(rows("id8").getAs[String]("op") == "D" &&
+      rows("id8").getAs[String]("name") == null &&
+      rows("id8").getAs[String]("before_name") == "Han")
+    // empty range → empty changelog with the same shape
+    assert(t.readChangelog(4L).isEmpty)
+  }
+
   test("rollback discards newer commits; rolled-back batchId is re-committable") {
     val t = MorTable(spark, TestSpark.tmpDir("mor-rb"), Seq("uuid"),
       compactionDeltaCommits = 100)
