@@ -76,6 +76,8 @@ object SparkEntry {
     "s19_sql_insert"      -> ((s, d) => graft.lake.LakeQueries.sqlInsert(s, d)),
     "d11_minhash_union"   -> ((s, d) => graft.functions.LlmQueries.minhashGroupsPortable(s, d)),
     "d12_dedup_clusters"  -> ((s, d) => graft.functions.LlmQueries.dedupClusters(s, d)),
+    "d13_embed_neardup_portable" -> ((s, d) => graft.functions.LlmQueries.embedNearDupPortable(s, d)),
+    "t8_curation_pipeline" -> ((s, d) => graft.functions.LlmQueries.curationPipeline(s, d)),
     "r30_stream_join"     -> ((s, d) => graft.streaming.StreamingQueries.streamJoin(s, d)),
     "d10_stream_dedup"    -> ((s, d) => graft.streaming.StreamingQueries.streamDedup(s, d)),
     "r20_semi_join"       -> ((s, d) => RelationalOps.semiJoin(s, d)),
@@ -192,6 +194,105 @@ object SparkEntry {
         |       min(('0x' || substr(md5(e.s || '#' || r.i::VARCHAR), 1, 8))::BIGINT) AS h
         |FROM e CROSS JOIN range(0, 16) r(i)
         |GROUP BY e.source, r.i""".stripMargin,
+    "t8_curation_pipeline" ->
+      """WITH RECURSIVE f AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                x -> x <> '') AS lt,
+        |    len(list_filter(regexp_split_to_array(text, '\s+'),
+        |                    x -> x <> '')) AS n_tok,
+        |    round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+        |          / greatest(length(text), 1)::DOUBLE, 6) AS punct_r,
+        |    length(regexp_replace(text, '\s+', '', 'g')) AS n_nonspace
+        |  FROM documents
+        |), q AS (
+        |  SELECT doc_id,
+        |    round(((CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+        |       + (CASE WHEN punct_r < 0.1 THEN 1.0 ELSE 0.0 END)
+        |       + (CASE WHEN round(len(list_filter(lt, t -> list_contains(
+        |            ['the','a','an','and','or','of','to','in','is','it','that','for',
+        |             'on','with','as','was','at','by'], t)))
+        |            / greatest(n_tok, 1)::DOUBLE, 6) BETWEEN 0.05 AND 0.7
+        |          THEN 1.0 ELSE 0.0 END)
+        |       + (CASE WHEN n_nonspace / greatest(n_tok, 1)::DOUBLE
+        |            BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END))
+        |       / 4.0, 4) AS quality
+        |  FROM f
+        |), keep1 AS (
+        |  SELECT d.doc_id, d.lang, d.text, q.quality
+        |  FROM documents d JOIN q USING (doc_id) WHERE q.quality >= 0.5
+        |), keep2 AS (
+        |  SELECT * FROM keep1
+        |  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+        |), w2 AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                     x -> x <> '') AS words
+        |  FROM documents
+        |), t2 AS (
+        |  SELECT doc_id, CASE WHEN len(words) >= 3 THEN
+        |      list_transform(range(1, len(words) - 1),
+        |        i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+        |    ELSE [array_to_string(words, ' ')] END AS sh
+        |  FROM w2
+        |), sig AS (
+        |  SELECT doc_id, list_transform(range(0, 16), i ->
+        |    list_min(list_transform(sh,
+        |      s -> ('0x' || substr(md5(s || '#' || i::VARCHAR), 1, 8))::BIGINT))) AS sig
+        |  FROM t2
+        |), bands AS (
+        |  SELECT doc_id, sig, unnest(range(0, 4)) AS band FROM sig
+        |), keyed AS (
+        |  SELECT doc_id, sig, band, sig[band*4 + 1 : band*4 + 4] AS bk FROM bands
+        |), pr AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         a.sig AS sa, b.sig AS sb
+        |  FROM keyed a JOIN keyed b
+        |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+        |), pairs AS (
+        |  SELECT id_a, id_b FROM pr
+        |  WHERE len(list_filter(range(1, 17), i -> sa[i] = sb[i])) >= 4
+        |), e AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION
+        |  SELECT id_b, id_a FROM pairs
+        |), cc AS (
+        |  SELECT u AS v, u AS lbl FROM e
+        |  UNION
+        |  SELECT e.v, cc.lbl FROM e JOIN cc ON e.u = cc.v
+        |), lbl AS (
+        |  SELECT v AS doc_id, min(lbl) AS cluster_id FROM cc GROUP BY v
+        |), keep3 AS (
+        |  SELECT k.doc_id, k.lang, k.quality
+        |  FROM keep2 k LEFT JOIN lbl ON k.doc_id = lbl.doc_id
+        |  WHERE lbl.cluster_id IS NULL OR lbl.cluster_id = k.doc_id
+        |)
+        |SELECT doc_id, lang, quality FROM keep3
+        |QUALIFY row_number() OVER (PARTITION BY lang
+        |  ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT,
+        |           doc_id) <= 25""".stripMargin,
+    "d13_embed_neardup_portable" ->
+      """WITH c AS (
+        |  SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cv
+        |  FROM embeddings WHERE vec_id < 8
+        |), a AS (
+        |  SELECT e.vec_id, e.embedding, c.cell_id
+        |  FROM embeddings e CROSS JOIN c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_cosine_similarity(c.cv, e.embedding::DOUBLE[]) DESC,
+        |             c.cell_id ASC) <= 2
+        |), p AS (
+        |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+        |  FROM a x JOIN a y ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id
+        |)
+        |SELECT p.id_a, p.id_b,
+        |       round(list_cosine_similarity(ea.embedding::DOUBLE[],
+        |                                    eb.embedding::DOUBLE[]), 6) AS cos_sim
+        |FROM p
+        |JOIN embeddings ea ON ea.vec_id = p.id_a
+        |JOIN embeddings eb ON eb.vec_id = p.id_b
+        |WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[],
+        |                                   eb.embedding::DOUBLE[]), 6) >= 0.4""".stripMargin,
     "d12_dedup_clusters" ->
       """WITH RECURSIVE w AS (
         |  SELECT doc_id,

@@ -201,6 +201,36 @@ object LlmQueries {
       .select("query_id", "neighbor_id", "cos_sim")
   }
 
+  /** The END-TO-END curation pipeline a training-data run actually
+    * executes, composed from the individually-proven stages and
+    * oracle-checked as a WHOLE: quality gate (t4's score ≥ 0.5) → exact
+    * dedup (min doc_id per md5(text)) → near-dup cluster dedup (keep only
+    * cluster canonicals, clusters = d12's components over the full-corpus
+    * md5 pair graph) → deterministic per-language quota (25 per lang, t6's
+    * md5 order). Every stage is a shuffle on a bounded key (digest,
+    * bucket, lang) — the whole pipeline is 100 TB-shaped. */
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = docs
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .filter(col("quality") >= 0.5)
+    val exact = Dedup.exactDedup(scored)
+    val clusters = Dedup.connectedComponents(minhashPortable(spark, dir))
+    val kept = exact.join(clusters, Seq("doc_id"), "left_outer")
+      .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+    graft.operators.Sampling.quotaPerGroup(
+      kept.select("doc_id", "lang", "quality"), groupCol = "lang",
+      keyCol = "doc_id", n = 25)
+  }
+
+  /** IVF-cell near-dup mining with fixed portable centroids — the d4
+    * mining shape oracle-checked end-to-end (see
+    * Similarity.embeddingNearDupFixed); d4 keeps the hash-seeded
+    * production centroids. */
+  def embedNearDupPortable(spark: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDupFixed(Tables.embeddings(spark, dir),
+      threshold = 0.4, nCells = 8, nProbe = 2)
+
   /** Near-dup pairs → duplicate clusters: connected components over the
     * oracle-checked d8 pair graph (portable md5 family), so the DuckDB
     * recursive-CTE oracle reproduces the exact same clusters the

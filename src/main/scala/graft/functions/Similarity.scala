@@ -266,6 +266,31 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** [[embeddingNearDupIvf]] with FIXED portable centroids (the `nCells`
+    * lowest-id vectors, cell_id = vec_id) — the near-dup MINING shape
+    * pinned against DuckDB end-to-end (assign, multi-probe cell co-
+    * occupancy, exact cosine verify, threshold); gate entry
+    * `d13_embed_neardup_portable`. */
+  def embeddingNearDupFixed(corpus: DataFrame, threshold: Double = 0.4,
+                            nCells: Int = 8, nProbe: Int = 2,
+                            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    registerOn(corpus)
+    val centroids = collectCentroids(
+      corpus.filter(col(idCol) < nCells)
+        .select(col(idCol).cast("long").as("cell_id"),
+          transform(col(vecCol), _.cast("double")).as("cv")))
+    val assigned = corpus.select(col(idCol), col(vecCol),
+      explode(nearestCells(col(vecCol), centroids, nProbe)).as("cell_id"))
+    val a = assigned.select(col(idCol).as("id_a"), col(vecCol).as("va"), col("cell_id"))
+    val b = assigned.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("cell_id"))
+    a.join(b, Seq("cell_id"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosF(col("va"), col("vb")), 6).as("cos_sim"))
+      .groupBy("id_a", "id_b").agg(first("cos_sim").as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   /** Deterministic seed centroids: the `nCells` hash-smallest vectors,
     * upcast to double (shared by [[ivfTopK]] and [[embeddingNearDupIvf]]). */
   private def seedCentroids(corpus: DataFrame, nCells: Int,
