@@ -71,6 +71,7 @@ object SparkEntry {
     "s16_mor_datasource"  -> ((s, d) => graft.lake.LakeQueries.datasourceReplay(s, d)),
     "s17_mor_part_incremental" -> ((s, d) => graft.lake.LakeQueries.partitionedIncremental(s, d)),
     "s21_mor_cdc_read"    -> ((s, d) => graft.lake.LakeQueries.cdcRead(s, d)),
+    "s22_incremental_view" -> ((s, d) => graft.lake.LakeQueries.incrementalView(s, d)),
     "s18_ann_ivf_portable" -> ((s, d) => graft.functions.LlmQueries.annIvfPortable(s, d)),
     "s20_ann_lsh_portable" -> ((s, d) => graft.functions.LlmQueries.annLshPortable(s, d)),
     "s19_sql_insert"      -> ((s, d) => graft.lake.LakeQueries.sqlInsert(s, d)),
@@ -119,6 +120,20 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY q.query_id
         |  ORDER BY cos_sim DESC, neighbor_id ASC) <= 10""".stripMargin,
     "s19_sql_insert" -> "SELECT * FROM customer",
+    "s22_incremental_view" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_ns(ts) AS ts_ns
+        |  FROM events
+        |), lww AS (
+        |  SELECT e.* FROM e
+        |  QUALIFY row_number() OVER
+        |    (PARTITION BY user_id ORDER BY ts_ns DESC, event_id DESC) = 1
+        |), final AS (
+        |  SELECT * FROM lww WHERE user_id % 7 <> 0
+        |)
+        |SELECT event_type, count(*)::BIGINT AS n_users,
+        |       sum(round(value * 1000000)::BIGINT)::BIGINT AS sum_micros
+        |FROM final GROUP BY event_type""".stripMargin,
     "s21_mor_cdc_read" ->
       """WITH b AS (
         |  SELECT min(epoch_ns(ts)) + (max(epoch_ns(ts)) - min(epoch_ns(ts))) // 2 AS mid

@@ -149,13 +149,16 @@ object LakeQueries {
     * existed at commit 1; a user born in half 2 and then deleted nets out.
     * NULL image slots are coalesced to -1 sentinels so the hash compare
     * never depends on engine NULL ordering. */
-  def cdcRead(spark: SparkSession, dir: String): DataFrame = {
+  /** The 3-commit CDC scenario shared by s21/s22: time-split halves as
+    * two upsert commits, then a keyed delete of user_id % 7 == 0. */
+  private def cdcReplay(spark: SparkSession, dir: String,
+                        prefix: String): (MorTable, String) = {
     val ev = Tables.events(spark, dir)
       .select("user_id", "event_id", "event_type", "value", "ts_ms", "ts_ns")
     val bounds = ev.agg(min(col("ts_ns")).as("mn"), max(col("ts_ns")).as("mx")).head()
     val mn = bounds.getLong(0); val mx = bounds.getLong(1)
     val mid = mn + (mx - mn) / 2
-    val path = tempPath("mor-cdc")
+    val path = tempPath(prefix)
     val t = MorTable(spark, path, keyCols = Seq("user_id"), compactionDeltaCommits = 1000)
     t.upsert(ev.filter(col("ts_ns") <= mid),
       orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 1L)
@@ -163,6 +166,11 @@ object LakeQueries {
       orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 2L)
     t.delete(ev.select("user_id").distinct().filter(col("user_id") % 7 === 0),
       batchId = 3L)
+    (t, path)
+  }
+
+  def cdcRead(spark: SparkSession, dir: String): DataFrame = {
+    val (t, path) = cdcReplay(spark, dir, "mor-cdc")
     graft.TempDirs.materializeAndDelete(
       t.readChangelog(1L).select(
         col("op"), col("user_id"),
@@ -172,6 +180,36 @@ object LakeQueries {
         coalesce(col("before_event_id"), lit(-1L)).as("before_event_id"),
         coalesce(col("before_value"), lit(-1.0)).as("before_value"),
         coalesce(col("before_ts_ms"), lit(-1L)).as("before_ts_ms")), path)
+  }
+
+  /** Incrementally-MAINTAINED materialized view, oracle-checked against a
+    * direct recompute: the view (per event_type: user count + exact micro-
+    * cent value sum) is computed once at commit 1, then brought to the
+    * commit-3 state by applying ONLY `readChangelog(1)`'s I/U/D deltas —
+    * +after for I, −before+after for U, −before for D — never rescanning
+    * the table. Sums are integer micros, so the incremental path is
+    * bit-exact against DuckDB's full recompute of the final state. This is
+    * the downstream-consumer story for CDC reads: O(changes) view upkeep
+    * at any table size. */
+  def incrementalView(spark: SparkSession, dir: String): DataFrame = {
+    val (t, path) = cdcReplay(spark, dir, "mor-iview")
+    def micros(c: org.apache.spark.sql.Column) = round(c * 1000000).cast("long")
+    val base = t.readAt(1).groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(micros(col("value"))).as("s"))
+    val cl = t.readChangelog(1L)
+    val minus = cl.filter(col("op").isin("U", "D"))
+      .select(col("before_event_type").as("event_type"),
+        lit(-1L).as("dn"), (-micros(col("before_value"))).as("ds"))
+    val plus = cl.filter(col("op").isin("I", "U"))
+      .select(col("event_type"), lit(1L).as("dn"), micros(col("value")).as("ds"))
+    val delta = minus.union(plus).groupBy("event_type")
+      .agg(sum(col("dn")).as("dn"), sum(col("ds")).as("ds"))
+    val view = base.join(delta, Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_users"),
+        (coalesce(col("s"), lit(0L)) + coalesce(col("ds"), lit(0L))).as("sum_micros"))
+      .filter(col("n_users") > 0)
+    graft.TempDirs.materializeAndDelete(view, path)
   }
 
   /** The reference's Flink-SQL write surface, end-to-end IN SQL: DROP
