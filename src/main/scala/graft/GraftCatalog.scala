@@ -1,7 +1,7 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-import graft.lake.MorTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.lake.{MorTable, PartitionedMorTable}
 
 /** Catalog surface (S5 and the Glue-catalog analog of §1.1): MOR lake
   * tables registered under catalog names so the whole SQL surface —
@@ -21,14 +21,17 @@ import graft.lake.MorTable
   */
 object GraftCatalog {
 
-  /** (session, lower(name)) → table. Session-scoped like temp views. */
-  private val registry = new java.util.concurrent.ConcurrentHashMap[String, MorTable]()
+  /** (session, lower(name)) → fresh-scan builder. Session-scoped like
+    * temp views; the thunk re-resolves the table's CURRENT timeline on
+    * every call, which is what keeps catalog readers commit-fresh. */
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, () => DataFrame]()
 
   private def key(spark: SparkSession, name: String): String =
     System.identityHashCode(spark) + "/" + name.toLowerCase(java.util.Locale.ROOT)
 
   /** Live lookup used by the analyzer rule (None = not a graft table). */
-  private[graft] def lookup(spark: SparkSession, name: String): Option[MorTable] =
+  private[graft] def lookup(spark: SparkSession, name: String): Option[() => DataFrame] =
     Option(registry.get(key(spark, name)))
 
   private def ruleInstalled(spark: SparkSession): Boolean =
@@ -37,7 +40,12 @@ object GraftCatalog {
   /** Register (or refresh) a MOR table under a catalog name (see the
     * freshness contract above). */
   def register(spark: SparkSession, name: String, table: MorTable): Unit =
-    if (ruleInstalled(spark)) { registry.put(key(spark, name), table); () }
+    if (ruleInstalled(spark)) { registry.put(key(spark, name), () => table.read()); () }
+    else table.read().createOrReplaceTempView(name)
+
+  /** Same contract for the `PARTITIONED BY` lake form. */
+  def register(spark: SparkSession, name: String, table: PartitionedMorTable): Unit =
+    if (ruleInstalled(spark)) { registry.put(key(spark, name), () => table.read()); () }
     else table.read().createOrReplaceTempView(name)
 
   /** S5 — `DROP TABLE IF EXISTS`: removes catalog metadata; storage stays

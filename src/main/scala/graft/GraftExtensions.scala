@@ -61,7 +61,7 @@ class MorRelationResolution(spark: SparkSession) extends Rule[LogicalPlan] {
     case u: UnresolvedRelation if u.multipartIdentifier.size == 1 &&
         GraftCatalog.lookup(spark, u.multipartIdentifier.head).isDefined =>
       GraftCatalog.lookup(spark, u.multipartIdentifier.head).get
-        .read().queryExecution.analyzed
+        .apply().queryExecution.analyzed
   }
 }
 

@@ -42,6 +42,18 @@ class GraftCatalogSpec extends AnyFunSuite {
     intercept[Exception] { spark.sql("SELECT * FROM t_fresh").collect() }
   }
 
+  test("partitioned table registers commit-fresh under a catalog name too") {
+    val t = new graft.lake.PartitionedMorTable(spark, TestSpark.tmpDir("cat-part"),
+      keyCols = Seq("uuid"), partitionCol = "kind")
+    t.upsert(Seq(("id1", "a", 1)).toDF("uuid", "kind", "v"), Seq(col("uuid")))
+    GraftCatalog.register(spark, "t_part_cat", t)
+    assert(spark.sql("SELECT count(*) FROM t_part_cat").head().getLong(0) == 1)
+    t.upsert(Seq(("id2", "b", 2)).toDF("uuid", "kind", "v"), Seq(col("uuid")))
+    // no re-register — the rule re-reads the partitioned timeline
+    assert(spark.sql("SELECT count(*) FROM t_part_cat").head().getLong(0) == 2)
+    GraftCatalog.dropTable(spark, "t_part_cat")
+  }
+
   test("T5: writePartitions controls files per commit (write.tasks analog)") {
     val t = new MorTable(spark, TestSpark.tmpDir("cat-wp"), Seq("k"),
       compactionDeltaCommits = 100, writePartitions = 3)
