@@ -50,6 +50,18 @@ object Dedup {
       .distinct().localCheckpoint(true)
     var labels = edges.select(col("u")).distinct()
       .select(col("u").as("v"), col("u").as("lbl")).localCheckpoint(true)
+    // fixpoint detection by aggregate signature: per-node labels only ever
+    // DECREASE (min-propagation is monotone), so the (count, Σlabel) pair
+    // is unchanged iff no node changed — one cheap scan of the checkpointed
+    // blocks instead of a join-with-previous (which costs a second shuffle
+    // per round). Σ in decimal(38,0) so arbitrary id magnitudes can't
+    // overflow the signature.
+    def sig(df: DataFrame): (Long, String) = {
+      val r = df.agg(count(lit(1)).as("n"),
+        sum(col("lbl").cast("decimal(38,0)")).as("s")).head()
+      (r.getLong(0), String.valueOf(r.getDecimal(1)))
+    }
+    var prev = sig(labels)
     var i = 0
     var done = false
     while (!done && i < maxIters) {
@@ -59,8 +71,9 @@ object Dedup {
         .union(labels)
         .groupBy("v").agg(min(col("lbl")).as("lbl"))
         .localCheckpoint(true)
-      done = next.as("n").join(labels.as("o"), Seq("v"))
-        .filter(col("n.lbl") =!= col("o.lbl")).isEmpty
+      val cur = sig(next)
+      done = cur == prev
+      prev = cur
       labels = next
       i += 1
     }
