@@ -79,6 +79,7 @@ object SparkEntry {
     "d12_dedup_clusters"  -> ((s, d) => graft.functions.LlmQueries.dedupClusters(s, d)),
     "d13_embed_neardup_portable" -> ((s, d) => graft.functions.LlmQueries.embedNearDupPortable(s, d)),
     "t8_curation_pipeline" -> ((s, d) => graft.functions.LlmQueries.curationPipeline(s, d)),
+    "t9_sequence_pack"    -> ((s, d) => graft.functions.LlmQueries.sequencePack(s, d)),
     "r30_stream_join"     -> ((s, d) => graft.streaming.StreamingQueries.streamJoin(s, d)),
     "d10_stream_dedup"    -> ((s, d) => graft.streaming.StreamingQueries.streamDedup(s, d)),
     "r20_semi_join"       -> ((s, d) => RelationalOps.semiJoin(s, d)),
@@ -209,6 +210,21 @@ object SparkEntry {
         |       min(('0x' || substr(md5(e.s || '#' || r.i::VARCHAR), 1, 8))::BIGINT) AS h
         |FROM e CROSS JOIN range(0, 16) r(i)
         |GROUP BY e.source, r.i""".stripMargin,
+    "t9_sequence_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    len(list_filter(regexp_split_to_array(text, '\s+'),
+        |                    x -> x <> ''))::BIGINT AS n_tokens,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS h
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, n_tokens, h % 8 AS bucket,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY h % 8 ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM d
+        |)
+        |SELECT doc_id, bucket, (cum // 2048)::BIGINT AS bin_id, n_tokens
+        |FROM c""".stripMargin,
     "t8_curation_pipeline" ->
       """WITH RECURSIVE f AS (
         |  SELECT doc_id,

@@ -201,6 +201,14 @@ object LlmQueries {
       .select("query_id", "neighbor_id", "cos_sim")
   }
 
+  /** Sequence packing over documents: whitespace token counts, 2048-token
+    * bins, 8 parallel packing streams (see Sampling.sequencePack). */
+  def sequencePack(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.operators.Sampling.sequencePack(docs, keyCol = "doc_id",
+      tokenCol = TextAnalysis.tokenCount(col("text")))
+  }
+
   /** The END-TO-END curation pipeline a training-data run actually
     * executes, composed from the individually-proven stages and
     * oracle-checked as a WHOLE: quality gate (t4's score ≥ 0.5) → exact

@@ -24,6 +24,30 @@ object Sampling {
   def hashBucket(key: Column): Column =
     conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long")
 
+  /** Sequence PACKING for training runs: assign each document to a
+    * fixed-token-budget context bin, deterministically. Docs are spread
+    * over `nBuckets` independent packing streams by md5 (so the packing
+    * parallelizes — one global greedy stream would be a single-partition
+    * window, the anti-pattern), take the md5 order within their stream,
+    * and bin k holds the docs whose running predecessor token total lies
+    * in [k·budget, (k+1)·budget) — greedy packing where a boundary doc
+    * overflows its bin rather than splitting. One hash shuffle + one
+    * bounded window; every step is md5-deterministic, so retries and
+    * other engines reproduce the exact same bins (oracle entry
+    * `t9_sequence_pack`). `tokenCol` is any precomputed length column. */
+  def sequencePack(df: DataFrame, keyCol: String, tokenCol: Column,
+                   budget: Int = 2048, nBuckets: Int = 8): DataFrame = {
+    val h = hashBucket(col(keyCol))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("__h"), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__h", h)
+      .withColumn("n_tokens", tokenCol.cast("long"))
+      .withColumn("bucket", pmod(col("__h"), lit(nBuckets.toLong)))
+      .withColumn("__cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin_id", expr(s"__cum div $budget"))
+      .select(col(keyCol), col("bucket"), col("bin_id"), col("n_tokens"))
+  }
+
   /** Keep ~`num/den` of rows, deterministically by key: rows whose md5
     * bucket falls in [0, num/den) of the 32-bit space. */
   def hashSample(df: DataFrame, keyCol: String, num: Long, den: Long): DataFrame = {

@@ -35,6 +35,30 @@ class SamplingSpec extends AnyFunSuite {
     assert(q.exceptAll(q2).isEmpty)
   }
 
+  test("sequencePack: bins respect the budget up to one overflow doc; total preserved") {
+    val docs = graft.Tables.documents(spark, TestSpark.sfDir)
+    val budget = 512
+    val packed = Sampling.sequencePack(docs, "doc_id",
+      graft.functions.TextAnalysis.tokenCount($"text"), budget = budget).cache()
+    assert(packed.count() == docs.count(), "every doc lands in exactly one bin")
+    val bins = packed.groupBy("bucket", "bin_id")
+      .agg(sum($"n_tokens").as("tok"), max($"n_tokens").as("mx"))
+      .collect()
+    // greedy packing: a bin exceeds the budget only by its boundary doc
+    bins.foreach { r =>
+      assert(r.getAs[Long]("tok") < budget + r.getAs[Long]("mx"),
+        s"bin ${r.getLong(1)} of bucket ${r.getLong(0)} too full: $r")
+    }
+    // consecutive bins within a bucket are dense (no empty bin ids skipped
+    // unless one doc alone spans multiple budgets)
+    val byBucket = bins.groupBy(_.getLong(0))
+    byBucket.values.foreach { rs =>
+      val ids = rs.map(_.getLong(1)).sorted
+      assert(ids.head == 0L, "packing starts at bin 0")
+    }
+    packed.unpersist()
+  }
+
   test("hashBucket spreads uniformly (chi-square-ish sanity over 16 buckets)") {
     val n = 4096
     val counts = spark.range(n)
