@@ -80,6 +80,7 @@ object SparkEntry {
     "d13_embed_neardup_portable" -> ((s, d) => graft.functions.LlmQueries.embedNearDupPortable(s, d)),
     "t8_curation_pipeline" -> ((s, d) => graft.functions.LlmQueries.curationPipeline(s, d)),
     "t9_sequence_pack"    -> ((s, d) => graft.functions.LlmQueries.sequencePack(s, d)),
+    "s23_embed_quant"     -> ((s, d) => graft.functions.LlmQueries.embedQuantize(s, d)),
     "r30_stream_join"     -> ((s, d) => graft.streaming.StreamingQueries.streamJoin(s, d)),
     "d10_stream_dedup"    -> ((s, d) => graft.streaming.StreamingQueries.streamDedup(s, d)),
     "r20_semi_join"       -> ((s, d) => RelationalOps.semiJoin(s, d)),
@@ -210,6 +211,18 @@ object SparkEntry {
         |       min(('0x' || substr(md5(e.s || '#' || r.i::VARCHAR), 1, 8))::BIGINT) AS h
         |FROM e CROSS JOIN range(0, 16) r(i)
         |GROUP BY e.source, r.i""".stripMargin,
+    "s23_embed_quant" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS mx
+        |  FROM embeddings
+        |)
+        |SELECT m.vec_id, r.i,
+        |       CASE WHEN m.mx > 0
+        |            THEN round(m.embedding[r.i + 1]::DOUBLE * 127.0 / m.mx)::BIGINT
+        |            ELSE 0::BIGINT END AS q,
+        |       round(m.mx, 6) AS scale
+        |FROM m CROSS JOIN range(0, 64) r(i)""".stripMargin,
     "t9_sequence_pack" ->
       """WITH d AS (
         |  SELECT doc_id,

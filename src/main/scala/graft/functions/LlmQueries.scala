@@ -201,6 +201,20 @@ object LlmQueries {
       .select("query_id", "neighbor_id", "cos_sim")
   }
 
+  /** Symmetric int8 embedding quantization (native `quantize127`): one
+    * (vec_id, i, q, scale) row per component, oracle-checked — the
+    * storage-side transform for 100 TB embedding corpora (int8 + one
+    * float per vector instead of 4 bytes per component). */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), call_function("quantize127", col("embedding")).as("qz"))
+      .select(col("vec_id"), round(col("qz.scale"), 6).as("scale"),
+        posexplode(col("qz.q")))
+      .select(col("vec_id"), col("pos").cast("long").as("i"), col("col").as("q"),
+        col("scale"))
+  }
+
   /** Sequence packing over documents: whitespace token counts, 2048-token
     * bins, 8 parallel packing streams (see Sampling.sequencePack). */
   def sequencePack(spark: SparkSession, dir: String): DataFrame = {

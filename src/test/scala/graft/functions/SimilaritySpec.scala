@@ -89,6 +89,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(df.collect().forall(_.getSeq[Long](0).length == 12))
   }
 
+  test("quantize127: scale = max|v|, dequant error ≤ half a step, codegen") {
+    graft.GraftFunctions.register(spark)
+    val df = emb.limit(50).select($"vec_id", $"embedding",
+      org.apache.spark.sql.functions.call_function("quantize127", $"embedding").as("qz"))
+    val covered = df.queryExecution.executedPlan.exists {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec =>
+        w.toString().contains("quantize127")
+      case _ => false
+    }
+    assert(covered, df.queryExecution.executedPlan.toString())
+    df.collect().foreach { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble)
+      val qz = r.getStruct(2)
+      val scale = qz.getDouble(0); val q = qz.getSeq[Long](1)
+      assert(math.abs(scale - v.map(math.abs).max) < 1e-12)
+      assert(q.forall(x => x >= -127 && x <= 127))
+      v.indices.foreach { i =>
+        val dq = q(i) * scale / 127.0
+        assert(math.abs(dq - v(i)) <= scale / 254.0 + 1e-9,
+          s"component $i of vec ${r.getLong(0)}: $dq vs ${v(i)}")
+      }
+    }
+  }
+
   test("lsh_buckets_md5: matches an independent plane rebuild, survives codegen") {
     graft.GraftFunctions.register(spark)
     val (planes, tables) = (8, 4)
