@@ -91,6 +91,54 @@ final class MorTable(
 
   private def lastSeq(tl: Seq[Instant]): Long = tl.lastOption.map(_.seq).getOrElse(0L)
 
+  /** Multi-writer seq allocation (the Hudi inflight/OCC analog): claim the
+    * next commit seq by EXCLUSIVE-creating `timeline/<seq>.<kind>.inflight`
+    * before any data is written. Two writers racing to the same seq cannot
+    * both win the O_EXCL create — the loser re-lists (inflight markers
+    * count as taken, so it allocates PAST the winner) and retries; with the
+    * old `lastSeq+1` scheme both wrote `delta/<seq>` and the second rename
+    * silently replaced the first's instant, a lost update with no error.
+    * A marker orphaned by a crash just leaves a gap in the seq space
+    * (readers only parse `*.json`); it never wedges the table. */
+  private def allocateSeq(kind: String): Long = {
+    val dir = new Path(hPath, "timeline")
+    fs.mkdirs(dir)
+    var attempt = 0
+    while (true) {
+      val names = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      val taken = names.flatMap(_.takeWhile(_ != '.') match {
+        case s if s.nonEmpty && s.forall(_.isDigit) => Some(s.toLong)
+        case _ => None
+      })
+      val seq = taken.foldLeft(0L)(math.max) + 1
+      val marker = new Path(dir, s"$seq.$kind.inflight")
+      try {
+        if (fs.getScheme == "file")
+          // java.nio createFile is O_EXCL-atomic; Hadoop's create(…, false)
+          // on the local FS is exists-then-create (a TOCTOU window)
+          java.nio.file.Files.createFile(java.nio.file.Paths.get(marker.toUri.getPath))
+        else {
+          val out = fs.create(marker, false); out.close()
+        }
+        return seq
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException | _: java.io.IOException =>
+          attempt += 1
+          if (attempt > 50) throw new java.io.IOException(
+            s"seq allocation lost ${attempt} races at $dir — writer storm?")
+      }
+    }
+    0L // unreachable
+  }
+
+  /** Publish the committed instant claimed by [[allocateSeq]] and release
+    * its inflight marker. */
+  private def publishInstant(i: Instant): Unit = {
+    writeInstant(i)
+    fs.delete(new Path(hPath, s"timeline/${i.seq}.${i.kind}.inflight"), false)
+    ()
+  }
+
   /** True iff this micro-batch id already committed (exactly-once replays).
     * Checks live instants first, then the archived-batch summary (instants
     * folded away by [[clean]] keep their batch ids there). */
@@ -166,12 +214,11 @@ final class MorTable(
     * whole batch, then per-partition metadata-only adoption. */
   private[lake] def adoptDelta(src: Path, batchId: Long): Unit = synchronized {
     if (isCommitted(batchId)) { fs.delete(src, true); return } // replay no-op
-    val tl = timeline()
-    val seq = lastSeq(tl) + 1
+    val seq = allocateSeq("delta")
     val dst = new Path(hPath, s"delta/$seq")
     fs.mkdirs(dst.getParent)
     if (!fs.rename(src, dst)) throw new java.io.IOException(s"delta adopt rename failed: $dst")
-    writeInstant(Instant(seq, "delta", batchId, System.currentTimeMillis()))
+    publishInstant(Instant(seq, "delta", batchId, System.currentTimeMillis()))
     // compaction is the parent's job (it batches all due partitions into one
     // cluster write) — see PartitionedMorTable.maybeCompact
   }
@@ -180,12 +227,11 @@ final class MorTable(
     * one rename + one `compact` timeline instant, no Spark job. The staged
     * content must be this table's full snapshot as of its current timeline. */
   private[lake] def adoptBase(src: Path): Unit = synchronized {
-    val tl = timeline()
-    val seq = lastSeq(tl) + 1
+    val seq = allocateSeq("compact")
     val dst = new Path(hPath, s"base/$seq")
     fs.mkdirs(dst.getParent)
     if (!fs.rename(src, dst)) throw new java.io.IOException(s"base adopt rename failed: $dst")
-    writeInstant(Instant(seq, "compact", -1L, System.currentTimeMillis()))
+    publishInstant(Instant(seq, "compact", -1L, System.currentTimeMillis()))
   }
 
   /** Apply one changelog micro-batch (envelope: op/key/before/after/seq —
@@ -230,15 +276,14 @@ final class MorTable(
   private def commitDelta(df: DataFrame, batchId: Long,
                           seqno: Option[Long] = None): Unit = synchronized {
     if (isCommitted(batchId)) return // replayed micro-batch — exactly-once no-op
-    val tl = timeline()
-    val seq = lastSeq(tl) + 1
+    val seq = allocateSeq("delta")
     val now = System.currentTimeMillis()
     val out0 = df
       .withColumn("_commit_seqno", lit(seqno.getOrElse(seq)))
       .withColumn("_commit_time", lit(commitTimeString(now)))
     val out = if (writePartitions > 0) out0.repartition(writePartitions, col("_record_key")) else out0
     out.write.mode("overwrite").parquet(s"$path/delta/$seq")
-    writeInstant(Instant(seq, "delta", batchId, now))
+    publishInstant(Instant(seq, "delta", batchId, now))
     if (autoCompact) maybeCompact()
   }
 
@@ -396,8 +441,7 @@ final class MorTable(
   /** Merge base + logs into a new base commit. Readers before the timeline
     * rename keep seeing the old base+deltas; after it, just the new base. */
   def compact(): Unit = synchronized {
-    val tl = timeline()
-    val seq = lastSeq(tl) + 1
+    val seq = allocateSeq("compact")
     val now = System.currentTimeMillis()
     val snap = snapshot()
     val out = if (writePartitions > 0) snap.repartition(writePartitions, col("_record_key")) else snap
@@ -405,7 +449,7 @@ final class MorTable(
     // key-equality snapshot reads skip row groups entirely
     out.sortWithinPartitions(col("_record_key"))
       .write.mode("overwrite").parquet(s"$path/base/$seq")
-    writeInstant(Instant(seq, "compact", -1L, now))
+    publishInstant(Instant(seq, "compact", -1L, now))
   }
 
   /** Cleaner (the Hudi cleaner + archived-timeline analog): physically

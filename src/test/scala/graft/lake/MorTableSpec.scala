@@ -151,6 +151,34 @@ class MorTableSpec extends AnyFunSuite {
     assert(t.readChangelog(4L).isEmpty)
   }
 
+  test("two uncoordinated writers never lose a commit (inflight seq allocation)") {
+    val path = TestSpark.tmpDir("mor-occ")
+    def handle() = MorTable(spark, path, Seq("uuid"), compactionDeltaCommits = 1000)
+    handle().upsert(Seq(("seed", 0)).toDF("uuid", "v"), Seq(col("v")))
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    // two separate handles (no shared JVM lock) hammer the same table path
+    val writers = (1 to 2).map { w =>
+      Future {
+        val h = handle()
+        (1 to 5).foreach { i =>
+          h.upsert(Seq((s"w$w-$i", i)).toDF("uuid", "v"), Seq(col("v")))
+        }
+      }
+    }
+    writers.foreach(Await.result(_, 180.seconds))
+    val t = handle()
+    // every commit visible (the pre-OCC scheme silently lost same-seq races)
+    assert(t.read().count() == 11, t.read().collect().mkString(","))
+    val seqs = t.timeline().map(_.seq)
+    assert(seqs == seqs.distinct, s"duplicate seqs: $seqs")
+    // all inflight markers released
+    val leftover = new java.io.File(s"$path/timeline").listFiles()
+      .map(_.getName).filter(_.endsWith(".inflight"))
+    assert(leftover.isEmpty, leftover.mkString(","))
+  }
+
   test("rollback discards newer commits; rolled-back batchId is re-committable") {
     val t = MorTable(spark, TestSpark.tmpDir("mor-rb"), Seq("uuid"),
       compactionDeltaCommits = 100)
