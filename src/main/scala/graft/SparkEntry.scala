@@ -81,6 +81,7 @@ object SparkEntry {
     "t8_curation_pipeline" -> ((s, d) => graft.functions.LlmQueries.curationPipeline(s, d)),
     "t9_sequence_pack"    -> ((s, d) => graft.functions.LlmQueries.sequencePack(s, d)),
     "s23_embed_quant"     -> ((s, d) => graft.functions.LlmQueries.embedQuantize(s, d)),
+    "s24_ann_quantized"   -> ((s, d) => graft.functions.LlmQueries.annQuantized(s, d)),
     "r30_stream_join"     -> ((s, d) => graft.streaming.StreamingQueries.streamJoin(s, d)),
     "d10_stream_dedup"    -> ((s, d) => graft.streaming.StreamingQueries.streamDedup(s, d)),
     "r20_semi_join"       -> ((s, d) => RelationalOps.semiJoin(s, d)),
@@ -211,6 +212,24 @@ object SparkEntry {
         |       min(('0x' || substr(md5(e.s || '#' || r.i::VARCHAR), 1, 8))::BIGINT) AS h
         |FROM e CROSS JOIN range(0, 16) r(i)
         |GROUP BY e.source, r.i""".stripMargin,
+    "s24_ann_quantized" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS mx
+        |  FROM embeddings
+        |), qz AS (
+        |  SELECT vec_id,
+        |         CASE WHEN mx > 0
+        |              THEN list_transform(v, x -> round(x * 127.0 / mx))
+        |              ELSE list_transform(v, x -> 0.0::DOUBLE) END AS qv
+        |  FROM m
+        |)
+        |SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |       round(list_cosine_similarity(a.qv, b.qv), 6) AS qcos
+        |FROM qz a JOIN qz b ON b.vec_id <> a.vec_id
+        |WHERE a.vec_id < 5
+        |QUALIFY row_number() OVER (PARTITION BY a.vec_id
+        |  ORDER BY qcos DESC, b.vec_id ASC) <= 10""".stripMargin,
     "s23_embed_quant" ->
       """WITH m AS (
         |  SELECT vec_id, embedding,

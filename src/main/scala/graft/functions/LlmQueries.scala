@@ -215,6 +215,14 @@ object LlmQueries {
         col("scale"))
   }
 
+  /** ANN over the int8-quantized corpus (see Similarity.quantizedBruteTopK)
+    * — quantize at ingest, search the compressed vectors. */
+  def annQuantized(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.quantizedBruteTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+      .select("query_id", "neighbor_id", "qcos")
+  }
+
   /** Sequence packing over documents: whitespace token counts, 2048-token
     * bins, 8 parallel packing streams (see Sampling.sequencePack). */
   def sequencePack(spark: SparkSession, dir: String): DataFrame = {

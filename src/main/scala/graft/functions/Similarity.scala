@@ -193,6 +193,31 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Brute-force top-k over the int8-QUANTIZED corpus (`quantize127`):
+    * per-vector scales cancel inside cosine, so quantized search is plain
+    * integer-vector cosine — 4× less data scanned per probe at the cost
+    * of ≤1/254-per-component rounding in the scores. The compressed-
+    * corpus search path for 100 TB embedding stores; gate entry
+    * `s24_ann_quantized` pins it against DuckDB reproducing the same
+    * quantization + ranking. */
+  def quantizedBruteTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    registerOn(corpus)
+    def quantized(df: DataFrame, idAs: String, vAs: String) = df.select(
+      col(idCol).as(idAs),
+      call_function("quantize127", col(vecCol)).getField("q")
+        .cast("array<double>").as(vAs))
+    val q = quantized(queries, "query_id", "qa")
+    val scored = quantized(corpus, "cid", "qb")
+      .join(broadcast(q), col("cid") =!= col("query_id"))
+      .select(col("query_id"), col("cid").as("neighbor_id"),
+        round(cosF(col("qa"), col("qb")), 6).as("qcos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("neighbor_id").asc)
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** IVF probe path with FIXED, engine-portable centroids: the `nCells`
     * lowest-id vectors ARE the centroids (cell_id = vec_id), no Lloyd
     * refinement. Exists to pin the entire IVF machinery — native argmax

@@ -89,6 +89,15 @@ class SimilaritySpec extends AnyFunSuite {
     assert(df.collect().forall(_.getSeq[Long](0).length == 12))
   }
 
+  test("quantized brute-force recalls ≥ 0.9 of exact top-10 (int8 rounding only)") {
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity.quantizedBruteTopK(emb, queries, k = 10)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & quant).size.toDouble / brute.size
+    assert(recall >= 0.9, s"quantized recall $recall")
+  }
+
   test("quantize127: scale = max|v|, dequant error ≤ half a step, codegen") {
     graft.GraftFunctions.register(spark)
     val df = emb.limit(50).select($"vec_id", $"embedding",
