@@ -93,15 +93,24 @@ object StreamingQueries {
       .select(col("purchase_id"), col("click_id"),
         unix_millis(col("purchase_ts")).as("purchase_ms"),
         unix_millis(col("click_ts")).as("click_ms"))
-    val q = joined.writeStream
-      .format("memory").queryName(name)
-      // join state checkpoints are the dominant cost of this entry — keep
-      // them on the tmpfs scratch, not disk-backed java.io.tmpdir
-      .option("checkpointLocation", graft.TempDirs.create(s"$name-ckpt"))
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // a stream-stream join runs 4 state-store instances per shuffle
+    // partition; their per-batch commit cost, not the data, dominates a
+    // bounded drain. Size the partition count to the state volume for the
+    // drain (production tracks data rate via the session conf), restore
+    // after.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = joined.writeStream
+        .format("memory").queryName(name)
+        // join state checkpoints are the dominant cost of this entry — keep
+        // them on the tmpfs scratch, not disk-backed java.io.tmpdir
+        .option("checkpointLocation", graft.TempDirs.create(s"$name-ckpt"))
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     spark.table(name)
   }
 
