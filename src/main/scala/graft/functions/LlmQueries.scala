@@ -175,11 +175,13 @@ object LlmQueries {
   /** Language-ID + composite quality score (oracle-checked — both are pure
     * column arithmetic, mirrored in DuckDB SQL; the fingerprint stays in t3
     * because xxhash64 has no DuckDB equivalent). */
-  def textQuality(spark: SparkSession, dir: String): DataFrame =
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(spark)
     Tables.documents(spark, dir).select(
       col("doc_id"),
       TextAnalysis.langId(col("text")).as("lang_pred"),
-      TextAnalysis.qualityScore(col("text")).as("quality"))
+      TextAnalysis.qualityScoreNative(col("text")).as("quality"))
+  }
 
   /** IVF with fixed portable centroids (the 8 lowest-id vectors), probe 4
     * cells — pins the full IVF machinery (argmax assign, multi-probe,
@@ -240,9 +242,10 @@ object LlmQueries {
     * md5 order). Every stage is a shuffle on a bounded key (digest,
     * bucket, lang) — the whole pipeline is 100 TB-shaped. */
   def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(spark)
     val docs = Tables.documents(spark, dir)
     val scored = docs
-      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .withColumn("quality", TextAnalysis.qualityScoreNative(col("text")))
       .filter(col("quality") >= 0.5)
     val exact = Dedup.exactDedup(scored)
     val clusters = Dedup.connectedComponents(minhashPortable(spark, dir))

@@ -53,6 +53,14 @@ object TextAnalysis {
     round((lenOk + punctOk + swOk + tokLenOk) / 4.0, 4)
   }
 
+  /** [[qualityScore]] as the native one-pass expression
+    * (graft.functions.expr.TextQuality) — the production path for quality
+    * gating a 100 TB scan; the declarative form above stays the
+    * documented reference, pinned equal in TextAnalysisSpec. Requires
+    * `GraftFunctions.register` / the session extension. */
+  def qualityScoreNative(text: Column): Column =
+    org.apache.spark.sql.functions.call_function("text_quality", text)
+
   /** Language ID over {en,es,de,fr,zh}: CJK character ratio decides zh;
     * otherwise the highest stopword-profile hit rate wins (ties → en).
     * Pure column expressions — a 100 TB scan stays map-only. */

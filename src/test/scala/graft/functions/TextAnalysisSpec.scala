@@ -41,6 +41,31 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(m("bad") <= 0.5)
   }
 
+  test("native text_quality == declarative qualityScore, survives codegen") {
+    graft.GraftFunctions.register(spark)
+    // real corpus + adversarial edges: empty, whitespace-only, all-punct,
+    // CJK, a stopword-heavy string near the 0.05/0.7 ratio boundaries
+    val edges = Seq("", "   ", ".,!?;:", "的 是 在 有 我 他 这 个 们 中",
+      "the a an and of to in is it that for on with as was at by word",
+      "x " * 40, "supercalifragilistic " * 12).toDF("text")
+    val corpus = graft.Tables.documents(spark, TestSpark.sfDir).select("text")
+    Seq(edges, corpus).foreach { df =>
+      val diff = df.select(
+        TextAnalysis.qualityScore($"text").as("ref"),
+        TextAnalysis.qualityScoreNative($"text").as("native"))
+        .filter($"ref" =!= $"native").count()
+      assert(diff == 0, s"$diff rows diverge")
+    }
+    val plan = corpus.select(TextAnalysis.qualityScoreNative($"text"))
+      .queryExecution.executedPlan
+    val covered = plan.exists {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec =>
+        w.toString().contains("text_quality")
+      case _ => false
+    }
+    assert(covered, plan.toString())
+  }
+
   test("fingerprint: stable under distant edits, equal on shared minimal window") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val edited = base + " lambda mu"   // appended tail, same min window likely
