@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions.call_function
-import graft.functions.expr.{CosineSimilarity, LshBuckets, LshBucketsMd5, MinHashAgg, MinHashBands, MinHashSignature, MinHashMd5, NearestCells, Quantize127, ShingleHashes, TextQuality, SigOverlap, SimHashChunks, SimHashMd5, TokenHashes}
+import graft.functions.expr.{CosineSimilarity, LangId, LshBuckets, LshBucketsMd5, MinHashAgg, MinHashBands, MinHashSignature, MinHashMd5, NearestCells, Quantize127, ShingleHashes, TextQuality, SigOverlap, SimHashChunks, SimHashMd5, TokenHashes}
 
 /** Engine extension wiring.
   *
@@ -51,6 +51,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => Quantize127(exprs.head)))
     ext.injectFunction((FunctionIdentifier("text_quality"), TextQuality.info,
       exprs => TextQuality(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("lang_id"), LangId.info,
+      exprs => LangId(exprs.head)))
     ext.injectResolutionRule(session => new MorRelationResolution(session))
   }
 }
@@ -120,6 +122,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("text_quality"), TextQuality.info,
       exprs => TextQuality(exprs.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("lang_id"), LangId.info,
+      exprs => LangId(exprs.head))
   }
 
   /** Column-API form of the native expression. */

@@ -90,12 +90,14 @@ object LlmQueries {
 
   /** Language-ID + quality + fingerprint enrichment (rows-only: heuristic
     * outputs; accuracy asserted in TextAnalysisSpec on real-language text). */
-  def textEnrich(spark: SparkSession, dir: String): DataFrame =
+  def textEnrich(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(spark)
     Tables.documents(spark, dir).select(
       col("doc_id"),
-      TextAnalysis.langId(col("text")).as("lang_pred"),
-      TextAnalysis.qualityScore(col("text")).as("quality"),
+      TextAnalysis.langIdNative(col("text")).as("lang_pred"),
+      TextAnalysis.qualityScoreNative(col("text")).as("quality"),
       TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+  }
 
   /** Brute-force cosine top-10 for query vectors vec_id < 5 (oracle-checked
     * against DuckDB list_cosine_similarity on DOUBLE[]). */
@@ -179,7 +181,7 @@ object LlmQueries {
     graft.GraftFunctions.register(spark)
     Tables.documents(spark, dir).select(
       col("doc_id"),
-      TextAnalysis.langId(col("text")).as("lang_pred"),
+      TextAnalysis.langIdNative(col("text")).as("lang_pred"),
       TextAnalysis.qualityScoreNative(col("text")).as("quality"))
   }
 

@@ -83,6 +83,13 @@ object TextAnalysis {
       .otherwise("en")
   }
 
+  /** [[langId]] as the native one-pass expression
+    * (graft.functions.expr.LangId) — the production path; the declarative
+    * form stays the documented reference, pinned equal in
+    * TextAnalysisSpec. Requires registration. */
+  def langIdNative(text: Column): Column =
+    org.apache.spark.sql.functions.call_function("lang_id", text)
+
   /** 64-bit document fingerprint: min of Rabin-Karp-style rolling hashes of
     * 5-token windows (winnowing's keep-the-min rule collapsed to one value).
     * Deterministic; equal for texts that share their minimal window. */

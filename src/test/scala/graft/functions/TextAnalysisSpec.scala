@@ -41,6 +41,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(m("bad") <= 0.5)
   }
 
+  test("native lang_id == declarative langId on corpus and edge strings") {
+    graft.GraftFunctions.register(spark)
+    val edges = Seq("", "   ", "的是在有我他这个们中和了对就要下",
+      "de la en que un", // es/fr-ambiguous: tie-breaks must match
+      "der die und von als den", "le les et pour sur avec",
+      "the of and to in is").toDF("text")
+    val corpus = graft.Tables.documents(spark, TestSpark.sfDir).select("text")
+    Seq(edges, corpus).foreach { df =>
+      val diff = df.select(TextAnalysis.langId($"text").as("ref"),
+        TextAnalysis.langIdNative($"text").as("native"))
+        .filter($"ref" =!= $"native").count()
+      assert(diff == 0, s"$diff rows diverge")
+    }
+  }
+
   test("native text_quality == declarative qualityScore, survives codegen") {
     graft.GraftFunctions.register(spark)
     // real corpus + adversarial edges: empty, whitespace-only, all-punct,
