@@ -71,6 +71,7 @@ object SparkEntry {
     "s16_mor_datasource"  -> ((s, d) => graft.lake.LakeQueries.datasourceReplay(s, d)),
     "s17_mor_part_incremental" -> ((s, d) => graft.lake.LakeQueries.partitionedIncremental(s, d)),
     "s21_mor_cdc_read"    -> ((s, d) => graft.lake.LakeQueries.cdcRead(s, d)),
+    "s25_part_cdc_read"   -> ((s, d) => graft.lake.LakeQueries.partitionedCdcRead(s, d)),
     "s22_incremental_view" -> ((s, d) => graft.lake.LakeQueries.incrementalView(s, d)),
     "s18_ann_ivf_portable" -> ((s, d) => graft.functions.LlmQueries.annIvfPortable(s, d)),
     "s20_ann_lsh_portable" -> ((s, d) => graft.functions.LlmQueries.annLshPortable(s, d)),
@@ -137,6 +138,43 @@ object SparkEntry {
         |SELECT event_type, count(*)::BIGINT AS n_users,
         |       sum(round(value * 1000000)::BIGINT)::BIGINT AS sum_micros
         |FROM final GROUP BY event_type""".stripMargin,
+    "s25_part_cdc_read" ->
+      """WITH b AS (
+        |  SELECT min(epoch_ns(ts)) + (max(epoch_ns(ts)) - min(epoch_ns(ts))) // 2 AS mid
+        |  FROM events
+        |), e AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |         epoch_ms(ts) AS ts_ms, epoch_ns(ts) AS ts_ns
+        |  FROM events
+        |), lww1 AS (
+        |  SELECT e.* FROM e, b WHERE ts_ns <= mid
+        |  QUALIFY row_number() OVER (PARTITION BY event_type, user_id
+        |    ORDER BY ts_ns DESC, event_id DESC) = 1
+        |), lww2 AS (
+        |  SELECT e.* FROM e, b WHERE ts_ns > mid
+        |  QUALIFY row_number() OVER (PARTITION BY event_type, user_id
+        |    ORDER BY ts_ns DESC, event_id DESC) = 1
+        |), del AS (
+        |  SELECT DISTINCT user_id, event_type FROM e WHERE user_id % 7 = 0
+        |), aft AS (
+        |  SELECT l.* FROM lww2 l
+        |  WHERE NOT EXISTS (SELECT 1 FROM del d
+        |    WHERE d.user_id = l.user_id AND d.event_type = l.event_type)
+        |)
+        |SELECT 'U' AS op, a.user_id, a.event_type, a.event_id, a.value, a.ts_ms,
+        |       l.event_id AS before_event_id, l.value AS before_value,
+        |       l.ts_ms AS before_ts_ms
+        |FROM aft a JOIN lww1 l USING (event_type, user_id)
+        |UNION ALL
+        |SELECT 'I', a.user_id, a.event_type, a.event_id, a.value, a.ts_ms,
+        |       -1::BIGINT, -1.0, -1::BIGINT
+        |FROM aft a WHERE NOT EXISTS (SELECT 1 FROM lww1 l
+        |  WHERE l.user_id = a.user_id AND l.event_type = a.event_type)
+        |UNION ALL
+        |SELECT 'D', l.user_id, l.event_type, -1::BIGINT, -1.0, -1::BIGINT,
+        |       l.event_id, l.value, l.ts_ms
+        |FROM lww1 l WHERE EXISTS (SELECT 1 FROM del d
+        |  WHERE d.user_id = l.user_id AND d.event_type = l.event_type)""".stripMargin,
     "s21_mor_cdc_read" ->
       """WITH b AS (
         |  SELECT min(epoch_ns(ts)) + (max(epoch_ns(ts)) - min(epoch_ns(ts))) // 2 AS mid

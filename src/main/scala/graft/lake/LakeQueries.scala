@@ -118,6 +118,39 @@ object LakeQueries {
         .select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
   }
 
+  /** Partitioned CDC read, oracle-checked: the [[cdcRead]] scenario on the
+    * PARTITIONED lake form (partition = event_type, key = user_id within
+    * partition, table-global tokens): two time-split upsert commits, then
+    * a keyed delete of every (user_id % 7 == 0, event_type) pair.
+    * `readChangelog(1)` must classify per (partition, key) exactly as the
+    * direct SQL recompute does. */
+  def partitionedCdcRead(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "value", "ts_ms", "ts_ns")
+    val bounds = ev.agg(min(col("ts_ns")).as("mn"), max(col("ts_ns")).as("mx")).head()
+    val mn = bounds.getLong(0); val mx = bounds.getLong(1)
+    val mid = mn + (mx - mn) / 2
+    val path = tempPath("mor-pcdc")
+    val t = new PartitionedMorTable(spark, path,
+      keyCols = Seq("user_id"), partitionCol = "event_type",
+      compactionDeltaCommits = 1000, autoCompact = false)
+    t.upsert(ev.filter(col("ts_ns") <= mid),
+      orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 1L)
+    t.upsert(ev.filter(col("ts_ns") > mid),
+      orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 2L)
+    t.delete(ev.select("user_id", "event_type").distinct()
+      .filter(col("user_id") % 7 === 0), batchId = 3L)
+    graft.TempDirs.materializeAndDelete(
+      t.readChangelog(1L).select(
+        col("op"), col("user_id"), col("event_type"),
+        coalesce(col("event_id"), lit(-1L)).as("event_id"),
+        coalesce(col("value"), lit(-1.0)).as("value"),
+        coalesce(col("ts_ms"), lit(-1L)).as("ts_ms"),
+        coalesce(col("before_event_id"), lit(-1L)).as("before_event_id"),
+        coalesce(col("before_value"), lit(-1.0)).as("before_value"),
+        coalesce(col("before_ts_ms"), lit(-1L)).as("before_ts_ms")), path)
+  }
+
   /** The DataSource surface end-to-end, oracle-checked: replay events as
     * two time-split `df.write.format("graft.mor")` appends (append = keyed
     * upsert) and read the snapshot back via

@@ -210,6 +210,56 @@ final class PartitionedMorTable(
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** CDC read across partitions ([[MorTable.readChangelog]] in the
+    * parent's table-global token space): net I/U/D per (partition, key)
+    * for tokens in (fromToken, toToken], with `before_<col>` images from
+    * the state as of `fromToken`. Same shape as the unpartitioned form —
+    * one window over the range's rows, before-state LWW semi-joined to
+    * touched keys — with partition pruning via `values`. Before-images
+    * predating the last `clean()` are unavailable (same contract as time
+    * travel). */
+  def readChangelog(fromToken: Long, toToken: Long = Long.MaxValue,
+                    values: Seq[String] = Seq.empty): DataFrame = {
+    val sel = if (values.nonEmpty) values else partitions()
+    require(sel.nonEmpty, s"PartitionedMorTable at $path has no partitions")
+    val parts = sel.flatMap { v =>
+      val c = child(v)
+      c.timeline().filter(_.kind == "delta")
+        .map(i => spark.read.parquet(s"${c.path}/delta/${i.seq}"))
+        .reduceOption(_.unionByName(_, allowMissingColumns = true))
+    }
+    require(parts.nonEmpty, s"PartitionedMorTable at $path has no delta commits")
+    val deltas = parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(partitionCol), col("_record_key"))
+      .orderBy(col("_commit_seqno").desc)
+    def lww(df: DataFrame) = df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val net = lww(deltas.filter(col("_commit_seqno") > fromToken &&
+      col("_commit_seqno") <= toToken))
+    val dataCols = read(sel).schema.fieldNames.toSeq
+    val touched = net.select(col(partitionCol).as("__p"),
+      col("_record_key").as("__k")).distinct()
+    val before = lww(deltas.filter(col("_commit_seqno") <= fromToken))
+      .filter(!col("_deleted"))
+      .join(touched, col(partitionCol) === col("__p") &&
+        col("_record_key") === col("__k"), "left_semi")
+    val bCols = Seq(col(partitionCol).as("__bp"), col("_record_key").as("__bk"),
+      lit(true).as("_before_present")) ++
+      dataCols.map(c => col(c).as(s"before_$c"))
+    val joined = net.join(before.select(bCols: _*),
+      col(partitionCol) === col("__bp") && col("_record_key") === col("__bk"),
+      "left_outer")
+      .withColumn("_before_present", coalesce(col("_before_present"), lit(false)))
+      .withColumn("op",
+        when(col("_deleted"),
+          when(col("_before_present"), lit("D")).otherwise(lit(null)))
+          .otherwise(when(col("_before_present"), lit("U")).otherwise(lit("I"))))
+      .filter(col("op").isNotNull)
+    joined.select(col("op") +: (dataCols.map(col) ++
+      dataCols.map(c => col(s"before_$c"))): _*)
+  }
+
   /** Trigger the num_or_time compaction check on every partition; only
     * children whose own timeline is due actually compact — and all due
     * partitions compact in ONE cluster job (union of their snapshot merges,

@@ -67,6 +67,29 @@ class PartitionedMorTableSpec extends AnyFunSuite {
     }
   }
 
+  test("readChangelog: token-space I/U/D with before images across partitions") {
+    val t = new PartitionedMorTable(spark, tmp(), Seq("k"), "p",
+      compactionDeltaCommits = 100, autoCompact = false)
+    t.upsert(Seq((1L, "a", 10), (2L, "b", 20), (3L, "b", 30)).toDF("k", "p", "v"),
+      Seq(col("k")), batchId = 1L)                       // token 1
+    t.upsert(Seq((1L, "a", 11), (4L, "a", 40)).toDF("k", "p", "v"),
+      Seq(col("k")), batchId = 2L)                       // token 2: U + I
+    t.delete(Seq((3L, "b")).toDF("k", "p"), batchId = 3L) // token 3: D
+    val rows = t.readChangelog(1L).collect()
+      .map(r => r.getAs[Long]("k") -> r).toMap
+    assert(rows.keySet == Set(1L, 4L, 3L))
+    assert(rows(1L).getAs[String]("op") == "U" &&
+      rows(1L).getAs[Int]("v") == 11 && rows(1L).getAs[Int]("before_v") == 10)
+    assert(rows(4L).getAs[String]("op") == "I" &&
+      rows(4L).getAs[Any]("before_v") == null)
+    assert(rows(3L).getAs[String]("op") == "D" &&
+      rows(3L).getAs[Int]("before_v") == 30 &&
+      rows(3L).getAs[String]("before_p") == "b")
+    // pruned to partition b: only the delete is visible
+    val bOnly = t.readChangelog(1L, values = Seq("b")).collect()
+    assert(bOnly.map(_.getAs[String]("op")).toSeq == Seq("D"))
+  }
+
   test("deletes tombstone within their partition only") {
     val t = new PartitionedMorTable(spark, tmp(), Seq("k"), "p")
     t.upsert(Seq((1L, "a", 1), (1L, "b", 2)).toDF("k", "p", "v"),
