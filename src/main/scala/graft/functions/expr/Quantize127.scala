@@ -15,7 +15,7 @@ import org.apache.spark.sql.types._
   *
   * Why native: the declarative form needs the scalar max inside the
   * per-element lambda, and CollapseProject re-inlines it — an O(dim²)
-  * array_max per row (the CLAUDE.md precomputed-array trap). Here max
+  * array_max per row (the CollapseProject precomputed-array trap). Here max
   * and quantize are one loop pair per row inside codegen. At 100 TB,
   * int8 + one float per vector is the difference between shipping 4·dim
   * bytes and dim+8 — quantize at ingest, dequantize (q_i·scale/127) only

@@ -13,7 +13,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * Why native: the declarative form tokenizes the text three times
   * (count, stopword filter, non-space length) and runs the stopword check
   * as an interpreted `filter`/`array_contains` higher-order fold — the
-  * exact hot-per-row-loop shape CLAUDE.md's rule sends to
+  * exact hot-per-row-loop shape this repo's build rule sends to
   * `graft.functions.expr`. On a 100 TB text scan the quality gate IS the
   * scan, so it must stay inside WholeStageCodegen.
   *
