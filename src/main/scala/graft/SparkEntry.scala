@@ -83,6 +83,7 @@ object SparkEntry {
     "t9_sequence_pack"    -> ((s, d) => graft.functions.LlmQueries.sequencePack(s, d)),
     "s23_embed_quant"     -> ((s, d) => graft.functions.LlmQueries.embedQuantize(s, d)),
     "s24_ann_quantized"   -> ((s, d) => graft.functions.LlmQueries.annQuantized(s, d)),
+    "s26_label_centroids" -> ((s, d) => graft.functions.LlmQueries.labelCentroids(s, d)),
     "r30_stream_join"     -> ((s, d) => graft.streaming.StreamingQueries.streamJoin(s, d)),
     "d10_stream_dedup"    -> ((s, d) => graft.streaming.StreamingQueries.streamDedup(s, d)),
     "r20_semi_join"       -> ((s, d) => RelationalOps.semiJoin(s, d)),
@@ -250,6 +251,11 @@ object SparkEntry {
         |       min(('0x' || substr(md5(e.s || '#' || r.i::VARCHAR), 1, 8))::BIGINT) AS h
         |FROM e CROSS JOIN range(0, 16) r(i)
         |GROUP BY e.source, r.i""".stripMargin,
+    "s26_label_centroids" ->
+      """SELECT label, r.i,
+        |       round(avg(embedding[r.i + 1]::DOUBLE), 6) AS m
+        |FROM embeddings CROSS JOIN range(0, 64) r(i)
+        |GROUP BY label, r.i""".stripMargin,
     "s24_ann_quantized" ->
       """WITH m AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,

@@ -219,6 +219,16 @@ object LlmQueries {
         col("scale"))
   }
 
+  /** Per-label mean embedding (class centroids): map-side posexplode
+    * collapses into the partial average immediately, so the shuffle moves
+    * one (label, component) row per task — grouped vector aggregation
+    * with no row blow-up through the exchange. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy("label", "pos").agg(round(avg(col("col")), 6).as("m"))
+      .select(col("label"), col("pos").cast("long").as("i"), col("m"))
+
   /** ANN over the int8-quantized corpus (see Similarity.quantizedBruteTopK)
     * — quantize at ingest, search the compressed vectors. */
   def annQuantized(spark: SparkSession, dir: String): DataFrame = {
