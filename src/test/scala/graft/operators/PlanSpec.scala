@@ -87,6 +87,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("sequence packing windows per bucket — never a single-partition global window") {
+    val p = plan(graft.functions.LlmQueries.sequencePack(spark, dir))
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("label centroids aggregate partial+final (no row blow-up through the exchange)") {
+    val p = plan(graft.functions.LlmQueries.labelCentroids(spark, dir))
+    assert(p.contains("partial_avg"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("portable ANN twins keep the production plan shapes (no nested-loop joins)") {
     val emb = graft.Tables.embeddings(spark, dir)
     // s18: assign is a projection, candidates an equi-join on cell_id
