@@ -150,6 +150,41 @@ final class PartitionedMorTable(
     ()
   }
 
+  /** Apply one changelog micro-batch (the op/before/after/seq envelope of
+    * graft.sources.ChangelogSource) as ONE staged partitioned commit:
+    * I/U rows become upserts, D rows tombstones (before-image keys), mixed
+    * in the same `partitionBy` cluster write — so a micro-batch is
+    * exactly-once atomic per child through the same rename+instant
+    * adoption as [[upsert]]. The partition of each row comes from its own
+    * image's `partitionCol`, so the streaming CDC pipeline lands rows in
+    * per-partition children with zero extra jobs. */
+  def applyChangelog(envelope: DataFrame, batchId: Long = -1L): PartitionedMorTable = {
+    if (isCommitted(batchId)) return this // replayed micro-batch — no-op
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("seq").desc)
+    val last = envelope.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    val rows = last.select(
+      when(col("op") === "D", col("before")).otherwise(col("after")).as("__r"),
+      (col("op") === "D").as("__del"))
+      .select(col("__r.*"), col("__del"))
+    val token = nextToken()
+    val now = System.currentTimeMillis()
+    val staged = rows
+      .withColumn("_record_key",
+        concat_ws("|", keyCols.map(c => col(c).cast("string")): _*))
+      .withColumnRenamed("__del", "_deleted")
+      .withColumn("_commit_seqno", lit(token))
+      .withColumn("_commit_time", lit(MorTable.commitTimeString(now)))
+      .withColumn("__p", col(partitionCol).cast("string"))
+    val stagingDir = new Path(hPath, s".staging/$token")
+    staged.write.partitionBy("__p").mode("overwrite").parquet(stagingDir.toString)
+    adoptStaged(stagingDir, batchId)
+    writeParentInstant(MorTable.Instant(token, "delta", batchId, now))
+    if (autoCompact) { maybeCompact(); () }
+    this
+  }
+
   /** Tombstone deletes (keys must carry partitionCol): the same ONE staged
     * `partitionBy` cluster write + metadata-only adoption per touched
     * partition as [[upsert]] — not a driver-side loop of per-partition

@@ -46,6 +46,22 @@ object StreamingOps {
       }
       .start()
 
+  /** [[streamChangelogToMor]] for the PARTITIONED lake form: each
+    * micro-batch lands as one staged cluster write + per-partition
+    * metadata adoption (PartitionedMorTable.applyChangelog), same
+    * batchId exactly-once. */
+  def streamChangelogToPartitionedMor(changelog: DataFrame,
+                                      table: graft.lake.PartitionedMorTable,
+                                      checkpointDir: String,
+                                      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    changelog.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        table.applyChangelog(batch, batchId): Unit
+      }
+      .start()
+
   /** Watermarked tumbling-window aggregate (event time, 1h windows, late
     * data beyond `lateness` dropped once the watermark passes). Works on a
     * streaming or batch DataFrame with a TimestampType `ts`. */

@@ -39,6 +39,29 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(table.timeline().count(_.kind == "delta") == 2)
   }
 
+  test("changelog stream → PARTITIONED sink: rows land per partition, delete propagates") {
+    val watch = TestSpark.tmpDir("pcl-watch")
+    val log = ChangelogSource.fromOps(
+      Seq(("I", 1.0, "a", "Ann", 1L), ("I", 2.0, "b", "Bob", 2L),
+        ("U", 1.0, "a", "Annette", 3L), ("D", 2.0, "b", "Bob", 4L))
+        .toDF("op", "id", "region", "full_name", "seq"), Seq("id"))
+    log.filter($"seq" <= 2).write.parquet(s"$watch/seg1")
+    log.filter($"seq" > 2).write.parquet(s"$watch/seg2")
+    val table = new graft.lake.PartitionedMorTable(spark, TestSpark.tmpDir("pcl-mor"),
+      keyCols = Seq("id"), partitionCol = "region", compactionDeltaCommits = 100,
+      autoCompact = false)
+    val q = StreamingOps.streamChangelogToPartitionedMor(
+      StreamingOps.changelogStream(spark, s"$watch/*/", log),
+      table, TestSpark.tmpDir("pcl-ckpt"))
+    q.awaitTermination(120000)
+    val m = table.read().collect()
+      .map(r => r.getAs[Double]("id") -> r.getAs[String]("full_name")).toMap
+    assert(m == Map(1.0 -> "Annette"), m.toString) // Bob deleted in batch 2
+    assert(table.partitions().toSet == Set("a", "b"), "both children materialized")
+    // one micro-batch == one parent token; replay of a committed batch no-ops
+    assert(table.parentTimeline().count(_.kind == "delta") == 2)
+  }
+
   test("T2 restart recovery: same checkpoint resumes, no duplicate commits") {
     val watch = TestSpark.tmpDir("t2-watch")
     val ckpt = TestSpark.tmpDir("t2-ckpt")
