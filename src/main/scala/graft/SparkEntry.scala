@@ -72,6 +72,7 @@ object SparkEntry {
     "s17_mor_part_incremental" -> ((s, d) => graft.lake.LakeQueries.partitionedIncremental(s, d)),
     "s21_mor_cdc_read"    -> ((s, d) => graft.lake.LakeQueries.cdcRead(s, d)),
     "s25_part_cdc_read"   -> ((s, d) => graft.lake.LakeQueries.partitionedCdcRead(s, d)),
+    "s27_row_level_ops"   -> ((s, d) => graft.lake.LakeQueries.rowLevelOps(s, d)),
     "s22_incremental_view" -> ((s, d) => graft.lake.LakeQueries.incrementalView(s, d)),
     "s18_ann_ivf_portable" -> ((s, d) => graft.functions.LlmQueries.annIvfPortable(s, d)),
     "s20_ann_lsh_portable" -> ((s, d) => graft.functions.LlmQueries.annLshPortable(s, d)),
@@ -139,6 +140,18 @@ object SparkEntry {
         |SELECT event_type, count(*)::BIGINT AS n_users,
         |       sum(round(value * 1000000)::BIGINT)::BIGINT AS sum_micros
         |FROM final GROUP BY event_type""".stripMargin,
+    "s27_row_level_ops" ->
+      """WITH lww AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
+        |  FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) = 1
+        |)
+        |SELECT user_id, event_id, event_type,
+        |       CASE WHEN event_type = 'error' THEN value + 1000.0
+        |            ELSE value END AS value,
+        |       ts_ms
+        |FROM lww WHERE event_type <> 'click'""".stripMargin,
     "s25_part_cdc_read" ->
       """WITH b AS (
         |  SELECT min(epoch_ns(ts)) + (max(epoch_ns(ts)) - min(epoch_ns(ts))) // 2 AS mid

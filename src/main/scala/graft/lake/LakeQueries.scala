@@ -245,6 +245,24 @@ object LakeQueries {
     graft.TempDirs.materializeAndDelete(view, path)
   }
 
+  /** Predicate row-level ops, oracle-checked: materialize the LWW events
+    * table, then `UPDATE … WHERE` (errors get value + 1000) and
+    * `DELETE … WHERE` (clicks removed) through the engine's predicate
+    * paths — the MERGE INTO surface a lake user expects, checked against
+    * the direct SQL rewrite of the final state. */
+  def rowLevelOps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "value", "ts_ms", "ts_ns")
+    val path = tempPath("mor-rowops")
+    val t = MorTable(spark, path, keyCols = Seq("user_id"), compactionDeltaCommits = 1000)
+    t.upsert(ev, orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 1L)
+    t.updateWhere(col("event_type") === "error",
+      Map("value" -> (col("value") + 1000.0)), batchId = 2L)
+    t.deleteWhere(col("event_type") === "click", batchId = 3L)
+    graft.TempDirs.materializeAndDelete(
+      t.read().select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
+  }
+
   /** The reference's Flink-SQL write surface, end-to-end IN SQL: DROP
     * TABLE IF EXISTS (S5), CREATE TABLE … USING graft.mor AS SELECT
     * (CTAS through CreatableRelationProvider), INSERT INTO … SELECT

@@ -261,6 +261,25 @@ final class MorTable(
     this
   }
 
+  /** Predicate delete (the `DELETE FROM t WHERE …` analog): one snapshot
+    * read resolves the matching keys, then tombstones them — predicate
+    * cost is a scan (pushed to parquet like any filter), the commit is
+    * O(matches). */
+  def deleteWhere(cond: Column, batchId: Long = -1L): MorTable =
+    delete(read().filter(cond).select(keyCols.map(col): _*), batchId)
+
+  /** Predicate update (the `MERGE INTO … WHEN MATCHED UPDATE` / SQL
+    * `UPDATE t SET … WHERE …` analog): rewrite the matching rows' images
+    * and upsert them — last-write-wins replaces in place, commit is
+    * O(matches). `set` columns may reference the existing row. */
+  def updateWhere(cond: Column, set: Map[String, Column],
+                  batchId: Long = -1L): MorTable = {
+    val updated = set.foldLeft(read().filter(cond)) {
+      case (df, (c, e)) => df.withColumn(c, e)
+    }
+    upsert(updated, keyCols.map(col), batchId)
+  }
+
   private def dedupBatch(batch: DataFrame, order: Seq[Column]): DataFrame = {
     if (order.isEmpty) batch
     else {

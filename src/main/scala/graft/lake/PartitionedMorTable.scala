@@ -150,6 +150,28 @@ final class PartitionedMorTable(
     ()
   }
 
+  /** Predicate delete across partitions (`DELETE FROM t WHERE …`):
+    * resolve matching (partition, key) pairs with one (optionally pruned)
+    * read, then tombstone them through the one-job staged path. */
+  def deleteWhere(cond: Column, batchId: Long = -1L,
+                  values: Seq[String] = Seq.empty): PartitionedMorTable =
+    delete(read(values).filter(cond)
+      .select((partitionCol +: keyCols).map(col): _*), batchId)
+
+  /** Predicate update across partitions (the MERGE-update analog):
+    * rewrite matching images, upsert through the one-job staged path.
+    * Updating `partitionCol` itself is refused — a key never moves
+    * partitions (the global PK includes the partition). */
+  def updateWhere(cond: Column, set: Map[String, Column], batchId: Long = -1L,
+                  values: Seq[String] = Seq.empty): PartitionedMorTable = {
+    require(!set.contains(partitionCol),
+      s"updateWhere cannot move rows across partitions ($partitionCol is part of the PK)")
+    val updated = set.foldLeft(read(values).filter(cond)) {
+      case (df, (c, e)) => df.withColumn(c, e)
+    }
+    upsert(updated, keyCols.map(col), batchId)
+  }
+
   /** Apply one changelog micro-batch (the op/before/after/seq envelope of
     * graft.sources.ChangelogSource) as ONE staged partitioned commit:
     * I/U rows become upserts, D rows tombstones (before-image keys), mixed

@@ -125,6 +125,20 @@ class MorTableSpec extends AnyFunSuite {
     assert(t.readAt(3).count() == 7)   // == read()
   }
 
+  test("deleteWhere / updateWhere: predicate row-level ops (MERGE analogs)") {
+    val t = MorTable(spark, TestSpark.tmpDir("mor-rowops"), Seq("uuid"),
+      compactionDeltaCommits = 100)
+    t.upsert(t1Rows, Seq(col("ts")))
+    t.updateWhere($"age" >= 50, Map("name" -> concat($"name", lit(" Sr."))))
+    val names = t.read().collect()
+      .map(r => r.getAs[String]("uuid") -> r.getAs[String]("name")).toMap
+    assert(names("id3") == "Julian Sr." && names("id8") == "Han Sr.")
+    assert(names("id1") == "Danny", "unmatched rows untouched")
+    t.deleteWhere($"age" < 21)
+    assert(t.read().collect().map(_.getAs[String]("uuid")).toSet ==
+      Set("id1", "id2", "id3", "id4", "id7", "id8")) // Sophia(18), Emma(20) gone
+  }
+
   test("readChangelog classifies net I/U/D with both images; insert+delete nets out") {
     val t = MorTable(spark, TestSpark.tmpDir("mor-cdc"), Seq("uuid"),
       compactionDeltaCommits = 100)

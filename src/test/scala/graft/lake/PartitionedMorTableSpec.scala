@@ -67,6 +67,21 @@ class PartitionedMorTableSpec extends AnyFunSuite {
     }
   }
 
+  test("predicate row-level ops stay one staged job; partition moves refused") {
+    val t = new PartitionedMorTable(spark, tmp(), Seq("k"), "p",
+      compactionDeltaCommits = 100, autoCompact = false)
+    t.upsert(Seq((1L, "a", 10), (2L, "a", 20), (3L, "b", 30)).toDF("k", "p", "v"),
+      Seq(col("k")), batchId = 1L)
+    t.updateWhere(col("v") >= 20, Map("v" -> (col("v") + 1)), batchId = 2L)
+    assert(t.read().collect().map(r => r.getLong(0) -> r.getInt(2)).toMap ==
+      Map(1L -> 10, 2L -> 21, 3L -> 31))
+    t.deleteWhere(col("v") === 21, batchId = 3L)
+    assert(t.read().collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    intercept[IllegalArgumentException] {
+      t.updateWhere(col("v") > 0, Map("p" -> org.apache.spark.sql.functions.lit("c")))
+    }
+  }
+
   test("readChangelog: token-space I/U/D with before images across partitions") {
     val t = new PartitionedMorTable(spark, tmp(), Seq("k"), "p",
       compactionDeltaCommits = 100, autoCompact = false)
