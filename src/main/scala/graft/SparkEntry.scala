@@ -85,6 +85,7 @@ object SparkEntry {
     "s23_embed_quant"     -> ((s, d) => graft.functions.LlmQueries.embedQuantize(s, d)),
     "s24_ann_quantized"   -> ((s, d) => graft.functions.LlmQueries.annQuantized(s, d)),
     "s26_label_centroids" -> ((s, d) => graft.functions.LlmQueries.labelCentroids(s, d)),
+    "t10_repetition"      -> ((s, d) => graft.functions.LlmQueries.repetitionRatio(s, d)),
     "r30_stream_join"     -> ((s, d) => graft.streaming.StreamingQueries.streamJoin(s, d)),
     "d10_stream_dedup"    -> ((s, d) => graft.streaming.StreamingQueries.streamDedup(s, d)),
     "r20_semi_join"       -> ((s, d) => RelationalOps.semiJoin(s, d)),
@@ -264,6 +265,23 @@ object SparkEntry {
         |       min(('0x' || substr(md5(e.s || '#' || r.i::VARCHAR), 1, 8))::BIGINT) AS h
         |FROM e CROSS JOIN range(0, 16) r(i)
         |GROUP BY e.source, r.i""".stripMargin,
+    "t10_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                     x -> x <> '') AS words
+        |  FROM documents
+        |), t AS (
+        |  SELECT doc_id, CASE WHEN len(words) >= 3 THEN
+        |      list_transform(range(1, len(words) - 1),
+        |        i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+        |    ELSE [array_to_string(words, ' ')] END AS sh
+        |  FROM w
+        |)
+        |SELECT doc_id,
+        |       round(1.0 - len(list_distinct(sh))::DOUBLE
+        |             / greatest(len(sh), 1), 6) AS rep_ratio
+        |FROM t""".stripMargin,
     "s26_label_centroids" ->
       """SELECT label, r.i,
         |       round(avg(embedding[r.i + 1]::DOUBLE), 6) AS m

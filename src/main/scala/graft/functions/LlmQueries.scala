@@ -219,6 +219,23 @@ object LlmQueries {
         col("scale"))
   }
 
+  /** Intra-document repetition ratio (the Gopher/MassiveText-style
+    * repetition filter): 1 − distinct/total word-3-shingles. The
+    * denominator derives from the token count (|tokens| − 2), so the
+    * shingle array is consumed exactly ONCE (array_distinct) — the
+    * CollapseProject re-inlining trap this repo's rules call out. */
+  def repetitionRatio(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokens(lower(col("text")))
+    val sh = when(size(toks) >= 3,
+      transform(sequence(lit(0), size(toks) - 3),
+        i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
+      .otherwise(array(concat_ws(" ", toks)))
+    val nSh = when(size(toks) >= 3, size(toks) - lit(2)).otherwise(lit(1))
+    Tables.documents(spark, dir).select(col("doc_id"),
+      round(lit(1.0) - size(array_distinct(sh)).cast("double") /
+        greatest(nSh, lit(1)), 6).as("rep_ratio"))
+  }
+
   /** Per-label mean embedding (class centroids): map-side posexplode
     * collapses into the partial average immediately, so the shuffle moves
     * one (label, component) row per task — grouped vector aggregation
