@@ -11,15 +11,22 @@ import java.nio.charset.StandardCharsets
   * and `:2234`: keyed upsert, delta commits, num_or_time compaction,
   * snapshot read = base ⟕ uncompacted logs per `:421`).
   *
-  * On-disk layout (all paths via Hadoop FileSystem, so the same code runs on
-  * HDFS/S3A on a real cluster):
+  * On-disk layout (all paths via Hadoop FileSystem):
   * {{{
-  *   <path>/timeline/<seq>.<type>.json   commit metadata (atomic rename —
-  *                                       a commit is visible iff its timeline
-  *                                       file exists; data files land first)
+  *   <path>/timeline/<seq>.<type>.json   commit metadata (a commit is visible
+  *                                       iff its timeline file exists; data
+  *                                       files land first)
   *   <path>/delta/<seq>/part-…parquet        one delta commit (upserts + deletes)
   *   <path>/base/<seq>/part-…parquet         compacted snapshot as of <seq>
   * }}}
+  *
+  * Commit visibility and multi-writer OCC rely on two FS primitives:
+  * atomic rename (instant publish) and atomic exclusive create (seq
+  * claim, [[MorTable.allocateSeq]]). Both hold on HDFS-class filesystems
+  * and the local FS. Plain S3A provides NEITHER (rename is copy+delete;
+  * create-no-overwrite is exists-then-create), so on object stores
+  * without conditional writes a single writer per table — or an external
+  * lock provider, as Hudi documents for its S3 OCC — is required.
   *
   * Every stored row carries the lake metadata columns (the `_hoodie_*` analog,
   * reference `lib/rds-cdc-flink-hudi-stack.ts:470-489`):
@@ -91,44 +98,21 @@ final class MorTable(
 
   private def lastSeq(tl: Seq[Instant]): Long = tl.lastOption.map(_.seq).getOrElse(0L)
 
-  /** Multi-writer seq allocation (the Hudi inflight/OCC analog): claim the
-    * next commit seq by EXCLUSIVE-creating `timeline/<seq>.<kind>.inflight`
-    * before any data is written. Two writers racing to the same seq cannot
-    * both win the O_EXCL create — the loser re-lists (inflight markers
-    * count as taken, so it allocates PAST the winner) and retries; with the
-    * old `lastSeq+1` scheme both wrote `delta/<seq>` and the second rename
-    * silently replaced the first's instant, a lost update with no error.
-    * A marker orphaned by a crash just leaves a gap in the seq space
-    * (readers only parse `*.json`); it never wedges the table. */
-  private def allocateSeq(kind: String): Long = {
+  /** Claim this table's next commit seq (see [[MorTable.allocateSeq]]). */
+  private def allocateSeq(kind: String): Long =
+    MorTable.allocateSeq(fs, new Path(hPath, "timeline"), kind)
+
+  /** Delta seqs currently claimed but unpublished (inflight markers). */
+  private def inflightDeltaSeqs(): Set[Long] = {
     val dir = new Path(hPath, "timeline")
-    fs.mkdirs(dir)
-    var attempt = 0
-    while (true) {
-      val names = fs.listStatus(dir).toSeq.map(_.getPath.getName)
-      val taken = names.flatMap(_.takeWhile(_ != '.') match {
+    val names =
+      try fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      catch { case _: java.io.FileNotFoundException => return Set.empty }
+    names.filter(_.endsWith(".delta.inflight"))
+      .flatMap(_.takeWhile(_ != '.') match {
         case s if s.nonEmpty && s.forall(_.isDigit) => Some(s.toLong)
         case _ => None
-      })
-      val seq = taken.foldLeft(0L)(math.max) + 1
-      val marker = new Path(dir, s"$seq.$kind.inflight")
-      try {
-        if (fs.getScheme == "file")
-          // java.nio createFile is O_EXCL-atomic; Hadoop's create(…, false)
-          // on the local FS is exists-then-create (a TOCTOU window)
-          java.nio.file.Files.createFile(java.nio.file.Paths.get(marker.toUri.getPath))
-        else {
-          val out = fs.create(marker, false); out.close()
-        }
-        return seq
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException | _: java.io.IOException =>
-          attempt += 1
-          if (attempt > 50) throw new java.io.IOException(
-            s"seq allocation lost ${attempt} races at $dir — writer storm?")
-      }
-    }
-    0L // unreachable
+      }).toSet
   }
 
   /** Publish the committed instant claimed by [[allocateSeq]] and release
@@ -151,6 +135,11 @@ final class MorTable(
     fs.mkdirs(dir)
     val tmp = new Path(dir, s".${instantFileName(i)}.tmp")
     val dst = new Path(dir, instantFileName(i))
+    // OCC allocation makes a same-seq publish impossible; if one happens
+    // anyway (bypassed allocation), fail loudly rather than silently
+    // replacing a committed instant (local-FS rename overwrites)
+    if (fs.exists(dst)) throw new java.io.IOException(
+      s"instant already published — refusing to overwrite committed $dst")
     val out = fs.create(tmp, true)
     try out.write(i.toJson.getBytes(StandardCharsets.UTF_8)) finally out.close()
     if (!fs.rename(tmp, dst)) throw new java.io.IOException(s"commit rename failed: $dst")
@@ -224,14 +213,29 @@ final class MorTable(
   }
 
   /** Adopt an already-written compacted base directory (see adoptDelta):
-    * one rename + one `compact` timeline instant, no Spark job. The staged
-    * content must be this table's full snapshot as of its current timeline. */
-  private[lake] def adoptBase(src: Path): Unit = synchronized {
+    * one rename + one `compact` timeline instant, no Spark job.
+    *
+    * `foldedDeltaSeqs` = the delta seqs whose content IS in the staged
+    * snapshot (from [[prepareCompact]]). Every other delta seq below the
+    * new base's seq — inflight markers, and commits published after the
+    * snapshot was staged — is recorded on the instant as `unfolded`, so
+    * snapshot reads replay it once it publishes instead of permanently
+    * shadowing a slow concurrent writer's commit. */
+  private[lake] def adoptBase(src: Path, foldedDeltaSeqs: Set[Long]): Unit = synchronized {
     val seq = allocateSeq("compact")
+    val tl = timeline()
+    val lastC = tl.filter(_.kind == "compact").lastOption
+    val candidates =
+      (tl.filter(_.kind == "delta").map(_.seq) ++ inflightDeltaSeqs()).distinct
+    val unfolded = candidates.filter(_ < seq).filterNot(foldedDeltaSeqs).filter { s =>
+      // below the previous compact, only its own unfolded set is still
+      // outstanding — everything else is in the ancestor base already
+      lastC.forall(c => s > c.seq || c.unfolded.contains(s))
+    }.sorted
     val dst = new Path(hPath, s"base/$seq")
     fs.mkdirs(dst.getParent)
     if (!fs.rename(src, dst)) throw new java.io.IOException(s"base adopt rename failed: $dst")
-    publishInstant(Instant(seq, "compact", -1L, System.currentTimeMillis()))
+    publishInstant(Instant(seq, "compact", -1L, System.currentTimeMillis(), unfolded))
   }
 
   /** Apply one changelog micro-batch (envelope: op/key/before/after/seq —
@@ -329,26 +333,48 @@ final class MorTable(
   def snapshotExcludingBatch(batchId: Long): DataFrame =
     snapshotOf(timeline().filter(_.batchId != batchId))
 
-  private def snapshotOf(tl: Seq[Instant]): DataFrame = {
+  /** Live deltas for a snapshot over `tl`: newer than the last compact,
+    * PLUS published stragglers the compact recorded as unfolded (claimed
+    * but unpublished when its base was staged — see [[Instant.unfolded]]). */
+  private def liveDeltas(tl: Seq[Instant]): (Option[Instant], Seq[Instant]) = {
+    val lastCompact = tl.filter(_.kind == "compact").lastOption
+    val deltas = tl.filter(i => i.kind == "delta" &&
+      (i.seq > lastCompact.map(_.seq).getOrElse(0L) ||
+        lastCompact.exists(_.unfolded.contains(i.seq))))
+    (lastCompact, deltas)
+  }
+
+  private def snapshotOf(tl: Seq[Instant]): DataFrame =
+    snapshotMerged(tl).filter(!col("_deleted"))
+
+  /** base ⟕ live deltas, LWW by `_commit_seqno` — tombstones RETAINED
+    * (compaction stages through this; readers filter `_deleted` last).
+    * `keyFilter` is applied to every commit scan BEFORE the union, so it
+    * reaches parquet as a pushed filter; sound because LWW per key is
+    * independent of other keys. */
+  private def snapshotMerged(tl: Seq[Instant],
+                             keyFilter: Option[Column] = None): DataFrame = {
     if (tl.isEmpty)
       throw new IllegalStateException(s"MorTable at $path has no commits")
-    val lastCompact = tl.filter(_.kind == "compact").lastOption
-    val deltas = tl.filter(i => i.kind == "delta" && i.seq > lastCompact.map(_.seq).getOrElse(0L))
-    val parts =
+    val (lastCompact, deltas) = liveDeltas(tl)
+    val parts0 =
       lastCompact.map(c => spark.read.parquet(s"$path/base/${c.seq}")).toSeq ++
         deltas.map(d => spark.read.parquet(s"$path/delta/${d.seq}"))
+    val parts = keyFilter match {
+      case Some(f) => parts0.map(_.filter(f))
+      case None => parts0
+    }
     // allowMissingColumns: commits written before a column was added read
     // back with nulls for it (additive schema evolution, as Hudi allows)
     val unioned = parts.reduce(_.unionByName(_, allowMissingColumns = true))
     // single source — base after compaction, or one delta commit — holds at
     // most one row per key (per-commit dedup guarantees it): the merge
     // window is a no-op, skip its shuffle entirely
-    if (parts.size == 1) unioned.filter(!col("_deleted"))
+    if (parts.size == 1) unioned
     else {
       val w = Window.partitionBy(col("_record_key")).orderBy(col("_commit_seqno").desc)
       unioned
         .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
-        .filter(!col("_deleted"))
     }
   }
 
@@ -356,7 +382,9 @@ final class MorTable(
     * of all delta commits with seq > `sinceSeq` — latest image per touched
     * key, tombstones included (`_deleted`=true rows tell the consumer what
     * vanished). Feed a downstream pipeline exactly what changed without
-    * rescanning the table. */
+    * rescanning the table. Caveat (inherent to OCC late publish): a
+    * straggler commit that publishes with a seq BELOW a consumer's
+    * already-advanced `sinceSeq` is not re-delivered. */
   def readIncremental(sinceSeq: Long): DataFrame = {
     val deltas = timeline().filter(i => i.kind == "delta" && i.seq > sinceSeq)
     if (deltas.isEmpty) return snapshot().limit(0)
@@ -421,6 +449,44 @@ final class MorTable(
       dataCols.map(c => col(s"before_$c"))): _*)
   }
 
+  /** The directories a snapshot read of this table must scan, given the
+    * current timeline: (latest base dir if any, live delta dirs). Lets
+    * [[PartitionedMorTable]] assemble ONE multi-directory parquet scan
+    * across all children instead of per-child plan unions — the plan stays
+    * O(1) in partition count. */
+  private[lake] def liveScanDirs(): (Option[String], Seq[String]) = {
+    val (lastCompact, deltas) = liveDeltas(timeline())
+    (lastCompact.map(c => s"$path/base/${c.seq}"),
+      deltas.map(d => s"$path/delta/${d.seq}"))
+  }
+
+  /** All published delta dirs (incremental / CDC range reads scan these
+    * with a row-level `_commit_seqno` filter; parquet min/max stats skip
+    * untouched files). */
+  private[lake] def allDeltaDirs(): Seq[String] =
+    timeline().filter(_.kind == "delta").map(d => s"$path/delta/${d.seq}")
+
+  /** Snapshot restricted to the given record keys: the key predicate hits
+    * EVERY scanned commit before the merge window, so it lands on the
+    * parquet scans as a pushed `In(_record_key, …)` filter — row-group
+    * min/max stats on the key-clustered base skip whole groups, and the
+    * merge shuffle carries only matching rows. Cost is O(candidate keys ∩
+    * table), never a table rescan: this is the point read an incremental
+    * pipeline uses to compare a delta against current sink state
+    * (`recordKeys` is micro-batch sized, collected by the caller). */
+  def snapshotForKeys(recordKeys: Seq[String]): DataFrame = {
+    require(recordKeys.size <= 100000,
+      s"snapshotForKeys got ${recordKeys.size} keys — a literal In() this " +
+        "large bloats the plan; scan-and-join instead")
+    if (recordKeys.isEmpty) snapshot().limit(0)
+    else snapshotMerged(timeline(),
+      Some(col("_record_key").isin(recordKeys: _*))).filter(!col("_deleted"))
+  }
+
+  /** [[snapshotForKeys]] without the lake metadata columns. */
+  def readForKeys(recordKeys: Seq[String]): DataFrame =
+    dropMeta(snapshotForKeys(recordKeys))
+
   /** Snapshot without the lake metadata columns (user-facing read). */
   def read(): DataFrame = dropMeta(snapshot())
 
@@ -457,18 +523,49 @@ final class MorTable(
       deltas.headOption.exists(d => nowMs - d.commitMs >= compactionDeltaSeconds * 1000L)
   }
 
+  /** What a compaction must stage: the merged snapshot DataFrame and the
+    * delta seqs folded into it. Tombstones are DROPPED from the staged
+    * base when no claimed-but-unpublished delta is outstanding (the common
+    * case — today's behavior); while a straggler IS outstanding they are
+    * retained, because the straggler's rows may carry a lower
+    * `_commit_seqno` than a folded delete and must still lose the LWW
+    * merge when replayed (dropping the tombstone would resurrect the key).
+    * The next straggler-free compaction drops them again.
+    *
+    * `forceKeepTombstones`: [[PartitionedMorTable]] passes true while any
+    * PARENT-level commit is inflight — a parent writer stages child data
+    * before any child-level marker exists, so the child listing alone
+    * cannot see it. */
+  private[lake] def prepareCompact(forceKeepTombstones: Boolean = false): MorTable.CompactPrep = {
+    // markers listed BEFORE the timeline read: a delta publishing between
+    // the two shows up in the timeline (→ folded); later claims allocate
+    // past the compact seq and are replayed as ordinary newer deltas
+    val pending = inflightDeltaSeqs()
+    val tl = timeline()
+    val (lastC, replayed) = liveDeltas(tl)
+    val folded = replayed.map(_.seq).toSet
+    val outstanding =
+      (pending ++ lastC.map(_.unfolded).getOrElse(Nil)).toSet -- folded --
+        tl.map(_.seq).toSet
+    val snap = snapshotMerged(tl)
+    val df = if (outstanding.isEmpty && !forceKeepTombstones)
+      snap.filter(!col("_deleted")) else snap
+    MorTable.CompactPrep(df, folded)
+  }
+
   /** Merge base + logs into a new base commit. Readers before the timeline
-    * rename keep seeing the old base+deltas; after it, just the new base. */
+    * rename keep seeing the old base+deltas; after it, just the new base
+    * (plus any late-publishing stragglers recorded as unfolded). */
   def compact(): Unit = synchronized {
-    val seq = allocateSeq("compact")
-    val now = System.currentTimeMillis()
-    val snap = snapshot()
-    val out = if (writePartitions > 0) snap.repartition(writePartitions, col("_record_key")) else snap
+    val prep = prepareCompact()
+    val out = if (writePartitions > 0)
+      prep.df.repartition(writePartitions, col("_record_key")) else prep.df
+    val staging = new Path(hPath, s".staging-compact-${System.nanoTime()}")
     // cluster by key: parquet row-group min/max stats on _record_key let
     // key-equality snapshot reads skip row groups entirely
     out.sortWithinPartitions(col("_record_key"))
-      .write.mode("overwrite").parquet(s"$path/base/$seq")
-    publishInstant(Instant(seq, "compact", -1L, now))
+      .write.mode("overwrite").parquet(staging.toString)
+    adoptBase(staging, prep.foldedDeltaSeqs)
   }
 
   /** Cleaner (the Hudi cleaner + archived-timeline analog): physically
@@ -488,7 +585,9 @@ final class MorTable(
     tl.filter(_.kind == "compact").lastOption match {
       case None => 0
       case Some(c) =>
-        val old = tl.filter(_.seq < c.seq)
+        // an unfolded straggler's content is NOT in the base — its data
+        // and instant must survive the clean so reads keep replaying it
+        val old = tl.filter(i => i.seq < c.seq && !c.unfolded.contains(i.seq))
         val removed = old.map { i =>
           val dir = new Path(hPath, s"${if (i.kind == "compact") "base" else "delta"}/${i.seq}")
           if (fs.exists(dir)) { fs.delete(dir, true); 1 } else 0
@@ -546,10 +645,24 @@ object MorTable {
   private[lake] val timelineLists = new java.util.concurrent.atomic.AtomicLong
   private[lake] val instantReads = new java.util.concurrent.atomic.AtomicLong
 
-  /** One committed instant on the timeline. */
-  final case class Instant(seq: Long, kind: String, batchId: Long, commitMs: Long) {
-    def toJson: String =
-      s"""{"seq":$seq,"kind":"$kind","batchId":$batchId,"commitMs":$commitMs}"""
+  /** A staged compaction: the merged snapshot to write and the delta seqs
+    * whose content it folds (everything else below the base seq becomes
+    * `unfolded` on the compact instant — see [[MorTable.adoptBase]]). */
+  private[lake] final case class CompactPrep(df: DataFrame, foldedDeltaSeqs: Set[Long])
+
+  /** One committed instant on the timeline.
+    *
+    * `unfolded` (compact instants only): delta seqs BELOW this compact's
+    * seq whose content is NOT in its base — commits that were claimed
+    * (inflight marker up) but unpublished when the base was staged. A
+    * snapshot read replays them once they publish, so a compaction racing
+    * a slow writer can never permanently shadow that writer's commit. */
+  final case class Instant(seq: Long, kind: String, batchId: Long, commitMs: Long,
+                           unfolded: Seq[Long] = Nil) {
+    def toJson: String = {
+      val uf = if (unfolded.isEmpty) "" else s""","unfolded":[${unfolded.mkString(",")}]"""
+      s"""{"seq":$seq,"kind":"$kind","batchId":$batchId,"commitMs":$commitMs$uf}"""
+    }
   }
 
   private[lake] def parseInstant(json: String): Instant = {
@@ -558,7 +671,59 @@ object MorTable {
       if (!m.find()) throw new IllegalArgumentException(s"bad timeline json: $json")
       m.group(1).stripPrefix("\"").stripSuffix("\"")
     }
-    Instant(field("seq").toLong, field("kind"), field("batchId").toLong, field("commitMs").toLong)
+    val uf = {
+      val m = java.util.regex.Pattern.compile("\"unfolded\":\\[([0-9,]*)\\]").matcher(json)
+      if (m.find() && m.group(1).nonEmpty) m.group(1).split(',').toSeq.map(_.toLong) else Nil
+    }
+    Instant(field("seq").toLong, field("kind"), field("batchId").toLong,
+      field("commitMs").toLong, uf)
+  }
+
+  /** Multi-writer commit-seq allocation (the Hudi inflight/OCC analog),
+    * shared by child timelines and [[PartitionedMorTable]]'s parent token
+    * space: claim the next seq by EXCLUSIVE-creating
+    * `<dir>/<seq>.<kind>.inflight` before any data is written. Two writers
+    * racing to one seq cannot both win the O_EXCL create — the loser
+    * re-lists (inflight markers count as taken, so it allocates PAST the
+    * winner) and retries. A marker orphaned by a crash just leaves a gap in
+    * the seq space (readers only parse `*.json`); it never wedges the table.
+    *
+    * Atomicity requirement: exclusive create must be atomic — true on
+    * HDFS-class filesystems and the local FS (via java.nio). On object
+    * stores without conditional writes (plain S3A) `create(…, false)` is
+    * exists-then-create, so OCC needs an external lock provider there —
+    * the same caveat Hudi documents for its S3 OCC. */
+  private[lake] def allocateSeq(fs: FileSystem, dir: Path, kind: String): Long = {
+    fs.mkdirs(dir)
+    var attempt = 0
+    while (true) {
+      val names = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      val taken = names.flatMap(_.takeWhile(_ != '.') match {
+        case s if s.nonEmpty && s.forall(_.isDigit) => Some(s.toLong)
+        case _ => None
+      })
+      val seq = taken.foldLeft(0L)(math.max) + 1
+      val marker = new Path(dir, s"$seq.$kind.inflight")
+      try {
+        if (fs.getScheme == "file")
+          // java.nio createFile is O_EXCL-atomic; Hadoop's create(…, false)
+          // on the local FS is exists-then-create (a TOCTOU window)
+          java.nio.file.Files.createFile(java.nio.file.Paths.get(marker.toUri.getPath))
+        else {
+          val out = fs.create(marker, false); out.close()
+        }
+        return seq
+      } catch {
+        // ONLY a lost race retries; any other IO failure (permissions,
+        // disk full) propagates with its cause instead of spinning
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          attempt += 1
+          if (attempt > 50) throw new java.io.IOException(
+            s"seq allocation lost $attempt races at $dir — writer storm?")
+      }
+    }
+    0L // unreachable
   }
 
   private[lake] def commitTimeString(ms: Long): String =

@@ -87,19 +87,46 @@ final class PartitionedMorTable(
   def isCommitted(batchId: Long): Boolean =
     batchId >= 0 && parentTimeline().exists(_.batchId == batchId)
 
-  private def writeParentInstant(i: MorTable.Instant): Unit = {
+  /** Publish the parent instant claimed by [[nextToken]] and release its
+    * inflight marker. Refuses to overwrite a committed instant (local-FS
+    * rename silently replaces) — with OCC token allocation a same-token
+    * publish can only mean a bypassed allocation, which must fail loudly. */
+  private[lake] def writeParentInstant(i: MorTable.Instant): Unit = {
     val dir = new Path(hPath, "_timeline")
     fs.mkdirs(dir)
     val tmp = new Path(dir, s".${i.seq}.${i.kind}.json.tmp")
     val dst = new Path(dir, s"${i.seq}.${i.kind}.json")
+    if (fs.exists(dst)) throw new java.io.IOException(
+      s"parent instant already published — refusing to overwrite committed $dst")
     val out = fs.create(tmp, true)
     try out.write(i.toJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     if (!fs.rename(tmp, dst)) throw new java.io.IOException(s"parent commit rename failed: $dst")
+    fs.delete(new Path(dir, s"${i.seq}.${i.kind}.inflight"), false)
+    ()
   }
 
-  private def nextToken(): Long =
-    parentTimeline().lastOption.map(_.seq).getOrElse(0L) + 1
+  /** Claim the next table-global commit token via the same inflight-marker
+    * OCC as child commit seqs ([[MorTable.allocateSeq]]): two uncoordinated
+    * partitioned writers can no longer claim one token, clobber each
+    * other's `.staging/<token>` dir, or replace each other's parent
+    * instant. The marker is released by [[writeParentInstant]]; one
+    * orphaned by a crash leaves a token-space gap, never a wedged table. */
+  private def nextToken(kind: String): Long =
+    MorTable.allocateSeq(fs, new Path(hPath, "_timeline"), kind)
+
+  /** True iff any parent-level commit is claimed but unpublished. A parent
+    * writer stages child data BEFORE any child-level marker exists, so
+    * child compaction must treat an inflight parent commit as an
+    * outstanding straggler (tombstone retention — see
+    * [[MorTable.prepareCompact]]). */
+  private def parentInflight(): Boolean = {
+    val dir = new Path(hPath, "_timeline")
+    val names =
+      try fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      catch { case _: java.io.FileNotFoundException => return false }
+    names.exists(_.endsWith(".inflight"))
+  }
 
   /** Keyed upsert of a batch: ONE staged cluster write partitioned by the
     * partition column, then a metadata-only adoption per touched partition,
@@ -109,7 +136,7 @@ final class PartitionedMorTable(
   def upsert(batch: DataFrame, orderWithinBatch: Seq[Column],
              batchId: Long = -1L): PartitionedMorTable = {
     if (isCommitted(batchId)) return this // fully replayed batch — no-op
-    val token = nextToken()
+    val token = nextToken("delta")
     val now = System.currentTimeMillis()
     val deduped =
       if (orderWithinBatch.isEmpty) batch
@@ -179,18 +206,38 @@ final class PartitionedMorTable(
     * exactly-once atomic per child through the same rename+instant
     * adoption as [[upsert]]. The partition of each row comes from its own
     * image's `partitionCol`, so the streaming CDC pipeline lands rows in
-    * per-partition children with zero extra jobs. */
+    * per-partition children with zero extra jobs.
+    *
+    * Partition semantics (the global PK is (partition, key)):
+    *  - batch dedup is per (image partition, key) — envelope keys that are
+    *    only unique WITHIN a partition never collapse across partitions;
+    *  - a U whose before/after images disagree on `partitionCol` (a
+    *    partition move) additionally emits a tombstone into the BEFORE
+    *    partition at the same seq, so the old partition's copy — whether
+    *    from an earlier commit or earlier in this batch — is retired and
+    *    `read()` can never return the key twice. A move can only be
+    *    detected when the U carries its before image (the CDC contract). */
   def applyChangelog(envelope: DataFrame, batchId: Long = -1L): PartitionedMorTable = {
     if (isCommitted(batchId)) return this // replayed micro-batch — no-op
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("key")).orderBy(col("seq").desc)
-    val last = envelope.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-    val rows = last.select(
+    val pOf = (image: Column) => image.getField(partitionCol).cast("string")
+    val events = envelope.select(
       when(col("op") === "D", col("before")).otherwise(col("after")).as("__r"),
-      (col("op") === "D").as("__del"))
+      (col("op") === "D").as("__del"), col("key"), col("seq"))
+    val moveTombstones = envelope
+      .filter(col("op") === "U" && col("before").isNotNull &&
+        pOf(col("before")) =!= pOf(col("after")))
+      .select(col("before").as("__r"), lit(true).as("__del"),
+        col("key"), col("seq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pOf(col("__r")), col("key"))
+      // tombstone-first tie-break: a move-out tombstone shares its seq with
+      // same-key rows only in the BEFORE partition, where it must win
+      .orderBy(col("seq").desc, col("__del").desc)
+    val rows = events.unionByName(moveTombstones)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
       .select(col("__r.*"), col("__del"))
-    val token = nextToken()
+    val token = nextToken("delta")
     val now = System.currentTimeMillis()
     val staged = rows
       .withColumn("_record_key",
@@ -216,7 +263,7 @@ final class PartitionedMorTable(
     * commit token so delete/upsert LWW ordering stays table-global. */
   def delete(keys: DataFrame, batchId: Long = -1L): PartitionedMorTable = {
     if (isCommitted(batchId)) return this
-    val token = nextToken()
+    val token = nextToken("delete")
     val now = System.currentTimeMillis()
     val staged = keys.select((partitionCol +: keyCols).distinct.map(col): _*)
       .withColumn("_record_key",
@@ -232,12 +279,72 @@ final class PartitionedMorTable(
     this
   }
 
+  // ------------------------------------------------------------------ reads
+  //
+  // Every read below assembles ONE multi-directory parquet scan over the
+  // selected children's live files (plan size O(1) in partition count),
+  // never a per-partition unionByName chain (plan size O(partitions) —
+  // on a date-partitioned 100 TB lake with ~1000 partitions the driver
+  // would spend longer analyzing the union than running it). The only
+  // O(partitions) work left is the per-child timeline listing, issued
+  // concurrently below; the data-file listing inside the single scan is
+  // Spark's own parallel InMemoryFileIndex.
+
+  private val metaCols =
+    Seq("_record_key", "_deleted", "_commit_seqno", "_commit_time")
+
+  /** Run one FS-metadata task per selected partition concurrently (child
+    * timelines are independent; a sequential loop over 1000 partitions
+    * would make the driver the bottleneck before any task runs). */
+  private def parChildren[A](sel: Seq[String])(f: MorTable => A): Seq[A] = {
+    if (sel.sizeIs <= 1) return sel.map(v => f(child(v)))
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(32, sel.size))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try Await.result(Future.sequence(sel.map(v => Future(f(child(v))))),
+      scala.concurrent.duration.Duration(600, "s"))
+    finally pool.shutdown()
+  }
+
+  /** One scan over many commit dirs; mergeSchema covers narrow commits
+    * (staged deletes write key+meta-only tombstone rows). */
+  private def scanDirs(dirs: Seq[String]): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+
+  /** Table-global last-write-wins: `_commit_seqno` is the parent token. */
+  private def lwwLatest(df: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(partitionCol), col("_record_key"))
+      .orderBy(col("_commit_seqno").desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** User-facing column order: keys, partition, then remaining data
+    * columns in scan order (mergeSchema's field order depends on file
+    * listing order, so pin the prefix deterministically). */
+  private def orderedDataCols(scanCols: Seq[String]): Seq[String] =
+    (keyCols :+ partitionCol) ++
+      scanCols.filterNot(c => metaCols.contains(c) ||
+        c == partitionCol || keyCols.contains(c))
+
   /** Snapshot read over the named partitions only (partition pruning), or
     * the whole table when `values` is empty. */
   def read(values: Seq[String] = Seq.empty): DataFrame = {
     val sel = if (values.nonEmpty) values else partitions()
     require(sel.nonEmpty, s"PartitionedMorTable at $path has no partitions")
-    sel.map(child(_).read()).reduce(_.unionByName(_, allowMissingColumns = true))
+    val perChild = parChildren(sel)(_.liveScanDirs())
+    val dirs = perChild.flatMap(_._1) ++ perChild.flatMap(_._2)
+    require(dirs.nonEmpty, s"PartitionedMorTable at $path has no commits")
+    val scan = scanDirs(dirs)
+    // a child whose live set is a single dir (just-compacted base, or one
+    // delta) already holds ≤1 row per (partition, key): when EVERY child
+    // is in that state the LWW window's shuffle is a no-op — skip it
+    val merged =
+      if (perChild.forall(pc => pc._1.size + pc._2.size <= 1)) scan
+      else lwwLatest(scan)
+    merged.filter(!col("_deleted"))
+      .select(orderedDataCols(scan.columns).map(col): _*)
   }
 
   /** Incremental pull across partitions (the Hudi incremental-query analog
@@ -251,20 +358,9 @@ final class PartitionedMorTable(
   def readIncremental(sinceToken: Long, values: Seq[String] = Seq.empty): DataFrame = {
     val sel = if (values.nonEmpty) values else partitions()
     require(sel.nonEmpty, s"PartitionedMorTable at $path has no partitions")
-    val parts = sel.flatMap { v =>
-      val c = child(v)
-      c.timeline().filter(_.kind == "delta")
-        .map(i => spark.read.parquet(s"${c.path}/delta/${i.seq}"))
-        .reduceOption(_.unionByName(_, allowMissingColumns = true))
-    }
-    require(parts.nonEmpty, s"PartitionedMorTable at $path has no delta commits")
-    val unioned = parts.reduce(_.unionByName(_, allowMissingColumns = true))
-      .filter(col("_commit_seqno") > sinceToken)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(partitionCol), col("_record_key"))
-      .orderBy(col("_commit_seqno").desc)
-    unioned.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    val dirs = parChildren(sel)(_.allDeltaDirs()).flatten
+    require(dirs.nonEmpty, s"PartitionedMorTable at $path has no delta commits")
+    lwwLatest(scanDirs(dirs).filter(col("_commit_seqno") > sinceToken))
   }
 
   /** CDC read across partitions ([[MorTable.readChangelog]] in the
@@ -279,19 +375,10 @@ final class PartitionedMorTable(
                     values: Seq[String] = Seq.empty): DataFrame = {
     val sel = if (values.nonEmpty) values else partitions()
     require(sel.nonEmpty, s"PartitionedMorTable at $path has no partitions")
-    val parts = sel.flatMap { v =>
-      val c = child(v)
-      c.timeline().filter(_.kind == "delta")
-        .map(i => spark.read.parquet(s"${c.path}/delta/${i.seq}"))
-        .reduceOption(_.unionByName(_, allowMissingColumns = true))
-    }
-    require(parts.nonEmpty, s"PartitionedMorTable at $path has no delta commits")
-    val deltas = parts.reduce(_.unionByName(_, allowMissingColumns = true))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(partitionCol), col("_record_key"))
-      .orderBy(col("_commit_seqno").desc)
-    def lww(df: DataFrame) = df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    val dirs = parChildren(sel)(_.allDeltaDirs()).flatten
+    require(dirs.nonEmpty, s"PartitionedMorTable at $path has no delta commits")
+    val deltas = scanDirs(dirs)
+    def lww(df: DataFrame) = lwwLatest(df)
     val net = lww(deltas.filter(col("_commit_seqno") > fromToken &&
       col("_commit_seqno") <= toToken))
     val dataCols = read(sel).schema.fieldNames.toSeq
@@ -328,11 +415,18 @@ final class PartitionedMorTable(
     due
   }
 
-  /** Compact the named partitions in one staged cluster write. */
+  /** Compact the named partitions in one staged cluster write. An inflight
+    * PARENT commit forces tombstone retention in every staged child (its
+    * data may publish into the children with tokens below a folded delete
+    * — see [[MorTable.prepareCompact]]). */
   def compactPartitions(values: Seq[String]): Unit = {
     if (values.isEmpty) return
-    val snaps = values.map { v =>
-      child(v).snapshot().withColumn("__p", lit(v))
+    val keepTombstones = parentInflight()
+    val preps = values.map { v =>
+      v -> child(v).prepareCompact(forceKeepTombstones = keepTombstones)
+    }.toMap
+    val snaps = preps.toSeq.sortBy(_._1).map { case (v, prep) =>
+      prep.df.withColumn("__p", lit(v))
     }
     val stagingDir = new Path(hPath, s".staging/compact-${System.nanoTime()}")
     // sortWithinPartitions(__p, _record_key): satisfies the dynamic-
@@ -348,7 +442,7 @@ final class PartitionedMorTable(
         .filter(_.getName.startsWith("__p=")).map { p =>
           val value = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
             .unescapePathName(p.getName.stripPrefix("__p="))
-          child(value).adoptBase(p)
+          child(value).adoptBase(p, preps(value).foldedDeltaSeqs)
           value
         }.toSet
     // a fully-tombstoned partition stages nothing (its snapshot is empty);

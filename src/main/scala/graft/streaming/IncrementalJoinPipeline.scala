@@ -160,8 +160,11 @@ final class IncrementalJoinPipeline(
     * dim/ticket state, take the per-sink-key argmax, and upsert only keys
     * whose new "last transaction" is newer than what the sink already holds
     * (conditional on `histOrder` — an append can advance a person's last
-    * transaction, never regress it). Work is O(|delta| + |sink|), not
-    * O(|history|). */
+    * transaction, never regress it). Work is O(|delta|)-dominated: the
+    * sink-side compare reads ONLY the candidate keys' rows
+    * ([[MorTable.snapshotForKeys]] pushes the key set into the parquet
+    * scans, so row-group stats skip the untouched sink), never the whole
+    * sink snapshot. */
   private def appendOnlyBatch(dH: DataFrame, batchId: Long): Unit = {
     // the caller proved dH is insert-only; unique keys are the CDC insert
     // contract — skip the per-key LWW window's shuffle
@@ -173,14 +176,25 @@ final class IncrementalJoinPipeline(
     val w = Window.partitionBy(col(sinkKey)).orderBy(histOrder.map(col(_).desc): _*)
     val candTop = project(joined)
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+      .cache()
+    // candidate sink keys are micro-batch sized (≤ |dH| after the argmax):
+    // collect them so the sink compare is a pruned point read, falling
+    // back to the full-snapshot compare only on an outsized batch
+    val candKeys = candTop.select(col(sinkKey).cast("string"))
+      .distinct().collect().map(_.getString(0)).toSeq
     val ordStruct = struct(histOrder.map(col): _*)
-    val cur = sink.read().select(col(sinkKey).as("__cur_key"),
+    val curSnap =
+      if (candKeys.size <= IncrementalJoinPipeline.MaxPushedSinkKeys)
+        sink.readForKeys(candKeys)
+      else sink.read()
+    val cur = curSnap.select(col(sinkKey).as("__cur_key"),
       struct(histOrder.map(col): _*).as("__cur_ord"))
     val out = candTop
       .join(cur, col(sinkKey) === col("__cur_key"), "left")
       .filter(col("__cur_key").isNull || ordStruct > col("__cur_ord"))
       .drop("__cur_key", "__cur_ord")
     sink.upsert(out, orderWithinBatch = histOrder.map(col), batchId = batchId)
+    candTop.unpersist()
     Seq(pState, tState, hState, sink).foreach(_.maybeCompact())
   }
 
@@ -210,4 +224,10 @@ final class IncrementalJoinPipeline(
   /** The reference's data-quality invariant (zpln:2757 → empty, :2812). */
   def duplicateCheck(): DataFrame =
     graft.operators.RelationalOps.duplicateCheck(sink.read(), sinkKey)
+}
+
+object IncrementalJoinPipeline {
+  /** Above this many candidate keys the pushed `In()` predicate costs more
+    * than it saves (plan bloat); fall back to the full-snapshot compare. */
+  private[streaming] val MaxPushedSinkKeys = 10000
 }

@@ -165,6 +165,24 @@ class MorTableSpec extends AnyFunSuite {
     assert(t.readChangelog(4L).isEmpty)
   }
 
+  test("readForKeys: key set pushed into every commit scan; equals filtered read") {
+    val t = MorTable(spark, TestSpark.tmpDir("mor-keys"), Seq("uuid"),
+      compactionDeltaCommits = 2)
+    t.upsert(t1Rows, orderWithinBatch = Seq(col("ts")), batchId = 1L)
+    t.upsert(t1Rows.filter(col("uuid") === "id1").withColumn("age", lit(99)),
+      orderWithinBatch = Seq(col("ts")), batchId = 2L)   // base + delta live
+    t.upsert(t1Rows.filter(col("uuid") === "id2").withColumn("age", lit(77)),
+      orderWithinBatch = Seq(col("ts")), batchId = 3L)
+    val pruned = t.readForKeys(Seq("id1", "id2", "id404"))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("In(_record_key"),
+      s"key predicate must reach the parquet scans as a pushed filter:\n$plan")
+    val got = pruned.orderBy("uuid").collect().map(r =>
+      r.getAs[String]("uuid") -> r.getAs[Int]("age")).toSeq
+    assert(got == Seq("id1" -> 99, "id2" -> 77))
+    assert(t.readForKeys(Nil).isEmpty)
+  }
+
   test("two uncoordinated writers never lose a commit (inflight seq allocation)") {
     val path = TestSpark.tmpDir("mor-occ")
     def handle() = MorTable(spark, path, Seq("uuid"), compactionDeltaCommits = 1000)

@@ -1,0 +1,128 @@
+package graft.lake
+
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Multi-writer OCC: a compaction racing a slow writer must never
+  * permanently shadow that writer's commit (the `unfolded` protocol), a
+  * retained tombstone must keep beating a late straggler's older rows,
+  * and parent-level tokens must be race-free. */
+class MultiWriterSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp() = graft.TempDirs.create("mwr")
+
+  private def fs(path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Simulate a writer that CLAIMED seq (inflight marker up) and wrote its
+    * delta data, but has not published the instant yet. */
+  private def claimDelta(path: String, seq: Long, rows: Seq[(Long, Int)]): Unit = {
+    val f = fs(path)
+    val marker = new Path(path, s"timeline/$seq.delta.inflight")
+    f.mkdirs(marker.getParent)
+    val out = f.create(marker, false); out.close()
+    rows.toDF("k", "v")
+      .withColumn("_record_key", col("k").cast("string"))
+      .withColumn("_deleted", lit(false))
+      .withColumn("_commit_seqno", lit(seq))
+      .withColumn("_commit_time", lit(MorTable.commitTimeString(seq)))
+      .write.mode("overwrite").parquet(s"$path/delta/$seq")
+  }
+
+  /** The claimed writer finally publishes. */
+  private def publishDelta(path: String, seq: Long, batchId: Long): Unit = {
+    val f = fs(path)
+    val dst = new Path(path, s"timeline/$seq.delta.json")
+    val out = f.create(dst, false)
+    out.write(MorTable.Instant(seq, "delta", batchId, seq).toJson
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    f.delete(new Path(path, s"timeline/$seq.delta.inflight"), false)
+    ()
+  }
+
+  test("compact racing an inflight delta: commit replayed once published, survives clean") {
+    val path = tmp()
+    val t = new MorTable(spark, path, Seq("k"),
+      compactionDeltaCommits = 1000, autoCompact = false)
+    t.upsert(Seq((1L, 10)).toDF("k", "v"), Seq(col("k")), batchId = 1L)
+    t.upsert(Seq((2L, 20)).toDF("k", "v"), Seq(col("k")), batchId = 2L)
+    claimDelta(path, 3L, Seq((3L, 30)))     // writer A: claimed, unpublished
+    t.compact()                             // writer B compacts at seq 4
+    val c = t.timeline().filter(_.kind == "compact").last
+    assert(c.unfolded == Seq(3L), "compact must record the inflight delta as unfolded")
+    assert(t.read().count() == 2)           // A unpublished: not visible yet
+    publishDelta(path, 3L, batchId = 3L)    // A finally publishes
+    assert(t.read().collect().map(r => r.getLong(0) -> r.getInt(1)).toMap ==
+      Map(1L -> 10, 2L -> 20, 3L -> 30),
+      "late-published commit below the base seq must be replayed, not shadowed")
+    t.clean()                               // must NOT remove the unfolded delta
+    assert(t.read().count() == 3, "clean() must preserve unfolded straggler data")
+    t.compact()                             // next compact folds the straggler
+    assert(t.timeline().filter(_.kind == "compact").last.unfolded.isEmpty)
+    assert(t.read().count() == 3)
+    t.clean()
+    assert(!fs(path).exists(new Path(path, "delta/3")), "folded straggler now cleanable")
+    assert(t.read().count() == 3)
+  }
+
+  test("retained tombstone beats a straggler's older rows (no resurrect)") {
+    val path = tmp()
+    val t = new MorTable(spark, path, Seq("k"),
+      compactionDeltaCommits = 1000, autoCompact = false)
+    t.upsert(Seq((1L, 10)).toDF("k", "v"), Seq(col("k")), batchId = 1L)
+    claimDelta(path, 2L, Seq((1L, 99)))     // straggler claims 2, stalls
+    t.delete(Seq(Tuple1(1L)).toDF("k"), batchId = 3L) // tombstone at seq 3 > 2
+    t.compact()                             // outstanding straggler → keep tombstones
+    assert(t.read().isEmpty)
+    publishDelta(path, 2L, batchId = 2L)    // straggler's k=1@2 arrives late
+    assert(t.read().isEmpty,
+      "tombstone@3 must be retained in the base so the straggler's k=1@2 loses LWW")
+    t.compact()                             // straggler folded, no outstanding left
+    assert(t.read().isEmpty)
+    val base = t.timeline().filter(_.kind == "compact").last
+    val baseRows = spark.read.parquet(s"$path/base/${base.seq}")
+    assert(baseRows.filter(col("_deleted")).isEmpty,
+      "straggler-free compaction drops tombstones again")
+  }
+
+  test("two uncoordinated partitioned writers: distinct tokens, no lost commits") {
+    val path = tmp()
+    def handle() = new PartitionedMorTable(spark, path, Seq("k"), "p",
+      compactionDeltaCommits = 1000, autoCompact = false)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    val writers = (0 until 2).map { w =>
+      Future {
+        val t = handle()
+        (0 until 3).foreach { i =>
+          val k = (w * 100 + i).toLong
+          t.upsert(Seq((k, s"p${k % 2}", w * 1000 + i)).toDF("k", "p", "v"),
+            Seq(col("k")), batchId = -1L)
+        }
+      }
+    }
+    Await.result(Future.sequence(writers), scala.concurrent.duration.Duration(300, "s"))
+    pool.shutdown()
+    val t = handle()
+    val tokens = t.parentTimeline().map(_.seq)
+    assert(tokens.distinct.size == 6, s"every commit must keep its own token: $tokens")
+    assert(t.read().count() == 6, "no writer's rows may be lost")
+  }
+
+  test("bypassed token allocation cannot silently replace a committed parent instant") {
+    val path = tmp()
+    val t = new PartitionedMorTable(spark, path, Seq("k"), "p")
+    t.upsert(Seq((1L, "a", 1)).toDF("k", "p", "v"), Seq(col("k")), batchId = 1L)
+    val committed = t.parentTimeline().last
+    intercept[java.io.IOException] {
+      t.writeParentInstant(committed.copy(batchId = 999L))
+    }
+    assert(t.parentTimeline().last.batchId == 1L, "committed instant untouched")
+  }
+}

@@ -105,6 +105,62 @@ class PartitionedMorTableSpec extends AnyFunSuite {
     assert(bOnly.map(_.getAs[String]("op")).toSeq == Seq("D"))
   }
 
+  test("read plans are O(1) in partition count: one scan over 200 partitions") {
+    val t = new PartitionedMorTable(spark, tmp(), Seq("k"), "p",
+      compactionDeltaCommits = 1000, autoCompact = false)
+    val n = 200
+    val df = spark.range(n).select(col("id").as("k"),
+      concat(lit("part"), col("id")).as("p"), lit(1).as("v"))
+    t.upsert(df.repartition(col("p")), Seq(col("k")), batchId = 1L)
+    // second commit on a quarter of the partitions so the LWW merge is live
+    t.upsert(df.filter(col("k") % 4 === 0).withColumn("v", lit(2))
+      .repartition(col("p")), Seq(col("k")), batchId = 2L)
+
+    def distinctLeafRelations(d: org.apache.spark.sql.DataFrame): Int =
+      d.queryExecution.optimizedPlan.collectLeaves().map {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l.relation
+        case other => other
+      }.distinct.size
+
+    val snap = t.read()
+    assert(distinctLeafRelations(snap) == 1,
+      "snapshot read must be ONE multi-dir scan, not a per-partition union")
+    assert(snap.count() == n)
+    assert(snap.filter(col("k") % 4 === 0).agg(min("v"), max("v")).head() ==
+      org.apache.spark.sql.Row(2, 2))
+
+    val inc = t.readIncremental(sinceToken = 1L)
+    assert(distinctLeafRelations(inc) == 1)
+    assert(inc.count() == n / 4)
+
+    val cdc = t.readChangelog(1L)
+    assert(distinctLeafRelations(cdc) == 1,
+      "changelog net/before sides must share one multi-dir scan")
+    assert(cdc.collect().forall(_.getAs[String]("op") == "U"))
+  }
+
+  test("applyChangelog: per-partition keys never collapse; a partition move tombstones the old copy") {
+    val t = new PartitionedMorTable(spark, tmp(), Seq("k"), "p",
+      compactionDeltaCommits = 1000, autoCompact = false)
+    // keys unique only WITHIN a partition: same envelope key, two partitions
+    val e1 = spark.sql(
+      """SELECT 'I' op, '1' key, CAST(NULL AS STRUCT<k BIGINT, p STRING, v INT>) before,
+        |       named_struct('k', 1L, 'p', 'a', 'v', 10) after, 1L seq
+        |UNION ALL
+        |SELECT 'I', '1', NULL, named_struct('k', 1L, 'p', 'b', 'v', 20), 2L""".stripMargin)
+    t.applyChangelog(e1, batchId = 1L)
+    assert(t.read().collect().map(r => (r.getString(1), r.getInt(2))).sorted.toSeq ==
+      Seq(("a", 10), ("b", 20)), "same key in two partitions must not collapse")
+    // U moves key 1 from partition a to partition c: old copy must retire
+    val e2 = spark.sql(
+      """SELECT 'U' op, '1' key, named_struct('k', 1L, 'p', 'a', 'v', 10) before,
+        |       named_struct('k', 1L, 'p', 'c', 'v', 11) after, 3L seq""".stripMargin)
+    t.applyChangelog(e2, batchId = 2L)
+    val rows = t.read().collect().map(r => (r.getString(1), r.getInt(2))).sorted.toSeq
+    assert(rows == Seq(("b", 20), ("c", 11)),
+      s"partition move must tombstone the before-partition copy, got $rows")
+  }
+
   test("deletes tombstone within their partition only") {
     val t = new PartitionedMorTable(spark, tmp(), Seq("k"), "p")
     t.upsert(Seq((1L, "a", 1), (1L, "b", 2)).toDF("k", "p", "v"),
