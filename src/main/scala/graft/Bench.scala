@@ -69,7 +69,22 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, sec, None, _, _) => sec }.sum
     val nFailed = results.count(_._3.isDefined)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"diag":$diag,"sf":${q(sfDir)}}""")
+    // The harness captures a bounded TAIL of stdout: the round-4 artifact
+    // lost the per-query timing map because one huge line (timings + diag)
+    // had its HEAD truncated away. So: diagnostics line first, then the
+    // compact timing line LAST (the driver's "one JSON line" contract reads
+    // the final line) — and both also land in bench_out/BENCH_LAST.json so
+    // a truncated capture can always be reconstructed from the file.
+    val diagLine = s"""{"metric":"diag","gc_free_by_query":$diag,"sf":${q(sfDir)}}"""
+    val mainLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"sf":${q(sfDir)}}"""
+    try {
+      val dir = java.nio.file.Paths.get("bench_out")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.write(dir.resolve("BENCH_LAST.json"),
+        (mainLine + "\n" + diagLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: java.io.IOException => () } // stdout stays authoritative
+    println(diagLine)
+    println(mainLine)
     spark.stop()
   }
 }
