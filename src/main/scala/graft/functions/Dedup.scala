@@ -41,10 +41,17 @@ object Dedup {
     * so by round ~10 the driver spends longer analyzing the 2^10-node
     * plan than running it. Checkpointing swaps the lineage for a scan of
     * the materialized blocks, keeping every round's plan constant-size —
-    * the same reason GraphFrames checkpoints its CC iterations. */
+    * the same reason GraphFrames checkpoints its CC iterations.
+    *
+    * Exhausting `maxIters` is an ERROR, not a result: non-converged labels
+    * would silently break the `cluster_id = min reachable doc_id` contract
+    * (split clusters shipping through a curation pipeline). Callers that
+    * truly want best-effort labels on a >maxIters-diameter graph pass
+    * `requireConvergence = false` and own the consequences. */
   def connectedComponents(pairs: DataFrame, idACol: String = "id_a",
                           idBCol: String = "id_b",
-                          maxIters: Int = 20): DataFrame = {
+                          maxIters: Int = 20,
+                          requireConvergence: Boolean = true): DataFrame = {
     val edges = pairs.select(col(idACol).as("u"), col(idBCol).as("v"))
       .union(pairs.select(col(idBCol).as("u"), col(idACol).as("v")))
       .distinct().localCheckpoint(true)
@@ -77,6 +84,10 @@ object Dedup {
       labels = next
       i += 1
     }
+    if (!done && requireConvergence) throw new IllegalStateException(
+      s"connectedComponents did not reach its fixpoint within $maxIters rounds — " +
+        "the pair graph's effective diameter exceeds the budget; raise maxIters " +
+        "or pass requireConvergence = false for best-effort labels")
     labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
   }
 

@@ -50,6 +50,19 @@ class DedupSpec extends AnyFunSuite {
     assert(labels.size == 12 && labels.values.forall(_ == 0L))
   }
 
+  test("connectedComponents refuses to ship non-converged labels") {
+    // a 40-node path cannot flood its min through maxIters=2 rounds
+    val longPath = (0L until 39L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(longPath, maxIters = 2)
+    }
+    assert(e.getMessage.contains("fixpoint"))
+    // explicit best-effort opt-out still returns (partial) labels
+    val partial = Dedup.connectedComponents(longPath, maxIters = 2,
+      requireConvergence = false)
+    assert(partial.count() == 40)
+  }
+
   test("exactDedup keeps the smallest id per identical text") {
     val kept = Dedup.exactDedup(corpus).select("doc_id").as[Long].collect().toSet
     assert(kept == Set(0L, 2L, 3L, 4L, 5L))
