@@ -167,13 +167,19 @@ object Similarity {
     // partition the limit produces — deterministic, and avoids a global
     // window (Spark folds away constant partition keys, so even a lit()
     // partition spec would fall back to the one-partition WindowExec)
-    var centroids = collectCentroids(seedCentroids(corpus, nCells, idCol, vecCol))
+    // seeding, each Lloyd iteration, and the final assign all re-read the
+    // corpus: pin the (id, vector) projection ONCE so refinement scans
+    // materialized blocks instead of re-running the source scan
+    // refineIters+2 times (eager localCheckpoint also keeps every
+    // iteration's plan constant-size)
+    val pinned = corpus.select(col(idCol), col(vecCol)).localCheckpoint(true)
+    var centroids = collectCentroids(seedCentroids(pinned, nCells, idCol, vecCol))
 
     def assign(df: DataFrame, v: String): DataFrame =
       df.withColumn("cell_id", element_at(nearestCells(col(v), centroids, 1), 1))
 
     for (_ <- 0 until refineIters) {
-      val assigned = assign(corpus.select(col(idCol), col(vecCol)), vecCol)
+      val assigned = assign(pinned, vecCol)
       centroids = collectCentroids(assigned
         .select(col("cell_id"), posexplode(col(vecCol)))
         .groupBy(col("cell_id"), col("pos")).agg(avg(col("col")).as("m"))
@@ -182,7 +188,7 @@ object Similarity {
           s => s.getField("m")).as("cv")))
     }
 
-    val assigned = assign(corpus.select(col(idCol), col(vecCol)), vecCol)
+    val assigned = assign(pinned, vecCol)
     val qProbes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       explode(nearestCells(col(vecCol), centroids, nProbe)).as("cell_id"))
     val scored = assigned.join(qProbes, Seq("cell_id"))
