@@ -236,7 +236,39 @@ final class MorTable(
     fs.mkdirs(dst.getParent)
     if (!fs.rename(src, dst)) throw new java.io.IOException(s"base adopt rename failed: $dst")
     publishInstant(Instant(seq, "compact", -1L, System.currentTimeMillis(), unfolded))
+    writeManifest(seq, dst)
   }
+
+  /** External snapshot manifest (the Hudi/Delta symlink-manifest analog of
+    * the reference's Athena-via-Glue read path,
+    * `lib/rds-cdc-flink-hudi-stack.ts:458-519`): every compaction publishes
+    * `manifest/<seq>.json` listing the base's parquet files, so ANY engine
+    * with a parquet reader gets a consistent — if compaction-stale —
+    * snapshot without graft's merge logic. Readers must drop rows where
+    * `_deleted` is true (present only while a straggler kept tombstones in
+    * the base) and may drop the `_*` meta columns. Manifests are immutable
+    * and versioned; consumers take the highest seq. Best-effort: a manifest
+    * write failure never fails the commit (the timeline stays the source
+    * of truth). */
+  private def writeManifest(seq: Long, baseDir: Path): Unit =
+    try {
+      val files = fs.listStatus(baseDir).toSeq.map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+      val dir = new Path(hPath, "manifest")
+      fs.mkdirs(dir)
+      val json =
+        s"""{"baseSeq":$seq,"filter":"_deleted = false",""" +
+          s""""files":[${files.map("\"" + _ + "\"").mkString(",")}]}"""
+      val tmp = new Path(dir, s".$seq.json.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      if (!fs.rename(tmp, new Path(dir, s"$seq.json")))
+        throw new java.io.IOException(s"manifest rename failed: $dir/$seq.json")
+    } catch {
+      case e: java.io.IOException =>
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"snapshot manifest write failed for $path base $seq", e)
+    }
 
   /** Apply one changelog micro-batch (envelope: op/key/before/after/seq —
     * see graft.sources.ChangelogSource) as a SINGLE delta commit: I/U rows
@@ -590,6 +622,8 @@ final class MorTable(
         val old = tl.filter(i => i.seq < c.seq && !c.unfolded.contains(i.seq))
         val removed = old.map { i =>
           val dir = new Path(hPath, s"${if (i.kind == "compact") "base" else "delta"}/${i.seq}")
+          if (i.kind == "compact") // manifest of a cleaned base points at deleted files
+            fs.delete(new Path(hPath, s"manifest/${i.seq}.json"), false)
           if (fs.exists(dir)) { fs.delete(dir, true); 1 } else 0
         }.sum
         if (old.nonEmpty) {
@@ -739,6 +773,23 @@ object MorTable {
       in.readFully(0, buf)
       buf
     } finally in.close()
+  }
+
+  /** What an EXTERNAL engine does with the snapshot manifest, expressed in
+    * Spark for the spec: take the highest-seq `manifest/<seq>.json`, read
+    * the listed parquet files directly, apply the declared `_deleted`
+    * filter, drop the meta columns. No graft merge logic involved. */
+  def readManifest(spark: SparkSession, path: String): DataFrame = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(path, "manifest")
+    val latest = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.matches("\\d+\\.json")).map(_.stripSuffix(".json").toLong).max
+    val json = new String(readFully(fs, new Path(dir, s"$latest.json")),
+      StandardCharsets.UTF_8)
+    val files = "\"([^\"]+\\.parquet)\"".r.findAllMatchIn(json).map(_.group(1)).toSeq
+    val raw = spark.read.parquet(files: _*)
+    val live = if (raw.columns.contains("_deleted")) raw.filter(!col("_deleted")) else raw
+    live.drop("_record_key", "_deleted", "_commit_seqno", "_commit_time")
   }
 
   /** Open an existing table or prepare a handle for a new one. */

@@ -165,6 +165,26 @@ class MorTableSpec extends AnyFunSuite {
     assert(t.readChangelog(4L).isEmpty)
   }
 
+  test("snapshot manifest: any parquet reader gets a consistent stale snapshot") {
+    val path = TestSpark.tmpDir("mor-manifest")
+    val t = MorTable(spark, path, Seq("uuid"), compactionDeltaCommits = 100)
+    t.upsert(t1Rows, orderWithinBatch = Seq(col("ts")), batchId = 1L)
+    t.upsert(t1Rows.filter(col("uuid") === "id1").withColumn("age", lit(99)),
+      orderWithinBatch = Seq(col("ts")), batchId = 2L)
+    t.compact()
+    val asOfCompact = t.read().orderBy("uuid").collect().toSeq
+    assert(MorTable.readManifest(spark, path).orderBy("uuid").collect().toSeq ==
+      asOfCompact, "external manifest read must equal read() right after compaction")
+    // newer deltas make the manifest STALE but still consistent as-of its base
+    t.upsert(t1Rows.filter(col("uuid") === "id2").withColumn("age", lit(1)),
+      orderWithinBatch = Seq(col("ts")), batchId = 3L)
+    assert(MorTable.readManifest(spark, path).orderBy("uuid").collect().toSeq ==
+      asOfCompact, "manifest stays pinned to its compaction")
+    t.compact() // refresh: the new manifest sees the newer commit
+    assert(MorTable.readManifest(spark, path)
+      .filter(col("uuid") === "id2").head().getAs[Int]("age") == 1)
+  }
+
   test("readForKeys: key set pushed into every commit scan; equals filtered read") {
     val t = MorTable(spark, TestSpark.tmpDir("mor-keys"), Seq("uuid"),
       compactionDeltaCommits = 2)
