@@ -30,8 +30,17 @@ import org.apache.spark.sql.types._
 object DebeziumSource {
 
   /** One logical table carried in the multiplexed stream: its column
-    * subset of the merged schema, and its key columns. */
-  final case class Table(name: String, cols: Seq[String], keyCols: Seq[String])
+    * subset of the merged schema, and its key columns. `aliases`, when
+    * non-empty, renames `cols` positionally in the EMITTED envelope (the
+    * Debezium ReplaceField/rename SMT analog) — how a consumer maps two
+    * tables that share a physical column name (e.g. both have `id`) onto
+    * the disjoint names a downstream join requires. */
+  final case class Table(name: String, cols: Seq[String], keyCols: Seq[String],
+                         aliases: Seq[String] = Nil) {
+    require(aliases.isEmpty || aliases.size == cols.size,
+      s"aliases must map cols 1:1 (got ${aliases.size} for ${cols.size})")
+    def outCols: Seq[String] = if (aliases.nonEmpty) aliases else cols
+  }
 
   /** The wire schema for a connector whose tables' columns union to
     * `merged` (JSON parsing with the superset schema nulls the fields a
@@ -64,7 +73,8 @@ object DebeziumSource {
     val p = col("payload")
     def img(side: String) =
       when(p.getField(side).isNull, lit(null))
-        .otherwise(struct(table.cols.map(c => p.getField(side).getField(c).as(c)): _*))
+        .otherwise(struct(table.cols.zip(table.outCols).map { case (c, out) =>
+          p.getField(side).getField(c).as(out) }: _*))
     parsed
       .filter(p.getField("source").getField("table") === table.name)
       .select(
