@@ -71,21 +71,78 @@ final class PartitionedMorTable(
 
   // ------------------------------------------------------- parent timeline
 
+  /** Parse cache for parent instants (same shape as MorTable's child
+    * cache): instant files are immutable once renamed into place, so one
+    * `listStatus` per operation stays the source of truth while parsed
+    * JSON is never re-read. Without it every isCommitted/nextToken re-read
+    * EVERY parent instant — O(total commits) driver FS round trips per
+    * commit, the S3 metadata bottleneck at a 1-minute cadence. */
+  @transient @volatile private var parentInstantCache: Map[Long, MorTable.Instant] = Map.empty
+
   /** Parent-level commit instants: the table-global `_commit_seqno` counter
     * and the whole-batch exactly-once record. */
   def parentTimeline(): Seq[MorTable.Instant] = {
     val dir = new Path(hPath, "_timeline")
     if (!fs.exists(dir)) return Seq.empty
-    fs.listStatus(dir).toSeq.map(_.getPath.getName).filter(_.endsWith(".json"))
+    val cached = parentInstantCache
+    val all = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(n => n.endsWith(".json") && !n.startsWith("_"))
       .map { n =>
-        MorTable.parseInstant(new String(
-          MorTable.readFully(fs, new Path(dir, n)), java.nio.charset.StandardCharsets.UTF_8))
+        val seq = n.takeWhile(_ != '.').toLong
+        cached.getOrElse(seq, MorTable.parseInstant(new String(
+          MorTable.readFully(fs, new Path(dir, n)), java.nio.charset.StandardCharsets.UTF_8)))
       }.sortBy(_.seq)
+    parentInstantCache = all.map(i => i.seq -> i).toMap
+    all
   }
 
-  /** True iff this batchId fully committed (all touched partitions adopted). */
+  /** Batch ids folded away by [[cleanParentTimeline]] (one summary file,
+    * loaded once per handle — the child archived-timeline analog). */
+  @transient @volatile private var parentArchivedCache: Set[Long] = _
+
+  private def parentArchivedBatchIds: Set[Long] = {
+    var c = parentArchivedCache
+    if (c == null) {
+      c = try {
+        val json = new String(MorTable.readFully(fs,
+          new Path(hPath, "_timeline/_archived")), java.nio.charset.StandardCharsets.UTF_8)
+        "-?\\d+".r.findAllIn(json.dropWhile(_ != '[')).map(_.toLong).toSet
+      } catch { case _: java.io.IOException => Set.empty[Long] }
+      parentArchivedCache = c
+    }
+    c
+  }
+
+  /** Bound the parent instant listing (the child `clean()` analog): fold
+    * the batch ids of all but the newest `keepLast` instants into the
+    * `_timeline/_archived` summary and delete their files. Keeping a tail
+    * of live instants preserves the token allocator's max-seq floor, so an
+    * archived token can never be re-claimed. Returns #instants archived. */
+  def cleanParentTimeline(keepLast: Int = 100): Int = {
+    val tl = parentTimeline()
+    val doomed = tl.dropRight(keepLast)
+    if (doomed.isEmpty) return 0
+    val ids = (parentArchivedBatchIds ++ doomed.map(_.batchId).filter(_ >= 0)).toSeq.sorted
+    val tmp = new Path(hPath, "_timeline/._archived.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"""{"batchIds":[${ids.mkString(",")}]}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
+    val dst = new Path(hPath, "_timeline/_archived")
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"parent archive rename failed: $dst")
+    parentArchivedCache = ids.toSet
+    doomed.foreach(i =>
+      fs.delete(new Path(hPath, s"_timeline/${i.seq}.${i.kind}.json"), false))
+    parentInstantCache = parentInstantCache -- doomed.map(_.seq)
+    doomed.size
+  }
+
+  /** True iff this batchId fully committed (all touched partitions
+    * adopted) — live instants first, then the archived summary. */
   def isCommitted(batchId: Long): Boolean =
-    batchId >= 0 && parentTimeline().exists(_.batchId == batchId)
+    batchId >= 0 && (parentTimeline().exists(_.batchId == batchId) ||
+      parentArchivedBatchIds.contains(batchId))
 
   /** Publish the parent instant claimed by [[nextToken]] and release its
     * inflight marker. Refuses to overwrite a committed instant (local-FS
@@ -103,6 +160,7 @@ final class PartitionedMorTable(
     finally out.close()
     if (!fs.rename(tmp, dst)) throw new java.io.IOException(s"parent commit rename failed: $dst")
     fs.delete(new Path(dir, s"${i.seq}.${i.kind}.inflight"), false)
+    parentInstantCache += (i.seq -> i)
     ()
   }
 
@@ -410,7 +468,12 @@ final class PartitionedMorTable(
     * staged `partitionBy` write, then one metadata-only base adoption per
     * partition). Returns the partition values that compacted. */
   def maybeCompact(nowMs: Long = System.currentTimeMillis()): Seq[String] = {
-    val due = partitions().filter(child(_).compactionDue(nowMs))
+    val all = partitions()
+    // the due-check is one timeline listing per child — issue them
+    // concurrently (same reasoning as the read paths: at 1000 partitions a
+    // sequential loop per commit makes the driver the bottleneck)
+    val due = all.zip(parChildren(all)(_.compactionDue(nowMs)))
+      .collect { case (v, true) => v }
     compactPartitions(due)
     due
   }
@@ -453,8 +516,12 @@ final class PartitionedMorTable(
     ()
   }
 
-  /** Cleaner across all partitions (see MorTable.clean). */
-  def clean(): Int = partitions().map(child(_).clean()).sum
+  /** Cleaner across all partitions (see MorTable.clean) + parent-timeline
+    * archival. Returns #child data dirs removed. */
+  def clean(): Int = {
+    cleanParentTimeline()
+    parChildren(partitions())(_.clean()).sum
+  }
 
   /** Drop table (all partitions). */
   def drop(): Unit = { fs.delete(hPath, true); () }

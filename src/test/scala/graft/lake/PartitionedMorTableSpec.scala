@@ -161,6 +161,25 @@ class PartitionedMorTableSpec extends AnyFunSuite {
       s"partition move must tombstone the before-partition copy, got $rows")
   }
 
+  test("parent timeline archival bounds the listing; replay detection survives") {
+    val t = new PartitionedMorTable(spark, tmp(), Seq("k"), "p",
+      compactionDeltaCommits = 1000, autoCompact = false)
+    (1 to 5).foreach { i =>
+      t.upsert(Seq((i.toLong, "a", i)).toDF("k", "p", "v"), Seq(col("k")), batchId = i.toLong)
+    }
+    assert(t.cleanParentTimeline(keepLast = 2) == 3)
+    assert(t.parentTimeline().size == 2, "listing bounded to the kept tail")
+    // a fresh handle still detects archived batch ids (exactly-once survives)
+    val t2 = new PartitionedMorTable(spark, t.path, Seq("k"), "p",
+      compactionDeltaCommits = 1000, autoCompact = false)
+    assert(t2.isCommitted(1L) && t2.isCommitted(5L))
+    t2.upsert(Seq((1L, "a", 999)).toDF("k", "p", "v"), Seq(col("k")), batchId = 1L)
+    assert(t2.read().filter(col("k") === 1).head().getInt(2) == 1, "archived replay is a no-op")
+    // the token allocator's floor survives archival: next commit gets token 6
+    t2.upsert(Seq((9L, "a", 9)).toDF("k", "p", "v"), Seq(col("k")), batchId = 6L)
+    assert(t2.parentTimeline().last.seq == 6L)
+  }
+
   test("deletes tombstone within their partition only") {
     val t = new PartitionedMorTable(spark, tmp(), Seq("k"), "p")
     t.upsert(Seq((1L, "a", 1), (1L, "b", 2)).toDF("k", "p", "v"),
