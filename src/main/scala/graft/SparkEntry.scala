@@ -18,6 +18,20 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     graft.streaming.PipelineQueries.ticketView(spark, "/root/testdata/sf0.001")
 
+  /** Gate entries. Every entry has a DuckDB oracle in [[oracleSql]] EXCEPT
+    * seven that are rows-only BY DESIGN — their production hash family
+    * (xxhash64 / Spark murmur3) has no DuckDB equivalent, so each is
+    * instead pinned by an ORACLE-GREEN portable twin (same algorithm over
+    * md5, which both engines share) and/or an exact-ground-truth recall
+    * spec. Do not re-litigate these; the mapping (also in COVERAGE.md):
+    *   d2_minhash_pairs   → twin d8_minhash_portable (+ DedupSpec jaccard)
+    *   d3_simhash_pairs   → twin d9_simhash_portable
+    *   d4_embed_neardup   → exact d7_embed_neardup_exact (recall ≥0.8 spec)
+    *   d5_minhash_groups  → twin d11_minhash_union
+    *   s10_ann_lsh        → twin s20_ann_lsh_portable (recall ≥0.9 spec)
+    *   s11_ann_ivf        → twin s18_ann_ivf_portable (recall ≥0.6 spec)
+    *   t3_text_enrich     → oracle-green t2/t4 cover all non-xxhash cols
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r1_full_scan"       -> ((s, d) => RelationalOps.fullScan(s, d)),
     "r4_filter_eq"       -> ((s, d) => RelationalOps.filterEq(s, d)),
@@ -34,6 +48,8 @@ object SparkEntry {
     "r2_changelog_materialize" -> ((s, d) => graft.sources.ChangelogQueries.materializeEvents(s, d)),
     "s7_mor_upsert_replay" -> ((s, d) => graft.lake.LakeQueries.upsertReplay(s, d)),
     "s13_mor_partitioned" -> ((s, d) => graft.lake.LakeQueries.partitionedReplay(s, d)),
+    "s28_manifest_read"   -> ((s, d) => graft.lake.LakeQueries.manifestRead(s, d)),
+    "s29_point_read"      -> ((s, d) => graft.lake.LakeQueries.pointRead(s, d)),
     "s8_cdc_ticket_view"  -> ((s, d) => graft.streaming.PipelineQueries.ticketView(s, d)),
     "d1_exact_dedup"     -> ((s, d) => graft.functions.LlmQueries.exactDedup(s, d)),
     "d2_minhash_pairs"   -> ((s, d) => graft.functions.LlmQueries.minhashPairs(s, d)),
@@ -141,6 +157,17 @@ object SparkEntry {
         |SELECT event_type, count(*)::BIGINT AS n_users,
         |       sum(round(value * 1000000)::BIGINT)::BIGINT AS sum_micros
         |FROM final GROUP BY event_type""".stripMargin,
+    "s28_manifest_read" ->
+      """SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
+        |FROM events
+        |QUALIFY row_number() OVER
+        |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+    "s29_point_read" ->
+      """SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
+        |FROM events
+        |WHERE user_id % 7 = 0
+        |QUALIFY row_number() OVER
+        |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
     "s27_row_level_ops" ->
       """WITH lww AS (
         |  SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms

@@ -49,6 +49,60 @@ object LakeQueries {
     } finally batched.unpersist()
   }
 
+  /** External snapshot manifest, oracle-checked: replay events as two
+    * time-split upserts into a `compactionDeltaCommits = 2` table (the num
+    * trigger compacts after the second commit, publishing
+    * `manifest/<seq>.json`), then read the table back WITHOUT graft's
+    * merge logic — [[MorTable.readManifest]] is just "take the newest
+    * manifest, `spark.read.parquet` its file list, apply the declared
+    * `_deleted` filter". Must equal the same LWW dedup the snapshot is,
+    * proving any external parquet engine (the reference's Athena-via-Glue
+    * read path) sees the compacted table consistently. */
+  def manifestRead(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "value", "ts_ms", "ts_ns")
+    val bounds = ev.agg(min(col("ts_ns")).as("mn"), max(col("ts_ns")).as("mx")).head()
+    val mn = bounds.getLong(0); val mx = bounds.getLong(1)
+    val mid = mn + (mx - mn) / 2
+    val path = tempPath("mor-manifest")
+    val t = MorTable(spark, path, keyCols = Seq("user_id"), compactionDeltaCommits = 2)
+    t.upsert(ev.filter(col("ts_ns") <= mid),
+      orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 1L)
+    t.upsert(ev.filter(col("ts_ns") > mid),
+      orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 2L)
+    graft.TempDirs.materializeAndDelete(
+      MorTable.readManifest(spark, path)
+        .select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
+  }
+
+  /** Key-pruned point read, oracle-checked: replay events as two time-split
+    * UNCOMPACTED commits (so the pushed key filter must reach BOTH delta
+    * scans under the live merge window), then [[MorTable.readForKeys]] for
+    * the deterministic `user_id % 7 = 0` key set. Must equal the full LWW
+    * dedup restricted to those keys — the point-read path an incremental
+    * pipeline uses to compare a micro-batch against sink state without a
+    * table rescan. */
+  def pointRead(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "value", "ts_ms", "ts_ns")
+    val bounds = ev.agg(min(col("ts_ns")).as("mn"), max(col("ts_ns")).as("mx")).head()
+    val mn = bounds.getLong(0); val mx = bounds.getLong(1)
+    val mid = mn + (mx - mn) / 2
+    val path = tempPath("mor-point")
+    val t = new MorTable(spark, path, keyCols = Seq("user_id"),
+      compactionDeltaCommits = 1000, autoCompact = false)
+    t.upsert(ev.filter(col("ts_ns") <= mid),
+      orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 1L)
+    t.upsert(ev.filter(col("ts_ns") > mid),
+      orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 2L)
+    val keys = ev.select(col("user_id")).distinct()
+      .filter(col("user_id") % 7 === 0)
+      .collect().map(_.getLong(0).toString).toSeq.sorted
+    graft.TempDirs.materializeAndDelete(
+      t.readForKeys(keys)
+        .select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
+  }
+
   /** MOR incremental pull (the Hudi incremental-query analog),
     * oracle-checked: replay events as two time-split delta commits, then
     * `readIncremental(sinceSeq = 1)` must return exactly the LWW winners of
