@@ -174,29 +174,44 @@ final class IncrementalJoinPipeline(
       .join(tState.read(), col(personKey) === col(ticketPersonFk))
       .join(newH, col(histTicketFk) === col(ticketKey))
     val w = Window.partitionBy(col(sinkKey)).orderBy(histOrder.map(col(_).desc): _*)
-    val candTop = project(joined)
+    def argmaxPerKey(df: DataFrame): DataFrame = df
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
-      .cache()
-    // candidate sink keys are micro-batch sized (≤ |dH| after the argmax):
-    // collect them so the sink compare is a pruned point read, falling
-    // back to the full-snapshot compare only on an outsized batch
-    val candKeys = candTop.select(col(sinkKey).cast("string"))
-      .distinct().collect().map(_.getString(0)).toSeq
     val ordStruct = struct(histOrder.map(col): _*)
-    val curSnap =
-      if (candKeys.size <= IncrementalJoinPipeline.MaxPushedSinkKeys)
-        sink.readForKeys(candKeys)
-      else sink.read()
-    val cur = curSnap.select(col(sinkKey).as("__cur_key"),
-      struct(histOrder.map(col): _*).as("__cur_ord"))
-    val out = candTop
-      .join(cur, col(sinkKey) === col("__cur_key"), "left")
-      .filter(col("__cur_key").isNull || ordStruct > col("__cur_ord"))
-      .drop("__cur_key", "__cur_ord")
-    sink.upsert(out, orderWithinBatch = histOrder.map(col), batchId = batchId)
-    candTop.unpersist()
+    def conditionalUpsert(candTop: DataFrame, curSnap: DataFrame): Unit = {
+      val cur = curSnap.select(col(sinkKey).as("__cur_key"),
+        struct(histOrder.map(col): _*).as("__cur_ord"))
+      val out = candTop
+        .join(cur, col(sinkKey) === col("__cur_key"), "left")
+        .filter(col("__cur_key").isNull || ordStruct > col("__cur_ord"))
+        .drop("__cur_key", "__cur_ord")
+      sink.upsert(out, orderWithinBatch = histOrder.map(col), batchId = batchId)
+    }
+    // candidate sink keys are bounded by the batch's row count (the h→t→p
+    // join is N:1:1). A NORMAL micro-batch is small: collect its keys so
+    // the sink compare is a pruned point read (readForKeys pushes the set
+    // into the sink scans — O(|delta|), not O(|sink|)). A dense batch
+    // (snapshot replay / backfill) touches most keys anyway, so pruning
+    // cannot help — keep the original one-plan full compare and skip the
+    // cache/collect overhead entirely.
+    if (knownSmall(newH, IncrementalJoinPipeline.MaxPushedSinkKeys)) {
+      val candTop = argmaxPerKey(project(joined)).cache()
+      try {
+        val candKeys = candTop.select(col(sinkKey).cast("string"))
+          .distinct().collect().map(_.getString(0)).toSeq
+        conditionalUpsert(candTop,
+          if (candKeys.size <= IncrementalJoinPipeline.MaxPushedSinkKeys)
+            sink.readForKeys(candKeys)
+          else sink.read())
+      } finally { candTop.unpersist(); () }
+    } else conditionalUpsert(argmaxPerKey(project(joined)), sink.read())
     Seq(pState, tState, hState, sink).foreach(_.maybeCompact())
   }
+
+  /** True iff `df` provably has at most `limit` rows without paying more
+    * than a limit-bounded scan (the caller caches micro-batches, so this
+    * is one cheap job; a dense backfill batch stops counting at limit+1). */
+  private def knownSmall(df: DataFrame, limit: Int): Boolean =
+    df.limit(limit + 1).count() <= limit
 
   /** Emptiness without a cluster job when the optimizer can prove it (a
     * `limit(0)` envelope folds to an empty LocalRelation — the common
