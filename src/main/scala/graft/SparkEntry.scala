@@ -102,6 +102,9 @@ object SparkEntry {
     "s24_ann_quantized"   -> ((s, d) => graft.functions.LlmQueries.annQuantized(s, d)),
     "s26_label_centroids" -> ((s, d) => graft.functions.LlmQueries.labelCentroids(s, d)),
     "t10_repetition"      -> ((s, d) => graft.functions.LlmQueries.repetitionRatio(s, d)),
+    "t11_decontaminate"   -> ((s, d) => graft.functions.LlmQueries.decontaminate(s, d)),
+    "t12_pii_redact"      -> ((s, d) => graft.functions.LlmQueries.piiRedact(s, d)),
+    "t13_unigram_logprob" -> ((s, d) => graft.functions.LlmQueries.unigramLogProb(s, d)),
     "r30_stream_join"     -> ((s, d) => graft.streaming.StreamingQueries.streamJoin(s, d)),
     "d10_stream_dedup"    -> ((s, d) => graft.streaming.StreamingQueries.streamDedup(s, d)),
     "r20_semi_join"       -> ((s, d) => RelationalOps.semiJoin(s, d)),
@@ -309,6 +312,64 @@ object SparkEntry {
         |       round(1.0 - len(list_distinct(sh))::DOUBLE
         |             / greatest(len(sh), 1), 6) AS rep_ratio
         |FROM t""".stripMargin,
+    "t13_unigram_logprob" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                            x -> x <> '')) AS w
+        |  FROM documents
+        |), f AS (
+        |  SELECT w, count(*)::DOUBLE AS c FROM tok GROUP BY w
+        |), tot AS (SELECT count(*)::DOUBLE AS n FROM tok)
+        |SELECT t.doc_id, round(avg(-ln(f.c / tot.n)), 6) AS avg_logprob
+        |FROM tok t JOIN f USING (w) CROSS JOIN tot
+        |GROUP BY t.doc_id""".stripMargin,
+    "t11_decontaminate" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                     x -> x <> '') AS words
+        |  FROM documents
+        |), t AS (
+        |  SELECT doc_id, CASE WHEN len(words) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(words) - 1),
+        |        i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+        |    ELSE [array_to_string(words, ' ')] END AS sh
+        |  FROM w
+        |), e AS (SELECT doc_id, unnest(sh) AS s FROM t
+        |), b AS (SELECT DISTINCT s FROM e WHERE doc_id % 17 = 0
+        |), c AS (SELECT doc_id, s FROM e WHERE doc_id % 17 <> 0)
+        |SELECT c.doc_id, count(*)::BIGINT AS shared_shingles
+        |FROM c JOIN b ON c.s = b.s
+        |GROUP BY 1 HAVING count(*) >= 3""".stripMargin,
+    "t12_pii_redact" ->
+      """WITH inj AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' contact user' || doc_id::VARCHAR
+        |         || '@example.com now' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.'
+        |         || (doc_id % 256)::VARCHAR || '.1' ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309'
+        |         ELSE '' END AS t
+        |  FROM documents
+        |), red AS (
+        |  SELECT doc_id, t,
+        |    regexp_replace(regexp_replace(regexp_replace(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |      '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS clean
+        |  FROM inj
+        |)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+        |  len(regexp_extract_all(t,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ip,
+        |  len(regexp_extract_all(t,
+        |    '\b\d{3}-\d{3}-\d{4}\b'))::BIGINT AS n_phone,
+        |  len(clean)::BIGINT AS clean_len,
+        |  md5(clean) AS clean_md5
+        |FROM red""".stripMargin,
     "s26_label_centroids" ->
       """SELECT label, r.i,
         |       round(avg(embedding[r.i + 1]::DOUBLE), 6) AS m

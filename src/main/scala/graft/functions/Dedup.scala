@@ -103,6 +103,31 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** Decontamination (train/eval overlap removal — the step a training
+    * corpus runs against every benchmark before anything ships): flag each
+    * corpus document sharing at least `minShared` distinct word k-shingles
+    * with the benchmark set. Returns (idCol, shared_shingles) for flagged
+    * docs.
+    *
+    * Shape: inverted index, never all-pairs — the benchmark's distinct
+    * shingle set (eval suites are small next to a 100 TB corpus) is
+    * BROADCAST, the corpus side explodes per-doc distinct shingles and
+    * counts hits per doc in one partial-agg-friendly groupBy. Corpus cost
+    * is one scan + one aggregation; no shuffle carries document text. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    textCol: String = "text", idCol: String = "doc_id",
+                    shingleK: Int = 3, minShared: Int = 3): DataFrame = {
+    val benchShingles = benchmark
+      .select(explode(shingles(col(textCol), shingleK)).as("__s")).distinct()
+    corpus
+      .select(col(idCol), explode(shingles(col(textCol), shingleK)).as("__s"))
+      .join(broadcast(benchShingles), Seq("__s"))
+      // per-doc shingles are already distinct (shingles() dedups), so this
+      // count is exactly |shingles(doc) ∩ shingles(benchmark)|
+      .groupBy(col(idCol)).agg(count(lit(1)).as("shared_shingles"))
+      .filter(col("shared_shingles") >= minShared)
+  }
+
   // ---------------------------------------------------------------- minhash
 
   /** Word k-shingles (lowercased), the MinHash input set. */

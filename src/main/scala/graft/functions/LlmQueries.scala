@@ -330,4 +330,45 @@ object LlmQueries {
       .select(col("src_a"), col("src_b"),
         round(Dedup.estJaccard(col("ga"), col("gb")), 6).as("est_jaccard"))
   }
+
+  /** Unigram log-prob quality scoring, oracle-checked (see
+    * [[TextAnalysis.unigramLogProb]]). */
+  def unigramLogProb(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramLogProb(Tables.documents(spark, dir))
+
+  /** Decontamination, oracle-checked: treat `doc_id % 17 == 0` documents
+    * as the benchmark/eval set and flag every remaining corpus document
+    * sharing ≥3 distinct word 3-shingles with it (broadcast inverted
+    * index — see [[Dedup.decontaminate]]). */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.decontaminate(
+      corpus = docs.filter(col("doc_id") % 17 =!= 0),
+      benchmark = docs.filter(col("doc_id") % 17 === 0))
+  }
+
+  /** PII redaction, oracle-checked byte-for-byte: deterministic synthetic
+    * PII (email / IPv4 / phone keyed on doc_id — the testdata corpus
+    * carries none of its own) is injected identically on both engines,
+    * then redacted with the shared lookaround-free patterns. Output pins
+    * the full redacted text via md5 plus independent per-pattern counts. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val injected = Tables.documents(spark, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com now"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".1"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(" call 555-867-5309"))
+          .otherwise(lit(""))).as("t"))
+    injected.select(
+      col("doc_id"),
+      TextAnalysis.piiCount(col("t"), TextAnalysis.EmailRe).as("n_email"),
+      TextAnalysis.piiCount(col("t"), TextAnalysis.Ipv4Re).as("n_ip"),
+      TextAnalysis.piiCount(col("t"), TextAnalysis.PhoneRe).as("n_phone"),
+      length(TextAnalysis.redactPii(col("t"))).cast("long").as("clean_len"),
+      md5(TextAnalysis.redactPii(col("t"))).as("clean_md5"))
+  }
 }

@@ -120,6 +120,50 @@ object TextAnalysis {
   }
 
   /** One-pass stats projection over a documents table. */
+  /** PII scrubbing (training corpora redact contact data before anything
+    * trains on them). Patterns are deliberately lookaround-free so the
+    * exact same regexes run under Java regex (Spark codegen'd
+    * `regexp_replace`) and RE2 (the DuckDB oracle). Redaction order is
+    * fixed (email → IPv4 → phone) and token-stable, so the output is
+    * engine-portable byte-for-byte. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Match count for one PII pattern (counted on the ORIGINAL text —
+    * per-pattern counts are independent of redaction order). */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
+  /** Unigram log-probability scoring (the CCNet-style LM-perplexity proxy
+    * for corpus quality bucketing): per document, the mean negative log
+    * probability of its tokens under the corpus's own unigram
+    * distribution. Rare-token-heavy (noisy) documents score high, common
+    * prose scores low; downstream pipelines bucket on it the way CCNet
+    * buckets on KenLM perplexity.
+    *
+    * Shape at scale: one explode + one groupBy builds the term-frequency
+    * table (vocabulary-sized, NOT corpus-sized), the corpus token total is
+    * a scalar aggregate, and the per-doc score is one join + groupBy —
+    * every stage partial-agg friendly, nothing collected but the scalar. */
+  def unigramLogProb(docs: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.functions.{log => lnF}
+    val toks = docs.select(col(idCol), explode(tokens(lower(col(textCol)))).as("__w"))
+    val freq = toks.groupBy(col("__w")).agg(count(lit(1)).cast("double").as("__c"))
+    val total = toks.count().toDouble // scalar aggregate, not a data collect
+    toks.join(freq, Seq("__w"))
+      .groupBy(col(idCol))
+      .agg(round(avg(-lnF(col("__c") / lit(total))), 6).as("avg_logprob"))
+  }
+
   def textStats(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),

@@ -63,6 +63,22 @@ class DedupSpec extends AnyFunSuite {
     assert(partial.count() == 40)
   }
 
+  test("decontaminate flags corpus docs overlapping the benchmark, nothing else") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps high today"), // shares 3 shingles
+      (2L, "quick brown fox"),                      // shares 1 shingle
+      (3L, "completely unrelated text about spark engines")) // shares 0
+      .toDF("doc_id", "text")
+    val flagged = Dedup.decontaminate(corpus, bench, minShared = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged == Map(1L -> 3L), s"got $flagged")
+    val loose = Dedup.decontaminate(corpus, bench, minShared = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(loose == Set(1L, 2L))
+  }
+
   test("exactDedup keeps the smallest id per identical text") {
     val kept = Dedup.exactDedup(corpus).select("doc_id").as[Long].collect().toSet
     assert(kept == Set(0L, 2L, 3L, 4L, 5L))

@@ -97,4 +97,39 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getInt(0) >= 1)
     assert(r.getDouble(1) <= 1.0)
   }
+
+  test("unigramLogProb matches hand-computed corpus unigram scores") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    // total 5 tokens; p(a)=2/5, p(b)=2/5, p(c)=1/5
+    val got = TextAnalysis.unigramLogProb(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(1L) - math.log(2.5)) < 1e-6)                  // 3× -ln(2/5)
+    assert(math.abs(got(2L) - (math.log(2.5) + math.log(5)) / 2) < 1e-6)
+    // rare-token docs score strictly higher than common-token docs
+    assert(got(2L) > got(1L))
+  }
+
+  test("redactPii scrubs emails, IPv4s, phones; counts are independent") {
+    import spark.implicits._
+    val df = Seq(
+      ("mail me at a.user+tag@sub.example.org or 10.20.30.40, call 555-123-4567",
+        1L, 1L, 1L),
+      ("two mails x@y.io z@w.co and versions 1.2.3 (not an ip)", 2L, 0L, 0L),
+      ("no pii here", 0L, 0L, 0L))
+      .toDF("t", "e", "i", "p")
+    val got = df.select(
+      TextAnalysis.redactPii(col("t")).as("clean"),
+      TextAnalysis.piiCount(col("t"), TextAnalysis.EmailRe).as("ne"),
+      TextAnalysis.piiCount(col("t"), TextAnalysis.Ipv4Re).as("ni"),
+      TextAnalysis.piiCount(col("t"), TextAnalysis.PhoneRe).as("np"),
+      col("e"), col("i"), col("p")).collect()
+    got.foreach { r =>
+      assert(r.getLong(1) == r.getLong(4) && r.getLong(2) == r.getLong(5) &&
+        r.getLong(3) == r.getLong(6), r.toString)
+    }
+    assert(got(0).getString(0) == "mail me at <EMAIL> or <IP>, call <PHONE>")
+    assert(got(1).getString(0) == "two mails <EMAIL> <EMAIL> and versions 1.2.3 (not an ip)")
+    assert(got(2).getString(0) == "no pii here")
+  }
 }
