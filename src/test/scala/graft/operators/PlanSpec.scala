@@ -114,4 +114,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Expand"), p)
     assert(p.contains("partial_count"), p)
   }
+
+  test("t11 decontamination broadcasts the benchmark shingles; agg is partial") {
+    val p = plan(graft.functions.LlmQueries.decontaminate(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark shingle set must be the broadcast side:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("t12 PII redaction is a map-only scan (no shuffle)") {
+    val p = plan(graft.functions.LlmQueries.piiRedact(spark, dir))
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("t13 unigram scoring: vocabulary-sized shuffles only, partial aggs") {
+    val p = plan(graft.functions.LlmQueries.unigramLogProb(spark, dir))
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
