@@ -50,6 +50,7 @@ object SparkEntry {
     "s13_mor_partitioned" -> ((s, d) => graft.lake.LakeQueries.partitionedReplay(s, d)),
     "s28_manifest_read"   -> ((s, d) => graft.lake.LakeQueries.manifestRead(s, d)),
     "s29_point_read"      -> ((s, d) => graft.lake.LakeQueries.pointRead(s, d)),
+    "s30_stream_partitioned" -> ((s, d) => graft.streaming.StreamingQueries.streamPartitioned(s, d)),
     "s8_cdc_ticket_view"  -> ((s, d) => graft.streaming.PipelineQueries.ticketView(s, d)),
     "d1_exact_dedup"     -> ((s, d) => graft.functions.LlmQueries.exactDedup(s, d)),
     "d2_minhash_pairs"   -> ((s, d) => graft.functions.LlmQueries.minhashPairs(s, d)),
@@ -165,6 +166,11 @@ object SparkEntry {
         |FROM events
         |QUALIFY row_number() OVER
         |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+    "s30_stream_partitioned" ->
+      """SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
+        |FROM events
+        |QUALIFY row_number() OVER
+        |  (PARTITION BY event_type, user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
     "s29_point_read" ->
       """SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
         |FROM events

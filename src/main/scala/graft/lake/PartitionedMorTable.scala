@@ -274,8 +274,14 @@ final class PartitionedMorTable(
     *    partition at the same seq, so the old partition's copy — whether
     *    from an earlier commit or earlier in this batch — is retired and
     *    `read()` can never return the key twice. A move can only be
-    *    detected when the U carries its before image (the CDC contract). */
-  def applyChangelog(envelope: DataFrame, batchId: Long = -1L): PartitionedMorTable = {
+    *    detected when the U carries its before image (the CDC contract).
+    *
+    * `tiebreak` (image field names, applied DESC after seq): deterministic
+    * resolution when the source's `seq` is not a total order per key —
+    * e.g. an event-time seq with duplicate timestamps (the same contract
+    * as `ChangelogSource.materialize`). */
+  def applyChangelog(envelope: DataFrame, batchId: Long = -1L,
+                     tiebreak: Seq[String] = Nil): PartitionedMorTable = {
     if (isCommitted(batchId)) return this // replayed micro-batch — no-op
     val pOf = (image: Column) => image.getField(partitionCol).cast("string")
     val events = envelope.select(
@@ -290,7 +296,8 @@ final class PartitionedMorTable(
       .partitionBy(pOf(col("__r")), col("key"))
       // tombstone-first tie-break: a move-out tombstone shares its seq with
       // same-key rows only in the BEFORE partition, where it must win
-      .orderBy(col("seq").desc, col("__del").desc)
+      .orderBy(Seq(col("seq").desc, col("__del").desc) ++
+        tiebreak.map(f => col("__r").getField(f).desc): _*)
     val rows = events.unionByName(moveTombstones)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

@@ -53,12 +53,13 @@ object StreamingOps {
   def streamChangelogToPartitionedMor(changelog: DataFrame,
                                       table: graft.lake.PartitionedMorTable,
                                       checkpointDir: String,
-                                      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+                                      trigger: Trigger = Trigger.AvailableNow(),
+                                      tiebreak: Seq[String] = Nil): StreamingQuery =
     changelog.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        table.applyChangelog(batch, batchId): Unit
+        table.applyChangelog(batch, batchId, tiebreak): Unit
       }
       .start()
 

@@ -14,6 +14,40 @@ object StreamingQueries {
 
   private val counter = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Stream → PARTITIONED lake, oracle-checked end-to-end: events flow as
+    * an insert changelog through a real Structured Streaming job into a
+    * [[graft.lake.PartitionedMorTable]] (partition = event_type, key =
+    * user_id within partition — per-partition-unique keys, the shape the
+    * (partition, key) dedup contract exists for), then the lake snapshot
+    * is read back. Must equal the batch LWW dedup per (event_type,
+    * user_id). seq = ts_ns is not a total order per key, so the
+    * `event_id` tiebreak mirrors the oracle's ORDER BY exactly. */
+  def streamPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema // ts is long (nanos)
+    val watchDir = graft.TempDirs.create("stream-part")
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(watchDir, "events.parquet"),
+      java.nio.file.Paths.get(path).toAbsolutePath)
+    val rows = spark.readStream.schema(schema).parquet(watchDir)
+      .withColumnRenamed("ts", "ts_ns")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), expr("ts_ns div 1000000").as("ts_ms"),
+        col("ts_ns").as("seq"))
+    val env = graft.sources.ChangelogSource.insertsOnly(rows, Seq("user_id"))
+    val tablePath = graft.TempDirs.create("stream-part-lake")
+    val table = new graft.lake.PartitionedMorTable(spark, tablePath,
+      keyCols = Seq("user_id"), partitionCol = "event_type",
+      compactionDeltaCommits = 1000, autoCompact = false)
+    val q = StreamingOps.streamChangelogToPartitionedMor(env, table,
+      graft.TempDirs.create("stream-part-ckpt"), tiebreak = Seq("event_id"))
+    q.awaitTermination()
+    graft.TempDirs.materializeAndDelete(
+      table.read().select("user_id", "event_id", "event_type", "value", "ts_ms"),
+      tablePath)
+  }
+
   /** 1-hour tumbling windowed aggregate over a parquet STREAM of events;
     * returns the drained result. Must hash-match r14's batch oracle. */
   def streamTumble(spark: SparkSession, dir: String): DataFrame = {
