@@ -223,10 +223,16 @@ final class MorTable(
     * shadowing a slow concurrent writer's commit. */
   private[lake] def adoptBase(src: Path, foldedDeltaSeqs: Set[Long]): Unit = synchronized {
     val seq = allocateSeq("compact")
+    // markers listed BEFORE the timeline read (same order prepareCompact
+    // documents): a writer that publishes its instant and deletes its
+    // marker between the two listings then shows up in the TIMELINE; with
+    // the inverted order it would appear in neither set and its commit
+    // would be silently excluded from `unfolded` — a lost write
+    val pending = inflightDeltaSeqs()
     val tl = timeline()
     val lastC = tl.filter(_.kind == "compact").lastOption
     val candidates =
-      (tl.filter(_.kind == "delta").map(_.seq) ++ inflightDeltaSeqs()).distinct
+      (tl.filter(_.kind == "delta").map(_.seq) ++ pending).distinct
     val unfolded = candidates.filter(_ < seq).filterNot(foldedDeltaSeqs).filter { s =>
       // below the previous compact, only its own unfolded set is still
       // outstanding — everything else is in the ancestor base already
@@ -293,7 +299,7 @@ final class MorTable(
     val withM = rows
       .withColumn("_record_key", concat_ws("|", keyCols.map(c => col(c).cast("string")): _*))
       .withColumnRenamed("__del", "_deleted")
-    commitDelta(withM, batchId)
+    commitDelta(withM, batchId, insertOnly = insertOnly)
     this
   }
 
@@ -329,8 +335,16 @@ final class MorTable(
       .withColumn("_deleted", lit(deleted))
 
   private def commitDelta(df: DataFrame, batchId: Long,
-                          seqno: Option[Long] = None): Unit = synchronized {
+                          seqno: Option[Long] = None,
+                          insertOnly: Boolean = false): Unit = synchronized {
+    // the initial load of an empty table is trivially insert-only (every
+    // key is new), so first commits get the merge-skip flag for free —
+    // provided the write path deduped the batch (callers pass a per-key
+    // collapsed batch; applyChangelog's LWW window or upsert's dedupBatch)
     if (isCommitted(batchId)) return // replayed micro-batch — exactly-once no-op
+    // no published instant AND no concurrent claim → nothing this load
+    // could collide with
+    val firstCommit = timeline().isEmpty && inflightDeltaSeqs().isEmpty
     val seq = allocateSeq("delta")
     val now = System.currentTimeMillis()
     val out0 = df
@@ -338,7 +352,8 @@ final class MorTable(
       .withColumn("_commit_time", lit(commitTimeString(now)))
     val out = if (writePartitions > 0) out0.repartition(writePartitions, col("_record_key")) else out0
     out.write.mode("overwrite").parquet(s"$path/delta/$seq")
-    publishInstant(Instant(seq, "delta", batchId, now))
+    publishInstant(Instant(seq, "delta", batchId, now,
+      insertOnly = insertOnly || firstCommit))
     if (autoCompact) maybeCompact()
   }
 
@@ -399,10 +414,14 @@ final class MorTable(
     // allowMissingColumns: commits written before a column was added read
     // back with nulls for it (additive schema evolution, as Hudi allows)
     val unioned = parts.reduce(_.unionByName(_, allowMissingColumns = true))
-    // single source — base after compaction, or one delta commit — holds at
-    // most one row per key (per-commit dedup guarantees it): the merge
-    // window is a no-op, skip its shuffle entirely
-    if (parts.size == 1) unioned
+    // The merge window exists to pick the latest version per key ACROSS
+    // sources. Skip its full-table shuffle when the sources are provably
+    // key-disjoint: a single source (base after compaction, or one deduped
+    // delta commit), or ALL live deltas flagged insert-only — an insert's
+    // key is new by contract, so no key appears twice across base+deltas
+    // (a base tombstone for a re-inserted key is dropped by the reader's
+    // `_deleted` filter, never shadowing the newer insert).
+    if (parts.size == 1 || deltas.forall(_.insertOnly)) unioned
     else {
       val w = Window.partitionBy(col("_record_key")).orderBy(col("_commit_seqno").desc)
       unioned
@@ -690,12 +709,22 @@ object MorTable {
     * seq whose content is NOT in its base — commits that were claimed
     * (inflight marker up) but unpublished when the base was staged. A
     * snapshot read replays them once they publish, so a compaction racing
-    * a slow writer can never permanently shadow that writer's commit. */
+    * a slow writer can never permanently shadow that writer's commit.
+    *
+    * `insertOnly` (delta instants): the writer asserted every row is a NEW
+    * key (CDC `op = I` contract, or the initial load of an empty table).
+    * When ALL live deltas carry it, they are pairwise key-disjoint — and
+    * disjoint from the base (an insert's key cannot be live there) — so
+    * snapshot merges skip the LWW window's full-table shuffle. The Hudi
+    * insert-vs-upsert operation split; like Hudi, the flag TRUSTS the
+    * writer, and a contract-violating "insert" of a live key surfaces as a
+    * duplicate instead of being silently deduped. */
   final case class Instant(seq: Long, kind: String, batchId: Long, commitMs: Long,
-                           unfolded: Seq[Long] = Nil) {
+                           unfolded: Seq[Long] = Nil, insertOnly: Boolean = false) {
     def toJson: String = {
       val uf = if (unfolded.isEmpty) "" else s""","unfolded":[${unfolded.mkString(",")}]"""
-      s"""{"seq":$seq,"kind":"$kind","batchId":$batchId,"commitMs":$commitMs$uf}"""
+      val io = if (insertOnly) s""","insertOnly":true""" else ""
+      s"""{"seq":$seq,"kind":"$kind","batchId":$batchId,"commitMs":$commitMs$uf$io}"""
     }
   }
 
@@ -710,7 +739,7 @@ object MorTable {
       if (m.find() && m.group(1).nonEmpty) m.group(1).split(',').toSeq.map(_.toLong) else Nil
     }
     Instant(field("seq").toLong, field("kind"), field("batchId").toLong,
-      field("commitMs").toLong, uf)
+      field("commitMs").toLong, uf, json.contains("\"insertOnly\":true"))
   }
 
   /** Multi-writer commit-seq allocation (the Hudi inflight/OCC analog),

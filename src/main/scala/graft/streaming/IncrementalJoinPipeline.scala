@@ -57,18 +57,27 @@ final class IncrementalJoinPipeline(
     histOrder: Seq[String],
     project: DataFrame => DataFrame,
     sinkKey: String,
-    sinkCompactionDeltaCommits: Int = 5) {
+    sinkCompactionDeltaCommits: Int = 5,
+    /** T5 — the reference's `write.tasks` (zpln:2234: write.tasks=3): >0
+      * hashes every state/sink commit into this many files. Micro-batch
+      * deltas otherwise inherit `spark.sql.shuffle.partitions` and write
+      * that many KB-sized files PER COMMIT; a few commits in, every
+      * snapshot read's file listing crosses Spark's parallel-discovery
+      * threshold and each read pays a listing job before any data moves.
+      * Bounding files-per-commit is how Hudi sizes file groups too. */
+    writeTasks: Int = 0) {
 
   // autoCompact=false: states may only compact AFTER the sink commit is
   // durable, or a replayed batch could not reconstruct pre-batch state
   val pState = new MorTable(spark, s"$stateDir/person", Seq(personKey),
-    compactionDeltaCommits = 4, autoCompact = false)
+    compactionDeltaCommits = 4, autoCompact = false, writePartitions = writeTasks)
   val tState = new MorTable(spark, s"$stateDir/ticket", Seq(ticketKey),
-    compactionDeltaCommits = 4, autoCompact = false)
+    compactionDeltaCommits = 4, autoCompact = false, writePartitions = writeTasks)
   val hState = new MorTable(spark, s"$stateDir/hist", histKeyCols,
-    compactionDeltaCommits = 4, autoCompact = false)
-  val sink = MorTable(spark, s"$stateDir/sink", Seq(sinkKey),
-    compactionDeltaCommits = sinkCompactionDeltaCommits)
+    compactionDeltaCommits = 4, autoCompact = false, writePartitions = writeTasks)
+  val sink = new MorTable(spark, s"$stateDir/sink", Seq(sinkKey),
+    compactionDeltaCommits = sinkCompactionDeltaCommits,
+    writePartitions = writeTasks)
 
   /** Seed the states (the reference's snapshot phase, zpln:1101). Empty
     * DataFrames (with schema) are fine for binlog-only inputs. */
@@ -90,9 +99,16 @@ final class IncrementalJoinPipeline(
     // mostly): no dim/ticket changes and only inserts on the fact. Appends
     // cannot retract anything, so the batch needs a delta-sized join plus a
     // conditional upsert, NOT a full recompute of affected persons.
-    if (knownEmpty(dP) && knownEmpty(dT) && dH.filter(col("op") =!= "I").isEmpty) {
-      appendOnlyBatch(dH, batchId)
-      return
+    // ONE job decides both "all inserts?" and "small enough to point-read
+    // the sink?" (callers cache the micro-batch, so the count is one cheap
+    // cached scan — cheaper than the separate isEmpty probe + limit-count
+    // this replaces).
+    if (knownEmpty(dP) && knownEmpty(dT)) {
+      val st = dH.agg(count(lit(1)), count(when(col("op") =!= "I", true))).head()
+      if (st.getLong(1) == 0L) {
+        appendOnlyBatch(dH, st.getLong(0), batchId)
+        return
+      }
     }
 
     // read state AS OF before this batch: on a clean run that's read(),
@@ -165,14 +181,21 @@ final class IncrementalJoinPipeline(
     * ([[MorTable.snapshotForKeys]] pushes the key set into the parquet
     * scans, so row-group stats skip the untouched sink), never the whole
     * sink snapshot. */
-  private def appendOnlyBatch(dH: DataFrame, batchId: Long): Unit = {
+  private def appendOnlyBatch(dH: DataFrame, hRows: Long, batchId: Long): Unit = {
     // the caller proved dH is insert-only; unique keys are the CDC insert
     // contract — skip the per-key LWW window's shuffle
     hState.applyChangelog(dH, batchId, insertOnly = true)
     val newH = dH.select(col("after.*"))
+    // delta ⋈ state with the DELTA broadcast (the canonical CDC join shape:
+    // per-batch work stays map-only over the state scans, no state shuffle)
+    // — but only while the batch is actually broadcast-sized; a giant
+    // backfill batch falls back to a shuffle join rather than OOMing the
+    // driver with a multi-GB broadcast
+    val newHSide =
+      if (hRows <= IncrementalJoinPipeline.MaxBroadcastDeltaRows) broadcast(newH) else newH
     val joined = pState.read()
       .join(tState.read(), col(personKey) === col(ticketPersonFk))
-      .join(newH, col(histTicketFk) === col(ticketKey))
+      .join(newHSide, col(histTicketFk) === col(ticketKey))
     val w = Window.partitionBy(col(sinkKey)).orderBy(histOrder.map(col(_).desc): _*)
     def argmaxPerKey(df: DataFrame): DataFrame = df
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
@@ -187,13 +210,13 @@ final class IncrementalJoinPipeline(
       sink.upsert(out, orderWithinBatch = histOrder.map(col), batchId = batchId)
     }
     // candidate sink keys are bounded by the batch's row count (the h→t→p
-    // join is N:1:1). A NORMAL micro-batch is small: collect its keys so
-    // the sink compare is a pruned point read (readForKeys pushes the set
-    // into the sink scans — O(|delta|), not O(|sink|)). A dense batch
-    // (snapshot replay / backfill) touches most keys anyway, so pruning
-    // cannot help — keep the original one-plan full compare and skip the
-    // cache/collect overhead entirely.
-    if (knownSmall(newH, IncrementalJoinPipeline.MaxPushedSinkKeys)) {
+    // join is N:1:1; `hRows` was counted by the caller's pre-check job). A
+    // NORMAL micro-batch is small: collect its keys so the sink compare is
+    // a pruned point read (readForKeys pushes the set into the sink scans —
+    // O(|delta|), not O(|sink|)). A dense batch (snapshot replay /
+    // backfill) touches most keys anyway, so pruning cannot help — keep the
+    // original one-plan full compare and skip the cache/collect overhead.
+    if (hRows <= IncrementalJoinPipeline.MaxPushedSinkKeys) {
       val candTop = argmaxPerKey(project(joined)).cache()
       try {
         val candKeys = candTop.select(col(sinkKey).cast("string"))
@@ -206,12 +229,6 @@ final class IncrementalJoinPipeline(
     } else conditionalUpsert(argmaxPerKey(project(joined)), sink.read())
     Seq(pState, tState, hState, sink).foreach(_.maybeCompact())
   }
-
-  /** True iff `df` provably has at most `limit` rows without paying more
-    * than a limit-bounded scan (the caller caches micro-batches, so this
-    * is one cheap job; a dense backfill batch stops counting at limit+1). */
-  private def knownSmall(df: DataFrame, limit: Int): Boolean =
-    df.limit(limit + 1).count() <= limit
 
   /** Emptiness without a cluster job when the optimizer can prove it (a
     * `limit(0)` envelope folds to an empty LocalRelation — the common
@@ -245,4 +262,9 @@ object IncrementalJoinPipeline {
   /** Above this many candidate keys the pushed `In()` predicate costs more
     * than it saves (plan bloat); fall back to the full-snapshot compare. */
   private[streaming] val MaxPushedSinkKeys = 10000
+
+  /** Up to this many rows the append-batch delta is broadcast into the
+    * state join (a few-hundred-MB broadcast at most); beyond it — backfill
+    * territory — the join falls back to shuffle. */
+  private[streaming] val MaxBroadcastDeltaRows = 1000000
 }
