@@ -117,16 +117,43 @@ object Dedup {
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                     textCol: String = "text", idCol: String = "doc_id",
                     shingleK: Int = 3, minShared: Int = 3): DataFrame = {
-    val benchShingles = benchmark
-      .select(explode(shingles(col(textCol), shingleK)).as("__s")).distinct()
-    corpus
-      .select(col(idCol), explode(shingles(col(textCol), shingleK)).as("__s"))
-      .join(broadcast(benchShingles), Seq("__s"))
-      // per-doc shingles are already distinct (shingles() dedups), so this
-      // count is exactly |shingles(doc) ∩ shingles(benchmark)|
+    // production path shingles BOTH sides with the native one-pass
+    // shingle_hashes64 kernel (codegen'd, no shingle strings ever
+    // materialized — the hot per-row loop rule) and joins on 8-byte hashes.
+    // The output carries only per-doc COUNTS, and 64-bit collisions are
+    // ~n²/2⁶⁵, so the counts equal the string-set form's and the string
+    // DuckDB oracle still checks this path exactly; decontaminatePortable
+    // keeps the engine-portable string form (equality-tested in DedupSpec).
+    graft.GraftFunctions.register(corpus.sparkSession)
+    def hashed(df: DataFrame, cols: Column*) = df.select(
+      (cols :+ explode(call_function("shingle_hashes64",
+        col(textCol), lit(shingleK))).as("__s")): _*)
+    sharedShingleCounts(hashed(corpus, col(idCol)), hashed(benchmark),
+      idCol, minShared)
+  }
+
+  /** [[decontaminate]] with string shingles end-to-end — the portable twin
+    * any engine with string n-grams reproduces bit-for-bit. */
+  def decontaminatePortable(corpus: DataFrame, benchmark: DataFrame,
+                            textCol: String = "text", idCol: String = "doc_id",
+                            shingleK: Int = 3, minShared: Int = 3): DataFrame = {
+    def stringed(df: DataFrame, cols: Column*) = df.select(
+      (cols :+ explode(shingles(col(textCol), shingleK)).as("__s")): _*)
+    sharedShingleCounts(stringed(corpus, col(idCol)), stringed(benchmark),
+      idCol, minShared)
+  }
+
+  /** Broadcast-inverted-index core of decontamination: corpus (idCol, __s)
+    * ⋈ broadcast(distinct benchmark __s) → per-doc hit counts. Per-doc
+    * shingles arrive distinct (both shingle front ends dedup), so the
+    * count is exactly |shingles(doc) ∩ shingles(benchmark)|. */
+  private def sharedShingleCounts(corpusShingles: DataFrame,
+                                  benchShingles: DataFrame,
+                                  idCol: String, minShared: Int): DataFrame =
+    corpusShingles
+      .join(broadcast(benchShingles.distinct()), Seq("__s"))
       .groupBy(col(idCol)).agg(count(lit(1)).as("shared_shingles"))
       .filter(col("shared_shingles") >= minShared)
-  }
 
   // ---------------------------------------------------------------- minhash
 

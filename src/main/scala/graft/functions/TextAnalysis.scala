@@ -152,11 +152,16 @@ object TextAnalysis {
     * Shape at scale: one explode + one groupBy builds the term-frequency
     * table (vocabulary-sized, NOT corpus-sized), the corpus token total is
     * a scalar aggregate, and the per-doc score is one join + groupBy —
-    * every stage partial-agg friendly, nothing collected but the scalar. */
+    * every stage partial-agg friendly, nothing collected but the scalar.
+    * The exploded token relation has THREE consumers (frequency table,
+    * scalar total, final join), so it is pinned once with an eager
+    * localCheckpoint — without it every consumer re-tokenizes the corpus,
+    * and at 100 TB tokenization is the dominant cost ×3. */
   def unigramLogProb(docs: DataFrame, textCol: String = "text",
                      idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.functions.{log => lnF}
     val toks = docs.select(col(idCol), explode(tokens(lower(col(textCol)))).as("__w"))
+      .localCheckpoint(true)
     val freq = toks.groupBy(col("__w")).agg(count(lit(1)).cast("double").as("__c"))
     val total = toks.count().toDouble // scalar aggregate, not a data collect
     toks.join(freq, Seq("__w"))

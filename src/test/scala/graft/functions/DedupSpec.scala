@@ -79,6 +79,17 @@ class DedupSpec extends AnyFunSuite {
     assert(loose == Set(1L, 2L))
   }
 
+  test("decontaminate (native hashed) equals its portable string twin") {
+    // corpus fixture has identical docs, near-dups, short texts — the
+    // degenerate shingle cases where hashed/string shingling could diverge
+    val bench = corpus.filter($"doc_id" % 2 === 0)
+    val train = corpus.filter($"doc_id" % 2 =!= 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows(Dedup.decontaminate(train, bench, minShared = 1)) ==
+      rows(Dedup.decontaminatePortable(train, bench, minShared = 1)))
+  }
+
   test("exactDedup keeps the smallest id per identical text") {
     val kept = Dedup.exactDedup(corpus).select("doc_id").as[Long].collect().toSet
     assert(kept == Set(0L, 2L, 3L, 4L, 5L))

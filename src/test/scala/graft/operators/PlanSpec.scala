@@ -121,6 +121,10 @@ class PlanSpec extends AnyFunSuite {
       s"benchmark shingle set must be the broadcast side:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
     assert(p.contains("partial_count"), p)
+    // the production path shingles with the native kernel — no interpreted
+    // transform/array_distinct chain (the string twin keeps that form)
+    assert(p.contains("shingle_hashes64"), p)
+    assert(!p.contains("array_distinct"), p)
   }
 
   test("t12 PII redaction is a map-only scan (no shuffle)") {
@@ -132,5 +136,9 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(graft.functions.LlmQueries.unigramLogProb(spark, dir))
     assert(p.contains("partial_count"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // tokenization runs ONCE (in the localCheckpoint job); every consumer
+    // in the final plan reads the pinned token blocks, so no explode /
+    // Generate survives here
+    assert(!p.contains("Generate"), s"final plan must not re-tokenize:\n$p")
   }
 }
