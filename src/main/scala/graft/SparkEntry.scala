@@ -49,6 +49,7 @@ object SparkEntry {
     "s7_mor_upsert_replay" -> ((s, d) => graft.lake.LakeQueries.upsertReplay(s, d)),
     "s13_mor_partitioned" -> ((s, d) => graft.lake.LakeQueries.partitionedReplay(s, d)),
     "s28_manifest_read"   -> ((s, d) => graft.lake.LakeQueries.manifestRead(s, d)),
+    "s31_part_manifest_read" -> ((s, d) => graft.lake.LakeQueries.partManifestRead(s, d)),
     "s29_point_read"      -> ((s, d) => graft.lake.LakeQueries.pointRead(s, d)),
     "s30_stream_partitioned" -> ((s, d) => graft.streaming.StreamingQueries.streamPartitioned(s, d)),
     "s8_cdc_ticket_view"  -> ((s, d) => graft.streaming.PipelineQueries.ticketView(s, d)),
@@ -958,6 +959,14 @@ object SparkEntry {
         |  (PARTITION BY event_type, user_id
         |   ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
     "s13_mor_partitioned" ->
+      """SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
+        |FROM events
+        |QUALIFY row_number() OVER
+        |  (PARTITION BY event_type, user_id
+        |   ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+    // same replay as s13, read back through the parent-level manifest (an
+    // external engine's view) — identical final state by construction
+    "s31_part_manifest_read" ->
       """SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
         |FROM events
         |QUALIFY row_number() OVER

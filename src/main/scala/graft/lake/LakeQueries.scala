@@ -362,4 +362,30 @@ object LakeQueries {
     graft.TempDirs.materializeAndDelete(
       t.read().select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
   }
+
+  /** Parent-level manifest read, oracle-checked: the [[partitionedReplay]]
+    * scenario (every partition compacts after the second batch, so the
+    * parent publishes `manifest/<token>.json` spanning ALL partitions'
+    * bases), then the table is read back with NO graft merge logic — just
+    * the newest manifest's file list through `spark.read.parquet` plus the
+    * declared `_deleted` filter. Must equal the same LWW dedup `read()`
+    * returns, proving an external parquet engine gets one consistent
+    * cross-partition snapshot (the metadata-plane gap the round-5 verdict
+    * flagged). */
+  def partManifestRead(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "value", "ts_ms", "ts_ns")
+    val mid = ev.stat.approxQuantile("ts_ns", Array(0.5), 0.01)(0).toLong
+    val path = tempPath("mor-pmanifest")
+    val t = new PartitionedMorTable(spark, path,
+      keyCols = Seq("user_id"), partitionCol = "event_type",
+      compactionDeltaCommits = 2)
+    t.upsert(ev.filter(col("ts_ns") <= mid),
+      orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 1L)
+    t.upsert(ev.filter(col("ts_ns") > mid),
+      orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 2L)
+    graft.TempDirs.materializeAndDelete(
+      PartitionedMorTable.readManifest(spark, path)
+        .select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
+  }
 }

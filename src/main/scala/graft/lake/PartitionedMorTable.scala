@@ -80,12 +80,18 @@ final class PartitionedMorTable(
   @transient @volatile private var parentInstantCache: Map[Long, MorTable.Instant] = Map.empty
 
   /** Parent-level commit instants: the table-global `_commit_seqno` counter
-    * and the whole-batch exactly-once record. */
+    * and the whole-batch exactly-once record. The same listing also
+    * refreshes the archived-batch cache when a newer `_archived.v<N>`
+    * appears — cross-handle archival becomes visible with ZERO extra FS
+    * calls, instead of each handle pinning whatever version it first read. */
   def parentTimeline(): Seq[MorTable.Instant] = {
     val dir = new Path(hPath, "_timeline")
     if (!fs.exists(dir)) return Seq.empty
+    val names = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+    val av = names.flatMap(archivedVersionOf)
+    if (av.nonEmpty && av.max > parentArchivedVersion) refreshArchived(av.max)
     val cached = parentInstantCache
-    val all = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+    val all = names
       .filter(n => n.endsWith(".json") && !n.startsWith("_"))
       .map { n =>
         val seq = n.takeWhile(_ != '.').toLong
@@ -96,26 +102,67 @@ final class PartitionedMorTable(
     all
   }
 
-  /** Batch ids folded away by [[cleanParentTimeline]] (one summary file,
-    * loaded once per handle — the child archived-timeline analog). */
+  /** Batch ids folded away by [[cleanParentTimeline]]. Archive summaries
+    * are IMMUTABLE VERSIONED files `_timeline/_archived.v<N>` (the plain
+    * `_archived` name reads as v0 for back-compat): a new version is
+    * renamed into place under a fresh name and older versions deleted
+    * after, so no reader ever observes a window with NO archive file —
+    * the delete-then-rename gap that could resurrect a replayed batch.
+    * Ids only accumulate across versions, so reading any present version
+    * is never wrong, merely possibly stale by one clean. */
   @transient @volatile private var parentArchivedCache: Set[Long] = _
+  @transient @volatile private var parentArchivedVersion: Long = -1L
+
+  private def archivedVersionOf(name: String): Option[Long] =
+    if (name == "_archived") Some(0L)
+    else if (name.startsWith("_archived.v")) name.stripPrefix("_archived.v").toLongOption
+    else None
+
+  private def archivedFileName(v: Long): String =
+    if (v == 0L) "_archived" else s"_archived.v$v"
+
+  private def refreshArchived(version: Long): Unit = {
+    // a concurrent clean may delete the version between list and read —
+    // re-list and take the newest that survives
+    var v = version
+    var attempts = 0
+    while (attempts < 5) {
+      try {
+        val json = new String(MorTable.readFully(fs,
+          new Path(hPath, s"_timeline/${archivedFileName(v)}")),
+          java.nio.charset.StandardCharsets.UTF_8)
+        parentArchivedCache = "-?\\d+".r.findAllIn(json.dropWhile(_ != '[')).map(_.toLong).toSet
+        parentArchivedVersion = v
+        return
+      } catch {
+        case _: java.io.IOException =>
+          attempts += 1
+          val av = (try fs.listStatus(new Path(hPath, "_timeline")).toSeq
+            .map(_.getPath.getName) catch {
+              case _: java.io.FileNotFoundException => Seq.empty[String]
+            }).flatMap(archivedVersionOf)
+          if (av.isEmpty) return // nothing archived (fresh table) — keep cache
+          v = av.max
+      }
+    }
+    throw new java.io.IOException(
+      s"parent archive summary unreadable after $attempts attempts at $path")
+  }
 
   private def parentArchivedBatchIds: Set[Long] = {
-    var c = parentArchivedCache
-    if (c == null) {
-      c = try {
-        val json = new String(MorTable.readFully(fs,
-          new Path(hPath, "_timeline/_archived")), java.nio.charset.StandardCharsets.UTF_8)
-        "-?\\d+".r.findAllIn(json.dropWhile(_ != '[')).map(_.toLong).toSet
-      } catch { case _: java.io.IOException => Set.empty[Long] }
-      parentArchivedCache = c
+    if (parentArchivedCache == null) {
+      val av = (try fs.listStatus(new Path(hPath, "_timeline")).toSeq
+        .map(_.getPath.getName) catch {
+          case _: java.io.FileNotFoundException => Seq.empty[String]
+        }).flatMap(archivedVersionOf)
+      if (av.isEmpty) parentArchivedCache = Set.empty else refreshArchived(av.max)
     }
-    c
+    parentArchivedCache
   }
 
   /** Bound the parent instant listing (the child `clean()` analog): fold
-    * the batch ids of all but the newest `keepLast` instants into the
-    * `_timeline/_archived` summary and delete their files. Keeping a tail
+    * the batch ids of all but the newest `keepLast` instants into the next
+    * versioned archive summary and delete their files. Keeping a tail
     * of live instants preserves the token allocator's max-seq floor, so an
     * archived token can never be re-claimed. Returns #instants archived. */
   def cleanParentTimeline(keepLast: Int = 100): Int = {
@@ -123,15 +170,20 @@ final class PartitionedMorTable(
     val doomed = tl.dropRight(keepLast)
     if (doomed.isEmpty) return 0
     val ids = (parentArchivedBatchIds ++ doomed.map(_.batchId).filter(_ >= 0)).toSeq.sorted
-    val tmp = new Path(hPath, "_timeline/._archived.tmp")
+    val nextV = math.max(0L, parentArchivedVersion) + 1
+    val tmp = new Path(hPath, s"_timeline/._archived.v$nextV.tmp")
     val out = fs.create(tmp, true)
     try out.write(s"""{"batchIds":[${ids.mkString(",")}]}"""
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
-    val dst = new Path(hPath, "_timeline/_archived")
-    fs.delete(dst, false)
+    val dst = new Path(hPath, s"_timeline/${archivedFileName(nextV)}")
     if (!fs.rename(tmp, dst))
       throw new java.io.IOException(s"parent archive rename failed: $dst")
     parentArchivedCache = ids.toSet
+    parentArchivedVersion = nextV
+    // older versions (subsets of the new one) go only AFTER the new one is
+    // durable — a reader always finds at least one version
+    (0L until nextV).foreach(v =>
+      fs.delete(new Path(hPath, s"_timeline/${archivedFileName(v)}"), false))
     doomed.foreach(i =>
       fs.delete(new Path(hPath, s"_timeline/${i.seq}.${i.kind}.json"), false))
     parentInstantCache = parentInstantCache -- doomed.map(_.seq)
@@ -446,7 +498,11 @@ final class PartitionedMorTable(
     def lww(df: DataFrame) = lwwLatest(df)
     val net = lww(deltas.filter(col("_commit_seqno") > fromToken &&
       col("_commit_seqno") <= toToken))
-    val dataCols = read(sel).schema.fieldNames.toSeq
+    // column list from the deltas scan already in hand — building a read()
+    // plan just to enumerate names would cost a second round of child-
+    // timeline listings per CDC read (and could even name base-only columns
+    // this delta-derived output cannot produce)
+    val dataCols = orderedDataCols(deltas.columns)
     val touched = net.select(col(partitionCol).as("__p"),
       col("_record_key").as("__k")).distinct()
     val before = lww(deltas.filter(col("_commit_seqno") <= fromToken))
@@ -520,8 +576,67 @@ final class PartitionedMorTable(
     // its trigger stops firing — rare, and empty, so the extra job is tiny
     values.filterNot(written).foreach(child(_).compact())
     if (fs.exists(stagingDir)) fs.delete(stagingDir, true)
+    writeParentManifest()
     ()
   }
+
+  /** Table-level external snapshot manifest + catalog entry — the
+    * partitioned analog of [[MorTable.writeManifest]] and the missing
+    * metadata plane (the reference's Glue registration,
+    * `lib/rds-cdc-flink-hudi-stack.ts:458-519`): after each parent
+    * compaction, `manifest/<token>.json` lists the latest base parquet
+    * files of EVERY partition in one consistent — compaction-stale —
+    * snapshot, and `manifest/catalog.json` records name / path / key
+    * columns / partition column / data schema so an external engine
+    * discovers the table without reading graft code. Children that have
+    * never compacted are omitted (their data is not yet base-file
+    * visible); deltas newer than a child's base are likewise invisible —
+    * identical staleness contract to the child manifest. Best-effort: a
+    * manifest failure never fails the compaction (the timelines stay the
+    * source of truth). */
+  private def writeParentManifest(): Unit =
+    try {
+      val bases = parChildren(partitions())(_.liveScanDirs()._1).flatten
+      if (bases.isEmpty) return
+      val token = parentTimeline().lastOption.map(_.seq).getOrElse(0L)
+      val dir = new Path(hPath, "manifest")
+      fs.mkdirs(dir)
+      val dst = new Path(dir, s"$token.json")
+      if (!fs.exists(dst)) { // manifests are immutable; same token → same bases
+        val files = bases.flatMap { d =>
+          fs.listStatus(new Path(d)).toSeq.map(_.getPath)
+            .filter(_.getName.endsWith(".parquet")).map(_.toString)
+        }.sorted
+        val json = s"""{"token":$token,"filter":"_deleted = false",""" +
+          s""""files":[${files.map("\"" + _ + "\"").mkString(",")}]}"""
+        val tmp = new Path(dir, s".$token.json.tmp")
+        val out = fs.create(tmp, true)
+        try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        if (!fs.rename(tmp, dst))
+          throw new java.io.IOException(s"parent manifest rename failed: $dst")
+      }
+      // catalog: schema from the base scan (footers only, no jobs); meta
+      // columns dropped — external readers apply the declared filter first
+      val schema = org.apache.spark.sql.types.StructType(
+        scanDirs(bases).schema.filterNot(f => metaCols.contains(f.name)))
+      def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      val cat = s"""{"name":${q(hPath.getName)},"path":${q(path)},""" +
+        s""""keyCols":[${keyCols.map(q).mkString(",")}],""" +
+        s""""partitionCol":${q(partitionCol)},"schema":${schema.json}}"""
+      val ctmp = new Path(dir, ".catalog.json.tmp")
+      val cout = fs.create(ctmp, true)
+      try cout.write(cat.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally cout.close()
+      fs.delete(new Path(dir, "catalog.json"), false)
+      if (!fs.rename(ctmp, new Path(dir, "catalog.json")))
+        throw new java.io.IOException(s"catalog rename failed under $dir")
+      ()
+    } catch {
+      case e: java.io.IOException =>
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"parent manifest write failed for $path", e)
+    }
 
   /** Cleaner across all partitions (see MorTable.clean) + parent-timeline
     * archival. Returns #child data dirs removed. */
@@ -532,4 +647,40 @@ final class PartitionedMorTable(
 
   /** Drop table (all partitions). */
   def drop(): Unit = { fs.delete(hPath, true); () }
+}
+
+object PartitionedMorTable {
+  /** External-engine read of the table-level manifest: identical file
+    * format to the child manifest, so the same "newest manifest →
+    * `spark.read.parquet(files)` → declared filter → drop meta" recipe
+    * applies ([[MorTable.readManifest]] is that recipe). */
+  def readManifest(spark: SparkSession, path: String): DataFrame =
+    MorTable.readManifest(spark, path)
+
+  /** Parse `manifest/catalog.json` — what an external engine's catalog
+    * sync reads: (name, path, key columns, partition column, data schema).
+    * The schema round-trips through StructType JSON. */
+  def readCatalog(spark: SparkSession, path: String):
+      (String, String, Seq[String], String, org.apache.spark.sql.types.StructType) = {
+    val p = new Path(path, "manifest/catalog.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val json = new String(MorTable.readFully(fs, p),
+      java.nio.charset.StandardCharsets.UTF_8)
+    def str(name: String): String = {
+      val m = java.util.regex.Pattern.compile("\"" + name + "\":\"((?:[^\"\\\\]|\\\\.)*)\"")
+        .matcher(json)
+      if (!m.find()) throw new IllegalArgumentException(s"catalog.json missing $name")
+      m.group(1).replace("\\\"", "\"").replace("\\\\", "\\")
+    }
+    val keys = {
+      val m = java.util.regex.Pattern.compile("\"keyCols\":\\[([^\\]]*)\\]").matcher(json)
+      if (!m.find()) throw new IllegalArgumentException("catalog.json missing keyCols")
+      "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq
+    }
+    val schemaJson = json.substring(json.indexOf("\"schema\":") + "\"schema\":".length)
+      .stripSuffix("}")
+    val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    (str("name"), str("path"), keys, str("partitionCol"), schema)
+  }
 }

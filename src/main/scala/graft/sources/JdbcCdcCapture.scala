@@ -114,6 +114,11 @@ final class JdbcCdcCapture(url: String, tables: Seq[String]) {
                            op: String, before: String, after: String)
     val conn = DriverManager.getConnection(url)
     val drained = scala.collection.mutable.ArrayBuffer[Event]()
+    // tentative high-water marks: committed to lastDrained only AFTER the
+    // segment rename succeeds — advancing mid-cursor would permanently skip
+    // the read-but-unpublished logids if the segment write failed
+    // (at-most-once), breaking the Debezium offset-after-publish contract
+    val tentative = scala.collection.mutable.Map[String, Long]()
     try {
       tables.foreach { t =>
         val cols = columns(t)
@@ -127,7 +132,7 @@ final class JdbcCdcCapture(url: String, tables: Seq[String]) {
           val before = if (op == "c") "null" else imageJson(rs, cols, "old_")
           val after = if (op == "d") "null" else imageJson(rs, cols, "new_")
           drained += Event(rs.getTimestamp("ts").getTime, t, logid, op, before, after)
-          lastDrained(t) = math.max(lastDrained(t), logid)
+          tentative(t) = math.max(tentative.getOrElse(t, lastDrained(t)), logid)
         }
       }
     } finally conn.close()
@@ -146,6 +151,7 @@ final class JdbcCdcCapture(url: String, tables: Seq[String]) {
       lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     java.nio.file.Files.move(tmp, dir.resolve(s"seg-$segmentId.json"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    tentative.foreach { case (t, hw) => lastDrained(t) = hw } // publish durable → commit offsets
     lines.size
   }
 
@@ -164,13 +170,36 @@ final class JdbcCdcCapture(url: String, tables: Seq[String]) {
           if (rs.wasNull()) "null" else l.toString
         case _ =>
           val s = rs.getString(s"$prefix${c.name}")
-          if (rs.wasNull() || s == null) "null"
-          else "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+          if (rs.wasNull() || s == null) "null" else jsonString(s)
       }
       s""""${c.name}":$v"""
     }
     // an all-null old_ image on a 'c' row never reaches here (before=null
     // short-circuits in drainSegment), so this is always a real image
     fields.mkString("{", ",", "}")
+  }
+
+  /** JSON string literal with FULL control-character escaping — a raw
+    * newline in a VARCHAR would split one event across two JSON lines and
+    * permissive-mode parsing downstream would silently null both. */
+  private def jsonString(s: String): String = {
+    val b = new java.lang.StringBuilder(s.length + 2)
+    b.append('"')
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      ch match {
+        case '\\' => b.append("\\\\")
+        case '"' => b.append("\\\"")
+        case '\n' => b.append("\\n")
+        case '\r' => b.append("\\r")
+        case '\t' => b.append("\\t")
+        case c if c < 0x20 => b.append(f"\\u${c.toInt}%04x")
+        case c => b.append(c)
+      }
+      i += 1
+    }
+    b.append('"')
+    b.toString
   }
 }

@@ -188,4 +188,29 @@ class PartitionedMorTableSpec extends AnyFunSuite {
     val rows = t.read().collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(rows == Seq((1L, "b")))
   }
+
+  test("parent manifest + catalog: external engine reads one cross-partition snapshot") {
+    val t = new PartitionedMorTable(spark, tmp(), Seq("k"), "p",
+      compactionDeltaCommits = 2)
+    t.upsert(Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "p", "v"),
+      Seq(col("k")), batchId = 1L)
+    // second commit trips every partition's num trigger → all compact →
+    // parent manifest spans BOTH partitions' bases
+    t.upsert(Seq((1L, "a", 11), (3L, "b", 30)).toDF("k", "p", "v"),
+      Seq(col("k")), batchId = 2L)
+    val ext = PartitionedMorTable.readManifest(spark, t.path)
+      .select("k", "p", "v").orderBy("p", "k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    val own = t.read().select("k", "p", "v").orderBy("p", "k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(ext == own && ext == Seq((1L, "a", 11), (2L, "b", 20), (3L, "b", 30)))
+    // metadata plane: an external catalog sync discovers the table shape
+    val (name, path, keys, pcol, schema) = PartitionedMorTable.readCatalog(spark, t.path)
+    assert(path == t.path && keys == Seq("k") && pcol == "p" && name.nonEmpty)
+    assert(schema.fieldNames.toSet == Set("k", "p", "v"))
+    // manifest is compaction-stale: a post-compaction delta is invisible
+    // externally until the next compaction, never half-visible
+    t.upsert(Seq((9L, "a", 90)).toDF("k", "p", "v"), Seq(col("k")), batchId = 3L)
+    assert(PartitionedMorTable.readManifest(spark, t.path).count() == 3)
+  }
 }

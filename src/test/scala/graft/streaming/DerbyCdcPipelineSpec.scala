@@ -126,4 +126,29 @@ class DerbyCdcPipelineSpec extends AnyFunSuite {
     // nothing new to drain: the capture's high-water mark advanced
     assert(capture.drainSegment(watch) == 0)
   }
+
+  test("control characters in VARCHAR images stay one JSON line per event") {
+    val url2 = "jdbc:derby:memory:cdcescdb;create=true"
+    val conn = DriverManager.getConnection(url2)
+    conn.createStatement().execute(
+      "CREATE TABLE note (id DOUBLE, body VARCHAR(64))")
+    val capture = new JdbcCdcCapture(url2, Seq("note"))
+    capture.install()
+    val dirty = "line1\nline2\ttab\rretctl\"q\\s"
+    val ps = conn.prepareStatement("INSERT INTO note VALUES (1.0, ?)")
+    ps.setString(1, dirty); ps.executeUpdate()
+    val up = conn.prepareStatement("UPDATE note SET body = ? WHERE id = 1.0")
+    up.setString(1, dirty + "\n2"); up.executeUpdate()
+    conn.close()
+    val watch = TestSpark.tmpDir("derby-cdc-esc")
+    assert(capture.drainSegment(watch) == 2)
+    val raw = java.nio.file.Files.readAllLines(
+      java.nio.file.Files.list(java.nio.file.Paths.get(watch)).iterator().next())
+    assert(raw.size() == 2, "one JSON line per event, newlines escaped")
+    // strict round-trip: both events parse and the dirty string survives
+    val parsed = spark.read.json(watch)
+    assert(!parsed.columns.contains("_corrupt_record"), parsed.columns.mkString(","))
+    val bodies = parsed.select(col("payload.after.body")).collect().map(_.getString(0)).toSet
+    assert(bodies == Set(dirty, dirty + "\n2"))
+  }
 }
