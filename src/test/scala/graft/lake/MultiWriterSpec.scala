@@ -125,4 +125,35 @@ class MultiWriterSpec extends AnyFunSuite {
     }
     assert(t.parentTimeline().last.batchId == 1L, "committed instant untouched")
   }
+
+  test("clean() racing a reader holding a pre-clean timeline: loud failure or consistent snapshot, never a partial merge") {
+    val path = tmp()
+    val t = new MorTable(spark, path, Seq("k"),
+      compactionDeltaCommits = 1000, autoCompact = false)
+    t.upsert(Seq((1L, 10)).toDF("k", "v"), Seq(col("k")), batchId = 1L)
+    t.upsert(Seq((1L, 11), (2L, 20)).toDF("k", "v"), Seq(col("k")), batchId = 2L)
+    t.compact()
+    // reader A resolved the LATEST snapshot pre-clean: reads only the base,
+    // which clean() retains — stays consistent
+    val latest = t.read()
+    // reader B resolved a TIME-TRAVEL plan over pre-compact deltas that
+    // clean() physically removes
+    val travel = t.readAt(1L)
+    assert(t.clean() > 0)
+    assert(latest.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap ==
+      Map(1L -> 11, 2L -> 20), "pre-clean latest-snapshot reader stays consistent")
+    // the doomed reader must FAIL (missing files surface), not silently
+    // return a half-cleaned merge
+    val e = intercept[Exception] { travel.collect() }
+    def chain(x: Throwable): Seq[Throwable] =
+      if (x == null) Nil else x +: chain(x.getCause)
+    assert(chain(e).exists(c =>
+      c.isInstanceOf[java.io.FileNotFoundException] ||
+        Option(c.getMessage).exists(m =>
+          m.contains("does not exist") || m.contains("FileNotFound"))),
+      s"expected missing-file failure, got: $e")
+    // and a FRESH read after clean sees the consistent compacted state
+    assert(t.read().collect().map(r => r.getLong(0) -> r.getInt(1)).toMap ==
+      Map(1L -> 11, 2L -> 20))
+  }
 }
