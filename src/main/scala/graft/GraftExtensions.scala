@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions.call_function
-import graft.functions.expr.{CosineSimilarity, LangId, LshBuckets, LshBucketsMd5, MinHashAgg, MinHashBands, MinHashSignature, MinHashMd5, NearestCells, Quantize127, ShingleHashes, TextQuality, SigOverlap, SimHashChunks, SimHashMd5, TokenHashes}
+import graft.functions.expr.{CosineSimilarity, LangId, LshBuckets, LshBucketsMd5, MinHashAgg, MinHashBands, MinHashSignature, MinHashMd5, NearestCells, PqEncode, Quantize127, ShingleHashes, TextQuality, SigOverlap, SimHashChunks, SimHashMd5, TokenHashes}
 
 /** Engine extension wiring.
   *
@@ -49,6 +49,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => NearestCells(exprs.head, exprs(1), exprs(2), exprs(3))))
     ext.injectFunction((FunctionIdentifier("quantize127"), Quantize127.info,
       exprs => Quantize127(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("pq_encode"), PqEncode.info,
+      exprs => PqEncode(exprs.head, exprs(1), exprs(2))))
     ext.injectFunction((FunctionIdentifier("text_quality"), TextQuality.info,
       exprs => TextQuality(exprs.head)))
     ext.injectFunction((FunctionIdentifier("lang_id"), LangId.info,
@@ -119,6 +121,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("quantize127"), Quantize127.info,
       exprs => Quantize127(exprs.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("pq_encode"), PqEncode.info,
+      exprs => PqEncode(exprs.head, exprs(1), exprs(2)))
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("text_quality"), TextQuality.info,
       exprs => TextQuality(exprs.head))

@@ -102,6 +102,8 @@ object SparkEntry {
     "t9_sequence_pack"    -> ((s, d) => graft.functions.LlmQueries.sequencePack(s, d)),
     "s23_embed_quant"     -> ((s, d) => graft.functions.LlmQueries.embedQuantize(s, d)),
     "s24_ann_quantized"   -> ((s, d) => graft.functions.LlmQueries.annQuantized(s, d)),
+    "s32_pq_encode"       -> ((s, d) => graft.functions.LlmQueries.pqEncode(s, d)),
+    "s33_pq_adc_ann"      -> ((s, d) => graft.functions.LlmQueries.pqAdcAnn(s, d)),
     "s26_label_centroids" -> ((s, d) => graft.functions.LlmQueries.labelCentroids(s, d)),
     "t10_repetition"      -> ((s, d) => graft.functions.LlmQueries.repetitionRatio(s, d)),
     "t11_decontaminate"   -> ((s, d) => graft.functions.LlmQueries.decontaminate(s, d)),
@@ -400,6 +402,69 @@ object SparkEntry {
         |WHERE a.vec_id < 5
         |QUALIFY row_number() OVER (PARTITION BY a.vec_id
         |  ORDER BY qcos DESC, b.vec_id ASC) <= 10""".stripMargin,
+    // s32/s33: PQ in the int8-quantized domain — every distance is an exact
+    // integer, so even the APPROXIMATE codes/search are hash-comparable.
+    // Codebook = quantized vectors of ids < 64 (the fixed-seed convention
+    // of s18); dim 64 split into 4 subspaces of 16.
+    "s32_pq_encode" ->
+      """WITH m0 AS (
+        |  SELECT vec_id, embedding,
+        |         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS mx
+        |  FROM embeddings
+        |), qz AS (
+        |  SELECT vec_id,
+        |         list_transform(range(64), i -> CASE WHEN mx > 0
+        |           THEN round(embedding[i+1]::DOUBLE * 127.0 / mx)::BIGINT
+        |           ELSE 0::BIGINT END) AS q
+        |  FROM m0
+        |), sub AS (
+        |  SELECT vec_id, s.m AS sm, list_slice(q, s.m*16+1, s.m*16+16) AS sv
+        |  FROM qz, (SELECT unnest(range(4)) AS m) s
+        |), cb AS (
+        |  SELECT sm, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < 64
+        |), dist AS (
+        |  SELECT s.vec_id, s.sm, c.cid,
+        |         list_sum(list_transform(range(16),
+        |           j -> (s.sv[j+1] - c.cv[j+1]) * (s.sv[j+1] - c.cv[j+1])))::BIGINT AS d
+        |  FROM sub s JOIN cb c ON s.sm = c.sm
+        |)
+        |SELECT vec_id, sm AS m, cid AS code FROM dist
+        |QUALIFY row_number() OVER (PARTITION BY vec_id, sm ORDER BY d, cid) = 1""".stripMargin,
+    "s33_pq_adc_ann" ->
+      """WITH m0 AS (
+        |  SELECT vec_id, embedding,
+        |         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS mx
+        |  FROM embeddings
+        |), qz AS (
+        |  SELECT vec_id,
+        |         list_transform(range(64), i -> CASE WHEN mx > 0
+        |           THEN round(embedding[i+1]::DOUBLE * 127.0 / mx)::BIGINT
+        |           ELSE 0::BIGINT END) AS q
+        |  FROM m0
+        |), sub AS (
+        |  SELECT vec_id, s.m AS sm, list_slice(q, s.m*16+1, s.m*16+16) AS sv
+        |  FROM qz, (SELECT unnest(range(4)) AS m) s
+        |), cb AS (
+        |  SELECT sm, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < 64
+        |), dist AS (
+        |  SELECT s.vec_id, s.sm, c.cid,
+        |         list_sum(list_transform(range(16),
+        |           j -> (s.sv[j+1] - c.cv[j+1]) * (s.sv[j+1] - c.cv[j+1])))::BIGINT AS d
+        |  FROM sub s JOIN cb c ON s.sm = c.sm
+        |), codes AS (
+        |  SELECT vec_id, sm, cid FROM dist
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, sm ORDER BY d, cid) = 1
+        |), qlut AS (
+        |  SELECT vec_id AS query_id, sm, cid, d FROM dist WHERE vec_id < 5
+        |), approx AS (
+        |  SELECT ql.query_id, c.vec_id AS neighbor_id, sum(ql.d)::BIGINT AS adist
+        |  FROM codes c JOIN qlut ql ON ql.sm = c.sm AND ql.cid = c.cid
+        |  WHERE c.vec_id <> ql.query_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT query_id, neighbor_id, adist FROM approx
+        |QUALIFY row_number() OVER
+        |  (PARTITION BY query_id ORDER BY adist, neighbor_id) <= 10""".stripMargin,
     "s23_embed_quant" ->
       """WITH m AS (
         |  SELECT vec_id, embedding,

@@ -336,6 +336,20 @@ object LlmQueries {
   def unigramLogProb(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.unigramLogProb(Tables.documents(spark, dir))
 
+  /** PQ encode, oracle-checked end-to-end (see [[Similarity.pqEncode]]):
+    * every distance is integer, so the approximate codes are bit-exact
+    * across engines. */
+  def pqEncode(spark: SparkSession, dir: String): DataFrame =
+    Similarity.pqEncode(Tables.embeddings(spark, dir))
+
+  /** PQ-ADC compressed-domain ANN, oracle-checked end-to-end (see
+    * [[Similarity.pqTopK]]) — the first APPROXIMATE search path the oracle
+    * reproduces exactly (integer LUT distances). */
+  def pqAdcAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+  }
+
   /** Decontamination, oracle-checked: treat `doc_id % 17 == 0` documents
     * as the benchmark/eval set and flag every remaining corpus document
     * sharing ≥3 distinct word 3-shingles with it (broadcast inverted

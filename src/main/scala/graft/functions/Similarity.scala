@@ -224,6 +224,106 @@ object Similarity {
       .drop("__rn")
   }
 
+  // ------------------------------------------------- product quantization
+
+  /** Collect the fixed PQ codebook: the quantized vectors of the `nCodes`
+    * lowest ids (the same engine-portable fixed-seed convention as
+    * [[ivfTopKFixed]]'s centroids). Returns (sorted codebook ids, flat
+    * [K][dim] quantized values). Tiny: K × dim longs on the driver. */
+  private def pqCodebook(corpus: DataFrame, nCodes: Int,
+                         idCol: String, vecCol: String): (Array[Long], Array[Long]) = {
+    registerOn(corpus)
+    val rows = corpus.filter(col(idCol) < nCodes)
+      .select(col(idCol).cast("long"),
+        call_function("quantize127", col(vecCol)).getField("q"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
+    require(rows.nonEmpty, "pq: empty codebook — no ids below nCodes")
+    (rows.map(_._1), rows.flatMap(_._2))
+  }
+
+  /** PQ-encode the corpus (`s32`): int8-quantize (one fused native pass),
+    * then assign each of `m` subvectors its nearest codebook entry by
+    * EXACT integer squared L2 — the native [[graft.functions.expr.PqEncode]]
+    * kernel, one codegen'd loop per row. Long-form output
+    * (vec_id, m, code), code = the codebook member's own id, so any
+    * engine reproduces it bit-for-bit (all arithmetic is integer).
+    *
+    * 100 TB shape: map-only over the corpus (codebook is a literal in the
+    * plan); runs once at ingest, after which the corpus ships as m small
+    * codes + a scale per vector instead of 4·dim bytes. */
+  def pqEncode(corpus: DataFrame, m: Int = 4, nCodes: Int = 64,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (cids, flat) = pqCodebook(corpus, nCodes, idCol, vecCol)
+    registerOn(corpus)
+    corpus
+      .select(col(idCol),
+        posexplode(call_function("pq_encode",
+          call_function("quantize127", col(vecCol)).getField("q"),
+          typedlit(flat.toSeq), lit(m))))
+      .select(col(idCol), col("pos").cast("long").as("m"),
+        element_at(typedlit(cids.toSeq), col("col").cast("int") + 1).as("code"))
+  }
+
+  /** PQ-ADC top-k (`s33`): search the COMPRESSED corpus. Per query, a
+    * lookup table of integer distances from its quantized subvectors to
+    * every codebook entry is built driver-side (m × K longs) and
+    * broadcast; the scan then scores each corpus vector as the sum of m
+    * table lookups over its codes — never touching the original
+    * embeddings. All-integer distances make this approximate path exactly
+    * reproducible (and so fully ORACLE-CHECKED — unlike float PQ, where
+    * argmin/rank ties drift across engines).
+    *
+    * 100 TB shape: one scan of the m-byte codes with broadcast LUTs —
+    * the memory-bandwidth-bound ADC loop every PQ system (FAISS IVFPQ)
+    * runs; compose with the IVF cell restriction for sublinear search. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+             m: Int = 4, nCodes: Int = 64,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (cids, flat) = pqCodebook(corpus, nCodes, idCol, vecCol)
+    registerOn(corpus)
+    val dim = flat.length / cids.length
+    require(dim % m == 0, s"pq: dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    val qRows = queries
+      .select(col(idCol).cast("long"),
+        call_function("quantize127", col(vecCol)).getField("q"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    // LUT[mi*K + kk] = |query sub mi − codebook[kk] sub mi|² (exact ints)
+    val luts = qRows.map { case (qid, qv) =>
+      val lut = new Array[Long](m * cids.length)
+      for (mi <- 0 until m; kk <- cids.indices) {
+        var d = 0L
+        var j = 0
+        while (j < subDim) {
+          val diff = qv(mi * subDim + j) - flat(kk * dim + mi * subDim + j)
+          d += diff * diff
+          j += 1
+        }
+        lut(mi * cids.length + kk) = d
+      }
+      (qid, lut.toSeq)
+    }.toSeq
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qdf = luts.toDF("query_id", "lut")
+    val codes = corpus.select(col(idCol),
+      call_function("pq_encode",
+        call_function("quantize127", col(vecCol)).getField("q"),
+        typedlit(flat.toSeq), lit(m)).as("__codes"))
+    // static expansion over m: element_at chains stay inside codegen (no
+    // higher-order fallback in the scan)
+    val adist = (0 until m).map(mi =>
+      element_at(col("lut"),
+        element_at(col("__codes"), mi + 1).cast("int") + lit(mi * cids.length) + 1))
+      .reduce(_ + _)
+    val scored = codes.join(broadcast(qdf), col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"), adist.as("adist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** IVF probe path with FIXED, engine-portable centroids: the `nCells`
     * lowest-id vectors ARE the centroids (cell_id = vec_id), no Lloyd
     * refinement. Exists to pin the entire IVF machinery — native argmax

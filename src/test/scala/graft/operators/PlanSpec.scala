@@ -109,6 +109,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!lsh.contains("BroadcastNestedLoopJoin") && !lsh.contains("CartesianProduct"), lsh)
   }
 
+  test("s33 PQ-ADC search: broadcast LUTs over one codes scan, native encode") {
+    val p = plan(graft.functions.LlmQueries.pqAdcAnn(spark, dir))
+    assert(p.contains("pq_encode"), p)
+    assert(p.contains("Broadcast"), s"query LUTs must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("r18 rollup expands grouping sets with partial aggregation") {
     val p = plan(RelationalOps.rollupAgg(spark, dir))
     assert(p.contains("Expand"), p)
