@@ -613,9 +613,14 @@ final class MorTable(
       prep.df.repartition(writePartitions, col("_record_key")) else prep.df
     val staging = new Path(hPath, s".staging-compact-${System.nanoTime()}")
     // cluster by key: parquet row-group min/max stats on _record_key let
-    // key-equality snapshot reads skip row groups entirely
+    // key-equality snapshot reads skip row groups entirely; a bloom filter
+    // on the same column catches the keys min/max can't exclude (point
+    // reads against a base whose key range spans the probe) — parquet-mr
+    // consults it for pushed EqualTo/In before touching the row group
     out.sortWithinPartitions(col("_record_key"))
-      .write.mode("overwrite").parquet(staging.toString)
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#_record_key", "true")
+      .parquet(staging.toString)
     adoptBase(staging, prep.foldedDeltaSeqs)
   }
 

@@ -561,7 +561,11 @@ final class PartitionedMorTable(
     // skip parquet row groups on _record_key min/max stats
     snaps.reduce(_.unionByName(_, allowMissingColumns = true))
       .sortWithinPartitions(col("__p"), col("_record_key"))
-      .write.partitionBy("__p").mode("overwrite").parquet(stagingDir.toString)
+      .write.partitionBy("__p").mode("overwrite")
+      // bloom filter on the key column (see MorTable.compact): point reads
+      // skip row groups whose min/max straddles the probe key
+      .option("parquet.bloom.filter.enabled#_record_key", "true")
+      .parquet(stagingDir.toString)
     val written: Set[String] =
       if (!fs.exists(stagingDir)) Set.empty
       else fs.listStatus(stagingDir).toSeq.map(_.getPath)

@@ -203,6 +203,32 @@ class MorTableSpec extends AnyFunSuite {
     assert(t.readForKeys(Nil).isEmpty)
   }
 
+  test("compacted base carries a _record_key bloom filter (point-read row-group skipping)") {
+    val path = TestSpark.tmpDir("mor-bloom")
+    val t = MorTable(spark, path, Seq("uuid"), compactionDeltaCommits = 100)
+    t.upsert(t1Rows, orderWithinBatch = Seq(col("ts")), batchId = 1L)
+    t.compact()
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val baseSeq = t.timeline().filter(_.kind == "compact").last.seq
+    val parquets = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/base/$baseSeq"))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+    assert(parquets.nonEmpty)
+    import scala.jdk.CollectionConverters._
+    val withBloom = parquets.count { p =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(p, spark.sparkContext.hadoopConfiguration)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getFooter.getBlocks.asScala.exists(_.getColumns.asScala.exists(c =>
+        c.getPath.toDotString == "_record_key" && c.getBloomFilterOffset >= 0))
+      finally r.close()
+    }
+    assert(withBloom == parquets.length,
+      s"every base file must carry the key bloom filter ($withBloom/${parquets.length})")
+    // and the point read that benefits still answers correctly
+    assert(t.readForKeys(Seq("id1")).count() == 1)
+  }
+
   test("two uncoordinated writers never lose a commit (inflight seq allocation)") {
     val path = TestSpark.tmpDir("mor-occ")
     def handle() = MorTable(spark, path, Seq("uuid"), compactionDeltaCommits = 1000)
