@@ -51,7 +51,30 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, idACol: String = "id_a",
                           idBCol: String = "id_b",
                           maxIters: Int = 20,
-                          requireConvergence: Boolean = true): DataFrame = {
+                          requireConvergence: Boolean = true,
+                          smallGraphEdgeCap: Long = 2000000L): DataFrame = {
+    // Adaptive small-graph path (the same small-side adaptivity as a
+    // broadcast join): a near-dup pair graph is usually TINY next to its
+    // corpus — LSH mining 100 TB may yield a few million edges — and each
+    // distributed round below costs several cluster jobs. Under the cap
+    // (≤ ~32 MB of ids on the driver, probed with a limit-bounded count,
+    // integral id types only) an exact driver-side union-find replaces
+    // 3+ rounds of jobs; the distributed hash-min fixpoint below remains
+    // the unbounded-scale path (force it with smallGraphEdgeCap = 0, as
+    // the convergence-budget specs do).
+    val idType = pairs.schema(idACol).dataType
+    val integralIds =
+      idType == org.apache.spark.sql.types.LongType ||
+        idType == org.apache.spark.sql.types.IntegerType
+    if (integralIds && smallGraphEdgeCap > 0 && smallGraphEdgeCap < Int.MaxValue) {
+      // ONE bounded job: take(cap+1) both probes the size and fetches the
+      // edges (pair mining upstream is often expensive — a separate
+      // count-then-collect would run it twice). Over-cap → fall through.
+      val taken = pairs.select(col(idACol), col(idBCol))
+        .take(smallGraphEdgeCap.toInt + 1)
+      if (taken.length <= smallGraphEdgeCap)
+        return connectedComponentsLocal(pairs.sparkSession, taken, idType)
+    }
     val edges = pairs.select(col(idACol).as("u"), col(idBCol).as("v"))
       .union(pairs.select(col(idBCol).as("u"), col(idACol).as("v")))
       .distinct().localCheckpoint(true)
@@ -89,6 +112,46 @@ object Dedup {
         "the pair graph's effective diameter exceeds the budget; raise maxIters " +
         "or pass requireConvergence = false for best-effort labels")
     labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
+  /** Exact union-find over a collected edge list (see the small-graph gate
+    * in [[connectedComponents]]): union-by-min-root with path compression,
+    * so every root IS its component's minimum id — identical labels to the
+    * distributed fixpoint, exactly converged by construction. */
+  private def connectedComponentsLocal(spark: org.apache.spark.sql.SparkSession,
+                                       taken: Array[org.apache.spark.sql.Row],
+                                       idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    def asLong(v: Any): Long = v match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case x => throw new IllegalStateException(s"non-integral id $x")
+    }
+    val es = taken.map(r => (asLong(r.get(0)), asLong(r.get(1))))
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { // min root wins → root == component min at all times
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val rows = parent.keys.toArray.sorted.map { n =>
+      val root = find(n)
+      if (idType == org.apache.spark.sql.types.IntegerType)
+        org.apache.spark.sql.Row(n.toInt, root.toInt)
+      else org.apache.spark.sql.Row(n, root)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", idType, nullable = false),
+      org.apache.spark.sql.types.StructField("cluster_id", idType, nullable = false)))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
   // ------------------------------------------------------------------ exact

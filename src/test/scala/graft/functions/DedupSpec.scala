@@ -37,29 +37,37 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("connectedComponents: hash-min labels equal min reachable id; path graph converges") {
-    // two components {1,2,3,7} (via chained pairs) and {10,11}
+    // two components {1,2,3,7} (via chained pairs) and {10,11} — checked
+    // on BOTH execution paths: the small-graph union-find (default gate)
+    // and the distributed hash-min fixpoint (cap 0 forces it)
     val pairs = Seq((2L, 1L), (2L, 3L), (3L, 7L), (10L, 11L)).toDF("id_a", "id_b")
-    val got = Dedup.connectedComponents(pairs)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 10L -> 10L, 11L -> 10L))
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 10L -> 10L, 11L -> 10L)
+    for (cap <- Seq(2000000L, 0L)) {
+      val got = Dedup.connectedComponents(pairs, smallGraphEdgeCap = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == expect, s"cap=$cap")
+    }
     // a 12-node path needs ~log-d rounds of min flooding — exercises the
-    // fixpoint loop well past one iteration
+    // distributed fixpoint loop well past one iteration
     val path = (0L until 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val labels = Dedup.connectedComponents(path)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert(labels.size == 12 && labels.values.forall(_ == 0L))
+    for (cap <- Seq(2000000L, 0L)) {
+      val labels = Dedup.connectedComponents(path, smallGraphEdgeCap = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(labels.size == 12 && labels.values.forall(_ == 0L), s"cap=$cap")
+    }
   }
 
   test("connectedComponents refuses to ship non-converged labels") {
-    // a 40-node path cannot flood its min through maxIters=2 rounds
+    // a 40-node path cannot flood its min through maxIters=2 DISTRIBUTED
+    // rounds (cap 0: the union-find path is exact and never non-converged)
     val longPath = (0L until 39L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {
-      Dedup.connectedComponents(longPath, maxIters = 2)
+      Dedup.connectedComponents(longPath, maxIters = 2, smallGraphEdgeCap = 0L)
     }
     assert(e.getMessage.contains("fixpoint"))
     // explicit best-effort opt-out still returns (partial) labels
     val partial = Dedup.connectedComponents(longPath, maxIters = 2,
-      requireConvergence = false)
+      requireConvergence = false, smallGraphEdgeCap = 0L)
     assert(partial.count() == 40)
   }
 
