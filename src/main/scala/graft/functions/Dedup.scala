@@ -278,10 +278,15 @@ object Dedup {
     // minhashSignature pair is the reference implementation (equality of
     // the signature stage asserted in MinHashSignatureSpec).
     graft.GraftFunctions.register(docs.sparkSession)
+    // pin signatures once: the banded self-join references them on BOTH
+    // sides, and without the checkpoint each side re-runs text→shingle→sig
+    // over the corpus (signatures are computed once and stored in any real
+    // dedup system — this is that materialization)
     val sigs = docs
       .select(col(idCol),
         call_function("shingle_hashes", col(textCol), lit(shingleK)).as("__h0"))
       .select(col(idCol), call_function("minhash_sig", col("__h0")).as("sig"))
+      .localCheckpoint(true)
     val banded = sigs.select(col(idCol), col("sig"),
       posexplode(call_function("minhash_bands", col("sig"), lit(bands))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
@@ -343,8 +348,12 @@ object Dedup {
     // keys. The string-set form (shingles/ngramJaccard) is the reference
     // implementation this is equality-tested against.
     graft.GraftFunctions.register(docs.sparkSession)
+    // pinned once: the inverted index is exploded on both sides of the
+    // candidate self-join (and again by the df cap), so without this the
+    // corpus is re-shingled up to three times
     val sh = docs.select(col(idCol),
       call_function("shingle_hashes64", col(textCol), lit(shingleK)).as("sh"))
+      .localCheckpoint(true)
     val idx0 = sh.select(col(idCol), size(col("sh")).cast("long").as("ns"),
       explode(col("sh")).as("s"))
     val idx =
@@ -408,10 +417,12 @@ object Dedup {
     // native codegen'd chunks (graft.functions.expr.SimHashChunks) — the
     // declarative simhashChunksFromHashes stays as the documented fold form
     graft.GraftFunctions.register(docs.sparkSession)
+    // pinned once across the chunk self-join (see minhashLsh)
     val sigs = docs
       .select(col(idCol),
         call_function("token_hashes", col(textCol)).as("__th"))
       .select(col(idCol), call_function("simhash_chunks", col("__th")).as("ch"))
+      .localCheckpoint(true)
     val chunked = sigs.select(col(idCol), col("ch"), posexplode(col("ch")))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
     val a = chunked.select(col(idCol).as("id_a"), col("ch").as("ch_a"),

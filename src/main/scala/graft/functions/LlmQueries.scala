@@ -52,8 +52,10 @@ object LlmQueries {
     * engine, the way t5/t6/t7 do for sampling and fingerprints. */
   def minhashPortable(spark: SparkSession, dir: String): DataFrame = {
     graft.GraftFunctions.register(spark)
+    // pinned once across the banded self-join (see Dedup.minhashLsh)
     val sigs = Tables.documents(spark, dir)
       .select(col("doc_id"), call_function("minhash_md5", col("text"), lit(16)).as("sig"))
+      .localCheckpoint(true)
     val banded = sigs.select(col("doc_id"), col("sig"),
       posexplode(array((0 until 4).map(b => slice(col("sig"), b * 4 + 1, 4)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bk")
