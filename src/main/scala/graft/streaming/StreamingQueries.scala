@@ -169,13 +169,19 @@ object StreamingQueries {
         .withColumn("ts", timestamp_micros(expr("ts_ns div 1000"))),
       idCols = Seq("user_id", "event_type"))
       .select(col("user_id"), col("event_type"))
-    val q = deduped.writeStream
-      .format("memory").queryName(name)
-      .option("checkpointLocation", graft.TempDirs.create(s"$name-ckpt"))
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // per-batch state-store commit cost scales with partition count, not
+    // data, on a bounded drain — size to the state volume like r30
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = deduped.writeStream
+        .format("memory").queryName(name)
+        .option("checkpointLocation", graft.TempDirs.create(s"$name-ckpt"))
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     spark.table(name)
   }
 }
