@@ -109,6 +109,8 @@ object SparkEntry {
     "t11_decontaminate"   -> ((s, d) => graft.functions.LlmQueries.decontaminate(s, d)),
     "t12_pii_redact"      -> ((s, d) => graft.functions.LlmQueries.piiRedact(s, d)),
     "t13_unigram_logprob" -> ((s, d) => graft.functions.LlmQueries.unigramLogProb(s, d)),
+    "t14_perplexity_buckets" -> ((s, d) => graft.functions.LlmQueries.perplexityBuckets(s, d)),
+    "d14_semantic_dedup"  -> ((s, d) => graft.functions.LlmQueries.semanticDedup(s, d)),
     "r30_stream_join"     -> ((s, d) => graft.streaming.StreamingQueries.streamJoin(s, d)),
     "d10_stream_dedup"    -> ((s, d) => graft.streaming.StreamingQueries.streamDedup(s, d)),
     "r20_semi_join"       -> ((s, d) => RelationalOps.semiJoin(s, d)),
@@ -333,6 +335,60 @@ object SparkEntry {
         |SELECT t.doc_id, round(avg(-ln(f.c / tot.n)), 6) AS avg_logprob
         |FROM tok t JOIN f USING (w) CROSS JOIN tot
         |GROUP BY t.doc_id""".stripMargin,
+    "t14_perplexity_buckets" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                            x -> x <> '')) AS w
+        |  FROM documents
+        |), f AS (
+        |  SELECT w, count(*)::DOUBLE AS c FROM tok GROUP BY w
+        |), tot AS (SELECT count(*)::DOUBLE AS n FROM tok),
+        |scored AS (
+        |  SELECT t.doc_id, round(avg(-ln(f.c / tot.n)), 6) AS avg_logprob
+        |  FROM tok t JOIN f USING (w) CROSS JOIN tot
+        |  GROUP BY t.doc_id
+        |)
+        |SELECT doc_id, avg_logprob,
+        |       CASE WHEN avg_logprob < 3.40 THEN 'head'
+        |            WHEN avg_logprob < 3.41 THEN 'middle'
+        |            ELSE 'tail' END AS bucket
+        |FROM scored""".stripMargin,
+    "d14_semantic_dedup" ->
+      """WITH RECURSIVE c AS (
+        |  SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cv
+        |  FROM embeddings WHERE vec_id < 8
+        |), a AS (
+        |  SELECT e.vec_id, e.embedding, c.cell_id
+        |  FROM embeddings e CROSS JOIN c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_cosine_similarity(c.cv, e.embedding::DOUBLE[]) DESC,
+        |             c.cell_id ASC) <= 2
+        |), p AS (
+        |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+        |  FROM a x JOIN a y ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id
+        |), pairs AS (
+        |  SELECT p.id_a, p.id_b
+        |  FROM p
+        |  JOIN embeddings ea ON ea.vec_id = p.id_a
+        |  JOIN embeddings eb ON eb.vec_id = p.id_b
+        |  WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[],
+        |                                     eb.embedding::DOUBLE[]), 6) >= 0.4
+        |), e2 AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION
+        |  SELECT id_b, id_a FROM pairs
+        |), cc AS (
+        |  SELECT u AS v, u AS lbl FROM e2
+        |  UNION
+        |  SELECT e2.v, cc.lbl FROM e2 JOIN cc ON e2.u = cc.v
+        |), lab AS (
+        |  SELECT v AS vec_id, min(lbl) AS cluster_id FROM cc GROUP BY v
+        |)
+        |SELECT emb.vec_id, emb.label
+        |FROM embeddings emb
+        |LEFT JOIN lab ON emb.vec_id = lab.vec_id
+        |WHERE lab.vec_id IS NULL OR lab.cluster_id = emb.vec_id""".stripMargin,
     "t11_decontaminate" ->
       """WITH w AS (
         |  SELECT doc_id,

@@ -302,6 +302,24 @@ object LlmQueries {
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
     Dedup.connectedComponents(minhashPortable(spark, dir))
 
+  /** Semantic dedup (the SemDeDup curation step): embedding near-dup
+    * pairs (fixed portable IVF centroids, cos ≥ 0.4 — the d13 graph) →
+    * connected components → keep ONE representative per semantic cluster
+    * (the min id) plus every unpaired vector. Oracle-checked end-to-end:
+    * candidate mining, clustering, and the keep rule all reproduce in
+    * DuckDB. 100 TB shape: cell-bounded candidates, checkpointed CC
+    * (driver union-find under the small-graph cap), one anti-join. */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val pairs = Similarity.embeddingNearDupFixed(emb,
+      threshold = 0.4, nCells = 8, nProbe = 2)
+    val clusters = Dedup.connectedComponents(pairs)
+    emb.join(clusters.filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id").as("vec_id")),
+      Seq("vec_id"), "left_anti")
+      .select("vec_id", "label")
+  }
+
   /** Corpus-level MinHash union via the minhash_agg custom aggregate over
     * the PORTABLE md5 shingle family, one (source, slot, h) row per
     * signature component — pins the set-union TypedImperativeAggregate
@@ -351,6 +369,19 @@ object LlmQueries {
     val emb = Tables.embeddings(spark, dir)
     Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
   }
+
+  /** Perplexity bucketing (CCNet's head/middle/tail split on the LM
+    * quality proxy): assign each document a bucket by its unigram
+    * log-prob score. Cutoffs are FIXED values (chosen once from the score
+    * distribution, as CCNet learns its thresholds from a sample corpus) —
+    * assignment is then map-only over the scored corpus, no global sort
+    * at any scale. Oracle-checked end-to-end on the rounded score. */
+  def perplexityBuckets(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramLogProb(Tables.documents(spark, dir))
+      .withColumn("bucket",
+        when(col("avg_logprob") < 3.40, "head")
+          .when(col("avg_logprob") < 3.41, "middle")
+          .otherwise("tail"))
 
   /** Decontamination, oracle-checked: treat `doc_id % 17 == 0` documents
     * as the benchmark/eval set and flag every remaining corpus document
