@@ -50,6 +50,7 @@ object SparkEntry {
     "s13_mor_partitioned" -> ((s, d) => graft.lake.LakeQueries.partitionedReplay(s, d)),
     "s28_manifest_read"   -> ((s, d) => graft.lake.LakeQueries.manifestRead(s, d)),
     "s31_part_manifest_read" -> ((s, d) => graft.lake.LakeQueries.partManifestRead(s, d)),
+    "s34_schema_evolution" -> ((s, d) => graft.lake.LakeQueries.schemaEvolution(s, d)),
     "s29_point_read"      -> ((s, d) => graft.lake.LakeQueries.pointRead(s, d)),
     "s30_stream_partitioned" -> ((s, d) => graft.streaming.StreamingQueries.streamPartitioned(s, d)),
     "s8_cdc_ticket_view"  -> ((s, d) => graft.streaming.PipelineQueries.ticketView(s, d)),
@@ -1085,6 +1086,17 @@ object SparkEntry {
         |QUALIFY row_number() OVER
         |  (PARTITION BY event_type, user_id
         |   ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+    "s34_schema_evolution" ->
+      """WITH b AS (
+        |  SELECT min(epoch_ns(ts)) + (max(epoch_ns(ts)) - min(epoch_ns(ts))) // 2 AS mid
+        |  FROM events
+        |)
+        |SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms,
+        |       CASE WHEN epoch_ns(ts) > b.mid
+        |            THEN 'v2-' || event_type ELSE NULL END AS tag
+        |FROM events, b
+        |QUALIFY row_number() OVER
+        |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
     // same replay as s13, read back through the parent-level manifest (an
     // external engine's view) — identical final state by construction
     "s31_part_manifest_read" ->

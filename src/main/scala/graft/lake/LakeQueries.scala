@@ -363,6 +363,29 @@ object LakeQueries {
       t.read().select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
   }
 
+  /** Additive schema evolution, oracle-checked: commit 2 carries a column
+    * commit 1 never had (`tag`). The snapshot union reads old commits with
+    * NULL for the new column (allowMissingColumns — the Hudi additive
+    * evolution contract), so per-user LWW winners from commit 1 surface a
+    * NULL tag and winners from commit 2 their computed one. The oracle
+    * recomputes the same winners + the same batch-derived tag directly. */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "value", "ts_ms", "ts_ns")
+    val bounds = ev.agg(min(col("ts_ns")).as("mn"), max(col("ts_ns")).as("mx")).head()
+    val mid = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 2
+    val path = tempPath("mor-evo")
+    val t = MorTable(spark, path, keyCols = Seq("user_id"), compactionDeltaCommits = 1000)
+    t.upsert(ev.filter(col("ts_ns") <= mid),
+      orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 1L)
+    t.upsert(ev.filter(col("ts_ns") > mid)
+        .withColumn("tag", concat(lit("v2-"), col("event_type"))),
+      orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 2L)
+    graft.TempDirs.materializeAndDelete(
+      t.read().select("user_id", "event_id", "event_type", "value", "ts_ms", "tag"),
+      path)
+  }
+
   /** Parent-level manifest read, oracle-checked: the [[partitionedReplay]]
     * scenario (every partition compacts after the second batch, so the
     * parent publishes `manifest/<token>.json` spanning ALL partitions'
