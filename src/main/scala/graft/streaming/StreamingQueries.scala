@@ -69,13 +69,20 @@ object StreamingQueries {
       .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 3).as("sum_value"))
       .select(unix_millis(col("window.start")).as("window_start_ms"),
         col("event_type"), col("cnt"), col("sum_value"))
-    val q = agg.writeStream
-      .format("memory").queryName(name)
-      .option("checkpointLocation", graft.TempDirs.create(s"$name-ckpt"))
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // windowed-agg state store commits scale with partition count, not
+    // data, on a bounded drain — size to the state volume (the r30/d10
+    // treatment)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = agg.writeStream
+        .format("memory").queryName(name)
+        .option("checkpointLocation", graft.TempDirs.create(s"$name-ckpt"))
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     spark.table(name)
   }
 
