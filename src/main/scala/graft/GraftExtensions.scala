@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions.call_function
-import graft.functions.expr.{CosineSimilarity, LangId, LshBuckets, LshBucketsMd5, MinHashAgg, MinHashBands, MinHashSignature, MinHashMd5, NearestCells, PqEncode, Quantize127, ShingleHashes, TextQuality, SigOverlap, SimHashChunks, SimHashMd5, TokenHashes}
+import graft.functions.expr.{CosineSimilarity, HllAgg, LangId, LshBuckets, LshBucketsMd5, MinHashAgg, MinHashBands, MinHashSignature, MinHashMd5, NearestCells, PqEncode, Quantize127, ShingleHashes, TextQuality, SigOverlap, SimHashChunks, SimHashMd5, TokenHashes}
 
 /** Engine extension wiring.
   *
@@ -23,6 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => CosineSimilarity(exprs.head, exprs(1))))
     ext.injectFunction((FunctionIdentifier("minhash_agg"), MinHashAgg.info,
       exprs => MinHashAgg(exprs.head, MinHashAgg.widthOf(exprs)).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("hll_agg"), HllAgg.info,
+      exprs => HllAgg(exprs.head, HllAgg.precisionOf(exprs)).toAggregateExpression()))
     ext.injectFunction((FunctionIdentifier("minhash_sig"), MinHashSignature.info,
       exprs => MinHashSignature(exprs.head)))
     ext.injectFunction((FunctionIdentifier("simhash_chunks"), SimHashChunks.info,
@@ -82,6 +84,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("minhash_agg"), MinHashAgg.info,
       exprs => MinHashAgg(exprs.head, MinHashAgg.widthOf(exprs)).toAggregateExpression())
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("hll_agg"), HllAgg.info,
+      exprs => HllAgg(exprs.head, HllAgg.precisionOf(exprs)).toAggregateExpression())
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("minhash_sig"), MinHashSignature.info,
       exprs => MinHashSignature(exprs.head))

@@ -111,6 +111,10 @@ object SparkEntry {
     "t12_pii_redact"      -> ((s, d) => graft.functions.LlmQueries.piiRedact(s, d)),
     "t13_unigram_logprob" -> ((s, d) => graft.functions.LlmQueries.unigramLogProb(s, d)),
     "t14_perplexity_buckets" -> ((s, d) => graft.functions.LlmQueries.perplexityBuckets(s, d)),
+    "t15_mixture_sample"  -> ((s, d) => graft.functions.LlmQueries.mixtureSample(s, d)),
+    "t16_bm25"            -> ((s, d) => graft.functions.LlmQueries.bm25TopK(s, d)),
+    "d15_hll_registers"   -> ((s, d) => graft.functions.LlmQueries.hllRegisters(s, d)),
+    "d16_hll_estimate"    -> ((s, d) => graft.functions.LlmQueries.hllEstimate(s, d)),
     "d14_semantic_dedup"  -> ((s, d) => graft.functions.LlmQueries.semanticDedup(s, d)),
     "r30_stream_join"     -> ((s, d) => graft.streaming.StreamingQueries.streamJoin(s, d)),
     "d10_stream_dedup"    -> ((s, d) => graft.streaming.StreamingQueries.streamDedup(s, d)),
@@ -336,6 +340,101 @@ object SparkEntry {
         |SELECT t.doc_id, round(avg(-ln(f.c / tot.n)), 6) AS avg_logprob
         |FROM tok t JOIN f USING (w) CROSS JOIN tot
         |GROUP BY t.doc_id""".stripMargin,
+    "t15_mixture_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT <
+        |  CASE lang WHEN 'en' THEN 2147483648
+        |            WHEN 'es' THEN 1073741824
+        |            WHEN 'de' THEN 536870912
+        |            WHEN 'fr' THEN 268435456
+        |            ELSE 429496729 END""".stripMargin,
+    "t16_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                            x -> x <> '')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2
+        |), dl AS (
+        |  SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1
+        |), st AS (
+        |  SELECT count(*)::BIGINT AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl
+        |), df AS (
+        |  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1
+        |), q AS (
+        |  SELECT doc_id AS query_id,
+        |         unnest(list_distinct(list_filter(
+        |           regexp_split_to_array(lower(text), '\s+'), x -> x <> ''))) AS term
+        |  FROM documents WHERE doc_id < 3
+        |), sc AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |         sum(CAST(round(ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5)) *
+        |               (tf.tf * 2.2 /
+        |                (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))) *
+        |               1000000.0) AS BIGINT))::BIGINT AS score_u
+        |  FROM q
+        |  JOIN tf USING (term)
+        |  JOIN dl ON tf.doc_id = dl.doc_id
+        |  JOIN df ON q.term = df.term
+        |  CROSS JOIN st
+        |  GROUP BY 1, 2
+        |)
+        |SELECT query_id, doc_id, score_u,
+        |       row_number() OVER (PARTITION BY query_id
+        |                          ORDER BY score_u DESC, doc_id)::BIGINT AS rank
+        |FROM sc
+        |QUALIFY rank <= 10""".stripMargin,
+    "d15_hll_registers" ->
+      """WITH h AS (
+        |  SELECT source, ('0x' || substr(md5(text), 1, 8))::BIGINT AS hv
+        |  FROM documents
+        |), r AS (
+        |  SELECT source, hv // 67108864 AS slot,
+        |         CASE WHEN hv % 67108864 = 0 THEN 27
+        |              ELSE 27 - length(printf('%b', hv % 67108864)) END AS rho
+        |  FROM h
+        |), slots AS (
+        |  SELECT DISTINCT source, gs.g AS slot
+        |  FROM documents, generate_series(0, 63) gs(g)
+        |)
+        |SELECT s.source, s.slot::BIGINT AS slot,
+        |       coalesce(max(r.rho), 0)::BIGINT AS rho
+        |FROM slots s
+        |LEFT JOIN r ON r.source = s.source AND r.slot = s.slot
+        |GROUP BY s.source, s.slot""".stripMargin,
+    "d16_hll_estimate" ->
+      """WITH h AS (
+        |  SELECT source, ('0x' || substr(md5(text), 1, 8))::BIGINT AS hv
+        |  FROM documents
+        |), r AS (
+        |  SELECT source, hv // 67108864 AS slot,
+        |         CASE WHEN hv % 67108864 = 0 THEN 27
+        |              ELSE 27 - length(printf('%b', hv % 67108864)) END AS rho
+        |  FROM h
+        |), slots AS (
+        |  SELECT DISTINCT source, gs.g AS slot
+        |  FROM documents, generate_series(0, 63) gs(g)
+        |), regs AS (
+        |  SELECT s.source, s.slot, coalesce(max(r.rho), 0) AS rho
+        |  FROM slots s
+        |  LEFT JOIN r ON r.source = s.source AND r.slot = s.slot
+        |  GROUP BY s.source, s.slot
+        |), agg AS (
+        |  SELECT source, sum(pow(2.0, -rho)) AS s,
+        |         sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END)::BIGINT AS v
+        |  FROM regs GROUP BY source
+        |), est AS (
+        |  SELECT source,
+        |         round(CASE WHEN 0.709 * 64.0 * 64.0 / s <= 160.0 AND v > 0
+        |                    THEN 64.0 * ln(64.0 / v)
+        |                    ELSE 0.709 * 64.0 * 64.0 / s END, 2) AS est_distinct
+        |  FROM agg
+        |)
+        |SELECT e.source, e.est_distinct, x.n_exact
+        |FROM est e
+        |JOIN (SELECT source, count(DISTINCT text)::BIGINT AS n_exact
+        |      FROM documents GROUP BY source) x USING (source)""".stripMargin,
     "t14_perplexity_buckets" ->
       """WITH tok AS (
         |  SELECT doc_id,

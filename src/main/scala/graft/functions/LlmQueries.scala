@@ -394,6 +394,48 @@ object LlmQueries {
       benchmark = docs.filter(col("doc_id") % 17 === 0))
   }
 
+  /** Weighted domain-mixture sample, oracle-checked: per-language keep
+    * fractions (en 1/2, es 1/4, de 1/8, fr 1/16, zh default 1/10) —
+    * map-only deterministic downsampling to a target training mix (see
+    * [[graft.operators.Sampling.mixtureSample]]). */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.mixtureSample(
+      Tables.documents(spark, dir).select("doc_id", "lang", "source"),
+      groupCol = "lang", keyCol = "doc_id",
+      weights = Seq(("en", 1L, 2L), ("es", 1L, 4L), ("de", 1L, 8L), ("fr", 1L, 16L)),
+      default = (1L, 10L))
+
+  /** BM25 keyword retrieval, oracle-checked end-to-end: the first three
+    * documents act as queries against the whole corpus; fixed-point
+    * micro-unit scores make the ranking deterministic across engines and
+    * partitionings (see [[Retrieval.bm25TopK]]). */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val queries = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+    Retrieval.bm25TopK(docs, queries)
+  }
+
+  /** Per-source HLL registers over the portable md5 hash family — pins the
+    * hll_agg TypedImperativeAggregate itself against DuckDB (slot-max of
+    * leading-zero ranks; see [[Sketch.registers]]). */
+  def hllRegisters(spark: SparkSession, dir: String): DataFrame =
+    Sketch.registers(spark, Tables.documents(spark, dir), "source",
+      graft.operators.Sampling.hashBucket(col("text")))
+
+  /** Per-source approximate distinct texts from the d15 sketch, with the
+    * exact count alongside — oracle-checked including the harmonic-mean
+    * estimate arithmetic (see [[Sketch.estimate]]). */
+  def hllEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val est = Sketch.estimate(
+      Sketch.registers(spark, docs, "source",
+        graft.operators.Sampling.hashBucket(col("text"))), "source")
+    val exact = docs.groupBy("source")
+      .agg(count_distinct(col("text")).as("n_exact"))
+    est.join(exact, Seq("source"))
+  }
+
   /** PII redaction, oracle-checked byte-for-byte: deterministic synthetic
     * PII (email / IPv4 / phone keyed on doc_id — the testdata corpus
     * carries none of its own) is injected identically on both engines,

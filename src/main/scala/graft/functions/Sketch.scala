@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cardinality sketching for corpus dashboards: per-group HyperLogLog
+  * registers (the [[graft.functions.expr.HllAgg]] custom aggregate) and
+  * the harmonic-mean estimate, both in the engine-portable register
+  * layout so the sketch itself — not just the final number — round-trips
+  * through the lake and through other engines (oracle entries d15/d16).
+  *
+  * Scale shape: `registers` is one partial-agg-friendly GROUP BY moving
+  * 2^p bytes per group per task; `estimate` runs over the exploded
+  * registers — a relation of (groups × m) rows, never corpus-sized.
+  */
+object Sketch {
+
+  /** Per-group HLL registers, exploded to (group, slot, rho) rows — the
+    * storable/portable sketch form (slot-max merges across runs). `hashCol`
+    * must hold a uniform 32-bit hash; use `Sampling.hashBucket` for the
+    * engine-portable md5 family or a masked xxhash64 in production. */
+  def registers(spark: SparkSession, df: DataFrame, groupCol: String,
+                hashCol: org.apache.spark.sql.Column, p: Int = 6): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    df.select(col(groupCol), hashCol.as("__h"))
+      .groupBy(groupCol).agg(call_function("hll_agg", col("__h"), lit(p)).as("regs"))
+      .select(col(groupCol), posexplode(col("regs")))
+      .select(col(groupCol), col("pos").cast("long").as("slot"),
+        col("col").cast("long").as("rho"))
+  }
+
+  /** HLL estimate from exploded (group, slot, rho) registers. The
+    * harmonic-mean sum Σ 2^-rho is EXACT in doubles (each term is a binary
+    * fraction ≥ 2^-(33-p), at most 2^p terms), so the estimate is
+    * order-independent and bit-identical across engines; the only
+    * transcendental is ln in the small-range linear-counting branch,
+    * pinned by round(…, 2). alpha for m=64 is Flajolet's 0.709. */
+  def estimate(regs: DataFrame, groupCol: String, p: Int = 6): DataFrame = {
+    require(p == 6, "alpha constant below is the m=64 value")
+    val m = (1 << p).toDouble
+    val raw = lit(0.709) * lit(m) * lit(m) / col("__s")
+    regs.groupBy(groupCol)
+      .agg(sum(pow(lit(2.0), -col("rho"))).as("__s"),
+        sum(when(col("rho") === 0, 1L).otherwise(0L)).as("__v"))
+      .select(col(groupCol),
+        round(when(raw <= lit(2.5 * m) && col("__v") > 0,
+          lit(m) * log(lit(m) / col("__v"))).otherwise(raw), 2)
+          .as("est_distinct"))
+  }
+}

@@ -56,6 +56,28 @@ object Sampling {
     df.filter(hashBucket(col(keyCol)) < lit((4294967296L * num) / den))
   }
 
+  /** Weighted domain-MIXTURE sampling: keep a different deterministic
+    * fraction of each group — the way a training mix is composed (60% web,
+    * 20% code, 20% books) when groups must be DOWN-sampled to hit target
+    * proportions. `weights` maps group value → (num, den) keep-fraction;
+    * unlisted groups keep `default`. Unlike [[quotaPerGroup]] (exact count
+    * cap, one shuffle) this is a PURE FILTER — rate-based, no shuffle, no
+    * window — so it composes with any scan and runs map-only at 100 TB;
+    * each row's fate depends only on its own key's md5, so retries,
+    * incremental re-runs, and other engines select the same rows. */
+  def mixtureSample(df: DataFrame, groupCol: String, keyCol: String,
+                    weights: Seq[(String, Long, Long)],
+                    default: (Long, Long) = (0L, 1L)): DataFrame = {
+    def thresh(num: Long, den: Long): Long = {
+      require(num >= 0 && den > 0 && num <= den, s"bad fraction $num/$den")
+      (4294967296L * num) / den // 2^32 * num / den, exact in Long
+    }
+    val cutoff = weights.foldLeft(when(lit(false), lit(0L))) {
+      case (acc, (g, num, den)) => acc.when(col(groupCol) === g, lit(thresh(num, den)))
+    }.otherwise(lit(thresh(default._1, default._2)))
+    df.filter(hashBucket(col(keyCol)) < cutoff)
+  }
+
   /** Per-group quota: at most `n` rows per value of `groupCol`, chosen as
     * the n smallest md5 buckets (a deterministic uniform draw). The cap a
     * curation pipeline puts on any one source/domain so no group dominates

@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** HyperLogLog sketch aggregate (expr.HllAgg) — production xxhash64 family
+  * accuracy plus the merge law the lake storage story depends on. The
+  * engine-portable md5 family is pinned bit-for-bit by oracle entries
+  * d15/d16. */
+class SketchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Production 32-bit hash: xxhash64 masked to its low 32 bits. */
+  private def xx32(c: org.apache.spark.sql.Column) =
+    pmod(xxhash64(c), lit(4294967296L))
+
+  test("hll estimate tracks exact distinct within HLL error (xxhash64, m=64)") {
+    graft.GraftFunctions.register(spark)
+    // 5000 distinct values in one group, plus heavy duplication
+    val df = spark.range(15000).select((col("id") % 5000).as("v"), lit("g").as("g"))
+    val est = Sketch.estimate(
+      Sketch.registers(spark, df, "g", xx32(col("v"))), "g")
+      .select("est_distinct").as[Double].head()
+    // 1.04/sqrt(64) ≈ 13% standard error; allow 3 sigma
+    assert(math.abs(est - 5000) / 5000 < 0.4, s"estimate $est vs exact 5000")
+  }
+
+  test("register sketch of a union is the elementwise max of the parts") {
+    graft.GraftFunctions.register(spark)
+    val all = spark.range(4000).select(col("id").as("v"), lit("g").as("g"))
+    val lo = all.filter(col("v") < 1500)  // overlapping split
+    val hi = all.filter(col("v") >= 1000)
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      Sketch.registers(spark, df, "g", xx32(col("v")))
+    val merged = regs(lo).union(regs(hi))
+      .groupBy("slot").agg(max("rho").as("rho"))
+    val direct = regs(all).select("slot", "rho")
+    assert(direct.exceptAll(merged).isEmpty && merged.exceptAll(direct).isEmpty,
+      "sketch(A ∪ B) must equal slotwise-max(sketch A, sketch B)")
+  }
+
+  test("registers match a scalar recomputation of bucket/rho") {
+    graft.GraftFunctions.register(spark)
+    val vals = Seq(0L, 1L, 42L, 4294967295L, 67108864L, 2147483648L)
+    val df = vals.toDF("h").select(lit("g").as("g"), col("h"))
+    val got = Sketch.registers(spark, df, "g", col("h"))
+      .filter(col("rho") > 0).select("slot", "rho").as[(Long, Long)]
+      .collect().toMap
+    val want = vals.map { h =>
+      val bucket = (h >>> 26).toInt
+      val w = h & ((1L << 26) - 1)
+      val rho = if (w == 0L) 27 else 26 - (63 - java.lang.Long.numberOfLeadingZeros(w))
+      bucket -> rho
+    }.groupBy(_._1).map { case (b, rs) => b.toLong -> rs.map(_._2).max.toLong }
+    assert(got == want, s"got $got want $want")
+  }
+}

@@ -59,6 +59,27 @@ class SamplingSpec extends AnyFunSuite {
     packed.unpersist()
   }
 
+  test("mixtureSample keeps ~per-group fractions, deterministically, as a pure filter") {
+    val docs = graft.Tables.documents(spark, TestSpark.sfDir)
+    val mixed = Sampling.mixtureSample(docs, "lang", "doc_id",
+      weights = Seq(("en", 1L, 2L), ("es", 1L, 4L)), default = (1L, 10L)).cache()
+    val kept = mixed.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val total = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    def frac(l: String) = kept.getOrElse(l, 0L).toDouble / total(l)
+    assert(frac("en") > 0.35 && frac("en") < 0.65, s"en ~1/2, got ${frac("en")}")
+    assert(frac("es") > 0.10 && frac("es") < 0.40, s"es ~1/4, got ${frac("es")}")
+    assert(frac("de") < 0.25, s"de ~1/10 default, got ${frac("de")}")
+    // deterministic: re-run selects the same rows
+    val again = Sampling.mixtureSample(docs, "lang", "doc_id",
+      weights = Seq(("en", 1L, 2L), ("es", 1L, 4L)), default = (1L, 10L))
+    assert(mixed.exceptAll(again).isEmpty)
+    // each group's sample is the hashSample of that group (composability:
+    // the mixture is per-group rate filtering, nothing cross-group)
+    val enOnly = Sampling.hashSample(docs.filter($"lang" === "en"), "doc_id", 1, 2)
+    assert(mixed.filter($"lang" === "en").exceptAll(enOnly).isEmpty)
+    mixed.unpersist()
+  }
+
   test("hashBucket spreads uniformly (chi-square-ish sanity over 16 buckets)") {
     val n = 4096
     val counts = spark.range(n)
