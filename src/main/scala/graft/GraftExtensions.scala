@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions.call_function
-import graft.functions.expr.{CosineSimilarity, HllAgg, LangId, LshBuckets, LshBucketsMd5, MinHashAgg, MinHashBands, MinHashSignature, MinHashMd5, NearestCells, PqEncode, Quantize127, ShingleHashes, TextQuality, SigOverlap, SimHashChunks, SimHashMd5, TokenHashes}
+import graft.functions.expr.{CmsAgg, CosineSimilarity, HllAgg, LangId, LshBuckets, LshBucketsMd5, MinHashAgg, MinHashBands, MinHashSignature, MinHashMd5, NearestCells, PqEncode, Quantize127, ShingleHashes, TextQuality, SigOverlap, SimHashChunks, SimHashMd5, TokenHashes}
 
 /** Engine extension wiring.
   *
@@ -25,6 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => MinHashAgg(exprs.head, MinHashAgg.widthOf(exprs)).toAggregateExpression()))
     ext.injectFunction((FunctionIdentifier("hll_agg"), HllAgg.info,
       exprs => HllAgg(exprs.head, HllAgg.precisionOf(exprs)).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("cms_agg"), CmsAgg.info,
+      exprs => CmsAgg(exprs.head, CmsAgg.depthOf(exprs), CmsAgg.widthOf(exprs))
+        .toAggregateExpression()))
     ext.injectFunction((FunctionIdentifier("minhash_sig"), MinHashSignature.info,
       exprs => MinHashSignature(exprs.head)))
     ext.injectFunction((FunctionIdentifier("simhash_chunks"), SimHashChunks.info,
@@ -87,6 +90,10 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("hll_agg"), HllAgg.info,
       exprs => HllAgg(exprs.head, HllAgg.precisionOf(exprs)).toAggregateExpression())
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("cms_agg"), CmsAgg.info,
+      exprs => CmsAgg(exprs.head, CmsAgg.depthOf(exprs), CmsAgg.widthOf(exprs))
+        .toAggregateExpression())
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("minhash_sig"), MinHashSignature.info,
       exprs => MinHashSignature(exprs.head))

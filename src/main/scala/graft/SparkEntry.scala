@@ -113,8 +113,11 @@ object SparkEntry {
     "t14_perplexity_buckets" -> ((s, d) => graft.functions.LlmQueries.perplexityBuckets(s, d)),
     "t15_mixture_sample"  -> ((s, d) => graft.functions.LlmQueries.mixtureSample(s, d)),
     "t16_bm25"            -> ((s, d) => graft.functions.LlmQueries.bm25TopK(s, d)),
+    "t17_mixture_epochs"  -> ((s, d) => graft.functions.LlmQueries.mixtureEpochs(s, d)),
     "d15_hll_registers"   -> ((s, d) => graft.functions.LlmQueries.hllRegisters(s, d)),
     "d16_hll_estimate"    -> ((s, d) => graft.functions.LlmQueries.hllEstimate(s, d)),
+    "d17_cms_registers"   -> ((s, d) => graft.functions.LlmQueries.cmsRegisters(s, d)),
+    "d18_cms_estimate"    -> ((s, d) => graft.functions.LlmQueries.cmsEstimate(s, d)),
     "d14_semantic_dedup"  -> ((s, d) => graft.functions.LlmQueries.semanticDedup(s, d)),
     "r30_stream_join"     -> ((s, d) => graft.streaming.StreamingQueries.streamJoin(s, d)),
     "d10_stream_dedup"    -> ((s, d) => graft.streaming.StreamingQueries.streamDedup(s, d)),
@@ -385,6 +388,21 @@ object SparkEntry {
         |                          ORDER BY score_u DESC, doc_id)::BIGINT AS rank
         |FROM sc
         |QUALIFY rank <= 10""".stripMargin,
+    "t17_mixture_epochs" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang,
+        |         CASE lang WHEN 'en' THEN 2 WHEN 'es' THEN 1
+        |                   WHEN 'de' THEN 3 ELSE 0 END
+        |         + CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT <
+        |                     CASE lang WHEN 'en' THEN 2147483648
+        |                               WHEN 'es' THEN 1073741824
+        |                               WHEN 'de' THEN 0
+        |                               ELSE 2147483648 END
+        |                THEN 1 ELSE 0 END AS n
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang, unnest(generate_series(1, n))::BIGINT AS epoch
+        |FROM base WHERE n > 0""".stripMargin,
     "d15_hll_registers" ->
       """WITH h AS (
         |  SELECT source, ('0x' || substr(md5(text), 1, 8))::BIGINT AS hv
@@ -435,6 +453,54 @@ object SparkEntry {
         |FROM est e
         |JOIN (SELECT source, count(DISTINCT text)::BIGINT AS n_exact
         |      FROM documents GROUP BY source) x USING (source)""".stripMargin,
+    "d17_cms_registers" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                            x -> x <> '')) AS w
+        |  FROM documents
+        |), occ AS (
+        |  SELECT t.source,
+        |         (j.j * 128 +
+        |          ('0x' || substr(md5(t.w), 7 * j.j + 1, 7))::BIGINT % 128) AS slot
+        |  FROM tok t CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) j
+        |), nz AS (
+        |  SELECT source, slot, count(*)::BIGINT AS c FROM occ GROUP BY 1, 2
+        |), grid AS (
+        |  SELECT DISTINCT source, gs.g::BIGINT AS slot
+        |  FROM documents, generate_series(0, 511) gs(g)
+        |)
+        |SELECT grid.source, grid.slot, coalesce(nz.c, 0)::BIGINT AS cnt
+        |FROM grid LEFT JOIN nz ON nz.source = grid.source AND nz.slot = grid.slot""".stripMargin,
+    "d18_cms_estimate" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                            x -> x <> '')) AS w
+        |  FROM documents
+        |), cand AS (
+        |  SELECT source, w AS token, count(*)::BIGINT AS n_exact
+        |  FROM tok
+        |  WHERE ('0x' || substr(md5(w), 1, 8))::BIGINT < 1073741824
+        |  GROUP BY 1, 2
+        |), occ AS (
+        |  SELECT source,
+        |         (j.j * 128 +
+        |          ('0x' || substr(md5(w), 7 * j.j + 1, 7))::BIGINT % 128) AS slot
+        |  FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) j
+        |), regs AS (
+        |  SELECT source, slot, count(*)::BIGINT AS cnt FROM occ GROUP BY 1, 2
+        |), est AS (
+        |  SELECT c.source, c.token, min(r.cnt)::BIGINT AS est
+        |  FROM cand c
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) j
+        |  JOIN regs r ON r.source = c.source
+        |   AND r.slot = (j.j * 128 +
+        |                 ('0x' || substr(md5(c.token), 7 * j.j + 1, 7))::BIGINT % 128)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT e.source, e.token, e.est, c.n_exact
+        |FROM est e JOIN cand c ON c.source = e.source AND c.token = e.token""".stripMargin,
     "t14_perplexity_buckets" ->
       """WITH tok AS (
         |  SELECT doc_id,

@@ -405,6 +405,16 @@ object LlmQueries {
       weights = Seq(("en", 1L, 2L), ("es", 1L, 4L), ("de", 1L, 8L), ("fr", 1L, 16L)),
       default = (1L, 10L))
 
+  /** Mixture UP-sampling, oracle-checked: fractional epoch replication
+    * (en 2.5, es 1.25, de 3.0, default 0.5 epochs) — see
+    * [[graft.operators.Sampling.mixtureResample]]. */
+  def mixtureEpochs(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.mixtureResample(
+      Tables.documents(spark, dir).select("doc_id", "lang"),
+      groupCol = "lang", keyCol = "doc_id",
+      epochs = Seq(("en", 5L, 2L), ("es", 5L, 4L), ("de", 3L, 1L)),
+      default = (1L, 2L))
+
   /** BM25 keyword retrieval, oracle-checked end-to-end: the first three
     * documents act as queries against the whole corpus; fixed-point
     * micro-unit scores make the ranking deterministic across engines and
@@ -434,6 +444,31 @@ object LlmQueries {
     val exact = docs.groupBy("source")
       .agg(count_distinct(col("text")).as("n_exact"))
     est.join(exact, Seq("source"))
+  }
+
+  /** Per-source count-min sketch registers over whitespace tokens — pins
+    * the cms_agg TypedImperativeAggregate itself against DuckDB (sum
+    * counters, md5-substr bucketing; see [[Sketch.cmsRegisters]]). */
+  def cmsRegisters(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir).select(col("source"),
+      explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+    Sketch.cmsRegisters(spark, tok, "source", col("token"))
+  }
+
+  /** Count-min point estimates for a hash-sampled quarter of the per-source
+    * vocabulary, next to the exact counts — oracle-checked including the
+    * min-over-rows estimate arithmetic, so `est >= n_exact` (the CMS
+    * one-sided error bound) is pinned cross-engine, not just asserted. */
+  def cmsEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir).select(col("source"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+      .localCheckpoint(true) // one tokenize pass; registers + candidates read it
+    val regs = Sketch.cmsRegisters(spark, tok, "source", col("token"))
+    val cand = tok
+      .filter(graft.operators.Sampling.hashBucket(col("token")) < 1073741824L)
+      .groupBy("source", "token").agg(count(lit(1)).as("n_exact"))
+    Sketch.cmsEstimate(regs, cand, "source", "token")
+      .join(cand, Seq("source", "token")) // vocab-sized, hash-sampled: small
   }
 
   /** PII redaction, oracle-checked byte-for-byte: deterministic synthetic

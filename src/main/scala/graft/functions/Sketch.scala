@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Cardinality sketching for corpus dashboards: per-group HyperLogLog
@@ -47,4 +47,42 @@ object Sketch {
           lit(m) * log(lit(m) / col("__v"))).otherwise(raw), 2)
           .as("est_distinct"))
   }
+
+  /** Per-group count-min registers, exploded to (group, slot, cnt) — the
+    * storable frequency sketch ([[graft.functions.expr.CmsAgg]]; slot =
+    * row·width + bucket, rows bucket by md5 hex digits [7j, 7j+7)).
+    * `itemCol` is the raw item; one row per OCCURRENCE. */
+  def cmsRegisters(spark: SparkSession, df: DataFrame, groupCol: String,
+                   itemCol: Column, depth: Int = 4, width: Int = 128): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    df.select(col(groupCol), md5(itemCol).as("__m"))
+      .groupBy(groupCol)
+      .agg(call_function("cms_agg", col("__m"), lit(depth), lit(width)).as("c"))
+      .select(col(groupCol), posexplode(col("c")))
+      .select(col(groupCol), col("pos").cast("long").as("slot"),
+        col("col").as("cnt"))
+  }
+
+  /** The slots a candidate item hashes to, as an array column — mirrors
+    * CmsAgg's bucketing so point queries are joins against the exploded
+    * registers. */
+  def cmsSlots(itemCol: Column, depth: Int = 4, width: Int = 128): Column =
+    array((0 until depth).map { j =>
+      lit(j.toLong * width) +
+        conv(substring(md5(itemCol), 7 * j + 1, 7), 16, 10).cast("long") % width
+    }: _*)
+
+  /** Count-min point estimates: for each candidate (group, item) row, the
+    * min counter over its `depth` slots — an upper bound on the item's
+    * true occurrence count in the group. One broadcast-sized explode
+    * (depth rows per candidate) + one join against the registers +
+    * a min: at 100 TB the registers relation is groups × (d·w), never
+    * corpus-sized; candidates come from a vocab scan or a hash sample. */
+  def cmsEstimate(regs: DataFrame, candidates: DataFrame, groupCol: String,
+                  itemCol: String, depth: Int = 4, width: Int = 128): DataFrame =
+    candidates
+      .withColumn("slot", explode(cmsSlots(col(itemCol), depth, width)))
+      .join(regs, Seq(groupCol, "slot"))
+      .groupBy(col(groupCol), col(itemCol))
+      .agg(min(col("cnt")).as("est"))
 }

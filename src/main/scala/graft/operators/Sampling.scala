@@ -78,6 +78,36 @@ object Sampling {
     df.filter(hashBucket(col(keyCol)) < cutoff)
   }
 
+  /** Mixture UP-sampling: replicate each group's rows to a fractional
+    * epoch count — the other half of training-mix composition (a 2.5-epoch
+    * source repeats every doc twice and a deterministic half of them a
+    * third time; cf. the multi-epoch treatment high-quality sources get in
+    * published pretraining mixes). `epochs` maps group → (num, den) with
+    * num/den ≥ 0 allowed above 1; unlisted groups get `default`. Each row
+    * emits floor(num/den) copies plus one more iff its key's md5 bucket
+    * falls under the fractional remainder — so the expected multiplicity
+    * is exactly num/den, the DRAW is a pure function of the key (retries,
+    * engines agree), and the whole operator is one explode over a
+    * generated epoch sequence: map-side row generation, no shuffle, no
+    * window. Output keeps every input column plus `epoch` (1-based). */
+  def mixtureResample(df: DataFrame, groupCol: String, keyCol: String,
+                      epochs: Seq[(String, Long, Long)],
+                      default: (Long, Long) = (1L, 1L)): DataFrame = {
+    def whole(num: Long, den: Long): Long = { require(num >= 0 && den > 0); num / den }
+    def fracThresh(num: Long, den: Long): Long = (4294967296L * (num % den)) / den
+    val wholeCol = epochs.foldLeft(when(lit(false), lit(0L))) {
+      case (acc, (g, num, den)) => acc.when(col(groupCol) === g, lit(whole(num, den)))
+    }.otherwise(lit(whole(default._1, default._2)))
+    val fracCol = epochs.foldLeft(when(lit(false), lit(0L))) {
+      case (acc, (g, num, den)) => acc.when(col(groupCol) === g, lit(fracThresh(num, den)))
+    }.otherwise(lit(fracThresh(default._1, default._2)))
+    val copies = wholeCol + when(hashBucket(col(keyCol)) < fracCol, 1L).otherwise(0L)
+    df.withColumn("__n", copies)
+      .filter(col("__n") > 0)
+      .withColumn("epoch", explode(sequence(lit(1L), col("__n"))))
+      .drop("__n")
+  }
+
   /** Per-group quota: at most `n` rows per value of `groupCol`, chosen as
     * the n smallest md5 buckets (a deterministic uniform draw). The cap a
     * curation pipeline puts on any one source/domain so no group dominates

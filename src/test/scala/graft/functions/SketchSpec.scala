@@ -41,6 +41,58 @@ class SketchSpec extends AnyFunSuite {
       "sketch(A ∪ B) must equal slotwise-max(sketch A, sketch B)")
   }
 
+  test("cms estimate upper-bounds exact counts and is tight for hot items") {
+    graft.GraftFunctions.register(spark)
+    // zipf-ish: item i appears 1000/i times, i in 1..200
+    val df = spark.range(200).select((col("id") + 1).as("i"))
+      .select(col("i"),
+        explode(sequence(lit(1L), (lit(1000L) / col("i")).cast("long"))).as("rep"))
+      .select(lit("g").as("g"), concat(lit("item"), col("i")).as("v"))
+    val regs = Sketch.cmsRegisters(spark, df, "g", col("v"))
+    val cand = df.groupBy("g", "v").agg(count(lit(1)).as("n"))
+    val got = Sketch.cmsEstimate(regs, cand, "g", "v")
+      .join(cand, Seq("g", "v"))
+      .select("v", "est", "n").as[(String, Long, Long)].collect()
+    assert(got.forall { case (_, est, n) => est >= n },
+      "CMS error is one-sided: est must never undercount")
+    val (_, estHot, nHot) = got.find(_._1 == "item1").get
+    // depth 4 / width 128 over ~1.2k distinct-weighted events: the hot
+    // item's estimate should be within a few collisions of exact
+    assert(estHot - nHot < 100, s"hot item est $estHot vs exact $nHot")
+  }
+
+  test("cms sketch of a union is the elementwise sum of the parts") {
+    graft.GraftFunctions.register(spark)
+    val all = spark.range(3000)
+      .select(lit("g").as("g"), concat(lit("v"), col("id") % 700).as("v"))
+    val lo = all.limit(1200)
+    val hi = all.exceptAll(lo)
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      Sketch.cmsRegisters(spark, df, "g", col("v"))
+    val merged = regs(lo).union(regs(hi))
+      .groupBy("slot").agg(sum("cnt").as("cnt"))
+    val direct = regs(all).select("slot", "cnt")
+    assert(direct.exceptAll(merged).isEmpty && merged.exceptAll(direct).isEmpty,
+      "sketch(A ⊎ B) must equal slotwise-sum(sketch A, sketch B)")
+  }
+
+  test("cms registers match a scalar recomputation of the md5 bucketing") {
+    graft.GraftFunctions.register(spark)
+    val vals = Seq("alpha", "beta", "gamma", "alpha", "alpha", "beta")
+    val df = vals.toDF("v").select(lit("g").as("g"), col("v"))
+    val got = Sketch.cmsRegisters(spark, df, "g", col("v"))
+      .filter(col("cnt") > 0).select("slot", "cnt").as[(Long, Long)]
+      .collect().toMap
+    val want = vals.flatMap { v =>
+      val hex = java.security.MessageDigest.getInstance("MD5").digest(
+        v.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (0 until 4).map { j =>
+        j * 128L + java.lang.Long.parseLong(hex.substring(7 * j, 7 * j + 7), 16) % 128
+      }
+    }.groupBy(identity).map { case (slot, hits) => slot -> hits.size.toLong }
+    assert(got == want, s"got $got want $want")
+  }
+
   test("registers match a scalar recomputation of bucket/rho") {
     graft.GraftFunctions.register(spark)
     val vals = Seq(0L, 1L, 42L, 4294967295L, 67108864L, 2147483648L)

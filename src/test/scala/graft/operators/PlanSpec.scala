@@ -139,6 +139,41 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("t15 mixture sample is a pure filter scan — no shuffle, no window") {
+    val p = plan(graft.functions.LlmQueries.mixtureSample(spark, dir))
+    assert(!p.contains("Exchange") && !p.contains("Window"), p)
+  }
+
+  test("t16 BM25 broadcasts the query terms; no re-tokenize in the final plan") {
+    val p = plan(graft.functions.LlmQueries.bm25TopK(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"query-term set must be the broadcast side:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the corpus postings list is tokenized once in the localCheckpoint
+    // job; the scoring plan reads pinned blocks (queries still explode —
+    // one Generate over 3 rows is fine, corpus-sized re-tokenize is not),
+    // so the only Generates allowed are on the broadcast (query) side
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("d15 HLL registers: partial+final object aggregate (sketch merge map-side)") {
+    val p = plan(graft.functions.LlmQueries.hllRegisters(spark, dir))
+    assert(p.contains("ObjectHashAggregate"), s"typed-imperative agg expected:\n$p")
+    assert(p.contains("partial_hll_agg"), s"map-side sketch combine expected:\n$p")
+  }
+
+  test("d17 CMS registers: partial+final object aggregate (sketch sum map-side)") {
+    val p = plan(graft.functions.LlmQueries.cmsRegisters(spark, dir))
+    assert(p.contains("ObjectHashAggregate"), s"typed-imperative agg expected:\n$p")
+    assert(p.contains("partial_cms_agg"), s"map-side sketch combine expected:\n$p")
+  }
+
+  test("t17 mixture epochs is map-side row generation — no shuffle, no window") {
+    val p = plan(graft.functions.LlmQueries.mixtureEpochs(spark, dir))
+    assert(!p.contains("Exchange") && !p.contains("Window"), p)
+    assert(p.contains("Generate"), s"explode over the epoch sequence expected:\n$p")
+  }
+
   test("t13 unigram scoring: vocabulary-sized shuffles only, partial aggs") {
     val p = plan(graft.functions.LlmQueries.unigramLogProb(spark, dir))
     assert(p.contains("partial_count"), p)
