@@ -120,6 +120,7 @@ object SparkEntry {
     "d18_cms_estimate"    -> ((s, d) => graft.functions.LlmQueries.cmsEstimate(s, d)),
     "d14_semantic_dedup"  -> ((s, d) => graft.functions.LlmQueries.semanticDedup(s, d)),
     "r30_stream_join"     -> ((s, d) => graft.streaming.StreamingQueries.streamJoin(s, d)),
+    "r31_stream_sessions" -> ((s, d) => graft.streaming.StreamingQueries.streamSessions(s, d)),
     "d10_stream_dedup"    -> ((s, d) => graft.streaming.StreamingQueries.streamDedup(s, d)),
     "r20_semi_join"       -> ((s, d) => RelationalOps.semiJoin(s, d)),
     "r21_anti_join"       -> ((s, d) => RelationalOps.antiJoin(s, d)),
@@ -1207,6 +1208,24 @@ object SparkEntry {
         |QUALIFY row_number() OVER
         |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
     "r15_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, epoch_ms(ts) AS ts_ms,
+        |         lag(epoch_ms(ts)) OVER w AS prev_ms
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, event_id, ts_ms,
+        |         (sum(CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000
+        |                  THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
+        |  FROM g
+        |)
+        |SELECT user_id, session_id, min(ts_ms) AS session_start_ms,
+        |       max(ts_ms) AS session_end_ms, count(*) AS n_events
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+    // the streaming form must settle to exactly the batch gap-window result
+    "r31_stream_sessions" ->
       """WITH g AS (
         |  SELECT user_id, event_id, ts, epoch_ms(ts) AS ts_ms,
         |         lag(epoch_ms(ts)) OVER w AS prev_ms

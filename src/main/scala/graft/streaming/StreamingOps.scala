@@ -84,6 +84,58 @@ object StreamingOps {
     events.withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Input row for streaming sessionization (ns order ties broken like the
+    * batch operator: (ts_ns, event_id)). */
+  case class SessionEvent(user_id: Long, event_id: Long, ts_ns: Long, ts_ms: Long)
+
+  /** The one open session per user carried across micro-batches. */
+  case class OpenSession(start_ms: Long, end_ms: Long, n: Long, sid: Long)
+
+  /** A closed session (columns match RelationalOps.sessionize / oracle r15). */
+  case class Session(user_id: Long, session_id: Long, session_start_ms: Long,
+                     session_end_ms: Long, n_events: Long)
+
+  /** Streaming sessionization via flatMapGroupsWithState: the custom-state
+    * form of the batch gap-window operator ([[graft.operators.RelationalOps
+    * .sessionize]]). Per user, consecutive events ≤ `gapMs` apart extend the
+    * open session held in state; a bigger gap EMITS the closed session and
+    * opens the next (session ids numbered 1.. per user in time order, same
+    * as the batch cumulative-sum). Sessions therefore close on data
+    * evidence, not timers — deterministic under AvailableNow drains where
+    * event-time timeouts may never fire for the watermark tail. State is
+    * one O(1) record per user (not the events), so 100 TB/day of clicks
+    * holds |active users| state; pair with an event-time timeout in an
+    * unbounded deployment to also bound |users|.
+    *
+    * Events within a micro-batch may arrive unordered (sorted here);
+    * ACROSS batches the caller must feed time-ordered files (the file
+    * source's mtime order), or a stale event would extend a newer session. */
+  def sessionizeStream(events: Dataset[SessionEvent],
+                       gapMs: Long = 1800000L): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
+          val evs = it.toArray
+          java.util.Arrays.sort(evs, Ordering.by((e: SessionEvent) => (e.ts_ns, e.event_id)))
+          val out = Seq.newBuilder[Session]
+          var cur = state.getOption.orNull
+          evs.foreach { e =>
+            if (cur == null) cur = OpenSession(e.ts_ms, e.ts_ms, 1L, 1L)
+            else if (e.ts_ms - cur.end_ms <= gapMs)
+              cur = OpenSession(cur.start_ms, math.max(cur.end_ms, e.ts_ms),
+                cur.n + 1L, cur.sid)
+            else {
+              out += Session(uid, cur.sid, cur.start_ms, cur.end_ms, cur.n)
+              cur = OpenSession(e.ts_ms, e.ts_ms, 1L, cur.sid + 1L)
+            }
+          }
+          if (cur != null) state.update(cur)
+          out.result().iterator
+      }
+  }
+
   /** T3 in update mode — keyed running state via mapGroupsWithState: the
     * latest event per user, re-emitted whenever it changes (the streaming
     * twin of RelationalOps.dedupLastWriteWins). */

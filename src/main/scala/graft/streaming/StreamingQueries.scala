@@ -155,6 +155,61 @@ object StreamingQueries {
     spark.table(name)
   }
 
+  /** Streaming sessionization over a live file stream — the
+    * flatMapGroupsWithState custom-state operator
+    * ([[StreamingOps.sessionizeStream]]), hash-checked against the SAME
+    * DuckDB SQL as the batch gap-window form (r15). Two micro-batches by
+    * construction (maxFilesPerTrigger=1): batch 1 is the events table,
+    * batch 2 a per-user far-future sentinel row whose arrival closes every
+    * user's final open session — sessions close on DATA evidence crossing
+    * a real micro-batch boundary, exercising the state handoff; sentinel
+    * sessions themselves stay open and are never emitted. */
+  def streamSessions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val batch = spark.read.parquet(path) // ts is long (nanos)
+    val name = s"graft_stream_sessions_${counter.incrementAndGet()}"
+    val watchDir = graft.TempDirs.create("stream-sessions")
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(watchDir, "events.parquet"),
+      java.nio.file.Paths.get(path).toAbsolutePath)
+    // one sentinel per user, 2 h past the corpus max — beyond any 30-min
+    // gap, so it can only CLOSE sessions, never join one
+    val maxNs = batch.agg(max(col("ts"))).head.getLong(0)
+    val sentinelTmp = graft.TempDirs.create(s"$name-sentinel")
+    batch.select(col("user_id")).distinct()
+      .select(lit(-1L).as("event_id"), lit(maxNs + 7200L * 1000000000L).as("ts"),
+        col("user_id"), lit("sentinel").as("event_type"),
+        lit(0.0).as("value"), lit("").as("props"))
+      .coalesce(1).write.mode("overwrite").parquet(sentinelTmp)
+    val part = new java.io.File(sentinelTmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet")).get.toPath
+    val dst = java.nio.file.Paths.get(watchDir, "zz_sentinel.parquet")
+    java.nio.file.Files.move(part, dst)
+    // file-source batch order is mtime: sentinels must land AFTER the
+    // (old) testdata file so late events never chase a sentinel session
+    dst.toFile.setLastModified(System.currentTimeMillis): Unit
+    val rows = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1").parquet(watchDir)
+      .select(col("user_id"), col("event_id"), col("ts").as("ts_ns"),
+        expr("ts div 1000000").as("ts_ms"))
+      .as[StreamingOps.SessionEvent]
+    val sessions = StreamingOps.sessionizeStream(rows)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = sessions.writeStream
+        .format("memory").queryName(name)
+        .option("checkpointLocation", graft.TempDirs.create(s"$name-ckpt"))
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    spark.table(name)
+  }
+
   /** Streaming exact dedup over a live file stream: every (user_id,
     * event_type) pair seen at most once, state bounded by the watermark
     * (StreamingOps.streamingDedup — the 100 TB/day ingest shape). Which

@@ -162,4 +162,39 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(rows(h) == ((1L, 1.0)))
     q.stop()
   }
+
+  test("streaming sessionization: open session survives the batch boundary, closes on data evidence") {
+    import StreamingOps.SessionEvent
+    def ev(u: Long, id: Long, tsMs: Long) = SessionEvent(u, id, tsMs * 1000000L, tsMs)
+    val watch = TestSpark.tmpDir("sess-watch")
+    // batch 1: u1 session opens (two events 10 s apart); u2 lone event
+    Seq(ev(1, 1, 0L), ev(1, 2, 10000L), ev(2, 5, 5000L)).toDS()
+      .coalesce(1).write.parquet(s"$watch/seg1")
+    // batch 2: u1 event at 20 s EXTENDS the cross-batch session, then a
+    // far event closes it; u2's far event closes its session
+    Seq(ev(1, 3, 20000L), ev(1, 4, 10000000L), ev(2, 6, 50000000L)).toDS()
+      .coalesce(1).write.parquet(s"$watch/seg2")
+    // file-source batch order is mtime — pin it
+    for ((seg, t) <- Seq("seg1" -> 1000L, "seg2" -> 5000L);
+         f <- new java.io.File(s"$watch/$seg").listFiles())
+      f.setLastModified(1700000000000L + t): Unit
+    val rows = spark.readStream
+      .schema(Seq.empty[SessionEvent].toDS().schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$watch/*/")
+      .as[SessionEvent]
+    val name = "sess_stream_spec"
+    val q = StreamingOps.sessionizeStream(rows)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", TestSpark.tmpDir("sess-ckpt"))
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table(name)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // u1 session 1 spans BOTH batches (n=3, end=20 s) — the state handoff;
+    // the far events open session 2 per user, which stays open (not emitted)
+    assert(got == Set((1L, 1L, 0L, 20000L, 3L), (2L, 1L, 5000L, 5000L, 1L)), got)
+  }
 }
