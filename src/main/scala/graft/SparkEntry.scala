@@ -118,6 +118,7 @@ object SparkEntry {
     "d16_hll_estimate"    -> ((s, d) => graft.functions.LlmQueries.hllEstimate(s, d)),
     "d17_cms_registers"   -> ((s, d) => graft.functions.LlmQueries.cmsRegisters(s, d)),
     "d18_cms_estimate"    -> ((s, d) => graft.functions.LlmQueries.cmsEstimate(s, d)),
+    "d19_pagerank"        -> ((s, d) => graft.functions.LlmQueries.pageRankNearDup(s, d)),
     "d14_semantic_dedup"  -> ((s, d) => graft.functions.LlmQueries.semanticDedup(s, d)),
     "r30_stream_join"     -> ((s, d) => graft.streaming.StreamingQueries.streamJoin(s, d)),
     "r31_stream_sessions" -> ((s, d) => graft.streaming.StreamingQueries.streamSessions(s, d)),
@@ -1063,6 +1064,53 @@ object SparkEntry {
         |SELECT id_a, id_b, inter, na.ns + nb.ns - inter AS uni
         |FROM p JOIN n na ON na.doc_id = p.id_a JOIN n nb ON nb.doc_id = p.id_b
         |WHERE inter * 10 >= (na.ns + nb.ns - inter) * 3""".stripMargin,
+    // replays Graph.pageRank's integer micro-unit recurrence over the d6
+    // edge set: long sums are order-invariant, so 3 fixpoint rounds are
+    // bit-identical across engines
+    "d19_pagerank" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                     x -> x <> '') AS words
+        |  FROM documents
+        |), t AS (
+        |  SELECT doc_id, CASE WHEN len(words) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(words) - 1),
+        |        i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+        |    ELSE [array_to_string(words, ' ')] END AS sh
+        |  FROM w
+        |), n AS (SELECT doc_id, len(sh)::BIGINT AS ns FROM t
+        |), e AS (SELECT doc_id, unnest(sh) AS s FROM t
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS inter
+        |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM p JOIN n na ON na.doc_id = p.id_a JOIN n nb ON nb.doc_id = p.id_b
+        |  WHERE inter * 10 >= (na.ns + nb.ns - inter) * 3
+        |), edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs
+        |), deg AS (SELECT u, count(*)::BIGINT AS dg FROM edges GROUP BY u
+        |), r0 AS (SELECT u AS node, 1000000::BIGINT AS rank_ppm FROM deg
+        |), r1 AS (
+        |  SELECT e.v AS node,
+        |         (150000 + (850000 * (sum(r.rank_ppm // d.dg))::BIGINT) // 1000000)::BIGINT AS rank_ppm
+        |  FROM edges e JOIN deg d ON d.u = e.u JOIN r0 r ON r.node = e.u
+        |  GROUP BY e.v
+        |), r2 AS (
+        |  SELECT e.v AS node,
+        |         (150000 + (850000 * (sum(r.rank_ppm // d.dg))::BIGINT) // 1000000)::BIGINT AS rank_ppm
+        |  FROM edges e JOIN deg d ON d.u = e.u JOIN r1 r ON r.node = e.u
+        |  GROUP BY e.v
+        |), r3 AS (
+        |  SELECT e.v AS node,
+        |         (150000 + (850000 * (sum(r.rank_ppm // d.dg))::BIGINT) // 1000000)::BIGINT AS rank_ppm
+        |  FROM edges e JOIN deg d ON d.u = e.u JOIN r2 r ON r.node = e.u
+        |  GROUP BY e.v
+        |)
+        |SELECT node AS doc_id, rank_ppm FROM r3""".stripMargin,
     "d7_embed_neardup_exact" ->
       """SELECT * FROM (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -161,6 +161,18 @@ object LlmQueries {
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.documents(spark, dir))
 
+  /** Integer-exact PageRank over the n-gram near-dup graph (d6 pairs as
+    * undirected edges, 3 rounds) — centrality of each document inside its
+    * duplicate neighborhood, the signal a curation pipeline uses to pick
+    * cluster representatives by importance instead of min-id. Micro-unit
+    * long arithmetic makes the fixpoint rounds engine-reproducible
+    * (see [[graft.operators.Graph.pageRank]]); oracle replays the same
+    * recurrence in DuckDB. */
+  def pageRankNearDup(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.pageRank(
+      Dedup.ngramJaccardPairs(Tables.documents(spark, dir)))
+      .select(col("node").as("doc_id"), col("rank").as("rank_ppm"))
+
   /** Exact all-pairs embedding near-dup (cos ≥ 0.4 on the rounded score,
     * oracle-checked). O(N²) ground truth for d4's LSH-bucketed variant —
     * audit tool, not the 100 TB path. Scored by the native codegen'd
