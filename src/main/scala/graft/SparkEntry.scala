@@ -119,6 +119,9 @@ object SparkEntry {
     "d17_cms_registers"   -> ((s, d) => graft.functions.LlmQueries.cmsRegisters(s, d)),
     "d18_cms_estimate"    -> ((s, d) => graft.functions.LlmQueries.cmsEstimate(s, d)),
     "d19_pagerank"        -> ((s, d) => graft.functions.LlmQueries.pageRankNearDup(s, d)),
+    "d20_heavy_hitters"   -> ((s, d) => graft.functions.LlmQueries.heavyHitters(s, d)),
+    "r32_pivot"           -> ((s, d) => RelationalOps.pivotEventCounts(s, d)),
+    "r33_gapfill"         -> ((s, d) => RelationalOps.gapFillHourly(s, d)),
     "d14_semantic_dedup"  -> ((s, d) => graft.functions.LlmQueries.semanticDedup(s, d)),
     "r30_stream_join"     -> ((s, d) => graft.streaming.StreamingQueries.streamJoin(s, d)),
     "r31_stream_sessions" -> ((s, d) => graft.streaming.StreamingQueries.streamSessions(s, d)),
@@ -1111,6 +1114,39 @@ object SparkEntry {
         |  GROUP BY e.v
         |)
         |SELECT node AS doc_id, rank_ppm FROM r3""".stripMargin,
+    // the sketch-guided two-phase plan must reproduce the plain exact HAVING
+    "d20_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                            x -> x <> '')) AS w
+        |  FROM documents
+        |)
+        |SELECT source, w AS token, count(*)::BIGINT AS cnt
+        |FROM tok GROUP BY 1, 2 HAVING count(*) >= 40""".stripMargin,
+    "r32_pivot" ->
+      """SELECT user_id,
+        |       (count(*) FILTER (event_type = 'click'))::BIGINT AS click,
+        |       (count(*) FILTER (event_type = 'error'))::BIGINT AS error,
+        |       (count(*) FILTER (event_type = 'purchase'))::BIGINT AS purchase,
+        |       (count(*) FILTER (event_type = 'signup'))::BIGINT AS signup,
+        |       (count(*) FILTER (event_type = 'view'))::BIGINT AS view
+        |FROM events GROUP BY user_id""".stripMargin,
+    "r33_gapfill" ->
+      """WITH c AS (
+        |  SELECT event_type, epoch_ms(ts) // 3600000 AS h, count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), b AS (
+        |  SELECT min(epoch_ms(ts) // 3600000) AS h0,
+        |         max(epoch_ms(ts) // 3600000) AS h1
+        |  FROM events
+        |), g AS (
+        |  SELECT t.event_type, unnest(generate_series(b.h0, b.h1)) AS h
+        |  FROM (SELECT DISTINCT event_type FROM events) t, b
+        |)
+        |SELECT g.event_type, g.h * 3600000 AS window_start_ms,
+        |       coalesce(c.cnt, 0)::BIGINT AS cnt
+        |FROM g LEFT JOIN c ON c.event_type = g.event_type AND c.h = g.h""".stripMargin,
     "d7_embed_neardup_exact" ->
       """SELECT * FROM (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -483,6 +483,26 @@ object LlmQueries {
       .join(cand, Seq("source", "token")) // vocab-sized, hash-sampled: small
   }
 
+  /** Heavy hitters, sketch-guided: tokens occurring ≥ 40 times in a source.
+    * The CMS answers "which tokens MIGHT be heavy" without a
+    * vocabulary-sized shuffle — est ≥ exact means no false negatives, so
+    * filtering candidates by est ≥ N then re-counting EXACTLY only the
+    * survivors (semi-join, then a groupBy over the filtered stream) returns
+    * the precise answer while the only full-width aggregation state ever
+    * built is groups × (d·w) counters. Oracle is the plain exact HAVING —
+    * the two-phase plan must reproduce it verbatim. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir).select(col("source"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+      .localCheckpoint(true) // one tokenize pass, three consumers
+    val regs = Sketch.cmsRegisters(spark, tok, "source", col("token"))
+    val cand = Sketch.cmsEstimate(regs, tok.distinct(), "source", "token")
+      .filter(col("est") >= 40L)
+    tok.join(cand.select("source", "token"), Seq("source", "token"), "left_semi")
+      .groupBy("source", "token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 40L)
+  }
+
   /** PII redaction, oracle-checked byte-for-byte: deterministic synthetic
     * PII (email / IPv4 / phone keyed on doc_id — the testdata corpus
     * carries none of its own) is injected identically on both engines,

@@ -271,6 +271,42 @@ object RelationalOps {
     Tables.customer(spark, dir).select(col("c_custkey"))
       .except(Tables.events(spark, dir).select(col("user_id").as("c_custkey")))
 
+  /** PIVOT — per-user event counts widened to one column per event type,
+    * planned as conditional aggregation (count of a CASE per value): ONE
+    * partial+final aggregation, ONE exchange. Spark's `.pivot()` API would
+    * plan two chained aggregations (count by (key, value), then pivotfirst
+    * by key — two shuffles), and an implicit pivot adds a corpus-wide
+    * DISTINCT job to discover columns; with a known value list, the CASE
+    * form is strictly the better 100 TB plan. */
+  def pivotEventCounts(spark: SparkSession, dir: String): DataFrame = {
+    val aggs = Seq("click", "error", "purchase", "signup", "view")
+      .map(t => count(when(col("event_type") === t, 1)).as(t))
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Gap-filled hourly time series: per-event-type counts with explicit
+    * zero rows for empty hours. The grid is (hour range × type cardinality)
+    * — generated from one explode over a sequence, independent of event
+    * count — and the corpus touches exactly one aggregation; the grid join
+    * is aggregate-sized on both sides. The densification every downstream
+    * window/forecast op needs (a rolling average over a sparse series is
+    * silently wrong). */
+  def gapFillHourly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val counts = ev.groupBy(col("event_type"),
+        expr("ts_ms div 3600000").as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = ev.agg(min(expr("ts_ms div 3600000")).as("h0"),
+        max(expr("ts_ms div 3600000")).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"))).as("h"))
+      .crossJoin(ev.select(col("event_type")).distinct())
+    grid.join(counts, Seq("event_type", "h"), "left")
+      .select(col("event_type"), (col("h") * 3600000L).as("window_start_ms"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
   /** Skew-salted join checked against the plain join: salting must be a
     * pure execution-strategy change, never a semantic one. */
   def saltedJoinOrders(spark: SparkSession, dir: String): DataFrame =

@@ -174,6 +174,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate"), s"explode over the epoch sequence expected:\n$p")
   }
 
+  test("r32 explicit-values pivot is one aggregation pass — exactly one exchange") {
+    val p = plan(RelationalOps.pivotEventCounts(spark, dir))
+    assert(p.contains("partial_pivotfirst") || p.contains("partial_count"),
+      s"map-side partial aggregation expected:\n$p")
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") == 1,
+      s"explicit pivot values must not add a distinct-discovery shuffle:\n$p")
+  }
+
+  test("d20 heavy hitters: CMS object agg guards the exact re-count; no nested-loop joins") {
+    val p = plan(graft.functions.LlmQueries.heavyHitters(spark, dir))
+    assert(p.contains("ObjectHashAggregate"), s"CMS sketch agg expected:\n$p")
+    assert(p.contains("partial_count"), s"exact re-count partial agg expected:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("t13 unigram scoring: vocabulary-sized shuffles only, partial aggs") {
     val p = plan(graft.functions.LlmQueries.unigramLogProb(spark, dir))
     assert(p.contains("partial_count"), p)
