@@ -34,9 +34,12 @@ object Graph {
   def pageRank(pairs: DataFrame, idACol: String = "id_a",
                idBCol: String = "id_b", iters: Int = 3): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val edges = pairs.select(col(idACol).as("u"), col(idBCol).as("v"))
-      .union(pairs.select(col(idBCol).as("u"), col(idACol).as("v")))
-      .distinct()
+    // pin the (often expensive) pair mining ONCE — the symmetric union
+    // reads it twice, and deg/edges would otherwise re-run it again each
+    val p = pairs.select(col(idACol).as("u"), col(idBCol).as("v"))
+      .localCheckpoint(true)
+    val edges = p.union(p.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint(true)
     // degree rides along with every edge once — joined here, checkpointed,
     // and reused by all rounds (the loop-invariant side of the iteration)
     val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
