@@ -122,6 +122,12 @@ object SparkEntry {
     "d20_heavy_hitters"   -> ((s, d) => graft.functions.LlmQueries.heavyHitters(s, d)),
     "r32_pivot"           -> ((s, d) => RelationalOps.pivotEventCounts(s, d)),
     "r33_gapfill"         -> ((s, d) => RelationalOps.gapFillHourly(s, d)),
+    "r34_sliding_agg"     -> ((s, d) => RelationalOps.slidingAgg(s, d)),
+    "r35_rolling_sum"     -> ((s, d) => RelationalOps.rollingCounts(s, d)),
+    "t18_split_assign"    -> ((s, d) => graft.operators.Sampling.assignSplits(
+      graft.Tables.documents(s, d).select(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("lang")), "doc_id")),
     "d14_semantic_dedup"  -> ((s, d) => graft.functions.LlmQueries.semanticDedup(s, d)),
     "r30_stream_join"     -> ((s, d) => graft.streaming.StreamingQueries.streamJoin(s, d)),
     "r31_stream_sessions" -> ((s, d) => graft.streaming.StreamingQueries.streamSessions(s, d)),
@@ -1147,6 +1153,47 @@ object SparkEntry {
         |SELECT g.event_type, g.h * 3600000 AS window_start_ms,
         |       coalesce(c.cnt, 0)::BIGINT AS cnt
         |FROM g LEFT JOIN c ON c.event_type = g.event_type AND c.h = g.h""".stripMargin,
+    // every event lands in exactly 4 overlapping 1h/15min windows, all
+    // epoch-aligned — same expansion Spark's window() does map-side
+    "r34_sliding_agg" ->
+      """WITH x AS (
+        |  SELECT event_type, value, epoch_ms(ts) AS ms FROM events
+        |), w AS (
+        |  SELECT event_type, value, ((ms // 900000) - j.j) * 900000 AS ws
+        |  FROM x CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) j
+        |)
+        |SELECT ws AS window_start_ms, event_type, count(*)::BIGINT AS cnt,
+        |       round(sum(value), 3) AS sum_value
+        |FROM w GROUP BY 1, 2""".stripMargin,
+    "r35_rolling_sum" ->
+      """WITH c AS (
+        |  SELECT event_type, epoch_ms(ts) // 3600000 AS h, count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), b AS (
+        |  SELECT min(epoch_ms(ts) // 3600000) AS h0,
+        |         max(epoch_ms(ts) // 3600000) AS h1
+        |  FROM events
+        |), g AS (
+        |  SELECT t.event_type, unnest(generate_series(b.h0, b.h1)) AS h
+        |  FROM (SELECT DISTINCT event_type FROM events) t, b
+        |), d AS (
+        |  SELECT g.event_type, g.h * 3600000 AS window_start_ms,
+        |         coalesce(c.cnt, 0)::BIGINT AS cnt
+        |  FROM g LEFT JOIN c ON c.event_type = g.event_type AND c.h = g.h
+        |)
+        |SELECT event_type, window_start_ms, cnt,
+        |       (sum(cnt) OVER (PARTITION BY event_type ORDER BY window_start_ms
+        |                       ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))::BIGINT
+        |         AS rolling_24h
+        |FROM d""".stripMargin,
+    "t18_split_assign" ->
+      """SELECT doc_id, lang,
+        |       CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+        |              < 3435973836 THEN 'train'
+        |            WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+        |              < 3865470566 THEN 'valid'
+        |            ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
     "d7_embed_neardup_exact" ->
       """SELECT * FROM (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,

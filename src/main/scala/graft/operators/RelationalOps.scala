@@ -307,6 +307,29 @@ object RelationalOps {
         coalesce(col("cnt"), lit(0L)).as("cnt"))
   }
 
+  /** SLIDING window aggregate (1 h windows every 15 min): each event lands
+    * in exactly 4 overlapping windows — Spark expands the assignment
+    * map-side (a 4× Generate before the partial agg), so the shuffle moves
+    * pre-combined (window, type) partials, not 4× the events. */
+  def slidingAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 3).as("sum_value"))
+      .select(unix_millis(col("window.start")).as("window_start_ms"),
+        col("event_type"), col("cnt"), col("sum_value"))
+
+  /** Rolling 24 h sum over the GAP-FILLED hourly series — the window is
+    * only correct because empty hours exist as explicit zero rows (24 ROWS
+    * == 24 hours); exact bigint sums keep it engine-reproducible. Each
+    * type's partition is time-range-sized, independent of event count. */
+  def rollingCounts(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("window_start_ms"))
+      .rowsBetween(-23, 0)
+    gapFillHourly(spark, dir)
+      .select(col("event_type"), col("window_start_ms"), col("cnt"),
+        sum(col("cnt")).over(w).as("rolling_24h"))
+  }
+
   /** Skew-salted join checked against the plain join: salting must be a
     * pure execution-strategy change, never a semantic one. */
   def saltedJoinOrders(spark: SparkSession, dir: String): DataFrame =

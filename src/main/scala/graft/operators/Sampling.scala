@@ -108,6 +108,24 @@ object Sampling {
       .drop("__n")
   }
 
+  /** Deterministic train/valid/test split assignment: the key's md5 bucket
+    * against cumulative fraction thresholds — a pure map-side projection,
+    * stable under retries, re-runs, and engines, and consistent for a key
+    * across tables (join-safe: a doc and its embeddings land in the same
+    * split). `splits` are (label, fraction) with fractions summing ≤ 1;
+    * the remainder falls to `rest`. */
+  def assignSplits(df: DataFrame, keyCol: String,
+                   splits: Seq[(String, Double)] = Seq("train" -> 0.8, "valid" -> 0.1),
+                   rest: String = "test"): DataFrame = {
+    val thresholds = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+      .map(f => (f * 4294967296.0).toLong)
+    val h = hashBucket(col(keyCol))
+    val label = splits.zip(thresholds).foldLeft(when(lit(false), lit(""))) {
+      case (acc, ((name, _), t)) => acc.when(h < t, name)
+    }.otherwise(rest)
+    df.withColumn("split", label)
+  }
+
   /** Per-group quota: at most `n` rows per value of `groupCol`, chosen as
     * the n smallest md5 buckets (a deterministic uniform draw). The cap a
     * curation pipeline puts on any one source/domain so no group dominates

@@ -90,4 +90,21 @@ class SamplingSpec extends AnyFunSuite {
     assert(counts.forall(c => c > expected * 0.7 && c < expected * 1.3),
       s"bucket counts too skewed: ${counts.mkString(",")}")
   }
+
+  test("assignSplits: ~80/10/10, exhaustive+disjoint, key-consistent across tables") {
+    val n = 5000L
+    val a = spark.range(n).toDF("k")
+    val s = Sampling.assignSplits(a, "k")
+    val counts = s.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == n, "every row gets exactly one split")
+    assert(math.abs(counts("train") - 4000) < 300, counts.toString)
+    assert(math.abs(counts("valid") - 500) < 150, counts.toString)
+    // the SAME key in a different table lands in the same split (join-safe)
+    val b = Sampling.assignSplits(
+      spark.range(n).toDF("k").sample(0.3, seed = 7), "k")
+    val joined = s.join(b.withColumnRenamed("split", "split_b"), "k")
+    assert(joined.filter($"split" =!= $"split_b").isEmpty,
+      "split assignment must be a pure key function")
+  }
 }
