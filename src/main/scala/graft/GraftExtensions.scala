@@ -61,6 +61,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("lang_id"), LangId.info,
       exprs => LangId(exprs.head)))
     ext.injectResolutionRule(session => new MorRelationResolution(session))
+    ext.injectOptimizerRule(session => new graft.plans.ApproxDistinctRewrite(session))
   }
 }
 

@@ -120,6 +120,7 @@ object SparkEntry {
     "d18_cms_estimate"    -> ((s, d) => graft.functions.LlmQueries.cmsEstimate(s, d)),
     "d19_pagerank"        -> ((s, d) => graft.functions.LlmQueries.pageRankNearDup(s, d)),
     "d20_heavy_hitters"   -> ((s, d) => graft.functions.LlmQueries.heavyHitters(s, d)),
+    "d21_approx_distinct" -> ((s, d) => graft.functions.LlmQueries.approxDistinct(s, d)),
     "r32_pivot"           -> ((s, d) => RelationalOps.pivotEventCounts(s, d)),
     "r33_gapfill"         -> ((s, d) => RelationalOps.gapFillHourly(s, d)),
     "r34_sliding_agg"     -> ((s, d) => RelationalOps.slidingAgg(s, d)),
@@ -1130,6 +1131,36 @@ object SparkEntry {
         |)
         |SELECT source, w AS token, count(*)::BIGINT AS cnt
         |FROM tok GROUP BY 1, 2 HAVING count(*) >= 40""".stripMargin,
+    // reproduces the OPTIMIZER-REWRITTEN plan: registers → harmonic-mean
+    // estimate (2dp) → half-up bigint, same arithmetic as d15/d16
+    "d21_approx_distinct" ->
+      """WITH h AS (
+        |  SELECT source, ('0x' || substr(md5(text), 1, 8))::BIGINT AS hv
+        |  FROM documents
+        |), r AS (
+        |  SELECT source, hv // 67108864 AS slot,
+        |         CASE WHEN hv % 67108864 = 0 THEN 27
+        |              ELSE 27 - length(printf('%b', hv % 67108864)) END AS rho
+        |  FROM h
+        |), slots AS (
+        |  SELECT DISTINCT source, gs.g AS slot
+        |  FROM documents, generate_series(0, 63) gs(g)
+        |), regs AS (
+        |  SELECT s.source, s.slot, coalesce(max(r.rho), 0) AS rho
+        |  FROM slots s
+        |  LEFT JOIN r ON r.source = s.source AND r.slot = s.slot
+        |  GROUP BY s.source, s.slot
+        |), agg AS (
+        |  SELECT source, sum(pow(2.0, -rho)) AS s,
+        |         sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END)::BIGINT AS v
+        |  FROM regs GROUP BY source
+        |)
+        |SELECT source,
+        |       floor(round(CASE WHEN 0.709 * 64.0 * 64.0 / s <= 160.0 AND v > 0
+        |                        THEN 64.0 * ln(64.0 / v)
+        |                        ELSE 0.709 * 64.0 * 64.0 / s END, 2)
+        |             + 0.5)::BIGINT AS approx_texts
+        |FROM agg""".stripMargin,
     "r32_pivot" ->
       """SELECT user_id,
         |       (count(*) FILTER (event_type = 'click'))::BIGINT AS click,

@@ -483,6 +483,22 @@ object LlmQueries {
       .join(cand, Seq("source", "token")) // vocab-sized, hash-sampled: small
   }
 
+  /** The approx-count-distinct OPTIMIZER REWRITE, oracle-checked: the
+    * query says exact `count_distinct`; the session conf swaps in the HLL
+    * sketch ([[graft.plans.ApproxDistinctRewrite]], md5 family) — and the
+    * DuckDB oracle reproduces the rewritten plan's output bit-for-bit,
+    * registers through estimate through the final half-up bigint. The
+    * eager checkpoint forces planning while the conf is on (and keeps the
+    * toggle from leaking into sibling gate entries). */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.graft.approxCountDistinct", "md5")
+    try Tables.documents(spark, dir)
+      .groupBy("source")
+      .agg(count_distinct(col("text")).as("approx_texts"))
+      .localCheckpoint(true)
+    finally spark.conf.unset("spark.graft.approxCountDistinct")
+  }
+
   /** Heavy hitters, sketch-guided: tokens occurring ≥ 40 times in a source.
     * The CMS answers "which tokens MIGHT be heavy" without a
     * vocabulary-sized shuffle — est ≥ exact means no false negatives, so
