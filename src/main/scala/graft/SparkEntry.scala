@@ -129,6 +129,8 @@ object SparkEntry {
       graft.Tables.documents(s, d).select(
         org.apache.spark.sql.functions.col("doc_id"),
         org.apache.spark.sql.functions.col("lang")), "doc_id")),
+    "t19_chunking"        -> ((s, d) => graft.functions.TextAnalysis.chunkDocs(
+      graft.Tables.documents(s, d))),
     "d14_semantic_dedup"  -> ((s, d) => graft.functions.LlmQueries.semanticDedup(s, d)),
     "r30_stream_join"     -> ((s, d) => graft.streaming.StreamingQueries.streamJoin(s, d)),
     "r31_stream_sessions" -> ((s, d) => graft.streaming.StreamingQueries.streamSessions(s, d)),
@@ -1225,6 +1227,22 @@ object SparkEntry {
         |              < 3865470566 THEN 'valid'
         |            ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+    // chunk k covers tokens [k*40, k*40+50); starts = range(0, n, 40) on
+    // both engines; the chunk text is pinned via md5 of the re-joined slice
+    "t19_chunking" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                     x -> x <> '') AS t
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, t, unnest(range(0, len(t), 40)) AS st
+        |  FROM w WHERE len(t) > 0
+        |)
+        |SELECT doc_id, (st // 40)::BIGINT AS chunk_id,
+        |       len(t[st + 1 : st + 50])::BIGINT AS n_tokens,
+        |       md5(array_to_string(t[st + 1 : st + 50], ' ')) AS chunk_md5
+        |FROM s""".stripMargin,
     "d7_embed_neardup_exact" ->
       """SELECT * FROM (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -108,6 +108,32 @@ object TextAnalysis {
     * evaluate), so the fingerprint is oracle-checkable bit-for-bit. Use the
     * xxhash64 form in production (one compiled hash vs md5's allocation);
     * use this one when two engines must agree. */
+  /** Overlapping token-window chunking — the RAG/pretraining prep step
+    * that turns long documents into fixed-budget context pieces. Chunk k
+    * covers tokens [k·stride, k·stride + size); the final chunk may be
+    * shorter; every token is covered and consecutive chunks share
+    * (size − stride) tokens. One map-side explode over a generated start
+    * sequence — rows out ≈ rows in × (len/stride), no shuffle, and the
+    * chunk text is pinned by md5 so the output stays narrow at 100 TB.
+    * Requires stride ≥ 1 and ≤ size (gaps would drop tokens). */
+  def chunkDocs(docs: DataFrame, size: Int = 50, stride: Int = 40,
+                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(stride >= 1 && stride <= size, s"need 1 <= stride <= size, got $stride/$size")
+    docs
+      .select(col(idCol), tokens(lower(col(textCol))).as("__t"))
+      .withColumn("__n", size_(col("__t")))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("__t"),
+        explode(sequence(lit(0), col("__n") - 1, lit(stride))).as("__s"))
+      .select(col(idCol), (col("__s") / stride).cast("long").as("chunk_id"),
+        slice(col("__t"), col("__s") + 1, lit(size)).as("__c"))
+      .select(col(idCol), col("chunk_id"),
+        size_(col("__c")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("__c"))).as("chunk_md5"))
+  }
+
+  private def size_(c: Column): Column = size(c)
+
   def fingerprintPortable(text: Column, window: Int = 5): Column = {
     def h(c: Column) = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
     val toks = tokens(lower(text))

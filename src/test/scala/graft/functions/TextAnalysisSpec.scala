@@ -132,4 +132,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(1).getString(0) == "two mails <EMAIL> <EMAIL> and versions 1.2.3 (not an ip)")
     assert(got(2).getString(0) == "no pii here")
   }
+
+  test("chunkDocs: every token covered, stride overlap, short docs = one chunk") {
+    val docs = Seq(
+      (1L, (1 to 95).map(i => s"w$i").mkString(" ")), // 95 tokens → 3 chunks
+      (2L, "tiny doc"),                               // 2 tokens → 1 chunk
+      (3L, (1 to 40).map(i => s"x$i").mkString(" "))  // exactly one stride
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocs(docs, size = 50, stride = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((1L, 0L) -> 50L, (1L, 1L) -> 50L, (1L, 2L) -> 15L,
+      (2L, 0L) -> 2L, (3L, 0L) -> 40L), got.toString)
+    // chunk k starts at k*stride: chunk ids are dense 0..k per doc, and
+    // total coverage = n + overlaps: 95 + 2*10 = 115 for doc 1
+    assert(got.collect { case ((1L, _), n) => n }.sum == 115L)
+    // chunk hash is the md5 of the re-joined token slice (portable pin)
+    val h = TextAnalysis.chunkDocs(docs, size = 50, stride = 40)
+      .filter($"doc_id" === 2L).select("chunk_md5").as[String].head()
+    assert(h == java.security.MessageDigest.getInstance("MD5")
+      .digest("tiny doc".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+  }
 }
