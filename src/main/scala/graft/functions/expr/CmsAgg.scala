@@ -52,12 +52,19 @@ case class CmsAgg(
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val hex = v.toString
+      // md5() emits lowercase ASCII hex — parse the UTF8String bytes in
+      // place (no String / substring allocations in the per-row loop)
+      val u = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
       var j = 0
       while (j < depth) {
-        val bucket = (java.lang.Long.parseLong(hex.substring(7 * j, 7 * j + 7), 16)
-          % width).toInt
-        buf(j * width + bucket) += 1
+        var k = 7 * j
+        val end = k + 7
+        var acc = 0L
+        while (k < end) {
+          acc = (acc << 4) | Character.digit(u.getByte(k).toChar, 16).toLong
+          k += 1
+        }
+        buf(j * width + (acc % width).toInt) += 1
         j += 1
       }
     }
