@@ -51,6 +51,7 @@ object SparkEntry {
     "s28_manifest_read"   -> ((s, d) => graft.lake.LakeQueries.manifestRead(s, d)),
     "s31_part_manifest_read" -> ((s, d) => graft.lake.LakeQueries.partManifestRead(s, d)),
     "s34_schema_evolution" -> ((s, d) => graft.lake.LakeQueries.schemaEvolution(s, d)),
+    "s35_sketch_lake"     -> ((s, d) => graft.lake.LakeQueries.sketchLake(s, d)),
     "s29_point_read"      -> ((s, d) => graft.lake.LakeQueries.pointRead(s, d)),
     "s30_stream_partitioned" -> ((s, d) => graft.streaming.StreamingQueries.streamPartitioned(s, d)),
     "s8_cdc_ticket_view"  -> ((s, d) => graft.streaming.PipelineQueries.ticketView(s, d)),
@@ -418,6 +419,26 @@ object SparkEntry {
         |SELECT doc_id, lang, unnest(generate_series(1, n))::BIGINT AS epoch
         |FROM base WHERE n > 0""".stripMargin,
     "d15_hll_registers" ->
+      """WITH h AS (
+        |  SELECT source, ('0x' || substr(md5(text), 1, 8))::BIGINT AS hv
+        |  FROM documents
+        |), r AS (
+        |  SELECT source, hv // 67108864 AS slot,
+        |         CASE WHEN hv % 67108864 = 0 THEN 27
+        |              ELSE 27 - length(printf('%b', hv % 67108864)) END AS rho
+        |  FROM h
+        |), slots AS (
+        |  SELECT DISTINCT source, gs.g AS slot
+        |  FROM documents, generate_series(0, 63) gs(g)
+        |)
+        |SELECT s.source, s.slot::BIGINT AS slot,
+        |       coalesce(max(r.rho), 0)::BIGINT AS rho
+        |FROM slots s
+        |LEFT JOIN r ON r.source = s.source AND r.slot = s.slot
+        |GROUP BY s.source, s.slot""".stripMargin,
+    // the lake round trip (store half-1 sketch, merge half-2 slot-max,
+    // store) must equal the whole-corpus registers — d15's SQL verbatim
+    "s35_sketch_lake" ->
       """WITH h AS (
         |  SELECT source, ('0x' || substr(md5(text), 1, 8))::BIGINT AS hv
         |  FROM documents

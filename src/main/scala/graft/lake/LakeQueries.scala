@@ -411,4 +411,35 @@ object LakeQueries {
       PartitionedMorTable.readManifest(spark, path)
         .select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
   }
+
+  /** Incremental sketch maintenance IN the lake: day-1 HLL registers are
+    * committed to a MOR table keyed (source, slot); day 2 reads the stored
+    * sketch, merges the new half slot-wise (union = elementwise max — the
+    * HLL merge law) and upserts the result. The final table must equal the
+    * registers of the WHOLE corpus (oracle: the d15 SQL) — proving the
+    * portable sketch survives a store → read → merge → store lake round
+    * trip, which is how a 100 TB pipeline keeps per-source cardinality
+    * dashboards fresh without ever rescanning history: per day it
+    * aggregates only that day's data and touches groups × 64 stored rows. */
+  def sketchLake(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    def regs(half: DataFrame) = graft.functions.Sketch.registers(
+      spark, half, "source", graft.operators.Sampling.hashBucket(col("text")))
+    val path = tempPath("sketch-lake")
+    val t = MorTable(spark, path, keyCols = Seq("source", "slot"),
+      compactionDeltaCommits = 100)
+    t.upsert(regs(docs.filter(col("doc_id") % 2 === 0)),
+      orderWithinBatch = Seq(col("rho")), batchId = 1L)
+    val stored = t.read().select(col("source"), col("slot"),
+      col("rho").as("rho_old"))
+    val incoming = regs(docs.filter(col("doc_id") % 2 =!= 0))
+      .select(col("source"), col("slot"), col("rho").as("rho_new"))
+    val merged = incoming.join(stored, Seq("source", "slot"), "full_outer")
+      .select(col("source"), col("slot"),
+        greatest(coalesce(col("rho_old"), lit(0L)),
+          coalesce(col("rho_new"), lit(0L))).as("rho"))
+    t.upsert(merged, orderWithinBatch = Seq(col("rho")), batchId = 2L)
+    graft.TempDirs.materializeAndDelete(
+      t.read().select("source", "slot", "rho"), path)
+  }
 }
