@@ -40,6 +40,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => ShingleHashes(exprs.head, exprs(1))))
     ext.injectFunction((FunctionIdentifier("shingle_hashes64"), ShingleHashes.info64,
       exprs => ShingleHashes(exprs.head, exprs(1), raw = true)))
+    ext.injectFunction((FunctionIdentifier("shingle_hashes_pos"), ShingleHashes.infoPos,
+      exprs => ShingleHashes(exprs.head, exprs(1), raw = true, positional = true)))
     ext.injectFunction((FunctionIdentifier("token_hashes"), TokenHashes.info,
       exprs => TokenHashes(exprs.head)))
     ext.injectFunction((FunctionIdentifier("minhash_md5"), MinHashMd5.info,
@@ -113,6 +115,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("shingle_hashes64"), ShingleHashes.info64,
       exprs => ShingleHashes(exprs.head, exprs(1), raw = true))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("shingle_hashes_pos"), ShingleHashes.infoPos,
+      exprs => ShingleHashes(exprs.head, exprs(1), raw = true, positional = true))
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("token_hashes"), TokenHashes.info,
       exprs => TokenHashes(exprs.head))

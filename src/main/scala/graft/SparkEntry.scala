@@ -94,6 +94,7 @@ object SparkEntry {
     "s25_part_cdc_read"   -> ((s, d) => graft.lake.LakeQueries.partitionedCdcRead(s, d)),
     "s27_row_level_ops"   -> ((s, d) => graft.lake.LakeQueries.rowLevelOps(s, d)),
     "s22_incremental_view" -> ((s, d) => graft.lake.LakeQueries.incrementalView(s, d)),
+    "s36_incr_join_view"  -> ((s, d) => graft.lake.LakeQueries.incrementalJoinView(s, d)),
     "s18_ann_ivf_portable" -> ((s, d) => graft.functions.LlmQueries.annIvfPortable(s, d)),
     "s20_ann_lsh_portable" -> ((s, d) => graft.functions.LlmQueries.annLshPortable(s, d)),
     "s19_sql_insert"      -> ((s, d) => graft.lake.LakeQueries.sqlInsert(s, d)),
@@ -122,6 +123,7 @@ object SparkEntry {
     "d19_pagerank"        -> ((s, d) => graft.functions.LlmQueries.pageRankNearDup(s, d)),
     "d20_heavy_hitters"   -> ((s, d) => graft.functions.LlmQueries.heavyHitters(s, d)),
     "d21_approx_distinct" -> ((s, d) => graft.functions.LlmQueries.approxDistinct(s, d)),
+    "d22_substring_dedup" -> ((s, d) => graft.functions.LlmQueries.substringDedup(s, d)),
     "r32_pivot"           -> ((s, d) => RelationalOps.pivotEventCounts(s, d)),
     "r33_gapfill"         -> ((s, d) => RelationalOps.gapFillHourly(s, d)),
     "r34_sliding_agg"     -> ((s, d) => RelationalOps.slidingAgg(s, d)),
@@ -189,6 +191,25 @@ object SparkEntry {
         |SELECT event_type, count(*)::BIGINT AS n_users,
         |       sum(round(value * 1000000)::BIGINT)::BIGINT AS sum_micros
         |FROM final GROUP BY event_type""".stripMargin,
+    // final-state view computed directly; the engine must reach the same
+    // numbers by incremental maintenance from two changelogs
+    "s36_incr_join_view" ->
+      """WITH cust AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey % 7 = 0
+        |              THEN ((c_nationkey + 1) % 25)::INTEGER
+        |              ELSE c_nationkey END AS c_nationkey
+        |  FROM customer
+        |), ord AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 10 = 1 THEN o_totalprice + 100
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 <> 2
+        |)
+        |SELECT c.c_nationkey, count(*)::BIGINT AS n_orders,
+        |       sum(round(o.o_totalprice * 1000000)::BIGINT)::BIGINT AS sum_micros
+        |FROM ord o JOIN cust c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_nationkey""".stripMargin,
     "s28_manifest_read" ->
       """SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
         |FROM events
@@ -1184,6 +1205,39 @@ object SparkEntry {
         |                        ELSE 0.709 * 64.0 * 64.0 / s END, 2)
         |             + 0.5)::BIGINT AS approx_texts
         |FROM agg""".stripMargin,
+    // string windows replayed exactly (production joins 64-bit fingerprints;
+    // the string-exact recompute must agree on every count)
+    "d22_substring_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                     x -> x <> '') AS words
+        |  FROM documents
+        |), t AS (
+        |  SELECT doc_id,
+        |         list_transform(range(0, len(words) - 15),
+        |           i -> {'p': i, 's': array_to_string(words[i+1:i+16], ' ')}) AS sh
+        |  FROM w WHERE len(words) >= 16
+        |), e AS (SELECT doc_id, unnest(sh) AS u FROM t
+        |), f AS (SELECT doc_id, u.p AS pos, u.s AS s FROM e
+        |), d AS (SELECT s FROM f GROUP BY s HAVING min(doc_id) <> max(doc_id)
+        |), m AS (SELECT f.doc_id, f.pos FROM f JOIN d USING (s)
+        |), c AS (
+        |  SELECT doc_id, pos,
+        |         max(pos + 16) OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM m
+        |), a AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_dup_windows,
+        |         sum(greatest(0, pos + 16 -
+        |             greatest(pos, coalesce(prev_end, pos))))::BIGINT AS covered_tokens
+        |  FROM c GROUP BY doc_id
+        |)
+        |SELECT w.doc_id, len(w.words)::BIGINT AS n_tokens,
+        |       greatest(len(w.words) - 15, 0)::BIGINT AS n_windows,
+        |       coalesce(a.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+        |       coalesce(a.covered_tokens, 0)::BIGINT AS covered_tokens
+        |FROM w LEFT JOIN a ON w.doc_id = a.doc_id""".stripMargin,
     "r32_pivot" ->
       """SELECT user_id,
         |       (count(*) FILTER (event_type = 'click'))::BIGINT AS click,

@@ -67,10 +67,10 @@ object TempDirs {
     * a 50+-query Verify/Bench run replays several tables and the shutdown
     * hook alone bounds the leak only to process lifetime. Use only for
     * gate-sized results (≤ a few thousand rows). */
-  def materializeAndDelete(df: org.apache.spark.sql.DataFrame, dir: String): org.apache.spark.sql.DataFrame = {
+  def materializeAndDelete(df: org.apache.spark.sql.DataFrame, dirs: String*): org.apache.spark.sql.DataFrame = {
     val rows = java.util.Arrays.asList(df.collect(): _*)
     val out = df.sparkSession.createDataFrame(rows, df.schema)
-    deleteRecursively(Paths.get(dir))
+    dirs.foreach(d => deleteRecursively(Paths.get(d)))
     out
   }
 

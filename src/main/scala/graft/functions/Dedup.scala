@@ -218,6 +218,66 @@ object Dedup {
       .groupBy(col(idCol)).agg(count(lit(1)).as("shared_shingles"))
       .filter(col("shared_shingles") >= minShared)
 
+  // ------------------------------------------------- exact substring spans
+
+  /** Exact substring-span dedup (the "dedup training data at the substring
+    * level" pass — find every K-token window that also occurs in ANOTHER
+    * document, and how much of each document those duplicated spans cover).
+    * Doc-level near-dup (MinHash/SimHash) misses boilerplate: two distinct
+    * pages sharing a 200-token license header are not near-dups, but the
+    * header should still train once. Returns one row per document:
+    * (doc_id, n_tokens, n_windows, n_dup_windows, covered_tokens) where
+    * covered_tokens = |union of [start, start+K) over duplicated windows| —
+    * exact interval-union arithmetic, so `covered_tokens / n_tokens` is the
+    * fraction of the document lying inside some cross-doc duplicated span.
+    *
+    * Shape at 100 TB: the corpus never leaves its scan as text — the native
+    * positional kernel (`shingle_hashes_pos`, one pass, codegen'd) turns
+    * each doc into 8-byte window fingerprints, and everything downstream
+    * moves (id, pos, hash) triples. One hash-shuffle finds cross-doc
+    * hashes (min(doc) != max(doc) — a plain partial-aggregable min/max, NOT
+    * a count-distinct Expand), one semi-join marks duplicated positions
+    * (same key → AQE reuses the exchange), and the interval union is a
+    * single window function over (doc, pos) — no K× position explode.
+    * This is the sorted-fingerprint design of suffix-array substring dedup,
+    * re-expressed as two aggregations. 64-bit fingerprints make false
+    * positives ~n²/2⁶⁵ (same trust as [[decontaminate]]); the DuckDB oracle
+    * rebuilds the windows as STRINGS, so the gate entry cross-checks the
+    * hashed path against exact string equality. */
+  def substringDupStats(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id", k: Int = 16): DataFrame = {
+    graft.GraftFunctions.register(docs.sparkSession)
+    val wins = docs.select(col(idCol),
+      posexplode(call_function("shingle_hashes_pos", col(textCol), lit(k))))
+      .toDF(idCol, "pos", "__h")
+    // cross-doc duplicated fingerprints: seen in >= 2 distinct docs.
+    // min != max is the cheap exact test for ">=2 distinct" — partial-agg
+    // friendly, no distinct-count Expand through the shuffle.
+    val dup = wins.groupBy("__h")
+      .agg(min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"))
+      .filter(col("__mn") =!= col("__mx"))
+      .select("__h")
+    val marked = wins.join(dup, "__h").select(col(idCol), col("pos"))
+    // interval union per doc: windows sorted by start; each contributes
+    // its length minus the overlap with the furthest end seen so far.
+    val w = Window.partitionBy(idCol).orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cov = marked
+      .withColumn("__prev_end", max(col("pos") + lit(k)).over(w))
+      .withColumn("__cov", greatest(lit(0), col("pos") + lit(k) -
+        greatest(col("pos"), coalesce(col("__prev_end"), col("pos")))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_dup_windows"),
+        sum(col("__cov")).cast("long").as("covered_tokens"))
+    val totals = docs.select(col(idCol),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("n_windows", greatest(col("n_tokens") - (k - 1), lit(0L)))
+    totals.join(cov, Seq(idCol), "left").select(col(idCol),
+      col("n_tokens"), col("n_windows"),
+      coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+      coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
+  }
+
   // ---------------------------------------------------------------- minhash
 
   /** Word k-shingles (lowercased), the MinHash input set. */

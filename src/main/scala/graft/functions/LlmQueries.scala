@@ -499,6 +499,14 @@ object LlmQueries {
     finally spark.conf.unset("spark.graft.approxCountDistinct")
   }
 
+  /** Exact substring-span dedup over the corpus (gate entry d22): per-doc
+    * duplicated-span statistics at K = 16 tokens. See
+    * [[Dedup.substringDupStats]] for the fingerprint design; the oracle
+    * rebuilds every window as a STRING in DuckDB, so the 64-bit hashed
+    * production path is checked against exact string equality. */
+  def substringDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.substringDupStats(Tables.documents(spark, dir))
+
   /** Heavy hitters, sketch-guided: tokens occurring ≥ 40 times in a source.
     * The CMS answers "which tokens MIGHT be heavy" without a
     * vocabulary-sized shuffle — est ≥ exact means no false negatives, so

@@ -29,7 +29,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * declarative form — both are valid MinHash inputs; family-independent
   * behavior (LSH recall, estimate accuracy) is what DedupSpec asserts.
   */
-case class ShingleHashes(left: Expression, right: Expression, raw: Boolean = false)
+case class ShingleHashes(left: Expression, right: Expression, raw: Boolean = false,
+                         positional: Boolean = false)
     extends BinaryExpression {
 
   private val P = 2147483647L
@@ -42,7 +43,9 @@ case class ShingleHashes(left: Expression, right: Expression, raw: Boolean = fal
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = if (raw) "shingle_hashes64" else "shingle_hashes"
+  override def prettyName: String =
+    if (positional) "shingle_hashes_pos"
+    else if (raw) "shingle_hashes64" else "shingle_hashes"
 
   private def finish(acc: Long): Long =
     if (raw) acc else java.lang.Long.remainderUnsigned(acc, P)
@@ -74,6 +77,24 @@ case class ShingleHashes(left: Expression, right: Expression, raw: Boolean = fal
     }
     if (inTok) tokenHashes.add(h)
     val n = tokenHashes.size()
+    if (positional) {
+      // Positional mode (`shingle_hashes_pos`): one 64-bit window hash PER
+      // START POSITION, array index == token offset of the window — the
+      // front end for exact substring-span dedup, where WHERE a duplicated
+      // window sits matters as much as THAT it exists. No distinct, no
+      // degenerate short-text shingle: a doc with fewer than k tokens has
+      // zero k-windows by definition.
+      val m = if (n >= k) n - k + 1 else 0
+      val pos = new Array[Long](m)
+      var s = 0
+      while (s < m) {
+        var acc = 0L; var j = 0
+        while (j < k) { acc = mix(acc, tokenHashes.get(s + j)); j += 1 }
+        pos(s) = acc
+        s += 1
+      }
+      return new GenericArrayData(pos)
+    }
     val out = new java.util.HashSet[Long]()
     if (n == 0) {
       // empty text → single hash of the empty shingle (matches the
@@ -118,4 +139,6 @@ object ShingleHashes {
     classOf[ShingleHashes].getName, "shingle_hashes")
   val info64: ExpressionInfo = new ExpressionInfo(
     classOf[ShingleHashes].getName, "shingle_hashes64")
+  val infoPos: ExpressionInfo = new ExpressionInfo(
+    classOf[ShingleHashes].getName, "shingle_hashes_pos")
 }

@@ -299,6 +299,84 @@ object LakeQueries {
     graft.TempDirs.materializeAndDelete(view, path)
   }
 
+  /** Incrementally-maintained JOIN view across TWO lake tables (the
+    * multi-table generalization of [[incrementalView]]): customers and
+    * orders replay as independent MOR tables (commit 1 = initial load;
+    * then order inserts + price updates, order deletes, and customer
+    * NATION MOVES — the dimension change that silently invalidates every
+    * naive single-table delta formula), and the per-nation view
+    * (order count + exact micro-cent revenue) is brought from its
+    * commit-1 state to the final state WITHOUT a full recompute.
+    *
+    * Maintenance is affected-key partial recompute — the exact algebra
+    * ΔV = (F'⋈M')|ₖ − (F⋈M)|ₖ over k = custkeys touched by EITHER
+    * changelog (order after+before custkeys ∪ moved customers). Both
+    * restrictions semi-join the fact table against the BROADCAST affected
+    * set, so the fact side never shuffles: two map-only scans + two
+    * broadcast joins + one nation-level aggregate, all O(changes) in
+    * shuffle volume. Cross-table interactions (a moved customer whose
+    * orders ALSO changed) cannot double-count by construction — old and
+    * new contributions are computed from consistent table snapshots, not
+    * summed per-changelog. At 100 TB the fact scans key-prune too:
+    * cluster orders by custkey (the join key) and the semi-join reduces
+    * to a bloom-pruned point read, the [[MorTable.readForKeys]] path.
+    * Oracle: DuckDB computes the final-state view directly from the same
+    * scripted mutations — the incremental path must equal it bit-for-bit
+    * (integer micros). */
+  def incrementalJoinView(spark: SparkSession, dir: String): DataFrame = {
+    def micros(c: org.apache.spark.sql.Column) = round(c * 1000000).cast("long")
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val ord = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val cPath = tempPath("mor-ijv-cust"); val oPath = tempPath("mor-ijv-ord")
+    val ct = MorTable(spark, cPath, keyCols = Seq("c_custkey"),
+      compactionDeltaCommits = 1000)
+    val ot = MorTable(spark, oPath, keyCols = Seq("o_orderkey"),
+      compactionDeltaCommits = 1000)
+    // commit 1: initial loads (10% of orders held out for later insert)
+    ct.upsert(cust, orderWithinBatch = Seq(col("c_custkey")), batchId = 1L)
+    ot.upsert(ord.filter(col("o_orderkey") % 10 =!= 0),
+      orderWithinBatch = Seq(col("o_orderkey")), batchId = 1L)
+    // orders commit 2: the held-out inserts + a price bump on %10==1
+    ot.upsert(
+      ord.filter(col("o_orderkey") % 10 === 0).unionByName(
+        ord.filter(col("o_orderkey") % 10 === 1).select(col("o_orderkey"),
+          col("o_custkey"), (col("o_totalprice") + 100.0).as("o_totalprice"))),
+      orderWithinBatch = Seq(col("o_orderkey")), batchId = 2L)
+    // orders commit 3: delete %10==2
+    ot.delete(ord.select("o_orderkey").filter(col("o_orderkey") % 10 === 2),
+      batchId = 3L)
+    // customers commit 2: every 7th customer moves nation
+    ct.upsert(cust.filter(col("c_custkey") % 7 === 0).select(col("c_custkey"),
+      pmod(col("c_nationkey") + 1, lit(25)).as("c_nationkey")),
+      orderWithinBatch = Seq(col("c_custkey")), batchId = 2L)
+
+    def viewOf(o: DataFrame, c: DataFrame) =
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"), sum(micros(col("o_totalprice"))).as("s"))
+    val base = viewOf(ot.readAt(1), ct.readAt(1))
+    val oCl = ot.readChangelog(1L); val cCl = ct.readChangelog(1L)
+    val affected = oCl.select(col("o_custkey").as("__k"))
+      .unionByName(oCl.select(col("before_o_custkey").as("__k")))
+      .unionByName(cCl.select(col("c_custkey").as("__k")))
+      .na.drop().distinct()
+    def contrib(o: DataFrame, c: DataFrame, sign: Int) =
+      viewOf(o.join(broadcast(affected), col("o_custkey") === col("__k"),
+        "left_semi"), c)
+        .select(col("c_nationkey"), (col("n") * sign).as("dn"),
+          (col("s") * sign).as("ds"))
+    val delta = contrib(ot.readAt(1), ct.readAt(1), -1)
+      .unionByName(contrib(ot.read(), ct.read(), 1))
+      .groupBy("c_nationkey").agg(sum(col("dn")).as("dn"), sum(col("ds")).as("ds"))
+    val view = base.join(delta, Seq("c_nationkey"), "full_outer")
+      .select(col("c_nationkey"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_orders"),
+        (coalesce(col("s"), lit(0L)) + coalesce(col("ds"), lit(0L))).as("sum_micros"))
+      .filter(col("n_orders") > 0)
+    graft.TempDirs.materializeAndDelete(view, cPath, oPath)
+  }
+
   /** Predicate row-level ops, oracle-checked: materialize the LWW events
     * table, then `UPDATE … WHERE` (errors get value + 1000) and
     * `DELETE … WHERE` (clicks removed) through the engine's predicate

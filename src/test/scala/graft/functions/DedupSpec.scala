@@ -98,6 +98,49 @@ class DedupSpec extends AnyFunSuite {
       rows(Dedup.decontaminatePortable(train, bench, minShared = 1)))
   }
 
+  test("substringDupStats: exact span coverage on a planted shared passage") {
+    // docs 0 and 1 share an exact 8-token passage inside otherwise-unique
+    // text; doc 2 is unrelated; doc 3 is shorter than k (zero windows).
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (0L, "u0 u1 u2 u3 u4 u5 " + shared + " v0 v1 v2 v3 v4"),
+      (1L, "w0 w1 w2 " + shared + " x0 x1"),
+      (2L, "y0 y1 y2 y3 y4 y5 y6 y7 y8 y9 y10 y11 y12 y13"),
+      (3L, "z0 z1 z2")).toDF("doc_id", "text")
+    val out = Dedup.substringDupStats(docs, k = 5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    // k=5 windows fully inside the 8-token shared run: 4 starts; their
+    // interval union covers exactly the 8 shared tokens. Windows touching
+    // the unique context differ across docs, so coverage never bleeds out.
+    assert(out(0L) == ((19L, 15L, 4L, 8L)))
+    assert(out(1L) == ((13L, 9L, 4L, 8L)))
+    assert(out(2L) == ((14L, 10L, 0L, 0L)))
+    assert(out(3L) == ((3L, 0L, 0L, 0L)))
+  }
+
+  test("shingle_hashes_pos: positional windows carry the shingle_hashes64 set") {
+    graft.GraftFunctions.register(spark)
+    // law: distinct(positional hashes) == the distinct-set kernel, and the
+    // array length is exactly n - k + 1 — checked over real corpus docs
+    val docs = graft.Tables.documents(spark, TestSpark.sfDir).limit(50)
+    val both = docs.selectExpr(
+      "size(shingle_hashes_pos(text, 16)) AS m",
+      "size(filter(split(text, '\\\\s+'), t -> t <> '')) AS n",
+      "array_sort(array_distinct(shingle_hashes_pos(text, 16))) AS p",
+      "array_sort(shingle_hashes64(text, 16)) AS s").collect()
+    both.foreach { r =>
+      assert(r.getInt(0) == math.max(r.getInt(1) - 15, 0))
+      if (r.getInt(1) >= 16) assert(r.getSeq[Long](2) == r.getSeq[Long](3))
+    }
+    // and the production pipeline keeps min/max dup detection Expand-free
+    // (">= 2 distinct docs" must not plan a count-distinct Expand)
+    val plan = Dedup.substringDupStats(
+      docs.select("doc_id", "text")).queryExecution.executedPlan
+    assert(!plan.exists(_.isInstanceOf[org.apache.spark.sql.execution.ExpandExec]),
+      s"distinct-count Expand leaked into the dup-detection plan:\n$plan")
+  }
+
   test("exactDedup keeps the smallest id per identical text") {
     val kept = Dedup.exactDedup(corpus).select("doc_id").as[Long].collect().toSet
     assert(kept == Set(0L, 2L, 3L, 4L, 5L))
