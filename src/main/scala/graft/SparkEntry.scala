@@ -124,6 +124,8 @@ object SparkEntry {
     "d20_heavy_hitters"   -> ((s, d) => graft.functions.LlmQueries.heavyHitters(s, d)),
     "d21_approx_distinct" -> ((s, d) => graft.functions.LlmQueries.approxDistinct(s, d)),
     "d22_substring_dedup" -> ((s, d) => graft.functions.LlmQueries.substringDedup(s, d)),
+    "t20_vocab_oov"       -> ((s, d) => graft.functions.TextAnalysis.vocabOov(
+      graft.Tables.documents(s, d))),
     "r32_pivot"           -> ((s, d) => RelationalOps.pivotEventCounts(s, d)),
     "r33_gapfill"         -> ((s, d) => RelationalOps.gapFillHourly(s, d)),
     "r34_sliding_agg"     -> ((s, d) => RelationalOps.slidingAgg(s, d)),
@@ -1238,6 +1240,24 @@ object SparkEntry {
         |       coalesce(a.n_dup_windows, 0)::BIGINT AS n_dup_windows,
         |       coalesce(a.covered_tokens, 0)::BIGINT AS covered_tokens
         |FROM w LEFT JOIN a ON w.doc_id = a.doc_id""".stripMargin,
+    // vocab = top-25 by (count DESC, token ASC) — the same deterministic
+    // total order the engine's TakeOrdered uses through ties
+    "t20_vocab_oov" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                x -> x <> '')) AS token
+        |  FROM documents
+        |), freq AS (
+        |  SELECT token, count(*) AS cnt FROM tok GROUP BY token
+        |), vocab AS (
+        |  SELECT token FROM freq
+        |  QUALIFY row_number() OVER (ORDER BY cnt DESC, token) <= 25
+        |)
+        |SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+        |       sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov
+        |FROM tok t LEFT JOIN vocab v ON t.token = v.token
+        |GROUP BY t.doc_id""".stripMargin,
     "r32_pivot" ->
       """SELECT user_id,
         |       (count(*) FILTER (event_type = 'click'))::BIGINT AS click,

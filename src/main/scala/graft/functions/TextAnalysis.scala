@@ -195,6 +195,32 @@ object TextAnalysis {
       .agg(round(avg(-lnF(col("__c") / lit(total))), 6).as("avg_logprob"))
   }
 
+  /** Vocabulary induction + per-doc out-of-vocabulary rate (the tokenizer-
+    * coverage check run before committing to a vocab size): the top-V
+    * tokens by corpus frequency become the vocabulary (total order =
+    * count DESC, token ASC — deterministic through ties, so the vocab is
+    * identical across partitionings and engines), then every document
+    * reports how many of its token OCCURRENCES fall outside it.
+    *
+    * Shape at scale: the frequency table is vocabulary-sized, the top-V
+    * cut is a TakeOrdered over that table (V rows to the driver, never
+    * corpus data), and the per-doc count is one BROADCAST left join over
+    * the exploded tokens + one groupBy — corpus touched by exactly one
+    * tokenize pass (the exploded relation has two consumers, so it is
+    * pinned with an eager localCheckpoint, the [[unigramLogProb]] rule). */
+  def vocabOov(docs: DataFrame, vocabSize: Int = 25, textCol: String = "text",
+               idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(lower(col(textCol)))).as("__w"))
+      .localCheckpoint(true)
+    val vocab = toks.groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__w")).limit(vocabSize)
+      .select(col("__w"), lit(1).as("__v"))
+    toks.join(broadcast(vocab), Seq("__w"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__v").isNull, 1L).otherwise(0L)).as("n_oov"))
+  }
+
   def textStats(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),

@@ -152,4 +152,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(h == java.security.MessageDigest.getInstance("MD5")
       .digest("tiny doc".getBytes("UTF-8")).map("%02x".format(_)).mkString)
   }
+
+  test("vocabOov: top-V cut is tie-deterministic; OOV counts occurrences") {
+    // freqs: a=4, b=3, c=3, d=2, e=1 — V=3 must cut {a, b, c} with the
+    // b/c tie broken by token order, never by partition order
+    val docs = Seq(
+      (1L, "a b c a b c"),
+      (2L, "a b c d d A"), // lowercased: 'A' counts toward a
+      (3L, "e")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabOov(docs, vocabSize = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(1L -> ((6L, 0L)), 2L -> ((6L, 2L)), 3L -> ((1L, 1L))))
+    // same corpus, V=4: d enters the vocab, e is the only OOV token left
+    val got4 = TextAnalysis.vocabOov(docs, vocabSize = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got4 == Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
+  }
 }
