@@ -103,6 +103,35 @@ object LakeQueries {
         .select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
   }
 
+  /** Key-RANGE read over a compacted-then-appended table (the file-skip
+    * path): replay half the events, compact — range-partitioned base files
+    * with per-file key bounds in the manifest — then land the second half
+    * as a live delta and read `[lo, hi)` through
+    * [[MorTable.readForKeyRange]]. The base files outside the range are
+    * excluded at the LISTING level (no footer opened); survivors row-group
+    * skip on the pushed range predicate; the delta merges on top. Must
+    * equal the LWW winners string-range-filtered — range semantics are
+    * string order over the record key, which DuckDB reproduces with a
+    * VARCHAR cast. */
+  def rangeRead(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "value", "ts_ms", "ts_ns")
+    val bounds = ev.agg(min(col("ts_ns")).as("mn"), max(col("ts_ns")).as("mx")).head()
+    val mn = bounds.getLong(0); val mx = bounds.getLong(1)
+    val mid = mn + (mx - mn) / 2
+    val path = tempPath("mor-range")
+    val t = new MorTable(spark, path, keyCols = Seq("user_id"),
+      compactionDeltaCommits = 1000, autoCompact = false, writePartitions = 4)
+    t.upsert(ev.filter(col("ts_ns") <= mid),
+      orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 1L)
+    t.compact()
+    t.upsert(ev.filter(col("ts_ns") > mid),
+      orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 2L)
+    graft.TempDirs.materializeAndDelete(
+      t.readForKeyRange("3", "6")
+        .select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
+  }
+
   /** MOR incremental pull (the Hudi incremental-query analog),
     * oracle-checked: replay events as two time-split delta commits, then
     * `readIncremental(sinceSeq = 1)` must return exactly the LWW winners of

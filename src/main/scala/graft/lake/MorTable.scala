@@ -260,10 +260,35 @@ final class MorTable(
     try {
       val files = fs.listStatus(baseDir).toSeq.map(_.getPath)
         .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+      // per-file key bounds (the Hudi column-stats / Delta file-stats
+      // analog): one column-pruned aggregation over the key column of the
+      // base just written. Range-partitioned files have DISJOINT bounds,
+      // so [[snapshotForKeyRange]] skips non-intersecting files at the
+      // LISTING level — no footer open, no task. External engines get the
+      // same stats through the manifest.
+      val stats = spark.read.parquet(baseDir.toString)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col("_record_key")).as("mn"), max(col("_record_key")).as("mx"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+        .sortBy(_._1).toSeq
+      def js(s: String): String = {
+        val b = new StringBuilder
+        s.foreach {
+          case '"' => b.append("\\\"")
+          case '\\' => b.append("\\\\")
+          case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+          case c => b.append(c)
+        }
+        b.toString
+      }
+      val statsJson = stats.map { case (f, mn, mx) =>
+        s"""{"file":"${js(f)}","minKey":"${js(mn)}","maxKey":"${js(mx)}"}"""
+      }.mkString(",")
       val dir = new Path(hPath, "manifest")
       fs.mkdirs(dir)
       val json =
         s"""{"baseSeq":$seq,"filter":"_deleted = false",""" +
+          s""""stats":[$statsJson],""" +
           s""""files":[${files.map("\"" + _ + "\"").mkString(",")}]}"""
       val tmp = new Path(dir, s".$seq.json.tmp")
       val out = fs.create(tmp, true)
@@ -400,13 +425,25 @@ final class MorTable(
     * reaches parquet as a pushed filter; sound because LWW per key is
     * independent of other keys. */
   private def snapshotMerged(tl: Seq[Instant],
-                             keyFilter: Option[Column] = None): DataFrame = {
+                             keyFilter: Option[Column] = None,
+                             baseFiles: Option[Seq[String]] = None): DataFrame = {
     if (tl.isEmpty)
       throw new IllegalStateException(s"MorTable at $path has no commits")
     val (lastCompact, deltas) = liveDeltas(tl)
-    val parts0 =
-      lastCompact.map(c => spark.read.parquet(s"$path/base/${c.seq}")).toSeq ++
-        deltas.map(d => spark.read.parquet(s"$path/delta/${d.seq}"))
+    // baseFiles: listing-level file skip (manifest key-bounds pruning) —
+    // Some(subset) scans only those base files; Some(Nil) proves no base
+    // file intersects, kept as a schema-only scan the optimizer folds to
+    // an empty relation
+    val baseScan = lastCompact.toSeq.map { c =>
+      baseFiles match {
+        case Some(sel) if sel.isEmpty =>
+          spark.read.parquet(s"$path/base/${c.seq}").filter(lit(false))
+        case Some(sel) => spark.read.parquet(sel: _*)
+        case None => spark.read.parquet(s"$path/base/${c.seq}")
+      }
+    }
+    val parts0 = baseScan ++
+      deltas.map(d => spark.read.parquet(s"$path/delta/${d.seq}"))
     val parts = keyFilter match {
       case Some(f) => parts0.map(_.filter(f))
       case None => parts0
@@ -538,6 +575,58 @@ final class MorTable(
   def readForKeys(recordKeys: Seq[String]): DataFrame =
     dropMeta(snapshotForKeys(recordKeys))
 
+  /** Snapshot restricted to record keys in [lo, hi) — string order over
+    * `_record_key`, compared exactly as Spark compares it (UTF8 binary).
+    * Pruning happens at three levels: the latest base's per-file key
+    * bounds (manifest stats) exclude whole FILES before any task runs —
+    * range-partitioned compaction makes those bounds disjoint, so a
+    * narrow range touches ~1 of N base files; the pushed range predicate
+    * then skips row groups inside survivors (key-sorted files); deltas
+    * are small and scanned with the same pushed filter. Falls back to the
+    * full base scan when no manifest stats exist (pre-stats tables). */
+  def snapshotForKeyRange(lo: String, hi: String): DataFrame = {
+    val tl = timeline()
+    val rangeF = col("_record_key") >= lit(lo) && col("_record_key") < lit(hi)
+    val (lastCompact, _) = liveDeltas(tl)
+    def u8(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    val baseFiles = lastCompact.flatMap { c =>
+      manifestStats(c.seq).map(_.filter { case (_, mn, mx) =>
+        u8(mx).compareTo(u8(lo)) >= 0 && u8(mn).compareTo(u8(hi)) < 0
+      }.map(_._1))
+    }
+    snapshotMerged(tl, Some(rangeF), baseFiles).filter(!col("_deleted"))
+  }
+
+  /** [[snapshotForKeyRange]] without the lake metadata columns. */
+  def readForKeyRange(lo: String, hi: String): DataFrame =
+    dropMeta(snapshotForKeyRange(lo, hi))
+
+  /** Per-file `_record_key` bounds from `manifest/<seq>.json`:
+    * (file, minKey, maxKey) — None for manifests written before stats
+    * existed (readers must fall back to the full scan). */
+  private def manifestStats(seq: Long): Option[Seq[(String, String, String)]] = {
+    val p = new Path(hPath, s"manifest/$seq.json")
+    if (!fs.exists(p)) return None
+    val json = new String(readFully(fs, p), StandardCharsets.UTF_8)
+    def un(s: String): String = {
+      val b = new StringBuilder; var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) s.charAt(i + 1) match {
+          case 'u' => b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+          case e => b.append(e); i += 2
+        } else { b.append(c); i += 1 }
+      }
+      b.toString
+    }
+    val es = "((?:[^\"\\\\]|\\\\.)*)"
+    val re = ("\\{\"file\":\"" + es + "\",\"minKey\":\"" + es +
+      "\",\"maxKey\":\"" + es + "\"\\}").r
+    val st = re.findAllMatchIn(json)
+      .map(m => (un(m.group(1)), un(m.group(2)), un(m.group(3)))).toSeq
+    if (st.isEmpty) None else Some(st)
+  }
+
   /** Snapshot without the lake metadata columns (user-facing read). */
   def read(): DataFrame = dropMeta(snapshot())
 
@@ -609,8 +698,13 @@ final class MorTable(
     * (plus any late-publishing stragglers recorded as unfolded). */
   def compact(): Unit = synchronized {
     val prep = prepareCompact()
+    // RANGE-partition the base on the key (not hash): each output file owns
+    // a disjoint key range, so the per-file min/max recorded in the manifest
+    // actually excludes files — under hash partitioning every file spans
+    // the whole key domain and file-level stats prune nothing. Costs one
+    // sampling pass over the staged snapshot per compaction.
     val out = if (writePartitions > 0)
-      prep.df.repartition(writePartitions, col("_record_key")) else prep.df
+      prep.df.repartitionByRange(writePartitions, col("_record_key")) else prep.df
     val staging = new Path(hPath, s".staging-compact-${System.nanoTime()}")
     // cluster by key: parquet row-group min/max stats on _record_key let
     // key-equality snapshot reads skip row groups entirely; a bloom filter
@@ -820,7 +914,12 @@ object MorTable {
       .filter(_.matches("\\d+\\.json")).map(_.stripSuffix(".json").toLong).max
     val json = new String(readFully(fs, new Path(dir, s"$latest.json")),
       StandardCharsets.UTF_8)
-    val files = "\"([^\"]+\\.parquet)\"".r.findAllMatchIn(json).map(_.group(1)).toSeq
+    // parse the "files" ARRAY, not every .parquet-ish string in the
+    // document — the per-file stats entries also carry file paths
+    val arr = "\"files\":\\[([^\\]]*)\\]".r.findFirstMatchIn(json)
+      .getOrElse(throw new IllegalStateException(s"manifest without files: $json"))
+      .group(1)
+    val files = "\"([^\"]+\\.parquet)\"".r.findAllMatchIn(arr).map(_.group(1)).toSeq
     val raw = spark.read.parquet(files: _*)
     val live = if (raw.columns.contains("_deleted")) raw.filter(!col("_deleted")) else raw
     live.drop("_record_key", "_deleted", "_commit_seqno", "_commit_time")

@@ -203,6 +203,45 @@ class MorTableSpec extends AnyFunSuite {
     assert(t.readForKeys(Nil).isEmpty)
   }
 
+  test("readForKeyRange: manifest key bounds skip base files at the listing level") {
+    val path = TestSpark.tmpDir("mor-range")
+    val rows = (0 until 400)
+      .map(i => (f"k$i%03d", s"n$i", i, "1970-01-01 00:00:01"))
+      .toDF("uuid", "name", "age", "ts")
+    val t = new MorTable(spark, path, Seq("uuid"),
+      compactionDeltaCommits = 1000, autoCompact = false, writePartitions = 4)
+    t.upsert(rows, orderWithinBatch = Seq(col("ts")), batchId = 1L)
+    t.compact() // 4 range-partitioned base files + per-file bounds
+    t.upsert(Seq(("k050", "upd", -1, "1970-01-01 00:00:09"),
+      ("zzz", "new", -2, "1970-01-01 00:00:09"))
+      .toDF("uuid", "name", "age", "ts"),
+      orderWithinBatch = Seq(col("ts")), batchId = 2L)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val baseSeq = t.timeline().filter(_.kind == "compact").last.seq
+    val baseFiles = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/base/$baseSeq"))
+      .map(_.getPath.getName).count(_.endsWith(".parquet"))
+    assert(baseFiles == 4)
+    // a narrow range must not open every base file
+    val narrow = t.readForKeyRange("k040", "k060")
+    val scannedBase = narrow.inputFiles.count(_.contains("/base/"))
+    assert(scannedBase < baseFiles,
+      s"range read scanned $scannedBase of $baseFiles base files — no file skip")
+    // and must still merge the live delta on top (LWW for k050)
+    val got = narrow.orderBy("uuid").collect()
+      .map(r => r.getAs[String]("uuid") -> r.getAs[Int]("age")).toSeq
+    assert(got == ((40 until 60).map(i => f"k$i%03d" -> i)
+      .map { case (k, a) => if (k == "k050") k -> -1 else k -> a }))
+    // a range beyond every base file's bounds: zero base files, delta only
+    val high = t.readForKeyRange("z", "zzzz")
+    assert(high.inputFiles.count(_.contains("/base/")) == 0)
+    assert(high.select("uuid").as[String].collect().toSeq == Seq("zzz"))
+    // equality with the unpruned filtered read over the whole table
+    val full = t.read().filter(col("uuid") >= "k040" && col("uuid") < "k060")
+      .orderBy("uuid").collect().toSeq
+    assert(t.readForKeyRange("k040", "k060").orderBy("uuid").collect().toSeq == full)
+  }
+
   test("compacted base carries a _record_key bloom filter (point-read row-group skipping)") {
     val path = TestSpark.tmpDir("mor-bloom")
     val t = MorTable(spark, path, Seq("uuid"), compactionDeltaCommits = 100)
