@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions.call_function
-import graft.functions.expr.{CmsAgg, CosineSimilarity, HllAgg, LangId, LshBuckets, LshBucketsMd5, MinHashAgg, MinHashBands, MinHashSignature, MinHashMd5, NearestCells, PqEncode, Quantize127, ShingleHashes, TextQuality, SigOverlap, SimHashChunks, SimHashMd5, TokenHashes}
+import graft.functions.expr.{CmsAgg, CosineSimilarity, HllAgg, LangId, LshBuckets, LshBucketsMd5, MinHashAgg, MinHashBands, MinHashSignature, MinHashMd5, NearestCells, PqEncode, Quantize127, ShingleHashes, TextQuality, SigOverlap, SimHashChunks, SimHashMd5, TokenHashes, TopKRowsAgg}
 
 /** Engine extension wiring.
   *
@@ -62,8 +62,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => TextQuality(exprs.head)))
     ext.injectFunction((FunctionIdentifier("lang_id"), LangId.info,
       exprs => LangId(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("topk_rows"), TopKRowsAgg.info,
+      exprs => TopKRowsAgg(exprs.head, exprs(1),
+        TopKRowsAgg.kOf(exprs), TopKRowsAgg.ascOf(exprs))))
     ext.injectResolutionRule(session => new MorRelationResolution(session))
     ext.injectOptimizerRule(session => new graft.plans.ApproxDistinctRewrite(session))
+    ext.injectOptimizerRule(session => new graft.plans.TopKRewrite(session))
   }
 }
 
@@ -121,6 +125,10 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("token_hashes"), TokenHashes.info,
       exprs => TokenHashes(exprs.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("topk_rows"), TopKRowsAgg.info,
+      exprs => TopKRowsAgg(exprs.head, exprs(1),
+        TopKRowsAgg.kOf(exprs), TopKRowsAgg.ascOf(exprs)))
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("minhash_md5"), MinHashMd5.info,
       exprs => MinHashMd5(exprs.head, exprs(1)))

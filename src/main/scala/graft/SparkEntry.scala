@@ -95,6 +95,7 @@ object SparkEntry {
     "s27_row_level_ops"   -> ((s, d) => graft.lake.LakeQueries.rowLevelOps(s, d)),
     "s22_incremental_view" -> ((s, d) => graft.lake.LakeQueries.incrementalView(s, d)),
     "s36_incr_join_view"  -> ((s, d) => graft.lake.LakeQueries.incrementalJoinView(s, d)),
+    "s37_range_read"      -> ((s, d) => graft.lake.LakeQueries.rangeRead(s, d)),
     "s18_ann_ivf_portable" -> ((s, d) => graft.functions.LlmQueries.annIvfPortable(s, d)),
     "s20_ann_lsh_portable" -> ((s, d) => graft.functions.LlmQueries.annLshPortable(s, d)),
     "s19_sql_insert"      -> ((s, d) => graft.lake.LakeQueries.sqlInsert(s, d)),
@@ -130,6 +131,7 @@ object SparkEntry {
     "r33_gapfill"         -> ((s, d) => RelationalOps.gapFillHourly(s, d)),
     "r34_sliding_agg"     -> ((s, d) => RelationalOps.slidingAgg(s, d)),
     "r35_rolling_sum"     -> ((s, d) => RelationalOps.rollingCounts(s, d)),
+    "r36_topk_rewrite"    -> ((s, d) => RelationalOps.topkRewritten(s, d)),
     "t18_split_assign"    -> ((s, d) => graft.operators.Sampling.assignSplits(
       graft.Tables.documents(s, d).select(
         org.apache.spark.sql.functions.col("doc_id"),
@@ -222,6 +224,13 @@ object SparkEntry {
         |FROM events
         |QUALIFY row_number() OVER
         |  (PARTITION BY event_type, user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+    // range semantics are STRING order over the record key
+    "s37_range_read" ->
+      """SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
+        |FROM events
+        |WHERE CAST(user_id AS VARCHAR) >= '3' AND CAST(user_id AS VARCHAR) < '6'
+        |QUALIFY row_number() OVER
+        |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
     "s29_point_read" ->
       """SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
         |FROM events
@@ -1240,6 +1249,14 @@ object SparkEntry {
         |       coalesce(a.n_dup_windows, 0)::BIGINT AS n_dup_windows,
         |       coalesce(a.covered_tokens, 0)::BIGINT AS covered_tokens
         |FROM w LEFT JOIN a ON w.doc_id = a.doc_id""".stripMargin,
+    // the REWRITTEN bounded-aggregate plan must reproduce the window SQL
+    // exactly, rank column included (total ordering → deterministic)
+    "r36_topk_rewrite" ->
+      """SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms,
+        |       row_number() OVER (PARTITION BY user_id
+        |         ORDER BY epoch_ms(ts) DESC, event_id DESC)::INT AS rn
+        |FROM events
+        |QUALIFY rn <= 3""".stripMargin,
     // vocab = top-25 by (count DESC, token ASC) — the same deterministic
     // total order the engine's TakeOrdered uses through ties
     "t20_vocab_oov" ->

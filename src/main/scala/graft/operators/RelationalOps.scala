@@ -322,6 +322,26 @@ object RelationalOps {
     * only correct because empty hours exist as explicit zero rows (24 ROWS
     * == 24 hours); exact bigint sums keep it engine-reproducible. Each
     * type's partition is time-range-sized, independent of event count. */
+  /** Grouped top-k (latest 3 events per user) written as the standard
+    * `row_number() <= k` window query but PLANNED through the
+    * [[graft.plans.TopKRewrite]] optimizer rule: one ObjectHashAggregate
+    * with a size-k buffer per key, no shuffle-wide sort, one array row
+    * per key through the exchange. The ordering (ts_ms DESC, event_id
+    * DESC) is total, so the rewritten plan must reproduce the window
+    * form — and the DuckDB oracle — bit-for-bit, rank column included.
+    * The eager checkpoint forces planning while the conf is on. */
+  def topkRewritten(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.graft.topkRewrite", "true")
+    try {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_ms").desc, col("event_id").desc)
+      Tables.events(spark, dir)
+        .select("user_id", "event_id", "event_type", "value", "ts_ms")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .localCheckpoint(true)
+    } finally spark.conf.unset("spark.graft.topkRewrite")
+  }
+
   def rollingCounts(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("window_start_ms"))
       .rowsBetween(-23, 0)
