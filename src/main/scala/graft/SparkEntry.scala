@@ -63,6 +63,7 @@ object SparkEntry {
     "t3_text_enrich"     -> ((s, d) => graft.functions.LlmQueries.textEnrich(s, d)),
     "s9_ann_brute"       -> ((s, d) => graft.functions.LlmQueries.annBrute(s, d)),
     "s12_ann_brute_native" -> ((s, d) => graft.functions.LlmQueries.annBruteNative(s, d)),
+    "s38_contrastive_mine" -> ((s, d) => graft.functions.LlmQueries.contrastiveMine(s, d)),
     "s10_ann_lsh"        -> ((s, d) => graft.functions.LlmQueries.annLsh(s, d)),
     "s11_ann_ivf"        -> ((s, d) => graft.functions.LlmQueries.annIvf(s, d)),
     "m1_multimodal_features" -> ((s, d) => graft.functions.LlmQueries.multimodalFeatures(s, d)),
@@ -1468,6 +1469,28 @@ object SparkEntry {
         |WHERE q.vec_id < 5
         |QUALIFY row_number() OVER
         |  (PARTITION BY q.vec_id ORDER BY cos_sim DESC, c.vec_id ASC) <= 10""".stripMargin,
+    // pos = single best >= 0.4; neg = top-5 below 0.4; ties broken on the
+    // ROUNDED score by neighbor_id — total order both engines share
+    "s38_contrastive_mine" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         round(list_cosine_similarity(q.embedding::DOUBLE[],
+        |                                      c.embedding::DOUBLE[]), 6) AS cos_sim
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id % 20 = 0
+        |), pos AS (
+        |  SELECT query_id, neighbor_id, cos_sim, 'pos' AS role, 1::INT AS rank
+        |  FROM scored WHERE cos_sim >= 0.4
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_sim DESC, neighbor_id ASC) = 1
+        |), neg AS (
+        |  SELECT query_id, neighbor_id, cos_sim, 'neg' AS role,
+        |         (row_number() OVER (PARTITION BY query_id
+        |            ORDER BY cos_sim DESC, neighbor_id ASC))::INT AS rank
+        |  FROM scored WHERE cos_sim < 0.4
+        |  QUALIFY rank <= 5
+        |)
+        |SELECT * FROM pos UNION ALL SELECT * FROM neg""".stripMargin,
     "r1_full_scan" -> "SELECT * FROM customer",
     "r4_filter_eq" -> "SELECT * FROM customer WHERE c_custkey = 42",
     "r6_project_alias" ->

@@ -109,6 +109,14 @@ object LlmQueries {
       .select("query_id", "neighbor_id", "cos_sim")
   }
 
+  /** Contrastive pair mining over the embeddings table (gate entry s38):
+    * every 20th vector is a training query; see
+    * [[Similarity.contrastivePairs]]. */
+  def contrastiveMine(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.contrastivePairs(emb, emb.filter(col("vec_id") % 20 === 0))
+  }
+
   /** Brute-force top-10 again, scored by the NATIVE codegen'd cosine
     * expression (graft.functions.expr.CosineSimilarity) — same oracle as
     * s9, so the custom expression is hash-checked against DuckDB too. */

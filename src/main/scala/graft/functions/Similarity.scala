@@ -59,6 +59,45 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Contrastive pair mining (the DPR/SimCSE training-batch construction
+    * step): for every query vector, its POSITIVE (the single most similar
+    * corpus vector with cos ≥ `posMin` — the near-dup that should embed
+    * close) and its k HARD NEGATIVES (the most similar vectors BELOW
+    * `negMax` — maximally confusable non-matches, the pairs that actually
+    * move a contrastive loss; random negatives are trivially separable).
+    * Output: (query_id, neighbor_id, cos_sim, role ∈ pos|neg, rank).
+    *
+    * One scored corpus scan (queries broadcast, native codegen'd cosine)
+    * feeds BOTH selections; the two windows hash-partition on the same
+    * query_id key. A query with no neighbor ≥ posMin emits negatives
+    * only. Exact-scored brute force is the oracle-able baseline; at
+    * 100 TB swap the scored scan for a bucketed candidate generator
+    * (IVF cells / LSH bands, [[ivfTopK]]) — the pairing logic is
+    * unchanged. Scores are rounded to 6 dp with neighbor_id tie-break,
+    * so ranks are total-ordered and engine-reproducible. */
+  def contrastivePairs(corpus: DataFrame, queries: DataFrame, kNeg: Int = 5,
+                       posMin: Double = 0.4, negMax: Double = 0.4,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    registerOn(corpus)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = corpus.select(col(idCol), col(vecCol))
+      .join(broadcast(q), col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        round(cosF(col("qv"), col(vecCol)), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    val pos = scored.filter(col("cos_sim") >= posMin)
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"),
+        lit("pos").as("role"), lit(1).as("rank"))
+    val neg = scored.filter(col("cos_sim") < negMax)
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= kNeg)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"),
+        lit("neg").as("role"), col("__rn").as("rank"))
+    pos.unionByName(neg)
+  }
+
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)

@@ -182,6 +182,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(viaWindow.exceptAll(viaExpr).isEmpty && viaExpr.exceptAll(viaWindow).isEmpty)
   }
 
+  test("contrastivePairs: one positive >= posMin, dense-ranked hard negatives below negMax") {
+    val queries = emb.filter($"vec_id" % 20 === 0)
+    val rows = Similarity.contrastivePairs(emb, queries, kNeg = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getString(3), r.getInt(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, n, sim, role, rank) =>
+      assert(q != n, "self pair leaked")
+      if (role == "pos") { assert(sim >= 0.4 && rank == 1) }
+      else { assert(sim < 0.4 && rank >= 1 && rank <= 5) }
+    }
+    // at most ONE positive per query; negative ranks dense from 1
+    rows.groupBy(t => (t._1, t._4)).foreach { case ((_, role), g) =>
+      if (role == "pos") assert(g.length == 1)
+      else assert(g.map(_._5).sorted.sameElements(1 to g.length))
+    }
+    // hard negatives are the CLOSEST sub-threshold vectors: every kept
+    // negative scores >= any unkept candidate for the same query (spot
+    // check via one query's full scored set)
+    val q0 = rows.head._1
+    val kept = rows.filter(t => t._1 == q0 && t._4 == "neg").map(_._2).toSet
+    val minKept = rows.filter(t => t._1 == q0 && t._4 == "neg").map(_._3).min
+    val all = Similarity.bruteForceTopK(emb, queries.filter($"vec_id" === q0),
+      k = Int.MaxValue - 1).collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).filter(_._2 < 0.4)
+    assert(all.filter(t => !kept.contains(t._1)).forall(_._2 <= minKept))
+  }
+
   test("embeddingNearDup finds planted near-duplicates only via buckets") {
     // plant: vec 9000 = copy of vec 0 with tiny noise; vec 9001 = negation
     val baseRow = emb.filter($"vec_id" === 0).head()
