@@ -3,7 +3,7 @@ package graft.mor
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SaveMode}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, InsertableRelation, RelationProvider, TableScan}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, Filter, InsertableRelation, PrunedFilteredScan, RelationProvider}
 import org.apache.spark.sql.types.StructType
 import graft.lake.{MorTable, PartitionedMorTable}
 
@@ -131,7 +131,7 @@ final case class MorRelation(sqlContext: SQLContext, path: String,
                              sinceSeq: Option[Long] = None,
                              partitionCol: Option[String] = None,
                              partitionValues: Seq[String] = Seq.empty)
-    extends BaseRelation with TableScan with InsertableRelation {
+    extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
   require(asOf.isEmpty || sinceSeq.isEmpty,
     "graft.mor: asOf and sinceSeq are mutually exclusive")
@@ -152,8 +152,83 @@ final case class MorRelation(sqlContext: SQLContext, path: String,
 
   override val schema: StructType = scanDf().schema
 
-  override def buildScan(): RDD[Row] =
-    scanDf().select(schema.fieldNames.map(col).toSeq: _*).rdd
+  /** SQL-surface pushdown (PrunedFilteredScan): `SELECT a FROM t WHERE k
+    * = 'x'` through the catalog must cost what the programmatic API
+    * costs, not a full-snapshot materialization. Three levels:
+    *
+    *  1. ROUTE: single-key equality/IN on the key column sends a plain
+    *     snapshot read down [[MorTable.readForKeys]] (pushed
+    *     `In(_record_key)` → bloom + row-group skip on every commit
+    *     scan); equality/IN on the partition column of a partitioned
+    *     table prunes to those partitions' timelines before any scan.
+    *  2. PUSH: every translatable filter is applied to the inner
+    *     DataFrame BEFORE `.rdd`, so Catalyst pushes it into the
+    *     underlying parquet scans of base and deltas.
+    *  3. PRUNE: only `requiredColumns` survive the merge plan.
+    *
+    * Safety: `unhandledFilters` is left at its default (all filters), so
+    * Spark re-applies every predicate above this scan — a filter this
+    * translation skips (or a routing subtlety) can never change results,
+    * only costs. */
+  override def buildScan(requiredColumns: Array[String],
+                         filters: Array[Filter]): RDD[Row] =
+    scanWithFilters(requiredColumns, filters).rdd
+
+  private[mor] def scanWithFilters(requiredColumns: Array[String],
+                                   filters: Array[Filter]): DataFrame = {
+    import org.apache.spark.sql.sources._
+    val routed = (partitionCol, asOf, sinceSeq) match {
+      case (None, None, None) =>
+        keyValues(filters) match {
+          case Some(ks) => table.readForKeys(ks)
+          case None => table.read()
+        }
+      case (Some(pc), _, None) if partitionValues.isEmpty =>
+        colValues(filters, pc) match {
+          case Some(vs) => partTable.read(vs)
+          case None => scanDf()
+        }
+      case _ => scanDf()
+    }
+    val filtered = filters.flatMap(toColumn).foldLeft(routed)(_.filter(_))
+    val cols = if (requiredColumns.isEmpty) Array(schema.fieldNames.head)
+               else requiredColumns
+    val projected = filtered.select(cols.map(col).toSeq: _*)
+    if (requiredColumns.isEmpty) projected.drop(cols.head) else projected
+  }
+
+  /** Key-column equality/IN values (single-key tables only — the record
+    * key IS the value cast to string there). */
+  private def keyValues(filters: Array[Filter]): Option[Seq[String]] =
+    if (keys.size != 1) None else colValues(filters, keys.head)
+
+  private def colValues(filters: Array[Filter], c: String): Option[Seq[String]] = {
+    import org.apache.spark.sql.sources._
+    filters.collectFirst {
+      case EqualTo(a, v) if a == c && v != null => Seq(String.valueOf(v))
+      case In(a, vs) if a == c => vs.filter(_ != null).map(String.valueOf).toSeq
+    }
+  }
+
+  private def toColumn(f: Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(a, v) => Some(col(a) === lit(v))
+      case GreaterThan(a, v) => Some(col(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case LessThan(a, v) => Some(col(a) < lit(v))
+      case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+      case IsNull(a) => Some(col(a).isNull)
+      case IsNotNull(a) => Some(col(a).isNotNull)
+      case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+      case And(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+      case Or(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+      case Not(c0) => toColumn(c0).map(!_)
+      case _ => None
+    }
+  }
 
   /** SQL write surface — `INSERT INTO t SELECT …` is a keyed upsert
     * (Hudi's default, the reference's Flink-SQL `INSERT INTO` semantics);

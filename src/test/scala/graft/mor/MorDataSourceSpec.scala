@@ -110,6 +110,58 @@ class MorDataSourceSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS mor_part_t")
   }
 
+  test("PrunedFilteredScan: key equality routes to the point-read path, filters push, columns prune") {
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan, In, IsNotNull}
+    val path = TestSpark.tmpDir("dsv1-push")
+    (0 until 200).map(i => (s"k$i", s"n$i", i)).toDF("uuid", "name", "age")
+      .write.format("graft.mor").option("keys", "uuid").mode("append").save(path)
+    val rel = MorRelation(spark.sqlContext, path, Seq("uuid"))
+    // key equality → readForKeys → pushed In(_record_key) on every scan
+    val point = rel.scanWithFilters(Array("uuid", "age"), Array(EqualTo("uuid", "k7")))
+    val pointPlan = point.queryExecution.executedPlan.toString
+    // single-element In(_record_key) folds to EqualTo in the pushed filters
+    assert(pointPlan.contains("EqualTo(_record_key,k7)") ||
+      pointPlan.contains("In(_record_key"),
+      s"key filter must route down the point-read path:\n$pointPlan")
+    assert(point.collect().map(r => (r.getString(0), r.getInt(1))).toSeq ==
+      Seq(("k7", 7)))
+    assert(point.schema.fieldNames.toSeq == Seq("uuid", "age"), "column pruning lost")
+    // IN on the key routes the same way
+    val multi = rel.scanWithFilters(Array("uuid"),
+      Array(In("uuid", Array("k1", "k3"))))
+    assert(multi.queryExecution.executedPlan.toString.contains("In(_record_key"))
+    assert(multi.as[String].collect().sorted.toSeq == Seq("k1", "k3"))
+    // non-key filters still push into the parquet scan of the inner plan
+    val ranged = rel.scanWithFilters(Array("uuid", "age"),
+      Array(GreaterThan("age", 197), IsNotNull("age")))
+    assert(ranged.collect().map(_.getInt(1)).sorted.toSeq == Seq(198, 199))
+    val rangedPlan = ranged.queryExecution.executedPlan.toString
+    assert(rangedPlan.contains("GreaterThan(age,197)"),
+      s"pushed filter must reach the scan:\n$rangedPlan")
+    // the SQL surface end-to-end: catalog table + WHERE key = value
+    spark.sql(s"CREATE TABLE mor_push_t USING `graft.mor` OPTIONS (path '$path', keys 'uuid')")
+    try assert(spark.sql("SELECT age FROM mor_push_t WHERE uuid = 'k42'")
+      .head().getInt(0) == 42)
+    finally spark.sql("DROP TABLE mor_push_t")
+  }
+
+  test("PrunedFilteredScan: partition equality prunes a partitioned table's scan") {
+    import org.apache.spark.sql.sources.EqualTo
+    val path = TestSpark.tmpDir("dsv1-push-part")
+    Seq(("a", "p1", 1), ("b", "p1", 2), ("c", "p2", 3))
+      .toDF("uuid", "part", "v")
+      .write.format("graft.mor").option("keys", "uuid")
+      .option("partition", "part").mode("append").save(path)
+    val rel = MorRelation(spark.sqlContext, path, Seq("uuid"),
+      partitionCol = Some("part"))
+    val pruned = rel.scanWithFilters(Array("uuid", "v"), Array(EqualTo("part", "p1")))
+    // only p1's child-table files are scanned — p2 never enters the plan
+    assert(pruned.inputFiles.nonEmpty &&
+      pruned.inputFiles.forall(_.contains("p=p1")),
+      pruned.inputFiles.mkString("\n"))
+    assert(pruned.collect().map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
+  }
+
   test("save modes: ErrorIfExists throws, Ignore no-ops, Overwrite replaces") {
     val path = TestSpark.tmpDir("dsv1-modes")
     def df(v: Int) = Seq(("id1", v)).toDF("uuid", "v")
