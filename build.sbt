@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver tail-captures sbt stdout and parses the FINAL line as
+// JSON. sbt's "[success] Total time: ..." epilogue lands AFTER the
+// program's own last line, so the parse always failed (BENCH parsed:null
+// three rounds running). Suppress the epilogue; Bench prints its short
+// summary JSON as the true last stdout line.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
