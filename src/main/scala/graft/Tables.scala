@@ -5,16 +5,40 @@ import org.apache.spark.sql.functions._
 
 /** Loaders for the driver testdata tables (TESTDATA.md).
   *
-  * The `events` table is written with parquet TIMESTAMP(NANOS), which Spark's
-  * vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). We flip the session to
-  * `spark.sql.legacy.parquet.nanosAsLong` and expose BOTH a nanosecond long
-  * (`ts_ns`, total-ordering-safe) and a derived micro-precision timestamp
-  * (`ts`). Queries that must hash-match the DuckDB oracle compare on
-  * `ts_ms = epoch millis` (bigint) — integer, precision- and tz-proof.
+  * The `events` table has shipped in TWO vintages: parquet TIMESTAMP(NANOS)
+  * (which Spark's vectorized reader rejects, [PARQUET_TYPE_ILLEGAL] — we flip
+  * `spark.sql.legacy.parquet.nanosAsLong` and read a nanos long) and, since
+  * round 6, plain micro-precision TIMESTAMP_NTZ. [[tsToNs]] normalizes either
+  * into the same surface: `ts_ns` (epoch-nanos long, total-ordering-safe),
+  * from which queries derive `ts` (TimestampType, micros) and `ts_ms` (long
+  * epoch millis — the oracle-stable column). Sessions run with UTC
+  * `spark.sql.session.timeZone` (every main sets it), so the NTZ wall clock
+  * IS the epoch instant — the same convention DuckDB's `epoch_ns(ts)`
+  * applies on its side of the hash compare.
   */
 object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Normalize a raw events frame (batch OR streaming) of either vintage:
+    * `ts` (nanos long | timestamp) → `ts_ns` (epoch-nanos long, same column
+    * position). Integer math only — epoch nanos (~1.7e18) overflow double. */
+  def tsToNs(raw: DataFrame): DataFrame = {
+    val ns = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => col("ts")
+      case _ => unix_micros(col("ts").cast("timestamp")) * lit(1000L)
+    }
+    raw.withColumn("ts", ns).withColumnRenamed("ts", "ts_ns")
+  }
+
+  /** A literal `ts` value in the RAW vintage of `schema` — for writing
+    * synthetic rows (stream sentinels) next to source files so both read
+    * under one streaming schema. */
+  def tsRawLit(schema: org.apache.spark.sql.types.StructType, ns: Long): org.apache.spark.sql.Column =
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => lit(ns)
+      case t => timestamp_micros(lit(ns / 1000L)).cast(t)
+    }
 
   def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
   def orders(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "orders")
@@ -30,9 +54,7 @@ object Tables {
     * ts_ms (long, epoch millis — the oracle-stable column). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      // integer `div`, NOT `/`: epoch nanos (~1.7e18) overflow double precision
+    tsToNs(load(spark, dir, "events"))
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
       .withColumn("ts_ms", expr("ts_ns div 1000000"))
   }

@@ -25,13 +25,12 @@ object StreamingQueries {
   def streamPartitioned(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema // ts is long (nanos)
+    val schema = spark.read.parquet(path).schema // raw vintage (tsToNs normalizes)
     val watchDir = graft.TempDirs.create("stream-part")
     java.nio.file.Files.createSymbolicLink(
       java.nio.file.Paths.get(watchDir, "events.parquet"),
       java.nio.file.Paths.get(path).toAbsolutePath)
-    val rows = spark.readStream.schema(schema).parquet(watchDir)
-      .withColumnRenamed("ts", "ts_ns")
+    val rows = graft.Tables.tsToNs(spark.readStream.schema(schema).parquet(watchDir))
       .select(col("user_id"), col("event_id"), col("event_type"),
         col("value"), expr("ts_ns div 1000000").as("ts_ms"),
         col("ts_ns").as("seq"))
@@ -53,7 +52,7 @@ object StreamingQueries {
   def streamTumble(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema // ts is long (nanos)
+    val schema = spark.read.parquet(path).schema // raw vintage (tsToNs normalizes)
     val name = s"graft_stream_tumble_${counter.incrementAndGet()}"
     // the file streaming source wants a directory to watch — expose the
     // single events file through a scratch dir (symlink, no copy)
@@ -61,8 +60,7 @@ object StreamingQueries {
     java.nio.file.Files.createSymbolicLink(
       java.nio.file.Paths.get(watchDir, "events.parquet"),
       java.nio.file.Paths.get(path).toAbsolutePath)
-    val agg = spark.readStream.schema(schema).parquet(watchDir)
-      .withColumnRenamed("ts", "ts_ns")
+    val agg = graft.Tables.tsToNs(spark.readStream.schema(schema).parquet(watchDir))
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -97,14 +95,13 @@ object StreamingQueries {
   def streamJoin(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema // ts is long (nanos)
+    val schema = spark.read.parquet(path).schema // raw vintage (tsToNs normalizes)
     val name = s"graft_stream_join_${counter.incrementAndGet()}"
     val watchDir = graft.TempDirs.create("stream-join")
     java.nio.file.Files.createSymbolicLink(
       java.nio.file.Paths.get(watchDir, "events.parquet"),
       java.nio.file.Paths.get(path).toAbsolutePath)
-    def eventStream() = spark.readStream.schema(schema).parquet(watchDir)
-      .withColumnRenamed("ts", "ts_ns")
+    def eventStream() = graft.Tables.tsToNs(spark.readStream.schema(schema).parquet(watchDir))
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
     val purchases = eventStream().filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
@@ -168,7 +165,7 @@ object StreamingQueries {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/events.parquet"
-    val batch = spark.read.parquet(path) // ts is long (nanos)
+    val batch = spark.read.parquet(path) // raw vintage (tsToNs normalizes)
     val name = s"graft_stream_sessions_${counter.incrementAndGet()}"
     val watchDir = graft.TempDirs.create("stream-sessions")
     java.nio.file.Files.createSymbolicLink(
@@ -176,10 +173,11 @@ object StreamingQueries {
       java.nio.file.Paths.get(path).toAbsolutePath)
     // one sentinel per user, 2 h past the corpus max — beyond any 30-min
     // gap, so it can only CLOSE sessions, never join one
-    val maxNs = batch.agg(max(col("ts"))).head.getLong(0)
+    val maxNs = graft.Tables.tsToNs(batch).agg(max(col("ts_ns"))).head.getLong(0)
     val sentinelTmp = graft.TempDirs.create(s"$name-sentinel")
     batch.select(col("user_id")).distinct()
-      .select(lit(-1L).as("event_id"), lit(maxNs + 7200L * 1000000000L).as("ts"),
+      .select(lit(-1L).as("event_id"),
+        graft.Tables.tsRawLit(batch.schema, maxNs + 7200L * 1000000000L).as("ts"),
         col("user_id"), lit("sentinel").as("event_type"),
         lit(0.0).as("value"), lit("").as("props"))
       .coalesce(1).write.mode("overwrite").parquet(sentinelTmp)
@@ -190,10 +188,10 @@ object StreamingQueries {
     // file-source batch order is mtime: sentinels must land AFTER the
     // (old) testdata file so late events never chase a sentinel session
     dst.toFile.setLastModified(System.currentTimeMillis): Unit
-    val rows = spark.readStream.schema(batch.schema)
-      .option("maxFilesPerTrigger", "1").parquet(watchDir)
-      .select(col("user_id"), col("event_id"), col("ts").as("ts_ns"),
-        expr("ts div 1000000").as("ts_ms"))
+    val rows = graft.Tables.tsToNs(spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1").parquet(watchDir))
+      .select(col("user_id"), col("event_id"), col("ts_ns"),
+        expr("ts_ns div 1000000").as("ts_ms"))
       .as[StreamingOps.SessionEvent]
     val sessions = StreamingOps.sessionizeStream(rows)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -219,15 +217,14 @@ object StreamingQueries {
   def streamDedup(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema // ts is long (nanos)
+    val schema = spark.read.parquet(path).schema // raw vintage (tsToNs normalizes)
     val name = s"graft_stream_dedup_${counter.incrementAndGet()}"
     val watchDir = graft.TempDirs.create("stream-dedup")
     java.nio.file.Files.createSymbolicLink(
       java.nio.file.Paths.get(watchDir, "events.parquet"),
       java.nio.file.Paths.get(path).toAbsolutePath)
     val deduped = StreamingOps.streamingDedup(
-      spark.readStream.schema(schema).parquet(watchDir)
-        .withColumnRenamed("ts", "ts_ns")
+      graft.Tables.tsToNs(spark.readStream.schema(schema).parquet(watchDir))
         .withColumn("ts", timestamp_micros(expr("ts_ns div 1000"))),
       idCols = Seq("user_id", "event_type"))
       .select(col("user_id"), col("event_type"))
