@@ -97,6 +97,7 @@ object SparkEntry {
     "s22_incremental_view" -> ((s, d) => graft.lake.LakeQueries.incrementalView(s, d)),
     "s36_incr_join_view"  -> ((s, d) => graft.lake.LakeQueries.incrementalJoinView(s, d)),
     "s37_range_read"      -> ((s, d) => graft.lake.LakeQueries.rangeRead(s, d)),
+    "s39_merge_into"      -> ((s, d) => graft.lake.LakeQueries.mergeQuery(s, d)),
     "s18_ann_ivf_portable" -> ((s, d) => graft.functions.LlmQueries.annIvfPortable(s, d)),
     "s20_ann_lsh_portable" -> ((s, d) => graft.functions.LlmQueries.annLshPortable(s, d)),
     "s19_sql_insert"      -> ((s, d) => graft.lake.LakeQueries.sqlInsert(s, d)),
@@ -127,6 +128,8 @@ object SparkEntry {
     "d21_approx_distinct" -> ((s, d) => graft.functions.LlmQueries.approxDistinct(s, d)),
     "d22_substring_dedup" -> ((s, d) => graft.functions.LlmQueries.substringDedup(s, d)),
     "t20_vocab_oov"       -> ((s, d) => graft.functions.TextAnalysis.vocabOov(
+      graft.Tables.documents(s, d))),
+    "t21_bigram_logprob"  -> ((s, d) => graft.functions.TextAnalysis.bigramLogProb(
       graft.Tables.documents(s, d))),
     "r32_pivot"           -> ((s, d) => RelationalOps.pivotEventCounts(s, d)),
     "r33_gapfill"         -> ((s, d) => RelationalOps.gapFillHourly(s, d)),
@@ -238,6 +241,26 @@ object SparkEntry {
         |WHERE user_id % 7 = 0
         |QUALIFY row_number() OVER
         |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+    "s39_merge_into" ->
+      """WITH src AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |         c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 100000, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey <= 100
+        |)
+        |SELECT t.c_custkey, t.c_name || '#merged' AS c_name, t.c_nationkey,
+        |       s.c_acctbal, t.c_mktsegment
+        |FROM customer t JOIN src s USING (c_custkey)
+        |WHERE t.c_mktsegment <> 'BUILDING'
+        |UNION ALL
+        |SELECT t.* FROM customer t
+        |WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.c_custkey = t.c_custkey)
+        |UNION ALL
+        |SELECT s.* FROM src s
+        |WHERE NOT EXISTS (SELECT 1 FROM customer t WHERE t.c_custkey = s.c_custkey)
+        |  AND s.c_nationkey <> 13""".stripMargin,
     "s27_row_level_ops" ->
       """WITH lww AS (
         |  SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
@@ -391,6 +414,28 @@ object SparkEntry {
         |SELECT t.doc_id, round(avg(-ln(f.c / tot.n)), 6) AS avg_logprob
         |FROM tok t JOIN f USING (w) CROSS JOIN tot
         |GROUP BY t.doc_id""".stripMargin,
+    "t21_bigram_logprob" ->
+      """WITH arr AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                     x -> x <> '') AS a
+        |  FROM documents
+        |), tok AS (
+        |  SELECT doc_id, unnest(a) AS w FROM arr
+        |), u AS (
+        |  SELECT w, count(*)::DOUBLE AS cu FROM tok GROUP BY w
+        |), v AS (SELECT count(*)::DOUBLE AS nv FROM u),
+        |bi AS (
+        |  SELECT doc_id, a[i] AS w1, a[i + 1] AS w2
+        |  FROM arr, unnest(range(1, len(a))) AS t(i)
+        |), b AS (
+        |  SELECT w1, w2, count(*)::DOUBLE AS cb FROM bi GROUP BY w1, w2
+        |)
+        |SELECT bi.doc_id,
+        |       round(avg(-ln((b.cb + 1.0) / (u.cu + 1.0 * v.nv))), 6)
+        |         AS avg_bigram_logprob
+        |FROM bi JOIN b USING (w1, w2) JOIN u ON u.w = bi.w1 CROSS JOIN v
+        |GROUP BY bi.doc_id""".stripMargin,
     "t15_mixture_sample" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT <

@@ -195,6 +195,42 @@ object TextAnalysis {
       .agg(round(avg(-lnF(col("__c") / lit(total))), 6).as("avg_logprob"))
   }
 
+  /** Bigram language-model score with add-k smoothing (the CCNet/KenLM-
+    * style fluency proxy one order up from [[unigramLogProb]]): per doc,
+    * the average of −ln((C(w1,w2) + k) / (C(w1) + k·V)) over its adjacent
+    * token pairs, where C are corpus counts and V the unigram vocabulary
+    * size. Repetitive, formulaic text scores low (predictable bigrams);
+    * word salad scores high.
+    *
+    * Shape at scale: ONE tokenize pass (the token-array projection is
+    * pinned with an eager localCheckpoint and feeds unigrams AND bigrams);
+    * bigram construction is map-side `arrays_zip(slice, slice)` over the
+    * pinned array — no window, no self-join; both frequency tables are
+    * vocabulary-sized; V is a scalar aggregate, never a data collect.
+    * Documents with fewer than two tokens have no bigrams and drop out
+    * (mirrored by the oracle's inner joins). */
+  def bigramLogProb(docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id", k: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.functions.{log => lnF}
+    val arr = docs.select(col(idCol), tokens(lower(col(textCol))).as("__a"))
+      .localCheckpoint(true)
+    val toks = arr.select(col(idCol), explode(col("__a")).as("__w"))
+    val n1 = greatest(size(col("__a")) - 1, lit(0))
+    val bi = arr.select(col(idCol), explode(arrays_zip(
+        slice(col("__a"), lit(1), n1), slice(col("__a"), lit(2), n1))).as("__p"))
+      .select(col(idCol),
+        col("__p").getField("0").as("__w1"), col("__p").getField("1").as("__w2"))
+    val uf = toks.groupBy(col("__w").as("__w1"))
+      .agg(count(lit(1)).cast("double").as("__cu"))
+    val vocabV = uf.count().toDouble // scalar aggregate, not a data collect
+    val bf = bi.groupBy(col("__w1"), col("__w2"))
+      .agg(count(lit(1)).cast("double").as("__cb"))
+    bi.join(bf, Seq("__w1", "__w2")).join(uf, Seq("__w1"))
+      .groupBy(col(idCol))
+      .agg(round(avg(-lnF((col("__cb") + lit(k)) / (col("__cu") + lit(k * vocabV)))), 6)
+        .as("avg_bigram_logprob"))
+  }
+
   /** Vocabulary induction + per-doc out-of-vocabulary rate (the tokenizer-
     * coverage check run before committing to a vocab size): the top-V
     * tokens by corpus frequency become the vocabulary (total order =

@@ -132,6 +132,33 @@ object LakeQueries {
         .select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
   }
 
+  /** Conditional MERGE INTO, oracle-checked end-to-end. Target = the
+    * customer table upserted once. Source = every third customer with a
+    * +100 balance, plus brand-new keys (custkey + 100000 for custkey ≤
+    * 100). ONE [[MorTable.mergeInto]] commit: BUILDING-segment matches are
+    * deleted, other matches take the source balance and a `#merged`
+    * name-tag, unmatched source rows insert unless nation 13. Oracle: the
+    * same three-branch CASE logic as DuckDB joins over the raw table. */
+  def mergeQuery(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val path = tempPath("mor-merge")
+    val t = MorTable(spark, path, keyCols = Seq("c_custkey"),
+      compactionDeltaCommits = 1000)
+    t.upsert(cust, orderWithinBatch = Nil, batchId = 1L)
+    val src = cust.filter(col("c_custkey") % 3 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + lit(100.0))
+      .unionByName(cust.filter(col("c_custkey") <= 100)
+        .withColumn("c_custkey", col("c_custkey") + lit(100000L)))
+    t.mergeInto(src,
+      matchedSet = Map(
+        "c_acctbal" -> col("s.c_acctbal"),
+        "c_name" -> concat(col("t.c_name"), lit("#merged"))),
+      matchedDelete = Some(col("t.c_mktsegment") === "BUILDING"),
+      insertWhen = col("s.c_nationkey") =!= 13,
+      batchId = 2L)
+    graft.TempDirs.materializeAndDelete(t.read(), path)
+  }
+
   /** MOR incremental pull (the Hudi incremental-query analog),
     * oracle-checked: replay events as two time-split delta commits, then
     * `readIncremental(sinceSeq = 1)` must return exactly the LWW winners of

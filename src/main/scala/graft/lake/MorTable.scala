@@ -347,6 +347,62 @@ final class MorTable(
     upsert(updated, keyCols.map(col), batchId)
   }
 
+  /** Conditional MERGE (the SQL:2016 `MERGE INTO` / Hudi payload-combine /
+    * Delta merge surface — the reference's writes are all key-merge
+    * semantics, zpln:2234). Joins `source` against the current snapshot on
+    * the table key and applies, in ONE delta commit:
+    *
+    *   - WHEN MATCHED AND `matchedDelete`  → tombstone the target row
+    *   - WHEN MATCHED (otherwise)          → the target image with the
+    *     `matchedSet` assignments applied
+    *   - WHEN NOT MATCHED AND `insertWhen` → insert the source row
+    *
+    * Predicates and assignment expressions may reference BOTH rows via the
+    * aliases `s` (source) and `t` (target), e.g. `col("t.balance") +
+    * col("s.delta")`. `source` must carry the full table schema (inserts
+    * need every column) and be key-distinct — the MERGE cardinality rule;
+    * violations fail loudly rather than resolve nondeterministically.
+    *
+    * Scale: ONE equi-join on the key (AQE broadcasts the typical small
+    * merge batch), commit is O(|source|) — the untouched remainder of the
+    * table is never read past the join probe nor rewritten. The
+    * cardinality check is a count over `source` alone. */
+  def mergeInto(source: DataFrame,
+                matchedSet: Map[String, Column],
+                matchedDelete: Option[Column] = None,
+                insertWhen: Column = lit(true),
+                batchId: Long = -1L): MorTable = {
+    val dataCols = read().columns.toSeq
+    require(dataCols.forall(source.columns.contains),
+      s"mergeInto: source is missing table columns ${dataCols.filterNot(source.columns.contains).mkString(", ")}")
+    val dupKeys = source.groupBy(keyCols.map(col): _*).count()
+      .filter(col("count") > 1).limit(1).count()
+    require(dupKeys == 0L,
+      "mergeInto: source has duplicate keys (MERGE cardinality violation)")
+    val t = read().withColumn("__matched", lit(true)).alias("t")
+    val joined = source.alias("s").join(
+      t, keyCols.map(k => col(s"s.$k") === col(s"t.$k")).reduce(_ && _), "left")
+    val matched = col("t.__matched").isNotNull
+    val delCond = matchedDelete.map(matched && _).getOrElse(lit(false))
+    val afterImage = struct(dataCols.map { c =>
+      val updated =
+        if (keyCols.contains(c)) col(s"t.$c")
+        else matchedSet.getOrElse(c, col(s"t.$c"))
+      when(matched, updated).otherwise(col(s"s.$c")).as(c)
+    }: _*)
+    val beforeImage = struct(dataCols.map(c => col(s"t.$c").as(c)): _*)
+    val env = joined.select(
+      when(delCond, lit("D"))
+        .when(matched, lit("U"))
+        .when(insertWhen, lit("I")).as("op"),
+      concat_ws("|", keyCols.map(k => col(s"s.$k").cast("string")): _*).as("key"),
+      beforeImage.as("before"),
+      afterImage.as("after"),
+      lit(0L).as("seq"))
+      .filter(col("op").isNotNull)
+    applyChangelog(env, batchId)
+  }
+
   private def dedupBatch(batch: DataFrame, order: Seq[Column]): DataFrame = {
     if (order.isEmpty) batch
     else {

@@ -110,6 +110,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(2L) > got(1L))
   }
 
+  test("bigramLogProb: hand-computed add-1 bigram scores; short docs drop") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b"), (2L, "a c"), (3L, "solo"), (4L, "")).toDF("doc_id", "text")
+    // corpus bigrams: doc1 [ab,ba,ab], doc2 [ac]; unigrams a=3,b=2,c=1,solo=1 → V=4
+    // C(ab)=2 C(ba)=1 C(ac)=1; C1(a)=3 C1(b)=2
+    val got = TextAnalysis.bigramLogProb(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ab = -math.log((2 + 1.0) / (3 + 4.0)) // -ln(3/7)
+    val ba = -math.log((1 + 1.0) / (2 + 4.0)) // -ln(2/6)
+    val ac = -math.log((1 + 1.0) / (3 + 4.0)) // -ln(2/7)
+    assert(math.abs(got(1L) - (2 * ab + ba) / 3) < 1e-5)
+    assert(math.abs(got(2L) - ac) < 1e-5)
+    assert(!got.contains(3L) && !got.contains(4L), "sub-2-token docs have no bigrams")
+  }
+
   test("redactPii scrubs emails, IPv4s, phones; counts are independent") {
     import spark.implicits._
     val df = Seq(

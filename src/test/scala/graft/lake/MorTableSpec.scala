@@ -369,6 +369,48 @@ class MorTableSpec extends AnyFunSuite {
     assert(t2.read().count() == 8)
   }
 
+  test("mergeInto: matched update / matched delete / conditional insert in one commit") {
+    val t = MorTable(spark, TestSpark.tmpDir("mor-merge"), Seq("uuid"),
+      compactionDeltaCommits = 100)
+    t.upsert(t1Rows, Seq(col("ts")), batchId = 1L)
+    val src = Seq(
+      ("id1", "ignored", 99, "2024-01-01 00:00:00"), // matched, age>50? no → update
+      ("id8", "ignored", 1, "2024-01-01 00:00:00"),  // matched, target age 56 → delete
+      ("id9", "Nina", 27, "2024-01-01 00:00:00"),    // not matched, age<40 → insert
+      ("id10", "Old", 70, "2024-01-01 00:00:00"),    // not matched, age≥40 → dropped
+    ).toDF("uuid", "name", "age", "ts")
+    t.mergeInto(src,
+      matchedSet = Map("age" -> col("s.age"), "name" -> concat(col("t.name"), lit("*"))),
+      matchedDelete = Some(col("t.age") > 50),
+      insertWhen = col("s.age") < 40,
+      batchId = 2L)
+    val got = t.read().orderBy("uuid").collect()
+      .map(r => (r.getAs[String]("uuid"), r.getAs[String]("name"), r.getAs[Int]("age"))).toSeq
+    assert(got.contains(("id1", "Danny*", 99)), "matched row takes source age + tagged name")
+    assert(got.contains(("id3", "Julian", 53)), "unmatched target rows are untouched")
+    assert(!got.exists(_._1 == "id8"), "matchedDelete tombstones the row")
+    assert(got.contains(("id9", "Nina", 27)), "insertWhen admits the new key")
+    assert(!got.exists(_._1 == "id10"), "insertWhen filters the other new key")
+    assert(got.length == 8, s"7 survivors + 1 insert, got $got")
+    // replay: the same batchId is a no-op
+    t.mergeInto(src, matchedSet = Map("age" -> lit(0)), batchId = 2L)
+    assert(t.read().count() == 8)
+  }
+
+  test("mergeInto refuses a key-duplicated source (MERGE cardinality rule)") {
+    val t = MorTable(spark, TestSpark.tmpDir("mor-merge-dup"), Seq("uuid"),
+      compactionDeltaCommits = 100)
+    t.upsert(t1Rows, Seq(col("ts")))
+    val dup = Seq(
+      ("id1", "A", 1, "2024-01-01 00:00:00"),
+      ("id1", "B", 2, "2024-01-01 00:00:00"),
+    ).toDF("uuid", "name", "age", "ts")
+    val e = intercept[IllegalArgumentException] {
+      t.mergeInto(dup, matchedSet = Map("age" -> col("s.age")))
+    }
+    assert(e.getMessage.contains("cardinality"))
+  }
+
   test("time-trigger compaction fires when the oldest delta is stale") {
     val t = MorTable(spark, TestSpark.tmpDir("mor-time"), Seq("uuid"),
       compactionDeltaCommits = 100, compactionDeltaSeconds = 60)
