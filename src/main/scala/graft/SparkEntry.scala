@@ -131,6 +131,9 @@ object SparkEntry {
       graft.Tables.documents(s, d))),
     "t21_bigram_logprob"  -> ((s, d) => graft.functions.TextAnalysis.bigramLogProb(
       graft.Tables.documents(s, d))),
+    "t22_dsir_weights"    -> ((s, d) => graft.functions.TextAnalysis.dsirWeights(
+      graft.Tables.documents(s, d),
+      org.apache.spark.sql.functions.col("lang") === "en")),
     "r32_pivot"           -> ((s, d) => RelationalOps.pivotEventCounts(s, d)),
     "r33_gapfill"         -> ((s, d) => RelationalOps.gapFillHourly(s, d)),
     "r34_sliding_agg"     -> ((s, d) => RelationalOps.slidingAgg(s, d)),
@@ -436,6 +439,30 @@ object SparkEntry {
         |         AS avg_bigram_logprob
         |FROM bi JOIN b USING (w1, w2) JOIN u ON u.w = bi.w1 CROSS JOIN v
         |GROUP BY bi.doc_id""".stripMargin,
+    "t22_dsir_weights" ->
+      """WITH tok AS (
+        |  SELECT doc_id, (lang = 'en') AS t,
+        |         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                            x -> x <> '')) AS w
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, t,
+        |         ('0x' || substr(md5(w), 1, 8))::BIGINT % 1024 AS f
+        |  FROM tok
+        |), s AS (
+        |  SELECT f, count(*)::DOUBLE AS qc,
+        |         sum(CASE WHEN t THEN 1 ELSE 0 END)::DOUBLE AS pc
+        |  FROM f GROUP BY f
+        |), tot AS (
+        |  SELECT count(*)::DOUBLE AS qt,
+        |         sum(CASE WHEN t THEN 1 ELSE 0 END)::DOUBLE AS pt
+        |  FROM f
+        |)
+        |SELECT f.doc_id,
+        |       round(sum(ln((s.pc + 1.0) / (tot.pt + 1024)) -
+        |                 ln((s.qc + 1.0) / (tot.qt + 1024))), 6) AS dsir_logweight
+        |FROM f JOIN s USING (f) CROSS JOIN tot
+        |GROUP BY f.doc_id""".stripMargin,
     "t15_mixture_sample" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT <

@@ -231,6 +231,43 @@ object TextAnalysis {
         .as("avg_bigram_logprob"))
   }
 
+  /** DSIR-style importance log-weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every document
+    * by how much more likely its hashed-token bag is under the TARGET
+    * distribution (rows matching `targetCond` — the trusted/high-quality
+    * subset) than under the raw corpus. weight(d) = Σ_tokens ln(p̂_f) −
+    * ln(q̂_f) over md5-hashed feature buckets with add-1 smoothing; docs
+    * that look like the target get positive weights and survive the
+    * downstream resample.
+    *
+    * Shape at scale: ONE tokenize+hash pass pinned with localCheckpoint
+    * (feeds both count tables AND the scoring join); both distributions
+    * live in a single `buckets`-sized table (one groupBy, broadcast back);
+    * totals are one scalar aggregate. The md5 bucket family is
+    * engine-portable, so the whole pipeline is oracle-checkable. */
+  def dsirWeights(docs: DataFrame, targetCond: Column, buckets: Int = 1024,
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.functions.{log => lnF}
+    val toks = docs.select(col(idCol), targetCond.as("__t"),
+        explode(tokens(lower(col(textCol)))).as("__w"))
+      .withColumn("__f",
+        conv(substring(md5(col("__w")), 1, 8), 16, 10).cast("long") % buckets)
+      .drop("__w")
+      .localCheckpoint(true)
+    val stats = toks.groupBy(col("__f")).agg(
+      count(lit(1)).cast("double").as("__qc"),
+      sum(when(col("__t"), 1L).otherwise(0L)).cast("double").as("__pc"))
+    val tot = toks.agg(count(lit(1)).cast("double"),
+      sum(when(col("__t"), 1L).otherwise(0L)).cast("double")).head()
+    val (qTot, pTot) = (tot.getDouble(0), tot.getDouble(1))
+    toks.join(broadcast(stats), Seq("__f"))
+      .groupBy(col(idCol))
+      .agg(round(sum(
+        lnF((col("__pc") + lit(1.0)) / lit(pTot + buckets)) -
+          lnF((col("__qc") + lit(1.0)) / lit(qTot + buckets))), 6)
+        .as("dsir_logweight"))
+  }
+
   /** Vocabulary induction + per-doc out-of-vocabulary rate (the tokenizer-
     * coverage check run before committing to a vocab size): the top-V
     * tokens by corpus frequency become the vocabulary (total order =

@@ -125,6 +125,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!got.contains(3L) && !got.contains(4L), "sub-2-token docs have no bigrams")
   }
 
+  test("dsirWeights: target-like docs score above target-unlike docs") {
+    import spark.implicits._
+    // target = lang en; doc 3 is raw-only but written in target vocabulary,
+    // doc 4 is raw-only with disjoint vocabulary
+    val docs = Seq(
+      (1L, "en", "good clean prose text sample"),
+      (2L, "en", "good clean prose text corpus"),
+      (3L, "xx", "good clean prose text sample"),
+      (4L, "xx", "zz1 zz2 zz3 zz4 zz5"),
+    ).toDF("doc_id", "lang", "text")
+    val w = TextAnalysis.dsirWeights(docs, col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w.size == 4)
+    assert(w(3L) > w(4L), "target-vocabulary doc must outscore disjoint-vocabulary doc")
+    assert(w(1L) > w(4L))
+    // identical text ⇒ identical weight regardless of own label (pure content score)
+    assert(math.abs(w(1L) - w(3L)) < 1e-9)
+  }
+
   test("redactPii scrubs emails, IPv4s, phones; counts are independent") {
     import spark.implicits._
     val df = Seq(
