@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions.call_function
-import graft.functions.expr.{CmsAgg, CosineSimilarity, HllAgg, LangId, LshBuckets, LshBucketsMd5, MinHashAgg, MinHashBands, MinHashSignature, MinHashMd5, NearestCells, PqEncode, Quantize127, ShingleHashes, TextQuality, SigOverlap, SimHashChunks, SimHashMd5, TokenHashes, TopKRowsAgg}
+import graft.functions.expr.{CmsAgg, CosineSimilarity, HistAgg, HllAgg, LangId, LshBuckets, LshBucketsMd5, MinHashAgg, MinHashBands, MinHashSignature, MinHashMd5, NearestCells, PqEncode, Quantize127, ShingleHashes, TextQuality, SigOverlap, SimHashChunks, SimHashMd5, TokenHashes, TopKRowsAgg}
 
 /** Engine extension wiring.
   *
@@ -28,6 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("cms_agg"), CmsAgg.info,
       exprs => CmsAgg(exprs.head, CmsAgg.depthOf(exprs), CmsAgg.widthOf(exprs))
         .toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("hist_agg"), HistAgg.info,
+      exprs => HistAgg(exprs.head, HistAgg.loOf(exprs), HistAgg.hiOf(exprs),
+        HistAgg.binsOf(exprs)).toAggregateExpression()))
     ext.injectFunction((FunctionIdentifier("minhash_sig"), MinHashSignature.info,
       exprs => MinHashSignature(exprs.head)))
     ext.injectFunction((FunctionIdentifier("simhash_chunks"), SimHashChunks.info,
@@ -101,6 +104,10 @@ object GraftFunctions {
       FunctionIdentifier("cms_agg"), CmsAgg.info,
       exprs => CmsAgg(exprs.head, CmsAgg.depthOf(exprs), CmsAgg.widthOf(exprs))
         .toAggregateExpression())
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("hist_agg"), HistAgg.info,
+      exprs => HistAgg(exprs.head, HistAgg.loOf(exprs), HistAgg.hiOf(exprs),
+        HistAgg.binsOf(exprs)).toAggregateExpression())
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("minhash_sig"), MinHashSignature.info,
       exprs => MinHashSignature(exprs.head))

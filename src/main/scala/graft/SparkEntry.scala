@@ -124,6 +124,8 @@ object SparkEntry {
     "d17_cms_registers"   -> ((s, d) => graft.functions.LlmQueries.cmsRegisters(s, d)),
     "d18_cms_estimate"    -> ((s, d) => graft.functions.LlmQueries.cmsEstimate(s, d)),
     "d19_pagerank"        -> ((s, d) => graft.functions.LlmQueries.pageRankNearDup(s, d)),
+    "d23_hist_registers"  -> ((s, d) => graft.functions.LlmQueries.histRegisters(s, d)),
+    "d24_hist_quantiles"  -> ((s, d) => graft.functions.LlmQueries.histQuantiles(s, d)),
     "d20_heavy_hitters"   -> ((s, d) => graft.functions.LlmQueries.heavyHitters(s, d)),
     "d21_approx_distinct" -> ((s, d) => graft.functions.LlmQueries.approxDistinct(s, d)),
     "d22_substring_dedup" -> ((s, d) => graft.functions.LlmQueries.substringDedup(s, d)),
@@ -593,6 +595,51 @@ object SparkEntry {
         |FROM est e
         |JOIN (SELECT source, count(DISTINCT text)::BIGINT AS n_exact
         |      FROM documents GROUP BY source) x USING (source)""".stripMargin,
+    "d23_hist_registers" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |         CASE WHEN value < 0.0 THEN 0
+        |              WHEN value >= 500.0 THEN 65
+        |              ELSE floor((value - 0.0) * 64 / (500.0 - 0.0))::BIGINT + 1
+        |         END AS slot
+        |  FROM events
+        |), g AS (SELECT DISTINCT event_type FROM events),
+        |r AS (SELECT unnest(range(0, 66)) AS slot),
+        |c AS (SELECT event_type, slot, count(*) AS cnt FROM b GROUP BY 1, 2)
+        |SELECT g.event_type, r.slot, coalesce(c.cnt, 0) AS cnt
+        |FROM g CROSS JOIN r
+        |LEFT JOIN c ON c.event_type = g.event_type AND c.slot = r.slot""".stripMargin,
+    "d24_hist_quantiles" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |         CASE WHEN value < 0.0 THEN 0
+        |              WHEN value >= 500.0 THEN 65
+        |              ELSE floor((value - 0.0) * 64 / (500.0 - 0.0))::BIGINT + 1
+        |         END AS slot
+        |  FROM events
+        |), g AS (SELECT DISTINCT event_type FROM events),
+        |r AS (SELECT unnest(range(0, 66)) AS slot),
+        |c AS (SELECT event_type, slot, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |reg AS (
+        |  SELECT g.event_type, r.slot, coalesce(c.cnt, 0) AS cnt
+        |  FROM g CROSS JOIN r
+        |  LEFT JOIN c ON c.event_type = g.event_type AND c.slot = r.slot
+        |), cum AS (
+        |  SELECT event_type, slot, cnt,
+        |         sum(cnt) OVER (PARTITION BY event_type ORDER BY slot) AS cum,
+        |         sum(cnt) OVER (PARTITION BY event_type ORDER BY slot) - cnt AS cumb,
+        |         sum(cnt) OVER (PARTITION BY event_type) AS tot
+        |  FROM reg
+        |)
+        |SELECT event_type, q,
+        |       round(CASE WHEN slot = 0 THEN 0.0
+        |                  WHEN slot = 65 THEN 500.0
+        |                  ELSE 0.0 + ((slot - 1)::DOUBLE +
+        |                    (q * tot::DOUBLE - cumb::DOUBLE) / cnt::DOUBLE) *
+        |                    ((500.0 - 0.0) / 64) END, 6) AS est
+        |FROM cum CROSS JOIN (SELECT unnest([0.25, 0.5, 0.9]::DOUBLE[]) AS q) qs
+        |WHERE cnt > 0 AND cumb::DOUBLE < q * tot::DOUBLE
+        |  AND q * tot::DOUBLE <= cum::DOUBLE""".stripMargin,
     "d17_cms_registers" ->
       """WITH tok AS (
         |  SELECT source,

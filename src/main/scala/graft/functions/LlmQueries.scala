@@ -491,6 +491,25 @@ object LlmQueries {
       .join(cand, Seq("source", "token")) // vocab-sized, hash-sampled: small
   }
 
+  /** Per-event-type histogram-sketch registers over `value` — pins the
+    * hist_agg TypedImperativeAggregate itself (bin-index arithmetic,
+    * overflow slots, zero interior bins) against DuckDB. Domain
+    * [0, 500) × 64 bins covers the generator's value range. */
+  def histRegisters(spark: SparkSession, dir: String): DataFrame =
+    Sketch.histRegisters(spark, Tables.events(spark, dir), "event_type",
+      col("value"), lo = 0.0, hi = 500.0, bins = 64)
+
+  /** Quantile estimates (p25/p50/p90) from the d23 sketch — oracle-checked
+    * including the cumulative-scan + in-bin interpolation arithmetic, next
+    * to the exact percentile they approximate in spirit (the sketch path
+    * is what survives 100 TB; `r25` holds the exact form). */
+  def histQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val regs = Sketch.histRegisters(spark, Tables.events(spark, dir),
+      "event_type", col("value"), lo = 0.0, hi = 500.0, bins = 64)
+    Sketch.histQuantiles(regs, "event_type", Seq(0.25, 0.5, 0.9),
+      lo = 0.0, hi = 500.0, bins = 64)
+  }
+
   /** The approx-count-distinct OPTIMIZER REWRITE, oracle-checked: the
     * query says exact `count_distinct`; the session conf swaps in the HLL
     * sketch ([[graft.plans.ApproxDistinctRewrite]], md5 family) — and the

@@ -72,6 +72,50 @@ object Sketch {
         conv(substring(md5(itemCol), 7 * j + 1, 7), 16, 10).cast("long") % width
     }: _*)
 
+  /** Per-group fixed-bin histogram registers, exploded to (group, slot,
+    * cnt) — the storable distribution sketch ([[graft.functions.expr
+    * .HistAgg]]; slot 0 = below `lo`, `bins+1` = at-or-above `hi`,
+    * interior slot b covers [lo + (b−1)·w, lo + b·w)). Mergeable by
+    * slotwise addition across runs/epochs, like [[cmsRegisters]]. */
+  def histRegisters(spark: SparkSession, df: DataFrame, groupCol: String,
+                    valueCol: Column, lo: Double, hi: Double,
+                    bins: Int = 64): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    df.select(col(groupCol), valueCol.cast("double").as("__v"))
+      .groupBy(groupCol)
+      .agg(call_function("hist_agg", col("__v"), lit(lo), lit(hi), lit(bins)).as("h"))
+      .select(col(groupCol), posexplode(col("h")))
+      .select(col(groupCol), col("pos").cast("long").as("slot"), col("col").as("cnt"))
+  }
+
+  /** Quantile estimates from exploded histogram registers: for each q,
+    * the unique non-empty slot whose cumulative range covers rank = q·N,
+    * linearly interpolated inside the bin (edge slots clamp to lo/hi).
+    * Pure double arithmetic in a FIXED operation order, so any engine
+    * replays it exactly; runs over the (groups × bins) register relation,
+    * never the corpus. */
+  def histQuantiles(regs: DataFrame, groupCol: String, qs: Seq[Double],
+                    lo: Double, hi: Double, bins: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol).orderBy("slot")
+    val cum = regs
+      .withColumn("__cum", sum(col("cnt")).over(w))
+      .withColumn("__cumb", col("__cum") - col("cnt"))
+      .withColumn("__tot", sum(col("cnt")).over(Window.partitionBy(groupCol)))
+    qs.map { q =>
+      val rank = lit(q) * col("__tot").cast("double")
+      cum.filter(col("cnt") > 0 &&
+          col("__cumb").cast("double") < rank && rank <= col("__cum").cast("double"))
+        .select(col(groupCol), lit(q).as("q"),
+          round(when(col("slot") === 0, lo)
+            .when(col("slot") === bins + 1, hi)
+            .otherwise(lit(lo) +
+              ((col("slot") - 1).cast("double") +
+                (rank - col("__cumb").cast("double")) / col("cnt").cast("double")) *
+                lit((hi - lo) / bins)), 6).as("est"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Count-min point estimates: for each candidate (group, item) row, the
     * min counter over its `depth` slots — an upper bound on the item's
     * true occurrence count in the group. One broadcast-sized explode

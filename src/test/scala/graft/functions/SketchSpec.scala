@@ -108,4 +108,44 @@ class SketchSpec extends AnyFunSuite {
     }.groupBy(_._1).map { case (b, rs) => b.toLong -> rs.map(_._2).max.toLong }
     assert(got == want, s"got $got want $want")
   }
+
+  test("hist registers match a scalar recomputation; overflow slots catch tails") {
+    val vals = Seq(-5.0, 0.0, 0.5, 9.99, 10.0, 25.0, 99.9, 100.0, 250.0)
+    val df = vals.map(("g", _)).toDF("g", "v")
+    val got = Sketch.histRegisters(spark, df, "g", col("v"), lo = 0.0, hi = 100.0, bins = 10)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val want = (0L to 11L).map(_ -> 0L).toMap ++
+      vals.groupBy { v =>
+        if (v < 0.0) 0L
+        else if (v >= 100.0) 11L
+        else math.floor(v * 10 / 100.0).toLong + 1
+      }.map { case (s, vs) => s -> vs.size.toLong }
+    assert(got == want, s"got $got want $want")
+    assert(got(0L) == 1 && got(11L) == 2, "below-lo and at-or-above-hi land in overflow slots")
+  }
+
+  test("hist sketch of a union is the elementwise sum of the parts") {
+    graft.GraftFunctions.register(spark)
+    val a = (1 to 400).map(i => ("g", (i % 97).toDouble)).toDF("g", "v")
+    val b = (1 to 300).map(i => ("g", (i % 53).toDouble)).toDF("g", "v")
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      Sketch.histRegisters(spark, df, "g", col("v"), 0.0, 100.0, 20)
+        .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val (ra, rb, ru) = (regs(a), regs(b), regs(a.unionAll(b)))
+    assert(ru == ra.map { case (s, c) => s -> (c + rb(s)) },
+      "merged sketch must be the slotwise sum — the lake roll-up law")
+  }
+
+  test("hist quantiles interpolate within bins and track exact percentiles") {
+    // uniform 1..1000 in [0, 1000) x 50 bins: every quantile is interior
+    val df = (1 to 1000).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val regs = Sketch.histRegisters(spark, df, "g", col("v"), 0.0, 1000.0, 50)
+    val got = Sketch.histQuantiles(regs, "g", Seq(0.25, 0.5, 0.9), 0.0, 1000.0, 50)
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    assert(got.size == 3)
+    // bin width 20: interpolated estimate within one bin of the exact value
+    assert(math.abs(got(0.25) - 250.0) <= 20.0, s"p25 ${got(0.25)}")
+    assert(math.abs(got(0.5) - 500.0) <= 20.0, s"p50 ${got(0.5)}")
+    assert(math.abs(got(0.9) - 900.0) <= 20.0, s"p90 ${got(0.9)}")
+  }
 }
