@@ -98,6 +98,7 @@ object SparkEntry {
     "s36_incr_join_view"  -> ((s, d) => graft.lake.LakeQueries.incrementalJoinView(s, d)),
     "s37_range_read"      -> ((s, d) => graft.lake.LakeQueries.rangeRead(s, d)),
     "s39_merge_into"      -> ((s, d) => graft.lake.LakeQueries.mergeQuery(s, d)),
+    "s40_zorder_read"     -> ((s, d) => graft.lake.LakeQueries.zorderRead(s, d)),
     "s18_ann_ivf_portable" -> ((s, d) => graft.functions.LlmQueries.annIvfPortable(s, d)),
     "s20_ann_lsh_portable" -> ((s, d) => graft.functions.LlmQueries.annLshPortable(s, d)),
     "s19_sql_insert"      -> ((s, d) => graft.lake.LakeQueries.sqlInsert(s, d)),
@@ -246,6 +247,13 @@ object SparkEntry {
         |WHERE user_id % 7 = 0
         |QUALIFY row_number() OVER
         |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+    "s40_zorder_read" ->
+      """SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
+        |FROM events
+        |QUALIFY row_number() OVER
+        |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        |  AND user_id >= 30 AND user_id < 90
+        |  AND value >= 0.0 AND value < 250.0""".stripMargin,
     "s39_merge_into" ->
       """WITH src AS (
         |  SELECT c_custkey, c_name, c_nationkey,

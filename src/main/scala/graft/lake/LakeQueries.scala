@@ -132,6 +132,34 @@ object LakeQueries {
         .select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
   }
 
+  /** Z-order clustered lake read, oracle-checked: replay the first
+    * time-half of events into the table, Z-ORDER compact on (user_id,
+    * value) — bit-interleaved clustering, per-file min/max for BOTH
+    * columns in the manifest — then land the second half as a plain delta
+    * and read a 2-D box (user_id ∈ [30, 90), value ∈ [0, 250)). File
+    * skipping happens at the listing level on both dimensions at once;
+    * deltas merge unfiltered and the box re-applies post-merge, so the
+    * result is exactly the batch LWW filtered by the box — which is the
+    * oracle. */
+  def zorderRead(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "value", "ts_ms", "ts_ns")
+    val bounds = ev.agg(min(col("ts_ns")).as("mn"), max(col("ts_ns")).as("mx")).head()
+    val mn = bounds.getLong(0); val mx = bounds.getLong(1)
+    val mid = mn + (mx - mn) / 2
+    val path = tempPath("mor-zorder")
+    val t = new MorTable(spark, path, keyCols = Seq("user_id"),
+      compactionDeltaCommits = 1000, autoCompact = false, writePartitions = 4)
+    t.upsert(ev.filter(col("ts_ns") <= mid),
+      orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 1L)
+    t.compactZOrder(Seq("user_id", "value"), bits = 8)
+    t.upsert(ev.filter(col("ts_ns") > mid),
+      orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 2L)
+    graft.TempDirs.materializeAndDelete(
+      t.readForColRanges(Seq(("user_id", 30.0, 90.0), ("value", 0.0, 250.0)))
+        .select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
+  }
+
   /** Conditional MERGE INTO, oracle-checked end-to-end. Target = the
     * customer table upserted once. Source = every third customer with a
     * +100 balance, plus brand-new keys (custkey + 100000 for custkey ≤

@@ -284,11 +284,34 @@ final class MorTable(
       val statsJson = stats.map { case (f, mn, mx) =>
         s"""{"file":"${js(f)}","minKey":"${js(mn)}","maxKey":"${js(mx)}"}"""
       }.mkString(",")
+      // per-file double min/max for the z-order columns (set by
+      // compactZOrder): the multi-dimensional skipping stats
+      val colStatsJson =
+        if (statsCols.isEmpty) ""
+        else {
+          val aggs = statsCols.flatMap(c => Seq(
+            min(col(c).cast("double")).as(s"mn_$c"), max(col(c).cast("double")).as(s"mx_$c")))
+          spark.read.parquet(baseDir.toString)
+            .groupBy(input_file_name().as("f"))
+            .agg(aggs.head, aggs.tail: _*)
+            .collect().toSeq.sortBy(_.getString(0))
+            .flatMap { r =>
+              statsCols.flatMap { c =>
+                (Option(r.getAs[java.lang.Double](s"mn_$c")),
+                  Option(r.getAs[java.lang.Double](s"mx_$c"))) match {
+                  case (Some(mn), Some(mx)) =>
+                    Some(s"""{"file":"${js(r.getString(0))}","col":"${js(c)}","mn":$mn,"mx":$mx}""")
+                  case _ => None
+                }
+              }
+            }.mkString(",")
+        }
       val dir = new Path(hPath, "manifest")
       fs.mkdirs(dir)
       val json =
         s"""{"baseSeq":$seq,"filter":"_deleted = false",""" +
           s""""stats":[$statsJson],""" +
+          (if (colStatsJson.nonEmpty) s""""colstats":[$colStatsJson],""" else "") +
           s""""files":[${files.map("\"" + _ + "\"").mkString(",")}]}"""
       val tmp = new Path(dir, s".$seq.json.tmp")
       val out = fs.create(tmp, true)
@@ -482,7 +505,8 @@ final class MorTable(
     * independent of other keys. */
   private def snapshotMerged(tl: Seq[Instant],
                              keyFilter: Option[Column] = None,
-                             baseFiles: Option[Seq[String]] = None): DataFrame = {
+                             baseFiles: Option[Seq[String]] = None,
+                             baseOnlyFilter: Option[Column] = None): DataFrame = {
     if (tl.isEmpty)
       throw new IllegalStateException(s"MorTable at $path has no commits")
     val (lastCompact, deltas) = liveDeltas(tl)
@@ -490,13 +514,22 @@ final class MorTable(
     // Some(subset) scans only those base files; Some(Nil) proves no base
     // file intersects, kept as a schema-only scan the optimizer folds to
     // an empty relation
-    val baseScan = lastCompact.toSeq.map { c =>
+    val baseScan0 = lastCompact.toSeq.map { c =>
       baseFiles match {
         case Some(sel) if sel.isEmpty =>
           spark.read.parquet(s"$path/base/${c.seq}").filter(lit(false))
         case Some(sel) => spark.read.parquet(sel: _*)
         case None => spark.read.parquet(s"$path/base/${c.seq}")
       }
+    }
+    // baseOnlyFilter: pushed to the BASE scan only (row-group skipping on
+    // a clustered layout); safe for MUTABLE predicate columns because a
+    // filtered-out base row either has no delta (its live values decided
+    // the filter) or loses last-write-wins to the unfiltered delta anyway.
+    // Callers re-apply the predicate post-merge.
+    val baseScan = baseOnlyFilter match {
+      case Some(f) => baseScan0.map(_.filter(f))
+      case None => baseScan0
     }
     val parts0 = baseScan ++
       deltas.map(d => spark.read.parquet(s"$path/delta/${d.seq}"))
@@ -752,6 +785,110 @@ final class MorTable(
   /** Merge base + logs into a new base commit. Readers before the timeline
     * rename keep seeing the old base+deltas; after it, just the new base
     * (plus any late-publishing stragglers recorded as unfolded). */
+  /** Z-order clustering compaction (the Delta OPTIMIZE ZORDER BY / Hudi
+    * clustering analog): instead of clustering the base on the key alone,
+    * interleave the bits of each z-column's bucket index (equi-width
+    * buckets over the column's observed min/max, `bits` bits each) and
+    * range-partition + sort the base on that z-value. Rows close in EVERY
+    * z-dimension land in the same file, so the per-file min/max the
+    * manifest records for each z-column are tight in ALL dimensions at
+    * once — [[readForColRanges]] then skips files at the LISTING level for
+    * multi-column range predicates, where single-key clustering prunes
+    * only one dimension. Costs one column-pruned stats pass over the
+    * staged snapshot. Bits/interleave use literal shifts only (codegen
+    * stays whole-stage). */
+  def compactZOrder(zCols: Seq[String], bits: Int = 8): Unit = synchronized {
+    require(zCols.nonEmpty && zCols.size * bits <= 62,
+      s"z-order needs 1..${62 / bits} columns at $bits bits")
+    val prep = prepareCompact()
+    val nb = 1 << bits
+    // observed per-column domain: one column-pruned pass over the staged
+    // snapshot (tombstones carry nulls — min/max ignore them)
+    val aggs = zCols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"__mn_$c"), max(col(c).cast("double")).as(s"__mx_$c")))
+    val dom = prep.df.agg(aggs.head, aggs.tail: _*).head()
+    val zval = zCols.zipWithIndex.map { case (c, i) =>
+      val mn = Option(dom.getAs[java.lang.Double](s"__mn_$c")).fold(0.0)(_.toDouble)
+      val mx = Option(dom.getAs[java.lang.Double](s"__mx_$c")).fold(0.0)(_.toDouble)
+      val bucket =
+        if (mx <= mn) lit(0L)
+        else least(greatest(
+          floor((col(c).cast("double") - lit(mn)) * lit(nb.toDouble) / lit(mx - mn)),
+          lit(0.0)), lit((nb - 1).toDouble)).cast("long")
+      // spread bucket bit j of column i to interleaved position j*nCols+i
+      (0 until bits).map { j =>
+        shiftleft(shiftright(bucket, j).bitwiseAND(lit(1L)), j * zCols.size + i)
+      }.reduce(_ bitwiseOR _)
+    }.reduce(_ bitwiseOR _)
+    val withZ = prep.df.withColumn("__z", zval)
+    val out = if (writePartitions > 0)
+      withZ.repartitionByRange(writePartitions, col("__z")) else withZ
+    val staging = new Path(hPath, s".staging-compact-${System.nanoTime()}")
+    out.sortWithinPartitions(col("__z"), col("_record_key")).drop("__z")
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#_record_key", "true")
+      .parquet(staging.toString)
+    statsCols = zCols // manifest adds per-file min/max for these
+    adoptBase(staging, prep.foldedDeltaSeqs)
+  }
+
+  /** Columns the next manifest write records per-file double min/max for
+    * (set by [[compactZOrder]]; sticky so later key-compactions keep
+    * publishing the same stats while the layout still reflects them). */
+  @volatile private var statsCols: Seq[String] = Nil
+
+  /** Multi-column range read over a z-ordered table: live rows with
+    * `lo <= col < hi` for EVERY listed column. Base files whose manifest
+    * min/max don't intersect one of the ranges are excluded at the
+    * LISTING level (no footer open); surviving base files get the pushed
+    * range predicate (row-group skipping on the z-sorted layout). Deltas
+    * are scanned UNFILTERED and win the merge as usual — a filtered base
+    * row can only lose last-write-wins to them — and the range predicate
+    * re-applies AFTER the merge, so updates that moved a key out of range
+    * never resurrect its in-range past. Bounds are cast to each column's
+    * native type for the pushed filter (pass integral bounds for integral
+    * columns). */
+  def readForColRanges(ranges: Seq[(String, Double, Double)]): DataFrame = {
+    require(ranges.nonEmpty, "readForColRanges needs at least one (col, lo, hi)")
+    val tl = timeline()
+    val (lastCompact, _) = liveDeltas(tl)
+    val sch = snapshotSchema()
+    val rangeF = ranges.map { case (c, lo, hi) =>
+      val t = sch(c).dataType
+      col(c) >= lit(lo).cast(t) && col(c) < lit(hi).cast(t)
+    }.reduce(_ && _)
+    val baseFiles = lastCompact.flatMap { c =>
+      manifestColStats(c.seq).map { st =>
+        st.groupBy(_._1).collect { case (f, rows) =>
+          val byCol = rows.map(r => r._2 -> (r._3, r._4)).toMap
+          // keep unless some queried column's bounds provably miss
+          val prunable = ranges.exists { case (qc, lo, hi) =>
+            byCol.get(qc).exists { case (mn, mx) => mx < lo || mn >= hi }
+          }
+          if (prunable) None else Some(f)
+        }.flatten.toSeq.sorted
+      }
+    }
+    dropMeta(snapshotMerged(tl, keyFilter = None, baseFiles = baseFiles,
+      baseOnlyFilter = Some(rangeF))
+      .filter(!col("_deleted")).filter(rangeF))
+  }
+
+  /** Per-file double min/max for [[statsCols]] from `manifest/<seq>.json`:
+    * (file, col, mn, mx) rows — None when the manifest predates column
+    * stats (readers fall back to the full listing). */
+  private def manifestColStats(seq: Long): Option[Seq[(String, String, Double, Double)]] = {
+    val p = new Path(hPath, s"manifest/$seq.json")
+    if (!fs.exists(p)) return None
+    val json = new String(readFully(fs, p), StandardCharsets.UTF_8)
+    val es = "((?:[^\"\\\\]|\\\\.)*)"
+    val re = ("\\{\"file\":\"" + es + "\",\"col\":\"" + es +
+      "\",\"mn\":([-0-9.eE]+),\"mx\":([-0-9.eE]+)\\}").r
+    val st = re.findAllMatchIn(json)
+      .map(m => (m.group(1), m.group(2), m.group(3).toDouble, m.group(4).toDouble)).toSeq
+    if (st.isEmpty) None else Some(st)
+  }
+
   def compact(): Unit = synchronized {
     val prep = prepareCompact()
     // RANGE-partition the base on the key (not hash): each output file owns

@@ -369,6 +369,37 @@ class MorTableSpec extends AnyFunSuite {
     assert(t2.read().count() == 8)
   }
 
+  test("compactZOrder: multi-column range reads skip files and stay LWW-exact") {
+    import spark.implicits._
+    // 32x32 grid: keys k0000..k1023, x = row, y = col
+    val grid = (0 until 1024).map(i => (f"k$i%04d", (i / 32).toLong, (i % 32).toLong, i.toLong))
+      .toDF("k", "x", "y", "v")
+    val t = new MorTable(spark, TestSpark.tmpDir("mor-zorder"), Seq("k"),
+      compactionDeltaCommits = 1000, autoCompact = false, writePartitions = 8)
+    t.upsert(grid, orderWithinBatch = Nil, batchId = 1L)
+    t.compactZOrder(Seq("x", "y"), bits = 5)
+    // a delta on top: moves k0000 (x=0) INTO the query box, k0500 OUT of it
+    t.upsert(Seq(("k0000", 20L, 20L, 9999L), ("k0500", 99L, 99L, 8888L))
+      .toDF("k", "x", "y", "v"), orderWithinBatch = Nil, batchId = 2L)
+    val box = Seq(("x", 8.0, 16.0), ("y", 8.0, 16.0))
+    val got = t.readForColRanges(box)
+    val want = t.read().filter(col("x") >= 8 && col("x") < 16 && col("y") >= 8 && col("y") < 16)
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "z-ordered range read must equal the filtered full read")
+    // k0000's new image (20,20) is outside the box; its old in-box image must not resurrect
+    assert(got.filter(col("k") === "k0000").isEmpty)
+    // file skipping is real: an 8x8 box of a 32x32 z-ordered grid over 8
+    // files must not touch all of them
+    val touched = got.inputFiles.count(_.contains("/base/"))
+    val total = t.read().inputFiles.count(_.contains("/base/"))
+    assert(total == 8, s"expected 8 base files, got $total")
+    assert(touched < total, s"box read touched all $total base files — no skipping")
+    // full-domain read through the same path equals the plain read
+    val all = t.readForColRanges(Seq(("x", 0.0, 1000.0)))
+    assert(all.count() == t.read().count())
+  }
+
   test("mergeInto: matched update / matched delete / conditional insert in one commit") {
     val t = MorTable(spark, TestSpark.tmpDir("mor-merge"), Seq("uuid"),
       compactionDeltaCommits = 100)
