@@ -99,6 +99,7 @@ object SparkEntry {
     "s37_range_read"      -> ((s, d) => graft.lake.LakeQueries.rangeRead(s, d)),
     "s39_merge_into"      -> ((s, d) => graft.lake.LakeQueries.mergeQuery(s, d)),
     "s40_zorder_read"     -> ((s, d) => graft.lake.LakeQueries.zorderRead(s, d)),
+    "s41_minor_compact"   -> ((s, d) => graft.lake.LakeQueries.minorCompactRead(s, d)),
     "s18_ann_ivf_portable" -> ((s, d) => graft.functions.LlmQueries.annIvfPortable(s, d)),
     "s20_ann_lsh_portable" -> ((s, d) => graft.functions.LlmQueries.annLshPortable(s, d)),
     "s19_sql_insert"      -> ((s, d) => graft.lake.LakeQueries.sqlInsert(s, d)),
@@ -247,6 +248,18 @@ object SparkEntry {
         |WHERE user_id % 7 = 0
         |QUALIFY row_number() OVER
         |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+    "s41_minor_compact" ->
+      """WITH lww AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
+        |  FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) = 1
+        |)
+        |SELECT user_id, event_id,
+        |       CASE WHEN user_id < 30 THEN 'minor' ELSE event_type END AS event_type,
+        |       CASE WHEN user_id < 30 THEN value + 1000.0 ELSE value END AS value,
+        |       ts_ms
+        |FROM lww WHERE user_id % 50 <> 0""".stripMargin,
     "s40_zorder_read" ->
       """SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
         |FROM events

@@ -160,6 +160,32 @@ object LakeQueries {
         .select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
   }
 
+  /** Minor (affected-only) compaction, oracle-checked end-to-end: full
+    * events replay → major compact (range-partitioned base with per-file
+    * key bounds) → an update batch for user_id < 30 plus a predicate
+    * delete → [[MorTable.compactMinor]] folds both deltas into only the
+    * base files whose key range they touch, carrying the rest over
+    * byte-for-byte → snapshot read. Must equal the LWW dedup with the
+    * update and delete applied — identical to what the full rewrite
+    * produces, at a fraction of the write amplification. */
+  def minorCompactRead(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "value", "ts_ms", "ts_ns")
+    val path = tempPath("mor-minor")
+    val t = new MorTable(spark, path, keyCols = Seq("user_id"),
+      compactionDeltaCommits = 1000, autoCompact = false, writePartitions = 4)
+    t.upsert(ev, orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 1L)
+    t.compact()
+    val upd = t.read().filter(col("user_id") < 30)
+      .withColumn("value", col("value") + 1000.0)
+      .withColumn("event_type", lit("minor"))
+    t.upsert(upd, orderWithinBatch = Nil, batchId = 2L)
+    t.deleteWhere(col("user_id") % 50 === 0, batchId = 3L)
+    t.compactMinor()
+    graft.TempDirs.materializeAndDelete(
+      t.read().select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
+  }
+
   /** Conditional MERGE INTO, oracle-checked end-to-end. Target = the
     * customer table upserted once. Source = every third customer with a
     * +100 balance, plus brand-new keys (custkey + 100000 for custkey ≤

@@ -765,7 +765,8 @@ final class MorTable(
     * PARENT-level commit is inflight — a parent writer stages child data
     * before any child-level marker exists, so the child listing alone
     * cannot see it. */
-  private[lake] def prepareCompact(forceKeepTombstones: Boolean = false): MorTable.CompactPrep = {
+  private[lake] def prepareCompact(forceKeepTombstones: Boolean = false,
+                                   baseFiles: Option[Seq[String]] = None): MorTable.CompactPrep = {
     // markers listed BEFORE the timeline read: a delta publishing between
     // the two shows up in the timeline (→ folded); later claims allocate
     // past the compact seq and are replayed as ordinary newer deltas
@@ -776,10 +777,62 @@ final class MorTable(
     val outstanding =
       (pending ++ lastC.map(_.unfolded).getOrElse(Nil)).toSet -- folded --
         tl.map(_.seq).toSet
-    val snap = snapshotMerged(tl)
+    // baseFiles: minor compaction restricts the merge to the AFFECTED base
+    // files (plus all live deltas) — the carried-over remainder never
+    // enters the shuffle
+    val snap = snapshotMerged(tl, baseFiles = baseFiles)
     val df = if (outstanding.isEmpty && !forceKeepTombstones)
       snap.filter(!col("_deleted")) else snap
     MorTable.CompactPrep(df, folded)
+  }
+
+  /** MINOR (affected-only) compaction — the write-amplification control a
+    * 100 TB table needs: `compact()` rewrites the WHOLE base every cadence
+    * tick even when the deltas touched 0.1% of keys. compactMinor folds
+    * the live deltas into ONLY the base files whose manifest key range
+    * intersects a delta key; every other base file is carried into the new
+    * base byte-for-byte — an FS-level copy with NO parquet decode, LWW
+    * shuffle, or re-encode (on an object store this is a server-side COPY:
+    * metadata cost, the bytes never transit compute). The affected-file
+    * set is computed distributed — delta keys joined against the
+    * broadcast per-file bounds — and only FILE NAMES come to the driver.
+    * Correctness is unchanged: a carried file is provably key-disjoint
+    * from every delta (its range matched none), so the merged subset plus
+    * the carried subset is still one key-unique base.
+    *
+    * Falls back to the full `compact()` when there is no base, no manifest
+    * stats (pre-stats vintage), or every file is affected. */
+  def compactMinor(): Unit = synchronized {
+    val tl0 = timeline()
+    val (lastC, deltas0) = liveDeltas(tl0)
+    val statsOpt = lastC.flatMap(c => manifestStats(c.seq))
+    if (lastC.isEmpty || statsOpt.isEmpty || deltas0.isEmpty) { compact(); return }
+    val st = statsOpt.get
+    import spark.implicits._
+    val deltaKeys = deltas0.map(d => spark.read.parquet(s"$path/delta/${d.seq}")
+      .select(col("_record_key"))).reduce(_.unionByName(_)).distinct()
+    val rangesDf = st.map { case (f, mn, mx) => (f, mn, mx) }.toDF("__f", "__mn", "__mx")
+    val affected = deltaKeys.join(broadcast(rangesDf),
+        col("_record_key") >= col("__mn") && col("_record_key") <= col("__mx"))
+      .select("__f").distinct().collect().map(_.getString(0)).toSet
+    val carried = st.map(_._1).filterNot(affected).sorted
+    if (carried.isEmpty) { compact(); return }
+    val prep = prepareCompact(baseFiles = Some(affected.toSeq.sorted))
+    val out = if (writePartitions > 0)
+      prep.df.repartitionByRange(writePartitions, col("_record_key")) else prep.df
+    val staging = new Path(hPath, s".staging-compact-${System.nanoTime()}")
+    out.sortWithinPartitions(col("_record_key"))
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#_record_key", "true")
+      .parquet(staging.toString)
+    carried.zipWithIndex.foreach { case (f, i) =>
+      val src = new Path(f)
+      val dst = new Path(staging, f"carry-$i%05d-${src.getName}")
+      if (!org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false,
+        spark.sparkContext.hadoopConfiguration))
+        throw new java.io.IOException(s"minor-compaction carry copy failed: $f")
+    }
+    adoptBase(staging, prep.foldedDeltaSeqs)
   }
 
   /** Merge base + logs into a new base commit. Readers before the timeline

@@ -369,6 +369,43 @@ class MorTableSpec extends AnyFunSuite {
     assert(t2.read().count() == 8)
   }
 
+  test("compactMinor: only affected base files rewrite; the rest carry byte-for-byte") {
+    import spark.implicits._
+    val rows = (1 to 400).map(i => (f"k$i%04d", i.toLong)).toDF("k", "v")
+    val t = new MorTable(spark, TestSpark.tmpDir("mor-minor"), Seq("k"),
+      compactionDeltaCommits = 1000, autoCompact = false, writePartitions = 4)
+    t.upsert(rows, orderWithinBatch = Nil, batchId = 1L)
+    t.compact() // 4 range-partitioned files with disjoint key bounds
+    // delta touches ONLY the first range (updates) plus one brand-new max key,
+    // and deletes one key from the last range
+    t.upsert((1 to 50).map(i => (f"k$i%04d", i + 10000L)).toDF("k", "v")
+      .unionByName(Seq(("k9999", 1L)).toDF("k", "v")), orderWithinBatch = Nil, batchId = 2L)
+    t.delete(Seq("k0399").toDF("k"), batchId = 3L)
+    t.compactMinor()
+    // correctness: LWW with updates, insert, and delete applied
+    val got = t.read().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.size == 400, s"399 survivors + 1 insert, got ${got.size}")
+    assert(got("k0001") == 10001L && got("k0050") == 10050L, "first-range updates applied")
+    assert(got("k0200") == 200L, "carried rows untouched")
+    assert(got("k9999") == 1L, "new key inserted")
+    assert(!got.contains("k0399"), "delete folded")
+    // write amplification: at least 2 of the 4 files carried (ranges 2 and 3
+    // were untouched; range 1 and range 4 — delete + new key — rewrite)
+    val tl = t.timeline()
+    val baseDir = new java.io.File(s"${t.path}/base/${tl.last.seq}")
+    val carried = baseDir.listFiles().count(_.getName.startsWith("carry-"))
+    assert(carried >= 2, s"expected >= 2 carried files, got $carried")
+    // the carried bytes are identical to the originals (no re-encode)
+    val prevBase = new java.io.File(s"${t.path}/base/${tl.filter(_.kind == "compact").head.seq}")
+    val prevByName = prevBase.listFiles().map(f => f.getName -> f.length()).toMap
+    baseDir.listFiles().filter(_.getName.startsWith("carry-")).foreach { f =>
+      val orig = f.getName.replaceFirst("carry-\\d+-", "")
+      assert(prevByName(orig) == f.length(), s"carried file size changed: ${f.getName}")
+    }
+    // post-minor-compaction reads come from the new base only
+    assert(t.read().inputFiles.forall(_.contains(s"/base/${tl.last.seq}")))
+  }
+
   test("compactZOrder: multi-column range reads skip files and stay LWW-exact") {
     import spark.implicits._
     // 32x32 grid: keys k0000..k1023, x = row, y = col
