@@ -198,4 +198,27 @@ class PlanSpec extends AnyFunSuite {
     // Generate survives here
     assert(!p.contains("Generate"), s"final plan must not re-tokenize:\n$p")
   }
+
+  test("t21 bigram scoring: pinned token arrays, no window/self-join over the corpus") {
+    val p = plan(graft.functions.TextAnalysis.bigramLogProb(
+      graft.Tables.documents(spark, dir)))
+    assert(p.contains("partial_count"), p)
+    // bigram construction is map-side zip/slice over the CHECKPOINTED
+    // arrays — no per-doc Window sort and no corpus self-join
+    assert(!p.contains("WindowExec") && !p.contains("Window "), s"no window expected:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Scan ExistingRDD"), s"must read the pinned tokenize pass:\n$p")
+  }
+
+  test("t22 DSIR weights: one pinned tokenize+hash pass, broadcast stats join") {
+    val p = plan(graft.functions.TextAnalysis.dsirWeights(
+      graft.Tables.documents(spark, dir),
+      org.apache.spark.sql.functions.col("lang") === "en"))
+    // the bucket-sized stats table comes back as a broadcast, never a
+    // shuffled join against the exploded corpus
+    assert(p.contains("BroadcastHashJoin"), s"stats join must broadcast:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+    assert(!p.contains("Generate"), s"final plan must not re-tokenize:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
