@@ -100,6 +100,7 @@ object SparkEntry {
     "s39_merge_into"      -> ((s, d) => graft.lake.LakeQueries.mergeQuery(s, d)),
     "s40_zorder_read"     -> ((s, d) => graft.lake.LakeQueries.zorderRead(s, d)),
     "s41_minor_compact"   -> ((s, d) => graft.lake.LakeQueries.minorCompactRead(s, d)),
+    "s42_incr_text_index" -> ((s, d) => graft.lake.LakeQueries.incrementalTextIndex(s, d)),
     "s18_ann_ivf_portable" -> ((s, d) => graft.functions.LlmQueries.annIvfPortable(s, d)),
     "s20_ann_lsh_portable" -> ((s, d) => graft.functions.LlmQueries.annLshPortable(s, d)),
     "s19_sql_insert"      -> ((s, d) => graft.lake.LakeQueries.sqlInsert(s, d)),
@@ -248,6 +249,20 @@ object SparkEntry {
         |WHERE user_id % 7 = 0
         |QUALIFY row_number() OVER
         |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+    "s42_incr_text_index" ->
+      """WITH final AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 5 = 1 THEN text || ' refreshed content'
+        |              ELSE text END AS text
+        |  FROM documents WHERE doc_id % 10 <> 0
+        |), tok AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                            x -> x <> '')) AS token
+        |  FROM final
+        |)
+        |SELECT token, doc_id, count(*) AS tf
+        |FROM tok GROUP BY token, doc_id""".stripMargin,
     "s41_minor_compact" ->
       """WITH lww AS (
         |  SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms

@@ -160,6 +160,44 @@ object LakeQueries {
         .select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
   }
 
+  /** Incrementally-maintained INVERTED TEXT INDEX (the lakehouse-search
+    * story, s36's join-view machinery applied to search): a docs MOR table
+    * and a postings MOR table keyed (token, doc_id). The initial index is
+    * one tokenize of the corpus; after an update+delete commit on docs,
+    * maintenance reads the DOCS CHANGELOG — O(changed docs), never a
+    * corpus rescan — tokenizes the before/after images, tombstones
+    * postings the change removed and upserts the rest. Oracle: the final
+    * index equals a from-scratch index over the final doc state, token
+    * frequencies included. */
+  def incrementalTextIndex(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val dt = MorTable(spark, tempPath("mor-idx-docs"), keyCols = Seq("doc_id"),
+      compactionDeltaCommits = 1000)
+    val iPath = tempPath("mor-idx")
+    val it = MorTable(spark, iPath, keyCols = Seq("token", "doc_id"),
+      compactionDeltaCommits = 1000)
+    def postings(d: DataFrame) = d.select(col("doc_id"),
+        explode(graft.functions.TextAnalysis.tokens(lower(col("text")))).as("token"))
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+    dt.upsert(docs, orderWithinBatch = Nil, batchId = 1L)
+    it.upsert(postings(dt.read()), orderWithinBatch = Nil, batchId = 1L)
+    // docs change: every doc_id % 5 == 1 gets new content, % 10 == 0 is dropped
+    dt.upsert(docs.filter(col("doc_id") % 5 === 1)
+      .withColumn("text", concat(col("text"), lit(" refreshed content"))),
+      orderWithinBatch = Nil, batchId = 2L)
+    dt.deleteWhere(col("doc_id") % 10 === 0, batchId = 3L)
+    // O(changes) maintenance from the changelog
+    val cl = dt.readChangelog(1L).localCheckpoint(true) // one read, three consumers
+    val oldPost = postings(cl.filter(col("op").isin("U", "D"))
+      .select(col("doc_id"), col("before_text").as("text")))
+    val newPost = postings(cl.filter(col("op").isin("I", "U"))
+      .select(col("doc_id"), col("text")))
+    it.delete(oldPost.select("token", "doc_id")
+      .except(newPost.select("token", "doc_id")), batchId = 2L)
+    it.upsert(newPost, orderWithinBatch = Nil, batchId = 3L)
+    graft.TempDirs.materializeAndDelete(it.read(), iPath)
+  }
+
   /** Minor (affected-only) compaction, oracle-checked end-to-end: full
     * events replay → major compact (range-partitioned base with per-file
     * key bounds) → an update batch for user_id < 30 plus a predicate
