@@ -144,6 +144,7 @@ object SparkEntry {
     "r34_sliding_agg"     -> ((s, d) => RelationalOps.slidingAgg(s, d)),
     "r35_rolling_sum"     -> ((s, d) => RelationalOps.rollingCounts(s, d)),
     "r36_topk_rewrite"    -> ((s, d) => RelationalOps.topkRewritten(s, d)),
+    "r37_dpp_join"        -> ((s, d) => RelationalOps.dppJoin(s, d)),
     "t18_split_assign"    -> ((s, d) => graft.operators.Sampling.assignSplits(
       graft.Tables.documents(s, d).select(
         org.apache.spark.sql.functions.col("doc_id"),
@@ -1431,6 +1432,12 @@ object SparkEntry {
         |       sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov
         |FROM tok t LEFT JOIN vocab v ON t.token = v.token
         |GROUP BY t.doc_id""".stripMargin,
+    "r37_dpp_join" ->
+      """SELECT event_type, count(*) AS n,
+        |       round(sum(value), 3) AS sum_value
+        |FROM events
+        |WHERE event_type IN ('click', 'view', 'signup')
+        |GROUP BY event_type""".stripMargin,
     "r32_pivot" ->
       """SELECT user_id,
         |       (count(*) FILTER (event_type = 'click'))::BIGINT AS click,

@@ -286,6 +286,34 @@ object RelationalOps {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** DYNAMIC PARTITION PRUNING over a partition-laid-out fact (the layout
+    * every 100 TB fact table ships: date/category directory partitions):
+    * the fact is written `partitionBy(event_type)`, the dim filter
+    * (`kind = 'web'`) is only known at runtime after the dim scan — and
+    * Spark's DPP turns the broadcast dim into a runtime partition filter
+    * on the fact scan, so non-web partitions are never LISTED, let alone
+    * read. At 100 TB the difference between scanning 3/5 of the table and
+    * 5/5 is the whole query budget. Plan shape (dynamicpruning expression
+    * in PartitionFilters) asserted in PlanSpec. */
+  def dppJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val factDir = graft.TempDirs.create("dpp-fact")
+    Tables.events(spark, dir)
+      .select("user_id", "event_id", "value", "ts_ms", "event_type")
+      .write.mode("overwrite").partitionBy("event_type").parquet(factDir)
+    // the dim lives in storage (not a local relation — a folded-away local
+    // filter would hide the selective predicate DPP keys on)
+    val dimDir = graft.TempDirs.create("dpp-dim")
+    Seq(("click", "web"), ("view", "web"), ("signup", "web"),
+      ("purchase", "commerce"), ("error", "ops")).toDF("event_type", "kind")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    spark.read.parquet(factDir)
+      .join(dim.filter(col("kind") === "web"), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 3).as("sum_value"))
+  }
+
   /** Gap-filled hourly time series: per-event-type counts with explicit
     * zero rows for empty hours. The grid is (hour range × type cardinality)
     * — generated from one explode over a sequence, independent of event

@@ -199,6 +199,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Generate"), s"final plan must not re-tokenize:\n$p")
   }
 
+  test("r37 fact scan carries a runtime dynamicpruning partition filter") {
+    val p = plan(RelationalOps.dppJoin(spark, dir))
+    assert(p.contains("dynamicpruning"),
+      s"dim filter must prune fact partitions at runtime:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("t21 bigram scoring: pinned token arrays, no window/self-join over the corpus") {
     val p = plan(graft.functions.TextAnalysis.bigramLogProb(
       graft.Tables.documents(spark, dir)))
