@@ -101,6 +101,7 @@ object SparkEntry {
     "s40_zorder_read"     -> ((s, d) => graft.lake.LakeQueries.zorderRead(s, d)),
     "s41_minor_compact"   -> ((s, d) => graft.lake.LakeQueries.minorCompactRead(s, d)),
     "s42_incr_text_index" -> ((s, d) => graft.lake.LakeQueries.incrementalTextIndex(s, d)),
+    "s43_incr_ann_index"  -> ((s, d) => graft.lake.LakeQueries.incrementalAnnIndex(s, d)),
     "s18_ann_ivf_portable" -> ((s, d) => graft.functions.LlmQueries.annIvfPortable(s, d)),
     "s20_ann_lsh_portable" -> ((s, d) => graft.functions.LlmQueries.annLshPortable(s, d)),
     "s19_sql_insert"      -> ((s, d) => graft.lake.LakeQueries.sqlInsert(s, d)),
@@ -145,6 +146,7 @@ object SparkEntry {
     "r35_rolling_sum"     -> ((s, d) => RelationalOps.rollingCounts(s, d)),
     "r36_topk_rewrite"    -> ((s, d) => RelationalOps.topkRewritten(s, d)),
     "r37_dpp_join"        -> ((s, d) => RelationalOps.dppJoin(s, d)),
+    "r38_decayed_score"   -> ((s, d) => RelationalOps.decayedScore(s, d)),
     "t18_split_assign"    -> ((s, d) => graft.operators.Sampling.assignSplits(
       graft.Tables.documents(s, d).select(
         org.apache.spark.sql.functions.col("doc_id"),
@@ -250,6 +252,22 @@ object SparkEntry {
         |WHERE user_id % 7 = 0
         |QUALIFY row_number() OVER
         |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+    "s43_incr_ann_index" ->
+      """WITH c AS (
+        |  SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cv
+        |  FROM embeddings WHERE vec_id < 8
+        |), fin AS (
+        |  SELECT vec_id,
+        |         CASE WHEN vec_id % 7 = 3
+        |              THEN list_transform(embedding, x -> -x)
+        |              ELSE embedding END AS embedding
+        |  FROM embeddings WHERE vec_id % 10 <> 0
+        |)
+        |SELECT f.vec_id, c.cell_id
+        |FROM fin f CROSS JOIN c
+        |QUALIFY row_number() OVER (PARTITION BY f.vec_id
+        |  ORDER BY list_cosine_similarity(c.cv, f.embedding::DOUBLE[]) DESC,
+        |           c.cell_id ASC) = 1""".stripMargin,
     "s42_incr_text_index" ->
       """WITH final AS (
         |  SELECT doc_id,
@@ -1432,6 +1450,20 @@ object SparkEntry {
         |       sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov
         |FROM tok t LEFT JOIN vocab v ON t.token = v.token
         |GROUP BY t.doc_id""".stripMargin,
+    "r38_decayed_score" ->
+      """WITH e AS (
+        |  SELECT user_id, value, epoch_ms(ts) // 3600000 AS h FROM events
+        |), hm AS (
+        |  SELECT user_id, max(h) AS hmax FROM e GROUP BY user_id
+        |)
+        |SELECT e.user_id,
+        |       sum(CAST(round(e.value * 100) AS BIGINT) *
+        |           CAST(pow(2.0, 30 - (hm.hmax - e.h)) AS BIGINT))::BIGINT
+        |         AS score_x2e30,
+        |       count(*) AS n_recent
+        |FROM e JOIN hm USING (user_id)
+        |WHERE hm.hmax - e.h <= 30
+        |GROUP BY e.user_id""".stripMargin,
     "r37_dpp_join" ->
       """SELECT event_type, count(*) AS n,
         |       round(sum(value), 3) AS sum_value

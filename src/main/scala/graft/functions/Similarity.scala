@@ -408,6 +408,26 @@ object Similarity {
     call_function("nearest_cells", vec,
       typedLit(centroids._1), typedLit(centroids._2), lit(nProbe))
 
+  /** Fixed-centroid IVF cell ASSIGNMENT relation (vec_id → cell_id): the
+    * index table an ANN serving layer keeps next to the corpus, here with
+    * the engine-portable fixed centroids (the `nCells` lowest-id vectors
+    * of `centroidSource` — pass the ORIGINAL corpus so assignments stay
+    * comparable across corpus updates). One native argmax per vector, no
+    * row blow-up; the lake entry `s43` maintains this relation
+    * incrementally from the embeddings changelog. */
+  def assignCellsFixed(corpus: DataFrame, centroidSource: DataFrame,
+                       nCells: Int = 8, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    registerOn(corpus)
+    val centroids = collectCentroids(
+      centroidSource.filter(col(idCol) < nCells)
+        .select(col(idCol).cast("long").as("cell_id"),
+          transform(col(vecCol), _.cast("double")).as("cv")))
+    corpus.select(col(idCol), col(vecCol))
+      .withColumn("cell_id", element_at(nearestCells(col(vecCol), centroids, 1), 1))
+      .select(idCol, "cell_id")
+  }
+
   /** Embedding near-dup pairs via IVF cells: every vector is assigned to
     * its `nProbe` nearest of `nCells` centroids, candidates are pairs
     * sharing a cell, verified exactly with the native cosine.

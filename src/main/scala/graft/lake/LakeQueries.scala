@@ -198,6 +198,39 @@ object LakeQueries {
     graft.TempDirs.materializeAndDelete(it.read(), iPath)
   }
 
+  /** Incrementally-maintained ANN INDEX (the vector sibling of
+    * [[incrementalTextIndex]]): an embeddings MOR table and an IVF
+    * cell-assignment MOR table (vec_id → cell_id, fixed portable
+    * centroids). After an update+delete commit on the embeddings,
+    * maintenance reads the EMBEDDINGS CHANGELOG — the native nearest-cell
+    * argmax runs over changed vectors only — tombstoning deleted ids and
+    * re-assigning updated ones. Oracle: the final assignment table equals
+    * a from-scratch assignment over the final embedding state (DuckDB
+    * replays the argmax with list_cosine_similarity). */
+  def incrementalAnnIndex(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val et = MorTable(spark, tempPath("mor-ann-emb"), keyCols = Seq("vec_id"),
+      compactionDeltaCommits = 1000)
+    val aPath = tempPath("mor-ann-idx")
+    val at = MorTable(spark, aPath, keyCols = Seq("vec_id"),
+      compactionDeltaCommits = 1000)
+    et.upsert(emb, orderWithinBatch = Nil, batchId = 1L)
+    // centroids stay pinned to the ORIGINAL corpus across updates
+    def assign(d: DataFrame) = graft.functions.Similarity.assignCellsFixed(d, emb)
+    at.upsert(assign(et.read()), orderWithinBatch = Nil, batchId = 1L)
+    // embedding drift: every vec_id % 7 == 3 flips direction, % 10 == 0 is dropped
+    et.upsert(emb.filter(col("vec_id") % 7 === 3)
+      .withColumn("embedding", transform(col("embedding"), v => -v)),
+      orderWithinBatch = Nil, batchId = 2L)
+    et.deleteWhere(col("vec_id") % 10 === 0, batchId = 3L)
+    // O(changes) maintenance from the changelog
+    val cl = et.readChangelog(1L).localCheckpoint(true)
+    at.delete(cl.filter(col("op") === "D").select("vec_id"), batchId = 2L)
+    at.upsert(assign(cl.filter(col("op").isin("I", "U"))
+      .select("vec_id", "embedding")), orderWithinBatch = Nil, batchId = 3L)
+    graft.TempDirs.materializeAndDelete(at.read(), aPath)
+  }
+
   /** Minor (affected-only) compaction, oracle-checked end-to-end: full
     * events replay → major compact (range-partitioned base with per-file
     * key bounds) → an update batch for user_id < 30 plus a predicate

@@ -314,6 +314,29 @@ object RelationalOps {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 3).as("sum_value"))
   }
 
+  /** Time-decayed engagement score, INTEGER-EXACT (the freshness-weighted
+    * feature every ranking/retention model wants, without the float-sum
+    * nondeterminism EWMA usually drags in): per user,
+    * Σ value_cents · 2^(30 − age_hours) over events at most 30 h older
+    * than the user's latest — a half-life of one hour expressed as exact
+    * binary weights in the long domain. Every product and the sum are
+    * exact integers, so the score is bit-identical across partitionings,
+    * retries, and engines (the hash-compare proves it). One groupBy for
+    * the per-user horizon (broadcast back), one partial+final agg. */
+  def decayedScore(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("value"), expr("ts_ms div 3600000").as("h"))
+    val horizon = ev.groupBy("user_id").agg(max(col("h")).as("hmax"))
+    ev.join(broadcast(horizon), Seq("user_id"))
+      .withColumn("age", col("hmax") - col("h"))
+      .filter(col("age") <= 30)
+      .withColumn("w", expr("cast(pow(2.0, 30 - age) AS BIGINT)"))
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .groupBy("user_id")
+      .agg(sum(col("cents") * col("w")).as("score_x2e30"),
+        count(lit(1)).as("n_recent"))
+  }
+
   /** Gap-filled hourly time series: per-event-type counts with explicit
     * zero rows for empty hours. The grid is (hour range × type cardinality)
     * — generated from one explode over a sequence, independent of event
