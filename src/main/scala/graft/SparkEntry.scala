@@ -102,6 +102,7 @@ object SparkEntry {
     "s41_minor_compact"   -> ((s, d) => graft.lake.LakeQueries.minorCompactRead(s, d)),
     "s42_incr_text_index" -> ((s, d) => graft.lake.LakeQueries.incrementalTextIndex(s, d)),
     "s43_incr_ann_index"  -> ((s, d) => graft.lake.LakeQueries.incrementalAnnIndex(s, d)),
+    "s44_temporal_join"   -> ((s, d) => graft.lake.LakeQueries.temporalJoin(s, d)),
     "s18_ann_ivf_portable" -> ((s, d) => graft.functions.LlmQueries.annIvfPortable(s, d)),
     "s20_ann_lsh_portable" -> ((s, d) => graft.functions.LlmQueries.annLshPortable(s, d)),
     "s19_sql_insert"      -> ((s, d) => graft.lake.LakeQueries.sqlInsert(s, d)),
@@ -252,6 +253,12 @@ object SparkEntry {
         |WHERE user_id % 7 = 0
         |QUALIFY row_number() OVER
         |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+    "s44_temporal_join" ->
+      """SELECT o.o_orderkey,
+        |       CASE WHEN o.o_orderkey % 2 = 1 AND c.c_custkey % 7 = 0
+        |            THEN (c.c_nationkey + 1) % 25
+        |            ELSE c.c_nationkey END AS nation_at_order
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
     "s43_incr_ann_index" ->
       """WITH c AS (
         |  SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cv

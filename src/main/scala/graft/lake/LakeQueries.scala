@@ -198,6 +198,38 @@ object LakeQueries {
     graft.TempDirs.materializeAndDelete(it.read(), iPath)
   }
 
+  /** TEMPORAL (point-in-time) dimension join — the SCD2 / `FOR SYSTEM_TIME
+    * AS OF` query the lake's versioned history makes possible: every order
+    * joins the customer image that was CURRENT at the order's own
+    * as-of commit, not today's. The dimension history is assembled from
+    * the lake's time-travel reads (initial image valid-from 1; rows that
+    * changed in commit 2 valid-from 2) and the per-row as-of resolution is
+    * the merge-scan [[graft.operators.AsOfJoin]] — one shuffle on the key,
+    * no per-version pair blow-up, the same cost shape as r16. Oracle:
+    * CASE arithmetic over the known commit structure. */
+  def temporalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val path = tempPath("mor-temporal")
+    val ct = MorTable(spark, path, keyCols = Seq("c_custkey"),
+      compactionDeltaCommits = 1000)
+    ct.upsert(cust, orderWithinBatch = Nil, batchId = 1L)
+    ct.upsert(cust.filter(col("c_custkey") % 7 === 0)
+      .withColumn("c_nationkey", pmod(col("c_nationkey") + 1, lit(25))),
+      orderWithinBatch = Nil, batchId = 2L)
+    val v1 = ct.readAt(1).select("c_custkey", "c_nationkey")
+    val hist = v1.withColumn("valid_from", lit(1L))
+      .unionByName(ct.readAt(2).select("c_custkey", "c_nationkey").except(v1)
+        .withColumn("valid_from", lit(2L)))
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (lit(1L) + pmod(col("o_orderkey"), lit(2))).as("as_of_seq"))
+    val joined = graft.operators.AsOfJoin.asOf(ord, hist,
+      leftKey = "o_custkey", rightKey = "c_custkey",
+      leftTs = "as_of_seq", rightTs = "valid_from")
+      .select(col("o_orderkey"), col("c_nationkey").as("nation_at_order"))
+    graft.TempDirs.materializeAndDelete(joined, path)
+  }
+
   /** Incrementally-maintained ANN INDEX (the vector sibling of
     * [[incrementalTextIndex]]): an embeddings MOR table and an IVF
     * cell-assignment MOR table (vec_id → cell_id, fixed portable
