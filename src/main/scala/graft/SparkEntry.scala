@@ -131,6 +131,7 @@ object SparkEntry {
     "d19_pagerank"        -> ((s, d) => graft.functions.LlmQueries.pageRankNearDup(s, d)),
     "d23_hist_registers"  -> ((s, d) => graft.functions.LlmQueries.histRegisters(s, d)),
     "d24_hist_quantiles"  -> ((s, d) => graft.functions.LlmQueries.histQuantiles(s, d)),
+    "d25_hist_drift"      -> ((s, d) => graft.functions.LlmQueries.histDrift(s, d)),
     "d20_heavy_hitters"   -> ((s, d) => graft.functions.LlmQueries.heavyHitters(s, d)),
     "d21_approx_distinct" -> ((s, d) => graft.functions.LlmQueries.approxDistinct(s, d)),
     "d22_substring_dedup" -> ((s, d) => graft.functions.LlmQueries.substringDedup(s, d)),
@@ -657,6 +658,45 @@ object SparkEntry {
         |FROM est e
         |JOIN (SELECT source, count(DISTINCT text)::BIGINT AS n_exact
         |      FROM documents GROUP BY source) x USING (source)""".stripMargin,
+    "d25_hist_drift" ->
+      """WITH b AS (
+        |  SELECT min(epoch_ns(ts)) + (max(epoch_ns(ts)) - min(epoch_ns(ts))) // 2 AS mid
+        |  FROM events
+        |), e AS (
+        |  SELECT event_type, value, epoch_ns(ts) AS ts_ns FROM events
+        |), s1 AS (
+        |  SELECT event_type,
+        |         CASE WHEN value < 0.0 THEN 0
+        |              WHEN value >= 500.0 THEN 65
+        |              ELSE floor((value - 0.0) * 64 / (500.0 - 0.0))::BIGINT + 1
+        |         END AS slot
+        |  FROM e, b WHERE ts_ns <= mid
+        |), s2 AS (
+        |  SELECT event_type,
+        |         CASE WHEN value < 0.0 THEN 0
+        |              WHEN value >= 500.0 THEN 65
+        |              ELSE floor((value - 0.0) * 64 / (500.0 - 0.0))::BIGINT + 1
+        |         END AS slot
+        |  FROM e, b WHERE ts_ns > mid
+        |), g AS (SELECT DISTINCT event_type FROM e),
+        |r AS (SELECT unnest(range(0, 66)) AS slot),
+        |c1 AS (SELECT event_type, slot, count(*) AS c FROM s1 GROUP BY 1, 2),
+        |c2 AS (SELECT event_type, slot, count(*) AS c FROM s2 GROUP BY 1, 2),
+        |j AS (
+        |  SELECT g.event_type, r.slot,
+        |         coalesce(c1.c, 0) AS c1, coalesce(c2.c, 0) AS c2
+        |  FROM g CROSS JOIN r
+        |  LEFT JOIN c1 ON c1.event_type = g.event_type AND c1.slot = r.slot
+        |  LEFT JOIN c2 ON c2.event_type = g.event_type AND c2.slot = r.slot
+        |), t AS (
+        |  SELECT event_type, slot, c1, c2,
+        |         sum(c1) OVER (PARTITION BY event_type) AS n1,
+        |         sum(c2) OVER (PARTITION BY event_type) AS n2
+        |  FROM j
+        |)
+        |SELECT event_type, max(n1)::BIGINT AS n1, max(n2)::BIGINT AS n2,
+        |       sum(abs(c1 * n2 - c2 * n1))::BIGINT AS l1_scaled
+        |FROM t GROUP BY event_type""".stripMargin,
     "d23_hist_registers" ->
       """WITH b AS (
         |  SELECT event_type,

@@ -510,6 +510,31 @@ object LlmQueries {
       lo = 0.0, hi = 500.0, bins = 64)
   }
 
+  /** Distribution DRIFT detection between two epochs, integer-exact: the
+    * per-group L1 distance between the two halves' histogram sketches,
+    * cross-multiplied into the long domain (Σ |c1·N2 − c2·N1| over slots)
+    * so no normalization division ever leaves integers — the monitor a
+    * 100 TB ingest runs per source/day to catch value-distribution shifts
+    * without rescanning history (epoch sketches are the d23 registers,
+    * storable and mergeable in the lake). Cost: two register relations
+    * (groups × bins), one join, one agg — never corpus-sized twice. */
+  def histDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("event_type", "value", "ts_ns")
+    val b = ev.agg(min(col("ts_ns")).as("mn"), max(col("ts_ns")).as("mx")).head()
+    val mid = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
+    def regs(half: DataFrame) = Sketch.histRegisters(spark, half, "event_type",
+      col("value"), lo = 0.0, hi = 500.0, bins = 64)
+    val r1 = regs(ev.filter(col("ts_ns") <= mid)).withColumnRenamed("cnt", "c1")
+    val r2 = regs(ev.filter(col("ts_ns") > mid)).withColumnRenamed("cnt", "c2")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    r1.join(r2, Seq("event_type", "slot"))
+      .withColumn("n1", sum(col("c1")).over(w))
+      .withColumn("n2", sum(col("c2")).over(w))
+      .groupBy("event_type")
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        sum(abs(col("c1") * col("n2") - col("c2") * col("n1"))).as("l1_scaled"))
+  }
+
   /** The approx-count-distinct OPTIMIZER REWRITE, oracle-checked: the
     * query says exact `count_distinct`; the session conf swaps in the HLL
     * sketch ([[graft.plans.ApproxDistinctRewrite]], md5 family) — and the

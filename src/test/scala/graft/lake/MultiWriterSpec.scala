@@ -70,6 +70,26 @@ class MultiWriterSpec extends AnyFunSuite {
     assert(t.read().count() == 3)
   }
 
+  test("compactMinor racing an inflight delta: same unfolded protocol as compact") {
+    val path = tmp()
+    val t = new MorTable(spark, path, Seq("k"),
+      compactionDeltaCommits = 1000, autoCompact = false, writePartitions = 2)
+    t.upsert((1 to 100).map(i => (i.toLong, i)).toDF("k", "v"), Seq(col("k")), batchId = 1L)
+    t.compact() // base with per-file key bounds
+    t.upsert(Seq((5L, 500)).toDF("k", "v"), Seq(col("k")), batchId = 2L)
+    claimDelta(path, 4L, Seq((60L, 600)))   // writer A: claimed, unpublished
+    t.compactMinor()                        // writer B: minor compaction
+    val c = t.timeline().filter(_.kind == "compact").last
+    assert(c.unfolded == Seq(4L), "minor compaction must record the inflight delta as unfolded")
+    assert(t.read().filter(col("k") === 5L).head.getInt(1) == 500, "delta folded")
+    publishDelta(path, 4L, batchId = 4L)
+    assert(t.read().collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      .get(60L).contains(600),
+      "late-published commit below the minor-compact seq must be replayed, not shadowed")
+    t.clean()
+    assert(t.read().count() == 100, "clean() must preserve the unfolded straggler")
+  }
+
   test("retained tombstone beats a straggler's older rows (no resurrect)") {
     val path = tmp()
     val t = new MorTable(spark, path, Seq("k"),
