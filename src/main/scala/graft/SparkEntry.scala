@@ -142,6 +142,8 @@ object SparkEntry {
     "t22_dsir_weights"    -> ((s, d) => graft.functions.TextAnalysis.dsirWeights(
       graft.Tables.documents(s, d),
       org.apache.spark.sql.functions.col("lang") === "en")),
+    "t23_pmi_pairs"       -> ((s, d) => graft.functions.TextAnalysis.pmiPairs(
+      graft.Tables.documents(s, d))),
     "r32_pivot"           -> ((s, d) => RelationalOps.pivotEventCounts(s, d)),
     "r33_gapfill"         -> ((s, d) => RelationalOps.gapFillHourly(s, d)),
     "r34_sliding_agg"     -> ((s, d) => RelationalOps.slidingAgg(s, d)),
@@ -504,6 +506,31 @@ object SparkEntry {
         |         AS avg_bigram_logprob
         |FROM bi JOIN b USING (w1, w2) JOIN u ON u.w = bi.w1 CROSS JOIN v
         |GROUP BY bi.doc_id""".stripMargin,
+    "t23_pmi_pairs" ->
+      """WITH arr AS (
+        |  SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                     x -> x <> '') AS a
+        |  FROM documents
+        |), tok AS (
+        |  SELECT unnest(a) AS w FROM arr
+        |), u AS (
+        |  SELECT w, count(*) AS cu FROM tok GROUP BY w
+        |), nt AS (SELECT count(*)::DOUBLE AS t FROM tok),
+        |bi AS (
+        |  SELECT a[i] AS w1, a[i + 1] AS w2
+        |  FROM arr, unnest(range(1, len(a))) AS ti(i)
+        |), nb AS (SELECT count(*)::DOUBLE AS t FROM bi),
+        |b AS (
+        |  SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2
+        |  HAVING count(*) >= 5
+        |)
+        |SELECT b.w1, b.w2, b.c12,
+        |       round(ln(b.c12::DOUBLE * nt.t * nt.t /
+        |                (nb.t * u1.cu::DOUBLE * u2.cu::DOUBLE)), 6) AS pmi
+        |FROM b
+        |JOIN u u1 ON u1.w = b.w1
+        |JOIN u u2 ON u2.w = b.w2
+        |CROSS JOIN nt CROSS JOIN nb""".stripMargin,
     "t22_dsir_weights" ->
       """WITH tok AS (
         |  SELECT doc_id, (lang = 'en') AS t,

@@ -231,6 +231,37 @@ object TextAnalysis {
         .as("avg_bigram_logprob"))
   }
 
+  /** Pointwise mutual information over adjacent token pairs — the
+    * collocation/word-association statistic (multi-word-expression mining,
+    * tokenizer-merge candidates, topic drift probes):
+    * pmi = ln(c12·Nt² / (Nb·c1·c2)) with token counts c1/c2, bigram count
+    * c12, and corpus totals Nt/Nb. Pairs below `minCount` are cut (PMI is
+    * unstable on rare pairs). Same single-tokenize-pass shape as
+    * [[bigramLogProb]]: pinned arrays, map-side bigram construction,
+    * vocabulary-sized count tables. */
+  def pmiPairs(docs: DataFrame, minCount: Long = 5L,
+               textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.functions.{log => lnF}
+    val arr = docs.select(tokens(lower(col(textCol))).as("__a"))
+      .localCheckpoint(true)
+    val toks = arr.select(explode(col("__a")).as("__w"))
+    val n1 = greatest(size(col("__a")) - 1, lit(0))
+    val bi = arr.select(explode(arrays_zip(
+        slice(col("__a"), lit(1), n1), slice(col("__a"), lit(2), n1))).as("__p"))
+      .select(col("__p").getField("0").as("w1"), col("__p").getField("1").as("w2"))
+    val uf = toks.groupBy(col("__w")).agg(count(lit(1)).as("__cu"))
+    val tot = toks.count().toDouble // scalar aggregates, not data collects
+    val totB = bi.count().toDouble
+    bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+      .join(uf.withColumnRenamed("__w", "w1").withColumnRenamed("__cu", "__c1"), Seq("w1"))
+      .join(uf.withColumnRenamed("__w", "w2").withColumnRenamed("__cu", "__c2"), Seq("w2"))
+      .select(col("w1"), col("w2"), col("c12"),
+        round(lnF(col("c12").cast("double") * lit(tot) * lit(tot) /
+          (lit(totB) * col("__c1").cast("double") * col("__c2").cast("double"))), 6)
+          .as("pmi"))
+  }
+
   /** DSIR-style importance log-weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score every document
     * by how much more likely its hashed-token bag is under the TARGET
