@@ -803,10 +803,32 @@ final class MorTable(
     * Falls back to the full `compact()` when there is no base, no manifest
     * stats (pre-stats vintage), or every file is affected. */
   def compactMinor(): Unit = synchronized {
-    val tl0 = timeline()
-    val (lastC, deltas0) = liveDeltas(tl0)
+    minorPlan() match {
+      case None => compact()
+      case Some((affected, carried)) =>
+        val prep = prepareCompact(baseFiles = Some(affected))
+        val out = if (writePartitions > 0)
+          prep.df.repartitionByRange(writePartitions, col("_record_key")) else prep.df
+        val staging = new Path(hPath, s".staging-compact-${System.nanoTime()}")
+        out.sortWithinPartitions(col("_record_key"))
+          .write.mode("overwrite")
+          .option("parquet.bloom.filter.enabled#_record_key", "true")
+          .parquet(staging.toString)
+        copyCarried(carried, staging)
+        adoptBase(staging, prep.foldedDeltaSeqs)
+    }
+  }
+
+  /** Minor-compaction planning: (affected base files, carried base files),
+    * or None when minor compaction doesn't apply — no base, no manifest
+    * stats (pre-stats vintage), no live deltas, or every file affected
+    * (callers fall back to the full [[compact]]). The affected set is
+    * computed distributed (delta keys × broadcast per-file bounds); only
+    * file names come to the driver. */
+  private[lake] def minorPlan(): Option[(Seq[String], Seq[String])] = {
+    val (lastC, deltas0) = liveDeltas(timeline())
     val statsOpt = lastC.flatMap(c => manifestStats(c.seq))
-    if (lastC.isEmpty || statsOpt.isEmpty || deltas0.isEmpty) { compact(); return }
+    if (lastC.isEmpty || statsOpt.isEmpty || deltas0.isEmpty) return None
     val st = statsOpt.get
     import spark.implicits._
     val deltaKeys = deltas0.map(d => spark.read.parquet(s"$path/delta/${d.seq}")
@@ -816,15 +838,12 @@ final class MorTable(
         col("_record_key") >= col("__mn") && col("_record_key") <= col("__mx"))
       .select("__f").distinct().collect().map(_.getString(0)).toSet
     val carried = st.map(_._1).filterNot(affected).sorted
-    if (carried.isEmpty) { compact(); return }
-    val prep = prepareCompact(baseFiles = Some(affected.toSeq.sorted))
-    val out = if (writePartitions > 0)
-      prep.df.repartitionByRange(writePartitions, col("_record_key")) else prep.df
-    val staging = new Path(hPath, s".staging-compact-${System.nanoTime()}")
-    out.sortWithinPartitions(col("_record_key"))
-      .write.mode("overwrite")
-      .option("parquet.bloom.filter.enabled#_record_key", "true")
-      .parquet(staging.toString)
+    if (carried.isEmpty) None else Some((affected.toSeq.sorted, carried))
+  }
+
+  /** Byte-for-byte carry of unaffected base files into a staged base dir
+    * (local FS copy; server-side COPY on object stores). */
+  private[lake] def copyCarried(carried: Seq[String], staging: Path): Unit =
     carried.zipWithIndex.foreach { case (f, i) =>
       val src = new Path(f)
       val dst = new Path(staging, f"carry-$i%05d-${src.getName}")
@@ -832,8 +851,6 @@ final class MorTable(
         spark.sparkContext.hadoopConfiguration))
         throw new java.io.IOException(s"minor-compaction carry copy failed: $f")
     }
-    adoptBase(staging, prep.foldedDeltaSeqs)
-  }
 
   /** Merge base + logs into a new base commit. Readers before the timeline
     * rename keep seeing the old base+deltas; after it, just the new base

@@ -52,7 +52,12 @@ final class PartitionedMorTable(
     val partitionCol: String,
     val compactionDeltaCommits: Int = 2,
     val compactionDeltaSeconds: Long = 120L,
-    val autoCompact: Boolean = true) {
+    val autoCompact: Boolean = true,
+    /** Explicit range-partition count for the batched compaction write.
+      * 0 (default) lets AQE size the ranges to target-sized files — the
+      * production behavior; set explicitly when AQE's coalescing would
+      * fold everything into one file (tiny tables, tests). */
+    val writePartitions: Int = 0) {
 
   private val hPath = new Path(path)
   private def fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -548,18 +553,36 @@ final class PartitionedMorTable(
   def compactPartitions(values: Seq[String]): Unit = {
     if (values.isEmpty) return
     val keepTombstones = parentInflight()
+    // MINOR planning per due child (see MorTable.compactMinor): children
+    // with manifest key bounds merge only the base files their deltas
+    // touch; the rest carry byte-for-byte into the adopted dir below. The
+    // staged write is still ONE batched job across every due partition —
+    // write amplification per tick drops to O(touched key ranges) even in
+    // the partitioned 100 TB layout. Planning is one delta-sized job per
+    // due child.
+    val plans = values.map(v => v -> child(v).minorPlan()).toMap
     val preps = values.map { v =>
-      v -> child(v).prepareCompact(forceKeepTombstones = keepTombstones)
+      v -> child(v).prepareCompact(forceKeepTombstones = keepTombstones,
+        baseFiles = plans(v).map(_._1))
     }.toMap
     val snaps = preps.toSeq.sortBy(_._1).map { case (v, prep) =>
       prep.df.withColumn("__p", lit(v))
     }
     val stagingDir = new Path(hPath, s".staging/compact-${System.nanoTime()}")
-    // sortWithinPartitions(__p, _record_key): satisfies the dynamic-
-    // partition writer's required ordering (partition col prefix), so no
-    // re-sort — and keeps the key clustering that lets key-equality reads
-    // skip parquet row groups on _record_key min/max stats
-    snaps.reduce(_.unionByName(_, allowMissingColumns = true))
+    // RANGE-partition on (__p, _record_key) — same rationale as
+    // MorTable.compact: each output file then owns a disjoint key range
+    // WITHIN its partition, so the per-file bounds in the child manifests
+    // actually exclude files (key-range reads skip at the listing level,
+    // and the NEXT compaction's minor plan finds carriable files). Under
+    // hash placement every file spans the whole key domain and both
+    // optimizations are dead. sortWithinPartitions(__p, _record_key)
+    // satisfies the dynamic-partition writer's required ordering
+    // (partition col prefix), so no re-sort — and keeps the key
+    // clustering for parquet row-group min/max skipping.
+    val unioned = snaps.reduce(_.unionByName(_, allowMissingColumns = true))
+    (if (writePartitions > 0)
+      unioned.repartitionByRange(writePartitions, col("__p"), col("_record_key"))
+    else unioned.repartitionByRange(col("__p"), col("_record_key")))
       .sortWithinPartitions(col("__p"), col("_record_key"))
       .write.partitionBy("__p").mode("overwrite")
       // bloom filter on the key column (see MorTable.compact): point reads
@@ -572,6 +595,11 @@ final class PartitionedMorTable(
         .filter(_.getName.startsWith("__p=")).map { p =>
           val value = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
             .unescapePathName(p.getName.stripPrefix("__p="))
+          // minor path: the untouched base files join the staged dir
+          // byte-for-byte before adoption
+          plans(value).foreach { case (_, carried) =>
+            child(value).copyCarried(carried, p)
+          }
           child(value).adoptBase(p, preps(value).foldedDeltaSeqs)
           value
         }.toSet

@@ -27,6 +27,32 @@ class PartitionedMorTableSpec extends AnyFunSuite {
     assert(rows == Seq((1L, "a", 11), (2L, "b", 20)))
   }
 
+  test("partitioned minor compaction: untouched base files carry per child") {
+    val t = new PartitionedMorTable(spark, tmp(), Seq("k"), "p",
+      compactionDeltaCommits = 1000, autoCompact = false, writePartitions = 8)
+    // enough keys that the range-partitioned batched write yields several
+    // files per child with disjoint key ranges
+    val rows = (1 to 400).map(i => (f"k$i%04d", if (i % 2 == 0) "A" else "B", i))
+      .toDF("k", "p", "v")
+    t.upsert(rows, Seq(col("k")), batchId = 1L)
+    t.compactPartitions(Seq("A", "B"))
+    val filesA0 = new java.io.File(s"${t.path}/p=A/base/${t.child("A").timeline().last.seq}")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(filesA0 >= 2, s"need multiple base files per child for the carry test, got $filesA0")
+    // delta touches only LOW keys of partition A; B untouched entirely
+    t.upsert(Seq(("k0002", "A", 9999)).toDF("k", "p", "v"), Seq(col("k")), batchId = 2L)
+    t.compactPartitions(Seq("A"))
+    val baseA = new java.io.File(s"${t.path}/p=A/base/${t.child("A").timeline().last.seq}")
+    val carried = baseA.listFiles().count(_.getName.startsWith("carry-"))
+    assert(carried >= 1, s"expected carried files in the minor-compacted child, got $carried")
+    // correctness: LWW with the update applied, everything else untouched
+    val got = t.read().collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Int]("v"))).toMap
+    assert(got.size == 400)
+    assert(got("k0002") == 9999, "minor-compacted update applied")
+    assert(got("k0004") == 4 && got("k0001") == 1, "carried rows untouched")
+  }
+
   test("partition-pruned read opens only named children") {
     val t = new PartitionedMorTable(spark, tmp(), Seq("k"), "p")
     t.upsert(Seq((1L, "x", 1), (2L, "y", 2), (3L, "z", 3)).toDF("k", "p", "v"),
