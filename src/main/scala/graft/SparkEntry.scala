@@ -151,6 +151,7 @@ object SparkEntry {
     "r36_topk_rewrite"    -> ((s, d) => RelationalOps.topkRewritten(s, d)),
     "r37_dpp_join"        -> ((s, d) => RelationalOps.dppJoin(s, d)),
     "r38_decayed_score"   -> ((s, d) => RelationalOps.decayedScore(s, d)),
+    "t24_data_checks"     -> ((s, d) => RelationalOps.dataChecks(s, d)),
     "t18_split_assign"    -> ((s, d) => graft.operators.Sampling.assignSplits(
       graft.Tables.documents(s, d).select(
         org.apache.spark.sql.functions.col("doc_id"),
@@ -1524,6 +1525,30 @@ object SparkEntry {
         |       sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov
         |FROM tok t LEFT JOIN vocab v ON t.token = v.token
         |GROUP BY t.doc_id""".stripMargin,
+    "t24_data_checks" ->
+      """WITH ca AS (
+        |  SELECT count(*) AS n, count(DISTINCT c_custkey) AS dk,
+        |         sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS nulls
+        |  FROM customer
+        |), oa AS (
+        |  SELECT count(*) AS n,
+        |         sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS neg
+        |  FROM orders
+        |), orphans AS (
+        |  SELECT count(*) AS c FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_orderkey = l.l_orderkey)
+        |)
+        |SELECT 'customer' AS tbl, 'row_count' AS check, n::BIGINT AS metric,
+        |       n > 0 AS passed FROM ca
+        |UNION ALL
+        |SELECT 'customer', 'key_unique', (n - dk)::BIGINT, n = dk FROM ca
+        |UNION ALL
+        |SELECT 'customer', 'name_nulls', nulls::BIGINT, nulls = 0 FROM ca
+        |UNION ALL
+        |SELECT 'orders', 'negative_totalprice', neg::BIGINT, neg = 0 FROM oa
+        |UNION ALL
+        |SELECT 'lineitem', 'orphan_orderkeys', c::BIGINT, c = 0 FROM orphans""".stripMargin,
     "r38_decayed_score" ->
       """WITH e AS (
         |  SELECT user_id, value, epoch_ms(ts) // 3600000 AS h FROM events

@@ -314,6 +314,40 @@ object RelationalOps {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 3).as("sum_value"))
   }
 
+  /** Data-quality validation suite (the Deequ/expectations analog a
+    * production ingest runs before publishing a snapshot): each check is
+    * one integer metric plus its pass verdict — completeness, key
+    * uniqueness, value-range conformance, referential integrity. Every
+    * metric is a count, so the whole report is hash-exact across engines.
+    * Shape: one aggregate per source table (partial+final), the FK check
+    * is a broadcast-able anti join — nothing quadratic, nothing floats. */
+  def dataChecks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val custAgg = cust.agg(
+      count(lit(1)).as("n"),
+      count_distinct(col("c_custkey")).as("dk"),
+      sum(when(col("c_name").isNull, 1L).otherwise(0L)).as("nulls")).head()
+    val ordAgg = ord.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("o_totalprice") < 0, 1L).otherwise(0L)).as("neg")).head()
+    val orphans = li.join(ord.select("o_orderkey"),
+      li("l_orderkey") === ord("o_orderkey"), "left_anti").count()
+    Seq(
+      ("customer", "row_count", custAgg.getAs[Long]("n"), custAgg.getAs[Long]("n") > 0),
+      ("customer", "key_unique",
+        custAgg.getAs[Long]("n") - custAgg.getAs[Long]("dk"),
+        custAgg.getAs[Long]("n") == custAgg.getAs[Long]("dk")),
+      ("customer", "name_nulls", custAgg.getAs[Long]("nulls"),
+        custAgg.getAs[Long]("nulls") == 0L),
+      ("orders", "negative_totalprice", ordAgg.getAs[Long]("neg"),
+        ordAgg.getAs[Long]("neg") == 0L),
+      ("lineitem", "orphan_orderkeys", orphans, orphans == 0L),
+    ).toDF("tbl", "check", "metric", "passed")
+  }
+
   /** Time-decayed engagement score, INTEGER-EXACT (the freshness-weighted
     * feature every ranking/retention model wants, without the float-sum
     * nondeterminism EWMA usually drags in): per user,
