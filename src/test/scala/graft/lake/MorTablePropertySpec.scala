@@ -51,4 +51,42 @@ class MorTablePropertySpec extends AnyFunSuite {
       t.drop()
     }
   }
+
+  test("mergeInto == Map fold for random merge scripts (incl. minor compaction)") {
+    val keys = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    for (trial <- 0 until 4) {
+      val rnd = new scala.util.Random(2000 + trial)
+      val t = MorTable(spark, TestSpark.tmpDir("mor-merge-prop"), Seq("k"),
+        compactionDeltaCommits = 1000)
+      var model = Map.empty[String, Int]
+      // seed state
+      val seed = keys.take(5).map(k => (k, rnd.nextInt(100)))
+      t.upsert(seed.toDF("k", "v"), orderWithinBatch = Nil, batchId = 0L)
+      model ++= seed
+      t.compact() // manifest stats exist → later compactMinor takes the minor path
+      for (bi <- 1 to 4) {
+        // random key-distinct source; delete threshold on the TARGET value
+        val srcKeys = rnd.shuffle(keys).take(rnd.nextInt(4) + 2)
+        val src = srcKeys.map(k => (k, rnd.nextInt(1000)))
+        val delBelow = rnd.nextInt(500)
+        t.mergeInto(src.toDF("k", "v"),
+          matchedSet = Map("v" -> col("s.v")),
+          matchedDelete = Some(col("t.v") < delBelow),
+          insertWhen = col("s.v") >= 100,
+          batchId = bi.toLong)
+        src.foreach { case (k, v) =>
+          model.get(k) match {
+            case Some(tv) if tv < delBelow => model -= k      // matched delete
+            case Some(_) => model += (k -> v)                  // matched update
+            case None if v >= 100 => model += (k -> v)         // conditional insert
+            case None => ()                                    // insert filtered
+          }
+        }
+        if (bi == 2) t.compactMinor()
+      }
+      val got = t.read().collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      assert(got == model, s"trial=$trial")
+      t.drop()
+    }
+  }
 }

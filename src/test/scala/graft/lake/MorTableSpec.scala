@@ -437,6 +437,33 @@ class MorTableSpec extends AnyFunSuite {
     assert(all.count() == t.read().count())
   }
 
+  test("compactMinor after compactZOrder: box reads stay exact, colstats persist") {
+    import spark.implicits._
+    val grid = (0 until 1024).map(i => (f"k$i%04d", (i / 32).toLong, (i % 32).toLong, i.toLong))
+      .toDF("k", "x", "y", "v")
+    val t = new MorTable(spark, TestSpark.tmpDir("mor-zminor"), Seq("k"),
+      compactionDeltaCommits = 1000, autoCompact = false, writePartitions = 8)
+    t.upsert(grid, orderWithinBatch = Nil, batchId = 1L)
+    t.compactZOrder(Seq("x", "y"), bits = 5)
+    // a small corner update, then MINOR compaction (statsCols sticky → the
+    // regenerated manifest still carries x/y colstats for every file,
+    // carried ones included)
+    t.upsert(Seq(("k0000", 9L, 9L, 7777L)).toDF("k", "x", "y", "v"),
+      orderWithinBatch = Nil, batchId = 2L)
+    t.compactMinor()
+    val baseDir = new java.io.File(s"${t.path}/base/${t.timeline().last.seq}")
+    assert(baseDir.listFiles().exists(_.getName.startsWith("carry-")),
+      "minor compaction after z-order must still find carriable files")
+    val box = Seq(("x", 8.0, 16.0), ("y", 8.0, 16.0))
+    val got = t.readForColRanges(box)
+    val want = t.read().filter(col("x") >= 8 && col("x") < 16 && col("y") >= 8 && col("y") < 16)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    assert(got.filter(col("k") === "k0000").count() == 1, "moved-in key visible post-minor")
+    val touched = got.inputFiles.count(_.contains("/base/"))
+    val total = t.read().inputFiles.count(_.contains("/base/"))
+    assert(touched < total, s"colstats skipping must survive minor compaction ($touched/$total)")
+  }
+
   test("mergeInto: matched update / matched delete / conditional insert in one commit") {
     val t = MorTable(spark, TestSpark.tmpDir("mor-merge"), Seq("uuid"),
       compactionDeltaCommits = 100)
