@@ -766,21 +766,34 @@ final class MorTable(
     * before any child-level marker exists, so the child listing alone
     * cannot see it. */
   private[lake] def prepareCompact(forceKeepTombstones: Boolean = false,
-                                   baseFiles: Option[Seq[String]] = None): MorTable.CompactPrep = {
+                                   baseFiles: Option[Seq[String]] = None,
+                                   onlyDeltas: Option[Set[Long]] = None): MorTable.CompactPrep = {
     // markers listed BEFORE the timeline read: a delta publishing between
     // the two shows up in the timeline (→ folded); later claims allocate
     // past the compact seq and are replayed as ordinary newer deltas
     val pending = inflightDeltaSeqs()
     val tl = timeline()
-    val (lastC, replayed) = liveDeltas(tl)
+    // onlyDeltas: the minor path folds EXACTLY the deltas its plan saw — a
+    // delta that published after the plan's listing may touch a CARRIED
+    // file's keys, and folding it against the restricted base would leave
+    // the stale carried row next to the merged one (a duplicate-key base)
+    // or drop a tombstone an unfolded replay still needs. Unplanned deltas
+    // are treated like stragglers instead: excluded from the merge, kept
+    // outstanding (tombstones retained), and recorded as `unfolded` by
+    // adoptBase so readers replay them on top of the new base.
+    val excluded = onlyDeltas.map { planned =>
+      tl.filter(i => i.kind == "delta" && !planned(i.seq)).map(_.seq).toSet
+    }.getOrElse(Set.empty)
+    val tlMerge = tl.filterNot(i => excluded(i.seq))
+    val (lastC, replayed) = liveDeltas(tlMerge)
     val folded = replayed.map(_.seq).toSet
     val outstanding =
-      (pending ++ lastC.map(_.unfolded).getOrElse(Nil)).toSet -- folded --
-        tl.map(_.seq).toSet
+      (pending ++ excluded ++ lastC.map(_.unfolded).getOrElse(Nil)).toSet -- folded --
+        tlMerge.map(_.seq).toSet
     // baseFiles: minor compaction restricts the merge to the AFFECTED base
-    // files (plus all live deltas) — the carried-over remainder never
-    // enters the shuffle
-    val snap = snapshotMerged(tl, baseFiles = baseFiles)
+    // files (plus the planned live deltas) — the carried-over remainder
+    // never enters the shuffle
+    val snap = snapshotMerged(tlMerge, baseFiles = baseFiles)
     val df = if (outstanding.isEmpty && !forceKeepTombstones)
       snap.filter(!col("_deleted")) else snap
     MorTable.CompactPrep(df, folded)
@@ -805,8 +818,9 @@ final class MorTable(
   def compactMinor(): Unit = synchronized {
     minorPlan() match {
       case None => compact()
-      case Some((affected, carried)) =>
-        val prep = prepareCompact(baseFiles = Some(affected))
+      case Some(MorTable.MinorPlan(affected, carried, planned)) =>
+        val prep = prepareCompact(baseFiles = Some(affected),
+          onlyDeltas = Some(planned))
         val out = if (writePartitions > 0)
           prep.df.repartitionByRange(writePartitions, col("_record_key")) else prep.df
         val staging = new Path(hPath, s".staging-compact-${System.nanoTime()}")
@@ -819,13 +833,15 @@ final class MorTable(
     }
   }
 
-  /** Minor-compaction planning: (affected base files, carried base files),
-    * or None when minor compaction doesn't apply — no base, no manifest
-    * stats (pre-stats vintage), no live deltas, or every file affected
-    * (callers fall back to the full [[compact]]). The affected set is
-    * computed distributed (delta keys × broadcast per-file bounds); only
-    * file names come to the driver. */
-  private[lake] def minorPlan(): Option[(Seq[String], Seq[String])] = {
+  /** Minor-compaction planning: (affected base files, carried base files,
+    * the delta seqs this plan accounts for), or None when minor compaction
+    * doesn't apply — no base, no manifest stats (pre-stats vintage), no
+    * live deltas, or every file affected (callers fall back to the full
+    * [[compact]]). The affected set is computed distributed (delta keys ×
+    * broadcast per-file bounds); only file names come to the driver. The
+    * planned seq set MUST be passed back as `onlyDeltas` — deltas that
+    * publish after this listing are not covered by the affected set. */
+  private[lake] def minorPlan(): Option[MorTable.MinorPlan] = {
     val (lastC, deltas0) = liveDeltas(timeline())
     val statsOpt = lastC.flatMap(c => manifestStats(c.seq))
     if (lastC.isEmpty || statsOpt.isEmpty || deltas0.isEmpty) return None
@@ -838,7 +854,9 @@ final class MorTable(
         col("_record_key") >= col("__mn") && col("_record_key") <= col("__mx"))
       .select("__f").distinct().collect().map(_.getString(0)).toSet
     val carried = st.map(_._1).filterNot(affected).sorted
-    if (carried.isEmpty) None else Some((affected.toSeq.sorted, carried))
+    if (carried.isEmpty) None
+    else Some(MorTable.MinorPlan(affected.toSeq.sorted, carried,
+      deltas0.map(_.seq).toSet))
   }
 
   /** Byte-for-byte carry of unaffected base files into a staged base dir
@@ -1064,6 +1082,12 @@ object MorTable {
     * whose content it folds (everything else below the base seq becomes
     * `unfolded` on the compact instant — see [[MorTable.adoptBase]]). */
   private[lake] final case class CompactPrep(df: DataFrame, foldedDeltaSeqs: Set[Long])
+
+  /** Minor-compaction plan: affected/carried base files plus the delta
+    * seqs the affected set was computed from (see [[MorTable.minorPlan]]). */
+  private[lake] final case class MinorPlan(affected: Seq[String],
+                                           carried: Seq[String],
+                                           plannedDeltaSeqs: Set[Long])
 
   /** One committed instant on the timeline.
     *

@@ -563,7 +563,8 @@ final class PartitionedMorTable(
     val plans = values.map(v => v -> child(v).minorPlan()).toMap
     val preps = values.map { v =>
       v -> child(v).prepareCompact(forceKeepTombstones = keepTombstones,
-        baseFiles = plans(v).map(_._1))
+        baseFiles = plans(v).map(_.affected),
+        onlyDeltas = plans(v).map(_.plannedDeltaSeqs))
     }.toMap
     val snaps = preps.toSeq.sortBy(_._1).map { case (v, prep) =>
       prep.df.withColumn("__p", lit(v))
@@ -597,9 +598,7 @@ final class PartitionedMorTable(
             .unescapePathName(p.getName.stripPrefix("__p="))
           // minor path: the untouched base files join the staged dir
           // byte-for-byte before adoption
-          plans(value).foreach { case (_, carried) =>
-            child(value).copyCarried(carried, p)
-          }
+          plans(value).foreach(plan => child(value).copyCarried(plan.carried, p))
           child(value).adoptBase(p, preps(value).foldedDeltaSeqs)
           value
         }.toSet

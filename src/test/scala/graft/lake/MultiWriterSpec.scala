@@ -90,6 +90,41 @@ class MultiWriterSpec extends AnyFunSuite {
     assert(t.read().count() == 100, "clean() must preserve the unfolded straggler")
   }
 
+  test("delta publishing between minor-plan and merge stays live (no dup base rows)") {
+    val path = tmp()
+    val t = new MorTable(spark, path, Seq("k"),
+      compactionDeltaCommits = 1000, autoCompact = false, writePartitions = 2)
+    t.upsert((1 to 100).map(i => (i.toLong, i)).toDF("k", "v"), Seq(col("k")), batchId = 1L)
+    t.compact()
+    t.upsert(Seq((5L, 500)).toDF("k", "v"), Seq(col("k")), batchId = 2L)
+    // writer B plans a minor compaction: only the low-key file is affected
+    val plan = t.minorPlan().get
+    assert(plan.carried.nonEmpty)
+    // writer A publishes a delta touching a key in a CARRIED file's range
+    // AFTER the plan's listing — replaying compactMinor's body with the
+    // stale plan must treat it as unplanned, not fold it
+    val t2 = new MorTable(spark, path, Seq("k"),
+      compactionDeltaCommits = 1000, autoCompact = false)
+    t2.upsert(Seq((90L, 900)).toDF("k", "v"), Seq(col("k")), batchId = 3L)
+    val prep = t.prepareCompact(baseFiles = Some(plan.affected),
+      onlyDeltas = Some(plan.plannedDeltaSeqs))
+    val staging = new Path(path, s".staging-compact-race")
+    prep.df.repartitionByRange(2, col("_record_key"))
+      .sortWithinPartitions(col("_record_key"))
+      .write.mode("overwrite").parquet(staging.toString)
+    t.copyCarried(plan.carried, staging)
+    t.adoptBase(staging, prep.foldedDeltaSeqs)
+    // the unplanned delta is recorded unfolded and replays on top
+    val c = t.timeline().filter(_.kind == "compact").last
+    assert(c.unfolded.nonEmpty, "unplanned published delta must be unfolded, not silently folded")
+    val rows = t.read().collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(t.read().count() == 100, "no duplicate key rows from the stale carried file")
+    assert(rows(90L) == 900, "unplanned delta replays over the carried file")
+    assert(rows(5L) == 500, "planned delta folded")
+    t.compact() // next full compaction folds the straggler for good
+    assert(t.read().count() == 100 && t.read().filter(col("k") === 90L).head.getInt(1) == 900)
+  }
+
   test("retained tombstone beats a straggler's older rows (no resurrect)") {
     val path = tmp()
     val t = new MorTable(spark, path, Seq("k"),
