@@ -285,7 +285,12 @@ final class MorTable(
         s"""{"file":"${js(f)}","minKey":"${js(mn)}","maxKey":"${js(mx)}"}"""
       }.mkString(",")
       // per-file double min/max for the z-order columns (set by
-      // compactZOrder): the multi-dimensional skipping stats
+      // compactZOrder; a FRESH handle inherits the column set from the
+      // previous manifest, so the skipping contract survives restarts —
+      // without this a plain compact() from a new handle would silently
+      // stop publishing the stats readForColRanges prunes on)
+      if (statsCols.isEmpty)
+        statsCols = previousManifestStatCols(seq)
       val colStatsJson =
         if (statsCols.isEmpty) ""
         else {
@@ -960,6 +965,20 @@ final class MorTable(
     dropMeta(snapshotMerged(tl, keyFilter = None, baseFiles = baseFiles,
       baseOnlyFilter = Some(rangeF))
       .filter(!col("_deleted")).filter(rangeF))
+  }
+
+  /** Column set of the newest manifest below `seq` that carries colstats
+    * (empty when none) — the durable source of [[statsCols]]. */
+  private def previousManifestStatCols(seq: Long): Seq[String] = {
+    val dir = new Path(hPath, "manifest")
+    if (!fs.exists(dir)) return Nil
+    val prev = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".json")).flatMap(n =>
+        scala.util.Try(n.stripSuffix(".json").toLong).toOption)
+      .filter(_ < seq).sorted.reverse
+    prev.iterator.map(manifestColStats)
+      .collectFirst { case Some(st) => st.map(_._2).distinct.sorted }
+      .getOrElse(Nil)
   }
 
   /** Per-file double min/max for [[statsCols]] from `manifest/<seq>.json`:

@@ -464,6 +464,30 @@ class MorTableSpec extends AnyFunSuite {
     assert(touched < total, s"colstats skipping must survive minor compaction ($touched/$total)")
   }
 
+  test("z-order colstats survive a fresh handle's plain compaction") {
+    import spark.implicits._
+    val grid = (0 until 256).map(i => (f"k$i%04d", (i / 16).toLong, (i % 16).toLong))
+      .toDF("k", "x", "y")
+    val path = TestSpark.tmpDir("mor-zdurable")
+    val t = new MorTable(spark, path, Seq("k"),
+      compactionDeltaCommits = 1000, autoCompact = false, writePartitions = 4)
+    t.upsert(grid, orderWithinBatch = Nil, batchId = 1L)
+    t.compactZOrder(Seq("x", "y"), bits = 4)
+    // a FRESH handle (restart analog) compacts WITHOUT knowing the z cols
+    val t2 = new MorTable(spark, path, Seq("k"),
+      compactionDeltaCommits = 1000, autoCompact = false, writePartitions = 4)
+    t2.upsert(Seq(("k0000", 3L, 3L)).toDF("k", "x", "y"), orderWithinBatch = Nil, batchId = 2L)
+    t2.compact()
+    // the inherited colstats keep the box read pruning on the new base
+    val got = t2.readForColRanges(Seq(("x", 4.0, 8.0), ("y", 4.0, 8.0)))
+    val want = t2.read().filter(col("x") >= 4 && col("x") < 8 && col("y") >= 4 && col("y") < 8)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    val touched = got.inputFiles.count(_.contains("/base/"))
+    val total = t2.read().inputFiles.count(_.contains("/base/"))
+    assert(touched < total,
+      s"fresh-handle compaction must keep publishing colstats ($touched/$total)")
+  }
+
   test("mergeInto: matched update / matched delete / conditional insert in one commit") {
     val t = MorTable(spark, TestSpark.tmpDir("mor-merge"), Seq("uuid"),
       compactionDeltaCommits = 100)
