@@ -103,6 +103,7 @@ object SparkEntry {
     "s42_incr_text_index" -> ((s, d) => graft.lake.LakeQueries.incrementalTextIndex(s, d)),
     "s43_incr_ann_index"  -> ((s, d) => graft.lake.LakeQueries.incrementalAnnIndex(s, d)),
     "s44_temporal_join"   -> ((s, d) => graft.lake.LakeQueries.temporalJoin(s, d)),
+    "s45_lake_stream_read" -> ((s, d) => graft.lake.LakeQueries.lakeStreamRead(s, d)),
     "s18_ann_ivf_portable" -> ((s, d) => graft.functions.LlmQueries.annIvfPortable(s, d)),
     "s20_ann_lsh_portable" -> ((s, d) => graft.functions.LlmQueries.annLshPortable(s, d)),
     "s19_sql_insert"      -> ((s, d) => graft.lake.LakeQueries.sqlInsert(s, d)),
@@ -255,6 +256,11 @@ object SparkEntry {
       """SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
         |FROM events
         |WHERE user_id % 7 = 0
+        |QUALIFY row_number() OVER
+        |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+    "s45_lake_stream_read" ->
+      """SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
+        |FROM events
         |QUALIFY row_number() OVER
         |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
     "s44_temporal_join" ->

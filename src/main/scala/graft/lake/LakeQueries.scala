@@ -198,6 +198,42 @@ object LakeQueries {
     graft.TempDirs.materializeAndDelete(it.read(), iPath)
   }
 
+  /** STREAMING READ of the lake, oracle-checked end-to-end: replay events
+    * as two time-split delta commits, then drive a LIVE
+    * `readStream.format("graft.mor")` query ([[graft.mor.MorStreamSource]]
+    * — offsets are commit seqs, each micro-batch is the incremental pull
+    * of the new commits) into a parquet sink, and LWW-reduce everything
+    * the stream delivered. Must equal the batch last-write-wins dedup —
+    * proving the stream delivers exactly the table's change history, no
+    * loss, no duplication. */
+  def lakeStreamRead(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "value", "ts_ms", "ts_ns")
+    val bounds = ev.agg(min(col("ts_ns")).as("mn"), max(col("ts_ns")).as("mx")).head()
+    val mn = bounds.getLong(0); val mx = bounds.getLong(1)
+    val mid = mn + (mx - mn) / 2
+    val path = tempPath("mor-lake-stream")
+    val t = new MorTable(spark, path, keyCols = Seq("user_id"),
+      compactionDeltaCommits = 1000, autoCompact = false)
+    t.upsert(ev.filter(col("ts_ns") <= mid),
+      orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 1L)
+    t.upsert(ev.filter(col("ts_ns") > mid),
+      orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 2L)
+    val outDir = tempPath("lake-stream-out")
+    val q = spark.readStream.format("graft.mor")
+      .option("keys", "user_id").load(path)
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", tempPath("lake-stream-ckpt"))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val all = spark.read.parquet(outDir)
+    val w = Window.partitionBy("user_id").orderBy(col("_commit_seqno").desc)
+    graft.TempDirs.materializeAndDelete(
+      all.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .filter(!col("_deleted"))
+        .select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
+  }
+
   /** TEMPORAL (point-in-time) dimension join — the SCD2 / `FOR SYSTEM_TIME
     * AS OF` query the lake's versioned history makes possible: every order
     * joins the customer image that was CURRENT at the order's own

@@ -567,8 +567,9 @@ final class MorTable(
     * rescanning the table. Caveat (inherent to OCC late publish): a
     * straggler commit that publishes with a seq BELOW a consumer's
     * already-advanced `sinceSeq` is not re-delivered. */
-  def readIncremental(sinceSeq: Long): DataFrame = {
-    val deltas = timeline().filter(i => i.kind == "delta" && i.seq > sinceSeq)
+  def readIncremental(sinceSeq: Long, toSeq: Long = Long.MaxValue): DataFrame = {
+    val deltas = timeline().filter(i =>
+      i.kind == "delta" && i.seq > sinceSeq && i.seq <= toSeq)
     if (deltas.isEmpty) return snapshot().limit(0)
     val parts = deltas.map(d => spark.read.parquet(s"$path/delta/${d.seq}"))
     val unioned = parts.reduce(_.unionByName(_, allowMissingColumns = true))

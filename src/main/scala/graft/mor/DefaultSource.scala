@@ -44,9 +44,29 @@ import graft.lake.{MorTable, PartitionedMorTable}
   * keys) breaks ties within the batch.
   */
 class DefaultSource extends RelationProvider with CreatableRelationProvider
-    with DataSourceRegister {
+    with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSourceProvider {
 
   override def shortName(): String = "graft-mor"
+
+  // ---- streaming read (see MorStreamSource) -----------------------------
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): (String, StructType) = {
+    val (path, keys) = pathAndKeys(parameters)
+    require(parameters.get("partition").isEmpty,
+      "streaming read of the partitioned form is not supported; stream the child tables")
+    ("graft.mor", new MorStreamSource(sqlContext.sparkSession, path, keys).schema)
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val (path, keys) = pathAndKeys(parameters)
+    new MorStreamSource(sqlContext.sparkSession, path, keys)
+  }
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
