@@ -104,6 +104,7 @@ object SparkEntry {
     "s43_incr_ann_index"  -> ((s, d) => graft.lake.LakeQueries.incrementalAnnIndex(s, d)),
     "s44_temporal_join"   -> ((s, d) => graft.lake.LakeQueries.temporalJoin(s, d)),
     "s45_lake_stream_read" -> ((s, d) => graft.lake.LakeQueries.lakeStreamRead(s, d)),
+    "s46_lake_replication" -> ((s, d) => graft.lake.LakeQueries.lakeReplication(s, d)),
     "s18_ann_ivf_portable" -> ((s, d) => graft.functions.LlmQueries.annIvfPortable(s, d)),
     "s20_ann_lsh_portable" -> ((s, d) => graft.functions.LlmQueries.annLshPortable(s, d)),
     "s19_sql_insert"      -> ((s, d) => graft.lake.LakeQueries.sqlInsert(s, d)),
@@ -263,6 +264,16 @@ object SparkEntry {
         |FROM events
         |QUALIFY row_number() OVER
         |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+    "s46_lake_replication" ->
+      """WITH lww AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
+        |  FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) = 1
+        |)
+        |SELECT * FROM lww
+        |WHERE user_id % 10 <> 0
+        |  AND event_type IN ('click', 'purchase')""".stripMargin,
     "s44_temporal_join" ->
       """SELECT o.o_orderkey,
         |       CASE WHEN o.o_orderkey % 2 = 1 AND c.c_custkey % 7 = 0

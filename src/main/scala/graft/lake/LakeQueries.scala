@@ -234,6 +234,49 @@ object LakeQueries {
         .select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
   }
 
+  /** LAKE-TO-LAKE incremental replication (the full CDC loop composed:
+    * stream OUT of table A via [[graft.mor.MorStreamSource]], transform,
+    * stream INTO table B via the changelog sink): B is a FILTERED replica
+    * — only click/purchase rows — maintained purely from A's commit
+    * stream. An update that moves a row outside the predicate becomes a
+    * DELETE in B (the row must vanish from the replica), and A's
+    * tombstones pass through. Per micro-batch cost is O(A's changes);
+    * neither table is ever rescanned. Oracle: B equals the batch LWW of
+    * the source filtered by the predicate. */
+  def lakeReplication(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "value", "ts_ms", "ts_ns")
+    val bounds = ev.agg(min(col("ts_ns")).as("mn"), max(col("ts_ns")).as("mx")).head()
+    val mn = bounds.getLong(0); val mx = bounds.getLong(1)
+    val mid = mn + (mx - mn) / 2
+    val aPath = tempPath("mor-repl-a")
+    val a = new MorTable(spark, aPath, keyCols = Seq("user_id"),
+      compactionDeltaCommits = 1000, autoCompact = false)
+    a.upsert(ev.filter(col("ts_ns") <= mid),
+      orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 1L)
+    a.upsert(ev.filter(col("ts_ns") > mid),
+      orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 2L)
+    a.deleteWhere(col("user_id") % 10 === 0, batchId = 3L)
+    val dataCols = Seq("user_id", "event_id", "event_type", "value", "ts_ms", "ts_ns")
+    val keep = col("event_type").isin("click", "purchase")
+    val env = spark.readStream.format("graft.mor")
+      .option("keys", "user_id").load(aPath)
+      .select(
+        when(col("_deleted") || !keep, lit("D")).otherwise(lit("U")).as("op"),
+        col("user_id").cast("string").as("key"),
+        struct(dataCols.map(col): _*).as("before"),
+        struct(dataCols.map(col): _*).as("after"),
+        col("_commit_seqno").as("seq"))
+    val bPath = tempPath("mor-repl-b")
+    val b = new MorTable(spark, bPath, keyCols = Seq("user_id"),
+      compactionDeltaCommits = 1000, autoCompact = false)
+    val q = graft.streaming.StreamingOps.streamChangelogToMor(
+      env, b, tempPath("mor-repl-ckpt"))
+    q.awaitTermination()
+    graft.TempDirs.materializeAndDelete(
+      b.read().select("user_id", "event_id", "event_type", "value", "ts_ms"), bPath)
+  }
+
   /** TEMPORAL (point-in-time) dimension join — the SCD2 / `FOR SYSTEM_TIME
     * AS OF` query the lake's versioned history makes possible: every order
     * joins the customer image that was CURRENT at the order's own
