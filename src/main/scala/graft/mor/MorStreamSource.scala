@@ -38,7 +38,11 @@ final class MorStreamSource(
     path: String,
     keys: Seq[String]) extends Source {
 
-  private def table = MorTable(spark, path, keys)
+  // ONE handle for the stream's lifetime: MorTable re-lists the timeline
+  // on every call (new commits always visible) while its instant parse
+  // cache stays warm — a per-call handle would cold-parse every instant
+  // file again on each micro-batch
+  private val table = MorTable(spark, path, keys)
 
   /** Data columns + the changelog surface (`_deleted`, `_commit_seqno`). */
   override val schema: StructType = {
