@@ -53,19 +53,24 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
 
   override def sourceSchema(sqlContext: SQLContext,
                             schema: Option[StructType], providerName: String,
-                            parameters: Map[String, String]): (String, StructType) = {
-    val (path, keys) = pathAndKeys(parameters)
-    require(parameters.get("partition").isEmpty,
-      "streaming read of the partitioned form is not supported; stream the child tables")
-    ("graft.mor", new MorStreamSource(sqlContext.sparkSession, path, keys).schema)
-  }
+                            parameters: Map[String, String]): (String, StructType) =
+    ("graft.mor", streamSourceFor(sqlContext, parameters).schema)
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source =
+    streamSourceFor(sqlContext, parameters)
+
+  private def streamSourceFor(sqlContext: SQLContext,
+                              parameters: Map[String, String])
       : org.apache.spark.sql.execution.streaming.Source = {
     val (path, keys) = pathAndKeys(parameters)
-    new MorStreamSource(sqlContext.sparkSession, path, keys)
+    parameters.get("partition") match {
+      case Some(p) =>
+        new PartitionedMorStreamSource(sqlContext.sparkSession, path, keys, p)
+      case None => new MorStreamSource(sqlContext.sparkSession, path, keys)
+    }
   }
 
   override def createRelation(sqlContext: SQLContext,

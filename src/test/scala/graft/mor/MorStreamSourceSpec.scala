@@ -55,4 +55,42 @@ class MorStreamSourceSpec extends AnyFunSuite {
         s"restart must resume past the checkpointed seq, got $after")
     } finally q2.stop()
   }
+
+  test("partitioned form streams token-space CDC ops with before-images") {
+    val path = TestSpark.tmpDir("pmor-stream-src")
+    val ckpt = TestSpark.tmpDir("pmor-stream-ckpt")
+    val key = org.apache.spark.sql.functions.col("k")
+    val t = new graft.lake.PartitionedMorTable(spark, path, Seq("k"), "p",
+      compactionDeltaCommits = 1000, autoCompact = false)
+    t.upsert(Seq(("a", "x", 1), ("b", "y", 2)).toDF("k", "p", "v"),
+      Seq(key), batchId = 1L)
+
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, Any, Any)]()
+    def start() = spark.readStream.format("graft.mor")
+      .option("keys", "k").option("partition", "p").load(path)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.collect().foreach(r => buf.add((r.getAs[String]("op"),
+          r.getAs[String]("k"), r.getAs[Any]("v"), r.getAs[Any]("before_v"))))
+      }
+      .start()
+
+    val q = start()
+    try {
+      q.processAllAvailable()
+      val first = buf.toArray(Array.empty[(String, String, Any, Any)]).toSeq
+      assert(first.toSet == Set(("I", "a", 1, null), ("I", "b", 2, null)),
+        s"initial commit streams as inserts, got $first")
+      buf.clear()
+      // update + delete from a fresh handle
+      val t2 = new graft.lake.PartitionedMorTable(spark, path, Seq("k"), "p",
+        compactionDeltaCommits = 1000, autoCompact = false)
+      t2.upsert(Seq(("a", "x", 10)).toDF("k", "p", "v"), Seq(key), batchId = 2L)
+      t2.delete(Seq(("b", "y")).toDF("k", "p"), batchId = 3L)
+      q.processAllAvailable()
+      val second = buf.toArray(Array.empty[(String, String, Any, Any)]).toSeq
+      assert(second.toSet == Set(("U", "a", 10, 1), ("D", "b", null, 2)),
+        s"update carries before-image, delete tombstones, got $second")
+    } finally q.stop()
+  }
 }
