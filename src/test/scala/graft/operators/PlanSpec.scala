@@ -206,6 +206,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("r38 decayed score: broadcast horizon join, partial aggs, no window") {
+    val p = plan(RelationalOps.decayedScore(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"per-user horizon must broadcast back:\n$p")
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("WindowExec"), s"no per-user window sort expected:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("t21 bigram scoring: pinned token arrays, no window/self-join over the corpus") {
     val p = plan(graft.functions.TextAnalysis.bigramLogProb(
       graft.Tables.documents(spark, dir)))
