@@ -17,6 +17,12 @@ run / fork := true
 // three rounds running). Suppress the epilogue; Bench prints its short
 // summary JSON as the true last stdout line.
 Global / showSuccess := false
+// ...but forked `run` output still goes through sbt's logger, which
+// prefixes every line with "[info] " — the driver's json.loads of the
+// last line fails on the prefix. Route the forked JVM's stdout straight
+// to sbt's stdout so the final summary JSON line arrives raw.
+run / connectInput := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
