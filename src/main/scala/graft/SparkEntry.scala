@@ -30,7 +30,8 @@ object SparkEntry {
     *   d5_minhash_groups  → twin d11_minhash_union
     *   s10_ann_lsh        → twin s20_ann_lsh_portable (recall ≥0.9 spec)
     *   s11_ann_ivf        → twin s18_ann_ivf_portable (recall ≥0.6 spec)
-    *   t3_text_enrich     → oracle-green t2/t4 cover all non-xxhash cols
+    *   t3_text_enrich     → twin t25_enrich_portable (composed output:
+    *                        lang_pred + quality + md5-family fingerprint)
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r1_full_scan"       -> ((s, d) => RelationalOps.fullScan(s, d)),
@@ -169,6 +170,7 @@ object SparkEntry {
     "r22_outer_join_agg"  -> ((s, d) => RelationalOps.outerJoinAgg(s, d)),
     "r23_intersect"       -> ((s, d) => RelationalOps.intersectKeys(s, d)),
     "r24_except"          -> ((s, d) => RelationalOps.exceptKeys(s, d)),
+    "t25_enrich_portable" -> ((s, d) => graft.functions.LlmQueries.textEnrichPortable(s, d)),
     "t7_fingerprint"      -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       graft.Tables.documents(s, d).select(col("doc_id"),
@@ -1723,6 +1725,67 @@ object SparkEntry {
         |       + (CASE WHEN mean_tok_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END))
         |       / 4.0, 4) AS quality
         |FROM r""".stripMargin,
+    "t25_enrich_portable" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                x -> x <> '') AS lt,
+        |    len(list_filter(regexp_split_to_array(text, '\s+'),
+        |                    x -> x <> '')) AS n_tok,
+        |    round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+        |          / greatest(length(text), 1)::DOUBLE, 6) AS punct_r,
+        |    (length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')))
+        |          / greatest(length(text), 1)::DOUBLE AS cjk_r,
+        |    length(regexp_replace(text, '\s+', '', 'g')) AS n_nonspace
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, n_tok, punct_r, cjk_r,
+        |    len(list_filter(lt, t -> list_contains(
+        |      ['the','a','an','and','or','of','to','in','is','it','that','for',
+        |       'on','with','as','was','at','by'], t)))
+        |      / greatest(len(lt), 1)::DOUBLE AS en_r,
+        |    len(list_filter(lt, t -> list_contains(
+        |      ['el','la','los','las','un','una','y','o','de','en','es','que',
+        |       'por','con','para','del','se','no'], t)))
+        |      / greatest(len(lt), 1)::DOUBLE AS es_r,
+        |    len(list_filter(lt, t -> list_contains(
+        |      ['der','die','das','ein','eine','und','oder','von','zu','im',
+        |       'ist','dass','für','auf','mit','als','den'], t)))
+        |      / greatest(len(lt), 1)::DOUBLE AS de_r,
+        |    len(list_filter(lt, t -> list_contains(
+        |      ['le','la','les','un','une','et','ou','de','en','est','que',
+        |       'pour','sur','avec','du','au','des','ne'], t)))
+        |      / greatest(len(lt), 1)::DOUBLE AS fr_r,
+        |    round(len(list_filter(lt, t -> list_contains(
+        |      ['the','a','an','and','or','of','to','in','is','it','that','for',
+        |       'on','with','as','was','at','by'], t)))
+        |      / greatest(n_tok, 1)::DOUBLE, 6) AS sw_r,
+        |    n_nonspace / greatest(n_tok, 1)::DOUBLE AS mean_tok_len
+        |  FROM f
+        |), w AS (
+        |  SELECT doc_id, lt AS words FROM f
+        |), fp AS (
+        |  SELECT doc_id, list_min(list_transform(
+        |    CASE WHEN len(words) >= 5 THEN
+        |        list_transform(range(1, len(words) - 3),
+        |          i -> array_to_string(words[i:i+4], ' '))
+        |      ELSE [array_to_string(words, ' ')] END,
+        |    s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)) AS fp
+        |  FROM w
+        |)
+        |SELECT r.doc_id,
+        |  CASE WHEN cjk_r > 0.05 THEN 'zh'
+        |       WHEN es_r > en_r AND es_r >= de_r AND es_r >= fr_r THEN 'es'
+        |       WHEN de_r > en_r AND de_r >= fr_r THEN 'de'
+        |       WHEN fr_r > en_r THEN 'fr'
+        |       ELSE 'en' END AS lang_pred,
+        |  round(((CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+        |       + (CASE WHEN punct_r < 0.1 THEN 1.0 ELSE 0.0 END)
+        |       + (CASE WHEN sw_r BETWEEN 0.05 AND 0.7 THEN 1.0 ELSE 0.0 END)
+        |       + (CASE WHEN mean_tok_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END))
+        |       / 4.0, 4) AS quality,
+        |  fp.fp
+        |FROM r JOIN fp ON r.doc_id = fp.doc_id""".stripMargin,
     "d1_exact_dedup" ->
       """SELECT * FROM documents
         |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1""".stripMargin,

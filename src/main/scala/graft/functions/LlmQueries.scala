@@ -101,6 +101,19 @@ object LlmQueries {
       TextAnalysis.fingerprint(col("text")).as("fingerprint"))
   }
 
+  /** [[textEnrich]] with the engine-portable fingerprint (md5 family) —
+    * the oracle twin pinning the COMPOSED enrich output cross-engine
+    * (t3 itself stays rows-only: xxhash64 has no DuckDB analog; its
+    * components are twinned by t4/t7, this entry twins the composition). */
+  def textEnrichPortable(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TextAnalysis.langIdNative(col("text")).as("lang_pred"),
+      TextAnalysis.qualityScoreNative(col("text")).as("quality"),
+      TextAnalysis.fingerprintPortable(col("text")).as("fp"))
+  }
+
   /** Brute-force cosine top-10 for query vectors vec_id < 5 (oracle-checked
     * against DuckDB list_cosine_similarity on DOUBLE[]). */
   def annBrute(spark: SparkSession, dir: String): DataFrame = {
@@ -527,7 +540,13 @@ object LlmQueries {
     val r1 = regs(ev.filter(col("ts_ns") <= mid)).withColumnRenamed("cnt", "c1")
     val r2 = regs(ev.filter(col("ts_ns") > mid)).withColumnRenamed("cnt", "c2")
     val w = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
-    r1.join(r2, Seq("event_type", "slot"))
+    // FULL outer: an event type seen in only one half must still report
+    // (with the absent half zero-filled), matching the oracle's
+    // all-groups × all-slots frame — an inner join would silently drop it.
+    // Each half's registers are already dense (66 slots per present type),
+    // so the unmatched side is exactly the half-sided types.
+    r1.join(r2, Seq("event_type", "slot"), "full_outer")
+      .na.fill(0L, Seq("c1", "c2"))
       .withColumn("n1", sum(col("c1")).over(w))
       .withColumn("n2", sum(col("c2")).over(w))
       .groupBy("event_type")

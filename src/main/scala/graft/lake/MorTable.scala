@@ -261,16 +261,30 @@ final class MorTable(
       val files = fs.listStatus(baseDir).toSeq.map(_.getPath)
         .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
       // per-file key bounds (the Hudi column-stats / Delta file-stats
-      // analog): one column-pruned aggregation over the key column of the
-      // base just written. Range-partitioned files have DISJOINT bounds,
-      // so [[snapshotForKeyRange]] skips non-intersecting files at the
+      // analog). Range-partitioned files have DISJOINT bounds, so
+      // [[snapshotForKeyRange]] skips non-intersecting files at the
       // LISTING level — no footer open, no task. External engines get the
-      // same stats through the manifest.
-      val stats = spark.read.parquet(baseDir.toString)
+      // same stats through the manifest. Key bounds AND z-order colstats
+      // come from ONE groupBy(input_file_name()) aggregation — this stats
+      // pass is on the only O(table) path the engine has (post-compaction),
+      // so it must not scan the fresh base twice.
+      // (statsCols inheritance first: a FRESH handle inherits the column
+      // set from the previous manifest, so the skipping contract survives
+      // restarts — without this a plain compact() from a new handle would
+      // silently stop publishing the stats readForColRanges prunes on.)
+      if (statsCols.isEmpty)
+        statsCols = previousManifestStatCols(seq)
+      val sCols = statsCols
+      val aggs = Seq(min(col("_record_key")).as("mn"),
+        max(col("_record_key")).as("mx")) ++
+        sCols.flatMap(c => Seq(
+          min(col(c).cast("double")).as(s"mn_$c"),
+          max(col(c).cast("double")).as(s"mx_$c")))
+      val perFile = spark.read.parquet(baseDir.toString)
         .groupBy(input_file_name().as("f"))
-        .agg(min(col("_record_key")).as("mn"), max(col("_record_key")).as("mx"))
-        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
-        .sortBy(_._1).toSeq
+        .agg(aggs.head, aggs.tail: _*)
+        .collect().toSeq.sortBy(_.getString(0))
+      val stats = perFile.map(r => (r.getString(0), r.getString(1), r.getString(2)))
       def js(s: String): String = {
         val b = new StringBuilder
         s.foreach {
@@ -284,40 +298,29 @@ final class MorTable(
       val statsJson = stats.map { case (f, mn, mx) =>
         s"""{"file":"${js(f)}","minKey":"${js(mn)}","maxKey":"${js(mx)}"}"""
       }.mkString(",")
-      // per-file double min/max for the z-order columns (set by
-      // compactZOrder; a FRESH handle inherits the column set from the
-      // previous manifest, so the skipping contract survives restarts —
-      // without this a plain compact() from a new handle would silently
-      // stop publishing the stats readForColRanges prunes on)
-      if (statsCols.isEmpty)
-        statsCols = previousManifestStatCols(seq)
+      // per-file double min/max for the z-order columns, from the same
+      // single aggregation pass (files whose stat columns are all null —
+      // e.g. tombstone-only — emit no rows here and are conservatively
+      // KEPT by readForColRanges)
       val colStatsJson =
-        if (statsCols.isEmpty) ""
-        else {
-          val aggs = statsCols.flatMap(c => Seq(
-            min(col(c).cast("double")).as(s"mn_$c"), max(col(c).cast("double")).as(s"mx_$c")))
-          spark.read.parquet(baseDir.toString)
-            .groupBy(input_file_name().as("f"))
-            .agg(aggs.head, aggs.tail: _*)
-            .collect().toSeq.sortBy(_.getString(0))
-            .flatMap { r =>
-              statsCols.flatMap { c =>
-                (Option(r.getAs[java.lang.Double](s"mn_$c")),
-                  Option(r.getAs[java.lang.Double](s"mx_$c"))) match {
-                  case (Some(mn), Some(mx)) =>
-                    Some(s"""{"file":"${js(r.getString(0))}","col":"${js(c)}","mn":$mn,"mx":$mx}""")
-                  case _ => None
-                }
-              }
-            }.mkString(",")
-        }
+        if (sCols.isEmpty) ""
+        else perFile.flatMap { r =>
+          sCols.flatMap { c =>
+            (Option(r.getAs[java.lang.Double](s"mn_$c")),
+              Option(r.getAs[java.lang.Double](s"mx_$c"))) match {
+              case (Some(mn), Some(mx)) =>
+                Some(s"""{"file":"${js(r.getString(0))}","col":"${js(c)}","mn":$mn,"mx":$mx}""")
+              case _ => None
+            }
+          }
+        }.mkString(",")
       val dir = new Path(hPath, "manifest")
       fs.mkdirs(dir)
       val json =
         s"""{"baseSeq":$seq,"filter":"_deleted = false",""" +
           s""""stats":[$statsJson],""" +
           (if (colStatsJson.nonEmpty) s""""colstats":[$colStatsJson],""" else "") +
-          s""""files":[${files.map("\"" + _ + "\"").mkString(",")}]}"""
+          s""""files":[${files.map("\"" + js(_) + "\"").mkString(",")}]}"""
       val tmp = new Path(dir, s".$seq.json.tmp")
       val out = fs.create(tmp, true)
       try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
@@ -531,7 +534,11 @@ final class MorTable(
     // a clustered layout); safe for MUTABLE predicate columns because a
     // filtered-out base row either has no delta (its live values decided
     // the filter) or loses last-write-wins to the unfiltered delta anyway.
-    // Callers re-apply the predicate post-merge.
+    // CALLER CONTRACT: that LWW argument requires every live delta to
+    // outrank every base row — FALSE when the last compact carries
+    // unfolded stragglers (base seqnos can exceed a straggler's seq), so
+    // callers must pass None then (see readForColRanges). Callers re-apply
+    // the predicate post-merge.
     val baseScan = baseOnlyFilter match {
       case Some(f) => baseScan0.map(_.filter(f))
       case None => baseScan0
@@ -699,21 +706,24 @@ final class MorTable(
   /** Per-file `_record_key` bounds from `manifest/<seq>.json`:
     * (file, minKey, maxKey) — None for manifests written before stats
     * existed (readers must fall back to the full scan). */
+  /** Inverse of writeManifest's `js()` escape — shared by every manifest
+    * field parser so escaped paths round-trip identically everywhere. */
+  private def un(s: String): String = {
+    val b = new StringBuilder; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) s.charAt(i + 1) match {
+        case 'u' => b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+        case e => b.append(e); i += 2
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+
   private def manifestStats(seq: Long): Option[Seq[(String, String, String)]] = {
     val p = new Path(hPath, s"manifest/$seq.json")
     if (!fs.exists(p)) return None
     val json = new String(readFully(fs, p), StandardCharsets.UTF_8)
-    def un(s: String): String = {
-      val b = new StringBuilder; var i = 0
-      while (i < s.length) {
-        val c = s.charAt(i)
-        if (c == '\\' && i + 1 < s.length) s.charAt(i + 1) match {
-          case 'u' => b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
-          case e => b.append(e); i += 2
-        } else { b.append(c); i += 1 }
-      }
-      b.toString
-    }
     val es = "((?:[^\"\\\\]|\\\\.)*)"
     val re = ("\\{\"file\":\"" + es + "\",\"minKey\":\"" + es +
       "\",\"maxKey\":\"" + es + "\"\\}").r
@@ -951,20 +961,46 @@ final class MorTable(
       val t = sch(c).dataType
       col(c) >= lit(lo).cast(t) && col(c) < lit(hi).cast(t)
     }.reduce(_ && _)
-    val baseFiles = lastCompact.flatMap { c =>
-      manifestColStats(c.seq).map { st =>
-        st.groupBy(_._1).collect { case (f, rows) =>
-          val byCol = rows.map(r => r._2 -> (r._3, r._4)).toMap
-          // keep unless some queried column's bounds provably miss
-          val prunable = ranges.exists { case (qc, lo, hi) =>
-            byCol.get(qc).exists { case (mn, mx) => mx < lo || mn >= hi }
+    // Dropping a base row (via file pruning or the pushed base filter) is
+    // sound only when every live delta outranks every base row in the LWW
+    // merge. A compact carrying unfolded stragglers violates that: base
+    // rows keep their original _commit_seqno, which can EXCEED an unfolded
+    // delta's seq — dropping an out-of-range base update (or a retained
+    // tombstone, whose null range cols fail rangeF) would let the
+    // straggler's older in-range image win the merge: stale reads or
+    // deleted-key resurrection. Fall back to the unpruned scan then; the
+    // next straggler-free compact restores pruning.
+    val safeToPrune = lastCompact.forall(_.unfolded.isEmpty)
+    val baseFiles =
+      if (!safeToPrune) None
+      else lastCompact.flatMap { c =>
+        manifestColStats(c.seq).flatMap { st =>
+          // start from the manifest's FULL file list and only remove files
+          // provably prunable — a file with no colstats rows (all-null stat
+          // cols, e.g. tombstone-only) is conservatively kept, not dropped
+          manifestFiles(c.seq).map { all =>
+            // colstats keys come from input_file_name() ("file:///…"), the
+            // files list from listStatus ("file:/…") — match on the file
+            // NAME, unique within a base dir
+            def fname(s: String) = s.substring(s.lastIndexOf('/') + 1)
+            val byFile = st.groupBy(r => fname(r._1))
+            all.filterNot { f =>
+              byFile.get(fname(f)).exists { rows =>
+                val byCol = rows.map(r => r._2 -> (r._3, r._4)).toMap
+                ranges.exists { case (qc, lo, hi) =>
+                  byCol.get(qc).exists { case (mn, mx) => mx < lo || mn >= hi }
+                }
+              }
+            }.sorted
           }
-          if (prunable) None else Some(f)
-        }.flatten.toSeq.sorted
+        }
       }
-    }
+    // tombstones are exempted from the pushed base filter outright (null
+    // range cols would drop them); they must survive to the merge so the
+    // reader's `_deleted` filter — not file layout — decides their fate
+    val bof = if (safeToPrune) Some(rangeF || col("_deleted")) else None
     dropMeta(snapshotMerged(tl, keyFilter = None, baseFiles = baseFiles,
-      baseOnlyFilter = Some(rangeF))
+      baseOnlyFilter = bof)
       .filter(!col("_deleted")).filter(rangeF))
   }
 
@@ -993,8 +1029,24 @@ final class MorTable(
     val re = ("\\{\"file\":\"" + es + "\",\"col\":\"" + es +
       "\",\"mn\":([-0-9.eE]+),\"mx\":([-0-9.eE]+)\\}").r
     val st = re.findAllMatchIn(json)
-      .map(m => (m.group(1), m.group(2), m.group(3).toDouble, m.group(4).toDouble)).toSeq
+      .map(m => (un(m.group(1)), un(m.group(2)), m.group(3).toDouble, m.group(4).toDouble)).toSeq
     if (st.isEmpty) None else Some(st)
+  }
+
+  /** The manifest's full base-file listing (`files` array) — the ground
+    * truth for conservative pruning: a file ABSENT from colstats (e.g. a
+    * tombstone-only file whose stat columns are all null) must still be
+    * scanned, so kept-lists start here and only remove provably-prunable
+    * files. */
+  private def manifestFiles(seq: Long): Option[Seq[String]] = {
+    val p = new Path(hPath, s"manifest/$seq.json")
+    if (!fs.exists(p)) return None
+    val json = new String(readFully(fs, p), StandardCharsets.UTF_8)
+    val arr = ("\"files\":\\[((?:\"(?:[^\"\\\\]|\\\\.)*\",?)*)\\]").r
+      .findFirstMatchIn(json).map(_.group(1)).getOrElse(return None)
+    val item = "\"((?:[^\"\\\\]|\\\\.)*)\"".r
+    val fs0 = item.findAllMatchIn(arr).map(m => un(m.group(1))).toSeq
+    if (fs0.isEmpty) None else Some(fs0)
   }
 
   def compact(): Unit = synchronized {
@@ -1236,4 +1288,60 @@ object MorTable {
   def apply(spark: SparkSession, path: String, keyCols: Seq[String],
             compactionDeltaCommits: Int = 2, compactionDeltaSeconds: Long = 120L): MorTable =
     new MorTable(spark, path, keyCols, compactionDeltaCommits, compactionDeltaSeconds)
+
+  /** Declarable write/compaction policy — the reference's CREATE TABLE
+    * `WITH ('compaction.delta_commits'='2','compaction.delta_seconds'=
+    * '120','write.tasks'='3')` surface (CDC-Hudi-Notebook.zpln:292,:2234).
+    * Persisted at `<path>/manifest/policy.json` so a FRESH session's
+    * handle (SQL catalog resolution, DataFrame writer) inherits the
+    * declared cadence instead of silently reverting to defaults. */
+  final case class Policy(deltaCommits: Int = 2, deltaSeconds: Long = 120L,
+                          writeTasks: Int = 0) {
+    def toJson: String =
+      s"""{"deltaCommits":$deltaCommits,"deltaSeconds":$deltaSeconds,"writeTasks":$writeTasks}"""
+  }
+
+  /** Persist `p` as the table's policy (atomic tmp+rename; a matching
+    * redeclaration is a no-op, a differing one wins — DDL semantics). */
+  def writePolicy(spark: SparkSession, path: String, p: Policy): Unit = {
+    val hp = new Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (readPolicy(spark, path).contains(p)) return
+    val dir = new Path(hp, "manifest")
+    fs.mkdirs(dir)
+    val tmp = new Path(dir, s".policy.json.tmp-${System.nanoTime()}")
+    val out = fs.create(tmp, true)
+    try out.write(p.toJson.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    fs.delete(new Path(dir, "policy.json"), false)
+    if (!fs.rename(tmp, new Path(dir, "policy.json")))
+      throw new java.io.IOException(s"policy write failed under $dir")
+    ()
+  }
+
+  /** The persisted policy, if any session ever declared one. */
+  def readPolicy(spark: SparkSession, path: String): Option[Policy] = {
+    val hp = new Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(hp, "manifest/policy.json")
+    if (!fs.exists(p)) return None
+    val json = new String(readFully(fs, p), StandardCharsets.UTF_8)
+    def num(k: String): Option[String] =
+      ("\"" + k + "\":(-?\\d+)").r.findFirstMatchIn(json).map(_.group(1))
+    for {
+      dc <- num("deltaCommits"); ds <- num("deltaSeconds"); wt <- num("writeTasks")
+    } yield Policy(dc.toInt, ds.toLong, wt.toInt)
+  }
+
+  /** Open `path` honoring its persisted — or newly `declared` — policy:
+    * the handle the SQL/DataSource surface uses, so a table created with
+    * declared compaction options keeps compacting at that cadence from
+    * every future session's handle. */
+  def resolve(spark: SparkSession, path: String, keyCols: Seq[String],
+              declared: Option[Policy] = None,
+              autoCompact: Boolean = true): MorTable = {
+    declared.foreach(writePolicy(spark, path, _))
+    val eff = declared.orElse(readPolicy(spark, path)).getOrElse(Policy())
+    new MorTable(spark, path, keyCols, eff.deltaCommits, eff.deltaSeconds,
+      autoCompact, eff.writeTasks)
+  }
 }

@@ -485,6 +485,16 @@ final class PartitionedMorTable(
     lwwLatest(scanDirs(dirs).filter(col("_commit_seqno") > sinceToken))
   }
 
+  /** True when some partition holds at least one delta commit dir — the
+    * precondition of [[readChangelog]]/[[readIncremental]]. Lets a
+    * streaming consumer distinguish "legitimately nothing to change-read"
+    * (fresh or fully-compacted-and-cleaned table) from a genuine read
+    * failure, instead of blanket-catching the reads' requires. */
+  def hasDeltaCommits: Boolean = {
+    val sel = partitions()
+    sel.nonEmpty && parChildren(sel)(_.allDeltaDirs()).exists(_.nonEmpty)
+  }
+
   /** CDC read across partitions ([[MorTable.readChangelog]] in the
     * parent's table-global token space): net I/U/D per (partition, key)
     * for tokens in (fromToken, toToken], with `before_<col>` images from
@@ -652,9 +662,14 @@ final class PartitionedMorTable(
       val schema = org.apache.spark.sql.types.StructType(
         scanDirs(bases).schema.filterNot(f => metaCols.contains(f.name)))
       def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      // declared compaction/write policy travels with the catalog entry so
+      // an external catalog sync sees the full table definition (kept
+      // BEFORE "schema" — readCatalog slices the schema as the tail field)
+      val pol = MorTable.readPolicy(spark, path)
+        .map(p => s""""policy":${p.toJson},""").getOrElse("")
       val cat = s"""{"name":${q(hPath.getName)},"path":${q(path)},""" +
         s""""keyCols":[${keyCols.map(q).mkString(",")}],""" +
-        s""""partitionCol":${q(partitionCol)},"schema":${schema.json}}"""
+        s""""partitionCol":${q(partitionCol)},$pol"schema":${schema.json}}"""
       val ctmp = new Path(dir, ".catalog.json.tmp")
       val cout = fs.create(ctmp, true)
       try cout.write(cat.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -681,6 +696,19 @@ final class PartitionedMorTable(
 }
 
 object PartitionedMorTable {
+  /** Open `path` honoring its persisted — or newly `declared` — policy
+    * (see [[MorTable.resolve]]; same `manifest/policy.json`, parent
+    * level — children inherit through the parent's constructor args). */
+  def resolve(spark: SparkSession, path: String, keyCols: Seq[String],
+              partitionCol: String,
+              declared: Option[MorTable.Policy] = None): PartitionedMorTable = {
+    declared.foreach(MorTable.writePolicy(spark, path, _))
+    val eff = declared.orElse(MorTable.readPolicy(spark, path))
+      .getOrElse(MorTable.Policy())
+    new PartitionedMorTable(spark, path, keyCols, partitionCol,
+      eff.deltaCommits, eff.deltaSeconds, writePartitions = eff.writeTasks)
+  }
+
   /** External-engine read of the table-level manifest: identical file
     * format to the child manifest, so the same "newest manifest →
     * `spark.read.parquet(files)` → declared filter → drop meta" recipe

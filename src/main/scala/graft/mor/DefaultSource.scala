@@ -73,9 +73,22 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
     }
   }
 
+  /** Declared compaction/write policy, the reference's `CREATE TABLE …
+    * WITH (…)` keys verbatim (zpln:292,:2234). Persisted on first contact
+    * via [[MorTable.resolve]] so every later session's handle inherits it. */
+  private def policyOf(parameters: Map[String, String]): Option[MorTable.Policy] = {
+    val dc = parameters.get("compaction.delta_commits").map(_.trim.toInt)
+    val ds = parameters.get("compaction.delta_seconds").map(_.trim.toLong)
+    val wt = parameters.get("write.tasks").map(_.trim.toInt)
+    if (dc.isEmpty && ds.isEmpty && wt.isEmpty) None
+    else Some(MorTable.Policy(dc.getOrElse(2), ds.getOrElse(120L), wt.getOrElse(0)))
+  }
+
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
     val (path, keys) = pathAndKeys(parameters)
+    policyOf(parameters).foreach( // CREATE TABLE … OPTIONS declares it
+      MorTable.writePolicy(sqlContext.sparkSession, path, _))
     MorRelation(sqlContext, path, keys,
       asOf = parameters.get("asOf").map(_.toLong),
       sinceSeq = parameters.get("sinceSeq").map(_.toLong),
@@ -90,24 +103,21 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
     val order = parameters.get("order")
       .map(_.split(",").toSeq.map(_.trim)).getOrElse(keys)
     val partCol = parameters.get("partition")
+    val declared = policyOf(parameters)
+    def table() = MorTable.resolve(sqlContext.sparkSession, path, keys, declared)
+    def partTable(p: String) = PartitionedMorTable.resolve(
+      sqlContext.sparkSession, path, keys, p, declared)
     def exists = partCol match {
-      case Some(p) =>
-        new PartitionedMorTable(sqlContext.sparkSession, path, keys, p)
-          .partitions().nonEmpty
-      case None => MorTable(sqlContext.sparkSession, path, keys).timeline().nonEmpty
+      case Some(p) => partTable(p).partitions().nonEmpty
+      case None => table().timeline().nonEmpty
     }
     def upsert(): Unit = partCol match {
-      case Some(p) =>
-        new PartitionedMorTable(sqlContext.sparkSession, path, keys, p)
-          .upsert(data, order.map(col)): Unit
-      case None =>
-        MorTable(sqlContext.sparkSession, path, keys)
-          .upsert(data, order.map(col)): Unit
+      case Some(p) => partTable(p).upsert(data, order.map(col)): Unit
+      case None => table().upsert(data, order.map(col)): Unit
     }
     def drop(): Unit = partCol match {
-      case Some(p) =>
-        new PartitionedMorTable(sqlContext.sparkSession, path, keys, p).drop()
-      case None => MorTable(sqlContext.sparkSession, path, keys).drop()
+      case Some(p) => partTable(p).drop()
+      case None => table().drop()
     }
     mode match {
       case SaveMode.ErrorIfExists if exists =>
@@ -163,9 +173,12 @@ final case class MorRelation(sqlContext: SQLContext, path: String,
   require(asOf.isEmpty || partitionCol.isEmpty,
     "graft.mor: asOf time travel is not supported on partitioned tables")
 
-  private def table = MorTable(sqlContext.sparkSession, path, keys)
-  private def partTable =
-    new PartitionedMorTable(sqlContext.sparkSession, path, keys, partitionCol.get)
+  // resolve() so the table's persisted compaction/write policy applies to
+  // SQL writes (INSERT INTO through the catalog) from ANY session — a
+  // fresh handle must compact at the declared cadence, not the defaults
+  private def table = MorTable.resolve(sqlContext.sparkSession, path, keys)
+  private def partTable = PartitionedMorTable.resolve(
+    sqlContext.sparkSession, path, keys, partitionCol.get)
 
   private def scanDf() = (partitionCol, asOf, sinceSeq) match {
     case (Some(_), _, Some(seq)) => partTable.readIncremental(seq, partitionValues)

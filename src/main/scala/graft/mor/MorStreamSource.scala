@@ -115,12 +115,14 @@ final class PartitionedMorStreamSource(
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val since = start.map(seqOf).getOrElse(0L)
     // a fully-compacted-and-cleaned table has no delta dirs at all —
-    // that's an empty changelog, not an error, for a stream
+    // that's an empty changelog, not an error, for a stream. Detect that
+    // case EXPLICITLY rather than catching readChangelog's requires: a
+    // lagging consumer resuming past clean()ed deltas must fail loudly
+    // (the retention contract), never read as "no changes".
     val batch =
-      try table.readChangelog(since, seqOf(end))
-      catch { case _: IllegalArgumentException =>
+      if (!table.hasDeltaCommits)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      }
+      else table.readChangelog(since, seqOf(end))
     GraftStreamingShim.asStreamingBatch(
       batch.select(schema.fieldNames.map(col).toSeq: _*))
   }

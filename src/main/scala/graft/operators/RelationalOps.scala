@@ -356,12 +356,26 @@ object RelationalOps {
     * binary weights in the long domain. Every product and the sum are
     * exact integers, so the score is bit-identical across partitionings,
     * retries, and engines (the hash-compare proves it). One groupBy for
-    * the per-user horizon (broadcast back), one partial+final agg. */
-  def decayedScore(spark: SparkSession, dir: String): DataFrame = {
+    * the per-user horizon (broadcast back), one partial+final agg.
+    *
+    * Scale guard: the horizon is one row per USER — at gate scale a
+    * forced broadcast is the right plan, but at 100× user cardinality it
+    * would blow the driver/executor broadcast budget. The horizon is
+    * materialized once (localCheckpoint — reused by the guard count and
+    * the join) and the hint is dropped above [[MaxBroadcastHorizonRows]],
+    * letting AQE plan the join instead. */
+  val MaxBroadcastHorizonRows: Long = 2L * 1024 * 1024 // ≈tens of MB of (user, hmax)
+
+  def decayedScore(spark: SparkSession, dir: String,
+                   maxBroadcastRows: Long = MaxBroadcastHorizonRows): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("value"), expr("ts_ms div 3600000").as("h"))
     val horizon = ev.groupBy("user_id").agg(max(col("h")).as("hmax"))
-    ev.join(broadcast(horizon), Seq("user_id"))
+      .localCheckpoint(true)
+    val joined =
+      if (horizon.count() <= maxBroadcastRows) ev.join(broadcast(horizon), Seq("user_id"))
+      else ev.join(horizon, Seq("user_id"))
+    joined
       .withColumn("age", col("hmax") - col("h"))
       .filter(col("age") <= 30)
       .withColumn("w", expr("cast(pow(2.0, 30 - age) AS BIGINT)"))

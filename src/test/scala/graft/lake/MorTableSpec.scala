@@ -464,6 +464,28 @@ class MorTableSpec extends AnyFunSuite {
     assert(touched < total, s"colstats skipping must survive minor compaction ($touched/$total)")
   }
 
+  test("readForColRanges keeps base files absent from colstats (all-null stat cols)") {
+    import spark.implicits._
+    // keys 100..199 (string sort = numeric here); the low half has NULL v —
+    // the only stats column — but real w values
+    val rows = (100 until 200).map { i =>
+      (i.toLong, if (i < 150) None else Some(i.toDouble), i.toDouble)
+    }.toDF("k", "v", "w")
+    val t = new MorTable(spark, TestSpark.tmpDir("mor-nullstats"), Seq("k"),
+      compactionDeltaCommits = 1000, autoCompact = false, writePartitions = 4)
+    t.upsert(rows, orderWithinBatch = Nil, batchId = 1L)
+    t.compactZOrder(Seq("v"), bits = 4) // statsCols = [v]
+    // key-clustered recompact: statsCols sticky, but the files holding only
+    // null-v rows publish NO colstats rows — they must still be scanned
+    t.upsert(Seq((150L, Some(150.0), 150.0)).toDF("k", "v", "w"),
+      orderWithinBatch = Nil, batchId = 2L)
+    t.compact()
+    val got = t.readForColRanges(Seq(("w", 100.0, 150.0)))
+    assert(got.count() == 50,
+      "rows in stat-less base files must not be silently excluded")
+    assert(got.select(sum(col("k"))).head.getLong(0) == (100L until 150L).sum)
+  }
+
   test("z-order colstats survive a fresh handle's plain compaction") {
     import spark.implicits._
     val grid = (0 until 256).map(i => (f"k$i%04d", (i / 16).toLong, (i % 16).toLong))

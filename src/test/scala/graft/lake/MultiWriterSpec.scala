@@ -33,6 +33,20 @@ class MultiWriterSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(s"$path/delta/$seq")
   }
 
+  /** claimDelta for an arbitrary row schema. */
+  private def claimDeltaDf(path: String, seq: Long,
+                           df: org.apache.spark.sql.DataFrame): Unit = {
+    val f = fs(path)
+    val marker = new Path(path, s"timeline/$seq.delta.inflight")
+    f.mkdirs(marker.getParent)
+    val out = f.create(marker, false); out.close()
+    df.withColumn("_record_key", col("k").cast("string"))
+      .withColumn("_deleted", lit(false))
+      .withColumn("_commit_seqno", lit(seq))
+      .withColumn("_commit_time", lit(MorTable.commitTimeString(seq)))
+      .write.mode("overwrite").parquet(s"$path/delta/$seq")
+  }
+
   /** The claimed writer finally publishes. */
   private def publishDelta(path: String, seq: Long, batchId: Long): Unit = {
     val f = fs(path)
@@ -143,6 +157,31 @@ class MultiWriterSpec extends AnyFunSuite {
     val baseRows = spark.read.parquet(s"$path/base/${base.seq}")
     assert(baseRows.filter(col("_deleted")).isEmpty,
       "straggler-free compaction drops tombstones again")
+  }
+
+  test("range read with unfolded straggler: no resurrection, no stale image") {
+    val path = tmp()
+    val t = new MorTable(spark, path, Seq("k"),
+      compactionDeltaCommits = 1000, autoCompact = false, writePartitions = 2)
+    t.upsert(Seq((1L, 50.0), (2L, 60.0), (3L, 70.0)).toDF("k", "v"),
+      Seq(col("k")), batchId = 1L)
+    // straggler claims seq 2 with OLDER in-range images for k=1/k=2, stalls
+    claimDeltaDf(path, 2L, Seq((1L, 40.0), (2L, 45.0)).toDF("k", "v"))
+    t.delete(Seq(Tuple1(1L)).toDF("k"), batchId = 3L)                 // tombstone @3
+    t.updateWhere(col("k") === 2L, Map("v" -> lit(500.0)), batchId = 4L) // out of range @4
+    t.compact() // straggler outstanding → unfolded=[2], tombstones retained
+    assert(t.timeline().filter(_.kind == "compact").last.unfolded == Seq(2L))
+    publishDelta(path, 2L, batchId = 2L)
+    // base rows OUTRANK the straggler here: the pushed base filter and any
+    // file pruning must be disabled, or the tombstone (null v) and the
+    // out-of-range k=2@500 image get dropped from the merge and the
+    // straggler's older in-range rows win LWW (resurrection / stale read)
+    val got = t.readForColRanges(Seq(("v", 0.0, 100.0))).collect()
+    assert(got.map(_.getLong(0)).toSet == Set(3L),
+      s"expected only k=3 in range; got ${got.toSeq}")
+    t.compact() // straggler folded → pruning allowed again, result unchanged
+    assert(t.readForColRanges(Seq(("v", 0.0, 100.0))).collect()
+      .map(_.getLong(0)).toSet == Set(3L))
   }
 
   test("two uncoordinated partitioned writers: distinct tokens, no lost commits") {

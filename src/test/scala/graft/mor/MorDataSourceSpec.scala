@@ -162,6 +162,43 @@ class MorDataSourceSpec extends AnyFunSuite {
     assert(pruned.collect().map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
   }
 
+  test("declared compaction/write policy persists and drives fresh-session handles") {
+    val path = TestSpark.tmpDir("dsv1-policy")
+    spark.sql("DROP TABLE IF EXISTS mor_pol_t")
+    try {
+      // CTAS declares the policy in OPTIONS (reference zpln:292,:2234:
+      // compaction.delta_commits / delta_seconds / write.tasks)
+      spark.sql(
+        s"""CREATE TABLE mor_pol_t USING `graft.mor` OPTIONS (
+           |  path '$path', keys 'uuid',
+           |  `compaction.delta_commits` '3',
+           |  `compaction.delta_seconds` '100000',
+           |  `write.tasks` '2')
+           |AS SELECT * FROM VALUES ('id1', 1) AS t(uuid, v)""".stripMargin)
+      assert(MorTable.readPolicy(spark, path).contains(MorTable.Policy(3, 100000L, 2)),
+        "declared policy must persist in manifest/policy.json")
+      // a DIFFERENT session's catalog handle inherits the cadence: two more
+      // INSERTs reach 3 delta commits and must trigger compaction — the
+      // default cadence (2) would have compacted one commit early
+      val other = spark.newSession()
+      other.sql("INSERT INTO mor_pol_t VALUES ('id2', 2)")
+      def t = MorTable.resolve(spark, path, Seq("uuid"))
+      assert(!t.timeline().exists(_.kind == "compact"),
+        "2 delta commits < declared delta_commits=3: must not compact yet")
+      other.sql("INSERT INTO mor_pol_t VALUES ('id3', 3)")
+      val tl = t.timeline()
+      assert(tl.exists(_.kind == "compact"),
+        "3rd delta commit must fire the declared cadence from a fresh session's handle")
+      assert(tl.count(_.kind == "delta") == 3)
+      // write.tasks=2 shapes the compacted base
+      val baseSeq = tl.filter(_.kind == "compact").last.seq
+      val baseFiles = new java.io.File(s"$path/base/$baseSeq")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+      assert(baseFiles == 2, s"write.tasks=2 → 2 base files, got $baseFiles")
+      assert(spark.sql("SELECT count(*) FROM mor_pol_t").head().getLong(0) == 3)
+    } finally spark.sql("DROP TABLE IF EXISTS mor_pol_t")
+  }
+
   test("save modes: ErrorIfExists throws, Ignore no-ops, Overwrite replaces") {
     val path = TestSpark.tmpDir("dsv1-modes")
     def df(v: Int) = Seq(("id1", v)).toDF("uuid", "v")

@@ -212,6 +212,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), p)
     assert(!p.contains("WindowExec"), s"no per-user window sort expected:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the horizon is materialized once and reused (guard count + join)
+    assert(p.contains("Scan ExistingRDD"), s"horizon must be checkpointed:\n$p")
+  }
+
+  test("r38 decayed score scale guard: above the row threshold the broadcast hint drops") {
+    // force the guard: same results, no forced broadcast in the plan the
+    // operator builds (AQE may still choose broadcast at runtime — the
+    // guard's job is only to stop the unconditional driver-side collect)
+    val guarded = RelationalOps.decayedScore(spark, dir, maxBroadcastRows = 0L)
+    val default = RelationalOps.decayedScore(spark, dir)
+    assert(guarded.exceptAll(default).isEmpty && default.exceptAll(guarded).isEmpty,
+      "guarded path must be result-identical")
   }
 
   test("t21 bigram scoring: pinned token arrays, no window/self-join over the corpus") {
