@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import scala.collection.mutable
+
+/** Scratch diagnostic: replay one gate entry with a job listener and print
+  * per-call-site job counts (which code paths spend the suite's jobs). */
+object JobAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", TempDirs.sparkLocalDir())
+      .config("spark.cleaner.referenceTracking", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sites = mutable.Map.empty[String, Int].withDefaultValue(0)
+    val stageTime = mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val stageCnt = mutable.Map.empty[String, Int].withDefaultValue(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        val site = j.stageInfos.map(_.name).map(n =>
+          if (n.contains("CompletableFuture")) "fut" else n)
+          .distinct.sorted.mkString(" | ")
+        sites.synchronized { sites(site) += 1 }
+      }
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val frame = s.stageInfo.details.linesIterator
+          .find(l => l.contains("graft.") && !l.contains("JobAudit"))
+          .map(_.trim.stripPrefix("at "))
+          .getOrElse(s.stageInfo.rddInfos
+            .flatMap(r => Option(r.callSite)).filter(c => c.nonEmpty)
+            .distinct.sorted.mkString("; ") match {
+              case "" => s.stageInfo.name
+              case cs => cs
+            })
+        stageTime.synchronized {
+          stageTime(frame) += s.stageInfo.taskMetrics.executorRunTime
+          stageCnt(frame) += 1
+        }
+      }
+    })
+    val jobSpans = mutable.ArrayBuffer.empty[(Long, Long)]
+    val jobStartMs = mutable.Map.empty[Int, Long]
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        jobStartMs.synchronized { jobStartMs(j.jobId) = j.time }
+      override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        jobStartMs.synchronized {
+          jobStartMs.remove(e.jobId).foreach(s => jobSpans += ((s, e.time)))
+        }
+    })
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val t0 = System.currentTimeMillis()
+    val n = graft.streaming.PipelineQueries.ticketView(spark, dir).count()
+    val wallMs = System.currentTimeMillis() - t0
+    // merge job spans → time covered by at least one running job; the rest
+    // of the wall is pure driver work (planning, FS metadata, scheduling)
+    val merged = jobSpans.sortBy(_._1).foldLeft(List.empty[(Long, Long)]) {
+      case ((s0, e0) :: rest, (s, e)) if s <= e0 => (s0, math.max(e0, e)) :: rest
+      case (acc, span) => span :: acc
+    }
+    val covered = merged.map(x => x._2 - x._1).sum
+    println(s"WALLMS=$wallMs JOBCOVEREDMS=$covered DRIVERONLYMS=${wallMs - covered}")
+    Thread.sleep(500)
+    println(s"ROWS=$n TOTALJOBS=${sites.values.sum}")
+    sites.toSeq.sortBy(-_._2).foreach { case (s, c) => println(f"$c%4d  $s") }
+    println("== stage executorRunTime ms (count) ==")
+    stageTime.toSeq.sortBy(-_._2).take(20).foreach { case (s, t) =>
+      println(f"$t%8d  (${stageCnt(s)}%3d)  $s")
+    }
+    spark.stop()
+  }
+}

@@ -182,6 +182,16 @@ final class MorTable(
     this
   }
 
+  /** [[upsert]] for a batch the CALLER proved key-distinct (e.g. the
+    * output of a per-key argmax): skips the per-key dedup window — one
+    * full shuffle per commit that would re-prove what the producing plan
+    * already guarantees. Like `insertOnly`, the flag trusts the caller; a
+    * violating batch surfaces as nondeterministic LWW within the commit. */
+  def upsertDistinct(batch: DataFrame, batchId: Long = -1L): MorTable = {
+    commitDelta(withMeta(batch, deleted = false), batchId)
+    this
+  }
+
   /** Delete by key — writes tombstones (CDC `op = D`). `keys` needs the key
     * columns only. `seqno` overrides the stored `_commit_seqno` (used by
     * PartitionedMorTable, whose commit counter is table-global). */

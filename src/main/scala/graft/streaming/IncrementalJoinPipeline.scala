@@ -79,6 +79,65 @@ final class IncrementalJoinPipeline(
     compactionDeltaCommits = sinkCompactionDeltaCommits,
     writePartitions = writeTasks)
 
+  /** Materialized P⋈T dim-side join, reused across consecutive fact-only
+    * micro-batches (the common CDC cadence: dims change rarely, the fact
+    * streams). Rebuilt lazily after any batch that touches P or T state.
+    * This is incremental view maintenance's classic intermediate view —
+    * the denormalized ticket-with-holder relation — pinned with an eager
+    * localCheckpoint so each append-only batch probes pinned blocks
+    * instead of re-running the dim join (2 scans + a join per batch
+    * otherwise). Size is O(|T|) — the same order as tState itself. */
+  @volatile private var dimJoinCache: Option[DataFrame] = None
+
+  private def dimJoin(): DataFrame = dimJoinCache.getOrElse {
+    val dj = pState.read()
+      .join(tState.read(), col(personKey) === col(ticketPersonFk))
+      .localCheckpoint(true)
+    dimJoinCache = Some(dj)
+    dj
+  }
+
+  private def invalidateDimJoin(): Unit = dimJoinCache = None
+
+  /** Pinned image of the sink's current data rows, maintained
+    * INCREMENTALLY across append-only batches (anti-join out the upserted
+    * keys, union the new rows, re-pin) — the micro-batch analog of the
+    * state a `flatMapGroupsWithState` view would hold. Kills the per-batch
+    * sink snapshot merge (scan + LWW window + broadcast) that the
+    * conditional upsert otherwise re-runs against a one-commit-older sink
+    * every batch. Guarded: above [[IncrementalJoinPipeline.MaxPinnedSinkRows]]
+    * the image is NOT kept (pinning the whole materialized view on
+    * executors stops being the right trade, and localCheckpoint blocks are
+    * not executor-loss tolerant) and callers fall back to lake reads with
+    * point-read pruning. Invalidated by any full (retraction) batch. */
+  @volatile private var sinkImageCache: Option[(DataFrame, Long)] = None
+  @volatile private var sinkImageTooBig = false
+
+  private def sinkImage(): Option[(DataFrame, Long)] =
+    sinkImageCache.orElse {
+      if (sinkImageTooBig) None
+      else {
+        val img = sink.read().localCheckpoint(true)
+        val n = img.count()
+        if (n <= IncrementalJoinPipeline.MaxPinnedSinkRows) {
+          sinkImageCache = Some((img, n)); sinkImageCache
+        } else { sinkImageTooBig = true; None }
+      }
+    }
+
+  private def advanceSinkImage(out: DataFrame, outRows: Long): Unit =
+    sinkImageCache = sinkImageCache.map { case (old, n) =>
+      val img = old.join(broadcast(out.select(col(sinkKey).as("__k"))),
+          col(sinkKey) === col("__k"), "left_anti")
+        .unionByName(out)
+        .localCheckpoint(true)
+      // upper bound is enough for the broadcast decision; the exact count
+      // would cost a job
+      (img, n + outRows)
+    }
+
+  private def invalidateSinkImage(): Unit = { sinkImageCache = None; sinkImageTooBig = false }
+
   /** Seed the states (the reference's snapshot phase, zpln:1101). Empty
     * DataFrames (with schema) are fine for binlog-only inputs. */
   def initialize(personSnap: DataFrame, ticketSnap: DataFrame, histSnap: DataFrame): Unit = {
@@ -142,6 +201,7 @@ final class IncrementalJoinPipeline(
     pState.applyChangelog(dP, batchId)
     tState.applyChangelog(dT, batchId)
     hState.applyChangelog(dH, batchId)
+    invalidateDimJoin() // P/T state moved: the materialized dim join is stale
 
     // -- recompute the view for affected persons over NEW state ------------
     val newOut = project(joinAll(pState.read(), tState.read(), hState.read(), Some(affected)))
@@ -165,6 +225,7 @@ final class IncrementalJoinPipeline(
       struct(newRows.columns.map(col): _*).as("before"),
       lit(null).cast(newRows.schema).as("after"), lit(0L).as("seq"))
     sink.applyChangelog(ups.unionByName(dels), batchId = batchId)
+    invalidateSinkImage() // retractions bypassed the incremental image
 
     // batch fully durable → states may compact now (T4)
     Seq(pState, tState, hState).foreach(_.maybeCompact())
@@ -181,7 +242,16 @@ final class IncrementalJoinPipeline(
     * ([[MorTable.snapshotForKeys]] pushes the key set into the parquet
     * scans, so row-group stats skip the untouched sink), never the whole
     * sink snapshot. */
+  // (Measured dead end, kept as a note: disabling AQE for micro-batch
+  // plans cuts ~16 driver jobs per replay but LOSES wall and task time —
+  // AQE's partition coalescing turns the 32-way micro-stages into a few
+  // fat tasks, which outweighs its per-exchange stage-job overhead.)
   private def appendOnlyBatch(dH: DataFrame, hRows: Long, batchId: Long): Unit = {
+    appendOnlyCore(dH, hRows, batchId)
+    Seq(pState, tState, hState, sink).foreach(_.maybeCompact())
+  }
+
+  private def appendOnlyCore(dH: DataFrame, hRows: Long, batchId: Long): Unit = {
     // the caller proved dH is insert-only; unique keys are the CDC insert
     // contract — skip the per-key LWW window's shuffle
     hState.applyChangelog(dH, batchId, insertOnly = true)
@@ -193,41 +263,60 @@ final class IncrementalJoinPipeline(
     // driver with a multi-GB broadcast
     val newHSide =
       if (hRows <= IncrementalJoinPipeline.MaxBroadcastDeltaRows) broadcast(newH) else newH
-    val joined = pState.read()
-      .join(tState.read(), col(personKey) === col(ticketPersonFk))
-      .join(newHSide, col(histTicketFk) === col(ticketKey))
+    // dim side comes from the cross-batch materialized P⋈T view: an
+    // append-only batch re-probes pinned blocks instead of re-joining the
+    // two unchanged state tables every batch
+    val joined = dimJoin().join(newHSide, col(histTicketFk) === col(ticketKey))
     val w = Window.partitionBy(col(sinkKey)).orderBy(histOrder.map(col(_).desc): _*)
     def argmaxPerKey(df: DataFrame): DataFrame = df
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
     val ordStruct = struct(histOrder.map(col): _*)
-    def conditionalUpsert(candTop: DataFrame, curSnap: DataFrame): Unit = {
+    def conditionalOut(candTop: DataFrame, curSnap: DataFrame): DataFrame = {
       val cur = curSnap.select(col(sinkKey).as("__cur_key"),
         struct(histOrder.map(col): _*).as("__cur_ord"))
-      val out = candTop
+      candTop
         .join(cur, col(sinkKey) === col("__cur_key"), "left")
         .filter(col("__cur_key").isNull || ordStruct > col("__cur_ord"))
         .drop("__cur_key", "__cur_ord")
-      sink.upsert(out, orderWithinBatch = histOrder.map(col), batchId = batchId)
     }
-    // candidate sink keys are bounded by the batch's row count (the h→t→p
-    // join is N:1:1; `hRows` was counted by the caller's pre-check job). A
-    // NORMAL micro-batch is small: collect its keys so the sink compare is
-    // a pruned point read (readForKeys pushes the set into the sink scans —
-    // O(|delta|), not O(|sink|)). A dense batch (snapshot replay /
-    // backfill) touches most keys anyway, so pruning cannot help — keep the
-    // original one-plan full compare and skip the cache/collect overhead.
-    if (hRows <= IncrementalJoinPipeline.MaxPushedSinkKeys) {
-      val candTop = argmaxPerKey(project(joined)).cache()
-      try {
-        val candKeys = candTop.select(col(sinkKey).cast("string"))
-          .distinct().collect().map(_.getString(0)).toSeq
-        conditionalUpsert(candTop,
-          if (candKeys.size <= IncrementalJoinPipeline.MaxPushedSinkKeys)
-            sink.readForKeys(candKeys)
-          else sink.read())
-      } finally { candTop.unpersist(); () }
-    } else conditionalUpsert(argmaxPerKey(project(joined)), sink.read())
-    Seq(pState, tState, hState, sink).foreach(_.maybeCompact())
+    // candTop is a per-sink-key argmax → provably key-distinct everywhere
+    // below: sink writes skip the upsert's own dedup window (a full
+    // shuffle per commit that would re-prove it)
+    sinkImage() match {
+      case Some((img0, n)) =>
+        // compare against the pinned incremental image: no sink scan, no
+        // per-batch snapshot merge. The pinned RDD carries no stats, so a
+        // plain join would plan sort-merge (two shuffles + sorts) —
+        // broadcast it while it is broadcast-sized. Pin `out` once — it
+        // feeds the commit AND the image advance.
+        val img =
+          if (n <= IncrementalJoinPipeline.MaxBroadcastDeltaRows) broadcast(img0) else img0
+        val out = conditionalOut(argmaxPerKey(project(joined)), img)
+          .localCheckpoint(true)
+        sink.upsertDistinct(out, batchId = batchId)
+        advanceSinkImage(out, outRows = hRows) // ≥ |out|: bound, not a count job
+      case None =>
+        // 100 TB fallback (sink too big to pin): candidate sink keys are
+        // bounded by the batch's row count (the h→t→p join is N:1:1). A
+        // NORMAL micro-batch is small: collect its keys so the compare is
+        // a pruned point read (readForKeys pushes the set into the sink
+        // scans — O(|delta|), not O(|sink|)). A dense batch (snapshot
+        // replay / backfill) touches most keys anyway — one-plan full
+        // compare, no cache/collect overhead.
+        if (hRows <= IncrementalJoinPipeline.MaxPushedSinkKeys) {
+          val candTop = argmaxPerKey(project(joined)).cache()
+          try {
+            val candKeys = candTop.select(col(sinkKey).cast("string"))
+              .distinct().collect().map(_.getString(0)).toSeq
+            val cur =
+              if (candKeys.size <= IncrementalJoinPipeline.MaxPushedSinkKeys)
+                sink.readForKeys(candKeys)
+              else sink.read()
+            sink.upsertDistinct(conditionalOut(candTop, cur), batchId = batchId)
+          } finally { candTop.unpersist(); () }
+        } else sink.upsertDistinct(
+          conditionalOut(argmaxPerKey(project(joined)), sink.read()), batchId = batchId)
+    }
   }
 
   /** Emptiness without a cluster job when the optimizer can prove it (a
@@ -267,4 +356,10 @@ object IncrementalJoinPipeline {
     * state join (a few-hundred-MB broadcast at most); beyond it — backfill
     * territory — the join falls back to shuffle. */
   private[streaming] val MaxBroadcastDeltaRows = 1000000
+
+  /** Up to this many rows the sink's current image is pinned on executors
+    * and maintained incrementally across append-only batches; beyond it
+    * the conditional upsert falls back to lake reads (point-read pruned).
+    * ~hundreds of MB of view rows at typical widths. */
+  private[streaming] val MaxPinnedSinkRows = 5000000L
 }
