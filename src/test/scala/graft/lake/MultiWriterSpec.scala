@@ -209,6 +209,48 @@ class MultiWriterSpec extends AnyFunSuite {
     assert(t.read().count() == 6, "no writer's rows may be lost")
   }
 
+  test("parent compaction racing applyChangelog on one child: straggler replays via child unfolded") {
+    val path = tmp()
+    def handle() = new PartitionedMorTable(spark, path, Seq("k"), "p",
+      compactionDeltaCommits = 1000, autoCompact = false, writePartitions = 2)
+    val t = handle()
+    t.upsert(((1 to 20).map(i => (i.toLong, "a", i)) ++
+      (21 to 40).map(i => (i.toLong, "b", i))).toDF("k", "p", "v"),
+      Seq(col("k")), batchId = 1L)
+    t.compactPartitions(Seq("a", "b")) // bases + manifests for minor plans
+    t.upsert(Seq((5L, "a", 500)).toDF("k", "p", "v"), Seq(col("k")), batchId = 2L)
+    // replay compactPartitions("a")'s body, paused between plan and adopt
+    val ca = t.child("a")
+    val plan = ca.minorPlan()
+    val prep = ca.prepareCompact(baseFiles = plan.map(_.affected),
+      onlyDeltas = plan.map(_.plannedDeltaSeqs))
+    // RACE: an uncoordinated writer commits a changelog batch into child a
+    // AFTER the compaction's listing
+    val t2 = handle()
+    t2.applyChangelog(spark.sql(
+      """SELECT 'U' op, '7' key, named_struct('k', 7L, 'p', 'a', 'v', 7) before,
+        |       named_struct('k', 7L, 'p', 'a', 'v', 700) after, 1L seq""".stripMargin),
+      batchId = 3L)
+    // resume the stale compaction: stage + adopt at the CHILD level
+    val staging = new Path(path, "p=a/.staging-race")
+    prep.df.repartitionByRange(2, col("_record_key"))
+      .sortWithinPartitions(col("_record_key"))
+      .write.mode("overwrite").parquet(staging.toString)
+    plan.foreach(pl => ca.copyCarried(pl.carried, staging))
+    ca.adoptBase(staging, prep.foldedDeltaSeqs)
+    val c = t.child("a").timeline().filter(_.kind == "compact").last
+    assert(c.unfolded.nonEmpty,
+      "the raced changelog delta must be recorded unfolded, not shadowed")
+    def rows = t.read().collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(t.read().count() == 40, "no duplicate rows from the stale compaction")
+    assert(rows(7L) == 700, "the raced writer's commit must survive the compaction")
+    assert(rows(5L) == 500, "the planned delta must be folded")
+    // the NEXT parent compaction folds the straggler for good
+    t.compactPartitions(Seq("a"))
+    assert(t.child("a").timeline().filter(_.kind == "compact").last.unfolded.isEmpty)
+    assert(t.read().count() == 40 && rows(7L) == 700)
+  }
+
   test("bypassed token allocation cannot silently replace a committed parent instant") {
     val path = tmp()
     val t = new PartitionedMorTable(spark, path, Seq("k"), "p")
