@@ -48,6 +48,8 @@ object SparkEntry {
     "r15_sessionize"     -> ((s, d) => RelationalOps.sessionize(s, d)),
     "r2_changelog_materialize" -> ((s, d) => graft.sources.ChangelogQueries.materializeEvents(s, d)),
     "s7_mor_upsert_replay" -> ((s, d) => graft.lake.LakeQueries.upsertReplay(s, d)),
+    "s47_savepoint_restore" -> ((s, d) => graft.lake.LakeQueries.rollbackRestore(s, d)),
+    "s48_partition_ttl"   -> ((s, d) => graft.lake.LakeQueries.partitionTtl(s, d)),
     "s13_mor_partitioned" -> ((s, d) => graft.lake.LakeQueries.partitionedReplay(s, d)),
     "s28_manifest_read"   -> ((s, d) => graft.lake.LakeQueries.manifestRead(s, d)),
     "s31_part_manifest_read" -> ((s, d) => graft.lake.LakeQueries.partManifestRead(s, d)),
@@ -1935,6 +1937,24 @@ object SparkEntry {
         |FROM events
         |QUALIFY row_number() OVER
         |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+    "s47_savepoint_restore" ->
+      """WITH b AS (
+        |  SELECT min(epoch_ns(ts)) + 2 * ((max(epoch_ns(ts)) - min(epoch_ns(ts))) // 3) AS hi
+        |  FROM events
+        |)
+        |SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
+        |FROM events, b
+        |WHERE epoch_ns(ts) <= b.hi
+        |QUALIFY row_number() OVER
+        |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+    "s48_partition_ttl" ->
+      """WITH m AS (SELECT min(event_type) AS v FROM events)
+        |SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
+        |FROM events, m
+        |WHERE event_type <> m.v
+        |QUALIFY row_number() OVER
+        |  (PARTITION BY event_type, user_id
+        |   ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
     "s16_mor_datasource" ->
       """SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
         |FROM events

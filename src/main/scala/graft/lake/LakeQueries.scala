@@ -49,6 +49,56 @@ object LakeQueries {
     } finally batched.unpersist()
   }
 
+  /** Savepoint + restore (the Hudi savepoint/restore table service),
+    * oracle-checked end-to-end: replay events as three time-third upserts
+    * into a `compactionDeltaCommits = 2` table (the num trigger compacts
+    * after the second commit, so the savepoint pins a COMPACTED state),
+    * savepoint after batch 2, apply batch 3, then restore — the read must
+    * equal the LWW dedup over the first two thirds alone, proving
+    * [[MorTable.restore]] physically discards batch 3 (instants, data, and
+    * any newer base) and the savepoint horizon is exactly honored. The
+    * rolled-back batch id is re-committable afterwards (re-ingest after a
+    * bad deploy — the operational point of the Hudi service). */
+  def rollbackRestore(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "value", "ts_ms", "ts_ns")
+    val b = ev.agg(min(col("ts_ns")).as("mn"), max(col("ts_ns")).as("mx")).head()
+    val mn = b.getLong(0); val mx = b.getLong(1)
+    val lo = mn + (mx - mn) / 3
+    val hi = mn + 2 * ((mx - mn) / 3)
+    val path = tempPath("mor-restore")
+    val t = MorTable(spark, path, keyCols = Seq("user_id"), compactionDeltaCommits = 2)
+    val ord = Seq(col("ts_ns"), col("event_id"))
+    t.upsert(ev.filter(col("ts_ns") <= lo), ord, batchId = 1L)
+    t.upsert(ev.filter(col("ts_ns") > lo && col("ts_ns") <= hi), ord, batchId = 2L)
+    val pinned = t.savepoint("pre_backfill")
+    t.upsert(ev.filter(col("ts_ns") > hi), ord, batchId = 3L)
+    t.restore("pre_backfill")
+    assert(t.timeline().last.seq == pinned, "restore must land exactly on the pin")
+    graft.TempDirs.materializeAndDelete(
+      t.read().select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
+  }
+
+  /** DROP PARTITION / retention TTL, oracle-checked: replay events into
+    * the event_type-partitioned lake form, then TTL away the
+    * lexicographically smallest partition value
+    * ([[PartitionedMorTable.dropPartitionsWhere]] — one metadata+storage
+    * delete, zero data jobs), and read. Must equal the partitioned LWW
+    * dedup excluding that event type. */
+  def partitionTtl(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "value", "ts_ms", "ts_ns")
+    val path = tempPath("mor-ttl")
+    val t = new PartitionedMorTable(spark, path, Seq("user_id"), "event_type",
+      compactionDeltaCommits = 1000, autoCompact = false)
+    t.upsert(ev, Seq(col("ts_ns"), col("event_id")), batchId = 1L)
+    val doomedValue = t.partitions().min
+    val dropped = t.dropPartitionsWhere(_ == doomedValue)
+    assert(dropped == Seq(doomedValue))
+    graft.TempDirs.materializeAndDelete(
+      t.read().select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
+  }
+
   /** External snapshot manifest, oracle-checked: replay events as two
     * time-split upserts into a `compactionDeltaCommits = 2` table (the num
     * trigger compacts after the second commit, publishing

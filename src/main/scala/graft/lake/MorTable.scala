@@ -1052,10 +1052,19 @@ final class MorTable(
     val p = new Path(hPath, s"manifest/$seq.json")
     if (!fs.exists(p)) return None
     val json = new String(readFully(fs, p), StandardCharsets.UTF_8)
-    val arr = ("\"files\":\\[((?:\"(?:[^\"\\\\]|\\\\.)*\",?)*)\\]").r
-      .findFirstMatchIn(json).map(_.group(1)).getOrElse(return None)
+    // `files` is the manifest's LAST field: slice between its '[' and the
+    // final ']' by index — a nested (quoted-string)* regex over a
+    // thousands-of-files array recurses once per file in java.util.regex
+    // and overflows the stack
+    val key = "\"files\":["
+    val i = json.indexOf(key)
+    if (i < 0) return None
+    val start = i + key.length
+    val end = json.lastIndexOf(']')
+    if (end <= start) return None
     val item = "\"((?:[^\"\\\\]|\\\\.)*)\"".r
-    val fs0 = item.findAllMatchIn(arr).map(m => un(m.group(1))).toSeq
+    val fs0 = item.findAllMatchIn(json.substring(start, end))
+      .map(m => un(m.group(1))).toSeq
     if (fs0.isEmpty) None else Some(fs0)
   }
 
@@ -1098,9 +1107,20 @@ final class MorTable(
     tl.filter(_.kind == "compact").lastOption match {
       case None => 0
       case Some(c) =>
+        // a savepointed snapshot at S needs the newest compact ≤ S plus
+        // the live deltas of THAT compact's horizon (same resolution as
+        // liveDeltas at S) — pin those against the clean
+        val pinned: Set[Long] = savepoints().values.toSet.flatMap { (s: Long) =>
+          val below = tl.filter(_.seq <= s)
+          val cS = below.filter(_.kind == "compact").lastOption
+          val lo = cS.map(_.seq).getOrElse(0L)
+          cS.map(_.seq).toSet ++ below.filter(i => i.kind == "delta" &&
+            (i.seq > lo || cS.exists(_.unfolded.contains(i.seq)))).map(_.seq)
+        }
         // an unfolded straggler's content is NOT in the base — its data
         // and instant must survive the clean so reads keep replaying it
-        val old = tl.filter(i => i.seq < c.seq && !c.unfolded.contains(i.seq))
+        val old = tl.filter(i => i.seq < c.seq && !c.unfolded.contains(i.seq) &&
+          !pinned.contains(i.seq))
         val removed = old.map { i =>
           val dir = new Path(hPath, s"${if (i.kind == "compact") "base" else "delta"}/${i.seq}")
           if (i.kind == "compact") // manifest of a cleaned base points at deleted files
@@ -1141,12 +1161,66 @@ final class MorTable(
     val doomed = tl.filter(_.seq > toSeq)
     doomed.reverse.foreach { i =>
       fs.delete(new Path(hPath, s"timeline/${instantFileName(i)}"), false)
+      if (i.kind == "compact") // external readers take the HIGHEST manifest:
+        fs.delete(new Path(hPath, s"manifest/${i.seq}.json"), false)
       val dir = new Path(hPath, s"${if (i.kind == "compact") "base" else "delta"}/${i.seq}")
       if (fs.exists(dir)) fs.delete(dir, true)
       ()
     }
+    // savepoints pinned above the target point at commits that no longer
+    // exist — release them rather than leave dangling pins
+    savepoints().collect { case (n, s) if s > toSeq => n }.foreach(releaseSavepoint)
     instantCache = instantCache -- doomed.map(_.seq)
     doomed.size
+  }
+
+  // ------------------------------------------------------------ savepoints
+
+  /** Named savepoint (the Hudi savepoint analog): pins the current last
+    * commit seq under `name`. [[clean]] preserves every instant the pinned
+    * snapshot needs (its base plus the live deltas above it), so
+    * `readAt(pinnedSeq)` keeps working across cleans, and [[restore]]
+    * rolls the table back to it. Exclusive create — savepoints are
+    * immutable; re-using a live name fails loudly. */
+  def savepoint(name: String): Long = synchronized {
+    require(name.nonEmpty && !name.exists(c => c == '/' || c == '.'),
+      s"savepoint name must be a plain token: '$name'")
+    val seq = lastSeq(timeline())
+    require(seq > 0, "cannot savepoint an empty table")
+    val dir = new Path(hPath, "savepoint")
+    fs.mkdirs(dir)
+    val p = new Path(dir, s"$name.json")
+    if (fs.exists(p))
+      throw new IllegalArgumentException(s"savepoint '$name' already exists")
+    val out = fs.create(p, false)
+    try out.write(s"""{"name":"$name","seq":$seq}"""
+      .getBytes(StandardCharsets.UTF_8)) finally out.close()
+    seq
+  }
+
+  /** Live savepoints: name → pinned commit seq. */
+  def savepoints(): Map[String, Long] = {
+    val dir = new Path(hPath, "savepoint")
+    if (!fs.exists(dir)) return Map.empty
+    fs.listStatus(dir).toSeq.map(_.getPath.getName).filter(_.endsWith(".json"))
+      .flatMap { n =>
+        val json = new String(readFully(fs, new Path(dir, n)), StandardCharsets.UTF_8)
+        "\"seq\":(\\d+)".r.findFirstMatchIn(json)
+          .map(m => n.stripSuffix(".json") -> m.group(1).toLong)
+      }.toMap
+  }
+
+  /** Release a savepoint — its pinned instants become cleanable again. */
+  def releaseSavepoint(name: String): Boolean =
+    fs.delete(new Path(hPath, s"savepoint/$name.json"), false)
+
+  /** Restore to savepoint `name` (Hudi restore-to-savepoint): [[rollback]]
+    * to its pinned seq. Savepoints above the target are released by the
+    * rollback itself. Returns #instants rolled back. */
+  def restore(name: String): Int = {
+    val seq = savepoints().getOrElse(name,
+      throw new IllegalArgumentException(s"no such savepoint: '$name'"))
+    rollback(seq)
   }
 
   /** S5 — drop the table (catalog + storage). */

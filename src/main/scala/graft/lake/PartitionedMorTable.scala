@@ -684,6 +684,35 @@ final class PartitionedMorTable(
           .warn(s"parent manifest write failed for $path", e)
     }
 
+  /** DROP PARTITION (the `ALTER TABLE … DROP PARTITION` / Hudi
+    * delete-partition / lake retention surface): delete the named
+    * partitions' child tables outright — storage AND metadata, one
+    * partition-dir delete each, zero data jobs. The drop is recorded as a
+    * parent `drop` instant (a new token), and the external manifest +
+    * catalog regenerate under that token so cross-engine readers stop
+    * seeing the dropped files. OUTSIDE the changelog by design, exactly
+    * like Hudi's delete_partition: incremental/CDC consumers observe the
+    * partition vanish from snapshots, not row-level D events — emitting
+    * tombstones for a TTL'd billion-row partition would turn a metadata
+    * operation into an O(partition) scan. Returns the values dropped. */
+  def dropPartitions(values: Seq[String]): Seq[String] = {
+    val present = partitions().toSet
+    val victims = values.filter(present).sorted
+    if (victims.isEmpty) return victims
+    victims.foreach { v => fs.delete(new Path(hPath, s"p=$v"), true); () }
+    val token = nextToken("drop")
+    writeParentInstant(MorTable.Instant(token, "drop", -1L,
+      System.currentTimeMillis()))
+    writeParentManifest()
+    victims
+  }
+
+  /** Retention/TTL sweep: drop every partition whose value satisfies
+    * `doomed` (e.g. a date-partitioned table dropping values below the
+    * retention horizon). */
+  def dropPartitionsWhere(doomed: String => Boolean): Seq[String] =
+    dropPartitions(partitions().filter(doomed))
+
   /** Cleaner across all partitions (see MorTable.clean) + parent-timeline
     * archival. Returns #child data dirs removed. */
   def clean(): Int = {

@@ -317,6 +317,38 @@ class MorTableSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](t.rollback(1))
   }
 
+  test("savepoint pins a readable snapshot across clean; restore rolls back to it") {
+    val t = MorTable(spark, TestSpark.tmpDir("mor-sp"), Seq("uuid"),
+      compactionDeltaCommits = 100)
+    t.upsert(t1Rows, Seq(col("ts")), batchId = 1L)                      // seq 1
+    val pin = t.savepoint("v1")
+    assert(pin == 1L)
+    intercept[IllegalArgumentException](t.savepoint("v1")) // immutable names
+    t.upsert(Seq(("id1", "Francisco", 29, "2023-06-15 12:00:00"))
+      .toDF("uuid", "name", "age", "ts"), Seq(col("ts")), batchId = 2L) // seq 2
+    t.compact()                                                         // seq 3
+    // clean() must NOT remove the savepointed delta even though it is
+    // below the compact horizon
+    t.clean()
+    assert(t.readAt(pin).filter($"uuid" === "id1").head()
+      .getAs[String]("name") == "Danny",
+      "savepointed time-travel read must survive clean()")
+    // restore = rollback to the pin: the newer base goes (the folded
+    // seq-2 delta was already cleaned — only the compact instant remains)
+    assert(t.restore("v1") == 1)
+    assert(t.read().count() == 8)
+    assert(t.read().filter($"uuid" === "id1").head().getAs[String]("name") == "Danny")
+    assert(t.savepoints() == Map("v1" -> 1L), "the restored-to pin survives")
+    // released savepoint stops pinning: next compact+clean removes seq 1
+    t.releaseSavepoint("v1")
+    t.upsert(Seq(("id2", "Y", 1, "2023-06-15 12:00:00"))
+      .toDF("uuid", "name", "age", "ts"), Seq(col("ts")), batchId = 3L)
+    t.compact(); t.clean()
+    val e = intercept[Exception](t.readAt(1L).collect())
+    assert(e != null, "unpinned horizon is cleanable again")
+    assert(t.savepoints().isEmpty)
+  }
+
   test("cleaner removes pre-compaction files; snapshot unaffected") {
     val t = MorTable(spark, TestSpark.tmpDir("mor-clean"), Seq("uuid"),
       compactionDeltaCommits = 2)

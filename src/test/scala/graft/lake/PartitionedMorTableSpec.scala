@@ -239,4 +239,32 @@ class PartitionedMorTableSpec extends AnyFunSuite {
     t.upsert(Seq((9L, "a", 90)).toDF("k", "p", "v"), Seq(col("k")), batchId = 3L)
     assert(PartitionedMorTable.readManifest(spark, t.path).count() == 3)
   }
+
+  test("dropPartitions: storage+metadata delete, manifest refresh, re-ingest works") {
+    val t = new PartitionedMorTable(spark, tmp(), Seq("k"), "p",
+      compactionDeltaCommits = 2)
+    t.upsert(Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("k", "p", "v"),
+      Seq(col("k")), batchId = 1L)
+    t.upsert(Seq((4L, "a", 40), (5L, "b", 50), (6L, "c", 60)).toDF("k", "p", "v"),
+      Seq(col("k")), batchId = 2L) // num trigger → all compact → manifest
+    val tokensBefore = t.parentTimeline().map(_.seq).max
+    // TTL away partition "a"
+    assert(t.dropPartitionsWhere(_ == "a") == Seq("a"))
+    assert(t.partitions() == Seq("b", "c"))
+    assert(t.read().select("p").distinct().collect().map(_.getString(0)).sorted.toSeq
+      == Seq("b", "c"))
+    // pruned read of the dropped value is a loud miss, not silent stale data
+    intercept[IllegalArgumentException](t.read(Seq("a")).collect())
+    // the drop is a parent instant (streams observe an offset bump, no rows)
+    val dropInstant = t.parentTimeline().last
+    assert(dropInstant.kind == "drop" && dropInstant.seq > tokensBefore)
+    // external manifest regenerated WITHOUT the dropped partition's files
+    val ext = PartitionedMorTable.readManifest(spark, t.path)
+    assert(ext.select("p").distinct().collect().map(_.getString(0)).sorted.toSeq
+      == Seq("b", "c"), "external readers must stop seeing dropped files")
+    // dropping a missing value is a no-op; re-ingest recreates the partition
+    assert(t.dropPartitions(Seq("a", "zz")).isEmpty)
+    t.upsert(Seq((7L, "a", 70)).toDF("k", "p", "v"), Seq(col("k")), batchId = 3L)
+    assert(t.read(Seq("a")).count() == 1, "dropped partition value is re-ingestable")
+  }
 }
