@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions.call_function
-import graft.functions.expr.{CmsAgg, CosineSimilarity, HistAgg, HllAgg, LangId, LshBuckets, LshBucketsMd5, MinHashAgg, MinHashBands, MinHashSignature, MinHashMd5, NearestCells, PqEncode, Quantize127, ShingleHashes, TextQuality, SigOverlap, SimHashChunks, SimHashMd5, TokenHashes, TopKRowsAgg}
+import graft.functions.expr.{CmsAgg, CosineSimilarity, HistAgg, HllAgg, KeyBloomAgg, LangId, LshBuckets, LshBucketsMd5, MinHashAgg, MinHashBands, MinHashSignature, MinHashMd5, NearestCells, PqEncode, Quantize127, ShingleHashes, TextQuality, SigOverlap, SimHashChunks, SimHashMd5, TokenHashes, TopKRowsAgg}
 
 /** Engine extension wiring.
   *
@@ -25,6 +25,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => MinHashAgg(exprs.head, MinHashAgg.widthOf(exprs)).toAggregateExpression()))
     ext.injectFunction((FunctionIdentifier("hll_agg"), HllAgg.info,
       exprs => HllAgg(exprs.head, HllAgg.precisionOf(exprs)).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("key_bloom_agg"), KeyBloomAgg.info,
+      exprs => KeyBloomAgg(exprs.head, KeyBloomAgg.bitsOf(exprs)).toAggregateExpression()))
     ext.injectFunction((FunctionIdentifier("cms_agg"), CmsAgg.info,
       exprs => CmsAgg(exprs.head, CmsAgg.depthOf(exprs), CmsAgg.widthOf(exprs))
         .toAggregateExpression()))
@@ -100,6 +102,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("hll_agg"), HllAgg.info,
       exprs => HllAgg(exprs.head, HllAgg.precisionOf(exprs)).toAggregateExpression())
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("key_bloom_agg"), KeyBloomAgg.info,
+      exprs => KeyBloomAgg(exprs.head, KeyBloomAgg.bitsOf(exprs)).toAggregateExpression())
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("cms_agg"), CmsAgg.info,
       exprs => CmsAgg(exprs.head, CmsAgg.depthOf(exprs), CmsAgg.widthOf(exprs))

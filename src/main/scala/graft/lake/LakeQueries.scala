@@ -153,6 +153,37 @@ object LakeQueries {
         .select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
   }
 
+  /** Bloom-indexed point read, oracle-checked (the Hudi BLOOM-index read
+    * analog): replay the first time-half of events and COMPACT — the
+    * manifest now carries a per-file `_record_key` Bloom filter from the
+    * same single stats pass as the key bounds — then land the second half
+    * as a live delta and [[MorTable.readForKeys]] the deterministic
+    * `user_id % 11 = 3` key set. Base files whose filter proves none of
+    * the keys present are dropped at the LISTING level (no footer open,
+    * no task); the delta merges on top, so the result is exactly the full
+    * LWW dedup restricted to those keys — which is the oracle. */
+  def bloomPointRead(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "value", "ts_ms", "ts_ns")
+    val bounds = ev.agg(min(col("ts_ns")).as("mn"), max(col("ts_ns")).as("mx")).head()
+    val mn = bounds.getLong(0); val mx = bounds.getLong(1)
+    val mid = mn + (mx - mn) / 2
+    val path = tempPath("mor-bloomidx")
+    val t = new MorTable(spark, path, keyCols = Seq("user_id"),
+      compactionDeltaCommits = 1000, autoCompact = false, writePartitions = 4)
+    t.upsert(ev.filter(col("ts_ns") <= mid),
+      orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 1L)
+    t.compact()
+    t.upsert(ev.filter(col("ts_ns") > mid),
+      orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 2L)
+    val keys = ev.select(col("user_id")).distinct()
+      .filter(col("user_id") % 11 === 3)
+      .collect().map(_.getLong(0).toString).toSeq.sorted
+    graft.TempDirs.materializeAndDelete(
+      t.readForKeys(keys)
+        .select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
+  }
+
   /** Key-RANGE read over a compacted-then-appended table (the file-skip
     * path): replay half the events, compact — range-partitioned base files
     * with per-file key bounds in the manifest — then land the second half

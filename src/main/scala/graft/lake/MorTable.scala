@@ -56,7 +56,14 @@ final class MorTable(
     /** T5 — the `write.tasks`/`compaction.tasks` analog (zpln:2234:
       * write.tasks=3): >0 hashes each commit into this many files on
       * `_record_key`. 0 = keep the incoming partitioning. */
-    val writePartitions: Int = 0) {
+    val writePartitions: Int = 0,
+    /** Per-base-file Bloom filter width in bits (power of two) — the Hudi
+      * bloom-index sizing lever. Written into every manifest at compaction;
+      * [[snapshotForKeys]] prunes base files whose filter proves none of
+      * the requested keys present. Size to the per-file key count: 2^16
+      * bits ≈ 1% fpp at 6.5k keys/file; fpp only costs extra scanned
+      * files, never correctness. */
+    val bloomBits: Int = 1 << 16) {
 
   import MorTable._
 
@@ -285,8 +292,14 @@ final class MorTable(
       if (statsCols.isEmpty)
         statsCols = previousManifestStatCols(seq)
       val sCols = statsCols
+      graft.GraftFunctions.register(spark)
       val aggs = Seq(min(col("_record_key")).as("mn"),
-        max(col("_record_key")).as("mx")) ++
+        max(col("_record_key")).as("mx"),
+        // per-file key Bloom filter (the Hudi bloom-index analog) from the
+        // SAME pass — point reads prune base files by key MEMBERSHIP, not
+        // just range (see snapshotForKeys)
+        call_function("key_bloom_agg", col("_record_key"), lit(bloomBits))
+          .as("bloom")) ++
         sCols.flatMap(c => Seq(
           min(col(c).cast("double")).as(s"mn_$c"),
           max(col(c).cast("double")).as(s"mx_$c")))
@@ -307,6 +320,11 @@ final class MorTable(
       }
       val statsJson = stats.map { case (f, mn, mx) =>
         s"""{"file":"${js(f)}","minKey":"${js(mn)}","maxKey":"${js(mx)}"}"""
+      }.mkString(",")
+      // per-file key Bloom filters, base64 (alphabet is JSON-safe)
+      val bloomsJson = perFile.map { r =>
+        val b64 = java.util.Base64.getEncoder.encodeToString(r.getAs[Array[Byte]]("bloom"))
+        s"""{"file":"${js(r.getString(0))}","b64":"$b64"}"""
       }.mkString(",")
       // per-file double min/max for the z-order columns, from the same
       // single aggregation pass (files whose stat columns are all null —
@@ -329,6 +347,7 @@ final class MorTable(
       val json =
         s"""{"baseSeq":$seq,"filter":"_deleted = false",""" +
           s""""stats":[$statsJson],""" +
+          (if (bloomsJson.nonEmpty) s""""blooms":[$bloomsJson],""" else "") +
           (if (colStatsJson.nonEmpty) s""""colstats":[$colStatsJson],""" else "") +
           s""""files":[${files.map("\"" + js(_) + "\"").mkString(",")}]}"""
       val tmp = new Path(dir, s".$seq.json.tmp")
@@ -679,8 +698,37 @@ final class MorTable(
       s"snapshotForKeys got ${recordKeys.size} keys — a literal In() this " +
         "large bloats the plan; scan-and-join instead")
     if (recordKeys.isEmpty) snapshot().limit(0)
-    else snapshotMerged(timeline(),
-      Some(col("_record_key").isin(recordKeys: _*))).filter(!col("_deleted"))
+    else {
+      val tl = timeline()
+      // Bloom-index file pruning (the Hudi bloom-index read analog): drop
+      // base files whose per-file key filter proves NONE of the requested
+      // keys present. Unconditionally sound — no straggler guard needed:
+      // the key predicate already restricts every scan to the requested
+      // keys, and a bloom has no false negatives, so a pruned file
+      // contributes nothing to the filtered merge by construction. Files
+      // absent from the blooms array (or manifests predating blooms) are
+      // conservatively scanned.
+      val (lastCompact, _) = liveDeltas(tl)
+      val baseFiles = lastCompact.flatMap { c =>
+        manifestBlooms(c.seq).flatMap { bl =>
+          manifestFiles(c.seq).map { all =>
+            def fname(s: String) = s.substring(s.lastIndexOf('/') + 1)
+            // probe positions depend only on (key, bits): precompute once
+            // per distinct filter width, not once per (key, file)
+            val posByBits = scala.collection.mutable.Map.empty[Int, Array[Array[Int]]]
+            all.filter { f =>
+              bl.get(fname(f)).forall { buf =>
+                val pos = posByBits.getOrElseUpdate(buf.length * 8,
+                  graft.functions.expr.KeyBloom.positionsFor(recordKeys, buf.length * 8))
+                graft.functions.expr.KeyBloom.anyMightContain(buf, pos)
+              }
+            }.sorted
+          }
+        }
+      }
+      snapshotMerged(tl, Some(col("_record_key").isin(recordKeys: _*)), baseFiles)
+        .filter(!col("_deleted"))
+    }
   }
 
   /** [[snapshotForKeys]] without the lake metadata columns. */
@@ -1041,6 +1089,24 @@ final class MorTable(
     val st = re.findAllMatchIn(json)
       .map(m => (un(m.group(1)), un(m.group(2)), m.group(3).toDouble, m.group(4).toDouble)).toSeq
     if (st.isEmpty) None else Some(st)
+  }
+
+  /** Per-file key Bloom filters from `manifest/<seq>.json`, keyed by file
+    * NAME (colstats rule: stats come from input_file_name(), the files
+    * list from listStatus — only the name matches across the two). None
+    * for manifests written before blooms existed. */
+  private def manifestBlooms(seq: Long): Option[Map[String, Array[Byte]]] = {
+    val p = new Path(hPath, s"manifest/$seq.json")
+    if (!fs.exists(p)) return None
+    val json = new String(readFully(fs, p), StandardCharsets.UTF_8)
+    val es = "((?:[^\"\\\\]|\\\\.)*)"
+    val re = ("\\{\"file\":\"" + es + "\",\"b64\":\"([A-Za-z0-9+/=]*)\"\\}").r
+    val bl = re.findAllMatchIn(json).map { m =>
+      val f = un(m.group(1))
+      f.substring(f.lastIndexOf('/') + 1) ->
+        java.util.Base64.getDecoder.decode(m.group(2))
+    }.toMap
+    if (bl.isEmpty) None else Some(bl)
   }
 
   /** The manifest's full base-file listing (`files` array) — the ground

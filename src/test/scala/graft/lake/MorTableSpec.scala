@@ -268,6 +268,49 @@ class MorTableSpec extends AnyFunSuite {
     assert(t.readForKeys(Seq("id1")).count() == 1)
   }
 
+  test("manifest bloom index prunes base files for point reads at the listing level") {
+    val path = TestSpark.tmpDir("mor-bloomidx")
+    val rows = (0 until 400)
+      .map(i => (f"k$i%03d", s"n$i", i, "1970-01-01 00:00:01"))
+      .toDF("uuid", "name", "age", "ts")
+    val t = new MorTable(spark, path, Seq("uuid"),
+      compactionDeltaCommits = 1000, autoCompact = false, writePartitions = 4)
+    t.upsert(rows, orderWithinBatch = Seq(col("ts")), batchId = 1L)
+    t.compact() // 4 base files, per-file key blooms in the manifest
+    t.upsert(Seq(("k050", "upd", -1, "1970-01-01 00:00:09"),
+      ("zzz", "new", -2, "1970-01-01 00:00:09"))
+      .toDF("uuid", "name", "age", "ts"),
+      orderWithinBatch = Seq(col("ts")), batchId = 2L)
+    // a single-key read must not open every base file — the bloom proves
+    // the other files cannot contain the key (file NAME keying, no false
+    // negatives), so they are dropped before any task runs
+    val one = t.readForKeys(Seq("k123"))
+    val scannedBase = one.inputFiles.count(_.contains("/base/"))
+    assert(scannedBase < 4,
+      s"point read scanned $scannedBase of 4 base files — bloom index not pruning")
+    assert(one.collect().map(r =>
+      r.getAs[String]("uuid") -> r.getAs[Int]("age")).toSeq == Seq("k123" -> 123))
+    // delta rows survive pruning: k050's base file prunes to the bloom hit,
+    // the live delta still wins LWW on top
+    val upd = t.readForKeys(Seq("k050"))
+    assert(upd.collect().map(r =>
+      r.getAs[String]("uuid") -> r.getAs[Int]("age")).toSeq == Seq("k050" -> -1))
+    // a key present ONLY in the live delta: blooms prune every base file
+    // (Some(Nil) folds the base to an empty relation) yet the delta answers
+    val deltaOnly = t.readForKeys(Seq("zzz"))
+    assert(deltaOnly.inputFiles.count(_.contains("/base/")) == 0,
+      "no base file should survive bloom pruning for a delta-only key")
+    assert(deltaOnly.collect().map(r =>
+      r.getAs[String]("uuid") -> r.getAs[Int]("age")).toSeq == Seq("zzz" -> -2))
+    // absent key: empty result, not an error
+    assert(t.readForKeys(Seq("nope")).isEmpty)
+    // equality with the unpruned filtered read for a multi-file key set
+    val keys = Seq("k001", "k123", "k250", "k399", "k050", "zzz")
+    val full = t.read().filter(col("uuid").isin(keys: _*))
+      .orderBy("uuid").collect().toSeq
+    assert(t.readForKeys(keys).orderBy("uuid").collect().toSeq == full)
+  }
+
   test("two uncoordinated writers never lose a commit (inflight seq allocation)") {
     val path = TestSpark.tmpDir("mor-occ")
     def handle() = MorTable(spark, path, Seq("uuid"), compactionDeltaCommits = 1000)
