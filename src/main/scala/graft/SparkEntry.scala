@@ -143,6 +143,8 @@ object SparkEntry {
     "d22_substring_dedup" -> ((s, d) => graft.functions.LlmQueries.substringDedup(s, d)),
     "t20_vocab_oov"       -> ((s, d) => graft.functions.TextAnalysis.vocabOov(
       graft.Tables.documents(s, d))),
+    "t26_bpe_merges"      -> ((s, d) => graft.functions.TextAnalysis.bpeMerges(
+      s, graft.Tables.documents(s, d), rounds = 4)),
     "t21_bigram_logprob"  -> ((s, d) => graft.functions.TextAnalysis.bigramLogProb(
       graft.Tables.documents(s, d))),
     "t22_dsir_weights"    -> ((s, d) => graft.functions.TextAnalysis.dsirWeights(
@@ -1553,6 +1555,58 @@ object SparkEntry {
         |       sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov
         |FROM tok t LEFT JOIN vocab v ON t.token = v.token
         |GROUP BY t.doc_id""".stripMargin,
+    // BPE merge learning: 4 unrolled rounds of (pair-count -> best pair ->
+    // greedy merge). The merge fold runs over a chr(1)-delimited string:
+    // "last token = lhs" is an ends_with on the delimited form, and the
+    // merge itself is appending rhs WITHOUT the separator — exactly the
+    // Spark side's aggregate() fold (a merged token never re-merges as
+    // left: its string is lhs||rhs, never lhs).
+    "t26_bpe_merges" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                x -> x <> '')) AS w
+        |  FROM documents
+        |), words AS (
+        |  SELECT w, count(*)::BIGINT AS cnt FROM tok
+        |  WHERE regexp_full_match(w, '[a-z0-9]+') GROUP BY w
+        |), s0 AS (
+        |  SELECT cnt, list_transform(range(1, length(w)+1), i -> w[i]) AS s
+        |  FROM words
+        |), p1 AS (
+        |  SELECT s[i] AS l, s[i+1] AS r, sum(cnt)::BIGINT AS freq
+        |  FROM s0, unnest(range(1, len(s))) AS t(i) GROUP BY 1, 2
+        |), b1 AS (SELECT l, r, freq FROM p1 ORDER BY freq DESC, l, r LIMIT 1
+        |), s1 AS (
+        |  SELECT cnt, string_split(list_reduce(s, (acc, x) -> CASE
+        |    WHEN (acc = b1.l OR ends_with(acc, chr(1) || b1.l)) AND x = b1.r
+        |    THEN acc || x ELSE acc || chr(1) || x END), chr(1)) AS s
+        |  FROM s0, b1
+        |), p2 AS (
+        |  SELECT s[i] AS l, s[i+1] AS r, sum(cnt)::BIGINT AS freq
+        |  FROM s1, unnest(range(1, len(s))) AS t(i) GROUP BY 1, 2
+        |), b2 AS (SELECT l, r, freq FROM p2 ORDER BY freq DESC, l, r LIMIT 1
+        |), s2 AS (
+        |  SELECT cnt, string_split(list_reduce(s, (acc, x) -> CASE
+        |    WHEN (acc = b2.l OR ends_with(acc, chr(1) || b2.l)) AND x = b2.r
+        |    THEN acc || x ELSE acc || chr(1) || x END), chr(1)) AS s
+        |  FROM s1, b2
+        |), p3 AS (
+        |  SELECT s[i] AS l, s[i+1] AS r, sum(cnt)::BIGINT AS freq
+        |  FROM s2, unnest(range(1, len(s))) AS t(i) GROUP BY 1, 2
+        |), b3 AS (SELECT l, r, freq FROM p3 ORDER BY freq DESC, l, r LIMIT 1
+        |), s3 AS (
+        |  SELECT cnt, string_split(list_reduce(s, (acc, x) -> CASE
+        |    WHEN (acc = b3.l OR ends_with(acc, chr(1) || b3.l)) AND x = b3.r
+        |    THEN acc || x ELSE acc || chr(1) || x END), chr(1)) AS s
+        |  FROM s2, b3
+        |), p4 AS (
+        |  SELECT s[i] AS l, s[i+1] AS r, sum(cnt)::BIGINT AS freq
+        |  FROM s3, unnest(range(1, len(s))) AS t(i) GROUP BY 1, 2
+        |), b4 AS (SELECT l, r, freq FROM p4 ORDER BY freq DESC, l, r LIMIT 1)
+        |SELECT 1::BIGINT AS merge_rank, l AS lhs, r AS rhs, freq FROM b1
+        |UNION ALL SELECT 2::BIGINT, l, r, freq FROM b2
+        |UNION ALL SELECT 3::BIGINT, l, r, freq FROM b3
+        |UNION ALL SELECT 4::BIGINT, l, r, freq FROM b4""".stripMargin,
     "t24_data_checks" ->
       """WITH ca AS (
         |  SELECT count(*) AS n, count(DISTINCT c_custkey) AS dk,

@@ -333,6 +333,75 @@ object TextAnalysis {
       bpeishCount(col("text")).as("n_bpeish"),
       punctRatio(col("text")).as("punct_ratio"))
 
+  /** BPE vocabulary induction (Sennrich et al. — the tokenizer-training
+    * step of an LLM data pipeline): learn `rounds` byte-pair merges over
+    * the corpus. Returns the merge table (merge_rank, lhs, rhs, freq) —
+    * rank-ordered, the artifact a tokenizer ships.
+    *
+    * Scale shape: ONE corpus-sized tokenize+count collapses everything to
+    * the word-frequency table (vocabulary-sized — Heaps' law, ~10^6 rows
+    * at 100 TB, not corpus-sized); every round after that is one small
+    * groupBy over adjacent symbol pairs + one map-side merge apply,
+    * `localCheckpoint`ed per round (iterative-algorithm rule: cache()
+    * would embed each round's plan in the next — lineage must truncate).
+    * The per-round best pair is a 1-row collect. Only [a-z0-9]+ tokens
+    * enter (the oracle-portable scope: no separator/char-splitting
+    * ambiguity cross-engine); the operator generalizes to any alphabet.
+    *
+    * Merge application is the greedy left-to-right fold: a merged token
+    * never re-merges as LEFT within its round (its string is lhs||rhs ≠
+    * lhs — rhs is nonempty), which makes the declarative `aggregate` fold
+    * exactly the classic positional scan, and the same fold is expressible
+    * in any SQL engine with lambdas (oracle entry t26 replays it in DuckDB
+    * via a separator-delimited `list_reduce`). */
+  def bpeMerges(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+                rounds: Int = 4, textCol: String = "text"): DataFrame = {
+    val words = docs
+      .select(explode(tokens(lower(col(textCol)))).as("w"))
+      .filter(col("w").rlike("^[a-z0-9]+$"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    var syms = words.select(col("cnt"),
+        transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))).as("s"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var rank = 1
+    var dry = false
+    while (rank <= rounds && !dry) {
+      // adjacent-pair frequencies: arrays_zip over two slices (fields come
+      // back "0"/"1" — non-attribute zip args, see build notes)
+      val best = syms.select(col("cnt"),
+          explode(arrays_zip(
+            slice(col("s"), lit(1), size(col("s")) - 1),
+            slice(col("s"), lit(2), size(col("s")) - 1))).as("pr"))
+        .select(col("pr").getField("0").as("l"),
+          col("pr").getField("1").as("r"), col("cnt"))
+        .groupBy("l", "r").agg(sum("cnt").as("freq"))
+        .orderBy(col("freq").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) dry = true
+      else {
+        val (l, r, f) = (best.head.getString(0), best.head.getString(1),
+          best.head.getLong(2))
+        merges += ((rank.toLong, l, r, f))
+        val lL = lit(l); val rL = lit(r)
+        // greedy fold: merge when the accumulated tail token is lhs and the
+        // incoming symbol is rhs (try_element_at: null-safe on the empty
+        // accumulator — ANSI element_at would throw)
+        syms = syms.select(col("cnt"),
+            aggregate(col("s"), array().cast("array<string>"),
+              (acc, x) => when(
+                try_element_at(acc, lit(-1)) === lL && x === rL,
+                concat(slice(acc, lit(1), size(acc) - 1), array(concat(lL, rL))))
+                .otherwise(concat(acc, array(x)))).as("s"))
+          .localCheckpoint(true)
+        rank += 1
+      }
+    }
+    spark.createDataFrame(merges.toSeq)
+      .toDF("merge_rank", "lhs", "rhs", "freq")
+  }
+
   val EnStopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to",
     "in", "is", "it", "that", "for", "on", "with", "as", "was", "at", "by")
   val EsStopwords: Seq[String] = Seq("el", "la", "los", "las", "un", "una", "y",

@@ -17,6 +17,45 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rows == Seq((2, 2), (3, 9), (0, 0)))
   }
 
+  test("bpeMerges: learned merge table equals a scalar BPE replay (greedy edges included)") {
+    // corpus chosen to exercise ties (lexicographic pair tie-break),
+    // overlapping pairs ('aaaa' under a->a a), and multi-round merges
+    val docs = Seq(
+      "low lower lowest low low",
+      "aaaa aaa lower low",
+      "newest widest newest the lowest",
+      "Mixed-CASE tokens! are filtered; low lower").toDF("text")
+    val got = TextAnalysis.bpeMerges(spark, docs, rounds = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+
+    // scalar reference: classic positional greedy BPE over the same words
+    var words: Map[Vector[String], Long] = docs.collect().map(_.getString(0))
+      .flatMap(_.toLowerCase.split("\\s+")).filter(_.matches("[a-z0-9]+"))
+      .groupBy(identity).map { case (w, ws) =>
+        w.map(_.toString).toVector -> ws.length.toLong }
+    val expect = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    for (rank <- 1 to 5) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((s, c) <- words; i <- 0 until s.length - 1)
+        pairs((s(i), s(i + 1))) = pairs.getOrElse((s(i), s(i + 1)), 0L) + c
+      val ((l, r), f) = pairs.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+      expect += ((rank.toLong, l, r, f))
+      words = words.toSeq.map { case (s, c) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < s.length) {
+          if (i + 1 < s.length && s(i) == l && s(i + 1) == r) { out += l + r; i += 2 }
+          else { out += s(i); i += 1 }
+        }
+        (out.result(), c)
+      }.groupBy(_._1).map { case (s, cs) => s -> cs.map(_._2).sum }
+    }
+    assert(got == expect.toSeq)
+    // the classic corpus learns the classic first merges: 'lo' then 'low'
+    assert(got.take(2).map(m => (m._2, m._3)) == Seq(("l", "o"), ("lo", "w")))
+  }
+
   test("langId: real-language snippets classify correctly") {
     val samples = Seq(
       ("en", "the cat sat on the mat and it was happy with the sun"),
