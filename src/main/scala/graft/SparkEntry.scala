@@ -57,6 +57,7 @@ object SparkEntry {
     "s35_sketch_lake"     -> ((s, d) => graft.lake.LakeQueries.sketchLake(s, d)),
     "s29_point_read"      -> ((s, d) => graft.lake.LakeQueries.pointRead(s, d)),
     "s49_bloom_point_read" -> ((s, d) => graft.lake.LakeQueries.bloomPointRead(s, d)),
+    "s50_part_point_read" -> ((s, d) => graft.lake.LakeQueries.partPointRead(s, d)),
     "s30_stream_partitioned" -> ((s, d) => graft.streaming.StreamingQueries.streamPartitioned(s, d)),
     "s8_cdc_ticket_view"  -> ((s, d) => graft.streaming.PipelineQueries.ticketView(s, d)),
     "d1_exact_dedup"     -> ((s, d) => graft.functions.LlmQueries.exactDedup(s, d)),
@@ -272,6 +273,14 @@ object SparkEntry {
         |WHERE user_id % 11 = 3
         |QUALIFY row_number() OVER
         |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+    // partitioned tables dedup per (partition, key) — a user appears once
+    // per event_type it ever emitted
+    "s50_part_point_read" ->
+      """SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
+        |FROM events
+        |WHERE user_id % 13 = 1
+        |QUALIFY row_number() OVER
+        |  (PARTITION BY event_type, user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
     "s45_lake_stream_read" ->
       """SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
         |FROM events

@@ -814,6 +814,38 @@ object LakeQueries {
       t.read().select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
   }
 
+  /** Cross-partition bloom point read, oracle-checked: replay the first
+    * time-half of events into the PARTITIONED table (key user_id,
+    * partition event_type), compact every child — per-child manifests now
+    * carry key Bloom filters — then land the second half as live deltas
+    * and [[PartitionedMorTable.readForKeys]] the `user_id % 13 = 1` key
+    * set across ALL partitions. Children contribute bloom-pruned base
+    * files + delta dirs into ONE multi-path scan; the result must equal
+    * the per-(event_type, user_id) LWW dedup restricted to those keys —
+    * which is the oracle. */
+  def partPointRead(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "value", "ts_ms", "ts_ns")
+    val bounds = ev.agg(min(col("ts_ns")).as("mn"), max(col("ts_ns")).as("mx")).head()
+    val mn = bounds.getLong(0); val mx = bounds.getLong(1)
+    val mid = mn + (mx - mn) / 2
+    val path = tempPath("mor-part-point")
+    val t = new PartitionedMorTable(spark, path,
+      keyCols = Seq("user_id"), partitionCol = "event_type",
+      compactionDeltaCommits = 1000, autoCompact = false, writePartitions = 4)
+    t.upsert(ev.filter(col("ts_ns") <= mid),
+      orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 1L)
+    t.compactPartitions(t.partitions())
+    t.upsert(ev.filter(col("ts_ns") > mid),
+      orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 2L)
+    val keys = ev.select(col("user_id")).distinct()
+      .filter(col("user_id") % 13 === 1)
+      .collect().map(_.getLong(0).toString).toSeq.sorted
+    graft.TempDirs.materializeAndDelete(
+      t.readForKeys(keys)
+        .select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
+  }
+
   /** Additive schema evolution, oracle-checked: commit 2 carries a column
     * commit 1 never had (`tag`). The snapshot union reads old commits with
     * NULL for the new column (allowMissingColumns — the Hudi additive

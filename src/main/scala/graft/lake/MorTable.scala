@@ -709,26 +709,50 @@ final class MorTable(
       // absent from the blooms array (or manifests predating blooms) are
       // conservatively scanned.
       val (lastCompact, _) = liveDeltas(tl)
-      val baseFiles = lastCompact.flatMap { c =>
-        manifestBlooms(c.seq).flatMap { bl =>
-          manifestFiles(c.seq).map { all =>
-            def fname(s: String) = s.substring(s.lastIndexOf('/') + 1)
-            // probe positions depend only on (key, bits): precompute once
-            // per distinct filter width, not once per (key, file)
-            val posByBits = scala.collection.mutable.Map.empty[Int, Array[Array[Int]]]
-            all.filter { f =>
-              bl.get(fname(f)).forall { buf =>
-                val pos = posByBits.getOrElseUpdate(buf.length * 8,
-                  graft.functions.expr.KeyBloom.positionsFor(recordKeys, buf.length * 8))
-                graft.functions.expr.KeyBloom.anyMightContain(buf, pos)
-              }
-            }.sorted
-          }
-        }
-      }
+      val baseFiles = lastCompact.flatMap(c => bloomKeptBaseFiles(c.seq, recordKeys))
       snapshotMerged(tl, Some(col("_record_key").isin(recordKeys: _*)), baseFiles)
         .filter(!col("_deleted"))
     }
+  }
+
+  /** Bloom-index file pruning for a probe-key set: the base files of
+    * compact `compactSeq` that MIGHT contain at least one of the keys
+    * (manifest per-file Bloom filters — no false negatives, so dropped
+    * files provably contain none). None when the manifest predates blooms
+    * (callers fall back to the full base scan); files absent from the
+    * blooms array are conservatively kept. */
+  private[lake] def bloomKeptBaseFiles(compactSeq: Long,
+                                       recordKeys: Seq[String]): Option[Seq[String]] =
+    manifestBlooms(compactSeq).flatMap { bl =>
+      manifestFiles(compactSeq).map { all =>
+        def fname(s: String) = s.substring(s.lastIndexOf('/') + 1)
+        // probe positions depend only on (key, bits): precompute once
+        // per distinct filter width, not once per (key, file)
+        val posByBits = scala.collection.mutable.Map.empty[Int, Array[Array[Int]]]
+        all.filter { f =>
+          bl.get(fname(f)).forall { buf =>
+            val pos = posByBits.getOrElseUpdate(buf.length * 8,
+              graft.functions.expr.KeyBloom.positionsFor(recordKeys, buf.length * 8))
+            graft.functions.expr.KeyBloom.anyMightContain(buf, pos)
+          }
+        }.sorted
+      }
+    }
+
+  /** File-level scan set for a cross-partition point read: bloom-pruned
+    * base FILES (the whole base dir when no blooms exist) plus live delta
+    * dirs — what [[PartitionedMorTable.readForKeys]] unions into ONE
+    * multi-path scan across children. May be empty (fresh child, or every
+    * base file bloom-pruned with no live deltas). */
+  private[lake] def pointScanPaths(recordKeys: Seq[String]): Seq[String] = {
+    val tl = timeline()
+    if (tl.isEmpty) return Nil
+    val (lastCompact, deltas) = liveDeltas(tl)
+    val base = lastCompact.toSeq.flatMap { c =>
+      bloomKeptBaseFiles(c.seq, recordKeys)
+        .getOrElse(Seq(s"$path/base/${c.seq}"))
+    }
+    base ++ deltas.map(d => s"$path/delta/${d.seq}")
   }
 
   /** [[snapshotForKeys]] without the lake metadata columns. */

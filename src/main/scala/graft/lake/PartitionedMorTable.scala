@@ -469,6 +469,33 @@ final class PartitionedMorTable(
       .select(orderedDataCols(scan.columns).map(col): _*)
   }
 
+  /** Cross-partition point read (the partitioned bloom-index read): the
+    * snapshot restricted to the given record keys, across the named
+    * partitions (all when `values` is empty). Each child contributes its
+    * bloom-pruned base FILES plus live delta dirs ([[MorTable
+    * .pointScanPaths]]) and everything unions into ONE multi-path scan —
+    * the plan stays O(1) in partition count, and at 1000 partitions × N
+    * base files the bloom drops the listing to the handful of files that
+    * might hold the probe keys before any footer or task. The key
+    * predicate is pushed into the single scan (parquet row-group stats +
+    * per-file bloom skip inside survivors); LWW resolves per (partition,
+    * key) on the parent token as in [[read]]. */
+  def readForKeys(recordKeys: Seq[String],
+                  values: Seq[String] = Seq.empty): DataFrame = {
+    require(recordKeys.size <= 100000,
+      s"readForKeys got ${recordKeys.size} keys — a literal In() this " +
+        "large bloats the plan; scan-and-join instead")
+    val sel = if (values.nonEmpty) values else partitions()
+    require(sel.nonEmpty, s"PartitionedMorTable at $path has no partitions")
+    if (recordKeys.isEmpty) return read(sel).limit(0)
+    val paths = parChildren(sel)(_.pointScanPaths(recordKeys)).flatten
+    if (paths.isEmpty) return read(sel).limit(0)
+    val scan = scanDirs(paths)
+      .filter(col("_record_key").isin(recordKeys: _*))
+    lwwLatest(scan).filter(!col("_deleted"))
+      .select(orderedDataCols(scan.columns).map(col): _*)
+  }
+
   /** Incremental pull across partitions (the Hudi incremental-query analog
     * of [[MorTable.readIncremental]], in the parent's table-global token
     * space): the net effect of every row committed with

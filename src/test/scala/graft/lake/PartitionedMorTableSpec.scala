@@ -53,6 +53,44 @@ class PartitionedMorTableSpec extends AnyFunSuite {
     assert(got("k0004") == 4 && got("k0001") == 1, "carried rows untouched")
   }
 
+  test("readForKeys: cross-partition point read prunes base files via child blooms") {
+    val t = new PartitionedMorTable(spark, tmp(), Seq("k"), "p",
+      compactionDeltaCommits = 1000, autoCompact = false, writePartitions = 8)
+    val rows = (1 to 400).map(i => (f"k$i%04d", if (i % 2 == 0) "A" else "B", i))
+      .toDF("k", "p", "v")
+    t.upsert(rows, Seq(col("k")), batchId = 1L)
+    t.compactPartitions(Seq("A", "B")) // per-child manifests carry blooms
+    def baseFileCount(v: String) =
+      new java.io.File(s"${t.path}/p=$v/base/${t.child(v).timeline().last.seq}")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+    val totalBase = baseFileCount("A") + baseFileCount("B")
+    assert(totalBase >= 4, s"need several base files across children, got $totalBase")
+    // a live delta on top (update one key, insert a brand-new one)
+    t.upsert(Seq(("k0002", "A", 9999), ("zzzz", "B", -1)).toDF("k", "p", "v"),
+      Seq(col("k")), batchId = 2L)
+    // single-key probe: one multi-path scan, most base files bloom-dropped
+    val one = t.readForKeys(Seq("k0123"))
+    assert(one.inputFiles.count(_.contains("/base/")) < totalBase,
+      "bloom pruning should drop base files across children")
+    assert(one.collect().map(r =>
+      (r.getAs[String]("k"), r.getAs[String]("p"), r.getAs[Int]("v"))).toSeq ==
+      Seq(("k0123", "B", 123)))
+    // delta rows win LWW over pruned bases; delta-only keys still answer
+    val got = t.readForKeys(Seq("k0002", "zzzz", "nope")).collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Int]("v"))).toMap
+    assert(got == Map("k0002" -> 9999, "zzzz" -> -1))
+    // partition-pruned probe: only the named child is consulted
+    val pruned = t.readForKeys(Seq("k0123", "k0124"), values = Seq("A"))
+    assert(pruned.collect().map(_.getAs[String]("k")).toSeq == Seq("k0124"),
+      "k0123 lives in partition B — excluded by the partition selector")
+    assert(pruned.inputFiles.forall(_.contains("p=A")))
+    // equality with the filtered full read for a spread key set
+    val keys = Seq("k0001", "k0123", "k0200", "k0399", "k0002", "zzzz")
+    val full = t.read().filter(col("k").isin(keys: _*))
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    assert(t.readForKeys(keys).orderBy("k").collect().map(_.toSeq).toSeq == full)
+  }
+
   test("partition-pruned read opens only named children") {
     val t = new PartitionedMorTable(spark, tmp(), Seq("k"), "p")
     t.upsert(Seq((1L, "x", 1), (2L, "y", 2), (3L, "z", 3)).toDF("k", "p", "v"),
