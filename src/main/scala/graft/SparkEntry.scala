@@ -58,6 +58,7 @@ object SparkEntry {
     "s29_point_read"      -> ((s, d) => graft.lake.LakeQueries.pointRead(s, d)),
     "s49_bloom_point_read" -> ((s, d) => graft.lake.LakeQueries.bloomPointRead(s, d)),
     "s50_part_point_read" -> ((s, d) => graft.lake.LakeQueries.partPointRead(s, d)),
+    "s51_secondary_index" -> ((s, d) => graft.lake.LakeQueries.secondaryIndexRead(s, d)),
     "s30_stream_partitioned" -> ((s, d) => graft.streaming.StreamingQueries.streamPartitioned(s, d)),
     "s8_cdc_ticket_view"  -> ((s, d) => graft.streaming.PipelineQueries.ticketView(s, d)),
     "d1_exact_dedup"     -> ((s, d) => graft.functions.LlmQueries.exactDedup(s, d)),
@@ -146,6 +147,8 @@ object SparkEntry {
       graft.Tables.documents(s, d))),
     "t26_bpe_merges"      -> ((s, d) => graft.functions.TextAnalysis.bpeMerges(
       s, graft.Tables.documents(s, d), rounds = 4)),
+    "t27_quality_classifier" -> ((s, d) => graft.functions.TextAnalysis.linearQualityScore(
+      graft.Tables.documents(s, d))),
     "t21_bigram_logprob"  -> ((s, d) => graft.functions.TextAnalysis.bigramLogProb(
       graft.Tables.documents(s, d))),
     "t22_dsir_weights"    -> ((s, d) => graft.functions.TextAnalysis.dsirWeights(
@@ -170,6 +173,7 @@ object SparkEntry {
     "d14_semantic_dedup"  -> ((s, d) => graft.functions.LlmQueries.semanticDedup(s, d)),
     "r30_stream_join"     -> ((s, d) => graft.streaming.StreamingQueries.streamJoin(s, d)),
     "r31_stream_sessions" -> ((s, d) => graft.streaming.StreamingQueries.streamSessions(s, d)),
+    "r39_stream_static_join" -> ((s, d) => graft.streaming.StreamingQueries.streamStaticJoin(s, d)),
     "d10_stream_dedup"    -> ((s, d) => graft.streaming.StreamingQueries.streamDedup(s, d)),
     "r20_semi_join"       -> ((s, d) => RelationalOps.semiJoin(s, d)),
     "r21_anti_join"       -> ((s, d) => RelationalOps.antiJoin(s, d)),
@@ -273,6 +277,13 @@ object SparkEntry {
         |WHERE user_id % 11 = 3
         |QUALIFY row_number() OVER
         |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+    // secondary index: predicate applies to the FINAL per-user image
+    "s51_secondary_index" ->
+      """SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
+        |FROM events
+        |QUALIFY row_number() OVER
+        |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        |  AND event_id % 17 = 5""".stripMargin,
     // partitioned tables dedup per (partition, key) — a user appears once
     // per event_type it ever emitted
     "s50_part_point_read" ->
@@ -1210,6 +1221,10 @@ object SparkEntry {
         |  SELECT e.v, cc.lbl FROM e JOIN cc ON e.u = cc.v
         |)
         |SELECT v AS doc_id, min(lbl) AS cluster_id FROM cc GROUP BY v""".stripMargin,
+    "r39_stream_static_join" ->
+      """SELECT e.user_id, e.event_id, e.event_type, e.value,
+        |       epoch_ms(e.ts) AS ts_ms, n.n_name
+        |FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey""".stripMargin,
     "r30_stream_join" ->
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
         |       epoch_ms(p.ts) AS purchase_ms, epoch_ms(c.ts) AS click_ms
@@ -1616,6 +1631,26 @@ object SparkEntry {
         |UNION ALL SELECT 2::BIGINT, l, r, freq FROM b2
         |UNION ALL SELECT 3::BIGINT, l, r, freq FROM b3
         |UNION ALL SELECT 4::BIGINT, l, r, freq FROM b4""".stripMargin,
+    "t27_quality_classifier" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                x -> x <> '')) AS w
+        |  FROM documents
+        |), feat AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5(w), 1, 8))::BIGINT % 4096 AS f
+        |  FROM tok
+        |), weighted AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5('w#' || f::VARCHAR), 1, 8))::BIGINT
+        |           % 1000001 - 500000 AS wt
+        |  FROM feat
+        |)
+        |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |       sum(wt)::BIGINT AS score_micros,
+        |       sum(wt) > 0 AS keep
+        |FROM weighted GROUP BY doc_id""".stripMargin,
     "t24_data_checks" ->
       """WITH ca AS (
         |  SELECT count(*) AS n, count(DISTINCT c_custkey) AS dk,

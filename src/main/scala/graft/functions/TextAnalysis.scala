@@ -333,6 +333,31 @@ object TextAnalysis {
       bpeishCount(col("text")).as("n_bpeish"),
       punctRatio(col("text")).as("punct_ratio"))
 
+  /** Hashed linear quality-classifier INFERENCE (the fastText-style filter
+    * CCNet/RedPajama-class pipelines run over every document): each token
+    * hashes to one of `buckets` features, each feature carries an integer
+    * micro-weight, and the document's score is the weight sum — one
+    * tokenize pass, map-side feature hash, a single per-doc aggregate.
+    * Zero joins and zero shuffles beyond the doc groupBy: the weight here
+    * is a pure md5 function of the bucket id (a deterministic stand-in for
+    * trained weights, making the whole path engine-portable — oracle entry
+    * t27); swapping in LEARNED weights is a broadcast join against a
+    * buckets-sized weight table, the [[vocabOov]] shape, and changes
+    * nothing else. Integer micros end-to-end: scores are hash-exact across
+    * engines, partitionings, and retries. */
+  def linearQualityScore(docs: DataFrame, buckets: Int = 4096,
+                         textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol), explode(tokens(lower(col(textCol)))).as("__w"))
+      .withColumn("__f",
+        conv(substring(md5(col("__w")), 1, 8), 16, 10).cast("long") % buckets)
+      .withColumn("__wt",
+        conv(substring(md5(concat(lit("w#"), col("__f").cast("string"))), 1, 8),
+          16, 10).cast("long") % 1000001L - 500000L)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__wt")).as("score_micros"))
+      .withColumn("keep", col("score_micros") > 0)
+
   /** BPE vocabulary induction (Sennrich et al. — the tokenizer-training
     * step of an LLM data pipeline): learn `rounds` byte-pair merges over
     * the corpus. Returns the merge table (merge_rank, lhs, rhs, freq) —

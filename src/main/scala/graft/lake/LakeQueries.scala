@@ -814,6 +814,40 @@ object LakeQueries {
       t.read().select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
   }
 
+  /** Secondary-index equality read, oracle-checked (the Hudi 1.0
+    * secondary-index analog): replay the first time-half of events,
+    * declare `event_id` as an index column and COMPACT — the manifest now
+    * carries a per-file Bloom filter over the non-key column — then land
+    * the second half as a live delta and [[MorTable.readForColEquals]]
+    * the deterministic `event_id % 17 = 5` value set. Base files whose
+    * filter proves none of the probe ids present drop at the LISTING
+    * level; deltas merge unfiltered; the predicate re-applies post-merge,
+    * so a user whose LATEST event moved out of the probe set is excluded
+    * — exactly `WHERE event_id % 17 = 5` over the LWW winners, which is
+    * the oracle. */
+  def secondaryIndexRead(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "value", "ts_ms", "ts_ns")
+    val bounds = ev.agg(min(col("ts_ns")).as("mn"), max(col("ts_ns")).as("mx")).head()
+    val mn = bounds.getLong(0); val mx = bounds.getLong(1)
+    val mid = mn + (mx - mn) / 2
+    val path = tempPath("mor-sidx")
+    val t = new MorTable(spark, path, keyCols = Seq("user_id"),
+      compactionDeltaCommits = 1000, autoCompact = false, writePartitions = 4)
+    t.upsert(ev.filter(col("ts_ns") <= mid),
+      orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 1L)
+    t.indexColumns(Seq("event_id"))
+    t.compact()
+    t.upsert(ev.filter(col("ts_ns") > mid),
+      orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 2L)
+    val ids = ev.select(col("event_id")).distinct()
+      .filter(col("event_id") % 17 === 5)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    graft.TempDirs.materializeAndDelete(
+      t.readForColEquals("event_id", ids)
+        .select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
+  }
+
   /** Cross-partition bloom point read, oracle-checked: replay the first
     * time-half of events into the PARTITIONED table (key user_id,
     * partition event_type), compact every child — per-child manifests now

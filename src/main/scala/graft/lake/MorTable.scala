@@ -292,6 +292,9 @@ final class MorTable(
       if (statsCols.isEmpty)
         statsCols = previousManifestStatCols(seq)
       val sCols = statsCols
+      if (indexCols.isEmpty)
+        indexCols = previousManifestIndexCols(seq)
+      val iCols = indexCols
       graft.GraftFunctions.register(spark)
       val aggs = Seq(min(col("_record_key")).as("mn"),
         max(col("_record_key")).as("mx"),
@@ -299,10 +302,19 @@ final class MorTable(
         // SAME pass — point reads prune base files by key MEMBERSHIP, not
         // just range (see snapshotForKeys)
         call_function("key_bloom_agg", col("_record_key"), lit(bloomBits))
-          .as("bloom")) ++
+          .as("bloom"),
+        // tombstone flag: a file holding ANY retained tombstone is exempt
+        // from secondary-index pruning (a tombstone's data cols are null —
+        // no bloom could witness it; see readForColEquals)
+        max(when(col("_deleted"), 1).otherwise(0)).as("del")) ++
         sCols.flatMap(c => Seq(
           min(col(c).cast("double")).as(s"mn_$c"),
-          max(col(c).cast("double")).as(s"mx_$c")))
+          max(col(c).cast("double")).as(s"mx_$c"))) ++
+        // SECONDARY bloom index (the Hudi 1.0 secondary-index analog):
+        // per-file membership filters over declared non-key columns,
+        // stringified with Spark CAST semantics
+        iCols.map(c => call_function("key_bloom_agg",
+          col(c).cast("string"), lit(bloomBits)).as(s"bl_$c"))
       val perFile = spark.read.parquet(baseDir.toString)
         .groupBy(input_file_name().as("f"))
         .agg(aggs.head, aggs.tail: _*)
@@ -326,6 +338,15 @@ final class MorTable(
         val b64 = java.util.Base64.getEncoder.encodeToString(r.getAs[Array[Byte]]("bloom"))
         s"""{"file":"${js(r.getString(0))}","b64":"$b64"}"""
       }.mkString(",")
+      // secondary-index blooms: (file, col, tombstone flag, filter)
+      val sBloomsJson = perFile.flatMap { r =>
+        iCols.map { c =>
+          val b64 = java.util.Base64.getEncoder
+            .encodeToString(r.getAs[Array[Byte]](s"bl_$c"))
+          s"""{"file":"${js(r.getString(0))}","col":"${js(c)}",""" +
+            s""""del":${r.getAs[Int]("del")},"b64":"$b64"}"""
+        }
+      }.mkString(",")
       // per-file double min/max for the z-order columns, from the same
       // single aggregation pass (files whose stat columns are all null —
       // e.g. tombstone-only — emit no rows here and are conservatively
@@ -348,6 +369,7 @@ final class MorTable(
         s"""{"baseSeq":$seq,"filter":"_deleted = false",""" +
           s""""stats":[$statsJson],""" +
           (if (bloomsJson.nonEmpty) s""""blooms":[$bloomsJson],""" else "") +
+          (if (sBloomsJson.nonEmpty) s""""sblooms":[$sBloomsJson],""" else "") +
           (if (colStatsJson.nonEmpty) s""""colstats":[$colStatsJson],""" else "") +
           s""""files":[${files.map("\"" + js(_) + "\"").mkString(",")}]}"""
       val tmp = new Path(dir, s".$seq.json.tmp")
@@ -1023,6 +1045,22 @@ final class MorTable(
     * publishing the same stats while the layout still reflects them). */
   @volatile private var statsCols: Seq[String] = Nil
 
+  /** Non-key columns carrying a per-file SECONDARY bloom index in the
+    * manifest (the Hudi 1.0 secondary-index analog). Set before the next
+    * compaction; fresh handles inherit the set from the previous manifest
+    * like [[statsCols]]. */
+  @volatile private var indexCols: Seq[String] = Nil
+
+  /** Declare secondary-index columns: every later compaction publishes a
+    * per-file Bloom filter over each column's CAST-to-string values, and
+    * [[readForColEquals]] prunes base files by value membership. Choose
+    * high-cardinality columns where min/max ranges don't discriminate
+    * (ids, urls, hashes). */
+  def indexColumns(cols: Seq[String]): MorTable = {
+    indexCols = cols
+    this
+  }
+
   /** Multi-column range read over a z-ordered table: live rows with
     * `lo <= col < hi` for EVERY listed column. Base files whose manifest
     * min/max don't intersect one of the ranges are excluded at the
@@ -1084,6 +1122,91 @@ final class MorTable(
     dropMeta(snapshotMerged(tl, keyFilter = None, baseFiles = baseFiles,
       baseOnlyFilter = bof)
       .filter(!col("_deleted")).filter(rangeF))
+  }
+
+  /** Secondary-index equality read: live rows whose indexed column equals
+    * one of `values` (literals of the column's native type — the pushed
+    * filter stays a bare-attribute `In`, reaching parquet row groups).
+    * Base files are excluded at the LISTING level when their per-file
+    * secondary bloom proves none of the probe values present — bloom
+    * probes use the value's Spark CAST-to-string form, the same form the
+    * index was built over. Three exemptions keep it sound:
+    * (1) files holding ANY retained tombstone are never pruned (a
+    * tombstone's data columns are null — no bloom witnesses it, and
+    * dropping it would resurrect the key through an older straggler);
+    * (2) the whole optimization falls back to the full scan while the
+    * last compact carries unfolded stragglers (base seqnos can outrank a
+    * straggler's — the [[readForColRanges]] guard, same reasoning);
+    * (3) deltas scan unfiltered and the predicate re-applies post-merge,
+    * so a key whose latest image moved OUT of the probe set never
+    * resurrects its old in-set image. */
+  def readForColEquals(c: String, values: Seq[Any]): DataFrame = {
+    require(values.nonEmpty, "readForColEquals needs at least one probe value")
+    require(values.size <= 100000,
+      s"readForColEquals got ${values.size} values — scan-and-join instead")
+    val tl = timeline()
+    val (lastCompact, _) = liveDeltas(tl)
+    val eqF = col(c).isin(values: _*)
+    val probes = values.map(String.valueOf)
+    val safeToPrune = lastCompact.forall(_.unfolded.isEmpty)
+    val baseFiles =
+      if (!safeToPrune) None
+      else lastCompact.flatMap { cp =>
+        manifestSecondaryBlooms(cp.seq).filter(_.exists(_._2 == c)).flatMap { sb =>
+          manifestFiles(cp.seq).map { all =>
+            def fname(s: String) = s.substring(s.lastIndexOf('/') + 1)
+            val byFile = sb.filter(_._2 == c)
+              .map(r => fname(r._1) -> (r._3, r._4)).toMap
+            val posByBits = scala.collection.mutable.Map.empty[Int, Array[Array[Int]]]
+            all.filter { f =>
+              byFile.get(fname(f)).forall { case (hasDeleted, buf) =>
+                hasDeleted || {
+                  val pos = posByBits.getOrElseUpdate(buf.length * 8,
+                    graft.functions.expr.KeyBloom.positionsFor(probes, buf.length * 8))
+                  graft.functions.expr.KeyBloom.anyMightContain(buf, pos)
+                }
+              }
+            }.sorted
+          }
+        }
+      }
+    // tombstones exempt from the pushed filter (null data cols fail eqF)
+    val bof = if (safeToPrune) Some(eqF || col("_deleted")) else None
+    dropMeta(snapshotMerged(tl, keyFilter = None, baseFiles = baseFiles,
+      baseOnlyFilter = bof)
+      .filter(!col("_deleted")).filter(eqF))
+  }
+
+  /** Secondary-index column set of the newest manifest below `seq` that
+    * carries sblooms — the durable source of [[indexCols]]. */
+  private def previousManifestIndexCols(seq: Long): Seq[String] = {
+    val dir = new Path(hPath, "manifest")
+    if (!fs.exists(dir)) return Nil
+    val prev = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".json")).flatMap(n =>
+        scala.util.Try(n.stripSuffix(".json").toLong).toOption)
+      .filter(_ < seq).sorted.reverse
+    prev.iterator.map(manifestSecondaryBlooms)
+      .collectFirst { case Some(sb) => sb.map(_._2).distinct.sorted }
+      .getOrElse(Nil)
+  }
+
+  /** Secondary-index blooms from `manifest/<seq>.json`:
+    * (file, col, hasDeleted, filter) rows — None when the manifest
+    * predates the secondary index. */
+  private def manifestSecondaryBlooms(
+      seq: Long): Option[Seq[(String, String, Boolean, Array[Byte])]] = {
+    val p = new Path(hPath, s"manifest/$seq.json")
+    if (!fs.exists(p)) return None
+    val json = new String(readFully(fs, p), StandardCharsets.UTF_8)
+    val es = "((?:[^\"\\\\]|\\\\.)*)"
+    val re = ("\\{\"file\":\"" + es + "\",\"col\":\"" + es +
+      "\",\"del\":([01]),\"b64\":\"([A-Za-z0-9+/=]*)\"\\}").r
+    val sb = re.findAllMatchIn(json).map { m =>
+      (un(m.group(1)), un(m.group(2)), m.group(3) == "1",
+        java.util.Base64.getDecoder.decode(m.group(4)))
+    }.toSeq
+    if (sb.isEmpty) None else Some(sb)
   }
 
   /** Column set of the newest manifest below `seq` that carries colstats

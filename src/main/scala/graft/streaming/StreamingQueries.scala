@@ -47,6 +47,40 @@ object StreamingQueries {
       tablePath)
   }
 
+  /** STREAM-STATIC broadcast enrichment (the canonical streaming dimension
+    * join): a live event stream joins the static `nation` dim — small by
+    * nature, broadcast to every task — and the enriched rows land in the
+    * sink with NO streaming state at all: the join is stateless, so at
+    * 100 TB/day the cost is one broadcast hash probe per event, no
+    * watermark, no state store, no shuffle. Drained with AvailableNow the
+    * result is exactly the batch join — the oracle (`r39`). */
+  def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema // raw vintage (tsToNs normalizes)
+    val name = s"graft_stream_static_${counter.incrementAndGet()}"
+    val watchDir = graft.TempDirs.create("stream-static")
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(watchDir, "events.parquet"),
+      java.nio.file.Paths.get(path).toAbsolutePath)
+    val dim = graft.Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"))
+    val enriched = graft.Tables.tsToNs(spark.readStream.schema(schema).parquet(watchDir))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), expr("ts_ns div 1000000").as("ts_ms"))
+      .join(broadcast(dim), col("user_id") % 25 === col("n_nationkey"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_ms"), col("n_name"))
+    val q = enriched.writeStream
+      .format("memory").queryName(name)
+      .option("checkpointLocation", graft.TempDirs.create(s"$name-ckpt"))
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** 1-hour tumbling windowed aggregate over a parquet STREAM of events;
     * returns the drained result. Must hash-match r14's batch oracle. */
   def streamTumble(spark: SparkSession, dir: String): DataFrame = {

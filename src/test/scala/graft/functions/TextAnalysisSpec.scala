@@ -17,6 +17,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rows == Seq((2, 2), (3, 9), (0, 0)))
   }
 
+  test("linearQualityScore: integer scores match a scalar md5 recomputation") {
+    val docs = Seq(("d1", "Alpha beta beta gamma"), ("d2", "x"), ("d3", "  "))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.linearQualityScore(docs, buckets = 4096)
+      .collect().map(r => r.getAs[String]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("score_micros"),
+          r.getAs[Boolean]("keep"))).toMap
+    def md5hex8(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    def score(tokens: Seq[String]): Long = tokens.map { t =>
+      val f = md5hex8(t) % 4096
+      md5hex8(s"w#$f") % 1000001L - 500000L
+    }.sum
+    val d1 = score(Seq("alpha", "beta", "beta", "gamma"))
+    assert(got("d1") == ((4L, d1, d1 > 0)))
+    val d2 = score(Seq("x"))
+    assert(got("d2") == ((1L, d2, d2 > 0)))
+    assert(!got.contains("d3"), "token-free docs emit no score")
+  }
+
   test("bpeMerges: learned merge table equals a scalar BPE replay (greedy edges included)") {
     // corpus chosen to exercise ties (lexicographic pair tie-break),
     // overlapping pairs ('aaaa' under a->a a), and multi-round merges

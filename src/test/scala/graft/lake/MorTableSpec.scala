@@ -311,6 +311,52 @@ class MorTableSpec extends AnyFunSuite {
     assert(t.readForKeys(keys).orderBy("uuid").collect().toSeq == full)
   }
 
+  test("secondary bloom index: equality reads on a non-key column prune base files") {
+    val path = TestSpark.tmpDir("mor-sidx")
+    val rows = (0 until 400)
+      .map(i => (f"k$i%03d", s"n$i", i, "1970-01-01 00:00:01"))
+      .toDF("uuid", "name", "age", "ts")
+    val t = new MorTable(spark, path, Seq("uuid"),
+      compactionDeltaCommits = 1000, autoCompact = false, writePartitions = 4)
+    t.upsert(rows, orderWithinBatch = Seq(col("ts")), batchId = 1L)
+    t.indexColumns(Seq("age"))
+    t.compact() // manifest now carries per-file age blooms
+    t.upsert(Seq(("k050", "upd", 7777, "1970-01-01 00:00:09"), // age moves OUT of any probe
+      ("newk", "new", 123, "1970-01-01 00:00:09"))              // delta-only probe hit
+      .toDF("uuid", "name", "age", "ts"),
+      orderWithinBatch = Seq(col("ts")), batchId = 2L)
+    // single-value probe: files are key-range-partitioned, so age values
+    // scatter — but each file still holds a DISTINCT quarter of the ages
+    // (age == key order here), and the bloom prunes the rest
+    val one = t.readForColEquals("age", Seq(123))
+    val scannedBase = one.inputFiles.count(_.contains("/base/"))
+    assert(scannedBase < 4,
+      s"equality read scanned $scannedBase of 4 base files — secondary index not pruning")
+    // both the base row (k123) and the delta insert (newk) carry age=123
+    assert(one.orderBy("uuid").collect().map(r =>
+      (r.getAs[String]("uuid"), r.getAs[Int]("age"))).toSeq ==
+      Seq("k123" -> 123, "newk" -> 123))
+    // moved-out value: k050's latest image has age=7777 — probing its OLD
+    // age (50) must not resurrect the in-set past
+    assert(t.readForColEquals("age", Seq(50)).isEmpty)
+    assert(t.readForColEquals("age", Seq(7777))
+      .select("uuid").as[String].collect().toSeq == Seq("k050"))
+    // equality with the filtered full read for a multi-value probe
+    val vals = Seq(1, 123, 250, 399, 7777)
+    val full = t.read().filter(col("age").isin(vals: _*))
+      .orderBy("uuid").collect().toSeq
+    assert(t.readForColEquals("age", vals).orderBy("uuid").collect().toSeq == full)
+    // a FRESH handle inherits the index column set: its next plain compact
+    // keeps publishing sblooms (folding the delta in)
+    val t2 = new MorTable(spark, path, Seq("uuid"),
+      compactionDeltaCommits = 1000, autoCompact = false, writePartitions = 4)
+    t2.compact()
+    val afterFold = t2.readForColEquals("age", Seq(7777))
+    assert(afterFold.select("uuid").as[String].collect().toSeq == Seq("k050"))
+    assert(afterFold.inputFiles.count(_.contains("/base/")) < 4,
+      "inherited index cols must keep pruning after a fresh-handle compact")
+  }
+
   test("two uncoordinated writers never lose a commit (inflight seq allocation)") {
     val path = TestSpark.tmpDir("mor-occ")
     def handle() = MorTable(spark, path, Seq("uuid"), compactionDeltaCommits = 1000)
