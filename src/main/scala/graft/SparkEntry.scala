@@ -59,6 +59,8 @@ object SparkEntry {
     "s49_bloom_point_read" -> ((s, d) => graft.lake.LakeQueries.bloomPointRead(s, d)),
     "s50_part_point_read" -> ((s, d) => graft.lake.LakeQueries.partPointRead(s, d)),
     "s51_secondary_index" -> ((s, d) => graft.lake.LakeQueries.secondaryIndexRead(s, d)),
+    "s52_random_projection" -> ((s, d) => graft.functions.Similarity.randomProject(
+      graft.Tables.embeddings(s, d))),
     "s30_stream_partitioned" -> ((s, d) => graft.streaming.StreamingQueries.streamPartitioned(s, d)),
     "s8_cdc_ticket_view"  -> ((s, d) => graft.streaming.PipelineQueries.ticketView(s, d)),
     "d1_exact_dedup"     -> ((s, d) => graft.functions.LlmQueries.exactDedup(s, d)),
@@ -277,6 +279,19 @@ object SparkEntry {
         |WHERE user_id % 11 = 3
         |QUALIFY row_number() OVER
         |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+    // JL random projection: ±1 signs from md5 of the (out,in) index pair,
+    // one fold per output dim — same arithmetic order as the Spark fold,
+    // rounded 6 dp (the s9 float rule)
+    "s52_random_projection" -> {
+      val exprs = (0 until 8).map { k =>
+        s"round(list_sum(list_transform(range(1, len(embedding)+1), " +
+          s"j -> embedding[j] * (CASE WHEN ('0x' || substr(md5('rp#$k#' || " +
+          s"(j-1)::VARCHAR), 1, 8))::BIGINT % 2 = 0 " +
+          s"THEN 1.0 ELSE -1.0 END))), 6) AS p$k"
+      }.mkString(",\n       ")
+      s"SELECT vec_id,\n       $exprs\nFROM (SELECT vec_id, " +
+        "embedding::DOUBLE[] AS embedding FROM embeddings)"
+    },
     // secondary index: predicate applies to the FINAL per-user image
     "s51_secondary_index" ->
       """SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms

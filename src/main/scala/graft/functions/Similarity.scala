@@ -46,6 +46,37 @@ object Similarity {
   private def registerOn(df: DataFrame): Unit =
     graft.GraftFunctions.register(df.sparkSession)
 
+  /** Johnson–Lindenstrauss RANDOM PROJECTION — dimensionality reduction
+    * for embedding pipelines (cheap pre-filter before exact verification;
+    * JL: pairwise distances survive to (1±ε) at k = O(log n / ε²) dims).
+    * Projection matrix is ±1 signs derived from md5 of the (out-dim, in-
+    * dim) index pair — no learned state, engine-portable (oracle entry
+    * s52), identical across retries/partitionings. Map-only: each output
+    * dim is one fold over the input array, zero shuffles; rounded to 6 dp
+    * so the doubles are comparison-stable cross-engine (the s9 rule). At
+    * 100 TB this is a pure narrow map over the vectors — swap the
+    * interpreted fold for a native Expression (the `cosine_sim`
+    * treatment) if it ever sits on a hot path. */
+  def randomProject(df: DataFrame, outDims: Int = 8,
+                    embCol: String = "embedding",
+                    idCol: String = "vec_id"): DataFrame = {
+    val d = df.select(size(col(embCol))).head().getInt(0)
+    def md5hex8(s: String): Long = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(dig.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val cols = (0 until outDims).map { k =>
+      val signs = (0 until d).map(j =>
+        if (md5hex8(s"rp#$k#$j") % 2 == 0) 1.0 else -1.0)
+      round(aggregate(
+        zip_with(col(embCol), array(signs.map(lit): _*),
+          (x, s) => x.cast("double") * s),
+        lit(0.0), (acc, x) => acc + x), 6).as(s"p$k")
+    }
+    df.select(col(idCol) +: cols: _*)
+  }
+
   /** Exact top-k neighbors for each query vector (queries broadcast; one
     * corpus scan; per-query top-k via window). Excludes self-matches. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,

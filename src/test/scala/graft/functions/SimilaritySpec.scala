@@ -17,6 +17,42 @@ class SimilaritySpec extends AnyFunSuite {
     r.foreach(c => assert(math.abs(c - 1.0) < 1e-9))
   }
 
+  test("randomProject: scalar sign recomputation; JL distances roughly preserved") {
+    val proj = Similarity.randomProject(emb, outDims = 32).cache()
+    // scalar recompute for one vector: same md5 sign family, same fold
+    def md5hex8(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val v0 = emb.filter($"vec_id" === 0).head().getAs[scala.collection.Seq[Float]]("embedding")
+    val p0 = proj.filter($"vec_id" === 0).head()
+    (0 until 8).foreach { k =>
+      var acc = 0.0
+      v0.indices.foreach { j =>
+        val s = if (md5hex8(s"rp#$k#$j") % 2 == 0) 1.0 else -1.0
+        acc += v0(j).toDouble * s
+      }
+      val expect = BigDecimal(acc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(p0.getAs[Double](s"p$k") - expect) < 1e-9, s"dim $k")
+    }
+    // JL sanity on the synthetic corpus: projected cosine correlates with
+    // the original cosine over a deterministic pair sample
+    val pairs = emb.filter($"vec_id" < 40).select($"vec_id".as("a"), $"embedding".as("ea"))
+      .crossJoin(emb.filter($"vec_id" >= 40 && $"vec_id" < 80)
+        .select($"vec_id".as("b"), $"embedding".as("eb")))
+      .select($"a", $"b", Similarity.cosine($"ea", $"eb").as("orig"))
+    val pcols = array((0 until 32).map(k => col(s"p$k")): _*)
+    val pj = proj.select($"vec_id", pcols.as("pv"))
+    val both = pairs
+      .join(pj.select($"vec_id".as("a"), $"pv".as("pa")), Seq("a"))
+      .join(pj.select($"vec_id".as("b"), $"pv".as("pb")), Seq("b"))
+      .select($"orig", Similarity.cosine($"pa", $"pb").as("pc"))
+    val corr = both.agg(org.apache.spark.sql.functions.corr($"orig", $"pc")).head().getDouble(0)
+    assert(corr > 0.5, s"projected cosine should track original cosine, corr=$corr")
+    proj.unpersist()
+  }
+
   test("brute-force top-k: k rows per query, descending, no self") {
     val tk = Similarity.bruteForceTopK(emb, queries, k = 10).cache()
     val counts = tk.groupBy("query_id").count().collect().map(_.getLong(1))
