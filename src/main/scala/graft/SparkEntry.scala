@@ -128,6 +128,7 @@ object SparkEntry {
     "s26_label_centroids" -> ((s, d) => graft.functions.LlmQueries.labelCentroids(s, d)),
     "t10_repetition"      -> ((s, d) => graft.functions.LlmQueries.repetitionRatio(s, d)),
     "t11_decontaminate"   -> ((s, d) => graft.functions.LlmQueries.decontaminate(s, d)),
+    "d26_bloom_decontaminate" -> ((s, d) => graft.functions.LlmQueries.bloomDecontaminate(s, d)),
     "t12_pii_redact"      -> ((s, d) => graft.functions.LlmQueries.piiRedact(s, d)),
     "t13_unigram_logprob" -> ((s, d) => graft.functions.LlmQueries.unigramLogProb(s, d)),
     "t14_perplexity_buckets" -> ((s, d) => graft.functions.LlmQueries.perplexityBuckets(s, d)),
@@ -149,6 +150,8 @@ object SparkEntry {
       graft.Tables.documents(s, d))),
     "t26_bpe_merges"      -> ((s, d) => graft.functions.TextAnalysis.bpeMerges(
       s, graft.Tables.documents(s, d), rounds = 4)),
+    "t28_bpe_encode"      -> ((s, d) => graft.functions.TextAnalysis.bpeEncode(
+      s, graft.Tables.documents(s, d), rounds = 4)),
     "t27_quality_classifier" -> ((s, d) => graft.functions.TextAnalysis.linearQualityScore(
       graft.Tables.documents(s, d))),
     "t21_bigram_logprob"  -> ((s, d) => graft.functions.TextAnalysis.bigramLogProb(
@@ -165,6 +168,7 @@ object SparkEntry {
     "r36_topk_rewrite"    -> ((s, d) => RelationalOps.topkRewritten(s, d)),
     "r37_dpp_join"        -> ((s, d) => RelationalOps.dppJoin(s, d)),
     "r38_decayed_score"   -> ((s, d) => RelationalOps.decayedScore(s, d)),
+    "r40_funnel"          -> ((s, d) => RelationalOps.funnel(s, d)),
     "t24_data_checks"     -> ((s, d) => RelationalOps.dataChecks(s, d)),
     "t18_split_assign"    -> ((s, d) => graft.operators.Sampling.assignSplits(
       graft.Tables.documents(s, d).select(
@@ -176,6 +180,7 @@ object SparkEntry {
     "r30_stream_join"     -> ((s, d) => graft.streaming.StreamingQueries.streamJoin(s, d)),
     "r31_stream_sessions" -> ((s, d) => graft.streaming.StreamingQueries.streamSessions(s, d)),
     "r39_stream_static_join" -> ((s, d) => graft.streaming.StreamingQueries.streamStaticJoin(s, d)),
+    "r41_stream_funnel"   -> ((s, d) => graft.streaming.StreamingQueries.streamFunnel(s, d)),
     "d10_stream_dedup"    -> ((s, d) => graft.streaming.StreamingQueries.streamDedup(s, d)),
     "r20_semi_join"       -> ((s, d) => RelationalOps.semiJoin(s, d)),
     "r21_anti_join"       -> ((s, d) => RelationalOps.antiJoin(s, d)),
@@ -190,7 +195,66 @@ object SparkEntry {
     }),
   )
 
+  /** t11 and d26 share one oracle by design: the Bloom prefilter has no
+    * false negatives, so the guided pipeline must reproduce the exact
+    * decontamination output bit-for-bit. */
+  private val DecontaminateOracle: String =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |         list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |                     x -> x <> '') AS words
+      |  FROM documents
+      |), t AS (
+      |  SELECT doc_id, CASE WHEN len(words) >= 3 THEN
+      |      list_distinct(list_transform(range(1, len(words) - 1),
+      |        i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+      |    ELSE [array_to_string(words, ' ')] END AS sh
+      |  FROM w
+      |), e AS (SELECT doc_id, unnest(sh) AS s FROM t
+      |), b AS (SELECT DISTINCT s FROM e WHERE doc_id % 17 = 0
+      |), c AS (SELECT doc_id, s FROM e WHERE doc_id % 17 <> 0)
+      |SELECT c.doc_id, count(*)::BIGINT AS shared_shingles
+      |FROM c JOIN b ON c.s = b.s
+      |GROUP BY 1 HAVING count(*) >= 3""".stripMargin
+
+  /** r40 (batch window-chain) and r41 (streaming flatMapGroupsWithState)
+    * share one oracle by design: the funnel is defined on `ts_ms` values,
+    * not scan order, so both executions must match it bit-for-bit. */
+  private val FunnelOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events
+      |), a AS (
+      |  SELECT user_id, event_type, ms,
+      |    max(CASE WHEN event_type = 'view' THEN ms END) OVER
+      |      (PARTITION BY user_id ORDER BY ms
+      |       RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_a
+      |  FROM e
+      |), b AS (
+      |  SELECT user_id, event_type, ms,
+      |    CASE WHEN event_type = 'click' AND max_a >= ms - 86400000
+      |         THEN ms END AS q_b
+      |  FROM a
+      |), c AS (
+      |  SELECT user_id, event_type, ms, q_b,
+      |    max(q_b) OVER (PARTITION BY user_id ORDER BY ms
+      |       RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_b
+      |  FROM b
+      |), d AS (
+      |  SELECT user_id, event_type, ms, q_b,
+      |    CASE WHEN event_type = 'purchase' AND max_b >= ms - 86400000
+      |         THEN ms END AS q_c
+      |  FROM c
+      |)
+      |SELECT user_id,
+      |  count(CASE WHEN event_type = 'view' THEN 1 END)::BIGINT AS n_step1,
+      |  count(q_b)::BIGINT AS n_step2,
+      |  count(q_c)::BIGINT AS n_step3,
+      |  coalesce(min(q_c), -1)::BIGINT AS first_conv_ms
+      |FROM d GROUP BY user_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "d26_bloom_decontaminate" -> DecontaminateOracle,
+    "r41_stream_funnel" -> FunnelOracle,
     "s18_ann_ivf_portable" ->
       """WITH c AS (
         |  SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cv
@@ -937,24 +1001,7 @@ object SparkEntry {
         |FROM embeddings emb
         |LEFT JOIN lab ON emb.vec_id = lab.vec_id
         |WHERE lab.vec_id IS NULL OR lab.cluster_id = emb.vec_id""".stripMargin,
-    "t11_decontaminate" ->
-      """WITH w AS (
-        |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(lower(text), '\s+'),
-        |                     x -> x <> '') AS words
-        |  FROM documents
-        |), t AS (
-        |  SELECT doc_id, CASE WHEN len(words) >= 3 THEN
-        |      list_distinct(list_transform(range(1, len(words) - 1),
-        |        i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
-        |    ELSE [array_to_string(words, ' ')] END AS sh
-        |  FROM w
-        |), e AS (SELECT doc_id, unnest(sh) AS s FROM t
-        |), b AS (SELECT DISTINCT s FROM e WHERE doc_id % 17 = 0
-        |), c AS (SELECT doc_id, s FROM e WHERE doc_id % 17 <> 0)
-        |SELECT c.doc_id, count(*)::BIGINT AS shared_shingles
-        |FROM c JOIN b ON c.s = b.s
-        |GROUP BY 1 HAVING count(*) >= 3""".stripMargin,
+    "t11_decontaminate" -> DecontaminateOracle,
     "t12_pii_redact" ->
       """WITH inj AS (
         |  SELECT doc_id, text ||
@@ -1646,6 +1693,62 @@ object SparkEntry {
         |UNION ALL SELECT 2::BIGINT, l, r, freq FROM b2
         |UNION ALL SELECT 3::BIGINT, l, r, freq FROM b3
         |UNION ALL SELECT 4::BIGINT, l, r, freq FROM b4""".stripMargin,
+    // t26's four unrolled training rounds, carrying the word through the
+    // folds so the final symbol count joins back per distinct word
+    "t28_bpe_encode" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                x -> x <> '')) AS w
+        |  FROM documents
+        |), ctok AS (
+        |  SELECT doc_id, w FROM tok WHERE regexp_full_match(w, '[a-z0-9]+')
+        |), words AS (
+        |  SELECT w, count(*)::BIGINT AS cnt FROM ctok GROUP BY w
+        |), s0 AS (
+        |  SELECT w, cnt, list_transform(range(1, length(w)+1), i -> w[i]) AS s
+        |  FROM words
+        |), p1 AS (
+        |  SELECT s[i] AS l, s[i+1] AS r, sum(cnt)::BIGINT AS freq
+        |  FROM s0, unnest(range(1, len(s))) AS t(i) GROUP BY 1, 2
+        |), b1 AS (SELECT l, r FROM p1 ORDER BY freq DESC, l, r LIMIT 1
+        |), s1 AS (
+        |  SELECT w, cnt, string_split(list_reduce(s, (acc, x) -> CASE
+        |    WHEN (acc = b1.l OR ends_with(acc, chr(1) || b1.l)) AND x = b1.r
+        |    THEN acc || x ELSE acc || chr(1) || x END), chr(1)) AS s
+        |  FROM s0, b1
+        |), p2 AS (
+        |  SELECT s[i] AS l, s[i+1] AS r, sum(cnt)::BIGINT AS freq
+        |  FROM s1, unnest(range(1, len(s))) AS t(i) GROUP BY 1, 2
+        |), b2 AS (SELECT l, r FROM p2 ORDER BY freq DESC, l, r LIMIT 1
+        |), s2 AS (
+        |  SELECT w, cnt, string_split(list_reduce(s, (acc, x) -> CASE
+        |    WHEN (acc = b2.l OR ends_with(acc, chr(1) || b2.l)) AND x = b2.r
+        |    THEN acc || x ELSE acc || chr(1) || x END), chr(1)) AS s
+        |  FROM s1, b2
+        |), p3 AS (
+        |  SELECT s[i] AS l, s[i+1] AS r, sum(cnt)::BIGINT AS freq
+        |  FROM s2, unnest(range(1, len(s))) AS t(i) GROUP BY 1, 2
+        |), b3 AS (SELECT l, r FROM p3 ORDER BY freq DESC, l, r LIMIT 1
+        |), s3 AS (
+        |  SELECT w, cnt, string_split(list_reduce(s, (acc, x) -> CASE
+        |    WHEN (acc = b3.l OR ends_with(acc, chr(1) || b3.l)) AND x = b3.r
+        |    THEN acc || x ELSE acc || chr(1) || x END), chr(1)) AS s
+        |  FROM s2, b3
+        |), p4 AS (
+        |  SELECT s[i] AS l, s[i+1] AS r, sum(cnt)::BIGINT AS freq
+        |  FROM s3, unnest(range(1, len(s))) AS t(i) GROUP BY 1, 2
+        |), b4 AS (SELECT l, r FROM p4 ORDER BY freq DESC, l, r LIMIT 1
+        |), s4 AS (
+        |  SELECT w, string_split(list_reduce(s, (acc, x) -> CASE
+        |    WHEN (acc = b4.l OR ends_with(acc, chr(1) || b4.l)) AND x = b4.r
+        |    THEN acc || x ELSE acc || chr(1) || x END), chr(1)) AS s
+        |  FROM s3, b4
+        |), enc AS (SELECT w, len(s)::BIGINT AS n_sym FROM s4)
+        |SELECT c.doc_id, count(*)::BIGINT AS n_words,
+        |       sum(e.n_sym)::BIGINT AS n_bpe_tokens
+        |FROM ctok c JOIN enc e USING (w)
+        |GROUP BY c.doc_id""".stripMargin,
     "t27_quality_classifier" ->
       """WITH tok AS (
         |  SELECT doc_id,
@@ -1704,6 +1807,7 @@ object SparkEntry {
         |FROM e JOIN hm USING (user_id)
         |WHERE hm.hmax - e.h <= 30
         |GROUP BY e.user_id""".stripMargin,
+    "r40_funnel" -> FunnelOracle,
     "r37_dpp_join" ->
       """SELECT event_type, count(*) AS n,
         |       round(sum(value), 3) AS sum_value

@@ -206,6 +206,33 @@ object Dedup {
       idCol, minShared)
   }
 
+  /** Bloom-guided decontamination — [[decontaminate]] for a benchmark too
+    * large to broadcast as a set (the d20 "sketch guards the exact op"
+    * pattern): the benchmark's shingle hashes collapse into ONE fixed-size
+    * Bloom filter (`bloom_agg64`, bits/8 bytes regardless of benchmark
+    * cardinality — a few MiB covers 10⁹ shingles at ~1% fpp, vs an
+    * unbounded broadcast set), corpus docs are prefiltered MAP-SIDE by
+    * `bloom_any64` inside the scan stage, and only the surviving sliver
+    * re-runs the exact inverted-index count. No false negatives: a doc
+    * sharing ≥1 shingle always probes positive, so the output is
+    * bit-identical to [[decontaminate]] — false positives only cost
+    * re-checked rows. At 100 TB the corpus-side win is that non-matching
+    * documents (the overwhelming majority) never leave their scan task:
+    * no explode, no shuffle, no join input. */
+  def bloomDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+                         textCol: String = "text", idCol: String = "doc_id",
+                         shingleK: Int = 3, minShared: Int = 3,
+                         bloomBits: Int = 1 << 20): DataFrame = {
+    graft.GraftFunctions.register(corpus.sparkSession)
+    val sh = call_function("shingle_hashes64", col(textCol), lit(shingleK))
+    // ONE row of bits/8 bytes — metadata-sized driver traffic by design
+    val filter = benchmark
+      .agg(call_function("bloom_agg64", sh, lit(bloomBits)).as("f"))
+      .head().getAs[Array[Byte]]("f")
+    val survivors = corpus.filter(call_function("bloom_any64", lit(filter), sh))
+    decontaminate(survivors, benchmark, textCol, idCol, shingleK, minShared)
+  }
+
   /** Broadcast-inverted-index core of decontamination: corpus (idCol, __s)
     * ⋈ broadcast(distinct benchmark __s) → per-doc hit counts. Per-doc
     * shingles arrive distinct (both shingle front ends dedup), so the

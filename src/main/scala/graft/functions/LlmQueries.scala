@@ -427,6 +427,17 @@ object LlmQueries {
       benchmark = docs.filter(col("doc_id") % 17 === 0))
   }
 
+  /** Bloom-guided decontamination, oracle-checked against the SAME exact
+    * result as t11 (the prefilter has no false negatives, so the composed
+    * output is bit-identical) — the fixed-size-sketch path for benchmarks
+    * too large to broadcast as a set (see [[Dedup.bloomDecontaminate]]). */
+  def bloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.bloomDecontaminate(
+      corpus = docs.filter(col("doc_id") % 17 =!= 0),
+      benchmark = docs.filter(col("doc_id") % 17 === 0))
+  }
+
   /** Weighted domain-mixture sample, oracle-checked: per-language keep
     * fractions (en 1/2, es 1/4, de 1/8, fr 1/16, zh default 1/10) —
     * map-only deterministic downsampling to a target training mix (see

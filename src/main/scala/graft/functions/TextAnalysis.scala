@@ -379,6 +379,20 @@ object TextAnalysis {
     * exactly the classic positional scan, and the same fold is expressible
     * in any SQL engine with lambdas (oracle entry t26 replays it in DuckDB
     * via a separator-delimited `list_reduce`). */
+  /** One greedy left-to-right BPE merge pass over a symbol array: merge
+    * when the accumulated tail token is `l` and the incoming symbol is `r`
+    * (try_element_at: null-safe on the empty accumulator — ANSI
+    * element_at would throw). Shared by training ([[bpeMerges]]) and
+    * inference ([[bpeEncode]]) so the two can never drift. */
+  private def applyMerge(s: Column, l: String, r: String): Column = {
+    val lL = lit(l); val rL = lit(r)
+    aggregate(s, array().cast("array<string>"),
+      (acc, x) => when(
+        try_element_at(acc, lit(-1)) === lL && x === rL,
+        concat(slice(acc, lit(1), size(acc) - 1), array(concat(lL, rL))))
+        .otherwise(concat(acc, array(x))))
+  }
+
   def bpeMerges(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
                 rounds: Int = 4, textCol: String = "text"): DataFrame = {
     val words = docs
@@ -409,22 +423,51 @@ object TextAnalysis {
         val (l, r, f) = (best.head.getString(0), best.head.getString(1),
           best.head.getLong(2))
         merges += ((rank.toLong, l, r, f))
-        val lL = lit(l); val rL = lit(r)
-        // greedy fold: merge when the accumulated tail token is lhs and the
-        // incoming symbol is rhs (try_element_at: null-safe on the empty
-        // accumulator — ANSI element_at would throw)
-        syms = syms.select(col("cnt"),
-            aggregate(col("s"), array().cast("array<string>"),
-              (acc, x) => when(
-                try_element_at(acc, lit(-1)) === lL && x === rL,
-                concat(slice(acc, lit(1), size(acc) - 1), array(concat(lL, rL))))
-                .otherwise(concat(acc, array(x)))).as("s"))
+        syms = syms.select(col("cnt"), applyMerge(col("s"), l, r).as("s"))
           .localCheckpoint(true)
         rank += 1
       }
     }
     spark.createDataFrame(merges.toSeq)
       .toDF("merge_rank", "lhs", "rhs", "freq")
+  }
+
+  /** BPE ENCODING — tokenizer inference with a learned merge table (the
+    * other half of the tokenizer story: [[bpeMerges]] trains the artifact,
+    * this applies it), producing per-document subword counts — the token
+    * budget number every context-length/packing/pricing decision reads.
+    *
+    * Scale shape: the merge table is rank-many rows (driver-side by
+    * construction); encoding runs ONCE PER DISTINCT WORD on the
+    * vocabulary-sized table (rank-ordered [[applyMerge]] folds — the same
+    * shared fold as training, so inference can never drift from the
+    * artifact), and the corpus pass is one tokenize + a broadcast join
+    * against the (word → n_subwords) table + one per-doc aggregate. The
+    * corpus is never folded per-row: at 100 TB the folds touch ~10⁶ vocab
+    * rows while the join is map-side. Same scope rule as training
+    * ([a-z0-9]+ words — the engine-portable alphabet). */
+  def bpeEncode(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+                rounds: Int = 4, textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame = {
+    val merges = bpeMerges(spark, docs, rounds, textCol)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))) // rank-many rows, tiny
+    val vocab = docs
+      .select(explode(tokens(lower(col(textCol)))).as("w"))
+      .filter(col("w").rlike("^[a-z0-9]+$")).distinct()
+    var enc = vocab.select(col("w"),
+      transform(sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1))).as("s"))
+    merges.foreach { case (l, r) =>
+      enc = enc.select(col("w"), applyMerge(col("s"), l, r).as("s"))
+    }
+    val nSym = enc.select(col("w"), size(col("s")).cast("long").as("n_sym"))
+      .localCheckpoint(true) // pin the folds: computed once, vocab-sized
+    docs.select(col(idCol), explode(tokens(lower(col(textCol)))).as("w"))
+      .filter(col("w").rlike("^[a-z0-9]+$"))
+      .join(broadcast(nSym), Seq("w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe_tokens"))
   }
 
   val EnStopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to",

@@ -449,6 +449,57 @@ object RelationalOps {
         sum(col("cnt")).over(w).as("rolling_24h"))
   }
 
+  /** Windowed funnel detection — the Flink-CEP / SQL MATCH_RECOGNIZE
+    * `PATTERN (A B C) WITHIN interval` surface (the reference's engine
+    * family exposes CEP over exactly this kind of clickstream), expressed
+    * as ONE window pass instead of per-pattern NFA state or a k-way
+    * self-join:
+    *
+    * A step-2 event qualifies iff SOME step-1 event precedes it (strictly
+    * earlier `ts_ms`) within `windowMs`; since "exists A in [ms−W, ms)" ⟺
+    * "max(A.ms | A before ms) ≥ ms − W", a running max over a
+    * RANGE-to-1-PRECEDING frame decides it exactly — and chaining a second
+    * running max over the qualified-step-2 times decides step 3. The whole
+    * pattern costs one shuffle by user, one sort, two O(1)-state window
+    * functions, and a final agg that reuses the window partitioning (no
+    * second exchange). A k-step funnel is k−1 chained maxes, never the
+    * eventsᵏ join blow-up; per-user window state is O(1) regardless of
+    * history length, so the plan survives 100× event cardinality untouched.
+    *
+    * Output per user: per-step qualifying counts and the earliest valid
+    * completion time (−1 when the user never converts). Exact, integer, and
+    * order-independent (defined on `ts_ms` values, not scan order) — so the
+    * hash compare holds across partitionings and engines. */
+  def funnel(spark: SparkSession, dir: String,
+             steps: Seq[String] = Seq("view", "click", "purchase"),
+             windowMs: Long = 86400000L): DataFrame =
+    funnelOver(Tables.events(spark, dir), steps, windowMs)
+
+  /** [[funnel]] core over any (user_id, event_type, ts_ms) relation. */
+  def funnelOver(events: DataFrame, steps: Seq[String],
+                 windowMs: Long): DataFrame = {
+    require(steps.length == 3, "funnel: exactly three steps")
+    val ev = events.select("user_id", "event_type", "ts_ms")
+    // strictly-earlier frame: RANGE to 1 PRECEDING excludes ts_ms ties
+    val before = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val qualified = ev
+      .withColumn("max_a",
+        max(when(col("event_type") === steps(0), col("ts_ms"))).over(before))
+      .withColumn("q_b",
+        when(col("event_type") === steps(1) &&
+          col("max_a") >= col("ts_ms") - windowMs, col("ts_ms")))
+      .withColumn("max_b", max(col("q_b")).over(before))
+      .withColumn("q_c",
+        when(col("event_type") === steps(2) &&
+          col("max_b") >= col("ts_ms") - windowMs, col("ts_ms")))
+    qualified.groupBy("user_id").agg(
+      count(when(col("event_type") === steps(0), 1)).as("n_step1"),
+      count(col("q_b")).as("n_step2"),
+      count(col("q_c")).as("n_step3"),
+      coalesce(min(col("q_c")), lit(-1L)).as("first_conv_ms"))
+  }
+
   /** Skew-salted join checked against the plain join: salting must be a
     * pure execution-strategy change, never a semantic one. */
   def saltedJoinOrders(spark: SparkSession, dir: String): DataFrame =

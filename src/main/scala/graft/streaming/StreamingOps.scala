@@ -136,6 +136,88 @@ object StreamingOps {
       }
   }
 
+  /** Typed row for the streaming funnel. */
+  case class FunnelEvent(user_id: Long, event_type: String, ts_ms: Long)
+
+  /** O(1) per-user CEP state: latest step-1 time, latest QUALIFIED step-2
+    * time, per-step qualifying counts, earliest completion. Long.MinValue
+    * marks "no predecessor yet". */
+  case class FunnelProgress(max_a: Long, max_b: Long, n1: Long, n2: Long,
+                            n3: Long, min_conv: Long)
+
+  /** Per-user funnel result (columns match RelationalOps.funnel / r40). */
+  case class FunnelRow(user_id: Long, n_step1: Long, n_step2: Long,
+                       n_step3: Long, first_conv_ms: Long)
+
+  /** Streaming windowed funnel via flatMapGroupsWithState — the CEP
+    * `PATTERN (A B C) WITHIN interval` operator in its continuous form
+    * (Flink CEP's natural home is exactly this streaming clickstream; the
+    * batch twin is [[graft.operators.RelationalOps.funnel]], and both are
+    * hash-checked against ONE oracle). State per user is O(1) — two
+    * running maxima, three counters, one minimum — regardless of history
+    * length, the property that lets 100 TB/day of events hold only
+    * |active users| state. A `sentinel` event emits the user's row (the
+    * AvailableNow-deterministic close, same device as sessionizeStream).
+    *
+    * Within a batch, events are processed in ascending-`ts_ms` phases:
+    * all events at one timestamp are qualified against the PRE-timestamp
+    * maxima before any of them update state — the exact strictly-earlier
+    * tie rule of the batch window's RANGE-to-1-PRECEDING frame, so the
+    * result is independent of intra-batch arrival order. Across batches
+    * the caller feeds time-ordered files (file-source mtime order). */
+  def funnelStream(events: Dataset[FunnelEvent],
+                   steps: Seq[String], windowMs: Long): Dataset[FunnelRow] = {
+    require(steps.length == 3, "funnelStream: exactly three steps")
+    import events.sparkSession.implicits._
+    val none = Long.MinValue
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelProgress, FunnelRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[FunnelEvent], state: GroupState[FunnelProgress]) =>
+          val all = it.toArray
+          val evs = all.filter(e => steps.contains(e.event_type))
+          java.util.Arrays.sort(evs, Ordering.by((e: FunnelEvent) => e.ts_ms))
+          var st = state.getOption.getOrElse(
+            FunnelProgress(none, none, 0L, 0L, 0L, -1L))
+          var i = 0
+          while (i < evs.length) {
+            var j = i
+            while (j < evs.length && evs(j).ts_ms == evs(i).ts_ms) j += 1
+            // phase 1: qualify this timestamp's events against pre-ts state
+            var addA = none
+            var addB = none
+            var k = i
+            while (k < j) {
+              val e = evs(k)
+              if (e.event_type == steps(0)) {
+                st = st.copy(n1 = st.n1 + 1)
+                if (e.ts_ms > addA) addA = e.ts_ms
+              } else if (e.event_type == steps(1)) {
+                if (st.max_a != none && st.max_a >= e.ts_ms - windowMs) {
+                  st = st.copy(n2 = st.n2 + 1)
+                  if (e.ts_ms > addB) addB = e.ts_ms
+                }
+              } else {
+                if (st.max_b != none && st.max_b >= e.ts_ms - windowMs) {
+                  st = st.copy(n3 = st.n3 + 1,
+                    min_conv = if (st.min_conv == -1L) e.ts_ms
+                               else math.min(st.min_conv, e.ts_ms))
+                }
+              }
+              k += 1
+            }
+            // phase 2: this timestamp's events become visible predecessors
+            st = st.copy(max_a = math.max(st.max_a, addA),
+                         max_b = math.max(st.max_b, addB))
+            i = j
+          }
+          state.update(st)
+          if (all.exists(_.event_type == "sentinel"))
+            Iterator.single(FunnelRow(uid, st.n1, st.n2, st.n3, st.min_conv))
+          else Iterator.empty
+      }
+  }
+
   /** T3 in update mode — keyed running state via mapGroupsWithState: the
     * latest event per user, re-emitted whenever it changes (the streaming
     * twin of RelationalOps.dedupLastWriteWins). */

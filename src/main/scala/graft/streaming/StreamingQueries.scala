@@ -186,6 +186,59 @@ object StreamingQueries {
     spark.table(name)
   }
 
+  /** Streaming windowed funnel over a live file stream — the CEP operator
+    * ([[StreamingOps.funnelStream]]) hash-checked against the SAME DuckDB
+    * SQL as the batch window-chain form (r40). Two micro-batches by
+    * construction (maxFilesPerTrigger=1): batch 1 is the events table,
+    * batch 2 a per-user far-future sentinel whose arrival emits each
+    * user's funnel row from O(1) state — emission on DATA evidence
+    * crossing a real micro-batch boundary, exercising the state handoff. */
+  def streamFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val batch = spark.read.parquet(path) // raw vintage (tsToNs normalizes)
+    val name = s"graft_stream_funnel_${counter.incrementAndGet()}"
+    val watchDir = graft.TempDirs.create("stream-funnel")
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(watchDir, "events.parquet"),
+      java.nio.file.Paths.get(path).toAbsolutePath)
+    val maxNs = graft.Tables.tsToNs(batch).agg(max(col("ts_ns"))).head.getLong(0)
+    val sentinelTmp = graft.TempDirs.create(s"$name-sentinel")
+    batch.select(col("user_id")).distinct()
+      .select(lit(-1L).as("event_id"),
+        graft.Tables.tsRawLit(batch.schema, maxNs + 7200L * 1000000000L).as("ts"),
+        col("user_id"), lit("sentinel").as("event_type"),
+        lit(0.0).as("value"), lit("").as("props"))
+      .coalesce(1).write.mode("overwrite").parquet(sentinelTmp)
+    val part = new java.io.File(sentinelTmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet")).get.toPath
+    val dst = java.nio.file.Paths.get(watchDir, "zz_sentinel.parquet")
+    java.nio.file.Files.move(part, dst)
+    // file-source batch order is mtime: the sentinel must land AFTER the
+    // (old) testdata file so state is complete before emission
+    dst.toFile.setLastModified(System.currentTimeMillis): Unit
+    val rows = graft.Tables.tsToNs(spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1").parquet(watchDir))
+      .select(col("user_id"), col("event_type"),
+        expr("ts_ns div 1000000").as("ts_ms"))
+      .as[StreamingOps.FunnelEvent]
+    val funnel = StreamingOps.funnelStream(rows,
+      Seq("view", "click", "purchase"), 86400000L)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = funnel.writeStream
+        .format("memory").queryName(name)
+        .option("checkpointLocation", graft.TempDirs.create(s"$name-ckpt"))
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    spark.table(name)
+  }
+
   /** Streaming sessionization over a live file stream — the
     * flatMapGroupsWithState custom-state operator
     * ([[StreamingOps.sessionizeStream]]), hash-checked against the SAME

@@ -36,6 +36,53 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("long-domain bloom: no false negatives, OR-merge law, probe codegen") {
+    graft.GraftFunctions.register(spark)
+    // SQL-built filter over array input == scalar replay of the same sets
+    val vals = (0L until 200L).map(v => v * 0x9E3779B97F4A7C15L)
+    val blob = vals.grouped(50).toSeq.toDF("hs")
+      .selectExpr("bloom_agg64(hs, 4096) AS f").head().getAs[Array[Byte]]("f")
+    assert(blob.length == 512)
+    assert(vals.forall(v => graft.functions.expr.LongBloom.mightContain(blob, v)),
+      "inserted value probed negative — false negatives are forbidden")
+    // fpp sanity at this sizing: far from saturated
+    val misses = (1L to 2000L).count(v =>
+      graft.functions.expr.LongBloom.mightContain(blob, v * 7919L + 13L))
+    assert(misses < 400, s"bloom saturated: $misses/2000 false positives")
+    // probe expression survives whole-stage codegen on a real scan
+    val docs = graft.Tables.documents(spark, TestSpark.sfDir).limit(10)
+    val probed = docs.select(
+      call_function("bloom_any64", lit(blob),
+        call_function("shingle_hashes64", col("text"), lit(3))).as("hit"))
+    val covered = probed.queryExecution.executedPlan.exists {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec =>
+        w.toString().contains("bloom_any64")
+      case _ => false
+    }
+    assert(covered, s"bloom_any64 fell out of codegen:\n${probed.queryExecution.executedPlan}")
+    assert(probed.collect().length == 10)
+  }
+
+  test("bloomDecontaminate == exact decontaminate (guided path is bit-identical)") {
+    val docs = (0L until 60L).map { i =>
+      val base = if (i % 4 == 0) loremA else if (i % 4 == 1) loremB
+        else s"unique filler document number $i with nothing shared at all ${i * 31}"
+      (i, base)
+    }.toDF("doc_id", "text")
+    val bench = docs.filter($"doc_id" % 5 === 0)
+    val corp = docs.filter($"doc_id" % 5 =!= 0)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val exact = key(Dedup.decontaminate(corp, bench))
+    // production sizing and a deliberately tiny (collision-heavy) filter:
+    // false positives must never change the output, only the work
+    for (bits <- Seq(1 << 20, 256)) {
+      val guided = key(Dedup.bloomDecontaminate(corp, bench, bloomBits = bits))
+      assert(guided == exact, s"bits=$bits")
+    }
+    assert(exact.nonEmpty, "fixture degenerate: no contaminated docs")
+  }
+
   test("connectedComponents: hash-min labels equal min reachable id; path graph converges") {
     // two components {1,2,3,7} (via chained pairs) and {10,11} — checked
     // on BOTH execution paths: the small-graph union-find (default gate)

@@ -79,6 +79,41 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got.take(2).map(m => (m._2, m._3)) == Seq(("l", "o"), ("lo", "w")))
   }
 
+  test("bpeEncode: per-doc subword counts equal a scalar encode with the learned merges") {
+    val docs = Seq(
+      (0L, "low lower lowest low low"),
+      (1L, "aaaa aaa lower low"),
+      (2L, "newest widest newest the lowest"),
+      (3L, "Mixed-CASE tokens! are filtered; low lower")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeMerges(spark, docs.select($"text"), rounds = 5)
+      .collect().sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2)))
+    // scalar reference: greedy positional encode of every word with the
+    // SAME merge sequence, summed per doc
+    def encode(w: String): Int = {
+      var s = w.map(_.toString).toVector
+      for ((l, r) <- merges) {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < s.length) {
+          if (i + 1 < s.length && s(i) == l && s(i + 1) == r) { out += l + r; i += 2 }
+          else { out += s(i); i += 1 }
+        }
+        s = out.result()
+      }
+      s.length
+    }
+    val expect = docs.collect().map { row =>
+      val ws = row.getString(1).toLowerCase.split("\\s+")
+        .filter(_.matches("[a-z0-9]+"))
+      (row.getLong(0), (ws.length.toLong, ws.map(encode(_).toLong).sum))
+    }.toMap
+    val got = TextAnalysis.bpeEncode(spark, docs, rounds = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expect)
+    // sanity: merges actually compress ('low' appears 7×, so n_bpe < chars)
+    assert(got(0L)._2 < "low lower lowest low low".count(_ != ' '))
+  }
+
   test("langId: real-language snippets classify correctly") {
     val samples = Seq(
       ("en", "the cat sat on the mat and it was happy with the sun"),

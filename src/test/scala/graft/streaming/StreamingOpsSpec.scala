@@ -197,4 +197,47 @@ class StreamingOpsSpec extends AnyFunSuite {
     // the far events open session 2 per user, which stays open (not emitted)
     assert(got == Set((1L, 1L, 0L, 20000L, 3L), (2L, 1L, 5000L, 5000L, 1L)), got)
   }
+
+  test("streaming funnel: chain crosses the batch boundary; tie rule holds in-batch; sentinel emits") {
+    import StreamingOps.FunnelEvent
+    val H = 3600000L
+    def ev(u: Long, t: String, ms: Long) = FunnelEvent(u, t, ms)
+    val watch = TestSpark.tmpDir("funnel-watch")
+    // batch 1: u1's view; u2's same-ms view+click (tie — click must NOT
+    // qualify); u3 completes nothing
+    Seq(ev(1, "view", 0L), ev(2, "view", 5 * H), ev(2, "click", 5 * H),
+        ev(3, "click", 0L)).toDS()
+      .coalesce(1).write.parquet(s"$watch/seg1")
+    // batch 2: u1's click (1 h after the batch-1 view — the handoff) and
+    // purchase; u2's purchase finds no qualified click
+    Seq(ev(1, "click", 1 * H), ev(1, "purchase", 2 * H),
+        ev(2, "purchase", 6 * H)).toDS()
+      .coalesce(1).write.parquet(s"$watch/seg2")
+    // batch 3: sentinels emit every user's row from state
+    Seq(ev(1, "sentinel", 100 * H), ev(2, "sentinel", 100 * H),
+        ev(3, "sentinel", 100 * H)).toDS()
+      .coalesce(1).write.parquet(s"$watch/seg3")
+    for ((seg, t) <- Seq("seg1" -> 1000L, "seg2" -> 5000L, "seg3" -> 9000L);
+         f <- new java.io.File(s"$watch/$seg").listFiles())
+      f.setLastModified(1700000000000L + t): Unit
+    val rows = spark.readStream
+      .schema(Seq.empty[FunnelEvent].toDS().schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$watch/*/")
+      .as[FunnelEvent]
+    val name = "funnel_stream_spec"
+    val q = StreamingOps.funnelStream(rows, Seq("view", "click", "purchase"), 24 * H)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", TestSpark.tmpDir("funnel-ckpt"))
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table(name).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got == Map(
+      1L -> ((1L, 1L, 1L, 2 * H)), // chain completed ACROSS batches
+      2L -> ((1L, 0L, 0L, -1L)),   // same-ms click never qualified
+      3L -> ((0L, 0L, 0L, -1L))), got)
+  }
 }
