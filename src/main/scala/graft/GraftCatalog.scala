@@ -27,6 +27,11 @@ object GraftCatalog {
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, () => DataFrame]()
 
+  /** name → live table handle, for the operational surface (CALL
+    * procedures — [[graft.lake.GraftProcedureCatalog]]). */
+  private val handles =
+    new java.util.concurrent.ConcurrentHashMap[String, Either[MorTable, PartitionedMorTable]]()
+
   private def key(spark: SparkSession, name: String): String =
     System.identityHashCode(spark) + "/" + name.toLowerCase(java.util.Locale.ROOT)
 
@@ -34,25 +39,35 @@ object GraftCatalog {
   private[graft] def lookup(spark: SparkSession, name: String): Option[() => DataFrame] =
     Option(registry.get(key(spark, name)))
 
+  /** Live handle lookup used by the CALL-procedure surface. */
+  private[graft] def handleOf(spark: SparkSession,
+                              name: String): Option[Either[MorTable, PartitionedMorTable]] =
+    Option(handles.get(key(spark, name)))
+
   private def ruleInstalled(spark: SparkSession): Boolean =
     spark.conf.getOption("spark.sql.extensions").exists(_.contains("graft.GraftExtensions"))
 
   /** Register (or refresh) a MOR table under a catalog name (see the
     * freshness contract above). */
-  def register(spark: SparkSession, name: String, table: MorTable): Unit =
+  def register(spark: SparkSession, name: String, table: MorTable): Unit = {
+    handles.put(key(spark, name), Left(table))
     if (ruleInstalled(spark)) { registry.put(key(spark, name), () => table.read()); () }
     else table.read().createOrReplaceTempView(name)
+  }
 
   /** Same contract for the `PARTITIONED BY` lake form. */
-  def register(spark: SparkSession, name: String, table: PartitionedMorTable): Unit =
+  def register(spark: SparkSession, name: String, table: PartitionedMorTable): Unit = {
+    handles.put(key(spark, name), Right(table))
     if (ruleInstalled(spark)) { registry.put(key(spark, name), () => table.read()); () }
     else table.read().createOrReplaceTempView(name)
+  }
 
   /** S5 — `DROP TABLE IF EXISTS`: removes catalog metadata; storage stays
     * unless `purge`. Idempotent, like the reference's cleanup cell. */
   def dropTable(spark: SparkSession, name: String, table: Option[MorTable] = None,
                 purge: Boolean = false): Unit = {
     registry.remove(key(spark, name))
+    handles.remove(key(spark, name))
     spark.catalog.dropTempView(name)
     if (purge) table.foreach(_.drop())
   }

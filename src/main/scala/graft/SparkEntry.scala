@@ -49,6 +49,7 @@ object SparkEntry {
     "r2_changelog_materialize" -> ((s, d) => graft.sources.ChangelogQueries.materializeEvents(s, d)),
     "s7_mor_upsert_replay" -> ((s, d) => graft.lake.LakeQueries.upsertReplay(s, d)),
     "s47_savepoint_restore" -> ((s, d) => graft.lake.LakeQueries.rollbackRestore(s, d)),
+    "s53_sql_procedures"  -> ((s, d) => graft.lake.LakeQueries.sqlProcedures(s, d)),
     "s48_partition_ttl"   -> ((s, d) => graft.lake.LakeQueries.partitionTtl(s, d)),
     "s13_mor_partitioned" -> ((s, d) => graft.lake.LakeQueries.partitionedReplay(s, d)),
     "s28_manifest_read"   -> ((s, d) => graft.lake.LakeQueries.manifestRead(s, d)),
@@ -251,6 +252,19 @@ object SparkEntry {
       |  count(q_c)::BIGINT AS n_step3,
       |  coalesce(min(q_c), -1)::BIGINT AS first_conv_ms
       |FROM d GROUP BY user_id""".stripMargin
+
+  /** Shared by s47 (Scala-handle savepoint/restore) and s53 (the same
+    * lifecycle through SQL CALL procedures): the two-thirds LWW state. */
+  private val SavepointOracle: String =
+    """WITH b AS (
+      |  SELECT min(epoch_ns(ts)) + 2 * ((max(epoch_ns(ts)) - min(epoch_ns(ts))) // 3) AS hi
+      |  FROM events
+      |)
+      |SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
+      |FROM events, b
+      |WHERE epoch_ns(ts) <= b.hi
+      |QUALIFY row_number() OVER
+      |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "d26_bloom_decontaminate" -> DecontaminateOracle,
@@ -2161,16 +2175,10 @@ object SparkEntry {
         |FROM events
         |QUALIFY row_number() OVER
         |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
-    "s47_savepoint_restore" ->
-      """WITH b AS (
-        |  SELECT min(epoch_ns(ts)) + 2 * ((max(epoch_ns(ts)) - min(epoch_ns(ts))) // 3) AS hi
-        |  FROM events
-        |)
-        |SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
-        |FROM events, b
-        |WHERE epoch_ns(ts) <= b.hi
-        |QUALIFY row_number() OVER
-        |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+    "s47_savepoint_restore" -> SavepointOracle,
+    // s53 replays the same savepoint→backfill→restore story with every
+    // verb driven through CALL procedures — same final state by contract
+    "s53_sql_procedures" -> SavepointOracle,
     "s48_partition_ttl" ->
       """WITH m AS (SELECT min(event_type) AS v FROM events)
         |SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms

@@ -1,0 +1,209 @@
+package graft.lake
+
+import java.util.Collections
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL CALL-procedure surface for lake table services — the Hudi
+  * spark-sql procedures analog (`CALL run_compaction(table => …)`,
+  * `CALL run_clean(…)`, `CALL show_commits(…)`, savepoint management;
+  * Hudi exposes exactly this operational surface over its tables, and the
+  * reference's notebook drives compaction/clean cadence declaratively —
+  * `CDC-Hudi-Notebook.zpln:292` — so the operator-facing verbs belong in
+  * SQL, not only on the Scala handle).
+  *
+  * Wiring: Spark 4's DSv2 procedure API —
+  * `spark.sql.catalog.graft_ops = graft.lake.GraftProcedureCatalog`
+  * registers this catalog, after which `CALL graft_ops.<proc>(…)` parses,
+  * binds by parameter name (named-argument syntax included), and executes
+  * on the driver. Tables are resolved by CATALOG NAME through
+  * [[graft.GraftCatalog]] — the same registry the SELECT surface uses, so
+  * anything queryable is also operable. Procedure output is a LocalScan
+  * (rows materialize driver-side; every result here is metadata-sized —
+  * timeline listings, savepoint maps, one-row acks — never data).
+  *
+  * All concurrency safety lives in the table (OCC seq claim, `unfolded`
+  * straggler protocol, clean-vs-reader isolation) — a CALL is exactly the
+  * corresponding handle method, so racing a live writer is covered by the
+  * existing MultiWriterSpec contracts.
+  */
+class GraftProcedureCatalog extends ProcedureCatalog {
+  import GraftProcedureCatalog._
+
+  private var catName: String = "graft_ops"
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catName = name
+  override def name(): String = catName
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) procedures.keys.toArray.sorted.map(Identifier.of(Array.empty, _))
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure =
+    procedures.getOrElse(ident.name().toLowerCase(java.util.Locale.ROOT),
+      throw new NoSuchElementException(
+        s"unknown procedure ${ident.name()}; have: ${procedures.keys.toSeq.sorted.mkString(", ")}"))
+}
+
+object GraftProcedureCatalog {
+
+  /** One procedure: fixed IN parameters, fixed output schema, driver-side
+    * body. Binding is trivial (no overloads), so unbound == bound. */
+  private final case class Proc(
+      pname: String,
+      describe: String,
+      params: Seq[ProcedureParameter],
+      outSchema: StructType,
+      body: Seq[Any] => Seq[Seq[Any]])
+    extends UnboundProcedure with BoundProcedure {
+
+    override def name(): String = pname
+    override def description(): String = describe
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params.toArray
+    override def isDeterministic: Boolean = false
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val args = params.indices.map { i =>
+        if (input.isNullAt(i)) null
+        else params(i).dataType() match {
+          case StringType => input.getUTF8String(i).toString
+          case IntegerType => input.getInt(i)
+          case LongType => input.getLong(i)
+          case t => throw new IllegalArgumentException(s"unsupported param type $t")
+        }
+      }
+      val out = body(args).map { cells =>
+        new GenericInternalRow(cells.map {
+          case s: String => UTF8String.fromString(s)
+          case x => x.asInstanceOf[AnyRef]
+        }.toArray[Any]): InternalRow
+      }.toArray
+      Collections.singletonList[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = out
+        override def readSchema(): StructType = outSchema
+      }).iterator()
+    }
+  }
+
+  private def in(n: String, t: DataType) = ProcedureParameter.in(n, t).build()
+  private def inDefault(n: String, t: DataType, sql: String) =
+    ProcedureParameter.in(n, t).defaultValue(sql).build()
+
+  private def resolve(name: String): Either[MorTable, PartitionedMorTable] =
+    graft.GraftCatalog.handleOf(SparkSession.active, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"'$name' is not a registered graft table (GraftCatalog.register it first)"))
+
+  private val ack = StructType(Seq(
+    StructField("action", StringType, nullable = false),
+    StructField("detail", StringType, nullable = false)))
+
+  private val procedures: Map[String, UnboundProcedure] = Seq[Proc](
+    Proc("run_compaction",
+      "compact a lake table: mode full|minor|zorder|due (zorder_cols comma-separated)",
+      Seq(in("table", StringType),
+        inDefault("mode", StringType, "'full'"),
+        inDefault("zorder_cols", StringType, "''")),
+      ack,
+      { case Seq(tbl: String, mode: String, zcols: String) =>
+        resolve(tbl) match {
+          case Left(t) => mode.toLowerCase match {
+            case "full" => t.compact(); Seq(Seq("compacted", "full"))
+            case "minor" => t.compactMinor(); Seq(Seq("compacted", "minor"))
+            case "zorder" =>
+              val cols = zcols.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+              require(cols.nonEmpty, "zorder mode needs zorder_cols")
+              t.compactZOrder(cols); Seq(Seq("compacted", s"zorder(${cols.mkString(",")})"))
+            case "due" =>
+              if (t.maybeCompact()) Seq(Seq("compacted", "due"))
+              else Seq(Seq("skipped", "not due"))
+            case m => throw new IllegalArgumentException(s"unknown mode '$m'")
+          }
+          case Right(p) => mode.toLowerCase match {
+            // partitioned compaction is per-child minor-planned already
+            case "full" | "minor" =>
+              val parts = p.partitions(); p.compactPartitions(parts)
+              Seq(Seq("compacted", s"${parts.size} partitions"))
+            case "due" =>
+              val did = p.maybeCompact()
+              if (did.nonEmpty) Seq(Seq("compacted", did.mkString(",")))
+              else Seq(Seq("skipped", "not due"))
+            case m => throw new IllegalArgumentException(
+              s"mode '$m' is not supported on a partitioned table")
+          }
+        }
+      }),
+    Proc("run_clean", "remove unreferenced files past the retention point",
+      Seq(in("table", StringType)),
+      StructType(Seq(StructField("removed", IntegerType, nullable = false))),
+      { case Seq(tbl: String) =>
+        Seq(Seq(Int.box(resolve(tbl).fold(_.clean(), _.clean()))))
+      }),
+    Proc("create_savepoint", "pin the current commit under a name",
+      Seq(in("table", StringType), in("name", StringType)),
+      StructType(Seq(StructField("seq", LongType, nullable = false))),
+      { case Seq(tbl: String, nm: String) =>
+        resolve(tbl) match {
+          case Left(t) => Seq(Seq(Long.box(t.savepoint(nm))))
+          case Right(_) => throw new IllegalArgumentException(
+            "savepoints are per unpartitioned table")
+        }
+      }),
+    Proc("restore_savepoint", "physically roll the table back to a savepoint",
+      Seq(in("table", StringType), in("name", StringType)),
+      StructType(Seq(StructField("rolled_back", IntegerType, nullable = false))),
+      { case Seq(tbl: String, nm: String) =>
+        resolve(tbl) match {
+          case Left(t) => Seq(Seq(Int.box(t.restore(nm))))
+          case Right(_) => throw new IllegalArgumentException(
+            "savepoints are per unpartitioned table")
+        }
+      }),
+    Proc("show_savepoints", "list savepoint pins",
+      Seq(in("table", StringType)),
+      StructType(Seq(StructField("name", StringType, nullable = false),
+        StructField("seq", LongType, nullable = false))),
+      { case Seq(tbl: String) =>
+        resolve(tbl) match {
+          case Left(t) =>
+            t.savepoints().toSeq.sortBy(_._2).map { case (n, s) => Seq(n, Long.box(s)) }
+          case Right(_) => throw new IllegalArgumentException(
+            "savepoints are per unpartitioned table")
+        }
+      }),
+    Proc("show_commits", "timeline listing (parent timeline for partitioned tables)",
+      Seq(in("table", StringType)),
+      StructType(Seq(
+        StructField("seq", LongType, nullable = false),
+        StructField("kind", StringType, nullable = false),
+        StructField("batch_id", LongType, nullable = false),
+        StructField("commit_ms", LongType, nullable = false),
+        StructField("insert_only", BooleanType, nullable = false))),
+      { case Seq(tbl: String) =>
+        val tl = resolve(tbl).fold(_.timeline(), _.parentTimeline())
+        tl.sortBy(_.seq).map(i =>
+          Seq(Long.box(i.seq), i.kind, Long.box(i.batchId), Long.box(i.commitMs),
+            Boolean.box(i.insertOnly)))
+      }),
+    Proc("drop_partition", "drop a partition's storage and metadata (TTL verb)",
+      Seq(in("table", StringType), in("value", StringType)),
+      StructType(Seq(StructField("dropped", StringType, nullable = false))),
+      { case Seq(tbl: String, v: String) =>
+        resolve(tbl) match {
+          case Right(p) => p.dropPartitions(Seq(v)).map(d => Seq(d))
+          case Left(_) => throw new IllegalArgumentException(
+            "drop_partition needs a partitioned table")
+        }
+      })
+  ).map(p => p.pname -> (p: UnboundProcedure)).toMap
+}

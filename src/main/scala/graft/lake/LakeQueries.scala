@@ -79,6 +79,46 @@ object LakeQueries {
       t.read().select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
   }
 
+  /** The SQL CALL-procedure surface, oracle-checked end-to-end (the Hudi
+    * spark-sql procedures analog, [[GraftProcedureCatalog]]): the same
+    * savepoint→backfill→restore story as [[rollbackRestore]], but every
+    * operational verb — compaction, savepoint pin, restore, clean — is
+    * driven through `spark.sql("CALL graft_ops.…")` with named arguments
+    * against the catalog-registered table. The final read must equal the
+    * two-thirds LWW state (the s47 oracle), proving the SQL verbs hit the
+    * same table services as the Scala handle. */
+  def sqlProcedures(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_ops", "graft.lake.GraftProcedureCatalog")
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "value", "ts_ms", "ts_ns")
+    val b = ev.agg(min(col("ts_ns")).as("mn"), max(col("ts_ns")).as("mx")).head()
+    val mn = b.getLong(0); val mx = b.getLong(1)
+    val lo = mn + (mx - mn) / 3
+    val hi = mn + 2 * ((mx - mn) / 3)
+    val path = tempPath("mor-sqlproc")
+    val t = MorTable(spark, path, keyCols = Seq("user_id"),
+      compactionDeltaCommits = 1000)
+    graft.GraftCatalog.register(spark, "sql_proc_gate", t)
+    val ord = Seq(col("ts_ns"), col("event_id"))
+    t.upsert(ev.filter(col("ts_ns") <= lo), ord, batchId = 1L)
+    t.upsert(ev.filter(col("ts_ns") > lo && col("ts_ns") <= hi), ord, batchId = 2L)
+    spark.sql("CALL graft_ops.run_compaction(table => 'sql_proc_gate', mode => 'full')")
+      .collect()
+    val pinned = spark.sql(
+      "CALL graft_ops.create_savepoint(table => 'sql_proc_gate', name => 'pin')")
+      .collect().head.getLong(0)
+    t.upsert(ev.filter(col("ts_ns") > hi), ord, batchId = 3L)
+    spark.sql("CALL graft_ops.restore_savepoint(table => 'sql_proc_gate', name => 'pin')")
+      .collect()
+    spark.sql("CALL graft_ops.run_clean(table => 'sql_proc_gate')").collect()
+    val tl = spark.sql("CALL graft_ops.show_commits(table => 'sql_proc_gate')")
+      .collect()
+    assert(tl.last.getLong(0) == pinned, "restore must land exactly on the pin")
+    graft.GraftCatalog.dropTable(spark, "sql_proc_gate")
+    graft.TempDirs.materializeAndDelete(
+      t.read().select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
+  }
+
   /** DROP PARTITION / retention TTL, oracle-checked: replay events into
     * the event_type-partitioned lake form, then TTL away the
     * lexicographically smallest partition value

@@ -1,0 +1,102 @@
+package graft.lake
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** The SQL CALL-procedure surface (Hudi spark-sql procedures analog):
+  * operational verbs — compaction, clean, savepoints, timeline, partition
+  * TTL — driven end-to-end through `spark.sql("CALL graft_ops.…")` with
+  * named arguments, against tables registered in the same catalog the
+  * SELECT surface uses. */
+class ProcedureCatalogSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    s.conf.set("spark.sql.catalog.graft_ops", "graft.lake.GraftProcedureCatalog")
+    s
+  }
+  import spark.implicits._
+
+  private def rows(n: Int, tag: String) =
+    (1 to n).map(i => (s"id$i", s"$tag$i", i.toLong)).toDF("uuid", "name", "v")
+
+  test("CALL lifecycle on an unpartitioned table: compaction, commits, savepoint, clean") {
+    val t = MorTable(spark, TestSpark.tmpDir("proc-mor"), Seq("uuid"),
+      compactionDeltaCommits = 100)
+    graft.GraftCatalog.register(spark, "proc_t1", t)
+    t.upsert(rows(8, "a"), Seq(col("v")))
+    t.upsert(rows(4, "b"), Seq(col("v")))
+
+    // timeline via SQL: two delta commits
+    val commits0 = spark.sql("CALL graft_ops.show_commits(table => 'proc_t1')")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(commits0.length == 2 && commits0.forall(_._2 == "delta"), commits0.toSeq)
+
+    // named-arg compaction with an explicit mode
+    val ack = spark.sql("CALL graft_ops.run_compaction(table => 'proc_t1', mode => 'full')")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(ack.toSeq == Seq(("compacted", "full")))
+    assert(spark.sql("CALL graft_ops.show_commits(table => 'proc_t1')")
+      .collect().map(_.getString(1)).contains("compact"))
+
+    // savepoint → more writes → restore rolls them back
+    val sp = spark.sql("CALL graft_ops.create_savepoint(table => 'proc_t1', name => 'sp1')")
+      .collect().head.getLong(0)
+    assert(sp > 0)
+    t.upsert(rows(8, "c"), Seq(col("v")), batchId = 77L)
+    assert(t.read().filter($"name".startsWith("c")).count() == 8)
+    val names = spark.sql("CALL graft_ops.show_savepoints(table => 'proc_t1')")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(names.toSeq == Seq(("sp1", sp)))
+    val rolled = spark.sql(
+      "CALL graft_ops.restore_savepoint(table => 'proc_t1', name => 'sp1')")
+      .collect().head.getInt(0)
+    assert(rolled >= 1)
+    assert(t.read().filter($"name".startsWith("c")).count() == 0)
+    assert(t.read().count() == 8)
+
+    // default-argument call (mode defaults to 'full') and clean
+    spark.sql("CALL graft_ops.run_compaction(table => 'proc_t1')").collect()
+    val removed = spark.sql("CALL graft_ops.run_clean(table => 'proc_t1')")
+      .collect().head.getInt(0)
+    assert(removed >= 0)
+    assert(t.read().count() == 8)
+
+    // unknown table fails loudly with the registry hint
+    val e = intercept[Exception](
+      spark.sql("CALL graft_ops.run_clean(table => 'nope')").collect())
+    assert(e.getMessage.contains("not a registered graft table"), e.getMessage)
+  }
+
+  test("CALL surface on a partitioned table: due compaction, drop_partition TTL") {
+    val p = PartitionedMorTable.resolve(spark, TestSpark.tmpDir("proc-part"),
+      Seq("uuid"), "pt")
+    graft.GraftCatalog.register(spark, "proc_p1", p)
+    val batch = Seq(
+      ("u1", "x", "2024-01"), ("u2", "y", "2024-01"),
+      ("u3", "z", "2024-02"), ("u4", "w", "2024-03"))
+      .toDF("uuid", "name", "pt")
+    p.upsert(batch, Seq(col("name")))
+    p.upsert(batch.withColumn("name", concat(col("name"), lit("2"))),
+      Seq(col("name")), batchId = 2L)
+
+    val ack = spark.sql("CALL graft_ops.run_compaction(table => 'proc_p1', mode => 'due')")
+      .collect().map(_.getString(0))
+    assert(ack.length == 1)
+
+    val commits = spark.sql("CALL graft_ops.show_commits(table => 'proc_p1')").collect()
+    assert(commits.nonEmpty)
+
+    val dropped = spark.sql(
+      "CALL graft_ops.drop_partition(table => 'proc_p1', value => '2024-03')")
+      .collect().map(_.getString(0))
+    assert(dropped.toSeq == Seq("2024-03"))
+    assert(p.partitions().sorted == Seq("2024-01", "2024-02"))
+    assert(p.read().count() == 3)
+
+    // savepoint verbs reject the partitioned form loudly
+    val e = intercept[Exception](spark.sql(
+      "CALL graft_ops.create_savepoint(table => 'proc_p1', name => 's')").collect())
+    assert(e.getMessage.contains("unpartitioned"), e.getMessage)
+  }
+}
