@@ -50,6 +50,7 @@ object SparkEntry {
     "s7_mor_upsert_replay" -> ((s, d) => graft.lake.LakeQueries.upsertReplay(s, d)),
     "s47_savepoint_restore" -> ((s, d) => graft.lake.LakeQueries.rollbackRestore(s, d)),
     "s53_sql_procedures"  -> ((s, d) => graft.lake.LakeQueries.sqlProcedures(s, d)),
+    "s54_write_index_tagging" -> ((s, d) => graft.lake.LakeQueries.writeIndexTagging(s, d)),
     "s48_partition_ttl"   -> ((s, d) => graft.lake.LakeQueries.partitionTtl(s, d)),
     "s13_mor_partitioned" -> ((s, d) => graft.lake.LakeQueries.partitionedReplay(s, d)),
     "s28_manifest_read"   -> ((s, d) => graft.lake.LakeQueries.manifestRead(s, d)),
@@ -263,6 +264,15 @@ object SparkEntry {
       |SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
       |FROM events, b
       |WHERE epoch_ns(ts) <= b.hi
+      |QUALIFY row_number() OVER
+      |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin
+
+  /** All-events LWW per user — shared by s16 (datasource write) and s54
+    * (write-path index tagging), whose mixed flagged/unflagged commits
+    * must land on the identical final state. */
+  private val LwwAllEventsOracle: String =
+    """SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
+      |FROM events
       |QUALIFY row_number() OVER
       |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin
 
@@ -2187,11 +2197,9 @@ object SparkEntry {
         |QUALIFY row_number() OVER
         |  (PARTITION BY event_type, user_id
         |   ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
-    "s16_mor_datasource" ->
-      """SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
-        |FROM events
-        |QUALIFY row_number() OVER
-        |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+    "s16_mor_datasource" -> LwwAllEventsOracle,
+    // the tagging proof may only change the plan, never the result
+    "s54_write_index_tagging" -> LwwAllEventsOracle,
     "d10_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
     "s17_mor_part_incremental" ->

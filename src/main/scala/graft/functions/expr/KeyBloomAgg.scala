@@ -79,6 +79,45 @@ case class KeyBloomAgg(
     copy(child = newChildren.head)
 }
 
+/** `key_bloom_contains(filter, key)` — membership probe against a
+  * [[KeyBloomAgg]] filter, as a codegen'd row expression. This is the
+  * write-path index probe ([[graft.lake.MorTable.upsertIfNew]]): existing
+  * table keys are scanned map-side against a BATCH-keys filter, so the
+  * probe runs inside the scan stage of a key-column-only projection. */
+case class KeyBloomContains(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "key_bloom_contains"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"key_bloom_contains expects (BINARY, STRING), got (${l.simpleString}, ${r.simpleString})")
+    }
+
+  override protected def nullSafeEval(filter: Any, key: Any): Any =
+    KeyBloom.mightContainU(filter.asInstanceOf[Array[Byte]],
+      key.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (f, k) =>
+      s"${ev.value} = graft.functions.expr.KeyBloom.mightContainU($f, $k);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KeyBloomContains =
+    copy(left = newLeft, right = newRight)
+}
+
+object KeyBloomContains {
+  val info: ExpressionInfo =
+    new ExpressionInfo(classOf[KeyBloomContains].getName, "key_bloom_contains")
+}
+
 object KeyBloomAgg {
   val info: ExpressionInfo = new ExpressionInfo(classOf[KeyBloomAgg].getName, "key_bloom_agg")
 
@@ -140,11 +179,15 @@ object KeyBloom {
   }
 
   /** No false negatives: a false here proves the key was never added. */
-  def mightContain(buf: Array[Byte], key: String): Boolean = {
+  def mightContain(buf: Array[Byte], key: String): Boolean =
+    mightContainU(buf, UTF8String.fromString(key))
+
+  /** [[mightContain]] over the codegen-native string type (no copy). */
+  def mightContainU(buf: Array[Byte], key: UTF8String): Boolean = {
     val bits = buf.length * 8
     require(bits >= 64 && Integer.bitCount(bits) == 1,
       s"bloom buffer length ${buf.length} is not a power-of-two bit count")
-    val ps = positions(UTF8String.fromString(key), bits)
+    val ps = positions(key, bits)
     var i = 0
     while (i < K) {
       val p = ps(i)

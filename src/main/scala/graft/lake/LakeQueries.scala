@@ -119,6 +119,34 @@ object LakeQueries {
       t.read().select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
   }
 
+  /** Write-path index tagging ([[MorTable.upsertIfNew]] — the Hudi
+    * bloom-index write path), oracle-checked end-to-end: a key-disjoint
+    * user split lands as two PROVEN insert-only commits (the second
+    * proven against the compacted base's manifest bounds/blooms + delta
+    * scan, not trusted), then an overlapping re-upsert is correctly
+    * REFUSED the flag and merges normally. The final read must equal the
+    * all-events LWW state — the proof mechanism may only ever change the
+    * execution plan, never the result. */
+  def writeIndexTagging(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "value", "ts_ms", "ts_ns")
+    val path = tempPath("mor-tagging")
+    val t = MorTable(spark, path, keyCols = Seq("user_id"),
+      compactionDeltaCommits = 1000)
+    val ord = Seq(col("ts_ns"), col("event_id"))
+    val lo = ev.filter(col("user_id") < 75)
+    assert(t.upsertIfNew(lo, ord, batchId = 1L),
+      "initial load of an empty table is trivially all-new")
+    t.compact() // publish manifest key bounds + blooms for the probe
+    assert(t.upsertIfNew(ev.filter(col("user_id") >= 75), ord, batchId = 2L),
+      "key-disjoint batch must be proven new")
+    assert(t.timeline().last.insertOnly, "proven commit carries the flag")
+    assert(!t.upsertIfNew(lo.filter(col("user_id") < 30), ord, batchId = 3L),
+      "overlapping keys must never be claimed new")
+    graft.TempDirs.materializeAndDelete(
+      t.read().select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
+  }
+
   /** DROP PARTITION / retention TTL, oracle-checked: replay events into
     * the event_type-partitioned lake form, then TTL away the
     * lexicographically smallest partition value

@@ -199,6 +199,76 @@ final class MorTable(
     this
   }
 
+  /** [[upsert]] with WRITE-PATH INDEX TAGGING — the Hudi bloom-index
+    * write path (Hudi probes its bloom index to split an upsert into
+    * inserts vs updates before routing; the reference's keyed sinks
+    * default to exactly that index, `CDC-Hudi-Notebook.zpln:292`): PROVE
+    * the batch is all-new keys and commit it `insertOnly` — the
+    * no-LWW-window fast path — instead of trusting the writer's claim.
+    * Returns whether the proof succeeded (false = committed normally).
+    *
+    * The proof is sound by construction, in the only direction that
+    * matters: the batch's keys collapse into ONE fixed-size Bloom filter
+    * + key bounds (a single agg job over the deduped batch, which is
+    * pinned and reused by the commit write); base files whose manifest
+    * key range cannot intersect the batch bounds are disjoint by
+    * metadata — a monotonic-key append (the dominant real insert
+    * pattern) prunes EVERY base file here and scans nothing; surviving
+    * base files and live delta dirs have only their `_record_key` column
+    * scanned, map-side, against the batch filter (`key_bloom_contains`,
+    * codegen'd, first hit short-circuits via head(1)). Blooms have no
+    * false negatives, so an existing batch key — tombstoned keys
+    * included, they still occupy the key in base — ALWAYS probes
+    * positive and newness is never wrongly claimed; a false positive
+    * only downgrades to the normal merge path. Probe cost is a
+    * key-column projection over range-surviving files, never a data
+    * read.
+    *
+    * Concurrency: the proof is against the timeline observed at probe
+    * time — two uncoordinated writers racing the SAME key through
+    * `upsertIfNew` could both prove "new" (the usual write-index caveat;
+    * Hudi's answer is the table lock). Per the insert-only contract,
+    * that is the one shape the flag must not lie about, so keep racing
+    * same-key writers on the plain [[upsert]] path or serialize them. */
+  def upsertIfNew(batch: DataFrame, orderWithinBatch: Seq[Column],
+                  batchId: Long = -1L, bloomBits: Int = 1 << 17): Boolean = {
+    if (isCommitted(batchId)) return false // replayed micro-batch — no-op
+    graft.GraftFunctions.register(spark)
+    val deduped = withMeta(dedupBatch(batch, orderWithinBatch), deleted = false)
+      .localCheckpoint(true) // one materialization: probe agg + commit write
+    val a = deduped.agg(
+      call_function("key_bloom_agg", col("_record_key"), lit(bloomBits)).as("f"),
+      min(col("_record_key")).as("mn"),
+      max(col("_record_key")).as("mx")).head()
+    val isNew = a.getString(1) != null &&
+      !keysMightExist(a.getAs[Array[Byte]]("f"), a.getString(1), a.getString(2))
+    commitDelta(deduped, batchId, insertOnly = isNew)
+    isNew
+  }
+
+  /** True iff some CURRENT table key (live base or delta rows, tombstones
+    * included) might be in `filter`. Base files are pre-pruned by manifest
+    * key bounds against [mn, mx] — exact metadata, so pruning can never
+    * hide a real hit ([[upsertIfNew]]'s soundness note). */
+  private def keysMightExist(filter: Array[Byte], mn: String, mx: String): Boolean = {
+    val (baseDirOpt, deltaDirs) = liveScanDirs()
+    def u8(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    val basePaths: Seq[String] = baseDirOpt.toSeq.flatMap { bd =>
+      liveDeltas(timeline())._1.flatMap(c => manifestStats(c.seq)) match {
+        case Some(st) => st.collect {
+          case (f, fmn, fmx) if u8(fmx).compareTo(u8(mn)) >= 0 &&
+            u8(fmn).compareTo(u8(mx)) <= 0 => f
+        }
+        case None => Seq(bd) // pre-stats manifest: conservative full base
+      }
+    }
+    val paths = basePaths ++ deltaDirs
+    paths.nonEmpty && spark.read.parquet(paths: _*)
+      .select("_record_key")
+      .filter(call_function("key_bloom_contains", lit(filter), col("_record_key")))
+      .head(1).nonEmpty
+  }
+
   /** Delete by key — writes tombstones (CDC `op = D`). `keys` needs the key
     * columns only. `seqno` overrides the stored `_commit_seqno` (used by
     * PartitionedMorTable, whose commit counter is table-global). */

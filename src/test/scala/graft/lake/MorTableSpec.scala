@@ -46,6 +46,31 @@ class MorTableSpec extends AnyFunSuite {
     assert(id1.getAs[Int]("age") == 29)
   }
 
+  test("upsertIfNew: write-path bloom/range tagging proves newness and never lies") {
+    val t = MorTable(spark, TestSpark.tmpDir("mor-ifnew"), Seq("uuid"),
+      compactionDeltaCommits = 100)
+    t.upsert(t1Rows, Seq(col("ts")), batchId = 1L)
+    t.compact() // manifest publishes per-file key bounds + blooms
+    def row(u: String, n: String) = Seq((u, n, 1, "1970-01-01 00:01:00"))
+      .toDF("uuid", "name", "age", "ts")
+    // beyond the base max key: provable from bounds alone (no scan path)
+    assert(t.upsertIfNew(row("zz1", "New1"), Seq(col("ts")), batchId = 11L))
+    assert(t.timeline().last.insertOnly, "proven-new commit must carry the flag")
+    // new key INSIDE the base key range: the bloom probe proves it
+    assert(t.upsertIfNew(row("id15", "Mid"), Seq(col("ts")), batchId = 12L))
+    // an existing key must never be claimed new (no-false-negatives law)
+    assert(!t.upsertIfNew(row("id3", "Updated"), Seq(col("ts")), batchId = 13L))
+    assert(!t.timeline().last.insertOnly)
+    // a tombstoned key still occupies its key — not new either
+    t.delete(Seq("zz1").toDF("uuid"), batchId = 14L)
+    assert(!t.upsertIfNew(row("zz1", "Back"), Seq(col("ts")), batchId = 15L))
+    // end-to-end LWW through the mixed flagged/unflagged commits
+    val got = t.read().collect()
+      .map(r => r.getAs[String]("uuid") -> r.getAs[String]("name")).toMap
+    assert(got.size == 10) // 8 base + zz1 (re-inserted) + id15
+    assert(got("id3") == "Updated" && got("id15") == "Mid" && got("zz1") == "Back")
+  }
+
   test("R12 within-batch last-write-wins uses the given ordering") {
     val t = MorTable(spark, TestSpark.tmpDir("mor-lww"), Seq("k"),
       compactionDeltaCommits = 100)
