@@ -195,6 +195,22 @@ object GraftProcedureCatalog {
           Seq(Long.box(i.seq), i.kind, Long.box(i.batchId), Long.box(i.commitMs),
             Boolean.box(i.insertOnly)))
       }),
+    Proc("show_files", "newest external-manifest file listing with per-file key bounds",
+      Seq(in("table", StringType)),
+      StructType(Seq(
+        StructField("file", StringType, nullable = false),
+        StructField("min_key", StringType, nullable = true),
+        StructField("max_key", StringType, nullable = true))),
+      { case Seq(tbl: String) =>
+        // metadata-sized: one row per base file, no Spark job
+        val stats = resolve(tbl) match {
+          case Left(t) => t.manifestFileStats()
+          case Right(p) => p.partitions().flatMap(v => p.child(v).manifestFileStats())
+        }
+        stats.sortBy(_._1).map { case (f, mn, mx) =>
+          Seq(f, mn.orNull, mx.orNull)
+        }
+      }),
     Proc("drop_partition", "drop a partition's storage and metadata (TTL verb)",
       Seq(in("table", StringType), in("value", StringType)),
       StructType(Seq(StructField("dropped", StringType, nullable = false))),

@@ -1331,6 +1331,18 @@ final class MorTable(
     * tombstone-only file whose stat columns are all null) must still be
     * scanned, so kept-lists start here and only remove provably-prunable
     * files. */
+  /** (file, minKey, maxKey) of the NEWEST manifest — the `show_files`
+    * procedure listing. Bounds are None for manifests predating key
+    * stats; empty when no compaction has published a manifest yet.
+    * Metadata-sized (one row per base file), no Spark job. */
+  private[lake] def manifestFileStats(): Seq[(String, Option[String], Option[String])] =
+    liveDeltas(timeline())._1.toSeq.flatMap { c =>
+      manifestStats(c.seq) match {
+        case Some(st) => st.map { case (f, mn, mx) => (f, Some(mn), Some(mx)) }
+        case None => manifestFiles(c.seq).getOrElse(Nil).map(f => (f, None, None))
+      }
+    }
+
   private def manifestFiles(seq: Long): Option[Seq[String]] = {
     val p = new Path(hPath, s"manifest/$seq.json")
     if (!fs.exists(p)) return None

@@ -62,6 +62,22 @@ class ProcedureCatalogSpec extends AnyFunSuite {
     assert(removed >= 0)
     assert(t.read().count() == 8)
 
+    // show_files: newest manifest listing with key bounds, no Spark job
+    val files = spark.sql("CALL graft_ops.show_files(table => 'proc_t1')")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(files.nonEmpty && files.forall(_._1.endsWith(".parquet")), files.toSeq)
+    assert(files.forall(f => f._2 != null && f._2 <= f._3), "key bounds present")
+
+    // the statement surface around procedures works too
+    val listed = spark.sql("SHOW PROCEDURES IN graft_ops")
+      .collect().flatMap(r => (0 until r.length)
+        .flatMap(i => Option(r.get(i)).map(_.toString)))
+    assert(listed.contains("run_compaction") && listed.contains("show_commits"),
+      listed.toSeq)
+    val desc = spark.sql("DESCRIBE PROCEDURE graft_ops.run_clean")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(desc.contains("run_clean"), desc)
+
     // unknown table fails loudly with the registry hint
     val e = intercept[Exception](
       spark.sql("CALL graft_ops.run_clean(table => 'nope')").collect())
