@@ -51,6 +51,7 @@ object SparkEntry {
     "s47_savepoint_restore" -> ((s, d) => graft.lake.LakeQueries.rollbackRestore(s, d)),
     "s53_sql_procedures"  -> ((s, d) => graft.lake.LakeQueries.sqlProcedures(s, d)),
     "s54_write_index_tagging" -> ((s, d) => graft.lake.LakeQueries.writeIndexTagging(s, d)),
+    "s55_partial_update"  -> ((s, d) => graft.lake.LakeQueries.partialUpdate(s, d)),
     "s48_partition_ttl"   -> ((s, d) => graft.lake.LakeQueries.partitionTtl(s, d)),
     "s13_mor_partitioned" -> ((s, d) => graft.lake.LakeQueries.partitionedReplay(s, d)),
     "s28_manifest_read"   -> ((s, d) => graft.lake.LakeQueries.manifestRead(s, d)),
@@ -2200,6 +2201,21 @@ object SparkEntry {
     "s16_mor_datasource" -> LwwAllEventsOracle,
     // the tagging proof may only change the plan, never the result
     "s54_write_index_tagging" -> LwwAllEventsOracle,
+    // LWW state, then a narrow partial image touches users < 50: the
+    // touched columns replace, the absent ones carry over
+    "s55_partial_update" ->
+      """WITH lww AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
+        |  FROM events
+        |  QUALIFY row_number() OVER
+        |    (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        |)
+        |SELECT user_id,
+        |  CASE WHEN user_id < 50 THEN 999000 + user_id ELSE event_id END AS event_id,
+        |  CASE WHEN user_id < 50 THEN 'partial_touch' ELSE event_type END
+        |    AS event_type,
+        |  value, ts_ms
+        |FROM lww""".stripMargin,
     "d10_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
     "s17_mor_part_incremental" ->

@@ -147,6 +147,26 @@ object LakeQueries {
       t.read().select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
   }
 
+  /** Partial-image upsert ([[MorTable.upsertPartial]] — the Hudi
+    * PartialUpdateAvroPayload analog), oracle-checked: load the all-events
+    * LWW state, then touch users < 50 with a NARROW batch carrying only
+    * (user_id, event_id, event_type) — their value/ts must carry over
+    * from the current image, everyone else is untouched. */
+  def partialUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "value", "ts_ms", "ts_ns")
+    val path = tempPath("mor-partial")
+    val t = MorTable(spark, path, keyCols = Seq("user_id"),
+      compactionDeltaCommits = 1000)
+    t.upsert(ev, Seq(col("ts_ns"), col("event_id")), batchId = 1L)
+    val touch = ev.select("user_id").distinct().filter(col("user_id") < 50)
+      .select(col("user_id"), (lit(999000L) + col("user_id")).as("event_id"),
+        lit("partial_touch").as("event_type"))
+    t.upsertPartial(touch, batchId = 2L)
+    graft.TempDirs.materializeAndDelete(
+      t.read().select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
+  }
+
   /** DROP PARTITION / retention TTL, oracle-checked: replay events into
     * the event_type-partitioned lake form, then TTL away the
     * lexicographically smallest partition value

@@ -555,6 +555,40 @@ final class MorTable(
     applyChangelog(env, batchId)
   }
 
+  /** Sparse/partial-image upsert — the Hudi `PartialUpdateAvroPayload`
+    * analog (the CDC shape where an update carries only the changed
+    * columns): NULL data columns in the batch mean "keep the current
+    * value", and the batch may carry any SUBSET of the schema (plus the
+    * key) — absent columns are padded as keep-current. One key equi-join
+    * against the current snapshot resolves each partial row to a full
+    * after-image (AQE broadcasts the typical small batch), then the
+    * commit is O(|batch|) — the untouched table is never rewritten.
+    * Unmatched keys insert as-is (their nulls stay null). `batch` must be
+    * key-distinct (the mergeInto cardinality rule) and the table
+    * non-empty (a partial image of nothing is meaningless). */
+  def upsertPartial(batch: DataFrame, batchId: Long = -1L): MorTable = {
+    require(timeline().nonEmpty, "upsertPartial needs an existing table")
+    val schema = snapshotSchema()
+    val dataCols = schema.fields.map(_.name).toSeq
+    require(keyCols.forall(batch.columns.contains),
+      s"upsertPartial: batch is missing key columns ${keyCols.filterNot(batch.columns.contains).mkString(", ")}")
+    require(batch.columns.forall(dataCols.contains),
+      s"upsertPartial: batch has unknown columns ${batch.columns.filterNot(dataCols.contains).mkString(", ")}")
+    val dupKeys = batch.groupBy(keyCols.map(col): _*).count()
+      .filter(col("count") > 1).limit(1).count()
+    require(dupKeys == 0L,
+      "upsertPartial: batch has duplicate keys (cardinality violation)")
+    val padded = schema.fields.filterNot(f => batch.columns.contains(f.name))
+      .foldLeft(batch)((df, f) => df.withColumn(f.name, lit(null).cast(f.dataType)))
+    val joined = padded.alias("s").join(read().alias("t"),
+      keyCols.map(k => col(s"s.$k") === col(s"t.$k")).reduce(_ && _), "left")
+    val resolved = joined.select(dataCols.map { c =>
+      if (keyCols.contains(c)) col(s"s.$c").as(c)
+      else coalesce(col(s"s.$c"), col(s"t.$c")).as(c)
+    }: _*)
+    upsertDistinct(resolved, batchId)
+  }
+
   private def dedupBatch(batch: DataFrame, order: Seq[Column]): DataFrame = {
     if (order.isEmpty) batch
     else {

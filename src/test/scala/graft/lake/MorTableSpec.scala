@@ -71,6 +71,28 @@ class MorTableSpec extends AnyFunSuite {
     assert(got("id3") == "Updated" && got("id15") == "Mid" && got("zz1") == "Back")
   }
 
+  test("upsertPartial: null and absent columns keep current values (partial payload)") {
+    val t = MorTable(spark, TestSpark.tmpDir("mor-partial"), Seq("uuid"),
+      compactionDeltaCommits = 100)
+    t.upsert(t1Rows, Seq(col("ts")), batchId = 1L)
+    // narrow batch (uuid+name only): age and ts must carry over
+    t.upsertPartial(Seq(("id2", "Renamed")).toDF("uuid", "name"), batchId = 2L)
+    // explicit null keeps, non-null replaces; an unmatched key inserts
+    t.upsertPartial(Seq(
+      ("id3", null.asInstanceOf[String], 99), ("id9", "Nine", 9))
+      .toDF("uuid", "name", "age"), batchId = 3L)
+    val got = t.read().collect().map(r => r.getAs[String]("uuid") ->
+      ((r.getAs[String]("name"), r.getAs[Integer]("age"), r.getAs[String]("ts")))).toMap
+    assert(got.size == 9)
+    assert(got("id2") == (("Renamed", 33, "1970-01-01 00:00:02")), got("id2"))
+    assert(got("id3") == (("Julian", 99, "1970-01-01 00:00:03")), got("id3"))
+    assert(got("id9") == (("Nine", 9, null)), got("id9"))
+    // cardinality rule: duplicate keys refuse loudly
+    val e = intercept[IllegalArgumentException](t.upsertPartial(
+      Seq(("id1", "A"), ("id1", "B")).toDF("uuid", "name")))
+    assert(e.getMessage.contains("duplicate keys"))
+  }
+
   test("R12 within-batch last-write-wins uses the given ordering") {
     val t = MorTable(spark, TestSpark.tmpDir("mor-lww"), Seq("k"),
       compactionDeltaCommits = 100)
