@@ -172,6 +172,7 @@ object SparkEntry {
     "r37_dpp_join"        -> ((s, d) => RelationalOps.dppJoin(s, d)),
     "r38_decayed_score"   -> ((s, d) => RelationalOps.decayedScore(s, d)),
     "r40_funnel"          -> ((s, d) => RelationalOps.funnel(s, d)),
+    "r42_streaks"         -> ((s, d) => RelationalOps.activityStreaks(s, d)),
     "t24_data_checks"     -> ((s, d) => RelationalOps.dataChecks(s, d)),
     "t18_split_assign"    -> ((s, d) => graft.operators.Sampling.assignSplits(
       graft.Tables.documents(s, d).select(
@@ -1833,6 +1834,24 @@ object SparkEntry {
         |WHERE hm.hmax - e.h <= 30
         |GROUP BY e.user_id""".stripMargin,
     "r40_funnel" -> FunnelOracle,
+    // gaps-and-islands: same island-id arithmetic, same (len DESC,
+    // start ASC) deterministic pick
+    "r42_streaks" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events
+        |), i AS (
+        |  SELECT user_id, day,
+        |         day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |  FROM d
+        |), s AS (
+        |  SELECT user_id, count(*)::BIGINT AS len, min(day) AS start_day
+        |  FROM i GROUP BY user_id, grp
+        |)
+        |SELECT user_id, len AS best_len, start_day AS best_start_day,
+        |       (count(*) OVER (PARTITION BY user_id))::BIGINT AS n_streaks
+        |FROM s
+        |QUALIFY row_number() OVER
+        |  (PARTITION BY user_id ORDER BY len DESC, start_day) = 1""".stripMargin,
     "r37_dpp_join" ->
       """SELECT event_type, count(*) AS n,
         |       round(sum(value), 3) AS sum_value

@@ -63,7 +63,17 @@ final class MorTable(
       * the requested keys present. Size to the per-file key count: 2^16
       * bits ≈ 1% fpp at 6.5k keys/file; fpp only costs extra scanned
       * files, never correctness. */
-    val bloomBits: Int = 1 << 16) {
+    val bloomBits: Int = 1 << 16,
+    /** Size-targeted compaction (the Hudi max-file-size / small-file-
+      * management analog, declarable as `target.file.mb`): when > 0 and
+      * `writePartitions` is unset, compaction sizes its output file count
+      * to ceil(live bytes / target) — the lever that keeps a table from
+      * accreting either thousands of tiny files (per-file overhead
+      * dominates the scan) or a handful of giants (no parallelism, no
+      * file-level pruning). The estimate is the compressed on-disk size
+      * of the live base + deltas — one metadata listing, no data read.
+      * 0 = keep the incoming partitioning. */
+    val targetFileBytes: Long = 0L) {
 
   import MorTable._
 
@@ -1404,8 +1414,20 @@ final class MorTable(
     // actually excludes files — under hash partitioning every file spans
     // the whole key domain and file-level stats prune nothing. Costs one
     // sampling pass over the staged snapshot per compaction.
-    val out = if (writePartitions > 0)
-      prep.df.repartitionByRange(writePartitions, col("_record_key")) else prep.df
+    val sized =
+      if (writePartitions > 0) writePartitions // explicit write.tasks wins
+      else if (targetFileBytes > 0) {
+        // live on-disk bytes (base + deltas) from one metadata listing —
+        // compressed parquet in, compressed parquet out, so the ratio is ~1
+        val (baseDir, deltaDirs) = liveScanDirs()
+        val bytes = (baseDir.toSeq ++ deltaDirs).map { d =>
+          fs.listStatus(new Path(d)).filter(_.getPath.getName.endsWith(".parquet"))
+            .map(_.getLen).sum
+        }.sum
+        math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+      } else 0
+    val out = if (sized > 0)
+      prep.df.repartitionByRange(sized, col("_record_key")) else prep.df
     val staging = new Path(hPath, s".staging-compact-${System.nanoTime()}")
     // cluster by key: parquet row-group min/max stats on _record_key let
     // key-equality snapshot reads skip row groups entirely; a bloom filter
@@ -1709,9 +1731,9 @@ object MorTable {
     * handle (SQL catalog resolution, DataFrame writer) inherits the
     * declared cadence instead of silently reverting to defaults. */
   final case class Policy(deltaCommits: Int = 2, deltaSeconds: Long = 120L,
-                          writeTasks: Int = 0) {
+                          writeTasks: Int = 0, targetFileMB: Int = 0) {
     def toJson: String =
-      s"""{"deltaCommits":$deltaCommits,"deltaSeconds":$deltaSeconds,"writeTasks":$writeTasks}"""
+      s"""{"deltaCommits":$deltaCommits,"deltaSeconds":$deltaSeconds,"writeTasks":$writeTasks,"targetFileMB":$targetFileMB}"""
   }
 
   /** Persist `p` as the table's policy (atomic tmp+rename; a matching
@@ -1742,7 +1764,8 @@ object MorTable {
       ("\"" + k + "\":(-?\\d+)").r.findFirstMatchIn(json).map(_.group(1))
     for {
       dc <- num("deltaCommits"); ds <- num("deltaSeconds"); wt <- num("writeTasks")
-    } yield Policy(dc.toInt, ds.toLong, wt.toInt)
+    } yield Policy(dc.toInt, ds.toLong, wt.toInt,
+      num("targetFileMB").map(_.toInt).getOrElse(0))
   }
 
   /** Open `path` honoring its persisted — or newly `declared` — policy:
@@ -1755,6 +1778,7 @@ object MorTable {
     declared.foreach(writePolicy(spark, path, _))
     val eff = declared.orElse(readPolicy(spark, path)).getOrElse(Policy())
     new MorTable(spark, path, keyCols, eff.deltaCommits, eff.deltaSeconds,
-      autoCompact, eff.writeTasks)
+      autoCompact, eff.writeTasks,
+      targetFileBytes = eff.targetFileMB * 1024L * 1024L)
   }
 }

@@ -80,8 +80,10 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
     val dc = parameters.get("compaction.delta_commits").map(_.trim.toInt)
     val ds = parameters.get("compaction.delta_seconds").map(_.trim.toLong)
     val wt = parameters.get("write.tasks").map(_.trim.toInt)
-    if (dc.isEmpty && ds.isEmpty && wt.isEmpty) None
-    else Some(MorTable.Policy(dc.getOrElse(2), ds.getOrElse(120L), wt.getOrElse(0)))
+    val tf = parameters.get("target.file.mb").map(_.trim.toInt)
+    if (dc.isEmpty && ds.isEmpty && wt.isEmpty && tf.isEmpty) None
+    else Some(MorTable.Policy(dc.getOrElse(2), ds.getOrElse(120L),
+      wt.getOrElse(0), tf.getOrElse(0)))
   }
 
   override def createRelation(sqlContext: SQLContext,

@@ -500,6 +500,34 @@ object RelationalOps {
       coalesce(min(col("q_c")), lit(-1L)).as("first_conv_ms"))
   }
 
+  /** Longest consecutive-day activity streak per user — the
+    * gaps-and-islands pattern (the other classic sequence-analytics query
+    * next to the funnel; SQL MATCH_RECOGNIZE's `B+ ORDER BY day` shape):
+    * distinct active days → island id = day − row_number (constant within
+    * a consecutive run, strictly decreasing across gaps) → island extents
+    * → per-user best by (length DESC, start ASC). Three aggregations, but
+    * only TWO exchanges: the island window, the island groupBy, and the
+    * per-user pick all cluster by user_id, so the first shuffle's
+    * partitioning carries through — and every post-distinct relation is
+    * (user × islands)-sized, never event-sized. */
+  def activityStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts_ms div 86400000").as("day"))
+      .distinct()
+    val byDay = Window.partitionBy("user_id").orderBy("day")
+    val islands = days
+      .withColumn("grp", col("day") - row_number().over(byDay))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("len"), min("day").as("start_day"))
+    val pick = Window.partitionBy("user_id")
+      .orderBy(col("len").desc, col("start_day"))
+    islands
+      .withColumn("n_streaks", count(lit(1)).over(Window.partitionBy("user_id")))
+      .withColumn("__rn", row_number().over(pick)).filter(col("__rn") === 1)
+      .select(col("user_id"), col("len").as("best_len"),
+        col("start_day").as("best_start_day"), col("n_streaks"))
+  }
+
   /** Skew-salted join checked against the plain join: salting must be a
     * pure execution-strategy change, never a semantic one. */
   def saltedJoinOrders(spark: SparkSession, dir: String): DataFrame =

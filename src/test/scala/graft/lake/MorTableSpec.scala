@@ -93,6 +93,33 @@ class MorTableSpec extends AnyFunSuite {
     assert(e.getMessage.contains("duplicate keys"))
   }
 
+  test("size-targeted compaction: output file count tracks live bytes over target") {
+    // ~20k rows of incompressible-ish hex payload — a few hundred KB on disk
+    val rows = (1 to 20000).map { i =>
+      (f"k$i%08d", java.lang.Long.toHexString(i * 2654435761L) * 8)
+    }.toDF("k", "v")
+    val a = new MorTable(spark, TestSpark.tmpDir("mor-size-a"), Seq("k"),
+      compactionDeltaCommits = 100, targetFileBytes = 64 * 1024)
+    a.upsert(rows, Seq(col("v")), batchId = 1L)
+    a.compact()
+    val aFiles = a.read().inputFiles.length
+    val b = new MorTable(spark, TestSpark.tmpDir("mor-size-b"), Seq("k"),
+      compactionDeltaCommits = 100, targetFileBytes = 1L << 40)
+    b.upsert(rows, Seq(col("v")), batchId = 1L)
+    b.compact()
+    val bFiles = b.read().inputFiles.length
+    assert(bFiles == 1, s"huge target must emit one file, got $bFiles")
+    assert(aFiles >= 4, s"64 KB target over >256 KB of data must split, got $aFiles")
+    assert(a.read().count() == 20000 && b.read().count() == 20000)
+    // declared as policy (`target.file.mb`), inherited by a fresh handle
+    val dirC = TestSpark.tmpDir("mor-size-c")
+    val c = MorTable.resolve(spark, dirC, Seq("k"),
+      declared = Some(MorTable.Policy(deltaCommits = 100, targetFileMB = 7)))
+    assert(c.targetFileBytes == 7L * 1024 * 1024)
+    assert(MorTable.resolve(spark, dirC, Seq("k")).targetFileBytes == 7L * 1024 * 1024,
+      "fresh handle must inherit the persisted sizing target")
+  }
+
   test("R12 within-batch last-write-wins uses the given ordering") {
     val t = MorTable(spark, TestSpark.tmpDir("mor-lww"), Seq("k"),
       compactionDeltaCommits = 100)
