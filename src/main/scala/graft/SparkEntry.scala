@@ -52,6 +52,7 @@ object SparkEntry {
     "s53_sql_procedures"  -> ((s, d) => graft.lake.LakeQueries.sqlProcedures(s, d)),
     "s54_write_index_tagging" -> ((s, d) => graft.lake.LakeQueries.writeIndexTagging(s, d)),
     "s55_partial_update"  -> ((s, d) => graft.lake.LakeQueries.partialUpdate(s, d)),
+    "s56_cdc_wire_loop"   -> ((s, d) => graft.lake.LakeQueries.cdcWireLoop(s, d)),
     "s48_partition_ttl"   -> ((s, d) => graft.lake.LakeQueries.partitionTtl(s, d)),
     "s13_mor_partitioned" -> ((s, d) => graft.lake.LakeQueries.partitionedReplay(s, d)),
     "s28_manifest_read"   -> ((s, d) => graft.lake.LakeQueries.manifestRead(s, d)),
@@ -173,6 +174,7 @@ object SparkEntry {
     "r38_decayed_score"   -> ((s, d) => RelationalOps.decayedScore(s, d)),
     "r40_funnel"          -> ((s, d) => RelationalOps.funnel(s, d)),
     "r42_streaks"         -> ((s, d) => RelationalOps.activityStreaks(s, d)),
+    "r43_retention"       -> ((s, d) => RelationalOps.retentionCohorts(s, d)),
     "t24_data_checks"     -> ((s, d) => RelationalOps.dataChecks(s, d)),
     "t18_split_assign"    -> ((s, d) => graft.operators.Sampling.assignSplits(
       graft.Tables.documents(s, d).select(
@@ -1852,6 +1854,17 @@ object SparkEntry {
         |FROM s
         |QUALIFY row_number() OVER
         |  (PARTITION BY user_id ORDER BY len DESC, start_day) = 1""".stripMargin,
+    "r43_retention" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS week FROM events
+        |), c AS (
+        |  SELECT user_id, week,
+        |         min(week) OVER (PARTITION BY user_id) AS cohort
+        |  FROM d
+        |)
+        |SELECT cohort, week - cohort AS week_offset,
+        |       count(*)::BIGINT AS active_users
+        |FROM c GROUP BY 1, 2""".stripMargin,
     "r37_dpp_join" ->
       """SELECT event_type, count(*) AS n,
         |       round(sum(value), 3) AS sum_value
@@ -2220,6 +2233,8 @@ object SparkEntry {
     "s16_mor_datasource" -> LwwAllEventsOracle,
     // the tagging proof may only change the plan, never the result
     "s54_write_index_tagging" -> LwwAllEventsOracle,
+    // lake → Debezium JSON wire → lake must be lossless end to end
+    "s56_cdc_wire_loop" -> LwwAllEventsOracle,
     // LWW state, then a narrow partial image touches users < 50: the
     // touched columns replace, the absent ones carry over
     "s55_partial_update" ->

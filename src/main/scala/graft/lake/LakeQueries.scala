@@ -167,6 +167,61 @@ object LakeQueries {
       t.read().select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
   }
 
+  /** Full CDC WIRE loop, oracle-checked (the reference's whole topology in
+    * one entry: lake changelog → Debezium JSON segments → wire parser →
+    * second lake): table A ingests events as three time-third commits;
+    * each commit's changelog is exported as ONE Debezium JSON-line
+    * segment ([[graft.sources.DebeziumSource.writeJsonSegment]] — the
+    * lake as CDC producer); the segments are re-parsed with the SAME wire
+    * schema/envelope path the inbound connector uses and applied into
+    * table B. B's read must equal the all-events LWW state — op mapping,
+    * JSON escaping, before/after images, and double/long round-trips are
+    * all on the hash-checked path. Each hop is O(changes). */
+  def cdcWireLoop(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.DebeziumSource
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "value", "ts_ms", "ts_ns")
+    val b = ev.agg(min(col("ts_ns")).as("mn"), max(col("ts_ns")).as("mx")).head()
+    val mn = b.getLong(0); val mx = b.getLong(1)
+    val lo = mn + (mx - mn) / 3
+    val hi = mn + 2 * ((mx - mn) / 3)
+    val pathA = tempPath("wire-a")
+    val a = MorTable(spark, pathA, keyCols = Seq("user_id"),
+      compactionDeltaCommits = 1000)
+    val ord = Seq(col("ts_ns"), col("event_id"))
+    a.upsert(ev.filter(col("ts_ns") <= lo), ord, batchId = 1L)
+    a.upsert(ev.filter(col("ts_ns") > lo && col("ts_ns") <= hi), ord, batchId = 2L)
+    a.upsert(ev.filter(col("ts_ns") > hi), ord, batchId = 3L)
+    val dataCols = a.read().columns.toSeq
+    val watch = graft.TempDirs.create("wire-segments")
+    // export every commit as its own wire segment (micro-batch = segment)
+    val deltaSeqs = a.timeline().filter(_.kind == "delta").map(_.seq).sorted
+    val segs = deltaSeqs.zip(0L +: deltaSeqs.dropRight(1))
+      .zipWithIndex.map { case ((s, prev), i) =>
+        val flat = a.readChangelog(prev, s) // flat op + cols + before_cols
+        val env = flat.select(
+          col("op"),
+          col("user_id").cast("string").as("key"),
+          struct(dataCols.map(c => col(s"before_$c").as(c)): _*).as("before"),
+          struct(dataCols.map(col): _*).as("after"),
+          lit(s).as("seq"))
+        DebeziumSource.writeJsonSegment(env, "events", watch, i.toLong)
+      }
+    // consume the wire exactly like the inbound connector path
+    val pathB = tempPath("wire-b")
+    val t2 = MorTable(spark, pathB, keyCols = Seq("user_id"),
+      compactionDeltaCommits = 1000)
+    val wire = DebeziumSource.Table("events", dataCols, Seq("user_id"))
+    segs.zipWithIndex.foreach { case (seg, i) =>
+      val parsed = spark.read
+        .schema(DebeziumSource.wireSchema(a.read().schema)).json(seg)
+      t2.applyChangelog(DebeziumSource.envelope(parsed, wire), batchId = i.toLong)
+    }
+    a.drop()
+    graft.TempDirs.materializeAndDelete(
+      t2.read().select("user_id", "event_id", "event_type", "value", "ts_ms"), pathB)
+  }
+
   /** DROP PARTITION / retention TTL, oracle-checked: replay events into
     * the event_type-partitioned lake form, then TTL away the
     * lexicographically smallest partition value

@@ -528,6 +528,25 @@ object RelationalOps {
         col("start_day").as("best_start_day"), col("n_streaks"))
   }
 
+  /** Weekly retention cohorts — the (cohort week × weeks-since-signup →
+    * active users) matrix every growth dashboard draws: distinct active
+    * (user, week) pairs, each user's cohort = their first active week via
+    * ONE window min (no self-join back to a firsts table), then a count
+    * per (cohort, offset). Rows entering the final agg are already
+    * distinct (user, week), so a plain count IS the distinct-user count —
+    * no count_distinct Expand. Two exchanges, both over user×weeks-sized
+    * relations, never raw events. */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val weeks = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts_ms div 604800000").as("week"))
+      .distinct()
+    val byUser = Window.partitionBy("user_id")
+    weeks
+      .withColumn("cohort", min(col("week")).over(byUser))
+      .groupBy(col("cohort"), (col("week") - col("cohort")).as("week_offset"))
+      .agg(count(lit(1)).as("active_users"))
+  }
+
   /** Skew-salted join checked against the plain join: salting must be a
     * pure execution-strategy change, never a semantic one. */
   def saltedJoinOrders(spark: SparkSession, dir: String): DataFrame =

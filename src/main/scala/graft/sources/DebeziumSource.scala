@@ -88,4 +88,43 @@ object DebeziumSource {
         img("after").as("after"),
         p.getField("source").getField("lsn").as("seq"))
   }
+
+  /** OUTBOUND wire export — the lake as a CDC *producer*: serialize a
+    * graft changelog envelope (op/key/before/after/seq, e.g.
+    * `MorTable.readChangelog` output) back into Debezium payload JSON
+    * lines and publish ONE segment file atomically (write-then-rename,
+    * the same offset-after-publish discipline as JdbcCdcCapture) — the
+    * export side of the CDC loop, feeding any downstream Debezium
+    * consumer incl. [[streamJsonDir]]/[[envelope]], which round-trip it
+    * exactly. Op mapping inverts the inbound one (I → c, U → u, D → d);
+    * `seq` rides as the LSN so the consumer reconstructs the same total
+    * order. One segment per call keeps the micro-batch = segment
+    * correspondence the checkpoint cadence wants; the changelog batch is
+    * O(changes), so the single-file collapse is delta-sized, never
+    * table-sized. */
+  def writeJsonSegment(changelog: DataFrame, table: String,
+                       watchDir: String, segment: Long): String = {
+    val line = to_json(struct(struct(
+      when(col("op") === ChangelogSource.OpInsert, "c")
+        .when(col("op") === ChangelogSource.OpUpdate, "u")
+        .otherwise("d").as("op"),
+      col("before").as("before"),
+      col("after").as("after"),
+      struct(lit(table).as("table"), col("seq").as("lsn"),
+        col("seq").as("ts_ms")).as("source")).as("payload")))
+    val spark = changelog.sparkSession
+    val tmp = graft.TempDirs.create(s"dbz-export-$segment")
+    changelog.orderBy("seq").select(line.as("value"))
+      .coalesce(1).write.mode("overwrite").text(tmp)
+    val fs = new org.apache.hadoop.fs.Path(watchDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(watchDir))
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".txt"))
+      .getOrElse(throw new IllegalStateException(s"no text part in $tmp"))
+    val dst = new org.apache.hadoop.fs.Path(watchDir, f"segment-$segment%09d.jsonl")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(part.getAbsolutePath), dst))
+      throw new java.io.IOException(s"segment publish rename failed: $dst")
+    dst.toString
+  }
 }

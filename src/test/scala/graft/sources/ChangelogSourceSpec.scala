@@ -8,6 +8,9 @@ import graft.TestSpark
   * insert Francisco → update to Valentina ⇒ the stream retracts the first
   * row and shows the second (zpln:1674/:1793 observed at :1583, narrative
   * :1870), snapshot→binlog vs binlog-only modes (zpln:1060 vs :1372). */
+case class DbzImg(id: java.lang.Long, name: String)
+case class DbzEnv(op: String, key: String, before: DbzImg, after: DbzImg, seq: Long)
+
 class ChangelogSourceSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -63,5 +66,27 @@ class ChangelogSourceSpec extends AnyFunSuite {
     }
     val oneShot = ChangelogSource.materialize(log, Seq("id"))
     assert(folded.orderBy("id").collect().toSeq == oneShot.orderBy("id").collect().toSeq)
+  }
+
+  test("outbound Debezium export round-trips through the wire parser exactly") {
+    // tricky payloads on purpose: quotes, newline, unicode, null images
+    val gnarly = "b\"x\nü|,"
+    val out = Seq(
+      DbzEnv("I", "1", null, DbzImg(1L, "a"), 1L),
+      DbzEnv("U", "1", DbzImg(1L, "a"), DbzImg(1L, gnarly), 2L),
+      DbzEnv("I", "2", null, DbzImg(2L, null), 3L),
+      DbzEnv("D", "1", DbzImg(1L, gnarly), null, 4L)).toDS().toDF()
+    val dir = TestSpark.tmpDir("dbz-out")
+    val seg = DebeziumSource.writeJsonSegment(out, "t1", dir, 7L)
+    assert(seg.endsWith("segment-000000007.jsonl"))
+    val imgSchema = Seq.empty[DbzImg].toDS().schema
+    val parsed = spark.read
+      .schema(DebeziumSource.wireSchema(imgSchema)).json(dir)
+    val back = DebeziumSource.envelope(parsed,
+      DebeziumSource.Table("t1", Seq("id", "name"), Seq("id")))
+    def flat(df: org.apache.spark.sql.DataFrame) = df.selectExpr(
+      "op", "key", "before.id", "before.name", "after.id", "after.name", "seq")
+      .collect().map(_.toSeq).sortBy(_.last.asInstanceOf[Long].toString)
+    assert(flat(back).toSeq == flat(out).toSeq)
   }
 }
