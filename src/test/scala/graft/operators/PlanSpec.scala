@@ -237,6 +237,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Scan ExistingRDD"), s"must read the pinned tokenize pass:\n$p")
   }
 
+  test("r42/r43 sequence analytics: joinless, Expand-free, bounded exchanges") {
+    def exchanges(p: String) = p.sliding("Exchange".length).count(_ == "Exchange")
+    // streaks: distinct shuffles (user, day); the island window, island
+    // groupBy, and per-user pick all reuse the user partitioning
+    val p1 = plan(RelationalOps.activityStreaks(spark, dir))
+    assert(exchanges(p1) == 2, s"streaks must shuffle exactly twice:\n$p1")
+    assert(!p1.contains("Join") && !p1.contains("Expand"), p1)
+    // retention: distinct + one window; the cohort agg reuses partitioning;
+    // no firsts-table self-join, no count_distinct Expand
+    val p2 = plan(RelationalOps.retentionCohorts(spark, dir))
+    assert(!p2.contains("Join") && !p2.contains("Expand"), p2)
+  }
+
   test("t22 DSIR weights: one pinned tokenize+hash pass, broadcast stats join") {
     val p = plan(graft.functions.TextAnalysis.dsirWeights(
       graft.Tables.documents(spark, dir),
