@@ -53,6 +53,7 @@ object SparkEntry {
     "s54_write_index_tagging" -> ((s, d) => graft.lake.LakeQueries.writeIndexTagging(s, d)),
     "s55_partial_update"  -> ((s, d) => graft.lake.LakeQueries.partialUpdate(s, d)),
     "s56_cdc_wire_loop"   -> ((s, d) => graft.lake.LakeQueries.cdcWireLoop(s, d)),
+    "s57_part_savepoint"  -> ((s, d) => graft.lake.LakeQueries.partRollbackRestore(s, d)),
     "s48_partition_ttl"   -> ((s, d) => graft.lake.LakeQueries.partitionTtl(s, d)),
     "s13_mor_partitioned" -> ((s, d) => graft.lake.LakeQueries.partitionedReplay(s, d)),
     "s28_manifest_read"   -> ((s, d) => graft.lake.LakeQueries.manifestRead(s, d)),
@@ -2222,6 +2223,18 @@ object SparkEntry {
     // s53 replays the same savepoint→backfill→restore story with every
     // verb driven through CALL procedures — same final state by contract
     "s53_sql_procedures" -> SavepointOracle,
+    // the s47 thirds story, partitioned: per-(partition, key) LWW at the pin
+    "s57_part_savepoint" ->
+      """WITH b AS (
+        |  SELECT min(epoch_ns(ts)) + 2 * ((max(epoch_ns(ts)) - min(epoch_ns(ts))) // 3) AS hi
+        |  FROM events
+        |)
+        |SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
+        |FROM events, b
+        |WHERE epoch_ns(ts) <= b.hi
+        |QUALIFY row_number() OVER
+        |  (PARTITION BY event_type, user_id
+        |   ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
     "s48_partition_ttl" ->
       """WITH m AS (SELECT min(event_type) AS v FROM events)
         |SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms

@@ -153,33 +153,21 @@ object GraftProcedureCatalog {
       Seq(in("table", StringType), in("name", StringType)),
       StructType(Seq(StructField("seq", LongType, nullable = false))),
       { case Seq(tbl: String, nm: String) =>
-        resolve(tbl) match {
-          case Left(t) => Seq(Seq(Long.box(t.savepoint(nm))))
-          case Right(_) => throw new IllegalArgumentException(
-            "savepoints are per unpartitioned table")
-        }
+        Seq(Seq(Long.box(resolve(tbl).fold(_.savepoint(nm), _.savepoint(nm)))))
       }),
     Proc("restore_savepoint", "physically roll the table back to a savepoint",
       Seq(in("table", StringType), in("name", StringType)),
       StructType(Seq(StructField("rolled_back", IntegerType, nullable = false))),
       { case Seq(tbl: String, nm: String) =>
-        resolve(tbl) match {
-          case Left(t) => Seq(Seq(Int.box(t.restore(nm))))
-          case Right(_) => throw new IllegalArgumentException(
-            "savepoints are per unpartitioned table")
-        }
+        Seq(Seq(Int.box(resolve(tbl).fold(_.restore(nm), _.restore(nm)))))
       }),
     Proc("show_savepoints", "list savepoint pins",
       Seq(in("table", StringType)),
       StructType(Seq(StructField("name", StringType, nullable = false),
         StructField("seq", LongType, nullable = false))),
       { case Seq(tbl: String) =>
-        resolve(tbl) match {
-          case Left(t) =>
-            t.savepoints().toSeq.sortBy(_._2).map { case (n, s) => Seq(n, Long.box(s)) }
-          case Right(_) => throw new IllegalArgumentException(
-            "savepoints are per unpartitioned table")
-        }
+        resolve(tbl).fold(_.savepoints(), _.savepoints())
+          .toSeq.sortBy(_._2).map { case (n, s) => Seq(n, Long.box(s)) }
       }),
     Proc("show_commits", "timeline listing (parent timeline for partitioned tables)",
       Seq(in("table", StringType)),

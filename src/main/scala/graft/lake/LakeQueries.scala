@@ -222,6 +222,32 @@ object LakeQueries {
       t2.read().select("user_id", "event_id", "event_type", "value", "ts_ms"), pathB)
   }
 
+  /** PARTITIONED savepoint/restore ([[PartitionedMorTable.savepoint]] —
+    * the parent-level form of the s47 service), oracle-checked: same
+    * thirds story against the event_type-partitioned lake form; the
+    * restore must land every CHILD on its pin and the read must equal the
+    * two-thirds per-(partition, key) LWW state. */
+  def partRollbackRestore(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "value", "ts_ms", "ts_ns")
+    val b = ev.agg(min(col("ts_ns")).as("mn"), max(col("ts_ns")).as("mx")).head()
+    val mn = b.getLong(0); val mx = b.getLong(1)
+    val lo = mn + (mx - mn) / 3
+    val hi = mn + 2 * ((mx - mn) / 3)
+    val path = tempPath("pmor-restore")
+    val t = new PartitionedMorTable(spark, path, Seq("user_id"), "event_type",
+      compactionDeltaCommits = 2)
+    val ord = Seq(col("ts_ns"), col("event_id"))
+    t.upsert(ev.filter(col("ts_ns") <= lo), ord, batchId = 1L)
+    t.upsert(ev.filter(col("ts_ns") > lo && col("ts_ns") <= hi), ord, batchId = 2L)
+    val pinned = t.savepoint("pre_backfill")
+    t.upsert(ev.filter(col("ts_ns") > hi), ord, batchId = 3L)
+    t.restore("pre_backfill")
+    assert(t.parentTimeline().last.seq == pinned, "restore must land on the pin")
+    graft.TempDirs.materializeAndDelete(
+      t.read().select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
+  }
+
   /** DROP PARTITION / retention TTL, oracle-checked: replay events into
     * the event_type-partitioned lake form, then TTL away the
     * lexicographically smallest partition value

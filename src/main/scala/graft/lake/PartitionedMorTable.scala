@@ -740,6 +740,89 @@ final class PartitionedMorTable(
   def dropPartitionsWhere(doomed: String => Boolean): Seq[String] =
     dropPartitions(partitions().filter(doomed))
 
+  // ------------------------------------------------------------ savepoints
+
+  /** Parent-level SAVEPOINT — the partitioned form of the Hudi savepoint
+    * service (the unpartitioned contract is [[MorTable.savepoint]]): pins
+    * the current parent token AND a same-named savepoint in EVERY child,
+    * so each child's `clean()` preserves its pinned snapshot and
+    * [[restore]] can roll the whole table — children, late-born
+    * partitions, parent timeline, external manifest — back to this point.
+    * Exclusive create; a crash between the child pins and the parent file
+    * leaves only releasable extra pins, never a half-restorable state. */
+  def savepoint(name: String): Long = {
+    require(name.nonEmpty && !name.exists(c => c == '/' || c == '.'),
+      s"savepoint name must be a plain token: '$name'")
+    val tl = parentTimeline()
+    require(tl.nonEmpty, "cannot savepoint an empty table")
+    val token = tl.last.seq
+    val parts = partitions()
+    val dir = new Path(hPath, "_savepoint")
+    fs.mkdirs(dir)
+    val p = new Path(dir, s"$name.json")
+    if (fs.exists(p))
+      throw new IllegalArgumentException(s"savepoint '$name' already exists")
+    parts.foreach(v => child(v).savepoint(name))
+    val out = fs.create(p, false)
+    try out.write(
+      s"""{"name":"$name","token":$token,"partitions":[${
+        parts.map("\"" + _ + "\"").mkString(",")}]}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
+    token
+  }
+
+  /** Live parent savepoints: name → pinned parent token. */
+  def savepoints(): Map[String, Long] = {
+    val dir = new Path(hPath, "_savepoint")
+    if (!fs.exists(dir)) return Map.empty
+    fs.listStatus(dir).toSeq.map(_.getPath.getName).filter(_.endsWith(".json"))
+      .flatMap { n =>
+        val json = new String(MorTable.readFully(fs, new Path(dir, n)),
+          java.nio.charset.StandardCharsets.UTF_8)
+        "\"token\":(\\d+)".r.findFirstMatchIn(json)
+          .map(m => n.stripSuffix(".json") -> m.group(1).toLong)
+      }.toMap
+  }
+
+  /** Release a parent savepoint and its per-child pins. */
+  def releaseSavepoint(name: String): Boolean = {
+    partitions().foreach { v => child(v).releaseSavepoint(name); () }
+    fs.delete(new Path(hPath, s"_savepoint/$name.json"), false)
+  }
+
+  /** RESTORE to a parent savepoint: each pinned child rolls back to its
+    * pin ([[MorTable.restore]] — physical rollback, above-pin savepoints
+    * released), partitions born AFTER the pin are deleted outright, parent
+    * instants above the pinned token are removed (their batch ids become
+    * re-committable — the re-ingest-after-a-bad-deploy point of the
+    * service), and the external manifest/catalog regenerate without the
+    * rolled-back files. Returns #instants rolled back across the table. */
+  def restore(name: String): Int = {
+    val json = {
+      val p = new Path(hPath, s"_savepoint/$name.json")
+      if (!fs.exists(p))
+        throw new IllegalArgumentException(s"no such savepoint: '$name'")
+      new String(MorTable.readFully(fs, p), java.nio.charset.StandardCharsets.UTF_8)
+    }
+    val token = "\"token\":(\\d+)".r.findFirstMatchIn(json).get.group(1).toLong
+    val saved = "\"([^\"]*)\"".r.findAllMatchIn(
+      json.substring(json.indexOf("[")).takeWhile(_ != ']')).map(_.group(1)).toSet
+    var rolled = 0
+    partitions().foreach { v =>
+      if (saved.contains(v)) rolled += child(v).restore(name)
+      else { fs.delete(new Path(hPath, s"p=$v"), true); rolled += 1 }
+    }
+    val doomed = parentTimeline().filter(_.seq > token)
+    doomed.reverse.foreach { i =>
+      fs.delete(new Path(hPath, s"_timeline/${i.seq}.${i.kind}.json"), false); ()
+    }
+    parentInstantCache = parentInstantCache -- doomed.map(_.seq)
+    savepoints().collect { case (n, t) if t > token => n }
+      .foreach(releaseSavepoint)
+    writeParentManifest()
+    rolled + doomed.size
+  }
+
   /** Cleaner across all partitions (see MorTable.clean) + parent-timeline
     * archival. Returns #child data dirs removed. */
   def clean(): Int = {

@@ -278,6 +278,35 @@ class PartitionedMorTableSpec extends AnyFunSuite {
     assert(PartitionedMorTable.readManifest(spark, t.path).count() == 3)
   }
 
+  test("parent savepoint/restore: children roll back, late partitions vanish, pin survives clean") {
+    val t = new PartitionedMorTable(spark, tmp(), Seq("k"), "p",
+      compactionDeltaCommits = 2, autoCompact = false)
+    t.upsert(Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "p", "v"),
+      Seq(col("k")), batchId = 1L)
+    t.upsert(Seq((1L, "a", 11)).toDF("k", "p", "v"), Seq(col("k")), batchId = 2L)
+    val token = t.savepoint("pin")
+    assert(t.savepoints() == Map("pin" -> token))
+    // post-pin history: an update, a NEW partition, and a compaction+clean
+    t.upsert(Seq((1L, "a", 99), (3L, "c", 30)).toDF("k", "p", "v"),
+      Seq(col("k")), batchId = 3L)
+    t.compactPartitions(Seq("a"))
+    t.clean() // child pins must keep the pinned snapshot restorable
+    val rolled = t.restore("pin")
+    assert(rolled >= 2, s"rolled=$rolled")
+    assert(t.partitions() == Seq("a", "b"), t.partitions())
+    val rows = t.read().orderBy("p", "k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(rows == Seq((1L, "a", 11), (2L, "b", 20)), rows)
+    assert(t.parentTimeline().last.seq == token, "parent timeline lands on the pin")
+    assert(t.savepoints() == Map("pin" -> token), "pin survives its own restore")
+    // the rolled-back batch id is re-committable (re-ingest after restore)
+    t.upsert(Seq((5L, "b", 50)).toDF("k", "p", "v"), Seq(col("k")), batchId = 3L)
+    assert(t.read().count() == 3)
+    t.releaseSavepoint("pin")
+    assert(t.savepoints().isEmpty &&
+      t.child("a").savepoints().isEmpty && t.child("b").savepoints().isEmpty)
+  }
+
   test("dropPartitions: storage+metadata delete, manifest refresh, re-ingest works") {
     val t = new PartitionedMorTable(spark, tmp(), Seq("k"), "p",
       compactionDeltaCommits = 2)

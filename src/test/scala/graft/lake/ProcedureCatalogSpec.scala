@@ -110,9 +110,19 @@ class ProcedureCatalogSpec extends AnyFunSuite {
     assert(p.partitions().sorted == Seq("2024-01", "2024-02"))
     assert(p.read().count() == 3)
 
-    // savepoint verbs reject the partitioned form loudly
-    val e = intercept[Exception](spark.sql(
-      "CALL graft_ops.create_savepoint(table => 'proc_p1', name => 's')").collect())
-    assert(e.getMessage.contains("unpartitioned"), e.getMessage)
+    // savepoint verbs drive the PARENT-level service on the partitioned form
+    spark.sql("CALL graft_ops.create_savepoint(table => 'proc_p1', name => 'pp')")
+      .collect()
+    p.upsert(Seq(("u9", "late", "2024-09")).toDF("uuid", "name", "pt"),
+      Seq(col("name")), batchId = 9L)
+    assert(p.partitions().contains("2024-09"))
+    val rolled = spark.sql(
+      "CALL graft_ops.restore_savepoint(table => 'proc_p1', name => 'pp')")
+      .collect().head.getInt(0)
+    assert(rolled >= 1)
+    assert(!p.partitions().contains("2024-09"), "late-born partition must vanish")
+    val sps = spark.sql("CALL graft_ops.show_savepoints(table => 'proc_p1')")
+      .collect().map(_.getString(0))
+    assert(sps.toSeq == Seq("pp"), "the pin itself survives the restore")
   }
 }
