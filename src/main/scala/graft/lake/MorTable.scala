@@ -1668,7 +1668,25 @@ object MorTable {
         else {
           val out = fs.create(marker, false); out.close()
         }
-        return seq
+        // POST-CLAIM VERIFY — the exclusive create alone is not enough,
+        // because markers are RELEASED at publish: a writer holding a
+        // pre-claim listing can win the create for a seq whose previous
+        // claimer already published (json present, marker gone), and two
+        // writers of different KINDS claim under different marker names.
+        // Re-list and yield to ANY other same-seq entry. No tie-break
+        // between concurrent markers: a "winner" rule could steal from a
+        // claimer that already passed ITS verify and returned, so both
+        // back off and re-list (their next listings carry at least the
+        // published history, and timing jitter breaks the symmetry —
+        // bounded by the attempt cap, correct at every interleaving).
+        val contested = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+          .exists(n => n != marker.getName &&
+            n.takeWhile(_ != '.') == seq.toString)
+        if (!contested) return seq
+        fs.delete(marker, false)
+        attempt += 1
+        if (attempt > 50) throw new java.io.IOException(
+          s"seq allocation lost $attempt races at $dir — writer storm?")
       } catch {
         // ONLY a lost race retries; any other IO failure (permissions,
         // disk full) propagates with its cause instead of spinning

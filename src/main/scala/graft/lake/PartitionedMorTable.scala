@@ -796,7 +796,12 @@ final class PartitionedMorTable(
     * instants above the pinned token are removed (their batch ids become
     * re-committable — the re-ingest-after-a-bad-deploy point of the
     * service), and the external manifest/catalog regenerate without the
-    * rolled-back files. Returns #instants rolled back across the table. */
+    * rolled-back files. Returns #instants rolled back across the table.
+    * Like Hudi's restore, this is a stop-the-world service: quiesce
+    * writers first — a writer racing the restore can publish a parent
+    * instant whose child data the rollback already removed (a phantom
+    * bookkeeping instant; snapshots stay consistent, incremental
+    * consumers must re-sync). */
   def restore(name: String): Int = {
     val json = {
       val p = new Path(hPath, s"_savepoint/$name.json")

@@ -475,29 +475,31 @@ object RelationalOps {
              windowMs: Long = 86400000L): DataFrame =
     funnelOver(Tables.events(spark, dir), steps, windowMs)
 
-  /** [[funnel]] core over any (user_id, event_type, ts_ms) relation. */
+  /** [[funnel]] core over any (user_id, event_type, ts_ms) relation, for
+    * ANY number of steps ≥ 2: step i's qualifying times are one chained
+    * running max over step i−1's — k−1 window functions sharing ONE
+    * partitioning and sort, still a single shuffle. */
   def funnelOver(events: DataFrame, steps: Seq[String],
                  windowMs: Long): DataFrame = {
-    require(steps.length == 3, "funnel: exactly three steps")
+    require(steps.length >= 2, "funnel: at least two steps")
     val ev = events.select("user_id", "event_type", "ts_ms")
     // strictly-earlier frame: RANGE to 1 PRECEDING excludes ts_ms ties
     val before = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
       .rangeBetween(Window.unboundedPreceding, -1)
-    val qualified = ev
-      .withColumn("max_a",
-        max(when(col("event_type") === steps(0), col("ts_ms"))).over(before))
-      .withColumn("q_b",
-        when(col("event_type") === steps(1) &&
-          col("max_a") >= col("ts_ms") - windowMs, col("ts_ms")))
-      .withColumn("max_b", max(col("q_b")).over(before))
-      .withColumn("q_c",
-        when(col("event_type") === steps(2) &&
-          col("max_b") >= col("ts_ms") - windowMs, col("ts_ms")))
+    val q0 = ev.withColumn("q_0",
+      when(col("event_type") === steps(0), col("ts_ms")))
+    val qualified = steps.indices.drop(1).foldLeft(q0) { (df, i) =>
+      df.withColumn(s"m_${i - 1}", max(col(s"q_${i - 1}")).over(before))
+        .withColumn(s"q_$i",
+          when(col("event_type") === steps(i) &&
+            col(s"m_${i - 1}") >= col("ts_ms") - windowMs, col("ts_ms")))
+    }
+    val last = steps.length - 1
+    val stepCounts = steps.indices.map(i =>
+      count(col(s"q_$i")).as(s"n_step${i + 1}"))
     qualified.groupBy("user_id").agg(
-      count(when(col("event_type") === steps(0), 1)).as("n_step1"),
-      count(col("q_b")).as("n_step2"),
-      count(col("q_c")).as("n_step3"),
-      coalesce(min(col("q_c")), lit(-1L)).as("first_conv_ms"))
+      stepCounts.head, stepCounts.tail :+
+        coalesce(min(col(s"q_$last")), lit(-1L)).as("first_conv_ms"): _*)
   }
 
   /** Longest consecutive-day activity streak per user — the

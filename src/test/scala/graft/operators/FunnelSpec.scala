@@ -53,6 +53,22 @@ class FunnelSpec extends AnyFunSuite {
     assert(out(5L) === ((2L, 1L, 1L, 40 * H)))
   }
 
+  test("k-step generalization: a 4-step funnel chains and still one-shots") {
+    import spark.implicits._
+    val ev = Seq(
+      (6L, "a", 0L), (6L, "b", 1 * H), (6L, "c", 2 * H), (6L, "d", 3 * H),
+      (7L, "a", 0L), (7L, "b", 1 * H), (7L, "d", 2 * H)) // no step c
+      .toDF("user_id", "event_type", "ts_ms")
+    val out = RelationalOps.funnelOver(ev, Seq("a", "b", "c", "d"), W)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out(6L) === ((1L, 1L, 1L, 1L, 3 * H)))
+    assert(out(7L) === ((1L, 1L, 0L, 0L, -1L)))
+    val p = RelationalOps.funnelOver(ev, Seq("a", "b", "c", "d"), W)
+      .queryExecution.executedPlan.toString()
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") == 1, p)
+  }
+
   test("one exchange total: the final agg reuses the window partitioning") {
     val df = RelationalOps.funnel(spark, TestSpark.sfDir)
     val p = df.queryExecution.executedPlan.toString()
