@@ -199,6 +199,31 @@ object GraftProcedureCatalog {
           Seq(f, mn.orNull, mx.orNull)
         }
       }),
+    Proc("show_policy", "declared write/compaction policy (persisted, inherited by fresh handles)",
+      Seq(in("table", StringType)),
+      StructType(Seq(
+        StructField("delta_commits", IntegerType, nullable = false),
+        StructField("delta_seconds", LongType, nullable = false),
+        StructField("write_tasks", IntegerType, nullable = false),
+        StructField("target_file_mb", IntegerType, nullable = false))),
+      { case Seq(tbl: String) =>
+        val path = resolve(tbl).fold(_.path, _.path)
+        val p = MorTable.readPolicy(SparkSession.active, path)
+          .getOrElse(MorTable.Policy())
+        Seq(Seq(Int.box(p.deltaCommits), Long.box(p.deltaSeconds),
+          Int.box(p.writeTasks), Int.box(p.targetFileMB)))
+      }),
+    Proc("export_snapshot", "write the current snapshot to a plain parquet directory (Hudi snapshot-exporter analog)",
+      Seq(in("table", StringType), in("path", StringType)),
+      StructType(Seq(StructField("exported_rows", LongType, nullable = false))),
+      { case Seq(tbl: String, out: String) =>
+        // one distributed write of the merged snapshot — any engine reads
+        // the result with zero lake logic (the escape-hatch/offboarding verb)
+        val df = resolve(tbl).fold(_.read(), _.read())
+        df.write.mode("errorifexists").parquet(out)
+        Seq(Seq(Long.box(
+          SparkSession.active.read.parquet(out).count())))
+      }),
     Proc("drop_partition", "drop a partition's storage and metadata (TTL verb)",
       Seq(in("table", StringType), in("value", StringType)),
       StructType(Seq(StructField("dropped", StringType, nullable = false))),

@@ -68,6 +68,17 @@ class ProcedureCatalogSpec extends AnyFunSuite {
     assert(files.nonEmpty && files.forall(_._1.endsWith(".parquet")), files.toSeq)
     assert(files.forall(f => f._2 != null && f._2 <= f._3), "key bounds present")
 
+    // policy + snapshot export verbs
+    val pol = spark.sql("CALL graft_ops.show_policy(table => 'proc_t1')")
+      .collect().head
+    assert(pol.getInt(0) == 2 && pol.getInt(3) == 0, pol) // defaults: no declared policy
+    val exportDir = graft.TempDirs.create("proc-export") + "/snap"
+    val exported = spark.sql(
+      s"CALL graft_ops.export_snapshot(table => 'proc_t1', path => '$exportDir')")
+      .collect().head.getLong(0)
+    assert(exported == t.read().count())
+    assert(spark.read.parquet(exportDir).columns.sameElements(t.read().columns))
+
     // the statement surface around procedures works too
     val listed = spark.sql("SHOW PROCEDURES IN graft_ops")
       .collect().flatMap(r => (0 until r.length)
