@@ -54,6 +54,7 @@ object SparkEntry {
     "s55_partial_update"  -> ((s, d) => graft.lake.LakeQueries.partialUpdate(s, d)),
     "s56_cdc_wire_loop"   -> ((s, d) => graft.lake.LakeQueries.cdcWireLoop(s, d)),
     "s57_part_savepoint"  -> ((s, d) => graft.lake.LakeQueries.partRollbackRestore(s, d)),
+    "s58_part_write_tagging" -> ((s, d) => graft.lake.LakeQueries.partWriteIndexTagging(s, d)),
     "s48_partition_ttl"   -> ((s, d) => graft.lake.LakeQueries.partitionTtl(s, d)),
     "s13_mor_partitioned" -> ((s, d) => graft.lake.LakeQueries.partitionedReplay(s, d)),
     "s28_manifest_read"   -> ((s, d) => graft.lake.LakeQueries.manifestRead(s, d)),
@@ -2248,6 +2249,13 @@ object SparkEntry {
     "s54_write_index_tagging" -> LwwAllEventsOracle,
     // lake → Debezium JSON wire → lake must be lossless end to end
     "s56_cdc_wire_loop" -> LwwAllEventsOracle,
+    // partitioned tagging: proofs change plans, never the LWW result
+    "s58_part_write_tagging" ->
+      """SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
+        |FROM events
+        |QUALIFY row_number() OVER
+        |  (PARTITION BY event_type, user_id
+        |   ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
     // LWW state, then a narrow partial image touches users < 50: the
     // touched columns replace, the absent ones carry over
     "s55_partial_update" ->

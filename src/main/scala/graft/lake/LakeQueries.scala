@@ -248,6 +248,33 @@ object LakeQueries {
       t.read().select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
   }
 
+  /** PARTITIONED write-path index tagging
+    * ([[PartitionedMorTable.upsertIfNew]]), oracle-checked: a key-disjoint
+    * user split proves per-CHILD newness (bounds + one cross-child bloom
+    * probe job) and commits insert-only everywhere; an overlapping
+    * re-upsert is refused the flag in every touched child. Final read ==
+    * the per-(partition, key) LWW over all events — the proof may only
+    * change plans, never results. */
+  def partWriteIndexTagging(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "value", "ts_ms", "ts_ns")
+    val path = tempPath("pmor-tagging")
+    val t = new PartitionedMorTable(spark, path, Seq("user_id"), "event_type",
+      compactionDeltaCommits = 1000, autoCompact = false)
+    val ord = Seq(col("ts_ns"), col("event_id"))
+    val lo = ev.filter(col("user_id") < 75)
+    val v1 = t.upsertIfNew(lo, ord, batchId = 1L)
+    assert(v1.nonEmpty && v1.values.forall(identity),
+      "initial load: every child is trivially all-new")
+    t.compactPartitions(t.partitions()) // publish bounds + blooms
+    val v2 = t.upsertIfNew(ev.filter(col("user_id") >= 75), ord, batchId = 2L)
+    assert(v2.values.forall(identity), s"disjoint keys must be proven new: $v2")
+    val v3 = t.upsertIfNew(lo.filter(col("user_id") < 30), ord, batchId = 3L)
+    assert(v3.values.forall(v => !v), s"overlapping keys must be refused: $v3")
+    graft.TempDirs.materializeAndDelete(
+      t.read().select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
+  }
+
   /** DROP PARTITION / retention TTL, oracle-checked: replay events into
     * the event_type-partitioned lake form, then TTL away the
     * lexicographically smallest partition value

@@ -261,6 +261,18 @@ final class MorTable(
     * key bounds against [mn, mx] — exact metadata, so pruning can never
     * hide a real hit ([[upsertIfNew]]'s soundness note). */
   private def keysMightExist(filter: Array[Byte], mn: String, mx: String): Boolean = {
+    val paths = probePaths(mn, mx)
+    paths.nonEmpty && spark.read.parquet(paths: _*)
+      .select("_record_key")
+      .filter(call_function("key_bloom_contains", lit(filter), col("_record_key")))
+      .head(1).nonEmpty
+  }
+
+  /** The paths a newness probe over key range [mn, mx] must scan:
+    * range-surviving base files (manifest key bounds — exact metadata, so
+    * pruning can never hide a real hit) plus live delta dirs. Empty means
+    * newness is proven from bounds alone. */
+  private[lake] def probePaths(mn: String, mx: String): Seq[String] = {
     val (baseDirOpt, deltaDirs) = liveScanDirs()
     def u8(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
     val basePaths: Seq[String] = baseDirOpt.toSeq.flatMap { bd =>
@@ -272,11 +284,7 @@ final class MorTable(
         case None => Seq(bd) // pre-stats manifest: conservative full base
       }
     }
-    val paths = basePaths ++ deltaDirs
-    paths.nonEmpty && spark.read.parquet(paths: _*)
-      .select("_record_key")
-      .filter(call_function("key_bloom_contains", lit(filter), col("_record_key")))
-      .head(1).nonEmpty
+    basePaths ++ deltaDirs
   }
 
   /** Delete by key — writes tombstones (CDC `op = D`). `keys` needs the key
@@ -298,13 +306,17 @@ final class MorTable(
     * rename + one timeline instant, no Spark job. This is how
     * [[PartitionedMorTable]] commits — ONE staged cluster write for the
     * whole batch, then per-partition metadata-only adoption. */
-  private[lake] def adoptDelta(src: Path, batchId: Long): Unit = synchronized {
+  private[lake] def adoptDelta(src: Path, batchId: Long,
+                               insertOnly: Boolean = false): Unit = synchronized {
     if (isCommitted(batchId)) { fs.delete(src, true); return } // replay no-op
+    // same first-commit rule as commitDelta: nothing to collide with
+    val firstCommit = timeline().isEmpty && inflightDeltaSeqs().isEmpty
     val seq = allocateSeq("delta")
     val dst = new Path(hPath, s"delta/$seq")
     fs.mkdirs(dst.getParent)
     if (!fs.rename(src, dst)) throw new java.io.IOException(s"delta adopt rename failed: $dst")
-    publishInstant(Instant(seq, "delta", batchId, System.currentTimeMillis()))
+    publishInstant(Instant(seq, "delta", batchId, System.currentTimeMillis(),
+      insertOnly = insertOnly || firstCommit))
     // compaction is the parent's job (it batches all due partitions into one
     // cluster write) — see PartitionedMorTable.maybeCompact
   }

@@ -278,18 +278,99 @@ final class PartitionedMorTable(
   }
 
   /** Move every staged `__p=<value>` directory into its child table as that
-    * child's next delta commit — renames + timeline instants only. */
-  private def adoptStaged(stagingDir: Path, batchId: Long): Unit = {
+    * child's next delta commit — renames + timeline instants only.
+    * `provenNew` children get the insert-only flag on their instant
+    * ([[upsertIfNew]]'s per-partition proof). */
+  private def adoptStaged(stagingDir: Path, batchId: Long,
+                          provenNew: Set[String] = Set.empty): Unit = {
     if (fs.exists(stagingDir)) {
       fs.listStatus(stagingDir).toSeq.map(_.getPath)
         .filter(_.getName.startsWith("__p=")).foreach { p =>
           val value = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
             .unescapePathName(p.getName.stripPrefix("__p="))
-          child(value).adoptDelta(p, batchId)
+          child(value).adoptDelta(p, batchId, insertOnly = provenNew(value))
         }
       fs.delete(stagingDir, true)
     }
     ()
+  }
+
+  /** [[upsert]] with the WRITE-PATH INDEX TAGGING proof, per partition —
+    * the partitioned form of [[MorTable.upsertIfNew]] and the shape that
+    * matters at 100 TB: the deduped batch collapses to ONE (partition →
+    * bloom + key bounds) stats relation (touched-partitions-sized), each
+    * touched child's manifest key bounds pre-prune its base files
+    * driver-side, and every surviving path across ALL children is probed
+    * in ONE job — each scanned row checks against ITS OWN partition's
+    * batch filter via a broadcast partition→bloom map, so the probe cost
+    * is one key-column scan over range-surviving files regardless of how
+    * many partitions the batch touches (never a job per partition).
+    * Children with no hit commit insert-only (their snapshot merges and
+    * compactions skip the LWW window); a hit — or a bloom false positive
+    * — only downgrades THAT child to the normal merge path. Returns the
+    * per-partition verdicts. Same probe-to-commit race caveat as the
+    * unpartitioned form. */
+  def upsertIfNew(batch: DataFrame, orderWithinBatch: Seq[Column],
+                  batchId: Long = -1L,
+                  bloomBits: Int = 1 << 17): Map[String, Boolean] = {
+    if (isCommitted(batchId)) return Map.empty
+    graft.GraftFunctions.register(spark)
+    val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val token = nextToken("delta")
+    val now = System.currentTimeMillis()
+    val deduped =
+      if (orderWithinBatch.isEmpty) batch
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy((partitionCol +: keyCols).map(col): _*)
+          .orderBy(orderWithinBatch.map(_.desc): _*)
+        batch.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      }
+    val staged = deduped
+      .withColumn("_record_key",
+        concat_ws("|", keyCols.map(c => col(c).cast("string")): _*))
+      .withColumn("_deleted", lit(false))
+      .withColumn("_commit_seqno", lit(token))
+      .withColumn("_commit_time", lit(MorTable.commitTimeString(now)))
+      .withColumn("__p", col(partitionCol).cast("string"))
+      .localCheckpoint(true) // pinned: stats agg + probe + write reuse it
+    val stats = staged.groupBy(col("__p"))
+      .agg(call_function("key_bloom_agg", col("_record_key"), lit(bloomBits)).as("f"),
+        min(col("_record_key")).as("mn"), max(col("_record_key")).as("mx"))
+      .collect() // touched-partitions-sized by construction
+    val existing = partitions().toSet
+    val toScan = stats.toSeq.flatMap { r =>
+      val p = r.getString(0)
+      val paths =
+        if (existing(p)) child(p).probePaths(r.getString(2), r.getString(3))
+        else Nil // a partition born in this batch is trivially all-new
+      if (paths.isEmpty) None
+      else Some((p, paths, r.getAs[Array[Byte]]("f")))
+    }
+    val hitParts: Set[String] =
+      if (toScan.isEmpty) Set.empty
+      else {
+        // ONE probe job across every child: each row checks against its
+        // OWN partition's batch filter (escaped-dir-name keyed map)
+        val bloomMap = map(toScan.flatMap { case (p, _, f) =>
+          Seq(lit(esc.escapePathName(p)), lit(f))
+        }: _*)
+        val partOf = regexp_extract(input_file_name(), "/p=([^/]+)/", 1)
+        spark.read.parquet(toScan.flatMap(_._2): _*)
+          .select(col("_record_key"), partOf.as("__part"))
+          .filter(call_function("key_bloom_contains",
+            element_at(bloomMap, col("__part")), col("_record_key")))
+          .select("__part").distinct().collect()
+          .map(r => esc.unescapePathName(r.getString(0))).toSet
+      }
+    val proven = stats.map(_.getString(0)).filterNot(hitParts).toSet
+    val stagingDir = new Path(hPath, s".staging/$token")
+    staged.write.partitionBy("__p").mode("overwrite").parquet(stagingDir.toString)
+    adoptStaged(stagingDir, batchId, proven)
+    writeParentInstant(MorTable.Instant(token, "delta", batchId, now))
+    if (autoCompact) { maybeCompact(); () }
+    stats.map(r => r.getString(0) -> proven(r.getString(0))).toMap
   }
 
   /** Predicate delete across partitions (`DELETE FROM t WHERE …`):

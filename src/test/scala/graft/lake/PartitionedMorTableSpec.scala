@@ -307,6 +307,30 @@ class PartitionedMorTableSpec extends AnyFunSuite {
       t.child("a").savepoints().isEmpty && t.child("b").savepoints().isEmpty)
   }
 
+  test("partitioned upsertIfNew: per-child proofs in one probe, flags land on child instants") {
+    val t = new PartitionedMorTable(spark, tmp(), Seq("k"), "p",
+      compactionDeltaCommits = 1000, autoCompact = false)
+    t.upsert(Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "p", "v"),
+      Seq(col("k")), batchId = 1L)
+    t.compactPartitions(Seq("a", "b")) // manifests publish bounds + blooms
+    // one disjoint child (bounds prove it, zero scan), one overlapping
+    // child (bloom probe refuses), one partition born in this batch
+    val verdicts = t.upsertIfNew(
+      Seq((7L, "a", 70), (2L, "b", 99), (9L, "c", 90)).toDF("k", "p", "v"),
+      Seq(col("k")), batchId = 2L)
+    assert(verdicts == Map("a" -> true, "b" -> false, "c" -> true), verdicts)
+    assert(t.child("a").timeline().last.insertOnly)
+    assert(!t.child("b").timeline().last.insertOnly)
+    assert(t.child("c").timeline().last.insertOnly)
+    val rows = t.read().orderBy("p", "k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(rows == Seq((1L, "a", 10), (7L, "a", 70), (2L, "b", 99), (9L, "c", 90)))
+    // exactly-once: replaying the committed batch id is a no-op
+    assert(t.upsertIfNew(Seq((2L, "b", 0)).toDF("k", "p", "v"),
+      Seq(col("k")), batchId = 2L).isEmpty)
+    assert(t.read().count() == 4)
+  }
+
   test("dropPartitions: storage+metadata delete, manifest refresh, re-ingest works") {
     val t = new PartitionedMorTable(spark, tmp(), Seq("k"), "p",
       compactionDeltaCommits = 2)
