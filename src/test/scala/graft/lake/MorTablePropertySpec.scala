@@ -52,6 +52,51 @@ class MorTablePropertySpec extends AnyFunSuite {
     }
   }
 
+  test("upsertIfNew mixed into random scripts == Map fold; the insert-only flag never lies") {
+    val keys = Vector("a", "b", "c", "d", "e", "f")
+    for (trial <- 0 until 5) {
+      val rnd = new scala.util.Random(3000 + trial)
+      val t = MorTable(spark, TestSpark.tmpDir("mor-ifnew-prop"), Seq("k"),
+        compactionDeltaCommits = 1000)
+      var model = Map.empty[String, Int]
+      var bi = 0L
+      for (step <- 0 until rnd.nextInt(5) + 4) {
+        rnd.nextInt(5) match {
+          case 0 => // plain upsert with arbitrary overlap (key-collapsed)
+            bi += 1
+            val rows = List.fill(rnd.nextInt(3) + 1)(
+              (keys(rnd.nextInt(keys.size)), rnd.nextInt(1000)))
+            val lastPer = rows.groupBy(_._1).map(_._2.last).toSeq
+            t.upsert(lastPer.toDF("k", "v"), Nil, batchId = bi)
+            lastPer.foreach { case (k, v) => model += (k -> v) }
+          case 1 | 2 => // tagged upsert: sometimes fresh keys, sometimes overlap
+            bi += 1
+            val ks =
+              if (rnd.nextBoolean()) List.fill(rnd.nextInt(2) + 1)(
+                s"n$trial-$step-${rnd.nextInt(10)}").distinct
+              else rnd.shuffle(keys).take(rnd.nextInt(3) + 1).toList
+            val rows = ks.map(k => (k, rnd.nextInt(1000)))
+            val proven = t.upsertIfNew(rows.toDF("k", "v"), Seq(col("v")), batchId = bi)
+            if (proven) assert(ks.forall(k => !model.contains(k)),
+              s"trial=$trial step=$step: flag claimed new for a live key")
+            rows.foreach { case (k, v) => model += (k -> v) }
+          case 3 if t.timeline().nonEmpty => // delete present-or-absent keys
+            bi += 1
+            val ks = rnd.shuffle(keys ++ model.keys).take(rnd.nextInt(2) + 1).distinct
+            t.delete(ks.toDF("k"), batchId = bi)
+            ks.foreach(k => model -= k)
+          case 4 if t.timeline().nonEmpty =>
+            if (rnd.nextBoolean()) t.compact() else t.compactMinor()
+          case _ => () // nothing committed yet — skip the step
+        }
+      }
+      val got = t.read().collect().map(r => r.getString(0) -> r.getInt(1))
+      assert(got.length == model.size && got.toMap == model,
+        s"trial=$trial got=${got.toSeq.sorted} model=${model.toSeq.sorted}")
+      t.drop()
+    }
+  }
+
   test("mergeInto == Map fold for random merge scripts (incl. minor compaction)") {
     val keys = Vector("a", "b", "c", "d", "e", "f", "g", "h")
     for (trial <- 0 until 4) {

@@ -69,6 +69,39 @@ class FunnelSpec extends AnyFunSuite {
     assert(p.sliding("Exchange".length).count(_ == "Exchange") == 1, p)
   }
 
+  test("model check: random streams equal an independent exists-in-window reference") {
+    import spark.implicits._
+    val types = Vector("view", "click", "purchase", "other")
+    for (trial <- 0 until 4) {
+      val rnd = new scala.util.Random(4000 + trial)
+      val win = (rnd.nextInt(20) + 2) * H
+      // coarse timestamps on purpose: ms ties are frequent, so the
+      // strictly-earlier rule is exercised constantly
+      val rows = Seq.fill(150)((rnd.nextInt(5) + 1L,
+        types(rnd.nextInt(types.size)), (rnd.nextInt(40) + 1).toLong * H))
+      // reference: row-wise EXISTS-in-[ms−W, ms) over qualifying-time SETS —
+      // a different formulation than the operator's chained running maxima
+      def ref(evs: Seq[(String, Long)]): (Long, Long, Long, Long) = {
+        val q0 = evs.collect { case ("view", ms) => ms }.toSet
+        def quals(prev: Set[Long], step: String) = evs.collect {
+          case (`step`, ms) if prev.exists(t => t >= ms - win && t < ms) => ms
+        }
+        val q1 = quals(q0, "click")
+        val q2 = quals(q1.toSet, "purchase")
+        (evs.count(_._1 == "view").toLong, q1.size.toLong, q2.size.toLong,
+          if (q2.isEmpty) -1L else q2.min)
+      }
+      val expect = rows.groupBy(_._1).map { case (u, rs) =>
+        u -> ref(rs.map(r => (r._2, r._3)))
+      }
+      val got = RelationalOps.funnelOver(rows.toDF("user_id", "event_type", "ts_ms"),
+          Seq("view", "click", "purchase"), win)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(got == expect, s"trial=$trial win=${win / H}h")
+    }
+  }
+
   test("one exchange total: the final agg reuses the window partitioning") {
     val df = RelationalOps.funnel(spark, TestSpark.sfDir)
     val p = df.queryExecution.executedPlan.toString()
