@@ -87,6 +87,7 @@ object SparkEntry {
     "d5_minhash_groups"   -> ((s, d) => graft.functions.LlmQueries.minhashGroups(s, d)),
     "d6_ngram_jaccard"    -> ((s, d) => graft.functions.LlmQueries.ngramJaccardPairs(s, d)),
     "d8_minhash_portable" -> ((s, d) => graft.functions.LlmQueries.minhashPortable(s, d)),
+    "d27_fuzzy_join"      -> ((s, d) => graft.functions.LlmQueries.fuzzyJoinDocs(s, d)),
     "d9_simhash_portable" -> ((s, d) => graft.functions.LlmQueries.simhashPortable(s, d)),
     "d7_embed_neardup_exact" -> ((s, d) => graft.functions.LlmQueries.embedNearDupExact(s, d)),
     "t4_text_quality"     -> ((s, d) => graft.functions.LlmQueries.textQuality(s, d)),
@@ -1498,6 +1499,45 @@ object SparkEntry {
         |         a.sig AS sa, b.sig AS sb
         |  FROM keyed a JOIN keyed b
         |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+        |)
+        |SELECT id_a, id_b,
+        |       len(list_filter(range(1, 17), i -> sa[i] = sb[i]))::BIGINT AS n_match
+        |FROM p
+        |WHERE len(list_filter(range(1, 17), i -> sa[i] = sb[i])) >= 4""".stripMargin,
+    // two-relation form of the d8 pipeline: side b is the re-keyed
+    // prefix-perturbed scrape; no symmetry cut, a×b only across sides
+    "d27_fuzzy_join" ->
+      """WITH u AS (
+        |  SELECT 'a' AS side, doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT 'b', doc_id + 1000000, 'copy doc ' || text
+        |  FROM documents WHERE doc_id % 7 = 0
+        |), w AS (
+        |  SELECT side, doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                     x -> x <> '') AS words
+        |  FROM u
+        |), t AS (
+        |  SELECT side, doc_id, CASE WHEN len(words) >= 3 THEN
+        |      list_transform(range(1, len(words) - 1),
+        |        i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+        |    ELSE [array_to_string(words, ' ')] END AS sh
+        |  FROM w
+        |), sig AS (
+        |  SELECT side, doc_id, list_transform(range(0, 16), i ->
+        |    list_min(list_transform(sh,
+        |      s -> ('0x' || substr(md5(s || '#' || i::VARCHAR), 1, 8))::BIGINT))) AS sig
+        |  FROM t
+        |), keyed AS (
+        |  SELECT side, doc_id, sig, band,
+        |         sig[band*4 + 1 : band*4 + 4] AS bk
+        |  FROM (SELECT side, doc_id, sig, unnest(range(0, 4)) AS band FROM sig)
+        |), p AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         a.sig AS sa, b.sig AS sb
+        |  FROM keyed a JOIN keyed b
+        |    ON a.band = b.band AND a.bk = b.bk
+        |   AND a.side = 'a' AND b.side = 'b'
         |)
         |SELECT id_a, id_b,
         |       len(list_filter(range(1, 17), i -> sa[i] = sb[i]))::BIGINT AS n_match

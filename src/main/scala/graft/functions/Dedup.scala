@@ -391,6 +391,43 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** Cross-table FUZZY JOIN / record linkage: match rows of `a` to
+    * near-duplicate rows of `b` by MinHash-banded candidate buckets +
+    * signature agreement — the "link scraped variants back to their
+    * canonical documents" operator (near-dup detection ACROSS sources,
+    * where exact dedup and the self-join family can't reach: ids differ,
+    * bytes differ, content matches). Same banded-bucket scale shape as
+    * [[minhashLsh]] — signatures pinned ONCE per side, candidates come
+    * from a bucketed equi-join on (band, band key), never an a×b
+    * cross-join — but the join is two-relation, so there is no id_a<id_b
+    * symmetry cut and a row may link to several candidates (ranking is
+    * the caller's policy). md5 hash family end-to-end → the whole
+    * pipeline is engine-portable and oracle-checked (swap in the
+    * xxhash `minhash_sig` family at scale, plan unchanged — the d2/d8
+    * twin rule). */
+  def fuzzyJoin(a: DataFrame, b: DataFrame,
+                textCol: String = "text", idCol: String = "doc_id",
+                numHashes: Int = 16, bands: Int = 4,
+                minMatch: Int = 4): DataFrame = {
+    val rowsPer = numHashes / bands
+    require(rowsPer * bands == numHashes, "bands must divide numHashes")
+    graft.GraftFunctions.register(a.sparkSession)
+    def banded(df: DataFrame, id: String, sig: String) = df
+      .select(col(idCol).as(id),
+        call_function("minhash_md5", col(textCol), lit(numHashes)).as(sig))
+      .localCheckpoint(true) // pinned once per side (minhashLsh rule)
+      .select(col(id), col(sig), posexplode(array((0 until bands).map(bd =>
+        slice(col(sig), bd * rowsPer + 1, rowsPer)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bk")
+    banded(a, "id_a", "sa").join(banded(b, "id_b", "sb"), Seq("band", "bk"))
+      .groupBy("id_a", "id_b").agg(first("sa").as("sa"), first("sb").as("sb"))
+      .select(col("id_a"), col("id_b"),
+        aggregate(zip_with(col("sa"), col("sb"),
+          (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (s, x) => s + x)
+          .as("n_match"))
+      .filter(col("n_match") >= minMatch)
+  }
+
   /** Exact n-gram Jaccard for candidate pairs — the verify stage after LSH.
     * `pairs` must have id_a/id_b; joins shingle sets back in (two hash
     * joins on doc id, proportional to candidates, not corpus²). */

@@ -73,6 +73,20 @@ object LlmQueries {
       .filter(col("n_match") >= 4)
   }
 
+  /** Cross-source record linkage, oracle-checked: treat `doc_id % 7 == 0`
+    * documents — re-keyed (+1,000,000) and prefix-perturbed — as an
+    * incoming scrape, and [[Dedup.fuzzyJoin]] them back against the full
+    * corpus. Every incoming row must link to its canonical original (high
+    * signature agreement survives the perturbation); additional links
+    * surface canonical docs that were near-dups already. */
+  def fuzzyJoinDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val incoming = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("copy doc "), col("text")).as("text"))
+    Dedup.fuzzyJoin(docs, incoming)
+  }
+
   /** Portable SimHash signatures (md5 token family, 4x16-bit chunks),
     * oracle-checked bit-for-bit — the d3 production path keeps the
     * splitmix family; this proves the sign-accumulation sketch against an

@@ -63,6 +63,23 @@ class DedupSpec extends AnyFunSuite {
     assert(probed.collect().length == 10)
   }
 
+  test("fuzzyJoin: perturbed copies link to their canonicals, unrelated rows to nothing") {
+    val incoming = Seq(
+      (100L, "copy doc " + loremA),     // canonical: 0 (and its dups 1, 2)
+      (103L, "copy doc " + loremB),     // canonical: 3 (and its near-dup 4)
+      (110L, "entirely novel content about deep sea creatures and the " +
+        "bioluminescent organs they evolved in total darkness far below"))
+      .toDF("doc_id", "text")
+    val links = Dedup.fuzzyJoin(corpus, incoming)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(links.contains((0L, 100L)) && links.contains((1L, 100L)),
+      s"loremA copies must link to their canonicals: $links")
+    assert(links.contains((3L, 103L)), s"loremB copy must link: $links")
+    assert(!links.exists(_._2 == 110L), s"novel row must link to nothing: $links")
+    assert(!links.exists(p => p._1 == 3L && p._2 == 100L),
+      s"cross-content links must not appear: $links")
+  }
+
   test("bloomDecontaminate == exact decontaminate (guided path is bit-identical)") {
     val docs = (0L until 60L).map { i =>
       val base = if (i % 4 == 0) loremA else if (i % 4 == 1) loremB
