@@ -329,6 +329,15 @@ class PartitionedMorTableSpec extends AnyFunSuite {
     assert(t.upsertIfNew(Seq((2L, "b", 0)).toDF("k", "p", "v"),
       Seq(col("k")), batchId = 2L).isEmpty)
     assert(t.read().count() == 4)
+    // both children scanned in the SAME probe job (live deltas force it),
+    // each against ITS OWN bloom: a in-range-new, b overlapping
+    val v2 = t.upsertIfNew(Seq((3L, "a", 30), (2L, "b", 21)).toDF("k", "p", "v"),
+      Seq(col("k")), batchId = 3L)
+    assert(v2 == Map("a" -> true, "b" -> false), v2)
+    val rows2 = t.read().orderBy("p", "k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(rows2 == Seq((1L, "a", 10), (3L, "a", 30), (7L, "a", 70),
+      (2L, "b", 21), (9L, "c", 90)))
   }
 
   test("dropPartitions: storage+metadata delete, manifest refresh, re-ingest works") {
