@@ -55,6 +55,7 @@ object SparkEntry {
     "s56_cdc_wire_loop"   -> ((s, d) => graft.lake.LakeQueries.cdcWireLoop(s, d)),
     "s57_part_savepoint"  -> ((s, d) => graft.lake.LakeQueries.partRollbackRestore(s, d)),
     "s58_part_write_tagging" -> ((s, d) => graft.lake.LakeQueries.partWriteIndexTagging(s, d)),
+    "s59_lake_funnel"     -> ((s, d) => graft.lake.LakeQueries.lakeFunnel(s, d)),
     "s48_partition_ttl"   -> ((s, d) => graft.lake.LakeQueries.partitionTtl(s, d)),
     "s13_mor_partitioned" -> ((s, d) => graft.lake.LakeQueries.partitionedReplay(s, d)),
     "s28_manifest_read"   -> ((s, d) => graft.lake.LakeQueries.manifestRead(s, d)),
@@ -178,6 +179,7 @@ object SparkEntry {
     "r40_funnel"          -> ((s, d) => RelationalOps.funnel(s, d)),
     "r42_streaks"         -> ((s, d) => RelationalOps.activityStreaks(s, d)),
     "r43_retention"       -> ((s, d) => RelationalOps.retentionCohorts(s, d)),
+    "r44_transitions"     -> ((s, d) => RelationalOps.eventTransitions(s, d)),
     "t24_data_checks"     -> ((s, d) => RelationalOps.dataChecks(s, d)),
     "t18_split_assign"    -> ((s, d) => graft.operators.Sampling.assignSplits(
       graft.Tables.documents(s, d).select(
@@ -286,6 +288,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "d26_bloom_decontaminate" -> DecontaminateOracle,
     "r41_stream_funnel" -> FunnelOracle,
+    // third execution of the same funnel definition: maintained from the
+    // MOR commit stream instead of a file stream or a batch window chain
+    "s59_lake_funnel" -> FunnelOracle,
     "s18_ann_ivf_portable" ->
       """WITH c AS (
         |  SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cv
@@ -1907,6 +1912,19 @@ object SparkEntry {
         |SELECT cohort, week - cohort AS week_offset,
         |       count(*)::BIGINT AS active_users
         |FROM c GROUP BY 1, 2""".stripMargin,
+    "r44_transitions" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id,
+        |    lead(event_type) OVER
+        |      (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS to_type
+        |  FROM events
+        |), c AS (
+        |  SELECT event_type AS from_type, to_type, count(*)::BIGINT AS n
+        |  FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT from_type, to_type, n,
+        |       ((n * 1000) // sum(n) OVER (PARTITION BY from_type))::BIGINT AS per_mille
+        |FROM c""".stripMargin,
     "r37_dpp_join" ->
       """SELECT event_type, count(*) AS n,
         |       round(sum(value), 3) AS sum_value

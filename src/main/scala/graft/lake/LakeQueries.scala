@@ -511,6 +511,58 @@ object LakeQueries {
         .select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
   }
 
+  /** CONTINUOUSLY-MAINTAINED CEP funnel over the lake (the composition a
+    * production deployment actually runs: events land in the MOR table as
+    * commits, the funnel is maintained from the COMMIT STREAM —
+    * `readStream.format("graft.mor")` → [[graft.streaming.StreamingOps
+    * .funnelStream]] — O(changes) per micro-batch, O(1) state per user,
+    * the events table never rescanned). Oracle: identical SQL to the
+    * batch r40 / file-stream r41 forms — three executions of one
+    * definition, all hash-checked. A per-user sentinel commit emits the
+    * rows (the AvailableNow-deterministic close). */
+  def lakeFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "ts_ms", "ts_ns")
+    val b = ev.agg(min(col("ts_ns")).as("mn"), max(col("ts_ns")).as("mx"),
+      max(col("ts_ms")).as("mm")).head()
+    val mn = b.getLong(0); val mx = b.getLong(1); val maxMs = b.getLong(2)
+    val lo = mn + (mx - mn) / 3
+    val hi = mn + 2 * ((mx - mn) / 3)
+    val path = tempPath("mor-lake-funnel")
+    val t = new MorTable(spark, path, keyCols = Seq("event_id"),
+      compactionDeltaCommits = 1000, autoCompact = false)
+    val ord = Seq(col("ts_ns"), col("event_id"))
+    t.upsert(ev.filter(col("ts_ns") <= lo), ord, batchId = 1L)
+    t.upsert(ev.filter(col("ts_ns") > lo && col("ts_ns") <= hi), ord, batchId = 2L)
+    t.upsert(ev.filter(col("ts_ns") > hi), ord, batchId = 3L)
+    // sentinel commit: one far-future row per user emits its funnel state
+    t.upsert(ev.select("user_id").distinct()
+      .select((-col("user_id") - 1).as("event_id"), col("user_id"),
+        lit("sentinel").as("event_type"), lit(maxMs + 3600000L).as("ts_ms"),
+        lit(Long.MaxValue).as("ts_ns")),
+      ord, batchId = 4L)
+    val rows = spark.readStream.format("graft.mor")
+      .option("keys", "event_id").load(path)
+      .select(col("user_id"), col("event_type"), col("ts_ms"))
+      .as[graft.streaming.StreamingOps.FunnelEvent]
+    val funnel = graft.streaming.StreamingOps.funnelStream(rows,
+      Seq("view", "click", "purchase"), 86400000L)
+    val name = "graft_lake_funnel_out"
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = funnel.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", graft.TempDirs.create("lake-funnel-ckpt"))
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    t.drop()
+    graft.TempDirs.materializeAndDelete(spark.table(name), path)
+  }
+
   /** LAKE-TO-LAKE incremental replication (the full CDC loop composed:
     * stream OUT of table A via [[graft.mor.MorStreamSource]], transform,
     * stream INTO table B via the changelog sink): B is a FILTERED replica

@@ -549,6 +549,29 @@ object RelationalOps {
       .agg(count(lit(1)).as("active_users"))
   }
 
+  /** Event-transition matrix (first-order Markov counts over each user's
+    * clickstream — the "what follows what" table behind next-action
+    * prediction and anomalous-flow detection): successor = one `lead` over
+    * the per-user time order (ties broken by event_id, so the sequence is
+    * total and engine-deterministic), then one count per (from, to) pair
+    * plus an integer per-mille rate against the from-state total. One
+    * shuffle for the window; the transition aggregation and the from-state
+    * window reuse nothing event-sized — the matrix is |types|² rows. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val fromTotal = Window.partitionBy(col("from_type"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts_ms"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(byUser))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__total", sum(col("n")).over(fromTotal))
+      .withColumn("per_mille", expr("cast((n * 1000) div __total AS BIGINT)"))
+      .drop("__total")
+  }
+
   /** Skew-salted join checked against the plain join: salting must be a
     * pure execution-strategy change, never a semantic one. */
   def saltedJoinOrders(spark: SparkSession, dir: String): DataFrame =

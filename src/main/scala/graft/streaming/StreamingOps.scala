@@ -139,15 +139,18 @@ object StreamingOps {
   /** Typed row for the streaming funnel. */
   case class FunnelEvent(user_id: Long, event_type: String, ts_ms: Long)
 
-  /** O(1) per-user CEP state: latest step-1 time, latest QUALIFIED step-2
-    * time, per-step qualifying counts, earliest completion. Long.MinValue
-    * marks "no predecessor yet". */
-  case class FunnelProgress(max_a: Long, max_b: Long, n1: Long, n2: Long,
-                            n3: Long, min_conv: Long)
+  /** O(1) per-user CEP state for a k-step funnel: latest QUALIFIED time
+    * per non-final step (k−1 maxima; Long.MinValue = none yet), per-step
+    * qualifying counts, earliest completion. */
+  case class FunnelProgress(maxes: Seq[Long], counts: Seq[Long], min_conv: Long)
 
   /** Per-user funnel result (columns match RelationalOps.funnel / r40). */
   case class FunnelRow(user_id: Long, n_step1: Long, n_step2: Long,
                        n_step3: Long, first_conv_ms: Long)
+
+  /** Per-user k-step funnel result (general form). */
+  case class FunnelCounts(user_id: Long, step_counts: Seq[Long],
+                          first_conv_ms: Long)
 
   /** Streaming windowed funnel via flatMapGroupsWithState — the CEP
     * `PATTERN (A B C) WITHIN interval` operator in its continuous form
@@ -167,53 +170,68 @@ object StreamingOps {
     * the caller feeds time-ordered files (file-source mtime order). */
   def funnelStream(events: Dataset[FunnelEvent],
                    steps: Seq[String], windowMs: Long): Dataset[FunnelRow] = {
-    require(steps.length == 3, "funnelStream: exactly three steps")
+    require(steps.length == 3, "funnelStream: FunnelRow is the 3-step shape" +
+      " — use funnelStreamCounts for other arities")
+    import events.sparkSession.implicits._
+    funnelStreamCounts(events, steps, windowMs).map(c =>
+      FunnelRow(c.user_id, c.step_counts(0), c.step_counts(1),
+        c.step_counts(2), c.first_conv_ms))
+  }
+
+  /** The k-step engine behind [[funnelStream]] (same semantics for any
+    * number of steps ≥ 2, matching [[graft.operators.RelationalOps
+    * .funnelOver]]'s chained-max definition). */
+  def funnelStreamCounts(events: Dataset[FunnelEvent],
+                         steps: Seq[String],
+                         windowMs: Long): Dataset[FunnelCounts] = {
+    require(steps.length >= 2, "funnelStreamCounts: at least two steps")
     import events.sparkSession.implicits._
     val none = Long.MinValue
+    val k = steps.length
+    val idx = steps.zipWithIndex.toMap
     events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[FunnelProgress, FunnelRow](
+      .flatMapGroupsWithState[FunnelProgress, FunnelCounts](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, it: Iterator[FunnelEvent], state: GroupState[FunnelProgress]) =>
           val all = it.toArray
-          val evs = all.filter(e => steps.contains(e.event_type))
+          val evs = all.filter(e => idx.contains(e.event_type))
           java.util.Arrays.sort(evs, Ordering.by((e: FunnelEvent) => e.ts_ms))
-          var st = state.getOption.getOrElse(
-            FunnelProgress(none, none, 0L, 0L, 0L, -1L))
+          val st = state.getOption.getOrElse(
+            FunnelProgress(Seq.fill(k - 1)(none), Seq.fill(k)(0L), -1L))
+          val maxes = st.maxes.toArray
+          val counts = st.counts.toArray
+          var minConv = st.min_conv
           var i = 0
           while (i < evs.length) {
             var j = i
             while (j < evs.length && evs(j).ts_ms == evs(i).ts_ms) j += 1
-            // phase 1: qualify this timestamp's events against pre-ts state
-            var addA = none
-            var addB = none
-            var k = i
-            while (k < j) {
-              val e = evs(k)
-              if (e.event_type == steps(0)) {
-                st = st.copy(n1 = st.n1 + 1)
-                if (e.ts_ms > addA) addA = e.ts_ms
-              } else if (e.event_type == steps(1)) {
-                if (st.max_a != none && st.max_a >= e.ts_ms - windowMs) {
-                  st = st.copy(n2 = st.n2 + 1)
-                  if (e.ts_ms > addB) addB = e.ts_ms
-                }
-              } else {
-                if (st.max_b != none && st.max_b >= e.ts_ms - windowMs) {
-                  st = st.copy(n3 = st.n3 + 1,
-                    min_conv = if (st.min_conv == -1L) e.ts_ms
-                               else math.min(st.min_conv, e.ts_ms))
-                }
+            // phase 1: qualify this timestamp's events against pre-ts maxima
+            val adds = Array.fill(k - 1)(none)
+            var p = i
+            while (p < j) {
+              val e = evs(p)
+              val s = idx(e.event_type)
+              val ok = s == 0 ||
+                (maxes(s - 1) != none && maxes(s - 1) >= e.ts_ms - windowMs)
+              if (ok) {
+                counts(s) += 1
+                if (s < k - 1) { if (e.ts_ms > adds(s)) adds(s) = e.ts_ms }
+                else minConv =
+                  if (minConv == -1L) e.ts_ms else math.min(minConv, e.ts_ms)
               }
-              k += 1
+              p += 1
             }
             // phase 2: this timestamp's events become visible predecessors
-            st = st.copy(max_a = math.max(st.max_a, addA),
-                         max_b = math.max(st.max_b, addB))
+            var s = 0
+            while (s < k - 1) {
+              if (adds(s) > maxes(s)) maxes(s) = adds(s)
+              s += 1
+            }
             i = j
           }
-          state.update(st)
+          state.update(FunnelProgress(maxes.toSeq, counts.toSeq, minConv))
           if (all.exists(_.event_type == "sentinel"))
-            Iterator.single(FunnelRow(uid, st.n1, st.n2, st.n3, st.min_conv))
+            Iterator.single(FunnelCounts(uid, counts.toSeq, minConv))
           else Iterator.empty
       }
   }

@@ -240,4 +240,33 @@ class StreamingOpsSpec extends AnyFunSuite {
       2L -> ((1L, 0L, 0L, -1L)),   // same-ms click never qualified
       3L -> ((0L, 0L, 0L, -1L))), got)
   }
+
+  test("streaming funnel engine generalizes: 4-step chain across batches") {
+    import StreamingOps.FunnelEvent
+    val H = 3600000L
+    val watch = TestSpark.tmpDir("funnel4-watch")
+    Seq(FunnelEvent(1, "a", 0L), FunnelEvent(1, "b", 1 * H)).toDS()
+      .coalesce(1).write.parquet(s"$watch/seg1")
+    Seq(FunnelEvent(1, "c", 2 * H), FunnelEvent(1, "d", 3 * H),
+        FunnelEvent(1, "sentinel", 100 * H)).toDS()
+      .coalesce(1).write.parquet(s"$watch/seg2")
+    for ((seg, t) <- Seq("seg1" -> 1000L, "seg2" -> 5000L);
+         f <- new java.io.File(s"$watch/$seg").listFiles())
+      f.setLastModified(1700000000000L + t): Unit
+    val rows = spark.readStream
+      .schema(Seq.empty[FunnelEvent].toDS().schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$watch/*/")
+      .as[FunnelEvent]
+    val name = "funnel4_stream_spec"
+    val q = StreamingOps.funnelStreamCounts(rows, Seq("a", "b", "c", "d"), 24 * H)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", TestSpark.tmpDir("funnel4-ckpt"))
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, Seq(1L, 1L, 1L, 1L), 3 * H)), got.toSeq)
+  }
 }
