@@ -180,6 +180,7 @@ object SparkEntry {
     "r42_streaks"         -> ((s, d) => RelationalOps.activityStreaks(s, d)),
     "r43_retention"       -> ((s, d) => RelationalOps.retentionCohorts(s, d)),
     "r44_transitions"     -> ((s, d) => RelationalOps.eventTransitions(s, d)),
+    "r45_journeys"        -> ((s, d) => RelationalOps.topJourneys(s, d)),
     "t24_data_checks"     -> ((s, d) => RelationalOps.dataChecks(s, d)),
     "t18_split_assign"    -> ((s, d) => graft.operators.Sampling.assignSplits(
       graft.Tables.documents(s, d).select(
@@ -1925,6 +1926,18 @@ object SparkEntry {
         |SELECT from_type, to_type, n,
         |       ((n * 1000) // sum(n) OVER (PARTITION BY from_type))::BIGINT AS per_mille
         |FROM c""".stripMargin,
+    "r45_journeys" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER
+        |      (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS rn
+        |  FROM events
+        |), j AS (
+        |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS journey
+        |  FROM r WHERE rn <= 3 GROUP BY user_id
+        |)
+        |SELECT journey, count(*)::BIGINT AS n_users
+        |FROM j GROUP BY journey""".stripMargin,
     "r37_dpp_join" ->
       """SELECT event_type, count(*) AS n,
         |       round(sum(value), 3) AS sum_value

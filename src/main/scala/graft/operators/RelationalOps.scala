@@ -572,6 +572,26 @@ object RelationalOps {
       .drop("__total")
   }
 
+  /** Journey analysis: the distribution of each user's FIRST-k event path
+    * (onboarding-flow mining — which entry sequences are common, which
+    * convert). Scale shape: a `row_number ≤ k` window prefilter cuts every
+    * user to k rows BEFORE any aggregation (the grouped-top-k shape the
+    * TopKRewrite also optimizes), so the journey-string assembly touches
+    * k·|users| rows, never the event stream; ordering is total via
+    * (ts_ms, event_id), so the path strings are engine-deterministic. */
+  def topJourneys(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts_ms"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(byUser)).filter(col("rn") <= k)
+      .groupBy("user_id")
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("rn"), col("event_type")))),
+        x => x.getField("event_type")), ">").as("journey"))
+      .groupBy("journey").agg(count(lit(1)).as("n_users"))
+  }
+
   /** Skew-salted join checked against the plain join: salting must be a
     * pure execution-strategy change, never a semantic one. */
   def saltedJoinOrders(spark: SparkSession, dir: String): DataFrame =
