@@ -292,4 +292,38 @@ class MultiWriterSpec extends AnyFunSuite {
     assert(t.read().collect().map(r => r.getLong(0) -> r.getInt(1)).toMap ==
       Map(1L -> 11, 2L -> 20))
   }
+
+  test("seq-allocation storm (mixed kinds): unique seqs, no lost commits, no overwrites") {
+    // Regression for the post-claim-verify hole: markers are RELEASED at
+    // publish, so a stale-listing writer could re-claim a published seq
+    // (observed once under full-suite load), and delta-vs-compact claims
+    // race under DIFFERENT marker names. Hammer both shapes at once.
+    val path = tmp()
+    def handle() = MorTable(spark, path, Seq("uuid"),
+      compactionDeltaCommits = 1000)
+    handle().upsert(Seq(("seed", 0)).toDF("uuid", "v"), Nil, batchId = 0L)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val writer = Future {
+      val h = handle()
+      (1 to 20).foreach { i =>
+        h.upsert(Seq((s"w$i", i)).toDF("uuid", "v"), Nil, batchId = i.toLong)
+      }
+    }
+    val compactor = Future {
+      val h = handle()
+      (1 to 8).foreach { _ => h.compact() }
+    }
+    Await.result(writer, 300.seconds)
+    Await.result(compactor, 300.seconds)
+    val t = handle()
+    val seqs = t.timeline().map(_.seq)
+    assert(seqs == seqs.distinct, s"duplicate seqs: $seqs")
+    assert(t.timeline().count(_.kind == "delta") == 21, "a delta commit was lost")
+    assert(t.read().count() == 21, t.read().collect().mkString(","))
+    val leftover = new java.io.File(s"$path/timeline").listFiles()
+      .map(_.getName).filter(_.endsWith(".inflight"))
+    assert(leftover.isEmpty, leftover.mkString(","))
+  }
 }
