@@ -55,6 +55,10 @@ class ProcedureCatalogSpec extends AnyFunSuite {
     assert(t.read().filter($"name".startsWith("c")).count() == 0)
     assert(t.read().count() == 8)
 
+    // positional arguments bind too (not only the named form)
+    assert(spark.sql("CALL graft_ops.run_compaction('proc_t1', 'minor')")
+      .collect().head.getString(1) == "minor")
+
     // default-argument call (mode defaults to 'full') and clean
     spark.sql("CALL graft_ops.run_compaction(table => 'proc_t1')").collect()
     val removed = spark.sql("CALL graft_ops.run_clean(table => 'proc_t1')")
