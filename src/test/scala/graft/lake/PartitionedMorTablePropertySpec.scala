@@ -63,4 +63,52 @@ class PartitionedMorTablePropertySpec extends AnyFunSuite {
       t.drop()
     }
   }
+
+  test("partitioned upsertIfNew in random scripts == Map fold; per-child flags never lie") {
+    val keys = Vector("a", "b", "c", "d", "e", "f")
+    for (trial <- 0 until 4) {
+      val rnd = new scala.util.Random(5000 + trial)
+      val t = new PartitionedMorTable(spark, TestSpark.tmpDir("pmor-ifnew-prop"),
+        keyCols = Seq("k"), partitionCol = "region",
+        compactionDeltaCommits = 1000, autoCompact = false)
+      var model = Map.empty[String, Int]
+      var bi = 0L
+      for (step <- 0 until rnd.nextInt(4) + 4) {
+        rnd.nextInt(4) match {
+          case 0 => // plain upsert, key-collapsed
+            bi += 1
+            val rows = List.fill(rnd.nextInt(3) + 1)(
+              (keys(rnd.nextInt(keys.size)), rnd.nextInt(1000)))
+            val lastPer = rows.groupBy(_._1).map(_._2.last).toSeq
+            t.upsert(lastPer.map { case (k, v) => (k, part(k), v) }
+              .toDF("k", "region", "v"), Nil, batchId = bi)
+            lastPer.foreach { case (k, v) => model += (k -> v) }
+          case 1 | 2 => // tagged upsert: fresh or overlapping keys
+            bi += 1
+            val ks =
+              if (rnd.nextBoolean()) List.fill(rnd.nextInt(2) + 1)(
+                s"${Seq("a", "z")(rnd.nextInt(2))}-n$trial-$step-${rnd.nextInt(9)}")
+                .distinct
+              else rnd.shuffle(keys).take(rnd.nextInt(3) + 1).toList
+            val rows = ks.map(k => (k, part(k), rnd.nextInt(1000)))
+            val verdicts = t.upsertIfNew(rows.toDF("k", "region", "v"),
+              Seq(col("v")), batchId = bi)
+            verdicts.collect { case (p, true) => p }.foreach { p =>
+              val claimed = ks.filter(part(_) == p)
+              assert(claimed.forall(k => !model.contains(k)),
+                s"trial=$trial step=$step child $p flag lied")
+            }
+            rows.foreach { case (k, _, v) => model += (k -> v) }
+          case 3 if t.partitions().nonEmpty =>
+            if (rnd.nextBoolean()) t.compactPartitions(t.partitions())
+            else { t.clean(); () }
+          case _ => ()
+        }
+      }
+      val got = t.read().collect().map(r => r.getAs[String]("k") -> r.getAs[Int]("v"))
+      assert(got.length == model.size && got.toMap == model,
+        s"trial=$trial got=${got.toSeq.sorted} model=${model.toSeq.sorted}")
+      t.drop()
+    }
+  }
 }
