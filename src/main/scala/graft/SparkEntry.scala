@@ -89,6 +89,8 @@ object SparkEntry {
     "d6_ngram_jaccard"    -> ((s, d) => graft.functions.LlmQueries.ngramJaccardPairs(s, d)),
     "d8_minhash_portable" -> ((s, d) => graft.functions.LlmQueries.minhashPortable(s, d)),
     "d27_fuzzy_join"      -> ((s, d) => graft.functions.LlmQueries.fuzzyJoinDocs(s, d)),
+    "t29_boilerplate"     -> ((s, d) => graft.functions.Dedup.boilerplateShingles(
+      graft.Tables.documents(s, d))),
     "d9_simhash_portable" -> ((s, d) => graft.functions.LlmQueries.simhashPortable(s, d)),
     "d7_embed_neardup_exact" -> ((s, d) => graft.functions.LlmQueries.embedNearDupExact(s, d)),
     "t4_text_quality"     -> ((s, d) => graft.functions.LlmQueries.textQuality(s, d)),
@@ -1549,6 +1551,26 @@ object SparkEntry {
         |       len(list_filter(range(1, 17), i -> sa[i] = sb[i]))::BIGINT AS n_match
         |FROM p
         |WHERE len(list_filter(range(1, 17), i -> sa[i] = sb[i])) >= 4""".stripMargin,
+    "t29_boilerplate" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                     x -> x <> '') AS words
+        |  FROM documents
+        |), t AS (
+        |  SELECT doc_id, CASE WHEN len(words) >= 3 THEN
+        |      list_transform(range(1, len(words) - 1),
+        |        i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+        |    ELSE [array_to_string(words, ' ')] END AS sh
+        |  FROM w
+        |), e AS (SELECT doc_id, unnest(sh) AS shingle FROM t
+        |), pd AS (
+        |  SELECT shingle, doc_id, count(*)::BIGINT AS occ
+        |  FROM e GROUP BY 1, 2
+        |)
+        |SELECT shingle, count(*)::BIGINT AS n_docs,
+        |       sum(occ)::BIGINT AS n_occurrences
+        |FROM pd GROUP BY shingle HAVING count(*) >= 5""".stripMargin,
     "d6_ngram_jaccard" ->
       """WITH w AS (
         |  SELECT doc_id,

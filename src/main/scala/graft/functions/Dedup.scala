@@ -391,6 +391,34 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** Boilerplate mining: the corpus-wide table of word k-shingles that
+    * recur across ≥ `minDocs` DISTINCT documents, with document and
+    * occurrence counts — the artifact cleaning rules are written from
+    * (license headers, nav chrome, cookie banners all surface here;
+    * [[substringDupStats]] measures per-document coverage, this names the
+    * offending spans themselves). Shape: one shingle pass, a per-(shingle,
+    * doc) pre-aggregation — so the final agg counts docs with a plain
+    * count(*), no count-distinct Expand — then a vocabulary-sized
+    * threshold filter. Both shuffles carry shingle-level rows, never
+    * documents. */
+  def boilerplateShingles(docs: DataFrame, textCol: String = "text",
+                          idCol: String = "doc_id", shingleK: Int = 3,
+                          minDocs: Int = 5): DataFrame = {
+    // raw (NON-distinct) windows — occurrence counts need every repeat,
+    // unlike the MinHash set front end
+    val toks = TextAnalysis.tokens(lower(col(textCol)))
+    val raw = when(size(toks) >= shingleK,
+      transform(sequence(lit(0), size(toks) - shingleK),
+        i => concat_ws(" ", slice(toks, i + 1, lit(shingleK)))))
+      .otherwise(array(concat_ws(" ", toks)))
+    docs.select(col(idCol), explode(raw).as("shingle"))
+      .groupBy(col("shingle"), col(idCol))
+      .agg(count(lit(1)).as("__occ"))
+      .groupBy("shingle")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__occ")).as("n_occurrences"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   /** Cross-table FUZZY JOIN / record linkage: match rows of `a` to
     * near-duplicate rows of `b` by MinHash-banded candidate buckets +
     * signature agreement — the "link scraped variants back to their
