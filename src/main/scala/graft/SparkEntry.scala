@@ -183,6 +183,7 @@ object SparkEntry {
     "r43_retention"       -> ((s, d) => RelationalOps.retentionCohorts(s, d)),
     "r44_transitions"     -> ((s, d) => RelationalOps.eventTransitions(s, d)),
     "r45_journeys"        -> ((s, d) => RelationalOps.topJourneys(s, d)),
+    "r46_stickiness"      -> ((s, d) => RelationalOps.stickiness(s, d)),
     "t24_data_checks"     -> ((s, d) => RelationalOps.dataChecks(s, d)),
     "t18_split_assign"    -> ((s, d) => graft.operators.Sampling.assignSplits(
       graft.Tables.documents(s, d).select(
@@ -1960,6 +1961,23 @@ object SparkEntry {
         |)
         |SELECT journey, count(*)::BIGINT AS n_users
         |FROM j GROUP BY journey""".stripMargin,
+    "r46_stickiness" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events
+        |), dw AS (SELECT user_id, day, day // 7 AS week FROM d
+        |), daily AS (
+        |  SELECT week, sum(n)::BIGINT AS sum_daily FROM (
+        |    SELECT week, day, count(*)::BIGINT AS n FROM dw GROUP BY 1, 2
+        |  ) GROUP BY week
+        |), weekly AS (
+        |  SELECT week, count(*)::BIGINT AS weekly_active FROM (
+        |    SELECT DISTINCT user_id, week FROM dw
+        |  ) GROUP BY week
+        |)
+        |SELECT week, sum_daily, weekly_active,
+        |       ((sum_daily * 1000) // (7 * weekly_active))::BIGINT
+        |         AS stickiness_per_mille
+        |FROM daily JOIN weekly USING (week)""".stripMargin,
     "r37_dpp_join" ->
       """SELECT event_type, count(*) AS n,
         |       round(sum(value), 3) AS sum_value

@@ -592,6 +592,27 @@ object RelationalOps {
       .groupBy("journey").agg(count(lit(1)).as("n_users"))
   }
 
+  /** Weekly engagement stickiness (the DAU/WAU ratio as exact integers:
+    * per week, Σ daily-active counts ×1000 div (7 × weekly-active count) —
+    * how much of the week the average weekly-active user shows up).
+    * Everything runs over the distinct (user, day) relation; the daily and
+    * weekly rollups are both week-cardinality-sized, and the division is
+    * integer per-mille so the result is hash-exact cross-engine. */
+  def stickiness(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts_ms div 86400000").as("day"))
+      .distinct()
+      .withColumn("week", expr("day div 7"))
+    val daily = d.groupBy("week", "day").agg(count(lit(1)).as("n"))
+      .groupBy("week").agg(sum(col("n")).as("sum_daily"))
+    val weekly = d.select("user_id", "week").distinct()
+      .groupBy("week").agg(count(lit(1)).as("weekly_active"))
+    daily.join(weekly, Seq("week"))
+      .select(col("week"), col("sum_daily"), col("weekly_active"),
+        expr("cast((sum_daily * 1000) div (7 * weekly_active) AS BIGINT)")
+          .as("stickiness_per_mille"))
+  }
+
   /** Skew-salted join checked against the plain join: salting must be a
     * pure execution-strategy change, never a semantic one. */
   def saltedJoinOrders(spark: SparkSession, dir: String): DataFrame =
