@@ -210,24 +210,46 @@ object Dedup {
     * large to broadcast as a set (the d20 "sketch guards the exact op"
     * pattern): the benchmark's shingle hashes collapse into ONE fixed-size
     * Bloom filter (`bloom_agg64`, bits/8 bytes regardless of benchmark
-    * cardinality — a few MiB covers 10⁹ shingles at ~1% fpp, vs an
-    * unbounded broadcast set), corpus docs are prefiltered MAP-SIDE by
+    * cardinality), corpus docs are prefiltered MAP-SIDE by
     * `bloom_any64` inside the scan stage, and only the surviving sliver
     * re-runs the exact inverted-index count. No false negatives: a doc
     * sharing ≥1 shingle always probes positive, so the output is
     * bit-identical to [[decontaminate]] — false positives only cost
     * re-checked rows. At 100 TB the corpus-side win is that non-matching
     * documents (the overwhelming majority) never leave their scan task:
-    * no explode, no shuffle, no join input. */
+    * no explode, no shuffle, no join input.
+    *
+    * Capacity: at bloom_agg64's k=5 probes, ~1% fpp needs ~10 bits per
+    * DISTINCT benchmark shingle (10⁶ shingles → ~1.2 MiB; 10⁹ → ~1.2 GiB —
+    * a saturated filter stays CORRECT but prunes nothing). `bloomBits = 0`
+    * (the default) therefore AUTO-SIZES: one approx-count-distinct pass
+    * over the benchmark's shingles picks the next power of two ≥ 10× the
+    * observed cardinality (floor 2²⁰ ≈ 128 KiB, cap 2³⁰ ≈ 128 MiB — still
+    * broadcastable), logging the implied fpp. Pass explicit bits only when
+    * the cardinality is already known. */
   def bloomDecontaminate(corpus: DataFrame, benchmark: DataFrame,
                          textCol: String = "text", idCol: String = "doc_id",
                          shingleK: Int = 3, minShared: Int = 3,
-                         bloomBits: Int = 1 << 20): DataFrame = {
+                         bloomBits: Int = 0): DataFrame = {
     graft.GraftFunctions.register(corpus.sparkSession)
     val sh = call_function("shingle_hashes64", col(textCol), lit(shingleK))
+    val bits =
+      if (bloomBits > 0) bloomBits
+      else {
+        val n = math.max(1L, benchmark.select(explode(sh).as("__s"))
+          .agg(approx_count_distinct(col("__s"))).head().getLong(0))
+        val b = math.min(1L << 30,
+          math.max(1L << 20, java.lang.Long.highestOneBit(10L * n - 1) << 1)).toInt
+        // fpp for a k-probe filter at n keys in m bits: (1 - e^{-kn/m})^k
+        val fpp = math.pow(1.0 - math.exp(-5.0 * n / b), 5.0)
+        org.slf4j.LoggerFactory.getLogger(getClass).info(
+          f"bloomDecontaminate auto-sized filter: ~$n distinct shingles → " +
+            f"$b bits (${b / 8 / 1024} KiB), implied fpp ≈ $fpp%.4g")
+        b
+      }
     // ONE row of bits/8 bytes — metadata-sized driver traffic by design
     val filter = benchmark
-      .agg(call_function("bloom_agg64", sh, lit(bloomBits)).as("f"))
+      .agg(call_function("bloom_agg64", sh, lit(bits)).as("f"))
       .head().getAs[Array[Byte]]("f")
     val survivors = corpus.filter(call_function("bloom_any64", lit(filter), sh))
     decontaminate(survivors, benchmark, textCol, idCol, shingleK, minShared)

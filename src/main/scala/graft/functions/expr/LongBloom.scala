@@ -16,9 +16,11 @@ import org.apache.spark.sql.types._
   * broadcasts the benchmark's distinct shingle set, which is right while
   * eval suites are small — but a consortium-scale held-out set (billions
   * of shingles) blows the broadcast budget. Its Bloom filter is FIXED
-  * SIZE (bits/8 bytes, a few MiB at fpp ~1% for 10⁹ keys), and a probe
-  * has no false negatives, so `bloom_any64` is a sound map-side
-  * prefilter: docs sharing ≥1 shingle always survive to the exact
+  * SIZE (bits/8 bytes; at the k=5 probes below, ~1% fpp needs ~10 bits
+  * per key — so 10⁶ keys fit in ~1.2 MiB, 10⁹ keys need ~1.2 GiB: size
+  * `bits` to ≥10× the expected distinct-key count, next power of two —
+  * see Dedup.bloomDecontaminate's auto-sizing), and a probe has no false
+  * negatives, so `bloom_any64` is a sound map-side prefilter: docs sharing ≥1 shingle always survive to the exact
   * re-check, and false positives only cost re-checked rows, never
   * correctness (`d20_heavy_hitters` made the same argument for CMS).
   *

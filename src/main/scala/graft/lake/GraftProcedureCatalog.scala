@@ -73,6 +73,15 @@ object GraftProcedureCatalog {
     override def isDeterministic: Boolean = false
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      // up-front NULL rejection: every body destructures `case Seq(tbl:
+      // String, …)`, so a NULL argument would surface as an opaque
+      // MatchError — name the offending parameter instead
+      val nulls = params.indices.filter(input.isNullAt)
+      if (nulls.nonEmpty) throw new IllegalArgumentException(
+        s"CALL $pname: NULL argument for parameter" +
+          s"${if (nulls.size > 1) "s" else ""} " +
+          nulls.map(i => s"'${params(i).name()}'").mkString(", ") +
+          " (all parameters are non-nullable)")
       val args = params.indices.map { i =>
         if (input.isNullAt(i)) null
         else params(i).dataType() match {

@@ -262,7 +262,7 @@ final class MorTable(
     * hide a real hit ([[upsertIfNew]]'s soundness note). */
   private def keysMightExist(filter: Array[Byte], mn: String, mx: String): Boolean = {
     val paths = probePaths(mn, mx)
-    paths.nonEmpty && spark.read.parquet(paths: _*)
+    paths.nonEmpty && spark.read.parquet(MorTable.globSafe(paths): _*)
       .select("_record_key")
       .filter(call_function("key_bloom_contains", lit(filter), col("_record_key")))
       .head(1).nonEmpty
@@ -407,35 +407,36 @@ final class MorTable(
         // stringified with Spark CAST semantics
         iCols.map(c => call_function("key_bloom_agg",
           col(c).cast("string"), lit(bloomBits)).as(s"bl_$c"))
-      val perFile = spark.read.parquet(baseDir.toString)
+      val perFile = spark.read.parquet(MorTable.globSafe(baseDir.toString))
         .groupBy(input_file_name().as("f"))
         .agg(aggs.head, aggs.tail: _*)
         .collect().toSeq.sortBy(_.getString(0))
-      val stats = perFile.map(r => (r.getString(0), r.getString(1), r.getString(2)))
-      def js(s: String): String = {
-        val b = new StringBuilder
-        s.foreach {
-          case '"' => b.append("\\\"")
-          case '\\' => b.append("\\\\")
-          case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
-          case c => b.append(c)
-        }
-        b.toString
-      }
+      // input_file_name() yields the URI-ENCODED path ("file:///…p=a%20b…")
+      // while `files` above came from listStatus ("file:/…p=a b…"). Stats
+      // must record the LISTED form — readers hand these strings straight
+      // to spark.read.parquet / FileUtil.copy, and the encoded form names
+      // a nonexistent file whenever the path holds a special character.
+      // The part-file NAME is Spark-generated hex (never encoded), so a
+      // name join canonicalizes exactly (the CLAUDE.md manifest rule).
+      val byName = files.map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
+      def canon(s: String): String =
+        byName.getOrElse(s.substring(s.lastIndexOf('/') + 1), s)
+      val stats = perFile.map(r => (canon(r.getString(0)), r.getString(1), r.getString(2)))
+      def js(s: String): String = MorTable.jsEscape(s)
       val statsJson = stats.map { case (f, mn, mx) =>
         s"""{"file":"${js(f)}","minKey":"${js(mn)}","maxKey":"${js(mx)}"}"""
       }.mkString(",")
       // per-file key Bloom filters, base64 (alphabet is JSON-safe)
       val bloomsJson = perFile.map { r =>
         val b64 = java.util.Base64.getEncoder.encodeToString(r.getAs[Array[Byte]]("bloom"))
-        s"""{"file":"${js(r.getString(0))}","b64":"$b64"}"""
+        s"""{"file":"${js(canon(r.getString(0)))}","b64":"$b64"}"""
       }.mkString(",")
       // secondary-index blooms: (file, col, tombstone flag, filter)
       val sBloomsJson = perFile.flatMap { r =>
         iCols.map { c =>
           val b64 = java.util.Base64.getEncoder
             .encodeToString(r.getAs[Array[Byte]](s"bl_$c"))
-          s"""{"file":"${js(r.getString(0))}","col":"${js(c)}",""" +
+          s"""{"file":"${js(canon(r.getString(0)))}","col":"${js(c)}",""" +
             s""""del":${r.getAs[Int]("del")},"b64":"$b64"}"""
         }
       }.mkString(",")
@@ -450,7 +451,7 @@ final class MorTable(
             (Option(r.getAs[java.lang.Double](s"mn_$c")),
               Option(r.getAs[java.lang.Double](s"mx_$c"))) match {
               case (Some(mn), Some(mx)) =>
-                Some(s"""{"file":"${js(r.getString(0))}","col":"${js(c)}","mn":$mn,"mx":$mx}""")
+                Some(s"""{"file":"${js(canon(r.getString(0)))}","col":"${js(c)}","mn":$mn,"mx":$mx}""")
               case _ => None
             }
           }
@@ -702,9 +703,9 @@ final class MorTable(
     val baseScan0 = lastCompact.toSeq.map { c =>
       baseFiles match {
         case Some(sel) if sel.isEmpty =>
-          spark.read.parquet(s"$path/base/${c.seq}").filter(lit(false))
-        case Some(sel) => spark.read.parquet(sel: _*)
-        case None => spark.read.parquet(s"$path/base/${c.seq}")
+          spark.read.parquet(MorTable.globSafe(s"$path/base/${c.seq}")).filter(lit(false))
+        case Some(sel) => spark.read.parquet(MorTable.globSafe(sel): _*)
+        case None => spark.read.parquet(MorTable.globSafe(s"$path/base/${c.seq}"))
       }
     }
     // baseOnlyFilter: pushed to the BASE scan only (row-group skipping on
@@ -721,7 +722,7 @@ final class MorTable(
       case None => baseScan0
     }
     val parts0 = baseScan ++
-      deltas.map(d => spark.read.parquet(s"$path/delta/${d.seq}"))
+      deltas.map(d => spark.read.parquet(MorTable.globSafe(s"$path/delta/${d.seq}")))
     val parts = keyFilter match {
       case Some(f) => parts0.map(_.filter(f))
       case None => parts0
@@ -755,7 +756,7 @@ final class MorTable(
     val deltas = timeline().filter(i =>
       i.kind == "delta" && i.seq > sinceSeq && i.seq <= toSeq)
     if (deltas.isEmpty) return snapshot().limit(0)
-    val parts = deltas.map(d => spark.read.parquet(s"$path/delta/${d.seq}"))
+    val parts = deltas.map(d => spark.read.parquet(MorTable.globSafe(s"$path/delta/${d.seq}")))
     val unioned = parts.reduce(_.unionByName(_, allowMissingColumns = true))
     if (parts.size == 1) unioned
     else {
@@ -790,7 +791,7 @@ final class MorTable(
         withBeforeCols(snapshot().limit(0), present = true)
           .withColumn("op", lit(""))
       } else {
-        val parts = deltas.map(d => spark.read.parquet(s"$path/delta/${d.seq}"))
+        val parts = deltas.map(d => spark.read.parquet(MorTable.globSafe(s"$path/delta/${d.seq}")))
         val unioned = parts.reduce(_.unionByName(_, allowMissingColumns = true))
         val w = Window.partitionBy(col("_record_key")).orderBy(col("_commit_seqno").desc)
         val net =
@@ -938,17 +939,7 @@ final class MorTable(
     * existed (readers must fall back to the full scan). */
   /** Inverse of writeManifest's `js()` escape — shared by every manifest
     * field parser so escaped paths round-trip identically everywhere. */
-  private def un(s: String): String = {
-    val b = new StringBuilder; var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '\\' && i + 1 < s.length) s.charAt(i + 1) match {
-        case 'u' => b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
-        case e => b.append(e); i += 2
-      } else { b.append(c); i += 1 }
-    }
-    b.toString
-  }
+  private def un(s: String): String = MorTable.jsUnescape(s)
 
   private def manifestStats(seq: Long): Option[Seq[(String, String, String)]] = {
     val p = new Path(hPath, s"manifest/$seq.json")
@@ -1093,7 +1084,7 @@ final class MorTable(
     if (lastC.isEmpty || statsOpt.isEmpty || deltas0.isEmpty) return None
     val st = statsOpt.get
     import spark.implicits._
-    val deltaKeys = deltas0.map(d => spark.read.parquet(s"$path/delta/${d.seq}")
+    val deltaKeys = deltas0.map(d => spark.read.parquet(MorTable.globSafe(s"$path/delta/${d.seq}"))
       .select(col("_record_key"))).reduce(_.unionByName(_)).distinct()
     val rangesDf = st.map { case (f, mn, mx) => (f, mn, mx) }.toDF("__f", "__mn", "__mx")
     val affected = deltaKeys.join(broadcast(rangesDf),
@@ -1546,7 +1537,8 @@ final class MorTable(
     * rolls the table back to it. Exclusive create — savepoints are
     * immutable; re-using a live name fails loudly. */
   def savepoint(name: String): Long = synchronized {
-    require(name.nonEmpty && !name.exists(c => c == '/' || c == '.'),
+    require(name.nonEmpty &&
+      !name.exists(c => c == '/' || c == '.' || c == '"' || c == '\\'),
       s"savepoint name must be a plain token: '$name'")
     val seq = lastSeq(timeline())
     require(seq > 0, "cannot savepoint an empty table")
@@ -1712,6 +1704,44 @@ object MorTable {
     0L // unreachable
   }
 
+  /** JSON string-escape shared by every hand-built metadata file (manifest
+    * stats, savepoints): the ONE escaper, so values round-trip identically
+    * through every parser ([[jsUnescape]] is its exact inverse). */
+  private[lake] def jsEscape(s: String): String = {
+    val b = new StringBuilder
+    s.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.toString
+  }
+
+  /** Inverse of [[jsEscape]]. */
+  private[lake] def jsUnescape(s: String): String = {
+    val b = new StringBuilder; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) s.charAt(i + 1) match {
+        case 'u' => b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+        case e => b.append(e); i += 2
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+
+  /** Regex source matching one [[jsEscape]]d string body (group 1). */
+  private[lake] val jsEscapedRe = "((?:[^\"\\\\]|\\\\.)*)"
+
+  /** Escape Hadoop-glob metacharacters in a concrete path so
+    * `spark.read.parquet(path)` opens the file rather than parsing it as
+    * a pattern — a partitioned child's dir embeds the RAW partition value
+    * (`p=pl[ain`, `p=s*r`), and DataSource globs every input string. */
+  private[lake] def globSafe(p: String): String =
+    p.replaceAll("([*?\\[\\]{}\\\\])", "\\\\$1")
+  private[lake] def globSafe(ps: Seq[String]): Seq[String] = ps.map(globSafe)
+
   private[lake] def commitTimeString(ms: Long): String =
     java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmssSSS")
       .withZone(java.time.ZoneOffset.UTC)
@@ -1744,7 +1774,7 @@ object MorTable {
       .getOrElse(throw new IllegalStateException(s"manifest without files: $json"))
       .group(1)
     val files = "\"([^\"]+\\.parquet)\"".r.findAllMatchIn(arr).map(_.group(1)).toSeq
-    val raw = spark.read.parquet(files: _*)
+    val raw = spark.read.parquet(globSafe(files): _*)
     val live = if (raw.columns.contains("_deleted")) raw.filter(!col("_deleted")) else raw
     live.drop("_record_key", "_deleted", "_commit_seqno", "_commit_time")
   }

@@ -315,7 +315,6 @@ final class PartitionedMorTable(
                   bloomBits: Int = 1 << 17): Map[String, Boolean] = {
     if (isCommitted(batchId)) return Map.empty
     graft.GraftFunctions.register(spark)
-    val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     val token = nextToken("delta")
     val now = System.currentTimeMillis()
     val deduped =
@@ -352,17 +351,37 @@ final class PartitionedMorTable(
       if (toScan.isEmpty) Set.empty
       else {
         // ONE probe job across every child: each row checks against its
-        // OWN partition's batch filter (escaped-dir-name keyed map)
+        // OWN partition's batch filter. THREE representations of a
+        // partition value are in play — the raw value (child dirs are
+        // `p=<raw>`; stats rows carry it), Hive's escapePathName (staged
+        // `__p=` dirs), and the Hadoop-Path URI encoding that
+        // input_file_name() yields (FileScanRDD's urlEncodedPath). The
+        // probe map is keyed by the LAST one, computed driver-side with
+        // the same Path→URI machinery, so the extracted `__part` segment
+        // and the map key agree by construction for any value; `encToRaw`
+        // maps verdicts back without a second (possibly disagreeing)
+        // decoder.
+        def encSeg(v: String): String =
+          new Path(s"/p=$v").toUri.getRawPath.stripPrefix("/p=")
+        val encToRaw = toScan.map { case (p, _, _) => encSeg(p) -> p }.toMap
         val bloomMap = map(toScan.flatMap { case (p, _, f) =>
-          Seq(lit(esc.escapePathName(p)), lit(f))
+          Seq(lit(encSeg(p)), lit(f))
         }: _*)
         val partOf = regexp_extract(input_file_name(), "/p=([^/]+)/", 1)
-        spark.read.parquet(toScan.flatMap(_._2): _*)
+        // FAIL CLOSED: a missed map lookup makes element_at null and the
+        // bloom probe null — coalesce(…, true) keeps the row, so an
+        // unmatchable segment downgrades its child to the normal merge
+        // path instead of silently proving newness (a false "proven new"
+        // would flag the commit insertOnly and corrupt LWW merges — the
+        // no-false-proof invariant).
+        val hitSegs = spark.read.parquet(MorTable.globSafe(toScan.flatMap(_._2)): _*)
           .select(col("_record_key"), partOf.as("__part"))
-          .filter(call_function("key_bloom_contains",
-            element_at(bloomMap, col("__part")), col("_record_key")))
-          .select("__part").distinct().collect()
-          .map(r => esc.unescapePathName(r.getString(0))).toSet
+          .filter(coalesce(call_function("key_bloom_contains",
+            element_at(bloomMap, col("__part")), col("_record_key")), lit(true)))
+          .select("__part").distinct().collect().map(_.getString(0)).toSeq
+        if (hitSegs.exists(s => !encToRaw.contains(s)))
+          toScan.map(_._1).toSet // unmapped segment → fail closed everywhere
+        else hitSegs.map(encToRaw).toSet
       }
     val proven = stats.map(_.getString(0)).filterNot(hitParts).toSet
     val stagingDir = new Path(hPath, s".staging/$token")
@@ -512,7 +531,7 @@ final class PartitionedMorTable(
   /** One scan over many commit dirs; mergeSchema covers narrow commits
     * (staged deletes write key+meta-only tombstone rows). */
   private def scanDirs(dirs: Seq[String]): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    spark.read.option("mergeSchema", "true").parquet(MorTable.globSafe(dirs): _*)
 
   /** Table-global last-write-wins: `_commit_seqno` is the parent token. */
   private def lwwLatest(df: DataFrame): DataFrame = {
@@ -832,7 +851,8 @@ final class PartitionedMorTable(
     * Exclusive create; a crash between the child pins and the parent file
     * leaves only releasable extra pins, never a half-restorable state. */
   def savepoint(name: String): Long = {
-    require(name.nonEmpty && !name.exists(c => c == '/' || c == '.'),
+    require(name.nonEmpty &&
+      !name.exists(c => c == '/' || c == '.' || c == '"' || c == '\\'),
       s"savepoint name must be a plain token: '$name'")
     val tl = parentTimeline()
     require(tl.nonEmpty, "cannot savepoint an empty table")
@@ -845,9 +865,13 @@ final class PartitionedMorTable(
       throw new IllegalArgumentException(s"savepoint '$name' already exists")
     parts.foreach(v => child(v).savepoint(name))
     val out = fs.create(p, false)
+    // partition values are ARBITRARY strings: escape them with the one
+    // shared metadata escaper (a raw '"' / '\' / ']' in a value would
+    // otherwise corrupt the file or truncate restore()'s parse — and a
+    // truncated saved set makes restore DELETE pinned partitions)
     try out.write(
       s"""{"name":"$name","token":$token,"partitions":[${
-        parts.map("\"" + _ + "\"").mkString(",")}]}"""
+        parts.map(v => "\"" + MorTable.jsEscape(v) + "\"").mkString(",")}]}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
     token
   }
@@ -891,8 +915,17 @@ final class PartitionedMorTable(
       new String(MorTable.readFully(fs, p), java.nio.charset.StandardCharsets.UTF_8)
     }
     val token = "\"token\":(\\d+)".r.findFirstMatchIn(json).get.group(1).toLong
-    val saved = "\"([^\"]*)\"".r.findAllMatchIn(
-      json.substring(json.indexOf("[")).takeWhile(_ != ']')).map(_.group(1)).toSet
+    // the partitions array is the file's LAST field: slice between its
+    // marker and the final ']' (an escaped value may itself contain ']'),
+    // then parse with the escaped-string regex — the exact inverse of
+    // savepoint()'s writer, so no value can shrink the saved set
+    val marker = "\"partitions\":["
+    val mi = json.indexOf(marker)
+    require(mi >= 0 && json.lastIndexOf(']') > mi,
+      s"savepoint file for '$name' is corrupt: $json")
+    val saved = ("\"" + MorTable.jsEscapedRe + "\"").r.findAllMatchIn(
+      json.substring(mi + marker.length, json.lastIndexOf(']')))
+      .map(m => MorTable.jsUnescape(m.group(1))).toSet
     var rolled = 0
     partitions().foreach { v =>
       if (saved.contains(v)) rolled += child(v).restore(name)

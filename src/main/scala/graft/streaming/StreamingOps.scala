@@ -229,10 +229,18 @@ object StreamingOps {
             }
             i = j
           }
-          state.update(FunnelProgress(maxes.toSeq, counts.toSeq, minConv))
-          if (all.exists(_.event_type == "sentinel"))
+          // `sentinel` CLOSES the user: emit the row and REMOVE the state
+          // (in a continuous deployment, NoTimeout + keep would grow state
+          // by every user ever seen, and a repeated sentinel would re-emit
+          // the same row each batch in append mode). A post-sentinel event
+          // for the user starts a fresh funnel — the close contract.
+          if (all.exists(_.event_type == "sentinel")) {
+            state.remove()
             Iterator.single(FunnelCounts(uid, counts.toSeq, minConv))
-          else Iterator.empty
+          } else {
+            state.update(FunnelProgress(maxes.toSeq, counts.toSeq, minConv))
+            Iterator.empty
+          }
       }
   }
 

@@ -340,6 +340,58 @@ class PartitionedMorTableSpec extends AnyFunSuite {
       (2L, "b", 21), (9L, "c", 90)))
   }
 
+  test("upsertIfNew: special-character partition values never claim false newness") {
+    // THREE encodings of a partition value disagree for these: the raw
+    // child dir (`p=a b`), Hive's escapePathName (staged `__p=` dirs), and
+    // the Hadoop-Path URI form input_file_name() yields (`p=a%20b`). The
+    // probe must key its bloom map by the LAST one — a mismatch used to
+    // null out the lookup, drop the row, and wrongly flag the commit
+    // insertOnly (LWW-corrupting). Values cover space, '%', '=', '#', '*'.
+    val vals = Seq("a b", "100%", "x=y", "h#t", "s*r")
+    val t = new PartitionedMorTable(spark, tmp(), Seq("k"), "p",
+      compactionDeltaCommits = 1000, autoCompact = false)
+    val rows = vals.zipWithIndex.map { case (p, i) => (i.toLong, p, i * 10) }
+    t.upsert(rows.toDF("k", "p", "v"), Seq(col("k")), batchId = 1L)
+    assert(t.partitions().sorted == vals.sorted)
+    t.compactPartitions(vals) // manifests publish bounds + blooms per child
+    // one EXISTING key per partition: every proof must refuse (the old
+    // encoding bug proved them all "new")
+    val existing = vals.zipWithIndex.map { case (p, i) => (i.toLong, p, 999) }
+    val v1 = t.upsertIfNew(existing.toDF("k", "p", "v"), Seq(col("k")), batchId = 2L)
+    assert(v1 == vals.map(_ -> false).toMap, v1)
+    vals.foreach(p => assert(!t.child(p).timeline().last.insertOnly,
+      s"child '$p' wrongly flagged insertOnly"))
+    // LWW must show the updates (an insertOnly lie would skip the merge)
+    val got = t.read().collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    assert(got == vals.indices.map(i => i.toLong -> 999).toMap, got)
+    // and genuinely-new keys must still PROVE new (fail-closed alone would
+    // degrade every special-char partition to the merge path forever)
+    val fresh = vals.zipWithIndex.map { case (p, i) => (100L + i, p, 1) }
+    val v2 = t.upsertIfNew(fresh.toDF("k", "p", "v"), Seq(col("k")), batchId = 3L)
+    assert(v2 == vals.map(_ -> true).toMap, v2)
+  }
+
+  test("partitioned savepoint/restore round-trips special-character partition values") {
+    val nasty = Seq("""we"ird]""", "pl[ain", "ok")
+    val t = new PartitionedMorTable(spark, tmp(), Seq("k"), "p",
+      compactionDeltaCommits = 1000, autoCompact = false)
+    t.upsert(nasty.zipWithIndex.map { case (p, i) => (i.toLong, p, i) }
+      .toDF("k", "p", "v"), Seq(col("k")), batchId = 1L)
+    val token = t.savepoint("pin")
+    // post-pin: a new partition AND an update to a pinned one
+    t.upsert(Seq((50L, "newpart", 5), (0L, nasty.head, 99)).toDF("k", "p", "v"),
+      Seq(col("k")), batchId = 2L)
+    assert(t.partitions().size == 4)
+    val rolled = t.restore("pin")
+    assert(rolled > 0)
+    // a truncated parse would have treated pinned partitions as born-after
+    // and DELETED them — all three must survive with pre-pin data
+    assert(t.partitions().sorted == nasty.sorted)
+    val got = t.read().collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    assert(got == nasty.indices.map(i => i.toLong -> i).toMap, got)
+    assert(t.parentTimeline().last.seq == token)
+  }
+
   test("dropPartitions: storage+metadata delete, manifest refresh, re-ingest works") {
     val t = new PartitionedMorTable(spark, tmp(), Seq("k"), "p",
       compactionDeltaCommits = 2)

@@ -97,6 +97,17 @@ class ProcedureCatalogSpec extends AnyFunSuite {
     val e = intercept[Exception](
       spark.sql("CALL graft_ops.run_clean(table => 'nope')").collect())
     assert(e.getMessage.contains("not a registered graft table"), e.getMessage)
+
+    // a NULL argument is rejected up front, naming the parameter — not a
+    // MatchError out of the body's destructure
+    val n1 = intercept[Exception](
+      spark.sql("CALL graft_ops.run_clean(table => NULL)").collect())
+    assert(n1.getMessage.contains("NULL argument") &&
+      n1.getMessage.contains("'table'"), n1.getMessage)
+    val n2 = intercept[Exception](
+      spark.sql("CALL graft_ops.run_compaction(table => 'nope', mode => NULL)")
+        .collect())
+    assert(n2.getMessage.contains("'mode'"), n2.getMessage)
   }
 
   test("CALL surface on a partitioned table: due compaction, drop_partition TTL") {

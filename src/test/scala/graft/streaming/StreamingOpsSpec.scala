@@ -241,6 +241,38 @@ class StreamingOpsSpec extends AnyFunSuite {
       3L -> ((0L, 0L, 0L, -1L))), got)
   }
 
+  test("streaming funnel: sentinel CLOSES the user — state freed, repeat sentinel emits fresh, not stale") {
+    import StreamingOps.FunnelEvent
+    val H = 3600000L
+    val watch = TestSpark.tmpDir("funnelclose-watch")
+    // batch 1: a completed 2-step chain + the closing sentinel
+    Seq(FunnelEvent(1, "a", 0L), FunnelEvent(1, "b", 1 * H),
+        FunnelEvent(1, "sentinel", 2 * H)).toDS()
+      .coalesce(1).write.parquet(s"$watch/seg1")
+    // batch 2: a bare repeated sentinel — with close semantics this emits
+    // a ZERO row (fresh funnel), never a duplicate of the batch-1 row
+    Seq(FunnelEvent(1, "sentinel", 3 * H)).toDS()
+      .coalesce(1).write.parquet(s"$watch/seg2")
+    for ((seg, t) <- Seq("seg1" -> 1000L, "seg2" -> 5000L);
+         f <- new java.io.File(s"$watch/$seg").listFiles())
+      f.setLastModified(1700000000000L + t): Unit
+    val rows = spark.readStream
+      .schema(Seq.empty[FunnelEvent].toDS().schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$watch/*/")
+      .as[FunnelEvent]
+    val name = "funnelclose_stream_spec"
+    val q = StreamingOps.funnelStreamCounts(rows, Seq("a", "b"), 24 * H)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", TestSpark.tmpDir("funnelclose-ckpt"))
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2))).toSeq.sortBy(_._3)
+    assert(got == Seq((1L, Seq(0L, 0L), -1L), (1L, Seq(1L, 1L), 1 * H)), got)
+  }
+
   test("streaming funnel engine generalizes: 4-step chain across batches") {
     import StreamingOps.FunnelEvent
     val H = 3600000L
