@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions.call_function
-import graft.functions.expr.{BloomAny64, CmsAgg, CosineSimilarity, HistAgg, HllAgg, KeyBloomAgg, KeyBloomContains, LangId, LongBloomAgg, LshBuckets, LshBucketsMd5, MinHashAgg, MinHashBands, MinHashSignature, MinHashMd5, NearestCells, PqEncode, Quantize127, ShingleHashes, TextQuality, SigOverlap, SimHashChunks, SimHashMd5, TokenHashes, TopKRowsAgg}
+import graft.functions.expr.{BloomAny64, CmsAgg, CosineSimilarity, HistAgg, HllAgg, KeyBloomAgg, KeyBloomContains, KeyBloomContainsAny, LangId, LongBloomAgg, LshBuckets, LshBucketsMd5, MinHashAgg, MinHashBands, MinHashSignature, MinHashMd5, NearestCells, PqEncode, Quantize127, ShingleHashes, TextQuality, SigOverlap, SimHashChunks, SimHashMd5, TokenHashes, TopKRowsAgg}
 
 /** Engine extension wiring.
   *
@@ -29,6 +29,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => KeyBloomAgg(exprs.head, KeyBloomAgg.bitsOf(exprs)).toAggregateExpression()))
     ext.injectFunction((FunctionIdentifier("key_bloom_contains"), KeyBloomContains.info,
       exprs => KeyBloomContains(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("key_bloom_contains_any"), KeyBloomContainsAny.info,
+      exprs => KeyBloomContainsAny(exprs.head, exprs(1))))
     ext.injectFunction((FunctionIdentifier("bloom_agg64"), LongBloomAgg.info,
       exprs => LongBloomAgg(exprs.head, LongBloomAgg.bitsOf(exprs)).toAggregateExpression()))
     ext.injectFunction((FunctionIdentifier("bloom_any64"), BloomAny64.info,
@@ -114,6 +116,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("key_bloom_contains"), KeyBloomContains.info,
       exprs => KeyBloomContains(exprs.head, exprs(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("key_bloom_contains_any"), KeyBloomContainsAny.info,
+      exprs => KeyBloomContainsAny(exprs.head, exprs(1)))
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("bloom_agg64"), LongBloomAgg.info,
       exprs => LongBloomAgg(exprs.head, LongBloomAgg.bitsOf(exprs)).toAggregateExpression())

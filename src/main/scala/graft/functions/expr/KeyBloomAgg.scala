@@ -118,6 +118,59 @@ object KeyBloomContains {
     new ExpressionInfo(classOf[KeyBloomContains].getName, "key_bloom_contains")
 }
 
+/** `key_bloom_contains_any(filter, keys)` — true iff ANY key of the
+  * ARRAY<STRING> batch might be in the filter. The metadata-plane probe of
+  * the SHARDED manifest stats relation ([[graft.lake.MorTable]]): a pruned
+  * point read filters the per-file stats DataFrame with this predicate
+  * cluster-side and collects only file NAMES — per-file blooms never
+  * materialize on the driver. Probe positions depend only on (keys,
+  * filter width); for the intended literal-keys call they are computed
+  * once per width and cached on the expression instance (every row of one
+  * stats relation shares the width). Rows-are-files cardinality, so
+  * CodegenFallback is fine here — this never sits in a data hot path. */
+case class KeyBloomContainsAny(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "key_bloom_contains_any"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, ArrayType(StringType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"key_bloom_contains_any expects (BINARY, ARRAY<STRING>), got (${l.simpleString}, ${r.simpleString})")
+    }
+
+  @transient private lazy val posCache =
+    scala.collection.mutable.Map.empty[Int, Array[Array[Int]]]
+
+  override protected def nullSafeEval(filter: Any, keys: Any): Any = {
+    val buf = filter.asInstanceOf[Array[Byte]]
+    val bits = buf.length * 8
+    val pos =
+      if (right.foldable) posCache.getOrElseUpdate(bits, positionsOf(keys, bits))
+      else positionsOf(keys, bits)
+    KeyBloom.anyMightContain(buf, pos)
+  }
+
+  private def positionsOf(keys: Any, bits: Int): Array[Array[Int]] = {
+    val arr = keys.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val ks = (0 until arr.numElements()).flatMap(i =>
+      if (arr.isNullAt(i)) None else Some(arr.getUTF8String(i).toString))
+    KeyBloom.positionsFor(ks, bits)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KeyBloomContainsAny =
+    copy(left = newLeft, right = newRight)
+}
+
+object KeyBloomContainsAny {
+  val info: ExpressionInfo =
+    new ExpressionInfo(classOf[KeyBloomContainsAny].getName, "key_bloom_contains_any")
+}
+
 object KeyBloomAgg {
   val info: ExpressionInfo = new ExpressionInfo(classOf[KeyBloomAgg].getName, "key_bloom_agg")
 

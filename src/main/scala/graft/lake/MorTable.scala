@@ -274,15 +274,9 @@ final class MorTable(
     * newness is proven from bounds alone. */
   private[lake] def probePaths(mn: String, mx: String): Seq[String] = {
     val (baseDirOpt, deltaDirs) = liveScanDirs()
-    def u8(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
     val basePaths: Seq[String] = baseDirOpt.toSeq.flatMap { bd =>
-      liveDeltas(timeline())._1.flatMap(c => manifestStats(c.seq)) match {
-        case Some(st) => st.collect {
-          case (f, fmn, fmx) if u8(fmx).compareTo(u8(mn)) >= 0 &&
-            u8(fmn).compareTo(u8(mx)) <= 0 => f
-        }
-        case None => Seq(bd) // pre-stats manifest: conservative full base
-      }
+      liveDeltas(timeline())._1.flatMap(c =>
+        keptByKeyRange(c.seq, mn, mx, hiInclusive = true)).getOrElse(Seq(bd))
     }
     basePaths ++ deltaDirs
   }
@@ -356,15 +350,33 @@ final class MorTable(
 
   /** External snapshot manifest (the Hudi/Delta symlink-manifest analog of
     * the reference's Athena-via-Glue read path,
-    * `lib/rds-cdc-flink-hudi-stack.ts:458-519`): every compaction publishes
-    * `manifest/<seq>.json` listing the base's parquet files, so ANY engine
-    * with a parquet reader gets a consistent — if compaction-stale —
-    * snapshot without graft's merge logic. Readers must drop rows where
-    * `_deleted` is true (present only while a straggler kept tombstones in
-    * the base) and may drop the `_*` meta columns. Manifests are immutable
-    * and versioned; consumers take the highest seq. Best-effort: a manifest
-    * write failure never fails the commit (the timeline stays the source
-    * of truth). */
+    * `lib/rds-cdc-flink-hudi-stack.ts:458-519`) — SHARDED layout:
+    *
+    *  - `manifest/<seq>.json` — a TINY header (base seq, declared filter,
+    *    file count, stat/index column sets). Schema/policy-level only;
+    *    O(1) in file count.
+    *  - `manifest/stats/<seq>/` — the per-file stats RELATION as parquet:
+    *    one row per base file carrying its full path + name, key bounds,
+    *    key Bloom filter, tombstone flag, per-column min/max
+    *    ([[statsCols]]) and secondary blooms ([[indexCols]]). Written
+    *    DIRECTLY from the one post-compaction stats pass — the rows never
+    *    visit the driver.
+    *
+    * The old single-JSON form put key blooms (8 KB/file) + secondary
+    * blooms + colstats in ONE driver-built, regex-parsed string: at the
+    * 10⁵–10⁶ base files of a 100 TB table that is a ~GB driver-side
+    * bottleneck on every write AND every pruned read. Sharded, readers
+    * either load a BOUNDED driver-side slice (small tables,
+    * [[MorTable.smallManifestFiles]]) or filter the stats relation
+    * cluster-side and collect only pruned file NAMES (see [[keptFiles]]).
+    *
+    * External engines: read the header, then `manifest/stats/<seq>/` with
+    * any parquet reader — its `file` column is the snapshot listing
+    * ([[MorTable.readManifest]] is that recipe); apply the declared
+    * `_deleted` filter, drop `_*` meta columns. Manifests are immutable
+    * and versioned; consumers take the highest seq. Best-effort: a
+    * manifest write failure never fails the commit (the timeline stays
+    * the source of truth). */
   private def writeManifest(seq: Long, baseDir: Path): Unit =
     try {
       val files = fs.listStatus(baseDir).toSeq.map(_.getPath)
@@ -372,15 +384,16 @@ final class MorTable(
       // per-file key bounds (the Hudi column-stats / Delta file-stats
       // analog). Range-partitioned files have DISJOINT bounds, so
       // [[snapshotForKeyRange]] skips non-intersecting files at the
-      // LISTING level — no footer open, no task. External engines get the
-      // same stats through the manifest. Key bounds AND z-order colstats
-      // come from ONE groupBy(input_file_name()) aggregation — this stats
-      // pass is on the only O(table) path the engine has (post-compaction),
-      // so it must not scan the fresh base twice.
+      // LISTING level — no footer open, no task. Key bounds, key blooms,
+      // z-order colstats AND secondary blooms come from ONE
+      // groupBy(file name) aggregation — this stats pass is on the only
+      // O(table) path the engine has (post-compaction), so it must not
+      // scan the fresh base twice.
       // (statsCols inheritance first: a FRESH handle inherits the column
-      // set from the previous manifest, so the skipping contract survives
-      // restarts — without this a plain compact() from a new handle would
-      // silently stop publishing the stats readForColRanges prunes on.)
+      // set from the previous manifest header, so the skipping contract
+      // survives restarts — without this a plain compact() from a new
+      // handle would silently stop publishing the stats readForColRanges
+      // prunes on.)
       if (statsCols.isEmpty)
         statsCols = previousManifestStatCols(seq)
       val sCols = statsCols
@@ -407,64 +420,33 @@ final class MorTable(
         // stringified with Spark CAST semantics
         iCols.map(c => call_function("key_bloom_agg",
           col(c).cast("string"), lit(bloomBits)).as(s"bl_$c"))
-      val perFile = spark.read.parquet(MorTable.globSafe(baseDir.toString))
-        .groupBy(input_file_name().as("f"))
+      // grouping key = the part-file NAME (input_file_name() yields the
+      // URI-ENCODED path while listings yield the raw form — only the
+      // Spark-generated hex NAME matches across representations, the
+      // CLAUDE.md manifest rule); the full `file` column for external
+      // readers is rebuilt from the LISTED prefix (all base files live
+      // flat in base/<seq>/, carried files included)
+      val prefix = files.headOption.map(f => f.substring(0, f.lastIndexOf('/') + 1))
+        .getOrElse(baseDir.toString + "/")
+      val statsDir = new Path(hPath, s"manifest/stats/$seq")
+      val shards = math.max(1, (files.size + 8191) / 8192)
+      spark.read.parquet(MorTable.globSafe(baseDir.toString))
+        .groupBy(regexp_extract(input_file_name(), "[^/]*$", 0).as("fname"))
         .agg(aggs.head, aggs.tail: _*)
-        .collect().toSeq.sortBy(_.getString(0))
-      // input_file_name() yields the URI-ENCODED path ("file:///…p=a%20b…")
-      // while `files` above came from listStatus ("file:/…p=a b…"). Stats
-      // must record the LISTED form — readers hand these strings straight
-      // to spark.read.parquet / FileUtil.copy, and the encoded form names
-      // a nonexistent file whenever the path holds a special character.
-      // The part-file NAME is Spark-generated hex (never encoded), so a
-      // name join canonicalizes exactly (the CLAUDE.md manifest rule).
-      val byName = files.map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
-      def canon(s: String): String =
-        byName.getOrElse(s.substring(s.lastIndexOf('/') + 1), s)
-      val stats = perFile.map(r => (canon(r.getString(0)), r.getString(1), r.getString(2)))
-      def js(s: String): String = MorTable.jsEscape(s)
-      val statsJson = stats.map { case (f, mn, mx) =>
-        s"""{"file":"${js(f)}","minKey":"${js(mn)}","maxKey":"${js(mx)}"}"""
-      }.mkString(",")
-      // per-file key Bloom filters, base64 (alphabet is JSON-safe)
-      val bloomsJson = perFile.map { r =>
-        val b64 = java.util.Base64.getEncoder.encodeToString(r.getAs[Array[Byte]]("bloom"))
-        s"""{"file":"${js(canon(r.getString(0)))}","b64":"$b64"}"""
-      }.mkString(",")
-      // secondary-index blooms: (file, col, tombstone flag, filter)
-      val sBloomsJson = perFile.flatMap { r =>
-        iCols.map { c =>
-          val b64 = java.util.Base64.getEncoder
-            .encodeToString(r.getAs[Array[Byte]](s"bl_$c"))
-          s"""{"file":"${js(canon(r.getString(0)))}","col":"${js(c)}",""" +
-            s""""del":${r.getAs[Int]("del")},"b64":"$b64"}"""
-        }
-      }.mkString(",")
-      // per-file double min/max for the z-order columns, from the same
-      // single aggregation pass (files whose stat columns are all null —
-      // e.g. tombstone-only — emit no rows here and are conservatively
-      // KEPT by readForColRanges)
-      val colStatsJson =
-        if (sCols.isEmpty) ""
-        else perFile.flatMap { r =>
-          sCols.flatMap { c =>
-            (Option(r.getAs[java.lang.Double](s"mn_$c")),
-              Option(r.getAs[java.lang.Double](s"mx_$c"))) match {
-              case (Some(mn), Some(mx)) =>
-                Some(s"""{"file":"${js(canon(r.getString(0)))}","col":"${js(c)}","mn":$mn,"mx":$mx}""")
-              case _ => None
-            }
-          }
-        }.mkString(",")
+        .withColumn("file", concat(lit(prefix), col("fname")))
+        .coalesce(shards)
+        .write.mode("overwrite").parquet(statsDir.toString)
       val dir = new Path(hPath, "manifest")
       fs.mkdirs(dir)
+      def js(s: String): String = MorTable.jsEscape(s)
+      def colArr(cs: Seq[String]): String =
+        cs.map(c => "\"" + js(c) + "\"").mkString(",")
       val json =
         s"""{"baseSeq":$seq,"filter":"_deleted = false",""" +
-          s""""stats":[$statsJson],""" +
-          (if (bloomsJson.nonEmpty) s""""blooms":[$bloomsJson],""" else "") +
-          (if (sBloomsJson.nonEmpty) s""""sblooms":[$sBloomsJson],""" else "") +
-          (if (colStatsJson.nonEmpty) s""""colstats":[$colStatsJson],""" else "") +
-          s""""files":[${files.map("\"" + js(_) + "\"").mkString(",")}]}"""
+          s""""fileCount":${files.size},""" +
+          s""""statCols":[${colArr(sCols)}],""" +
+          s""""indexCols":[${colArr(iCols)}],""" +
+          s""""statsDir":"stats/$seq"}"""
       val tmp = new Path(dir, s".$seq.json.tmp")
       val out = fs.create(tmp, true)
       try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
@@ -864,29 +846,121 @@ final class MorTable(
     }
   }
 
-  /** Bloom-index file pruning for a probe-key set: the base files of
-    * compact `compactSeq` that MIGHT contain at least one of the keys
-    * (manifest per-file Bloom filters — no false negatives, so dropped
-    * files provably contain none). None when the manifest predates blooms
-    * (callers fall back to the full base scan); files absent from the
-    * blooms array are conservatively kept. */
-  private[lake] def bloomKeptBaseFiles(compactSeq: Long,
-                                       recordKeys: Seq[String]): Option[Seq[String]] =
-    manifestBlooms(compactSeq).flatMap { bl =>
-      manifestFiles(compactSeq).map { all =>
-        def fname(s: String) = s.substring(s.lastIndexOf('/') + 1)
-        // probe positions depend only on (key, bits): precompute once
-        // per distinct filter width, not once per (key, file)
-        val posByBits = scala.collection.mutable.Map.empty[Int, Array[Array[Int]]]
-        all.filter { f =>
-          bl.get(fname(f)).forall { buf =>
-            val pos = posByBits.getOrElseUpdate(buf.length * 8,
-              graft.functions.expr.KeyBloom.positionsFor(recordKeys, buf.length * 8))
-            graft.functions.expr.KeyBloom.anyMightContain(buf, pos)
-          }
-        }.sorted
+  // ------------------------------------------------ sharded-manifest reads
+  //
+  // All pruning below runs over the manifest stats RELATION
+  // (`manifest/stats/<seq>/`) in one of two regimes chosen by the header's
+  // file count:
+  //  - ≤ [[MorTable.smallManifestFiles]]: the stats rows are read ONCE
+  //    driver-side (parquet-hadoop, no Spark job) and cached per seq —
+  //    driver materialization is HARD-BOUNDED by the threshold, and
+  //    repeated probes (a streaming sink's per-commit newness proof) cost
+  //    zero FS reads after the first.
+  //  - above: the relation is filtered CLUSTER-side and only PRUNED file
+  //    NAMES are collected — per-file stats (blooms are 8 KB each) never
+  //    materialize on the driver, at any file count.
+  // Both start from the LISTED base files (the ground truth): a file
+  // without a stats verdict is conservatively kept, never dropped.
+
+  /** Parsed tiny manifest header, cached per seq (headers are immutable). */
+  @transient @volatile private var headerCache: Map[Long, MorTable.ManifestHeader] = Map.empty
+
+  private def manifestHeader(seq: Long): Option[MorTable.ManifestHeader] =
+    headerCache.get(seq).orElse {
+      val p = new Path(hPath, s"manifest/$seq.json")
+      if (!fs.exists(p)) None
+      else {
+        val h = MorTable.parseHeader(
+          new String(readFully(fs, p), StandardCharsets.UTF_8))
+        h.foreach(hdr => headerCache += (seq -> hdr))
+        h
       }
     }
+
+  /** Driver-side stats rows for a SMALL manifest (regime 1) — read via
+    * parquet-hadoop (no Spark job), cached per seq. */
+  @transient @volatile private var statsCache: Map[Long, Seq[MorTable.FileStat]] = Map.empty
+
+  private def driverStats(seq: Long, hdr: MorTable.ManifestHeader): Seq[MorTable.FileStat] =
+    statsCache.getOrElse(seq, {
+      val loaded = MorTable.readStatsDriverSide(fs,
+        new Path(hPath, s"manifest/stats/$seq"), hdr.statCols, hdr.indexCols,
+        spark.sparkContext.hadoopConfiguration)
+      MorTable.statsDriverRows.addAndGet(loaded.size)
+      statsCache = Map(seq -> loaded) // newest only; manifests are immutable
+      loaded
+    })
+
+  /** The stats relation as a DataFrame (regime 2). */
+  private def statsScan(seq: Long): DataFrame =
+    spark.read.parquet(MorTable.globSafe(
+      new Path(hPath, s"manifest/stats/$seq").toString))
+
+  /** The listed base files of compact `seq` — the conservative ground
+    * truth every pruner starts from (base dirs are immutable once
+    * adopted, so the listing equals the manifest's view). */
+  private def baseFilesOf(seq: Long): Seq[String] =
+    (try fs.listStatus(new Path(hPath, s"base/$seq")).toSeq
+     catch { case _: java.io.FileNotFoundException => Seq.empty })
+      .map(_.getPath.toString).filter(_.endsWith(".parquet")).sorted
+
+  private def fnameOf(s: String): String = s.substring(s.lastIndexOf('/') + 1)
+
+  /** Regime-dispatching file pruner: base files of compact `seq` minus
+    * those the stats PROVE skippable. `prunableDriver` decides per cached
+    * row (regime 1); `prunableDf` filters the stats relation to provably
+    * prunable rows (regime 2 — a null verdict must filter to false).
+    * None = no sharded manifest (callers fall back to the full scan). */
+  private def keptFiles(seq: Long,
+                        prunableDriver: MorTable.FileStat => Boolean,
+                        prunableDf: DataFrame => DataFrame): Option[Seq[String]] =
+    manifestHeader(seq).map { hdr =>
+      val all = baseFilesOf(seq)
+      val pruned: Set[String] =
+        if (hdr.fileCount <= MorTable.smallManifestFiles)
+          driverStats(seq, hdr).filter(prunableDriver).map(_.fname).toSet
+        else prunableDf(statsScan(seq)).select("fname")
+          .collect().map(_.getString(0)).toSet
+      all.filterNot(f => pruned(fnameOf(f)))
+    }
+
+  /** Base files whose key bounds intersect [mn, mx] (or [mn, mx) when
+    * `hiInclusive` is false) — exact metadata, pruning can never hide a
+    * real key. String order is UTF8-binary on both regimes (Spark string
+    * comparison == UTF8String.compareTo). */
+  private def keptByKeyRange(seq: Long, mn: String, mx: String,
+                             hiInclusive: Boolean): Option[Seq[String]] = {
+    def u8(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    keptFiles(seq,
+      st => st.mn != null && st.mx != null &&
+        (u8(st.mx).compareTo(u8(mn)) < 0 ||
+          (if (hiInclusive) u8(st.mn).compareTo(u8(mx)) > 0
+           else u8(st.mn).compareTo(u8(mx)) >= 0)),
+      df => df.filter(col("mx") < lit(mn) ||
+        (if (hiInclusive) col("mn") > lit(mx) else col("mn") >= lit(mx))))
+  }
+
+  /** Bloom-index file pruning for a probe-key set: the base files of
+    * compact `compactSeq` that MIGHT contain at least one of the keys
+    * (per-file Bloom filters — no false negatives, so dropped files
+    * provably contain none). None when no sharded manifest exists
+    * (callers fall back to the full base scan); files without a bloom are
+    * conservatively kept. */
+  private[lake] def bloomKeptBaseFiles(compactSeq: Long,
+                                       recordKeys: Seq[String]): Option[Seq[String]] = {
+    graft.GraftFunctions.register(spark)
+    // probe positions depend only on (keys, bits): precompute once per
+    // distinct filter width, not once per (key, file)
+    val posByBits = scala.collection.mutable.Map.empty[Int, Array[Array[Int]]]
+    keptFiles(compactSeq,
+      st => st.bloom != null && {
+        val pos = posByBits.getOrElseUpdate(st.bloom.length * 8,
+          graft.functions.expr.KeyBloom.positionsFor(recordKeys, st.bloom.length * 8))
+        !graft.functions.expr.KeyBloom.anyMightContain(st.bloom, pos)
+      },
+      df => df.filter(!call_function("key_bloom_contains_any", col("bloom"),
+        array(recordKeys.map(lit): _*))))
+  }
 
   /** File-level scan set for a cross-partition point read: bloom-pruned
     * base FILES (the whole base dir when no blooms exist) plus live delta
@@ -921,37 +995,14 @@ final class MorTable(
     val tl = timeline()
     val rangeF = col("_record_key") >= lit(lo) && col("_record_key") < lit(hi)
     val (lastCompact, _) = liveDeltas(tl)
-    def u8(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
-    val baseFiles = lastCompact.flatMap { c =>
-      manifestStats(c.seq).map(_.filter { case (_, mn, mx) =>
-        u8(mx).compareTo(u8(lo)) >= 0 && u8(mn).compareTo(u8(hi)) < 0
-      }.map(_._1))
-    }
+    val baseFiles = lastCompact.flatMap(c =>
+      keptByKeyRange(c.seq, lo, hi, hiInclusive = false))
     snapshotMerged(tl, Some(rangeF), baseFiles).filter(!col("_deleted"))
   }
 
   /** [[snapshotForKeyRange]] without the lake metadata columns. */
   def readForKeyRange(lo: String, hi: String): DataFrame =
     dropMeta(snapshotForKeyRange(lo, hi))
-
-  /** Per-file `_record_key` bounds from `manifest/<seq>.json`:
-    * (file, minKey, maxKey) — None for manifests written before stats
-    * existed (readers must fall back to the full scan). */
-  /** Inverse of writeManifest's `js()` escape — shared by every manifest
-    * field parser so escaped paths round-trip identically everywhere. */
-  private def un(s: String): String = MorTable.jsUnescape(s)
-
-  private def manifestStats(seq: Long): Option[Seq[(String, String, String)]] = {
-    val p = new Path(hPath, s"manifest/$seq.json")
-    if (!fs.exists(p)) return None
-    val json = new String(readFully(fs, p), StandardCharsets.UTF_8)
-    val es = "((?:[^\"\\\\]|\\\\.)*)"
-    val re = ("\\{\"file\":\"" + es + "\",\"minKey\":\"" + es +
-      "\",\"maxKey\":\"" + es + "\"\\}").r
-    val st = re.findAllMatchIn(json)
-      .map(m => (un(m.group(1)), un(m.group(2)), un(m.group(3)))).toSeq
-    if (st.isEmpty) None else Some(st)
-  }
 
   /** Snapshot without the lake metadata columns (user-facing read). */
   def read(): DataFrame = dropMeta(snapshot())
@@ -1080,20 +1131,29 @@ final class MorTable(
     * publish after this listing are not covered by the affected set. */
   private[lake] def minorPlan(): Option[MorTable.MinorPlan] = {
     val (lastC, deltas0) = liveDeltas(timeline())
-    val statsOpt = lastC.flatMap(c => manifestStats(c.seq))
-    if (lastC.isEmpty || statsOpt.isEmpty || deltas0.isEmpty) return None
-    val st = statsOpt.get
+    if (lastC.isEmpty || deltas0.isEmpty) return None
+    val seq = lastC.get.seq
+    val hdr = manifestHeader(seq).getOrElse(return None)
+    val all = baseFilesOf(seq)
+    // byte-carry is sound only when EVERY base file has a stats verdict —
+    // a file outside the stats pass could hold delta keys unobserved
+    if (all.isEmpty || all.size != hdr.fileCount) return None
     import spark.implicits._
     val deltaKeys = deltas0.map(d => spark.read.parquet(MorTable.globSafe(s"$path/delta/${d.seq}"))
       .select(col("_record_key"))).reduce(_.unionByName(_)).distinct()
-    val rangesDf = st.map { case (f, mn, mx) => (f, mn, mx) }.toDF("__f", "__mn", "__mx")
-    val affected = deltaKeys.join(broadcast(rangesDf),
+    // bounds relation from the sharded stats (regime-matched: bounded
+    // driver rows for small manifests, a stats-relation scan above)
+    val rangesDf =
+      if (hdr.fileCount <= MorTable.smallManifestFiles)
+        driverStats(seq, hdr).map(s => (s.fname, s.mn, s.mx)).toDF("__f", "__mn", "__mx")
+      else statsScan(seq).select(col("fname").as("__f"),
+        col("mn").as("__mn"), col("mx").as("__mx"))
+    val affectedNames = deltaKeys.join(broadcast(rangesDf),
         col("_record_key") >= col("__mn") && col("_record_key") <= col("__mx"))
       .select("__f").distinct().collect().map(_.getString(0)).toSet
-    val carried = st.map(_._1).filterNot(affected).sorted
+    val (affected, carried) = all.partition(f => affectedNames(fnameOf(f)))
     if (carried.isEmpty) None
-    else Some(MorTable.MinorPlan(affected.toSeq.sorted, carried,
-      deltas0.map(_.seq).toSet))
+    else Some(MorTable.MinorPlan(affected, carried, deltas0.map(_.seq).toSet))
   }
 
   /** Byte-for-byte carry of unaffected base files into a staged base dir
@@ -1211,26 +1271,23 @@ final class MorTable(
     val baseFiles =
       if (!safeToPrune) None
       else lastCompact.flatMap { c =>
-        manifestColStats(c.seq).flatMap { st =>
-          // start from the manifest's FULL file list and only remove files
-          // provably prunable — a file with no colstats rows (all-null stat
-          // cols, e.g. tombstone-only) is conservatively kept, not dropped
-          manifestFiles(c.seq).map { all =>
-            // colstats keys come from input_file_name() ("file:///…"), the
-            // files list from listStatus ("file:/…") — match on the file
-            // NAME, unique within a base dir
-            def fname(s: String) = s.substring(s.lastIndexOf('/') + 1)
-            val byFile = st.groupBy(r => fname(r._1))
-            all.filterNot { f =>
-              byFile.get(fname(f)).exists { rows =>
-                val byCol = rows.map(r => r._2 -> (r._3, r._4)).toMap
-                ranges.exists { case (qc, lo, hi) =>
-                  byCol.get(qc).exists { case (mn, mx) => mx < lo || mn >= hi }
-                }
-              }
-            }.sorted
-          }
-        }
+        // only ranges over columns the manifest actually carries stats
+        // for can prune; a file with NULL stats for a column (e.g.
+        // tombstone-only) is conservatively kept — the null verdict
+        // filters to false on both regimes
+        val statCols = manifestHeader(c.seq).map(_.statCols).getOrElse(Nil)
+        val usable = ranges.filter(r => statCols.contains(r._1))
+        if (usable.isEmpty) None
+        else keptFiles(c.seq,
+          st => usable.exists { case (qc, lo, hi) =>
+            (st.colMn.get(qc), st.colMx.get(qc)) match {
+              case (Some(mn), Some(mx)) => mx < lo || mn >= hi
+              case _ => false
+            }
+          },
+          df => df.filter(usable.map { case (qc, lo, hi) =>
+            col(s"mx_$qc") < lit(lo) || col(s"mn_$qc") >= lit(hi)
+          }.reduce(_ || _)))
       }
     // tombstones are exempted from the pushed base filter outright (null
     // range cols would drop them); they must survive to the merge so the
@@ -1269,22 +1326,19 @@ final class MorTable(
     val baseFiles =
       if (!safeToPrune) None
       else lastCompact.flatMap { cp =>
-        manifestSecondaryBlooms(cp.seq).filter(_.exists(_._2 == c)).flatMap { sb =>
-          manifestFiles(cp.seq).map { all =>
-            def fname(s: String) = s.substring(s.lastIndexOf('/') + 1)
-            val byFile = sb.filter(_._2 == c)
-              .map(r => fname(r._1) -> (r._3, r._4)).toMap
-            val posByBits = scala.collection.mutable.Map.empty[Int, Array[Array[Int]]]
-            all.filter { f =>
-              byFile.get(fname(f)).forall { case (hasDeleted, buf) =>
-                hasDeleted || {
-                  val pos = posByBits.getOrElseUpdate(buf.length * 8,
-                    graft.functions.expr.KeyBloom.positionsFor(probes, buf.length * 8))
-                  graft.functions.expr.KeyBloom.anyMightContain(buf, pos)
-                }
-              }
-            }.sorted
-          }
+        if (!manifestHeader(cp.seq).exists(_.indexCols.contains(c))) None
+        else {
+          graft.GraftFunctions.register(spark)
+          val posByBits = scala.collection.mutable.Map.empty[Int, Array[Array[Int]]]
+          keptFiles(cp.seq,
+            st => !st.del && st.colBloom.get(c).exists { buf =>
+              val pos = posByBits.getOrElseUpdate(buf.length * 8,
+                graft.functions.expr.KeyBloom.positionsFor(probes, buf.length * 8))
+              !graft.functions.expr.KeyBloom.anyMightContain(buf, pos)
+            },
+            df => df.filter(col("del") === 0 &&
+              !call_function("key_bloom_contains_any", col(s"bl_$c"),
+                array(probes.map(lit): _*))))
         }
       }
     // tombstones exempt from the pushed filter (null data cols fail eqF)
@@ -1294,121 +1348,52 @@ final class MorTable(
       .filter(!col("_deleted")).filter(eqF))
   }
 
-  /** Secondary-index column set of the newest manifest below `seq` that
-    * carries sblooms — the durable source of [[indexCols]]. */
-  private def previousManifestIndexCols(seq: Long): Seq[String] = {
+  /** Secondary-index column set of the newest manifest header below `seq`
+    * that declares any — the durable source of [[indexCols]]. */
+  private def previousManifestIndexCols(seq: Long): Seq[String] =
+    previousHeaderCols(seq)(_.indexCols)
+
+  /** Colstats column set of the newest manifest header below `seq` that
+    * declares any — the durable source of [[statsCols]]. */
+  private def previousManifestStatCols(seq: Long): Seq[String] =
+    previousHeaderCols(seq)(_.statCols)
+
+  private def previousHeaderCols(seq: Long)(
+      sel: MorTable.ManifestHeader => Seq[String]): Seq[String] = {
     val dir = new Path(hPath, "manifest")
-    if (!fs.exists(dir)) return Nil
-    val prev = fs.listStatus(dir).toSeq.map(_.getPath.getName)
-      .filter(_.endsWith(".json")).flatMap(n =>
-        scala.util.Try(n.stripSuffix(".json").toLong).toOption)
+    val names =
+      try fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      catch { case _: java.io.FileNotFoundException => return Nil }
+    val prev = names.filter(_.endsWith(".json"))
+      .flatMap(_.stripSuffix(".json").toLongOption)
       .filter(_ < seq).sorted.reverse
-    prev.iterator.map(manifestSecondaryBlooms)
-      .collectFirst { case Some(sb) => sb.map(_._2).distinct.sorted }
+    prev.iterator.flatMap(s => manifestHeader(s).map(sel))
+      .collectFirst { case cols if cols.nonEmpty => cols }
       .getOrElse(Nil)
   }
 
-  /** Secondary-index blooms from `manifest/<seq>.json`:
-    * (file, col, hasDeleted, filter) rows — None when the manifest
-    * predates the secondary index. */
-  private def manifestSecondaryBlooms(
-      seq: Long): Option[Seq[(String, String, Boolean, Array[Byte])]] = {
-    val p = new Path(hPath, s"manifest/$seq.json")
-    if (!fs.exists(p)) return None
-    val json = new String(readFully(fs, p), StandardCharsets.UTF_8)
-    val es = "((?:[^\"\\\\]|\\\\.)*)"
-    val re = ("\\{\"file\":\"" + es + "\",\"col\":\"" + es +
-      "\",\"del\":([01]),\"b64\":\"([A-Za-z0-9+/=]*)\"\\}").r
-    val sb = re.findAllMatchIn(json).map { m =>
-      (un(m.group(1)), un(m.group(2)), m.group(3) == "1",
-        java.util.Base64.getDecoder.decode(m.group(4)))
-    }.toSeq
-    if (sb.isEmpty) None else Some(sb)
-  }
-
-  /** Column set of the newest manifest below `seq` that carries colstats
-    * (empty when none) — the durable source of [[statsCols]]. */
-  private def previousManifestStatCols(seq: Long): Seq[String] = {
-    val dir = new Path(hPath, "manifest")
-    if (!fs.exists(dir)) return Nil
-    val prev = fs.listStatus(dir).toSeq.map(_.getPath.getName)
-      .filter(_.endsWith(".json")).flatMap(n =>
-        scala.util.Try(n.stripSuffix(".json").toLong).toOption)
-      .filter(_ < seq).sorted.reverse
-    prev.iterator.map(manifestColStats)
-      .collectFirst { case Some(st) => st.map(_._2).distinct.sorted }
-      .getOrElse(Nil)
-  }
-
-  /** Per-file double min/max for [[statsCols]] from `manifest/<seq>.json`:
-    * (file, col, mn, mx) rows — None when the manifest predates column
-    * stats (readers fall back to the full listing). */
-  private def manifestColStats(seq: Long): Option[Seq[(String, String, Double, Double)]] = {
-    val p = new Path(hPath, s"manifest/$seq.json")
-    if (!fs.exists(p)) return None
-    val json = new String(readFully(fs, p), StandardCharsets.UTF_8)
-    val es = "((?:[^\"\\\\]|\\\\.)*)"
-    val re = ("\\{\"file\":\"" + es + "\",\"col\":\"" + es +
-      "\",\"mn\":([-0-9.eE]+),\"mx\":([-0-9.eE]+)\\}").r
-    val st = re.findAllMatchIn(json)
-      .map(m => (un(m.group(1)), un(m.group(2)), m.group(3).toDouble, m.group(4).toDouble)).toSeq
-    if (st.isEmpty) None else Some(st)
-  }
-
-  /** Per-file key Bloom filters from `manifest/<seq>.json`, keyed by file
-    * NAME (colstats rule: stats come from input_file_name(), the files
-    * list from listStatus — only the name matches across the two). None
-    * for manifests written before blooms existed. */
-  private def manifestBlooms(seq: Long): Option[Map[String, Array[Byte]]] = {
-    val p = new Path(hPath, s"manifest/$seq.json")
-    if (!fs.exists(p)) return None
-    val json = new String(readFully(fs, p), StandardCharsets.UTF_8)
-    val es = "((?:[^\"\\\\]|\\\\.)*)"
-    val re = ("\\{\"file\":\"" + es + "\",\"b64\":\"([A-Za-z0-9+/=]*)\"\\}").r
-    val bl = re.findAllMatchIn(json).map { m =>
-      val f = un(m.group(1))
-      f.substring(f.lastIndexOf('/') + 1) ->
-        java.util.Base64.getDecoder.decode(m.group(2))
-    }.toMap
-    if (bl.isEmpty) None else Some(bl)
-  }
-
-  /** The manifest's full base-file listing (`files` array) — the ground
-    * truth for conservative pruning: a file ABSENT from colstats (e.g. a
-    * tombstone-only file whose stat columns are all null) must still be
-    * scanned, so kept-lists start here and only remove provably-prunable
-    * files. */
   /** (file, minKey, maxKey) of the NEWEST manifest — the `show_files`
-    * procedure listing. Bounds are None for manifests predating key
-    * stats; empty when no compaction has published a manifest yet.
-    * Metadata-sized (one row per base file), no Spark job. */
+    * procedure listing. Bounds are None for files without a stats verdict;
+    * empty when no compaction has published a manifest yet. Output is
+    * inherently O(files) — a user-requested listing. */
   private[lake] def manifestFileStats(): Seq[(String, Option[String], Option[String])] =
     liveDeltas(timeline())._1.toSeq.flatMap { c =>
-      manifestStats(c.seq) match {
-        case Some(st) => st.map { case (f, mn, mx) => (f, Some(mn), Some(mx)) }
-        case None => manifestFiles(c.seq).getOrElse(Nil).map(f => (f, None, None))
+      manifestHeader(c.seq) match {
+        case None => baseFilesOf(c.seq).map(f => (f, None, None))
+        case Some(hdr) =>
+          val byName: Map[String, (String, String)] =
+            if (hdr.fileCount <= MorTable.smallManifestFiles)
+              driverStats(c.seq, hdr).map(s => s.fname -> ((s.mn, s.mx))).toMap
+            else statsScan(c.seq).select("fname", "mn", "mx").collect()
+              .map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+          baseFilesOf(c.seq).map { f =>
+            byName.get(fnameOf(f)) match {
+              case Some((mn, mx)) => (f, Option(mn), Option(mx))
+              case None => (f, None, None)
+            }
+          }
       }
     }
-
-  private def manifestFiles(seq: Long): Option[Seq[String]] = {
-    val p = new Path(hPath, s"manifest/$seq.json")
-    if (!fs.exists(p)) return None
-    val json = new String(readFully(fs, p), StandardCharsets.UTF_8)
-    // `files` is the manifest's LAST field: slice between its '[' and the
-    // final ']' by index — a nested (quoted-string)* regex over a
-    // thousands-of-files array recurses once per file in java.util.regex
-    // and overflows the stack
-    val key = "\"files\":["
-    val i = json.indexOf(key)
-    if (i < 0) return None
-    val start = i + key.length
-    val end = json.lastIndexOf(']')
-    if (end <= start) return None
-    val item = "\"((?:[^\"\\\\]|\\\\.)*)\"".r
-    val fs0 = item.findAllMatchIn(json.substring(start, end))
-      .map(m => un(m.group(1))).toSeq
-    if (fs0.isEmpty) None else Some(fs0)
-  }
 
   def compact(): Unit = synchronized {
     val prep = prepareCompact()
@@ -1477,10 +1462,14 @@ final class MorTable(
           !pinned.contains(i.seq))
         val removed = old.map { i =>
           val dir = new Path(hPath, s"${if (i.kind == "compact") "base" else "delta"}/${i.seq}")
-          if (i.kind == "compact") // manifest of a cleaned base points at deleted files
+          if (i.kind == "compact") { // manifest of a cleaned base points at deleted files
             fs.delete(new Path(hPath, s"manifest/${i.seq}.json"), false)
+            fs.delete(new Path(hPath, s"manifest/stats/${i.seq}"), true)
+          }
           if (fs.exists(dir)) { fs.delete(dir, true); 1 } else 0
         }.sum
+        headerCache = headerCache -- old.map(_.seq)
+        statsCache = statsCache -- old.map(_.seq)
         if (old.nonEmpty) {
           val ids = (archivedBatchIds ++ old.map(_.batchId).filter(_ >= 0)).toSeq.sorted
           val tmp = new Path(hPath, "timeline/._archived.tmp")
@@ -1515,12 +1504,16 @@ final class MorTable(
     val doomed = tl.filter(_.seq > toSeq)
     doomed.reverse.foreach { i =>
       fs.delete(new Path(hPath, s"timeline/${instantFileName(i)}"), false)
-      if (i.kind == "compact") // external readers take the HIGHEST manifest:
+      if (i.kind == "compact") { // external readers take the HIGHEST manifest:
         fs.delete(new Path(hPath, s"manifest/${i.seq}.json"), false)
+        fs.delete(new Path(hPath, s"manifest/stats/${i.seq}"), true)
+      }
       val dir = new Path(hPath, s"${if (i.kind == "compact") "base" else "delta"}/${i.seq}")
       if (fs.exists(dir)) fs.delete(dir, true)
       ()
     }
+    headerCache = headerCache -- doomed.map(_.seq)
+    statsCache = statsCache -- doomed.map(_.seq)
     // savepoints pinned above the target point at commits that no longer
     // exist — release them rather than leave dangling pins
     savepoints().collect { case (n, s) if s > toSeq => n }.foreach(releaseSavepoint)
@@ -1588,6 +1581,74 @@ object MorTable {
     * cost must not grow with timeline length). */
   private[lake] val timelineLists = new java.util.concurrent.atomic.AtomicLong
   private[lake] val instantReads = new java.util.concurrent.atomic.AtomicLong
+
+  /** Regime threshold for the sharded manifest: stats of manifests with
+    * at most this many base files are read driver-side (bounded, cached);
+    * above it every pruning probe filters the stats RELATION cluster-side
+    * and only file NAMES reach the driver. Tests lower it to drive the
+    * large-table path on small data. */
+  @volatile private[lake] var smallManifestFiles: Int = 512
+
+  /** Telemetry: per-file stats rows materialized DRIVER-side (regime 1
+    * only) — the sharded-manifest spec asserts this stays 0 on the
+    * large-table path and ≤ threshold on the small one. */
+  private[lake] val statsDriverRows = new java.util.concurrent.atomic.AtomicLong
+
+  /** Tiny manifest header (`manifest/<seq>.json`): O(1) in file count. */
+  private[lake] final case class ManifestHeader(baseSeq: Long, fileCount: Int,
+                                                statCols: Seq[String],
+                                                indexCols: Seq[String])
+
+  /** One base file's stats row, driver-side regime (bounded by
+    * [[smallManifestFiles]]). Absent per-column entries = null stats. */
+  private[lake] final case class FileStat(fname: String, mn: String, mx: String,
+                                          del: Boolean, bloom: Array[Byte],
+                                          colMn: Map[String, Double],
+                                          colMx: Map[String, Double],
+                                          colBloom: Map[String, Array[Byte]])
+
+  private[lake] def parseHeader(json: String): Option[ManifestHeader] =
+    "\"fileCount\":(\\d+)".r.findFirstMatchIn(json).map { fc =>
+      def cols(k: String): Seq[String] =
+        ("\"" + k + "\":\\[([^\\]]*)\\]").r.findFirstMatchIn(json).toSeq
+          .flatMap(m => ("\"" + jsEscapedRe + "\"").r.findAllMatchIn(m.group(1))
+            .map(x => jsUnescape(x.group(1))))
+      ManifestHeader(
+        "\"baseSeq\":(\\d+)".r.findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(0L),
+        fc.group(1).toInt, cols("statCols"), cols("indexCols"))
+    }
+
+  /** Read a (SMALL) stats relation driver-side via parquet-hadoop — no
+    * Spark job, so repeated metadata probes (a sink's per-commit newness
+    * proof) never pay scheduler latency. Callers cache the result; the
+    * row count is bounded by [[smallManifestFiles]]. */
+  private[lake] def readStatsDriverSide(fs: FileSystem, dir: Path,
+      statCols: Seq[String], indexCols: Seq[String],
+      conf: org.apache.hadoop.conf.Configuration): Seq[FileStat] = {
+    val files =
+      try fs.listStatus(dir).toSeq.map(_.getPath).filter(_.getName.endsWith(".parquet"))
+      catch { case _: java.io.FileNotFoundException => return Nil }
+    files.flatMap { f =>
+      val reader = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), f)
+        .withConf(conf).build()
+      try Iterator.continually(reader.read()).takeWhile(_ != null).map { g =>
+        def has(n: String) =
+          g.getType.containsField(n) && g.getFieldRepetitionCount(n) > 0
+        def str(n: String) = if (has(n)) g.getBinary(n, 0).toStringUsingUTF8 else null
+        def bin(n: String) = if (has(n)) g.getBinary(n, 0).getBytes else null
+        def dbl(n: String): Option[Double] =
+          if (has(n)) Some(g.getDouble(n, 0)) else None
+        FileStat(str("fname"), str("mn"), str("mx"),
+          has("del") && g.getInteger("del", 0) == 1,
+          bin("bloom"),
+          statCols.flatMap(c => dbl(s"mn_$c").map(c -> _)).toMap,
+          statCols.flatMap(c => dbl(s"mx_$c").map(c -> _)).toMap,
+          indexCols.flatMap(c => Option(bin(s"bl_$c")).map(c -> _)).toMap)
+      }.toList
+      finally reader.close()
+    }
+  }
 
   /** A staged compaction: the merged snapshot to write and the delta seqs
     * whose content it folds (everything else below the base seq becomes
@@ -1758,9 +1819,13 @@ object MorTable {
   }
 
   /** What an EXTERNAL engine does with the snapshot manifest, expressed in
-    * Spark for the spec: take the highest-seq `manifest/<seq>.json`, read
-    * the listed parquet files directly, apply the declared `_deleted`
-    * filter, drop the meta columns. No graft merge logic involved. */
+    * Spark for the spec: take the highest-seq `manifest/<seq>.json`; its
+    * file listing is either inline (`files` array — the parent-level /
+    * legacy form) or, for the SHARDED child form, the `file` column of the
+    * `manifest/stats/<seq>/` parquet relation (engine-neutral parquet, so
+    * "read a column" is the whole recipe). Then read the listed parquet
+    * files directly, apply the declared `_deleted` filter, drop the meta
+    * columns. No graft merge logic involved. */
   def readManifest(spark: SparkSession, path: String): DataFrame = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = new Path(path, "manifest")
@@ -1769,11 +1834,14 @@ object MorTable {
     val json = new String(readFully(fs, new Path(dir, s"$latest.json")),
       StandardCharsets.UTF_8)
     // parse the "files" ARRAY, not every .parquet-ish string in the
-    // document — the per-file stats entries also carry file paths
-    val arr = "\"files\":\\[([^\\]]*)\\]".r.findFirstMatchIn(json)
-      .getOrElse(throw new IllegalStateException(s"manifest without files: $json"))
-      .group(1)
-    val files = "\"([^\"]+\\.parquet)\"".r.findAllMatchIn(arr).map(_.group(1)).toSeq
+    // document — stats entries may also carry file paths
+    val files = "\"files\":\\[([^\\]]*)\\]".r.findFirstMatchIn(json) match {
+      case Some(m) =>
+        "\"([^\"]+\\.parquet)\"".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq
+      case None => // sharded header: listing lives in the stats relation
+        spark.read.parquet(globSafe(new Path(dir, s"stats/$latest").toString))
+          .select("file").collect().map(_.getString(0)).toSeq.sorted
+    }
     val raw = spark.read.parquet(globSafe(files): _*)
     val live = if (raw.columns.contains("_deleted")) raw.filter(!col("_deleted")) else raw
     live.drop("_record_key", "_deleted", "_commit_seqno", "_commit_time")

@@ -755,4 +755,66 @@ class MorTableSpec extends AnyFunSuite {
     assert(t.maybeCompact(nowMs = System.currentTimeMillis() + 61000L))
     assert(t.timeline().last.kind == "compact")
   }
+
+  test("sharded manifest: large-table probes never materialize per-file stats driver-side") {
+    // 8 base files > a threshold of 4 → every pruning probe must take the
+    // cluster-side regime: the stats RELATION is filtered by Spark and only
+    // pruned file NAMES reach the driver. statsDriverRows (incremented
+    // ONLY by the driver-side regime) pins it.
+    val path = TestSpark.tmpDir("mor-shard")
+    val rows = (0 until 400)
+      .map(i => (f"k$i%03d", s"n$i", i, "1970-01-01 00:00:01"))
+      .toDF("uuid", "name", "age", "ts")
+    val t = new MorTable(spark, path, Seq("uuid"),
+      compactionDeltaCommits = 1000, autoCompact = false, writePartitions = 8)
+    t.upsert(rows, Seq(col("ts")), batchId = 1L)
+    t.indexColumns(Seq("age"))
+    t.compact() // 8 range-partitioned base files; stats relation + tiny header
+    // the header really is tiny — no per-file payload of any kind
+    val hdrFile = new java.io.File(s"$path/manifest/" +
+      s"${t.timeline().filter(_.kind == "compact").last.seq}.json")
+    assert(hdrFile.length() < 512, s"header not tiny: ${hdrFile.length()} bytes")
+    val prev = MorTable.smallManifestFiles
+    try {
+      MorTable.smallManifestFiles = 4
+      val before = MorTable.statsDriverRows.get()
+      // bloom point read prunes AND answers exactly
+      val one = t.readForKeys(Seq("k123"))
+      assert(one.inputFiles.count(_.contains("/base/")) < 8, "bloom pruning dead")
+      assert(one.collect().map(r =>
+        r.getAs[String]("uuid") -> r.getAs[Int]("age")).toSeq == Seq("k123" -> 123))
+      // key-range read prunes
+      val narrow = t.readForKeyRange("k040", "k060")
+      assert(narrow.inputFiles.count(_.contains("/base/")) < 8, "range pruning dead")
+      assert(narrow.count() == 20)
+      // secondary-index equality read prunes
+      val eq = t.readForColEquals("age", Seq(123))
+      assert(eq.inputFiles.count(_.contains("/base/")) < 8, "secondary index dead")
+      assert(eq.select("uuid").collect().map(_.getString(0)).toSeq == Seq("k123"))
+      // write-path newness proof (probePaths) works in the same regime
+      assert(t.upsertIfNew(Seq(("zzz", "new", -1, "1970-01-01 00:00:09"))
+        .toDF("uuid", "name", "age", "ts"), Seq(col("ts")), batchId = 2L))
+      assert(!t.upsertIfNew(Seq(("k050", "upd", -2, "1970-01-01 00:00:09"))
+        .toDF("uuid", "name", "age", "ts"), Seq(col("ts")), batchId = 3L))
+      // minor compaction plans from the stats relation, still byte-carrying
+      t.compactMinor()
+      val baseDir = new java.io.File(
+        s"$path/base/${t.timeline().filter(_.kind == "compact").last.seq}")
+      assert(baseDir.listFiles().count(_.getName.startsWith("carry-")) >= 1,
+        "minor compaction stopped carrying in the sharded regime")
+      val all = t.read().collect()
+        .map(r => r.getAs[String]("uuid") -> r.getAs[Int]("age")).toMap
+      assert(all.size == 401 && all("k050") == -2 && all("zzz") == -1)
+      assert(MorTable.statsDriverRows.get() == before,
+        "large-table path materialized per-file stats driver-side")
+    } finally MorTable.smallManifestFiles = prev
+    // small-table regime: bounded driver rows, cached across probes
+    val b2 = MorTable.statsDriverRows.get()
+    t.readForKeys(Seq("k200")).collect()
+    val loaded = MorTable.statsDriverRows.get() - b2
+    assert(loaded > 0 && loaded <= 16, s"driver rows unbounded: $loaded")
+    t.readForKeys(Seq("k300")).collect()
+    assert(MorTable.statsDriverRows.get() == b2 + loaded,
+      "stats cache miss: second probe re-read the relation")
+  }
 }
