@@ -79,6 +79,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => TopKRowsAgg(exprs.head, exprs(1),
         TopKRowsAgg.kOf(exprs), TopKRowsAgg.ascOf(exprs))))
     ext.injectResolutionRule(session => new MorRelationResolution(session))
+    // SQL-text row-level DML (DELETE FROM / UPDATE / MERGE INTO) onto the
+    // engine's deleteWhere/updateWhere/changelog verbs — post-hoc so the
+    // statements arrive fully resolved, before checkAnalysis rejects v1
+    ext.injectPostHocResolutionRule(session => new graft.mor.MorDmlResolution(session))
     ext.injectOptimizerRule(session => new graft.plans.ApproxDistinctRewrite(session))
     ext.injectOptimizerRule(session => new graft.plans.TopKRewrite(session))
   }

@@ -112,6 +112,8 @@ object SparkEntry {
     "s21_mor_cdc_read"    -> ((s, d) => graft.lake.LakeQueries.cdcRead(s, d)),
     "s25_part_cdc_read"   -> ((s, d) => graft.lake.LakeQueries.partitionedCdcRead(s, d)),
     "s27_row_level_ops"   -> ((s, d) => graft.lake.LakeQueries.rowLevelOps(s, d)),
+    "s60_sql_row_dml"     -> ((s, d) => graft.lake.LakeQueries.sqlRowLevelOps(s, d)),
+    "s61_sql_merge_into"  -> ((s, d) => graft.lake.LakeQueries.sqlMergeQuery(s, d)),
     "s22_incremental_view" -> ((s, d) => graft.lake.LakeQueries.incrementalView(s, d)),
     "s36_incr_join_view"  -> ((s, d) => graft.lake.LakeQueries.incrementalJoinView(s, d)),
     "s37_range_read"      -> ((s, d) => graft.lake.LakeQueries.rangeRead(s, d)),
@@ -288,6 +290,40 @@ object SparkEntry {
       |FROM events
       |QUALIFY row_number() OVER
       |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin
+
+  private val MergeIntoOracle: String =
+    """WITH src AS (
+      |  SELECT c_custkey, c_name, c_nationkey,
+      |         c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+      |  FROM customer WHERE c_custkey % 3 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 100000, c_name, c_nationkey, c_acctbal, c_mktsegment
+      |  FROM customer WHERE c_custkey <= 100
+      |)
+      |SELECT t.c_custkey, t.c_name || '#merged' AS c_name, t.c_nationkey,
+      |       s.c_acctbal, t.c_mktsegment
+      |FROM customer t JOIN src s USING (c_custkey)
+      |WHERE t.c_mktsegment <> 'BUILDING'
+      |UNION ALL
+      |SELECT t.* FROM customer t
+      |WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.c_custkey = t.c_custkey)
+      |UNION ALL
+      |SELECT s.* FROM src s
+      |WHERE NOT EXISTS (SELECT 1 FROM customer t WHERE t.c_custkey = s.c_custkey)
+      |  AND s.c_nationkey <> 13""".stripMargin
+
+  private val RowLevelOpsOracle: String =
+    """WITH lww AS (
+      |  SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
+      |  FROM events
+      |  QUALIFY row_number() OVER (PARTITION BY user_id
+      |    ORDER BY ts DESC, event_id DESC) = 1
+      |)
+      |SELECT user_id, event_id, event_type,
+      |       CASE WHEN event_type = 'error' THEN value + 1000.0
+      |            ELSE value END AS value,
+      |       ts_ms
+      |FROM lww WHERE event_type <> 'click'""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "d26_bloom_decontaminate" -> DecontaminateOracle,
@@ -481,38 +517,12 @@ object SparkEntry {
         |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
         |  AND user_id >= 30 AND user_id < 90
         |  AND value >= 0.0 AND value < 250.0""".stripMargin,
-    "s39_merge_into" ->
-      """WITH src AS (
-        |  SELECT c_custkey, c_name, c_nationkey,
-        |         c_acctbal + 100.0 AS c_acctbal, c_mktsegment
-        |  FROM customer WHERE c_custkey % 3 = 0
-        |  UNION ALL
-        |  SELECT c_custkey + 100000, c_name, c_nationkey, c_acctbal, c_mktsegment
-        |  FROM customer WHERE c_custkey <= 100
-        |)
-        |SELECT t.c_custkey, t.c_name || '#merged' AS c_name, t.c_nationkey,
-        |       s.c_acctbal, t.c_mktsegment
-        |FROM customer t JOIN src s USING (c_custkey)
-        |WHERE t.c_mktsegment <> 'BUILDING'
-        |UNION ALL
-        |SELECT t.* FROM customer t
-        |WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.c_custkey = t.c_custkey)
-        |UNION ALL
-        |SELECT s.* FROM src s
-        |WHERE NOT EXISTS (SELECT 1 FROM customer t WHERE t.c_custkey = s.c_custkey)
-        |  AND s.c_nationkey <> 13""".stripMargin,
-    "s27_row_level_ops" ->
-      """WITH lww AS (
-        |  SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
-        |  FROM events
-        |  QUALIFY row_number() OVER (PARTITION BY user_id
-        |    ORDER BY ts DESC, event_id DESC) = 1
-        |)
-        |SELECT user_id, event_id, event_type,
-        |       CASE WHEN event_type = 'error' THEN value + 1000.0
-        |            ELSE value END AS value,
-        |       ts_ms
-        |FROM lww WHERE event_type <> 'click'""".stripMargin,
+    // ONE oracle for the programmatic verb AND its SQL-text twin (s39/s61,
+    // s27/s60): the statement surface changed, the answer must not
+    "s39_merge_into" -> MergeIntoOracle,
+    "s61_sql_merge_into" -> MergeIntoOracle,
+    "s27_row_level_ops" -> RowLevelOpsOracle,
+    "s60_sql_row_dml" -> RowLevelOpsOracle,
     "s25_part_cdc_read" ->
       """WITH b AS (
         |  SELECT min(epoch_ns(ts)) + (max(epoch_ns(ts)) - min(epoch_ns(ts))) // 2 AS mid

@@ -1016,6 +1016,64 @@ object LakeQueries {
       t.read().select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
   }
 
+  /** [[rowLevelOps]] driven by SQL TEXT — the statements an analyst types
+    * (`UPDATE t SET … WHERE …`, `DELETE FROM t WHERE …`) resolve through
+    * [[graft.mor.MorDmlResolution]] onto the same predicate verbs, so this
+    * entry and s27 share ONE oracle: the optimization surface changed (v1
+    * relation + post-hoc DML rewrite), the answer must not. */
+  def sqlRowLevelOps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "value", "ts_ms", "ts_ns")
+    val path = tempPath("mor-sqlrowops")
+    val t = MorTable(spark, path, keyCols = Seq("user_id"), compactionDeltaCommits = 1000)
+    t.upsert(ev, orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 1L)
+    spark.sql("DROP TABLE IF EXISTS graft_sql_rowops")
+    spark.sql(s"CREATE TABLE graft_sql_rowops USING `graft.mor` " +
+      s"OPTIONS (path '$path', keys 'user_id')")
+    spark.sql("UPDATE graft_sql_rowops SET value = value + 1000.0 " +
+      "WHERE event_type = 'error'")
+    spark.sql("DELETE FROM graft_sql_rowops WHERE event_type = 'click'")
+    val out = graft.TempDirs.materializeAndDelete(
+      spark.sql("SELECT user_id, event_id, event_type, value, ts_ms " +
+        "FROM graft_sql_rowops"), path)
+    spark.sql("DROP TABLE IF EXISTS graft_sql_rowops")
+    out
+  }
+
+  /** [[mergeQuery]] as one SQL-text `MERGE INTO` statement (conditional
+    * DELETE, UPDATE referencing both sides, guarded INSERT) — shares s39's
+    * oracle bit-for-bit. */
+  def sqlMergeQuery(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val path = tempPath("mor-sqlmerge")
+    val t = MorTable(spark, path, keyCols = Seq("c_custkey"),
+      compactionDeltaCommits = 1000)
+    t.upsert(cust, orderWithinBatch = Nil, batchId = 1L)
+    spark.sql("DROP TABLE IF EXISTS graft_sql_merge_t")
+    spark.sql(s"CREATE TABLE graft_sql_merge_t USING `graft.mor` " +
+      s"OPTIONS (path '$path', keys 'c_custkey')")
+    cust.filter(col("c_custkey") % 3 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + lit(100.0))
+      .unionByName(cust.filter(col("c_custkey") <= 100)
+        .withColumn("c_custkey", col("c_custkey") + lit(100000L)))
+      .createOrReplaceTempView("graft_sql_merge_src")
+    spark.sql(
+      """MERGE INTO graft_sql_merge_t AS t
+        |USING graft_sql_merge_src AS s
+        |ON t.c_custkey = s.c_custkey
+        |WHEN MATCHED AND t.c_mktsegment = 'BUILDING' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET c_acctbal = s.c_acctbal,
+        |  c_name = concat(t.c_name, '#merged')
+        |WHEN NOT MATCHED AND s.c_nationkey != 13 THEN INSERT
+        |  (c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
+        |  VALUES (s.c_custkey, s.c_name, s.c_nationkey, s.c_acctbal, s.c_mktsegment)
+        |""".stripMargin)
+    val out = graft.TempDirs.materializeAndDelete(
+      spark.sql("SELECT * FROM graft_sql_merge_t"), path)
+    spark.sql("DROP TABLE IF EXISTS graft_sql_merge_t")
+    out
+  }
+
   /** The reference's Flink-SQL write surface, end-to-end IN SQL: DROP
     * TABLE IF EXISTS (S5), CREATE TABLE … USING graft.mor AS SELECT
     * (CTAS through CreatableRelationProvider), INSERT INTO … SELECT

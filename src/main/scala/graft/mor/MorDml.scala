@@ -1,0 +1,233 @@
+package graft.mor
+
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, AttributeSet, Expression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftSqlShim
+import graft.lake.{MorTable, PartitionedMorTable}
+
+/** SQL-text row-level DML over graft.mor tables — `DELETE FROM t WHERE …`,
+  * `UPDATE t SET … WHERE …`, `MERGE INTO t USING s ON … WHEN …` typed by an
+  * analyst resolve onto the engine verbs that already exist
+  * ([[graft.lake.MorTable.deleteWhere]]/`updateWhere`/changelog apply).
+  * The reference's entire user surface is SQL (`CDC-Hudi-Notebook
+  * .zpln:2317,:2757`) and Hudi-on-Spark accepts all three statements; with
+  * only the v1 relation, Spark's analyzer used to reject them ("only
+  * supported with v2 tables") while the semantics sat one call away.
+  *
+  * Wiring: Spark's parser already produces `DeleteFromTable` /
+  * `UpdateTable` / `MergeIntoTable` plans and resolves their expressions
+  * against the relation; this POST-HOC resolution rule (it must see fully
+  * resolved children, and must run before checkAnalysis rejects v1
+  * targets) rewrites the plan onto a driver-side command. Condition and
+  * assignment expressions are rebound BY NAME (a fresh scan has fresh
+  * exprIds, so the analyzed attribute references cannot be reused
+  * directly): DELETE/UPDATE references see the target row; MERGE
+  * expressions are qualified `t.`/`s.` by which side's output carried the
+  * attribute — the same aliases [[graft.lake.MorTable.mergeInto]]
+  * documents.
+  */
+class MorDmlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private object MorTarget {
+    @annotation.tailrec
+    def unapply(plan: LogicalPlan): Option[MorRelation] = plan match {
+      case SubqueryAlias(_, child) => unapply(child)
+      case lr: LogicalRelation if lr.relation.isInstanceOf[MorRelation] =>
+        Some(lr.relation.asInstanceOf[MorRelation])
+      case _ => None
+    }
+  }
+
+  /** Rebind a resolved expression by NAME for evaluation against a fresh
+    * scan of the same table (DELETE/UPDATE: every reference is a target
+    * column). */
+  private def byName(e: Expression): Column =
+    GraftSqlShim.column(e.transform {
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    })
+
+  /** MERGE form: qualify references `s.`/`t.` by originating side. */
+  private def bySide(e: Expression, sourceOut: AttributeSet): Column =
+    GraftSqlShim.column(e.transform {
+      case a: AttributeReference if sourceOut.contains(a) =>
+        UnresolvedAttribute(Seq("s", a.name))
+      case a: AttributeReference =>
+        UnresolvedAttribute(Seq("t", a.name))
+    })
+
+  private def assignKey(a: Assignment): String = a.key match {
+    case ar: AttributeReference => ar.name
+    case other => throw new UnsupportedOperationException(
+      s"graft.mor DML supports only top-level column assignments, got ${other.sql}")
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    case d @ DeleteFromTable(MorTarget(rel), cond) if d.childrenResolved && cond.resolved =>
+      GraftDeleteCommand(rel, byName(cond))
+
+    case u @ UpdateTable(MorTarget(rel), assigns, cond)
+        if u.childrenResolved && assigns.forall(_.resolved) && cond.forall(_.resolved) =>
+      val set = assigns.map(a => assignKey(a) -> byName(a.value)).toMap
+      GraftUpdateCommand(rel, set, cond.map(byName).getOrElse(lit(true)))
+
+    case m @ MergeIntoTable(MorTarget(rel), source, cond,
+        matched, notMatched, notMatchedBySource, _) if m.resolved =>
+      if (notMatchedBySource.nonEmpty) throw new UnsupportedOperationException(
+        "graft.mor MERGE does not support WHEN NOT MATCHED BY SOURCE yet")
+      val srcOut = source.outputSet
+      def q(e: Expression): Column = bySide(e, srcOut)
+      val matchedSql: Seq[MorMergeAction] = matched.map {
+        case UpdateAction(c, assigns, _) =>
+          MorMergeAction("U", c.map(q).getOrElse(lit(true)),
+            assigns.map(a => assignKey(a) -> q(a.value)).toMap)
+        case DeleteAction(c) =>
+          MorMergeAction("D", c.map(q).getOrElse(lit(true)), Map.empty)
+        case other => throw new UnsupportedOperationException(
+          s"graft.mor MERGE: unsupported matched action $other")
+      }
+      val insertSql: Seq[MorMergeAction] = notMatched.map {
+        case InsertAction(c, assigns) =>
+          MorMergeAction("I", c.map(q).getOrElse(lit(true)),
+            assigns.map(a => assignKey(a) -> q(a.value)).toMap)
+        case other => throw new UnsupportedOperationException(
+          s"graft.mor MERGE: unsupported not-matched action $other")
+      }
+      GraftMergeCommand(rel, source, q(cond), matchedSql, insertSql)
+  }
+}
+
+/** One WHEN clause, pre-converted: kind ∈ U/D/I, fire condition, column
+  * assignments (`t.`/`s.`-qualified Columns). */
+final case class MorMergeAction(kind: String, cond: Column, set: Map[String, Column])
+
+private object MorDml {
+  /** The table verbs behind a relation, partitioned-aware. */
+  def guards(rel: MorRelation): Unit =
+    require(rel.asOf.isEmpty && rel.sinceSeq.isEmpty,
+      "graft.mor: DML on a time-travel or incremental read is meaningless")
+}
+
+case class GraftDeleteCommand(rel: MorRelation, cond: Column)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    MorDml.guards(rel)
+    rel.partitionCol match {
+      case Some(p) =>
+        PartitionedMorTable.resolve(spark, rel.path, rel.keys, p)
+          .deleteWhere(cond, values = rel.partitionValues)
+      case None =>
+        MorTable.resolve(spark, rel.path, rel.keys).deleteWhere(cond)
+    }
+    Seq.empty
+  }
+}
+
+case class GraftUpdateCommand(rel: MorRelation, set: Map[String, Column],
+                              cond: Column)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    MorDml.guards(rel)
+    // updateWhere rewrites images and re-upserts under the SAME key — an
+    // assignment to a key column would insert a new key and strand the old
+    // row, so refuse it (Hudi's record-key immutability rule)
+    val badKeys = set.keySet.intersect(rel.keys.toSet)
+    require(badKeys.isEmpty,
+      s"UPDATE cannot reassign record key column(s) ${badKeys.mkString(", ")}")
+    rel.partitionCol match {
+      case Some(p) =>
+        PartitionedMorTable.resolve(spark, rel.path, rel.keys, p)
+          .updateWhere(cond, set, values = rel.partitionValues)
+      case None =>
+        MorTable.resolve(spark, rel.path, rel.keys).updateWhere(cond, set)
+    }
+    Seq.empty
+  }
+}
+
+/** SQL `MERGE INTO`, compiled to ONE changelog micro-batch commit: the
+  * source joins the current snapshot on the (arbitrary) merge condition,
+  * each row resolves its FIRST matching WHEN clause (SQL action-order
+  * semantics, a when()-chain per column), and the resulting op/before/
+  * after envelope applies through the same exactly-once
+  * [[graft.lake.MorTable.applyChangelog]] path as CDC ingestion — so
+  * commit cost is O(|source| matches), never a table rewrite, and the
+  * plan shape is the ONE key-equi/condition join AQE broadcasts for the
+  * typical small merge batch. The MERGE cardinality rule is enforced
+  * (two source rows resolving to one target key fail loudly rather than
+  * nondeterministically). */
+case class GraftMergeCommand(rel: MorRelation, source: LogicalPlan,
+                             cond: Column,
+                             matched: Seq[MorMergeAction],
+                             inserts: Seq[MorMergeAction])
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    MorDml.guards(rel)
+    val keyCols = rel.keys
+    require(matched.flatMap(_.set.keySet).toSet.intersect(keyCols.toSet).isEmpty,
+      "MERGE cannot reassign record key column(s) in WHEN MATCHED UPDATE")
+    val src = GraftSqlShim.ofRows(spark, source).alias("s")
+    val (readDf, dataCols) = rel.partitionCol match {
+      case Some(p) =>
+        val t = PartitionedMorTable.resolve(spark, rel.path, rel.keys, p)
+        val df = t.read(rel.partitionValues)
+        (df, df.columns.toSeq)
+      case None =>
+        val df = MorTable.resolve(spark, rel.path, rel.keys).read()
+        (df, df.columns.toSeq)
+    }
+    val tgt = readDf.withColumn("__matched", lit(true)).alias("t")
+    val joined = src.join(tgt, cond, "left_outer")
+    val isMatched = col("t.__matched").isNotNull
+
+    // first-matching-WHEN-clause semantics: an ordered when()-chain (no
+    // otherwise → null = "no clause fired, row untouched")
+    def chain(actions: Seq[MorMergeAction], value: MorMergeAction => Column): Column =
+      actions.foldLeft(when(lit(false), lit(null))) { (w, a) => w.when(a.cond, value(a)) }
+    val op = when(isMatched,
+        if (matched.isEmpty) lit(null).cast("string")
+        else chain(matched, a => lit(a.kind)))
+      .otherwise(
+        if (inserts.isEmpty) lit(null).cast("string")
+        else chain(inserts, a => lit(a.kind)))
+    def afterOf(c: String): Column = {
+      val tCol = col(s"t.$c")
+      when(isMatched,
+        if (matched.isEmpty) tCol
+        else chain(matched, a => a.set.getOrElse(c, tCol)))
+      .otherwise(
+        if (inserts.isEmpty) lit(null)
+        else chain(inserts, a => a.set.getOrElse(c, lit(null))))
+    }
+    val keyOf = concat_ws("|", keyCols.map(k =>
+      when(isMatched, col(s"t.$k")).otherwise(
+        if (inserts.isEmpty) lit(null)
+        else chain(inserts, a => a.set.getOrElse(k, lit(null)))).cast("string")): _*)
+    val env = joined.select(
+      op.as("op"), keyOf.as("key"),
+      struct(dataCols.map(c => col(s"t.$c").cast(readDf.schema(c).dataType).as(c)): _*).as("before"),
+      struct(dataCols.map(c => afterOf(c).cast(readDf.schema(c).dataType).as(c)): _*).as("after"),
+      lit(0L).as("seq"))
+      .filter(col("op").isNotNull)
+      .localCheckpoint(true) // pinned: cardinality check + commit reuse it
+    // MERGE cardinality rule: one envelope row per key, else the LWW
+    // window would resolve the conflict nondeterministically
+    val dup = env.groupBy(col("key")).count().filter(col("count") > 1).limit(1).count()
+    require(dup == 0L,
+      "MERGE cardinality violation: multiple source rows resolve to one target key")
+    rel.partitionCol match {
+      case Some(p) =>
+        PartitionedMorTable.resolve(spark, rel.path, rel.keys, p).applyChangelog(env)
+      case None =>
+        MorTable.resolve(spark, rel.path, rel.keys).applyChangelog(env)
+    }
+    Seq.empty
+  }
+}

@@ -214,4 +214,95 @@ class MorDataSourceSpec extends AnyFunSuite {
     assert(spark.read.format("graft.mor").option("keys", "uuid").load(path)
       .head().getInt(1) == 4)
   }
+
+  test("SQL DELETE FROM / UPDATE: analyst statements land as tombstone/upsert commits") {
+    val path = TestSpark.tmpDir("dsv1-dml")
+    spark.sql("DROP TABLE IF EXISTS mor_dml_t")
+    try {
+      spark.sql(
+        s"""CREATE TABLE mor_dml_t USING `graft.mor` OPTIONS (path '$path', keys 'uuid')
+           |AS SELECT * FROM VALUES ('id1', 'Danny', 23), ('id2', 'Emma', 20),
+           |  ('id3', 'Ada', 31), ('id4', 'Bob', 40) AS t(uuid, name, age)""".stripMargin)
+      val t = graft.lake.MorTable.resolve(spark, path, Seq("uuid"))
+      val preDelete = t.timeline().last.seq
+      spark.sql("DELETE FROM mor_dml_t WHERE age > 35")
+      assert(spark.sql("SELECT uuid FROM mor_dml_t ORDER BY uuid")
+        .collect().map(_.getString(0)).toSeq == Seq("id1", "id2", "id3"))
+      // UPDATE with an expression referencing the existing row
+      spark.sql("UPDATE mor_dml_t SET age = age + 1, name = upper(name) WHERE uuid = 'id1'")
+      val got = spark.sql("SELECT name, age FROM mor_dml_t WHERE uuid = 'id1'").head()
+      assert((got.getString(0), got.getInt(1)) == ("DANNY", 24))
+      // key reassignment is refused loudly (record-key immutability)
+      val e = intercept[Exception](
+        spark.sql("UPDATE mor_dml_t SET uuid = 'id9' WHERE uuid = 'id2'").collect())
+      assert(e.getMessage.contains("key column"), e.getMessage)
+      // the delete really is a tombstone commit: time travel still sees id4
+      assert(t.readAt(preDelete).count() == 4)
+    } finally spark.sql("DROP TABLE IF EXISTS mor_dml_t")
+  }
+
+  test("SQL MERGE INTO: conditional update/delete/insert in one changelog commit") {
+    val path = TestSpark.tmpDir("dsv1-merge")
+    spark.sql("DROP TABLE IF EXISTS mor_mrg_t")
+    try {
+      spark.sql(
+        s"""CREATE TABLE mor_mrg_t USING `graft.mor` OPTIONS (path '$path', keys 'uuid')
+           |AS SELECT * FROM VALUES ('id1', 100, 'live'), ('id2', 200, 'live'),
+           |  ('id3', 300, 'dead') AS t(uuid, balance, status)""".stripMargin)
+      spark.sql(
+        """MERGE INTO mor_mrg_t AS t
+          |USING (SELECT * FROM VALUES ('id1', 5), ('id3', 7), ('id9', 9)
+          |       AS s(uuid, delta)) AS s
+          |ON t.uuid = s.uuid
+          |WHEN MATCHED AND t.status = 'dead' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET balance = t.balance + s.delta
+          |WHEN NOT MATCHED THEN INSERT (uuid, balance, status)
+          |  VALUES (s.uuid, s.delta, 'new')""".stripMargin)
+      val got = spark.sql("SELECT uuid, balance, status FROM mor_mrg_t ORDER BY uuid")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSeq
+      assert(got == Seq(("id1", 105, "live"), ("id2", 200, "live"),
+        ("id9", 9, "new")), got)
+      // cardinality violation fails loudly, not nondeterministically
+      val e = intercept[Exception](spark.sql(
+        """MERGE INTO mor_mrg_t AS t
+          |USING (SELECT * FROM VALUES ('id1', 1), ('id1', 2) AS s(uuid, delta)) AS s
+          |ON t.uuid = s.uuid
+          |WHEN MATCHED THEN UPDATE SET balance = s.delta""".stripMargin).collect())
+      assert(e.getMessage.contains("cardinality"), e.getMessage)
+      // conditional insert: rows failing the insert condition are skipped
+      spark.sql(
+        """MERGE INTO mor_mrg_t AS t
+          |USING (SELECT * FROM VALUES ('idA', 1), ('idB', -1) AS s(uuid, delta)) AS s
+          |ON t.uuid = s.uuid
+          |WHEN NOT MATCHED AND s.delta > 0 THEN INSERT (uuid, balance, status)
+          |  VALUES (s.uuid, s.delta, 'new')""".stripMargin)
+      assert(spark.sql("SELECT uuid FROM mor_mrg_t").collect().map(_.getString(0)).toSet
+        == Set("id1", "id2", "id9", "idA"))
+    } finally spark.sql("DROP TABLE IF EXISTS mor_mrg_t")
+  }
+
+  test("SQL DML routes through the partitioned form (partition option)") {
+    val path = TestSpark.tmpDir("dsv1-dml-part")
+    spark.sql("DROP TABLE IF EXISTS mor_dmlp_t")
+    try {
+      Seq(("id1", "a", 1), ("id2", "a", 2), ("id3", "b", 3))
+        .toDF("uuid", "kind", "v")
+        .write.format("graft.mor").option("keys", "uuid")
+        .option("partition", "kind").mode("append").save(path)
+      spark.sql(s"CREATE TABLE mor_dmlp_t USING `graft.mor` " +
+        s"OPTIONS (path '$path', keys 'uuid', partition 'kind')")
+      spark.sql("DELETE FROM mor_dmlp_t WHERE v = 2")
+      spark.sql("UPDATE mor_dmlp_t SET v = v * 10 WHERE kind = 'b'")
+      spark.sql(
+        """MERGE INTO mor_dmlp_t AS t
+          |USING (SELECT * FROM VALUES ('id3', 'b', 5), ('id4', 'c', 4)
+          |       AS s(uuid, kind, v)) AS s
+          |ON t.uuid = s.uuid
+          |WHEN MATCHED THEN UPDATE SET v = t.v + s.v
+          |WHEN NOT MATCHED THEN INSERT (uuid, kind, v) VALUES (s.uuid, s.kind, s.v)""".stripMargin)
+      val got = spark.sql("SELECT uuid, kind, v FROM mor_dmlp_t ORDER BY uuid")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq
+      assert(got == Seq(("id1", "a", 1), ("id3", "b", 35), ("id4", "c", 4)), got)
+    } finally spark.sql("DROP TABLE IF EXISTS mor_dmlp_t")
+  }
 }
