@@ -26,6 +26,17 @@ object JobAudit {
           if (n.contains("CompletableFuture")) "fut" else n)
           .distinct.sorted.mkString(" | ")
         sites.synchronized { sites(site) += 1 }
+        // fut detail: the deepest graft frame of each stage + the job group
+        val det = j.stageInfos.map(_.details.linesIterator
+          .find(l => l.contains("graft.") && !l.contains("JobAudit"))
+          .map(_.trim.stripPrefix("at ")).getOrElse("?")).distinct.sorted.mkString(" | ")
+        val exec = Option(j.properties).flatMap(p =>
+          Option(p.getProperty("spark.sql.execution.id"))).getOrElse("-")
+        val root = Option(j.properties).flatMap(p =>
+          Option(p.getProperty("spark.sql.execution.root.id"))).getOrElse("-")
+        val stages = j.stageInfos.map(_.name.takeWhile(_ != ' ')).sorted
+          .groupBy(identity).map { case (k, v) => s"$k×${v.size}" }.mkString(",")
+        sites.synchronized { sites(s"DETAIL[e=$exec r=$root] [$stages] $det") += 1 }
       }
       override def onStageCompleted(
           s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {

@@ -62,7 +62,13 @@ final class MorTable(
       * [[snapshotForKeys]] prunes base files whose filter proves none of
       * the requested keys present. Size to the per-file key count: 2^16
       * bits ≈ 1% fpp at 6.5k keys/file; fpp only costs extra scanned
-      * files, never correctness. */
+      * files, never correctness.
+      *
+      * `0` declares a WRITE-OPTIMIZED table: no manifest/stats relation is
+      * published at all — the right trade for pipeline STATE tables that
+      * never serve point/range reads or external engines (each compaction
+      * saves the stats pass + manifest write; pruned reads and minor
+      * compaction fall back to their conservative full-scan paths). */
     val bloomBits: Int = 1 << 16,
     /** Size-targeted compaction (the Hudi max-file-size / small-file-
       * management analog, declarable as `target.file.mb`): when > 0 and
@@ -81,6 +87,26 @@ final class MorTable(
   private def fs: FileSystem = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   // ---------------------------------------------------------------- timeline
+
+  /** DataFrame cache for IMMUTABLE commit dirs (`base/<seq>`,
+    * `delta/<seq>`): building `spark.read.parquet(dir)` pays a driver
+    * footer-read/schema-inference job per CALL, and a micro-batch pipeline
+    * re-reads the same base dirs every batch — at a 1-minute commit
+    * cadence those per-read driver round trips (job scheduling + file
+    * listing) dominate before any task runs. Published dirs never mutate,
+    * so the cached relation (schema + file index) cannot go stale; the
+    * cache is purged wholesale by clean()/rollback() (the only operations
+    * that delete dirs) and bounded by size. Pruned file-subset scans are
+    * NOT cached (they vary per probe). */
+  @transient @volatile private var scanCache: Map[String, DataFrame] = Map.empty
+
+  private def scanDir(dir: String): DataFrame =
+    scanCache.getOrElse(dir, {
+      val df = spark.read.parquet(MorTable.globSafe(dir))
+      if (scanCache.size > 64) scanCache = Map.empty
+      scanCache += (dir -> df)
+      df
+    })
 
   /** Parse cache: instant CONTENT by seq. One `listStatus` per operation
     * stays the source of truth (other handles/processes may have committed),
@@ -324,7 +350,8 @@ final class MorTable(
     * snapshot was staged — is recorded on the instant as `unfolded`, so
     * snapshot reads replay it once it publishes instead of permanently
     * shadowing a slow concurrent writer's commit. */
-  private[lake] def adoptBase(src: Path, foldedDeltaSeqs: Set[Long]): Unit = synchronized {
+  private[lake] def adoptBase(src: Path, foldedDeltaSeqs: Set[Long],
+                              schemaHint: Option[org.apache.spark.sql.types.StructType] = None): Unit = synchronized {
     val seq = allocateSeq("compact")
     // markers listed BEFORE the timeline read (same order prepareCompact
     // documents): a writer that publishes its instant and deletes its
@@ -344,6 +371,13 @@ final class MorTable(
     val dst = new Path(hPath, s"base/$seq")
     fs.mkdirs(dst.getParent)
     if (!fs.rename(src, dst)) throw new java.io.IOException(s"base adopt rename failed: $dst")
+    // the compactor knows the staged schema: register the base relation so
+    // neither the manifest stats pass nor any later snapshot read pays a
+    // footer-inference job (carried files may be schema-narrower - the
+    // explicit schema reads their missing columns as null, exactly the
+    // allowMissingColumns contract)
+    schemaHint.foreach(sch => scanCache += (s"$path/base/$seq" ->
+      spark.read.schema(sch).parquet(MorTable.globSafe(s"$path/base/$seq"))))
     publishInstant(Instant(seq, "compact", -1L, System.currentTimeMillis(), unfolded))
     writeManifest(seq, dst)
   }
@@ -379,6 +413,7 @@ final class MorTable(
     * the source of truth). */
   private def writeManifest(seq: Long, baseDir: Path): Unit =
     try {
+      if (bloomBits == 0) return // declared write-optimized: no metadata plane
       val files = fs.listStatus(baseDir).toSeq.map(_.getPath)
         .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
       // per-file key bounds (the Hudi column-stats / Delta file-stats
@@ -430,7 +465,7 @@ final class MorTable(
         .getOrElse(baseDir.toString + "/")
       val statsDir = new Path(hPath, s"manifest/stats/$seq")
       val shards = math.max(1, (files.size + 8191) / 8192)
-      spark.read.parquet(MorTable.globSafe(baseDir.toString))
+      scanDir(s"$path/base/$seq")
         .groupBy(regexp_extract(input_file_name(), "[^/]*$", 0).as("fname"))
         .agg(aggs.head, aggs.tail: _*)
         .withColumn("file", concat(lit(prefix), col("fname")))
@@ -622,8 +657,25 @@ final class MorTable(
     val out0 = df
       .withColumn("_commit_seqno", lit(seqno.getOrElse(seq)))
       .withColumn("_commit_time", lit(commitTimeString(now)))
-    val out = if (writePartitions > 0) out0.repartition(writePartitions, col("_record_key")) else out0
+    // bound files-per-commit (write.tasks). For a batch that is nothing
+    // but narrow ops over already-materialized blocks (the micro-batch
+    // shape: a pinned changelog slice projected into the envelope), a
+    // shuffle-free coalesce gives the SAME write parallelism as the hash
+    // repartition with one exchange fewer — at a 1-min commit cadence
+    // that exchange is a pure driver-job tax (AQE materializes each one
+    // as its own stage job). Heavy un-materialized plans keep the
+    // repartition, which bounds ONLY the write stage, never the upstream
+    // compute's parallelism.
+    val out =
+      if (writePartitions > 0 && MorTable.narrowOverMaterialized(out0.queryExecution.optimizedPlan))
+        out0.coalesce(writePartitions)
+      else if (writePartitions > 0) out0.repartition(writePartitions, col("_record_key"))
+      else out0
     out.write.mode("overwrite").parquet(s"$path/delta/$seq")
+    // the writer knows the exact on-disk schema: register the commit dir's
+    // relation so no later scan pays the footer-inference job (scanDir)
+    scanCache += (s"$path/delta/$seq" ->
+      spark.read.schema(out0.schema).parquet(MorTable.globSafe(s"$path/delta/$seq")))
     publishInstant(Instant(seq, "delta", batchId, now,
       insertOnly = insertOnly || firstCommit))
     if (autoCompact) maybeCompact()
@@ -685,9 +737,9 @@ final class MorTable(
     val baseScan0 = lastCompact.toSeq.map { c =>
       baseFiles match {
         case Some(sel) if sel.isEmpty =>
-          spark.read.parquet(MorTable.globSafe(s"$path/base/${c.seq}")).filter(lit(false))
+          scanDir(s"$path/base/${c.seq}").filter(lit(false))
         case Some(sel) => spark.read.parquet(MorTable.globSafe(sel): _*)
-        case None => spark.read.parquet(MorTable.globSafe(s"$path/base/${c.seq}"))
+        case None => scanDir(s"$path/base/${c.seq}")
       }
     }
     // baseOnlyFilter: pushed to the BASE scan only (row-group skipping on
@@ -704,7 +756,7 @@ final class MorTable(
       case None => baseScan0
     }
     val parts0 = baseScan ++
-      deltas.map(d => spark.read.parquet(MorTable.globSafe(s"$path/delta/${d.seq}")))
+      deltas.map(d => scanDir(s"$path/delta/${d.seq}"))
     val parts = keyFilter match {
       case Some(f) => parts0.map(_.filter(f))
       case None => parts0
@@ -738,7 +790,7 @@ final class MorTable(
     val deltas = timeline().filter(i =>
       i.kind == "delta" && i.seq > sinceSeq && i.seq <= toSeq)
     if (deltas.isEmpty) return snapshot().limit(0)
-    val parts = deltas.map(d => spark.read.parquet(MorTable.globSafe(s"$path/delta/${d.seq}")))
+    val parts = deltas.map(d => scanDir(s"$path/delta/${d.seq}"))
     val unioned = parts.reduce(_.unionByName(_, allowMissingColumns = true))
     if (parts.size == 1) unioned
     else {
@@ -773,7 +825,7 @@ final class MorTable(
         withBeforeCols(snapshot().limit(0), present = true)
           .withColumn("op", lit(""))
       } else {
-        val parts = deltas.map(d => spark.read.parquet(MorTable.globSafe(s"$path/delta/${d.seq}")))
+        val parts = deltas.map(d => scanDir(s"$path/delta/${d.seq}"))
         val unioned = parts.reduce(_.unionByName(_, allowMissingColumns = true))
         val w = Window.partitionBy(col("_record_key")).orderBy(col("_commit_seqno").desc)
         val net =
@@ -1117,7 +1169,7 @@ final class MorTable(
           .option("parquet.bloom.filter.enabled#_record_key", "true")
           .parquet(staging.toString)
         copyCarried(carried, staging)
-        adoptBase(staging, prep.foldedDeltaSeqs)
+        adoptBase(staging, prep.foldedDeltaSeqs, Some(prep.df.schema))
     }
   }
 
@@ -1139,7 +1191,7 @@ final class MorTable(
     // a file outside the stats pass could hold delta keys unobserved
     if (all.isEmpty || all.size != hdr.fileCount) return None
     import spark.implicits._
-    val deltaKeys = deltas0.map(d => spark.read.parquet(MorTable.globSafe(s"$path/delta/${d.seq}"))
+    val deltaKeys = deltas0.map(d => scanDir(s"$path/delta/${d.seq}")
       .select(col("_record_key"))).reduce(_.unionByName(_)).distinct()
     // bounds relation from the sharded stats (regime-matched: bounded
     // driver rows for small manifests, a stats-relation scan above)
@@ -1214,7 +1266,7 @@ final class MorTable(
       .option("parquet.bloom.filter.enabled#_record_key", "true")
       .parquet(staging.toString)
     statsCols = zCols // manifest adds per-file min/max for these
-    adoptBase(staging, prep.foldedDeltaSeqs)
+    adoptBase(staging, prep.foldedDeltaSeqs, Some(prep.df.schema))
   }
 
   /** Columns the next manifest write records per-file double min/max for
@@ -1426,7 +1478,7 @@ final class MorTable(
       .write.mode("overwrite")
       .option("parquet.bloom.filter.enabled#_record_key", "true")
       .parquet(staging.toString)
-    adoptBase(staging, prep.foldedDeltaSeqs)
+    adoptBase(staging, prep.foldedDeltaSeqs, Some(prep.df.schema))
   }
 
   /** Cleaner (the Hudi cleaner + archived-timeline analog): physically
@@ -1470,6 +1522,7 @@ final class MorTable(
         }.sum
         headerCache = headerCache -- old.map(_.seq)
         statsCache = statsCache -- old.map(_.seq)
+        scanCache = Map.empty
         if (old.nonEmpty) {
           val ids = (archivedBatchIds ++ old.map(_.batchId).filter(_ >= 0)).toSeq.sorted
           val tmp = new Path(hPath, "timeline/._archived.tmp")
@@ -1514,6 +1567,7 @@ final class MorTable(
     }
     headerCache = headerCache -- doomed.map(_.seq)
     statsCache = statsCache -- doomed.map(_.seq)
+    scanCache = Map.empty
     // savepoints pinned above the target point at commits that no longer
     // exist — release them rather than leave dangling pins
     savepoints().collect { case (n, s) if s > toSeq => n }.foreach(releaseSavepoint)
@@ -1794,6 +1848,21 @@ object MorTable {
 
   /** Regex source matching one [[jsEscape]]d string body (group 1). */
   private[lake] val jsEscapedRe = "((?:[^\"\\\\]|\\\\.)*)"
+
+  /** True when the plan is nothing but narrow ops over already-
+    * materialized leaves (pinned localCheckpoint blocks / local rows) -
+    * the shape where a shuffle-free coalesce bounds the write fan-out
+    * without limiting any upstream compute (see commitDelta). */
+  private[lake] def narrowOverMaterialized(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = p match {
+    case _: org.apache.spark.sql.execution.LogicalRDD => true
+    case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+    case pr: org.apache.spark.sql.catalyst.plans.logical.Project =>
+      narrowOverMaterialized(pr.child)
+    case fl: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+      narrowOverMaterialized(fl.child)
+    case _ => false
+  }
 
   /** Escape Hadoop-glob metacharacters in a concrete path so
     * `spark.read.parquet(path)` opens the file rather than parsing it as

@@ -736,7 +736,9 @@ final class PartitionedMorTable(
           // minor path: the untouched base files join the staged dir
           // byte-for-byte before adoption
           plans(value).foreach(plan => child(value).copyCarried(plan.carried, p))
-          child(value).adoptBase(p, preps(value).foldedDeltaSeqs)
+          child(value).adoptBase(p, preps(value).foldedDeltaSeqs,
+            Some(org.apache.spark.sql.types.StructType(
+              preps(value).df.schema.filterNot(_.name == "__p").toArray)))
           value
         }.toSet
     // a fully-tombstoned partition stages nothing (its snapshot is empty);

@@ -68,13 +68,20 @@ final class IncrementalJoinPipeline(
     writeTasks: Int = 0) {
 
   // autoCompact=false: states may only compact AFTER the sink commit is
-  // durable, or a replayed batch could not reconstruct pre-batch state
+  // durable, or a replayed batch could not reconstruct pre-batch state.
+  // bloomBits=0: state tables never serve point reads or external engines,
+  // so each compaction skips the stats pass + manifest publication (pure
+  // per-commit driver/job overhead here; the SINK keeps its manifest — its
+  // conditional-upsert fallback point-reads by key).
   val pState = new MorTable(spark, s"$stateDir/person", Seq(personKey),
-    compactionDeltaCommits = 4, autoCompact = false, writePartitions = writeTasks)
+    compactionDeltaCommits = 4, autoCompact = false, writePartitions = writeTasks,
+    bloomBits = 0)
   val tState = new MorTable(spark, s"$stateDir/ticket", Seq(ticketKey),
-    compactionDeltaCommits = 4, autoCompact = false, writePartitions = writeTasks)
+    compactionDeltaCommits = 4, autoCompact = false, writePartitions = writeTasks,
+    bloomBits = 0)
   val hState = new MorTable(spark, s"$stateDir/hist", histKeyCols,
-    compactionDeltaCommits = 4, autoCompact = false, writePartitions = writeTasks)
+    compactionDeltaCommits = 4, autoCompact = false, writePartitions = writeTasks,
+    bloomBits = 0)
   val sink = new MorTable(spark, s"$stateDir/sink", Seq(sinkKey),
     compactionDeltaCommits = sinkCompactionDeltaCommits,
     writePartitions = writeTasks)
@@ -150,22 +157,30 @@ final class IncrementalJoinPipeline(
 
   /** One micro-batch = one commit on every state table + the sink (T1).
     * Any of the three changelogs may be empty. Replaying a committed
-    * batchId is a no-op end-to-end. */
-  def processBatch(dP: DataFrame, dT: DataFrame, dH: DataFrame, batchId: Long): Unit = {
+    * batchId is a no-op end-to-end.
+    *
+    * `hStats` = (row count, non-insert count) of `dH` when the CALLER
+    * already knows them — a WAL source's offset arithmetic, or one
+    * up-front bucketed count over the whole replay log — which skips the
+    * per-batch probe job entirely (at a 1-minute cadence every per-batch
+    * driver job is ~1.4k scheduler round-trips a day). */
+  def processBatch(dP: DataFrame, dT: DataFrame, dH: DataFrame, batchId: Long,
+                   hStats: Option[(Long, Long)] = None): Unit = {
     if (sink.isCommitted(batchId)) return // exactly-once replay guard
 
     // Fast path — the common CDC shape (zpln:2078: history is append-
     // mostly): no dim/ticket changes and only inserts on the fact. Appends
     // cannot retract anything, so the batch needs a delta-sized join plus a
     // conditional upsert, NOT a full recompute of affected persons.
-    // ONE job decides both "all inserts?" and "small enough to point-read
-    // the sink?" (callers cache the micro-batch, so the count is one cheap
-    // cached scan — cheaper than the separate isEmpty probe + limit-count
-    // this replaces).
+    // ONE job (or zero, with caller-supplied stats) decides both "all
+    // inserts?" and "small enough to point-read the sink?".
     if (knownEmpty(dP) && knownEmpty(dT)) {
-      val st = dH.agg(count(lit(1)), count(when(col("op") =!= "I", true))).head()
-      if (st.getLong(1) == 0L) {
-        appendOnlyBatch(dH, st.getLong(0), batchId)
+      val (n, nonI) = hStats.getOrElse {
+        val st = dH.agg(count(lit(1)), count(when(col("op") =!= "I", true))).head()
+        (st.getLong(0), st.getLong(1))
+      }
+      if (nonI == 0L) {
+        appendOnlyBatch(dH, n, batchId)
         return
       }
     }

@@ -76,10 +76,21 @@ object PipelineQueries {
       hist.withColumn("seq", col("hid")), Seq("hid")).localCheckpoint(true)
     val emptyP = ChangelogSource.emptyEnvelope(c, Seq("c_custkey"))
     val emptyT = ChangelogSource.emptyEnvelope(o, Seq("o_orderkey"))
-    ChangelogSource.microBatchBounds(log, 4).zipWithIndex.foreach {
+    val bounds = ChangelogSource.microBatchBounds(log, 4)
+    // per-batch (rows, non-inserts) in ONE bucketed pass over the pinned
+    // log — the caller-supplied stats hint that spares processBatch its
+    // per-batch probe job (4 jobs per replay; 1.4k/day at a 1-min cadence)
+    val bucket = bounds.zipWithIndex.foldLeft(lit(-1)) {
+      case (acc, ((s, e), i)) => when(col("seq").between(s, e), lit(i)).otherwise(acc)
+    }
+    val batchStats = log.groupBy(bucket.as("__b"))
+      .agg(count(lit(1)).as("n"), count(when(col("op") =!= "I", true)).as("nu"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    bounds.zipWithIndex.foreach {
       case ((s, e), i) =>
         val dH = log.filter(col("seq").between(s, e)).localCheckpoint(true)
-        pipe.processBatch(emptyP, emptyT, dH, batchId = i + 1L)
+        pipe.processBatch(emptyP, emptyT, dH, batchId = i + 1L,
+          hStats = Some(batchStats.getOrElse(i, (0L, 0L))))
     }
     graft.TempDirs.materializeAndDelete(
       pipe.sink.read().select("full_name", "id", "price", "ts_ms"), pipePath)
