@@ -208,19 +208,25 @@ object GraftProcedureCatalog {
           Seq(f, mn.orNull, mx.orNull)
         }
       }),
-    Proc("show_policy", "declared write/compaction policy (persisted, inherited by fresh handles)",
+    Proc("show_policy", "declared write/compaction/clustering policy (persisted, inherited by fresh handles)",
       Seq(in("table", StringType)),
       StructType(Seq(
         StructField("delta_commits", IntegerType, nullable = false),
         StructField("delta_seconds", LongType, nullable = false),
         StructField("write_tasks", IntegerType, nullable = false),
-        StructField("target_file_mb", IntegerType, nullable = false))),
+        StructField("target_file_mb", IntegerType, nullable = false),
+        StructField("zorder_cols", StringType, nullable = false),
+        StructField("cluster_every", IntegerType, nullable = false),
+        StructField("clean_every", IntegerType, nullable = false),
+        StructField("savepoint_ttl_seconds", LongType, nullable = false))),
       { case Seq(tbl: String) =>
         val path = resolve(tbl).fold(_.path, _.path)
         val p = MorTable.readPolicy(SparkSession.active, path)
           .getOrElse(MorTable.Policy())
         Seq(Seq(Int.box(p.deltaCommits), Long.box(p.deltaSeconds),
-          Int.box(p.writeTasks), Int.box(p.targetFileMB)))
+          Int.box(p.writeTasks), Int.box(p.targetFileMB),
+          p.zorderCols.mkString(","), Int.box(p.clusterEvery),
+          Int.box(p.cleanEvery), Long.box(p.savepointTTLSeconds)))
       }),
     Proc("export_snapshot", "write the current snapshot to a plain parquet directory (Hudi snapshot-exporter analog)",
       Seq(in("table", StringType), in("path", StringType)),

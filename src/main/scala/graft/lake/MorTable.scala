@@ -1616,6 +1616,20 @@ final class MorTable(
   def releaseSavepoint(name: String): Boolean =
     fs.delete(new Path(hPath, s"savepoint/$name.json"), false)
 
+  /** Savepoint-TTL housekeeping (the service cadence verb): release every
+    * savepoint whose pin file is older than `ttlMs` (file mtime — the pin
+    * is written once at creation). Returns the released names. */
+  def releaseSavepointsOlderThan(ttlMs: Long,
+                                 nowMs: Long = System.currentTimeMillis()): Seq[String] = {
+    val dir = new Path(hPath, "savepoint")
+    if (ttlMs <= 0 || !fs.exists(dir)) return Nil
+    fs.listStatus(dir).toSeq
+      .filter(st => st.getPath.getName.endsWith(".json") &&
+        nowMs - st.getModificationTime > ttlMs)
+      .map(_.getPath.getName.stripSuffix(".json"))
+      .filter(releaseSavepoint).sorted
+  }
+
   /** Restore to savepoint `name` (Hudi restore-to-savepoint): [[rollback]]
     * to its pinned seq. Savepoints above the target are released by the
     * rollback itself. Returns #instants rolled back. */
@@ -1928,9 +1942,27 @@ object MorTable {
     * handle (SQL catalog resolution, DataFrame writer) inherits the
     * declared cadence instead of silently reverting to defaults. */
   final case class Policy(deltaCommits: Int = 2, deltaSeconds: Long = 120L,
-                          writeTasks: Int = 0, targetFileMB: Int = 0) {
-    def toJson: String =
-      s"""{"deltaCommits":$deltaCommits,"deltaSeconds":$deltaSeconds,"writeTasks":$writeTasks,"targetFileMB":$targetFileMB}"""
+                          writeTasks: Int = 0, targetFileMB: Int = 0,
+                          /** Async-clustering declaration (the Hudi
+                            * `clustering.async.enabled` + sort-columns
+                            * analog): every `clusterEvery`th compacting
+                            * service tick runs a z-order clustering
+                            * compaction on these columns instead of the
+                            * plain key compaction. */
+                          zorderCols: Seq[String] = Nil,
+                          clusterEvery: Int = 0,
+                          /** Service housekeeping cadences: clean() after
+                            * every Nth compacting tick; savepoints older
+                            * than the TTL auto-release. 0 = never. */
+                          cleanEvery: Int = 0,
+                          savepointTTLSeconds: Long = 0L) {
+    def toJson: String = {
+      val z = zorderCols.map(c => "\"" + jsEscape(c) + "\"").mkString(",")
+      s"""{"deltaCommits":$deltaCommits,"deltaSeconds":$deltaSeconds,""" +
+        s""""writeTasks":$writeTasks,"targetFileMB":$targetFileMB,""" +
+        s""""zorderCols":[$z],"clusterEvery":$clusterEvery,""" +
+        s""""cleanEvery":$cleanEvery,"savepointTTLSeconds":$savepointTTLSeconds}"""
+    }
   }
 
   /** Persist `p` as the table's policy (atomic tmp+rename; a matching
@@ -1959,10 +1991,17 @@ object MorTable {
     val json = new String(readFully(fs, p), StandardCharsets.UTF_8)
     def num(k: String): Option[String] =
       ("\"" + k + "\":(-?\\d+)").r.findFirstMatchIn(json).map(_.group(1))
+    val zc = "\"zorderCols\":\\[([^\\]]*)\\]".r.findFirstMatchIn(json).toSeq
+      .flatMap(m => ("\"" + jsEscapedRe + "\"").r.findAllMatchIn(m.group(1))
+        .map(x => jsUnescape(x.group(1))))
     for {
       dc <- num("deltaCommits"); ds <- num("deltaSeconds"); wt <- num("writeTasks")
     } yield Policy(dc.toInt, ds.toLong, wt.toInt,
-      num("targetFileMB").map(_.toInt).getOrElse(0))
+      num("targetFileMB").map(_.toInt).getOrElse(0),
+      zc,
+      num("clusterEvery").map(_.toInt).getOrElse(0),
+      num("cleanEvery").map(_.toInt).getOrElse(0),
+      num("savepointTTLSeconds").map(_.toLong).getOrElse(0L))
   }
 
   /** Open `path` honoring its persisted — or newly `declared` — policy:

@@ -897,6 +897,41 @@ final class PartitionedMorTable(
     fs.delete(new Path(hPath, s"_savepoint/$name.json"), false)
   }
 
+  /** Savepoint-TTL housekeeping, parent form ([[MorTable
+    * .releaseSavepointsOlderThan]]): parent pins older than `ttlMs` (file
+    * mtime) release, child pins included. Returns the released names. */
+  def releaseSavepointsOlderThan(ttlMs: Long,
+                                 nowMs: Long = System.currentTimeMillis()): Seq[String] = {
+    val dir = new Path(hPath, "_savepoint")
+    if (ttlMs <= 0 || !fs.exists(dir)) return Nil
+    fs.listStatus(dir).toSeq
+      .filter(st => st.getPath.getName.endsWith(".json") &&
+        nowMs - st.getModificationTime > ttlMs)
+      .map(_.getPath.getName.stripSuffix(".json"))
+      .filter(releaseSavepoint).sorted
+  }
+
+  /** Z-order clustering across partitions — the async-clustering service
+    * verb (`compactZOrder` per child): children whose num_or_time trigger
+    * is due (`dueOnly`, the service cadence) or ALL children (an explicit
+    * `CALL`-style rewrite) re-cluster their base on `zCols`; the parent
+    * external manifest regenerates once after. Per-child staged writes —
+    * clustering rewrites each child's base anyway, and only churned
+    * children pay (the per-partition independence that makes partitioned
+    * clustering O(churn), not O(table)). Returns the clustered values. */
+  def compactZOrderPartitions(zCols: Seq[String], bits: Int = 8,
+                              dueOnly: Boolean = true,
+                              nowMs: Long = System.currentTimeMillis()): Seq[String] = {
+    val all = partitions()
+    val due =
+      if (dueOnly) all.zip(parChildren(all)(_.compactionDue(nowMs)))
+        .collect { case (v, true) => v }
+      else all
+    due.foreach(v => child(v).compactZOrder(zCols, bits))
+    if (due.nonEmpty) writeParentManifest()
+    due
+  }
+
   /** RESTORE to a parent savepoint: each pinned child rolls back to its
     * pin ([[MorTable.restore]] — physical rollback, above-pin savepoints
     * released), partitions born AFTER the pin are deleted outright, parent

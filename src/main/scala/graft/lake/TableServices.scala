@@ -99,11 +99,27 @@ object TableServices {
   /** Service for a single table: num_or_time compaction check each tick;
     * `cleanEvery` > 0 additionally runs [[MorTable.clean]] after every Nth
     * compaction (0 = never — the safe default when multi-table batches may
-    * still recovery-read old deltas). */
-  def apply(t: MorTable, periodMs: Long = 60000L, cleanEvery: Int = 0): TableServices = {
+    * still recovery-read old deltas). `zorderCols` + `clusterEvery` > 0
+    * turn every Nth COMPACTING tick into a z-order clustering compaction
+    * (the Hudi async-clustering analog — same due-trigger, different
+    * layout); `savepointTtlMs` > 0 releases stale savepoint pins each
+    * tick (savepoint-TTL housekeeping). */
+  def apply(t: MorTable, periodMs: Long = 60000L, cleanEvery: Int = 0,
+            zorderCols: Seq[String] = Nil, clusterEvery: Int = 0,
+            savepointTtlMs: Long = 0L): TableServices = {
     val sinceClean = new AtomicInteger(0)
+    val compacting = new AtomicInteger(0)
     new TableServices(() => {
-      val did = t.maybeCompact()
+      if (savepointTtlMs > 0) { t.releaseSavepointsOlderThan(savepointTtlMs); () }
+      val clusterTick = zorderCols.nonEmpty && clusterEvery > 0 &&
+        (compacting.get() + 1) % clusterEvery == 0
+      val did =
+        if (clusterTick) {
+          val due = t.compactionDue()
+          if (due) t.compactZOrder(zorderCols)
+          due
+        } else t.maybeCompact()
+      if (did) compacting.incrementAndGet()
       if (did && cleanEvery > 0 && sinceClean.incrementAndGet() >= cleanEvery) {
         sinceClean.set(0)
         t.clean()
@@ -115,11 +131,23 @@ object TableServices {
   /** Service for a partitioned table: due children compact in ONE batched
     * staged write per tick ([[PartitionedMorTable.maybeCompact]]);
     * `cleanEvery` > 0 also cleans children + parent timeline after every
-    * Nth compacting tick. */
-  def apply(p: PartitionedMorTable, periodMs: Long, cleanEvery: Int): TableServices = {
+    * Nth compacting tick. Clustering/savepoint-TTL cadences as in the
+    * unpartitioned form — a cluster tick re-clusters the DUE children
+    * ([[PartitionedMorTable.compactZOrderPartitions]], O(churned
+    * partitions)). */
+  def apply(p: PartitionedMorTable, periodMs: Long, cleanEvery: Int,
+            zorderCols: Seq[String], clusterEvery: Int,
+            savepointTtlMs: Long): TableServices = {
     val sinceClean = new AtomicInteger(0)
+    val compacting = new AtomicInteger(0)
     new TableServices(() => {
-      val did = p.maybeCompact().nonEmpty
+      if (savepointTtlMs > 0) { p.releaseSavepointsOlderThan(savepointTtlMs); () }
+      val clusterTick = zorderCols.nonEmpty && clusterEvery > 0 &&
+        (compacting.get() + 1) % clusterEvery == 0
+      val did =
+        if (clusterTick) p.compactZOrderPartitions(zorderCols).nonEmpty
+        else p.maybeCompact().nonEmpty
+      if (did) compacting.incrementAndGet()
       if (did && cleanEvery > 0 && sinceClean.incrementAndGet() >= cleanEvery) {
         sinceClean.set(0)
         p.clean()
@@ -127,5 +155,29 @@ object TableServices {
       }
       did
     }, periodMs)
+  }
+
+  def apply(p: PartitionedMorTable, periodMs: Long, cleanEvery: Int): TableServices =
+    apply(p, periodMs, cleanEvery, Nil, 0, 0L)
+
+  /** Service wired from the table's PERSISTED policy (the `CREATE TABLE …
+    * WITH (…)` declaration surface): clustering columns/cadence, clean
+    * cadence and savepoint TTL all come from `manifest/policy.json`, so
+    * the maintenance daemon a deployment runs needs only the table path —
+    * exactly how the reference declares compaction on its Hudi sinks
+    * (zpln:292). */
+  def fromPolicy(spark: org.apache.spark.sql.SparkSession, t: MorTable,
+                 periodMs: Long = 60000L): TableServices = {
+    val pol = MorTable.readPolicy(spark, t.path).getOrElse(MorTable.Policy())
+    apply(t, periodMs, pol.cleanEvery, pol.zorderCols, pol.clusterEvery,
+      pol.savepointTTLSeconds * 1000L)
+  }
+
+  /** [[fromPolicy]], partitioned form. */
+  def fromPolicy(spark: org.apache.spark.sql.SparkSession, p: PartitionedMorTable,
+                 periodMs: Long): TableServices = {
+    val pol = MorTable.readPolicy(spark, p.path).getOrElse(MorTable.Policy())
+    apply(p, periodMs, pol.cleanEvery, pol.zorderCols, pol.clusterEvery,
+      pol.savepointTTLSeconds * 1000L)
   }
 }

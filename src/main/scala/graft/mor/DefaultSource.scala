@@ -81,9 +81,17 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
     val ds = parameters.get("compaction.delta_seconds").map(_.trim.toLong)
     val wt = parameters.get("write.tasks").map(_.trim.toInt)
     val tf = parameters.get("target.file.mb").map(_.trim.toInt)
-    if (dc.isEmpty && ds.isEmpty && wt.isEmpty && tf.isEmpty) None
+    // async-clustering / housekeeping declarations (the service cadences —
+    // TableServices.fromPolicy schedules them)
+    val zc = parameters.get("clustering.zorder_cols")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+    val ce = parameters.get("clustering.every_commits").map(_.trim.toInt)
+    val cl = parameters.get("clean.every_compactions").map(_.trim.toInt)
+    val sp = parameters.get("savepoint.ttl_seconds").map(_.trim.toLong)
+    if (Seq(dc, ds, wt, tf, zc, ce, cl, sp).forall(_.isEmpty)) None
     else Some(MorTable.Policy(dc.getOrElse(2), ds.getOrElse(120L),
-      wt.getOrElse(0), tf.getOrElse(0)))
+      wt.getOrElse(0), tf.getOrElse(0),
+      zc.getOrElse(Nil), ce.getOrElse(0), cl.getOrElse(0), sp.getOrElse(0L)))
   }
 
   override def createRelation(sqlContext: SQLContext,

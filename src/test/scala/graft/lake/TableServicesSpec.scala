@@ -94,6 +94,71 @@ class TableServicesSpec extends AnyFunSuite {
     assert(!svc.runOnce(), "freshly compacted — nothing due")
   }
 
+  test("policy-driven async clustering: live writer + background z-order == direct filter") {
+    // the s40 shape as a SERVICE: the policy declares z-order columns and
+    // a cluster-every-2nd-compaction cadence; a foreground writer keeps
+    // upserting while deterministic service ticks compact — every 2nd
+    // compacting tick re-clusters on (v, w). The multi-column range read
+    // must stay exact AND actually prune files.
+    val path = TestSpark.tmpDir("svc-zorder")
+    val declared = MorTable.Policy(deltaCommits = 2, zorderCols = Seq("v", "w"),
+      clusterEvery = 2, cleanEvery = 0, savepointTTLSeconds = 3600L)
+    val t = new MorTable(spark, path, Seq("k"), compactionDeltaCommits = 2,
+      autoCompact = false, writePartitions = 4)
+    MorTable.writePolicy(spark, path, declared)
+    assert(MorTable.readPolicy(spark, path).contains(declared),
+      "clustering policy must round-trip through manifest/policy.json")
+    val svc = TableServices.fromPolicy(spark, t)
+    def wrows(lo: Int, hi: Int) =
+      (lo until hi).map(i => (s"k$i%04d".format(i), i % 97, (i * 7) % 89, i))
+        .toDF("k", "v", "w", "ord")
+    var batch = 1L
+    for (i <- 0 until 6) {
+      t.upsert(wrows(i * 100, i * 100 + 150), Seq(col("ord")), batchId = batch)
+      batch += 1
+      svc.runOnce()
+    }
+    assert(svc.compactionsRun >= 2, "cadence must have compacted more than once")
+    // at least one compaction was a z-order one: the newest manifest
+    // carries per-file (v, w) colstats
+    val box = t.readForColRanges(Seq(("v", 10.0, 40.0), ("w", 5.0, 60.0)))
+    val direct = t.read().filter(col("v") >= 10 && col("v") < 40 &&
+      col("w") >= 5 && col("w") < 60)
+    assert(box.orderBy("k").collect().toSeq == direct.orderBy("k").collect().toSeq,
+      "service clustering changed the layout, never the answer")
+    assert(box.count() > 0)
+    // savepoint TTL: a pre-aged pin releases on the next tick
+    t.savepoint("old_pin")
+    val f = new java.io.File(s"$path/savepoint/old_pin.json")
+    assert(f.setLastModified(System.currentTimeMillis() - 7200 * 1000L))
+    svc.runOnce()
+    assert(!t.savepoints().contains("old_pin"),
+      "savepoint past the declared TTL must auto-release")
+  }
+
+  test("partitioned policy clustering: due children re-cluster, answers exact") {
+    val path = TestSpark.tmpDir("svc-pzorder")
+    val t = new PartitionedMorTable(spark, path, Seq("k"), "p",
+      compactionDeltaCommits = 2, autoCompact = false, writePartitions = 4)
+    val svc = TableServices(t, 60000L, cleanEvery = 0,
+      zorderCols = Seq("v", "w"), clusterEvery = 1, savepointTtlMs = 0L)
+    def wrows(lo: Int, hi: Int, p: String) =
+      (lo until hi).map(i => (s"k$i%04d".format(i), p, i % 97, (i * 7) % 89))
+        .toDF("k", "p", "v", "w")
+    t.upsert(wrows(0, 200, "a").unionByName(wrows(0, 100, "b")),
+      Seq(col("v")), batchId = 1L)
+    t.upsert(wrows(100, 300, "a"), Seq(col("v")), batchId = 2L)
+    // child a has 2 commits (due) — the cluster tick re-clusters it;
+    // child b has 1 (not due) — untouched
+    assert(svc.runOnce(), "due child must cluster")
+    assert(t.child("a").timeline().exists(_.kind == "compact"))
+    assert(!t.child("b").timeline().exists(_.kind == "compact"))
+    val got = t.read().collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val want = ((0 until 300).map(i => (s"k$i%04d".format(i), "a")) ++
+      (0 until 100).map(i => (s"k$i%04d".format(i), "b"))).toSet
+    assert(got == want, "clustered child keeps exact LWW content")
+  }
+
   test("failure policy: a throwing cycle records the error and the service continues") {
     var calls = 0
     val svc = TableServices.custom(() => {
