@@ -103,7 +103,22 @@ object DebeziumSource {
     * O(changes), so the single-file collapse is delta-sized, never
     * table-sized. */
   def writeJsonSegment(changelog: DataFrame, table: String,
-                       watchDir: String, segment: Long): String = {
+                       watchDir: String, segment: Long): String =
+    writeJsonSegments(Seq(changelog -> segment), table, watchDir).head
+
+  /** Batched outbound export: publish MANY segments in ONE cluster job.
+    * The per-commit form costs a write job + staging listing PER segment —
+    * at production commit counts (1.4k commits/day at a 1-min cadence)
+    * that is the driver-job tax the export side must not pay. Here every
+    * changelog unions under its segment tag, ONE `partitionBy(segment)`
+    * text write stages all files (rows seq-sorted within each segment),
+    * and the staged parts rename into place IN ASCENDING SEGMENT ORDER —
+    * so a consumer listing mid-publish always observes a clean segment
+    * PREFIX, the same rename-then-offset contract as the single form.
+    * Returns the published paths, segment order. */
+  def writeJsonSegments(segments: Seq[(DataFrame, Long)], table: String,
+                        watchDir: String): Seq[String] = {
+    require(segments.nonEmpty, "writeJsonSegments needs at least one segment")
     val line = to_json(struct(struct(
       when(col("op") === ChangelogSource.OpInsert, "c")
         .when(col("op") === ChangelogSource.OpUpdate, "u")
@@ -112,19 +127,34 @@ object DebeziumSource {
       col("after").as("after"),
       struct(lit(table).as("table"), col("seq").as("lsn"),
         col("seq").as("ts_ms")).as("source")).as("payload")))
-    val spark = changelog.sparkSession
-    val tmp = graft.TempDirs.create(s"dbz-export-$segment")
-    changelog.orderBy("seq").select(line.as("value"))
-      .coalesce(1).write.mode("overwrite").text(tmp)
+    val spark = segments.head._1.sparkSession
+    val tmp = graft.TempDirs.create("dbz-export")
+    segments.map { case (changelog, seg) =>
+        changelog.select(line.as("value"), lit(seg).as("__seg"), col("seq").as("__ord"))
+      }.reduce(_.unionByName(_))
+      // one staged file per segment: hash co-locates each segment's rows,
+      // the sort keeps the wire's LSN order inside its file
+      .repartition(math.min(segments.size, 32), col("__seg"))
+      .sortWithinPartitions(col("__seg"), col("__ord"))
+      .drop("__ord")
+      .write.mode("overwrite").partitionBy("__seg").text(tmp)
     val fs = new org.apache.hadoop.fs.Path(watchDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new org.apache.hadoop.fs.Path(watchDir))
-    val part = new java.io.File(tmp).listFiles()
-      .find(_.getName.endsWith(".txt"))
-      .getOrElse(throw new IllegalStateException(s"no text part in $tmp"))
-    val dst = new org.apache.hadoop.fs.Path(watchDir, f"segment-$segment%09d.jsonl")
-    if (!fs.rename(new org.apache.hadoop.fs.Path(part.getAbsolutePath), dst))
-      throw new java.io.IOException(s"segment publish rename failed: $dst")
-    dst.toString
+    segments.map(_._2).sorted.map { seg =>
+      val dir = new java.io.File(s"$tmp/__seg=$seg")
+      val parts = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".txt")).sortBy(_.getName)
+      require(parts.length <= 1, s"segment $seg staged ${parts.length} parts")
+      val dst = new org.apache.hadoop.fs.Path(watchDir, f"segment-$seg%09d.jsonl")
+      parts.headOption match {
+        case Some(part) =>
+          if (!fs.rename(new org.apache.hadoop.fs.Path(part.getAbsolutePath), dst))
+            throw new java.io.IOException(s"segment publish rename failed: $dst")
+        case None => // empty changelog: publish an empty segment (offset still advances)
+          val out = fs.create(dst, false); out.close()
+      }
+      dst.toString
+    }
   }
 }
