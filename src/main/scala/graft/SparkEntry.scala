@@ -131,6 +131,7 @@ object SparkEntry {
     "d11_minhash_union"   -> ((s, d) => graft.functions.LlmQueries.minhashGroupsPortable(s, d)),
     "d12_dedup_clusters"  -> ((s, d) => graft.functions.LlmQueries.dedupClusters(s, d)),
     "d13_embed_neardup_portable" -> ((s, d) => graft.functions.LlmQueries.embedNearDupPortable(s, d)),
+    "d28_embed_neardup_lsh" -> ((s, d) => graft.functions.LlmQueries.embedNearDupLshPortable(s, d)),
     "t8_curation_pipeline" -> ((s, d) => graft.functions.LlmQueries.curationPipeline(s, d)),
     "t9_sequence_pack"    -> ((s, d) => graft.functions.LlmQueries.sequencePack(s, d)),
     "s23_embed_quant"     -> ((s, d) => graft.functions.LlmQueries.embedQuantize(s, d)),
@@ -1270,6 +1271,32 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY lang
         |  ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT,
         |           doc_id) <= 25""".stripMargin,
+    "d28_embed_neardup_lsh" ->
+      """WITH p AS (
+        |  SELECT t.t, j.j,
+        |         list_transform(range(0, 64), i ->
+        |           ((('0x' || substr(md5('p#' || t.t || '#' || j.j || '#' || i), 1, 8))::BIGINT
+        |             % 2000000) - 1000000) / 1000000.0) AS pl
+        |  FROM range(0, 4) t(t), range(0, 8) j(j)
+        |), b AS (
+        |  SELECT e.vec_id, p.t,
+        |         sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.pl) > 0
+        |             THEN (1 << p.j) ELSE 0 END)::BIGINT AS bucket
+        |  FROM embeddings e CROSS JOIN p
+        |  GROUP BY e.vec_id, p.t
+        |), cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+        |  FROM b a JOIN b c ON a.t = c.t AND a.bucket = c.bucket
+        |  WHERE a.vec_id < c.vec_id
+        |)
+        |SELECT cand.id_a, cand.id_b,
+        |       round(list_cosine_similarity(ea.embedding::DOUBLE[],
+        |                                    eb.embedding::DOUBLE[]), 6) AS cos_sim
+        |FROM cand
+        |JOIN embeddings ea ON ea.vec_id = cand.id_a
+        |JOIN embeddings eb ON eb.vec_id = cand.id_b
+        |WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[],
+        |                                   eb.embedding::DOUBLE[]), 6) >= 0.4""".stripMargin,
     "d13_embed_neardup_portable" ->
       """WITH c AS (
         |  SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cv

@@ -342,6 +342,13 @@ object LlmQueries {
     Similarity.embeddingNearDupFixed(Tables.embeddings(spark, dir),
       threshold = 0.4, nCells = 8, nProbe = 2)
 
+  /** The sign-LSH near-dup PATH under oracle check (gate d28): the d4
+    * production plan shape through [[Similarity.embeddingNearDupPortable]]
+    * (md5 planes — the s20 family), DuckDB-reproducible bit-for-bit. */
+  def embedNearDupLshPortable(spark: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDupPortable(Tables.embeddings(spark, dir),
+      threshold = 0.4, planes = 8, tables = 4)
+
   /** Near-dup pairs → duplicate clusters: connected components over the
     * oracle-checked d8 pair graph (portable md5 family), so the DuckDB
     * recursive-CTE oracle reproduces the exact same clusters the

@@ -530,8 +530,35 @@ object Similarity {
                        planes: Int = 8, tables: Int = 4,
                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     registerOn(corpus)
-    val c = corpus.select(col(idCol), col(vecCol),
-      posexplode(lshBuckets(col(vecCol), planes, tables)))
+    nearDupViaBuckets(corpus, lshBuckets(col(vecCol), planes, tables),
+      threshold, idCol, vecCol)
+  }
+
+  /** [[embeddingNearDup]] — the SAME bucketed plan shape (posexplode →
+    * (table, bucket) self-equi-join → exact cosine verify) — over
+    * md5-derived PORTABLE hyperplanes ([[graft.functions.expr
+    * .LshBucketsMd5]], the s20 plane family), so a DuckDB oracle rebuilds
+    * the identical buckets, candidate pairs, and verified output
+    * bit-for-bit: the production sign-LSH near-dup PATH itself is
+    * oracle-checked, not a stand-in (gate `d28`; the xxhash family stays
+    * the production default). */
+  def embeddingNearDupPortable(corpus: DataFrame, threshold: Double = 0.4,
+                               planes: Int = 8, tables: Int = 4,
+                               idCol: String = "vec_id",
+                               vecCol: String = "embedding"): DataFrame = {
+    registerOn(corpus)
+    nearDupViaBuckets(corpus,
+      call_function("lsh_buckets_md5", col(vecCol), lit(planes), lit(tables)),
+      threshold, idCol, vecCol)
+  }
+
+  /** Shared bucketed near-dup core: pairs sharing ANY table's bucket are
+    * compared exactly; id_a < id_b; pairs dedup across tables BEFORE the
+    * threshold filter (one first() agg). */
+  private def nearDupViaBuckets(corpus: DataFrame, buckets: Column,
+                                threshold: Double, idCol: String,
+                                vecCol: String): DataFrame = {
+    val c = corpus.select(col(idCol), col(vecCol), posexplode(buckets))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
     val a = c.select(col(idCol).as("id_a"), col(vecCol).as("va"), col("table"), col("bucket"))
     val b = c.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("table"), col("bucket"))
