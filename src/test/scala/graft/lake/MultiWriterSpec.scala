@@ -326,4 +326,67 @@ class MultiWriterSpec extends AnyFunSuite {
       .map(_.getName).filter(_.endsWith(".inflight"))
     assert(leftover.isEmpty, leftover.mkString(","))
   }
+
+  test("concurrent upsertIfNew x upsertIfNew: disjoint writers' proofs stay truthful under compaction") {
+    // Two uncoordinated writers race DISJOINT new-key batches through the
+    // write-path newness proof while a third handle compacts (manifests —
+    // the proof's pruning source — churn underneath the probes). The
+    // insert-only contract's one untestable shape is same-key racers (the
+    // documented Hudi table-lock caveat, excluded by contract); for
+    // disjoint racers every flag must stay truthful: no commit may be
+    // flagged insertOnly while holding a key that was LIVE at its probe,
+    // the LWW-window-skip read must see exactly one row per key, and an
+    // EXISTING-key probe issued after the storm must still refuse.
+    val path = tmp()
+    def handle() = MorTable(spark, path, Seq("uuid"),
+      compactionDeltaCommits = 1000)
+    handle().upsert((0 until 50).map(i => (s"seed$i", -1)).toDF("uuid", "v"),
+      Nil, batchId = 0L)
+    handle().compact() // manifest publishes bounds + blooms for the probes
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    def writer(tag: String, base: Int) = Future {
+      val h = handle()
+      (1 to 12).map { i =>
+        // each batch: genuinely new keys, disjoint from the other writer
+        h.upsertIfNew((0 until 5).map(j => (s"$tag${base + i}_$j", i))
+          .toDF("uuid", "v"), Nil, batchId = -1L)
+      }
+    }
+    val wa = writer("a", 100)
+    val wb = writer("b", 500)
+    val compactor = Future {
+      val h = handle()
+      (1 to 6).foreach { _ => h.compact() }
+    }
+    val provenA = Await.result(wa, 300.seconds)
+    val provenB = Await.result(wb, 300.seconds)
+    Await.result(compactor, 300.seconds)
+    val t = handle()
+    // every batch WAS new-keyed; a probe may conservatively refuse (bloom
+    // fpp, fail-closed paths) but most must prove — and none may lie
+    assert((provenA ++ provenB).count(identity) >= 12,
+      s"newness proofs almost never succeed: $provenA $provenB")
+    // no duplicate keys anywhere: the flags never lied to the merge-skip
+    val rows = t.read().collect().map(_.getString(0))
+    assert(rows.length == rows.distinct.length,
+      s"duplicate keys after concurrent insert-only commits")
+    assert(rows.length == 50 + 2 * 12 * 5)
+    // flags truthful per instant: re-derive each flagged commit's keys and
+    // check them against ALL OTHER commits' keys (disjointness) — an
+    // insertOnly commit sharing a key with any other commit would be a lie
+    val deltas = t.timeline().filter(_.kind == "delta")
+    val keysBySeq = deltas.map(d => d.seq ->
+      spark.read.parquet(s"$path/delta/${d.seq}")
+        .select("_record_key").collect().map(_.getString(0)).toSet).toMap
+    for (d <- deltas if d.insertOnly; other <- deltas if other.seq != d.seq) {
+      val shared = keysBySeq(d.seq).intersect(keysBySeq(other.seq))
+      assert(shared.isEmpty,
+        s"insertOnly commit ${d.seq} shares keys with ${other.seq}: $shared")
+    }
+    // post-storm: an existing key still refuses, a fresh one still proves
+    assert(!handle().upsertIfNew(Seq(("seed7", 9)).toDF("uuid", "v"), Nil, -1L))
+    assert(handle().upsertIfNew(Seq(("brand_new", 9)).toDF("uuid", "v"), Nil, -1L))
+  }
 }
