@@ -948,6 +948,14 @@ final class MorTable(
     spark.read.parquet(MorTable.globSafe(
       new Path(hPath, s"manifest/stats/$seq").toString))
 
+  /** (base seq, stats-relation dir, file count) of the latest compact's
+    * sharded manifest, if one exists — what [[PartitionedMorTable]]'s
+    * parent manifest unions cluster-side instead of listing every child's
+    * files on the driver. */
+  private[lake] def latestManifestInfo(): Option[(Long, String, Int)] =
+    liveDeltas(timeline())._1.flatMap(c => manifestHeader(c.seq).map(h =>
+      (c.seq, s"$path/manifest/stats/${c.seq}", h.fileCount)))
+
   /** The listed base files of compact `seq` — the conservative ground
     * truth every pruner starts from (base dirs are immutable once
     * adopted, so the listing equals the manifest's view). */
@@ -1916,14 +1924,22 @@ object MorTable {
       .filter(_.matches("\\d+\\.json")).map(_.stripSuffix(".json").toLong).max
     val json = new String(readFully(fs, new Path(dir, s"$latest.json")),
       StandardCharsets.UTF_8)
-    // parse the "files" ARRAY, not every .parquet-ish string in the
-    // document — stats entries may also carry file paths
+    // listing source, by manifest form: inline `files` array (small
+    // tables), a `filesDir` parquet listing (sharded parent manifests),
+    // or the stats relation's `file` column (sharded child manifests)
+    val filesDirRe = ("\"filesDir\":\"" + jsEscapedRe + "\"").r
     val files = "\"files\":\\[([^\\]]*)\\]".r.findFirstMatchIn(json) match {
       case Some(m) =>
-        "\"([^\"]+\\.parquet)\"".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq
-      case None => // sharded header: listing lives in the stats relation
-        spark.read.parquet(globSafe(new Path(dir, s"stats/$latest").toString))
-          .select("file").collect().map(_.getString(0)).toSeq.sorted
+        ("\"" + jsEscapedRe + "\"").r.findAllMatchIn(m.group(1))
+          .map(x => jsUnescape(x.group(1))).filter(_.endsWith(".parquet")).toSeq
+      case None => filesDirRe.findFirstMatchIn(json) match {
+        case Some(m) =>
+          spark.read.parquet(globSafe(new Path(dir, jsUnescape(m.group(1))).toString))
+            .select("file").collect().map(_.getString(0)).toSeq.sorted
+        case None => // sharded child header: listing lives in the stats relation
+          spark.read.parquet(globSafe(new Path(dir, s"stats/$latest").toString))
+            .select("file").collect().map(_.getString(0)).toSeq.sorted
+      }
     }
     val raw = spark.read.parquet(globSafe(files): _*)
     val live = if (raw.columns.contains("_deleted")) raw.filter(!col("_deleted")) else raw

@@ -766,19 +766,44 @@ final class PartitionedMorTable(
     * source of truth). */
   private def writeParentManifest(): Unit =
     try {
-      val bases = parChildren(partitions())(_.liveScanDirs()._1).flatten
+      val infos = parChildren(partitions())(c =>
+        (c.liveScanDirs()._1, c.latestManifestInfo()))
+      val bases = infos.flatMap(_._1)
       if (bases.isEmpty) return
       val token = parentTimeline().lastOption.map(_.seq).getOrElse(0L)
       val dir = new Path(hPath, "manifest")
       fs.mkdirs(dir)
       val dst = new Path(dir, s"$token.json")
       if (!fs.exists(dst)) { // manifests are immutable; same token → same bases
-        val files = bases.flatMap { d =>
-          fs.listStatus(new Path(d)).toSeq.map(_.getPath)
-            .filter(_.getName.endsWith(".parquet")).map(_.toString)
-        }.sorted
-        val json = s"""{"token":$token,"filter":"_deleted = false",""" +
-          s""""files":[${files.map("\"" + _ + "\"").mkString(",")}]}"""
+        // SHARDED parent listing (the child-manifest regime split, parent
+        // form): when every compacted child carries a sharded manifest and
+        // the total file count is past the driver threshold, the parent
+        // listing is ONE cluster-side union of the children's stats
+        // relations' `file` columns written as parquet — 10⁶ file paths
+        // never assemble into a driver-side string. Small tables keep the
+        // inline `files` array (bounded, zero extra jobs — DROP PARTITION
+        // stays metadata-only at gate scale).
+        val statsInfos = infos.flatMap(_._2)
+        val totalFiles = statsInfos.map(_._3.toLong).sum
+        val json =
+          if (statsInfos.size == bases.size &&
+              totalFiles > MorTable.smallManifestFiles) {
+            val filesDir = new Path(dir, s"files/$token")
+            statsInfos.map { case (_, sdir, _) =>
+              spark.read.parquet(MorTable.globSafe(sdir)).select("file") }
+              .reduce(_.unionByName(_))
+              .coalesce(math.max(1, (totalFiles / 65536L).toInt))
+              .write.mode("overwrite").parquet(filesDir.toString)
+            s"""{"token":$token,"filter":"_deleted = false","fileCount":$totalFiles,""" +
+              s""""filesDir":"files/$token"}"""
+          } else {
+            val files = bases.flatMap { d =>
+              fs.listStatus(new Path(d)).toSeq.map(_.getPath)
+                .filter(_.getName.endsWith(".parquet")).map(_.toString)
+            }.sorted
+            s"""{"token":$token,"filter":"_deleted = false",""" +
+              s""""files":[${files.map("\"" + MorTable.jsEscape(_) + "\"").mkString(",")}]}"""
+          }
         val tmp = new Path(dir, s".$token.json.tmp")
         val out = fs.create(tmp, true)
         try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))

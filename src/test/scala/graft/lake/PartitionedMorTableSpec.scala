@@ -392,6 +392,38 @@ class PartitionedMorTableSpec extends AnyFunSuite {
     assert(t.parentTimeline().last.seq == token)
   }
 
+  test("sharded parent manifest: listing unions child stats relations, no driver string") {
+    val prev = MorTable.smallManifestFiles
+    val t = new PartitionedMorTable(spark, tmp(), Seq("k"), "p",
+      compactionDeltaCommits = 1000, autoCompact = false, writePartitions = 4)
+    try {
+      MorTable.smallManifestFiles = 2 // 3 children x 4 files >> threshold
+      val rows = (1 to 300).map(i => (f"k$i%04d", s"g${i % 3}", i)).toDF("k", "p", "v")
+      t.upsert(rows, Seq(col("k")), batchId = 1L)
+      t.compactPartitions(t.partitions())
+      val token = t.parentTimeline().last.seq
+      val json = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"${t.path}/manifest/$token.json")))
+      assert(json.contains("\"filesDir\""), s"expected sharded parent manifest: $json")
+      assert(!json.contains("\"files\":["), "inline listing must not also be present")
+      assert(json.length < 256, s"parent header not tiny: ${json.length}")
+      // the external recipe reads the parquet listing and equals read()
+      val ext = PartitionedMorTable.readManifest(spark, t.path)
+        .orderBy("k").collect().map(r => (r.getAs[String]("k"), r.getAs[Int]("v"))).toSeq
+      val want = t.read().orderBy("k").collect()
+        .map(r => (r.getAs[String]("k"), r.getAs[Int]("v"))).toSeq
+      assert(ext == want && ext.size == 300)
+    } finally MorTable.smallManifestFiles = prev
+    // back under the threshold: a post-drop regenerate stays inline (the
+    // metadata-only DROP PARTITION contract at small scale)
+    t.dropPartitions(Seq("g2"))
+    val token2 = t.parentTimeline().last.seq
+    val json2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"${t.path}/manifest/$token2.json")))
+    assert(json2.contains("\"files\":["), json2.take(120))
+    assert(PartitionedMorTable.readManifest(spark, t.path).count() == 200)
+  }
+
   test("dropPartitions: storage+metadata delete, manifest refresh, re-ingest works") {
     val t = new PartitionedMorTable(spark, tmp(), Seq("k"), "p",
       compactionDeltaCommits = 2)
