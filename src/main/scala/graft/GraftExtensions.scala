@@ -83,6 +83,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // engine's deleteWhere/updateWhere/changelog verbs — post-hoc so the
     // statements arrive fully resolved, before checkAnalysis rejects v1
     ext.injectPostHocResolutionRule(session => new graft.mor.MorDmlResolution(session))
+    // VERSION AS OF / TIMESTAMP AS OF over graft.mor catalog tables.
+    // HINT-batch injection on purpose: the rule must fire BEFORE the main
+    // resolution batch, whose V2SessionCatalog lookup throws
+    // TIME_TRAVEL-unsupported for v1 providers the moment it sees the
+    // node (extended resolution rules would never run).
+    ext.injectHintResolutionRule(session => new graft.mor.MorTimeTravelResolution(session))
     ext.injectOptimizerRule(session => new graft.plans.ApproxDistinctRewrite(session))
     ext.injectOptimizerRule(session => new graft.plans.TopKRewrite(session))
   }

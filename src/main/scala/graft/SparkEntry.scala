@@ -106,8 +106,10 @@ object SparkEntry {
     "r28_range_join"      -> ((s, d) => RelationalOps.rangeJoinErrClicks(s, d)),
     "r29_cube_agg"        -> ((s, d) => RelationalOps.cubeAgg(s, d)),
     "s15_mor_time_travel" -> ((s, d) => graft.lake.LakeQueries.timeTravel(s, d)),
+    "s62_sql_time_travel" -> ((s, d) => graft.lake.LakeQueries.sqlTimeTravel(s, d)),
     "s14_mor_incremental" -> ((s, d) => graft.lake.LakeQueries.incrementalPull(s, d)),
     "s16_mor_datasource"  -> ((s, d) => graft.lake.LakeQueries.datasourceReplay(s, d)),
+    "s63_stream_sink"     -> ((s, d) => graft.lake.LakeQueries.streamSinkReplay(s, d)),
     "s17_mor_part_incremental" -> ((s, d) => graft.lake.LakeQueries.partitionedIncremental(s, d)),
     "s21_mor_cdc_read"    -> ((s, d) => graft.lake.LakeQueries.cdcRead(s, d)),
     "s25_part_cdc_read"   -> ((s, d) => graft.lake.LakeQueries.partitionedCdcRead(s, d)),
@@ -289,6 +291,16 @@ object SparkEntry {
   private val LwwAllEventsOracle: String =
     """SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
       |FROM events
+      |QUALIFY row_number() OVER
+      |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin
+
+  private val TimeTravelOracle: String =
+    """WITH b AS (
+      |  SELECT min(epoch_ns(ts)) + (max(epoch_ns(ts)) - min(epoch_ns(ts))) // 2 AS mid
+      |  FROM events
+      |)
+      |SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
+      |FROM events, b WHERE epoch_ns(ts) <= b.mid
       |QUALIFY row_number() OVER
       |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin
 
@@ -1394,15 +1406,8 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_totalprice >
         |  (SELECT quantile_cont(o_totalprice, 0.5) FROM orders)""".stripMargin,
-    "s15_mor_time_travel" ->
-      """WITH b AS (
-        |  SELECT min(epoch_ns(ts)) + (max(epoch_ns(ts)) - min(epoch_ns(ts))) // 2 AS mid
-        |  FROM events
-        |)
-        |SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
-        |FROM events, b WHERE epoch_ns(ts) <= b.mid
-        |QUALIFY row_number() OVER
-        |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+    "s15_mor_time_travel" -> TimeTravelOracle,
+    "s62_sql_time_travel" -> TimeTravelOracle,
     "r25_percentiles" ->
       """SELECT o_orderstatus,
         |       round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
@@ -2393,6 +2398,7 @@ object SparkEntry {
         |  (PARTITION BY event_type, user_id
         |   ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
     "s16_mor_datasource" -> LwwAllEventsOracle,
+    "s63_stream_sink" -> LwwAllEventsOracle,
     // the tagging proof may only change the plan, never the result
     "s54_write_index_tagging" -> LwwAllEventsOracle,
     // lake → Debezium JSON wire → lake must be lossless end to end

@@ -143,6 +143,11 @@ object GraftProcedureCatalog {
             case "full" | "minor" =>
               val parts = p.partitions(); p.compactPartitions(parts)
               Seq(Seq("compacted", s"${parts.size} partitions"))
+            case "zorder" =>
+              val cols = zcols.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+              require(cols.nonEmpty, "zorder mode needs zorder_cols")
+              val did = p.compactZOrderPartitions(cols, dueOnly = false)
+              Seq(Seq("compacted", s"zorder(${cols.mkString(",")}) on ${did.size} partitions"))
             case "due" =>
               val did = p.maybeCompact()
               if (did.nonEmpty) Seq(Seq("compacted", did.mkString(",")))

@@ -771,6 +771,32 @@ object LakeQueries {
       t.readAt(1L).select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
   }
 
+  /** [[timeTravel]] via SQL TEXT — `SELECT … FROM t VERSION AS OF 1`
+    * through the catalog (the Hudi/Delta time-travel read surface,
+    * resolved by [[graft.mor.MorTimeTravelResolution]]); shares s15's
+    * oracle bit-for-bit. */
+  def sqlTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "value", "ts_ms", "ts_ns")
+    val bounds = ev.agg(min(col("ts_ns")).as("mn"), max(col("ts_ns")).as("mx")).head()
+    val mn = bounds.getLong(0); val mx = bounds.getLong(1)
+    val mid = mn + (mx - mn) / 2
+    val path = tempPath("mor-sqltt")
+    val t = MorTable(spark, path, keyCols = Seq("user_id"), compactionDeltaCommits = 1000)
+    t.upsert(ev.filter(col("ts_ns") <= mid),
+      orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 1L)
+    t.upsert(ev.filter(col("ts_ns") > mid),
+      orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 2L)
+    spark.sql("DROP TABLE IF EXISTS graft_sql_tt")
+    spark.sql(s"CREATE TABLE graft_sql_tt USING `graft.mor` " +
+      s"OPTIONS (path '$path', keys 'user_id')")
+    val out = graft.TempDirs.materializeAndDelete(
+      spark.sql("SELECT user_id, event_id, event_type, value, ts_ms " +
+        "FROM graft_sql_tt VERSION AS OF 1"), path)
+    spark.sql("DROP TABLE IF EXISTS graft_sql_tt")
+    out
+  }
+
   /** Partitioned incremental pull, oracle-checked: two time-split upserts
     * into a PartitionedMorTable, then `readIncremental(sinceToken = 1)`
     * must return exactly the LWW winners of the second batch per
@@ -848,6 +874,45 @@ object LakeQueries {
     ev.filter(col("ts_ns") > mid).write.format("graft.mor")
       .option("keys", "user_id").option("order", "ts_ns,event_id")
       .mode("append").save(path)
+    graft.TempDirs.materializeAndDelete(
+      spark.read.format("graft.mor").option("keys", "user_id").load(path)
+        .select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
+  }
+
+  /** [[datasourceReplay]] through the STREAMING write surface —
+    * `readStream` over two time-ordered WAL segments →
+    * `writeStream.format("graft.mor")` (the reference's continuous
+    * `INSERT INTO`, zpln:2317, as a first-class sink: one exactly-once
+    * keyed-upsert commit per micro-batch) → catalog-style read. Shares
+    * the all-events LWW oracle with s16/s54/s56. */
+  def streamSinkReplay(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "value", "ts_ms", "ts_ns")
+    val bounds = ev.agg(min(col("ts_ns")).as("mn"), max(col("ts_ns")).as("mx")).head()
+    val mn = bounds.getLong(0); val mx = bounds.getLong(1)
+    val mid = mn + (mx - mn) / 2
+    val watch = graft.TempDirs.create("sink-wal")
+    // one FILE per segment and one file per trigger: a micro-batch is a
+    // whole time-half, so the within-batch `order` ranking plus the
+    // cross-batch seqno LWW reproduce the total (ts, id) order — mixing
+    // half-1 files across several batches would let an older row ride a
+    // newer commit seqno past a user's true latest (the WAL contract:
+    // batches are time-ordered, rows within a batch are ranked)
+    ev.filter(col("ts_ns") <= mid).coalesce(1).write.parquet(s"$watch/seg1")
+    ev.filter(col("ts_ns") > mid).coalesce(1).write.parquet(s"$watch/seg2")
+    for ((seg, t) <- Seq("seg1" -> 1000L, "seg2" -> 5000L);
+         f <- new java.io.File(s"$watch/$seg").listFiles())
+      f.setLastModified(1700000000000L + t): Unit
+    val path = tempPath("mor-streamsink")
+    val q = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$watch/*/")
+      .writeStream.format("graft.mor")
+      .option("keys", "user_id").option("order", "ts_ns,event_id")
+      .option("write.tasks", "4")
+      .option("checkpointLocation", graft.TempDirs.create("sink-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(path)
+    q.awaitTermination(300000)
     graft.TempDirs.materializeAndDelete(
       spark.read.format("graft.mor").option("keys", "user_id").load(path)
         .select("user_id", "event_id", "event_type", "value", "ts_ms"), path)

@@ -45,9 +45,31 @@ import graft.lake.{MorTable, PartitionedMorTable}
   */
 class DefaultSource extends RelationProvider with CreatableRelationProvider
     with DataSourceRegister
-    with org.apache.spark.sql.sources.StreamSourceProvider {
+    with org.apache.spark.sql.sources.StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider {
 
   override def shortName(): String = "graft-mor"
+
+  // ---- streaming write (the reference's continuous INSERT INTO, S8) ----
+
+  /** `df.writeStream.format("graft.mor").option("keys", …).start(path)`:
+    * each micro-batch lands as ONE keyed-upsert commit tagged with the
+    * batchId — the checkpoint-aligned exactly-once contract (zpln:89
+    * commit-per-checkpoint); a replayed batch is a timeline no-op. Append
+    * and Update modes are both the PK-upsert collapse (the zpln:2119 sink
+    * semantics); `order` ranks rows within a batch; `partition` routes
+    * through the partitioned form. */
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val (path, keys) = pathAndKeys(parameters)
+    val order = parameters.get("order")
+      .map(_.split(",").toSeq.map(_.trim)).getOrElse(keys)
+    new MorStreamSink(sqlContext.sparkSession, path, keys, order,
+      parameters.get("partition"), policyOf(parameters))
+  }
 
   // ---- streaming read (see MorStreamSource) -----------------------------
 
@@ -152,6 +174,33 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
       .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
     (path, keys)
   }
+}
+
+/** Exactly-once streaming sink: one keyed-upsert commit per micro-batch,
+  * batchId on the instant (replays no-op through the timeline). Handles
+  * are held for the query's lifetime so instant/scan caches amortize
+  * across batches — the per-commit driver-cost discipline the CDC
+  * pipeline measures. */
+private[mor] final class MorStreamSink(
+    spark: org.apache.spark.sql.SparkSession,
+    path: String, keys: Seq[String], order: Seq[String],
+    partitionCol: Option[String],
+    declared: Option[MorTable.Policy])
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  private lazy val table = MorTable.resolve(spark, path, keys, declared)
+  private lazy val partTable =
+    PartitionedMorTable.resolve(spark, path, keys, partitionCol.get, declared)
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val batch = org.apache.spark.sql.graft.GraftSqlShim.asBatchDataFrame(spark, data)
+    partitionCol match {
+      case Some(_) => partTable.upsert(batch, order.map(col), batchId): Unit
+      case None => table.upsert(batch, order.map(col), batchId): Unit
+    }
+  }
+
+  override def toString: String = s"MorStreamSink[$path]"
 }
 
 /** The (path, keys) relation: schema pinned at creation, data resolved

@@ -106,6 +106,72 @@ class MorDmlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
   * assignments (`t.`/`s.`-qualified Columns). */
 final case class MorMergeAction(kind: String, cond: Column, set: Map[String, Column])
 
+/** SQL time-travel syntax over graft.mor catalog tables — `SELECT … FROM t
+  * VERSION AS OF <seq>` / `TIMESTAMP AS OF <ts>` (the Hudi/Delta read
+  * surface; the engine verb is [[graft.lake.MorTable.readAt]], oracle
+  * `s15`): a RESOLUTION rule (the parser's `RelationTimeTravel` is an
+  * unresolved leaf that checkAnalysis would reject for a v1 table)
+  * resolves the identifier through the session catalog, checks the
+  * provider, and rebuilds the relation with `asOf` pinned — a timestamp
+  * resolves to the LAST commit at or before it via the table's timeline
+  * (commit wall-clock millis), exactly Hudi's `as.of.instant` rule. */
+class MorTimeTravelResolution(spark: SparkSession) extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+
+  private def morOptions(ident: Seq[String]): Option[Map[String, String]] = {
+    val catalog = spark.sessionState.catalog
+    val tid = ident match {
+      case Seq(t) => org.apache.spark.sql.catalyst.TableIdentifier(t)
+      case Seq(db, t) => org.apache.spark.sql.catalyst.TableIdentifier(t, Some(db))
+      case _ => return None
+    }
+    if (!catalog.tableExists(tid)) return None
+    val meta = catalog.getTableMetadata(tid)
+    if (!meta.provider.exists(_.equalsIgnoreCase("graft.mor"))) None
+    else {
+      val props = meta.storage.properties.map { case (k, v) => k.toLowerCase -> v }
+      // the catalog promotes the `path` option to storage.locationUri
+      val withPath = meta.storage.locationUri.map(u => props + ("path" -> u.toString))
+        .getOrElse(props)
+      Some(withPath)
+    }
+  }
+
+  private def toEpochMs(e: Expression): Long = e.eval() match {
+    case l: Long => l / 1000L // timestamp literal: epoch micros
+    case s: org.apache.spark.unsafe.types.UTF8String =>
+      java.sql.Timestamp.valueOf(s.toString.replace("T", " ")).getTime
+    case other => throw new UnsupportedOperationException(
+      s"TIMESTAMP AS OF expects a timestamp or timestamp-string literal, got $other")
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, version)
+        if morOptions(u.multipartIdentifier).isDefined =>
+      val opts = morOptions(u.multipartIdentifier).get
+      val path = opts.getOrElse("path", throw new IllegalArgumentException(
+        s"graft.mor table ${u.multipartIdentifier.mkString(".")} has no path option"))
+      val keys = opts.getOrElse("keys", "").split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+      require(!opts.contains("partition"),
+        "time travel is not supported on partitioned graft.mor tables")
+      val asOf: Long = version match {
+        case Some(v) => v.toLongOption.getOrElse(throw new IllegalArgumentException(
+          s"VERSION AS OF expects a commit seq for graft.mor tables, got '$v'"))
+        case None =>
+          val ms = toEpochMs(ts.getOrElse(throw new IllegalStateException(
+            s"time travel with neither version nor timestamp: $tt")))
+          MorTable.resolve(spark, path, keys).timeline()
+            .filter(_.commitMs <= ms).lastOption.map(_.seq)
+            .getOrElse(throw new IllegalArgumentException(
+              s"no commit at or before timestamp $ms ms on $path"))
+      }
+      val rel = MorRelation(
+        org.apache.spark.sql.SQLContext.getOrCreate(spark.sparkContext),
+        path, keys, asOf = Some(asOf))
+      LogicalRelation(rel)
+  }
+}
+
 private object MorDml {
   /** The table verbs behind a relation, partitioned-aware. */
   def guards(rel: MorRelation): Unit =

@@ -18,4 +18,13 @@ object GraftSqlShim {
 
   def column(e: Expression): Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** Re-wrap a streaming micro-batch over its materialized rows: a v1
+    * Sink's `addBatch` DataFrame is backed by an IncrementalExecution and
+    * cannot be fed to batch writers directly — the standard v1-sink
+    * re-wrap (the same move Spark's own v1 sinks make). */
+  def asBatchDataFrame(spark: SparkSession, data: DataFrame): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(
+        data.queryExecution.toRdd, data.schema, isStreaming = false)
 }

@@ -115,9 +115,9 @@ class ProcedureCatalogSpec extends AnyFunSuite {
       Seq("uuid"), "pt")
     graft.GraftCatalog.register(spark, "proc_p1", p)
     val batch = Seq(
-      ("u1", "x", "2024-01"), ("u2", "y", "2024-01"),
-      ("u3", "z", "2024-02"), ("u4", "w", "2024-03"))
-      .toDF("uuid", "name", "pt")
+      ("u1", "x", "2024-01", 1), ("u2", "y", "2024-01", 2),
+      ("u3", "z", "2024-02", 3), ("u4", "w", "2024-03", 4))
+      .toDF("uuid", "name", "pt", "n")
     p.upsert(batch, Seq(col("name")))
     p.upsert(batch.withColumn("name", concat(col("name"), lit("2"))),
       Seq(col("name")), batchId = 2L)
@@ -125,6 +125,12 @@ class ProcedureCatalogSpec extends AnyFunSuite {
     val ack = spark.sql("CALL graft_ops.run_compaction(table => 'proc_p1', mode => 'due')")
       .collect().map(_.getString(0))
     assert(ack.length == 1)
+
+    // partitioned z-order clustering through the same CALL verb
+    val zack = spark.sql("CALL graft_ops.run_compaction(table => 'proc_p1', " +
+      "mode => 'zorder', zorder_cols => 'n')").collect()
+    assert(zack.head.getString(1).startsWith("zorder(n)"), zack.head.getString(1))
+    assert(p.read().count() == 4, "clustering must not change the answer")
 
     val commits = spark.sql("CALL graft_ops.show_commits(table => 'proc_p1')").collect()
     assert(commits.nonEmpty)

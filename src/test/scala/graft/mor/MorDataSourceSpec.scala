@@ -281,6 +281,95 @@ class MorDataSourceSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS mor_mrg_t")
   }
 
+  test("writeStream sink: one exactly-once upsert commit per micro-batch; restart resumes") {
+    val watch = TestSpark.tmpDir("sink-watch")
+    val path = TestSpark.tmpDir("sink-table")
+    val ckpt = TestSpark.tmpDir("sink-ckpt")
+    Seq(("id1", 1, 10L), ("id2", 2, 10L)).toDF("uuid", "v", "ord")
+      .coalesce(1).write.parquet(s"$watch/seg1")
+    Seq(("id1", 11, 20L), ("id3", 3, 20L)).toDF("uuid", "v", "ord")
+      .coalesce(1).write.parquet(s"$watch/seg2")
+    for ((seg, t) <- Seq("seg1" -> 1000L, "seg2" -> 5000L);
+         f <- new java.io.File(s"$watch/$seg").listFiles())
+      f.setLastModified(1700000000000L + t): Unit
+    def run(): Unit = {
+      val q = spark.readStream
+        .schema(Seq.empty[(String, Int, Long)].toDF("uuid", "v", "ord").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$watch/*/")
+        .writeStream.format("graft.mor")
+        .option("keys", "uuid").option("order", "ord")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(path)
+      q.awaitTermination(120000): Unit
+    }
+    run()
+    val t = graft.lake.MorTable(spark, path, Seq("uuid"))
+    assert(t.timeline().count(_.kind == "delta") == 2,
+      "one commit per micro-batch expected")
+    val got = t.read().collect().map(r => (r.getString(0), r.getInt(1))).toMap
+    assert(got == Map("id1" -> 11, "id2" -> 2, "id3" -> 3), got)
+    // restart from the same checkpoint: nothing new → no duplicate commits
+    run()
+    assert(t.timeline().count(_.kind == "delta") == 2, "replayed batches must no-op")
+    // a third segment lands; only IT commits
+    Seq(("id2", 22, 30L)).toDF("uuid", "v", "ord")
+      .coalesce(1).write.parquet(s"$watch/seg3")
+    for (f <- new java.io.File(s"$watch/seg3").listFiles())
+      f.setLastModified(1700000000000L + 9000L): Unit
+    run()
+    assert(t.timeline().count(_.kind == "delta") == 3)
+    assert(t.read().filter(col("uuid") === "id2").head().getInt(1) == 22)
+  }
+
+  test("writeStream sink routes through the partitioned form") {
+    val watch = TestSpark.tmpDir("psink-watch")
+    val path = TestSpark.tmpDir("psink-table")
+    Seq(("id1", "a", 1), ("id2", "b", 2), ("id1", "a", 10)).toDF("uuid", "kind", "v")
+      .coalesce(1).write.parquet(s"$watch/seg1")
+    val q = spark.readStream
+      .schema(Seq.empty[(String, String, Int)].toDF("uuid", "kind", "v").schema)
+      .parquet(s"$watch/*/")
+      .writeStream.format("graft.mor")
+      .option("keys", "uuid").option("partition", "kind").option("order", "v")
+      .option("checkpointLocation", TestSpark.tmpDir("psink-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(path)
+    q.awaitTermination(120000)
+    val t = new graft.lake.PartitionedMorTable(spark, path, Seq("uuid"), "kind")
+    assert(t.partitions().sorted == Seq("a", "b"))
+    val got = t.read().collect().map(r => (r.getString(0), r.getInt(2))).toMap
+    assert(got == Map("id1" -> 10, "id2" -> 2), got)
+  }
+
+  test("SQL time travel: VERSION AS OF / TIMESTAMP AS OF resolve to readAt") {
+    val path = TestSpark.tmpDir("dsv1-tt")
+    spark.sql("DROP TABLE IF EXISTS mor_tt_t")
+    try {
+      val t = graft.lake.MorTable(spark, path, Seq("uuid"),
+        compactionDeltaCommits = 1000)
+      t.upsert(Seq(("id1", 1), ("id2", 2)).toDF("uuid", "v"), Nil, batchId = 1L)
+      t.upsert(Seq(("id1", 10), ("id3", 3)).toDF("uuid", "v"), Nil, batchId = 2L)
+      spark.sql(s"CREATE TABLE mor_tt_t USING `graft.mor` OPTIONS (path '$path', keys 'uuid')")
+      // current state
+      assert(spark.sql("SELECT * FROM mor_tt_t").count() == 3)
+      // as of commit 1: pre-upsert image
+      val v1 = spark.sql("SELECT uuid, v FROM mor_tt_t VERSION AS OF 1")
+        .collect().map(r => (r.getString(0), r.getInt(1))).toMap
+      assert(v1 == Map("id1" -> 1, "id2" -> 2), v1)
+      // timestamp at/after commit 1 but before commit 2 resolves to seq 1
+      val ts1 = t.timeline().find(_.seq == 1L).get.commitMs
+      val s = new java.sql.Timestamp(ts1).toString
+      val byTs = spark.sql(s"SELECT uuid, v FROM mor_tt_t TIMESTAMP AS OF '$s'")
+        .collect().map(r => (r.getString(0), r.getInt(1))).toMap
+      assert(byTs == v1, byTs)
+      // a timestamp before any commit fails loudly
+      val e = intercept[Exception](spark.sql(
+        "SELECT * FROM mor_tt_t TIMESTAMP AS OF '1999-01-01 00:00:00'").collect())
+      assert(e.getMessage.contains("no commit at or before"), e.getMessage)
+    } finally spark.sql("DROP TABLE IF EXISTS mor_tt_t")
+  }
+
   test("SQL DML routes through the partitioned form (partition option)") {
     val path = TestSpark.tmpDir("dsv1-dml-part")
     spark.sql("DROP TABLE IF EXISTS mor_dmlp_t")
