@@ -63,6 +63,7 @@ object SparkEntry {
     "s34_schema_evolution" -> ((s, d) => graft.lake.LakeQueries.schemaEvolution(s, d)),
     "s35_sketch_lake"     -> ((s, d) => graft.lake.LakeQueries.sketchLake(s, d)),
     "s29_point_read"      -> ((s, d) => graft.lake.LakeQueries.pointRead(s, d)),
+    "s64_point_read_join" -> ((s, d) => graft.lake.LakeQueries.pointReadJoin(s, d)),
     "s49_bloom_point_read" -> ((s, d) => graft.lake.LakeQueries.bloomPointRead(s, d)),
     "s50_part_point_read" -> ((s, d) => graft.lake.LakeQueries.partPointRead(s, d)),
     "s51_secondary_index" -> ((s, d) => graft.lake.LakeQueries.secondaryIndexRead(s, d)),
@@ -196,6 +197,8 @@ object SparkEntry {
         org.apache.spark.sql.functions.col("lang")), "doc_id")),
     "t19_chunking"        -> ((s, d) => graft.functions.TextAnalysis.chunkDocs(
       graft.Tables.documents(s, d))),
+    "t30_paragraph_dedup" -> ((s, d) => graft.functions.TextAnalysis.paragraphDedup(
+      graft.Tables.documents(s, d))),
     "d14_semantic_dedup"  -> ((s, d) => graft.functions.LlmQueries.semanticDedup(s, d)),
     "r30_stream_join"     -> ((s, d) => graft.streaming.StreamingQueries.streamJoin(s, d)),
     "r31_stream_sessions" -> ((s, d) => graft.streaming.StreamingQueries.streamSessions(s, d)),
@@ -291,6 +294,13 @@ object SparkEntry {
   private val LwwAllEventsOracle: String =
     """SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
       |FROM events
+      |QUALIFY row_number() OVER
+      |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin
+
+  private val PointReadOracle: String =
+    """SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
+      |FROM events
+      |WHERE user_id % 7 = 0
       |QUALIFY row_number() OVER
       |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin
 
@@ -420,12 +430,8 @@ object SparkEntry {
         |WHERE CAST(user_id AS VARCHAR) >= '3' AND CAST(user_id AS VARCHAR) < '6'
         |QUALIFY row_number() OVER
         |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
-    "s29_point_read" ->
-      """SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
-        |FROM events
-        |WHERE user_id % 7 = 0
-        |QUALIFY row_number() OVER
-        |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+    "s29_point_read" -> PointReadOracle,
+    "s64_point_read_join" -> PointReadOracle,
     "s49_bloom_point_read" ->
       """SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
         |FROM events
@@ -2092,6 +2098,30 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     // chunk k covers tokens [k*40, k*40+50); starts = range(0, n, 40) on
     // both engines; the chunk text is pinned via md5 of the re-joined slice
+    "t30_paragraph_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                     x -> x <> '') AS t
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, t, unnest(range(0, len(t), 20)) AS st
+        |  FROM w WHERE len(t) > 0
+        |), c AS (
+        |  SELECT doc_id, (st // 20)::BIGINT AS chunk_id,
+        |         len(t[st + 1 : st + 20])::BIGINT AS n_tokens,
+        |         md5(array_to_string(t[st + 1 : st + 20], ' ')) AS chunk_md5
+        |  FROM s
+        |), r AS (
+        |  SELECT doc_id, n_tokens,
+        |         row_number() OVER (PARTITION BY chunk_md5
+        |           ORDER BY doc_id, chunk_id) AS rn
+        |  FROM c
+        |)
+        |SELECT doc_id, count(*)::BIGINT AS n_chunks,
+        |       count(CASE WHEN rn = 1 THEN 1 END)::BIGINT AS n_kept,
+        |       coalesce(sum(CASE WHEN rn = 1 THEN n_tokens ELSE 0 END), 0)::BIGINT AS kept_tokens
+        |FROM r GROUP BY doc_id""".stripMargin,
     "t19_chunking" ->
       """WITH w AS (
         |  SELECT doc_id,

@@ -132,6 +132,29 @@ object TextAnalysis {
         md5(concat_ws(" ", col("__c"))).as("chunk_md5"))
   }
 
+  /** PARAGRAPH-level exact dedup (the C4/RefinedWeb "remove duplicated
+    * paragraphs, keep the first occurrence" pass — doc-level near-dup
+    * misses a paragraph shared by otherwise-distinct pages, and span
+    * stats alone don't tell you what survives): documents chunk into
+    * NON-overlapping `size`-token paragraphs ([[chunkDocs]] at stride =
+    * size), each distinct paragraph content keeps exactly its FIRST
+    * occurrence corpus-wide (deterministic: min (doc_id, chunk_id)), and
+    * the result is one row per document with its surviving budget —
+    * (doc_id, n_chunks, n_kept, kept_tokens). 100 TB shape: one shuffle
+    * by 128-bit content hash (the dedup window) + the per-doc agg — never
+    * an all-pairs comparison, state per distinct paragraph is O(1). */
+  def paragraphDedup(docs: DataFrame, size: Int = 20,
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val chunks = chunkDocs(docs, size, stride = size, textCol, idCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("chunk_md5")).orderBy(col(idCol), col("chunk_id"))
+    chunks.withColumn("__rn", row_number().over(w))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("__rn") === 1, 1)).as("n_kept"),
+        sum(when(col("__rn") === 1, col("n_tokens")).otherwise(0L)).as("kept_tokens"))
+  }
+
   private def size_(c: Column): Column = size(c)
 
   def fingerprintPortable(text: Column, window: Int = 5): Column = {

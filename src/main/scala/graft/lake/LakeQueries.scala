@@ -352,6 +352,30 @@ object LakeQueries {
         .select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
   }
 
+  /** [[pointRead]] through the SCAN-AND-JOIN form ([[MorTable
+    * .readForKeysOf]] — the path the literal-In() cap points big probe
+    * sets at): the key set stays a DataFrame, the commit scans semi-join
+    * it before the LWW window. Shares s29's oracle bit-for-bit: same
+    * probe (user_id % 7 = 0), different plan shape. */
+  def pointReadJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "value", "ts_ms", "ts_ns")
+    val bounds = ev.agg(min(col("ts_ns")).as("mn"), max(col("ts_ns")).as("mx")).head()
+    val mn = bounds.getLong(0); val mx = bounds.getLong(1)
+    val mid = mn + (mx - mn) / 2
+    val path = tempPath("mor-pointjoin")
+    val t = new MorTable(spark, path, keyCols = Seq("user_id"),
+      compactionDeltaCommits = 1000, autoCompact = false)
+    t.upsert(ev.filter(col("ts_ns") <= mid),
+      orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 1L)
+    t.upsert(ev.filter(col("ts_ns") > mid),
+      orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 2L)
+    val keys = ev.select(col("user_id")).distinct().filter(col("user_id") % 7 === 0)
+    graft.TempDirs.materializeAndDelete(
+      t.readForKeysOf(keys)
+        .select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
+  }
+
   /** Bloom-indexed point read, oracle-checked (the Hudi BLOOM-index read
     * analog): replay the first time-half of events and COMPACT — the
     * manifest now carries a per-file `_record_key` Bloom filter from the

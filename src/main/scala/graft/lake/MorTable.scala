@@ -726,7 +726,12 @@ final class MorTable(
   private def snapshotMerged(tl: Seq[Instant],
                              keyFilter: Option[Column] = None,
                              baseFiles: Option[Seq[String]] = None,
-                             baseOnlyFilter: Option[Column] = None): DataFrame = {
+                             baseOnlyFilter: Option[Column] = None,
+                             /** Post-union / pre-window restriction (the
+                               * scan-and-join key probe): sound for any
+                               * per-key-closed predicate — LWW per key is
+                               * independent of other keys. */
+                             restrict: Option[DataFrame => DataFrame] = None): DataFrame = {
     if (tl.isEmpty)
       throw new IllegalStateException(s"MorTable at $path has no commits")
     val (lastCompact, deltas) = liveDeltas(tl)
@@ -763,7 +768,8 @@ final class MorTable(
     }
     // allowMissingColumns: commits written before a column was added read
     // back with nulls for it (additive schema evolution, as Hudi allows)
-    val unioned = parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    val unioned0 = parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    val unioned = restrict.map(_(unioned0)).getOrElse(unioned0)
     // The merge window exists to pick the latest version per key ACROSS
     // sources. Skip its full-table shuffle when the sources are provably
     // key-disjoint: a single source (base after compaction, or one deduped
@@ -1041,6 +1047,24 @@ final class MorTable(
   /** [[snapshotForKeys]] without the lake metadata columns. */
   def readForKeys(recordKeys: Seq[String]): DataFrame =
     dropMeta(snapshotForKeys(recordKeys))
+
+  /** The SCAN-AND-JOIN point read — [[readForKeys]] for probe sets past
+    * the literal-In() cap (the form its size guard points at): `keys` is
+    * a single-column DataFrame of record keys of ANY size; every commit
+    * scan semi-joins it on `_record_key` BEFORE the LWW window (sound —
+    * LWW per key is independent of other keys), so the merge shuffle
+    * carries only matching rows. AQE broadcasts a small probe side; a
+    * table-sized one degrades gracefully to a shuffled semi-join. No
+    * listing-level file pruning (the probe set lives cluster-side) — use
+    * [[readForKeys]] below the cap when bloom/bounds skipping matters. */
+  def readForKeysOf(keys: DataFrame): DataFrame = {
+    require(keys.columns.length == 1,
+      s"readForKeysOf expects ONE key column, got ${keys.columns.mkString(", ")}")
+    val k = keys.select(col(keys.columns.head).cast("string").as("__pk")).distinct()
+    dropMeta(snapshotMerged(timeline(), restrict = Some(df =>
+      df.join(k, col("_record_key") === col("__pk"), "left_semi")))
+      .filter(!col("_deleted")))
+  }
 
   /** Snapshot restricted to record keys in [lo, hi) — string order over
     * `_record_key`, compared exactly as Spark compares it (UTF8 binary).

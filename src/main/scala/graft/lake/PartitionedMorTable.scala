@@ -596,6 +596,25 @@ final class PartitionedMorTable(
       .select(orderedDataCols(scan.columns).map(col): _*)
   }
 
+  /** Cross-partition SCAN-AND-JOIN point read ([[MorTable.readForKeysOf]]
+    * in the partitioned layout): the selected children's ONE multi-dir
+    * scan semi-joins a record-key DataFrame of any size before the LWW
+    * window — for probe sets past [[readForKeys]]'s literal-In() cap. */
+  def readForKeysOf(keys: DataFrame, values: Seq[String] = Seq.empty): DataFrame = {
+    require(keys.columns.length == 1,
+      s"readForKeysOf expects ONE key column, got ${keys.columns.mkString(", ")}")
+    val sel = if (values.nonEmpty) values else partitions()
+    require(sel.nonEmpty, s"PartitionedMorTable at $path has no partitions")
+    val perChild = parChildren(sel)(_.liveScanDirs())
+    val dirs = perChild.flatMap(_._1) ++ perChild.flatMap(_._2)
+    require(dirs.nonEmpty, s"PartitionedMorTable at $path has no commits")
+    val k = keys.select(col(keys.columns.head).cast("string").as("__pk")).distinct()
+    val scan = scanDirs(dirs)
+    val restricted = scan.join(k, col("_record_key") === col("__pk"), "left_semi")
+    lwwLatest(restricted).filter(!col("_deleted"))
+      .select(orderedDataCols(scan.columns).map(col): _*)
+  }
+
   /** Incremental pull across partitions (the Hudi incremental-query analog
     * of [[MorTable.readIncremental]], in the parent's table-global token
     * space): the net effect of every row committed with

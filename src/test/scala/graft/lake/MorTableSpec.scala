@@ -756,6 +756,36 @@ class MorTableSpec extends AnyFunSuite {
     assert(t.timeline().last.kind == "compact")
   }
 
+  test("readForKeysOf: scan-and-join point read equals the filtered snapshot at any probe size") {
+    val path = TestSpark.tmpDir("mor-keysof")
+    val rows = (0 until 300)
+      .map(i => (f"k$i%03d", s"n$i", i, "1970-01-01 00:00:01"))
+      .toDF("uuid", "name", "age", "ts")
+    val t = new MorTable(spark, path, Seq("uuid"),
+      compactionDeltaCommits = 1000, autoCompact = false, writePartitions = 4)
+    t.upsert(rows, Seq(col("ts")), batchId = 1L)
+    t.compact()
+    t.upsert(Seq(("k050", "upd", -1, "1970-01-01 00:00:09")).toDF("uuid", "name", "age", "ts"),
+      Seq(col("ts")), batchId = 2L)
+    t.delete(Seq("k060").toDF("uuid"), batchId = 3L)
+    val probe = (0 until 300 by 2).map(i => f"k$i%03d") ++ Seq("nope", "k050", "k060")
+    val got = t.readForKeysOf(probe.toDF("uuid"))
+      .orderBy("uuid").collect().map(r => (r.getString(0), r.getInt(2))).toSeq
+    val want = t.read().filter(col("uuid").isin(probe: _*))
+      .orderBy("uuid").collect().map(r => (r.getString(0), r.getInt(2))).toSeq
+    assert(got == want)
+    assert(got.toMap.get("k050").contains(-1), "delta LWW wins through the join")
+    assert(!got.toMap.contains("k060"), "tombstoned key never surfaces")
+    // partitioned form
+    val pt = new PartitionedMorTable(spark, TestSpark.tmpDir("pmor-keysof"),
+      Seq("k"), "p", compactionDeltaCommits = 1000, autoCompact = false)
+    pt.upsert((0 until 100).map(i => (i.toLong, if (i % 2 == 0) "a" else "b", i))
+      .toDF("k", "p", "v"), Seq(col("v")), batchId = 1L)
+    val pGot = pt.readForKeysOf(Seq(2L, 3L, 999L).toDF("k"))
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    assert(pGot == Map(2L -> 2, 3L -> 3), pGot)
+  }
+
   test("sharded manifest: large-table probes never materialize per-file stats driver-side") {
     // 8 base files > a threshold of 4 → every pruning probe must take the
     // cluster-side regime: the stats RELATION is filtered by Spark and only
