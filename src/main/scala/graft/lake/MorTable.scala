@@ -857,6 +857,22 @@ final class MorTable(
       dataCols.map(c => col(s"before_$c"))): _*)
   }
 
+  /** Live on-disk bytes (latest base + live delta files) — the planner
+    * statistic behind [[graft.mor.MorRelation]]'s `sizeInBytes`: without
+    * it a catalog mor table defaults to "infinite" and a small dimension
+    * NEVER broadcasts in SQL joins. Compressed parquet UNDERestimates
+    * in-memory size, which composes safely with Spark's conservative
+    * broadcast threshold. One FS listing per live dir; 0 for an empty
+    * table. */
+  def liveBytes(): Long = {
+    val (baseDir, deltaDirs) = liveScanDirs()
+    (baseDir.toSeq ++ deltaDirs).map { d =>
+      try fs.listStatus(new Path(d))
+        .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+      catch { case _: java.io.FileNotFoundException => 0L }
+    }.sum
+  }
+
   /** The directories a snapshot read of this table must scan, given the
     * current timeline: (latest base dir if any, live delta dirs). Lets
     * [[PartitionedMorTable]] assemble ONE multi-directory parquet scan

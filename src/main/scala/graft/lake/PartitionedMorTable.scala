@@ -631,6 +631,9 @@ final class PartitionedMorTable(
     lwwLatest(scanDirs(dirs).filter(col("_commit_seqno") > sinceToken))
   }
 
+  /** Live on-disk bytes across partitions ([[MorTable.liveBytes]]). */
+  def liveBytes(): Long = parChildren(partitions())(_.liveBytes()).sum
+
   /** True when some partition holds at least one delta commit dir — the
     * precondition of [[readChangelog]]/[[readIncremental]]. Lets a
     * streaming consumer distinguish "legitimately nothing to change-read"

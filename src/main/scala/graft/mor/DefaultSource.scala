@@ -249,6 +249,23 @@ final case class MorRelation(sqlContext: SQLContext, path: String,
 
   override val schema: StructType = scanDf().schema
 
+  /** Planner statistic: live on-disk bytes at relation creation. Without
+    * it the relation reports `spark.sql.defaultSizeInBytes` (effectively
+    * infinite) and a small mor dimension NEVER broadcasts in SQL joins —
+    * at 100 TB the fact side would shuffle for every dim lookup.
+    * Compressed parquet underestimates the in-memory size, which composes
+    * safely with Spark's conservative broadcast threshold (the same
+    * estimate file relations report). Pinned at creation like `schema`
+    * (standard DataSource behavior); data freshness is unaffected. */
+  override def sizeInBytes: Long = statsBytes
+  @transient private lazy val statsBytes: Long = {
+    val b = partitionCol match {
+      case Some(_) => partTable.liveBytes()
+      case None => table.liveBytes()
+    }
+    if (b > 0L) b else super.sizeInBytes
+  }
+
   /** SQL-surface pushdown (PrunedFilteredScan): `SELECT a FROM t WHERE k
     * = 'x'` through the catalog must cost what the programmatic API
     * costs, not a full-snapshot materialization. Three levels:

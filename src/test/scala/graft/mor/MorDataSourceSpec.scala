@@ -281,6 +281,18 @@ class MorDataSourceSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS mor_mrg_t")
   }
 
+  test("sizeInBytes statistic: a small mor dimension broadcasts in SQL joins") {
+    val path = TestSpark.tmpDir("dsv1-stats")
+    Seq(("id1", "x"), ("id2", "y")).toDF("uuid", "name")
+      .write.format("graft.mor").option("keys", "uuid").save(path)
+    val dim = spark.read.format("graft.mor").option("keys", "uuid").load(path)
+    val fact = spark.range(0, 10000)
+      .selectExpr("concat('id', (id % 3) + 1) AS uuid", "id AS v")
+    val plan = fact.join(dim, "uuid").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"tiny mor dim must broadcast, got:\n$plan")
+  }
+
   test("writeStream sink: one exactly-once upsert commit per micro-batch; restart resumes") {
     val watch = TestSpark.tmpDir("sink-watch")
     val path = TestSpark.tmpDir("sink-table")
