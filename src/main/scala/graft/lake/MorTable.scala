@@ -965,10 +965,11 @@ final class MorTable(
       loaded
     })
 
-  /** The stats relation as a DataFrame (regime 2). */
+  /** The stats relation as a DataFrame (regime 2) — through the
+    * immutable-dir cache, so repeated probes of one manifest never re-pay
+    * relation construction (footer inference + listing). */
   private def statsScan(seq: Long): DataFrame =
-    spark.read.parquet(MorTable.globSafe(
-      new Path(hPath, s"manifest/stats/$seq").toString))
+    scanDir(new Path(hPath, s"manifest/stats/$seq").toString)
 
   /** (base seq, stats-relation dir, file count) of the latest compact's
     * sharded manifest, if one exists — what [[PartitionedMorTable]]'s

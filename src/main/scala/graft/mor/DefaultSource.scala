@@ -65,6 +65,13 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
                           outputMode: org.apache.spark.sql.streaming.OutputMode)
       : org.apache.spark.sql.execution.streaming.Sink = {
     val (path, keys) = pathAndKeys(parameters)
+    // Complete mode re-emits the FULL result every batch: upserting it
+    // accumulates forever (keys that left the result never retract) —
+    // reject loudly rather than silently corrupt (Hudi sinks are
+    // append/upsert-only too)
+    require(outputMode != org.apache.spark.sql.streaming.OutputMode.Complete(),
+      "graft.mor sink supports Append/Update (keyed upsert) — Complete mode " +
+        "would accumulate keys that left the result; aggregate into a view instead")
     val order = parameters.get("order")
       .map(_.split(",").toSeq.map(_.trim)).getOrElse(keys)
     new MorStreamSink(sqlContext.sparkSession, path, keys, order,
