@@ -1935,6 +1935,80 @@ object MorTable {
     p.replaceAll("([*?\\[\\]{}\\\\])", "\\\\$1")
   private[lake] def globSafe(ps: Seq[String]): Seq[String] = ps.map(globSafe)
 
+  /** Filesystem TABLE LOCK (the Hudi FileSystemBasedLockProvider analog) —
+    * the serialization the same-key [[MorTable.upsertIfNew]] contract
+    * defers to: two uncoordinated writers racing ONE key through the
+    * newness proof can both prove "new" (the proof is read-time); under
+    * the lock the second writer's probe sees the first's commit and
+    * refuses, so insert-only flags stay truthful for ANY key overlap.
+    *
+    * Lease semantics: the lock is an EXCLUSIVE-created `<dir>/.tablelock`
+    * carrying (nonce, expiry); a holder that crashes is taken over once
+    * its lease expires — takeover deletes the stale file and re-races the
+    * exclusive create, which exactly one taker wins. Release verifies the
+    * nonce first, so a holder whose lease expired mid-critical-section
+    * can never delete its successor's lock (its own WRITES are still
+    * protected by the OCC seq claim — the lease bounds mutual exclusion,
+    * not correctness). Same atomic-create requirement as [[allocateSeq]]:
+    * HDFS-class and local filesystems yes; plain S3 needs conditional
+    * puts or an external provider, as Hudi documents.
+    *
+    * Disjoint-key writers do NOT need this (OCC + the disjointness spec
+    * cover them); take the lock only for same-key upsertIfNew races or
+    * stop-the-world services (restore). */
+  def withTableLock[T](spark: SparkSession, path: String,
+                       leaseMs: Long = 60000L, waitMs: Long = 30000L)(f: => T): T = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    val lock = new Path(dir, ".tablelock")
+    val nonce = java.util.UUID.randomUUID().toString
+    val deadline = System.currentTimeMillis() + waitMs
+    var held = false
+    while (!held) {
+      val expiry = System.currentTimeMillis() + leaseMs
+      try {
+        if (fs.getScheme == "file")
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(lock.toUri.getPath),
+            s"$nonce|$expiry".getBytes(StandardCharsets.UTF_8),
+            java.nio.file.StandardOpenOption.CREATE_NEW)
+        else {
+          val out = fs.create(lock, false)
+          try out.write(s"$nonce|$expiry".getBytes(StandardCharsets.UTF_8))
+          finally out.close()
+        }
+        held = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          // stale-lease takeover: read the holder's expiry; a vanished or
+          // unreadable file just re-races the create
+          val stale = try {
+            val txt = new String(readFully(fs, lock), StandardCharsets.UTF_8)
+            txt.split('|') match {
+              case Array(_, exp) => exp.toLongOption.exists(_ < System.currentTimeMillis())
+              case _ => true // corrupt: treat as stale
+            }
+          } catch { case _: java.io.IOException => false }
+          if (stale) { fs.delete(lock, false); () }
+          else if (System.currentTimeMillis() > deadline)
+            throw new java.io.IOException(
+              s"table lock at $lock not acquired within ${waitMs} ms")
+          else Thread.sleep(50)
+      }
+    }
+    try f
+    finally {
+      // release ONLY our own lock: after a lease expiry a successor may
+      // hold it — verify the nonce before deleting
+      try {
+        val txt = new String(readFully(fs, lock), StandardCharsets.UTF_8)
+        if (txt.startsWith(nonce + "|")) { fs.delete(lock, false); () }
+      } catch { case _: java.io.IOException => () }
+    }
+  }
+
   private[lake] def commitTimeString(ms: Long): String =
     java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmssSSS")
       .withZone(java.time.ZoneOffset.UTC)

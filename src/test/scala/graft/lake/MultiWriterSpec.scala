@@ -389,4 +389,47 @@ class MultiWriterSpec extends AnyFunSuite {
     assert(!handle().upsertIfNew(Seq(("seed7", 9)).toDF("uuid", "v"), Nil, -1L))
     assert(handle().upsertIfNew(Seq(("brand_new", 9)).toDF("uuid", "v"), Nil, -1L))
   }
+
+  test("table lock serializes SAME-key upsertIfNew racers: flags stay truthful for overlap") {
+    // the one shape the lock exists for (the Hudi table-lock analog): two
+    // writers pushing the SAME new key through the newness proof. Without
+    // serialization both could prove "new" and both flag insert-only — a
+    // duplicate under the merge-skip read. Under withTableLock exactly one
+    // proof can succeed per key; the loser's probe sees the winner's
+    // commit and refuses.
+    val path = tmp()
+    def handle() = MorTable(spark, path, Seq("uuid"),
+      compactionDeltaCommits = 1000)
+    handle().upsert(Seq(("seed", 0)).toDF("uuid", "v"), Nil, batchId = 0L)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    def writer(tag: Int) = Future {
+      val h = handle()
+      (1 to 8).map { i =>
+        MorTable.withTableLock(spark, path) {
+          h.upsertIfNew(Seq((s"shared$i", tag)).toDF("uuid", "v"), Nil, -1L)
+        }
+      }
+    }
+    val a = Await.result(writer(1), 300.seconds)
+    val b = Await.result(writer(2), 300.seconds)
+    val t = handle()
+    // exactly one row per shared key — never a duplicate
+    val rows = t.read().collect().map(_.getString(0))
+    assert(rows.length == rows.distinct.length, "duplicate keys under the lock")
+    assert(rows.count(_.startsWith("shared")) == 8)
+    // per key, EXACTLY ONE of the two racers proved newness
+    (1 to 8).foreach { i =>
+      assert(a(i - 1) ^ b(i - 1), s"key shared$i: proofs a=${a(i - 1)} b=${b(i - 1)}")
+    }
+    // lease takeover: a crashed holder's stale lock does not wedge writers
+    val fsys = fs(path)
+    val out = fsys.create(new Path(path, ".tablelock"), false)
+    out.write(s"dead-writer|${System.currentTimeMillis() - 1}".getBytes); out.close()
+    MorTable.withTableLock(spark, path) {
+      assert(handle().upsertIfNew(Seq(("after_crash", 1)).toDF("uuid", "v"), Nil, -1L))
+    }
+    assert(t.read().filter(col("uuid") === "after_crash").count() == 1)
+  }
 }
