@@ -128,9 +128,23 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
     val (path, keys) = pathAndKeys(parameters)
     policyOf(parameters).foreach( // CREATE TABLE … OPTIONS declares it
       MorTable.writePolicy(sqlContext.sparkSession, path, _))
+    // `asOfTimestamp` (DataFrame-API twin of SQL TIMESTAMP AS OF):
+    // resolves to the last commit at or before the wall-clock instant —
+    // Hudi's as.of.instant rule, same resolution the SQL path uses
+    val asOfTs = parameters.get("asOfTimestamp").map { s =>
+      val ms = java.sql.Timestamp.valueOf(s.replace("T", " ")).getTime
+      MorTable.resolve(sqlContext.sparkSession, path, keys).timeline()
+        .filter(_.commitMs <= ms).lastOption.map(_.seq)
+        .getOrElse(throw new IllegalArgumentException(
+          s"no commit at or before timestamp '$s' on $path"))
+    }
+    require(asOfTs.isEmpty || !parameters.contains("asOf"),
+      "graft.mor: asOf and asOfTimestamp are mutually exclusive")
     MorRelation(sqlContext, path, keys,
-      asOf = parameters.get("asOf").map(_.toLong),
+      asOf = parameters.get("asOf").map(_.toLong).orElse(asOfTs),
       sinceSeq = parameters.get("sinceSeq").map(_.toLong),
+      changelogFrom = parameters.get("changelogFrom").map(_.toLong),
+      changelogTo = parameters.get("changelogTo").map(_.toLong),
       partitionCol = parameters.get("partition"),
       partitionValues = partitionValues(parameters))
   }
@@ -230,14 +244,21 @@ final case class MorRelation(sqlContext: SQLContext, path: String,
                              keys: Seq[String],
                              asOf: Option[Long] = None,
                              sinceSeq: Option[Long] = None,
+                             /** CDC read: net I/U/D rows with before_*
+                               * images for tokens in (from, to] — the
+                               * Hudi cdc-query analog as a relation. */
+                             changelogFrom: Option[Long] = None,
+                             changelogTo: Option[Long] = None,
                              partitionCol: Option[String] = None,
                              partitionValues: Seq[String] = Seq.empty)
     extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
-  require(asOf.isEmpty || sinceSeq.isEmpty,
-    "graft.mor: asOf and sinceSeq are mutually exclusive")
+  require(Seq(asOf, sinceSeq, changelogFrom).count(_.isDefined) <= 1,
+    "graft.mor: asOf, sinceSeq and changelogFrom are mutually exclusive")
   require(asOf.isEmpty || partitionCol.isEmpty,
     "graft.mor: asOf time travel is not supported on partitioned tables")
+  require(changelogTo.isEmpty || changelogFrom.isDefined,
+    "graft.mor: changelogTo needs changelogFrom")
 
   // resolve() so the table's persisted compaction/write policy applies to
   // SQL writes (INSERT INTO through the catalog) from ANY session — a
@@ -246,11 +267,15 @@ final case class MorRelation(sqlContext: SQLContext, path: String,
   private def partTable = PartitionedMorTable.resolve(
     sqlContext.sparkSession, path, keys, partitionCol.get)
 
-  private def scanDf() = (partitionCol, asOf, sinceSeq) match {
-    case (Some(_), _, Some(seq)) => partTable.readIncremental(seq, partitionValues)
-    case (Some(_), _, _) => partTable.read(partitionValues)
-    case (None, Some(seq), _) => table.readAt(seq)
-    case (None, _, Some(seq)) => table.readIncremental(seq)
+  private def scanDf() = (partitionCol, asOf, sinceSeq, changelogFrom) match {
+    case (Some(_), _, _, Some(from)) =>
+      partTable.readChangelog(from, changelogTo.getOrElse(Long.MaxValue), partitionValues)
+    case (None, _, _, Some(from)) =>
+      table.readChangelog(from, changelogTo.getOrElse(Long.MaxValue))
+    case (Some(_), _, Some(seq), _) => partTable.readIncremental(seq, partitionValues)
+    case (Some(_), _, _, _) => partTable.read(partitionValues)
+    case (None, Some(seq), _, _) => table.readAt(seq)
+    case (None, _, Some(seq), _) => table.readIncremental(seq)
     case _ => table.read()
   }
 
@@ -298,13 +323,13 @@ final case class MorRelation(sqlContext: SQLContext, path: String,
   private[mor] def scanWithFilters(requiredColumns: Array[String],
                                    filters: Array[Filter]): DataFrame = {
     import org.apache.spark.sql.sources._
-    val routed = (partitionCol, asOf, sinceSeq) match {
-      case (None, None, None) =>
+    val routed = (partitionCol, asOf, sinceSeq, changelogFrom) match {
+      case (None, None, None, None) =>
         keyValues(filters) match {
           case Some(ks) => table.readForKeys(ks)
           case None => table.read()
         }
-      case (Some(pc), _, None) if partitionValues.isEmpty =>
+      case (Some(pc), _, None, None) if partitionValues.isEmpty =>
         colValues(filters, pc) match {
           case Some(vs) => partTable.read(vs)
           case None => scanDf()
@@ -356,8 +381,8 @@ final case class MorRelation(sqlContext: SQLContext, path: String,
     * `INSERT OVERWRITE` replaces the table contents. Spark has already
     * cast the incoming rows to this relation's schema by position. */
   override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-    require(asOf.isEmpty && sinceSeq.isEmpty,
-      "graft.mor: cannot INSERT into a time-travel or incremental read")
+    require(asOf.isEmpty && sinceSeq.isEmpty && changelogFrom.isEmpty,
+      "graft.mor: cannot INSERT into a time-travel, incremental or CDC read")
     partitionCol match {
       case Some(_) =>
         if (overwrite) partTable.drop()

@@ -382,6 +382,34 @@ class MorDataSourceSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS mor_tt_t")
   }
 
+  test("asOfTimestamp and changelogFrom reader options: CDC + timestamp travel via the format") {
+    val path = TestSpark.tmpDir("dsv1-cdcopt")
+    val t = graft.lake.MorTable(spark, path, Seq("uuid"), compactionDeltaCommits = 1000)
+    t.upsert(Seq(("id1", 1), ("id2", 2)).toDF("uuid", "v"), Nil, batchId = 1L)
+    t.upsert(Seq(("id1", 10), ("id3", 3)).toDF("uuid", "v"), Nil, batchId = 2L)
+    t.delete(Seq("id2").toDF("uuid"), batchId = 3L)
+    def read(opts: (String, String)*) = {
+      val r = spark.read.format("graft.mor").option("keys", "uuid")
+      opts.foreach { case (k, v) => r.option(k, v) }
+      r.load(path)
+    }
+    // CDC relation: net I/U/D with before images for tokens in (1, +inf)
+    val cdc = read("changelogFrom" -> "1")
+      .select("op", "uuid", "v", "before_v").collect()
+      .map(r => (r.getString(0), r.getString(1), Option(r.get(2)), Option(r.get(3)))).toSet
+    assert(cdc == Set(
+      ("U", "id1", Some(10), Some(1)),
+      ("I", "id3", Some(3), None),
+      ("D", "id2", None, Some(2))), cdc)
+    // bounded range: only commit 2's changes
+    assert(read("changelogFrom" -> "1", "changelogTo" -> "2")
+      .select("op").collect().map(_.getString(0)).sorted.toSeq == Seq("I", "U"))
+    // timestamp travel through the reader option
+    val ts1 = new java.sql.Timestamp(t.timeline().find(_.seq == 1L).get.commitMs).toString
+    assert(read("asOfTimestamp" -> ts1).collect()
+      .map(r => (r.getString(0), r.getInt(1))).toMap == Map("id1" -> 1, "id2" -> 2))
+  }
+
   test("SQL DML routes through the partitioned form (partition option)") {
     val path = TestSpark.tmpDir("dsv1-dml-part")
     spark.sql("DROP TABLE IF EXISTS mor_dmlp_t")
