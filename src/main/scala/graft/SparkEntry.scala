@@ -149,6 +149,8 @@ object SparkEntry {
     "t13_unigram_logprob" -> ((s, d) => graft.functions.LlmQueries.unigramLogProb(s, d)),
     "t14_perplexity_buckets" -> ((s, d) => graft.functions.LlmQueries.perplexityBuckets(s, d)),
     "t15_mixture_sample"  -> ((s, d) => graft.functions.LlmQueries.mixtureSample(s, d)),
+    "t31_temperature_mix" -> ((s, d) => graft.operators.Sampling.temperatureSample(
+      graft.Tables.documents(s, d), "lang", "doc_id", alpha = 0.5)),
     "t16_bm25"            -> ((s, d) => graft.functions.LlmQueries.bm25TopK(s, d)),
     "t17_mixture_epochs"  -> ((s, d) => graft.functions.LlmQueries.mixtureEpochs(s, d)),
     "d15_hll_registers"   -> ((s, d) => graft.functions.LlmQueries.hllRegisters(s, d)),
@@ -1493,6 +1495,16 @@ object SparkEntry {
     "r19_salted_join" ->
       """SELECT o.o_orderkey, c.c_name, o.o_totalprice
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
+    "t31_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |m AS (SELECT min(n) AS mn FROM c),
+        |r AS (SELECT lang,
+        |        floor(1e6 * pow(mn::DOUBLE / n, 0.5))::BIGINT AS ppm
+        |      FROM c, m)
+        |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+        |FROM documents d JOIN r USING (lang)
+        |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT
+        |      < (4294967296 * ppm) // 1000000""".stripMargin,
     "t5_hash_sample" ->
       """SELECT * FROM documents
         |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT < 858993459""".stripMargin,

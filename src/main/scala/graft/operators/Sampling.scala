@@ -78,6 +78,31 @@ object Sampling {
     df.filter(hashBucket(col(keyCol)) < cutoff)
   }
 
+  /** TEMPERATURE-balanced mixture (the multilingual sampling rule of
+    * mBERT/XLM-R/mT5: languages are drawn with probability ∝ p^α, α ∈
+    * (0, 1] flattening the natural distribution so head languages stop
+    * drowning the tail). Unlike [[mixtureSample]] (caller-supplied
+    * weights), the per-group keep RATES derive from the OBSERVED
+    * distribution: r_g = (cnt_min / cnt_g)^(1−α), ppm-quantized — the
+    * sampled counts are then ∝ p_g^α with the smallest group kept whole
+    * (pure down-sampling; compose [[mixtureEpochs]] to up-sample the
+    * tail instead). Cost: ONE metadata-sized groupBy (|groups| rows to
+    * the driver) to fix the rates, then the same md5-deterministic
+    * map-only filter as mixtureSample — retry/engine-stable, composes
+    * with any scan at 100 TB. */
+  def temperatureSample(df: DataFrame, groupCol: String, keyCol: String,
+                        alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"temperature alpha must be in (0, 1], got $alpha")
+    val counts = df.groupBy(col(groupCol)).count().collect()
+      .map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toSeq
+    require(counts.nonEmpty, "temperatureSample over an empty relation")
+    val cMin = counts.map(_._2).min
+    val weights = counts.map { case (g, n) =>
+      (g, math.floor(1e6 * math.pow(cMin.toDouble / n, 1 - alpha)).toLong, 1000000L)
+    }
+    mixtureSample(df, groupCol, keyCol, weights)
+  }
+
   /** Mixture UP-sampling: replicate each group's rows to a fractional
     * epoch count — the other half of training-mix composition (a 2.5-epoch
     * source repeats every doc twice and a deterministic half of them a
