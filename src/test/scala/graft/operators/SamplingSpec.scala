@@ -80,6 +80,32 @@ class SamplingSpec extends AnyFunSuite {
     mixed.unpersist()
   }
 
+  test("temperatureSample flattens toward p^alpha; smallest group kept whole") {
+    val docs = graft.Tables.documents(spark, TestSpark.sfDir)
+    val total = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val kept = Sampling.temperatureSample(docs, "lang", "doc_id", alpha = 0.5)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val (minLang, minN) = total.minBy(_._2)
+    assert(kept(minLang) == minN, "smallest group must keep every row")
+    // each group's expected keep count is sqrt(minN * n) (counts ∝ p^0.5
+    // with the smallest whole); md5 rates are approximate per group
+    total.foreach { case (l, n) =>
+      val want = math.sqrt(minN.toDouble * n)
+      val got = kept.getOrElse(l, 0L).toDouble
+      assert(got > want * 0.6 && got < want * 1.4 + 5,
+        s"$l: kept $got, temperature target ~$want of $n")
+    }
+    // flattening law: the kept head/tail ratio shrinks toward sqrt
+    val (maxLang, maxN) = total.maxBy(_._2)
+    val natural = maxN.toDouble / minN
+    val flattened = kept(maxLang).toDouble / kept(minLang)
+    assert(flattened < natural * 0.8,
+      s"head/tail ratio must shrink: natural $natural, flattened $flattened")
+    // alpha = 1 is the identity (no re-balancing)
+    assert(Sampling.temperatureSample(docs, "lang", "doc_id", alpha = 1.0)
+      .count() == docs.count())
+  }
+
   test("hashBucket spreads uniformly (chi-square-ish sanity over 16 buckets)") {
     val n = 4096
     val counts = spark.range(n)
