@@ -78,19 +78,18 @@ class MorDmlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
 
     case m @ MergeIntoTable(MorTarget(rel), source, cond,
         matched, notMatched, notMatchedBySource, _) if m.resolved =>
-      if (notMatchedBySource.nonEmpty) throw new UnsupportedOperationException(
-        "graft.mor MERGE does not support WHEN NOT MATCHED BY SOURCE yet")
       val srcOut = source.outputSet
       def q(e: Expression): Column = bySide(e, srcOut)
-      val matchedSql: Seq[MorMergeAction] = matched.map {
+      def updOrDel(a: MergeAction, where: String): MorMergeAction = a match {
         case UpdateAction(c, assigns, _) =>
           MorMergeAction("U", c.map(q).getOrElse(lit(true)),
-            assigns.map(a => assignKey(a) -> q(a.value)).toMap)
+            assigns.map(x => assignKey(x) -> q(x.value)).toMap)
         case DeleteAction(c) =>
           MorMergeAction("D", c.map(q).getOrElse(lit(true)), Map.empty)
         case other => throw new UnsupportedOperationException(
-          s"graft.mor MERGE: unsupported matched action $other")
+          s"graft.mor MERGE: unsupported $where action $other")
       }
+      val matchedSql = matched.map(updOrDel(_, "matched"))
       val insertSql: Seq[MorMergeAction] = notMatched.map {
         case InsertAction(c, assigns) =>
           MorMergeAction("I", c.map(q).getOrElse(lit(true)),
@@ -98,7 +97,11 @@ class MorDmlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
         case other => throw new UnsupportedOperationException(
           s"graft.mor MERGE: unsupported not-matched action $other")
       }
-      GraftMergeCommand(rel, source, q(cond), matchedSql, insertSql)
+      // NOT MATCHED BY SOURCE: UPDATE/DELETE over target rows with no
+      // source match (their conditions reference the target only — the
+      // analyzer enforces it)
+      val nmbsSql = notMatchedBySource.map(updOrDel(_, "not-matched-by-source"))
+      GraftMergeCommand(rel, source, q(cond), matchedSql, insertSql, nmbsSql)
   }
 }
 
@@ -230,16 +233,18 @@ case class GraftUpdateCommand(rel: MorRelation, set: Map[String, Column],
 case class GraftMergeCommand(rel: MorRelation, source: LogicalPlan,
                              cond: Column,
                              matched: Seq[MorMergeAction],
-                             inserts: Seq[MorMergeAction])
+                             inserts: Seq[MorMergeAction],
+                             nmbs: Seq[MorMergeAction] = Nil)
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
 
   override def run(spark: SparkSession): Seq[Row] = {
     MorDml.guards(rel)
     val keyCols = rel.keys
-    require(matched.flatMap(_.set.keySet).toSet.intersect(keyCols.toSet).isEmpty,
-      "MERGE cannot reassign record key column(s) in WHEN MATCHED UPDATE")
-    val src = GraftSqlShim.ofRows(spark, source).alias("s")
+    require((matched ++ nmbs).flatMap(_.set.keySet).toSet.intersect(keyCols.toSet).isEmpty,
+      "MERGE cannot reassign record key column(s) in an UPDATE clause")
+    val src = GraftSqlShim.ofRows(spark, source)
+      .withColumn("__srcm", lit(true)).alias("s")
     val (readDf, dataCols) = rel.partitionCol match {
       case Some(p) =>
         val t = PartitionedMorTable.resolve(spark, rel.path, rel.keys, p)
@@ -250,32 +255,34 @@ case class GraftMergeCommand(rel: MorRelation, source: LogicalPlan,
         (df, df.columns.toSeq)
     }
     val tgt = readDf.withColumn("__matched", lit(true)).alias("t")
-    val joined = src.join(tgt, cond, "left_outer")
-    val isMatched = col("t.__matched").isNotNull
+    // NOT MATCHED BY SOURCE must examine every target row (inherent to
+    // its semantics) → full outer; without those clauses the join stays
+    // source-sided and the scan cost O(|source| probes)
+    val joined = src.join(tgt, cond, if (nmbs.isEmpty) "left_outer" else "full_outer")
+    val isMatched = col("s.__srcm").isNotNull && col("t.__matched").isNotNull
+    val srcOnly = col("s.__srcm").isNotNull && col("t.__matched").isNull
+    val tgtOnly = col("s.__srcm").isNull
 
     // first-matching-WHEN-clause semantics: an ordered when()-chain (no
     // otherwise → null = "no clause fired, row untouched")
     def chain(actions: Seq[MorMergeAction], value: MorMergeAction => Column): Column =
       actions.foldLeft(when(lit(false), lit(null))) { (w, a) => w.when(a.cond, value(a)) }
-    val op = when(isMatched,
-        if (matched.isEmpty) lit(null).cast("string")
-        else chain(matched, a => lit(a.kind)))
-      .otherwise(
-        if (inserts.isEmpty) lit(null).cast("string")
-        else chain(inserts, a => lit(a.kind)))
+    def chainOr(actions: Seq[MorMergeAction], value: MorMergeAction => Column,
+                empty: Column): Column =
+      if (actions.isEmpty) empty else chain(actions, value)
+    val op = when(isMatched, chainOr(matched, a => lit(a.kind), lit(null).cast("string")))
+      .when(srcOnly, chainOr(inserts, a => lit(a.kind), lit(null).cast("string")))
+      .otherwise(chainOr(nmbs, a => lit(a.kind), lit(null).cast("string")))
     def afterOf(c: String): Column = {
       val tCol = col(s"t.$c")
-      when(isMatched,
-        if (matched.isEmpty) tCol
-        else chain(matched, a => a.set.getOrElse(c, tCol)))
-      .otherwise(
-        if (inserts.isEmpty) lit(null)
-        else chain(inserts, a => a.set.getOrElse(c, lit(null))))
+      when(isMatched, chainOr(matched, a => a.set.getOrElse(c, tCol), tCol))
+        .when(srcOnly, chainOr(inserts, a => a.set.getOrElse(c, lit(null)), lit(null)))
+        .otherwise(chainOr(nmbs, a => a.set.getOrElse(c, tCol), tCol))
     }
     val keyOf = concat_ws("|", keyCols.map(k =>
-      when(isMatched, col(s"t.$k")).otherwise(
-        if (inserts.isEmpty) lit(null)
-        else chain(inserts, a => a.set.getOrElse(k, lit(null)))).cast("string")): _*)
+      when(isMatched || tgtOnly, col(s"t.$k"))
+        .otherwise(chainOr(inserts, a => a.set.getOrElse(k, lit(null)), lit(null)))
+        .cast("string")): _*)
     val env = joined.select(
       op.as("op"), keyOf.as("key"),
       struct(dataCols.map(c => col(s"t.$c").cast(readDf.schema(c).dataType).as(c)): _*).as("before"),

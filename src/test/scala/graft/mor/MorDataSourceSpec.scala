@@ -410,6 +410,35 @@ class MorDataSourceSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getInt(1))).toMap == Map("id1" -> 1, "id2" -> 2))
   }
 
+  test("MERGE WHEN NOT MATCHED BY SOURCE: target-only rows update/delete") {
+    val path = TestSpark.tmpDir("dsv1-nmbs")
+    spark.sql("DROP TABLE IF EXISTS mor_nmbs_t")
+    try {
+      spark.sql(
+        s"""CREATE TABLE mor_nmbs_t USING `graft.mor` OPTIONS (path '$path', keys 'uuid')
+           |AS SELECT * FROM VALUES ('id1', 100, 'live'), ('id2', 200, 'live'),
+           |  ('id3', 300, 'stale'), ('id4', 400, 'stale')
+           |  AS t(uuid, balance, status)""".stripMargin)
+      // the full sync shape: matched rows refresh, unmatched source rows
+      // insert, target rows the source no longer carries retire (stale →
+      // delete, live-but-unmatched → flagged)
+      spark.sql(
+        """MERGE INTO mor_nmbs_t AS t
+          |USING (SELECT * FROM VALUES ('id1', 5), ('id9', 9) AS s(uuid, delta)) AS s
+          |ON t.uuid = s.uuid
+          |WHEN MATCHED THEN UPDATE SET balance = t.balance + s.delta
+          |WHEN NOT MATCHED THEN INSERT (uuid, balance, status)
+          |  VALUES (s.uuid, s.delta, 'new')
+          |WHEN NOT MATCHED BY SOURCE AND t.status = 'stale' THEN DELETE
+          |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET status = 'orphaned'
+          |""".stripMargin)
+      val got = spark.sql("SELECT uuid, balance, status FROM mor_nmbs_t ORDER BY uuid")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSeq
+      assert(got == Seq(("id1", 105, "live"), ("id2", 200, "orphaned"),
+        ("id9", 9, "new")), got)
+    } finally spark.sql("DROP TABLE IF EXISTS mor_nmbs_t")
+  }
+
   test("SQL DML routes through the partitioned form (partition option)") {
     val path = TestSpark.tmpDir("dsv1-dml-part")
     spark.sql("DROP TABLE IF EXISTS mor_dmlp_t")
