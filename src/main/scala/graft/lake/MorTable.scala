@@ -530,12 +530,16 @@ final class MorTable(
   /** Predicate update (the `MERGE INTO … WHEN MATCHED UPDATE` / SQL
     * `UPDATE t SET … WHERE …` analog): rewrite the matching rows' images
     * and upsert them — last-write-wins replaces in place, commit is
-    * O(matches). `set` columns may reference the existing row. */
+    * O(matches). `set` columns may reference the existing row, and ALL
+    * assignments evaluate against the ORIGINAL row in one projection
+    * (SQL UPDATE semantics: `SET a = b, b = a` swaps — a sequential
+    * withColumn fold would feed b the already-updated a, and make
+    * interdependent sets silently depend on Map iteration order). */
   def updateWhere(cond: Column, set: Map[String, Column],
                   batchId: Long = -1L): MorTable = {
-    val updated = set.foldLeft(read().filter(cond)) {
-      case (df, (c, e)) => df.withColumn(c, e)
-    }
+    val base = read().filter(cond)
+    val updated = base.select(base.columns.map(c =>
+      set.get(c).map(_.as(c)).getOrElse(col(c))): _*)
     upsert(updated, keyCols.map(col), batchId)
   }
 
@@ -555,10 +559,17 @@ final class MorTable(
     * need every column) and be key-distinct — the MERGE cardinality rule;
     * violations fail loudly rather than resolve nondeterministically.
     *
-    * Scale: ONE equi-join on the key (AQE broadcasts the typical small
-    * merge batch), commit is O(|source|) — the untouched remainder of the
-    * table is never read past the join probe nor rewritten. The
-    * cardinality check is a count over `source` alone. */
+    * Scale: the target side resolves through the KEY-PRUNED read — for a
+    * bounded source the keys are collected once and the listing-level
+    * bloom/range pruning of [[readForKeys]] bounds the scan to probe-hit
+    * FILES (the Hudi bloom-index write-path tagging); past the collect
+    * cap, [[readForKeysOf]]'s scan-and-join keeps the merge shuffle to
+    * matching rows. Sound because the join is a LEFT join from the source
+    * on key equality: a target row outside the source's key set can never
+    * appear in the output. Commit is O(|source|) — at 100 TB a 1,000-row
+    * merge touches the handful of base files that might hold those keys,
+    * never the full snapshot. The cardinality check rides the same
+    * key-collect job (no extra pass for the typical small source). */
   def mergeInto(source: DataFrame,
                 matchedSet: Map[String, Column],
                 matchedDelete: Option[Column] = None,
@@ -567,11 +578,9 @@ final class MorTable(
     val dataCols = read().columns.toSeq
     require(dataCols.forall(source.columns.contains),
       s"mergeInto: source is missing table columns ${dataCols.filterNot(source.columns.contains).mkString(", ")}")
-    val dupKeys = source.groupBy(keyCols.map(col): _*).count()
-      .filter(col("count") > 1).limit(1).count()
-    require(dupKeys == 0L,
+    val t = mergeTarget(source,
       "mergeInto: source has duplicate keys (MERGE cardinality violation)")
-    val t = read().withColumn("__matched", lit(true)).alias("t")
+      .withColumn("__matched", lit(true)).alias("t")
     val joined = source.alias("s").join(
       t, keyCols.map(k => col(s"s.$k") === col(s"t.$k")).reduce(_ && _), "left")
     val matched = col("t.__matched").isNotNull
@@ -595,14 +604,54 @@ final class MorTable(
     applyChangelog(env, batchId)
   }
 
+  /** Key-pruned target resolution for the MERGE family, with the
+    * cardinality check fused into the key-collect job: group the batch by
+    * key (one pass), collect up to [[MorTable.mergeKeyCollectCap]]
+    * (key, count) rows — a small batch proves key-distinctness AND yields
+    * the literal probe set for [[readForKeys]]' listing-level bloom/range
+    * file pruning in the SAME job. Past the cap, distinctness is a
+    * separate bounded count and the target resolves through
+    * [[readForKeysOf]]'s scan-and-join (no file pruning, but the merge
+    * shuffle still carries only matching rows). Callers join the result
+    * LEFT from the batch on key equality, so restricting the target to
+    * the batch's own keys is an identity on the join output. */
+  private[lake] def mergeTarget(batch: DataFrame, dupMsg: String): DataFrame = {
+    val keyed = batch.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__n"))
+      .select(concat_ws("|", keyCols.map(k => col(k).cast("string")): _*).as("__pk"),
+        col("__n"))
+    val head = keyed.limit(MorTable.mergeKeyCollectCap + 1).collect()
+    if (head.length <= MorTable.mergeKeyCollectCap) {
+      require(head.forall(_.getLong(1) == 1L), dupMsg)
+      readForKeys(head.map(_.getString(0)).toSeq)
+    } else {
+      require(keyed.filter(col("__n") > 1).limit(1).count() == 0L, dupMsg)
+      readForKeysOf(keyed.select("__pk"))
+    }
+  }
+
+  /** [[readForKeys]] below the collect cap (listing-level file pruning),
+    * [[readForKeysOf]] above it — the size-dispatching point read the SQL
+    * MERGE command uses when its ON condition implies key equality.
+    * `batchKeys` is a one-column DataFrame of record keys. */
+  private[graft] def readForKeyBatch(batchKeys: DataFrame): DataFrame = {
+    val k = batchKeys
+      .select(col(batchKeys.columns.head).cast("string").as("__pk")).distinct()
+    val head = k.limit(MorTable.mergeKeyCollectCap + 1).collect()
+    if (head.length <= MorTable.mergeKeyCollectCap)
+      readForKeys(head.map(_.getString(0)).toSeq)
+    else readForKeysOf(k)
+  }
+
   /** Sparse/partial-image upsert — the Hudi `PartialUpdateAvroPayload`
     * analog (the CDC shape where an update carries only the changed
     * columns): NULL data columns in the batch mean "keep the current
     * value", and the batch may carry any SUBSET of the schema (plus the
     * key) — absent columns are padded as keep-current. One key equi-join
-    * against the current snapshot resolves each partial row to a full
-    * after-image (AQE broadcasts the typical small batch), then the
-    * commit is O(|batch|) — the untouched table is never rewritten.
+    * against the KEY-PRUNED snapshot (see [[mergeInto]]'s scale note —
+    * bloom/range file pruning for bounded batches, scan-and-join past the
+    * cap) resolves each partial row to a full after-image (AQE broadcasts
+    * the typical small batch), then the commit is O(|batch|) — the
+    * untouched table is never read past the probe-hit files nor rewritten.
     * Unmatched keys insert as-is (their nulls stay null). `batch` must be
     * key-distinct (the mergeInto cardinality rule) and the table
     * non-empty (a partial image of nothing is meaningless). */
@@ -614,13 +663,11 @@ final class MorTable(
       s"upsertPartial: batch is missing key columns ${keyCols.filterNot(batch.columns.contains).mkString(", ")}")
     require(batch.columns.forall(dataCols.contains),
       s"upsertPartial: batch has unknown columns ${batch.columns.filterNot(dataCols.contains).mkString(", ")}")
-    val dupKeys = batch.groupBy(keyCols.map(col): _*).count()
-      .filter(col("count") > 1).limit(1).count()
-    require(dupKeys == 0L,
+    val target = mergeTarget(batch,
       "upsertPartial: batch has duplicate keys (cardinality violation)")
     val padded = schema.fields.filterNot(f => batch.columns.contains(f.name))
       .foldLeft(batch)((df, f) => df.withColumn(f.name, lit(null).cast(f.dataType)))
-    val joined = padded.alias("s").join(read().alias("t"),
+    val joined = padded.alias("s").join(target.alias("t"),
       keyCols.map(k => col(s"s.$k") === col(s"t.$k")).reduce(_ && _), "left")
     val resolved = joined.select(dataCols.map { c =>
       if (keyCols.contains(c)) col(s"s.$c").as(c)
@@ -1706,6 +1753,15 @@ object MorTable {
     * large-table path on small data. */
   @volatile private[lake] var smallManifestFiles: Int = 512
 
+  /** Merge-batch key-collect cap: sources/batches with at most this many
+    * distinct keys resolve their merge target through [[MorTable!.readForKeys]]
+    * (driver-collected probe set → listing-level bloom/range FILE pruning);
+    * larger ones fall back to the scan-and-join [[MorTable!.readForKeysOf]].
+    * Well below readForKeys' 100k literal-In() bloat bound — a merge batch
+    * past 10k keys is bulk maintenance, where the semi-join is the right
+    * plan anyway. */
+  private[graft] val mergeKeyCollectCap: Int = 10000
+
   /** Telemetry: per-file stats rows materialized DRIVER-side (regime 1
     * only) — the sharded-manifest spec asserts this stays 0 on the
     * large-table path and ≤ threshold on the small one. */
@@ -1944,8 +2000,14 @@ object MorTable {
     *
     * Lease semantics: the lock is an EXCLUSIVE-created `<dir>/.tablelock`
     * carrying (nonce, expiry); a holder that crashes is taken over once
-    * its lease expires — takeover deletes the stale file and re-races the
-    * exclusive create, which exactly one taker wins. Release verifies the
+    * its lease expires. Takeover is itself serialized per lock GENERATION
+    * (a bare delete-and-recreate would let two same-tick waiters both
+    * enter — the first deletes + recreates, the second's already-decided
+    * delete removes the first's fresh lock): a taker must exclusively
+    * create a claim file keyed on the stale holder's nonce, and only the
+    * claim winner may delete that generation's lock (content-verified, so
+    * it can never remove a successor), before re-racing the exclusive
+    * create like everyone else. Release verifies the
     * nonce first, so a holder whose lease expired mid-critical-section
     * can never delete its successor's lock (its own WRITES are still
     * protected by the OCC seq claim — the lease bounds mutual exclusion,
@@ -1964,38 +2026,83 @@ object MorTable {
     val lock = new Path(dir, ".tablelock")
     val nonce = java.util.UUID.randomUUID().toString
     val deadline = System.currentTimeMillis() + waitMs
-    var held = false
-    while (!held) {
-      val expiry = System.currentTimeMillis() + leaseMs
+    // exclusive-create of `p` with `content`; false when the file exists
+    def createNew(p: Path, content: String): Boolean =
       try {
         if (fs.getScheme == "file")
           java.nio.file.Files.write(
-            java.nio.file.Paths.get(lock.toUri.getPath),
-            s"$nonce|$expiry".getBytes(StandardCharsets.UTF_8),
+            java.nio.file.Paths.get(p.toUri.getPath),
+            content.getBytes(StandardCharsets.UTF_8),
             java.nio.file.StandardOpenOption.CREATE_NEW)
         else {
-          val out = fs.create(lock, false)
-          try out.write(s"$nonce|$expiry".getBytes(StandardCharsets.UTF_8))
+          val out = fs.create(p, false)
+          try out.write(content.getBytes(StandardCharsets.UTF_8))
           finally out.close()
         }
-        held = true
+        true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException |
-             _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-          // stale-lease takeover: read the holder's expiry; a vanished or
-          // unreadable file just re-races the create
-          val stale = try {
-            val txt = new String(readFully(fs, lock), StandardCharsets.UTF_8)
-            txt.split('|') match {
-              case Array(_, exp) => exp.toLongOption.exists(_ < System.currentTimeMillis())
-              case _ => true // corrupt: treat as stale
-            }
-          } catch { case _: java.io.IOException => false }
-          if (stale) { fs.delete(lock, false); () }
-          else if (System.currentTimeMillis() > deadline)
-            throw new java.io.IOException(
-              s"table lock at $lock not acquired within ${waitMs} ms")
-          else Thread.sleep(50)
+             _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      }
+    var held = false
+    while (!held) {
+      val expiry = System.currentTimeMillis() + leaseMs
+      if (createNew(lock, s"$nonce|$expiry")) held = true
+      else {
+        // Stale-lease takeover. A bare delete-and-recreate is racy: two
+        // waiters can both observe expiry in the same poll tick, the
+        // first deletes + recreates, and the second's already-decided
+        // delete then removes the first's FRESH lock — both enter. So
+        // deletion of a stale lock is AUTHORIZED per GENERATION: the
+        // taker must first exclusively create a claim file keyed on the
+        // stale holder's nonce (one claim per lock generation — UUIDs
+        // never recur, so exactly the live waiters of THIS generation
+        // race it and one wins). The claim winner deletes only the lock
+        // whose content still equals what it claimed, never a
+        // successor's fresh lock, then re-races the exclusive create
+        // like everyone else. A claimant that crashes mid-takeover
+        // leaves its claim file behind; claims older than the lease are
+        // removed so the generation can be re-claimed (double-claims
+        // after such cleanup stay harmless: every claim-C holder only
+        // ever deletes the C-generation lock, which is idempotent).
+        val txt = try {
+          Some(new String(readFully(fs, lock), StandardCharsets.UTF_8))
+        } catch { case _: java.io.IOException => None } // vanished: re-race
+        val stale = txt.exists { t =>
+          t.split('|') match {
+            case Array(_, exp) => exp.toLongOption.exists(_ < System.currentTimeMillis())
+            case _ => true // corrupt: treat as stale
+          }
+        }
+        if (stale) {
+          val genNonce = txt.get.split('|').head.replaceAll("[^A-Za-z0-9-]", "_")
+          val claim = new Path(dir, s".tablelock.claim.$genNonce")
+          if (createNew(claim, nonce)) {
+            // we own the takeover of THIS generation: delete the lock
+            // only if it is still that generation (a successor may
+            // already have replaced it)
+            val cur = try {
+              Some(new String(readFully(fs, lock), StandardCharsets.UTF_8))
+            } catch { case _: java.io.IOException => None }
+            if (cur == txt) { fs.delete(lock, false); () }
+            fs.delete(claim, false)
+          } else {
+            // another waiter claimed this generation; if its claim has
+            // outlived a lease it crashed mid-takeover — clear the claim
+            // so the next loop can re-claim (lock deletion stays
+            // exclusively on the claim-winner path above)
+            val claimDead = try {
+              fs.getFileStatus(claim).getModificationTime + leaseMs <
+                System.currentTimeMillis()
+            } catch { case _: java.io.IOException => false }
+            if (claimDead) { fs.delete(claim, false); () }
+            else Thread.sleep(50)
+          }
+        }
+        else if (txt.isDefined && System.currentTimeMillis() > deadline)
+          throw new java.io.IOException(
+            s"table lock at $lock not acquired within ${waitMs} ms")
+        else if (txt.isDefined) Thread.sleep(50)
       }
     }
     try f

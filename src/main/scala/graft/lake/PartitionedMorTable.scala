@@ -403,14 +403,16 @@ final class PartitionedMorTable(
   /** Predicate update across partitions (the MERGE-update analog):
     * rewrite matching images, upsert through the one-job staged path.
     * Updating `partitionCol` itself is refused — a key never moves
-    * partitions (the global PK includes the partition). */
+    * partitions (the global PK includes the partition). All assignments
+    * evaluate against the ORIGINAL row in one projection (SQL UPDATE
+    * semantics — see [[MorTable.updateWhere]]). */
   def updateWhere(cond: Column, set: Map[String, Column], batchId: Long = -1L,
                   values: Seq[String] = Seq.empty): PartitionedMorTable = {
     require(!set.contains(partitionCol),
       s"updateWhere cannot move rows across partitions ($partitionCol is part of the PK)")
-    val updated = set.foldLeft(read(values).filter(cond)) {
-      case (df, (c, e)) => df.withColumn(c, e)
-    }
+    val base = read(values).filter(cond)
+    val updated = base.select(base.columns.map(c =>
+      set.get(c).map(_.as(c)).getOrElse(col(c))): _*)
     upsert(updated, keyCols.map(col), batchId)
   }
 
@@ -613,6 +615,20 @@ final class PartitionedMorTable(
     val restricted = scan.join(k, col("_record_key") === col("__pk"), "left_semi")
     lwwLatest(restricted).filter(!col("_deleted"))
       .select(orderedDataCols(scan.columns).map(col): _*)
+  }
+
+  /** Size-dispatching point read ([[MorTable.readForKeyBatch]] in the
+    * partitioned layout): [[readForKeys]]' listing-level file pruning for
+    * batches below the collect cap, [[readForKeysOf]]'s scan-and-join
+    * above it — the key-pruned merge-target read of the SQL MERGE path. */
+  private[graft] def readForKeyBatch(batchKeys: DataFrame,
+                                     values: Seq[String] = Seq.empty): DataFrame = {
+    val k = batchKeys
+      .select(col(batchKeys.columns.head).cast("string").as("__pk")).distinct()
+    val head = k.limit(MorTable.mergeKeyCollectCap + 1).collect()
+    if (head.length <= MorTable.mergeKeyCollectCap)
+      readForKeys(head.map(_.getString(0)).toSeq, values)
+    else readForKeysOf(k, values)
   }
 
   /** Incremental pull across partitions (the Hudi incremental-query analog

@@ -132,7 +132,9 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
     // resolves to the last commit at or before the wall-clock instant —
     // Hudi's as.of.instant rule, same resolution the SQL path uses
     val asOfTs = parameters.get("asOfTimestamp").map { s =>
-      val ms = java.sql.Timestamp.valueOf(s.replace("T", " ")).getTime
+      // session-timezone parse, shared with SQL TIMESTAMP AS OF — the two
+      // surfaces must resolve one string to the SAME commit
+      val ms = MorDml.sessionTsToMs(sqlContext.sparkSession, s)
       MorTable.resolve(sqlContext.sparkSession, path, keys).timeline()
         .filter(_.commitMs <= ms).lastOption.map(_.seq)
         .getOrElse(throw new IllegalArgumentException(

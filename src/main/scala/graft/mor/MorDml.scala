@@ -67,13 +67,25 @@ class MorDmlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
       s"graft.mor DML supports only top-level column assignments, got ${other.sql}")
   }
 
+  /** Assignment-name → Column map; duplicate assignments to one column
+    * fail loudly (a silent toMap would keep the LAST and drop the rest —
+    * standard SQL rejects `SET a = 1, a = 2`). */
+  private def assignMap(assigns: Seq[Assignment], q: Expression => Column)
+      : Map[String, Column] = {
+    val named = assigns.map(a => assignKey(a) -> q(a.value))
+    val dup = named.map(_._1).groupBy(identity).collect { case (n, vs) if vs.size > 1 => n }
+    require(dup.isEmpty,
+      s"duplicate assignment to column(s) ${dup.mkString(", ")}")
+    named.toMap
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
     case d @ DeleteFromTable(MorTarget(rel), cond) if d.childrenResolved && cond.resolved =>
       GraftDeleteCommand(rel, byName(cond))
 
     case u @ UpdateTable(MorTarget(rel), assigns, cond)
         if u.childrenResolved && assigns.forall(_.resolved) && cond.forall(_.resolved) =>
-      val set = assigns.map(a => assignKey(a) -> byName(a.value)).toMap
+      val set = assignMap(assigns, byName)
       GraftUpdateCommand(rel, set, cond.map(byName).getOrElse(lit(true)))
 
     case m @ MergeIntoTable(MorTarget(rel), source, cond,
@@ -82,8 +94,7 @@ class MorDmlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
       def q(e: Expression): Column = bySide(e, srcOut)
       def updOrDel(a: MergeAction, where: String): MorMergeAction = a match {
         case UpdateAction(c, assigns, _) =>
-          MorMergeAction("U", c.map(q).getOrElse(lit(true)),
-            assigns.map(x => assignKey(x) -> q(x.value)).toMap)
+          MorMergeAction("U", c.map(q).getOrElse(lit(true)), assignMap(assigns, q))
         case DeleteAction(c) =>
           MorMergeAction("D", c.map(q).getOrElse(lit(true)), Map.empty)
         case other => throw new UnsupportedOperationException(
@@ -92,8 +103,7 @@ class MorDmlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
       val matchedSql = matched.map(updOrDel(_, "matched"))
       val insertSql: Seq[MorMergeAction] = notMatched.map {
         case InsertAction(c, assigns) =>
-          MorMergeAction("I", c.map(q).getOrElse(lit(true)),
-            assigns.map(a => assignKey(a) -> q(a.value)).toMap)
+          MorMergeAction("I", c.map(q).getOrElse(lit(true)), assignMap(assigns, q))
         case other => throw new UnsupportedOperationException(
           s"graft.mor MERGE: unsupported not-matched action $other")
       }
@@ -101,7 +111,30 @@ class MorDmlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
       // source match (their conditions reference the target only — the
       // analyzer enforces it)
       val nmbsSql = notMatchedBySource.map(updOrDel(_, "not-matched-by-source"))
-      GraftMergeCommand(rel, source, q(cond), matchedSql, insertSql, nmbsSql)
+      // Key-equality detection for the key-pruned target read: when the
+      // ON condition's conjuncts equate EVERY record-key column of the
+      // target to a source-side expression, the (left-join) merge can
+      // resolve its target through the bloom/range-pruned point read —
+      // extra conjuncts are fine (restricting the target to the source's
+      // key set is an identity on any join that implies key equality).
+      import org.apache.spark.sql.catalyst.expressions.{And => CAnd, EqualTo}
+      def conjuncts(e: Expression): Seq[Expression] = e match {
+        case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+        case x => Seq(x)
+      }
+      val keyEq: Map[String, Expression] = conjuncts(cond).flatMap {
+        case EqualTo(t: AttributeReference, se)
+            if !srcOut.contains(t) && se.references.subsetOf(srcOut) => Some(t.name -> se)
+        case EqualTo(se, t: AttributeReference)
+            if !srcOut.contains(t) && se.references.subsetOf(srcOut) => Some(t.name -> se)
+        case _ => None
+      }.toMap
+      val keyEquiSrc: Option[Seq[Column]] =
+        if (rel.keys.nonEmpty && rel.keys.forall(keyEq.contains))
+          Some(rel.keys.map(k => q(keyEq(k))))
+        else None
+      GraftMergeCommand(rel, source, q(cond), matchedSql, insertSql, nmbsSql,
+        keyEquiSrc)
   }
 }
 
@@ -141,9 +174,9 @@ class MorTimeTravelResolution(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   private def toEpochMs(e: Expression): Long = e.eval() match {
-    case l: Long => l / 1000L // timestamp literal: epoch micros
+    case l: Long => Math.floorDiv(l, 1000L) // timestamp literal: epoch micros
     case s: org.apache.spark.unsafe.types.UTF8String =>
-      java.sql.Timestamp.valueOf(s.toString.replace("T", " ")).getTime
+      MorDml.sessionTsToMs(spark, s.toString) // session-tz, same as asOfTimestamp
     case other => throw new UnsupportedOperationException(
       s"TIMESTAMP AS OF expects a timestamp or timestamp-string literal, got $other")
   }
@@ -175,11 +208,27 @@ class MorTimeTravelResolution(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 }
 
-private object MorDml {
+private[mor] object MorDml {
   /** The table verbs behind a relation, partitioned-aware. */
   def guards(rel: MorRelation): Unit =
-    require(rel.asOf.isEmpty && rel.sinceSeq.isEmpty,
-      "graft.mor: DML on a time-travel or incremental read is meaningless")
+    require(rel.asOf.isEmpty && rel.sinceSeq.isEmpty && rel.changelogFrom.isEmpty,
+      "graft.mor: DML on a time-travel, incremental or CDC read is meaningless")
+
+  /** Parse a timestamp string through Spark's SESSION-timezone Cast — the
+    * one resolution shared by SQL `TIMESTAMP AS OF` string literals and
+    * the `asOfTimestamp` reader option. (A JVM-default-zone
+    * `java.sql.Timestamp.valueOf` would let the two advertised-equivalent
+    * surfaces resolve the same string to different commits whenever
+    * `spark.sql.session.timeZone` differs from the JVM default.) */
+  def sessionTsToMs(spark: SparkSession, s: String): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
+    Cast(Literal(s), org.apache.spark.sql.types.TimestampType, Some(zone)).eval() match {
+      case micros: Long => Math.floorDiv(micros, 1000L)
+      case _ => throw new IllegalArgumentException(
+        s"cannot parse timestamp string '$s'")
+    }
+  }
 }
 
 case class GraftDeleteCommand(rel: MorRelation, cond: Column)
@@ -227,14 +276,23 @@ case class GraftUpdateCommand(rel: MorRelation, set: Map[String, Column],
   * [[graft.lake.MorTable.applyChangelog]] path as CDC ingestion — so
   * commit cost is O(|source| matches), never a table rewrite, and the
   * plan shape is the ONE key-equi/condition join AQE broadcasts for the
-  * typical small merge batch. The MERGE cardinality rule is enforced
-  * (two source rows resolving to one target key fail loudly rather than
-  * nondeterministically). */
+  * typical small merge batch. When the resolver proved the ON condition
+  * implies record-key equality (`keyEquiSrc`) and no NOT MATCHED BY
+  * SOURCE clause forces a full-outer scan, the target side resolves
+  * through the KEY-PRUNED point read ([[graft.lake.MorTable.readForKeyBatch]]:
+  * listing-level bloom/range file pruning for bounded sources,
+  * scan-and-join past the cap) — at 100 TB a 1,000-row MERGE touches the
+  * probe-hit files, never the full snapshot. The MERGE cardinality rule
+  * is enforced (two source rows resolving to one target key fail loudly
+  * rather than nondeterministically), and an INSERT clause that leaves
+  * any record-key column null fails loudly rather than silently
+  * collapsing the key (concat_ws skips nulls). */
 case class GraftMergeCommand(rel: MorRelation, source: LogicalPlan,
                              cond: Column,
                              matched: Seq[MorMergeAction],
                              inserts: Seq[MorMergeAction],
-                             nmbs: Seq[MorMergeAction] = Nil)
+                             nmbs: Seq[MorMergeAction] = Nil,
+                             keyEquiSrc: Option[Seq[Column]] = None)
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
 
@@ -245,13 +303,26 @@ case class GraftMergeCommand(rel: MorRelation, source: LogicalPlan,
       "MERGE cannot reassign record key column(s) in an UPDATE clause")
     val src = GraftSqlShim.ofRows(spark, source)
       .withColumn("__srcm", lit(true)).alias("s")
+    // key-pruned target: sound only for the source-sided (left) join —
+    // NOT MATCHED BY SOURCE must see every target row, so it keeps the
+    // full read
+    val srcKeys = keyEquiSrc.map(ks =>
+      src.select(concat_ws("|", ks.map(_.cast("string")): _*).as("__pk")))
+      .filter(_ => nmbs.isEmpty)
     val (readDf, dataCols) = rel.partitionCol match {
       case Some(p) =>
         val t = PartitionedMorTable.resolve(spark, rel.path, rel.keys, p)
-        val df = t.read(rel.partitionValues)
+        val df = srcKeys match {
+          case Some(k) => t.readForKeyBatch(k, rel.partitionValues)
+          case None => t.read(rel.partitionValues)
+        }
         (df, df.columns.toSeq)
       case None =>
-        val df = MorTable.resolve(spark, rel.path, rel.keys).read()
+        val t = MorTable.resolve(spark, rel.path, rel.keys)
+        val df = srcKeys match {
+          case Some(k) => t.readForKeyBatch(k)
+          case None => t.read()
+        }
         (df, df.columns.toSeq)
     }
     val tgt = readDf.withColumn("__matched", lit(true)).alias("t")
@@ -290,10 +361,22 @@ case class GraftMergeCommand(rel: MorRelation, source: LogicalPlan,
       lit(0L).as("seq"))
       .filter(col("op").isNotNull)
       .localCheckpoint(true) // pinned: cardinality check + commit reuse it
-    // MERGE cardinality rule: one envelope row per key, else the LWW
-    // window would resolve the conflict nondeterministically
-    val dup = env.groupBy(col("key")).count().filter(col("count") > 1).limit(1).count()
-    require(dup == 0L,
+    // One validation pass over the pinned envelope: the MERGE cardinality
+    // rule (one envelope row per key, else the LWW window would resolve
+    // the conflict nondeterministically) AND the insert key-null rule (an
+    // INSERT clause omitting a key column or assigning it null would
+    // silently collapse the record key — concat_ws skips nulls)
+    val insertKeyNull = col("op") === "I" &&
+      keyCols.map(k => col(s"after.$k").isNull).reduce(_ || _)
+    val chk = env.groupBy(col("key"))
+      .agg(count(lit(1)).as("__n"),
+        max(when(insertKeyNull, lit(1)).otherwise(lit(0))).as("__nullkey"))
+      .agg(max(col("__n")).as("dup"), max(col("__nullkey")).as("nullkey"))
+      .first()
+    require(chk.isNullAt(1) || chk.getInt(1) == 0,
+      "MERGE INSERT must assign every record-key column a non-null value " +
+        s"(keys: ${keyCols.mkString(", ")})")
+    require(chk.isNullAt(0) || chk.getLong(0) <= 1L,
       "MERGE cardinality violation: multiple source rows resolve to one target key")
     rel.partitionCol match {
       case Some(p) =>

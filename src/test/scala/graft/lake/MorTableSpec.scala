@@ -747,6 +747,64 @@ class MorTableSpec extends AnyFunSuite {
     assert(e.getMessage.contains("cardinality"))
   }
 
+  test("updateWhere: interdependent SET columns see the ORIGINAL row (swap)") {
+    val t = MorTable(spark, TestSpark.tmpDir("mor-upd-swap"), Seq("uuid"),
+      compactionDeltaCommits = 100)
+    t.upsert(Seq(("id1", 1, 2)).toDF("uuid", "a", "b"), Nil, batchId = 1L)
+    // SQL UPDATE semantics: both expressions bind pre-update values — a
+    // sequential withColumn fold would produce (2, 2)
+    t.updateWhere(col("uuid") === "id1",
+      Map("a" -> col("b"), "b" -> col("a")), batchId = 2L)
+    val r = t.read().head()
+    assert((r.getAs[Int]("a"), r.getAs[Int]("b")) == (2, 1), "SET a=b, b=a must swap")
+  }
+
+  test("mergeInto resolves its target through the key-pruned read (bloom file pruning)") {
+    val path = TestSpark.tmpDir("mor-merge-prune")
+    val rows = (0 until 400)
+      .map(i => (f"k$i%03d", s"n$i", i, "1970-01-01 00:00:01"))
+      .toDF("uuid", "name", "age", "ts")
+    val t = new MorTable(spark, path, Seq("uuid"),
+      compactionDeltaCommits = 1000, autoCompact = false, writePartitions = 4)
+    t.upsert(rows, orderWithinBatch = Seq(col("ts")), batchId = 1L)
+    t.compact() // 4 base files, per-file key blooms in the manifest
+    val src = Seq(("k123", "merged", -5, "1970-01-01 00:00:09"),
+      ("knew", "insert", -6, "1970-01-01 00:00:09"))
+      .toDF("uuid", "name", "age", "ts")
+    // the target side the merge joins against touches only probe-hit
+    // FILES — at 100 TB this is the difference between a 2-file point
+    // read and a full-snapshot rescan per merge
+    val target = t.mergeTarget(src, "dup")
+    val scannedBase = target.inputFiles.count(_.contains("/base/"))
+    assert(scannedBase < 4,
+      s"merge target scanned $scannedBase of 4 base files — key pruning not applied")
+    // and the merge result is exactly the unpruned semantics
+    t.mergeInto(src, matchedSet = Map("age" -> col("s.age")), batchId = 2L)
+    val got = t.read().collect()
+      .map(r => r.getAs[String]("uuid") -> r.getAs[Int]("age")).toMap
+    assert(got.size == 401 && got("k123") == -5 && got("knew") == -6 && got("k000") == 0)
+    // upsertPartial rides the same pruned target
+    t.upsertPartial(Seq(("k200", "patched")).toDF("uuid", "name"), batchId = 3L)
+    val k200 = t.read().filter(col("uuid") === "k200").head()
+    assert(k200.getAs[String]("name") == "patched" && k200.getAs[Int]("age") == 200)
+  }
+
+  test("mergeTarget past the collect cap: scan-and-join, dup check still enforced") {
+    val t = MorTable(spark, TestSpark.tmpDir("mor-merge-cap"), Seq("uuid"),
+      compactionDeltaCommits = 1000)
+    t.upsert(Seq(("k3", 1), ("nope", 2)).toDF("uuid", "v"), Nil, batchId = 1L)
+    val big = spark.range(0, MorTable.mergeKeyCollectCap + 5)
+      .selectExpr("concat('k', id) AS uuid", "CAST(id AS INT) AS v")
+    // past the cap the target resolves via the semi-join read — still
+    // restricted to the batch's keys
+    val tgt = t.mergeTarget(big, "dupmsg")
+    assert(tgt.collect().map(_.getString(0)).toSeq == Seq("k3"))
+    // ...and key-distinctness is still enforced on that path
+    val dup = big.union(big.limit(1))
+    val e = intercept[IllegalArgumentException](t.mergeTarget(dup, "dupmsg"))
+    assert(e.getMessage.contains("dupmsg"))
+  }
+
   test("time-trigger compaction fires when the oldest delta is stale") {
     val t = MorTable(spark, TestSpark.tmpDir("mor-time"), Seq("uuid"),
       compactionDeltaCommits = 100, compactionDeltaSeconds = 60)

@@ -432,4 +432,46 @@ class MultiWriterSpec extends AnyFunSuite {
     }
     assert(t.read().filter(col("uuid") === "after_crash").count() == 1)
   }
+
+  test("stale-lease takeover is atomic: same-tick waiters never both enter") {
+    // the delete-and-recreate takeover race: two waiters both observe an
+    // expired lock in the same 50ms poll tick; with a bare fs.delete the
+    // first deletes + recreates and the second's already-decided delete
+    // then removes the first's FRESH lock — both enter the critical
+    // section. The per-generation claim file must make exactly one waiter
+    // the taker, every round.
+    val path = tmp()
+    val fsys = fs(path)
+    fsys.mkdirs(new Path(path))
+    import java.util.concurrent.atomic.AtomicInteger
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val active = new AtomicInteger(0)
+    val overlaps = new AtomicInteger(0)
+    (1 to 6).foreach { round =>
+      // a crashed holder: every round starts with an already-expired lock,
+      // so EVERY waiter's first attempt goes down the takeover path at once
+      val out = fsys.create(new Path(path, ".tablelock"), true)
+      out.write(s"dead-$round|${System.currentTimeMillis() - 1000}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+      val racers = (1 to 6).map { _ =>
+        Future {
+          MorTable.withTableLock(spark, path, waitMs = 60000L) {
+            if (active.incrementAndGet() > 1) overlaps.incrementAndGet()
+            Thread.sleep(20)
+            active.decrementAndGet()
+          }
+        }
+      }
+      Await.result(Future.sequence(racers), 120.seconds)
+    }
+    assert(overlaps.get() == 0,
+      s"${overlaps.get()} mutual-exclusion violations across takeover rounds")
+    // clean completion leaves no lock or claim litter behind
+    val leftovers = fsys.listStatus(new Path(path)).map(_.getPath.getName)
+      .filter(_.startsWith(".tablelock"))
+    assert(leftovers.isEmpty, s"lock files left behind: ${leftovers.mkString(", ")}")
+  }
 }

@@ -463,4 +463,97 @@ class MorDataSourceSpec extends AnyFunSuite {
       assert(got == Seq(("id1", "a", 1), ("id3", "b", 35), ("id4", "c", 4)), got)
     } finally spark.sql("DROP TABLE IF EXISTS mor_dmlp_t")
   }
+
+  test("SQL UPDATE: interdependent SET assignments see the ORIGINAL row (swap)") {
+    val path = TestSpark.tmpDir("dsv1-upd-swap")
+    spark.sql("DROP TABLE IF EXISTS mor_swap_t")
+    try {
+      spark.sql(
+        s"""CREATE TABLE mor_swap_t USING `graft.mor` OPTIONS (path '$path', keys 'uuid')
+           |AS SELECT * FROM VALUES ('id1', 1, 2) AS t(uuid, a, b)""".stripMargin)
+      // SQL semantics: every SET expression evaluates against the
+      // pre-update row — a sequential withColumn fold would yield (2, 2)
+      spark.sql("UPDATE mor_swap_t SET a = b, b = a WHERE uuid = 'id1'")
+      val r = spark.sql("SELECT a, b FROM mor_swap_t").head()
+      assert((r.getInt(0), r.getInt(1)) == (2, 1), "SET a = b, b = a must swap")
+      // duplicate assignment to one column fails loudly, never last-wins
+      val e = intercept[Exception](
+        spark.sql("UPDATE mor_swap_t SET a = 1, a = 2 WHERE uuid = 'id1'").collect())
+      assert(e.getMessage.toLowerCase.contains("duplicate")
+        || e.getMessage.toLowerCase.contains("multiple"), e.getMessage)
+    } finally spark.sql("DROP TABLE IF EXISTS mor_swap_t")
+  }
+
+  test("MERGE INSERT leaving a record-key column null fails loudly") {
+    val path = TestSpark.tmpDir("dsv1-nullkey")
+    spark.sql("DROP TABLE IF EXISTS mor_nullkey_t")
+    try {
+      spark.sql(
+        s"""CREATE TABLE mor_nullkey_t USING `graft.mor` OPTIONS (path '$path', keys 'uuid')
+           |AS SELECT * FROM VALUES ('id1', 100) AS t(uuid, v)""".stripMargin)
+      // concat_ws silently SKIPS nulls — without the guard this would
+      // insert a row under a collapsed/empty record key
+      val e = intercept[Exception](spark.sql(
+        """MERGE INTO mor_nullkey_t AS t
+          |USING (SELECT * FROM VALUES (CAST(NULL AS STRING), 5) AS s(uuid, v)) AS s
+          |ON t.uuid = s.uuid
+          |WHEN NOT MATCHED THEN INSERT (uuid, v) VALUES (s.uuid, s.v)""".stripMargin)
+        .collect())
+      assert(e.getMessage.contains("non-null"), e.getMessage)
+      assert(spark.sql("SELECT * FROM mor_nullkey_t").count() == 1)
+    } finally spark.sql("DROP TABLE IF EXISTS mor_nullkey_t")
+  }
+
+  test("DML against a CDC (changelogFrom) relation is refused") {
+    val path = TestSpark.tmpDir("dsv1-cdcdml")
+    spark.sql("DROP TABLE IF EXISTS mor_cdcdml_t")
+    try {
+      val t = graft.lake.MorTable(spark, path, Seq("uuid"),
+        compactionDeltaCommits = 1000)
+      t.upsert(Seq(("id1", 1)).toDF("uuid", "v"), Nil, batchId = 1L)
+      t.upsert(Seq(("id2", 2)).toDF("uuid", "v"), Nil, batchId = 2L)
+      spark.sql(s"CREATE TABLE mor_cdcdml_t USING `graft.mor` " +
+        s"OPTIONS (path '$path', keys 'uuid', changelogFrom '1')")
+      // the CDC view is a derived read — mutating "through" it must fail
+      // like asOf/sinceSeq do, not silently hit the live table
+      val e = intercept[Exception](
+        spark.sql("DELETE FROM mor_cdcdml_t WHERE uuid = 'id2'").collect())
+      assert(e.getMessage.contains("CDC") || e.getMessage.contains("changelog"),
+        e.getMessage)
+      assert(t.read().count() == 2, "the live table must be untouched")
+    } finally spark.sql("DROP TABLE IF EXISTS mor_cdcdml_t")
+  }
+
+  test("asOfTimestamp parses in the SESSION timezone, agreeing with TIMESTAMP AS OF") {
+    val path = TestSpark.tmpDir("dsv1-tstz")
+    val t = graft.lake.MorTable(spark, path, Seq("uuid"),
+      compactionDeltaCommits = 1000)
+    t.upsert(Seq(("id1", 1)).toDF("uuid", "v"), Nil, batchId = 1L)
+    Thread.sleep(30)
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(30)
+    t.upsert(Seq(("id2", 2)).toDF("uuid", "v"), Nil, batchId = 2L)
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.sql("DROP TABLE IF EXISTS mor_tz_t")
+    try {
+      // session zone far from the JVM default (UTC here): a
+      // JVM-default-zone parse of the Sydney-rendered string would land
+      // ~10h in the future and resolve to commit 2 instead of commit 1
+      spark.conf.set("spark.sql.session.timeZone", "Australia/Sydney")
+      val s = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneId.of("Australia/Sydney"))
+        .format(java.time.Instant.ofEpochMilli(betweenMs))
+      val viaOption = spark.read.format("graft.mor").option("keys", "uuid")
+        .option("asOfTimestamp", s).load(path)
+      assert(viaOption.collect().map(_.getString(0)).toSeq == Seq("id1"),
+        s"reader option must parse '$s' in the session zone")
+      spark.sql(s"CREATE TABLE mor_tz_t USING `graft.mor` OPTIONS (path '$path', keys 'uuid')")
+      val viaSql = spark.sql(s"SELECT * FROM mor_tz_t TIMESTAMP AS OF '$s'")
+      assert(viaSql.collect().map(_.getString(0)).toSeq == Seq("id1"),
+        "the SQL surface must resolve the same string to the same commit")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS mor_tz_t")
+      spark.conf.set("spark.sql.session.timeZone", prevTz)
+    }
+  }
 }
