@@ -54,6 +54,7 @@ object SparkEntry {
     "s55_partial_update"  -> ((s, d) => graft.lake.LakeQueries.partialUpdate(s, d)),
     "s56_cdc_wire_loop"   -> ((s, d) => graft.lake.LakeQueries.cdcWireLoop(s, d)),
     "s57_part_savepoint"  -> ((s, d) => graft.lake.LakeQueries.partRollbackRestore(s, d)),
+    "s65_part_time_travel" -> ((s, d) => graft.lake.LakeQueries.partTimeTravel(s, d)),
     "s58_part_write_tagging" -> ((s, d) => graft.lake.LakeQueries.partWriteIndexTagging(s, d)),
     "s59_lake_funnel"     -> ((s, d) => graft.lake.LakeQueries.lakeFunnel(s, d)),
     "s48_partition_ttl"   -> ((s, d) => graft.lake.LakeQueries.partitionTtl(s, d)),
@@ -289,6 +290,21 @@ object SparkEntry {
       |WHERE epoch_ns(ts) <= b.hi
       |QUALIFY row_number() OVER
       |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin
+
+  /** The two-thirds pinned state, PARTITIONED (per-(partition, key) LWW) —
+    * shared by s57 (destructive restore to the pin) and s65 (time travel
+    * to the same pin via SQL `VERSION AS OF`): two verbs, one state. */
+  private val PartPinnedOracle: String =
+    """WITH b AS (
+      |  SELECT min(epoch_ns(ts)) + 2 * ((max(epoch_ns(ts)) - min(epoch_ns(ts))) // 3) AS hi
+      |  FROM events
+      |)
+      |SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
+      |FROM events, b
+      |WHERE epoch_ns(ts) <= b.hi
+      |QUALIFY row_number() OVER
+      |  (PARTITION BY event_type, user_id
+      |   ORDER BY ts DESC, event_id DESC) = 1""".stripMargin
 
   /** All-events LWW per user — shared by s16 (datasource write) and s54
     * (write-path index tagging), whose mixed flagged/unflagged commits
@@ -2420,17 +2436,10 @@ object SparkEntry {
     // verb driven through CALL procedures — same final state by contract
     "s53_sql_procedures" -> SavepointOracle,
     // the s47 thirds story, partitioned: per-(partition, key) LWW at the pin
-    "s57_part_savepoint" ->
-      """WITH b AS (
-        |  SELECT min(epoch_ns(ts)) + 2 * ((max(epoch_ns(ts)) - min(epoch_ns(ts))) // 3) AS hi
-        |  FROM events
-        |)
-        |SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
-        |FROM events, b
-        |WHERE epoch_ns(ts) <= b.hi
-        |QUALIFY row_number() OVER
-        |  (PARTITION BY event_type, user_id
-        |   ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+    "s57_part_savepoint" -> PartPinnedOracle,
+    // partitioned TIME TRAVEL to the same pin must read the same state —
+    // one oracle for the destructive restore and the non-destructive travel
+    "s65_part_time_travel" -> PartPinnedOracle,
     "s48_partition_ttl" ->
       """WITH m AS (SELECT min(event_type) AS v FROM events)
         |SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms

@@ -251,6 +251,41 @@ object LakeQueries {
       t.read().select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
   }
 
+  /** PARTITIONED TIME TRAVEL ([[PartitionedMorTable.readAt]] through SQL
+    * `VERSION AS OF`), oracle-checked: replay events as three time-split
+    * upserts into the event_type-partitioned lake (compaction fires
+    * mid-replay, so the travel read crosses a compacted child), pin the
+    * parent token after the second, and read the two-thirds state back
+    * through the SQL catalog surface. Must equal `s57`'s pinned restore
+    * state (same oracle) — time travel reproduces the pre-backfill
+    * snapshot WITHOUT mutating the table, and the final full read still
+    * sees all three batches. */
+  def partTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "value", "ts_ms", "ts_ns")
+    val b = ev.agg(min(col("ts_ns")).as("mn"), max(col("ts_ns")).as("mx")).head()
+    val mn = b.getLong(0); val mx = b.getLong(1)
+    val lo = mn + (mx - mn) / 3
+    val hi = mn + 2 * ((mx - mn) / 3)
+    val path = tempPath("pmor-travel")
+    val t = new PartitionedMorTable(spark, path, Seq("user_id"), "event_type",
+      compactionDeltaCommits = 2)
+    val ord = Seq(col("ts_ns"), col("event_id"))
+    t.upsert(ev.filter(col("ts_ns") <= lo), ord, batchId = 1L)
+    t.upsert(ev.filter(col("ts_ns") > lo && col("ts_ns") <= hi), ord, batchId = 2L)
+    val pinned = t.parentTimeline().last.seq
+    t.upsert(ev.filter(col("ts_ns") > hi), ord, batchId = 3L)
+    assert(t.parentTimeline().last.seq > pinned)
+    spark.sql("DROP TABLE IF EXISTS s65_part_tt")
+    spark.sql(s"CREATE TABLE s65_part_tt USING `graft.mor` OPTIONS " +
+      s"(path '$path', keys 'user_id', partition 'event_type')")
+    try {
+      val out = spark.sql("SELECT user_id, event_id, event_type, value, ts_ms " +
+        s"FROM s65_part_tt VERSION AS OF $pinned")
+      graft.TempDirs.materializeAndDelete(out, path)
+    } finally spark.sql("DROP TABLE IF EXISTS s65_part_tt")
+  }
+
   /** PARTITIONED write-path index tagging
     * ([[PartitionedMorTable.upsertIfNew]]), oracle-checked: a key-disjoint
     * user split proves per-CHILD newness (bounds + one cross-child bloom

@@ -631,6 +631,32 @@ final class PartitionedMorTable(
     else readForKeysOf(k, values)
   }
 
+  /** Time-travel read — the table as of parent token `token`, inclusive
+    * (the partitioned `as.of.instant` form [[MorTable.readAt]] covers for
+    * unpartitioned tables). Child TIMELINE seqs are child-local, but every
+    * row's `_commit_seqno` carries the table-global parent token, so the
+    * pinned state is a row-level replay: scan all delta dirs, keep rows
+    * with `_commit_seqno <= token`, LWW per (partition, key), drop
+    * tombstones. Parquet min/max stats on `_commit_seqno` skip whole
+    * delta files above the token (each staged delta carries ONE token),
+    * so the scan cost is O(history at or before token), the same contract
+    * as the unpartitioned form — compaction keeps old delta files, so
+    * past snapshots stay readable until `clean()`; tokens below the last
+    * clean are unavailable, and a partition DROPPED by [[dropPartitions]]
+    * is physically gone (drops and cleaning bound time travel, as in
+    * Hudi). A partition born after the token contributes nothing. */
+  def readAt(token: Long, values: Seq[String] = Seq.empty): DataFrame = {
+    require(parentTimeline().exists(i => i.kind == "delta" && i.seq <= token),
+      s"no parent commit at or before token $token on $path")
+    val sel = if (values.nonEmpty) values else partitions()
+    require(sel.nonEmpty, s"PartitionedMorTable at $path has no partitions")
+    val dirs = parChildren(sel)(_.allDeltaDirs()).flatten
+    require(dirs.nonEmpty, s"PartitionedMorTable at $path has no delta commits")
+    val scan = scanDirs(dirs).filter(col("_commit_seqno") <= token)
+    lwwLatest(scan).filter(!col("_deleted"))
+      .select(orderedDataCols(scan.columns).map(col): _*)
+  }
+
   /** Incremental pull across partitions (the Hudi incremental-query analog
     * of [[MorTable.readIncremental]], in the parent's table-global token
     * space): the net effect of every row committed with

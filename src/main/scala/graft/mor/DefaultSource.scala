@@ -130,13 +130,20 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
       MorTable.writePolicy(sqlContext.sparkSession, path, _))
     // `asOfTimestamp` (DataFrame-API twin of SQL TIMESTAMP AS OF):
     // resolves to the last commit at or before the wall-clock instant —
-    // Hudi's as.of.instant rule, same resolution the SQL path uses
+    // Hudi's as.of.instant rule, same resolution the SQL path uses. A
+    // partitioned table resolves through its PARENT timeline (the
+    // table-global token space) — never the parent dir read as an
+    // unpartitioned timeline, which is empty and yields a baffling error
     val asOfTs = parameters.get("asOfTimestamp").map { s =>
       // session-timezone parse, shared with SQL TIMESTAMP AS OF — the two
       // surfaces must resolve one string to the SAME commit
       val ms = MorDml.sessionTsToMs(sqlContext.sparkSession, s)
-      MorTable.resolve(sqlContext.sparkSession, path, keys).timeline()
-        .filter(_.commitMs <= ms).lastOption.map(_.seq)
+      val tl = parameters.get("partition") match {
+        case Some(p) => PartitionedMorTable
+          .resolve(sqlContext.sparkSession, path, keys, p).parentTimeline()
+        case None => MorTable.resolve(sqlContext.sparkSession, path, keys).timeline()
+      }
+      tl.filter(_.commitMs <= ms).lastOption.map(_.seq)
         .getOrElse(throw new IllegalArgumentException(
           s"no commit at or before timestamp '$s' on $path"))
     }
@@ -231,8 +238,9 @@ private[mor] final class MorStreamSink(
   *
   * Read modes (mirroring the engine's read surface):
   *  - default — latest snapshot;
-  *  - `asOf` = commit seq — time-travel read ([[MorTable.readAt]];
-  *    unpartitioned tables only);
+  *  - `asOf` = commit seq/token — time-travel read ([[MorTable.readAt]];
+  *    partitioned tables travel on the parent token via
+  *    [[PartitionedMorTable.readAt]]);
   *  - `sinceSeq` = commit seq/token — incremental pull
   *    ([[MorTable.readIncremental]]: net effect of newer commits, latest
   *    image per touched key, `_deleted` tombstones included so a consumer
@@ -257,8 +265,6 @@ final case class MorRelation(sqlContext: SQLContext, path: String,
 
   require(Seq(asOf, sinceSeq, changelogFrom).count(_.isDefined) <= 1,
     "graft.mor: asOf, sinceSeq and changelogFrom are mutually exclusive")
-  require(asOf.isEmpty || partitionCol.isEmpty,
-    "graft.mor: asOf time travel is not supported on partitioned tables")
   require(changelogTo.isEmpty || changelogFrom.isDefined,
     "graft.mor: changelogTo needs changelogFrom")
 
@@ -275,6 +281,7 @@ final case class MorRelation(sqlContext: SQLContext, path: String,
     case (None, _, _, Some(from)) =>
       table.readChangelog(from, changelogTo.getOrElse(Long.MaxValue))
     case (Some(_), _, Some(seq), _) => partTable.readIncremental(seq, partitionValues)
+    case (Some(_), Some(seq), _, _) => partTable.readAt(seq, partitionValues)
     case (Some(_), _, _, _) => partTable.read(partitionValues)
     case (None, Some(seq), _, _) => table.readAt(seq)
     case (None, _, Some(seq), _) => table.readIncremental(seq)
@@ -331,9 +338,16 @@ final case class MorRelation(sqlContext: SQLContext, path: String,
           case Some(ks) => table.readForKeys(ks)
           case None => table.read()
         }
-      case (Some(pc), _, None, None) if partitionValues.isEmpty =>
+      case (Some(pc), None, None, None) if partitionValues.isEmpty =>
         colValues(filters, pc) match {
           case Some(vs) => partTable.read(vs)
+          case None => scanDf()
+        }
+      // partitioned time travel keeps partition pruning: the token read
+      // restricted to the filter's partition values
+      case (Some(pc), Some(seq), None, None) if partitionValues.isEmpty =>
+        colValues(filters, pc) match {
+          case Some(vs) => partTable.readAt(seq, vs)
           case None => scanDf()
         }
       case _ => scanDf()

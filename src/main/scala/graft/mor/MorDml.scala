@@ -188,22 +188,30 @@ class MorTimeTravelResolution(spark: SparkSession) extends Rule[LogicalPlan] {
       val path = opts.getOrElse("path", throw new IllegalArgumentException(
         s"graft.mor table ${u.multipartIdentifier.mkString(".")} has no path option"))
       val keys = opts.getOrElse("keys", "").split(",").toSeq.map(_.trim).filter(_.nonEmpty)
-      require(!opts.contains("partition"),
-        "time travel is not supported on partitioned graft.mor tables")
+      val partCol = opts.get("partition")
       val asOf: Long = version match {
         case Some(v) => v.toLongOption.getOrElse(throw new IllegalArgumentException(
           s"VERSION AS OF expects a commit seq for graft.mor tables, got '$v'"))
         case None =>
           val ms = toEpochMs(ts.getOrElse(throw new IllegalStateException(
             s"time travel with neither version nor timestamp: $tt")))
-          MorTable.resolve(spark, path, keys).timeline()
-            .filter(_.commitMs <= ms).lastOption.map(_.seq)
+          // a partitioned table resolves through its PARENT timeline (the
+          // table-global token space), never the parent dir read as an
+          // unpartitioned (empty) timeline
+          val tl = partCol match {
+            case Some(p) => PartitionedMorTable.resolve(spark, path, keys, p)
+              .parentTimeline()
+            case None => MorTable.resolve(spark, path, keys).timeline()
+          }
+          tl.filter(_.commitMs <= ms).lastOption.map(_.seq)
             .getOrElse(throw new IllegalArgumentException(
               s"no commit at or before timestamp $ms ms on $path"))
       }
       val rel = MorRelation(
         org.apache.spark.sql.SQLContext.getOrCreate(spark.sparkContext),
-        path, keys, asOf = Some(asOf))
+        path, keys, asOf = Some(asOf), partitionCol = partCol,
+        partitionValues = opts.get("partitionvalues")
+          .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Seq.empty))
       LogicalRelation(rel)
   }
 }

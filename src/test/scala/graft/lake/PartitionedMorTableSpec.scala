@@ -451,4 +451,37 @@ class PartitionedMorTableSpec extends AnyFunSuite {
     t.upsert(Seq((7L, "a", 70)).toDF("k", "p", "v"), Seq(col("k")), batchId = 3L)
     assert(t.read(Seq("a")).count() == 1, "dropped partition value is re-ingestable")
   }
+
+  test("readAt: parent-token travel across compaction; late-born partitions vanish below their birth") {
+    val t = new PartitionedMorTable(spark, tmp(), Seq("k"), "p",
+      compactionDeltaCommits = 2, writePartitions = 1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    t.upsert(Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "p", "v"), Nil, batchId = 1L)
+    val tok1 = t.parentTimeline().last.seq
+    // update + a LATE-BORN partition "c"
+    t.upsert(Seq((1L, "a", 11), (3L, "c", 30)).toDF("k", "p", "v"), Nil, batchId = 2L)
+    val tok2 = t.parentTimeline().last.seq
+    // third commit — the num trigger has compacted children by now, so the
+    // travel reads below cross a compacted child's retained delta history
+    t.upsert(Seq((2L, "b", 22)).toDF("k", "p", "v"), Nil, batchId = 3L)
+    val tok3 = t.parentTimeline().filter(_.kind == "delta").last.seq
+    assert(rows(t.readAt(tok1)) == Set((1L, "a", 10), (2L, "b", 20)),
+      "travel below partition c's birth must not show it")
+    assert(rows(t.readAt(tok2)) == Set((1L, "a", 11), (2L, "b", 20), (3L, "c", 30)))
+    assert(rows(t.readAt(tok3)) == rows(t.read()), "travel to latest == read")
+    // partition-pruned travel opens only the named child
+    assert(rows(t.readAt(tok2, Seq("a"))) == Set((1L, "a", 11)))
+    // tombstones respect the token: a post-travel delete stays invisible
+    t.delete(Seq((2L, "b")).toDF("k", "p"), batchId = 4L)
+    assert(!rows(t.read()).exists(_._1 == 2L))
+    assert(rows(t.readAt(tok3)).exists(_._1 == 2L),
+      "a later tombstone must not leak into the pinned state")
+    // below the first commit: loud, not empty
+    intercept[IllegalArgumentException](t.readAt(tok1 - 1))
+    // a DROPPED partition is physically gone at EVERY token (drops bound
+    // travel, like cleaning — Hudi semantics)
+    t.dropPartitions(Seq("c"))
+    assert(rows(t.readAt(tok2)) == Set((1L, "a", 11), (2L, "b", 20)))
+  }
 }

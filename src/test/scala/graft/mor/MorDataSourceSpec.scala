@@ -464,6 +464,41 @@ class MorDataSourceSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS mor_dmlp_t")
   }
 
+  test("partitioned time travel: asOf/asOfTimestamp options and SQL VERSION/TIMESTAMP AS OF") {
+    val path = TestSpark.tmpDir("dsv1-ptt")
+    spark.sql("DROP TABLE IF EXISTS mor_ptt_t")
+    try {
+      val t = new graft.lake.PartitionedMorTable(spark, path, Seq("k"), "p",
+        compactionDeltaCommits = 1000, autoCompact = false)
+      t.upsert(Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "p", "v"), Nil, batchId = 1L)
+      val tok1 = t.parentTimeline().last.seq
+      Thread.sleep(30)
+      t.upsert(Seq((1L, "a", 11), (3L, "c", 30)).toDF("k", "p", "v"), Nil, batchId = 2L)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("k", "p", "v").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      val pinned = Set((1L, "a", 10L.toInt), (2L, "b", 20))
+      // reader options: asOf token, then asOfTimestamp at commit 1's wall clock
+      val viaAsOf = spark.read.format("graft.mor").option("keys", "k")
+        .option("partition", "p").option("asOf", tok1.toString).load(path)
+      assert(rows(viaAsOf) == pinned)
+      val ts1 = new java.sql.Timestamp(
+        t.parentTimeline().find(_.seq == tok1).get.commitMs).toString
+      val viaTs = spark.read.format("graft.mor").option("keys", "k")
+        .option("partition", "p").option("asOfTimestamp", ts1).load(path)
+      assert(rows(viaTs) == pinned,
+        "asOfTimestamp must resolve through the PARENT timeline")
+      // SQL surface through the catalog
+      spark.sql(s"CREATE TABLE mor_ptt_t USING `graft.mor` " +
+        s"OPTIONS (path '$path', keys 'k', partition 'p')")
+      assert(rows(spark.sql(s"SELECT * FROM mor_ptt_t VERSION AS OF $tok1")) == pinned)
+      assert(rows(spark.sql(s"SELECT * FROM mor_ptt_t TIMESTAMP AS OF '$ts1'")) == pinned)
+      // current state unaffected
+      assert(rows(spark.sql("SELECT * FROM mor_ptt_t"))
+        == Set((1L, "a", 11), (2L, "b", 20), (3L, "c", 30)))
+    } finally spark.sql("DROP TABLE IF EXISTS mor_ptt_t")
+  }
+
   test("SQL UPDATE: interdependent SET assignments see the ORIGINAL row (swap)") {
     val path = TestSpark.tmpDir("dsv1-upd-swap")
     spark.sql("DROP TABLE IF EXISTS mor_swap_t")
