@@ -642,6 +642,32 @@ final class MorTable(
     else readForKeysOf(k)
   }
 
+  /** Additive SCHEMA EVOLUTION as a metadata-only commit (the Hudi
+    * add-column analog; drops/renames are refused for this provider by
+    * Spark's v1 session catalog, loudly): publishes an EMPTY delta whose
+    * parquet footer carries the widened schema, so every later snapshot's
+    * unionByName surfaces the new columns — nulls for pre-evolution
+    * commits, the same read path batches with extra columns already use
+    * (oracle `s34`) — and a fresh relation reports the widened schema.
+    * O(1): no data rewrite at any table size. Flagged insert-only (no
+    * keys — it can never force a merge shuffle). */
+  def addColumns(newCols: Seq[org.apache.spark.sql.types.StructField]): MorTable = {
+    require(newCols.nonEmpty, "addColumns: no columns given")
+    require(timeline().nonEmpty,
+      "addColumns needs an existing table (create it with a first write)")
+    val cur = read().schema
+    val clash = newCols.map(_.name)
+      .filter(n => cur.fieldNames.exists(_.equalsIgnoreCase(n)))
+    require(clash.isEmpty,
+      s"addColumns: column(s) already exist: ${clash.mkString(", ")}")
+    val widened = org.apache.spark.sql.types.StructType(
+      cur.fields ++ newCols.map(_.copy(nullable = true)))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], widened)
+    commitDelta(withMeta(empty, deleted = false), batchId = -1L, insertOnly = true)
+    this
+  }
+
   /** Sparse/partial-image upsert — the Hudi `PartialUpdateAvroPayload`
     * analog (the CDC shape where an update carries only the changed
     * columns): NULL data columns in the batch mean "keep the current

@@ -631,6 +631,17 @@ final class PartitionedMorTable(
     else readForKeysOf(k, values)
   }
 
+  /** Additive schema evolution across partitions: every existing child
+    * publishes the empty widened-schema commit ([[MorTable.addColumns]]);
+    * partitions born later inherit the wider schema from their first
+    * ingested batch. O(partitions) metadata commits, no data rewrite. */
+  def addColumns(newCols: Seq[org.apache.spark.sql.types.StructField]): PartitionedMorTable = {
+    val parts = partitions()
+    require(parts.nonEmpty, s"PartitionedMorTable at $path has no partitions")
+    parChildren(parts)(_.addColumns(newCols))
+    this
+  }
+
   /** Time-travel read — the table as of parent token `token`, inclusive
     * (the partitioned `as.of.instant` form [[MorTable.readAt]] covers for
     * unpartitioned tables). Child TIMELINE seqs are child-local, but every

@@ -80,6 +80,14 @@ class MorDmlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    // SQL ALTER TABLE ADD COLUMN(S): the v1 command's own run() allowlists
+    // file formats only — reroute onto the engine's additive-evolution
+    // commit before it can refuse. DROP/RENAME COLUMN stay refused by
+    // Spark's session catalog ("only supported with v2 tables"), loudly.
+    case a: org.apache.spark.sql.execution.command.AlterTableAddColumnsCommand
+        if MorDml.morOptions(spark, a.table).isDefined =>
+      GraftAddColumnsCommand(a.table, a.colsToAdd)
+
     case d @ DeleteFromTable(MorTarget(rel), cond) if d.childrenResolved && cond.resolved =>
       GraftDeleteCommand(rel, byName(cond))
 
@@ -154,24 +162,15 @@ final case class MorMergeAction(kind: String, cond: Column, set: Map[String, Col
 class MorTimeTravelResolution(spark: SparkSession) extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
 
-  private def morOptions(ident: Seq[String]): Option[Map[String, String]] = {
-    val catalog = spark.sessionState.catalog
-    val tid = ident match {
-      case Seq(t) => org.apache.spark.sql.catalyst.TableIdentifier(t)
-      case Seq(db, t) => org.apache.spark.sql.catalyst.TableIdentifier(t, Some(db))
-      case _ => return None
+  private def morOptions(ident: Seq[String]): Option[Map[String, String]] =
+    ident match {
+      case Seq(t) =>
+        MorDml.morOptions(spark, org.apache.spark.sql.catalyst.TableIdentifier(t))
+      case Seq(db, t) =>
+        MorDml.morOptions(spark,
+          org.apache.spark.sql.catalyst.TableIdentifier(t, Some(db)))
+      case _ => None
     }
-    if (!catalog.tableExists(tid)) return None
-    val meta = catalog.getTableMetadata(tid)
-    if (!meta.provider.exists(_.equalsIgnoreCase("graft.mor"))) None
-    else {
-      val props = meta.storage.properties.map { case (k, v) => k.toLowerCase -> v }
-      // the catalog promotes the `path` option to storage.locationUri
-      val withPath = meta.storage.locationUri.map(u => props + ("path" -> u.toString))
-        .getOrElse(props)
-      Some(withPath)
-    }
-  }
 
   private def toEpochMs(e: Expression): Long = e.eval() match {
     case l: Long => Math.floorDiv(l, 1000L) // timestamp literal: epoch micros
@@ -217,6 +216,22 @@ class MorTimeTravelResolution(spark: SparkSession) extends Rule[LogicalPlan] {
 }
 
 private[mor] object MorDml {
+  /** Options of a catalog-registered graft.mor table (the `path` option is
+    * promoted to storage.locationUri by the catalog; keys lowercased). */
+  def morOptions(spark: SparkSession,
+                 tid: org.apache.spark.sql.catalyst.TableIdentifier)
+      : Option[Map[String, String]] = {
+    val catalog = spark.sessionState.catalog
+    if (!catalog.tableExists(tid)) return None
+    val meta = catalog.getTableMetadata(tid)
+    if (!meta.provider.exists(_.equalsIgnoreCase("graft.mor"))) None
+    else {
+      val props = meta.storage.properties.map { case (k, v) => k.toLowerCase -> v }
+      Some(meta.storage.locationUri.map(u => props + ("path" -> u.toString))
+        .getOrElse(props))
+    }
+  }
+
   /** The table verbs behind a relation, partitioned-aware. */
   def guards(rel: MorRelation): Unit =
     require(rel.asOf.isEmpty && rel.sinceSeq.isEmpty && rel.changelogFrom.isEmpty,
@@ -236,6 +251,36 @@ private[mor] object MorDml {
       case _ => throw new IllegalArgumentException(
         s"cannot parse timestamp string '$s'")
     }
+  }
+}
+
+/** SQL `ALTER TABLE t ADD COLUMNS (…)` on a graft.mor catalog table: the
+  * engine publishes the empty widened-schema commit
+  * ([[graft.lake.MorTable.addColumns]] — O(1) metadata, no data rewrite,
+  * old commits read the new columns as null via the `s34` unionByName
+  * path), then the CATALOG schema is set to the engine's post-commit
+  * reality so the v1 resolve-time schema check and later `INSERT INTO`s
+  * (which cast by the catalog schema) line up. */
+case class GraftAddColumnsCommand(
+    tid: org.apache.spark.sql.catalyst.TableIdentifier,
+    cols: Seq[org.apache.spark.sql.types.StructField])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val opts = MorDml.morOptions(spark, tid).getOrElse(
+      throw new IllegalStateException(s"$tid is not a graft.mor table"))
+    val path = opts.getOrElse("path", throw new IllegalArgumentException(
+      s"graft.mor table $tid has no path option"))
+    val keys = opts.getOrElse("keys", "").split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+    val widened = opts.get("partition") match {
+      case Some(p) =>
+        val t = PartitionedMorTable.resolve(spark, path, keys, p)
+        t.addColumns(cols).read().schema
+      case None =>
+        MorTable.resolve(spark, path, keys).addColumns(cols).read().schema
+    }
+    spark.sessionState.catalog.alterTableDataSchema(tid, widened)
+    spark.sessionState.catalog.refreshTable(tid)
+    Seq.empty
   }
 }
 

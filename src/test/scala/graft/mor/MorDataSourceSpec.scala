@@ -464,6 +464,56 @@ class MorDataSourceSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS mor_dmlp_t")
   }
 
+  test("SQL ALTER TABLE ADD COLUMNS: additive evolution; drops/renames refused") {
+    val path = TestSpark.tmpDir("dsv1-alter")
+    spark.sql("DROP TABLE IF EXISTS mor_alter_t")
+    try {
+      spark.sql(
+        s"""CREATE TABLE mor_alter_t USING `graft.mor` OPTIONS (path '$path', keys 'uuid')
+           |AS SELECT * FROM VALUES ('id1', 10) AS t(uuid, v)""".stripMargin)
+      spark.sql("ALTER TABLE mor_alter_t ADD COLUMNS (tag STRING)")
+      // pre-evolution rows read the new column as null (the s34 path)
+      val r0 = spark.sql("SELECT uuid, v, tag FROM mor_alter_t").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+      assert(r0 == Set(("id1", 10, null)), r0)
+      // INSERT carrying the new column lands through the widened schema
+      spark.sql("INSERT INTO mor_alter_t VALUES ('id2', 20, 'new')")
+      val got = spark.sql("SELECT uuid, v, tag FROM mor_alter_t ORDER BY uuid")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSeq
+      assert(got == Seq(("id1", 10, null), ("id2", 20, "new")), got)
+      // adding an existing column fails loudly
+      val e1 = intercept[Exception](
+        spark.sql("ALTER TABLE mor_alter_t ADD COLUMNS (v INT)").collect())
+      assert(e1.getMessage.toLowerCase.contains("already exist"), e1.getMessage)
+      // drops and renames stay refused (v1 catalog), loudly — never silent
+      intercept[Exception](
+        spark.sql("ALTER TABLE mor_alter_t DROP COLUMN v").collect())
+      intercept[Exception](
+        spark.sql("ALTER TABLE mor_alter_t RENAME COLUMN v TO w").collect())
+      // the refusals changed nothing
+      assert(spark.sql("SELECT v FROM mor_alter_t").count() == 2)
+    } finally spark.sql("DROP TABLE IF EXISTS mor_alter_t")
+  }
+
+  test("ALTER TABLE ADD COLUMNS routes through the partitioned form") {
+    val path = TestSpark.tmpDir("dsv1-alter-part")
+    spark.sql("DROP TABLE IF EXISTS mor_alterp_t")
+    try {
+      Seq(("id1", "a", 1), ("id2", "b", 2)).toDF("uuid", "kind", "v")
+        .write.format("graft.mor").option("keys", "uuid")
+        .option("partition", "kind").mode("append").save(path)
+      spark.sql(s"CREATE TABLE mor_alterp_t USING `graft.mor` " +
+        s"OPTIONS (path '$path', keys 'uuid', partition 'kind')")
+      spark.sql("ALTER TABLE mor_alterp_t ADD COLUMNS (score DOUBLE)")
+      spark.sql("INSERT INTO mor_alterp_t VALUES ('id3', 'a', 3, 0.5)")
+      val got = spark.sql(
+        "SELECT uuid, kind, v, score FROM mor_alterp_t ORDER BY uuid").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getInt(2), Option(r.get(3)))).toSeq
+      assert(got == Seq(("id1", "a", 1, None), ("id2", "b", 2, None),
+        ("id3", "a", 3, Some(0.5))), got)
+    } finally spark.sql("DROP TABLE IF EXISTS mor_alterp_t")
+  }
+
   test("partitioned time travel: asOf/asOfTimestamp options and SQL VERSION/TIMESTAMP AS OF") {
     val path = TestSpark.tmpDir("dsv1-ptt")
     spark.sql("DROP TABLE IF EXISTS mor_ptt_t")
