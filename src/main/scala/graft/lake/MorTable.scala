@@ -145,6 +145,20 @@ final class MorTable(
   private def allocateSeq(kind: String): Long =
     MorTable.allocateSeq(fs, new Path(hPath, "timeline"), kind)
 
+  /** Inflight markers younger than `maxAgeMs` — evidence of a writer
+    * MID-PUBLISH right now, as opposed to a marker orphaned by a crash
+    * (which must not wedge destructive services forever: allocateSeq's
+    * contract is that an orphan is a token-space gap, never a wedge). */
+  private[lake] def freshInflightMarkers(maxAgeMs: Long): Seq[String] = {
+    val dir = new Path(hPath, "timeline")
+    val now = System.currentTimeMillis()
+    try fs.listStatus(dir).toSeq
+      .filter(st => st.getPath.getName.endsWith(".inflight") &&
+        now - st.getModificationTime < maxAgeMs)
+      .map(_.getPath.getName)
+    catch { case _: java.io.FileNotFoundException => Nil }
+  }
+
   /** Delta seqs currently claimed but unpublished (inflight markers). */
   private def inflightDeltaSeqs(): Set[Long] = {
     val dir = new Path(hPath, "timeline")
@@ -1671,7 +1685,15 @@ final class MorTable(
     * whose data has been deleted. Fails if `toSeq` predates the cleaned
     * horizon (those deltas are physically gone). Returns #instants
     * rolled back. */
-  def rollback(toSeq: Long): Int = synchronized {
+  def rollback(toSeq: Long): Int = MorTable.withTableLock(spark, path) { synchronized {
+    // a writer mid-publish would have its claimed-but-unpublished commit's
+    // data dir deleted out from under it — refuse loudly (quiesce writers
+    // first, the Hudi restore contract). Markers older than a lease are
+    // crash orphans and must not wedge the service.
+    val busy = freshInflightMarkers(60000L)
+    require(busy.isEmpty,
+      s"rollback: writer(s) mid-publish on $path (${busy.mkString(", ")}) — " +
+        "quiesce writers first")
     val tl = timeline()
     require(toSeq == 0 || tl.exists(_.seq <= toSeq),
       s"rollback($toSeq): target predates the cleaned horizon " +
@@ -1695,7 +1717,7 @@ final class MorTable(
     savepoints().collect { case (n, s) if s > toSeq => n }.foreach(releaseSavepoint)
     instantCache = instantCache -- doomed.map(_.seq)
     doomed.size
-  }
+  } }
 
   // ------------------------------------------------------------ savepoints
 
@@ -2050,6 +2072,12 @@ object MorTable {
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dir)
     val lock = new Path(dir, ".tablelock")
+    // REENTRANT per thread: the destructive verbs (rollback/restore/
+    // dropPartitions) acquire internally, and the documented caller
+    // pattern wraps them in this same lock — a second acquisition on the
+    // held path must not self-deadlock until the wait timeout
+    val lockKey = lock.toString
+    if (heldLocks.get().contains(lockKey)) return f
     val nonce = java.util.UUID.randomUUID().toString
     val deadline = System.currentTimeMillis() + waitMs
     // exclusive-create of `p` with `content`; false when the file exists
@@ -2131,8 +2159,10 @@ object MorTable {
         else if (txt.isDefined) Thread.sleep(50)
       }
     }
+    heldLocks.set(heldLocks.get() + lockKey)
     try f
     finally {
+      heldLocks.set(heldLocks.get() - lockKey)
       // release ONLY our own lock: after a lease expiry a successor may
       // hold it — verify the nonce before deleting
       try {
@@ -2140,6 +2170,12 @@ object MorTable {
         if (txt.startsWith(nonce + "|")) { fs.delete(lock, false); () }
       } catch { case _: java.io.IOException => () }
     }
+  }
+
+  /** Lock paths held by the CURRENT thread (reentrancy bookkeeping for
+    * [[withTableLock]]). */
+  private val heldLocks = new ThreadLocal[Set[String]] {
+    override def initialValue(): Set[String] = Set.empty
   }
 
   private[lake] def commitTimeString(ms: Long): String =

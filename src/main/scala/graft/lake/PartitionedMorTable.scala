@@ -243,6 +243,19 @@ final class PartitionedMorTable(
     names.exists(_.endsWith(".inflight"))
   }
 
+  /** Parent inflight markers younger than `maxAgeMs` (see
+    * [[MorTable.freshInflightMarkers]] — mid-publish evidence, not crash
+    * orphans). */
+  private def freshParentInflight(maxAgeMs: Long): Seq[String] = {
+    val dir = new Path(hPath, "_timeline")
+    val now = System.currentTimeMillis()
+    try fs.listStatus(dir).toSeq
+      .filter(st => st.getPath.getName.endsWith(".inflight") &&
+        now - st.getModificationTime < maxAgeMs)
+      .map(_.getPath.getName)
+    catch { case _: java.io.FileNotFoundException => Nil }
+  }
+
   /** Keyed upsert of a batch: ONE staged cluster write partitioned by the
     * partition column, then a metadata-only adoption per touched partition,
     * all tagged with `batchId`. A key must not move between partitions
@@ -928,12 +941,26 @@ final class PartitionedMorTable(
     val present = partitions().toSet
     val victims = values.filter(present).sorted
     if (victims.isEmpty) return victims
-    victims.foreach { v => fs.delete(new Path(hPath, s"p=$v"), true); () }
-    val token = nextToken("drop")
-    writeParentInstant(MorTable.Instant(token, "drop", -1L,
-      System.currentTimeMillis()))
-    writeParentManifest()
-    victims
+    // DESTRUCTIVE: deletes data dirs an uncoordinated writer may be
+    // publishing into. Serialize under the table lock (lock-taking
+    // writers wait; reentrant for callers already holding it) and refuse
+    // loudly when a writer is provably mid-publish — a FRESH inflight
+    // marker at parent level or inside a victim child (stale markers are
+    // crash orphans and must not wedge the TTL service).
+    MorTable.withTableLock(spark, path) {
+      val busy = freshParentInflight(60000L) ++
+        victims.zip(parChildren(victims)(_.freshInflightMarkers(60000L)))
+          .flatMap { case (v, ms) => ms.map(m => s"p=$v/$m") }
+      require(busy.isEmpty,
+        s"dropPartitions: writer(s) mid-publish on $path (${busy.mkString(", ")}) — " +
+          "quiesce writers first")
+      victims.foreach { v => fs.delete(new Path(hPath, s"p=$v"), true); () }
+      val token = nextToken("drop")
+      writeParentInstant(MorTable.Instant(token, "drop", -1L,
+        System.currentTimeMillis()))
+      writeParentManifest()
+      victims
+    }
   }
 
   /** Retention/TTL sweep: drop every partition whose value satisfies
@@ -1039,12 +1066,26 @@ final class PartitionedMorTable(
     * re-committable — the re-ingest-after-a-bad-deploy point of the
     * service), and the external manifest/catalog regenerate without the
     * rolled-back files. Returns #instants rolled back across the table.
-    * Like Hudi's restore, this is a stop-the-world service: quiesce
-    * writers first — a writer racing the restore can publish a parent
-    * instant whose child data the rollback already removed (a phantom
-    * bookkeeping instant; snapshots stay consistent, incremental
-    * consumers must re-sync). */
-  def restore(name: String): Int = {
+    * Like Hudi's restore, this is a stop-the-world service: it runs under
+    * the table lock (lock-taking writers serialize; reentrant for callers
+    * already holding it) and REFUSES when a writer is provably
+    * mid-publish — a fresh inflight marker at parent or child level —
+    * since racing one could delete the data dir under its claimed commit
+    * (markers older than a lease are crash orphans and do not wedge the
+    * service). Uncoordinated writers that claim AFTER the check can still
+    * publish a phantom bookkeeping instant; snapshots stay consistent,
+    * incremental consumers must re-sync. */
+  def restore(name: String): Int = MorTable.withTableLock(spark, path) {
+    // same destructive-verb discipline as dropPartitions: serialize under
+    // the table lock, refuse when a writer is provably mid-publish (fresh
+    // parent or child inflight markers; stale = crash orphans, ignored)
+    val busyParts = partitions()
+    val busy = freshParentInflight(60000L) ++
+      busyParts.zip(parChildren(busyParts)(_.freshInflightMarkers(60000L)))
+        .flatMap { case (v, ms) => ms.map(m => s"p=$v/$m") }
+    require(busy.isEmpty,
+      s"restore: writer(s) mid-publish on $path (${busy.mkString(", ")}) — " +
+        "quiesce writers first")
     val json = {
       val p = new Path(hPath, s"_savepoint/$name.json")
       if (!fs.exists(p))

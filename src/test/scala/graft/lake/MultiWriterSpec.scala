@@ -433,6 +433,79 @@ class MultiWriterSpec extends AnyFunSuite {
     assert(t.read().filter(col("uuid") === "after_crash").count() == 1)
   }
 
+  test("restore racing a mid-publish writer: loud refusal, then success once published") {
+    val path = tmp()
+    val t = MorTable(spark, path, Seq("k"), compactionDeltaCommits = 1000)
+    t.upsert(Seq((1L, 10)).toDF("k", "v"), Nil, batchId = 1L)
+    t.savepoint("pin")
+    t.upsert(Seq((2L, 20)).toDF("k", "v"), Nil, batchId = 2L)
+    // a slow writer: claimed seq + written data, instant not yet published
+    claimDelta(path, 99L, Seq((3L, 30)))
+    val e = intercept[IllegalArgumentException](t.restore("pin"))
+    assert(e.getMessage.contains("mid-publish"), e.getMessage)
+    assert(t.read().count() == 2, "the refused restore must change nothing")
+    // the writer publishes; restore now proceeds and rolls everything back
+    publishDelta(path, 99L, batchId = 3L)
+    assert(t.restore("pin") > 0)
+    assert(t.read().collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // an ORPHANED marker (crashed writer, stale mtime) must NOT wedge it
+    t.upsert(Seq((4L, 40)).toDF("k", "v"), Nil, batchId = 4L)
+    t.savepoint("pin2")
+    val f = fs(path)
+    val marker = new Path(path, "timeline/200.delta.inflight")
+    val out = f.create(marker, false); out.close()
+    f.setTimes(marker, System.currentTimeMillis() - 600000L, -1)
+    assert(t.restore("pin2") == 0, "stale orphan marker must not block restore")
+  }
+
+  test("dropPartitions/parent restore racing a mid-publish writer: loud refusal") {
+    val path = tmp()
+    val t = new PartitionedMorTable(spark, path, Seq("k"), "p",
+      compactionDeltaCommits = 1000, autoCompact = false)
+    t.upsert(Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "p", "v"), Nil, batchId = 1L)
+    t.savepoint("pin")
+    // a parent-level writer mid-publish: claimed token, no instant yet
+    val f = fs(path)
+    val marker = new Path(path, "_timeline/99.delta.inflight")
+    val out = f.create(marker, false); out.close()
+    val e1 = intercept[IllegalArgumentException](t.dropPartitions(Seq("a")))
+    assert(e1.getMessage.contains("mid-publish"), e1.getMessage)
+    assert(t.partitions() == Seq("a", "b"), "refused drop must delete nothing")
+    val e2 = intercept[IllegalArgumentException](t.restore("pin"))
+    assert(e2.getMessage.contains("mid-publish"), e2.getMessage)
+    // writer publishes (marker gone) → both verbs proceed
+    f.delete(marker, false)
+    assert(t.dropPartitions(Seq("a")) == Seq("a"))
+    t.restore("pin")
+    // restore deletes partitions born after the pin — none here; "a" was
+    // dropped (physically gone, drops bound restore like travel) and "b"
+    // rolls to its pin
+    assert(t.read(Seq("b")).count() == 1)
+    // a CHILD-level fresh marker also blocks the parent restore
+    t.savepoint("pin3")
+    val cm = new Path(path, "p=b/timeline/500.delta.inflight")
+    val o2 = f.create(cm, false); o2.close()
+    val e3 = intercept[IllegalArgumentException](t.restore("pin3"))
+    assert(e3.getMessage.contains("mid-publish"), e3.getMessage)
+    f.delete(cm, false)
+    t.restore("pin3")
+  }
+
+  test("withTableLock is reentrant per thread (destructive verbs under a caller's lock)") {
+    val path = tmp()
+    val t = MorTable(spark, path, Seq("k"), compactionDeltaCommits = 1000)
+    t.upsert(Seq((1L, 10)).toDF("k", "v"), Nil, batchId = 1L)
+    t.savepoint("pin")
+    t.upsert(Seq((2L, 20)).toDF("k", "v"), Nil, batchId = 2L)
+    // the documented pattern: the caller holds the lock around the
+    // stop-the-world service, which now also acquires internally — must
+    // not self-deadlock
+    val rolled = MorTable.withTableLock(spark, path, waitMs = 2000L) {
+      t.restore("pin")
+    }
+    assert(rolled > 0 && t.read().count() == 1)
+  }
+
   test("stale-lease takeover is atomic: same-tick waiters never both enter") {
     // the delete-and-recreate takeover race: two waiters both observe an
     // expired lock in the same 50ms poll tick; with a bare fs.delete the
