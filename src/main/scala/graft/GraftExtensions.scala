@@ -83,6 +83,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // engine's deleteWhere/updateWhere/changelog verbs — post-hoc so the
     // statements arrive fully resolved, before checkAnalysis rejects v1
     ext.injectPostHocResolutionRule(session => new graft.mor.MorDmlResolution(session))
+    // rowCount planner statistic for catalog-read mor relations (v1 has
+    // no rowCount hook; CBO join estimation reads catalog-table stats)
+    ext.injectPostHocResolutionRule(session => new graft.mor.MorRelationStatsRule(session))
     // VERSION AS OF / TIMESTAMP AS OF over graft.mor catalog tables.
     // HINT-batch injection on purpose: the rule must fire BEFORE the main
     // resolution batch, whose V2SessionCatalog lookup throws

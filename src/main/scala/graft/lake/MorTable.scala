@@ -452,6 +452,9 @@ final class MorTable(
       graft.GraftFunctions.register(spark)
       val aggs = Seq(min(col("_record_key")).as("mn"),
         max(col("_record_key")).as("mx"),
+        // per-file row count → header total: the planner's rowCount
+        // statistic reads ONE header field instead of opening footers
+        count(lit(1)).as("rows"),
         // per-file key Bloom filter (the Hudi bloom-index analog) from the
         // SAME pass — point reads prune base files by key MEMBERSHIP, not
         // just range (see snapshotForKeys)
@@ -487,12 +490,20 @@ final class MorTable(
         .write.mode("overwrite").parquet(statsDir.toString)
       val dir = new Path(hPath, "manifest")
       fs.mkdirs(dir)
+      // total base rows from the just-written stats relation (one tiny
+      // job over the sharded parquet — the compaction already ran the
+      // O(table) pass; this reads its per-file rollup)
+      val totalRows = {
+        val r = spark.read.parquet(MorTable.globSafe(statsDir.toString))
+          .agg(sum(col("rows"))).head()
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
       def js(s: String): String = MorTable.jsEscape(s)
       def colArr(cs: Seq[String]): String =
         cs.map(c => "\"" + js(c) + "\"").mkString(",")
       val json =
         s"""{"baseSeq":$seq,"filter":"_deleted = false",""" +
-          s""""fileCount":${files.size},""" +
+          s""""fileCount":${files.size},"rows":$totalRows,""" +
           s""""statCols":[${colArr(sCols)}],""" +
           s""""indexCols":[${colArr(iCols)}],""" +
           s""""statsDir":"stats/$seq"}"""
@@ -958,6 +969,47 @@ final class MorTable(
         .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
       catch { case _: java.io.FileNotFoundException => 0L }
     }.sum
+  }
+
+  /** Planner ROW-COUNT statistic: live physical rows (base + live deltas,
+    * retained tombstones and superseded versions included — a slight,
+    * safe-direction overestimate of the merged cardinality). The base
+    * total comes from ONE manifest-header field (written with the stats
+    * pass); live deltas — few by the compaction cadence — read parquet
+    * footer record counts driver-side. None when the count would need
+    * unbounded driver work (pre-rows manifests, or a never-compacted
+    * table past the footer cap) — callers fall back to bytes-only stats,
+    * never a job. */
+  def liveRowCount(): Option[Long] = {
+    val tl = timeline()
+    if (tl.isEmpty) return Some(0L)
+    val (lastCompact, deltas) = liveDeltas(tl)
+    val base: Option[Long] = lastCompact match {
+      case Some(c) =>
+        manifestHeader(c.seq).map(_.rows).filter(_ >= 0L)
+          .orElse(footerRowCount(s"$path/base/${c.seq}"))
+      case None => Some(0L)
+    }
+    deltas.foldLeft(base) { (acc, d) =>
+      for (a <- acc; r <- footerRowCount(s"$path/delta/${d.seq}")) yield a + r
+    }
+  }
+
+  /** Sum of parquet footer record counts under `dir`, driver-side
+    * (parquet-hadoop, no Spark job); None past the file cap — bounded
+    * driver work by construction. */
+  private def footerRowCount(dir: String, cap: Int = 256): Option[Long] = {
+    val files =
+      try fs.listStatus(new Path(dir)).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet"))
+      catch { case _: java.io.FileNotFoundException => return Some(0L) }
+    if (files.size > cap) return None
+    Some(files.map { st =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromStatus(st, spark.sparkContext.hadoopConfiguration)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum)
   }
 
   /** The directories a snapshot read of this table must scan, given the
@@ -1815,10 +1867,13 @@ object MorTable {
     * large-table path and ≤ threshold on the small one. */
   private[lake] val statsDriverRows = new java.util.concurrent.atomic.AtomicLong
 
-  /** Tiny manifest header (`manifest/<seq>.json`): O(1) in file count. */
+  /** Tiny manifest header (`manifest/<seq>.json`): O(1) in file count.
+    * `rows` = total base rows (incl. retained tombstones); -1 for
+    * manifests written before the field existed. */
   private[lake] final case class ManifestHeader(baseSeq: Long, fileCount: Int,
                                                 statCols: Seq[String],
-                                                indexCols: Seq[String])
+                                                indexCols: Seq[String],
+                                                rows: Long = -1L)
 
   /** One base file's stats row, driver-side regime (bounded by
     * [[smallManifestFiles]]). Absent per-column entries = null stats. */
@@ -1836,7 +1891,8 @@ object MorTable {
             .map(x => jsUnescape(x.group(1))))
       ManifestHeader(
         "\"baseSeq\":(\\d+)".r.findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(0L),
-        fc.group(1).toInt, cols("statCols"), cols("indexCols"))
+        fc.group(1).toInt, cols("statCols"), cols("indexCols"),
+        "\"rows\":(\\d+)".r.findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(-1L))
     }
 
   /** Read a (SMALL) stats relation driver-side via parquet-hadoop — no

@@ -700,6 +700,14 @@ final class PartitionedMorTable(
   /** Live on-disk bytes across partitions ([[MorTable.liveBytes]]). */
   def liveBytes(): Long = parChildren(partitions())(_.liveBytes()).sum
 
+  /** Planner row-count statistic across partitions
+    * ([[MorTable.liveRowCount]]); None as soon as any child cannot answer
+    * with bounded driver work. */
+  def liveRowCount(): Option[Long] = {
+    val counts = parChildren(partitions())(_.liveRowCount())
+    if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
+  }
+
   /** True when some partition holds at least one delta commit dir — the
     * precondition of [[readChangelog]]/[[readIncremental]]. Lets a
     * streaming consumer distinguish "legitimately nothing to change-read"

@@ -307,6 +307,20 @@ final case class MorRelation(sqlContext: SQLContext, path: String,
     if (b > 0L) b else super.sizeInBytes
   }
 
+  /** Planner CARDINALITY (surfaced through the catalog-table stats by
+    * [[MorRelationStatsRule]] — v1 `BaseRelation` has no rowCount hook):
+    * the manifest header's base total plus footer counts for the few live
+    * deltas, all bounded driver work ([[MorTable.liveRowCount]]). With it,
+    * CBO join estimation/reorder sees row counts for mor tables instead
+    * of guessing from compressed bytes. Snapshot reads only — derived
+    * reads (travel/incremental/CDC) have different cardinality. */
+  @transient private[mor] lazy val rowCountStat: Option[Long] =
+    if (asOf.isDefined || sinceSeq.isDefined || changelogFrom.isDefined) None
+    else partitionCol match {
+      case Some(_) => partTable.liveRowCount()
+      case None => table.liveRowCount()
+    }
+
   /** SQL-surface pushdown (PrunedFilteredScan): `SELECT a FROM t WHERE k
     * = 'x'` through the catalog must cost what the programmatic API
     * costs, not a full-snapshot materialization. Three levels:

@@ -150,6 +150,27 @@ class MorDmlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
   * assignments (`t.`/`s.`-qualified Columns). */
 final case class MorMergeAction(kind: String, cond: Column, set: Map[String, Column])
 
+/** Surface [[MorRelation.rowCountStat]] to the planner: v1 relations have
+  * no rowCount hook, but `LogicalRelation.computeStats` prefers the
+  * catalog table's `CatalogStatistics` — attach one (size + rowCount)
+  * whenever a catalog-read mor relation has no ANALYZE-written stats.
+  * Under CBO this is what join estimation and CostBasedJoinReorder
+  * consume; without CBO the attached sizeInBytes equals what the relation
+  * already reported, so plans are unchanged. */
+class MorRelationStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.catalog.CatalogStatistics
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    case lr: LogicalRelation if lr.relation.isInstanceOf[MorRelation] &&
+        lr.catalogTable.exists(_.stats.isEmpty) =>
+      val rel = lr.relation.asInstanceOf[MorRelation]
+      rel.rowCountStat match {
+        case Some(n) => lr.copy(catalogTable = Some(lr.catalogTable.get.copy(
+          stats = Some(CatalogStatistics(BigInt(rel.sizeInBytes), Some(BigInt(n)))))))
+        case None => lr
+      }
+  }
+}
+
 /** SQL time-travel syntax over graft.mor catalog tables — `SELECT … FROM t
   * VERSION AS OF <seq>` / `TIMESTAMP AS OF <ts>` (the Hudi/Delta read
   * surface; the engine verb is [[graft.lake.MorTable.readAt]], oracle

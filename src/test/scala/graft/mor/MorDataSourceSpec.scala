@@ -293,6 +293,60 @@ class MorDataSourceSpec extends AnyFunSuite {
       s"tiny mor dim must broadcast, got:\n$plan")
   }
 
+  test("rowCount statistic: CBO sees mor cardinality and reorders a 3-way join") {
+    val dirB = TestSpark.tmpDir("dsv1-rc-big")
+    val dirM = TestSpark.tmpDir("dsv1-rc-mid")
+    val dirS = TestSpark.tmpDir("dsv1-rc-small")
+    Seq("mor_rc_big", "mor_rc_mid", "mor_rc_small").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      spark.range(0, 2000).selectExpr("id AS k", "id AS vb")
+        .write.format("graft.mor").option("keys", "k").save(dirB)
+      spark.range(0, 200).selectExpr("id AS k", "id AS vm")
+        .write.format("graft.mor").option("keys", "k").save(dirM)
+      spark.range(0, 2).selectExpr("id AS k", "id AS vs")
+        .write.format("graft.mor").option("keys", "k").save(dirS)
+      // compact so the manifest header carries the base row total
+      graft.lake.MorTable.resolve(spark, dirB, Seq("k")).compact()
+      spark.sql(s"CREATE TABLE mor_rc_big USING `graft.mor` OPTIONS (path '$dirB', keys 'k')")
+      spark.sql(s"CREATE TABLE mor_rc_mid USING `graft.mor` OPTIONS (path '$dirM', keys 'k')")
+      spark.sql(s"CREATE TABLE mor_rc_small USING `graft.mor` OPTIONS (path '$dirS', keys 'k')")
+      val prevCbo = spark.conf.get("spark.sql.cbo.enabled")
+      val prevReorder = spark.conf.get("spark.sql.cbo.joinReorder.enabled")
+      try {
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        // cardinality reaches the planner (header total on the compacted
+        // table; footer counts on the delta-only ones)
+        val st = spark.table("mor_rc_big").queryExecution.optimizedPlan.stats
+        assert(st.rowCount.contains(BigInt(2000)),
+          s"expected rowCount 2000, got ${st.rowCount}")
+        // join-reorder-sensitive plan: parse order is (big ⋈ mid) ⋈ small;
+        // with row counts the cost-based reorder starts from the small
+        // sides instead — the bottom-most join must NOT pair big with mid
+        val q = spark.sql(
+          """SELECT b.vb FROM mor_rc_big b
+            |JOIN mor_rc_mid m ON b.k = m.k
+            |JOIN mor_rc_small s ON m.k = s.k""".stripMargin)
+        import org.apache.spark.sql.catalyst.plans.logical.Join
+        import org.apache.spark.sql.execution.datasources.LogicalRelation
+        val joins = q.queryExecution.optimizedPlan.collect { case j: Join => j }
+        assert(joins.nonEmpty)
+        val bottom = joins.last // innermost join of the reordered tree
+        val bottomTables = bottom.collectLeaves().collect {
+          case lr: LogicalRelation => lr.catalogTable.map(_.identifier.table).getOrElse("")
+        }.toSet
+        assert(bottomTables != Set("mor_rc_big", "mor_rc_mid"),
+          s"CBO must not keep the big-x-mid join innermost: $bottomTables")
+        assert(q.collect().length == 2, "reorder must not change results")
+      } finally {
+        spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", prevReorder)
+      }
+    } finally Seq("mor_rc_big", "mor_rc_mid", "mor_rc_small").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("writeStream sink: one exactly-once upsert commit per micro-batch; restart resumes") {
     val watch = TestSpark.tmpDir("sink-watch")
     val path = TestSpark.tmpDir("sink-table")
