@@ -138,6 +138,7 @@ object SparkEntry {
     "d28_embed_neardup_lsh" -> ((s, d) => graft.functions.LlmQueries.embedNearDupLshPortable(s, d)),
     "t8_curation_pipeline" -> ((s, d) => graft.functions.LlmQueries.curationPipeline(s, d)),
     "t9_sequence_pack"    -> ((s, d) => graft.functions.LlmQueries.sequencePack(s, d)),
+    "t32_corpus_shards"   -> ((s, d) => graft.functions.LlmQueries.corpusShards(s, d)),
     "s23_embed_quant"     -> ((s, d) => graft.functions.LlmQueries.embedQuantize(s, d)),
     "s24_ann_quantized"   -> ((s, d) => graft.functions.LlmQueries.annQuantized(s, d)),
     "s32_pq_encode"       -> ((s, d) => graft.functions.LlmQueries.pqEncode(s, d)),
@@ -2116,6 +2117,17 @@ object SparkEntry {
         |                       ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))::BIGINT
         |         AS rolling_24h
         |FROM d""".stripMargin,
+    // corpus shuffle: shard = md5-bucket mod 8; pos = 1-based rank in the
+    // shard under the md5 total order — both pure key functions, so the
+    // writer round-trip must land exactly here
+    "t32_corpus_shards" ->
+      """SELECT doc_id, lang,
+        |       (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8)::BIGINT
+        |         AS shard_id,
+        |       (row_number() OVER (
+        |          PARTITION BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8
+        |          ORDER BY md5(doc_id::VARCHAR), doc_id))::BIGINT AS pos
+        |FROM documents""".stripMargin,
     "t18_split_assign" ->
       """SELECT doc_id, lang,
         |       CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT

@@ -311,6 +311,24 @@ object LlmQueries {
       tokenCol = TextAnalysis.tokenCount(col("text")))
   }
 
+  /** Deterministic CORPUS SHUFFLE + SHARD WRITER, oracle-checked
+    * end-to-end: the post-packing handoff ([[graft.operators.Sampling
+    * .corpusShuffle]]/`writeShards`) writes the documents table as 8
+    * md5-ordered shard dirs and reads them BACK — what the returned rows
+    * prove is the whole loop: shard assignment, the 1-based md5-order
+    * positions, and the writer round-trip, all pure key functions DuckDB
+    * reproduces bit-for-bit. */
+  def corpusShards(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "lang")
+    val out = graft.TempDirs.create("shards")
+    graft.operators.Sampling.writeShards(docs, "doc_id", nShards = 8, out)
+    graft.TempDirs.materializeAndDelete(
+      spark.read.parquet(out) // partition discovery restores shard_id
+        .select(col("doc_id"), col("lang"),
+          col("shard_id").cast("long").as("shard_id"), col("pos")),
+      out)
+  }
+
   /** The END-TO-END curation pipeline a training-data run actually
     * executes, composed from the individually-proven stages and
     * oracle-checked as a WHOLE: quality gate (t4's score ≥ 0.5) → exact

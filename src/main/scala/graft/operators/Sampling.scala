@@ -151,6 +151,58 @@ object Sampling {
     df.withColumn("split", label)
   }
 
+  /** Deterministic CORPUS SHUFFLE + shard assignment — the training-data
+    * handoff after packing: every row gets a shard (`pmod(md5-bucket, n)`)
+    * and a 1-based position within its shard under the md5 total order,
+    * so the "shuffled" epoch order is a pure function of the data — the
+    * exact reproducibility contract of [[hashSample]]/[[assignSplits]]
+    * (retries, re-runs and other engines produce byte-identical shards,
+    * which a `rand()` shuffle cannot).
+    *
+    * Scale shape: positions are NOT a per-shard global window (one task
+    * per shard would sort corpus/n rows — dead at 100 TB). The first md5
+    * BYTE is a sub-bucket that agrees with the md5 order (it is the order
+    * key's prefix), so per-(shard, bucket) counts — a metadata-sized
+    * aggregate — yield broadcastable prefix offsets, and the rank inside
+    * each (shard, bucket) window is corpus/(n·256) rows per task:
+    * `pos = offset(shard, bucket) + rank within (shard, bucket)`. One
+    * hash shuffle + one bounded window, same as [[sequencePack]]. */
+  def corpusShuffle(df: DataFrame, keyCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, s"corpusShuffle needs a positive shard count, got $nShards")
+    val withH = df
+      .withColumn("__h", md5(col(keyCol).cast("string")))
+      .withColumn("shard_id", pmod(hashBucket(col(keyCol)), lit(nShards.toLong)))
+      .withColumn("__b", conv(substring(col("__h"), 1, 2), 16, 10).cast("int"))
+    val offsets = withH.groupBy(col("shard_id"), col("__b"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(
+        Window.partitionBy(col("shard_id")).orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__n")
+    withH.join(broadcast(offsets), Seq("shard_id", "__b"))
+      .withColumn("pos",
+        col("__off") + row_number().over(
+          Window.partitionBy(col("shard_id"), col("__b"))
+            .orderBy(col("__h"), col(keyCol))).cast("long"))
+      // the using-join fronts its keys — pin the user-facing order
+      // (input columns, then shard_id/pos) explicitly
+      .select(df.columns.map(col).toSeq ++ Seq(col("shard_id"), col("pos")): _*)
+  }
+
+  /** The shard WRITER half of [[corpusShuffle]]: one dir per shard
+    * (`shard_id=<k>/`), rows inside each file in the deterministic md5
+    * order (`sortWithinPartitions` after clustering by shard — a range
+    * exchange plus local sort, never a single-task shard sort). Returns
+    * the written shard dirs. */
+  def writeShards(df: DataFrame, keyCol: String, nShards: Int,
+                  outDir: String): Seq[String] = {
+    corpusShuffle(df, keyCol, nShards)
+      .repartition(nShards, col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col("pos"))
+      .write.partitionBy("shard_id").mode("overwrite").parquet(outDir)
+    (0 until nShards).map(k => s"$outDir/shard_id=$k")
+  }
+
   /** Per-group quota: at most `n` rows per value of `groupCol`, chosen as
     * the n smallest md5 buckets (a deterministic uniform draw). The cap a
     * curation pipeline puts on any one source/domain so no group dominates

@@ -133,4 +133,47 @@ class SamplingSpec extends AnyFunSuite {
     assert(joined.filter($"split" =!= $"split_b").isEmpty,
       "split assignment must be a pure key function")
   }
+
+  test("corpusShuffle: deterministic, contiguous per-shard positions, == the naive per-shard rank") {
+    import org.apache.spark.sql.expressions.Window
+    val n = 4000L
+    val docs = spark.range(n).selectExpr("concat('doc', id) AS k", "id AS v")
+    val a = Sampling.corpusShuffle(docs, "k", nShards = 8)
+    // determinism: a re-run is byte-identical (pure key function)
+    val b = Sampling.corpusShuffle(docs, "k", nShards = 8)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // every row assigned, positions contiguous 1..count within each shard
+    assert(a.count() == n)
+    val perShard = a.groupBy("shard_id")
+      .agg(count(lit(1)).as("c"), min("pos").as("mn"), max("pos").as("mx"),
+        countDistinct("pos").as("d")).collect()
+    assert(perShard.length == 8, "all 8 shards populated")
+    perShard.foreach { r =>
+      assert(r.getAs[Long]("mn") == 1L && r.getAs[Long]("mx") == r.getAs[Long]("c")
+        && r.getAs[Long]("d") == r.getAs[Long]("c"),
+        s"positions must be a contiguous 1..count permutation: $r")
+    }
+    // md5 spreads uniformly → shards balance
+    val sizes = perShard.map(_.getAs[Long]("c"))
+    assert(sizes.max < sizes.min * 2, s"shard skew: ${sizes.mkString(",")}")
+    // the scale-safe two-level rank equals the naive one-window-per-shard
+    // formulation it replaces
+    val naive = docs
+      .withColumn("__h", md5(col("k")))
+      .withColumn("shard_id", pmod(Sampling.hashBucket(col("k")), lit(8L)))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard_id")).orderBy(col("__h"), col("k"))).cast("long"))
+      .drop("__h")
+    assert(a.exceptAll(naive).isEmpty && naive.exceptAll(a).isEmpty,
+      "two-level rank must equal the global per-shard rank")
+    // writer round-trip: one dir per shard, same rows back
+    val out = graft.TempDirs.create("shards-spec")
+    val dirs = Sampling.writeShards(docs, "k", nShards = 8, out)
+    assert(dirs.length == 8)
+    val back = spark.read.parquet(out)
+      .select(col("k"), col("v"), col("shard_id").cast("long").as("shard_id"), col("pos"))
+    val aSel = a.select("k", "v", "shard_id", "pos")
+    assert(back.exceptAll(aSel).isEmpty && aSel.exceptAll(back).isEmpty,
+      "shard writer must round-trip the shuffled corpus")
+  }
 }
