@@ -552,6 +552,16 @@ final class MorTable(
   def deleteWhere(cond: Column, batchId: Long = -1L): MorTable =
     delete(read().filter(cond).select(keyCols.map(col): _*), batchId)
 
+  /** [[deleteWhere]] when the predicate is known to imply a record-key
+    * set (the SQL layer proves `WHERE key = … [AND …]`): the matching
+    * rows resolve through the KEY-PRUNED point read — listing-level
+    * bloom/range file pruning instead of a snapshot scan. `cond` is
+    * still applied (extra conjuncts narrow further; soundness needs only
+    * that every cond-satisfying row carries one of `recordKeys`). */
+  def deleteWhereKeys(recordKeys: Seq[String], cond: Column,
+                      batchId: Long = -1L): MorTable =
+    delete(readForKeys(recordKeys).filter(cond).select(keyCols.map(col): _*), batchId)
+
   /** Predicate update (the `MERGE INTO … WHEN MATCHED UPDATE` / SQL
     * `UPDATE t SET … WHERE …` analog): rewrite the matching rows' images
     * and upsert them — last-write-wins replaces in place, commit is
@@ -561,8 +571,17 @@ final class MorTable(
     * withColumn fold would feed b the already-updated a, and make
     * interdependent sets silently depend on Map iteration order). */
   def updateWhere(cond: Column, set: Map[String, Column],
-                  batchId: Long = -1L): MorTable = {
-    val base = read().filter(cond)
+                  batchId: Long = -1L): MorTable =
+    updateOver(read().filter(cond), set, batchId)
+
+  /** [[updateWhere]] through the key-pruned point read (see
+    * [[deleteWhereKeys]] for the contract). */
+  def updateWhereKeys(recordKeys: Seq[String], cond: Column,
+                      set: Map[String, Column], batchId: Long = -1L): MorTable =
+    updateOver(readForKeys(recordKeys).filter(cond), set, batchId)
+
+  private def updateOver(base: DataFrame, set: Map[String, Column],
+                         batchId: Long): MorTable = {
     val updated = base.select(base.columns.map(c =>
       set.get(c).map(_.as(c)).getOrElse(col(c))): _*)
     upsert(updated, keyCols.map(col), batchId)

@@ -413,6 +413,16 @@ final class PartitionedMorTable(
     delete(read(values).filter(cond)
       .select((partitionCol +: keyCols).map(col): _*), batchId)
 
+  /** [[deleteWhere]] through the cross-partition point read when the
+    * predicate implies a record-key set ([[MorTable.deleteWhereKeys]]
+    * contract): child bloom/range pruning bounds the scan to probe-hit
+    * files across the selected partitions. */
+  def deleteWhereKeys(recordKeys: Seq[String], cond: Column,
+                      batchId: Long = -1L,
+                      values: Seq[String] = Seq.empty): PartitionedMorTable =
+    delete(readForKeys(recordKeys, values).filter(cond)
+      .select((partitionCol +: keyCols).map(col): _*), batchId)
+
   /** Predicate update across partitions (the MERGE-update analog):
     * rewrite matching images, upsert through the one-job staged path.
     * Updating `partitionCol` itself is refused — a key never moves
@@ -420,10 +430,20 @@ final class PartitionedMorTable(
     * evaluate against the ORIGINAL row in one projection (SQL UPDATE
     * semantics — see [[MorTable.updateWhere]]). */
   def updateWhere(cond: Column, set: Map[String, Column], batchId: Long = -1L,
-                  values: Seq[String] = Seq.empty): PartitionedMorTable = {
+                  values: Seq[String] = Seq.empty): PartitionedMorTable =
+    updateOver(read(values).filter(cond), set, batchId)
+
+  /** [[updateWhere]] through the cross-partition point read (see
+    * [[deleteWhereKeys]]). */
+  def updateWhereKeys(recordKeys: Seq[String], cond: Column,
+                      set: Map[String, Column], batchId: Long = -1L,
+                      values: Seq[String] = Seq.empty): PartitionedMorTable =
+    updateOver(readForKeys(recordKeys, values).filter(cond), set, batchId)
+
+  private def updateOver(base: DataFrame, set: Map[String, Column],
+                         batchId: Long): PartitionedMorTable = {
     require(!set.contains(partitionCol),
       s"updateWhere cannot move rows across partitions ($partitionCol is part of the PK)")
-    val base = read(values).filter(cond)
     val updated = base.select(base.columns.map(c =>
       set.get(c).map(_.as(c)).getOrElse(col(c))): _*)
     upsert(updated, keyCols.map(col), batchId)

@@ -89,12 +89,20 @@ class MorDmlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
       GraftAddColumnsCommand(a.table, a.colsToAdd)
 
     case d @ DeleteFromTable(MorTarget(rel), cond) if d.childrenResolved && cond.resolved =>
-      GraftDeleteCommand(rel, byName(cond))
+      // WHERE-implied key/partition pins route the statement through the
+      // point read / pruned partition set instead of a snapshot scan
+      val eqs = MorDml.litEqValues(spark, cond)
+      GraftDeleteCommand(rel, byName(cond),
+        MorDml.pinnedRecordKeys(rel.keys, eqs),
+        rel.partitionCol.toSeq.flatMap(pc => eqs.getOrElse(pc, Nil)))
 
     case u @ UpdateTable(MorTarget(rel), assigns, cond)
         if u.childrenResolved && assigns.forall(_.resolved) && cond.forall(_.resolved) =>
       val set = assignMap(assigns, byName)
-      GraftUpdateCommand(rel, set, cond.map(byName).getOrElse(lit(true)))
+      val eqs = cond.map(MorDml.litEqValues(spark, _)).getOrElse(Map.empty)
+      GraftUpdateCommand(rel, set, cond.map(byName).getOrElse(lit(true)),
+        MorDml.pinnedRecordKeys(rel.keys, eqs),
+        rel.partitionCol.toSeq.flatMap(pc => eqs.getOrElse(pc, Nil)))
 
     case m @ MergeIntoTable(MorTarget(rel), source, cond,
         matched, notMatched, notMatchedBySource, _) if m.resolved =>
@@ -253,6 +261,68 @@ private[mor] object MorDml {
     }
   }
 
+  /** Literal equality sets implied by a resolved predicate's CONJUNCTS:
+    * column name → the literal string values (Spark-cast rendering, so
+    * they match `_record_key`/partition-dir construction exactly) that an
+    * `=`/`IN` conjunct pins the bare column to. OR-trees, casts around
+    * the attribute, and non-literal sides contribute nothing — no pruning
+    * there, which is always safe. Multiple conjuncts on one column
+    * intersect. */
+  def litEqValues(spark: SparkSession, cond: Expression): Map[String, Seq[String]] = {
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Cast, EqualTo, In, Literal}
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    val zone = Some(spark.sessionState.conf.sessionLocalTimeZone)
+    def asStr(l: Literal): Option[String] =
+      Option(Cast(l, org.apache.spark.sql.types.StringType, zone).eval()).map(_.toString)
+    conjuncts(cond).flatMap {
+      case EqualTo(a: AttributeReference, l: Literal) => asStr(l).map(v => a.name -> Seq(v))
+      case EqualTo(l: Literal, a: AttributeReference) => asStr(l).map(v => a.name -> Seq(v))
+      case In(a: AttributeReference, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        val strs = vs.map(v => asStr(v.asInstanceOf[Literal]))
+        if (strs.forall(_.isDefined)) Some(a.name -> strs.flatten) else None
+      case _ => None
+    }.groupBy(_._1).map { case (c, vs) =>
+      c -> vs.map(_._2.toSet).reduce(_ intersect _).toSeq.sorted
+    }
+  }
+
+  /** The record keys a predicate pins, when EVERY key column is equality-
+    * pinned: the cross product of per-column value sets rendered as the
+    * table's `concat_ws("|")` record key. None = not fully pinned (or the
+    * combination count exceeds the point-read cap) — callers fall back to
+    * the snapshot-scan path. Some(Nil) = provably no row matches. */
+  def pinnedRecordKeys(keys: Seq[String],
+                       eqs: Map[String, Seq[String]]): Option[Seq[String]] =
+    if (keys.isEmpty || !keys.forall(eqs.contains)) None
+    else {
+      val combos = keys.map(eqs).foldLeft(Seq(Seq.empty[String])) { (acc, vs) =>
+        if (acc.size.toLong * vs.size > graft.lake.MorTable.mergeKeyCollectCap)
+          return None
+        for (a <- acc; v <- vs) yield a :+ v
+      }
+      Some(combos.map(_.mkString("|")))
+    }
+
+  /** Partition set a partitioned DML statement may touch, combining the
+    * relation-declared `partitionValues` restriction with WHERE-pinned
+    * partition equality. None = provably empty (the statement is a
+    * no-op); Some(Nil) = unrestricted. */
+  def dmlPartitionValues(present: Seq[String], declared: Seq[String],
+                         whereVals: Seq[String]): Option[Seq[String]] = {
+    val where = if (whereVals.isEmpty) None
+                else Some(whereVals.filter(present.toSet))
+    (declared.nonEmpty, where) match {
+      case (true, Some(w)) =>
+        val i = declared.intersect(w); if (i.isEmpty) None else Some(i)
+      case (true, None) => Some(declared)
+      case (false, Some(w)) => if (w.isEmpty) None else Some(w)
+      case (false, None) => Some(Nil)
+    }
+  }
+
   /** The table verbs behind a relation, partitioned-aware. */
   def guards(rel: MorRelation): Unit =
     require(rel.asOf.isEmpty && rel.sinceSeq.isEmpty && rel.changelogFrom.isEmpty,
@@ -305,23 +375,45 @@ case class GraftAddColumnsCommand(
   }
 }
 
-case class GraftDeleteCommand(rel: MorRelation, cond: Column)
+/** `pointKeys`/`wherePartValues`: resolution-time proof that the WHERE
+  * clause pins the record keys / partition values — the statement then
+  * resolves its matches through the key-pruned point read and/or a
+  * pruned partition set instead of a full snapshot scan (at 100 TB,
+  * `DELETE FROM t WHERE key = 'x'` must cost a point read, not a table
+  * scan — the same discipline the SELECT surface's PrunedFilteredScan
+  * routing already has). */
+case class GraftDeleteCommand(rel: MorRelation, cond: Column,
+                              pointKeys: Option[Seq[String]] = None,
+                              wherePartValues: Seq[String] = Nil)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     MorDml.guards(rel)
     rel.partitionCol match {
       case Some(p) =>
-        PartitionedMorTable.resolve(spark, rel.path, rel.keys, p)
-          .deleteWhere(cond, values = rel.partitionValues)
+        val t = PartitionedMorTable.resolve(spark, rel.path, rel.keys, p)
+        MorDml.dmlPartitionValues(t.partitions(), rel.partitionValues,
+          wherePartValues) match {
+          case None => () // predicate proves no partition can match
+          case Some(vals) => pointKeys match {
+            case Some(ks) => t.deleteWhereKeys(ks, cond, values = vals)
+            case None => t.deleteWhere(cond, values = vals)
+          }
+        }
       case None =>
-        MorTable.resolve(spark, rel.path, rel.keys).deleteWhere(cond)
+        val t = MorTable.resolve(spark, rel.path, rel.keys)
+        pointKeys match {
+          case Some(ks) => t.deleteWhereKeys(ks, cond)
+          case None => t.deleteWhere(cond)
+        }
     }
     Seq.empty
   }
 }
 
 case class GraftUpdateCommand(rel: MorRelation, set: Map[String, Column],
-                              cond: Column)
+                              cond: Column,
+                              pointKeys: Option[Seq[String]] = None,
+                              wherePartValues: Seq[String] = Nil)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     MorDml.guards(rel)
@@ -333,10 +425,21 @@ case class GraftUpdateCommand(rel: MorRelation, set: Map[String, Column],
       s"UPDATE cannot reassign record key column(s) ${badKeys.mkString(", ")}")
     rel.partitionCol match {
       case Some(p) =>
-        PartitionedMorTable.resolve(spark, rel.path, rel.keys, p)
-          .updateWhere(cond, set, values = rel.partitionValues)
+        val t = PartitionedMorTable.resolve(spark, rel.path, rel.keys, p)
+        MorDml.dmlPartitionValues(t.partitions(), rel.partitionValues,
+          wherePartValues) match {
+          case None => () // predicate proves no partition can match
+          case Some(vals) => pointKeys match {
+            case Some(ks) => t.updateWhereKeys(ks, cond, set, values = vals)
+            case None => t.updateWhere(cond, set, values = vals)
+          }
+        }
       case None =>
-        MorTable.resolve(spark, rel.path, rel.keys).updateWhere(cond, set)
+        val t = MorTable.resolve(spark, rel.path, rel.keys)
+        pointKeys match {
+          case Some(ks) => t.updateWhereKeys(ks, cond, set)
+          case None => t.updateWhere(cond, set)
+        }
     }
     Seq.empty
   }

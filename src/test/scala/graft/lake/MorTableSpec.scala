@@ -789,6 +789,25 @@ class MorTableSpec extends AnyFunSuite {
     assert(k200.getAs[String]("name") == "patched" && k200.getAs[Int]("age") == 200)
   }
 
+  test("deleteWhereKeys/updateWhereKeys: key-pruned row ops equal the scan forms") {
+    val path = TestSpark.tmpDir("mor-dml-keys")
+    val rows = (0 until 400)
+      .map(i => (f"k$i%03d", s"n$i", i, "1970-01-01 00:00:01"))
+      .toDF("uuid", "name", "age", "ts")
+    val t = new MorTable(spark, path, Seq("uuid"),
+      compactionDeltaCommits = 1000, autoCompact = false, writePartitions = 4)
+    t.upsert(rows, orderWithinBatch = Seq(col("ts")), batchId = 1L)
+    t.compact() // blooms published — the pruned read touches <4 base files
+    t.updateWhereKeys(Seq("k123"), col("uuid") === "k123",
+      Map("age" -> lit(-1)), batchId = 2L)
+    t.deleteWhereKeys(Seq("k007", "k008"),
+      col("uuid").isin("k007", "k008") && col("age") === 7, batchId = 3L)
+    val got = t.read().collect()
+      .map(r => r.getAs[String]("uuid") -> r.getAs[Int]("age")).toMap
+    assert(got.size == 399 && got("k123") == -1 && !got.contains("k007")
+      && got("k008") == 8, "extra conjunct must narrow; pruning must not widen")
+  }
+
   test("mergeTarget past the collect cap: scan-and-join, dup check still enforced") {
     val t = MorTable(spark, TestSpark.tmpDir("mor-merge-cap"), Seq("uuid"),
       compactionDeltaCommits = 1000)

@@ -603,6 +603,37 @@ class MorDataSourceSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS mor_ptt_t")
   }
 
+  test("key/partition-pinned SQL DELETE and UPDATE: point-read routing stays correct") {
+    val path = TestSpark.tmpDir("dsv1-dml-pin")
+    spark.sql("DROP TABLE IF EXISTS mor_pin_t")
+    try {
+      Seq(("id1", "a", 1), ("id2", "a", 2), ("id3", "b", 3), ("id4", "b", 4),
+        ("id5", "c", 5)).toDF("uuid", "kind", "v")
+        .write.format("graft.mor").option("keys", "uuid")
+        .option("partition", "kind").mode("append").save(path)
+      spark.sql(s"CREATE TABLE mor_pin_t USING `graft.mor` " +
+        s"OPTIONS (path '$path', keys 'uuid', partition 'kind')")
+      // key equality + an extra conjunct that fails → nothing deleted
+      spark.sql("DELETE FROM mor_pin_t WHERE uuid = 'id1' AND v > 100")
+      assert(spark.sql("SELECT * FROM mor_pin_t").count() == 5)
+      // key equality → exactly that row (point-read route)
+      spark.sql("DELETE FROM mor_pin_t WHERE uuid = 'id1'")
+      // IN list of keys, extra conjunct narrows
+      spark.sql("DELETE FROM mor_pin_t WHERE uuid IN ('id2', 'id3') AND v = 3")
+      // partition equality prunes to one child; key not pinned
+      spark.sql("UPDATE mor_pin_t SET v = v + 10 WHERE kind = 'b'")
+      // key + partition both pinned
+      spark.sql("UPDATE mor_pin_t SET v = 500 WHERE uuid = 'id5' AND kind = 'c'")
+      // a WHERE naming a nonexistent partition is a clean no-op, not an error
+      spark.sql("DELETE FROM mor_pin_t WHERE kind = 'zz'")
+      // contradictory pins (id2 is in partition a) are a clean no-op
+      spark.sql("DELETE FROM mor_pin_t WHERE uuid = 'id2' AND kind = 'b'")
+      val got = spark.sql("SELECT uuid, kind, v FROM mor_pin_t ORDER BY uuid")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq
+      assert(got == Seq(("id2", "a", 2), ("id4", "b", 14), ("id5", "c", 500)), got)
+    } finally spark.sql("DROP TABLE IF EXISTS mor_pin_t")
+  }
+
   test("SQL UPDATE: interdependent SET assignments see the ORIGINAL row (swap)") {
     val path = TestSpark.tmpDir("dsv1-upd-swap")
     spark.sql("DROP TABLE IF EXISTS mor_swap_t")
