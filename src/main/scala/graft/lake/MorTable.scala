@@ -660,6 +660,17 @@ final class MorTable(
     * LEFT from the batch on key equality, so restricting the target to
     * the batch's own keys is an identity on the join output. */
   private[lake] def mergeTarget(batch: DataFrame, dupMsg: String): DataFrame = {
+    // Pruning needs a compacted base: before the first compaction there is
+    // no manifest to prune against and typically no merge shuffle to
+    // restrict — the key plumbing would be pure plan overhead (measured:
+    // +5 driver jobs / +0.7 s task-time on the delta-only s61 table), so
+    // delta-only tables keep the plain snapshot target.
+    if (!timeline().exists(_.kind == "compact")) {
+      val dup = batch.groupBy(keyCols.map(col): _*).count()
+        .filter(col("count") > 1).limit(1).count()
+      require(dup == 0L, dupMsg)
+      return read()
+    }
     val keyed = batch.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__n"))
       .select(concat_ws("|", keyCols.map(k => col(k).cast("string")): _*).as("__pk"),
         col("__n"))
@@ -678,6 +689,10 @@ final class MorTable(
     * MERGE command uses when its ON condition implies key equality.
     * `batchKeys` is a one-column DataFrame of record keys. */
   private[graft] def readForKeyBatch(batchKeys: DataFrame): DataFrame = {
+    // same compacted-base gate as mergeTarget: callers left-join on key
+    // equality, so the unrestricted snapshot is semantically identical
+    // and cheaper when there is nothing to prune
+    if (!timeline().exists(_.kind == "compact")) return read()
     val k = batchKeys
       .select(col(batchKeys.columns.head).cast("string").as("__pk")).distinct()
     val head = k.limit(MorTable.mergeKeyCollectCap + 1).collect()

@@ -812,6 +812,7 @@ class MorTableSpec extends AnyFunSuite {
     val t = MorTable(spark, TestSpark.tmpDir("mor-merge-cap"), Seq("uuid"),
       compactionDeltaCommits = 1000)
     t.upsert(Seq(("k3", 1), ("nope", 2)).toDF("uuid", "v"), Nil, batchId = 1L)
+    t.compact() // the key-pruned path engages only once a base exists
     val big = spark.range(0, MorTable.mergeKeyCollectCap + 5)
       .selectExpr("concat('k', id) AS uuid", "CAST(id AS INT) AS v")
     // past the cap the target resolves via the semi-join read — still
