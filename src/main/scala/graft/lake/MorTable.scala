@@ -482,21 +482,24 @@ final class MorTable(
         .getOrElse(baseDir.toString + "/")
       val statsDir = new Path(hPath, s"manifest/stats/$seq")
       val shards = math.max(1, (files.size + 8191) / 8192)
+      // the header's base row total piggybacks on the SAME stats action
+      // via an Observation — a read-back sum would be one more driver job
+      // per compaction (per CHILD in the partitioned form), the exact tax
+      // the commit-dir cache work removed
+      val rowsObs = new org.apache.spark.sql.Observation(
+        s"graft_manifest_rows_${seq}_${System.nanoTime()}")
       scanDir(s"$path/base/$seq")
         .groupBy(regexp_extract(input_file_name(), "[^/]*$", 0).as("fname"))
         .agg(aggs.head, aggs.tail: _*)
         .withColumn("file", concat(lit(prefix), col("fname")))
+        .observe(rowsObs, sum(col("rows")).as("total"))
         .coalesce(shards)
         .write.mode("overwrite").parquet(statsDir.toString)
       val dir = new Path(hPath, "manifest")
       fs.mkdirs(dir)
-      // total base rows from the just-written stats relation (one tiny
-      // job over the sharded parquet — the compaction already ran the
-      // O(table) pass; this reads its per-file rollup)
-      val totalRows = {
-        val r = spark.read.parquet(MorTable.globSafe(statsDir.toString))
-          .agg(sum(col("rows"))).head()
-        if (r.isNullAt(0)) 0L else r.getLong(0)
+      val totalRows = rowsObs.get.get("total") match {
+        case Some(l: java.lang.Long) => l.longValue()
+        case _ => 0L
       }
       def js(s: String): String = MorTable.jsEscape(s)
       def colArr(cs: Seq[String]): String =
