@@ -139,6 +139,8 @@ object SparkEntry {
     "t8_curation_pipeline" -> ((s, d) => graft.functions.LlmQueries.curationPipeline(s, d)),
     "t9_sequence_pack"    -> ((s, d) => graft.functions.LlmQueries.sequencePack(s, d)),
     "t32_corpus_shards"   -> ((s, d) => graft.functions.LlmQueries.corpusShards(s, d)),
+    "t33_token_budget"    -> ((s, d) => graft.functions.LlmQueries.tokenBudget(s, d)),
+    "t34_epoch_shuffle"   -> ((s, d) => graft.functions.LlmQueries.epochShuffles(s, d)),
     "s23_embed_quant"     -> ((s, d) => graft.functions.LlmQueries.embedQuantize(s, d)),
     "s24_ann_quantized"   -> ((s, d) => graft.functions.LlmQueries.annQuantized(s, d)),
     "s32_pq_encode"       -> ((s, d) => graft.functions.LlmQueries.pqEncode(s, d)),
@@ -2128,6 +2130,38 @@ object SparkEntry {
         |          PARTITION BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8
         |          ORDER BY md5(doc_id::VARCHAR), doc_id))::BIGINT AS pos
         |FROM documents""".stripMargin,
+    // greedy md5-order prefix per language under a token budget (the
+    // boundary doc overflows; predecessors-strictly-under rule)
+    "t33_token_budget" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(regexp_split_to_array(text, '\s+'),
+        |                    x -> x <> ''))::BIGINT AS n_tokens,
+        |    md5(doc_id::VARCHAR) AS h
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+        |  FROM w
+        |)
+        |SELECT doc_id, lang, n_tokens FROM c
+        |WHERE pre < (CASE WHEN lang = 'en' THEN 5000 ELSE 3000 END)""".stripMargin,
+    // two epoch-salted permutations of the t32 rank
+    "t34_epoch_shuffle" ->
+      """WITH e AS (
+        |  SELECT doc_id, lang, 1::BIGINT AS epoch,
+        |         md5(doc_id::VARCHAR || '#epoch1') AS h FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, lang, 2::BIGINT AS epoch,
+        |         md5(doc_id::VARCHAR || '#epoch2') AS h FROM documents
+        |)
+        |SELECT doc_id, lang, epoch,
+        |  (('0x' || substr(h, 1, 8))::BIGINT % 4)::BIGINT AS shard_id,
+        |  (row_number() OVER (
+        |     PARTITION BY epoch, ('0x' || substr(h, 1, 8))::BIGINT % 4
+        |     ORDER BY h, doc_id))::BIGINT AS pos
+        |FROM e""".stripMargin,
     "t18_split_assign" ->
       """SELECT doc_id, lang,
         |       CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT

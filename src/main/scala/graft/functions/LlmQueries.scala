@@ -311,6 +311,34 @@ object LlmQueries {
       tokenCol = TextAnalysis.tokenCount(col("text")))
   }
 
+  /** TOKEN-BUDGET mix cut ([[graft.operators.Sampling.tokenBudgetSample]]),
+    * oracle-checked: per language, the greedy md5-order prefix of
+    * documents whose predecessors total under the language's token budget
+    * (en gets 5000, everything else 3000) — the "N tokens of source X"
+    * half of mix composition, as a pure key function DuckDB reproduces
+    * exactly. */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.tokenBudgetSample(
+      Tables.documents(spark, dir).select("doc_id", "lang", "text"),
+      groupCol = "lang", keyCol = "doc_id",
+      tokenCol = TextAnalysis.tokenCount(col("text")),
+      budgets = Map("en" -> 5000L), defaultBudget = 3000L)
+      .select("doc_id", "lang", "n_tokens")
+
+  /** EPOCH-salted reshuffle ([[graft.operators.Sampling.corpusShuffle]]
+    * with a salt): two training epochs of the same corpus, each a fresh
+    * deterministic permutation + shard assignment keyed off
+    * `md5(key + "#" + salt)` — epochs never repeat an order, yet every
+    * epoch is reproducible bit-for-bit. */
+  def epochShuffles(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "lang")
+    val e1 = graft.operators.Sampling.corpusShuffle(docs, "doc_id", 4, salt = "epoch1")
+      .withColumn("epoch", lit(1L))
+    val e2 = graft.operators.Sampling.corpusShuffle(docs, "doc_id", 4, salt = "epoch2")
+      .withColumn("epoch", lit(2L))
+    e1.unionByName(e2).select("doc_id", "lang", "epoch", "shard_id", "pos")
+  }
+
   /** Deterministic CORPUS SHUFFLE + SHARD WRITER, oracle-checked
     * end-to-end: the post-packing handoff ([[graft.operators.Sampling
     * .corpusShuffle]]/`writeShards`) writes the documents table as 8

@@ -151,6 +151,46 @@ object Sampling {
     df.withColumn("split", label)
   }
 
+  /** TOKEN-BUDGET sampling: per group, keep documents in the
+    * deterministic md5 order until the group's TOKEN budget is exhausted
+    * — a training mix is specified in tokens, not documents ("50 B tokens
+    * of web, 5 B of code"), so the per-group cut must land on a token
+    * boundary of a reproducible order. A document is kept iff the token
+    * total of its md5-order PREDECESSORS is below the budget — the greedy
+    * prefix; the boundary document overflows rather than splitting (the
+    * [[sequencePack]] bin rule). Groups absent from `budgets` keep
+    * nothing (budget 0) unless `defaultBudget` says otherwise.
+    *
+    * Scale shape: the same two-level rank as [[corpusShuffle]] — the
+    * first md5 BYTE sub-buckets each group in order-key-prefix order, so
+    * per-(group, bucket) token sums (metadata-sized) broadcast as prefix
+    * offsets and each running-sum window holds group/256 rows, never one
+    * task per group. Output keeps the input columns plus `n_tokens`. */
+  def tokenBudgetSample(df: DataFrame, groupCol: String, keyCol: String,
+                        tokenCol: Column, budgets: Map[String, Long],
+                        defaultBudget: Long = 0L): DataFrame = {
+    val withH = df
+      .withColumn("n_tokens", tokenCol.cast("long"))
+      .withColumn("__h", md5(col(keyCol).cast("string")))
+      .withColumn("__b", conv(substring(col("__h"), 1, 2), 16, 10).cast("int"))
+    val offsets = withH.groupBy(col(groupCol), col("__b"))
+      .agg(sum(col("n_tokens")).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(
+        Window.partitionBy(col(groupCol)).orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__n")
+    val budgetCol = budgets.foldLeft(when(lit(false), lit(0L))) {
+      case (acc, (g, b)) => acc.when(col(groupCol) === g, lit(b))
+    }.otherwise(lit(defaultBudget))
+    withH.join(broadcast(offsets), Seq(groupCol, "__b"))
+      .withColumn("__pre", col("__off") + coalesce(sum(col("n_tokens")).over(
+        Window.partitionBy(col(groupCol), col("__b"))
+          .orderBy(col("__h"), col(keyCol))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("__pre") < budgetCol)
+      .select(df.columns.map(col).toSeq :+ col("n_tokens"): _*)
+  }
+
   /** Deterministic CORPUS SHUFFLE + shard assignment — the training-data
     * handoff after packing: every row gets a shard (`pmod(md5-bucket, n)`)
     * and a 1-based position within its shard under the md5 total order,
@@ -167,11 +207,20 @@ object Sampling {
     * each (shard, bucket) window is corpus/(n·256) rows per task:
     * `pos = offset(shard, bucket) + rank within (shard, bucket)`. One
     * hash shuffle + one bounded window, same as [[sequencePack]]. */
-  def corpusShuffle(df: DataFrame, keyCol: String, nShards: Int): DataFrame = {
+  def corpusShuffle(df: DataFrame, keyCol: String, nShards: Int,
+                    /** Epoch salt: a non-empty salt (e.g. "epoch2") keys
+                      * the order AND shard off `md5(key + "#" + salt)` —
+                      * each epoch re-shuffles into a fresh deterministic
+                      * permutation, still a pure function of (data,
+                      * salt). Empty = the canonical order (`t32`). */
+                    salt: String = ""): DataFrame = {
     require(nShards > 0, s"corpusShuffle needs a positive shard count, got $nShards")
+    val keyExpr =
+      if (salt.isEmpty) col(keyCol).cast("string")
+      else concat(col(keyCol).cast("string"), lit("#" + salt))
     val withH = df
-      .withColumn("__h", md5(col(keyCol).cast("string")))
-      .withColumn("shard_id", pmod(hashBucket(col(keyCol)), lit(nShards.toLong)))
+      .withColumn("__h", md5(keyExpr))
+      .withColumn("shard_id", pmod(hashBucket(keyExpr), lit(nShards.toLong)))
       .withColumn("__b", conv(substring(col("__h"), 1, 2), 16, 10).cast("int"))
     val offsets = withH.groupBy(col("shard_id"), col("__b"))
       .agg(count(lit(1)).as("__n"))

@@ -134,6 +134,57 @@ class SamplingSpec extends AnyFunSuite {
       "split assignment must be a pure key function")
   }
 
+  test("tokenBudgetSample: greedy md5-order prefix per group; boundary doc overflows") {
+    val docs = spark.range(0, 500)
+      .selectExpr("concat('d', id) AS k",
+        "CASE WHEN id % 3 = 0 THEN 'a' ELSE 'b' END AS g",
+        "(id % 7 + 1) AS len")
+    val out = Sampling.tokenBudgetSample(docs, "g", "k", col("len"),
+      budgets = Map("a" -> 50L), defaultBudget = 37L)
+    // determinism
+    val out2 = Sampling.tokenBudgetSample(docs, "g", "k", col("len"),
+      budgets = Map("a" -> 50L), defaultBudget = 37L)
+    assert(out.exceptAll(out2).isEmpty && out2.exceptAll(out).isEmpty)
+    // per group: the kept set is EXACTLY the greedy md5-order prefix —
+    // predecessors' total strictly under the budget keeps the doc
+    import org.apache.spark.sql.expressions.Window
+    val pre = docs.withColumn("__h", md5(col("k")))
+      .withColumn("pre", coalesce(sum(col("len")).over(
+        Window.partitionBy(col("g")).orderBy(col("__h"), col("k"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val expect = pre.filter(col("pre") <
+        when(col("g") === "a", 50L).otherwise(37L))
+      .select(col("k"), col("g"), col("len"), col("len").cast("long").as("n_tokens"))
+    val got = out.select("k", "g", "len", "n_tokens")
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
+      "kept set must equal the naive one-window greedy prefix")
+    // budgets bind: the group total overshoots only by the one boundary doc
+    val totA = out.filter(col("g") === "a").agg(sum("n_tokens")).head.getLong(0)
+    val mxA = out.filter(col("g") === "a").agg(max("n_tokens")).head.getLong(0)
+    assert(totA >= 50L && totA < 50L + mxA, s"group a total $totA vs budget 50")
+    // an unlisted group with defaultBudget 0 keeps nothing
+    assert(Sampling.tokenBudgetSample(docs, "g", "k", col("len"),
+      budgets = Map("a" -> 50L)).filter(col("g") === "b").count() == 0)
+  }
+
+  test("corpusShuffle epoch salt: fresh deterministic permutation per salt") {
+    val docs = spark.range(0, 1000).selectExpr("concat('d', id) AS k", "id AS v")
+    val e1 = Sampling.corpusShuffle(docs, "k", 4, salt = "epoch1")
+    val e1b = Sampling.corpusShuffle(docs, "k", 4, salt = "epoch1")
+    val e2 = Sampling.corpusShuffle(docs, "k", 4, salt = "epoch2")
+    // same salt: byte-identical
+    assert(e1.exceptAll(e1b).isEmpty && e1b.exceptAll(e1).isEmpty)
+    // different salt: a genuinely different permutation (some key changes
+    // shard or position), but still a full contiguous assignment
+    val joined = e1.select(col("k"), col("shard_id").as("s1"), col("pos").as("p1"))
+      .join(e2.select(col("k"), col("shard_id").as("s2"), col("pos").as("p2")), "k")
+    assert(joined.filter(col("s1") =!= col("s2") || col("p1") =!= col("p2")).count() > 0,
+      "epoch2 must not repeat epoch1's order")
+    assert(e2.count() == 1000)
+    val per = e2.groupBy("shard_id").agg(count(lit(1)).as("c"), max("pos").as("mx")).collect()
+    per.foreach(r => assert(r.getAs[Long]("mx") == r.getAs[Long]("c")))
+  }
+
   test("corpusShuffle: deterministic, contiguous per-shard positions, == the naive per-shard rank") {
     import org.apache.spark.sql.expressions.Window
     val n = 4000L
