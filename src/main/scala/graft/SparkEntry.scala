@@ -55,6 +55,7 @@ object SparkEntry {
     "s56_cdc_wire_loop"   -> ((s, d) => graft.lake.LakeQueries.cdcWireLoop(s, d)),
     "s57_part_savepoint"  -> ((s, d) => graft.lake.LakeQueries.partRollbackRestore(s, d)),
     "s65_part_time_travel" -> ((s, d) => graft.lake.LakeQueries.partTimeTravel(s, d)),
+    "s66_write_expectations" -> ((s, d) => graft.lake.LakeQueries.writeExpectations(s, d)),
     "s58_part_write_tagging" -> ((s, d) => graft.lake.LakeQueries.partWriteIndexTagging(s, d)),
     "s59_lake_funnel"     -> ((s, d) => graft.lake.LakeQueries.lakeFunnel(s, d)),
     "s48_partition_ttl"   -> ((s, d) => graft.lake.LakeQueries.partitionTtl(s, d)),
@@ -2486,6 +2487,13 @@ object SparkEntry {
     // partitioned TIME TRAVEL to the same pin must read the same state —
     // one oracle for the destructive restore and the non-destructive travel
     "s65_part_time_travel" -> PartPinnedOracle,
+    // drop-mode ingest gate: the snapshot == LWW of the PRE-filtered stream
+    "s66_write_expectations" ->
+      """SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
+        |FROM events
+        |WHERE value >= 1.0
+        |QUALIFY row_number() OVER
+        |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
     "s48_partition_ttl" ->
       """WITH m AS (SELECT min(event_type) AS v FROM events)
         |SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms

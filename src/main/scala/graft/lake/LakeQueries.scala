@@ -251,6 +251,29 @@ object LakeQueries {
       t.read().select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
   }
 
+  /** WRITE EXPECTATIONS in DROP mode ([[MorTable.withExpectations]]),
+    * oracle-checked: replay events as two time-split upserts through a
+    * `value >= 1.0` ingest gate — violating rows are quarantined
+    * map-side before any commit (zero extra jobs), so the final snapshot
+    * must equal the LWW dedup of the PRE-FILTERED stream. The FAIL mode
+    * (refuse the whole commit pre-publish, violation count via an
+    * Observation on the commit write) is spec-covered. */
+  def writeExpectations(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "value", "ts_ms", "ts_ns")
+    val mid = ev.stat.approxQuantile("ts_ns", Array(0.5), 0.01)(0).toLong
+    val path = tempPath("mor-expect")
+    val t = new MorTable(spark, path, Seq("user_id"),
+      compactionDeltaCommits = 1000, autoCompact = false)
+      .withExpectations(Seq("value_floor" -> (col("value") >= 1.0)),
+        dropViolations = true)
+    val ord = Seq(col("ts_ns"), col("event_id"))
+    t.upsert(ev.filter(col("ts_ns") <= mid), ord, batchId = 1L)
+    t.upsert(ev.filter(col("ts_ns") > mid), ord, batchId = 2L)
+    graft.TempDirs.materializeAndDelete(
+      t.read().select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
+  }
+
   /** PARTITIONED TIME TRAVEL ([[PartitionedMorTable.readAt]] through SQL
     * `VERSION AS OF`), oracle-checked: replay events as three time-split
     * upserts into the event_type-partitioned lake (compaction fires

@@ -86,6 +86,34 @@ final class MorTable(
   private val hPath = new Path(path)
   private def fs: FileSystem = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** WRITE EXPECTATIONS (the Hudi pre-commit-validator / Delta CHECK
+    * constraint analog): named predicates every NON-tombstone row of a
+    * commit must satisfy. Two modes:
+    *
+    *  - FAIL (default): a violating batch is REFUSED before its instant
+    *    publishes — the violation count piggybacks on the commit write
+    *    itself via an Observation (zero extra jobs; the staged dir is
+    *    removed, the timeline never sees it).
+    *  - DROP (`dropViolations = true`): violating rows are silently
+    *    filtered out of the batch (quarantine-by-omission — the C4-style
+    *    "drop rows failing the gate" ingest), a map-side filter with no
+    *    extra job either. Applied to the RAW batch BEFORE per-key dedup
+    *    on the upsert family, so a violating latest version never
+    *    shadows an older passing version of the same key.
+    *
+    * SQL CHECK-constraint null semantics: a predicate evaluating to NULL
+    * (e.g. over a null column) PASSES — only a definite FALSE violates.
+    * Per-HANDLE write configuration like Hudi validators, not persisted
+    * table state. */
+  def withExpectations(exps: Seq[(String, Column)],
+                       dropViolations: Boolean = false): MorTable = {
+    expectations = exps
+    expectDrop = dropViolations
+    this
+  }
+  @transient private var expectations: Seq[(String, Column)] = Nil
+  @transient private var expectDrop: Boolean = false
+
   // ---------------------------------------------------------------- timeline
 
   /** DataFrame cache for IMMUTABLE commit dirs (`base/<seq>`,
@@ -235,9 +263,21 @@ final class MorTable(
     * zpln:2119). Rows for existing keys replace them; new keys insert.
     */
   def upsert(batch: DataFrame, orderWithinBatch: Seq[Column], batchId: Long = -1L): MorTable = {
-    commitDelta(withMeta(dedupBatch(batch, orderWithinBatch), deleted = false), batchId)
+    commitDelta(withMeta(dedupBatch(dropViolating(batch), orderWithinBatch),
+      deleted = false), batchId)
     this
   }
+
+  /** DROP-mode expectations filter, applied to the RAW batch BEFORE the
+    * per-key dedup: a violating latest version must be quarantined without
+    * shadowing an older passing version of the same key (ingest-gate
+    * semantics). FAIL mode is enforced at commit instead ([[commitDelta]]
+    * — validates what is actually being committed, the Hudi pre-commit-
+    * validator scope). Null predicate results PASS (SQL CHECK rule). */
+  private def dropViolating(batch: DataFrame): DataFrame =
+    if (expectations.isEmpty || !expectDrop) batch
+    else batch.filter(expectations.map { case (_, p) =>
+      coalesce(p, lit(true)) }.reduce(_ && _))
 
   /** [[upsert]] for a batch the CALLER proved key-distinct (e.g. the
     * output of a per-key argmax): skips the per-key dedup window — one
@@ -245,7 +285,7 @@ final class MorTable(
     * already guarantees. Like `insertOnly`, the flag trusts the caller; a
     * violating batch surfaces as nondeterministic LWW within the commit. */
   def upsertDistinct(batch: DataFrame, batchId: Long = -1L): MorTable = {
-    commitDelta(withMeta(batch, deleted = false), batchId)
+    commitDelta(withMeta(dropViolating(batch), deleted = false), batchId)
     this
   }
 
@@ -789,7 +829,19 @@ final class MorTable(
     val firstCommit = timeline().isEmpty && inflightDeltaSeqs().isEmpty
     val seq = allocateSeq("delta")
     val now = System.currentTimeMillis()
-    val out0 = df
+    // write expectations (see withExpectations): DROP mode is a map-side
+    // filter; FAIL mode counts violations on the commit write itself via
+    // an Observation — neither adds a job
+    val (checked, expectObs) =
+      if (expectations.isEmpty || expectDrop) (df, None)
+      else {
+        val viol = expectations.map { case (_, p) =>
+          !col("_deleted") && !coalesce(p, lit(true)) }.reduce(_ || _)
+        val obs = new org.apache.spark.sql.Observation(
+          s"graft_expect_${seq}_${System.nanoTime()}")
+        (df.observe(obs, sum(when(viol, 1L).otherwise(0L)).as("bad")), Some(obs))
+      }
+    val out0 = checked
       .withColumn("_commit_seqno", lit(seqno.getOrElse(seq)))
       .withColumn("_commit_time", lit(commitTimeString(now)))
     // bound files-per-commit (write.tasks). For a batch that is nothing
@@ -807,6 +859,20 @@ final class MorTable(
       else if (writePartitions > 0) out0.repartition(writePartitions, col("_record_key"))
       else out0
     out.write.mode("overwrite").parquet(s"$path/delta/$seq")
+    // FAIL-mode expectations: refuse the commit BEFORE its instant
+    // publishes — the staged dir is removed, the timeline never saw it
+    expectObs.foreach { obs =>
+      val bad = obs.get.get("bad") match {
+        case Some(l: java.lang.Long) => l.longValue()
+        case _ => 0L
+      }
+      if (bad > 0L) {
+        fs.delete(new Path(s"$path/delta/$seq"), true)
+        throw new IllegalArgumentException(
+          s"write expectations (${expectations.map(_._1).mkString(", ")}) " +
+            s"violated by $bad row(s) — commit $seq refused")
+      }
+    }
     // the writer knows the exact on-disk schema: register the commit dir's
     // relation so no later scan pays the footer-inference job (scanDir)
     scanCache += (s"$path/delta/$seq" ->

@@ -350,7 +350,10 @@ final case class MorRelation(sqlContext: SQLContext, path: String,
       case (None, None, None, None) =>
         keyValues(filters) match {
           case Some(ks) => table.readForKeys(ks)
-          case None => table.read()
+          case None => keyRange(filters) match {
+            case Some((lo, hi)) => table.readForKeyRange(lo, hi)
+            case None => table.read()
+          }
         }
       case (Some(pc), None, None, None) if partitionValues.isEmpty =>
         colValues(filters, pc) match {
@@ -377,6 +380,34 @@ final case class MorRelation(sqlContext: SQLContext, path: String,
     * key IS the value cast to string there). */
   private def keyValues(filters: Array[Filter]): Option[Seq[String]] =
     if (keys.size != 1) None else colValues(filters, keys.head)
+
+  /** Both-sided range bounds on a single STRING key column → the
+    * [lo, hi) the listing-level key-bounds pruning understands
+    * ([[graft.lake.MorTable.readForKeyRange]]). Exclusive lower /
+    * inclusive upper bounds shift by the UTF8 immediate successor
+    * (`v + "\u0000"`), exact under Spark's binary string order. Only
+    * string keys: for any other type the record-key string order differs
+    * from the column's value order. Safety: Spark re-applies every filter
+    * above this scan, so the translation can only change costs. */
+  private def keyRange(filters: Array[Filter]): Option[(String, String)] = {
+    import org.apache.spark.sql.sources._
+    if (keys.size != 1) return None
+    val k = keys.head
+    if (!schema.fields.exists(f => f.name == k &&
+        f.dataType == org.apache.spark.sql.types.StringType)) return None
+    def str(v: Any): Option[String] = v match {
+      case s: String => Some(s); case _ => None
+    }
+    val lo = filters.collectFirst {
+      case GreaterThanOrEqual(a, v) if a == k => str(v)
+      case GreaterThan(a, v) if a == k => str(v).map(_ + "\u0000")
+    }.flatten
+    val hi = filters.collectFirst {
+      case LessThan(a, v) if a == k => str(v)
+      case LessThanOrEqual(a, v) if a == k => str(v).map(_ + "\u0000")
+    }.flatten
+    for (l <- lo; h <- hi) yield (l, h)
+  }
 
   private def colValues(filters: Array[Filter], c: String): Option[Seq[String]] = {
     import org.apache.spark.sql.sources._

@@ -145,6 +145,62 @@ class MorDataSourceSpec extends AnyFunSuite {
     finally spark.sql("DROP TABLE mor_push_t")
   }
 
+  test("PrunedFilteredScan: key RANGE on a string key prunes base files at the listing level") {
+    import org.apache.spark.sql.sources.{GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+    val path = TestSpark.tmpDir("dsv1-krange")
+    val t = new MorTable(spark, path, Seq("uuid"),
+      compactionDeltaCommits = 1000, autoCompact = false, writePartitions = 4)
+    import spark.implicits._
+    t.upsert((0 until 400).map(i => (f"k$i%03d", i)).toDF("uuid", "v"),
+      Seq(col("v")), batchId = 1L)
+    t.compact() // 4 range-partitioned base files with disjoint key bounds
+    val rel = MorRelation(spark.sqlContext, path, Seq("uuid"))
+    // both-sided range → readForKeyRange: whole files skip via manifest
+    // key bounds before any task
+    val ranged = rel.scanWithFilters(Array("uuid", "v"),
+      Array(GreaterThanOrEqual("uuid", "k100"), LessThan("uuid", "k150")))
+    assert(ranged.inputFiles.count(_.contains("/base/")) < 4,
+      "a narrow key range must not open every base file")
+    assert(ranged.collect().map(_.getInt(1)).sorted.toSeq == (100 until 150).toSeq)
+    // exclusive/inclusive variants shift by the UTF8 successor — exact
+    val excl = rel.scanWithFilters(Array("uuid", "v"),
+      Array(GreaterThan("uuid", "k100"), LessThanOrEqual("uuid", "k103")))
+    assert(excl.collect().map(_.getInt(1)).sorted.toSeq == Seq(101, 102, 103))
+    // one-sided ranges keep the full-scan path (still correct)
+    val oneSided = rel.scanWithFilters(Array("uuid", "v"),
+      Array(GreaterThanOrEqual("uuid", "k398")))
+    assert(oneSided.collect().map(_.getInt(1)).sorted.toSeq == Seq(398, 399))
+  }
+
+  test("write expectations: FAIL refuses the commit pre-publish; DROP quarantines rows") {
+    val path = TestSpark.tmpDir("dsv1-expect")
+    import spark.implicits._
+    val t = new MorTable(spark, path, Seq("uuid"),
+      compactionDeltaCommits = 1000, autoCompact = false)
+      .withExpectations(Seq("positive_v" -> (col("v") >= 0)))
+    t.upsert(Seq(("id1", 5), ("id2", 7)).toDF("uuid", "v"), Nil, batchId = 1L)
+    // FAIL mode: a violating batch is refused BEFORE its instant publishes
+    val before = t.timeline().size
+    val e = intercept[IllegalArgumentException](
+      t.upsert(Seq(("id3", -1), ("id4", 9)).toDF("uuid", "v"), Nil, batchId = 2L))
+    assert(e.getMessage.contains("positive_v"), e.getMessage)
+    assert(t.timeline().size == before, "refused commit must not publish")
+    assert(t.read().count() == 2)
+    // tombstones are exempt (their data columns are null by construction)
+    t.delete(Seq("id1").toDF("uuid"), batchId = 3L)
+    assert(t.read().count() == 1)
+    // null predicate result PASSES (SQL CHECK-constraint semantics)
+    t.upsert(Seq(("id5", null.asInstanceOf[Integer])).toDF("uuid", "v"),
+      Nil, batchId = 4L)
+    assert(t.read().count() == 2)
+    // DROP mode: violating rows are filtered, the rest land
+    val d = new MorTable(spark, TestSpark.tmpDir("dsv1-expect-drop"), Seq("uuid"),
+      compactionDeltaCommits = 1000)
+      .withExpectations(Seq("positive_v" -> (col("v") >= 0)), dropViolations = true)
+    d.upsert(Seq(("a", 1), ("b", -2), ("c", 3)).toDF("uuid", "v"), Nil, batchId = 1L)
+    assert(d.read().collect().map(_.getString(0)).sorted.toSeq == Seq("a", "c"))
+  }
+
   test("PrunedFilteredScan: partition equality prunes a partitioned table's scan") {
     import org.apache.spark.sql.sources.EqualTo
     val path = TestSpark.tmpDir("dsv1-push-part")
