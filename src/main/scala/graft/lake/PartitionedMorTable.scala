@@ -256,14 +256,33 @@ final class PartitionedMorTable(
     catch { case _: java.io.FileNotFoundException => Nil }
   }
 
+  /** WRITE EXPECTATIONS, partitioned form ([[MorTable.withExpectations]]
+    * semantics): DROP mode filters the raw batch before the per-(partition,
+    * key) dedup; FAIL mode counts violations via an Observation on the ONE
+    * staged cluster write and refuses before any child adopts. */
+  def withExpectations(exps: Seq[(String, Column)],
+                       dropViolations: Boolean = false): PartitionedMorTable = {
+    expectations = exps
+    expectDrop = dropViolations
+    this
+  }
+  @transient private var expectations: Seq[(String, Column)] = Nil
+  @transient private var expectDrop: Boolean = false
+
+  private def dropViolating(batch: DataFrame): DataFrame =
+    if (expectations.isEmpty || !expectDrop) batch
+    else batch.filter(expectations.map { case (_, p) =>
+      coalesce(p, lit(true)) }.reduce(_ && _))
+
   /** Keyed upsert of a batch: ONE staged cluster write partitioned by the
     * partition column, then a metadata-only adoption per touched partition,
     * all tagged with `batchId`. A key must not move between partitions
     * (same rule as Hudi's default key/partition-path contract); use the
     * partition column as part of the key if it can. */
-  def upsert(batch: DataFrame, orderWithinBatch: Seq[Column],
+  def upsert(batch0: DataFrame, orderWithinBatch: Seq[Column],
              batchId: Long = -1L): PartitionedMorTable = {
     if (isCommitted(batchId)) return this // fully replayed batch — no-op
+    val batch = dropViolating(batch0)
     val token = nextToken("delta")
     val now = System.currentTimeMillis()
     val deduped =
@@ -283,7 +302,30 @@ final class PartitionedMorTable(
       .withColumn("_commit_time", lit(MorTable.commitTimeString(now)))
       .withColumn("__p", col(partitionCol).cast("string"))
     val stagingDir = new Path(hPath, s".staging/$token")
-    staged.write.partitionBy("__p").mode("overwrite").parquet(stagingDir.toString)
+    // FAIL-mode expectations ride the one staged write as an Observation;
+    // a violating batch removes the staging dir before ANY child adopts
+    val (stagedV, expectObs) =
+      if (expectations.isEmpty || expectDrop) (staged, None)
+      else {
+        val viol = expectations.map { case (_, p) =>
+          !coalesce(p, lit(true)) }.reduce(_ || _)
+        val obs = new org.apache.spark.sql.Observation(
+          s"graft_pexpect_${token}_${System.nanoTime()}")
+        (staged.observe(obs, sum(when(viol, 1L).otherwise(0L)).as("bad")), Some(obs))
+      }
+    stagedV.write.partitionBy("__p").mode("overwrite").parquet(stagingDir.toString)
+    expectObs.foreach { obs =>
+      val bad = obs.get.get("bad") match {
+        case Some(l: java.lang.Long) => l.longValue()
+        case _ => 0L
+      }
+      if (bad > 0L) {
+        fs.delete(stagingDir, true)
+        throw new IllegalArgumentException(
+          s"write expectations (${expectations.map(_._1).mkString(", ")}) " +
+            s"violated by $bad row(s) — partitioned commit $token refused")
+      }
+    }
     adoptStaged(stagingDir, batchId)
     writeParentInstant(MorTable.Instant(token, "delta", batchId, now))
     if (autoCompact) { maybeCompact(); () }

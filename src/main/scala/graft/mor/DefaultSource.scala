@@ -75,7 +75,8 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
     val order = parameters.get("order")
       .map(_.split(",").toSeq.map(_.trim)).getOrElse(keys)
     new MorStreamSink(sqlContext.sparkSession, path, keys, order,
-      parameters.get("partition"), policyOf(parameters))
+      parameters.get("partition"), policyOf(parameters),
+      expectOpts = parameters.filter(_._1.toLowerCase.startsWith("expect.")))
   }
 
   // ---- streaming read (see MorStreamSource) -----------------------------
@@ -155,8 +156,12 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
       changelogFrom = parameters.get("changelogFrom").map(_.toLong),
       changelogTo = parameters.get("changelogTo").map(_.toLong),
       partitionCol = parameters.get("partition"),
-      partitionValues = partitionValues(parameters))
+      partitionValues = partitionValues(parameters),
+      expectOpts = parameters.filter(_._1.toLowerCase.startsWith("expect.")))
   }
+
+  private def expectationsOf(parameters: Map[String, String]) =
+    DefaultSource.expectationsOf(parameters)
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
                               parameters: Map[String, String],
@@ -166,9 +171,16 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
       .map(_.split(",").toSeq.map(_.trim)).getOrElse(keys)
     val partCol = parameters.get("partition")
     val declared = policyOf(parameters)
-    def table() = MorTable.resolve(sqlContext.sparkSession, path, keys, declared)
-    def partTable(p: String) = PartitionedMorTable.resolve(
-      sqlContext.sparkSession, path, keys, p, declared)
+    val (exps, expDrop) = expectationsOf(parameters)
+    def table() = {
+      val t = MorTable.resolve(sqlContext.sparkSession, path, keys, declared)
+      if (exps.nonEmpty) t.withExpectations(exps, expDrop) else t
+    }
+    def partTable(p: String) = {
+      val t = PartitionedMorTable.resolve(
+        sqlContext.sparkSession, path, keys, p, declared)
+      if (exps.nonEmpty) t.withExpectations(exps, expDrop) else t
+    }
     def exists = partCol match {
       case Some(p) => partTable(p).partitions().nonEmpty
       case None => table().timeline().nonEmpty
@@ -206,6 +218,28 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
   }
 }
 
+object DefaultSource {
+  /** Declared WRITE EXPECTATIONS: `'expect.<name>' = '<sql predicate>'`
+    * options (+ `'expect.mode' = 'fail'|'drop'`, default fail) — the
+    * SQL/DataFrame/streaming surface of
+    * [[graft.lake.MorTable.withExpectations]]. */
+  private[mor] def expectationsOf(parameters: Map[String, String])
+      : (Seq[(String, org.apache.spark.sql.Column)], Boolean) = {
+    val exps = parameters.toSeq.collect {
+      case (k, v) if k.toLowerCase.startsWith("expect.") &&
+          !k.equalsIgnoreCase("expect.mode") =>
+        k.substring("expect.".length) -> org.apache.spark.sql.functions.expr(v)
+    }.sortBy(_._1)
+    val drop = parameters.find(_._1.equalsIgnoreCase("expect.mode")).map(_._2) match {
+      case Some("drop") => true
+      case Some("fail") | None => false
+      case Some(other) => throw new IllegalArgumentException(
+        s"expect.mode must be 'fail' or 'drop', got '$other'")
+    }
+    (exps, drop)
+  }
+}
+
 /** Exactly-once streaming sink: one keyed-upsert commit per micro-batch,
   * batchId on the instant (replays no-op through the timeline). Handles
   * are held for the query's lifetime so instant/scan caches amortize
@@ -215,12 +249,19 @@ private[mor] final class MorStreamSink(
     spark: org.apache.spark.sql.SparkSession,
     path: String, keys: Seq[String], order: Seq[String],
     partitionCol: Option[String],
-    declared: Option[MorTable.Policy])
+    declared: Option[MorTable.Policy],
+    expectOpts: Map[String, String] = Map.empty)
     extends org.apache.spark.sql.execution.streaming.Sink {
 
-  private lazy val table = MorTable.resolve(spark, path, keys, declared)
-  private lazy val partTable =
-    PartitionedMorTable.resolve(spark, path, keys, partitionCol.get, declared)
+  private lazy val (exps, expDrop) = DefaultSource.expectationsOf(expectOpts)
+  private lazy val table = {
+    val t = MorTable.resolve(spark, path, keys, declared)
+    if (exps.nonEmpty) t.withExpectations(exps, expDrop) else t
+  }
+  private lazy val partTable = {
+    val t = PartitionedMorTable.resolve(spark, path, keys, partitionCol.get, declared)
+    if (exps.nonEmpty) t.withExpectations(exps, expDrop) else t
+  }
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val batch = org.apache.spark.sql.graft.GraftSqlShim.asBatchDataFrame(spark, data)
@@ -260,7 +301,11 @@ final case class MorRelation(sqlContext: SQLContext, path: String,
                              changelogFrom: Option[Long] = None,
                              changelogTo: Option[Long] = None,
                              partitionCol: Option[String] = None,
-                             partitionValues: Seq[String] = Seq.empty)
+                             partitionValues: Seq[String] = Seq.empty,
+                             /** `expect.*` OPTIONS — enforced on the SQL
+                               * INSERT INTO write path (the reader side
+                               * ignores them). */
+                             expectOpts: Map[String, String] = Map.empty)
     extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
   require(Seq(asOf, sinceSeq, changelogFrom).count(_.isDefined) <= 1,
@@ -444,13 +489,18 @@ final case class MorRelation(sqlContext: SQLContext, path: String,
   override def insert(data: DataFrame, overwrite: Boolean): Unit = {
     require(asOf.isEmpty && sinceSeq.isEmpty && changelogFrom.isEmpty,
       "graft.mor: cannot INSERT into a time-travel, incremental or CDC read")
+    val (exps, expDrop) = DefaultSource.expectationsOf(expectOpts)
     partitionCol match {
       case Some(_) =>
-        if (overwrite) partTable.drop()
-        partTable.upsert(data, keys.map(col)): Unit
+        val t = if (exps.nonEmpty) partTable.withExpectations(exps, expDrop)
+                else partTable
+        if (overwrite) t.drop()
+        t.upsert(data, keys.map(col)): Unit
       case None =>
-        if (overwrite) table.drop()
-        table.upsert(data, keys.map(col)): Unit
+        val t = if (exps.nonEmpty) table.withExpectations(exps, expDrop)
+                else table
+        if (overwrite) t.drop()
+        t.upsert(data, keys.map(col)): Unit
     }
   }
 }

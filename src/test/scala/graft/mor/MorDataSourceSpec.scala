@@ -199,6 +199,40 @@ class MorDataSourceSpec extends AnyFunSuite {
       .withExpectations(Seq("positive_v" -> (col("v") >= 0)), dropViolations = true)
     d.upsert(Seq(("a", 1), ("b", -2), ("c", 3)).toDF("uuid", "v"), Nil, batchId = 1L)
     assert(d.read().collect().map(_.getString(0)).sorted.toSeq == Seq("a", "c"))
+    // DROP is PRE-dedup: a violating latest version must not shadow the
+    // older passing version of the same key
+    d.upsert(Seq(("a", 10, 1L), ("a", -5, 2L)).toDF("uuid", "v", "ord"),
+      Seq(col("ord")), batchId = 2L)
+    assert(d.read().filter(col("uuid") === "a").head().getInt(1) == 10,
+      "the older passing version must survive the quarantined latest")
+  }
+
+  test("expect.* OPTIONS: the SQL/DataFrame/streaming write surface enforces expectations") {
+    val path = TestSpark.tmpDir("dsv1-expect-opts")
+    // DataFrame write path, FAIL mode (default)
+    val e = intercept[Exception](
+      Seq(("id1", -3)).toDF("uuid", "v").write.format("graft.mor")
+        .option("keys", "uuid").option("expect.positive_v", "v >= 0")
+        .mode("append").save(path))
+    assert(e.getMessage.contains("positive_v"), e.getMessage)
+    // DROP mode through options
+    Seq(("id1", 4), ("id2", -7)).toDF("uuid", "v").write.format("graft.mor")
+      .option("keys", "uuid").option("expect.positive_v", "v >= 0")
+      .option("expect.mode", "drop").mode("append").save(path)
+    assert(spark.read.format("graft.mor").option("keys", "uuid").load(path)
+      .collect().map(_.getString(0)).toSeq == Seq("id1"))
+    // SQL INSERT INTO through a catalog table declaring the expectation
+    spark.sql("DROP TABLE IF EXISTS mor_exp_t")
+    try {
+      spark.sql(s"CREATE TABLE mor_exp_t USING `graft.mor` OPTIONS " +
+        s"(path '$path', keys 'uuid', `expect.positive_v` 'v >= 0')")
+      val e2 = intercept[Exception](
+        spark.sql("INSERT INTO mor_exp_t VALUES ('id9', -1)"))
+      assert(e2.getMessage.contains("positive_v"), e2.getMessage)
+      spark.sql("INSERT INTO mor_exp_t VALUES ('id3', 5)")
+      assert(spark.sql("SELECT uuid FROM mor_exp_t ORDER BY uuid")
+        .collect().map(_.getString(0)).toSeq == Seq("id1", "id3"))
+    } finally spark.sql("DROP TABLE IF EXISTS mor_exp_t")
   }
 
   test("PrunedFilteredScan: partition equality prunes a partitioned table's scan") {
