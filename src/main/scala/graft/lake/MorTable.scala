@@ -200,6 +200,27 @@ final class MorTable(
       }).toSet
   }
 
+  /** Liveness heartbeat for a claimed-but-unpublished commit: touch
+    * `marker`'s mtime every `periodMs` while `body` runs, so marker age
+    * means "ms since the writer last proved liveness" — which is what
+    * [[freshInflightMarkers]]' orphan classification actually wants —
+    * rather than "ms since the claim". Daemon thread, stopped (and joined)
+    * whether `body` completes or throws; a vanished marker (the publish
+    * already released it) is ignored. */
+  private[lake] def renewingMarker[T](marker: Path,
+                                      periodMs: Long = 15000L)(body: => T): T = {
+    val stop = new java.util.concurrent.CountDownLatch(1)
+    val t = new Thread(() => {
+      while (!stop.await(periodMs, java.util.concurrent.TimeUnit.MILLISECONDS)) {
+        try fs.setTimes(marker, System.currentTimeMillis(), -1)
+        catch { case _: java.io.IOException => () }
+      }
+    }, s"graft-marker-renew-${marker.getName}")
+    t.setDaemon(true)
+    t.start()
+    try body finally { stop.countDown(); t.join(1000) }
+  }
+
   /** Publish the committed instant claimed by [[allocateSeq]] and release
     * its inflight marker. */
   private def publishInstant(i: Instant): Unit = {
@@ -625,6 +646,13 @@ final class MorTable(
 
   private def updateOver(base: DataFrame, set: Map[String, Column],
                          batchId: Long): MorTable = {
+    // the single projection APPLIES only assignments whose column exists —
+    // a typo'd SET column would otherwise become a silent per-assignment
+    // no-op (the old withColumn fold at least added it)
+    val unknown = set.keySet.filterNot(base.columns.contains)
+    require(unknown.isEmpty,
+      s"update: unknown column(s) ${unknown.mkString(", ")} " +
+        s"(table columns: ${base.columns.mkString(", ")})")
     val updated = base.select(base.columns.map(c =>
       set.get(c).map(_.as(c)).getOrElse(col(c))): _*)
     upsert(updated, keyCols.map(col), batchId)
@@ -665,10 +693,10 @@ final class MorTable(
     val dataCols = read().columns.toSeq
     require(dataCols.forall(source.columns.contains),
       s"mergeInto: source is missing table columns ${dataCols.filterNot(source.columns.contains).mkString(", ")}")
-    val t = mergeTarget(source,
+    val (src, target) = mergeTarget(source,
       "mergeInto: source has duplicate keys (MERGE cardinality violation)")
-      .withColumn("__matched", lit(true)).alias("t")
-    val joined = source.alias("s").join(
+    val t = target.withColumn("__matched", lit(true)).alias("t")
+    val joined = src.alias("s").join(
       t, keyCols.map(k => col(s"s.$k") === col(s"t.$k")).reduce(_ && _), "left")
     val matched = col("t.__matched").isNotNull
     val delCond = matchedDelete.map(matched && _).getOrElse(lit(false))
@@ -702,28 +730,39 @@ final class MorTable(
     * shuffle still carries only matching rows). Callers join the result
     * LEFT from the batch on key equality, so restricting the target to
     * the batch's own keys is an identity on the join output. */
-  private[lake] def mergeTarget(batch: DataFrame, dupMsg: String): DataFrame = {
+  private[lake] def mergeTarget(batch: DataFrame, dupMsg: String): (DataFrame, DataFrame) = {
+    // PIN the batch before anything executes it: the cardinality check,
+    // the probe-key collect, and the caller's join each run this plan —
+    // for a nondeterministic (or concurrently refreshed) source the
+    // join-time key set could exceed the collected probe set, and a
+    // matched target row would be pruned from the target read and
+    // silently misrouted as an insert. A LAZY localCheckpoint
+    // materializes on the first job (the key/cardinality shuffle computes
+    // every source partition) and every later use replays the pinned
+    // blocks — same-rows consistency with no extra job. Callers MUST use
+    // the returned pinned frame, not their original, in the join.
+    val pinned = batch.localCheckpoint(eager = false)
     // Pruning needs a compacted base: before the first compaction there is
     // no manifest to prune against and typically no merge shuffle to
     // restrict — the key plumbing would be pure plan overhead (measured:
     // +5 driver jobs / +0.7 s task-time on the delta-only s61 table), so
     // delta-only tables keep the plain snapshot target.
     if (!timeline().exists(_.kind == "compact")) {
-      val dup = batch.groupBy(keyCols.map(col): _*).count()
+      val dup = pinned.groupBy(keyCols.map(col): _*).count()
         .filter(col("count") > 1).limit(1).count()
       require(dup == 0L, dupMsg)
-      return read()
+      return (pinned, read())
     }
-    val keyed = batch.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__n"))
+    val keyed = pinned.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__n"))
       .select(concat_ws("|", keyCols.map(k => col(k).cast("string")): _*).as("__pk"),
         col("__n"))
     val head = keyed.limit(MorTable.mergeKeyCollectCap + 1).collect()
     if (head.length <= MorTable.mergeKeyCollectCap) {
       require(head.forall(_.getLong(1) == 1L), dupMsg)
-      readForKeys(head.map(_.getString(0)).toSeq)
+      (pinned, readForKeys(head.map(_.getString(0)).toSeq))
     } else {
       require(keyed.filter(col("__n") > 1).limit(1).count() == 0L, dupMsg)
-      readForKeysOf(keyed.select("__pk"))
+      (pinned, readForKeysOf(keyed.select("__pk")))
     }
   }
 
@@ -755,6 +794,13 @@ final class MorTable(
     * keys — it can never force a merge shuffle). */
   def addColumns(newCols: Seq[org.apache.spark.sql.types.StructField]): MorTable = {
     require(newCols.nonEmpty, "addColumns: no columns given")
+    // clashes WITHIN the new set too: the SQL ADD COLUMNS reroute bypasses
+    // Spark's SchemaUtils duplicate check, and (x INT, x STRING) would
+    // otherwise publish a widened schema with duplicate field names
+    val dupNew = newCols.groupBy(_.name.toLowerCase)
+      .collect { case (_, fs) if fs.size > 1 => fs.head.name }
+    require(dupNew.isEmpty,
+      s"addColumns: duplicate column name(s) in the new set: ${dupNew.mkString(", ")}")
     require(timeline().nonEmpty,
       "addColumns needs an existing table (create it with a first write)")
     val cur = read().schema
@@ -791,10 +837,10 @@ final class MorTable(
       s"upsertPartial: batch is missing key columns ${keyCols.filterNot(batch.columns.contains).mkString(", ")}")
     require(batch.columns.forall(dataCols.contains),
       s"upsertPartial: batch has unknown columns ${batch.columns.filterNot(dataCols.contains).mkString(", ")}")
-    val target = mergeTarget(batch,
+    val (src, target) = mergeTarget(batch,
       "upsertPartial: batch has duplicate keys (cardinality violation)")
-    val padded = schema.fields.filterNot(f => batch.columns.contains(f.name))
-      .foldLeft(batch)((df, f) => df.withColumn(f.name, lit(null).cast(f.dataType)))
+    val padded = schema.fields.filterNot(f => src.columns.contains(f.name))
+      .foldLeft(src)((df, f) => df.withColumn(f.name, lit(null).cast(f.dataType)))
     val joined = padded.alias("s").join(target.alias("t"),
       keyCols.map(k => col(s"s.$k") === col(s"t.$k")).reduce(_ && _), "left")
     val resolved = joined.select(dataCols.map { c =>
@@ -858,9 +904,20 @@ final class MorTable(
         out0.coalesce(writePartitions)
       else if (writePartitions > 0) out0.repartition(writePartitions, col("_record_key"))
       else out0
-    out.write.mode("overwrite").parquet(s"$path/delta/$seq")
+    // the marker heartbeat keeps the inflight marker's mtime fresh for the
+    // duration of the data write: the destructive verbs classify markers
+    // older than a lease as crash orphans (they must never wedge forever),
+    // and without renewal a legitimately slow write (> lease — plausible
+    // on a cold object store or a loaded disk) would be misclassified and
+    // its claimed dir deleted mid-write
+    renewingMarker(new Path(hPath, s"timeline/$seq.delta.inflight")) {
+      out.write.mode("overwrite").parquet(s"$path/delta/$seq")
+    }
     // FAIL-mode expectations: refuse the commit BEFORE its instant
-    // publishes — the staged dir is removed, the timeline never saw it
+    // publishes — the staged dir is removed, the timeline never saw it.
+    // The inflight marker goes too: a deliberate refusal is not a crash,
+    // and a leftover marker would make rollback/restore refuse with
+    // 'mid-publish' for the next lease
     expectObs.foreach { obs =>
       val bad = obs.get.get("bad") match {
         case Some(l: java.lang.Long) => l.longValue()
@@ -868,6 +925,7 @@ final class MorTable(
       }
       if (bad > 0L) {
         fs.delete(new Path(s"$path/delta/$seq"), true)
+        fs.delete(new Path(hPath, s"timeline/$seq.delta.inflight"), false)
         throw new IllegalArgumentException(
           s"write expectations (${expectations.map(_._1).mkString(", ")}) " +
             s"violated by $bad row(s) — commit $seq refused")
@@ -2207,20 +2265,31 @@ object MorTable {
     *
     * Lease semantics: the lock is an EXCLUSIVE-created `<dir>/.tablelock`
     * carrying (nonce, expiry); a holder that crashes is taken over once
-    * its lease expires. Takeover is itself serialized per lock GENERATION
-    * (a bare delete-and-recreate would let two same-tick waiters both
-    * enter — the first deletes + recreates, the second's already-decided
-    * delete removes the first's fresh lock): a taker must exclusively
-    * create a claim file keyed on the stale holder's nonce, and only the
-    * claim winner may delete that generation's lock (content-verified, so
-    * it can never remove a successor), before re-racing the exclusive
-    * create like everyone else. Release verifies the
-    * nonce first, so a holder whose lease expired mid-critical-section
-    * can never delete its successor's lock (its own WRITES are still
-    * protected by the OCC seq claim — the lease bounds mutual exclusion,
-    * not correctness). Same atomic-create requirement as [[allocateSeq]]:
-    * HDFS-class and local filesystems yes; plain S3 needs conditional
-    * puts or an external provider, as Hudi documents.
+    * its lease expires. Takeover is ATOMIC per lock GENERATION: the taker
+    * RENAMES the expired lock file to a generation-keyed tombstone
+    * (`.tablelock.taken.<nonce>`), then re-races the exclusive create like
+    * everyone else. The rename never replaces an existing destination, and
+    * a generation's lock can only LEAVE the lock path by that same rename
+    * (release uses it too, never a delete) — so for every departed
+    * generation the tombstone exists from the instant of departure, and a
+    * taker stalled arbitrarily long between observing expiry and acting
+    * finds its generation's tombstone already present: its rename fails
+    * and it can never displace a successor's fresh lock. No
+    * verify-then-delete window exists anywhere (the round-9 residual
+    * TOCTOU). Staleness is evaluated against a timestamp captured BEFORE
+    * reading the lock, so a generation released WITHIN its lease is
+    * provably never deemed stale by anyone — its releaser can therefore
+    * remove its own tombstone immediately (zero steady-state litter).
+    * Only expired generations (a crashed or lease-overrunning holder —
+    * the abnormal path) leave one tiny tombstone each, the permanent
+    * record that blocks their stalled takers forever. A holder whose
+    * lease expired mid-critical-section can never disturb its successor
+    * (its own WRITES are still protected by the OCC seq claim — the lease
+    * bounds mutual exclusion, not correctness). Same atomic-create/rename
+    * requirement as [[allocateSeq]]: HDFS-class and local filesystems
+    * yes; plain S3 needs conditional puts or an external provider, as
+    * Hudi documents. Clock skew across writer hosts erodes lease accuracy
+    * (the scheme's standing assumption), never rename atomicity.
     *
     * Disjoint-key writers do NOT need this (OCC + the disjointness spec
     * cover them); take the lock only for same-key upsertIfNew races or
@@ -2258,60 +2327,29 @@ object MorTable {
              _: org.apache.hadoop.fs.FileAlreadyExistsException => false
       }
     var held = false
+    var myExpiry = 0L
     while (!held) {
       val expiry = System.currentTimeMillis() + leaseMs
-      if (createNew(lock, s"$nonce|$expiry")) held = true
+      if (createNew(lock, s"$nonce|$expiry")) { held = true; myExpiry = expiry }
       else {
-        // Stale-lease takeover. A bare delete-and-recreate is racy: two
-        // waiters can both observe expiry in the same poll tick, the
-        // first deletes + recreates, and the second's already-decided
-        // delete then removes the first's FRESH lock — both enter. So
-        // deletion of a stale lock is AUTHORIZED per GENERATION: the
-        // taker must first exclusively create a claim file keyed on the
-        // stale holder's nonce (one claim per lock generation — UUIDs
-        // never recur, so exactly the live waiters of THIS generation
-        // race it and one wins). The claim winner deletes only the lock
-        // whose content still equals what it claimed, never a
-        // successor's fresh lock, then re-races the exclusive create
-        // like everyone else. A claimant that crashes mid-takeover
-        // leaves its claim file behind; claims older than the lease are
-        // removed so the generation can be re-claimed (double-claims
-        // after such cleanup stay harmless: every claim-C holder only
-        // ever deletes the C-generation lock, which is idempotent).
+        // Stale-lease takeover: ONE atomic rename to the generation-keyed
+        // tombstone (see the scaladoc) — no claim files, no
+        // verify-then-delete window. Staleness is anchored at a timestamp
+        // captured BEFORE the read: a thread descheduled between the read
+        // and the check can never promote a then-unexpired generation to
+        // "stale" (which is what lets within-lease releases remove their
+        // tombstones safely).
+        val readTs = System.currentTimeMillis()
         val txt = try {
           Some(new String(readFully(fs, lock), StandardCharsets.UTF_8))
         } catch { case _: java.io.IOException => None } // vanished: re-race
         val stale = txt.exists { t =>
           t.split('|') match {
-            case Array(_, exp) => exp.toLongOption.exists(_ < System.currentTimeMillis())
+            case Array(_, exp) => exp.toLongOption.exists(_ < readTs)
             case _ => true // corrupt: treat as stale
           }
         }
-        if (stale) {
-          val genNonce = txt.get.split('|').head.replaceAll("[^A-Za-z0-9-]", "_")
-          val claim = new Path(dir, s".tablelock.claim.$genNonce")
-          if (createNew(claim, nonce)) {
-            // we own the takeover of THIS generation: delete the lock
-            // only if it is still that generation (a successor may
-            // already have replaced it)
-            val cur = try {
-              Some(new String(readFully(fs, lock), StandardCharsets.UTF_8))
-            } catch { case _: java.io.IOException => None }
-            if (cur == txt) { fs.delete(lock, false); () }
-            fs.delete(claim, false)
-          } else {
-            // another waiter claimed this generation; if its claim has
-            // outlived a lease it crashed mid-takeover — clear the claim
-            // so the next loop can re-claim (lock deletion stays
-            // exclusively on the claim-winner path above)
-            val claimDead = try {
-              fs.getFileStatus(claim).getModificationTime + leaseMs <
-                System.currentTimeMillis()
-            } catch { case _: java.io.IOException => false }
-            if (claimDead) { fs.delete(claim, false); () }
-            else Thread.sleep(50)
-          }
-        }
+        if (stale) { takeoverStaleLock(fs, dir, txt.get); () }
         else if (txt.isDefined && System.currentTimeMillis() > deadline)
           throw new java.io.IOException(
             s"table lock at $lock not acquired within ${waitMs} ms")
@@ -2322,14 +2360,69 @@ object MorTable {
     try f
     finally {
       heldLocks.set(heldLocks.get() - lockKey)
-      // release ONLY our own lock: after a lease expiry a successor may
-      // hold it — verify the nonce before deleting
+      // Release = the SAME generation-keyed rename as takeover, never a
+      // verify-then-delete: a holder stalled past its lease between a
+      // nonce check and a delete could otherwise remove a successor's
+      // fresh lock. If the rename completed within our lease, nobody can
+      // ever have deemed this generation stale (staleness is anchored
+      // pre-read, see above), so our tombstone is untargetable and we
+      // remove it — the normal path leaves no litter. An overrun release
+      // keeps the tombstone: it is the permanent block against our own
+      // stalled takers.
       try {
         val txt = new String(readFully(fs, lock), StandardCharsets.UTF_8)
-        if (txt.startsWith(nonce + "|")) { fs.delete(lock, false); () }
+        if (txt.startsWith(nonce + "|") &&
+            renameNoReplace(fs, lock, tombstonePath(dir, nonce)) &&
+            System.currentTimeMillis() < myExpiry) {
+          fs.delete(tombstonePath(dir, nonce), false); ()
+        }
       } catch { case _: java.io.IOException => () }
     }
   }
+
+  private def tombstonePath(dir: Path, genNonce: String): Path =
+    new Path(dir, s".tablelock.taken.${genNonce.replaceAll("[^A-Za-z0-9-]", "_")}")
+
+  /** Atomic stale-lock takeover: rename the expired generation's lock file
+    * to its generation-keyed tombstone. Returns true iff THIS call moved
+    * the lock (exactly one caller per generation can). `lockTxt` is the
+    * expired content the caller observed — its nonce keys the tombstone,
+    * so a caller stalled since observing it finds the tombstone already
+    * created (by the generation's actual taker OR its releaser) and fails
+    * harmlessly, whatever sits at the lock path now. Package-visible for
+    * the stall-injection spec. */
+  private[graft] def takeoverStaleLock(fs: FileSystem, dir: Path,
+                                       lockTxt: String): Boolean =
+    renameNoReplace(fs, new Path(dir, ".tablelock"),
+      tombstonePath(dir, lockTxt.split('|').head))
+
+  /** Rename that NEVER replaces an existing destination (false on any
+    * conflict or missing source). LocalFileSystem's `File.renameTo` maps
+    * to POSIX rename(2), which silently REPLACES the destination — that
+    * would void the tombstone guard — so the `file` scheme goes through
+    * `Files.move` without REPLACE_EXISTING; HDFS-class filesystems already
+    * fail a rename onto an existing destination. */
+  private def renameNoReplace(fs: FileSystem, src: Path, dst: Path): Boolean =
+    try {
+      if (fs.getScheme == "file") {
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(src.toUri.getPath),
+          java.nio.file.Paths.get(dst.toUri.getPath))
+        // the nio move bypasses ChecksumFileSystem: a crc sidecar written
+        // by an fs.create of src would be orphaned at the OLD path and
+        // poison every later same-path lock read (ChecksumException →
+        // unreadable lock → waiters spin) — drop both sidecars
+        Seq(src, dst).foreach { p =>
+          java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+            new Path(p.getParent, s".${p.getName}.crc").toUri.getPath))
+        }
+        true
+      } else fs.rename(src, dst)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case _: java.nio.file.NoSuchFileException => false
+      case _: java.io.IOException => false
+    }
 
   /** Lock paths held by the CURRENT thread (reentrancy bookkeeping for
     * [[withTableLock]]). */

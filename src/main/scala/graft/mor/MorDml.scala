@@ -478,8 +478,19 @@ case class GraftMergeCommand(rel: MorRelation, source: LogicalPlan,
     val keyCols = rel.keys
     require((matched ++ nmbs).flatMap(_.set.keySet).toSet.intersect(keyCols.toSet).isEmpty,
       "MERGE cannot reassign record key column(s) in an UPDATE clause")
-    val src = GraftSqlShim.ofRows(spark, source)
-      .withColumn("__srcm", lit(true)).alias("s")
+    // PIN the source before deriving probe keys: the key-collect inside
+    // readForKeyBatch and the merge join each execute this plan — a
+    // nondeterministic source could present keys at join time that the
+    // collected probe set never saw, pruning their target rows from the
+    // key-restricted read and misrouting matched rows as inserts. Lazy
+    // localCheckpoint: the key-collect job materializes the blocks, the
+    // join replays them — no extra job. Only needed when the key-pruned
+    // target path is actually taken.
+    val srcRows = GraftSqlShim.ofRows(spark, source)
+    val pinnedSrc =
+      if (keyEquiSrc.isDefined && nmbs.isEmpty) srcRows.localCheckpoint(eager = false)
+      else srcRows
+    val src = pinnedSrc.withColumn("__srcm", lit(true)).alias("s")
     // key-pruned target: sound only for the source-sided (left) join —
     // NOT MATCHED BY SOURCE must see every target row, so it keeps the
     // full read

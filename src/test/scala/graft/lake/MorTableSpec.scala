@@ -774,7 +774,7 @@ class MorTableSpec extends AnyFunSuite {
     // the target side the merge joins against touches only probe-hit
     // FILES — at 100 TB this is the difference between a 2-file point
     // read and a full-snapshot rescan per merge
-    val target = t.mergeTarget(src, "dup")
+    val (_, target) = t.mergeTarget(src, "dup")
     val scannedBase = target.inputFiles.count(_.contains("/base/"))
     assert(scannedBase < 4,
       s"merge target scanned $scannedBase of 4 base files — key pruning not applied")
@@ -817,7 +817,7 @@ class MorTableSpec extends AnyFunSuite {
       .selectExpr("concat('k', id) AS uuid", "CAST(id AS INT) AS v")
     // past the cap the target resolves via the semi-join read — still
     // restricted to the batch's keys
-    val tgt = t.mergeTarget(big, "dupmsg")
+    val (_, tgt) = t.mergeTarget(big, "dupmsg")
     assert(tgt.collect().map(_.getString(0)).toSeq == Seq("k3"))
     // ...and key-distinctness is still enforced on that path
     val dup = big.union(big.limit(1))

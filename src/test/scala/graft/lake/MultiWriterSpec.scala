@@ -511,8 +511,8 @@ class MultiWriterSpec extends AnyFunSuite {
     // expired lock in the same 50ms poll tick; with a bare fs.delete the
     // first deletes + recreates and the second's already-decided delete
     // then removes the first's FRESH lock — both enter the critical
-    // section. The per-generation claim file must make exactly one waiter
-    // the taker, every round.
+    // section. The generation-keyed tombstone rename must make exactly
+    // one waiter the taker, every round.
     val path = tmp()
     val fsys = fs(path)
     fsys.mkdirs(new Path(path))
@@ -542,9 +542,98 @@ class MultiWriterSpec extends AnyFunSuite {
     }
     assert(overlaps.get() == 0,
       s"${overlaps.get()} mutual-exclusion violations across takeover rounds")
-    // clean completion leaves no lock or claim litter behind
+    // the lock itself is released; the only litter is one tombstone per
+    // CRASHED generation (the permanent block against stalled takers of
+    // that generation) — within-lease releases cleaned theirs up
     val leftovers = fsys.listStatus(new Path(path)).map(_.getPath.getName)
-      .filter(_.startsWith(".tablelock"))
-    assert(leftovers.isEmpty, s"lock files left behind: ${leftovers.mkString(", ")}")
+      .filter(_.startsWith(".tablelock")).toSeq
+    assert(!leftovers.contains(".tablelock"), "lock not released")
+    assert(leftovers.forall(_.startsWith(".tablelock.taken.dead-")),
+      s"unexpected lock litter: ${leftovers.mkString(", ")}")
+  }
+
+  test("stalled taker cannot displace a successor's fresh lock (round-9 TOCTOU)") {
+    // The residual the claim-file design left open: taker T observes an
+    // expired generation G, then stalls >= a lease between deciding to
+    // take over and acting; meanwhile the takeover completes and a
+    // successor H acquires a FRESH lock at the same path. T's wakeup must
+    // not be able to remove/displace H's lock. With the rename design,
+    // G's tombstone (created by whoever actually took G over) blocks T's
+    // generation-keyed rename forever.
+    val path = tmp()
+    val fsys = fs(path)
+    val dir = new Path(path)
+    fsys.mkdirs(dir)
+    val lock = new Path(dir, ".tablelock")
+    val gTxt = s"gen-g|${System.currentTimeMillis() - 1000}" // expired holder G
+    val o1 = fsys.create(lock, true)
+    o1.write(gTxt.getBytes(java.nio.charset.StandardCharsets.UTF_8)); o1.close()
+    // taker U completes the takeover of G (taker T has observed gTxt but
+    // is stalled — its action is deferred below)
+    assert(MorTable.takeoverStaleLock(fsys, dir, gTxt), "U's takeover must win")
+    // successor H acquires a fresh, unexpired lock at the same path
+    val hTxt = s"gen-h|${System.currentTimeMillis() + 600000}"
+    val o2 = fsys.create(lock, false)
+    o2.write(hTxt.getBytes(java.nio.charset.StandardCharsets.UTF_8)); o2.close()
+    // T wakes up and fires its already-decided takeover of generation G:
+    // the tombstone blocks the rename — H's lock is untouched
+    assert(!MorTable.takeoverStaleLock(fsys, dir, gTxt),
+      "a stalled taker of a departed generation must fail")
+    val cur = new String(MorTable.readFully(fsys, lock),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(cur == hTxt, "successor's fresh lock must survive the stalled taker")
+  }
+
+  test("lease-overrunning holder: release never disturbs the successor, tombstone kept") {
+    val path = tmp()
+    val fsys = fs(path)
+    val dir = new Path(path)
+    fsys.mkdirs(dir)
+    val lock = new Path(dir, ".tablelock")
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    // holder A overruns its 150ms lease inside the critical section
+    val a = Future {
+      MorTable.withTableLock(spark, path, leaseMs = 150L, waitMs = 10000L) {
+        Thread.sleep(1500)
+      }
+    }
+    Thread.sleep(400) // A's lease has expired; A is still inside
+    MorTable.withTableLock(spark, path, leaseMs = 600000L, waitMs = 10000L) {
+      // we took over A's expired generation; hold through A's release
+      Await.result(a, 30.seconds)
+      // A's overrun release must NOT have removed OUR lock
+      assert(fsys.exists(lock), "successor's lock removed by an overrun release")
+    }
+    // A's expired generation left its permanent tombstone; our own
+    // within-lease release cleaned ours up and freed the lock path
+    val names = fsys.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith(".tablelock")).toSeq
+    assert(!names.contains(".tablelock"), "lock not released")
+    assert(names.count(_.startsWith(".tablelock.taken.")) == 1,
+      s"expected exactly A's generation tombstone, got: ${names.mkString(", ")}")
+    // and the path is re-acquirable normally
+    MorTable.withTableLock(spark, path, waitMs = 2000L) { () }
+  }
+
+  test("inflight marker heartbeat keeps a slow write fresh for the orphan check") {
+    val path = tmp()
+    val t = new MorTable(spark, path, Seq("k"),
+      compactionDeltaCommits = 1000, autoCompact = false)
+    t.upsert(Seq((1L, 10)).toDF("k", "v"), Nil, batchId = 1L)
+    val f = fs(path)
+    val marker = new Path(path, "timeline/777.delta.inflight")
+    val out = f.create(marker, false); out.close()
+    // simulate a claim made long ago (a slow write in progress)
+    f.setTimes(marker, System.currentTimeMillis() - 600000L, -1)
+    val before = f.getFileStatus(marker).getModificationTime
+    t.renewingMarker(marker, periodMs = 50L) { Thread.sleep(300) }
+    val after = f.getFileStatus(marker).getModificationTime
+    assert(after > before, "heartbeat must renew the marker mtime during the write")
+    assert(System.currentTimeMillis() - after < 60000L,
+      "renewed marker must read as fresh to the destructive verbs")
+    f.delete(marker, false)
+    ()
   }
 }

@@ -186,6 +186,14 @@ class MorDataSourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("positive_v"), e.getMessage)
     assert(t.timeline().size == before, "refused commit must not publish")
     assert(t.read().count() == 2)
+    // a deliberate refusal is not a crash: its inflight marker must be
+    // released too, or rollback/restore would refuse with 'mid-publish'
+    // for the next lease
+    val fsys = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val markers = fsys.listStatus(new org.apache.hadoop.fs.Path(path, "timeline"))
+      .map(_.getPath.getName).filter(_.endsWith(".inflight")).toSeq
+    assert(markers.isEmpty, s"refusal left inflight marker(s): ${markers.mkString(", ")}")
     // tombstones are exempt (their data columns are null by construction)
     t.delete(Seq("id1").toDF("uuid"), batchId = 3L)
     assert(t.read().count() == 1)
