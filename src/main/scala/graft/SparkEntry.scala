@@ -49,6 +49,7 @@ object SparkEntry {
     "r2_changelog_materialize" -> ((s, d) => graft.sources.ChangelogQueries.materializeEvents(s, d)),
     "s7_mor_upsert_replay" -> ((s, d) => graft.lake.LakeQueries.upsertReplay(s, d)),
     "s47_savepoint_restore" -> ((s, d) => graft.lake.LakeQueries.rollbackRestore(s, d)),
+    "s67_read_optimized"  -> ((s, d) => graft.lake.LakeQueries.readOptimizedView(s, d)),
     "s53_sql_procedures"  -> ((s, d) => graft.lake.LakeQueries.sqlProcedures(s, d)),
     "s54_write_index_tagging" -> ((s, d) => graft.lake.LakeQueries.writeIndexTagging(s, d)),
     "s55_partial_update"  -> ((s, d) => graft.lake.LakeQueries.partialUpdate(s, d)),
@@ -2479,6 +2480,9 @@ object SparkEntry {
         |QUALIFY row_number() OVER
         |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
     "s47_savepoint_restore" -> SavepointOracle,
+    // RO view at the compaction boundary == the same two-thirds LWW state
+    // (the post-boundary delta is invisible at RO freshness by contract)
+    "s67_read_optimized" -> SavepointOracle,
     // s53 replays the same savepoint→backfill→restore story with every
     // verb driven through CALL procedures — same final state by contract
     "s53_sql_procedures" -> SavepointOracle,

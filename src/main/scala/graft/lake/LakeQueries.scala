@@ -119,6 +119,39 @@ object LakeQueries {
       t.read().select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
   }
 
+  /** READ-OPTIMIZED query view ([[MorTable.snapshotReadOptimized]] — the
+    * Hudi `_ro` table half the reference registers next to realtime,
+    * rds-cdc-flink-hudi-stack.ts:508-511), oracle-checked end-to-end:
+    * replay events as time-thirds, compact after the first two (the RO
+    * boundary), land the last third as a LIVE delta, then read through
+    * the DataSource's `readOptimized` option. RO must equal the
+    * two-thirds LWW state (base files only — the live delta is invisible
+    * at RO freshness), while the realtime read sees everything. */
+  def readOptimizedView(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "value", "ts_ms", "ts_ns")
+    val b = ev.agg(min(col("ts_ns")).as("mn"), max(col("ts_ns")).as("mx")).head()
+    val mn = b.getLong(0); val mx = b.getLong(1)
+    val lo = mn + (mx - mn) / 3
+    val hi = mn + 2 * ((mx - mn) / 3)
+    val path = tempPath("mor-ro")
+    val t = MorTable(spark, path, keyCols = Seq("user_id"),
+      compactionDeltaCommits = 1000)
+    val ord = Seq(col("ts_ns"), col("event_id"))
+    t.upsert(ev.filter(col("ts_ns") <= lo), ord, batchId = 1L)
+    t.upsert(ev.filter(col("ts_ns") > lo && col("ts_ns") <= hi), ord, batchId = 2L)
+    t.compact() // the RO freshness boundary
+    t.upsert(ev.filter(col("ts_ns") > hi), ord, batchId = 3L) // live delta
+    val ro = spark.read.format("graft.mor").option("keys", "user_id")
+      .option("readOptimized", "true").load(path)
+    assert(ro.filter(col("ts_ns") > hi).count() == 0,
+      "RO must exclude the post-boundary live delta")
+    assert(t.read().filter(col("ts_ns") > hi).count() > 0,
+      "realtime must see the delta RO excludes")
+    graft.TempDirs.materializeAndDelete(
+      ro.select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
+  }
+
   /** Write-path index tagging ([[MorTable.upsertIfNew]] — the Hudi
     * bloom-index write path), oracle-checked end-to-end: a key-disjoint
     * user split lands as two PROVEN insert-only commits (the second

@@ -208,18 +208,8 @@ final class MorTable(
     * whether `body` completes or throws; a vanished marker (the publish
     * already released it) is ignored. */
   private[lake] def renewingMarker[T](marker: Path,
-                                      periodMs: Long = 15000L)(body: => T): T = {
-    val stop = new java.util.concurrent.CountDownLatch(1)
-    val t = new Thread(() => {
-      while (!stop.await(periodMs, java.util.concurrent.TimeUnit.MILLISECONDS)) {
-        try fs.setTimes(marker, System.currentTimeMillis(), -1)
-        catch { case _: java.io.IOException => () }
-      }
-    }, s"graft-marker-renew-${marker.getName}")
-    t.setDaemon(true)
-    t.start()
-    try body finally { stop.countDown(); t.join(1000) }
-  }
+                                      periodMs: Long = 15000L)(body: => T): T =
+    MorTable.renewingMarker(fs, marker, periodMs)(body)
 
   /** Publish the committed instant claimed by [[allocateSeq]] and release
     * its inflight marker. */
@@ -648,13 +638,21 @@ final class MorTable(
                          batchId: Long): MorTable = {
     // the single projection APPLIES only assignments whose column exists —
     // a typo'd SET column would otherwise become a silent per-assignment
-    // no-op (the old withColumn fold at least added it)
-    val unknown = set.keySet.filterNot(base.columns.contains)
+    // no-op (the old withColumn fold at least added it). SET keys resolve
+    // CASE-INSENSITIVELY against the table schema (Spark's default
+    // resolution; mirrors addColumns) — the projected output keeps the
+    // table's own column spelling.
+    val byLower = set.map { case (k, v) => k.toLowerCase -> v }
+    require(byLower.size == set.size,
+      s"update: SET names duplicate columns (case-insensitive): " +
+        set.keys.mkString(", "))
+    val known = base.columns.map(_.toLowerCase).toSet
+    val unknown = byLower.keySet.filterNot(known.contains)
     require(unknown.isEmpty,
       s"update: unknown column(s) ${unknown.mkString(", ")} " +
         s"(table columns: ${base.columns.mkString(", ")})")
     val updated = base.select(base.columns.map(c =>
-      set.get(c).map(_.as(c)).getOrElse(col(c))): _*)
+      byLower.get(c.toLowerCase).map(_.as(c)).getOrElse(col(c))): _*)
     upsert(updated, keyCols.map(col), batchId)
   }
 
@@ -1184,6 +1182,12 @@ final class MorTable(
       deltas.map(d => s"$path/delta/${d.seq}"))
   }
 
+  /** This table's read-optimized scan dir (the last compacted base), if
+    * any — the per-child half of [[PartitionedMorTable.readOptimized]]'s
+    * one multi-dir scan. */
+  private[lake] def roScanDir(): Option[String] =
+    liveDeltas(timeline())._1.map(c => s"$path/base/${c.seq}")
+
   /** All published delta dirs (incremental / CDC range reads scan these
     * with a row-level `_commit_seqno` filter; parquet min/max stats skip
     * untouched files). */
@@ -1407,6 +1411,33 @@ final class MorTable(
 
   /** Snapshot without the lake metadata columns (user-facing read). */
   def read(): DataFrame = dropMeta(snapshot())
+
+  /** READ-OPTIMIZED (RO) query view — base files ONLY, at the last
+    * compaction boundary. The other half of Hudi's MOR read surface: the
+    * reference registers `_rt` (realtime, base ⟕ log — [[snapshot]]) and
+    * `_ro` (`HoodieParquetInputFormat`, compacted columnar data only,
+    * freshness = last compaction; rds-cdc-flink-hudi-stack.ts:508-511).
+    * Live deltas are EXCLUDED by definition; a never-compacted table
+    * reads as empty (Hudi RO shows nothing until the first compaction
+    * writes base parquet). Tombstones retained in the base (an unfolded
+    * straggler kept them) are filtered like the realtime reader.
+    *
+    * Scale: this is the cheap read — ONE pure parquet scan, no delta
+    * union, no LWW merge window (the compacted base holds ≤1 row per
+    * key), so every filter/projection reaches the scan untouched. The
+    * analytics-over-latency trade Hudi documents. */
+  def snapshotReadOptimized(): DataFrame = {
+    val tl = timeline()
+    if (tl.isEmpty)
+      throw new IllegalStateException(s"MorTable at $path has no commits")
+    liveDeltas(tl)._1 match {
+      case Some(c) => scanDir(s"$path/base/${c.seq}").filter(!col("_deleted"))
+      case None => snapshotMerged(tl).filter(lit(false)) // pre-compaction: RO is empty
+    }
+  }
+
+  /** [[snapshotReadOptimized]] without the lake metadata columns. */
+  def readOptimized(): DataFrame = dropMeta(snapshotReadOptimized())
 
   /** `read()` as-of just before `batchId` (see snapshotExcludingBatch). */
   def readExcludingBatch(batchId: Long): DataFrame =
@@ -2265,7 +2296,12 @@ object MorTable {
     *
     * Lease semantics: the lock is an EXCLUSIVE-created `<dir>/.tablelock`
     * carrying (nonce, expiry); a holder that crashes is taken over once
-    * its lease expires. Takeover is ATOMIC per lock GENERATION: the taker
+    * its lease expires. The lock is published CONTENT-ATOMICALLY (full
+    * bytes to a nonce-keyed temp, then a no-replace move onto the lock
+    * path), so no reader ever observes a lock file without its complete
+    * content — and unparsable content, should it ever appear, is treated
+    * as transient (re-poll), never as stale. Takeover is ATOMIC per lock
+    * GENERATION: the taker
     * RENAMES the expired lock file to a generation-keyed tombstone
     * (`.tablelock.taken.<nonce>`), then re-races the exclusive create like
     * everyone else. The rename never replaces an existing destination, and
@@ -2308,24 +2344,35 @@ object MorTable {
     if (heldLocks.get().contains(lockKey)) return f
     val nonce = java.util.UUID.randomUUID().toString
     val deadline = System.currentTimeMillis() + waitMs
-    // exclusive-create of `p` with `content`; false when the file exists
-    def createNew(p: Path, content: String): Boolean =
+    // CONTENT-ATOMIC exclusive publish of `p` with `content`: the full
+    // bytes land in a nonce-keyed temp file first, which is then moved
+    // onto the lock path by [[renameNoReplace]] (atomically failing on an
+    // existing destination) — no reader can EVER observe the lock file
+    // without its complete content. A bare exclusive-create-then-write
+    // (the round-10 regression) makes the file visible before its bytes,
+    // and a waiter reading the empty window would misclassify the FRESH
+    // lock. Returns false when the lock already exists.
+    def createNew(p: Path, content: String): Boolean = {
+      val tmp = new Path(p.getParent, s"${p.getName}.new.$nonce")
       try {
         if (fs.getScheme == "file")
           java.nio.file.Files.write(
-            java.nio.file.Paths.get(p.toUri.getPath),
-            content.getBytes(StandardCharsets.UTF_8),
-            java.nio.file.StandardOpenOption.CREATE_NEW)
+            java.nio.file.Paths.get(tmp.toUri.getPath),
+            content.getBytes(StandardCharsets.UTF_8))
         else {
-          val out = fs.create(p, false)
+          val out = fs.create(tmp, true)
           try out.write(content.getBytes(StandardCharsets.UTF_8))
           finally out.close()
         }
-        true
+        val won = renameNoReplace(fs, tmp, p)
+        if (!won) fs.delete(tmp, false) // lost the race: no nonce litter
+        won
       } catch {
-        case _: java.nio.file.FileAlreadyExistsException |
-             _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.io.IOException =>
+          try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
+          false
       }
+    }
     var held = false
     var myExpiry = 0L
     while (!held) {
@@ -2343,10 +2390,16 @@ object MorTable {
         val txt = try {
           Some(new String(readFully(fs, lock), StandardCharsets.UTF_8))
         } catch { case _: java.io.IOException => None } // vanished: re-race
+        // ONLY a well-formed `nonce|expiry` with expiry < readTs may enter
+        // the takeover path. Unparsable content is TRANSIENT (re-poll until
+        // the wait deadline), never stale: with the content-atomic publish
+        // above it should be unobservable, but a corrupt⇒stale shortcut is
+        // exactly what converted the round-10 empty-read window into theft
+        // of a fresh lock — fail toward waiting, never toward stealing.
         val stale = txt.exists { t =>
           t.split('|') match {
             case Array(_, exp) => exp.toLongOption.exists(_ < readTs)
-            case _ => true // corrupt: treat as stale
+            case _ => false // corrupt/partial: transient, re-poll
           }
         }
         if (stale) { takeoverStaleLock(fs, dir, txt.get); () }
@@ -2380,6 +2433,28 @@ object MorTable {
     }
   }
 
+  /** Liveness heartbeat for a claimed-but-unpublished commit (static form —
+    * shared by the unpartitioned delta write and the partitioned
+    * parent-token writes): touch `marker`'s mtime every `periodMs` while
+    * `body` runs, so marker age means "ms since the writer last proved
+    * liveness" — which is what the fresh-inflight orphan classification
+    * actually wants — rather than "ms since the claim". Daemon thread,
+    * stopped (and joined) whether `body` completes or throws; a vanished
+    * marker (the publish already released it) is ignored. */
+  private[lake] def renewingMarker[T](fs: FileSystem, marker: Path,
+                                      periodMs: Long = 15000L)(body: => T): T = {
+    val stop = new java.util.concurrent.CountDownLatch(1)
+    val t = new Thread(() => {
+      while (!stop.await(periodMs, java.util.concurrent.TimeUnit.MILLISECONDS)) {
+        try fs.setTimes(marker, System.currentTimeMillis(), -1)
+        catch { case _: java.io.IOException => () }
+      }
+    }, s"graft-marker-renew-${marker.getName}")
+    t.setDaemon(true)
+    t.start()
+    try body finally { stop.countDown(); t.join(1000) }
+  }
+
   private def tombstonePath(dir: Path, genNonce: String): Path =
     new Path(dir, s".tablelock.taken.${genNonce.replaceAll("[^A-Za-z0-9-]", "_")}")
 
@@ -2397,18 +2472,31 @@ object MorTable {
       tombstonePath(dir, lockTxt.split('|').head))
 
   /** Rename that NEVER replaces an existing destination (false on any
-    * conflict or missing source). LocalFileSystem's `File.renameTo` maps
-    * to POSIX rename(2), which silently REPLACES the destination — that
-    * would void the tombstone guard — so the `file` scheme goes through
-    * `Files.move` without REPLACE_EXISTING; HDFS-class filesystems already
-    * fail a rename onto an existing destination. */
+    * conflict or missing source). POSIX rename(2) silently REPLACES the
+    * destination, and `Files.move` WITHOUT REPLACE_EXISTING is implemented
+    * (UnixCopyFile) as a destination-exists CHECK followed by rename(2) —
+    * a destination created inside that window is silently replaced, which
+    * would void the tombstone guard for a taker stalled between the check
+    * and the rename. `Files.createLink` is the one POSIX primitive that
+    * atomically fails with EEXIST on an existing destination, so the
+    * `file` scheme publishes dst as a hard link to src and then unlinks
+    * src (same directory, so always the same filesystem). The src unlink
+    * is not atomic with the link, but the only state a crash in between
+    * leaves is src still present alongside an identical dst — for the
+    * lock-publish path that is nonce-keyed temp litter, and for the
+    * takeover/release path the next waiter's takeover of the (expired)
+    * src content finds the tombstone present and simply re-polls until
+    * the holder's delete lands. HDFS-class filesystems already fail a
+    * rename onto an existing destination atomically. */
   private def renameNoReplace(fs: FileSystem, src: Path, dst: Path): Boolean =
     try {
       if (fs.getScheme == "file") {
-        java.nio.file.Files.move(
-          java.nio.file.Paths.get(src.toUri.getPath),
-          java.nio.file.Paths.get(dst.toUri.getPath))
-        // the nio move bypasses ChecksumFileSystem: a crc sidecar written
+        val s = java.nio.file.Paths.get(src.toUri.getPath)
+        val d = java.nio.file.Paths.get(dst.toUri.getPath)
+        java.nio.file.Files.createLink(d, s)
+        try java.nio.file.Files.delete(s)
+        catch { case _: java.io.IOException => () } // dst holds the content
+        // the nio link bypasses ChecksumFileSystem: a crc sidecar written
         // by an fs.create of src would be orphaned at the OLD path and
         // poison every later same-path lock read (ChecksumException →
         // unreadable lock → waiters spin) — drop both sidecars

@@ -230,6 +230,19 @@ final class PartitionedMorTable(
   private def nextToken(kind: String): Long =
     MorTable.allocateSeq(fs, new Path(hPath, "_timeline"), kind)
 
+  /** Run `body` (a staged cluster write + adoption) under a liveness
+    * heartbeat on the claimed parent inflight marker
+    * ([[MorTable.renewingMarker]]): a staged write slower than the 60 s
+    * orphan lease must stay classified as mid-publish by
+    * [[freshParentInflight]] — restore/dropPartitions would otherwise
+    * treat the live writer as a crash orphan and proceed against it. The
+    * marker is released by [[writeParentInstant]] inside `body`; the
+    * renewer ignores the vanished marker. */
+  private[lake] def renewingParentMarker[T](token: Long, kind: String,
+                                            periodMs: Long = 15000L)(body: => T): T =
+    MorTable.renewingMarker(fs,
+      new Path(hPath, s"_timeline/$token.$kind.inflight"), periodMs)(body)
+
   /** True iff any parent-level commit is claimed but unpublished. A parent
     * writer stages child data BEFORE any child-level marker exists, so
     * child compaction must treat an inflight parent commit as an
@@ -284,6 +297,7 @@ final class PartitionedMorTable(
     if (isCommitted(batchId)) return this // fully replayed batch — no-op
     val batch = dropViolating(batch0)
     val token = nextToken("delta")
+    renewingParentMarker(token, "delta") {
     val now = System.currentTimeMillis()
     val deduped =
       if (orderWithinBatch.isEmpty) batch
@@ -328,6 +342,7 @@ final class PartitionedMorTable(
     }
     adoptStaged(stagingDir, batchId)
     writeParentInstant(MorTable.Instant(token, "delta", batchId, now))
+    }
     if (autoCompact) { maybeCompact(); () }
     this
   }
@@ -371,6 +386,7 @@ final class PartitionedMorTable(
     if (isCommitted(batchId)) return Map.empty
     graft.GraftFunctions.register(spark)
     val token = nextToken("delta")
+    val verdicts = renewingParentMarker(token, "delta") {
     val now = System.currentTimeMillis()
     val deduped =
       if (orderWithinBatch.isEmpty) batch
@@ -443,8 +459,10 @@ final class PartitionedMorTable(
     staged.write.partitionBy("__p").mode("overwrite").parquet(stagingDir.toString)
     adoptStaged(stagingDir, batchId, proven)
     writeParentInstant(MorTable.Instant(token, "delta", batchId, now))
-    if (autoCompact) { maybeCompact(); () }
     stats.map(r => r.getString(0) -> proven(r.getString(0))).toMap
+    }
+    if (autoCompact) { maybeCompact(); () }
+    verdicts
   }
 
   /** Predicate delete across partitions (`DELETE FROM t WHERE …`):
@@ -537,6 +555,7 @@ final class PartitionedMorTable(
       .filter(col("__rn") === 1)
       .select(col("__r.*"), col("__del"))
     val token = nextToken("delta")
+    renewingParentMarker(token, "delta") {
     val now = System.currentTimeMillis()
     val staged = rows
       .withColumn("_record_key",
@@ -549,6 +568,7 @@ final class PartitionedMorTable(
     staged.write.partitionBy("__p").mode("overwrite").parquet(stagingDir.toString)
     adoptStaged(stagingDir, batchId)
     writeParentInstant(MorTable.Instant(token, "delta", batchId, now))
+    }
     if (autoCompact) { maybeCompact(); () }
     this
   }
@@ -563,6 +583,7 @@ final class PartitionedMorTable(
   def delete(keys: DataFrame, batchId: Long = -1L): PartitionedMorTable = {
     if (isCommitted(batchId)) return this
     val token = nextToken("delete")
+    renewingParentMarker(token, "delete") {
     val now = System.currentTimeMillis()
     val staged = keys.select((partitionCol +: keyCols).distinct.map(col): _*)
       .withColumn("_record_key",
@@ -575,6 +596,7 @@ final class PartitionedMorTable(
     staged.write.partitionBy("__p").mode("overwrite").parquet(stagingDir.toString)
     adoptStaged(stagingDir, batchId)
     writeParentInstant(MorTable.Instant(token, "delete", batchId, now))
+    }
     this
   }
 
@@ -643,6 +665,23 @@ final class PartitionedMorTable(
       if (perChild.forall(pc => pc._1.size + pc._2.size <= 1)) scan
       else lwwLatest(scan)
     merged.filter(!col("_deleted"))
+      .select(orderedDataCols(scan.columns).map(col): _*)
+  }
+
+  /** READ-OPTIMIZED (RO) view over the named partitions (all when
+    * `values` is empty) — each child's last compacted base dir ONLY, as
+    * ONE multi-dir scan ([[MorTable.snapshotReadOptimized]] semantics:
+    * freshness = each child's last compaction; live deltas and
+    * never-compacted children excluded by definition). No LWW window at
+    * all: a compacted base holds ≤1 row per key and RO reads nothing
+    * else, so the scan carries filters/projections straight to parquet. */
+  def readOptimized(values: Seq[String] = Seq.empty): DataFrame = {
+    val sel = if (values.nonEmpty) values else partitions()
+    require(sel.nonEmpty, s"PartitionedMorTable at $path has no partitions")
+    val dirs = parChildren(sel)(_.roScanDir()).flatten
+    if (dirs.isEmpty) return read(sel).limit(0) // nothing compacted yet
+    val scan = scanDirs(dirs)
+    scan.filter(!col("_deleted"))
       .select(orderedDataCols(scan.columns).map(col): _*)
   }
 

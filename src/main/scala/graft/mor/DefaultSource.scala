@@ -155,6 +155,7 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
       sinceSeq = parameters.get("sinceSeq").map(_.toLong),
       changelogFrom = parameters.get("changelogFrom").map(_.toLong),
       changelogTo = parameters.get("changelogTo").map(_.toLong),
+      readOptimized = parameters.get("readOptimized").exists(_.trim.toBoolean),
       partitionCol = parameters.get("partition"),
       partitionValues = partitionValues(parameters),
       expectOpts = parameters.filter(_._1.toLowerCase.startsWith("expect.")))
@@ -300,6 +301,13 @@ final case class MorRelation(sqlContext: SQLContext, path: String,
                                * Hudi cdc-query analog as a relation. */
                              changelogFrom: Option[Long] = None,
                              changelogTo: Option[Long] = None,
+                             /** READ-OPTIMIZED view: base files only at
+                               * the last compaction boundary — Hudi's
+                               * `_ro` table half ([[graft.lake.MorTable
+                               * .snapshotReadOptimized]]). Register a
+                               * second catalog table with this option for
+                               * the classic `t_ro`/`t_rt` pair. */
+                             readOptimized: Boolean = false,
                              partitionCol: Option[String] = None,
                              partitionValues: Seq[String] = Seq.empty,
                              /** `expect.*` OPTIONS — enforced on the SQL
@@ -312,6 +320,10 @@ final case class MorRelation(sqlContext: SQLContext, path: String,
     "graft.mor: asOf, sinceSeq and changelogFrom are mutually exclusive")
   require(changelogTo.isEmpty || changelogFrom.isDefined,
     "graft.mor: changelogTo needs changelogFrom")
+  require(!readOptimized ||
+      (asOf.isEmpty && sinceSeq.isEmpty && changelogFrom.isEmpty),
+    "graft.mor: readOptimized is a snapshot view — incompatible with " +
+      "asOf, sinceSeq and changelogFrom")
 
   // resolve() so the table's persisted compaction/write policy applies to
   // SQL writes (INSERT INTO through the catalog) from ANY session — a
@@ -321,6 +333,9 @@ final case class MorRelation(sqlContext: SQLContext, path: String,
     sqlContext.sparkSession, path, keys, partitionCol.get)
 
   private def scanDf() = (partitionCol, asOf, sinceSeq, changelogFrom) match {
+    case (Some(_), _, _, _) if readOptimized =>
+      partTable.readOptimized(partitionValues)
+    case (None, _, _, _) if readOptimized => table.readOptimized()
     case (Some(_), _, _, Some(from)) =>
       partTable.readChangelog(from, changelogTo.getOrElse(Long.MaxValue), partitionValues)
     case (None, _, _, Some(from)) =>
@@ -360,7 +375,8 @@ final case class MorRelation(sqlContext: SQLContext, path: String,
     * of guessing from compressed bytes. Snapshot reads only — derived
     * reads (travel/incremental/CDC) have different cardinality. */
   @transient private[mor] lazy val rowCountStat: Option[Long] =
-    if (asOf.isDefined || sinceSeq.isDefined || changelogFrom.isDefined) None
+    if (asOf.isDefined || sinceSeq.isDefined || changelogFrom.isDefined ||
+        readOptimized) None // RO cardinality = base only, not the live count
     else partitionCol match {
       case Some(_) => partTable.liveRowCount()
       case None => table.liveRowCount()
@@ -392,6 +408,15 @@ final case class MorRelation(sqlContext: SQLContext, path: String,
                                    filters: Array[Filter]): DataFrame = {
     import org.apache.spark.sql.sources._
     val routed = (partitionCol, asOf, sinceSeq, changelogFrom) match {
+      // RO view: already one pure parquet scan — key/range routing would
+      // send it down the realtime (base ⟕ log) readers; partition
+      // equality/IN still prunes child timelines before the scan
+      case (Some(pc), _, _, _) if readOptimized && partitionValues.isEmpty =>
+        colValues(filters, pc) match {
+          case Some(vs) => partTable.readOptimized(vs)
+          case None => scanDf()
+        }
+      case _ if readOptimized => scanDf()
       case (None, None, None, None) =>
         keyValues(filters) match {
           case Some(ks) => table.readForKeys(ks)
@@ -487,8 +512,10 @@ final case class MorRelation(sqlContext: SQLContext, path: String,
     * `INSERT OVERWRITE` replaces the table contents. Spark has already
     * cast the incoming rows to this relation's schema by position. */
   override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-    require(asOf.isEmpty && sinceSeq.isEmpty && changelogFrom.isEmpty,
-      "graft.mor: cannot INSERT into a time-travel, incremental or CDC read")
+    require(asOf.isEmpty && sinceSeq.isEmpty && changelogFrom.isEmpty &&
+        !readOptimized,
+      "graft.mor: cannot INSERT into a time-travel, incremental, CDC or " +
+        "read-optimized read")
     val (exps, expDrop) = DefaultSource.expectationsOf(expectOpts)
     partitionCol match {
       case Some(_) =>

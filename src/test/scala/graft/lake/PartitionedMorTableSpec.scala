@@ -10,6 +10,41 @@ class PartitionedMorTableSpec extends AnyFunSuite {
 
   private def tmp() = graft.TempDirs.create("pmor")
 
+  test("parent inflight marker heartbeat keeps a slow staged write fresh to restore/drop") {
+    // the partitioned twin of MultiWriterSpec's heartbeat case: a staged
+    // cluster write running longer than the 60 s orphan lease under a
+    // claimed parent token must stay classified as mid-publish — the
+    // destructive verbs (restore/dropPartitions) must keep REFUSING while
+    // the writer is provably alive, even though the claim itself is old.
+    val path = tmp()
+    val t = new PartitionedMorTable(spark, path, Seq("k"), "p",
+      compactionDeltaCommits = 1000, autoCompact = false)
+    t.upsert(Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "p", "v"),
+      Nil, batchId = 1L)
+    t.savepoint("pin")
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(path, "_timeline/777.delta.inflight")
+    val out = f.create(marker, false); out.close()
+    // simulate a claim made long ago (slow staged write in progress)
+    f.setTimes(marker, System.currentTimeMillis() - 600000L, -1)
+    val before = f.getFileStatus(marker).getModificationTime
+    t.renewingParentMarker(777L, "delta", periodMs = 50L) {
+      Thread.sleep(300)
+      // mid-write: the heartbeat has renewed the aged claim, so both
+      // destructive verbs must see a FRESH marker and refuse loudly
+      val e1 = intercept[IllegalArgumentException](t.dropPartitions(Seq("a")))
+      assert(e1.getMessage.contains("mid-publish"), e1.getMessage)
+      val e2 = intercept[IllegalArgumentException](t.restore("pin"))
+      assert(e2.getMessage.contains("mid-publish"), e2.getMessage)
+    }
+    val after = f.getFileStatus(marker).getModificationTime
+    assert(after > before, "heartbeat must renew the parent marker mtime")
+    // writer "publishes" (marker released) → the verbs proceed again
+    f.delete(marker, false)
+    assert(t.dropPartitions(Seq("a")) == Seq("a"))
+  }
+
   test("per-partition compaction: only touched partitions compact") {
     val t = new PartitionedMorTable(spark, tmp(), Seq("k"), "p",
       compactionDeltaCommits = 2, autoCompact = false)

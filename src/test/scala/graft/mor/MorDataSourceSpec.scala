@@ -60,6 +60,60 @@ class MorDataSourceSpec extends AnyFunSuite {
     assert(incr.columns.contains("_deleted"), "incremental keeps tombstone visibility")
   }
 
+  test("readOptimized option: base-only freshness at the compaction boundary (_ro/_rt pair)") {
+    val path = TestSpark.tmpDir("dsv1-ro")
+    val t = new MorTable(spark, path, Seq("uuid"),
+      compactionDeltaCommits = 1000, autoCompact = false)
+    def ro = spark.read.format("graft.mor")
+      .option("keys", "uuid").option("readOptimized", "true").load(path)
+    def rt = spark.read.format("graft.mor").option("keys", "uuid").load(path)
+    t.upsert(Seq(("id1", 1), ("id2", 2)).toDF("uuid", "v"), Nil, batchId = 1L)
+    // never compacted: RO is EMPTY (no base parquet yet), realtime sees all
+    assert(ro.count() == 0 && rt.count() == 2)
+    t.compact()
+    assert(ro.collect().map(r => (r.getString(0), r.getInt(1))).toMap ==
+      Map("id1" -> 1, "id2" -> 2))
+    // post-compaction delta: realtime advances, RO stays at the boundary
+    t.upsert(Seq(("id1", 10), ("id3", 3)).toDF("uuid", "v"), Nil, batchId = 2L)
+    t.delete(Seq("id2").toDF("uuid"), batchId = 3L)
+    assert(rt.collect().map(r => (r.getString(0), r.getInt(1))).toMap ==
+      Map("id1" -> 10, "id3" -> 3))
+    assert(ro.collect().map(r => (r.getString(0), r.getInt(1))).toMap ==
+      Map("id1" -> 1, "id2" -> 2), "RO freshness = last compaction")
+    // next compaction advances the RO boundary (id2's tombstone applied)
+    t.compact()
+    assert(ro.collect().map(r => (r.getString(0), r.getInt(1))).toMap ==
+      Map("id1" -> 10, "id3" -> 3))
+    // the classic two-table registration: t_ro next to t_rt
+    spark.sql(s"CREATE TABLE mor_ro_t USING `graft.mor` OPTIONS " +
+      s"(path '$path', keys 'uuid', readOptimized 'true')")
+    try {
+      t.upsert(Seq(("id4", 4)).toDF("uuid", "v"), Nil, batchId = 4L)
+      assert(spark.sql("SELECT count(*) FROM mor_ro_t").head().getLong(0) == 2,
+        "catalog RO table excludes the live delta")
+      // RO is read-only and never time-travels
+      val e = intercept[Exception](spark.sql(
+        "INSERT INTO mor_ro_t VALUES ('id9', 9)"))
+      assert(e.getMessage.contains("read-optimized"), e.getMessage)
+    } finally spark.sql("DROP TABLE IF EXISTS mor_ro_t")
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft.mor").option("keys", "uuid")
+        .option("readOptimized", "true").option("asOf", "1").load(path)
+    }
+    // partitioned form: per-child boundaries, partition pruning intact
+    val ppath = TestSpark.tmpDir("dsv1-ro-part")
+    val pt = new graft.lake.PartitionedMorTable(spark, ppath, Seq("k"), "p",
+      compactionDeltaCommits = 1000, autoCompact = false)
+    pt.upsert(Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "p", "v"), Nil, batchId = 1L)
+    pt.compactPartitions(Seq("a")) // only a's boundary advances
+    pt.upsert(Seq((1L, "a", 11), (3L, "b", 30)).toDF("k", "p", "v"), Nil, batchId = 2L)
+    val pro = spark.read.format("graft.mor").option("keys", "k")
+      .option("partition", "p").option("readOptimized", "true").load(ppath)
+    assert(pro.collect().map(r => (r.getAs[Long]("k"), r.getAs[Int]("v"))).toMap ==
+      Map(1L -> 10), "RO = compacted children only, each at its own boundary")
+    assert(pro.filter(col("p") === "b").count() == 0, "b never compacted")
+  }
+
   test("SQL INSERT INTO is a keyed upsert; INSERT OVERWRITE replaces (CTAS + InsertableRelation)") {
     val path = TestSpark.tmpDir("dsv1-insert")
     spark.sql("DROP TABLE IF EXISTS mor_ins_t")
