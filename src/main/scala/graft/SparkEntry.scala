@@ -57,6 +57,7 @@ object SparkEntry {
     "s57_part_savepoint"  -> ((s, d) => graft.lake.LakeQueries.partRollbackRestore(s, d)),
     "s65_part_time_travel" -> ((s, d) => graft.lake.LakeQueries.partTimeTravel(s, d)),
     "s66_write_expectations" -> ((s, d) => graft.lake.LakeQueries.writeExpectations(s, d)),
+    "s68_quarantine"      -> ((s, d) => graft.lake.LakeQueries.quarantineExpectations(s, d)),
     "s58_part_write_tagging" -> ((s, d) => graft.lake.LakeQueries.partWriteIndexTagging(s, d)),
     "s59_lake_funnel"     -> ((s, d) => graft.lake.LakeQueries.lakeFunnel(s, d)),
     "s48_partition_ttl"   -> ((s, d) => graft.lake.LakeQueries.partitionTtl(s, d)),
@@ -2498,6 +2499,21 @@ object SparkEntry {
         |WHERE value >= 1.0
         |QUALIFY row_number() OVER
         |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+    // quarantine gate: committed survivors (pre-filtered LWW, tag 'kept')
+    // ∪ quarantined violators (verbatim, tagged with the failed rule) —
+    // the two sides must account for every input row
+    "s68_quarantine" ->
+      """SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms,
+        |       'kept' AS tag
+        |FROM events
+        |WHERE value >= 1.0
+        |QUALIFY row_number() OVER
+        |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        |UNION ALL
+        |SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms,
+        |       'value_floor' AS tag
+        |FROM events
+        |WHERE value < 1.0""".stripMargin,
     "s48_partition_ttl" ->
       """WITH m AS (SELECT min(event_type) AS v FROM events)
         |SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms

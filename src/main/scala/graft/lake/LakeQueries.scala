@@ -307,6 +307,33 @@ object LakeQueries {
       t.read().select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
   }
 
+  /** WRITE EXPECTATIONS in QUARANTINE mode (`expect_or_quarantine` — the
+    * DLT parity mode of [[MorTable.withExpectations]]), oracle-checked
+    * end-to-end on BOTH sides of the gate: replay events as two
+    * time-split upserts through a `value >= 1.0` rule in quarantine mode,
+    * then return the committed snapshot (tag `kept`) UNION the quarantine
+    * side relation (tagged with the failed rule name). Together the two
+    * sides must account for every input row — survivors as the
+    * pre-filtered LWW state, violators verbatim with their rule — proving
+    * the map-side split loses nothing and tags correctly. */
+  def quarantineExpectations(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "value", "ts_ms", "ts_ns")
+    val mid = ev.stat.approxQuantile("ts_ns", Array(0.5), 0.01)(0).toLong
+    val path = tempPath("mor-quarantine")
+    val t = new MorTable(spark, path, Seq("user_id"),
+      compactionDeltaCommits = 1000, autoCompact = false)
+      .withExpectations(Seq("value_floor" -> (col("value") >= 1.0)), "quarantine")
+    val ord = Seq(col("ts_ns"), col("event_id"))
+    t.upsert(ev.filter(col("ts_ns") <= mid), ord, batchId = 1L)
+    t.upsert(ev.filter(col("ts_ns") > mid), ord, batchId = 2L)
+    val cols = Seq("user_id", "event_id", "event_type", "value", "ts_ms")
+    val kept = t.read().select(cols.map(col): _*).withColumn("tag", lit("kept"))
+    val quarantined = t.readQuarantine()
+      .select((cols.map(col) :+ col("_rule").as("tag")): _*)
+    graft.TempDirs.materializeAndDelete(kept.unionByName(quarantined), path)
+  }
+
   /** PARTITIONED TIME TRAVEL ([[PartitionedMorTable.readAt]] through SQL
     * `VERSION AS OF`), oracle-checked: replay events as three time-split
     * upserts into the event_type-partitioned lake (compaction fires

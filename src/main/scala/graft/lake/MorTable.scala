@@ -88,7 +88,7 @@ final class MorTable(
 
   /** WRITE EXPECTATIONS (the Hudi pre-commit-validator / Delta CHECK
     * constraint analog): named predicates every NON-tombstone row of a
-    * commit must satisfy. Two modes:
+    * commit must satisfy. Three modes:
     *
     *  - FAIL (default): a violating batch is REFUSED before its instant
     *    publishes — the violation count piggybacks on the commit write
@@ -100,19 +100,33 @@ final class MorTable(
     *    extra job either. Applied to the RAW batch BEFORE per-key dedup
     *    on the upsert family, so a violating latest version never
     *    shadows an older passing version of the same key.
+    *  - QUARANTINE (`withExpectations(exps, "quarantine")` — the DLT
+    *    `expect_or_quarantine` parity mode): violating rows land in the
+    *    table's side relation (`<path>/quarantine/`, read back via
+    *    [[readQuarantine]]) tagged with the failed rule name(s), and the
+    *    commit proceeds with the survivors. Both sides are map-side
+    *    filters of the same batch — the only added cost is the one
+    *    quarantine write job.
     *
     * SQL CHECK-constraint null semantics: a predicate evaluating to NULL
     * (e.g. over a null column) PASSES — only a definite FALSE violates.
     * Per-HANDLE write configuration like Hudi validators, not persisted
     * table state. */
   def withExpectations(exps: Seq[(String, Column)],
-                       dropViolations: Boolean = false): MorTable = {
+                       dropViolations: Boolean = false): MorTable =
+    withExpectations(exps, if (dropViolations) "drop" else "fail")
+
+  /** [[withExpectations]] by mode name: `fail` | `drop` | `quarantine`. */
+  def withExpectations(exps: Seq[(String, Column)], mode: String): MorTable = {
+    require(MorTable.expectModes(mode),
+      s"expectation mode must be one of ${MorTable.expectModes.mkString(", ")}, got '$mode'")
     expectations = exps
-    expectDrop = dropViolations
+    expectMode = mode
     this
   }
   @transient private var expectations: Seq[(String, Column)] = Nil
-  @transient private var expectDrop: Boolean = false
+  @transient private var expectMode: String = "fail"
+  private def expectDrop: Boolean = expectMode != "fail"
 
   // ---------------------------------------------------------------- timeline
 
@@ -279,16 +293,42 @@ final class MorTable(
     this
   }
 
-  /** DROP-mode expectations filter, applied to the RAW batch BEFORE the
-    * per-key dedup: a violating latest version must be quarantined without
-    * shadowing an older passing version of the same key (ingest-gate
-    * semantics). FAIL mode is enforced at commit instead ([[commitDelta]]
-    * — validates what is actually being committed, the Hudi pre-commit-
-    * validator scope). Null predicate results PASS (SQL CHECK rule). */
+  /** DROP/QUARANTINE-mode expectations filter, applied to the RAW batch
+    * BEFORE the per-key dedup: a violating latest version must be
+    * quarantined without shadowing an older passing version of the same
+    * key (ingest-gate semantics). QUARANTINE mode additionally lands the
+    * violating rows in `<path>/quarantine/` tagged `_rule` (the failed
+    * rule names) and `_qtime` — both sides are map-side filters of the
+    * same batch; the quarantine write is the only added job. FAIL mode is
+    * enforced at commit instead ([[commitDelta]] — validates what is
+    * actually being committed, the Hudi pre-commit-validator scope). Null
+    * predicate results PASS (SQL CHECK rule). */
   private def dropViolating(batch: DataFrame): DataFrame =
     if (expectations.isEmpty || !expectDrop) batch
-    else batch.filter(expectations.map { case (_, p) =>
-      coalesce(p, lit(true)) }.reduce(_ && _))
+    else {
+      if (expectMode == "quarantine") {
+        val failed = concat_ws(",", expectations.map { case (n, p) =>
+          when(!coalesce(p, lit(true)), lit(n)) }: _*)
+        batch.filter(expectations.map { case (_, p) =>
+          !coalesce(p, lit(true)) }.reduce(_ || _))
+          .withColumn("_rule", failed)
+          .withColumn("_qtime", lit(MorTable.commitTimeString(System.currentTimeMillis())))
+          .write.mode("append").parquet(s"$path/quarantine")
+      }
+      batch.filter(expectations.map { case (_, p) =>
+        coalesce(p, lit(true)) }.reduce(_ && _))
+    }
+
+  /** The QUARANTINE side relation: rows refused by quarantine-mode
+    * expectations ([[withExpectations]]), each tagged with the failed
+    * rule name(s) (`_rule`) and the refusal time (`_qtime`). Loud when
+    * nothing was ever quarantined (there is no schema to show). */
+  def readQuarantine(): DataFrame = {
+    val q = new Path(s"$path/quarantine")
+    if (!fs.exists(q)) throw new IllegalStateException(
+      s"MorTable at $path has no quarantined rows")
+    spark.read.parquet(MorTable.globSafe(q.toString))
+  }
 
   /** [[upsert]] for a batch the CALLER proved key-distinct (e.g. the
     * output of a per-key argmax): skips the per-key dedup window — one
@@ -2517,6 +2557,9 @@ object MorTable {
   private val heldLocks = new ThreadLocal[Set[String]] {
     override def initialValue(): Set[String] = Set.empty
   }
+
+  /** Legal [[MorTable.withExpectations]] modes. */
+  private[graft] val expectModes: Set[String] = Set("fail", "drop", "quarantine")
 
   private[lake] def commitTimeString(ms: Long): String =
     java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmssSSS")

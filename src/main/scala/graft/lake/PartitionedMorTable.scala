@@ -274,18 +274,49 @@ final class PartitionedMorTable(
     * key) dedup; FAIL mode counts violations via an Observation on the ONE
     * staged cluster write and refuses before any child adopts. */
   def withExpectations(exps: Seq[(String, Column)],
-                       dropViolations: Boolean = false): PartitionedMorTable = {
+                       dropViolations: Boolean = false): PartitionedMorTable =
+    withExpectations(exps, if (dropViolations) "drop" else "fail")
+
+  /** [[withExpectations]] by mode name: `fail` | `drop` | `quarantine`
+    * ([[MorTable.withExpectations]] semantics; the quarantine side
+    * relation lives at the PARENT level, one for the whole table). */
+  def withExpectations(exps: Seq[(String, Column)],
+                       mode: String): PartitionedMorTable = {
+    require(MorTable.expectModes(mode),
+      s"expectation mode must be one of ${MorTable.expectModes.mkString(", ")}, got '$mode'")
     expectations = exps
-    expectDrop = dropViolations
+    expectMode = mode
     this
   }
   @transient private var expectations: Seq[(String, Column)] = Nil
-  @transient private var expectDrop: Boolean = false
+  @transient private var expectMode: String = "fail"
+  private def expectDrop: Boolean = expectMode != "fail"
 
   private def dropViolating(batch: DataFrame): DataFrame =
     if (expectations.isEmpty || !expectDrop) batch
-    else batch.filter(expectations.map { case (_, p) =>
-      coalesce(p, lit(true)) }.reduce(_ && _))
+    else {
+      if (expectMode == "quarantine") {
+        val failed = concat_ws(",", expectations.map { case (n, p) =>
+          when(!coalesce(p, lit(true)), lit(n)) }: _*)
+        batch.filter(expectations.map { case (_, p) =>
+          !coalesce(p, lit(true)) }.reduce(_ || _))
+          .withColumn("_rule", failed)
+          .withColumn("_qtime",
+            lit(MorTable.commitTimeString(System.currentTimeMillis())))
+          .write.mode("append").parquet(s"$path/quarantine")
+      }
+      batch.filter(expectations.map { case (_, p) =>
+        coalesce(p, lit(true)) }.reduce(_ && _))
+    }
+
+  /** The parent-level QUARANTINE side relation ([[MorTable
+    * .readQuarantine]] semantics). */
+  def readQuarantine(): DataFrame = {
+    val q = new Path(hPath, "quarantine")
+    if (!fs.exists(q)) throw new IllegalStateException(
+      s"PartitionedMorTable at $path has no quarantined rows")
+    spark.read.parquet(MorTable.globSafe(q.toString))
+  }
 
   /** Keyed upsert of a batch: ONE staged cluster write partitioned by the
     * partition column, then a metadata-only adoption per touched partition,

@@ -172,15 +172,15 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
       .map(_.split(",").toSeq.map(_.trim)).getOrElse(keys)
     val partCol = parameters.get("partition")
     val declared = policyOf(parameters)
-    val (exps, expDrop) = expectationsOf(parameters)
+    val (exps, expMode) = expectationsOf(parameters)
     def table() = {
       val t = MorTable.resolve(sqlContext.sparkSession, path, keys, declared)
-      if (exps.nonEmpty) t.withExpectations(exps, expDrop) else t
+      if (exps.nonEmpty) t.withExpectations(exps, expMode) else t
     }
     def partTable(p: String) = {
       val t = PartitionedMorTable.resolve(
         sqlContext.sparkSession, path, keys, p, declared)
-      if (exps.nonEmpty) t.withExpectations(exps, expDrop) else t
+      if (exps.nonEmpty) t.withExpectations(exps, expMode) else t
     }
     def exists = partCol match {
       case Some(p) => partTable(p).partitions().nonEmpty
@@ -221,23 +221,23 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
 
 object DefaultSource {
   /** Declared WRITE EXPECTATIONS: `'expect.<name>' = '<sql predicate>'`
-    * options (+ `'expect.mode' = 'fail'|'drop'`, default fail) — the
-    * SQL/DataFrame/streaming surface of
+    * options (+ `'expect.mode' = 'fail'|'drop'|'quarantine'`, default
+    * fail) — the SQL/DataFrame/streaming surface of
     * [[graft.lake.MorTable.withExpectations]]. */
   private[mor] def expectationsOf(parameters: Map[String, String])
-      : (Seq[(String, org.apache.spark.sql.Column)], Boolean) = {
+      : (Seq[(String, org.apache.spark.sql.Column)], String) = {
     val exps = parameters.toSeq.collect {
       case (k, v) if k.toLowerCase.startsWith("expect.") &&
           !k.equalsIgnoreCase("expect.mode") =>
         k.substring("expect.".length) -> org.apache.spark.sql.functions.expr(v)
     }.sortBy(_._1)
-    val drop = parameters.find(_._1.equalsIgnoreCase("expect.mode")).map(_._2) match {
-      case Some("drop") => true
-      case Some("fail") | None => false
+    val mode = parameters.find(_._1.equalsIgnoreCase("expect.mode")).map(_._2) match {
+      case Some(m) if graft.lake.MorTable.expectModes(m) => m
+      case None => "fail"
       case Some(other) => throw new IllegalArgumentException(
-        s"expect.mode must be 'fail' or 'drop', got '$other'")
+        s"expect.mode must be 'fail', 'drop' or 'quarantine', got '$other'")
     }
-    (exps, drop)
+    (exps, mode)
   }
 }
 
@@ -254,14 +254,14 @@ private[mor] final class MorStreamSink(
     expectOpts: Map[String, String] = Map.empty)
     extends org.apache.spark.sql.execution.streaming.Sink {
 
-  private lazy val (exps, expDrop) = DefaultSource.expectationsOf(expectOpts)
+  private lazy val (exps, expMode) = DefaultSource.expectationsOf(expectOpts)
   private lazy val table = {
     val t = MorTable.resolve(spark, path, keys, declared)
-    if (exps.nonEmpty) t.withExpectations(exps, expDrop) else t
+    if (exps.nonEmpty) t.withExpectations(exps, expMode) else t
   }
   private lazy val partTable = {
     val t = PartitionedMorTable.resolve(spark, path, keys, partitionCol.get, declared)
-    if (exps.nonEmpty) t.withExpectations(exps, expDrop) else t
+    if (exps.nonEmpty) t.withExpectations(exps, expMode) else t
   }
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
@@ -516,15 +516,15 @@ final case class MorRelation(sqlContext: SQLContext, path: String,
         !readOptimized,
       "graft.mor: cannot INSERT into a time-travel, incremental, CDC or " +
         "read-optimized read")
-    val (exps, expDrop) = DefaultSource.expectationsOf(expectOpts)
+    val (exps, expMode) = DefaultSource.expectationsOf(expectOpts)
     partitionCol match {
       case Some(_) =>
-        val t = if (exps.nonEmpty) partTable.withExpectations(exps, expDrop)
+        val t = if (exps.nonEmpty) partTable.withExpectations(exps, expMode)
                 else partTable
         if (overwrite) t.drop()
         t.upsert(data, keys.map(col)): Unit
       case None =>
-        val t = if (exps.nonEmpty) table.withExpectations(exps, expDrop)
+        val t = if (exps.nonEmpty) table.withExpectations(exps, expMode)
                 else table
         if (overwrite) t.drop()
         t.upsert(data, keys.map(col)): Unit

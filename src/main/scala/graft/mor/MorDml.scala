@@ -88,6 +88,15 @@ class MorDmlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
         if MorDml.morOptions(spark, a.table).isDefined =>
       GraftAddColumnsCommand(a.table, a.colsToAdd)
 
+    // SQL ALTER TABLE … DROP PARTITION: the v1 command's run() requires a
+    // Hive partition provider and refuses datasource tables — reroute the
+    // standard DDL spelling onto the engine verb (the same
+    // PartitionedMorTable.dropPartitions behind CALL
+    // graft_ops.drop_partition: table-locked, mid-publish-writer refusal)
+    case d: org.apache.spark.sql.execution.command.AlterTableDropPartitionCommand
+        if MorDml.morOptions(spark, d.tableName).isDefined =>
+      GraftDropPartitionCommand(d.tableName, d.specs, d.ifExists)
+
     case d @ DeleteFromTable(MorTarget(rel), cond) if d.childrenResolved && cond.resolved =>
       // WHERE-implied key/partition pins route the statement through the
       // point read / pruned partition set instead of a snapshot scan
@@ -370,6 +379,49 @@ case class GraftAddColumnsCommand(
         MorTable.resolve(spark, path, keys).addColumns(cols).read().schema
     }
     spark.sessionState.catalog.alterTableDataSchema(tid, widened)
+    spark.sessionState.catalog.refreshTable(tid)
+    Seq.empty
+  }
+}
+
+/** SQL `ALTER TABLE t DROP PARTITION (p='v')[, PARTITION (p='w')]` on a
+  * graft.mor catalog table (the ANSI spelling of the partition-TTL verb):
+  * routes onto [[graft.lake.PartitionedMorTable.dropPartitions]] — which
+  * serializes under the table lock and refuses when a writer is provably
+  * mid-publish — then refreshes the catalog entry. Refused loudly on an
+  * unpartitioned table and on a spec naming anything but the table's one
+  * partition column. `IF EXISTS` downgrades missing partitions to no-ops
+  * (standard semantics); dropped data is physically deleted (there is no
+  * Hive trash here, so PURGE and plain drops behave identically). */
+case class GraftDropPartitionCommand(
+    tid: org.apache.spark.sql.catalyst.TableIdentifier,
+    specs: Seq[Map[String, String]],
+    ifExists: Boolean)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val opts = MorDml.morOptions(spark, tid).getOrElse(
+      throw new IllegalStateException(s"$tid is not a graft.mor table"))
+    val path = opts.getOrElse("path", throw new IllegalArgumentException(
+      s"graft.mor table $tid has no path option"))
+    val keys = opts.getOrElse("keys", "").split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+    val pcol = opts.getOrElse("partition",
+      throw new UnsupportedOperationException(
+        s"ALTER TABLE DROP PARTITION: graft.mor table $tid is not partitioned"))
+    val values = specs.map { spec =>
+      require(spec.size == 1 && spec.keys.head.equalsIgnoreCase(pcol),
+        s"partition spec (${spec.keys.mkString(", ")}) must name exactly " +
+          s"the table's partition column ($pcol)")
+      spec.values.head
+    }
+    val t = PartitionedMorTable.resolve(spark, path, keys, pcol)
+    if (!ifExists) {
+      val present = t.partitions().toSet
+      val missing = values.filterNot(present)
+      require(missing.isEmpty,
+        s"partition(s) not found: ${missing.map(v => s"$pcol=$v").mkString(", ")} " +
+          "(use IF EXISTS to ignore)")
+    }
+    t.dropPartitions(values)
     spark.sessionState.catalog.refreshTable(tid)
     Seq.empty
   }

@@ -297,6 +297,58 @@ class MorDataSourceSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS mor_exp_t")
   }
 
+  test("quarantine expectations: violating rows land tagged in the side relation") {
+    val path = TestSpark.tmpDir("dsv1-quarantine")
+    val t = new MorTable(spark, path, Seq("uuid"),
+      compactionDeltaCommits = 1000, autoCompact = false)
+      .withExpectations(Seq(
+        "positive_v" -> (col("v") >= 0),
+        "small_v" -> (col("v") < 100)), "quarantine")
+    t.upsert(Seq(("a", 1), ("b", -2), ("c", 500), ("d", -999))
+      .toDF("uuid", "v"), Nil, batchId = 1L)
+    // survivors committed; violators in the side relation with their rules
+    assert(t.read().collect().map(_.getString(0)).sorted.toSeq == Seq("a"),
+      "only the row passing every rule survives the gate")
+    val q = t.readQuarantine().collect()
+      .map(r => r.getAs[String]("uuid") -> r.getAs[String]("_rule")).toMap
+    assert(q == Map("b" -> "positive_v", "c" -> "small_v",
+      "d" -> "positive_v"), q)
+    // the gate loses nothing: kept ∪ quarantined == input
+    assert(t.read().count() + t.readQuarantine().count() == 4)
+    // quarantine accumulates across commits (append semantics)
+    t.upsert(Seq(("e", -1)).toDF("uuid", "v"), Nil, batchId = 2L)
+    assert(t.readQuarantine().count() == 4)
+    // pre-dedup gate: a violating LATEST must not shadow an older passing
+    // version of the same key (same rule as DROP mode)
+    t.upsert(Seq(("a", 7), ("a", -8)).toDF("uuid", "v"),
+      Seq(col("v")), batchId = 3L)
+    assert(t.read().filter(col("uuid") === "a").head().getInt(1) == 7)
+    // the expect.mode='quarantine' option through the format write path
+    val path2 = TestSpark.tmpDir("dsv1-quarantine-opt")
+    Seq(("x", 4), ("y", -7)).toDF("uuid", "v").write.format("graft.mor")
+      .option("keys", "uuid").option("expect.positive_v", "v >= 0")
+      .option("expect.mode", "quarantine").mode("append").save(path2)
+    val t2 = MorTable(spark, path2, Seq("uuid"))
+    assert(t2.read().collect().map(_.getString(0)).toSeq == Seq("x"))
+    assert(t2.readQuarantine().head().getAs[String]("_rule") == "positive_v")
+    // loud when nothing was ever quarantined
+    val path3 = TestSpark.tmpDir("dsv1-quarantine-none")
+    val t3 = MorTable(spark, path3, Seq("uuid"))
+    t3.upsert(Seq(("z", 1)).toDF("uuid", "v"), Nil, batchId = 1L)
+    intercept[IllegalStateException](t3.readQuarantine())
+    // partitioned form: parent-level side relation
+    val ppath = TestSpark.tmpDir("dsv1-quarantine-part")
+    Seq(("p1", "a", 5), ("p2", "b", -6)).toDF("uuid", "kind", "v")
+      .write.format("graft.mor").option("keys", "uuid")
+      .option("partition", "kind").option("expect.positive_v", "v >= 0")
+      .option("expect.mode", "quarantine").mode("append").save(ppath)
+    val pt = new graft.lake.PartitionedMorTable(spark, ppath, Seq("uuid"), "kind")
+    assert(pt.read().collect().map(_.getString(0)).toSeq == Seq("p1"))
+    assert(pt.readQuarantine().collect()
+      .map(r => r.getAs[String]("uuid") -> r.getAs[String]("_rule")).toMap ==
+      Map("p2" -> "positive_v"))
+  }
+
   test("PrunedFilteredScan: partition equality prunes a partitioned table's scan") {
     import org.apache.spark.sql.sources.EqualTo
     val path = TestSpark.tmpDir("dsv1-push-part")
@@ -718,6 +770,58 @@ class MorDataSourceSpec extends AnyFunSuite {
       assert(got == Seq(("id1", "a", 1, None), ("id2", "b", 2, None),
         ("id3", "a", 3, Some(0.5))), got)
     } finally spark.sql("DROP TABLE IF EXISTS mor_alterp_t")
+  }
+
+  test("ANSI ALTER TABLE DROP PARTITION routes onto dropPartitions") {
+    val path = TestSpark.tmpDir("dsv1-droppart")
+    spark.sql("DROP TABLE IF EXISTS mor_dp_t")
+    try {
+      val t = new graft.lake.PartitionedMorTable(spark, path, Seq("uuid"), "kind",
+        compactionDeltaCommits = 1000, autoCompact = false)
+      t.upsert(Seq(("id1", "a", 1), ("id2", "b", 2), ("id3", "c", 3))
+        .toDF("uuid", "kind", "v"), Nil, batchId = 1L)
+      spark.sql(s"CREATE TABLE mor_dp_t USING `graft.mor` " +
+        s"OPTIONS (path '$path', keys 'uuid', partition 'kind')")
+      spark.sql("ALTER TABLE mor_dp_t DROP PARTITION (kind='a')")
+      assert(t.partitions() == Seq("b", "c"))
+      assert(spark.sql("SELECT count(*) FROM mor_dp_t").head().getLong(0) == 2)
+      // missing partition: refused without IF EXISTS, no-op with it
+      val e1 = intercept[Exception](
+        spark.sql("ALTER TABLE mor_dp_t DROP PARTITION (kind='zzz')"))
+      assert(e1.getMessage.contains("not found"), e1.getMessage)
+      spark.sql("ALTER TABLE mor_dp_t DROP IF EXISTS PARTITION (kind='zzz'), PARTITION (kind='c')")
+      assert(t.partitions() == Seq("b"))
+      // spec must name the table's one partition column
+      val e2 = intercept[Exception](
+        spark.sql("ALTER TABLE mor_dp_t DROP PARTITION (uuid='id2')"))
+      assert(e2.getMessage.contains("partition column"), e2.getMessage)
+      // a provably mid-publish writer blocks the drop (fresh parent marker)
+      val f = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val marker = new org.apache.hadoop.fs.Path(path, "_timeline/99.delta.inflight")
+      val out = f.create(marker, false); out.close()
+      val e3 = intercept[Exception](
+        spark.sql("ALTER TABLE mor_dp_t DROP PARTITION (kind='b')"))
+      assert(e3.getMessage.contains("mid-publish"), e3.getMessage)
+      assert(t.partitions() == Seq("b"), "refused drop must delete nothing")
+      f.delete(marker, false)
+      spark.sql("ALTER TABLE mor_dp_t DROP PARTITION (kind='b')")
+      assert(t.partitions().isEmpty)
+    } finally spark.sql("DROP TABLE IF EXISTS mor_dp_t")
+  }
+
+  test("ANSI DROP PARTITION on an unpartitioned graft.mor table is refused loudly") {
+    val path = TestSpark.tmpDir("dsv1-droppart-unp")
+    spark.sql("DROP TABLE IF EXISTS mor_dpu_t")
+    try {
+      Seq(("id1", 1)).toDF("uuid", "v")
+        .write.format("graft.mor").option("keys", "uuid").save(path)
+      spark.sql(s"CREATE TABLE mor_dpu_t USING `graft.mor` " +
+        s"OPTIONS (path '$path', keys 'uuid')")
+      val e = intercept[Exception](
+        spark.sql("ALTER TABLE mor_dpu_t DROP PARTITION (uuid='id1')"))
+      assert(e.getMessage.contains("not partitioned"), e.getMessage)
+    } finally spark.sql("DROP TABLE IF EXISTS mor_dpu_t")
   }
 
   test("partitioned time travel: asOf/asOfTimestamp options and SQL VERSION/TIMESTAMP AS OF") {
