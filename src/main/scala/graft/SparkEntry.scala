@@ -19,19 +19,21 @@ object SparkEntry {
     graft.streaming.PipelineQueries.ticketView(spark, "/root/testdata/sf0.001")
 
   /** Gate entries. Every entry has a DuckDB oracle in [[oracleSql]] EXCEPT
-    * seven that are rows-only BY DESIGN — their production hash family
+    * four that are rows-only BY DESIGN — their production hash family
     * (xxhash64 / Spark murmur3) has no DuckDB equivalent, so each is
     * instead pinned by an ORACLE-GREEN portable twin (same algorithm over
     * md5, which both engines share) and/or an exact-ground-truth recall
     * spec. Do not re-litigate these; the mapping (also in COVERAGE.md):
-    *   d2_minhash_pairs   → twin d8_minhash_portable (+ DedupSpec jaccard)
-    *   d3_simhash_pairs   → twin d9_simhash_portable
     *   d4_embed_neardup   → exact d7_embed_neardup_exact (recall ≥0.8 spec)
-    *   d5_minhash_groups  → twin d11_minhash_union
     *   s10_ann_lsh        → twin s20_ann_lsh_portable (recall ≥0.9 spec)
     *   s11_ann_ivf        → twin s18_ann_ivf_portable (recall ≥0.6 spec)
     *   t3_text_enrich     → twin t25_enrich_portable (composed output:
     *                        lang_pred + quality + md5-family fingerprint)
+    * The dedup family (d2/d3/d5) oracle-checks DIRECTLY since round 11:
+    * the portable md5 hash family is the gate-scale default (xxhash sits
+    * behind the `family = "xx"` flag for raw throughput at 100 TB — same
+    * plan shape, different digests); d8/d9/d11 remain as independent pins
+    * of the sketch machinery at other parameters.
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r1_full_scan"       -> ((s, d) => RelationalOps.fullScan(s, d)),
@@ -1562,6 +1564,107 @@ object SparkEntry {
         |    WHEN 2*len(list_filter(hs, x -> (x >> (3*16+j)) & 1 = 1)) > n
         |    THEN (1<<j)::BIGINT ELSE 0 END))::BIGINT AS c3
         |FROM h""".stripMargin,
+    // the PRODUCTION minhash pair entry (md5 family default since r11):
+    // 64 components, 16 bands x 4 rows, est_jaccard >= 0.3
+    "d2_minhash_pairs" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                     x -> x <> '') AS words
+        |  FROM documents
+        |), t AS (
+        |  SELECT doc_id, CASE WHEN len(words) >= 3 THEN
+        |      list_transform(range(1, len(words) - 1),
+        |        i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+        |    ELSE [array_to_string(words, ' ')] END AS sh
+        |  FROM w
+        |), sig AS (
+        |  SELECT doc_id, list_transform(range(0, 64), i ->
+        |    list_min(list_transform(sh,
+        |      s -> ('0x' || substr(md5(s || '#' || i::VARCHAR), 1, 8))::BIGINT))) AS sig
+        |  FROM t
+        |), bands AS (
+        |  SELECT doc_id, sig, unnest(range(0, 16)) AS band FROM sig
+        |), keyed AS (
+        |  SELECT doc_id, sig, band,
+        |         sig[band*4 + 1 : band*4 + 4] AS bk
+        |  FROM bands
+        |), p AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         a.sig AS sa, b.sig AS sb
+        |  FROM keyed a JOIN keyed b
+        |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+        |)
+        |SELECT id_a, id_b,
+        |       (len(list_filter(range(1, 65), i -> sa[i] = sb[i])) / 64.0)
+        |         AS est_jaccard
+        |FROM p
+        |WHERE len(list_filter(range(1, 65), i -> sa[i] = sb[i])) / 64.0 >= 0.3""".stripMargin,
+    // the PRODUCTION simhash pair entry (md5 token family default since
+    // r11): chunk-pigeonhole candidates, xor-popcount hamming <= 3
+    "d3_simhash_pairs" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                     x -> x <> '') AS toks
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id,
+        |         list_transform(toks,
+        |           t -> ('0x' || substr(md5(t), 1, 16))::UBIGINT) AS hs,
+        |         len(toks) AS n
+        |  FROM w
+        |), ch AS (
+        |  SELECT doc_id, list_transform(range(0, 4), c ->
+        |    (list_sum(list_transform(range(0, 16), j -> CASE
+        |      WHEN 2*len(list_filter(hs, x -> (x >> (c*16+j)) & 1 = 1)) > n
+        |      THEN (1<<j)::BIGINT ELSE 0 END)))::BIGINT) AS cs
+        |  FROM h
+        |), u AS (
+        |  SELECT doc_id, cs, chunk, cs[chunk + 1] AS cv
+        |  FROM ch, unnest(range(0, 4)) AS t(chunk)
+        |), p AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         a.cs AS ca, b.cs AS cb
+        |  FROM u a JOIN u b
+        |    ON a.chunk = b.chunk AND a.cv = b.cv AND a.doc_id < b.doc_id
+        |)
+        |SELECT id_a, id_b,
+        |  (list_sum(list_transform(range(1, 5),
+        |     i -> bit_count(xor(ca[i], cb[i])))))::BIGINT AS hamming
+        |FROM p
+        |WHERE list_sum(list_transform(range(1, 5),
+        |        i -> bit_count(xor(ca[i], cb[i])))) <= 3""".stripMargin,
+    // the PRODUCTION per-source group-signature entry (md5 family default
+    // since r11): group sig = elementwise min over every shingle of every
+    // doc in the source (the minhash_agg set-union identity), pairwise
+    // estimated jaccard between sources
+    "d5_minhash_groups" ->
+      """WITH w AS (
+        |  SELECT source,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                     x -> x <> '') AS words
+        |  FROM documents
+        |), t AS (
+        |  SELECT source, CASE WHEN len(words) >= 3 THEN
+        |      list_transform(range(1, len(words) - 1),
+        |        i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+        |    ELSE [array_to_string(words, ' ')] END AS sh
+        |  FROM w
+        |), e AS (
+        |  SELECT source, unnest(sh) AS s FROM t
+        |), comp AS (
+        |  SELECT source, i,
+        |         min(('0x' || substr(md5(s || '#' || i::VARCHAR), 1, 8))::BIGINT) AS h
+        |  FROM e, unnest(range(0, 64)) AS u(i)
+        |  GROUP BY source, i
+        |), sig AS (
+        |  SELECT source, list(h ORDER BY i) AS sig FROM comp GROUP BY source
+        |)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  round(len(list_filter(range(1, 65), i -> a.sig[i] = b.sig[i])) / 64.0, 6)
+        |    AS est_jaccard
+        |FROM sig a JOIN sig b ON a.source < b.source""".stripMargin,
     "d8_minhash_portable" ->
       """WITH w AS (
         |  SELECT doc_id,

@@ -376,10 +376,23 @@ object Dedup {
     * Returns (id_a, id_b, est_jaccard) with id_a < id_b.
     *
     * bands*rowsPerBand must equal numHashes. With 16×4 the collision curve
-    * catches jaccard ≥ ~0.5 reliably. */
+    * catches jaccard ≥ ~0.5 reliably.
+    *
+    * `family` picks the hash family, NEVER the plan shape (pinned
+    * signatures → banded equi-join → estimate filter, both ways):
+    *  - `"md5"` (default): the engine-portable family
+    *    (expr.MinHashMd5 — word-3-shingles, component i =
+    *    uint32(md5(s||"#"||i))), banded by the band SLICE itself, so an
+    *    independent engine reproduces every pair bit-for-bit (this is
+    *    what lets the gate oracle-check the production entry).
+    *  - `"xx"`: one xxhash64-mixed hash per shingle + the universal
+    *    (a·h+b) mod p family and xxhash-hashed band keys — k× fewer
+    *    digests per shingle and 8-byte shuffle keys instead of
+    *    rowsPer×8-byte slices; the raw-throughput choice at 100 TB. */
   def minhashLsh(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                  shingleK: Int = 3, numHashes: Int = 64,
-                 bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+                 bands: Int = 16, threshold: Double = 0.5,
+                 family: String = "md5"): DataFrame = {
     val rowsPer = numHashes / bands
     require(rowsPer * bands == numHashes, "bands must divide numHashes")
     // fully native front end: compiled shingle hashing (no shingle strings
@@ -391,14 +404,28 @@ object Dedup {
     // sides, and without the checkpoint each side re-runs text→shingle→sig
     // over the corpus (signatures are computed once and stored in any real
     // dedup system — this is that materialization)
-    val sigs = docs
-      .select(col(idCol),
-        call_function("shingle_hashes", col(textCol), lit(shingleK)).as("__h0"))
-      .select(col(idCol), call_function("minhash_sig", col("__h0")).as("sig"))
-      .localCheckpoint(true)
-    val banded = sigs.select(col(idCol), col("sig"),
-      posexplode(call_function("minhash_bands", col("sig"), lit(bands))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val sigs = (family match {
+      case "md5" =>
+        require(shingleK == 3, "the md5 family pins word-3-shingles")
+        docs.select(col(idCol),
+          call_function("minhash_md5", col(textCol), lit(numHashes)).as("sig"))
+      case "xx" =>
+        docs.select(col(idCol),
+          call_function("shingle_hashes", col(textCol), lit(shingleK)).as("__h0"))
+          .select(col(idCol), call_function("minhash_sig", col("__h0")).as("sig"))
+      case other => throw new IllegalArgumentException(
+        s"minhashLsh family must be 'md5' or 'xx', got '$other'")
+    }).localCheckpoint(true)
+    // md5 family bands by the SLICE (portable join key); xx hashes each
+    // slice to one long (smaller shuffle key, and band-hash collisions can
+    // only ADD candidates, which the estimate filter re-judges)
+    val banded = (family match {
+      case "md5" => sigs.select(col(idCol), col("sig"),
+        posexplode(array((0 until bands).map(b =>
+          slice(col("sig"), b * rowsPer + 1, rowsPer)): _*)))
+      case _ => sigs.select(col(idCol), col("sig"),
+        posexplode(call_function("minhash_bands", col("sig"), lit(bands))))
+    }).withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
     val a = banded.select(col(idCol).as("id_a"), col("sig").as("sig_a"),
       col("band"), col("band_hash"))
     val b = banded.select(col(idCol).as("id_b"), col("sig").as("sig_b"),
@@ -585,18 +612,30 @@ object Dedup {
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming, found by
     * chunk-banding (pigeonhole: ≤3 differing bits over 4 16-bit chunks ⇒
-    * some chunk equal) then exact xor-popcount verify. */
+    * some chunk equal) then exact xor-popcount verify.
+    *
+    * `family` picks the TOKEN hash family only — the chunk join key is
+    * the chunk value itself either way, so only the signature stage
+    * differs: `"md5"` (default) is the engine-portable expr.SimHashMd5
+    * family (bit j of token t = bit j of md5(t) — what lets the gate
+    * oracle-check this entry); `"xx"` is one xxhash64 per token, the
+    * raw-throughput choice at 100 TB. */
   def simhashNearDup(docs: DataFrame, textCol: String = "text",
-                     idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
+                     idCol: String = "doc_id", maxHamming: Int = 3,
+                     family: String = "md5"): DataFrame = {
     // native codegen'd chunks (graft.functions.expr.SimHashChunks) — the
     // declarative simhashChunksFromHashes stays as the documented fold form
     graft.GraftFunctions.register(docs.sparkSession)
     // pinned once across the chunk self-join (see minhashLsh)
-    val sigs = docs
-      .select(col(idCol),
+    val sigs = (family match {
+      case "md5" => docs.select(col(idCol),
+        call_function("simhash_md5", col(textCol)).as("ch"))
+      case "xx" => docs.select(col(idCol),
         call_function("token_hashes", col(textCol)).as("__th"))
-      .select(col(idCol), call_function("simhash_chunks", col("__th")).as("ch"))
-      .localCheckpoint(true)
+        .select(col(idCol), call_function("simhash_chunks", col("__th")).as("ch"))
+      case other => throw new IllegalArgumentException(
+        s"simhashNearDup family must be 'md5' or 'xx', got '$other'")
+    }).localCheckpoint(true)
     val chunked = sigs.select(col(idCol), col("ch"), posexplode(col("ch")))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
     val a = chunked.select(col(idCol).as("id_a"), col("ch").as("ch_a"),

@@ -14,11 +14,16 @@ object LlmQueries {
   def exactDedup(spark: SparkSession, dir: String): DataFrame =
     Dedup.exactDedup(Tables.documents(spark, dir))
 
-  /** MinHash-LSH near-dup candidate pairs (rows-only; recall tested). */
+  /** MinHash-LSH near-dup candidate pairs, oracle-checked bit-for-bit:
+    * the portable md5 family is the gate-scale default (the xxhash
+    * family sits behind `family = "xx"` for raw throughput at 100 TB —
+    * same plan, different digests; recall additionally tested in
+    * DedupSpec). */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(Tables.documents(spark, dir), threshold = 0.3)
 
-  /** SimHash near-dup pairs, hamming ≤ 3 (rows-only). */
+  /** SimHash near-dup pairs, hamming ≤ 3, oracle-checked bit-for-bit
+    * (portable md5 token family by default; xxhash behind `family`). */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDup(Tables.documents(spark, dir))
 
@@ -436,14 +441,23 @@ object LlmQueries {
   }
 
   /** Corpus-level MinHash via the minhash_agg custom aggregate: one
-    * signature per source, then pairwise estimated Jaccard between sources
-    * (rows-only; the union identity is property-tested). */
-  def minhashGroups(spark: SparkSession, dir: String): DataFrame = {
+    * signature per source (set-union = elementwise min), then pairwise
+    * estimated Jaccard between sources. Oracle-checked: the portable md5
+    * signature family (the gate-scale default across the dedup family —
+    * swap `family` for xxhash raw throughput at 100 TB, plan unchanged;
+    * d11 additionally pins the aggregate's raw registers). */
+  def minhashGroups(spark: SparkSession, dir: String,
+                    family: String = "md5"): DataFrame = {
     graft.GraftFunctions.register(spark)
-    val sigs = Tables.documents(spark, dir)
-      .select(col("source"), Dedup.shingleHashes(col("text")).as("__h0"))
-      .select(col("source"), call_function("minhash_sig", col("__h0")).as("sig"))
-      .groupBy("source").agg(call_function("minhash_agg", col("sig")).as("gsig"))
+    val perDoc = family match {
+      case "md5" => Tables.documents(spark, dir)
+        .select(col("source"), call_function("minhash_md5", col("text"), lit(64)).as("sig"))
+      case _ => Tables.documents(spark, dir)
+        .select(col("source"), Dedup.shingleHashes(col("text")).as("__h0"))
+        .select(col("source"), call_function("minhash_sig", col("__h0")).as("sig"))
+    }
+    val sigs = perDoc
+      .groupBy("source").agg(call_function("minhash_agg", col("sig"), lit(64)).as("gsig"))
     val a = sigs.select(col("source").as("src_a"), col("gsig").as("ga"))
     val b = sigs.select(col("source").as("src_b"), col("gsig").as("gb"))
     a.join(b, col("src_a") < col("src_b"))
