@@ -558,6 +558,13 @@ final class MorTable(
         sCols.flatMap(c => Seq(
           min(col(c).cast("double")).as(s"mn_$c"),
           max(col(c).cast("double")).as(s"mx_$c"))) ++
+        // per-file HLL NDV registers for the stat columns (p=12, ±1.6%),
+        // engine-portable hash family (first 8 md5 hex digits of the CAST
+        // string): slot-max merge gives the NDV of ANY file subset, and
+        // the table-level estimate rides the SAME pass as a header field
+        // (ndvObs below) for the planner's O(1) colStats read
+        sCols.map(c => call_function("hll_agg",
+          MorTable.hash32(col(c)), lit(MorTable.ndvP)).as(s"hll_$c")) ++
         // SECONDARY bloom index (the Hudi 1.0 secondary-index analog):
         // per-file membership filters over declared non-key columns,
         // stringified with Spark CAST semantics
@@ -579,11 +586,34 @@ final class MorTable(
       // the commit-dir cache work removed
       val rowsObs = new org.apache.spark.sql.Observation(
         s"graft_manifest_rows_${seq}_${System.nanoTime()}")
-      scanDir(s"$path/base/$seq")
+      // table-level NDV registers ride the same pass as a PRE-groupBy
+      // observation (TypedImperativeAggregates are legal CollectMetrics
+      // aggregates, like percentile_approx) — estimated driver-side into
+      // the header, so CBO colStats read one cached header field, zero jobs
+      val ndvObs =
+        if (sCols.isEmpty) None
+        else Some(new org.apache.spark.sql.Observation(
+          s"graft_manifest_ndv_${seq}_${System.nanoTime()}"))
+      val scan0 = scanDir(s"$path/base/$seq")
+      val scanObs = ndvObs match {
+        case Some(o) =>
+          val es = sCols.map(c => call_function("hll_agg",
+            MorTable.hash32(col(c)), lit(MorTable.ndvP)).as(s"ndv_$c"))
+          scan0.observe(o, es.head, es.tail: _*)
+        case None => scan0
+      }
+      // table-level column min/max fold over the per-file stats rows on
+      // the same post-agg observation as the row total (CBO's equality
+      // interval check needs BOTH bounds — a numeric column with no
+      // min/max reads as an EMPTY interval to FilterEstimation, not an
+      // unknown one, and would estimate every literal to zero rows)
+      val rowsAggs = Seq(sum(col("rows")).as("total")) ++ sCols.flatMap(c =>
+        Seq(min(col(s"mn_$c")).as(s"cmin_$c"), max(col(s"mx_$c")).as(s"cmax_$c")))
+      scanObs
         .groupBy(regexp_extract(input_file_name(), "[^/]*$", 0).as("fname"))
         .agg(aggs.head, aggs.tail: _*)
         .withColumn("file", concat(lit(prefix), col("fname")))
-        .observe(rowsObs, sum(col("rows")).as("total"))
+        .observe(rowsObs, rowsAggs.head, rowsAggs.tail: _*)
         .coalesce(shards)
         .write.mode("overwrite").parquet(statsDir.toString)
       val dir = new Path(hPath, "manifest")
@@ -595,9 +625,31 @@ final class MorTable(
       def js(s: String): String = MorTable.jsEscape(s)
       def colArr(cs: Seq[String]): String =
         cs.map(c => "\"" + js(c) + "\"").mkString(",")
+      val ndv: Map[String, Long] = ndvObs.map { o =>
+        val row = o.get
+        sCols.flatMap(c => row.get(s"ndv_$c").collect {
+          case regs: scala.collection.Seq[_] =>
+            c -> math.round(MorTable.hllEstimate(
+              regs.map(_.asInstanceOf[Number].intValue()).toSeq))
+        }).toMap
+      }.getOrElse(Map.empty)
+      val rowsMap = rowsObs.get
+      def bound(k: String): Option[Double] = rowsMap.get(k).collect {
+        case d: java.lang.Number => d.doubleValue()
+      }
+      val ndvJson =
+        if (ndv.isEmpty) ""
+        else {
+          def m(name: String, f: String => Option[String]): String =
+            s""""$name":{${sCols.flatMap(c => f(c).map(v =>
+              "\"" + js(c) + "\":" + v)).mkString(",")}},"""
+          m("ndv", c => ndv.get(c).map(_.toString)) +
+            m("colMin", c => bound(s"cmin_$c").map(_.toString)) +
+            m("colMax", c => bound(s"cmax_$c").map(_.toString))
+        }
       val json =
         s"""{"baseSeq":$seq,"filter":"_deleted = false",""" +
-          s""""fileCount":${files.size},"rows":$totalRows,""" +
+          s""""fileCount":${files.size},"rows":$totalRows,$ndvJson""" +
           s""""statCols":[${colArr(sCols)}],""" +
           s""""indexCols":[${colArr(iCols)}],""" +
           s""""statsDir":"stats/$seq"}"""
@@ -1192,6 +1244,29 @@ final class MorTable(
     deltas.foldLeft(base) { (acc, d) =>
       for (a <- acc; r <- footerRowCount(s"$path/delta/${d.seq}")) yield a + r
     }
+  }
+
+  /** Planner COLUMN-NDV statistics: table-level HLL distinct-count
+    * estimates per declared stat column, read from the last compaction's
+    * manifest header — ONE cached header field, no job (the estimate rode
+    * the compaction stats pass as an Observation). Empty before the first
+    * manifest, for pre-round-11 manifests, or when no stat columns are
+    * declared. An ESTIMATE at the compaction boundary (±1.6%, live deltas
+    * not folded in) — exactly the accuracy class CBO selectivity wants. */
+  def colNdv(): Map[String, Long] = {
+    val (lastCompact, _) = liveDeltas(timeline())
+    lastCompact.flatMap(c => manifestHeader(c.seq)).map(_.ndv).getOrElse(Map.empty)
+  }
+
+  /** Table-level (min, max) per stat column from the same header —
+    * base-boundary values like [[colNdv]] (live deltas can extend the
+    * true range; plan estimates only). */
+  def colBounds(): Map[String, (Double, Double)] = {
+    val (lastCompact, _) = liveDeltas(timeline())
+    lastCompact.flatMap(c => manifestHeader(c.seq)).map { h =>
+      h.colMin.keySet.intersect(h.colMax.keySet)
+        .map(c => c -> (h.colMin(c), h.colMax(c))).toMap
+    }.getOrElse(Map.empty)
   }
 
   /** Sum of parquet footer record counts under `dir`, driver-side
@@ -2099,13 +2174,46 @@ object MorTable {
     * large-table path and ≤ threshold on the small one. */
   private[lake] val statsDriverRows = new java.util.concurrent.atomic.AtomicLong
 
+  /** HLL precision for the manifest's column-NDV registers (m=4096,
+    * ±1.6% — the planner-statistic accuracy class). */
+  private[graft] val ndvP: Int = 12
+
+  /** Engine-portable uniform 32-bit hash of a value's CAST string (the
+    * manifest NDV hash family): first 8 md5 hex digits, the same
+    * md5-substring family the portable sketches use. */
+  private[graft] def hash32(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** HLL estimate for ANY register width (Flajolet's alpha_m; the m=64
+    * oracle path stays in [[graft.functions.expr.HllEstimate]] with its
+    * cross-engine rounding pin — this one feeds the planner, where ±1.6%
+    * needs no pinning). */
+  private[graft] def hllEstimate(regs: Seq[Int]): Double = {
+    val m = regs.size
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    var s = 0.0
+    var v = 0
+    regs.foreach { r => s += math.pow(2.0, -r); if (r == 0) v += 1 }
+    val raw = alpha * m * m / s
+    if (raw <= 2.5 * m && v > 0) m * math.log(m.toDouble / v) else raw
+  }
+
   /** Tiny manifest header (`manifest/<seq>.json`): O(1) in file count.
     * `rows` = total base rows (incl. retained tombstones); -1 for
-    * manifests written before the field existed. */
+    * manifests written before the field existed. `ndv` = table-level HLL
+    * distinct-count estimates per stat column (empty pre-round-11). */
   private[lake] final case class ManifestHeader(baseSeq: Long, fileCount: Int,
                                                 statCols: Seq[String],
                                                 indexCols: Seq[String],
-                                                rows: Long = -1L)
+                                                rows: Long = -1L,
+                                                ndv: Map[String, Long] = Map.empty,
+                                                colMin: Map[String, Double] = Map.empty,
+                                                colMax: Map[String, Double] = Map.empty)
 
   /** One base file's stats row, driver-side regime (bounded by
     * [[smallManifestFiles]]). Absent per-column entries = null stats. */
@@ -2121,10 +2229,22 @@ object MorTable {
         ("\"" + k + "\":\\[([^\\]]*)\\]").r.findFirstMatchIn(json).toSeq
           .flatMap(m => ("\"" + jsEscapedRe + "\"").r.findAllMatchIn(m.group(1))
             .map(x => jsUnescape(x.group(1))))
+      val ndv: Map[String, Long] =
+        "\"ndv\":\\{([^}]*)\\}".r.findFirstMatchIn(json).map { m =>
+          ("\"" + jsEscapedRe + "\":(\\d+)").r.findAllMatchIn(m.group(1))
+            .map(x => jsUnescape(x.group(1)) -> x.group(2).toLong).toMap
+        }.getOrElse(Map.empty)
+      def dblMap(key: String): Map[String, Double] =
+        ("\"" + key + "\":\\{([^}]*)\\}").r.findFirstMatchIn(json).map { m =>
+          ("\"" + jsEscapedRe + "\":(-?[\\d.]+(?:[eE][+-]?\\d+)?)").r
+            .findAllMatchIn(m.group(1))
+            .map(x => jsUnescape(x.group(1)) -> x.group(2).toDouble).toMap
+        }.getOrElse(Map.empty)
       ManifestHeader(
         "\"baseSeq\":(\\d+)".r.findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(0L),
         fc.group(1).toInt, cols("statCols"), cols("indexCols"),
-        "\"rows\":(\\d+)".r.findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(-1L))
+        "\"rows\":(\\d+)".r.findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(-1L),
+        ndv, dblMap("colMin"), dblMap("colMax"))
     }
 
   /** Read a (SMALL) stats relation driver-side via parquet-hadoop — no

@@ -382,6 +382,35 @@ final case class MorRelation(sqlContext: SQLContext, path: String,
       case None => table.liveRowCount()
     }
 
+  /** Planner COLUMN-LEVEL distinct counts (surfaced as
+    * `CatalogColumnStat`s by [[MorRelationStatsRule]], what CBO's
+    * FilterEstimation divides by for equality selectivity): a single
+    * record-key column is EXACT (one live row per key — the LWW table
+    * invariant, so NDV = the row count already in hand), and declared
+    * stat columns read the manifest header's HLL estimates
+    * ([[graft.lake.MorTable.colNdv]] — one cached header field, no job).
+    * Snapshot reads of unpartitioned tables only: derived reads have
+    * different cardinality, and per-child manifests would need a register
+    * merge, not an estimate merge. */
+  @transient private[mor] lazy val ndvStat: Map[String, Long] =
+    if (asOf.isDefined || sinceSeq.isDefined || changelogFrom.isDefined ||
+        readOptimized || partitionCol.isDefined) Map.empty
+    else {
+      val keyNdv: Map[String, Long] =
+        if (keys.size == 1) rowCountStat.map(keys.head -> _).toMap
+        else Map.empty
+      table.colNdv() ++ keyNdv
+    }
+
+  /** Table-level (min, max) per stat column (manifest header; see
+    * [[graft.lake.MorTable.colBounds]]). FilterEstimation treats a
+    * numeric column with NO bounds as an empty interval — NDV without
+    * min/max would estimate every equality to zero rows — so the rule
+    * only attaches NDV for numeric columns when bounds ride along. */
+  @transient private[mor] lazy val colBoundsStat: Map[String, (Double, Double)] =
+    if (ndvStat.isEmpty || partitionCol.isDefined) Map.empty
+    else table.colBounds()
+
   /** SQL-surface pushdown (PrunedFilteredScan): `SELECT a FROM t WHERE k
     * = 'x'` through the catalog must cost what the programmatic API
     * costs, not a full-snapshot materialization. Three levels:

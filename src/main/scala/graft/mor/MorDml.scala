@@ -167,22 +167,56 @@ class MorDmlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
   * assignments (`t.`/`s.`-qualified Columns). */
 final case class MorMergeAction(kind: String, cond: Column, set: Map[String, Column])
 
-/** Surface [[MorRelation.rowCountStat]] to the planner: v1 relations have
-  * no rowCount hook, but `LogicalRelation.computeStats` prefers the
-  * catalog table's `CatalogStatistics` — attach one (size + rowCount)
-  * whenever a catalog-read mor relation has no ANALYZE-written stats.
-  * Under CBO this is what join estimation and CostBasedJoinReorder
-  * consume; without CBO the attached sizeInBytes equals what the relation
-  * already reported, so plans are unchanged. */
+/** Surface [[MorRelation.rowCountStat]] and [[MorRelation.ndvStat]] to the
+  * planner: v1 relations have no rowCount hook, but
+  * `LogicalRelation.computeStats` prefers the catalog table's
+  * `CatalogStatistics` — attach one (size + rowCount + per-column
+  * distinct counts) whenever a catalog-read mor relation has no
+  * ANALYZE-written stats. Under CBO this is what join estimation,
+  * CostBasedJoinReorder and FilterEstimation (equality selectivity =
+  * 1/NDV) consume; without CBO the attached sizeInBytes equals what the
+  * relation already reported, so plans are unchanged. */
 class MorRelationStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
-  import org.apache.spark.sql.catalyst.catalog.CatalogStatistics
+  import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat, CatalogStatistics}
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
     case lr: LogicalRelation if lr.relation.isInstanceOf[MorRelation] &&
         lr.catalogTable.exists(_.stats.isEmpty) =>
       val rel = lr.relation.asInstanceOf[MorRelation]
       rel.rowCountStat match {
-        case Some(n) => lr.copy(catalogTable = Some(lr.catalogTable.get.copy(
-          stats = Some(CatalogStatistics(BigInt(rel.sizeInBytes), Some(BigInt(n)))))))
+        case Some(n) =>
+          import org.apache.spark.sql.types._
+          // min/max in CatalogColumnStat's EXTERNAL string form, per the
+          // column's actual type (the manifest records double-cast
+          // bounds). A numeric column without bounds reads as an EMPTY
+          // ValueInterval to FilterEstimation — every equality would
+          // estimate zero rows — so NDV attaches for a column only when
+          // its type is bounds-free (string) or its bounds are in hand.
+          def ext(dt: DataType, v: Double): Option[String] = dt match {
+            case ByteType | ShortType | IntegerType | LongType =>
+              Some(math.round(v).toString)
+            case FloatType | DoubleType => Some(v.toString)
+            case _ => None
+          }
+          val dtOf = lr.relation.schema.fields.map(f => f.name -> f.dataType).toMap
+          val colStats = rel.ndvStat.flatMap { case (c, ndv) =>
+            val dt = dtOf.get(c)
+            val bounds = rel.colBoundsStat.get(c)
+            val (mn, mx) = (for { d <- dt; (lo, hi) <- bounds }
+              yield (ext(d, lo), ext(d, hi))).getOrElse((None, None))
+            val boundsFree = dt.contains(StringType)
+            if (mn.isEmpty && !boundsFree) None
+            else Some(
+              // clamp to the row count: HLL noise above it would read as
+              // "more groups than rows". nullCount rides along as 0 —
+              // FilterEstimation's guards need both, and a mor column's
+              // null share is below the NDV estimate's own noise floor
+              c -> CatalogColumnStat(
+                distinctCount = Some(BigInt(math.min(ndv, n))),
+                min = mn, max = mx, nullCount = Some(BigInt(0))))
+          }
+          lr.copy(catalogTable = Some(lr.catalogTable.get.copy(
+            stats = Some(CatalogStatistics(BigInt(rel.sizeInBytes),
+              Some(BigInt(n)), colStats)))))
         case None => lr
       }
   }

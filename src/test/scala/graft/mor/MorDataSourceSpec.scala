@@ -551,6 +551,73 @@ class MorDataSourceSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("column NDV statistic: manifest HLL feeds CBO selectivity and changes the join order") {
+    val dirB = TestSpark.tmpDir("dsv1-ndv-big")
+    val dirM = TestSpark.tmpDir("dsv1-ndv-mid")
+    val dirS = TestSpark.tmpDir("dsv1-ndv-small")
+    Seq("mor_ndv_big", "mor_ndv_mid", "mor_ndv_small").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      spark.range(0, 2000).selectExpr("id AS k", "id % 1000 AS grp", "id AS vb")
+        .write.format("graft.mor").option("keys", "k").save(dirB)
+      spark.range(0, 200).selectExpr("id AS k", "id AS vm")
+        .write.format("graft.mor").option("keys", "k").save(dirM)
+      spark.range(0, 20).selectExpr("id AS k", "id AS vs")
+        .write.format("graft.mor").option("keys", "k").save(dirS)
+      // the z-order compaction declares grp a stat column → the manifest
+      // stats pass publishes per-file HLL registers + the header NDV
+      val tb = graft.lake.MorTable.resolve(spark, dirB, Seq("k"))
+      tb.compactZOrder(Seq("grp"))
+      val ndv = tb.colNdv()
+      assert(ndv.contains("grp"), s"header must carry grp NDV, got $ndv")
+      assert(math.abs(ndv("grp") - 1000L) <= 50L,
+        s"HLL NDV must land within ~2 sigma of 1000, got ${ndv("grp")}")
+      Seq(dirB -> "mor_ndv_big", dirM -> "mor_ndv_mid", dirS -> "mor_ndv_small")
+        .foreach { case (d, t) => spark.sql(
+          s"CREATE TABLE $t USING `graft.mor` OPTIONS (path '$d', keys 'k')") }
+      val prevCbo = spark.conf.get("spark.sql.cbo.enabled")
+      val prevReorder = spark.conf.get("spark.sql.cbo.joinReorder.enabled")
+      try {
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        val bst = spark.table("mor_ndv_big").queryExecution.optimizedPlan.stats
+        assert(bst.rowCount.contains(BigInt(2000)),
+          s"expected rowCount 2000, got ${bst.rowCount}; attrs ${bst.attributeStats}")
+        // selectivity-sensitive FILTER estimate: equality on grp must
+        // divide by the NDV (2000/1000 = 2), not keep the full row count
+        val fst = spark.sql("SELECT * FROM mor_ndv_big WHERE grp = 5")
+          .queryExecution.optimizedPlan.stats
+        assert(fst.rowCount.exists(rc => rc >= 1 && rc <= 50),
+          s"grp = 5 must estimate ~2000/NDV rows, got ${fst.rowCount} " +
+            s"(attrs ${bst.attributeStats})")
+        // plan-change: with the filter estimated tiny, the cost-based
+        // reorder keeps (filtered big ⋈ mid) innermost; without column
+        // stats the same query reorders to (mid ⋈ small) first
+        val q = spark.sql(
+          """SELECT b.vb FROM mor_ndv_big b
+            |JOIN mor_ndv_mid m ON b.k = m.k
+            |JOIN mor_ndv_small s ON m.k = s.k
+            |WHERE b.grp = 5""".stripMargin)
+        import org.apache.spark.sql.catalyst.plans.logical.Join
+        import org.apache.spark.sql.execution.datasources.LogicalRelation
+        val joins = q.queryExecution.optimizedPlan.collect { case j: Join => j }
+        assert(joins.nonEmpty)
+        val bottomTables = joins.last.collectLeaves().collect {
+          case lr: LogicalRelation =>
+            lr.catalogTable.map(_.identifier.table).getOrElse("")
+        }.toSet
+        assert(bottomTables == Set("mor_ndv_big", "mor_ndv_mid"),
+          s"NDV-estimated filter must keep big⋈mid innermost: $bottomTables")
+        assert(q.collect().map(_.getLong(0)).toSeq == Seq(5L),
+          "stats must never change results")
+      } finally {
+        spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", prevReorder)
+      }
+    } finally Seq("mor_ndv_big", "mor_ndv_mid", "mor_ndv_small").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("writeStream sink: one exactly-once upsert commit per micro-batch; restart resumes") {
     val watch = TestSpark.tmpDir("sink-watch")
     val path = TestSpark.tmpDir("sink-table")
