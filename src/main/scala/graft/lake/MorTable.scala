@@ -570,10 +570,10 @@ final class MorTable(
         // stringified with Spark CAST semantics
         iCols.map(c => call_function("key_bloom_agg",
           col(c).cast("string"), lit(bloomBits)).as(s"bl_$c"))
-      // grouping key = the part-file NAME (input_file_name() yields the
-      // URI-ENCODED path while listings yield the raw form — only the
-      // Spark-generated hex NAME matches across representations, the
-      // CLAUDE.md manifest rule); the full `file` column for external
+      // grouping key = the part-file NAME: input_file_name() yields the
+      // URI-ENCODED path while listings yield the raw form — the two
+      // encodings never string-match, and only the Spark-generated hex
+      // NAME agrees across representations; the full `file` column for external
       // readers is rebuilt from the LISTED prefix (all base files live
       // flat in base/<seq>/, carried files included)
       val prefix = files.headOption.map(f => f.substring(0, f.lastIndexOf('/') + 1))
@@ -1267,6 +1267,18 @@ final class MorTable(
       h.colMin.keySet.intersect(h.colMax.keySet)
         .map(c => c -> (h.colMin(c), h.colMax(c))).toMap
     }.getOrElse(Map.empty)
+  }
+
+  /** This table's NDV-bearing stats relation, if any: (stats dir, stat
+    * columns) for the last compact whose manifest carries the HLL
+    * register columns (round-11+ manifests — the `ndv` header field
+    * witnesses them). The per-CHILD half of the partitioned register
+    * merge ([[PartitionedMorTable.colNdv]]): estimates can't be combined
+    * across children, registers can (slot-max = HLL union). */
+  private[lake] def ndvStatsSource(): Option[(String, Seq[String])] = {
+    val (lastCompact, _) = liveDeltas(timeline())
+    lastCompact.flatMap(c => manifestHeader(c.seq).filter(_.ndv.nonEmpty)
+      .map(h => (s"$path/manifest/stats/${c.seq}", h.statCols)))
   }
 
   /** Sum of parquet footer record counts under `dir`, driver-side

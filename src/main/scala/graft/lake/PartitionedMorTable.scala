@@ -716,6 +716,54 @@ final class PartitionedMorTable(
       .select(orderedDataCols(scan.columns).map(col): _*)
   }
 
+  /** Planner COLUMN-NDV for the whole partitioned table: slot-max merge
+    * of every compacted child's per-file HLL registers (their manifest
+    * stats relations, ONE multi-dir scan) + the harmonic estimate —
+    * registers union exactly across children, where the per-child header
+    * ESTIMATES cannot be combined. Only stat columns present in EVERY
+    * contributing child merge (a partially-covered column would silently
+    * undercount); never-compacted children are not represented (the same
+    * compaction-boundary semantics as [[MorTable.colNdv]]). The per-slot
+    * max is a (4096-row)-sized collect; cached per contributing stats-dir
+    * set, so repeated query analysis pays zero jobs. */
+  def colNdv(): Map[String, Long] = {
+    val parts = partitions()
+    if (parts.isEmpty) return Map.empty
+    val srcs = parChildren(parts)(_.ndvStatsSource()).flatten
+    if (srcs.isEmpty) return Map.empty
+    val key = srcs.map(_._1).sorted
+    ndvCache match {
+      case Some((k, v)) if k == key => v
+      case _ =>
+        val common = srcs.map(_._2.toSet).reduce(_ intersect _)
+        val scan = scanDirs(srcs.map(_._1))
+        val out = common.toSeq.sorted.map { c =>
+          val rhos = scan.select(posexplode(col(s"hll_$c")))
+            .groupBy(col("pos")).agg(max(col("col")).as("rho"))
+            .collect().map(_.getInt(1)).toSeq
+          c -> math.round(MorTable.hllEstimate(rhos))
+        }.toMap
+        ndvCache = Some((key, out))
+        out
+    }
+  }
+  @transient @volatile
+  private var ndvCache: Option[(Seq[String], Map[String, Long])] = None
+
+  /** Table-level (min, max) per stat column: header-only fold across the
+    * compacted children ([[MorTable.colBounds]] per child) — columns
+    * bounded in every contributing child only. */
+  def colBounds(): Map[String, (Double, Double)] = {
+    val parts = partitions()
+    if (parts.isEmpty) return Map.empty
+    val perChild = parChildren(parts)(c =>
+      if (c.ndvStatsSource().isDefined) Some(c.colBounds()) else None).flatten
+    if (perChild.isEmpty) return Map.empty
+    val common = perChild.map(_.keySet).reduce(_ intersect _)
+    common.map(c => c -> perChild.map(_(c)).reduce((a, b) =>
+      (math.min(a._1, b._1), math.max(a._2, b._2)))).toMap
+  }
+
   /** Cross-partition point read (the partitioned bloom-index read): the
     * snapshot restricted to the given record keys, across the named
     * partitions (all when `values` is empty). Each child contributes its

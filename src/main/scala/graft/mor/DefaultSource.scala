@@ -394,12 +394,17 @@ final case class MorRelation(sqlContext: SQLContext, path: String,
     * merge, not an estimate merge. */
   @transient private[mor] lazy val ndvStat: Map[String, Long] =
     if (asOf.isDefined || sinceSeq.isDefined || changelogFrom.isDefined ||
-        readOptimized || partitionCol.isDefined) Map.empty
-    else {
-      val keyNdv: Map[String, Long] =
-        if (keys.size == 1) rowCountStat.map(keys.head -> _).toMap
-        else Map.empty
-      table.colNdv() ++ keyNdv
+        readOptimized) Map.empty
+    else partitionCol match {
+      case Some(_) =>
+        // cross-child HLL register merge; no key NDV — the partitioned PK
+        // is (partition, key), so the key column alone can repeat
+        partTable.colNdv()
+      case None =>
+        val keyNdv: Map[String, Long] =
+          if (keys.size == 1) rowCountStat.map(keys.head -> _).toMap
+          else Map.empty
+        table.colNdv() ++ keyNdv
     }
 
   /** Table-level (min, max) per stat column (manifest header; see
@@ -408,8 +413,11 @@ final case class MorRelation(sqlContext: SQLContext, path: String,
     * min/max would estimate every equality to zero rows — so the rule
     * only attaches NDV for numeric columns when bounds ride along. */
   @transient private[mor] lazy val colBoundsStat: Map[String, (Double, Double)] =
-    if (ndvStat.isEmpty || partitionCol.isDefined) Map.empty
-    else table.colBounds()
+    if (ndvStat.isEmpty) Map.empty
+    else partitionCol match {
+      case Some(_) => partTable.colBounds()
+      case None => table.colBounds()
+    }
 
   /** SQL-surface pushdown (PrunedFilteredScan): `SELECT a FROM t WHERE k
     * = 'x'` through the catalog must cost what the programmatic API

@@ -45,6 +45,27 @@ class PartitionedMorTableSpec extends AnyFunSuite {
     assert(t.dropPartitions(Seq("a")) == Seq("a"))
   }
 
+  test("partitioned column NDV: cross-child HLL register merge, not estimate addition") {
+    val t = new PartitionedMorTable(spark, tmp(), Seq("k"), "p",
+      compactionDeltaCommits = 1000, autoCompact = false)
+    // children overlap on v (a: 0..499, b: 250..749): the true union NDV
+    // is 750 — per-child estimates (500 each) can neither be added (1000)
+    // nor taken alone (500); only the register slot-max merge lands on it
+    val rows = (0 until 500).map(i => (i.toLong, "a", i)) ++
+      (0 until 500).map(i => ((i + 1000).toLong, "b", i + 250))
+    t.upsert(rows.toDF("k", "p", "v"), Nil, batchId = 1L)
+    t.child("a").compactZOrder(Seq("v"))
+    t.child("b").compactZOrder(Seq("v"))
+    val ndv = t.colNdv()
+    assert(ndv.contains("v"), s"expected v NDV, got $ndv")
+    assert(math.abs(ndv("v") - 750L) <= 40L,
+      s"register union must estimate ~750 (±2 sigma), got ${ndv("v")}")
+    assert(t.colBounds()("v") == ((0.0, 749.0)),
+      s"bounds must fold across children, got ${t.colBounds()}")
+    // second call hits the cache (same contributing stats dirs)
+    assert(t.colNdv() eq t.colNdv())
+  }
+
   test("per-partition compaction: only touched partitions compact") {
     val t = new PartitionedMorTable(spark, tmp(), Seq("k"), "p",
       compactionDeltaCommits = 2, autoCompact = false)
