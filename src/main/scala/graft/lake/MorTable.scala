@@ -2653,13 +2653,21 @@ object MorTable {
     * atomically fails with EEXIST on an existing destination, so the
     * `file` scheme publishes dst as a hard link to src and then unlinks
     * src (same directory, so always the same filesystem). The src unlink
-    * is not atomic with the link, but the only state a crash in between
-    * leaves is src still present alongside an identical dst — for the
-    * lock-publish path that is nonce-keyed temp litter, and for the
-    * takeover/release path the next waiter's takeover of the (expired)
-    * src content finds the tombstone present and simply re-polls until
-    * the holder's delete lands. HDFS-class filesystems already fail a
-    * rename onto an existing destination atomically. */
+    * is not atomic with the link; the invariant that keeps the deferred
+    * unlink safe is that ONLY THE LINKER ever unlinks the src path — a
+    * slow linker's pending delete can therefore only ever remove the
+    * entry it linked, never a successor's. Consequences of a crash in
+    * the window: on the lock-publish path, nonce-keyed temp litter; on
+    * the takeover/release path, the expired generation's link stays at
+    * the lock path with its tombstone present, and waiters FAIL LOUDLY
+    * at their wait deadline (takeover is tombstone-blocked, and no
+    * automatic recovery is sound: any second deleter of the lock path
+    * would void the only-the-linker-unlinks invariant against a slow —
+    * not crashed — taker's pending delete). A crash inside a two-syscall
+    * window trades, deliberately, a theft bug for a
+    * manual-cleanup-after-loud-failure liveness gap. HDFS-class
+    * filesystems already fail a rename onto an existing destination
+    * atomically, with no such window. */
   private def renameNoReplace(fs: FileSystem, src: Path, dst: Path): Boolean =
     try {
       if (fs.getScheme == "file") {
