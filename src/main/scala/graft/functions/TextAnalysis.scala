@@ -493,6 +493,79 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe_tokens"))
   }
 
+  /** Gopher-style repetition/quality rule set (Rae et al. 2021 §A1.1, the
+    * document filters most public pretraining pipelines re-implement):
+    * per-document duplicate-line and duplicate-paragraph fractions, the
+    * fraction of characters inside the single most-repeated word bigram,
+    * symbol-to-word ratio (`#` and `...`), alphabetic-word fraction, mean
+    * word length, bullet/ellipsis line fractions, and the conjunction
+    * `gopher_pass` at the paper's published thresholds.
+    *
+    * Shape at scale: one `localCheckpoint` pins the tokenized/split
+    * arrays (CollapseProject would otherwise re-inline the splits into
+    * every consuming metric), the scalar metrics are map-only over that
+    * pin, and the only shuffle is the per-document bigram mode — keyed by
+    * `doc_id`, so its cardinality is bounded by document count, never by
+    * corpus size, and the mode itself is a two-level groupBy (no window,
+    * no per-corpus state). The bigram tie-break is total (max count, then
+    * lexicographically largest pair via struct ordering) so the result is
+    * engine-portable — the DuckDB oracle reproduces it exactly. */
+  def gopherRules(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val t = col(textCol)
+    val base = docs.select(col(idCol), t.as("__t"),
+        tokens(lower(t)).as("__toks"),
+        filter(split(t, "\n"), l => l =!= "").as("__lines"),
+        filter(split(t, "\n\n"), p => p =!= "").as("__paras"),
+        length(regexp_replace(t, "\\s+", "")).as("__chars"))
+      .localCheckpoint(true) // pin: feeds the metric select AND the bigram mode
+    val nW = greatest(size(col("__toks")), lit(1))
+    val nL = greatest(size(col("__lines")), lit(1))
+    val nP = greatest(size(col("__paras")), lit(1))
+    val metrics = base.select(
+      col(idCol),
+      size(col("__toks")).cast("long").as("n_words"),
+      round(lit(1.0) - size(array_distinct(col("__lines"))).cast("double") / nL, 6)
+        .as("dup_line_frac"),
+      round(lit(1.0) - size(array_distinct(col("__paras"))).cast("double") / nP, 6)
+        .as("dup_para_frac"),
+      round(regexp_count(col("__t"), lit("#|\\.\\.\\.")).cast("double") / nW, 6)
+        .as("symbol_word_ratio"),
+      round(size(filter(col("__toks"), w => w.rlike("[a-z]"))).cast("double") / nW, 6)
+        .as("alpha_word_frac"),
+      round(col("__chars").cast("double") / nW, 6).as("mean_word_len"),
+      round(size(filter(col("__lines"), l => l.rlike("^\\s*[-*]"))).cast("double") / nL, 6)
+        .as("bullet_line_frac"),
+      round(size(filter(col("__lines"), l => l.rlike("\\.\\.\\.$"))).cast("double") / nL, 6)
+        .as("ellipsis_line_frac"))
+    val n1 = greatest(size(col("__a")) - 1, lit(0))
+    val bi = base.select(col(idCol), col("__chars"), col("__toks").as("__a"))
+      .select(col(idCol), col("__chars"), explode(arrays_zip(
+        slice(col("__a"), lit(1), n1), slice(col("__a"), lit(2), n1))).as("__p"))
+      // arrays_zip over non-attribute slices names the struct fields "0"/"1"
+      .select(col(idCol), col("__chars"),
+        col("__p").getField("0").as("w1"), col("__p").getField("1").as("w2"))
+    val top = bi.groupBy(col(idCol), col("__chars"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol), col("__chars"))
+      .agg(max(struct(col("c"), col("w1"), col("w2"))).as("m"))
+      .select(col(idCol),
+        round(col("m.c").cast("double") * (length(col("m.w1")) + length(col("m.w2")))
+          / greatest(col("__chars"), lit(1)), 6).as("top_bigram_char_frac"))
+    metrics.join(top, Seq(idCol), "left")
+      .na.fill(0.0, Seq("top_bigram_char_frac"))
+      .withColumn("gopher_pass",
+        col("n_words").between(50, 100000) &&
+        col("mean_word_len").between(3.0, 10.0) &&
+        col("symbol_word_ratio") <= 0.1 &&
+        col("alpha_word_frac") >= 0.8 &&
+        col("bullet_line_frac") <= 0.9 &&
+        col("ellipsis_line_frac") <= 0.3 &&
+        col("dup_line_frac") <= 0.3 &&
+        col("dup_para_frac") <= 0.3 &&
+        col("top_bigram_char_frac") <= 0.2)
+  }
+
   val EnStopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to",
     "in", "is", "it", "that", "for", "on", "with", "as", "was", "at", "by")
   val EsStopwords: Seq[String] = Seq("el", "la", "los", "las", "un", "una", "y",

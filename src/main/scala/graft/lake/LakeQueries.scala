@@ -369,6 +369,34 @@ object LakeQueries {
     } finally spark.sql("DROP TABLE IF EXISTS s65_part_tt")
   }
 
+  /** ANSI `SHOW PARTITIONS` on a graft.mor catalog table, oracle-checked:
+    * replay events into the event_type-partitioned lake form, register it
+    * in the session catalog, and list partitions through the standard SQL
+    * spelling ([[graft.mor.GraftShowPartitionsCommand]] — a parent-manifest
+    * metadata read, zero data jobs). Must equal the distinct
+    * `event_type=<value>` set of the source — and a spec-filtered
+    * `SHOW PARTITIONS … PARTITION (…)` must return exactly that one row. */
+  def showPartitions(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "value", "ts_ms", "ts_ns")
+    val path = tempPath("pmor-showpart")
+    val t = new PartitionedMorTable(spark, path, Seq("user_id"), "event_type",
+      compactionDeltaCommits = 1000, autoCompact = false)
+    t.upsert(ev, Seq(col("ts_ns"), col("event_id")), batchId = 1L)
+    spark.sql("DROP TABLE IF EXISTS s69_showpart")
+    spark.sql(s"CREATE TABLE s69_showpart USING `graft.mor` OPTIONS " +
+      s"(path '$path', keys 'user_id', partition 'event_type')")
+    try {
+      val one = t.partitions().min
+      val filtered = spark.sql(
+        s"SHOW PARTITIONS s69_showpart PARTITION (event_type = '$one')").collect()
+      assert(filtered.toSeq == Seq(org.apache.spark.sql.Row(s"event_type=$one")),
+        s"spec filter must return exactly the named partition, got ${filtered.toSeq}")
+      graft.TempDirs.materializeAndDelete(
+        spark.sql("SHOW PARTITIONS s69_showpart"), path)
+    } finally spark.sql("DROP TABLE IF EXISTS s69_showpart")
+  }
+
   /** PARTITIONED write-path index tagging
     * ([[PartitionedMorTable.upsertIfNew]]), oracle-checked: a key-disjoint
     * user split proves per-CHILD newness (bounds + one cross-child bloom

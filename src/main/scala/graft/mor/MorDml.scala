@@ -97,6 +97,12 @@ class MorDmlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
         if MorDml.morOptions(spark, d.tableName).isDefined =>
       GraftDropPartitionCommand(d.tableName, d.specs, d.ifExists)
 
+    // SQL SHOW PARTITIONS: the v1 command's run() requires a Hive
+    // partition provider — reroute onto the engine's metadata listing
+    case p: org.apache.spark.sql.execution.command.ShowPartitionsCommand
+        if MorDml.morOptions(spark, p.tableName).isDefined =>
+      GraftShowPartitionsCommand(p.tableName, p.output, p.spec)
+
     case d @ DeleteFromTable(MorTarget(rel), cond) if d.childrenResolved && cond.resolved =>
       // WHERE-implied key/partition pins route the statement through the
       // point read / pruned partition set instead of a snapshot scan
@@ -458,6 +464,41 @@ case class GraftDropPartitionCommand(
     t.dropPartitions(values)
     spark.sessionState.catalog.refreshTable(tid)
     Seq.empty
+  }
+}
+
+/** SQL `SHOW PARTITIONS t [PARTITION (p='v')]` on a graft.mor catalog
+  * table: the v1 command's run() demands a Hive partition provider, so
+  * the standard spelling is rerouted onto the engine's partition listing
+  * ([[graft.lake.PartitionedMorTable.partitions]] — the parent manifest's
+  * child-directory set, a metadata read with zero data jobs). Rows render
+  * the RAW `<col>=<value>` form (the same encoding `partitions()` and the
+  * stats rows speak — deliberately NOT the Hive-escaped staged-dir form;
+  * see the partition-encoding rule in CLAUDE.md), sorted; an optional
+  * spec filters to its value. Refused loudly on an unpartitioned table. */
+case class GraftShowPartitionsCommand(
+    tid: org.apache.spark.sql.catalyst.TableIdentifier,
+    override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+    spec: Option[Map[String, String]])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val opts = MorDml.morOptions(spark, tid).getOrElse(
+      throw new IllegalStateException(s"$tid is not a graft.mor table"))
+    val path = opts.getOrElse("path", throw new IllegalArgumentException(
+      s"graft.mor table $tid has no path option"))
+    val keys = opts.getOrElse("keys", "").split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+    val pcol = opts.getOrElse("partition",
+      throw new UnsupportedOperationException(
+        s"SHOW PARTITIONS: graft.mor table $tid is not partitioned"))
+    spec.foreach { sp =>
+      require(sp.size == 1 && sp.keys.head.equalsIgnoreCase(pcol),
+        s"partition spec (${sp.keys.mkString(", ")}) must name exactly " +
+          s"the table's partition column ($pcol)")
+    }
+    val t = PartitionedMorTable.resolve(spark, path, keys, pcol)
+    val want = spec.map(_.values.head)
+    t.partitions().filter(v => want.forall(_ == v)).sorted
+      .map(v => Row(s"$pcol=$v"))
   }
 }
 

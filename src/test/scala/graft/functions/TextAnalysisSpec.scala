@@ -188,6 +188,34 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(fps(0) == fps(2) || fps(0) != 0) // appended text keeps or changes min — just must be stable
   }
 
+  test("gopherRules: hand-computed repetition metrics, tie-broken top bigram, pass flag") {
+    val d1 = "the cat sat\nthe cat sat\nnew line here\n\npara one\n\npara one"
+    val d2 = (1 to 60).map(i => s"w${i}word").mkString(" ")
+    val got = TextAnalysis.gopherRules(
+        Seq(("d1", d1), ("d2", d2), ("d3", "solo")).toDF("doc_id", "text"),
+        idCol = "doc_id")
+      .collect().map(r => r.getAs[String]("doc_id") -> r).toMap
+    val r1 = got("d1")
+    // 5 non-empty lines, 3 distinct; 3 paragraphs, 2 distinct; 13 words,
+    // 43 non-space chars; top bigram = max(count, w1, w2) struct order =
+    // ("the","cat") x2 over the other count-2 ties -> 2*6/43
+    assert(r1.getAs[Long]("n_words") == 13L)
+    assert(r1.getAs[Double]("dup_line_frac") == 0.4)
+    assert(r1.getAs[Double]("dup_para_frac") == 0.333333)
+    assert(r1.getAs[Double]("mean_word_len") == 3.307692)
+    assert(r1.getAs[Double]("alpha_word_frac") == 1.0)
+    assert(r1.getAs[Double]("symbol_word_ratio") == 0.0)
+    assert(r1.getAs[Double]("top_bigram_char_frac") == 0.27907)
+    assert(!r1.getAs[Boolean]("gopher_pass"), "13 words is under the 50-word floor")
+    val r2 = got("d2")
+    assert(r2.getAs[Double]("dup_line_frac") == 0.0)
+    assert(r2.getAs[Boolean]("gopher_pass"), s"clean 60-word doc must pass: $r2")
+    val r3 = got("d3")
+    assert(r3.getAs[Double]("top_bigram_char_frac") == 0.0,
+      "a bigram-free doc joins as zero, not null")
+    assert(!r3.getAs[Boolean]("gopher_pass"))
+  }
+
   test("textStats over documents runs and is sane") {
     val stats = TextAnalysis.textStats(graft.Tables.documents(spark, TestSpark.sfDir))
     val r = stats.agg(min("n_tokens"), max("punct_ratio")).head()

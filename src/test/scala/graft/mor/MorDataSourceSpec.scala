@@ -877,6 +877,49 @@ class MorDataSourceSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS mor_dp_t")
   }
 
+  test("ANSI SHOW PARTITIONS lists the live partition set; spec filters; glob-hostile values survive") {
+    // partition values with glob/escape-hostile characters prove the raw
+    // rendering contract (SHOW PARTITIONS speaks the partitions()/stats
+    // encoding, never the Hive-escaped staged-dir form)
+    val path = TestSpark.tmpDir("dsv1-showpart")
+    spark.sql("DROP TABLE IF EXISTS mor_sp_t")
+    try {
+      val t = new graft.lake.PartitionedMorTable(spark, path, Seq("uuid"), "kind",
+        compactionDeltaCommits = 1000, autoCompact = false)
+      t.upsert(Seq(("id1", "a", 1), ("id2", "s*r", 2), ("id3", "pl[ain", 3))
+        .toDF("uuid", "kind", "v"), Nil, batchId = 1L)
+      spark.sql(s"CREATE TABLE mor_sp_t USING `graft.mor` " +
+        s"OPTIONS (path '$path', keys 'uuid', partition 'kind')")
+      assert(spark.sql("SHOW PARTITIONS mor_sp_t").collect().map(_.getString(0)).toSeq
+        == Seq("kind=a", "kind=pl[ain", "kind=s*r"))
+      assert(spark.sql("SHOW PARTITIONS mor_sp_t PARTITION (kind='s*r')")
+        .collect().map(_.getString(0)).toSeq == Seq("kind=s*r"))
+      assert(spark.sql("SHOW PARTITIONS mor_sp_t PARTITION (kind='zzz')").count() == 0)
+      // a dropped partition leaves the listing immediately
+      spark.sql("ALTER TABLE mor_sp_t DROP PARTITION (kind='a')")
+      assert(spark.sql("SHOW PARTITIONS mor_sp_t").collect().map(_.getString(0)).toSeq
+        == Seq("kind=pl[ain", "kind=s*r"))
+      // spec must name the table's one partition column
+      val e = intercept[Exception](
+        spark.sql("SHOW PARTITIONS mor_sp_t PARTITION (uuid='id1')"))
+      assert(e.getMessage.contains("partition column"), e.getMessage)
+    } finally spark.sql("DROP TABLE IF EXISTS mor_sp_t")
+  }
+
+  test("SHOW PARTITIONS on an unpartitioned graft.mor table is refused loudly") {
+    val path = TestSpark.tmpDir("dsv1-showpart-unp")
+    spark.sql("DROP TABLE IF EXISTS mor_spu_t")
+    try {
+      Seq(("id1", 1)).toDF("uuid", "v")
+        .write.format("graft.mor").option("keys", "uuid").save(path)
+      spark.sql(s"CREATE TABLE mor_spu_t USING `graft.mor` " +
+        s"OPTIONS (path '$path', keys 'uuid')")
+      val e = intercept[Exception](
+        spark.sql("SHOW PARTITIONS mor_spu_t"))
+      assert(e.getMessage.contains("not partitioned"), e.getMessage)
+    } finally spark.sql("DROP TABLE IF EXISTS mor_spu_t")
+  }
+
   test("ANSI DROP PARTITION on an unpartitioned graft.mor table is refused loudly") {
     val path = TestSpark.tmpDir("dsv1-droppart-unp")
     spark.sql("DROP TABLE IF EXISTS mor_dpu_t")
