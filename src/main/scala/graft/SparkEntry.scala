@@ -232,7 +232,9 @@ object SparkEntry {
       val docs = graft.Tables.documents(s, d).select(col("doc_id"),
         replace(replace(col("text"), lit(" table "), lit("\n\n")),
           lit(" the "), lit("\n")).as("text"))
-      graft.functions.TextAnalysis.gopherRules(docs)
+      // production path: the native one-pass kernel (zero shuffles);
+      // the declarative reference is pinned equal in TextAnalysisSpec
+      graft.functions.TextAnalysis.gopherRulesNative(docs)
     }),
     "t7_fingerprint"      -> ((s, d) => {
       import org.apache.spark.sql.functions.col

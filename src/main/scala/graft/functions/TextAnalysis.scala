@@ -566,6 +566,26 @@ object TextAnalysis {
         col("top_bigram_char_frac") <= 0.2)
   }
 
+  /** [[gopherRules]] as the native one-pass struct expression
+    * (graft.functions.expr.GopherMetrics) — the production path: the
+    * per-document bigram mode moves into the row kernel, so the whole
+    * rule set is map-only with ZERO shuffles (the declarative form needs
+    * an explode + doc-keyed two-level groupBy for the same statistic).
+    * The struct is expanded in one projection; whole-stage codegen's
+    * subexpression elimination evaluates the kernel once per row. Pinned
+    * equal to the declarative reference in TextAnalysisSpec. Requires
+    * `GraftFunctions.register` / the session extension. */
+  def gopherRulesNative(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    graft.GraftFunctions.register(docs.sparkSession)
+    val g = org.apache.spark.sql.functions.call_function(
+      "gopher_metrics", col(textCol))
+    docs.select(col(idCol), g.as("__g"))
+      .select(col(idCol) +:
+        graft.functions.expr.GopherMetrics.Schema.fieldNames.toSeq
+          .map(f => col(s"__g.$f").as(f)): _*)
+  }
+
   val EnStopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to",
     "in", "is", "it", "that", "for", "on", "with", "as", "was", "at", "by")
   val EsStopwords: Seq[String] = Seq("el", "la", "los", "las", "un", "una", "y",

@@ -178,6 +178,43 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(covered, plan.toString())
   }
 
+  test("native gopher_metrics == declarative gopherRules, survives codegen") {
+    graft.GraftFunctions.register(spark)
+    // adversarial edges: empty text, ws-only, repeated lines/paragraphs,
+    // bullet/ellipsis lines, symbol soup, bigram count ties (the struct
+    // tie-break), single-token docs (no bigram)
+    val edges = Seq(
+      "", "   ", "solo",
+      "the cat sat\nthe cat sat\nnew line here\n\npara one\n\npara one",
+      "- bullet one\n * bullet two\nplain...\n...\n#tag # tag ###",
+      "a b a b a b c d c d c d",
+      "x y\nx y\n\nx y\n\nx y").zipWithIndex
+      .map { case (t, i) => (s"e$i", t) }.toDF("doc_id", "text")
+    val corpus = graft.Tables.documents(spark, TestSpark.sfDir)
+      .select(concat_ws("-", lit("c"), $"doc_id").as("doc_id"),
+        // synthesize line structure as the t35 gate entry does
+        replace(replace($"text", lit(" table "), lit("\n\n")),
+          lit(" the "), lit("\n")).as("text"))
+    Seq(edges, corpus).foreach { df =>
+      val ref = TextAnalysis.gopherRules(df).collect()
+        .map(r => r.getAs[String]("doc_id") -> r.toSeq.tail).toMap
+      val nat = TextAnalysis.gopherRulesNative(df).collect()
+        .map(r => r.getAs[String]("doc_id") -> r.toSeq.tail).toMap
+      assert(ref.keySet == nat.keySet)
+      val diverged = ref.keys.filter(k => ref(k) != nat(k))
+      assert(diverged.isEmpty,
+        diverged.take(3).map(k => s"$k: ref=${ref(k)} native=${nat(k)}").mkString("; "))
+    }
+    val plan = TextAnalysis.gopherRulesNative(
+      graft.Tables.documents(spark, TestSpark.sfDir)).queryExecution.executedPlan
+    val covered = plan.exists {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec =>
+        w.toString().contains("gopher_metrics")
+      case _ => false
+    }
+    assert(covered, plan.toString())
+  }
+
   test("fingerprint: stable under distant edits, equal on shared minimal window") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val edited = base + " lambda mu"   // appended tail, same min window likely

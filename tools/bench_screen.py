@@ -18,10 +18,23 @@ import sys
 
 
 def load(path):
+    """Accept either layout: a full per-query map as the FIRST line
+    (bench_out/BENCH_LAST.json, committed BENCH_r<N>_full.json), or the
+    driver's BENCH_r<N>.json whose `tail` field holds a tail-truncated
+    capture of that line (the only recoverable per-query data for rounds
+    that did not commit a full map). Truncated captures may cut mid-pair,
+    so the tail path extracts well-formed "name":seconds pairs only."""
+    import re
     with open(path) as f:
         first = f.readline()
-    d = json.loads(first)
+    d = json.loads(first if first.lstrip().startswith("{") and
+                   first.rstrip().endswith("}") else open(path).read())
     qs = d.get("queries", {})
+    if not qs and isinstance(d.get("tail"), str):
+        qs = {m.group(1): float(m.group(2)) for m in
+              re.finditer(r'"([a-z0-9_#]+)":([0-9]+\.[0-9]+)', d["tail"])}
+        print(f"note: {path} carries no full map; recovered "
+              f"{len(qs)} entries from its tail capture")
     return {k: v for k, v in qs.items() if isinstance(v, (int, float))}
 
 
