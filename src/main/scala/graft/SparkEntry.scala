@@ -236,6 +236,14 @@ object SparkEntry {
       // the declarative reference is pinned equal in TextAnalysisSpec
       graft.functions.TextAnalysis.gopherRulesNative(docs)
     }),
+    "t36_line_dedup"      -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, lit, replace}
+      // same deterministic line synthesis as t35 (oracle mirrors it)
+      val docs = graft.Tables.documents(s, d).select(col("doc_id"),
+        replace(replace(col("text"), lit(" table "), lit("\n\n")),
+          lit(" the "), lit("\n")).as("text"))
+      graft.functions.TextAnalysis.dedupLinesNative(docs)
+    }),
     "t7_fingerprint"      -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       graft.Tables.documents(s, d).select(col("doc_id"),
@@ -800,6 +808,32 @@ object SparkEntry {
         |   AND m.dup_line_frac <= 0.3 AND m.dup_para_frac <= 0.3
         |   AND coalesce(tp.top_bigram_char_frac, 0.0) <= 0.2) AS gopher_pass
         |FROM m LEFT JOIN tp USING (doc_id)""".stripMargin,
+    "t36_line_dedup" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |         replace(replace(text, ' table ', chr(10) || chr(10)),
+        |                 ' the ', chr(10)) AS t
+        |  FROM documents
+        |), lx AS (
+        |  SELECT doc_id, a[i] AS l, i
+        |  FROM (SELECT doc_id, string_split(t, chr(10)) AS a FROM src),
+        |       unnest(range(1, len(a) + 1)) AS ti(i)
+        |  WHERE a[i] <> ''
+        |), agg AS (
+        |  SELECT doc_id, count(*) AS n_lines FROM lx GROUP BY doc_id
+        |), firsts AS (
+        |  SELECT doc_id, l, min(i) AS fi FROM lx GROUP BY doc_id, l
+        |), clean AS (
+        |  SELECT doc_id, md5(string_agg(l, chr(10) ORDER BY fi)) AS clean_md5,
+        |         count(*) AS n_kept
+        |  FROM firsts GROUP BY doc_id
+        |)
+        |SELECT s.doc_id,
+        |  coalesce(clean.clean_md5, md5('')) AS clean_md5,
+        |  coalesce(agg.n_lines, 0)::BIGINT AS n_lines,
+        |  coalesce(clean.n_kept, 0)::BIGINT AS n_kept
+        |FROM src s LEFT JOIN agg USING (doc_id)
+        |LEFT JOIN clean USING (doc_id)""".stripMargin,
     "t23_pmi_pairs" ->
       """WITH arr AS (
         |  SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),

@@ -566,6 +566,48 @@ object TextAnalysis {
         col("top_bigram_char_frac") <= 0.2)
   }
 
+  /** Within-document duplicate-LINE removal (the rewrite counterpart to
+    * [[gopherRules]]' dup_line_frac score — the CCNet/RefinedWeb cleaning
+    * step that drops repeated lines, keeping the FIRST occurrence in
+    * order, and rejoins the survivors). Returns `doc_id`, the cleaned
+    * text's md5 (engine-portable), and the line counts before/after.
+    *
+    * Declarative reference: the keep-first filter is
+    * `array_position(lines, l) == i` over the indexed line array — an
+    * O(n²)-per-doc interpreted fold, which is why the production path is
+    * the one-pass native kernel ([[dedupLinesNative]]). Map-only either
+    * way: no shuffle, no cross-document state (cross-doc boilerplate
+    * removal is [[graft.functions.Dedup.boilerplateShingles]]' job). */
+  def dedupLines(docs: DataFrame, textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    val lines = filter(split(col(textCol), "\n"), l => l =!= "")
+    val base = docs.select(col(idCol), lines.as("__lines"))
+      .localCheckpoint(true) // pin: the filter consumes the array thrice
+    val kept = filter(transform(col("__lines"),
+        (l, i) => struct(l.as("l"), i.as("i"))),
+      s => array_position(col("__lines"), s.getField("l")) === s.getField("i") + 1)
+    base.select(col(idCol),
+      md5(array_join(transform(kept, s => s.getField("l")), "\n")).as("clean_md5"),
+      size(col("__lines")).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"))
+  }
+
+  /** [[dedupLines]] as the native one-pass expression
+    * (graft.functions.expr.DedupLines): hash-set keep-first in a single
+    * row kernel — O(n) per document instead of the declarative form's
+    * O(n²) interpreted array_position probe, and it stays inside
+    * WholeStageCodegen. Pinned equal in TextAnalysisSpec. Requires
+    * `GraftFunctions.register` / the session extension. */
+  def dedupLinesNative(docs: DataFrame, textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    graft.GraftFunctions.register(docs.sparkSession)
+    val g = org.apache.spark.sql.functions.call_function(
+      "dedup_lines", col(textCol))
+    docs.select(col(idCol), g.as("__d"))
+      .select(col(idCol), md5(col("__d.clean_text")).as("clean_md5"),
+        col("__d.n_lines").as("n_lines"), col("__d.n_kept").as("n_kept"))
+  }
+
   /** [[gopherRules]] as the native one-pass struct expression
     * (graft.functions.expr.GopherMetrics) — the production path: the
     * per-document bigram mode moves into the row kernel, so the whole

@@ -215,6 +215,42 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(covered, plan.toString())
   }
 
+  test("dedupLines: keep-first rewrite, hand-checked; native == declarative") {
+    graft.GraftFunctions.register(spark)
+    val hand = Seq(("h1", "a\nb\na\nc\nb"), ("h2", ""), ("h3", "only"),
+      ("h4", "x\n\nx\n\n\ny")).toDF("doc_id", "text")
+    val got = TextAnalysis.dedupLinesNative(hand).collect()
+      .map(r => r.getAs[String]("doc_id") ->
+        (r.getAs[String]("clean_md5"), r.getAs[Long]("n_lines"),
+          r.getAs[Long]("n_kept"))).toMap
+    val expMd5 = hand.sparkSession.range(1)
+      .select(md5(lit("a\nb\nc")).as("m"), md5(lit("")).as("e"),
+        md5(lit("x\ny")).as("x")).head()
+    assert(got("h1") == ((expMd5.getString(0), 5L, 3L)))
+    assert(got("h2") == ((expMd5.getString(1), 0L, 0L)))
+    assert(got("h3")._2 == 1L && got("h3")._3 == 1L)
+    assert(got("h4") == ((expMd5.getString(2), 3L, 2L)),
+      "empty lines drop before dedup; survivors rejoin in first-seen order")
+    val corpus = graft.Tables.documents(spark, TestSpark.sfDir)
+      .select(concat_ws("-", lit("c"), $"doc_id").as("doc_id"),
+        replace(replace($"text", lit(" table "), lit("\n\n")),
+          lit(" the "), lit("\n")).as("text"))
+    Seq(hand, corpus).foreach { df =>
+      val ref = TextAnalysis.dedupLines(df).collect()
+        .map(r => r.getAs[String]("doc_id") -> r.toSeq.tail).toMap
+      val nat = TextAnalysis.dedupLinesNative(df).collect()
+        .map(r => r.getAs[String]("doc_id") -> r.toSeq.tail).toMap
+      assert(ref == nat)
+    }
+    val plan = TextAnalysis.dedupLinesNative(
+      graft.Tables.documents(spark, TestSpark.sfDir)).queryExecution.executedPlan
+    assert(plan.exists {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec =>
+        w.toString().contains("dedup_lines")
+      case _ => false
+    }, plan.toString())
+  }
+
   test("fingerprint: stable under distant edits, equal on shared minimal window") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val edited = base + " lambda mu"   // appended tail, same min window likely
