@@ -197,6 +197,27 @@ object GraftProcedureCatalog {
           Seq(Long.box(i.seq), i.kind, Long.box(i.batchId), Long.box(i.commitMs),
             Boolean.box(i.insertOnly)))
       }),
+    Proc("show_fsview", "file-system view: per-partition base/delta file counts and bytes at current freshness",
+      Seq(in("table", StringType)),
+      StructType(Seq(
+        StructField("partition", StringType, nullable = false),
+        StructField("last_compact_seq", LongType, nullable = true),
+        StructField("base_files", IntegerType, nullable = false),
+        StructField("base_bytes", LongType, nullable = false),
+        StructField("live_deltas", IntegerType, nullable = false),
+        StructField("delta_files", IntegerType, nullable = false),
+        StructField("delta_bytes", LongType, nullable = false))),
+      { case Seq(tbl: String) =>
+        // driver-side metadata: one listStatus per live dir, no Spark job
+        def row(part: String, v: MorTable.FsView): Seq[Any] =
+          Seq(part, v.lastCompactSeq.map(Long.box).orNull, Int.box(v.baseFiles),
+            Long.box(v.baseBytes), Int.box(v.liveDeltas),
+            Int.box(v.deltaFiles), Long.box(v.deltaBytes))
+        resolve(tbl) match {
+          case Left(t) => Seq(row("", t.fsView()))
+          case Right(p) => p.partitions().sorted.map(v => row(v, p.child(v).fsView()))
+        }
+      }),
     Proc("show_files", "newest external-manifest file listing with per-file key bounds",
       Seq(in("table", StringType)),
       StructType(Seq(

@@ -1954,6 +1954,28 @@ final class MorTable(
       }
     }
 
+  /** File-system view at current freshness (the Hudi CLI `show fsview`
+    * analog): last-compaction boundary, base file count/bytes, live delta
+    * commit/file counts and bytes. Pure driver-side metadata — one
+    * `listStatus` per live directory, no Spark job; live deltas use the
+    * same straggler-aware selection the snapshot read does. */
+  def fsView(): MorTable.FsView = {
+    val (lastCompact, deltas) = liveDeltas(timeline())
+    def dirStats(dir: Path): (Int, Long) = {
+      if (!fs.exists(dir)) (0, 0L)
+      else {
+        val fl = fs.listStatus(dir)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        (fl.length, fl.map(_.getLen).sum)
+      }
+    }
+    val (bf, bb) = lastCompact.map(c => dirStats(new Path(hPath, s"base/${c.seq}")))
+      .getOrElse((0, 0L))
+    val ds = deltas.map(d => dirStats(new Path(hPath, s"delta/${d.seq}")))
+    MorTable.FsView(lastCompact.map(_.seq), bf, bb,
+      deltas.size, ds.map(_._1).sum, ds.map(_._2).sum)
+  }
+
   def compact(): Unit = synchronized {
     val prep = prepareCompact()
     // RANGE-partition the base on the key (not hash): each output file owns
@@ -2159,6 +2181,10 @@ final class MorTable(
 }
 
 object MorTable {
+
+  /** One table's (or one partition child's) [[MorTable.fsView]] row. */
+  final case class FsView(lastCompactSeq: Option[Long], baseFiles: Int,
+      baseBytes: Long, liveDeltas: Int, deltaFiles: Int, deltaBytes: Long)
 
   /** FS-cost telemetry for the timeline (asserted in MorTableSpec: read
     * cost must not grow with timeline length). */

@@ -110,6 +110,39 @@ class ProcedureCatalogSpec extends AnyFunSuite {
     assert(n2.getMessage.contains("'mode'"), n2.getMessage)
   }
 
+  test("show_fsview: base/delta counts track compaction; partitioned per-child rows") {
+    val t = new MorTable(spark, TestSpark.tmpDir("proc-fsv"), Seq("uuid"),
+      compactionDeltaCommits = 100, autoCompact = false)
+    graft.GraftCatalog.register(spark, "proc_fsv", t)
+    t.upsert(rows(8, "a"), Seq(col("v")))
+    t.upsert(rows(4, "b"), Seq(col("v")))
+    def fsv() = spark.sql("CALL graft_ops.show_fsview(table => 'proc_fsv')")
+      .collect().map(r => (r.getString(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
+        r.getInt(2), r.getLong(3), r.getInt(4), r.getInt(5), r.getLong(6)))
+    val before = fsv()
+    assert(before.length == 1)
+    val (_, lc0, bf0, bb0, ld0, df0, db0) = before.head
+    assert(lc0.isEmpty && bf0 == 0 && bb0 == 0L,
+      s"no compaction yet: no base files ($before)")
+    assert(ld0 == 2 && df0 >= 2 && db0 > 0L,
+      s"two live delta commits with files ($before)")
+    spark.sql("CALL graft_ops.run_compaction(table => 'proc_fsv', mode => 'full')").collect()
+    val after = fsv()
+    val (_, lc1, bf1, bb1, ld1, df1, db1) = after.head
+    assert(lc1.nonEmpty && bf1 > 0 && bb1 > 0L, s"compaction publishes base files ($after)")
+    assert(ld1 == 0 && df1 == 0 && db1 == 0L, s"deltas fold into the base ($after)")
+
+    val p = new PartitionedMorTable(spark, TestSpark.tmpDir("proc-fsv-p"),
+      Seq("uuid"), "kind", compactionDeltaCommits = 100, autoCompact = false)
+    graft.GraftCatalog.register(spark, "proc_fsv_p", p)
+    p.upsert(Seq(("id1", "x", 1L), ("id2", "y", 2L), ("id3", "x", 3L))
+      .toDF("uuid", "kind", "v"), Seq(col("v")))
+    val parts = spark.sql("CALL graft_ops.show_fsview(table => 'proc_fsv_p')")
+      .collect().map(r => (r.getString(0), r.getInt(4)))
+    assert(parts.map(_._1).toSeq == Seq("x", "y"), parts.toSeq)
+    assert(parts.forall(_._2 == 1), s"one live delta per child ($parts)")
+  }
+
   test("CALL surface on a partitioned table: due compaction, drop_partition TTL") {
     val p = PartitionedMorTable.resolve(spark, TestSpark.tmpDir("proc-part"),
       Seq("uuid"), "pt")

@@ -32,7 +32,8 @@ def load(path):
     qs = d.get("queries", {})
     if not qs and isinstance(d.get("tail"), str):
         qs = {m.group(1): float(m.group(2)) for m in
-              re.finditer(r'"([a-z0-9_#]+)":([0-9]+\.[0-9]+)', d["tail"])}
+              re.finditer(r'"([a-z0-9_#]+)":([0-9]+\.[0-9]+)', d["tail"])
+              if m.group(1) not in ("value", "sf", "n", "rc", "cpus")}
         print(f"note: {path} carries no full map; recovered "
               f"{len(qs)} entries from its tail capture")
     return {k: v for k, v in qs.items() if isinstance(v, (int, float))}
