@@ -64,6 +64,7 @@ object SparkEntry {
     "s59_lake_funnel"     -> ((s, d) => graft.lake.LakeQueries.lakeFunnel(s, d)),
     "s48_partition_ttl"   -> ((s, d) => graft.lake.LakeQueries.partitionTtl(s, d)),
     "s69_show_partitions" -> ((s, d) => graft.lake.LakeQueries.showPartitions(s, d)),
+    "s70_incr_quality_index" -> ((s, d) => graft.lake.LakeQueries.incrementalQualityIndex(s, d)),
     "s13_mor_partitioned" -> ((s, d) => graft.lake.LakeQueries.partitionedReplay(s, d)),
     "s28_manifest_read"   -> ((s, d) => graft.lake.LakeQueries.manifestRead(s, d)),
     "s31_part_manifest_read" -> ((s, d) => graft.lake.LakeQueries.partManifestRead(s, d)),
@@ -339,6 +340,67 @@ object SparkEntry {
   /** All-events LWW per user — shared by s16 (datasource write) and s54
     * (write-path index tagging), whose mixed flagged/unflagged commits
     * must land on the identical final state. */
+  /** The Gopher rule-set oracle (t35/s70): every metric of
+    * `TextAnalysis.gopherRules` in DuckDB over `fromSql` rows
+    * (doc_id, text) with the t35 line synthesis applied. One definition,
+    * two sources — the from-scratch corpus pass and the incrementally
+    * maintained final state must be the SAME function. */
+  private def gopherOracle(fromSql: String): String =
+    s"""WITH src AS (
+       |  SELECT doc_id,
+       |         replace(replace(text, ' table ', chr(10) || chr(10)),
+       |                 ' the ', chr(10)) AS t
+       |  FROM $fromSql
+       |), base AS (
+       |  SELECT doc_id, t,
+       |    list_filter(regexp_split_to_array(lower(t), '\\s+'), x -> x <> '') AS toks,
+       |    list_filter(string_split(t, chr(10)), x -> x <> '') AS lines,
+       |    list_filter(string_split(t, chr(10) || chr(10)), x -> x <> '') AS paras,
+       |    length(regexp_replace(t, '\\s+', '', 'g')) AS chars
+       |  FROM src
+       |), m AS (
+       |  SELECT doc_id, toks, chars,
+       |    len(toks)::BIGINT AS n_words,
+       |    round(1.0 - len(list_distinct(lines))::DOUBLE
+       |          / greatest(len(lines), 1), 6) AS dup_line_frac,
+       |    round(1.0 - len(list_distinct(paras))::DOUBLE
+       |          / greatest(len(paras), 1), 6) AS dup_para_frac,
+       |    round(len(regexp_extract_all(t, '#|\\.\\.\\.'))::DOUBLE
+       |          / greatest(len(toks), 1), 6) AS symbol_word_ratio,
+       |    round(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+       |          / greatest(len(toks), 1), 6) AS alpha_word_frac,
+       |    round(chars::DOUBLE / greatest(len(toks), 1), 6) AS mean_word_len,
+       |    round(len(list_filter(lines, x -> regexp_matches(x, '^\\s*[-*]')))::DOUBLE
+       |          / greatest(len(lines), 1), 6) AS bullet_line_frac,
+       |    round(len(list_filter(lines, x -> regexp_matches(x, '\\.\\.\\.$$')))::DOUBLE
+       |          / greatest(len(lines), 1), 6) AS ellipsis_line_frac
+       |  FROM base
+       |), bi AS (
+       |  SELECT doc_id, chars, toks[i] AS w1, toks[i + 1] AS w2
+       |  FROM m, unnest(range(1, len(toks))) AS ti(i)
+       |), bc AS (
+       |  SELECT doc_id, chars, w1, w2, count(*) AS c
+       |  FROM bi GROUP BY doc_id, chars, w1, w2
+       |), tp AS (
+       |  SELECT doc_id,
+       |    round(c::DOUBLE * (length(w1) + length(w2))
+       |          / greatest(chars, 1), 6) AS top_bigram_char_frac
+       |  FROM (SELECT doc_id, chars, w1, w2, c, row_number() OVER (
+       |          PARTITION BY doc_id ORDER BY c DESC, w1 DESC, w2 DESC) AS rn
+       |        FROM bc) WHERE rn = 1
+       |)
+       |SELECT m.doc_id, m.n_words, m.dup_line_frac, m.dup_para_frac,
+       |  m.symbol_word_ratio, m.alpha_word_frac, m.mean_word_len,
+       |  m.bullet_line_frac, m.ellipsis_line_frac,
+       |  coalesce(tp.top_bigram_char_frac, 0.0) AS top_bigram_char_frac,
+       |  (m.n_words BETWEEN 50 AND 100000
+       |   AND m.mean_word_len BETWEEN 3.0 AND 10.0
+       |   AND m.symbol_word_ratio <= 0.1 AND m.alpha_word_frac >= 0.8
+       |   AND m.bullet_line_frac <= 0.9 AND m.ellipsis_line_frac <= 0.3
+       |   AND m.dup_line_frac <= 0.3 AND m.dup_para_frac <= 0.3
+       |   AND coalesce(tp.top_bigram_char_frac, 0.0) <= 0.2) AS gopher_pass
+       |FROM m LEFT JOIN tp USING (doc_id)""".stripMargin
+
   private val LwwAllEventsOracle: String =
     """SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
       |FROM events
@@ -753,61 +815,14 @@ object SparkEntry {
         |         AS avg_bigram_logprob
         |FROM bi JOIN b USING (w1, w2) JOIN u ON u.w = bi.w1 CROSS JOIN v
         |GROUP BY bi.doc_id""".stripMargin,
-    "t35_gopher_rules" ->
-      """WITH src AS (
-        |  SELECT doc_id,
-        |         replace(replace(text, ' table ', chr(10) || chr(10)),
-        |                 ' the ', chr(10)) AS t
-        |  FROM documents
-        |), base AS (
-        |  SELECT doc_id, t,
-        |    list_filter(regexp_split_to_array(lower(t), '\s+'), x -> x <> '') AS toks,
-        |    list_filter(string_split(t, chr(10)), x -> x <> '') AS lines,
-        |    list_filter(string_split(t, chr(10) || chr(10)), x -> x <> '') AS paras,
-        |    length(regexp_replace(t, '\s+', '', 'g')) AS chars
-        |  FROM src
-        |), m AS (
-        |  SELECT doc_id, toks, chars,
-        |    len(toks)::BIGINT AS n_words,
-        |    round(1.0 - len(list_distinct(lines))::DOUBLE
-        |          / greatest(len(lines), 1), 6) AS dup_line_frac,
-        |    round(1.0 - len(list_distinct(paras))::DOUBLE
-        |          / greatest(len(paras), 1), 6) AS dup_para_frac,
-        |    round(len(regexp_extract_all(t, '#|\.\.\.'))::DOUBLE
-        |          / greatest(len(toks), 1), 6) AS symbol_word_ratio,
-        |    round(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::DOUBLE
-        |          / greatest(len(toks), 1), 6) AS alpha_word_frac,
-        |    round(chars::DOUBLE / greatest(len(toks), 1), 6) AS mean_word_len,
-        |    round(len(list_filter(lines, x -> regexp_matches(x, '^\s*[-*]')))::DOUBLE
-        |          / greatest(len(lines), 1), 6) AS bullet_line_frac,
-        |    round(len(list_filter(lines, x -> regexp_matches(x, '\.\.\.$')))::DOUBLE
-        |          / greatest(len(lines), 1), 6) AS ellipsis_line_frac
-        |  FROM base
-        |), bi AS (
-        |  SELECT doc_id, chars, toks[i] AS w1, toks[i + 1] AS w2
-        |  FROM m, unnest(range(1, len(toks))) AS ti(i)
-        |), bc AS (
-        |  SELECT doc_id, chars, w1, w2, count(*) AS c
-        |  FROM bi GROUP BY doc_id, chars, w1, w2
-        |), tp AS (
-        |  SELECT doc_id,
-        |    round(c::DOUBLE * (length(w1) + length(w2))
-        |          / greatest(chars, 1), 6) AS top_bigram_char_frac
-        |  FROM (SELECT doc_id, chars, w1, w2, c, row_number() OVER (
-        |          PARTITION BY doc_id ORDER BY c DESC, w1 DESC, w2 DESC) AS rn
-        |        FROM bc) WHERE rn = 1
-        |)
-        |SELECT m.doc_id, m.n_words, m.dup_line_frac, m.dup_para_frac,
-        |  m.symbol_word_ratio, m.alpha_word_frac, m.mean_word_len,
-        |  m.bullet_line_frac, m.ellipsis_line_frac,
-        |  coalesce(tp.top_bigram_char_frac, 0.0) AS top_bigram_char_frac,
-        |  (m.n_words BETWEEN 50 AND 100000
-        |   AND m.mean_word_len BETWEEN 3.0 AND 10.0
-        |   AND m.symbol_word_ratio <= 0.1 AND m.alpha_word_frac >= 0.8
-        |   AND m.bullet_line_frac <= 0.9 AND m.ellipsis_line_frac <= 0.3
-        |   AND m.dup_line_frac <= 0.3 AND m.dup_para_frac <= 0.3
-        |   AND coalesce(tp.top_bigram_char_frac, 0.0) <= 0.2) AS gopher_pass
-        |FROM m LEFT JOIN tp USING (doc_id)""".stripMargin,
+    "t35_gopher_rules" -> gopherOracle("documents"),
+    // incrementally-maintained metrics == from-scratch pass over the
+    // FINAL doc state (%5==1 refreshed, %10==0 dropped)
+    "s70_incr_quality_index" -> gopherOracle(
+      """(SELECT doc_id,
+        |   CASE WHEN doc_id % 5 = 1 THEN text || ' refreshed content'
+        |        ELSE text END AS text
+        | FROM documents WHERE doc_id % 10 <> 0)""".stripMargin),
     "t36_line_dedup" ->
       """WITH src AS (
         |  SELECT doc_id,

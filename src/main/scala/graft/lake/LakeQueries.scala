@@ -648,6 +648,44 @@ object LakeQueries {
     graft.TempDirs.materializeAndDelete(it.read(), iPath)
   }
 
+  /** Incrementally-maintained QUALITY-METRICS table (the curation-over-
+    * the-lake composition: the Gopher gate of `t35` maintained from the
+    * docs changelog — s42's maintenance discipline applied to quality
+    * scoring): a docs MOR table and a metrics MOR table keyed `doc_id`.
+    * The initial metrics are one native `gopher_metrics` pass over the
+    * corpus; after an update commit and a delete commit on docs,
+    * maintenance reads the DOCS CHANGELOG — O(changed docs), never a
+    * corpus rescan; the changelog is net-per-key, so an update-then-
+    * delete nets to one D — tombstones metrics of deleted docs and
+    * recomputes exactly the I/U after-images. Oracle: the final metrics
+    * table equals a from-scratch Gopher pass over the final doc state. */
+  def incrementalQualityIndex(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val dt = MorTable(spark, tempPath("mor-q-docs"), keyCols = Seq("doc_id"),
+      compactionDeltaCommits = 1000)
+    val mPath = tempPath("mor-q-metrics")
+    val mt = MorTable(spark, mPath, keyCols = Seq("doc_id"),
+      compactionDeltaCommits = 1000)
+    // the t35 line synthesis, applied at metric time (the lake stores raw)
+    def metrics(d: DataFrame) = graft.functions.TextAnalysis.gopherRulesNative(
+      d.select(col("doc_id"),
+        replace(replace(col("text"), lit(" table "), lit("\n\n")),
+          lit(" the "), lit("\n")).as("text")))
+    dt.upsert(docs, orderWithinBatch = Nil, batchId = 1L)
+    mt.upsert(metrics(dt.read()), orderWithinBatch = Nil, batchId = 1L)
+    // docs change: every doc_id % 5 == 1 gets new content, % 10 == 0 drops
+    dt.upsert(docs.filter(col("doc_id") % 5 === 1)
+      .withColumn("text", concat(col("text"), lit(" refreshed content"))),
+      orderWithinBatch = Nil, batchId = 2L)
+    dt.deleteWhere(col("doc_id") % 10 === 0, batchId = 3L)
+    // O(changes) maintenance from the changelog
+    val cl = dt.readChangelog(1L).localCheckpoint(true) // one read, two consumers
+    mt.delete(cl.filter(col("op") === "D").select("doc_id"), batchId = 2L)
+    mt.upsert(metrics(cl.filter(col("op").isin("I", "U"))
+      .select("doc_id", "text")), orderWithinBatch = Nil, batchId = 3L)
+    graft.TempDirs.materializeAndDelete(mt.read(), mPath)
+  }
+
   /** STREAMING READ of the lake, oracle-checked end-to-end: replay events
     * as two time-split delta commits, then drive a LIVE
     * `readStream.format("graft.mor")` query ([[graft.mor.MorStreamSource]]

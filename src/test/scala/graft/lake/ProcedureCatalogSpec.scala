@@ -126,6 +126,21 @@ class ProcedureCatalogSpec extends AnyFunSuite {
       s"no compaction yet: no base files ($before)")
     assert(ld0 == 2 && df0 >= 2 && db0 > 0L,
       s"two live delta commits with files ($before)")
+    // the CALL itself schedules ZERO Spark jobs (driver-side listStatus
+    // into a metadata-sized local result)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      fsv()
+      Thread.sleep(300) // listener bus is async; drain briefly
+      assert(jobs.get() == 0, s"show_fsview must not schedule jobs (${jobs.get()})")
+    } finally spark.sparkContext.removeSparkListener(l)
+
     spark.sql("CALL graft_ops.run_compaction(table => 'proc_fsv', mode => 'full')").collect()
     val after = fsv()
     val (_, lc1, bf1, bb1, ld1, df1, db1) = after.head
