@@ -251,6 +251,37 @@ class TextAnalysisSpec extends AnyFunSuite {
     }, plan.toString())
   }
 
+  test("fuzz: native gopher_metrics and dedup_lines == declarative on 300 random texts") {
+    // deterministic generator (fixed seed): small vocab + adversarial
+    // separators — newlines, blank lines, bullets, ellipses, hashes,
+    // mixed-case tokens, high-repetition runs that force bigram ties
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("aa", "Bb", "ccc", "d", "-x", "*y", "#", "...", "e.e",
+      "the", "THE", "zz9")
+    val seps = Vector(" ", " ", " ", "\n", "\n", "\n\n", "  ", " \n ")
+    val docs = (0 until 300).map { i =>
+      val n = rnd.nextInt(40)
+      val sb = new StringBuilder
+      (0 until n).foreach { _ =>
+        sb.append(vocab(rnd.nextInt(vocab.size)))
+        sb.append(seps(rnd.nextInt(seps.size)))
+      }
+      (s"f$i", sb.toString)
+    }.toDF("doc_id", "text")
+    val gRef = TextAnalysis.gopherRules(docs).collect()
+      .map(r => r.getAs[String]("doc_id") -> r.toSeq.tail).toMap
+    val gNat = TextAnalysis.gopherRulesNative(docs).collect()
+      .map(r => r.getAs[String]("doc_id") -> r.toSeq.tail).toMap
+    val gBad = gRef.keys.filter(k => gRef(k) != gNat(k))
+    assert(gBad.isEmpty, gBad.take(3).map(k =>
+      s"$k: ref=${gRef(k)} native=${gNat(k)}").mkString("; "))
+    val dRef = TextAnalysis.dedupLines(docs).collect()
+      .map(r => r.getAs[String]("doc_id") -> r.toSeq.tail).toMap
+    val dNat = TextAnalysis.dedupLinesNative(docs).collect()
+      .map(r => r.getAs[String]("doc_id") -> r.toSeq.tail).toMap
+    assert(dRef == dNat)
+  }
+
   test("fingerprint: stable under distant edits, equal on shared minimal window") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val edited = base + " lambda mu"   // appended tail, same min window likely
