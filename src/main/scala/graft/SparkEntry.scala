@@ -237,6 +237,8 @@ object SparkEntry {
       // the declarative reference is pinned equal in TextAnalysisSpec
       graft.functions.TextAnalysis.gopherRulesNative(docs)
     }),
+    "t37_gopher_ngrams"   -> ((s, d) => graft.functions.TextAnalysis
+      .gopherNgramsNative(graft.Tables.documents(s, d))),
     "t36_line_dedup"      -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, lit, replace}
       // same deterministic line synthesis as t35 (oracle mirrors it)
@@ -823,6 +825,60 @@ object SparkEntry {
         |   CASE WHEN doc_id % 5 = 1 THEN text || ' refreshed content'
         |        ELSE text END AS text
         | FROM documents WHERE doc_id % 10 <> 0)""".stripMargin),
+    "t37_gopher_ngrams" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks,
+        |    length(regexp_replace(text, '\s+', '', 'g')) AS chars
+        |  FROM documents
+        |), occ AS (
+        |  SELECT doc_id, chars, n, i,
+        |         array_to_string(toks[i:i+n-1], ' ') AS g
+        |  FROM base, unnest([3, 4, 5, 6, 7, 8, 9, 10]) AS tn(n),
+        |       unnest(range(1, len(toks) - n + 2)) AS ti(i)
+        |), cnt AS (
+        |  SELECT doc_id, chars, n, g, count(*) AS c
+        |  FROM occ GROUP BY doc_id, chars, n, g
+        |), tops AS (
+        |  SELECT doc_id, n,
+        |    round(c::DOUBLE * (length(g) - (n - 1))
+        |          / greatest(chars, 1), 6) AS frac
+        |  FROM (SELECT doc_id, chars, n, g, c, row_number() OVER (
+        |          PARTITION BY doc_id, n ORDER BY c DESC, g DESC) AS rn
+        |        FROM cnt WHERE n <= 4) WHERE rn = 1
+        |), dupcov AS (
+        |  SELECT DISTINCT o.doc_id, o.n, tj.j
+        |  FROM occ o
+        |  JOIN cnt USING (doc_id, n, g), unnest(range(o.i, o.i + o.n)) AS tj(j)
+        |  WHERE o.n >= 5 AND cnt.c >= 2
+        |), dups AS (
+        |  SELECT d.doc_id, d.n,
+        |    round(sum(length(b.toks[d.j]))::DOUBLE
+        |          / greatest(any_value(b.chars), 1), 6) AS frac
+        |  FROM dupcov d JOIN base b USING (doc_id)
+        |  GROUP BY d.doc_id, d.n
+        |), wide AS (
+        |  SELECT b.doc_id,
+        |    coalesce(max(CASE WHEN t.n = 3 THEN t.frac END), 0.0) AS top_3gram_char_frac,
+        |    coalesce(max(CASE WHEN t.n = 4 THEN t.frac END), 0.0) AS top_4gram_char_frac,
+        |    coalesce(max(CASE WHEN t.n = 5 THEN t.frac END), 0.0) AS dup_5gram_char_frac,
+        |    coalesce(max(CASE WHEN t.n = 6 THEN t.frac END), 0.0) AS dup_6gram_char_frac,
+        |    coalesce(max(CASE WHEN t.n = 7 THEN t.frac END), 0.0) AS dup_7gram_char_frac,
+        |    coalesce(max(CASE WHEN t.n = 8 THEN t.frac END), 0.0) AS dup_8gram_char_frac,
+        |    coalesce(max(CASE WHEN t.n = 9 THEN t.frac END), 0.0) AS dup_9gram_char_frac,
+        |    coalesce(max(CASE WHEN t.n = 10 THEN t.frac END), 0.0) AS dup_10gram_char_frac
+        |  FROM base b
+        |  LEFT JOIN (SELECT * FROM tops UNION ALL SELECT * FROM dups) t
+        |    USING (doc_id)
+        |  GROUP BY b.doc_id
+        |)
+        |SELECT *,
+        |  (top_3gram_char_frac <= 0.18 AND top_4gram_char_frac <= 0.16
+        |   AND dup_5gram_char_frac <= 0.15 AND dup_6gram_char_frac <= 0.14
+        |   AND dup_7gram_char_frac <= 0.13 AND dup_8gram_char_frac <= 0.12
+        |   AND dup_9gram_char_frac <= 0.11 AND dup_10gram_char_frac <= 0.10)
+        |  AS repetition_pass
+        |FROM wide""".stripMargin,
     "t36_line_dedup" ->
       """WITH src AS (
         |  SELECT doc_id,

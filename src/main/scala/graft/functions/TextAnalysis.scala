@@ -628,6 +628,90 @@ object TextAnalysis {
           .map(f => col(s"__g.$f").as(f)): _*)
   }
 
+  /** The rest of the Gopher repetition family (Rae et al. 2021 §A1.1):
+    * `top_{3,4}gram_char_frac` (characters in the single most-repeated
+    * n-gram; max-count then binary-largest joined gram tie-break) and
+    * `dup_{5..10}gram_char_frac` (characters COVERED by any occurrence
+    * of a duplicated n-gram — union of covered token positions, overlap
+    * counted once), plus `repetition_pass` at the paper's thresholds.
+    * The 2-gram member lives in [[gopherRules]].
+    *
+    * Declarative reference: per-n positional explode → per-(doc, n, gram)
+    * count → top pick / duplicated-occurrence coverage union → pivot.
+    * Every shuffle is doc-keyed (cardinality bounded by document count),
+    * but it is cross-row machinery for a per-row statistic — the
+    * production path is [[gopherNgramsNative]]'s one-pass kernel. */
+  def gopherNgrams(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    val ns = Seq(3, 4, 5, 6, 7, 8, 9, 10)
+    val base = docs.select(col(idCol), tokens(lower(col(textCol))).as("__toks"),
+        length(regexp_replace(col(textCol), "\\s+", "")).as("__chars"))
+      .localCheckpoint(true) // pin: feeds occurrences, coverage, and the final join
+    val withN = base.select(col(idCol), col("__chars"), col("__toks"),
+      explode(array(ns.map(lit): _*)).as("n"))
+    // sequence(1, 0) would DESCEND ([1, 0]); guard the empty case
+    val m = size(col("__toks")) - col("n") + 1
+    val posSeq = when(m >= 1, sequence(lit(1), m))
+      .otherwise(array().cast("array<int>"))
+    val occ = withN.select(col(idCol), col("__chars"), col("n"),
+        explode(transform(posSeq, i => struct(i.as("i"),
+          array_join(slice(col("__toks"), i, col("n")), " ").as("g")))).as("o"))
+      .select(col(idCol), col("__chars"), col("n"),
+        col("o.i").as("i"), col("o.g").as("g"))
+    val cnt = occ.groupBy(col(idCol), col("__chars"), col("n"), col("g"))
+      .agg(count(lit(1)).as("c"))
+    val tops = cnt.filter(col("n") <= 4)
+      .groupBy(col(idCol), col("__chars"), col("n"))
+      .agg(max(struct(col("c"), col("g"))).as("m"))
+      .select(col(idCol), col("n"),
+        round(col("m.c").cast("double") * (length(col("m.g")) - (col("n") - 1))
+          / greatest(col("__chars"), lit(1)), 6).as("frac"))
+    val dupCovered = occ.filter(col("n") >= 5)
+      .join(cnt.filter(col("c") >= 2)
+        .select(col(idCol), col("n"), col("g")), Seq(idCol, "n", "g"))
+      .select(col(idCol), col("n"),
+        explode(sequence(col("i"), col("i") + col("n") - 1)).as("j"))
+      .distinct() // overlap counted once
+    val dups = dupCovered.join(base, Seq(idCol))
+      .select(col(idCol), col("n"), col("__chars"),
+        length(element_at(col("__toks"), col("j"))).as("len"))
+      .groupBy(col(idCol), col("__chars"), col("n"))
+      .agg(sum(col("len")).as("cov"))
+      .select(col(idCol), col("n"),
+        round(col("cov").cast("double") / greatest(col("__chars"), lit(1)), 6)
+          .as("frac"))
+    val wide = tops.unionByName(dups)
+      .groupBy(col(idCol)).pivot("n", ns)
+      .agg(first(col("frac")))
+    val named = ns.map(n => if (n <= 4) s"top_${n}gram_char_frac"
+      else s"dup_${n}gram_char_frac")
+    val out = ns.zip(named).foldLeft(base.select(col(idCol))
+        .join(wide, Seq(idCol), "left")) { case (d, (n, nm)) =>
+      d.withColumn(nm, coalesce(col(s"`$n`"), lit(0.0))).drop(n.toString)
+    }
+    out.withColumn("repetition_pass",
+      col("top_3gram_char_frac") <= 0.18 && col("top_4gram_char_frac") <= 0.16 &&
+      col("dup_5gram_char_frac") <= 0.15 && col("dup_6gram_char_frac") <= 0.14 &&
+      col("dup_7gram_char_frac") <= 0.13 && col("dup_8gram_char_frac") <= 0.12 &&
+      col("dup_9gram_char_frac") <= 0.11 && col("dup_10gram_char_frac") <= 0.10)
+  }
+
+  /** [[gopherNgrams]] as the native one-pass expression
+    * (graft.functions.expr.GopherNgrams): all eight n-gram statistics in
+    * a single row kernel — map-only, zero shuffles, WholeStageCodegen.
+    * Pinned equal to the declarative reference in TextAnalysisSpec.
+    * Requires `GraftFunctions.register` / the session extension. */
+  def gopherNgramsNative(docs: DataFrame, textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    graft.GraftFunctions.register(docs.sparkSession)
+    val g = org.apache.spark.sql.functions.call_function(
+      "gopher_ngrams", col(textCol))
+    docs.select(col(idCol), g.as("__g"))
+      .select(col(idCol) +:
+        graft.functions.expr.GopherNgrams.Schema.fieldNames.toSeq
+          .map(f => col(s"__g.$f").as(f)): _*)
+  }
+
   val EnStopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to",
     "in", "is", "it", "that", "for", "on", "with", "as", "was", "at", "by")
   val EsStopwords: Seq[String] = Seq("el", "la", "los", "las", "un", "una", "y",

@@ -251,7 +251,54 @@ class TextAnalysisSpec extends AnyFunSuite {
     }, plan.toString())
   }
 
-  test("fuzz: native gopher_metrics and dedup_lines == declarative on 300 random texts") {
+  test("gopherNgrams: hand-computed top/dup n-gram fractions; native == declarative") {
+    graft.GraftFunctions.register(spark)
+    // "a b c" x3: top3 = 3 occurrences x 3 chars / 9; top4 ties at c=2 ->
+    // binary-largest gram "c a b c"; dup5/dup6 cover ALL positions; 7+ unique
+    val docs = Seq(
+      ("g1", "a b c a b c a b c"),
+      ("g2", (1 to 12).map(i => s"t$i").mkString(" ")),
+      ("g3", "x"), ("g4", "")).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherNgramsNative(docs).collect()
+      .map(r => r.getAs[String]("doc_id") -> r).toMap
+    val g1 = got("g1")
+    assert(g1.getAs[Double]("top_3gram_char_frac") == 1.0)
+    assert(g1.getAs[Double]("top_4gram_char_frac") == 0.888889)
+    assert(g1.getAs[Double]("dup_5gram_char_frac") == 1.0)
+    assert(g1.getAs[Double]("dup_6gram_char_frac") == 1.0)
+    assert(g1.getAs[Double]("dup_7gram_char_frac") == 0.0)
+    assert(g1.getAs[Double]("dup_10gram_char_frac") == 0.0)
+    assert(!g1.getAs[Boolean]("repetition_pass"))
+    val g2 = got("g2")
+    // all 3-grams unique; tie-break picks binary-largest "t9 t10 t11" (8
+    // chars of 27) — single occurrences still produce a top fraction
+    assert(g2.getAs[Double]("top_3gram_char_frac") == 0.296296)
+    assert(g2.getAs[Double]("dup_5gram_char_frac") == 0.0)
+    assert(got("g3").getAs[Double]("top_3gram_char_frac") == 0.0)
+    assert(got("g4").getAs[Boolean]("repetition_pass"),
+      "an empty doc has zero repetition everywhere")
+    val corpus = graft.Tables.documents(spark, TestSpark.sfDir)
+      .select(concat_ws("-", lit("c"), $"doc_id").as("doc_id"), $"text")
+    Seq(docs, corpus).foreach { df =>
+      val ref = TextAnalysis.gopherNgrams(df).collect()
+        .map(r => r.getAs[String]("doc_id") -> r.toSeq.tail).toMap
+      val nat = TextAnalysis.gopherNgramsNative(df).collect()
+        .map(r => r.getAs[String]("doc_id") -> r.toSeq.tail).toMap
+      assert(ref.keySet == nat.keySet)
+      val bad = ref.keys.filter(k => ref(k) != nat(k))
+      assert(bad.isEmpty, bad.take(3).map(k =>
+        s"$k: ref=${ref(k)} native=${nat(k)}").mkString("; "))
+    }
+    val plan = TextAnalysis.gopherNgramsNative(
+      graft.Tables.documents(spark, TestSpark.sfDir)).queryExecution.executedPlan
+    assert(plan.exists {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec =>
+        w.toString().contains("gopher_ngrams")
+      case _ => false
+    }, plan.toString())
+  }
+
+  test("fuzz: native gopher_metrics/gopher_ngrams/dedup_lines == declarative on 300 random texts") {
     // deterministic generator (fixed seed): small vocab + adversarial
     // separators — newlines, blank lines, bullets, ellipses, hashes,
     // mixed-case tokens, high-repetition runs that force bigram ties
@@ -280,6 +327,13 @@ class TextAnalysisSpec extends AnyFunSuite {
     val dNat = TextAnalysis.dedupLinesNative(docs).collect()
       .map(r => r.getAs[String]("doc_id") -> r.toSeq.tail).toMap
     assert(dRef == dNat)
+    val nRef = TextAnalysis.gopherNgrams(docs).collect()
+      .map(r => r.getAs[String]("doc_id") -> r.toSeq.tail).toMap
+    val nNat = TextAnalysis.gopherNgramsNative(docs).collect()
+      .map(r => r.getAs[String]("doc_id") -> r.toSeq.tail).toMap
+    val nBad = nRef.keys.filter(k => nRef(k) != nNat(k))
+    assert(nBad.isEmpty, nBad.take(3).map(k =>
+      s"$k: ref=${nRef(k)} native=${nNat(k)}").mkString("; "))
   }
 
   test("fingerprint: stable under distant edits, equal on shared minimal window") {
