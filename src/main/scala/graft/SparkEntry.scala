@@ -190,6 +190,7 @@ object SparkEntry {
       org.apache.spark.sql.functions.col("lang") === "en")),
     "t23_pmi_pairs"       -> ((s, d) => graft.functions.TextAnalysis.pmiPairs(
       graft.Tables.documents(s, d))),
+    "r47_grouping_sets"   -> ((s, d) => RelationalOps.groupingSetsAgg(s, d)),
     "r32_pivot"           -> ((s, d) => RelationalOps.pivotEventCounts(s, d)),
     "r33_gapfill"         -> ((s, d) => RelationalOps.gapFillHourly(s, d)),
     "r34_sliding_agg"     -> ((s, d) => RelationalOps.slidingAgg(s, d)),
@@ -1690,6 +1691,14 @@ object SparkEntry {
         |       sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents
         |FROM orders
         |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin,
+    "r47_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+        |       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+        |       count(*) AS cnt,
+        |       sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), (o_orderpriority))""".stripMargin,
     "r19_salted_join" ->
       """SELECT o.o_orderkey, c.c_name, o.o_totalprice
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,

@@ -159,6 +159,23 @@ object RelationalOps {
         coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
         col("cnt"), col("sum_cents"))
 
+  /** Explicit GROUPING SETS — a set list neither rollup nor cube can
+    * spell ((status, priority), (status), (priority): cube minus the
+    * grand total), one Expand + partial-agg pass like its siblings.
+    * Sentinels replace the subtotal NULLs (portable row-sort compare);
+    * the source columns are non-null, so sentinel rows stay distinct. */
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sum_cents"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        col("cnt"), col("sum_cents"))
+
   /** Window-analytics bundle over events: per-user value rank, previous
     * value (lag), and a running exact-micros sum — one shuffle on user_id
     * shared by all three window frames. lag's leading NULL is coalesced to
