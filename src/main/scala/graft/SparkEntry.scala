@@ -240,6 +240,12 @@ object SparkEntry {
     }),
     "t37_gopher_ngrams"   -> ((s, d) => graft.functions.TextAnalysis
       .gopherNgramsNative(graft.Tables.documents(s, d))),
+    "t38_lang_quality"    -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      graft.Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        graft.functions.TextAnalysis
+          .qualityScoreByLang(col("text"), col("lang")).as("quality"))
+    }),
     "t36_line_dedup"      -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, lit, replace}
       // same deterministic line synthesis as t35 (oracle mirrors it)
@@ -826,6 +832,48 @@ object SparkEntry {
         |   CASE WHEN doc_id % 5 = 1 THEN text || ' refreshed content'
         |        ELSE text END AS text
         | FROM documents WHERE doc_id % 10 <> 0)""".stripMargin),
+    "t38_lang_quality" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                x -> x <> '') AS lt,
+        |    len(list_filter(regexp_split_to_array(text, '\s+'),
+        |                    x -> x <> '')) AS n_tok,
+        |    round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+        |          / greatest(length(text), 1)::DOUBLE, 6) AS punct_r,
+        |    length(regexp_replace(text, '\s+', '', 'g')) AS n_nonspace
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, lang, n_tok, punct_r, n_nonspace,
+        |    CASE lang
+        |      WHEN 'en' THEN round(len(list_filter(lt, t -> list_contains(
+        |        ['the','a','an','and','or','of','to','in','is','it','that','for',
+        |         'on','with','as','was','at','by'], t)))::DOUBLE
+        |        / greatest(n_tok, 1), 6)
+        |      WHEN 'es' THEN round(len(list_filter(lt, t -> list_contains(
+        |        ['el','la','los','las','un','una','y','o','de','en','es','que',
+        |         'por','con','para','del','se','no'], t)))::DOUBLE
+        |        / greatest(n_tok, 1), 6)
+        |      WHEN 'de' THEN round(len(list_filter(lt, t -> list_contains(
+        |        ['der','die','das','ein','eine','und','oder','von','zu','im',
+        |         'ist','dass','für','auf','mit','als','den'], t)))::DOUBLE
+        |        / greatest(n_tok, 1), 6)
+        |      WHEN 'fr' THEN round(len(list_filter(lt, t -> list_contains(
+        |        ['le','la','les','un','une','et','ou','de','en','est','que',
+        |         'pour','sur','avec','du','au','des','ne'], t)))::DOUBLE
+        |        / greatest(n_tok, 1), 6)
+        |      ELSE NULL END AS sw_r
+        |  FROM f
+        |)
+        |SELECT doc_id, lang,
+        |  round(((CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+        |   + (CASE WHEN punct_r < 0.1 THEN 1.0 ELSE 0.0 END)
+        |   + (CASE WHEN sw_r IS NULL THEN 1.0
+        |           WHEN sw_r BETWEEN 0.05 AND 0.7 THEN 1.0 ELSE 0.0 END)
+        |   + (CASE WHEN n_nonspace::DOUBLE / greatest(n_tok, 1)
+        |                BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)) / 4.0, 4)
+        |  AS quality
+        |FROM r""".stripMargin,
     "t37_gopher_ngrams" ->
       """WITH base AS (
         |  SELECT doc_id,

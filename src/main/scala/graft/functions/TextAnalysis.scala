@@ -566,6 +566,29 @@ object TextAnalysis {
         col("top_bigram_char_frac") <= 0.2)
   }
 
+  /** Language-routed quality score (CCNet-style per-language curation
+    * routing): [[qualityScore]]'s shape with the stopword gate evaluated
+    * against the DECLARED language's own stopword list — an English
+    * stopword gate run on Spanish prose flunks fluent text, which is why
+    * multilingual pipelines route the gate per language. Languages
+    * without a curated list here (zh) SKIP the stopword gate rather than
+    * fail it. Same map-only cost as the base score. */
+  def qualityScoreByLang(text: Column, lang: Column): Column = {
+    val nTok = tokenCount(text)
+    val meanTokLen = length(regexp_replace(text, "\\s+", "")).cast("double") /
+      greatest(nTok, lit(1))
+    val lenOk = when(nTok.between(10, 100000), 1.0).otherwise(0.0)
+    val punctOk = when(punctRatio(text) < 0.1, 1.0).otherwise(0.0)
+    def band(r: Column) = when(r.between(0.05, 0.7), 1.0).otherwise(0.0)
+    val swOk = when(lang === "en", band(stopwordRatio(text, EnStopwords)))
+      .when(lang === "es", band(stopwordRatio(text, EsStopwords)))
+      .when(lang === "de", band(stopwordRatio(text, DeStopwords)))
+      .when(lang === "fr", band(stopwordRatio(text, FrStopwords)))
+      .otherwise(lit(1.0))
+    val tokLenOk = when(meanTokLen.between(2.0, 12.0), 1.0).otherwise(0.0)
+    round((lenOk + punctOk + swOk + tokLenOk) / 4.0, 4)
+  }
+
   /** Within-document duplicate-LINE removal (the rewrite counterpart to
     * [[gopherRules]]' dup_line_frac score — the CCNet/RefinedWeb cleaning
     * step that drops repeated lines, keeping the FIRST occurrence in

@@ -251,6 +251,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     }, plan.toString())
   }
 
+  test("qualityScoreByLang: the stopword gate routes per declared language") {
+    val es = "el perro grande de la casa es que una obra para los dias y " * 3
+    val df = Seq(("d1", "es", es), ("d2", "en", es), ("d3", "zh", "汉字 " * 20))
+      .toDF("doc_id", "lang", "text")
+    val got = df.select($"doc_id",
+        TextAnalysis.qualityScoreByLang($"text", $"lang").as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // fluent Spanish passes all four gates under es routing...
+    assert(got("d1") == 1.0, s"es-routed: $got")
+    // ...but the SAME text under the English stopword gate loses a point
+    // (zero en-stopword mass) — the misroute multilingual pipelines avoid
+    assert(got("d2") == 0.75, s"en-misrouted: $got")
+    // zh has no curated list: the gate is skipped, not failed
+    assert(got("d3") == 1.0, s"zh skips the stopword gate: $got")
+  }
+
   test("gopherNgrams: hand-computed top/dup n-gram fractions; native == declarative") {
     graft.GraftFunctions.register(spark)
     // "a b c" x3: top3 = 3 occurrences x 3 chars / 9; top4 ties at c=2 ->
