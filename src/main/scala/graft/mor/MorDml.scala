@@ -473,9 +473,12 @@ case class GraftDropPartitionCommand(
   * ([[graft.lake.PartitionedMorTable.partitions]] — the parent manifest's
   * child-directory set, a metadata read with zero data jobs). Rows render
   * the RAW `<col>=<value>` form (the same encoding `partitions()` and the
-  * stats rows speak — deliberately NOT the Hive-escaped staged-dir form;
-  * see the partition-encoding rule in CLAUDE.md), sorted; an optional
-  * spec filters to its value. Refused loudly on an unpartitioned table. */
+  * stats rows speak — deliberately NOT the Hive-escaped staged-dir form:
+  * a partition value lives in three encodings that never string-match —
+  * raw, Hive escapePathName, Hadoop-Path URI — so every surface declares
+  * which one it emits and consumers key on exactly that), sorted; an
+  * optional spec filters to its value (compared raw, for the same
+  * reason). Refused loudly on an unpartitioned table. */
 case class GraftShowPartitionsCommand(
     tid: org.apache.spark.sql.catalyst.TableIdentifier,
     override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
