@@ -392,9 +392,18 @@ final class MorTable(
     * key bounds against [mn, mx] — exact metadata, so pruning can never
     * hide a real hit ([[upsertIfNew]]'s soundness note). */
   private def keysMightExist(filter: Array[Byte], mn: String, mx: String): Boolean = {
+    // a bootstrap base has no on-disk _record_key — probe it through the
+    // synthesizing scan instead of the raw path union
+    val bootScan = liveDeltas(timeline())._1
+      .filter(_.bootstrapDir.isDefined)
+      .map(c => baseScanOf(c).select("_record_key"))
     val paths = probePaths(mn, mx)
-    paths.nonEmpty && spark.read.parquet(MorTable.globSafe(paths): _*)
-      .select("_record_key")
+    val pathScan =
+      if (paths.isEmpty) None
+      else Some(spark.read.parquet(MorTable.globSafe(paths): _*)
+        .select("_record_key"))
+    val scans = bootScan.toSeq ++ pathScan.toSeq
+    scans.nonEmpty && scans.reduce(_.unionByName(_))
       .filter(call_function("key_bloom_contains", lit(filter), col("_record_key")))
       .head(1).nonEmpty
   }
@@ -402,14 +411,17 @@ final class MorTable(
   /** The paths a newness probe over key range [mn, mx] must scan:
     * range-surviving base files (manifest key bounds — exact metadata, so
     * pruning can never hide a real hit) plus live delta dirs. Empty means
-    * newness is proven from bounds alone. */
+    * newness is proven from bounds alone — except for a bootstrap base
+    * (raw files without meta columns), which [[keysMightExist]] probes
+    * separately via [[baseScanOf]] and is excluded here. */
   private[lake] def probePaths(mn: String, mx: String): Seq[String] = {
-    val (baseDirOpt, deltaDirs) = liveScanDirs()
-    val basePaths: Seq[String] = baseDirOpt.toSeq.flatMap { bd =>
-      liveDeltas(timeline())._1.flatMap(c =>
-        keptByKeyRange(c.seq, mn, mx, hiInclusive = true)).getOrElse(Seq(bd))
+    val (lastCompact, deltas) = liveDeltas(timeline())
+    val basePaths: Seq[String] = lastCompact.toSeq.flatMap { c =>
+      if (c.bootstrapDir.isDefined) Nil
+      else keptByKeyRange(c.seq, mn, mx, hiInclusive = true)
+        .getOrElse(Seq(s"$path/base/${c.seq}"))
     }
-    basePaths ++ deltaDirs
+    basePaths ++ deltas.map(d => s"$path/delta/${d.seq}")
   }
 
   /** Delete by key — writes tombstones (CDC `op = D`). `keys` needs the key
@@ -1067,6 +1079,32 @@ final class MorTable(
   private def snapshotOf(tl: Seq[Instant]): DataFrame =
     snapshotMerged(tl).filter(!col("_deleted"))
 
+  /** Physical base location of a compact instant: the managed
+    * `base/<seq>` dir, or the external source dir for a zero-copy
+    * bootstrap commit ([[bootstrap]]). */
+  private def baseDirOf(c: Instant): String =
+    c.bootstrapDir.getOrElse(s"$path/base/${c.seq}")
+
+  /** Base scan of a compact instant, meta columns guaranteed. Managed
+    * bases carry them on disk; a bootstrap base is the user's original
+    * parquet (no lake columns), so they are SYNTHESIZED as projections
+    * over the scan — `_record_key` from the key columns, every row live,
+    * the whole commit one seqno. Pure narrow projections: data-column
+    * filters still reach the parquet scan pushed (only `_record_key`
+    * predicates lose pushdown until the first real compaction rewrites
+    * the base managed — the same freshness-vs-layout trade Hudi's
+    * METADATA_ONLY bootstrap makes before its first clustering). */
+  private def baseScanOf(c: Instant): DataFrame = c.bootstrapDir match {
+    case Some(d) =>
+      scanDir(d)
+        .withColumn("_record_key",
+          concat_ws("|", keyCols.map(k => col(k).cast("string")): _*))
+        .withColumn("_deleted", lit(false))
+        .withColumn("_commit_seqno", lit(c.seq))
+        .withColumn("_commit_time", lit(MorTable.commitTimeString(c.commitMs)))
+    case None => scanDir(s"$path/base/${c.seq}")
+  }
+
   /** base ⟕ live deltas, LWW by `_commit_seqno` — tombstones RETAINED
     * (compaction stages through this; readers filter `_deleted` last).
     * `keyFilter` is applied to every commit scan BEFORE the union, so it
@@ -1089,7 +1127,10 @@ final class MorTable(
     // file intersects, kept as a schema-only scan the optimizer folds to
     // an empty relation
     val baseScan0 = lastCompact.toSeq.map { c =>
-      baseFiles match {
+      // a bootstrap base has no manifest, so no pruning path can ever
+      // hand a file subset for it — scan it whole with synthesized meta
+      if (c.bootstrapDir.isDefined) baseScanOf(c)
+      else baseFiles match {
         case Some(sel) if sel.isEmpty =>
           scanDir(s"$path/base/${c.seq}").filter(lit(false))
         case Some(sel) => spark.read.parquet(MorTable.globSafe(sel): _*)
@@ -1238,7 +1279,7 @@ final class MorTable(
     val base: Option[Long] = lastCompact match {
       case Some(c) =>
         manifestHeader(c.seq).map(_.rows).filter(_ >= 0L)
-          .orElse(footerRowCount(s"$path/base/${c.seq}"))
+          .orElse(footerRowCount(baseDirOf(c)))
       case None => Some(0L)
     }
     deltas.foldLeft(base) { (acc, d) =>
@@ -1305,7 +1346,7 @@ final class MorTable(
     * O(1) in partition count. */
   private[lake] def liveScanDirs(): (Option[String], Seq[String]) = {
     val (lastCompact, deltas) = liveDeltas(timeline())
-    (lastCompact.map(c => s"$path/base/${c.seq}"),
+    (lastCompact.map(baseDirOf),
       deltas.map(d => s"$path/delta/${d.seq}"))
   }
 
@@ -1558,7 +1599,7 @@ final class MorTable(
     if (tl.isEmpty)
       throw new IllegalStateException(s"MorTable at $path has no commits")
     liveDeltas(tl)._1 match {
-      case Some(c) => scanDir(s"$path/base/${c.seq}").filter(!col("_deleted"))
+      case Some(c) => baseScanOf(c).filter(!col("_deleted"))
       case None => snapshotMerged(tl).filter(lit(false)) // pre-compaction: RO is empty
     }
   }
@@ -1969,7 +2010,7 @@ final class MorTable(
         (fl.length, fl.map(_.getLen).sum)
       }
     }
-    val (bf, bb) = lastCompact.map(c => dirStats(new Path(hPath, s"base/${c.seq}")))
+    val (bf, bb) = lastCompact.map(c => dirStats(new Path(baseDirOf(c))))
       .getOrElse((0, 0L))
     val ds = deltas.map(d => dirStats(new Path(hPath, s"delta/${d.seq}")))
     MorTable.FsView(lastCompact.map(_.seq), bf, bb,
@@ -2345,11 +2386,19 @@ object MorTable {
     * writer, and a contract-violating "insert" of a live key surfaces as a
     * duplicate instead of being silently deduped. */
   final case class Instant(seq: Long, kind: String, batchId: Long, commitMs: Long,
-                           unfolded: Seq[Long] = Nil, insertOnly: Boolean = false) {
+                           unfolded: Seq[Long] = Nil, insertOnly: Boolean = false,
+                           /** Zero-copy bootstrap commit (see
+                             * [[MorTable.bootstrap]]): this compact's base
+                             * is the EXTERNAL parquet directory named here —
+                             * no managed `base/<seq>` dir, no manifest, lake
+                             * meta columns synthesized at scan time. */
+                           bootstrapDir: Option[String] = None) {
     def toJson: String = {
       val uf = if (unfolded.isEmpty) "" else s""","unfolded":[${unfolded.mkString(",")}]"""
       val io = if (insertOnly) s""","insertOnly":true""" else ""
-      s"""{"seq":$seq,"kind":"$kind","batchId":$batchId,"commitMs":$commitMs$uf$io}"""
+      val bd = bootstrapDir.map(d =>
+        s""","bootstrapDir":"${jsEscape(d)}"""").getOrElse("")
+      s"""{"seq":$seq,"kind":"$kind","batchId":$batchId,"commitMs":$commitMs$uf$io$bd}"""
     }
   }
 
@@ -2363,8 +2412,13 @@ object MorTable {
       val m = java.util.regex.Pattern.compile("\"unfolded\":\\[([0-9,]*)\\]").matcher(json)
       if (m.find() && m.group(1).nonEmpty) m.group(1).split(',').toSeq.map(_.toLong) else Nil
     }
+    val bd = {
+      val m = java.util.regex.Pattern
+        .compile("\"bootstrapDir\":\"((?:[^\"\\\\]|\\\\.)*)\"").matcher(json)
+      if (m.find()) Some(jsUnescape(m.group(1))) else None
+    }
     Instant(field("seq").toLong, field("kind"), field("batchId").toLong,
-      field("commitMs").toLong, uf, json.contains("\"insertOnly\":true"))
+      field("commitMs").toLong, uf, json.contains("\"insertOnly\":true"), bd)
   }
 
   /** Multi-writer commit-seq allocation (the Hudi inflight/OCC analog),
