@@ -52,6 +52,7 @@ object SparkEntry {
     "s7_mor_upsert_replay" -> ((s, d) => graft.lake.LakeQueries.upsertReplay(s, d)),
     "s47_savepoint_restore" -> ((s, d) => graft.lake.LakeQueries.rollbackRestore(s, d)),
     "s67_read_optimized"  -> ((s, d) => graft.lake.LakeQueries.readOptimizedView(s, d)),
+    "s71_bootstrap"       -> ((s, d) => graft.lake.LakeQueries.bootstrapOnboard(s, d)),
     "s53_sql_procedures"  -> ((s, d) => graft.lake.LakeQueries.sqlProcedures(s, d)),
     "s54_write_index_tagging" -> ((s, d) => graft.lake.LakeQueries.writeIndexTagging(s, d)),
     "s55_partial_update"  -> ((s, d) => graft.lake.LakeQueries.partialUpdate(s, d)),
@@ -253,6 +254,23 @@ object SparkEntry {
         replace(replace(col("text"), lit(" table "), lit("\n\n")),
           lit(" the "), lit("\n")).as("text"))
       graft.functions.TextAnalysis.dedupLinesNative(docs)
+    }),
+    "t39_c4_rules"        -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, lit, replace}
+      // the synthetic docs are single-line word soup: synthesize line
+      // structure WITH terminal punctuation, plus planted rule triggers
+      // (javascript lines, a lorem-ipsum marker, curly braces) — every
+      // replace literal, mirrored 1:1 by the DuckDB oracle
+      val docs = graft.Tables.documents(s, d).select(col("doc_id"),
+        replace(replace(replace(replace(replace(col("text"),
+          lit(" table "), lit(".\n")),
+          lit(" row "), lit("?\n")),
+          lit(" spark "), lit(" javascript ")),
+          lit(" vector "), lit(" lorem ipsum. ")),
+          lit(" merge "), lit(" { ")).as("text"))
+      // production path: the native one-pass kernel (map-only, zero
+      // shuffles); declarative reference pinned equal in TextAnalysisSpec
+      graft.functions.TextAnalysis.c4RulesNative(docs)
     }),
     "t7_fingerprint"      -> ((s, d) => {
       import org.apache.spark.sql.functions.col
@@ -874,6 +892,46 @@ object SparkEntry {
         |                BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)) / 4.0, 4)
         |  AS quality
         |FROM r""".stripMargin,
+    // C4 cleaning rule set over the t39 line synthesis: line keeps =
+    // terminal punct + >=3 words + no "javascript"; doc pass = >=5
+    // sentences post-clean, no "lorem ipsum", no '{'. RE2 '$' == end of
+    // text == the Spark side's \z anchor; md5 of the rejoined kept lines
+    // makes the whole rewrite byte-comparable.
+    "t39_c4_rules" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    replace(replace(replace(replace(replace(text,
+        |      ' table ', '.' || chr(10)),
+        |      ' row ', '?' || chr(10)),
+        |      ' spark ', ' javascript '),
+        |      ' vector ', ' lorem ipsum. '),
+        |      ' merge ', ' { ') AS text
+        |  FROM documents
+        |), split AS (
+        |  SELECT doc_id, text, string_split(text, chr(10)) AS lines
+        |  FROM base
+        |), k AS (
+        |  SELECT doc_id, text, lines,
+        |    list_filter(lines, l -> regexp_matches(l, '[.!?"]$')
+        |      AND len(regexp_extract_all(l, '\S+')) >= 3
+        |      AND NOT contains(lower(l), 'javascript')) AS kept
+        |  FROM split
+        |), c AS (
+        |  SELECT doc_id, text, len(lines) AS total_lines,
+        |         len(kept) AS kept_lines,
+        |         -- array_to_string of an EMPTY list is NULL in DuckDB
+        |         coalesce(array_to_string(kept, chr(10)), '') AS cleaned
+        |  FROM k
+        |)
+        |SELECT doc_id,
+        |  total_lines::BIGINT AS total_lines,
+        |  kept_lines::BIGINT AS kept_lines,
+        |  len(regexp_extract_all(cleaned, '[.!?]'))::BIGINT AS n_sentences,
+        |  (len(regexp_extract_all(cleaned, '[.!?]')) >= 5
+        |    AND NOT contains(lower(text), 'lorem ipsum')
+        |    AND NOT contains(text, '{')) AS c4_pass,
+        |  md5(cleaned) AS clean_md5
+        |FROM c""".stripMargin,
     "t37_gopher_ngrams" ->
       """WITH base AS (
         |  SELECT doc_id,
@@ -2818,6 +2876,17 @@ object SparkEntry {
     // RO view at the compaction boundary == the same two-thirds LWW state
     // (the post-boundary delta is invisible at RO freshness by contract)
     "s67_read_optimized" -> SavepointOracle,
+    // zero-copy bootstrap onboarding: external customer parquet adopted as
+    // the base, then a balance-zeroing touch-up delta + a TTL delete layer
+    // on top and compact — the lake state == the same CASE/anti-filter
+    // applied directly to the raw file
+    "s71_bootstrap" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |       CASE WHEN c_custkey % 10 = 0 THEN 0.0 ELSE c_acctbal END
+        |         AS c_acctbal,
+        |       c_mktsegment
+        |FROM customer
+        |WHERE c_custkey % 17 <> 3""".stripMargin,
     // s53 replays the same savepoint→backfill→restore story with every
     // verb driven through CALL procedures — same final state by contract
     "s53_sql_procedures" -> SavepointOracle,

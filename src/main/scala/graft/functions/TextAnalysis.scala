@@ -536,7 +536,11 @@ object TextAnalysis {
       round(col("__chars").cast("double") / nW, 6).as("mean_word_len"),
       round(size(filter(col("__lines"), l => l.rlike("^\\s*[-*]"))).cast("double") / nL, 6)
         .as("bullet_line_frac"),
-      round(size(filter(col("__lines"), l => l.rlike("\\.\\.\\.$"))).cast("double") / nL, 6)
+      // \z, not $: Java's un-anchored $ also matches BEFORE a final line
+      // terminator, so a CRLF line ("...\r") would count here but not in
+      // the native endsWith kernel or the RE2 oracle (where $ already
+      // means end-of-text). \z is end-of-input in all three engines.
+      round(size(filter(col("__lines"), l => l.rlike("\\.\\.\\.\\z"))).cast("double") / nL, 6)
         .as("ellipsis_line_frac"))
     val n1 = greatest(size(col("__a")) - 1, lit(0))
     val bi = base.select(col(idCol), col("__chars"), col("__toks").as("__a"))
@@ -629,6 +633,56 @@ object TextAnalysis {
     docs.select(col(idCol), g.as("__d"))
       .select(col(idCol), md5(col("__d.clean_text")).as("clean_md5"),
         col("__d.n_lines").as("n_lines"), col("__d.n_kept").as("n_kept"))
+  }
+
+  /** C4 cleaning rule set (Raffel et al. 2020 §2.2 — the line filters
+    * behind the C4 corpus, complementing the document-level Gopher gate):
+    * keep only lines ending in terminal punctuation (`.` `!` `?` `"`)
+    * with ≥3 words and no "javascript"; a document passes iff its CLEANED
+    * text has ≥5 sentences and the original carries no "lorem ipsum" and
+    * no `{`. Returns per-doc (total_lines, kept_lines, n_sentences,
+    * c4_pass, clean_md5). DECLARATIVE REFERENCE — interpreted
+    * higher-order line filters; the production path is [[c4RulesNative]]
+    * (one compiled pass, pinned equal in TextAnalysisSpec). */
+  def c4Rules(docs: DataFrame, textCol: String = "text",
+              idCol: String = "doc_id"): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    // \z, not $: end-of-INPUT terminal anchor on every engine (Java $
+    // would also match before a CRLF line's trailing \r; RE2 $ would not)
+    val keep = (l: Column) => l.rlike("[.!?\"]\\z") &&
+      size(regexp_extract_all(l, lit("\\S+"), lit(0))) >= 3 &&
+      !lower(l).contains("javascript")
+    val kept = filter(lines, keep)
+    val cleaned = array_join(kept, "\n")
+    val sentences = regexp_count(cleaned, lit("[.!?]")).cast("long")
+    docs.select(col(idCol),
+      size(lines).cast("long").as("total_lines"),
+      size(kept).cast("long").as("kept_lines"),
+      sentences.as("n_sentences"),
+      (sentences >= 5 && !lower(col(textCol)).contains("lorem ipsum") &&
+        !col(textCol).contains("{")).as("c4_pass"),
+      md5(cleaned).as("clean_md5"))
+  }
+
+  /** [[c4Rules]] as the native one-pass expression
+    * (graft.functions.expr.C4Rules) — the production path: the whole
+    * line/document rule set in one compiled scan per row, map-only,
+    * zero shuffles, WholeStageCodegen; the kernel returns clean_text and
+    * Spark's own `md5` hashes it (the dedup_lines pattern). Pinned equal
+    * to the declarative reference in TextAnalysisSpec. Requires
+    * `GraftFunctions.register` / the session extension. */
+  def c4RulesNative(docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    graft.GraftFunctions.register(docs.sparkSession)
+    val g = org.apache.spark.sql.functions.call_function(
+      "c4_rules", col(textCol))
+    docs.select(col(idCol), g.as("__c"))
+      .select(col(idCol),
+        col("__c.total_lines").as("total_lines"),
+        col("__c.kept_lines").as("kept_lines"),
+        col("__c.n_sentences").as("n_sentences"),
+        col("__c.c4_pass").as("c4_pass"),
+        md5(col("__c.clean_text")).as("clean_md5"))
   }
 
   /** [[gopherRules]] as the native one-pass struct expression

@@ -48,13 +48,25 @@ case class GopherNgrams(child: Expression) extends UnaryExpression {
     val toks = WsRe.split(text.toLowerCase(java.util.Locale.ROOT), -1)
       .filter(_.nonEmpty)
     val nTok = toks.length
+    // numerator lengths: LOWERCASED token code points (grams are built
+    // from the lowercased tokens, so covered-char sums and the joined
+    // gram's length both live in the lowercased domain)
     val tokLen = new Array[Int](nTok)
-    var chars = 0
     var ti = 0
     while (ti < nTok) {
       tokLen(ti) = toks(ti).codePointCount(0, toks(ti).length)
-      chars += tokLen(ti)
       ti += 1
+    }
+    // denominator: the ORIGINAL text's non-whitespace code points — the
+    // declarative twin and the oracle use length(regexp_replace(text,
+    // '\s+', '')). Summing LOWERCASED token lengths instead diverges on
+    // code-point-expanding lowercases (U+0130 → 'i' + combining dot).
+    var chars = 0
+    var ci = 0
+    while (ci < text.length) {
+      val cp = text.codePointAt(ci)
+      if (!isWs(cp)) chars += 1
+      ci += Character.charCount(cp)
     }
     val denom = math.max(chars, 1).toDouble
 
@@ -156,6 +168,10 @@ object GopherNgrams {
     StructField("repetition_pass", BooleanType, nullable = false)))
 
   private val WsRe = java.util.regex.Pattern.compile("\\s+")
+
+  /** Java regex `\s` — ASCII whitespace only, NOT Character.isWhitespace. */
+  private def isWs(cp: Int): Boolean =
+    cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' || cp == '\r'
 
   private def round6(x: Double): Double =
     java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()

@@ -265,6 +265,17 @@ object GraftProcedureCatalog {
         Seq(Seq(Long.box(
           SparkSession.active.read.parquet(out).count())))
       }),
+    Proc("bootstrap",
+      "zero-copy adopt an external parquet dir as the table's first base",
+      Seq(in("table", StringType), in("source", StringType)),
+      ack,
+      { case Seq(tbl: String, src: String) =>
+        resolve(tbl) match {
+          case Left(t) => t.bootstrap(src); Seq(Seq("bootstrapped", src))
+          case Right(_) => throw new IllegalArgumentException(
+            "bootstrap targets an unpartitioned table (Hudi METADATA_ONLY scope)")
+        }
+      }),
     Proc("drop_partition", "drop a partition's storage and metadata (TTL verb)",
       Seq(in("table", StringType), in("value", StringType)),
       StructType(Seq(StructField("dropped", StringType, nullable = false))),

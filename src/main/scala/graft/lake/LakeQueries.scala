@@ -152,6 +152,36 @@ object LakeQueries {
       ro.select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
   }
 
+  /** Zero-copy BOOTSTRAP onboarding ([[MorTable.bootstrap]] — the Hudi
+    * METADATA_ONLY bootstrap analog: CDC deployments onboard an existing
+    * raw-parquet table into the lake WITHOUT rewriting its data before
+    * streaming begins), oracle-checked end-to-end: adopt the raw
+    * customer parquet as the first base — one instant file, zero data
+    * jobs, verified zero-copy — then layer a deterministic touch-up
+    * delta (every 10th custkey's balance zeroed) and a TTL delete (every
+    * 17th ≡ 3) on top, read once at bootstrap freshness, and compact
+    * into the first managed base. The final read must equal the same
+    * CASE / anti-filter applied to the raw file in DuckDB. */
+  def bootstrapOnboard(spark: SparkSession, dir: String): DataFrame = {
+    val path = tempPath("mor-bootstrap")
+    val t = MorTable(spark, path, keyCols = Seq("c_custkey"),
+      compactionDeltaCommits = 1000)
+    t.bootstrap(s"$dir/customer.parquet", batchId = 1L)
+    assert(!new java.io.File(s"$path/base").exists(),
+      "bootstrap must be zero-copy: no managed base before the first compaction")
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+    assert(t.read().count() == cust.count(),
+      "bootstrap read must serve the full external table")
+    val touched = cust.filter(col("c_custkey") % 10 === 0)
+      .withColumn("c_acctbal", lit(0.0))
+    t.upsert(touched, Seq(col("c_custkey")), batchId = 2L)
+    t.deleteWhere(col("c_custkey") % 17 === 3, batchId = 3L)
+    t.compact() // first real compaction: external dir no longer referenced
+    graft.TempDirs.materializeAndDelete(
+      t.read().select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment"), path)
+  }
+
   /** Write-path index tagging ([[MorTable.upsertIfNew]] — the Hudi
     * bloom-index write path), oracle-checked end-to-end: a key-disjoint
     * user split lands as two PROVEN insert-only commits (the second

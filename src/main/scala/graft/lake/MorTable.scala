@@ -288,7 +288,10 @@ final class MorTable(
     * zpln:2119). Rows for existing keys replace them; new keys insert.
     */
   def upsert(batch: DataFrame, orderWithinBatch: Seq[Column], batchId: Long = -1L): MorTable = {
-    commitDelta(withMeta(dedupBatch(dropViolating(batch), orderWithinBatch),
+    // replayed batch: no-op BEFORE dropViolating — its quarantine write is
+    // eager, and a committed batch must not re-append its violators
+    if (isCommitted(batchId)) return this
+    commitDelta(withMeta(dedupBatch(dropViolating(batch, batchId), orderWithinBatch),
       deleted = false), batchId)
     this
   }
@@ -303,7 +306,7 @@ final class MorTable(
     * enforced at commit instead ([[commitDelta]] — validates what is
     * actually being committed, the Hudi pre-commit-validator scope). Null
     * predicate results PASS (SQL CHECK rule). */
-  private def dropViolating(batch: DataFrame): DataFrame =
+  private def dropViolating(batch: DataFrame, batchId: Long = -1L): DataFrame =
     if (expectations.isEmpty || !expectDrop) batch
     else {
       if (expectMode == "quarantine") {
@@ -313,6 +316,7 @@ final class MorTable(
           !coalesce(p, lit(true)) }.reduce(_ || _))
           .withColumn("_rule", failed)
           .withColumn("_qtime", lit(MorTable.commitTimeString(System.currentTimeMillis())))
+          .withColumn("_batch", lit(batchId))
           .write.mode("append").parquet(s"$path/quarantine")
       }
       batch.filter(expectations.map { case (_, p) =>
@@ -321,8 +325,20 @@ final class MorTable(
 
   /** The QUARANTINE side relation: rows refused by quarantine-mode
     * expectations ([[withExpectations]]), each tagged with the failed
-    * rule name(s) (`_rule`) and the refusal time (`_qtime`). Loud when
-    * nothing was ever quarantined (there is no schema to show). */
+    * rule name(s) (`_rule`), the refusal time (`_qtime`), and the
+    * micro-batch id (`_batch`; -1 for ad-hoc upserts).
+    *
+    * CONTRACT — at-least-once: the quarantine write lands BEFORE the
+    * commit claims its seq. A COMMITTED batch never re-appends (replays
+    * no-op before the expectations filter), but a commit that fails
+    * mid-publish (OCC loss, crash) re-evaluates the batch on retry and
+    * appends its violators AGAIN — dedup replays by `_batch` (e.g.
+    * `row_number() over (partition by <key>, _batch …) = 1`) when
+    * exactly-once matters. A NONDETERMINISTIC batch is additionally
+    * evaluated twice (violator filter vs survivor filter) and the two
+    * sides can disagree — pin such a batch (localCheckpoint) before
+    * upserting. Loud when nothing was ever quarantined (there is no
+    * schema to show). */
   def readQuarantine(): DataFrame = {
     val q = new Path(s"$path/quarantine")
     if (!fs.exists(q)) throw new IllegalStateException(
@@ -336,7 +352,67 @@ final class MorTable(
     * already guarantees. Like `insertOnly`, the flag trusts the caller; a
     * violating batch surfaces as nondeterministic LWW within the commit. */
   def upsertDistinct(batch: DataFrame, batchId: Long = -1L): MorTable = {
-    commitDelta(withMeta(dropViolating(batch), deleted = false), batchId)
+    if (isCommitted(batchId)) return this // see upsert: pre-quarantine no-op
+    commitDelta(withMeta(dropViolating(batch, batchId), deleted = false), batchId)
+    this
+  }
+
+  /** Zero-copy BOOTSTRAP (the Hudi METADATA_ONLY bootstrap analog —
+    * `hoodie.bootstrap.*`, the onboarding path for a plain-parquet table
+    * that must become a lake table WITHOUT rewriting its data): adopt an
+    * existing external parquet directory as this table's first base. The
+    * whole commit is ONE instant file pointing at `sourceDir` — zero data
+    * jobs, zero bytes copied. Reads synthesize the lake meta columns over
+    * the external scan ([[baseScanOf]]): `_record_key` from the key
+    * columns, every row live, the whole commit one seqno. Upserts /
+    * deletes / changelogs then layer deltas on top exactly as on a
+    * managed base, and the first REAL compaction folds everything into a
+    * managed, key-clustered, manifest-covered base — after which the
+    * external dir is no longer referenced. It is NEVER written or
+    * deleted by this table: clean / rollback / restore only remove
+    * managed `base/<seq>` dirs, so rolling the bootstrap commit back
+    * simply returns the table to empty with the user's parquet intact.
+    *
+    * Until that first compaction the trade is Hudi METADATA_ONLY's: no
+    * manifest, so file-level pruning (bloom / key-range / secondary /
+    * z-order) and `_record_key` pushdown do not engage on the bootstrap
+    * base (data-column predicates still push into the external parquet
+    * scan unchanged), and [[snapshotReadOptimized]] serves the external
+    * files as the compaction-boundary state.
+    *
+    * Like `insertOnly`, KEY-UNIQUENESS of the source is the caller's
+    * contract (Hudi record-key semantics): duplicate keys inside the
+    * external data share one seqno and would merge nondeterministically.
+    * Refuses loudly on a non-empty table, a missing source, or a source
+    * schema lacking a key column / carrying lake meta names. Racing
+    * writers are handled the [[adoptBase]] way: any delta claimed below
+    * the bootstrap seq is recorded `unfolded` so its replay survives. */
+  def bootstrap(sourceDir: String, batchId: Long = -1L): MorTable = synchronized {
+    if (isCommitted(batchId)) return this
+    require(timeline().isEmpty,
+      s"bootstrap requires an empty table, but $path has commits")
+    val src = new Path(sourceDir)
+    require(fs.exists(src), s"bootstrap source $sourceDir does not exist")
+    val schema = scanDir(sourceDir).schema // parquet footers only, no job
+    val missing = keyCols.filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"bootstrap source $sourceDir lacks key column(s): ${missing.mkString(", ")}")
+    val metaClash = schema.fieldNames.filter(Set(
+      "_record_key", "_deleted", "_commit_seqno", "_commit_time"))
+    require(metaClash.isEmpty,
+      s"bootstrap source $sourceDir carries reserved lake column(s): " +
+        metaClash.mkString(", "))
+    val seq = allocateSeq("compact")
+    // same marker-then-timeline listing order as adoptBase: a delta that
+    // slipped in below our seq must stay replayed, not silently folded
+    val pending = inflightDeltaSeqs()
+    val tl = timeline()
+    require(!tl.exists(_.kind == "compact"),
+      s"bootstrap lost the first-commit race on $path — table already has a base")
+    val unfolded = (tl.filter(_.kind == "delta").map(_.seq) ++ pending)
+      .distinct.filter(_ < seq).sorted
+    publishInstant(Instant(seq, "compact", batchId, System.currentTimeMillis(),
+      unfolded, bootstrapDir = Some(sourceDir)))
     this
   }
 
@@ -1352,9 +1428,20 @@ final class MorTable(
 
   /** This table's read-optimized scan dir (the last compacted base), if
     * any — the per-child half of [[PartitionedMorTable.readOptimized]]'s
-    * one multi-dir scan. */
+    * one multi-dir scan. A BOOTSTRAP base cannot be served here: the
+    * external files carry no lake meta columns, so pooling them into the
+    * parent's one multi-dir scan would silently misread — refuse loudly
+    * (unreachable today: children are engine-managed and [[bootstrap]]
+    * only publishes onto empty standalone tables; the guard is for
+    * whoever changes that). Unpartitioned RO reads synthesize the meta
+    * via [[baseScanOf]] instead ([[snapshotReadOptimized]]). */
   private[lake] def roScanDir(): Option[String] =
-    liveDeltas(timeline())._1.map(c => s"$path/base/${c.seq}")
+    liveDeltas(timeline())._1.map { c =>
+      require(c.bootstrapDir.isEmpty,
+        s"read-optimized multi-dir scan over a BOOTSTRAP base ($path seq " +
+          s"${c.seq}): external files lack lake meta columns — compact() first")
+      s"$path/base/${c.seq}"
+    }
 
   /** All published delta dirs (incremental / CDC range reads scan these
     * with a row-level `_commit_seqno` filter; parquet min/max stats skip
@@ -2747,29 +2834,51 @@ object MorTable {
     * window trades, deliberately, a theft bug for a
     * manual-cleanup-after-loud-failure liveness gap. HDFS-class
     * filesystems already fail a rename onto an existing destination
-    * atomically, with no such window. */
+    * atomically, with no such window.
+    *
+    * HARD-LINK REQUIREMENT (`file` scheme): the atomicity above needs
+    * link(2). A local filesystem WITHOUT hard links (FAT/exFAT, some NFS
+    * exports and container bind mounts) throws
+    * UnsupportedOperationException from `createLink` — caught below and
+    * degraded to `Files.move` without REPLACE_EXISTING, which is
+    * no-replace but only check-then-rename atomic: on such filesystems
+    * the lock keeps working for the normal acquire/release flow, and the
+    * stale-takeover race narrows from "provably exclusive" to the
+    * pre-link-era millisecond window. Degraded, documented, never a
+    * crash. */
   private def renameNoReplace(fs: FileSystem, src: Path, dst: Path): Boolean =
     try {
       if (fs.getScheme == "file") {
         val s = java.nio.file.Paths.get(src.toUri.getPath)
         val d = java.nio.file.Paths.get(dst.toUri.getPath)
-        java.nio.file.Files.createLink(d, s)
+        try java.nio.file.Files.createLink(d, s)
+        catch {
+          case _: UnsupportedOperationException | _: SecurityException =>
+            // link-less local filesystem: fall back to the non-window-free
+            // no-replace move (see scaladoc) rather than crash the caller
+            java.nio.file.Files.move(s, d)
+            dropCrcSidecars(src, dst)
+            return true
+        }
         try java.nio.file.Files.delete(s)
         catch { case _: java.io.IOException => () } // dst holds the content
-        // the nio link bypasses ChecksumFileSystem: a crc sidecar written
-        // by an fs.create of src would be orphaned at the OLD path and
-        // poison every later same-path lock read (ChecksumException →
-        // unreadable lock → waiters spin) — drop both sidecars
-        Seq(src, dst).foreach { p =>
-          java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
-            new Path(p.getParent, s".${p.getName}.crc").toUri.getPath))
-        }
+        dropCrcSidecars(src, dst)
         true
       } else fs.rename(src, dst)
     } catch {
       case _: java.nio.file.FileAlreadyExistsException => false
       case _: java.nio.file.NoSuchFileException => false
       case _: java.io.IOException => false
+    }
+
+  /** The nio link/move bypasses ChecksumFileSystem: a crc sidecar written
+    * by an fs.create of src would be orphaned at the OLD path and poison
+    * every later same-path lock read (ChecksumException → unreadable lock
+    * → waiters spin) — drop both sidecars. */
+  private def dropCrcSidecars(src: Path, dst: Path): Unit =
+    Seq(src, dst).foreach { p =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+        new Path(p.getParent, s".${p.getName}.crc").toUri.getPath))
     }
 
   /** Lock paths held by the CURRENT thread (reentrancy bookkeeping for

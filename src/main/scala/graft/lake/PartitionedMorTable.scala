@@ -292,7 +292,7 @@ final class PartitionedMorTable(
   @transient private var expectMode: String = "fail"
   private def expectDrop: Boolean = expectMode != "fail"
 
-  private def dropViolating(batch: DataFrame): DataFrame =
+  private def dropViolating(batch: DataFrame, batchId: Long = -1L): DataFrame =
     if (expectations.isEmpty || !expectDrop) batch
     else {
       if (expectMode == "quarantine") {
@@ -303,6 +303,7 @@ final class PartitionedMorTable(
           .withColumn("_rule", failed)
           .withColumn("_qtime",
             lit(MorTable.commitTimeString(System.currentTimeMillis())))
+          .withColumn("_batch", lit(batchId))
           .write.mode("append").parquet(s"$path/quarantine")
       }
       batch.filter(expectations.map { case (_, p) =>
@@ -310,7 +311,9 @@ final class PartitionedMorTable(
     }
 
   /** The parent-level QUARANTINE side relation ([[MorTable
-    * .readQuarantine]] semantics). */
+    * .readQuarantine]] semantics and AT-LEAST-ONCE contract — committed
+    * batches never re-append, mid-publish retries do; dedup by
+    * `_batch`). */
   def readQuarantine(): DataFrame = {
     val q = new Path(hPath, "quarantine")
     if (!fs.exists(q)) throw new IllegalStateException(
@@ -326,7 +329,7 @@ final class PartitionedMorTable(
   def upsert(batch0: DataFrame, orderWithinBatch: Seq[Column],
              batchId: Long = -1L): PartitionedMorTable = {
     if (isCommitted(batchId)) return this // fully replayed batch — no-op
-    val batch = dropViolating(batch0)
+    val batch = dropViolating(batch0, batchId)
     val token = nextToken("delta")
     renewingParentMarker(token, "delta") {
     val now = System.currentTimeMillis()

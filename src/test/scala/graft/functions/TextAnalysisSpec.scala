@@ -319,9 +319,13 @@ class TextAnalysisSpec extends AnyFunSuite {
     // separators — newlines, blank lines, bullets, ellipses, hashes,
     // mixed-case tokens, high-repetition runs that force bigram ties
     val rnd = new scala.util.Random(42)
+    // İ (U+0130) lowercases to TWO code points ('i' + combining dot) —
+    // pins the ngram denominator to the ORIGINAL text's char count; \r\n
+    // separators pin the ellipsis rule to end-of-input (\z) semantics
     val vocab = Vector("aa", "Bb", "ccc", "d", "-x", "*y", "#", "...", "e.e",
-      "the", "THE", "zz9")
-    val seps = Vector(" ", " ", " ", "\n", "\n", "\n\n", "  ", " \n ")
+      "the", "THE", "zz9", "İst", "done.", "ok!", "why?", "q\"",
+      "JavaScript", "{x}")
+    val seps = Vector(" ", " ", " ", "\n", "\n", "\n\n", "  ", " \n ", "\r\n")
     val docs = (0 until 300).map { i =>
       val n = rnd.nextInt(40)
       val sb = new StringBuilder
@@ -350,6 +354,50 @@ class TextAnalysisSpec extends AnyFunSuite {
     val nBad = nRef.keys.filter(k => nRef(k) != nNat(k))
     assert(nBad.isEmpty, nBad.take(3).map(k =>
       s"$k: ref=${nRef(k)} native=${nNat(k)}").mkString("; "))
+    val cRef = TextAnalysis.c4Rules(docs).collect()
+      .map(r => r.getAs[String]("doc_id") -> r.toSeq.tail).toMap
+    val cNat = TextAnalysis.c4RulesNative(docs).collect()
+      .map(r => r.getAs[String]("doc_id") -> r.toSeq.tail).toMap
+    val cBad = cRef.keys.filter(k => cRef(k) != cNat(k))
+    assert(cBad.isEmpty, cBad.take(3).map(k =>
+      s"$k: ref=${cRef(k)} native=${cNat(k)}").mkString("; "))
+  }
+
+  test("c4Rules: line filters, sentence gate, doc gates; native == declarative") {
+    val d1 = Seq(
+      "Good line one two three.",            // keep
+      "short one.",                          // <3 words
+      "no terminal punct here",              // no terminal
+      "Another good sentence, right here!",  // keep
+      "JavaScript is required here.",        // javascript
+      "Is this kept? Yes it is.",            // keep
+      "Fourth good line stays.",             // keep
+      "Fifth keeps the page alive.").mkString("\n") // keep
+    val d2 = (1 to 6).map(i => s"Good line number $i here.").mkString("\n")
+    val docs = Seq(
+      ("d1", d1),
+      ("d2", "Lorem Ipsum dolor sit amet.\n" + d2), // doc gate: lorem ipsum
+      ("d3", "var x = one {two} three.\n" + d2),    // doc gate: curly brace
+      ("d4", "One good line right here."),          // <5 sentences
+      ("d5", "")).toDF("doc_id", "text")
+    val ref = TextAnalysis.c4Rules(docs).collect()
+      .map(r => r.getAs[String]("doc_id") -> r).toMap
+    val r1 = ref("d1")
+    assert(r1.getAs[Long]("total_lines") == 8L)
+    assert(r1.getAs[Long]("kept_lines") == 5L)
+    // kept lines carry . ! ? . . . = 6 terminal marks
+    assert(r1.getAs[Long]("n_sentences") == 6L)
+    assert(r1.getAs[Boolean]("c4_pass"))
+    assert(!ref("d2").getAs[Boolean]("c4_pass"), "lorem ipsum must fail the doc")
+    assert(ref("d2").getAs[Long]("kept_lines") == 7L, "lorem line passes LINE rules")
+    assert(!ref("d3").getAs[Boolean]("c4_pass"), "curly brace must fail the doc")
+    assert(!ref("d4").getAs[Boolean]("c4_pass"), "4 sentences < 5 must fail")
+    val r5 = ref("d5")
+    assert(r5.getAs[Long]("total_lines") == 1L && r5.getAs[Long]("kept_lines") == 0L)
+    val nat = TextAnalysis.c4RulesNative(docs).collect()
+      .map(r => r.getAs[String]("doc_id") -> r.toSeq.tail).toMap
+    val refT = ref.map { case (k, r) => k -> r.toSeq.tail }
+    assert(refT == nat, "native c4_rules must equal the declarative reference")
   }
 
   test("fingerprint: stable under distant edits, equal on shared minimal window") {

@@ -925,4 +925,70 @@ class MorTableSpec extends AnyFunSuite {
     assert(MorTable.statsDriverRows.get() == b2 + loaded,
       "stats cache miss: second probe re-read the relation")
   }
+
+  test("bootstrap: zero-copy external base — deltas layer, compaction manages, source never touched") {
+    val ext = graft.TestSpark.tmpDir("mor-bootstrap-src")
+    t1Rows.write.mode("overwrite").parquet(ext)
+    def extState() = new java.io.File(ext).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.length()).sortBy(_._1).toSeq
+    val before = extState()
+    assert(before.nonEmpty)
+
+    val t = MorTable(spark, graft.TestSpark.tmpDir("mor-bootstrap"), Seq("uuid"),
+      compactionDeltaCommits = 100)
+    t.bootstrap(ext, batchId = 1L)
+    // one zero-copy instant: no managed base dir was written
+    assert(t.timeline().map(_.kind) == Seq("compact"))
+    assert(t.timeline().head.bootstrapDir.contains(ext))
+    assert(!new java.io.File(s"${t.path}/base").exists(),
+      "bootstrap must not copy data into a managed base dir")
+    // meta columns synthesized over the external scan
+    val snap = t.snapshot().orderBy("uuid").collect()
+    assert(snap.length == 8 && snap.head.getAs[String]("_record_key") == "id1")
+    assert(t.read().count() == 8)
+    // read-optimized == the bootstrap boundary state
+    assert(t.readOptimized().orderBy("uuid").collect()
+      .map(_.getAs[String]("name")).head == "Danny")
+    // exactly-once: a replayed bootstrap batch no-ops
+    t.bootstrap(ext, batchId = 1L)
+    assert(t.timeline().size == 1)
+
+    // deltas layer on top; point reads work without a manifest
+    t.upsert(Seq(("id1", "Updated", 30, "2024-01-01 00:00:00"))
+      .toDF("uuid", "name", "age", "ts"), Seq(col("ts")), batchId = 2L)
+    t.deleteWhere(col("uuid") === "id2")
+    assert(t.read().count() == 7)
+    val k = t.readForKeys(Seq("id1")).collect()
+    assert(k.length == 1 && k.head.getAs[String]("name") == "Updated")
+
+    // first real compaction folds everything managed
+    t.compact()
+    assert(new java.io.File(s"${t.path}/base").exists())
+    val after = t.read().orderBy("uuid").collect()
+    assert(after.length == 7 && after.head.getAs[String]("name") == "Updated")
+    assert(!after.map(_.getAs[String]("uuid")).contains("id2"))
+    assert(extState() == before, "compaction touched the external source dir")
+
+    // refusals: non-empty table, missing source, bad schema
+    intercept[IllegalArgumentException](t.bootstrap(ext))
+    val t2 = MorTable(spark, graft.TestSpark.tmpDir("mor-bootstrap2"), Seq("uuid"),
+      compactionDeltaCommits = 100)
+    intercept[IllegalArgumentException](t2.bootstrap(ext + "-nope"))
+    val badKey = graft.TestSpark.tmpDir("mor-bootstrap-badkey")
+    t1Rows.drop("uuid").write.mode("overwrite").parquet(badKey)
+    intercept[IllegalArgumentException](t2.bootstrap(badKey))
+    val badMeta = graft.TestSpark.tmpDir("mor-bootstrap-badmeta")
+    t1Rows.withColumn("_deleted", lit(false)).write.mode("overwrite").parquet(badMeta)
+    intercept[IllegalArgumentException](t2.bootstrap(badMeta))
+
+    // rollback to empty leaves the user's parquet intact
+    val n = t.rollback(0L)
+    assert(n >= 3)
+    intercept[IllegalStateException](t.read().collect())
+    assert(extState() == before, "rollback touched the external source dir")
+    // and the table is re-bootstrappable afterwards
+    t.bootstrap(ext, batchId = 9L)
+    assert(t.read().count() == 8)
+  }
 }
