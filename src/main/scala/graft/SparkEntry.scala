@@ -154,6 +154,7 @@ object SparkEntry {
     "s32_pq_encode"       -> ((s, d) => graft.functions.LlmQueries.pqEncode(s, d)),
     "s33_pq_adc_ann"      -> ((s, d) => graft.functions.LlmQueries.pqAdcAnn(s, d)),
     "s26_label_centroids" -> ((s, d) => graft.functions.LlmQueries.labelCentroids(s, d)),
+    "d29_kmeans"          -> ((s, d) => graft.functions.LlmQueries.kmeansClusters(s, d)),
     "t10_repetition"      -> ((s, d) => graft.functions.LlmQueries.repetitionRatio(s, d)),
     "t11_decontaminate"   -> ((s, d) => graft.functions.LlmQueries.decontaminate(s, d)),
     "d26_bloom_decontaminate" -> ((s, d) => graft.functions.LlmQueries.bloomDecontaminate(s, d)),
@@ -192,6 +193,7 @@ object SparkEntry {
     "t23_pmi_pairs"       -> ((s, d) => graft.functions.TextAnalysis.pmiPairs(
       graft.Tables.documents(s, d))),
     "r47_grouping_sets"   -> ((s, d) => RelationalOps.groupingSetsAgg(s, d)),
+    "r48_unpivot"         -> ((s, d) => RelationalOps.unpivotMeasures(s, d)),
     "r32_pivot"           -> ((s, d) => RelationalOps.pivotEventCounts(s, d)),
     "r33_gapfill"         -> ((s, d) => RelationalOps.gapFillHourly(s, d)),
     "r34_sliding_agg"     -> ((s, d) => RelationalOps.slidingAgg(s, d)),
@@ -491,6 +493,55 @@ object SparkEntry {
     // third execution of the same funnel definition: maintained from the
     // MOR commit stream instead of a file stream or a batch window chain
     "s59_lake_funnel" -> FunnelOracle,
+    // k-means, 2 Lloyd rounds replayed exactly: assignment = cosine argmax
+    // (sim DESC, cell ASC — the nearest_cells tie rule), update = per-cell
+    // means over MICRO-quantized components (long sums are order-invariant,
+    // so the recurrence is bit-reproducible cross-engine), empty cells keep
+    // their previous centroid
+    "d29_kmeans" ->
+      """WITH c0 AS (
+        |  SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cv
+        |  FROM embeddings WHERE vec_id < 8
+        |), a1 AS (
+        |  SELECT e.vec_id, e.embedding, c.cell_id
+        |  FROM embeddings e CROSS JOIN c0 c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_cosine_similarity(c.cv, e.embedding::DOUBLE[]) DESC,
+        |             c.cell_id ASC) = 1
+        |), m1 AS (
+        |  SELECT cell_id, i,
+        |         round(sum(round(e.embedding[i]::DOUBLE * 1000000)::BIGINT)::DOUBLE
+        |               / (count(*) * 1000000.0), 6) AS m
+        |  FROM a1 e, unnest(range(1, len(e.embedding) + 1)) AS t(i)
+        |  GROUP BY cell_id, i
+        |), c1 AS (
+        |  SELECT c0.cell_id, coalesce(l.cv, c0.cv) AS cv
+        |  FROM c0 LEFT JOIN (
+        |    SELECT cell_id, list(m ORDER BY i) AS cv FROM m1 GROUP BY cell_id
+        |  ) l USING (cell_id)
+        |), a2 AS (
+        |  SELECT e.vec_id, e.embedding, c.cell_id
+        |  FROM embeddings e CROSS JOIN c1 c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_cosine_similarity(c.cv, e.embedding::DOUBLE[]) DESC,
+        |             c.cell_id ASC) = 1
+        |), m2 AS (
+        |  SELECT cell_id, i,
+        |         round(sum(round(e.embedding[i]::DOUBLE * 1000000)::BIGINT)::DOUBLE
+        |               / (count(*) * 1000000.0), 6) AS m
+        |  FROM a2 e, unnest(range(1, len(e.embedding) + 1)) AS t(i)
+        |  GROUP BY cell_id, i
+        |), c2 AS (
+        |  SELECT c1.cell_id, coalesce(l.cv, c1.cv) AS cv
+        |  FROM c1 LEFT JOIN (
+        |    SELECT cell_id, list(m ORDER BY i) AS cv FROM m2 GROUP BY cell_id
+        |  ) l USING (cell_id)
+        |)
+        |SELECT e.vec_id, c.cell_id::BIGINT AS cluster
+        |FROM embeddings e CROSS JOIN c2 c
+        |QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |  ORDER BY list_cosine_similarity(c.cv, e.embedding::DOUBLE[]) DESC,
+        |           c.cell_id ASC) = 1""".stripMargin,
     "s18_ann_ivf_portable" ->
       """WITH c AS (
         |  SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cv
@@ -1805,6 +1856,17 @@ object SparkEntry {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
         |                        (o_orderstatus), (o_orderpriority))""".stripMargin,
+    // unpivot: metric values are the source COLUMN NAMES on both engines
+    "r48_unpivot" ->
+      """SELECT l_returnflag, l_linestatus, metric,
+        |       sum(round(value * 1000000)::BIGINT)::BIGINT AS sum_micros,
+        |       count(*)::BIGINT AS n
+        |FROM (
+        |  SELECT l_returnflag, l_linestatus, l_quantity, l_extendedprice,
+        |         l_discount
+        |  FROM lineitem
+        |) UNPIVOT (value FOR metric IN (l_quantity, l_extendedprice, l_discount))
+        |GROUP BY l_returnflag, l_linestatus, metric""".stripMargin,
     "r19_salted_join" ->
       """SELECT o.o_orderkey, c.c_name, o.o_totalprice
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,

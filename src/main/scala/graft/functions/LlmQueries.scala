@@ -294,6 +294,15 @@ object LlmQueries {
     * collapses into the partial average immediately, so the shuffle moves
     * one (label, component) row per task — grouped vector aggregation
     * with no row blow-up through the exchange. */
+  /** K-means clustering over the embeddings corpus
+    * ([[Similarity.kmeansFixed]] — fixed k-lowest-id seeding, 2 Lloyd
+    * rounds, integer-micro centroid updates), oracle-checked: DuckDB
+    * replays both rounds — the assignment argmax (cosine DESC, cell ASC)
+    * and the per-cell micro-sum means with the empty-cell keep rule —
+    * and must land every vector in the same cluster. */
+  def kmeansClusters(spark: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansFixed(Tables.embeddings(spark, dir), k = 8, rounds = 2)
+
   def labelCentroids(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("label"), posexplode(col("embedding")))

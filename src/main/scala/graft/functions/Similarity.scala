@@ -522,6 +522,62 @@ object Similarity {
       .select(monotonically_increasing_id().as("cell_id"),
         transform(col(vecCol), _.cast("double")).as("cv"))
 
+  /** K-MEANS embedding clustering, engine-deterministic (Lloyd's
+    * algorithm with fixed seeding — the clustering step of
+    * cluster-balanced curation: cluster the corpus, then cap or reweight
+    * per cluster so no semantic mode dominates the training mix):
+    *
+    *  - seeds = the k lowest-id vectors (the [[ivfTopKFixed]] rule);
+    *  - assignment = native `nearest_cells` argmax — ONE narrow
+    *    projection per round, no row blow-up, ties → lowest cell id;
+    *  - update = per-cell component means computed in the INTEGER
+    *    domain: components quantized to micros (round(x·1e6) as long)
+    *    and summed as longs — exact and order/partitioning-invariant
+    *    where a distributed double sum is not — then divided and rounded
+    *    to 6 dp. Every round is bit-reproducible across engines,
+    *    partitionings, and retries (DuckDB replays the whole recurrence
+    *    in the d29 oracle);
+    *  - empty cells keep their previous centroid (oracle mirrors this).
+    *
+    * Each round is one groupBy whose aggregate state is (k × dims)-sized
+    * — never corpus-sized — collected to drive the next round's literal
+    * centroids (the Lloyd-inside-[[ivfTopK]] shape). Plans stay
+    * constant-size: the corpus is re-scanned per round, centroids travel
+    * as DATA (foldable literals), so there is no iterative lineage to
+    * checkpoint. */
+  def kmeansFixed(corpus: DataFrame, k: Int = 8, rounds: Int = 2,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    registerOn(corpus)
+    require(k > 0 && rounds >= 0, s"kmeansFixed needs k > 0, rounds >= 0")
+    var centroids = collectCentroids(
+      corpus.filter(col(idCol) < k)
+        .select(col(idCol).cast("long").as("cell_id"),
+          transform(col(vecCol), _.cast("double")).as("cv")))
+    require(centroids._1.nonEmpty, s"no seed vectors with $idCol < $k")
+    var r = 0
+    while (r < rounds) {
+      val sums = corpus
+        .select(element_at(nearestCells(col(vecCol), centroids, 1), 1).as("cell_id"),
+          posexplode(transform(col(vecCol),
+            x => round(x.cast("double") * 1e6).cast("long"))))
+        .groupBy(col("cell_id"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .select(col("cell_id"), col("pos"),
+          round(col("s").cast("double") / (col("n").cast("double") * lit(1e6)), 6)
+            .as("m"))
+        .collect() // k × dims rows — metadata-sized, like Lloyd in ivfTopK
+      val byCell = sums.groupBy(_.getLong(0)).map { case (c, rows) =>
+        c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+      }
+      val next = centroids._1.zip(centroids._2).map { case (c, old) =>
+        c -> byCell.getOrElse(c, old) } // empty cell keeps its centroid
+      centroids = (next.map(_._1), next.map(_._2))
+      r += 1
+    }
+    corpus.select(col(idCol),
+      element_at(nearestCells(col(vecCol), centroids, 1), 1).as("cluster"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (cos ≥ threshold), LSH-bucketed:
     * vectors sharing any of the multi-table buckets are compared exactly.
     * True near-duplicates (cos ≈ 1) collide in essentially every table.

@@ -630,6 +630,27 @@ object RelationalOps {
           .as("stickiness_per_mille"))
   }
 
+  /** UNPIVOT / melt — the inverse of r32's pivot (ANSI UNPIVOT, Spark
+    * `Dataset.unpivot`, DuckDB UNPIVOT): wide lineitem measures rewritten
+    * long, one (metric, value) row per measure. Spark plans the unpivot
+    * as ONE map-side Expand (k output rows per input row — no shuffle, no
+    * join, no per-measure rescan), which feeds a partial-aggregated
+    * per-metric checksum so the gate output stays group-sized; at 100 TB
+    * the Expand is the only correct shape (the naive alternative — one
+    * scan per measure UNIONed — reads the table k times). Sums are exact
+    * integer micros, hash-comparable cross-engine. */
+  def unpivotMeasures(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select("l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice", "l_discount")
+      .unpivot(
+        Array(col("l_returnflag"), col("l_linestatus")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "metric", "value")
+      .groupBy("l_returnflag", "l_linestatus", "metric")
+      .agg(sum(round(col("value") * lit(1e6)).cast("long")).as("sum_micros"),
+        count(lit(1)).as("n"))
+
   /** Skew-salted join checked against the plain join: salting must be a
     * pure execution-strategy change, never a semantic one. */
   def saltedJoinOrders(spark: SparkSession, dir: String): DataFrame =

@@ -259,4 +259,49 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.contains((0L, 9000L)))
     assert(!pairs.exists(p => p._1 == 9001L || p._2 == 9001L))
   }
+
+  test("kmeansFixed: planted blobs converge; deterministic under repartition; empty cells keep centroids") {
+    // blob A around (1, 0): ids 0, 2..10; seed 1 leans toward blob B so
+    // Lloyd pulls its centroid into B within one round
+    def jitter(i: Int): Float = (i % 3) * 0.01f
+    val a = (Seq(0) ++ (2 to 10)).map(i =>
+      (i.toLong, Seq(1.0f, jitter(i), 0.0f, 0.1f)))
+    val b = (11 to 20).map(i =>
+      (i.toLong, Seq(jitter(i), 1.0f, 0.1f, 0.0f)))
+    val seed1 = Seq((1L, Seq(0.6f, 0.8f, 0.05f, 0.05f)))
+    val corpus = (a ++ seed1 ++ b).toDF("vec_id", "embedding")
+    val got = Similarity.kmeansFixed(corpus, k = 2, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val blobA = a.map(_._1).toSet
+    val blobB = b.map(_._1).toSet + 1L
+    assert(blobA.forall(got(_) == 0L), "blob A must land in cluster 0")
+    assert(blobB.forall(got(_) == 1L), "blob B (incl. the leaning seed) in cluster 1")
+    // determinism: a different partitioning must reproduce every label
+    // (centroid sums are exact longs, so no float-order drift)
+    val re = Similarity.kmeansFixed(corpus.repartition(7), k = 2, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(re == got)
+    // rounds = 0 is the plain fixed-seed assignment
+    val r0 = Similarity.kmeansFixed(corpus, k = 2, rounds = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fixed = Similarity.assignCellsFixed(corpus, corpus, nCells = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r0 == fixed)
+    // a seed DUPLICATING a lower id loses every argmax tie (tie → lowest
+    // cell id), so its cell is EMPTY in the seed assignment — the update
+    // round must hit the keep-centroid rule rather than crash, and after
+    // updates the clustering is still total and deterministic
+    val dup = corpus.filter($"vec_id" =!= 2L).unionByName(
+      Seq((2L, Seq(1.0f, 0.0f, 0.0f, 0.1f))).toDF("vec_id", "embedding"))
+    val seed3 = Similarity.kmeansFixed(dup, k = 3, rounds = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!seed3.values.exists(_ == 2L),
+      "the duplicate seed's cell must start empty (tie -> lowest cell id)")
+    val got3 = Similarity.kmeansFixed(dup, k = 3, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got3.size == seed3.size && got3.values.forall(c => c >= 0 && c < 3))
+    val got3b = Similarity.kmeansFixed(dup.repartition(5), k = 3, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got3b == got3)
+  }
 }
