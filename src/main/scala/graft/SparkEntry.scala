@@ -155,6 +155,7 @@ object SparkEntry {
     "s33_pq_adc_ann"      -> ((s, d) => graft.functions.LlmQueries.pqAdcAnn(s, d)),
     "s26_label_centroids" -> ((s, d) => graft.functions.LlmQueries.labelCentroids(s, d)),
     "d29_kmeans"          -> ((s, d) => graft.functions.LlmQueries.kmeansClusters(s, d)),
+    "t40_cluster_balance" -> ((s, d) => graft.functions.LlmQueries.clusterBalance(s, d)),
     "t10_repetition"      -> ((s, d) => graft.functions.LlmQueries.repetitionRatio(s, d)),
     "t11_decontaminate"   -> ((s, d) => graft.functions.LlmQueries.decontaminate(s, d)),
     "d26_bloom_decontaminate" -> ((s, d) => graft.functions.LlmQueries.bloomDecontaminate(s, d)),
@@ -340,6 +341,59 @@ object SparkEntry {
 
   /** Shared by s47 (Scala-handle savepoint/restore) and s53 (the same
     * lifecycle through SQL CALL procedures): the two-thirds LWW state. */
+  /** The d29 k-means recurrence (fixed 8-lowest-id seeds, TWO Lloyd
+    * rounds: cosine argmax with the sim-DESC/cell-ASC tie rule,
+    * per-cell means over micro-quantized components — long sums, so
+    * order-invariant — empty cells keeping their centroid) as a CTE
+    * prefix ending in `a3(vec_id, cluster)`. Shared by `d29_kmeans`
+    * (the labels) and `t40_cluster_balance` (the per-cluster quota cut
+    * built on them) — one definition, two gate entries. */
+  private val KmeansCte: String =
+    """WITH c0 AS (
+      |  SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cv
+      |  FROM embeddings WHERE vec_id < 8
+      |), a1 AS (
+      |  SELECT e.vec_id, e.embedding, c.cell_id
+      |  FROM embeddings e CROSS JOIN c0 c
+      |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+      |    ORDER BY list_cosine_similarity(c.cv, e.embedding::DOUBLE[]) DESC,
+      |             c.cell_id ASC) = 1
+      |), m1 AS (
+      |  SELECT cell_id, i,
+      |         round(sum(round(e.embedding[i]::DOUBLE * 1000000)::BIGINT)::DOUBLE
+      |               / (count(*) * 1000000.0), 6) AS m
+      |  FROM a1 e, unnest(range(1, len(e.embedding) + 1)) AS t(i)
+      |  GROUP BY cell_id, i
+      |), c1 AS (
+      |  SELECT c0.cell_id, coalesce(l.cv, c0.cv) AS cv
+      |  FROM c0 LEFT JOIN (
+      |    SELECT cell_id, list(m ORDER BY i) AS cv FROM m1 GROUP BY cell_id
+      |  ) l USING (cell_id)
+      |), a2 AS (
+      |  SELECT e.vec_id, e.embedding, c.cell_id
+      |  FROM embeddings e CROSS JOIN c1 c
+      |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+      |    ORDER BY list_cosine_similarity(c.cv, e.embedding::DOUBLE[]) DESC,
+      |             c.cell_id ASC) = 1
+      |), m2 AS (
+      |  SELECT cell_id, i,
+      |         round(sum(round(e.embedding[i]::DOUBLE * 1000000)::BIGINT)::DOUBLE
+      |               / (count(*) * 1000000.0), 6) AS m
+      |  FROM a2 e, unnest(range(1, len(e.embedding) + 1)) AS t(i)
+      |  GROUP BY cell_id, i
+      |), c2 AS (
+      |  SELECT c1.cell_id, coalesce(l.cv, c1.cv) AS cv
+      |  FROM c1 LEFT JOIN (
+      |    SELECT cell_id, list(m ORDER BY i) AS cv FROM m2 GROUP BY cell_id
+      |  ) l USING (cell_id)
+      |), a3 AS (
+      |  SELECT e.vec_id, c.cell_id::BIGINT AS cluster
+      |  FROM embeddings e CROSS JOIN c2 c
+      |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+      |    ORDER BY list_cosine_similarity(c.cv, e.embedding::DOUBLE[]) DESC,
+      |             c.cell_id ASC) = 1
+      |)""".stripMargin
+
   private val SavepointOracle: String =
     """WITH b AS (
       |  SELECT min(epoch_ns(ts)) + 2 * ((max(epoch_ns(ts)) - min(epoch_ns(ts))) // 3) AS hi
@@ -498,50 +552,17 @@ object SparkEntry {
     // means over MICRO-quantized components (long sums are order-invariant,
     // so the recurrence is bit-reproducible cross-engine), empty cells keep
     // their previous centroid
-    "d29_kmeans" ->
-      """WITH c0 AS (
-        |  SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cv
-        |  FROM embeddings WHERE vec_id < 8
-        |), a1 AS (
-        |  SELECT e.vec_id, e.embedding, c.cell_id
-        |  FROM embeddings e CROSS JOIN c0 c
-        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
-        |    ORDER BY list_cosine_similarity(c.cv, e.embedding::DOUBLE[]) DESC,
-        |             c.cell_id ASC) = 1
-        |), m1 AS (
-        |  SELECT cell_id, i,
-        |         round(sum(round(e.embedding[i]::DOUBLE * 1000000)::BIGINT)::DOUBLE
-        |               / (count(*) * 1000000.0), 6) AS m
-        |  FROM a1 e, unnest(range(1, len(e.embedding) + 1)) AS t(i)
-        |  GROUP BY cell_id, i
-        |), c1 AS (
-        |  SELECT c0.cell_id, coalesce(l.cv, c0.cv) AS cv
-        |  FROM c0 LEFT JOIN (
-        |    SELECT cell_id, list(m ORDER BY i) AS cv FROM m1 GROUP BY cell_id
-        |  ) l USING (cell_id)
-        |), a2 AS (
-        |  SELECT e.vec_id, e.embedding, c.cell_id
-        |  FROM embeddings e CROSS JOIN c1 c
-        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
-        |    ORDER BY list_cosine_similarity(c.cv, e.embedding::DOUBLE[]) DESC,
-        |             c.cell_id ASC) = 1
-        |), m2 AS (
-        |  SELECT cell_id, i,
-        |         round(sum(round(e.embedding[i]::DOUBLE * 1000000)::BIGINT)::DOUBLE
-        |               / (count(*) * 1000000.0), 6) AS m
-        |  FROM a2 e, unnest(range(1, len(e.embedding) + 1)) AS t(i)
-        |  GROUP BY cell_id, i
-        |), c2 AS (
-        |  SELECT c1.cell_id, coalesce(l.cv, c1.cv) AS cv
-        |  FROM c1 LEFT JOIN (
-        |    SELECT cell_id, list(m ORDER BY i) AS cv FROM m2 GROUP BY cell_id
-        |  ) l USING (cell_id)
-        |)
-        |SELECT e.vec_id, c.cell_id::BIGINT AS cluster
-        |FROM embeddings e CROSS JOIN c2 c
-        |QUALIFY row_number() OVER (PARTITION BY e.vec_id
-        |  ORDER BY list_cosine_similarity(c.cv, e.embedding::DOUBLE[]) DESC,
-        |           c.cell_id ASC) = 1""".stripMargin,
+    "d29_kmeans" -> (KmeansCte + "\nSELECT vec_id, cluster FROM a3"),
+    // cluster-balanced corpus cut: the d29 labels joined back to the docs,
+    // then the t6 md5-order quota rule capped per CLUSTER — no semantic
+    // mode dominates the mix
+    "t40_cluster_balance" -> (KmeansCte +
+      """
+        |SELECT d.doc_id, d.lang, a.cluster
+        |FROM documents d JOIN a3 a ON d.doc_id = a.vec_id
+        |QUALIFY row_number() OVER (PARTITION BY a.cluster
+        |  ORDER BY ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT,
+        |           d.doc_id) <= 40""".stripMargin),
     "s18_ann_ivf_portable" ->
       """WITH c AS (
         |  SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cv

@@ -303,6 +303,24 @@ object LlmQueries {
   def kmeansClusters(spark: SparkSession, dir: String): DataFrame =
     Similarity.kmeansFixed(Tables.embeddings(spark, dir), k = 8, rounds = 2)
 
+  /** CLUSTER-BALANCED corpus cut — the diversity-aware sampling step
+    * cluster-cap pipelines run after clustering the embedding space: the
+    * d29 k-means labels joined back to the documents, then the
+    * md5-ordered per-CLUSTER quota ([[graft.operators.Sampling
+    * .quotaPerGroup]], the t6 rule with cluster as the group) keeps at
+    * most 40 docs per cluster so no semantic mode dominates the training
+    * mix. Every stage engine-deterministic: labels from the replayable
+    * Lloyd recurrence, the cut a pure key function. At scale the join is
+    * an id-keyed shuffle of two corpus-sized relations (labels are never
+    * collected), the quota one window over cluster-sized partitions. */
+  def clusterBalance(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = kmeansClusters(spark, dir) // (vec_id, cluster)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val joined = docs.join(clusters, col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("lang"), col("cluster"))
+    graft.operators.Sampling.quotaPerGroup(joined, "cluster", "doc_id", 40)
+  }
+
   def labelCentroids(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("label"), posexplode(col("embedding")))
