@@ -195,6 +195,8 @@ object SparkEntry {
       graft.Tables.documents(s, d))),
     "r47_grouping_sets"   -> ((s, d) => RelationalOps.groupingSetsAgg(s, d)),
     "r48_unpivot"         -> ((s, d) => RelationalOps.unpivotMeasures(s, d)),
+    "r49_stream_outer_join" -> ((s, d) =>
+      graft.streaming.StreamingQueries.streamOuterJoin(s, d)),
     "r32_pivot"           -> ((s, d) => RelationalOps.pivotEventCounts(s, d)),
     "r33_gapfill"         -> ((s, d) => RelationalOps.gapFillHourly(s, d)),
     "r34_sliding_agg"     -> ((s, d) => RelationalOps.slidingAgg(s, d)),
@@ -1769,6 +1771,24 @@ object SparkEntry {
         | AND c.ts <= p.ts
         | AND c.ts >= p.ts - INTERVAL 1 HOUR
         |WHERE p.event_type = 'purchase' AND c.event_type = 'click'""".stripMargin,
+    // stream-stream LEFT OUTER (r49): the µs-window left join, null side
+    // included — integer-µs arithmetic so both ts vintages replay exactly;
+    // ms outputs are double-floored like the engine's unix_millis(µs ts)
+    "r49_stream_outer_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS us
+        |  FROM events
+        |), p AS (
+        |  SELECT event_id AS purchase_id, user_id, us FROM e
+        |  WHERE event_type = 'purchase'
+        |), c AS (
+        |  SELECT event_id AS click_id, user_id, us FROM e
+        |  WHERE event_type = 'click'
+        |)
+        |SELECT p.purchase_id, c.click_id,
+        |       p.us // 1000 AS purchase_ms, c.us // 1000 AS click_ms
+        |FROM p LEFT JOIN c ON p.user_id = c.user_id
+        |  AND c.us BETWEEN p.us - 3600000000 AND p.us""".stripMargin,
     "r29_cube_agg" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
         |       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,

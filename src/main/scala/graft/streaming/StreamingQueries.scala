@@ -186,6 +186,108 @@ object StreamingQueries {
     spark.table(name)
   }
 
+  /** Stream-STREAM LEFT OUTER join with watermark-bounded state — r30's
+    * inner form completed with outer semantics: every purchase keeps its
+    * row even when NO click landed in the preceding hour. The
+    * null-padded side of an outer stream-stream join only emits when the
+    * GLOBAL watermark (min across both inputs) passes the row's
+    * join-state expiry, so a far-future sentinel event in EACH stream
+    * (user_id −1 at max+2h, filtered from the output by a stateless
+    * predicate) pushes the final watermark past every real purchase and
+    * the AvailableNow drain — sentinel file in a second micro-batch via
+    * maxFilesPerTrigger, followed by Spark's no-data flush batch —
+    * settles to EXACTLY the batch LEFT JOIN (oracle r49). The join
+    * window lives at Spark's native µs timestamp precision with BOTH
+    * conjuncts on watermarked event-time columns (state-eviction
+    * analyzable; the oracle replays the same integer-µs window), unlike
+    * r30 whose contract is the ns-exact window via stateless post-filter
+    * — an outer join cannot post-filter (it would drop null rows), so
+    * its window IS the µs condition. */
+  def streamOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val batch = spark.read.parquet(path) // raw vintage (tsToNs normalizes)
+    val name = s"graft_stream_outer_${counter.incrementAndGet()}"
+    val watchDir = graft.TempDirs.create("stream-outer")
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(watchDir, "events.parquet"),
+      java.nio.file.Paths.get(path).toAbsolutePath)
+    val maxNs = graft.Tables.tsToNs(batch).agg(max(col("ts_ns"))).head.getLong(0)
+    import spark.implicits._
+    // one sentinel per STREAM per FILE: each passes its side's type filter
+    // and advances that side's watermark (the global watermark is the
+    // min). TWO sentinel files, because null-padded eviction always runs
+    // one batch BEHIND the watermark update (state is evicted with the
+    // PREVIOUS batch's watermark): file 2's batch evicts under file 1's
+    // watermark, and the final no-data flush batch sweeps the rest under
+    // file 2's — belt and braces around whether the flush batch fires.
+    Seq(1, 2).foreach { i =>
+      val sentinelTmp = graft.TempDirs.create(s"$name-sentinel$i")
+      Seq("purchase", "click").toDF("event_type")
+        .select(lit(-9L * i).as("event_id"),
+          graft.Tables.tsRawLit(batch.schema, maxNs + i * 7200L * 1000000000L).as("ts"),
+          lit(-1L).as("user_id"), col("event_type"),
+          lit(0.0).as("value"), lit("").as("props"))
+        .coalesce(1).write.mode("overwrite").parquet(sentinelTmp)
+      val part = new java.io.File(sentinelTmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get.toPath
+      val dst = java.nio.file.Paths.get(watchDir, s"zz_sentinel$i.parquet")
+      java.nio.file.Files.move(part, dst)
+      // file-source batch order is mtime: sentinels land after the (old)
+      // testdata file, in order
+      dst.toFile.setLastModified(System.currentTimeMillis + i * 2000L): Unit
+    }
+    if (sys.env.contains("GRAFT_STREAM_DEBUG")) {
+      new java.io.File(watchDir).listFiles().foreach(f =>
+        Console.err.println(s"[r49] file=${f.getName} len=${f.length} mtime=${f.lastModified}"))
+      Console.err.println("[r49] watchdir rows: " +
+        spark.read.schema(batch.schema).parquet(watchDir)
+          .groupBy("user_id" ).count().filter(col("user_id") < 0).collect().mkString(","))
+    }
+    def eventStream() = graft.Tables.tsToNs(
+        spark.readStream.schema(batch.schema)
+          .option("maxFilesPerTrigger", "1").parquet(watchDir))
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val purchases = eventStream().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "10 minutes")
+    val clicks = eventStream().filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    // NOTE: no sentinel filter inside the streaming plan — a
+    // deterministic left-side predicate (p_user >= 0) gets pushed below
+    // EventTimeWatermark into the scan, so the sentinel rows would be
+    // dropped BEFORE advancing the watermark and the newest real
+    // purchases would never null-evict (observed). Sentinels are removed
+    // from the materialized sink output instead (ids are negative).
+    val joined = purchases.join(clicks,
+        col("p_user") === col("user_id") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts") - expr("interval 1 hour"),
+        "left_outer")
+      .select(col("purchase_id"), col("click_id"),
+        unix_millis(col("purchase_ts")).as("purchase_ms"),
+        unix_millis(col("click_ts")).as("click_ms"))
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = joined.writeStream
+        .format("memory").queryName(name)
+        .option("checkpointLocation", graft.TempDirs.create(s"$name-ckpt"))
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      if (sys.env.contains("GRAFT_STREAM_DEBUG"))
+        q.recentProgress.foreach(p => Console.err.println(
+          s"[r49] batch=${p.batchId} in=${p.numInputRows} wm=${p.eventTime.get("watermark")} " +
+            s"state=${p.stateOperators.toSeq.map(s => s"${s.numRowsTotal}/${s.numRowsRemoved}")}"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    spark.table(name).filter(col("purchase_id") >= 0)
+  }
+
   /** Streaming windowed funnel over a live file stream — the CEP operator
     * ([[StreamingOps.funnelStream]]) hash-checked against the SAME DuckDB
     * SQL as the batch window-chain form (r40). Two micro-batches by
