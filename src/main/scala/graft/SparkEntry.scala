@@ -53,6 +53,7 @@ object SparkEntry {
     "s47_savepoint_restore" -> ((s, d) => graft.lake.LakeQueries.rollbackRestore(s, d)),
     "s67_read_optimized"  -> ((s, d) => graft.lake.LakeQueries.readOptimizedView(s, d)),
     "s71_bootstrap"       -> ((s, d) => graft.lake.LakeQueries.bootstrapOnboard(s, d)),
+    "s72_clone"           -> ((s, d) => graft.lake.LakeQueries.shallowClone(s, d)),
     "s53_sql_procedures"  -> ((s, d) => graft.lake.LakeQueries.sqlProcedures(s, d)),
     "s54_write_index_tagging" -> ((s, d) => graft.lake.LakeQueries.writeIndexTagging(s, d)),
     "s55_partial_update"  -> ((s, d) => graft.lake.LakeQueries.partialUpdate(s, d)),
@@ -197,6 +198,10 @@ object SparkEntry {
     "r48_unpivot"         -> ((s, d) => RelationalOps.unpivotMeasures(s, d)),
     "r49_stream_outer_join" -> ((s, d) =>
       graft.streaming.StreamingQueries.streamOuterJoin(s, d)),
+    "r50_window_dist"     -> ((s, d) => RelationalOps.windowDistribution(s, d)),
+    "r51_tpch_q1"         -> ((s, d) => RelationalOps.tpchQ1(s, d)),
+    "r52_tpch_q3"         -> ((s, d) => RelationalOps.tpchQ3(s, d)),
+    "r53_tpch_q6"         -> ((s, d) => RelationalOps.tpchQ6(s, d)),
     "r32_pivot"           -> ((s, d) => RelationalOps.pivotEventCounts(s, d)),
     "r33_gapfill"         -> ((s, d) => RelationalOps.gapFillHourly(s, d)),
     "r34_sliding_agg"     -> ((s, d) => RelationalOps.slidingAgg(s, d)),
@@ -1897,6 +1902,54 @@ object SparkEntry {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
         |                        (o_orderstatus), (o_orderpriority))""".stripMargin,
+    // TPC-H shapes, money math in integer micros (per-row product rounded
+    // once → long sums, engine/partitioning-exact)
+    "r51_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(round(l_quantity * 1000000)::BIGINT)::BIGINT AS sum_qty_micros,
+        |  sum(round(l_extendedprice * 1000000)::BIGINT)::BIGINT AS sum_base_micros,
+        |  sum(round(l_extendedprice * (1.0 - l_discount) * 1000000)::BIGINT)::BIGINT
+        |    AS sum_disc_micros,
+        |  sum(round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+        |      * 1000000)::BIGINT)::BIGINT AS sum_charge_micros,
+        |  count(*)::BIGINT AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "r52_tpch_q3" ->
+      """SELECT o.o_orderkey,
+        |       epoch_ms(o.o_orderdate) AS o_orderdate_ms,
+        |       sum(round(l.l_extendedprice * (1.0 - l.l_discount)
+        |           * 1000000)::BIGINT)::BIGINT AS revenue_micros
+        |FROM customer c
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |  AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        |GROUP BY o.o_orderkey, o.o_orderdate
+        |ORDER BY revenue_micros DESC, o.o_orderkey
+        |LIMIT 10""".stripMargin,
+    "r53_tpch_q6" ->
+      """SELECT sum(round(l_extendedprice * l_discount * 1000000)::BIGINT)::BIGINT
+        |         AS revenue_micros,
+        |       count(*)::BIGINT AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    // window distribution family over the (o_totalprice, o_orderkey)
+    // TOTAL order — NTILE is position-based, so only a total order makes
+    // its buckets engine-deterministic
+    "r50_window_dist" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |             ORDER BY o_totalprice, o_orderkey)""".stripMargin,
     // unpivot: metric values are the source COLUMN NAMES on both engines
     "r48_unpivot" ->
       """SELECT l_returnflag, l_linestatus, metric,
@@ -2983,6 +3036,20 @@ object SparkEntry {
     // the base, then a balance-zeroing touch-up delta + a TTL delete layer
     // on top and compact — the lake state == the same CASE/anti-filter
     // applied directly to the raw file
+    // shallow clone diverged: the clone == the two-thirds LWW at its
+    // boundary minus the users its own delta deleted; excluding a user's
+    // rows before the LWW equals deleting the key after it (all their
+    // rows are excluded together)
+    "s72_clone" ->
+      """WITH b AS (
+        |  SELECT min(epoch_ns(ts)) + 2 * ((max(epoch_ns(ts)) - min(epoch_ns(ts))) // 3) AS hi
+        |  FROM events
+        |)
+        |SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
+        |FROM events, b
+        |WHERE epoch_ns(ts) <= b.hi AND user_id % 7 <> 0
+        |QUALIFY row_number() OVER
+        |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
     "s71_bootstrap" ->
       """SELECT c_custkey, c_name, c_nationkey,
         |       CASE WHEN c_custkey % 10 = 0 THEN 0.0 ELSE c_acctbal END

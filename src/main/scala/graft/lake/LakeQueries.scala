@@ -182,6 +182,44 @@ object LakeQueries {
         "c_mktsegment"), path)
   }
 
+  /** Shallow CLONE ([[MorTable.cloneTo]] — the Delta SHALLOW CLONE
+    * analog), oracle-checked end-to-end: replay two-thirds of events,
+    * compact (the clone boundary), clone ZERO-COPY, then diverge BOTH
+    * tables — the source takes the final third, the clone deletes every
+    * user ≡ 0 (mod 7). The returned clone state must equal the
+    * two-thirds LWW minus those users, proving the adopted base reads
+    * exactly AND the clone's own delta (a local seq) outranks the
+    * rebased adopted rows; the entry asserts the source still sees the
+    * final third and never the clone's deletes. */
+  def shallowClone(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "value", "ts_ms", "ts_ns")
+    val b = ev.agg(min(col("ts_ns")).as("mn"), max(col("ts_ns")).as("mx")).head()
+    val mn = b.getLong(0); val mx = b.getLong(1)
+    val lo = mn + (mx - mn) / 3
+    val hi = mn + 2 * ((mx - mn) / 3)
+    val srcPath = tempPath("mor-clone-src")
+    val t = MorTable(spark, srcPath, keyCols = Seq("user_id"),
+      compactionDeltaCommits = 1000)
+    val ord = Seq(col("ts_ns"), col("event_id"))
+    t.upsert(ev.filter(col("ts_ns") <= lo), ord, batchId = 1L)
+    t.upsert(ev.filter(col("ts_ns") > lo && col("ts_ns") <= hi), ord, batchId = 2L)
+    t.compact() // the clone boundary
+    val clonePath = tempPath("mor-clone-dst")
+    val c = t.cloneTo(clonePath)
+    assert(!new java.io.File(s"$clonePath/base").exists(),
+      "clone must be zero-copy: no managed base before its first compaction")
+    t.upsert(ev.filter(col("ts_ns") > hi), ord, batchId = 3L) // source diverges
+    c.deleteWhere(col("user_id") % 7 === 0)                   // clone diverges
+    assert(t.read().filter(col("ts_ns") > hi).count() > 0,
+      "source must see its post-clone third")
+    assert(t.read().filter(col("user_id") % 7 === 0).count() > 0,
+      "the clone's deletes must not leak into the source")
+    graft.TempDirs.materializeAndDelete(
+      c.read().select("user_id", "event_id", "event_type", "value", "ts_ms"),
+      srcPath, clonePath)
+  }
+
   /** Write-path index tagging ([[MorTable.upsertIfNew]] — the Hudi
     * bloom-index write path), oracle-checked end-to-end: a key-disjoint
     * user split lands as two PROVEN insert-only commits (the second

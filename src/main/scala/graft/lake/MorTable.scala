@@ -416,6 +416,66 @@ final class MorTable(
     this
   }
 
+  /** Shallow CLONE (the Delta `CREATE TABLE … SHALLOW CLONE` / Hudi
+    * snapshot-export-without-copy analog): a NEW independent table at
+    * `dstPath` whose first base is THIS table's current compacted base —
+    * referenced in place, zero bytes copied, one instant file written.
+    * The clone is immediately writable: adopted rows are REBASED to the
+    * clone instant's seqno ([[Instant.bootstrapMeta]]), so its own
+    * deltas outrank them in the LWW merge; its first compaction folds
+    * everything into a managed base and drops the last reference to the
+    * source files. Divergence is two-way isolated — neither table's
+    * upserts, compactions, or destructive verbs touch the other's data
+    * (clone-side clean/rollback only remove managed dirs, same rule as
+    * [[bootstrap]]).
+    *
+    * Clone is a COMPACTION-BOUNDARY verb: it refuses while live deltas
+    * sit above the base (fold them first — an explicit `compact()`
+    * beats silently mutating the source's timeline from a read verb) and
+    * when the source base is itself external. The referenced base is
+    * pinned against the source's `clean()` with savepoint
+    * `clone_<dstName>` — release it ([[releaseSavepoint]]) once the
+    * clone has compacted or been dropped; until then the pin is the
+    * clone's only protection from source-side housekeeping (the Delta
+    * shallow-clone-vs-VACUUM hazard, made explicit and releasable).
+    * Returns the clone handle (same key columns and policy knobs). */
+  def cloneTo(dstPath: String): MorTable = synchronized {
+    val (lastCompact, deltas) = liveDeltas(timeline())
+    val c = lastCompact.getOrElse(throw new IllegalStateException(
+      s"cloneTo: $path has no compacted base — compact() first"))
+    require(deltas.isEmpty,
+      s"cloneTo: $path has ${deltas.size} live delta commit(s) above the " +
+        "base — clone is a compaction-boundary verb, compact() first")
+    require(c.bootstrapDir.isEmpty,
+      s"cloneTo: $path's base is itself external (bootstrap/clone) — " +
+        "compact() first to manage it")
+    require(c.unfolded.isEmpty,
+      s"cloneTo: base ${c.seq} carries unfolded straggler commits — " +
+        "compact() again once they publish")
+    val pin = s"clone_${new Path(dstPath).getName.replaceAll("[^A-Za-z0-9-]", "_")}"
+    if (!savepoints().contains(pin)) savepoint(pin)
+    val dst = new MorTable(spark, dstPath, keyCols, compactionDeltaCommits,
+      compactionDeltaSeconds, autoCompact, writePartitions, bloomBits)
+    dst.adoptClonedBase(s"$path/base/${c.seq}")
+    dst
+  }
+
+  /** Publish the clone-side instant for [[cloneTo]] (same first-commit
+    * race handling as [[bootstrap]]). */
+  private def adoptClonedBase(srcBaseDir: String): Unit = synchronized {
+    require(timeline().isEmpty,
+      s"clone destination $path already has commits")
+    val seq = allocateSeq("compact")
+    val pending = inflightDeltaSeqs()
+    val tl = timeline()
+    require(!tl.exists(_.kind == "compact"),
+      s"clone lost the first-commit race on $path")
+    val unfolded = (tl.filter(_.kind == "delta").map(_.seq) ++ pending)
+      .distinct.filter(_ < seq).sorted
+    publishInstant(Instant(seq, "compact", -1L, System.currentTimeMillis(),
+      unfolded, bootstrapDir = Some(srcBaseDir), bootstrapMeta = true))
+  }
+
   /** [[upsert]] with WRITE-PATH INDEX TAGGING — the Hudi bloom-index
     * write path (Hudi probes its bloom index to split an upsert into
     * inserts vs updates before routing; the reference's keyed sinks
@@ -1171,6 +1231,13 @@ final class MorTable(
     * the base managed — the same freshness-vs-layout trade Hudi's
     * METADATA_ONLY bootstrap makes before its first clustering). */
   private def baseScanOf(c: Instant): DataFrame = c.bootstrapDir match {
+    case Some(d) if c.bootstrapMeta =>
+      // shallow CLONE base: another table's compacted base — keys and
+      // tombstones are real on disk; seqno/time REBASED to this instant
+      // so the clone's own deltas (fresh local seqs) outrank adopted rows
+      scanDir(d)
+        .withColumn("_commit_seqno", lit(c.seq))
+        .withColumn("_commit_time", lit(MorTable.commitTimeString(c.commitMs)))
     case Some(d) =>
       scanDir(d)
         .withColumn("_record_key",
@@ -2479,13 +2546,24 @@ object MorTable {
                              * is the EXTERNAL parquet directory named here —
                              * no managed `base/<seq>` dir, no manifest, lake
                              * meta columns synthesized at scan time. */
-                           bootstrapDir: Option[String] = None) {
+                           bootstrapDir: Option[String] = None,
+                           /** With [[bootstrapDir]]: the external dir is
+                             * ANOTHER mor table's base (shallow CLONE, see
+                             * [[MorTable.cloneTo]]) — it already carries the
+                             * lake meta columns on disk. `_record_key` /
+                             * `_deleted` are read as-is (tombstones
+                             * preserved); `_commit_seqno`/`_commit_time` are
+                             * REBASED to this instant so the clone's own
+                             * later deltas (small local seqs) outrank the
+                             * adopted rows in the LWW merge. */
+                           bootstrapMeta: Boolean = false) {
     def toJson: String = {
       val uf = if (unfolded.isEmpty) "" else s""","unfolded":[${unfolded.mkString(",")}]"""
       val io = if (insertOnly) s""","insertOnly":true""" else ""
       val bd = bootstrapDir.map(d =>
         s""","bootstrapDir":"${jsEscape(d)}"""").getOrElse("")
-      s"""{"seq":$seq,"kind":"$kind","batchId":$batchId,"commitMs":$commitMs$uf$io$bd}"""
+      val bm = if (bootstrapMeta) s""","bootstrapMeta":true""" else ""
+      s"""{"seq":$seq,"kind":"$kind","batchId":$batchId,"commitMs":$commitMs$uf$io$bd$bm}"""
     }
   }
 
@@ -2505,7 +2583,8 @@ object MorTable {
       if (m.find()) Some(jsUnescape(m.group(1))) else None
     }
     Instant(field("seq").toLong, field("kind"), field("batchId").toLong,
-      field("commitMs").toLong, uf, json.contains("\"insertOnly\":true"), bd)
+      field("commitMs").toLong, uf, json.contains("\"insertOnly\":true"), bd,
+      json.contains("\"bootstrapMeta\":true"))
   }
 
   /** Multi-writer commit-seq allocation (the Hudi inflight/OCC analog),

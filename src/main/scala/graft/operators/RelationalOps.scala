@@ -651,6 +651,93 @@ object RelationalOps {
       .agg(sum(round(col("value") * lit(1e6)).cast("long")).as("sum_micros"),
         count(lit(1)).as("n"))
 
+  /** Window DISTRIBUTION analytics — the ranking family r17 doesn't
+    * cover: NTILE quartiles, PERCENT_RANK, CUME_DIST per order status.
+    * One window (ONE shuffle + per-partition sort) serves all three.
+    * The window order is the TOTAL order (o_totalprice, o_orderkey):
+    * NTILE assigns by row POSITION, so under ties its buckets are
+    * undefined without a tiebreak — the total order makes all three
+    * functions engine-deterministic. Ratios rounded to 6 dp (IEEE
+    * division of exact ints — identical cross-engine). */
+  def windowDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+  }
+
+  /** TPC-H Q1 pricing-summary shape — THE canonical columnar scan+agg:
+    * date-filtered lineitem rolled up by flag/status. Money math in
+    * integer MICROS (each per-row product rounded ONCE, then long sums —
+    * bit-identical across engines/partitionings where naive double sums
+    * are not). Plan: pushed scan filter → partial agg → one exchange
+    * over group-sized state; at 100 TB this is bandwidth-bound scan work
+    * with nothing wide. */
+  def tpchQ1(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1998-09-02 00:00:00").cast("timestamp_ntz")
+    def micros(c: Column) = sum(round(c * lit(1e6)).cast("long"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= cut)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        micros(col("l_quantity")).as("sum_qty_micros"),
+        micros(col("l_extendedprice")).as("sum_base_micros"),
+        micros(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("sum_disc_micros"),
+        micros(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax"))).as("sum_charge_micros"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** TPC-H Q3 shipping-priority shape — the canonical 3-way
+    * join + grouped-revenue + top-k: BUILDING customers' orders placed
+    * before the cut whose items shipped after it, top 10 by revenue.
+    * The filtered customer keys BROADCAST into orders; the
+    * lineitem⋈orders join stays a key shuffle (at 100 TB the date-
+    * filtered orders side is far beyond broadcast — AQE may still
+    * broadcast it at small SF). Revenue in integer micros;
+    * (revenue DESC, o_orderkey) total order so the top-k is
+    * engine-deterministic; TakeOrdered replaces a global sort. */
+  def tpchQ3(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < cut)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > cut)
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(1e6))
+          .cast("long").as("rev_micros"))
+    li.join(ord.join(broadcast(cust),
+        ord("o_custkey") === cust("c_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(sum(col("rev_micros")).as("revenue_micros"))
+      .select(col("o_orderkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("o_orderdate_ms"),
+        col("revenue_micros"))
+      .orderBy(col("revenue_micros").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q6 forecasting-revenue shape — the canonical pushdown probe:
+    * three scan-level range predicates and ONE global sum, no join, no
+    * group. The whole query should collapse to a pushed parquet scan +
+    * partial/final agg of a single long. */
+  def tpchQ6(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp_ntz") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum(round(col("l_extendedprice") * col("l_discount") * lit(1e6))
+          .cast("long")).as("revenue_micros"),
+        count(lit(1)).as("n"))
+
   /** Skew-salted join checked against the plain join: salting must be a
     * pure execution-strategy change, never a semantic one. */
   def saltedJoinOrders(spark: SparkSession, dir: String): DataFrame =

@@ -991,4 +991,57 @@ class MorTableSpec extends AnyFunSuite {
     t.bootstrap(ext, batchId = 9L)
     assert(t.read().count() == 8)
   }
+
+  test("cloneTo: zero-copy shallow clone — rebased LWW, two-way isolation, pin survives source clean") {
+    val src = MorTable(spark, graft.TestSpark.tmpDir("mor-clone-src"), Seq("uuid"),
+      compactionDeltaCommits = 100)
+    src.upsert(t1Rows, Seq(col("ts")), batchId = 1L)
+    // compaction-boundary verb: no base yet → IllegalState
+    intercept[IllegalStateException](
+      src.cloneTo(graft.TestSpark.tmpDir("mor-clone-x1")))
+    src.compact()
+    src.deleteWhere(col("uuid") === "id2")
+    // live delta above the base → refuse (fold it first)
+    intercept[IllegalArgumentException](
+      src.cloneTo(graft.TestSpark.tmpDir("mor-clone-x2")))
+    src.compact()
+
+    val dstPath = graft.TestSpark.tmpDir("mor-clone-dst")
+    val dst = src.cloneTo(dstPath)
+    // zero copy: one instant, no managed base dir at the clone
+    assert(!new java.io.File(s"$dstPath/base").exists())
+    assert(dst.timeline().head.bootstrapMeta)
+    // tombstones came through: id2 stays deleted in the clone
+    val cloneRows = dst.read().collect().map(_.getAs[String]("uuid")).toSet
+    assert(cloneRows == t1Rows.collect().map(_.getString(0)).toSet - "id2")
+    // the pin protects the referenced base from source-side clean
+    assert(src.savepoints().keys.exists(_.startsWith("clone_")))
+
+    // divergence, clone -> source: the clone's delta must OUTRANK the
+    // adopted base rows (seqno rebase), and the source must not see it
+    dst.upsert(Seq(("id3", "CloneEdit", 1, "2030-01-01 00:00:00"))
+      .toDF("uuid", "name", "age", "ts"), Seq(col("ts")))
+    assert(dst.read().filter(col("uuid") === "id3").head()
+      .getAs[String]("name") == "CloneEdit")
+    assert(src.read().filter(col("uuid") === "id3").head()
+      .getAs[String]("name") == "Julian")
+    // divergence, source -> clone
+    src.upsert(Seq(("id4", "SrcEdit", 1, "2030-01-01 00:00:00"))
+      .toDF("uuid", "name", "age", "ts"), Seq(col("ts")))
+    assert(dst.read().filter(col("uuid") === "id4").head()
+      .getAs[String]("name") == "Fabian")
+
+    // source housekeeping cannot break a live clone: new source base +
+    // clean() — the clone_<name> pin keeps the referenced base alive
+    src.compact()
+    src.clean()
+    assert(dst.read().count() == 7, "clone must survive source compact+clean")
+    // clone's own compaction folds everything managed and drops the
+    // source reference; the source files are never written
+    dst.compact()
+    assert(new java.io.File(s"$dstPath/base").exists())
+    assert(dst.read().filter(col("uuid") === "id3").head()
+      .getAs[String]("name") == "CloneEdit")
+    assert(dst.read().count() == 7)
+  }
 }

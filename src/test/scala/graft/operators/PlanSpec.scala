@@ -16,6 +16,9 @@ class PlanSpec extends AnyFunSuite {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString()
 
+  private def exchanges(p: String): Int =
+    p.sliding("Exchange".length).count(_ == "Exchange")
+
   test("R4 filter pushes to the parquet scan (PushedFilters)") {
     val p = plan(RelationalOps.filterEq(spark, dir))
     assert(p.contains("PushedFilters: [IsNotNull(c_custkey), EqualTo(c_custkey,42)]"), p)
@@ -238,7 +241,6 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("r42/r43 sequence analytics: joinless, Expand-free, bounded exchanges") {
-    def exchanges(p: String) = p.sliding("Exchange".length).count(_ == "Exchange")
     // streaks: distinct shuffles (user, day); the island window, island
     // groupBy, and per-user pick all reuse the user partitioning
     val p1 = plan(RelationalOps.activityStreaks(spark, dir))
@@ -248,6 +250,43 @@ class PlanSpec extends AnyFunSuite {
     // no firsts-table self-join, no count_distinct Expand
     val p2 = plan(RelationalOps.retentionCohorts(spark, dir))
     assert(!p2.contains("Join") && !p2.contains("Expand"), p2)
+  }
+
+  test("r48 unpivot plans ONE map-side Expand feeding a partial agg") {
+    val p = plan(RelationalOps.unpivotMeasures(spark, dir))
+    assert(p.contains("Expand"), s"unpivot must be an Expand:\n$p")
+    assert(p.contains("partial_sum"), p)
+    assert(exchanges(p) == 1, s"one exchange (the final agg):\n$p")
+    assert(!p.contains("Union"), s"never k per-measure rescans:\n$p")
+  }
+
+  test("r50 window distribution: one window (one exchange) serves all three functions") {
+    val p = plan(RelationalOps.windowDistribution(spark, dir))
+    assert(exchanges(p) == 1, s"ntile/percent_rank/cume_dist share one window:\n$p")
+    assert("(?s)Window.*Window".r.findFirstIn(p).isEmpty,
+      s"must plan a single Window operator:\n$p")
+  }
+
+  test("TPC-H shapes: q1/q6 push scan filters and pre-aggregate; q3 broadcasts only the dim") {
+    // (PushedFilters renders truncated in toString — assert the scan
+    // carries a PushedFilters list headed by the date column, plus the
+    // full predicates from the untruncated Filter node)
+    val p1 = plan(RelationalOps.tpchQ1(spark, dir))
+    assert(p1.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipda"),
+      s"q1 date filter must reach the scan:\n$p1")
+    assert(p1.contains("partial_sum") && exchanges(p1) == 1, p1)
+    val p6 = plan(RelationalOps.tpchQ6(spark, dir))
+    assert(p6.contains("PushedFilters: [IsNotNull(l_shipdate)") &&
+      p6.contains(">= 0.05)") && p6.contains("<= 0.07)") &&
+      p6.contains("< 24.0)"),
+      s"q6 range predicates must push:\n$p6")
+    assert(p6.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
+      "l_discount:double,l_shipdate:timestamp_ntz>"),
+      s"q6 must prune to the 4 referenced columns:\n$p6")
+    val p3 = plan(RelationalOps.tpchQ3(spark, dir))
+    assert(p3.contains("BroadcastHashJoin"), p3)
+    assert(p3.contains("TakeOrderedAndProject"), s"q3 top-10 must TakeOrdered:\n$p3")
+    assert(!p3.contains("CartesianProduct"), p3)
   }
 
   test("t22 DSIR weights: one pinned tokenize+hash pass, broadcast stats join") {
