@@ -173,6 +173,7 @@ object SparkEntry {
     "d17_cms_registers"   -> ((s, d) => graft.functions.LlmQueries.cmsRegisters(s, d)),
     "d18_cms_estimate"    -> ((s, d) => graft.functions.LlmQueries.cmsEstimate(s, d)),
     "d19_pagerank"        -> ((s, d) => graft.functions.LlmQueries.pageRankNearDup(s, d)),
+    "d30_triangles"       -> ((s, d) => graft.functions.LlmQueries.triangleNearDup(s, d)),
     "d23_hist_registers"  -> ((s, d) => graft.functions.LlmQueries.histRegisters(s, d)),
     "d24_hist_quantiles"  -> ((s, d) => graft.functions.LlmQueries.histQuantiles(s, d)),
     "d25_hist_drift"      -> ((s, d) => graft.functions.LlmQueries.histDrift(s, d)),
@@ -399,6 +400,34 @@ object SparkEntry {
       |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
       |    ORDER BY list_cosine_similarity(c.cv, e.embedding::DOUBLE[]) DESC,
       |             c.cell_id ASC) = 1
+      |)""".stripMargin
+
+  /** The d6 near-dup pair mining (3-gram Jaccard ≥ 0.3) as a CTE prefix
+    * ending in `pairs(id_a, id_b)` — shared by `d19_pagerank` and
+    * `d30_triangles`, which replay different graph algorithms over the
+    * SAME edge definition. */
+  private val JaccardPairsCte: String =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |         list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |                     x -> x <> '') AS words
+      |  FROM documents
+      |), t AS (
+      |  SELECT doc_id, CASE WHEN len(words) >= 3 THEN
+      |      list_distinct(list_transform(range(1, len(words) - 1),
+      |        i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+      |    ELSE [array_to_string(words, ' ')] END AS sh
+      |  FROM w
+      |), n AS (SELECT doc_id, len(sh)::BIGINT AS ns FROM t
+      |), e AS (SELECT doc_id, unnest(sh) AS s FROM t
+      |), p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS inter
+      |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT id_a, id_b
+      |  FROM p JOIN n na ON na.doc_id = p.id_a JOIN n nb ON nb.doc_id = p.id_b
+      |  WHERE inter * 10 >= (na.ns + nb.ns - inter) * 3
       |)""".stripMargin
 
   private val SavepointOracle: String =
@@ -2227,29 +2256,8 @@ object SparkEntry {
     // replays Graph.pageRank's integer micro-unit recurrence over the d6
     // edge set: long sums are order-invariant, so 3 fixpoint rounds are
     // bit-identical across engines
-    "d19_pagerank" ->
-      """WITH w AS (
-        |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(lower(text), '\s+'),
-        |                     x -> x <> '') AS words
-        |  FROM documents
-        |), t AS (
-        |  SELECT doc_id, CASE WHEN len(words) >= 3 THEN
-        |      list_distinct(list_transform(range(1, len(words) - 1),
-        |        i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
-        |    ELSE [array_to_string(words, ' ')] END AS sh
-        |  FROM w
-        |), n AS (SELECT doc_id, len(sh)::BIGINT AS ns FROM t
-        |), e AS (SELECT doc_id, unnest(sh) AS s FROM t
-        |), p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS inter
-        |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2
-        |), pairs AS (
-        |  SELECT id_a, id_b
-        |  FROM p JOIN n na ON na.doc_id = p.id_a JOIN n nb ON nb.doc_id = p.id_b
-        |  WHERE inter * 10 >= (na.ns + nb.ns - inter) * 3
-        |), edges AS (
+    "d19_pagerank" -> (JaccardPairsCte +
+      """, edges AS (
         |  SELECT id_a AS u, id_b AS v FROM pairs
         |  UNION SELECT id_b, id_a FROM pairs
         |), deg AS (SELECT u, count(*)::BIGINT AS dg FROM edges GROUP BY u
@@ -2270,7 +2278,21 @@ object SparkEntry {
         |  FROM edges e JOIN deg d ON d.u = e.u JOIN r2 r ON r.node = e.u
         |  GROUP BY e.v
         |)
-        |SELECT node AS doc_id, rank_ppm FROM r3""".stripMargin,
+        |SELECT node AS doc_id, rank_ppm FROM r3""".stripMargin),
+    // per-node triangle counts over the SAME d6/d19 edge set: the triple
+    // join enumerates each triangle once under id order a<b<c (pairs are
+    // canonical id_a<id_b), then every corner counts it
+    "d30_triangles" -> (JaccardPairsCte +
+      """, tri AS (
+        |  SELECT p1.id_a AS a, p1.id_b AS b, p3.id_b AS c
+        |  FROM pairs p1
+        |  JOIN pairs p2 ON p2.id_a = p1.id_b
+        |  JOIN pairs p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b
+        |), corners AS (
+        |  SELECT unnest([a, b, c]) AS doc_id FROM tri
+        |)
+        |SELECT doc_id, count(*)::BIGINT AS n_triangles
+        |FROM corners GROUP BY doc_id""".stripMargin),
     // the sketch-guided two-phase plan must reproduce the plain exact HAVING
     "d20_heavy_hitters" ->
       """WITH tok AS (

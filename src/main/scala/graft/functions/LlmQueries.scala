@@ -213,6 +213,16 @@ object LlmQueries {
       Dedup.ngramJaccardPairs(Tables.documents(spark, dir)))
       .select(col("node").as("doc_id"), col("rank").as("rank_ppm"))
 
+  /** Per-document TRIANGLE COUNTS over the d6/d19 near-dup graph
+    * ([[graft.operators.Graph.triangleCount]] — degree-ordered wedge
+    * enumeration, the local-clustering-density signal for template/
+    * boilerplate families), oracle-checked: DuckDB replays the triple
+    * join over the SAME pair definition. */
+  def triangleNearDup(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.triangleCount(
+        Dedup.ngramJaccardPairs(Tables.documents(spark, dir)))
+      .select(col("node").as("doc_id"), col("n_triangles"))
+
   /** Exact all-pairs embedding near-dup (cos ≥ 0.4 on the rounded score,
     * oracle-checked). O(N²) ground truth for d4's LSH-bucketed variant —
     * audit tool, not the 100 TB path. Scored by the native codegen'd

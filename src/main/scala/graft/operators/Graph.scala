@@ -58,4 +58,56 @@ object Graph {
     }
     ranks
   }
+
+  /** Per-node TRIANGLE COUNTS on a pair list — the local-clustering /
+    * community-density statistic over a near-dup graph (dense triangle
+    * neighborhoods ≈ template families; a doc's triangle count is a
+    * cheap "how boilerplate is this cluster" signal).
+    *
+    * Degree-ordered orientation (the classic MapReduce/GraphX bound):
+    * every edge points from its (degree, id)-smaller endpoint to the
+    * larger, so wedges are enumerated only at each edge pair's smallest
+    * endpoint — Σ outdeg² with outdeg ≤ √(2m), never the Σ deg² a naive
+    * wedge join pays on skewed graphs (a celebrity node of degree d
+    * contributes d² wedges un-oriented, ~m oriented). One wedge
+    * self-join + one closure semi-join, all equi-joins on node ids;
+    * exact integer counts, engine/partitioning-invariant (oracle d30
+    * replays the triple join in DuckDB). Self-pairs and duplicates are
+    * tolerated (deduped); only nodes in ≥1 triangle appear. */
+  def triangleCount(pairs: DataFrame, idACol: String = "id_a",
+                    idBCol: String = "id_b"): DataFrame = {
+    // pin the pair mining once (read by deg and the orientation);
+    // canonicalize (min, max) BEFORE distinct — a reversed duplicate
+    // would otherwise survive the dedup and double every wedge
+    val e0 = pairs
+      .select(least(col(idACol), col(idBCol)).cast("long").as("u"),
+        greatest(col(idACol), col(idBCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    val deg = e0.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val wd = e0
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    // oriented edge + the DESTINATION's order key (struct compare =
+    // lexicographic (degree, id) — the same total order everywhere)
+    val oriented = wd.select(
+        when(uFirst, col("u")).otherwise(col("v")).as("src"),
+        when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+        when(uFirst, struct(col("dv").as("d"), col("v").as("n")))
+          .otherwise(struct(col("du").as("d"), col("u").as("n"))).as("dk"))
+      .localCheckpoint(true) // read thrice: both wedge sides + closure
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dk") < col("e2.dk"))
+      .select(col("e1.src").as("apex"), col("e1.dst").as("x"),
+        col("e2.dst").as("y"))
+    // a wedge (x, y) closes iff the oriented edge x→y exists (x's key <
+    // y's key by construction, so orientation matches)
+    val tris = wedges.join(oriented.select(col("src").as("x"),
+        col("dst").as("y")), Seq("x", "y"), "left_semi")
+    tris.select(explode(array(col("apex"), col("x"), col("y"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
 }

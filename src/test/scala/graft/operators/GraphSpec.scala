@@ -53,4 +53,32 @@ class GraphSpec extends AnyFunSuite {
     val total = got.values.sum
     assert(total > 3000000L && total < 6000000L, s"total $total")
   }
+
+  test("triangleCount: K4 + planted triangle == brute force; dup/orientation/partitioning invariant") {
+    // K4 on 1..4 (4 triangles, each corner in 3), a separate triangle
+    // 7-8-9, a pendant edge 9-10 (10 in none), a path 5-6 (none)
+    val pairs = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (7L, 8L), (8L, 9L), (7L, 9L), (9L, 10L), (5L, 6L))
+    def bruteForce(es: Seq[(Long, Long)]): Map[Long, Long] = {
+      val adj = es.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      val nodes = adj.keys.toSeq.sorted
+      val tris = for {
+        a <- nodes; b <- nodes if a < b && adj(a)(b)
+        c <- nodes if b < c && adj(a)(c) && adj(b)(c)
+      } yield Seq(a, b, c)
+      tris.flatten.groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    }
+    val expect = bruteForce(pairs)
+    assert(expect(1L) == 3L && expect(7L) == 1L && !expect.contains(10L))
+    val got = Graph.triangleCount(pairs.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == expect, s"got $got expect $expect")
+    // duplicates, reversed orientation, self-loops, and partitioning must
+    // not change a single count
+    val messy = (pairs ++ pairs.map(_.swap) ++ Seq((1L, 1L), (9L, 9L)))
+      .toDF("id_a", "id_b").repartition(13)
+    assert(Graph.triangleCount(messy).as[(Long, Long)].collect().toMap == expect)
+  }
 }
