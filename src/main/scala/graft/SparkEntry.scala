@@ -200,6 +200,8 @@ object SparkEntry {
     "r49_stream_outer_join" -> ((s, d) =>
       graft.streaming.StreamingQueries.streamOuterJoin(s, d)),
     "r50_window_dist"     -> ((s, d) => RelationalOps.windowDistribution(s, d)),
+    "r54_session_window"  -> ((s, d) =>
+      graft.streaming.StreamingQueries.streamSessionWindow(s, d)),
     "r51_tpch_q1"         -> ((s, d) => RelationalOps.tpchQ1(s, d)),
     "r52_tpch_q3"         -> ((s, d) => RelationalOps.tpchQ3(s, d)),
     "r53_tpch_q6"         -> ((s, d) => RelationalOps.tpchQ6(s, d)),
@@ -1931,6 +1933,30 @@ object SparkEntry {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
         |                        (o_orderstatus), (o_orderpriority))""".stripMargin,
+    // built-in session_window sessions == batch gaps-and-islands at µs
+    // precision; session end = max event + gap; an event at EXACTLY
+    // prev+gap breaks (half-open windows), hence >= in the break rule
+    "r54_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events
+        |), o AS (
+        |  SELECT user_id, us,
+        |    CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+        |           OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+        |              >= 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e
+        |), s AS (
+        |  SELECT user_id, us,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY us
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o
+        |)
+        |SELECT user_id,
+        |       (min(us) // 1000)::BIGINT AS session_start_ms,
+        |       ((max(us) + 1800000000) // 1000)::BIGINT AS session_end_ms,
+        |       count(*)::BIGINT AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     // TPC-H shapes, money math in integer micros (per-row product rounded
     // once → long sums, engine/partitioning-exact)
     "r51_tpch_q1" ->

@@ -119,14 +119,18 @@ object GraftProcedureCatalog {
 
   private val procedures: Map[String, UnboundProcedure] = Seq[Proc](
     Proc("run_compaction",
-      "compact a lake table: mode full|minor|zorder|due (zorder_cols comma-separated)",
+      "compact a lake table: mode full|minor|zorder|due (zorder_cols comma-separated; partition narrows a partitioned table to one child)",
       Seq(in("table", StringType),
         inDefault("mode", StringType, "'full'"),
-        inDefault("zorder_cols", StringType, "''")),
+        inDefault("zorder_cols", StringType, "''"),
+        inDefault("partition", StringType, "''")),
       ack,
-      { case Seq(tbl: String, mode: String, zcols: String) =>
+      { case Seq(tbl: String, mode: String, zcols: String, part: String) =>
         resolve(tbl) match {
-          case Left(t) => mode.toLowerCase match {
+          case Left(t) =>
+            require(part.isEmpty,
+              "partition argument needs a partitioned table")
+            mode.toLowerCase match {
             case "full" => t.compact(); Seq(Seq("compacted", "full"))
             case "minor" => t.compactMinor(); Seq(Seq("compacted", "minor"))
             case "zorder" =>
@@ -138,15 +142,26 @@ object GraftProcedureCatalog {
               else Seq(Seq("skipped", "not due"))
             case m => throw new IllegalArgumentException(s"unknown mode '$m'")
           }
-          case Right(p) => mode.toLowerCase match {
+          case Right(p) =>
+            // partition argument narrows to ONE child (loud on a miss —
+            // the pruned-verb contract everywhere else in the engine)
+            val parts =
+              if (part.isEmpty) p.partitions()
+              else {
+                require(p.partitions().contains(part),
+                  s"no partition '$part' in ${p.partitions().sorted.mkString(", ")}")
+                Seq(part)
+              }
+            mode.toLowerCase match {
             // partitioned compaction is per-child minor-planned already
             case "full" | "minor" =>
-              val parts = p.partitions(); p.compactPartitions(parts)
+              p.compactPartitions(parts)
               Seq(Seq("compacted", s"${parts.size} partitions"))
             case "zorder" =>
               val cols = zcols.split(',').map(_.trim).filter(_.nonEmpty).toSeq
               require(cols.nonEmpty, "zorder mode needs zorder_cols")
-              val did = p.compactZOrderPartitions(cols, dueOnly = false)
+              val did = p.compactZOrderPartitions(cols, dueOnly = false,
+                only = parts)
               Seq(Seq("compacted", s"zorder(${cols.mkString(",")}) on ${did.size} partitions"))
             case "due" =>
               val did = p.maybeCompact()

@@ -1239,8 +1239,14 @@ final class PartitionedMorTable(
     * clustering O(churn), not O(table)). Returns the clustered values. */
   def compactZOrderPartitions(zCols: Seq[String], bits: Int = 8,
                               dueOnly: Boolean = true,
-                              nowMs: Long = System.currentTimeMillis()): Seq[String] = {
-    val all = partitions()
+                              nowMs: Long = System.currentTimeMillis(),
+                              /** Restrict to these partition values
+                                * (empty = all) — the `CALL run_compaction
+                                * (partition => …)` narrowing. */
+                              only: Seq[String] = Seq.empty): Seq[String] = {
+    val all =
+      if (only.isEmpty) partitions()
+      else { val p = partitions(); only.filter(p.contains) }
     val due =
       if (dueOnly) all.zip(parChildren(all)(_.compactionDue(nowMs)))
         .collect { case (v, true) => v }

@@ -288,6 +288,67 @@ object StreamingQueries {
     spark.table(name).filter(col("purchase_id") >= 0)
   }
 
+  /** Streaming SESSION WINDOWS via Spark's BUILT-IN `session_window`
+    * (the engine-native half of the sessionization story — r31 runs the
+    * same semantics through a custom flatMapGroupsWithState engine;
+    * this entry proves the declarative gap-window aggregate): per-user
+    * 30-minute-gap sessions over a live event stream, append mode, so a
+    * session only emits once the watermark passes its end. A session is
+    * [min ts, max ts + gap); an event at EXACTLY prev+gap starts a new
+    * session (half-open window overlap). Two far-future sentinel files
+    * (user −1, filtered post-sink) drive the final watermark past every
+    * real session's end — same batch-behind eviction lag as r49 — so
+    * the AvailableNow drain settles to EXACTLY the batch gaps-and-
+    * islands SQL at µs precision (oracle r54). */
+  def streamSessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val batch = spark.read.parquet(path)
+    val name = s"graft_stream_swin_${counter.incrementAndGet()}"
+    val watchDir = graft.TempDirs.create("stream-swin")
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(watchDir, "events.parquet"),
+      java.nio.file.Paths.get(path).toAbsolutePath)
+    val maxNs = graft.Tables.tsToNs(batch).agg(max(col("ts_ns"))).head.getLong(0)
+    import spark.implicits._
+    Seq(1, 2).foreach { i =>
+      val sentinelTmp = graft.TempDirs.create(s"$name-sentinel$i")
+      Seq(s"sentinel$i").toDF("event_type")
+        .select(lit(-9L * i).as("event_id"),
+          graft.Tables.tsRawLit(batch.schema, maxNs + i * 7200L * 1000000000L).as("ts"),
+          lit(-1L).as("user_id"), col("event_type"),
+          lit(0.0).as("value"), lit("").as("props"))
+        .coalesce(1).write.mode("overwrite").parquet(sentinelTmp)
+      val part = new java.io.File(sentinelTmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get.toPath
+      val dst = java.nio.file.Paths.get(watchDir, s"zz_sentinel$i.parquet")
+      java.nio.file.Files.move(part, dst)
+      dst.toFile.setLastModified(System.currentTimeMillis + i * 2000L): Unit
+    }
+    val sessions = graft.Tables.tsToNs(
+        spark.readStream.schema(batch.schema)
+          .option("maxFilesPerTrigger", "1").parquet(watchDir))
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_millis(col("w.start")).as("session_start_ms"),
+        unix_millis(col("w.end")).as("session_end_ms"), col("n_events"))
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = sessions.writeStream
+        .format("memory").queryName(name)
+        .option("checkpointLocation", graft.TempDirs.create(s"$name-ckpt"))
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    // sentinel sessions are the only user -1 rows; stateless post-sink drop
+    spark.table(name).filter(col("user_id") >= 0)
+  }
+
   /** Streaming windowed funnel over a live file stream — the CEP operator
     * ([[StreamingOps.funnelStream]]) hash-checked against the SAME DuckDB
     * SQL as the batch window-chain form (r40). Two micro-batches by

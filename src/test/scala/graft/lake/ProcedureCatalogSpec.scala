@@ -180,6 +180,18 @@ class ProcedureCatalogSpec extends AnyFunSuite {
     assert(zack.head.getString(1).startsWith("zorder(n)"), zack.head.getString(1))
     assert(p.read().count() == 4, "clustering must not change the answer")
 
+    // partition argument narrows the verb to ONE child; misses are loud
+    p.upsert(batch.withColumn("name", concat(col("name"), lit("3"))),
+      Seq(col("name")), batchId = 3L)
+    val one = spark.sql("CALL graft_ops.run_compaction(table => 'proc_p1', " +
+      "mode => 'full', partition => '2024-02')").collect()
+    assert(one.head.getString(1) == "1 partitions", one.head.getString(1))
+    assert(p.read().count() == 4)
+    val miss = intercept[Exception](spark.sql(
+      "CALL graft_ops.run_compaction(table => 'proc_p1', mode => 'full', " +
+        "partition => 'nope')").collect())
+    assert(miss.getMessage.contains("no partition 'nope'"), miss.getMessage)
+
     val commits = spark.sql("CALL graft_ops.show_commits(table => 'proc_p1')").collect()
     assert(commits.nonEmpty)
 
