@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions.call_function
-import graft.functions.expr.{BloomAny64, C4Rules, CmsAgg, CosineSimilarity, HistAgg, HllAgg, KeyBloomAgg, KeyBloomContains, KeyBloomContainsAny, LangId, LongBloomAgg, LshBuckets, LshBucketsMd5, MinHashAgg, MinHashBands, MinHashSignature, MinHashMd5, NearestCells, PqEncode, Quantize127, ShingleHashes, TextQuality, GopherMetrics, GopherNgrams, DedupLines, SigOverlap, SimHashChunks, SimHashMd5, TokenHashes, TopKRowsAgg}
+import graft.functions.expr.{BloomAny64, C4Rules, CmsAgg, CosineSimilarity, HistAgg, HllAgg, KeyBloomAgg, KeyBloomContains, KeyBloomContainsAny, LangId, LongBloomAgg, LshBuckets, LshBucketsMd5, MinHashAgg, MinHashBands, MinHashSignature, MinHashMd5, NearestCells, PqEncode, Quantize127, ShingleHashes, TextQuality, UnicodeClean, GopherMetrics, GopherNgrams, DedupLines, SigOverlap, SimHashChunks, SimHashMd5, TokenHashes, TopKRowsAgg}
 
 /** Engine extension wiring.
   *
@@ -81,6 +81,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => GopherNgrams(exprs.head)))
     ext.injectFunction((FunctionIdentifier("c4_rules"), C4Rules.info,
       exprs => C4Rules(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("unicode_clean"), UnicodeClean.info,
+      exprs => UnicodeClean(exprs.head)))
     ext.injectFunction((FunctionIdentifier("lang_id"), LangId.info,
       exprs => LangId(exprs.head)))
     ext.injectFunction((FunctionIdentifier("topk_rows"), TopKRowsAgg.info,
@@ -218,6 +220,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("c4_rules"), C4Rules.info,
       exprs => C4Rules(exprs.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("unicode_clean"), UnicodeClean.info,
+      exprs => UnicodeClean(exprs.head))
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("lang_id"), LangId.info,
       exprs => LangId(exprs.head))

@@ -268,6 +268,19 @@ object SparkEntry {
           lit(" the "), lit("\n")).as("text"))
       graft.functions.TextAnalysis.dedupLinesNative(docs)
     }),
+    "t41_unicode_clean"   -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, lit, replace}
+      // plant the hygiene hazards the synthetic ASCII corpus lacks:
+      // a decomposed accent (NFC composition), a BEL control, CRLF and a
+      // lone CR — literal replaces mirrored 1:1 by the DuckDB oracle
+      val docs = graft.Tables.documents(s, d).select(col("doc_id"),
+        replace(replace(replace(replace(col("text"),
+          lit(" data "), lit(" café ")),
+          lit(" scan "), lit(" xy ")),
+          lit(" sort "), lit(" a\r\nb ")),
+          lit(" fast "), lit(" c\rd ")).as("text"))
+      graft.functions.TextAnalysis.unicodeClean(docs)
+    }),
     "t39_c4_rules"        -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, lit, replace}
       // the synthetic docs are single-line word soup: synthesize line
@@ -1002,6 +1015,30 @@ object SparkEntry {
         |                BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)) / 4.0, 4)
         |  AS quality
         |FROM r""".stripMargin,
+    // unicode hygiene: CR/CRLF → LF, C0/DEL strip, then NFC — same order
+    // as the kernel; length() counts code points on both engines
+    "t41_unicode_clean" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    replace(replace(replace(replace(text,
+        |      ' data ', ' cafe' || chr(769) || ' '),
+        |      ' scan ', ' x' || chr(7) || 'y '),
+        |      ' sort ', ' a' || chr(13) || chr(10) || 'b '),
+        |      ' fast ', ' c' || chr(13) || 'd ') AS text
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, text,
+        |    nfc_normalize(regexp_replace(
+        |      replace(replace(text, chr(13) || chr(10), chr(10)),
+        |              chr(13), chr(10)),
+        |      '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g')) AS cleaned
+        |  FROM base
+        |)
+        |SELECT doc_id, md5(cleaned) AS clean_md5,
+        |       length(text)::BIGINT AS n_before,
+        |       length(cleaned)::BIGINT AS n_after,
+        |       (cleaned <> text) AS changed
+        |FROM c""".stripMargin,
     // C4 cleaning rule set over the t39 line synthesis: line keeps =
     // terminal punct + >=3 words + no "javascript"; doc pass = >=5
     // sentences post-clean, no "lorem ipsum", no '{'. RE2 '$' == end of

@@ -635,6 +635,27 @@ object TextAnalysis {
         col("__d.n_lines").as("n_lines"), col("__d.n_kept").as("n_kept"))
   }
 
+  /** Unicode-hygiene cleaning pass (the pre-tokenization fixup every
+    * web-scale pipeline runs: CRLF soup → `\n`, C0 controls / DEL
+    * stripped, NFC composition so decomposed accents stop fragmenting
+    * vocabularies and byte-exact dedup) — one compiled pass per row via
+    * the native `unicode_clean` kernel (Spark has no built-in NFC; the
+    * correctness reference is the DuckDB `nfc_normalize` oracle, t41,
+    * byte-compared via md5). Returns per-doc
+    * (clean_md5, n_before, n_after, changed); counts are code points. */
+  def unicodeClean(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    graft.GraftFunctions.register(docs.sparkSession)
+    val g = org.apache.spark.sql.functions.call_function(
+      "unicode_clean", col(textCol))
+    docs.select(col(idCol), g.as("__u"))
+      .select(col(idCol),
+        md5(col("__u.clean_text")).as("clean_md5"),
+        col("__u.n_before").as("n_before"),
+        col("__u.n_after").as("n_after"),
+        col("__u.changed").as("changed"))
+  }
+
   /** C4 cleaning rule set (Raffel et al. 2020 §2.2 — the line filters
     * behind the C4 corpus, complementing the document-level Gopher gate):
     * keep only lines ending in terminal punctuation (`.` `!` `?` `"`)

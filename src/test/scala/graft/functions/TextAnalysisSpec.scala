@@ -363,6 +363,34 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"$k: ref=${cRef(k)} native=${cNat(k)}").mkString("; "))
   }
 
+  test("unicodeClean: NFC composition, control strip, CRLF normalization, code-point counts") {
+    val docs = Seq(
+      ("u1", "café time"),     // decomposed accent → NFC é: 10 → 9
+      ("u2", "abc"),     // BEL + DEL stripped: 5 → 3
+      ("u3", "l1\r\nl2\rl3"),        // CRLF and lone CR → \n: 9 → 8
+      ("u4", "keep\tthis\nplain"),   // \t and \n survive, unchanged
+      ("u5", "")).toDF("doc_id", "text")
+    val got = TextAnalysis.unicodeClean(docs).collect()
+      .map(r => r.getAs[String]("doc_id") -> r).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val u1 = got("u1")
+    assert(u1.getAs[Long]("n_before") == 10L && u1.getAs[Long]("n_after") == 9L)
+    assert(u1.getAs[Boolean]("changed"))
+    assert(u1.getAs[String]("clean_md5") == md5hex("café time"))
+    val u2 = got("u2")
+    assert(u2.getAs[Long]("n_after") == 3L && u2.getAs[String]("clean_md5") == md5hex("abc"))
+    val u3 = got("u3")
+    assert(u3.getAs[Long]("n_before") == 9L && u3.getAs[Long]("n_after") == 8L)
+    assert(u3.getAs[String]("clean_md5") == md5hex("l1\nl2\nl3"))
+    val u4 = got("u4")
+    assert(!u4.getAs[Boolean]("changed") &&
+      u4.getAs[String]("clean_md5") == md5hex("keep\tthis\nplain"))
+    val u5 = got("u5")
+    assert(u5.getAs[Long]("n_before") == 0L && !u5.getAs[Boolean]("changed"))
+  }
+
   test("c4Rules: line filters, sentence gate, doc gates; native == declarative") {
     val d1 = Seq(
       "Good line one two three.",            // keep
