@@ -268,6 +268,13 @@ object SparkEntry {
           lit(" the "), lit("\n")).as("text"))
       graft.functions.TextAnalysis.dedupLinesNative(docs)
     }),
+    "t42_concat_pack"     -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      graft.operators.Sampling.concatPack(
+        graft.Tables.documents(s, d).select("doc_id", "text"),
+        "doc_id", graft.functions.TextAnalysis.tokenCount(col("text")),
+        seqLen = 2048L)
+    }),
     "t41_unicode_clean"   -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, lit, replace}
       // plant the hygiene hazards the synthetic ASCII corpus lacks:
@@ -1015,6 +1022,27 @@ object SparkEntry {
         |                BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)) / 4.0, 4)
         |  AS quality
         |FROM r""".stripMargin,
+    // concat-and-chunk: global token offsets are ONE cumulative sum over
+    // the md5 total order; windows are integer division by the seq length
+    "t42_concat_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    len(list_filter(regexp_split_to_array(text, '\s+'),
+        |                    x -> x <> ''))::BIGINT AS n_tokens,
+        |    md5(doc_id::VARCHAR) AS h
+        |  FROM documents
+        |), o AS (
+        |  SELECT doc_id, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |      AS start_offset
+        |  FROM d
+        |)
+        |SELECT doc_id, n_tokens, start_offset,
+        |       (start_offset // 2048)::BIGINT AS first_window,
+        |       (greatest(start_offset, start_offset + n_tokens - 1) // 2048)::BIGINT
+        |         AS last_window
+        |FROM o""".stripMargin,
     // unicode hygiene: CR/CRLF → LF, C0/DEL strip, then NFC — same order
     // as the kernel; length() counts code points on both engines
     "t41_unicode_clean" ->

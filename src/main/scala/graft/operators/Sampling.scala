@@ -238,6 +238,48 @@ object Sampling {
       .select(df.columns.map(col).toSeq ++ Seq(col("shard_id"), col("pos")): _*)
   }
 
+  /** GPT-style CONCAT-AND-CHUNK packing: the corpus laid out as ONE
+    * deterministic token stream (md5 order, document boundaries ignored
+    * — the other packing discipline next to [[sequencePack]]'s
+    * per-document bins) and cut into fixed `seqLen`-token training
+    * windows. Per document: its global token start offset and the
+    * first/last window ids it lands in (a doc spans
+    * `last_window - first_window + 1` windows).
+    *
+    * The global offset is a PREFIX SUM over the total md5 order —
+    * computed two-level like [[corpusShuffle]]'s rank: first-md5-byte
+    * sub-buckets give a metadata-sized (256-row) bucket-total relation
+    * whose running sum broadcasts back as each bucket's base offset, and
+    * a window partitioned BY BUCKET adds the intra-bucket running sum —
+    * so no single-partition global window ever materializes, at any
+    * corpus size. Pure key functions end to end: retry/engine
+    * deterministic (oracle t42 replays the cumulative sum in DuckDB). */
+  def concatPack(df: DataFrame, keyCol: String, tokenCol: Column,
+                 seqLen: Long): DataFrame = {
+    require(seqLen > 0, s"concatPack needs a positive seqLen, got $seqLen")
+    val withH = df
+      .withColumn("__t", tokenCol.cast("long"))
+      .withColumn("__h", md5(col(keyCol).cast("string")))
+      .withColumn("__b", conv(substring(col("__h"), 1, 2), 16, 10).cast("int"))
+    val offsets = withH.groupBy(col("__b"))
+      .agg(sum(col("__t")).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(
+        Window.orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__n") // 256 rows — the only "global" state, broadcast back
+    withH.join(broadcast(offsets), Seq("__b"))
+      .withColumn("start_offset",
+        col("__off") + coalesce(sum(col("__t")).over(
+          Window.partitionBy(col("__b")).orderBy(col("__h"), col(keyCol))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_tokens", col("__t"))
+      .withColumn("first_window", expr(s"start_offset div ${seqLen}L"))
+      .withColumn("last_window",
+        expr(s"greatest(start_offset, start_offset + n_tokens - 1) div ${seqLen}L"))
+      .select(col(keyCol), col("n_tokens"), col("start_offset"),
+        col("first_window"), col("last_window"))
+  }
+
   /** The shard WRITER half of [[corpusShuffle]]: one dir per shard
     * (`shard_id=<k>/`), rows inside each file in the deterministic md5
     * order (`sortWithinPartitions` after clustering by shard — a range

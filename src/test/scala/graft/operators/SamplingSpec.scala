@@ -227,4 +227,41 @@ class SamplingSpec extends AnyFunSuite {
     assert(back.exceptAll(aSel).isEmpty && aSel.exceptAll(back).isEmpty,
       "shard writer must round-trip the shuffled corpus")
   }
+
+  test("concatPack: exact md5-order prefix sums, window arithmetic, invariances") {
+    val docs = Seq(("a", 5L), ("b", 0L), ("c", 10L), ("d", 3L), ("e", 7L),
+      ("f", 8L)).toDF("doc_id", "nt")
+    val got = Sampling.concatPack(docs, "doc_id", col("nt"), seqLen = 8L)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // scala reference over the same md5 total order
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val counts = Map("a" -> 5L, "b" -> 0L, "c" -> 10L, "d" -> 3L,
+      "e" -> 7L, "f" -> 8L)
+    val order = counts.keys.toSeq.sortBy(k => (md5hex(k), k))
+    var off = 0L
+    val expect = order.map { k =>
+      val n = counts(k)
+      val e = k -> ((n, off, off / 8L,
+        math.max(off, off + n - 1) / 8L))
+      off += n
+      e
+    }.toMap
+    assert(got == expect, s"got $got expect $expect")
+    // the stream is a partition: sorted by offset, each start is the
+    // previous end (zero-token docs share their successor's offset)
+    val sorted = got.values.toSeq.sortBy(v => (v._2, v._1))
+    sorted.sliding(2).foreach { case Seq(p, n) =>
+      assert(n._2 == p._2 + p._1, s"gap between $p and $n")
+    case _ => () }
+    // partitioning must not move a single offset
+    val re = Sampling.concatPack(docs.repartition(7), "doc_id", col("nt"), 8L)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(re == got)
+  }
 }
