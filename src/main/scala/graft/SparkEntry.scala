@@ -54,6 +54,8 @@ object SparkEntry {
     "s67_read_optimized"  -> ((s, d) => graft.lake.LakeQueries.readOptimizedView(s, d)),
     "s71_bootstrap"       -> ((s, d) => graft.lake.LakeQueries.bootstrapOnboard(s, d)),
     "s72_clone"           -> ((s, d) => graft.lake.LakeQueries.shallowClone(s, d)),
+    "s73_incr_sketch_index" -> ((s, d) =>
+      graft.lake.LakeQueries.incrementalSketchIndex(s, d)),
     "s53_sql_procedures"  -> ((s, d) => graft.lake.LakeQueries.sqlProcedures(s, d)),
     "s54_write_index_tagging" -> ((s, d) => graft.lake.LakeQueries.writeIndexTagging(s, d)),
     "s55_partial_update"  -> ((s, d) => graft.lake.LakeQueries.partialUpdate(s, d)),
@@ -3149,6 +3151,27 @@ object SparkEntry {
     // the base, then a balance-zeroing touch-up delta + a TTL delete layer
     // on top and compact — the lake state == the same CASE/anti-filter
     // applied directly to the raw file
+    // incrementally-merged HLL registers == the from-scratch d15 shape
+    // over all events (slot-max union law on the lake)
+    "s73_incr_sketch_index" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |         ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT AS hv
+        |  FROM events
+        |), r AS (
+        |  SELECT event_type, hv // 67108864 AS slot,
+        |         CASE WHEN hv % 67108864 = 0 THEN 27
+        |              ELSE 27 - length(printf('%b', hv % 67108864)) END AS rho
+        |  FROM h
+        |), slots AS (
+        |  SELECT DISTINCT event_type, gs.g AS slot
+        |  FROM events, generate_series(0, 63) gs(g)
+        |)
+        |SELECT s.event_type, s.slot::BIGINT AS slot,
+        |       coalesce(max(r.rho), 0)::BIGINT AS rho
+        |FROM slots s
+        |LEFT JOIN r ON r.event_type = s.event_type AND r.slot = s.slot
+        |GROUP BY s.event_type, s.slot""".stripMargin,
     // shallow clone diverged: the clone == the two-thirds LWW at its
     // boundary minus the users its own delta deleted; excluding a user's
     // rows before the LWW equals deleting the key after it (all their

@@ -182,6 +182,57 @@ object LakeQueries {
         "c_mktsegment"), path)
   }
 
+  /** INCREMENTALLY-MAINTAINED distinct-count SKETCH INDEX over the lake
+    * (per-event_type distinct USERS via mergeable HLL registers,
+    * maintained off the events changelog): each maintenance cycle
+    * computes registers over only the NEW commits — O(changes) — and
+    * folds them into a (event_type, slot)-keyed state table by slot-max,
+    * the HLL union law, so the sketch index never rescans the corpus.
+    * Insert-only stream by contract (HLL is not decrementable; events
+    * are append-only). The final state table must equal the from-scratch
+    * d15-shaped registers over ALL events — the merge law proven on the
+    * lake, not just in SketchSpec. At 100 TB each cycle is one
+    * changes-sized aggregate (64 B of state per group per task) plus a
+    * types×64-row state upsert. */
+  def incrementalSketchIndex(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "value", "ts_ms", "ts_ns")
+    val b = ev.agg(min(col("ts_ns")).as("mn"), max(col("ts_ns")).as("mx")).head()
+    val mn = b.getLong(0); val mx = b.getLong(1)
+    val lo = mn + (mx - mn) / 3
+    val hi = mn + 2 * ((mx - mn) / 3)
+    val lakePath = tempPath("mor-sketchidx-lake")
+    val statePath = tempPath("mor-sketchidx-state")
+    val lake = new MorTable(spark, lakePath, keyCols = Seq("event_id"),
+      compactionDeltaCommits = 1000, writePartitions = 4)
+    val state = new MorTable(spark, statePath, keyCols = Seq("event_type", "slot"),
+      compactionDeltaCommits = 1000, writePartitions = 4, bloomBits = 0)
+    val batches = Seq(
+      (ev.filter(col("ts_ns") <= lo), 1L),
+      (ev.filter(col("ts_ns") > lo && col("ts_ns") <= hi), 2L),
+      (ev.filter(col("ts_ns") > hi), 3L))
+    var cursor = 0L
+    batches.foreach { case (batch, id) =>
+      lake.upsert(batch, Seq(col("ts_ns"), col("event_id")), batchId = id)
+      val last = lake.timeline().last.seq
+      val changes = lake.readIncremental(cursor).filter(!col("_deleted"))
+      cursor = last
+      // O(changes) register pass over just this cycle's commits
+      val regs = graft.functions.Sketch.registers(spark, changes, "event_type",
+        graft.operators.Sampling.hashBucket(col("user_id")))
+      val merged =
+        if (state.timeline().isEmpty) regs
+        else state.read()
+          .select(col("event_type"), col("slot"), col("rho").as("__cur"))
+          .join(regs, Seq("event_type", "slot"), "full_outer")
+          .select(col("event_type"), col("slot"),
+            greatest(coalesce(col("__cur"), lit(0L)),
+              coalesce(col("rho"), lit(0L))).as("rho"))
+      state.upsertDistinct(merged, batchId = id) // keys distinct by construction
+    }
+    graft.TempDirs.materializeAndDelete(state.read(), lakePath, statePath)
+  }
+
   /** Shallow CLONE ([[MorTable.cloneTo]] — the Delta SHALLOW CLONE
     * analog), oracle-checked end-to-end: replay two-thirds of events,
     * compact (the clone boundary), clone ZERO-COPY, then diverge BOTH
