@@ -56,6 +56,8 @@ object SparkEntry {
     "s72_clone"           -> ((s, d) => graft.lake.LakeQueries.shallowClone(s, d)),
     "s73_incr_sketch_index" -> ((s, d) =>
       graft.lake.LakeQueries.incrementalSketchIndex(s, d)),
+    "d31_incr_dedup"      -> ((s, d) =>
+      graft.lake.LakeQueries.incrementalDedup(s, d)),
     "s53_sql_procedures"  -> ((s, d) => graft.lake.LakeQueries.sqlProcedures(s, d)),
     "s54_write_index_tagging" -> ((s, d) => graft.lake.LakeQueries.writeIndexTagging(s, d)),
     "s55_partial_update"  -> ((s, d) => graft.lake.LakeQueries.partialUpdate(s, d)),
@@ -2304,6 +2306,45 @@ object SparkEntry {
         |       len(list_filter(range(1, 17), i -> sa[i] = sb[i]))::BIGINT AS n_match
         |FROM p
         |WHERE len(list_filter(range(1, 17), i -> sa[i] = sb[i])) >= 4""".stripMargin,
+    // incremental-dedup flags == the corpus-wide pairwise replay: a doc is
+    // dup iff some EARLIER doc (batch = doc_id % 3 ordering; same batch →
+    // smaller id) shares a band bucket and agrees on >= 4 of 16 slots
+    "d31_incr_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                     x -> x <> '') AS words
+        |  FROM documents
+        |), t AS (
+        |  SELECT doc_id, CASE WHEN len(words) >= 3 THEN
+        |      list_transform(range(1, len(words) - 1),
+        |        i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+        |    ELSE [array_to_string(words, ' ')] END AS sh
+        |  FROM w
+        |), sig AS (
+        |  SELECT doc_id, list_transform(range(0, 16), i ->
+        |    list_min(list_transform(sh,
+        |      s -> ('0x' || substr(md5(s || '#' || i::VARCHAR), 1, 8))::BIGINT))) AS sig
+        |  FROM t
+        |), keyed AS (
+        |  SELECT doc_id, sig, band,
+        |         sig[band*4 + 1 : band*4 + 4] AS bk
+        |  FROM (SELECT doc_id, sig, unnest(range(0, 4)) AS band FROM sig)
+        |), p AS (
+        |  SELECT DISTINCT a.doc_id AS d, b.doc_id AS partner,
+        |         a.sig AS sa, b.sig AS sb
+        |  FROM keyed a JOIN keyed b
+        |    ON a.band = b.band AND a.bk = b.bk
+        |  WHERE (b.doc_id % 3 < a.doc_id % 3)
+        |     OR (b.doc_id % 3 = a.doc_id % 3 AND b.doc_id < a.doc_id)
+        |), q AS (
+        |  SELECT d AS doc_id, min(partner) AS dup_of
+        |  FROM p
+        |  WHERE len(list_filter(range(1, 17), i -> sa[i] = sb[i])) >= 4
+        |  GROUP BY d
+        |)
+        |SELECT doc.doc_id, (q.dup_of IS NOT NULL) AS is_dup, q.dup_of
+        |FROM documents doc LEFT JOIN q USING (doc_id)""".stripMargin,
     "t29_boilerplate" ->
       """WITH w AS (
         |  SELECT doc_id,

@@ -233,6 +233,63 @@ object LakeQueries {
     graft.TempDirs.materializeAndDelete(state.read(), lakePath, statePath)
   }
 
+  /** INCREMENTAL DEDUP against a persisted MinHash INDEX — the "dedup
+    * the new crawl against the 100 TB corpus WITHOUT rescanning it"
+    * pattern: the index is a lake table of banded bucket postings
+    * (bucket, doc_id, batch, signature); each arriving batch is banded
+    * (md5 family, the d8/d27 machinery), indexed, and checked with ONE
+    * bucket equi-join against the index — O(batch × collisions) per
+    * cycle, the corpus never rescanned. A doc is a duplicate iff ANY
+    * doc from an earlier batch (or a smaller id in its own batch)
+    * shares a band bucket and agrees on ≥ minMatch of 16 signature
+    * slots; `dup_of` is the smallest such partner. Flag semantics are
+    * pure pairwise — no keep-first cascade — so DuckDB replays them
+    * corpus-wide (oracle d31). */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{call_function, posexplode}
+    graft.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val numHashes = 16; val bands = 4; val rowsPer = 4; val minMatch = 4
+    val indexPath = tempPath("mor-dedup-index")
+    val index = new MorTable(spark, indexPath,
+      keyCols = Seq("bucket", "doc_id"),
+      compactionDeltaCommits = 1000, writePartitions = 4, bloomBits = 0)
+    def banded(df: DataFrame) = df
+      .select(col("doc_id"),
+        call_function("minhash_md5", col("text"), lit(numHashes)).as("sig"))
+      .localCheckpoint(true) // pinned once (minhashLsh rule)
+      .select(col("doc_id"), col("sig"), posexplode(array((0 until bands).map(bd =>
+        slice(col("sig"), bd * rowsPer + 1, rowsPer)): _*)))
+      .select(col("doc_id"), col("sig"),
+        concat_ws(":", col("pos").cast("string"),
+          concat_ws(",", col("col").cast("array<string>"))).as("bucket"))
+    val results = (0 until 3).map { k =>
+      val batch = banded(docs.filter(col("doc_id") % 3 === k))
+        .withColumn("batch", lit(k))
+      // index first, then ONE join serves both the earlier-batch and the
+      // within-batch (smaller id) checks
+      index.upsertDistinct(batch, batchId = k.toLong)
+      val idx = index.read().select(col("bucket"), col("doc_id").as("p_id"),
+        col("batch").as("p_batch"), col("sig").as("p_sig"))
+      batch.join(idx, Seq("bucket"))
+        .filter(col("p_batch") < lit(k) ||
+          (col("p_batch") === lit(k) && col("p_id") < col("doc_id")))
+        .groupBy(col("doc_id"), col("p_id"))
+        .agg(first("sig").as("sig"), first("p_sig").as("p_sig"))
+        .filter(aggregate(zip_with(col("sig"), col("p_sig"),
+          (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (s, x) => s + x)
+          >= minMatch)
+        .select(col("doc_id"), col("p_id"))
+    }
+    val dupOf = results.reduce(_.unionByName(_))
+      .groupBy("doc_id").agg(min(col("p_id")).as("dup_of"))
+    graft.TempDirs.materializeAndDelete(
+      docs.select("doc_id").join(dupOf, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("dup_of").isNotNull.as("is_dup"),
+          col("dup_of")),
+      indexPath)
+  }
+
   /** Shallow CLONE ([[MorTable.cloneTo]] — the Delta SHALLOW CLONE
     * analog), oracle-checked end-to-end: replay two-thirds of events,
     * compact (the clone boundary), clone ZERO-COPY, then diverge BOTH
