@@ -452,8 +452,19 @@ final class MorTable(
     require(c.unfolded.isEmpty,
       s"cloneTo: base ${c.seq} carries unfolded straggler commits — " +
         "compact() again once they publish")
+    // pin keyed by the DESTINATION's dir name — clones of one source must
+    // use distinct dst names, or they would share (and co-release) a pin
     val pin = s"clone_${new Path(dstPath).getName.replaceAll("[^A-Za-z0-9-]", "_")}"
-    if (!savepoints().contains(pin)) savepoint(pin)
+    val pinnedSeq = savepoints().getOrElse(pin, savepoint(pin))
+    // the pin must land exactly on the base we reference: a commit racing
+    // in between the boundary check and the pin would pin the NEWER seq
+    // and leave the referenced base unprotected from clean()
+    if (pinnedSeq != c.seq) {
+      releaseSavepoint(pin)
+      throw new IllegalStateException(
+        s"cloneTo: a writer committed on $path during the clone (pin landed " +
+          s"on $pinnedSeq, base is ${c.seq}) — quiesce writers and retry")
+    }
     val dst = new MorTable(spark, dstPath, keyCols, compactionDeltaCommits,
       compactionDeltaSeconds, autoCompact, writePartitions, bloomBits)
     dst.adoptClonedBase(s"$path/base/${c.seq}")
