@@ -150,6 +150,17 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
     }
     require(asOfTs.isEmpty || !parameters.contains("asOf"),
       "graft.mor: asOf and asOfTimestamp are mutually exclusive")
+    // zero-copy onboarding in pure SQL: `bootstrap '<dir>'` adopts the
+    // external parquet dir as the table's first base IFF the table has
+    // no commits yet. Idempotent by that guard — every query through a
+    // catalog entry re-resolves this relation, and later resolutions
+    // (after the bootstrap commit, or after upserts) must no-op.
+    parameters.get("bootstrap").foreach { src =>
+      require(!parameters.contains("partition"),
+        "graft.mor: bootstrap targets an unpartitioned table")
+      val t = MorTable.resolve(sqlContext.sparkSession, path, keys)
+      if (t.timeline().isEmpty) { t.bootstrap(src); () }
+    }
     MorRelation(sqlContext, path, keys,
       asOf = parameters.get("asOf").map(_.toLong).orElse(asOfTs),
       sinceSeq = parameters.get("sinceSeq").map(_.toLong),

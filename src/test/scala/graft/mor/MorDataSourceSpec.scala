@@ -42,6 +42,28 @@ class MorDataSourceSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS mor_cat_t")
   }
 
+  test("bootstrap option: pure-SQL zero-copy onboarding, idempotent across re-resolution") {
+    val ext = TestSpark.tmpDir("dsv1-bootstrap-src")
+    Seq(("id1", "Danny", 23), ("id2", "Emma", 20)).toDF("uuid", "name", "age")
+      .write.mode("overwrite").parquet(ext)
+    val path = TestSpark.tmpDir("dsv1-bootstrap")
+    spark.sql(s"CREATE TABLE mor_boot_t USING `graft.mor` OPTIONS " +
+      s"(path '$path', keys 'uuid', bootstrap '$ext')")
+    try {
+      // the CREATE/first read adopted the external dir — one instant,
+      // no managed base
+      assert(spark.sql("SELECT count(*) FROM mor_boot_t").head().getLong(0) == 2)
+      assert(!new java.io.File(s"$path/base").exists())
+      // upserts layer on top; the next resolution must NOT re-bootstrap
+      spark.sql("INSERT INTO mor_boot_t VALUES ('id3', 'Han', 56)")
+      assert(spark.sql("SELECT count(*) FROM mor_boot_t").head().getLong(0) == 3)
+      assert(MorTable(spark, path, Seq("uuid")).timeline()
+        .count(_.bootstrapDir.isDefined) == 1, "bootstrap must be idempotent")
+      // external dir never touched
+      assert(spark.read.parquet(ext).count() == 2)
+    } finally spark.sql("DROP TABLE IF EXISTS mor_boot_t")
+  }
+
   test("asOf time-travel and sinceSeq incremental reads through the format") {
     val path = TestSpark.tmpDir("dsv1-tt")
     def df(pairs: (String, Int)*) = pairs.toSeq.toDF("uuid", "v")
