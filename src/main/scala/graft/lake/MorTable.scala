@@ -438,7 +438,15 @@ final class MorTable(
     * clone has compacted or been dropped; until then the pin is the
     * clone's only protection from source-side housekeeping (the Delta
     * shallow-clone-vs-VACUUM hazard, made explicit and releasable).
-    * Returns the clone handle (same key columns and policy knobs). */
+    * Returns the clone handle (same key columns and policy knobs).
+    *
+    * UNPARTITIONED scope (like [[bootstrap]]): a partitioned clone would
+    * rebase adopted rows into the CHILD-local seq space while new
+    * partitioned writes stamp rows with PARENT tokens — the first parent
+    * token is 1 and would TIE the rebased base rows in the LWW merge, so
+    * the partitioned form needs a parent-token-aware rebase (claim a
+    * parent clone token, rebase to it) before it can land. Deliberately
+    * deferred rather than shipped with a latent tie. */
   def cloneTo(dstPath: String): MorTable = synchronized {
     val (lastCompact, deltas) = liveDeltas(timeline())
     val c = lastCompact.getOrElse(throw new IllegalStateException(
