@@ -54,6 +54,7 @@ object SparkEntry {
     "s67_read_optimized"  -> ((s, d) => graft.lake.LakeQueries.readOptimizedView(s, d)),
     "s71_bootstrap"       -> ((s, d) => graft.lake.LakeQueries.bootstrapOnboard(s, d)),
     "s72_clone"           -> ((s, d) => graft.lake.LakeQueries.shallowClone(s, d)),
+    "s74_part_clone"      -> ((s, d) => graft.lake.LakeQueries.partShallowClone(s, d)),
     "s73_incr_sketch_index" -> ((s, d) =>
       graft.lake.LakeQueries.incrementalSketchIndex(s, d)),
     "d31_incr_dedup"      -> ((s, d) =>
@@ -3192,6 +3193,20 @@ object SparkEntry {
     // the base, then a balance-zeroing touch-up delta + a TTL delete layer
     // on top and compact — the lake state == the same CASE/anti-filter
     // applied directly to the raw file
+    // partitioned shallow clone diverged: the clone == the two-thirds
+    // per-(partition, key) LWW minus the users its own delta deleted
+    // (same exclusion argument as s72)
+    "s74_part_clone" ->
+      """WITH b AS (
+        |  SELECT min(epoch_ns(ts)) + 2 * ((max(epoch_ns(ts)) - min(epoch_ns(ts))) // 3) AS hi
+        |  FROM events
+        |)
+        |SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
+        |FROM events, b
+        |WHERE epoch_ns(ts) <= b.hi AND user_id % 7 <> 0
+        |QUALIFY row_number() OVER
+        |  (PARTITION BY event_type, user_id
+        |   ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
     // incrementally-merged HLL registers == the from-scratch d15 shape
     // over all events (slot-max union law on the lake)
     "s73_incr_sketch_index" ->

@@ -281,15 +281,12 @@ object GraftProcedureCatalog {
           SparkSession.active.read.parquet(out).count())))
       }),
     Proc("clone_table",
-      "zero-copy shallow clone of a table's compacted base into dst",
+      "zero-copy shallow clone of a table's compacted base(s) into dst",
       Seq(in("table", StringType), in("dst", StringType)),
       ack,
       { case Seq(tbl: String, dst: String) =>
-        resolve(tbl) match {
-          case Left(t) => t.cloneTo(dst); Seq(Seq("cloned", dst))
-          case Right(_) => throw new IllegalArgumentException(
-            "clone_table targets an unpartitioned table")
-        }
+        resolve(tbl).fold(_.cloneTo(dst), _.cloneTo(dst))
+        Seq(Seq("cloned", dst))
       }),
     Proc("bootstrap",
       "zero-copy adopt an external parquet dir as the table's first base",

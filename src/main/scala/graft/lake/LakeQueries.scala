@@ -328,6 +328,49 @@ object LakeQueries {
       srcPath, clonePath)
   }
 
+  /** Shallow CLONE, PARTITIONED form ([[PartitionedMorTable.cloneTo]] —
+    * token-space continuation instead of a row rebase), oracle-checked
+    * end-to-end like s72: replay two-thirds of events into the
+    * event_type-partitioned lake, compact every child (the clone
+    * boundary), clone ZERO-COPY, then diverge BOTH tables — the source
+    * takes the final third, the clone deletes users ≡ 0 (mod 7). The
+    * returned clone state must equal the two-thirds per-(partition, key)
+    * LWW minus those users, proving the raw adopted bases read exactly
+    * AND the clone's own parent-token write (allocated PAST the pinned
+    * token) outranks them; time travel to the pinned token on the CLONE
+    * reproduces the undiverged state mid-entry. */
+  def partShallowClone(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "value", "ts_ms", "ts_ns")
+    val b = ev.agg(min(col("ts_ns")).as("mn"), max(col("ts_ns")).as("mx")).head()
+    val mn = b.getLong(0); val mx = b.getLong(1)
+    val lo = mn + (mx - mn) / 3
+    val hi = mn + 2 * ((mx - mn) / 3)
+    val srcPath = tempPath("pmor-clone-src")
+    val t = new PartitionedMorTable(spark, srcPath, Seq("user_id"), "event_type",
+      compactionDeltaCommits = 1000, autoCompact = false)
+    val ord = Seq(col("ts_ns"), col("event_id"))
+    t.upsert(ev.filter(col("ts_ns") <= lo), ord, batchId = 1L)
+    t.upsert(ev.filter(col("ts_ns") > lo && col("ts_ns") <= hi), ord, batchId = 2L)
+    t.compactPartitions(t.partitions()) // the clone boundary
+    val pinnedToken = t.parentTimeline().last.seq
+    val clonePath = tempPath("pmor-clone-dst")
+    val c = t.cloneTo(clonePath)
+    assert(!new java.io.File(s"$clonePath/p=click/base").exists(),
+      "partitioned clone must be zero-copy (no managed child base)")
+    t.upsert(ev.filter(col("ts_ns") > hi), ord, batchId = 3L) // source diverges
+    c.deleteWhere(col("user_id") % 7 === 0)                   // clone diverges
+    assert(t.read().filter(col("ts_ns") > hi).count() > 0,
+      "source must see its post-clone third")
+    assert(t.read().filter(col("user_id") % 7 === 0).count() > 0,
+      "the clone's deletes must not leak into the source")
+    assert(c.readAt(pinnedToken).filter(col("user_id") % 7 === 0).count() > 0,
+      "travel to the pinned token must still serve the undiverged state")
+    graft.TempDirs.materializeAndDelete(
+      c.read().select("user_id", "event_id", "event_type", "value", "ts_ms"),
+      srcPath, clonePath)
+  }
+
   /** Write-path index tagging ([[MorTable.upsertIfNew]] — the Hudi
     * bloom-index write path), oracle-checked end-to-end: a key-disjoint
     * user split lands as two PROVEN insert-only commits (the second

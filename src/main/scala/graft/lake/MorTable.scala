@@ -440,26 +440,12 @@ final class MorTable(
     * shallow-clone-vs-VACUUM hazard, made explicit and releasable).
     * Returns the clone handle (same key columns and policy knobs).
     *
-    * UNPARTITIONED scope (like [[bootstrap]]): a partitioned clone would
-    * rebase adopted rows into the CHILD-local seq space while new
-    * partitioned writes stamp rows with PARENT tokens — the first parent
-    * token is 1 and would TIE the rebased base rows in the LWW merge, so
-    * the partitioned form needs a parent-token-aware rebase (claim a
-    * parent clone token, rebase to it) before it can land. Deliberately
-    * deferred rather than shipped with a latent tie. */
+    * The partitioned form ([[PartitionedMorTable.cloneTo]]) cannot
+    * rebase (its reads are ONE raw multi-dir scan) and instead CONTINUES
+    * the source's parent token space — see its scaladoc for the seqno
+    * story. */
   def cloneTo(dstPath: String): MorTable = synchronized {
-    val (lastCompact, deltas) = liveDeltas(timeline())
-    val c = lastCompact.getOrElse(throw new IllegalStateException(
-      s"cloneTo: $path has no compacted base — compact() first"))
-    require(deltas.isEmpty,
-      s"cloneTo: $path has ${deltas.size} live delta commit(s) above the " +
-        "base — clone is a compaction-boundary verb, compact() first")
-    require(c.bootstrapDir.isEmpty,
-      s"cloneTo: $path's base is itself external (bootstrap/clone) — " +
-        "compact() first to manage it")
-    require(c.unfolded.isEmpty,
-      s"cloneTo: base ${c.seq} carries unfolded straggler commits — " +
-        "compact() again once they publish")
+    val c = cloneBoundaryBase()
     // pin keyed by the DESTINATION's dir name — clones of one source must
     // use distinct dst names, or they would share (and co-release) a pin
     val pin = s"clone_${new Path(dstPath).getName.replaceAll("[^A-Za-z0-9-]", "_")}"
@@ -479,9 +465,29 @@ final class MorTable(
     dst
   }
 
+  /** The compaction-boundary base this table can be cloned from (shared
+    * by [[cloneTo]] and [[PartitionedMorTable.cloneTo]]'s per-child
+    * checks): loud unless the live state is exactly one managed,
+    * fully-folded base with no live deltas. */
+  private[lake] def cloneBoundaryBase(): MorTable.Instant = {
+    val (lastCompact, deltas) = liveDeltas(timeline())
+    val c = lastCompact.getOrElse(throw new IllegalStateException(
+      s"cloneTo: $path has no compacted base — compact() first"))
+    require(deltas.isEmpty,
+      s"cloneTo: $path has ${deltas.size} live delta commit(s) above the " +
+        "base — clone is a compaction-boundary verb, compact() first")
+    require(c.bootstrapDir.isEmpty,
+      s"cloneTo: $path's base is itself external (bootstrap/clone) — " +
+        "compact() first to manage it")
+    require(c.unfolded.isEmpty,
+      s"cloneTo: base ${c.seq} carries unfolded straggler commits — " +
+        "compact() again once they publish")
+    c
+  }
+
   /** Publish the clone-side instant for [[cloneTo]] (same first-commit
     * race handling as [[bootstrap]]). */
-  private def adoptClonedBase(srcBaseDir: String): Unit = synchronized {
+  private[lake] def adoptClonedBase(srcBaseDir: String): Unit = synchronized {
     require(timeline().isEmpty,
       s"clone destination $path already has commits")
     val seq = allocateSeq("compact")
@@ -1514,19 +1520,21 @@ final class MorTable(
 
   /** This table's read-optimized scan dir (the last compacted base), if
     * any — the per-child half of [[PartitionedMorTable.readOptimized]]'s
-    * one multi-dir scan. A BOOTSTRAP base cannot be served here: the
-    * external files carry no lake meta columns, so pooling them into the
-    * parent's one multi-dir scan would silently misread — refuse loudly
-    * (unreachable today: children are engine-managed and [[bootstrap]]
-    * only publishes onto empty standalone tables; the guard is for
-    * whoever changes that). Unpartitioned RO reads synthesize the meta
-    * via [[baseScanOf]] instead ([[snapshotReadOptimized]]). */
+    * one multi-dir scan. A meta-LESS bootstrap base cannot be served
+    * here: the external files carry no lake meta columns, so pooling
+    * them into the parent's one multi-dir scan would silently misread —
+    * refuse loudly (unreachable today: [[bootstrap]] only publishes onto
+    * empty standalone tables; the guard is for whoever changes that). A
+    * CLONED base ([[Instant.bootstrapMeta]]) is fine: its files carry
+    * the meta columns on disk, and RO reads have no LWW to confuse with
+    * the un-rebased source seqnos. Unpartitioned RO reads synthesize /
+    * rebase via [[baseScanOf]] instead ([[snapshotReadOptimized]]). */
   private[lake] def roScanDir(): Option[String] =
     liveDeltas(timeline())._1.map { c =>
-      require(c.bootstrapDir.isEmpty,
-        s"read-optimized multi-dir scan over a BOOTSTRAP base ($path seq " +
-          s"${c.seq}): external files lack lake meta columns — compact() first")
-      s"$path/base/${c.seq}"
+      require(c.bootstrapDir.isEmpty || c.bootstrapMeta,
+        s"read-optimized multi-dir scan over a meta-less BOOTSTRAP base " +
+          s"($path seq ${c.seq}) — compact() first")
+      c.bootstrapDir.getOrElse(s"$path/base/${c.seq}")
     }
 
   /** All published delta dirs (incremental / CDC range reads scan these
@@ -1534,6 +1542,14 @@ final class MorTable(
     * untouched files). */
   private[lake] def allDeltaDirs(): Seq[String] =
     timeline().filter(_.kind == "delta").map(d => s"$path/delta/${d.seq}")
+
+  /** Adopted CLONE base dirs ([[Instant.bootstrapMeta]]) still on the
+    * timeline — the rows a partitioned clone's time travel must replay
+    * alongside the delta dirs (they carry the raw pre-clone seqnos; no
+    * delta dir holds them). Empty for every non-clone table. */
+  private[lake] def cloneBaseDirs(): Seq[String] =
+    timeline().filter(i => i.kind == "compact" && i.bootstrapMeta)
+      .flatMap(_.bootstrapDir)
 
   /** Snapshot restricted to the given record keys: the key predicate hits
     * EVERY scanned commit before the merge window, so it lands on the

@@ -853,11 +853,14 @@ final class PartitionedMorTable(
     * is physically gone (drops and cleaning bound time travel, as in
     * Hudi). A partition born after the token contributes nothing. */
   def readAt(token: Long, values: Seq[String] = Seq.empty): DataFrame = {
-    require(parentTimeline().exists(i => i.kind == "delta" && i.seq <= token),
+    require(parentTimeline().exists(_.seq <= token),
       s"no parent commit at or before token $token on $path")
     val sel = if (values.nonEmpty) values else partitions()
     require(sel.nonEmpty, s"PartitionedMorTable at $path has no partitions")
-    val dirs = parChildren(sel)(_.allDeltaDirs()).flatten
+    // clone-adopted bases carry the raw pre-clone seqnos — no delta dir
+    // holds those rows, so travel replays them alongside the deltas
+    // (cloneBaseDirs is empty on every non-clone table)
+    val dirs = parChildren(sel)(c => c.allDeltaDirs() ++ c.cloneBaseDirs()).flatten
     require(dirs.nonEmpty, s"PartitionedMorTable at $path has no delta commits")
     val scan = scanDirs(dirs).filter(col("_commit_seqno") <= token)
     lwwLatest(scan).filter(!col("_deleted"))
@@ -1194,6 +1197,62 @@ final class PartitionedMorTable(
         parts.map(v => "\"" + MorTable.jsEscape(v) + "\"").mkString(",")}]}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
     token
+  }
+
+  /** Shallow CLONE, partitioned form ([[MorTable.cloneTo]] semantics
+    * completed across partitions): a new independent partitioned table
+    * at `dstPath` whose children reference THIS table's compacted child
+    * bases in place — one child instant per partition plus one parent
+    * instant, zero bytes copied.
+    *
+    * The seqno story differs from the unpartitioned clone (whose adopted
+    * rows are REBASED): partitioned reads are ONE raw multi-dir scan
+    * across children, so per-row rebasing is impossible without a data
+    * rewrite. Instead the clone CONTINUES the source's token space: its
+    * first parent instant is published at the source's pinned token `S`,
+    * so every adopted row (stamped ≤ S by the source's staged writes)
+    * ranks below every post-clone write (tokens > S) in the LWW merge,
+    * raw and untouched — and `readAt(S)` on the clone is exactly the
+    * cloned state. Every child must sit at a clean compaction boundary
+    * (managed, fully folded, no live deltas); the referenced bases are
+    * pinned against source-side cleans with the parent savepoint
+    * `clone_<dstName>` (releasable; same naming contract as the
+    * unpartitioned form). Refuses on mid-publish writers and on a commit
+    * racing in between the boundary checks and the pin. */
+  def cloneTo(dstPath: String): PartitionedMorTable = {
+    val parts = partitions()
+    require(parts.nonEmpty, s"cloneTo: $path has no partitions")
+    val busy = freshParentInflight(60000L)
+    require(busy.isEmpty,
+      s"cloneTo: writer(s) mid-publish on $path (${busy.mkString(", ")}) — " +
+        "quiesce writers first")
+    val tokenBefore = parentTimeline().lastOption.map(_.seq).getOrElse(0L)
+    require(tokenBefore > 0, s"cloneTo: $path has no parent commits")
+    // every child at a clean boundary BEFORE anything is pinned
+    val bases = parts.map(v => v -> child(v).cloneBoundaryBase())
+    val pin = s"clone_${new Path(dstPath).getName.replaceAll("[^A-Za-z0-9-]", "_")}"
+    val pinned = savepoints().getOrElse(pin, savepoint(pin))
+    if (pinned != tokenBefore) {
+      releaseSavepoint(pin)
+      throw new IllegalStateException(
+        s"cloneTo: a writer committed on $path during the clone (pin landed " +
+          s"on $pinned, boundary was $tokenBefore) — quiesce writers and retry")
+    }
+    val dst = new PartitionedMorTable(spark, dstPath, keyCols, partitionCol,
+      compactionDeltaCommits, compactionDeltaSeconds, autoCompact,
+      writePartitions)
+    require(dst.parentTimeline().isEmpty,
+      s"clone destination $dstPath already has commits")
+    bases.foreach { case (v, c) =>
+      dst.child(v).adoptClonedBase(s"${child(v).path}/base/${c.seq}")
+    }
+    // continue the SOURCE token space: first parent instant at the pinned
+    // token, so future dst writers allocate PAST it and outrank every
+    // adopted row
+    dst.writeParentInstant(MorTable.Instant(pinned, "compact", -1L,
+      System.currentTimeMillis()))
+    dst.writeParentManifest()
+    dst
   }
 
   /** Live parent savepoints: name → pinned parent token. */

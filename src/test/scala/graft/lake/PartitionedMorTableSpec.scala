@@ -540,4 +540,52 @@ class PartitionedMorTableSpec extends AnyFunSuite {
     t.dropPartitions(Seq("c"))
     assert(rows(t.readAt(tok2)) == Set((1L, "a", 11), (2L, "b", 20)))
   }
+
+  test("cloneTo: partitioned zero-copy clone — token continuation, two-way isolation, pin vs clean") {
+    val src = new PartitionedMorTable(spark, tmp(), Seq("k"), "p",
+      compactionDeltaCommits = 100, autoCompact = false)
+    src.upsert(Seq((1L, "a", 10), (2L, "b", 20), (3L, "b", 30))
+      .toDF("k", "p", "v"), Seq(col("k")), batchId = 1L)
+    // boundary refusals: no child base yet, then a live delta above it
+    intercept[IllegalStateException](src.cloneTo(tmp()))
+    src.compactPartitions(src.partitions())
+    src.upsert(Seq((1L, "a", 11)).toDF("k", "p", "v"), Seq(col("k")), batchId = 2L)
+    intercept[IllegalArgumentException](src.cloneTo(tmp()))
+    src.compactPartitions(src.partitions())
+
+    val pinnedToken = src.parentTimeline().last.seq
+    val dstPath = tmp()
+    val dst = src.cloneTo(dstPath)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("p"), r.getAs[Int]("v"))).toSet
+    // zero copy + token-space continuation
+    assert(!new java.io.File(s"$dstPath/p=a/base").exists())
+    assert(dst.parentTimeline().last.seq == pinnedToken)
+    assert(rowsOf(dst.read()) == Set((1L, "a", 11), (2L, "b", 20), (3L, "b", 30)))
+    assert(src.savepoints().keys.exists(_.startsWith("clone_")))
+
+    // divergence, clone -> source: the clone's write claims a token PAST
+    // the pinned one, so it outranks the adopted raw rows
+    dst.upsert(Seq((2L, "b", 99)).toDF("k", "p", "v"), Seq(col("k")), batchId = 7L)
+    assert(rowsOf(dst.read()).contains((2L, "b", 99)))
+    assert(rowsOf(src.read()).contains((2L, "b", 20)))
+    // travel to the clone point still serves the adopted state
+    assert(rowsOf(dst.readAt(pinnedToken)) ==
+      Set((1L, "a", 11), (2L, "b", 20), (3L, "b", 30)))
+    // divergence, source -> clone
+    src.upsert(Seq((3L, "b", 77)).toDF("k", "p", "v"), Seq(col("k")), batchId = 8L)
+    assert(rowsOf(dst.read()).contains((3L, "b", 30)))
+
+    // source housekeeping cannot break the clone: fold + clean on the
+    // source — the clone_<dst> pin keeps the referenced child bases alive
+    src.compactPartitions(src.partitions())
+    src.clean()
+    assert(rowsOf(dst.read()) ==
+      Set((1L, "a", 11), (2L, "b", 99), (3L, "b", 30)))
+    // the clone's own compaction folds everything managed
+    dst.compactPartitions(dst.partitions())
+    assert(new java.io.File(s"$dstPath/p=a/base").exists())
+    assert(rowsOf(dst.read()) ==
+      Set((1L, "a", 11), (2L, "b", 99), (3L, "b", 30)))
+  }
 }
