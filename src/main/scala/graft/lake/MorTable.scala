@@ -343,7 +343,11 @@ final class MorTable(
     val q = new Path(s"$path/quarantine")
     if (!fs.exists(q)) throw new IllegalStateException(
       s"MorTable at $path has no quarantined rows")
-    spark.read.parquet(MorTable.globSafe(q.toString))
+    // mergeSchema: pre-upgrade quarantine files lack `_batch`; without the
+    // merge the resolved schema is file-listing-dependent and `_batch` can
+    // silently disappear from the documented dedup-by-_batch replay recipe
+    spark.read.option("mergeSchema", "true")
+      .parquet(MorTable.globSafe(q.toString))
   }
 
   /** [[upsert]] for a batch the CALLER proved key-distinct (e.g. the
@@ -449,15 +453,24 @@ final class MorTable(
     // pin keyed by the DESTINATION's dir name — clones of one source must
     // use distinct dst names, or they would share (and co-release) a pin
     val pin = s"clone_${new Path(dstPath).getName.replaceAll("[^A-Za-z0-9-]", "_")}"
-    val pinnedSeq = savepoints().getOrElse(pin, savepoint(pin))
+    // found-vs-created matters below: a pre-existing pin belongs to an
+    // EARLIER successful clone of this dst name and is that clone's only
+    // clean() protection — a failed retry must never release it
+    val preExisting = savepoints().get(pin)
+    val pinnedSeq = preExisting.getOrElse(savepoint(pin))
     // the pin must land exactly on the base we reference: a commit racing
     // in between the boundary check and the pin would pin the NEWER seq
     // and leave the referenced base unprotected from clean()
     if (pinnedSeq != c.seq) {
-      releaseSavepoint(pin)
+      if (preExisting.isEmpty) releaseSavepoint(pin)
       throw new IllegalStateException(
-        s"cloneTo: a writer committed on $path during the clone (pin landed " +
-          s"on $pinnedSeq, base is ${c.seq}) — quiesce writers and retry")
+        if (preExisting.isDefined)
+          s"cloneTo: savepoint '$pin' already pins seq $pinnedSeq (an earlier " +
+            s"clone of this dst name?) but the base is ${c.seq} — use a " +
+            "distinct dst name or releaseSavepoint explicitly"
+        else
+          s"cloneTo: a writer committed on $path during the clone (pin landed " +
+            s"on $pinnedSeq, base is ${c.seq}) — quiesce writers and retry")
     }
     val dst = new MorTable(spark, dstPath, keyCols, compactionDeltaCommits,
       compactionDeltaSeconds, autoCompact, writePartitions, bloomBits)
@@ -2385,13 +2398,20 @@ final class MorTable(
 
   /** Savepoint-TTL housekeeping (the service cadence verb): release every
     * savepoint whose pin file is older than `ttlMs` (file mtime — the pin
-    * is written once at creation). Returns the released names. */
+    * is written once at creation). `clone_*` pins are EXEMPT unless
+    * `includeClonePins` — a clone pin is the live clone's only protection
+    * from this table's `clean()` ([[cloneTo]] scaladoc), and a TTL sweep
+    * silently collecting it would expose the clone to data loss; clones
+    * release their pin explicitly once compacted or dropped. Returns the
+    * released names. */
   def releaseSavepointsOlderThan(ttlMs: Long,
-                                 nowMs: Long = System.currentTimeMillis()): Seq[String] = {
+                                 nowMs: Long = System.currentTimeMillis(),
+                                 includeClonePins: Boolean = false): Seq[String] = {
     val dir = new Path(hPath, "savepoint")
     if (ttlMs <= 0 || !fs.exists(dir)) return Nil
     fs.listStatus(dir).toSeq
       .filter(st => st.getPath.getName.endsWith(".json") &&
+        (includeClonePins || !st.getPath.getName.startsWith("clone_")) &&
         nowMs - st.getModificationTime > ttlMs)
       .map(_.getPath.getName.stripSuffix(".json"))
       .filter(releaseSavepoint).sorted

@@ -318,7 +318,9 @@ final class PartitionedMorTable(
     val q = new Path(hPath, "quarantine")
     if (!fs.exists(q)) throw new IllegalStateException(
       s"PartitionedMorTable at $path has no quarantined rows")
-    spark.read.parquet(MorTable.globSafe(q.toString))
+    // mergeSchema: see MorTable.readQuarantine — old files may lack _batch
+    spark.read.option("mergeSchema", "true")
+      .parquet(MorTable.globSafe(q.toString))
   }
 
   /** Keyed upsert of a batch: ONE staged cluster write partitioned by the
@@ -1231,12 +1233,20 @@ final class PartitionedMorTable(
     // every child at a clean boundary BEFORE anything is pinned
     val bases = parts.map(v => v -> child(v).cloneBoundaryBase())
     val pin = s"clone_${new Path(dstPath).getName.replaceAll("[^A-Za-z0-9-]", "_")}"
-    val pinned = savepoints().getOrElse(pin, savepoint(pin))
+    // found-vs-created matters: a pre-existing pin may protect an EARLIER
+    // live clone of this dst name — a failed retry must never release it
+    val preExisting = savepoints().get(pin)
+    val pinned = preExisting.getOrElse(savepoint(pin))
     if (pinned != tokenBefore) {
-      releaseSavepoint(pin)
+      if (preExisting.isEmpty) releaseSavepoint(pin)
       throw new IllegalStateException(
-        s"cloneTo: a writer committed on $path during the clone (pin landed " +
-          s"on $pinned, boundary was $tokenBefore) — quiesce writers and retry")
+        if (preExisting.isDefined)
+          s"cloneTo: savepoint '$pin' already pins token $pinned (an earlier " +
+            s"clone of this dst name?) but the boundary is $tokenBefore — use " +
+            "a distinct dst name or releaseSavepoint explicitly"
+        else
+          s"cloneTo: a writer committed on $path during the clone (pin landed " +
+            s"on $pinned, boundary was $tokenBefore) — quiesce writers and retry")
     }
     val dst = new PartitionedMorTable(spark, dstPath, keyCols, partitionCol,
       compactionDeltaCommits, compactionDeltaSeconds, autoCompact,
@@ -1244,7 +1254,16 @@ final class PartitionedMorTable(
     require(dst.parentTimeline().isEmpty,
       s"clone destination $dstPath already has commits")
     bases.foreach { case (v, c) =>
-      dst.child(v).adoptClonedBase(s"${child(v).path}/base/${c.seq}")
+      val srcBaseDir = s"${child(v).path}/base/${c.seq}"
+      // idempotent for retries: a crash between the child adoptions and
+      // the parent instant leaves adopted children behind (parent timeline
+      // still empty, reads fail loudly) — a retry must skip a child whose
+      // SOLE instant already references exactly this source base, instead
+      // of wedging on adoptClonedBase's already-has-commits refusal
+      val tl = dst.child(v).timeline()
+      val alreadyAdopted = tl.size == 1 && tl.head.kind == "compact" &&
+        tl.head.bootstrapDir.contains(srcBaseDir)
+      if (!alreadyAdopted) dst.child(v).adoptClonedBase(srcBaseDir)
     }
     // continue the SOURCE token space: first parent instant at the pinned
     // token, so future dst writers allocate PAST it and outrank every
@@ -1276,13 +1295,18 @@ final class PartitionedMorTable(
 
   /** Savepoint-TTL housekeeping, parent form ([[MorTable
     * .releaseSavepointsOlderThan]]): parent pins older than `ttlMs` (file
-    * mtime) release, child pins included. Returns the released names. */
+    * mtime) release, child pins included. `clone_*` pins are EXEMPT
+    * unless `includeClonePins` — same data-loss rationale as the
+    * unpartitioned form (the pin is a live clone's only protection from
+    * source-side cleans). Returns the released names. */
   def releaseSavepointsOlderThan(ttlMs: Long,
-                                 nowMs: Long = System.currentTimeMillis()): Seq[String] = {
+                                 nowMs: Long = System.currentTimeMillis(),
+                                 includeClonePins: Boolean = false): Seq[String] = {
     val dir = new Path(hPath, "_savepoint")
     if (ttlMs <= 0 || !fs.exists(dir)) return Nil
     fs.listStatus(dir).toSeq
       .filter(st => st.getPath.getName.endsWith(".json") &&
+        (includeClonePins || !st.getPath.getName.startsWith("clone_")) &&
         nowMs - st.getModificationTime > ttlMs)
       .map(_.getPath.getName.stripSuffix(".json"))
       .filter(releaseSavepoint).sorted

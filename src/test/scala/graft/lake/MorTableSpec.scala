@@ -1044,4 +1044,67 @@ class MorTableSpec extends AnyFunSuite {
       .getAs[String]("name") == "CloneEdit")
     assert(dst.read().count() == 7)
   }
+
+  test("cloneTo retry after source advance never releases the live clone's pin") {
+    val src = MorTable(spark, graft.TestSpark.tmpDir("mor-clone-pin-src"), Seq("uuid"),
+      compactionDeltaCommits = 100)
+    src.upsert(t1Rows, Seq(col("ts")), batchId = 1L)
+    src.compact()
+    val dstPath = graft.TestSpark.tmpDir("mor-clone-pin-dst")
+    val dst = src.cloneTo(dstPath)
+    val pin = src.savepoints().keys.find(_.startsWith("clone_")).get
+    val pinnedSeq = src.savepoints()(pin)
+    // the source advances past the cloned base...
+    src.upsert(Seq(("id9", "Late", 1, "2030-01-01 00:00:00"))
+      .toDF("uuid", "name", "age", "ts"), Seq(col("ts")), batchId = 2L)
+    src.compact()
+    // ...then someone re-runs the same clone command: it must refuse WITHOUT
+    // releasing the earlier clone's pin (the pin is that clone's only
+    // protection from source-side clean)
+    val e = intercept[IllegalStateException](src.cloneTo(dstPath))
+    assert(e.getMessage.contains("distinct dst name"))
+    assert(src.savepoints().get(pin).contains(pinnedSeq),
+      "failed clone retry released the live clone's pin")
+    src.clean()
+    assert(dst.read().count() == 8, "live clone lost its base to source clean()")
+  }
+
+  test("savepoint-TTL housekeeping exempts clone_ pins unless opted in") {
+    val src = MorTable(spark, graft.TestSpark.tmpDir("mor-ttl-src"), Seq("uuid"),
+      compactionDeltaCommits = 100)
+    src.upsert(t1Rows, Seq(col("ts")), batchId = 1L)
+    src.compact()
+    src.cloneTo(graft.TestSpark.tmpDir("mor-ttl-dst"))
+    src.savepoint("adhoc")
+    val far = System.currentTimeMillis() + 3600000L
+    // everything is "older than 1ms" at the fake now — only adhoc goes
+    val released = src.releaseSavepointsOlderThan(1L, nowMs = far)
+    assert(released == Seq("adhoc"))
+    assert(src.savepoints().keys.exists(_.startsWith("clone_")),
+      "TTL sweep collected a live clone's pin")
+    // explicit opt-in still allows collecting clone pins
+    val released2 = src.releaseSavepointsOlderThan(1L, nowMs = far,
+      includeClonePins = true)
+    assert(released2.exists(_.startsWith("clone_")))
+  }
+
+  test("readQuarantine merges quarantine vintages (_batch never disappears)") {
+    val t = MorTable(spark, graft.TestSpark.tmpDir("mor-quar-merge"), Seq("uuid"),
+      compactionDeltaCommits = 100)
+      .withExpectations(Seq(("age_pos", col("age") >= 0)), "quarantine")
+    t.upsert(t1Rows, Seq(col("ts")), batchId = 1L)
+    t.upsert(Seq(("idq", "Bad", -1, "1970-01-01 00:00:09"))
+      .toDF("uuid", "name", "age", "ts"), Seq(col("ts")), batchId = 5L)
+    // simulate a pre-upgrade quarantine file that predates the _batch column
+    Seq(("idold", "OldBad", -2, "1970-01-01 00:00:10", "age_pos", "20240101000000"))
+      .toDF("uuid", "name", "age", "ts", "_rule", "_qtime")
+      .write.mode("append").parquet(s"${t.path}/quarantine")
+    val q = t.readQuarantine()
+    assert(q.columns.contains("_batch"),
+      "schema resolution dropped _batch (file-listing-order dependent)")
+    assert(q.count() == 2)
+    assert(q.filter(col("_batch") === 5L).count() == 1)
+    assert(q.filter(col("_batch").isNull).count() == 1,
+      "pre-upgrade rows read back with null _batch")
+  }
 }

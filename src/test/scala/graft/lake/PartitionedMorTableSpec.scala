@@ -588,4 +588,62 @@ class PartitionedMorTableSpec extends AnyFunSuite {
     assert(rowsOf(dst.read()) ==
       Set((1L, "a", 11), (2L, "b", 99), (3L, "b", 30)))
   }
+
+  test("partitioned cloneTo retry recovers a crash between child adoptions and the parent instant") {
+    val src = new PartitionedMorTable(spark, tmp(), Seq("k"), "p",
+      compactionDeltaCommits = 100, autoCompact = false)
+    src.upsert(Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "p", "v"),
+      Seq(col("k")), batchId = 1L)
+    src.compactPartitions(src.partitions())
+    val dstPath = tmp()
+    // simulate the crash state: children adopted, parent timeline never
+    // written (reads on the half-clone fail loudly)
+    val pre = new PartitionedMorTable(spark, dstPath, Seq("k"), "p",
+      compactionDeltaCommits = 100, autoCompact = false)
+    src.partitions().foreach { v =>
+      val c = src.child(v).cloneBoundaryBase()
+      pre.child(v).adoptClonedBase(s"${src.child(v).path}/base/${c.seq}")
+    }
+    assert(pre.parentTimeline().isEmpty)
+    // the retry must skip the already-adopted children instead of wedging
+    // on adoptClonedBase's already-has-commits refusal
+    val dst = src.cloneTo(dstPath)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("p"), r.getAs[Int]("v"))).toSet
+    assert(rowsOf(dst.read()) == Set((1L, "a", 10), (2L, "b", 20)))
+    assert(dst.parentTimeline().last.seq == src.parentTimeline().last.seq)
+    // each child still carries exactly ONE adoption instant
+    dst.partitions().foreach(v => assert(dst.child(v).timeline().size == 1))
+  }
+
+  test("partitioned cloneTo retry after source advance never releases the live clone's pin; TTL exempts it") {
+    val src = new PartitionedMorTable(spark, tmp(), Seq("k"), "p",
+      compactionDeltaCommits = 100, autoCompact = false)
+    src.upsert(Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "p", "v"),
+      Seq(col("k")), batchId = 1L)
+    src.compactPartitions(src.partitions())
+    val dstPath = tmp()
+    val dst = src.cloneTo(dstPath)
+    val pin = src.savepoints().keys.find(_.startsWith("clone_")).get
+    val pinnedTok = src.savepoints()(pin)
+    // source advances, then the same clone command re-runs: refuse, keep pin
+    src.upsert(Seq((1L, "a", 11)).toDF("k", "p", "v"), Seq(col("k")), batchId = 2L)
+    src.compactPartitions(src.partitions())
+    val e = intercept[IllegalStateException](src.cloneTo(dstPath))
+    assert(e.getMessage.contains("distinct dst name"))
+    assert(src.savepoints().get(pin).contains(pinnedTok),
+      "failed partitioned clone retry released the live clone's pin")
+    // TTL housekeeping must not collect the clone pin either
+    val far = System.currentTimeMillis() + 3600000L
+    assert(!src.releaseSavepointsOlderThan(1L, nowMs = far).contains(pin))
+    assert(src.savepoints().contains(pin))
+    src.clean()
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("p"), r.getAs[Int]("v"))).toSet
+    assert(rowsOf(dst.read()) == Set((1L, "a", 10), (2L, "b", 20)),
+      "live clone lost a child base to source clean()")
+    // opt-in collects it
+    assert(src.releaseSavepointsOlderThan(1L, nowMs = far,
+      includeClonePins = true).contains(pin))
+  }
 }
