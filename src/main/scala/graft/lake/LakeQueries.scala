@@ -276,9 +276,14 @@ object LakeQueries {
           (col("p_batch") === lit(k) && col("p_id") < col("doc_id")))
         .groupBy(col("doc_id"), col("p_id"))
         .agg(first("sig").as("sig"), first("p_sig").as("p_sig"))
-        .filter(aggregate(zip_with(col("sig"), col("p_sig"),
-          (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (s, x) => s + x)
-          >= minMatch)
+        // compiled per-pair slot match (sig_overlap, codegen'd): the
+        // zip_with/aggregate fold is interpreted CodegenFallback and this
+        // filter runs once per bucket-join survivor — the hot rows at
+        // scale. eq/16.0 is exact (power-of-two divisor), so the
+        // fraction threshold equals the integer `matched >= minMatch`;
+        // DedupSpec pins kernel == fold on the candidate pairs.
+        .filter(call_function("sig_overlap", col("sig"), col("p_sig"))
+          >= lit(minMatch.toDouble / numHashes))
         .select(col("doc_id"), col("p_id"))
     }
     val dupOf = results.reduce(_.unionByName(_))

@@ -264,6 +264,28 @@ class DedupSpec extends AnyFunSuite {
     assert(df.head().getDouble(0) == 1.0)
   }
 
+  test("sig_overlap threshold == interpreted slot-count fold on candidate pairs (d31 kernel)") {
+    graft.GraftFunctions.register(spark)
+    // every cross pair of the corpus — including identical, near, unrelated
+    val sigs = corpus.select(col("doc_id"),
+      call_function("minhash_md5", col("text"), lit(16)).as("sig"))
+    val pairs = sigs.as("a").crossJoin(
+      sigs.select(col("doc_id").as("p_id"), col("sig").as("p_sig")).as("b"))
+      .filter(col("p_id") < col("doc_id"))
+    val minMatch = 4
+    val fold = pairs.filter(aggregate(zip_with(col("sig"), col("p_sig"),
+        (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (s, x) => s + x)
+        >= minMatch)
+      .select("doc_id", "p_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the compiled kernel form d31 ships: eq/16.0 is exact (power-of-two
+    // divisor), so the fraction threshold must equal the integer count
+    val kernel = pairs.filter(
+        call_function("sig_overlap", col("sig"), col("p_sig")) >= lit(minMatch / 16.0))
+      .select("doc_id", "p_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kernel == fold)
+    assert(kernel.contains((1L, 0L)), "identical docs must pass the slot threshold")
+  }
+
   test("token_hashes: multiset order-preserving, lowercase, shingle-consistent") {
     graft.GraftFunctions.register(spark)
     def th(s: String): Seq[Long] =
