@@ -55,6 +55,7 @@ object SparkEntry {
     "s71_bootstrap"       -> ((s, d) => graft.lake.LakeQueries.bootstrapOnboard(s, d)),
     "s72_clone"           -> ((s, d) => graft.lake.LakeQueries.shallowClone(s, d)),
     "s74_part_clone"      -> ((s, d) => graft.lake.LakeQueries.partShallowClone(s, d)),
+    "s75_part_bootstrap"  -> ((s, d) => graft.lake.LakeQueries.partBootstrapOnboard(s, d)),
     "s73_incr_sketch_index" -> ((s, d) =>
       graft.lake.LakeQueries.incrementalSketchIndex(s, d)),
     "d31_incr_dedup"      -> ((s, d) =>
@@ -456,6 +457,18 @@ object SparkEntry {
       |  FROM p JOIN n na ON na.doc_id = p.id_a JOIN n nb ON nb.doc_id = p.id_b
       |  WHERE inter * 10 >= (na.ns + nb.ns - inter) * 3
       |)""".stripMargin
+
+  /** The bootstrap-onboarding touch-up state — shared by s71
+    * (unpartitioned METADATA_ONLY bootstrap) and s75 (the partitioned
+    * Hive-layout form): one onboarding story, two table layouts, the
+    * SAME final state by contract. */
+  private val BootstrapOracle: String =
+    """SELECT c_custkey, c_name, c_nationkey,
+      |       CASE WHEN c_custkey % 10 = 0 THEN 0.0 ELSE c_acctbal END
+      |         AS c_acctbal,
+      |       c_mktsegment
+      |FROM customer
+      |WHERE c_custkey % 17 <> 3""".stripMargin
 
   private val SavepointOracle: String =
     """WITH b AS (
@@ -3242,13 +3255,10 @@ object SparkEntry {
         |WHERE epoch_ns(ts) <= b.hi AND user_id % 7 <> 0
         |QUALIFY row_number() OVER
         |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
-    "s71_bootstrap" ->
-      """SELECT c_custkey, c_name, c_nationkey,
-        |       CASE WHEN c_custkey % 10 = 0 THEN 0.0 ELSE c_acctbal END
-        |         AS c_acctbal,
-        |       c_mktsegment
-        |FROM customer
-        |WHERE c_custkey % 17 <> 3""".stripMargin,
+    "s71_bootstrap" -> BootstrapOracle,
+    // the same onboarding story over the partitioned Hive layout — one
+    // oracle for both table forms (s71's CASE / anti-filter semantics)
+    "s75_part_bootstrap" -> BootstrapOracle,
     // s53 replays the same savepoint→backfill→restore story with every
     // verb driven through CALL procedures — same final state by contract
     "s53_sql_procedures" -> SavepointOracle,

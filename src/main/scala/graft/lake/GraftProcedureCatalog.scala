@@ -293,11 +293,11 @@ object GraftProcedureCatalog {
       Seq(in("table", StringType), in("source", StringType)),
       ack,
       { case Seq(tbl: String, src: String) =>
-        resolve(tbl) match {
-          case Left(t) => t.bootstrap(src); Seq(Seq("bootstrapped", src))
-          case Right(_) => throw new IllegalArgumentException(
-            "bootstrap targets an unpartitioned table (Hudi METADATA_ONLY scope)")
-        }
+        // both table forms: the partitioned route adopts a Hive
+        // `<partitionCol>=<v>/` layout per child (PartitionedMorTable
+        // .bootstrap), the unpartitioned one a flat parquet dir
+        resolve(tbl).fold(_.bootstrap(src), _.bootstrap(src))
+        Seq(Seq("bootstrapped", src))
       }),
     Proc("drop_partition", "drop a partition's storage and metadata (TTL verb)",
       Seq(in("table", StringType), in("value", StringType)),

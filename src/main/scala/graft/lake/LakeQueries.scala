@@ -376,6 +376,51 @@ object LakeQueries {
       srcPath, clonePath)
   }
 
+  /** Zero-copy BOOTSTRAP, partitioned form ([[PartitionedMorTable
+    * .bootstrap]] — Hudi METADATA_ONLY over the Hive-partitioned layout
+    * a real 100 TB onboarding actually has: `dt=<v>/ *.parquet`),
+    * oracle-checked end-to-end: stage the raw customer table as a Hive
+    * `c_mktsegment=<v>/` layout (the one write a real onboarding never
+    * pays — its data already sits like that), adopt it METADATA-ONLY
+    * (one instant per child plus one parent instant, verified zero-copy),
+    * layer the s71 touch-up story on top (every 10th custkey's balance
+    * zeroed, every 17th ≡ 3 deleted), then compact ONLY TWO children —
+    * the final read unions managed child bases with still-external
+    * bootstrap bases (the raw multi-dir scan ∪ the synthesizing
+    * discovery scan), and must equal the same CASE / anti-filter over
+    * the raw file in DuckDB (oracle shared with s71 — same semantics,
+    * partitioned machinery). The staged source layout is asserted
+    * untouched. */
+  def partBootstrapOnboard(spark: SparkSession, dir: String): DataFrame = {
+    val ext = tempPath("pmor-bootstrap-ext")
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    cust.write.partitionBy("c_mktsegment").mode("overwrite").parquet(ext)
+    val path = tempPath("pmor-bootstrap")
+    val t = new PartitionedMorTable(spark, path, Seq("c_custkey"),
+      "c_mktsegment", compactionDeltaCommits = 1000, autoCompact = false,
+      writePartitions = 4)
+    t.bootstrap(ext, batchId = 1L)
+    t.partitions().foreach { v =>
+      assert(!new java.io.File(s"$path/p=$v/base").exists(),
+        "partitioned bootstrap must be zero-copy (no managed child base)")
+    }
+    assert(t.read().count() == cust.count(),
+      "bootstrap read must serve the full external table")
+    val touched = cust.filter(col("c_custkey") % 10 === 0)
+      .withColumn("c_acctbal", lit(0.0))
+    t.upsert(touched, Seq(col("c_custkey")), batchId = 2L)
+    t.deleteWhere(col("c_custkey") % 17 === 3, batchId = 3L)
+    // fold only part of the table managed: the final read must mix
+    // managed bases with still-external bootstrap bases
+    t.compactPartitions(t.partitions().take(2))
+    assert(spark.read.parquet(ext).count() == cust.count(),
+      "bootstrap/compaction must never touch the external source")
+    graft.TempDirs.materializeAndDelete(
+      t.read().select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment"), ext, path)
+  }
+
   /** Write-path index tagging ([[MorTable.upsertIfNew]] — the Hudi
     * bloom-index write path), oracle-checked end-to-end: a key-disjoint
     * user split lands as two PROVEN insert-only commits (the second

@@ -498,6 +498,52 @@ final class MorTable(
     c
   }
 
+  /** Child half of [[PartitionedMorTable.bootstrap]]: publish THIS
+    * child's zero-copy bootstrap instant over ONE external Hive
+    * partition directory (`…/<partCol>=<v>`). Same contract as
+    * [[bootstrap]] — the external dir is never written or deleted —
+    * plus: the partition (column, raw value, catalog type) is recorded
+    * on the instant ([[Instant.bootstrapPart]]; Hive layout keeps the
+    * value out of the files) and the child seq must land on
+    * `expectSeq`, the parent bootstrap token — both seqno-synthesis
+    * sites (this child's [[baseScanOf]] and the parent's one discovery
+    * scan) must rank the adopted rows identically, and both tables
+    * being empty makes them coincide by construction; the require
+    * turns any future drift into a loud failure instead of a latent
+    * LWW tie. Idempotent for crash retries keyed on the source dir. */
+  private[lake] def adoptBootstrapBase(sourceDir: String, partCol: String,
+                                       partValue: String, partType: String,
+                                       expectSeq: Long): Unit = synchronized {
+    val tl0 = timeline()
+    if (tl0.exists(i => i.kind == "compact" && !i.bootstrapMeta &&
+        i.bootstrapDir.contains(sourceDir))) return // crash-retry: already adopted
+    require(tl0.isEmpty,
+      s"bootstrap child $path already has commits")
+    val seq = allocateSeq("compact")
+    require(seq == expectSeq,
+      s"bootstrap child $path allocated seq $seq, expected the parent " +
+        s"token $expectSeq — seqno synthesis would diverge between the " +
+        "child and parent scans")
+    val pending = inflightDeltaSeqs()
+    val tl = timeline()
+    require(!tl.exists(_.kind == "compact"),
+      s"bootstrap lost the first-commit race on $path")
+    val unfolded = (tl.filter(_.kind == "delta").map(_.seq) ++ pending)
+      .distinct.filter(_ < seq).sorted
+    publishInstant(Instant(seq, "compact", -1L, System.currentTimeMillis(),
+      unfolded, bootstrapDir = Some(sourceDir),
+      bootstrapPart = Some((partCol, partValue, partType))))
+  }
+
+  /** The live base instant when it is a META-LESS bootstrap (external
+    * raw parquet, no lake columns on disk) — the one base shape the
+    * partitioned parent's raw multi-dir scan cannot serve and must
+    * route through a synthesizing scan instead. None for managed and
+    * cloned bases. */
+  private[lake] def metalessBootstrapBase(): Option[Instant] =
+    liveDeltas(timeline())._1
+      .filter(c => c.bootstrapDir.isDefined && !c.bootstrapMeta)
+
   /** Publish the clone-side instant for [[cloneTo]] (same first-commit
     * race handling as [[bootstrap]]). */
   private[lake] def adoptClonedBase(srcBaseDir: String): Unit = synchronized {
@@ -591,9 +637,12 @@ final class MorTable(
   private[lake] def probePaths(mn: String, mx: String): Seq[String] = {
     val (lastCompact, deltas) = liveDeltas(timeline())
     val basePaths: Seq[String] = lastCompact.toSeq.flatMap { c =>
-      if (c.bootstrapDir.isDefined) Nil
+      // meta-less bootstrap: no on-disk _record_key, probed via
+      // baseScanOf; a CLONED base carries the meta columns on disk but
+      // lives at the external dir (no manifest → no pruning, scan whole)
+      if (c.bootstrapDir.isDefined && !c.bootstrapMeta) Nil
       else keptByKeyRange(c.seq, mn, mx, hiInclusive = true)
-        .getOrElse(Seq(s"$path/base/${c.seq}"))
+        .getOrElse(Seq(baseDirOf(c)))
     }
     basePaths ++ deltas.map(d => s"$path/delta/${d.seq}")
   }
@@ -1277,7 +1326,16 @@ final class MorTable(
         .withColumn("_commit_seqno", lit(c.seq))
         .withColumn("_commit_time", lit(MorTable.commitTimeString(c.commitMs)))
     case Some(d) =>
-      scanDir(d)
+      // a partitioned-bootstrap child's external files follow standard
+      // Hive layout — the partition value lives only in the directory
+      // name — so the recorded (col, value, type) is synthesized FIRST
+      // (the key concat below may include it; compaction bakes it into
+      // the managed base the parent's multi-dir scan expects)
+      val raw = c.bootstrapPart match {
+        case Some((pc, pv, pt)) => scanDir(d).withColumn(pc, lit(pv).cast(pt))
+        case None => scanDir(d)
+      }
+      raw
         .withColumn("_record_key",
           concat_ws("|", keyCols.map(k => col(k).cast("string")): _*))
         .withColumn("_deleted", lit(false))
@@ -1564,6 +1622,16 @@ final class MorTable(
     timeline().filter(i => i.kind == "compact" && i.bootstrapMeta)
       .flatMap(_.bootstrapDir)
 
+  /** ALL meta-less bootstrap instants still on the timeline (live or
+    * since compacted away) — the rows a partitioned bootstrap's time
+    * travel must replay through the parent's synthesizing scan, the
+    * exact analog of [[cloneBaseDirs]] for the meta-less form (no delta
+    * dir ever holds the adopted rows). Empty on every non-bootstrap
+    * table. */
+  private[lake] def metalessBootstrapInstants(): Seq[Instant] =
+    timeline().filter(i => i.kind == "compact" && !i.bootstrapMeta &&
+      i.bootstrapDir.isDefined)
+
   /** Snapshot restricted to the given record keys: the key predicate hits
     * EVERY scanned commit before the merge window, so it lands on the
     * parquet scans as a pushed `In(_record_key, …)` filter — row-group
@@ -1729,8 +1797,13 @@ final class MorTable(
     if (tl.isEmpty) return Nil
     val (lastCompact, deltas) = liveDeltas(tl)
     val base = lastCompact.toSeq.flatMap { c =>
-      bloomKeptBaseFiles(c.seq, recordKeys)
-        .getOrElse(Seq(s"$path/base/${c.seq}"))
+      // meta-less bootstrap base: no on-disk _record_key to filter — the
+      // partitioned parent routes it through its synthesizing scan; a
+      // CLONED base scans whole at its external dir (meta on disk, no
+      // local manifest/blooms to prune with)
+      if (c.bootstrapDir.isDefined && !c.bootstrapMeta) Nil
+      else bloomKeptBaseFiles(c.seq, recordKeys)
+        .getOrElse(Seq(baseDirOf(c)))
     }
     base ++ deltas.map(d => s"$path/delta/${d.seq}")
   }
@@ -2611,14 +2684,27 @@ object MorTable {
                              * REBASED to this instant so the clone's own
                              * later deltas (small local seqs) outrank the
                              * adopted rows in the LWW merge. */
-                           bootstrapMeta: Boolean = false) {
+                           bootstrapMeta: Boolean = false,
+                           /** With a meta-less [[bootstrapDir]] under a
+                             * PARTITIONED table: the Hive partition
+                             * (column, raw value, catalog type) the
+                             * external files do NOT carry — standard Hive
+                             * layout keeps partition values in directory
+                             * names only — synthesized as a typed literal
+                             * by [[baseScanOf]] so child compactions bake
+                             * it into the managed base. */
+                           bootstrapPart: Option[(String, String, String)] = None) {
     def toJson: String = {
       val uf = if (unfolded.isEmpty) "" else s""","unfolded":[${unfolded.mkString(",")}]"""
       val io = if (insertOnly) s""","insertOnly":true""" else ""
       val bd = bootstrapDir.map(d =>
         s""","bootstrapDir":"${jsEscape(d)}"""").getOrElse("")
       val bm = if (bootstrapMeta) s""","bootstrapMeta":true""" else ""
-      s"""{"seq":$seq,"kind":"$kind","batchId":$batchId,"commitMs":$commitMs$uf$io$bd$bm}"""
+      val bp = bootstrapPart.map { case (c, v, t) =>
+        s""","bootstrapPartCol":"${jsEscape(c)}","bootstrapPartValue":"${jsEscape(v)}"""" +
+          s""","bootstrapPartType":"${jsEscape(t)}""""
+      }.getOrElse("")
+      s"""{"seq":$seq,"kind":"$kind","batchId":$batchId,"commitMs":$commitMs$uf$io$bd$bm$bp}"""
     }
   }
 
@@ -2637,9 +2723,19 @@ object MorTable {
         .compile("\"bootstrapDir\":\"((?:[^\"\\\\]|\\\\.)*)\"").matcher(json)
       if (m.find()) Some(jsUnescape(m.group(1))) else None
     }
+    def strField(name: String): Option[String] = {
+      val m = java.util.regex.Pattern
+        .compile("\"" + name + "\":\"((?:[^\"\\\\]|\\\\.)*)\"").matcher(json)
+      if (m.find()) Some(jsUnescape(m.group(1))) else None
+    }
+    val bp = (strField("bootstrapPartCol"), strField("bootstrapPartValue"),
+      strField("bootstrapPartType")) match {
+      case (Some(c), Some(v), Some(t)) => Some((c, v, t))
+      case _ => None
+    }
     Instant(field("seq").toLong, field("kind"), field("batchId").toLong,
       field("commitMs").toLong, uf, json.contains("\"insertOnly\":true"), bd,
-      json.contains("\"bootstrapMeta\":true"))
+      json.contains("\"bootstrapMeta\":true"), bp)
   }
 
   /** Multi-writer commit-seq allocation (the Hudi inflight/OCC analog),

@@ -446,10 +446,18 @@ final class PartitionedMorTable(
         min(col("_record_key")).as("mn"), max(col("_record_key")).as("mx"))
       .collect() // touched-partitions-sized by construction
     val existing = partitions().toSet
+    // a child still on a meta-less bootstrap base has no on-disk
+    // _record_key to probe — FAIL CLOSED: downgrade it to the normal
+    // merge path (a false "proven new" would corrupt LWW; a missed
+    // fast path only costs the dedup window)
+    val bootDowngrade: Set[String] = stats.toSeq.map(_.getString(0))
+      .filter(p => existing(p) && child(p).metalessBootstrapBase().isDefined)
+      .toSet
     val toScan = stats.toSeq.flatMap { r =>
       val p = r.getString(0)
       val paths =
-        if (existing(p)) child(p).probePaths(r.getString(2), r.getString(3))
+        if (existing(p) && !bootDowngrade(p))
+          child(p).probePaths(r.getString(2), r.getString(3))
         else Nil // a partition born in this batch is trivially all-new
       if (paths.isEmpty) None
       else Some((p, paths, r.getAs[Array[Byte]]("f")))
@@ -490,7 +498,8 @@ final class PartitionedMorTable(
           toScan.map(_._1).toSet // unmapped segment → fail closed everywhere
         else hitSegs.map(encToRaw).toSet
       }
-    val proven = stats.map(_.getString(0)).filterNot(hitParts).toSet
+    val proven = stats.map(_.getString(0)).filterNot(hitParts)
+      .filterNot(bootDowngrade).toSet
     val stagingDir = new Path(hPath, s".staging/$token")
     staged.write.partitionBy("__p").mode("overwrite").parquet(stagingDir.toString)
     adoptStaged(stagingDir, batchId, proven)
@@ -690,15 +699,26 @@ final class PartitionedMorTable(
   def read(values: Seq[String] = Seq.empty): DataFrame = {
     val sel = if (values.nonEmpty) values else partitions()
     require(sel.nonEmpty, s"PartitionedMorTable at $path has no partitions")
-    val perChild = parChildren(sel)(_.liveScanDirs())
-    val dirs = perChild.flatMap(_._1) ++ perChild.flatMap(_._2)
-    require(dirs.nonEmpty, s"PartitionedMorTable at $path has no commits")
-    val scan = scanDirs(dirs)
-    // a child whose live set is a single dir (just-compacted base, or one
-    // delta) already holds ≤1 row per (partition, key): when EVERY child
-    // is in that state the LWW window's shuffle is a no-op — skip it
+    val perChild = parChildren(sel)(c =>
+      (c.liveScanDirs(), c.metalessBootstrapBase()))
+    // a meta-less bootstrap base cannot join the raw multi-dir scan (no
+    // lake columns on disk — null `_deleted` would silently drop every
+    // row); route those children through the one synthesizing scan
+    val boots = sel.zip(perChild).collect { case (v, (_, Some(i))) => (v, i) }
+    val dirs = perChild.flatMap { case ((base, deltas), boot) =>
+      (if (boot.isDefined) Nil else base.toSeq) ++ deltas
+    }
+    val scans = (if (dirs.nonEmpty) Seq(scanDirs(dirs)) else Nil) ++
+      bootstrapScan(boots).toSeq
+    require(scans.nonEmpty, s"PartitionedMorTable at $path has no commits")
+    val scan = scans.reduce(_.unionByName(_, allowMissingColumns = true))
+    // a child whose live set is a single dir (just-compacted base, one
+    // delta, or the bootstrap base) already holds ≤1 row per (partition,
+    // key): when EVERY child is in that state the LWW window's shuffle
+    // is a no-op — skip it
     val merged =
-      if (perChild.forall(pc => pc._1.size + pc._2.size <= 1)) scan
+      if (perChild.forall { case ((base, deltas), _) =>
+        base.size + deltas.size <= 1 }) scan
       else lwwLatest(scan)
     merged.filter(!col("_deleted"))
       .select(orderedDataCols(scan.columns).map(col): _*)
@@ -714,9 +734,19 @@ final class PartitionedMorTable(
   def readOptimized(values: Seq[String] = Seq.empty): DataFrame = {
     val sel = if (values.nonEmpty) values else partitions()
     require(sel.nonEmpty, s"PartitionedMorTable at $path has no partitions")
-    val dirs = parChildren(sel)(_.roScanDir()).flatten
-    if (dirs.isEmpty) return read(sel).limit(0) // nothing compacted yet
-    val scan = scanDirs(dirs)
+    // a bootstrap base IS the compaction-boundary state (the
+    // unpartitioned snapshotReadOptimized serves it the same way) — but
+    // meta-less files can't ride the raw multi-dir scan; synthesize
+    val perChild = parChildren(sel)(c => c.metalessBootstrapBase() match {
+      case Some(i) => Left(i)
+      case None => Right(c.roScanDir())
+    })
+    val boots = sel.zip(perChild).collect { case (v, Left(i)) => (v, i) }
+    val dirs = perChild.collect { case Right(Some(d)) => d }
+    val scans = (if (dirs.nonEmpty) Seq(scanDirs(dirs)) else Nil) ++
+      bootstrapScan(boots).toSeq
+    if (scans.isEmpty) return read(sel).limit(0) // nothing compacted yet
+    val scan = scans.reduce(_.unionByName(_, allowMissingColumns = true))
     scan.filter(!col("_deleted"))
       .select(orderedDataCols(scan.columns).map(col): _*)
   }
@@ -788,10 +818,19 @@ final class PartitionedMorTable(
     val sel = if (values.nonEmpty) values else partitions()
     require(sel.nonEmpty, s"PartitionedMorTable at $path has no partitions")
     if (recordKeys.isEmpty) return read(sel).limit(0)
-    val paths = parChildren(sel)(_.pointScanPaths(recordKeys)).flatten
-    if (paths.isEmpty) return read(sel).limit(0)
-    val scan = scanDirs(paths)
-      .filter(col("_record_key").isin(recordKeys: _*))
+    val perChild = parChildren(sel)(c =>
+      (c.pointScanPaths(recordKeys), c.metalessBootstrapBase()))
+    val paths = perChild.flatMap(_._1)
+    // a bootstrap child has no on-disk _record_key: its base probes
+    // through the synthesizing scan (the key filter lands on the
+    // synthesized concat — no pushdown until its first compaction, the
+    // same METADATA_ONLY trade as the unpartitioned form)
+    val boots = sel.zip(perChild).collect { case (v, (_, Some(i))) => (v, i) }
+    val scans = ((if (paths.nonEmpty) Seq(scanDirs(paths)) else Nil) ++
+      bootstrapScan(boots).toSeq)
+      .map(_.filter(col("_record_key").isin(recordKeys: _*)))
+    if (scans.isEmpty) return read(sel).limit(0)
+    val scan = scans.reduce(_.unionByName(_, allowMissingColumns = true))
     lwwLatest(scan).filter(!col("_deleted"))
       .select(orderedDataCols(scan.columns).map(col): _*)
   }
@@ -805,11 +844,17 @@ final class PartitionedMorTable(
       s"readForKeysOf expects ONE key column, got ${keys.columns.mkString(", ")}")
     val sel = if (values.nonEmpty) values else partitions()
     require(sel.nonEmpty, s"PartitionedMorTable at $path has no partitions")
-    val perChild = parChildren(sel)(_.liveScanDirs())
-    val dirs = perChild.flatMap(_._1) ++ perChild.flatMap(_._2)
-    require(dirs.nonEmpty, s"PartitionedMorTable at $path has no commits")
+    val perChild = parChildren(sel)(c =>
+      (c.liveScanDirs(), c.metalessBootstrapBase()))
+    val boots = sel.zip(perChild).collect { case (v, (_, Some(i))) => (v, i) }
+    val dirs = perChild.flatMap { case ((base, deltas), boot) =>
+      (if (boot.isDefined) Nil else base.toSeq) ++ deltas
+    }
+    val scans = (if (dirs.nonEmpty) Seq(scanDirs(dirs)) else Nil) ++
+      bootstrapScan(boots).toSeq
+    require(scans.nonEmpty, s"PartitionedMorTable at $path has no commits")
     val k = keys.select(col(keys.columns.head).cast("string").as("__pk")).distinct()
-    val scan = scanDirs(dirs)
+    val scan = scans.reduce(_.unionByName(_, allowMissingColumns = true))
     val restricted = scan.join(k, col("_record_key") === col("__pk"), "left_semi")
     lwwLatest(restricted).filter(!col("_deleted"))
       .select(orderedDataCols(scan.columns).map(col): _*)
@@ -859,12 +904,19 @@ final class PartitionedMorTable(
       s"no parent commit at or before token $token on $path")
     val sel = if (values.nonEmpty) values else partitions()
     require(sel.nonEmpty, s"PartitionedMorTable at $path has no partitions")
-    // clone-adopted bases carry the raw pre-clone seqnos — no delta dir
-    // holds those rows, so travel replays them alongside the deltas
-    // (cloneBaseDirs is empty on every non-clone table)
-    val dirs = parChildren(sel)(c => c.allDeltaDirs() ++ c.cloneBaseDirs()).flatten
-    require(dirs.nonEmpty, s"PartitionedMorTable at $path has no delta commits")
-    val scan = scanDirs(dirs).filter(col("_commit_seqno") <= token)
+    // clone-adopted bases carry the raw pre-clone seqnos and bootstrap
+    // bases synthesize theirs — no delta dir holds those rows, so travel
+    // replays both alongside the deltas (cloneBaseDirs /
+    // metalessBootstrapInstants are empty on every other table)
+    val perChild = parChildren(sel)(c =>
+      (c.allDeltaDirs() ++ c.cloneBaseDirs(), c.metalessBootstrapInstants()))
+    val dirs = perChild.flatMap(_._1)
+    val boots = sel.zip(perChild).flatMap { case (v, (_, is)) => is.map((v, _)) }
+    val scans = (if (dirs.nonEmpty) Seq(scanDirs(dirs)) else Nil) ++
+      bootstrapScan(boots).toSeq
+    require(scans.nonEmpty, s"PartitionedMorTable at $path has no delta commits")
+    val scan = scans.reduce(_.unionByName(_, allowMissingColumns = true))
+      .filter(col("_commit_seqno") <= token)
     lwwLatest(scan).filter(!col("_deleted"))
       .select(orderedDataCols(scan.columns).map(col): _*)
   }
@@ -1050,8 +1102,13 @@ final class PartitionedMorTable(
     * source of truth). */
   private def writeParentManifest(): Unit =
     try {
+      // meta-less bootstrap children are omitted (their external files
+      // lack the lake columns the manifest's `filter` references) — they
+      // join the manifest at their first compaction, the same staleness
+      // contract as never-compacted children
       val infos = parChildren(partitions())(c =>
-        (c.liveScanDirs()._1, c.latestManifestInfo()))
+        (if (c.metalessBootstrapBase().isDefined) None
+         else c.liveScanDirs()._1, c.latestManifestInfo()))
       val bases = infos.flatMap(_._1)
       if (bases.isEmpty) return
       val token = parentTimeline().lastOption.map(_.seq).getOrElse(0L)
@@ -1199,6 +1256,123 @@ final class PartitionedMorTable(
         parts.map(v => "\"" + MorTable.jsEscape(v) + "\"").mkString(",")}]}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
     token
+  }
+
+  /** Zero-copy BOOTSTRAP, partitioned form ([[MorTable.bootstrap]]
+    * completed across partitions — the Hudi METADATA_ONLY bootstrap over
+    * a Hive-partitioned layout, the normal shape of a 100 TB onboarding:
+    * `<sourceDir>/<partitionCol>=<v>/ *.parquet`): adopt every source
+    * partition directory as the matching child's external base — one
+    * instant file per child plus one parent instant, zero data jobs,
+    * zero bytes copied; the source layout is exactly what
+    * `df.write.partitionBy(partitionCol).parquet(dir)` produces (values
+    * Hive-escaped in dir names, the column absent from the files).
+    *
+    * Reads: the raw multi-dir scan cannot serve meta-less files, so
+    * every read path unions ONE partition-discovery scan over the still-
+    * bootstrapped children's source dirs (`basePath` = the source root,
+    * so `partitionCol` reconstructs; pruning = listing only the selected
+    * children) with the lake meta columns synthesized — `_record_key`
+    * from the keys, every row live, the whole bootstrap the parent
+    * token. Deltas then layer per child exactly as on managed bases
+    * (tokens > the bootstrap token outrank adopted rows), per-child
+    * compaction folds each child managed independently — O(churned
+    * partitions), cold history never rewritten — and a fully-compacted
+    * table no longer references the source at all. Like the
+    * unpartitioned form: the source is NEVER written or deleted
+    * (child clean/rollback only remove managed dirs; [[dropPartitions]]
+    * deletes only the child metadata dir), incremental/changelog reads
+    * start ABOVE the bootstrap (onboard consumers snapshot at the
+    * boundary), key-uniqueness of the source within each partition is
+    * the caller's contract, and until a child's first compaction that
+    * child has no manifest (no file-level pruning, no `_record_key`
+    * pushdown; data-column predicates still push into the external
+    * scan). Refuses loudly on a non-empty table, a missing/empty source
+    * partition dir, a Hive default (null) partition dir, key columns
+    * absent, or files carrying `partitionCol`/lake meta names.
+    * Idempotent for crash retries (children skip an already-adopted
+    * source dir; a completed bootstrap of the same source no-ops). */
+  def bootstrap(sourceDir: String, batchId: Long = -1L): PartitionedMorTable = {
+    if (isCommitted(batchId)) return this
+    val ptl = parentTimeline()
+    if (ptl.headOption.exists(i => i.bootstrapDir.contains(sourceDir) &&
+        !i.bootstrapMeta)) return this // completed bootstrap retry: no-op
+    require(ptl.isEmpty,
+      s"bootstrap requires an empty table, but $path has commits")
+    val src = new Path(sourceDir)
+    require(fs.exists(src), s"bootstrap source $sourceDir does not exist")
+    val prefix = s"$partitionCol="
+    val hiveDirs = fs.listStatus(src).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(prefix)).sorted
+    require(hiveDirs.nonEmpty,
+      s"bootstrap source $sourceDir has no $prefix<value> partition " +
+        "directories (standard Hive layout required)")
+    require(!hiveDirs.contains(prefix + "__HIVE_DEFAULT_PARTITION__"),
+      s"bootstrap source $sourceDir carries a null-partition dir — " +
+        "null partition values cannot be synthesized as typed literals")
+    val parts = hiveDirs.map { n =>
+      val raw = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(n.stripPrefix(prefix))
+      (raw, s"$sourceDir/$n")
+    }
+    parts.foreach { case (v, d) =>
+      require(fs.listStatus(new Path(d)).exists { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }, s"bootstrap source partition $d holds no data files")
+    }
+    // ONE discovery scan over the root: schema checks + the partition
+    // column's inferred type (footers only, no job)
+    val disc = spark.read.option("basePath", sourceDir)
+      .option("mergeSchema", "true")
+      .parquet(MorTable.globSafe(parts.map(_._2)): _*)
+    val missing = keyCols.filterNot(disc.schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"bootstrap source $sourceDir lacks key column(s): ${missing.mkString(", ")}")
+    val metaClash = disc.schema.fieldNames.filter(Set(
+      "_record_key", "_deleted", "_commit_seqno", "_commit_time"))
+    require(metaClash.isEmpty,
+      s"bootstrap source $sourceDir carries reserved lake column(s): " +
+        metaClash.mkString(", "))
+    // the value must live ONLY in the dir name: a data-side copy would
+    // make the discovery scan ambiguous and the synthesis double-bind it
+    val fileSchema = spark.read.parquet(MorTable.globSafe(parts.head._2)).schema
+    require(!fileSchema.fieldNames.contains(partitionCol),
+      s"bootstrap source files carry '$partitionCol' as a data column — " +
+        "Hive layout keeps partition values in directory names only")
+    val ptype = disc.schema(partitionCol).dataType.catalogString
+    // empty parent + empty children ⇒ the parent bootstrap token and
+    // every child's bootstrap seq are all 1; adoptBootstrapBase asserts
+    // the coincidence so both seqno-synthesis sites provably agree
+    val token = 1L
+    parts.foreach { case (v, d) =>
+      child(v).adoptBootstrapBase(d, partitionCol, v, ptype, expectSeq = token)
+    }
+    writeParentInstant(MorTable.Instant(token, "compact", batchId,
+      System.currentTimeMillis(), bootstrapDir = Some(sourceDir)))
+    this
+  }
+
+  /** The synthesizing scan over the named still-bootstrapped children —
+    * the one extra scan every read path unions with the raw multi-dir
+    * scan (plan size stays O(1) in partition count). `boots` pairs each
+    * child's partition value with its meta-less bootstrap instant. */
+  private def bootstrapScan(boots: Seq[(String, MorTable.Instant)]): Option[DataFrame] = {
+    if (boots.isEmpty) return None
+    val parent = parentTimeline().headOption
+      .filter(i => i.bootstrapDir.isDefined && !i.bootstrapMeta)
+      .getOrElse(throw new IllegalStateException(
+        s"child bootstrap base without a parent bootstrap instant on $path"))
+    val scan = spark.read.option("basePath", parent.bootstrapDir.get)
+      .option("mergeSchema", "true")
+      .parquet(MorTable.globSafe(boots.map(_._2.bootstrapDir.get)): _*)
+    Some(scan
+      .withColumn("_record_key",
+        concat_ws("|", keyCols.map(c => col(c).cast("string")): _*))
+      .withColumn("_deleted", lit(false))
+      .withColumn("_commit_seqno", lit(parent.seq))
+      .withColumn("_commit_time",
+        lit(MorTable.commitTimeString(parent.commitMs))))
   }
 
   /** Shallow CLONE, partitioned form ([[MorTable.cloneTo]] semantics

@@ -156,10 +156,16 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
     // catalog entry re-resolves this relation, and later resolutions
     // (after the bootstrap commit, or after upserts) must no-op.
     parameters.get("bootstrap").foreach { src =>
-      require(!parameters.contains("partition"),
-        "graft.mor: bootstrap targets an unpartitioned table")
-      val t = MorTable.resolve(sqlContext.sparkSession, path, keys)
-      if (t.timeline().isEmpty) { t.bootstrap(src); () }
+      parameters.get("partition") match {
+        case Some(p) =>
+          // partitioned route: adopts the source's Hive
+          // `<partition>=<v>/` layout per child, zero-copy
+          val t = PartitionedMorTable.resolve(sqlContext.sparkSession, path, keys, p)
+          if (t.parentTimeline().isEmpty) { t.bootstrap(src); () }
+        case None =>
+          val t = MorTable.resolve(sqlContext.sparkSession, path, keys)
+          if (t.timeline().isEmpty) { t.bootstrap(src); () }
+      }
     }
     MorRelation(sqlContext, path, keys,
       asOf = parameters.get("asOf").map(_.toLong).orElse(asOfTs),

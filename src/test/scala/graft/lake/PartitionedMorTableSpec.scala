@@ -646,4 +646,133 @@ class PartitionedMorTableSpec extends AnyFunSuite {
     assert(src.releaseSavepointsOlderThan(1L, nowMs = far,
       includeClonePins = true).contains(pin))
   }
+
+  test("bootstrap: partitioned zero-copy onboarding — Hive layout adopted, deltas layer, per-child compaction folds, source never touched") {
+    // standard Hive layout, exactly what partitionBy produces: the
+    // partition value lives ONLY in the dir names, typed int by discovery
+    val extDir = tmp() + "/ext"
+    Seq((1L, "a", 10, 100), (2L, "a", 20, 100), (3L, "b", 30, 200),
+      (4L, "b", 40, 200), (5L, "c", 50, 300))
+      .toDF("k", "name_tag", "v", "dt")
+      .write.partitionBy("dt").parquet(extDir)
+    val f = new org.apache.hadoop.fs.Path(extDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def extState() = {
+      def walk(p: org.apache.hadoop.fs.Path): Seq[(String, Long, Long)] =
+        f.listStatus(p).toSeq.flatMap(st =>
+          if (st.isDirectory) walk(st.getPath)
+          else Seq((st.getPath.toString, st.getLen, st.getModificationTime)))
+      walk(new org.apache.hadoop.fs.Path(extDir)).sortBy(_._1)
+    }
+    val before = extState()
+
+    val path = tmp()
+    val t = new PartitionedMorTable(spark, path, Seq("k"), "dt",
+      compactionDeltaCommits = 1000, autoCompact = false)
+    t.bootstrap(extDir, batchId = 1L)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df
+      .select("k", "dt", "v").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Int]("dt"), r.getAs[Int]("v"))).toSet
+    // zero copy: one instant per child + one parent instant, no data dirs
+    assert(t.partitions() == Seq("100", "200", "300"))
+    assert(t.parentTimeline().map(_.kind) == Seq("compact"))
+    assert(t.parentTimeline().head.bootstrapDir.contains(extDir))
+    t.partitions().foreach { v =>
+      assert(t.child(v).timeline().size == 1)
+      assert(!new java.io.File(s"$path/p=$v/base").exists(),
+        "bootstrap must not copy data into managed base dirs")
+      assert(!new java.io.File(s"$path/p=$v/delta").exists())
+    }
+    // the full snapshot, RO view, pruned read, and point reads all serve
+    // the external data with the partition column reconstructed
+    assert(rowsOf(t.read()) == Set((1L, 100, 10), (2L, 100, 20),
+      (3L, 200, 30), (4L, 200, 40), (5L, 300, 50)))
+    assert(rowsOf(t.readOptimized()) == rowsOf(t.read()))
+    assert(rowsOf(t.read(Seq("200"))) == Set((3L, 200, 30), (4L, 200, 40)))
+    assert(rowsOf(t.readForKeys(Seq("3"))) == Set((3L, 200, 30)))
+    assert(rowsOf(t.readForKeysOf(Seq("5").toDF("k"))) == Set((5L, 300, 50)))
+    // exactly-once: a replayed bootstrap batch / completed retry no-ops
+    t.bootstrap(extDir, batchId = 1L)
+    assert(t.parentTimeline().size == 1)
+
+    // deltas layer on top: an update, an insert (new partition!), a delete
+    t.upsert(Seq((2L, 100, 21), (9L, 400, 90)).toDF("k", "dt", "v"),
+      Seq(col("v")), batchId = 2L)
+    t.delete(Seq((5L, 300)).toDF("k", "dt"), batchId = 3L)
+    assert(rowsOf(t.read()) == Set((1L, 100, 10), (2L, 100, 21),
+      (3L, 200, 30), (4L, 200, 40), (9L, 400, 90)))
+    assert(rowsOf(t.readForKeys(Seq("2", "5", "9"))) ==
+      Set((2L, 100, 21), (9L, 400, 90)))
+    // upsertIfNew: a bootstrap child has no probe-able key column —
+    // FAIL CLOSED, the touched bootstrap child must NOT claim newness
+    // even for a genuinely new key (downgrade, never a false proof)
+    val verdicts = t.upsertIfNew(Seq((6L, 200, 60)).toDF("k", "dt", "v"),
+      Seq(col("v")), batchId = 4L)
+    assert(verdicts == Map("200" -> false),
+      s"bootstrap child claimed newness it cannot prove: $verdicts")
+    assert(rowsOf(t.read()).contains((6L, 200, 60)))
+    // time travel: the bootstrap state replays at the bootstrap token
+    val bootTok = t.parentTimeline().head.seq
+    assert(rowsOf(t.readAt(bootTok)) == Set((1L, 100, 10), (2L, 100, 20),
+      (3L, 200, 30), (4L, 200, 40), (5L, 300, 50)))
+    // incremental pull starts ABOVE the bootstrap (onboarding contract)
+    assert(t.readIncremental(bootTok).count() == 4) // 2,9,5-tombstone,6
+
+    // per-child compaction folds ONLY the churned children managed;
+    // partition 300 still serves its external base afterwards
+    t.compactPartitions(Seq("100", "200"))
+    assert(new java.io.File(s"$path/p=100/base").exists())
+    assert(!new java.io.File(s"$path/p=300/base").exists())
+    assert(rowsOf(t.read()) == Set((1L, 100, 10), (2L, 100, 21),
+      (3L, 200, 30), (4L, 200, 40), (6L, 200, 60), (9L, 400, 90)))
+    assert(rowsOf(t.readAt(bootTok)) == Set((1L, 100, 10), (2L, 100, 20),
+      (3L, 200, 30), (4L, 200, 40), (5L, 300, 50)),
+      "travel must still replay the bootstrap state after compaction")
+    // the dt=300 tombstone survives compaction of ITS child too
+    t.compactPartitions(Seq("300", "400"))
+    assert(rowsOf(t.read()) == Set((1L, 100, 10), (2L, 100, 21),
+      (3L, 200, 30), (4L, 200, 40), (6L, 200, 60), (9L, 400, 90)))
+    assert(extState() == before,
+      "bootstrap/compaction/reads must never touch the external source")
+
+    // refusals: non-empty table (same source no-ops — the completed-retry
+    // contract — but a DIFFERENT source must refuse), missing source, no
+    // hive dirs, key column absent, partition col carried as a data column
+    val other = tmp() + "/other"
+    Seq((7L, 7, 100)).toDF("k", "v", "dt").write.partitionBy("dt").parquet(other)
+    intercept[IllegalArgumentException](t.bootstrap(other))
+    val rowsBefore = rowsOf(t.read())
+    t.bootstrap(extDir) // completed bootstrap of the same source: no-op
+    assert(rowsOf(t.read()) == rowsBefore)
+    val t2 = new PartitionedMorTable(spark, tmp(), Seq("k"), "dt",
+      compactionDeltaCommits = 1000, autoCompact = false)
+    intercept[IllegalArgumentException](t2.bootstrap(extDir + "-nope"))
+    val flat = tmp() + "/flat"
+    Seq((1L, 1)).toDF("k", "v").write.parquet(flat)
+    intercept[IllegalArgumentException](t2.bootstrap(flat))
+    val badKey = tmp() + "/badkey"
+    Seq((1, 100)).toDF("v", "dt").write.partitionBy("dt").parquet(badKey)
+    intercept[IllegalArgumentException](t2.bootstrap(badKey))
+    val carried = tmp() + "/carried"
+    Seq((1L, 1, 100)).toDF("k", "v", "dt").write.parquet(s"$carried/dt=100")
+    intercept[IllegalArgumentException](t2.bootstrap(carried))
+  }
+
+  test("bootstrap retry recovers a crash between child adoptions and the parent instant") {
+    val extDir = tmp() + "/ext"
+    Seq((1L, "x", 100), (2L, "y", 200)).toDF("k", "v", "dt")
+      .write.partitionBy("dt").parquet(extDir)
+    val path = tmp()
+    val t = new PartitionedMorTable(spark, path, Seq("k"), "dt",
+      compactionDeltaCommits = 1000, autoCompact = false)
+    // simulate the crash: one child adopted, parent timeline never written
+    t.child("100").adoptBootstrapBase(s"$extDir/dt=100", "dt", "100", "int",
+      expectSeq = 1L)
+    assert(t.parentTimeline().isEmpty)
+    // the retry must skip the adopted child and complete
+    t.bootstrap(extDir, batchId = 7L)
+    assert(t.parentTimeline().size == 1)
+    assert(t.read().count() == 2)
+    t.partitions().foreach(v => assert(t.child(v).timeline().size == 1))
+  }
 }

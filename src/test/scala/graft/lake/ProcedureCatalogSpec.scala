@@ -217,4 +217,23 @@ class ProcedureCatalogSpec extends AnyFunSuite {
       .collect().map(_.getString(0))
     assert(sps.toSeq == Seq("pp"), "the pin itself survives the restore")
   }
+
+  test("CALL graft_ops.bootstrap routes to the partitioned form on a partitioned table") {
+    val ext = TestSpark.tmpDir("proc-boot-src")
+    Seq(("u1", 1, "2024-01"), ("u2", 2, "2024-01"), ("u3", 3, "2024-02"))
+      .toDF("uuid", "n", "pt").write.partitionBy("pt")
+      .mode("overwrite").parquet(ext)
+    val path = TestSpark.tmpDir("proc-boot-part")
+    val p = PartitionedMorTable.resolve(spark, path, Seq("uuid"), "pt")
+    graft.GraftCatalog.register(spark, "proc_boot_p", p)
+    val ack = spark.sql(
+      s"CALL graft_ops.bootstrap(table => 'proc_boot_p', source => '$ext')")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(ack.toSeq == Seq(("bootstrapped", ext)))
+    // zero-copy per child + readable through the SQL surface
+    assert(p.partitions() == Seq("2024-01", "2024-02"))
+    p.partitions().foreach(v =>
+      assert(!new java.io.File(s"$path/p=$v/base").exists()))
+    assert(spark.sql("SELECT count(*) FROM proc_boot_p").head().getLong(0) == 3)
+  }
 }

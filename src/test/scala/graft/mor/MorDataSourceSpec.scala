@@ -64,6 +64,33 @@ class MorDataSourceSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS mor_boot_t")
   }
 
+  test("bootstrap option, partitioned route: Hive layout adopted zero-copy in pure SQL") {
+    val ext = TestSpark.tmpDir("dsv1-bootstrap-psrc")
+    Seq(("id1", 23, "a"), ("id2", 20, "a"), ("id3", 56, "b"))
+      .toDF("uuid", "age", "pt")
+      .write.partitionBy("pt").mode("overwrite").parquet(ext)
+    val path = TestSpark.tmpDir("dsv1-bootstrap-part")
+    spark.sql(s"CREATE TABLE mor_boot_pt USING `graft.mor` OPTIONS " +
+      s"(path '$path', keys 'uuid', partition 'pt', bootstrap '$ext')")
+    try {
+      assert(spark.sql("SELECT count(*) FROM mor_boot_pt").head().getLong(0) == 3)
+      // partition pruning + the reconstructed partition column
+      assert(spark.sql(
+        "SELECT count(*) FROM mor_boot_pt WHERE pt = 'b'").head().getLong(0) == 1)
+      Seq("a", "b").foreach(v =>
+        assert(!new java.io.File(s"$path/p=$v/base").exists(),
+          "partitioned bootstrap must be zero-copy"))
+      // upserts layer; the next resolution must NOT re-bootstrap
+      // relation column order is keys, partition, then data cols
+      spark.sql("INSERT INTO mor_boot_pt VALUES ('id4', 'b', 31)")
+      assert(spark.sql("SELECT count(*) FROM mor_boot_pt").head().getLong(0) == 4)
+      assert(graft.lake.PartitionedMorTable
+        .resolve(spark, path, Seq("uuid"), "pt").parentTimeline()
+        .count(_.bootstrapDir.isDefined) == 1, "bootstrap must be idempotent")
+      assert(spark.read.parquet(ext).count() == 3)
+    } finally spark.sql("DROP TABLE IF EXISTS mor_boot_pt")
+  }
+
   test("asOf time-travel and sinceSeq incremental reads through the format") {
     val path = TestSpark.tmpDir("dsv1-tt")
     def df(pairs: (String, Int)*) = pairs.toSeq.toDF("uuid", "v")
