@@ -88,6 +88,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("topk_rows"), TopKRowsAgg.info,
       exprs => TopKRowsAgg(exprs.head, exprs(1),
         TopKRowsAgg.kOf(exprs), TopKRowsAgg.ascOf(exprs))))
+    // DDL spellings Spark's grammar lacks (CREATE TABLE … SHALLOW CLONE):
+    // one regex gate, everything else delegates to the session parser
+    ext.injectParser((_, delegate) => new graft.mor.GraftSqlParser(delegate))
     ext.injectResolutionRule(session => new MorRelationResolution(session))
     // SQL-text row-level DML (DELETE FROM / UPDATE / MERGE INTO) onto the
     // engine's deleteWhere/updateWhere/changelog verbs — post-hoc so the

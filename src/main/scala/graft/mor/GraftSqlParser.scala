@@ -1,0 +1,124 @@
+package graft.mor
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.lake.{MorTable, PartitionedMorTable}
+
+/** Delegating SQL parser for the engine's DDL spellings Spark's grammar
+  * lacks — today exactly one statement, the Delta-spelled shallow clone:
+  *
+  * {{{ CREATE TABLE [IF NOT EXISTS] dst SHALLOW CLONE src [LOCATION 'p'] }}}
+  *
+  * Everything else falls through to the session parser verbatim (the
+  * standard extension-parser shape: one regex gate, zero cost on the
+  * non-matching path). The bootstrap sibling needs no parser — `CREATE
+  * TABLE … USING graft.mor OPTIONS (bootstrap '<dir>')` is already plain
+  * Spark DDL routed by [[DefaultSource]]. */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  private val CloneStmt =
+    ("""(?is)\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?""" +
+      """([\w.`]+)\s+SHALLOW\s+CLONE\s+([\w.`]+)""" +
+      """(?:\s+LOCATION\s+'([^']*)')?\s*;?\s*""").r
+
+  private def clean(ident: String): String = ident.replace("`", "")
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case CloneStmt(ine, dst, src, loc) =>
+      GraftCloneTableCommand(clean(dst), clean(src), Option(loc), ine != null)
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}
+
+/** `CREATE TABLE dst SHALLOW CLONE src [LOCATION 'p']` — the SQL spelling
+  * of [[MorTable.cloneTo]] / [[PartitionedMorTable.cloneTo]] (the CALL
+  * `graft_ops.clone_table` twin): resolves the source through either
+  * table surface — a `graft.mor` session-catalog table (its OPTIONS give
+  * path/keys/partition) or a [[graft.GraftCatalog]]-registered handle —
+  * clones zero-copy to LOCATION (default: `<warehouse>/<dst>`), and
+  * registers the clone on the SAME surface the source came from, so the
+  * new name is immediately SELECT-able. All clone semantics (compaction-
+  * boundary refusals, the `clone_<dst>` source pin, divergence isolation)
+  * live in the engine verb — this command only routes. `IF NOT EXISTS`
+  * downgrades an existing destination NAME to a no-op; an existing
+  * destination DIRECTORY is refused by the verb itself. */
+case class GraftCloneTableCommand(dst: String, src: String,
+                                  location: Option[String],
+                                  ifNotExists: Boolean)
+    extends LeafRunnableCommand {
+
+  private def tid(n: String): TableIdentifier = n.split('.') match {
+    case Array(t) => TableIdentifier(t)
+    case Array(db, t) => TableIdentifier(t, Some(db))
+    case _ => throw new IllegalArgumentException(
+      s"SHALLOW CLONE: cannot parse table name '$n'")
+  }
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dstId = tid(dst)
+    val dstTaken = spark.sessionState.catalog.tableExists(dstId) ||
+      graft.GraftCatalog.lookup(spark, dst).isDefined
+    if (dstTaken) {
+      if (ifNotExists) return Seq.empty
+      throw new IllegalArgumentException(
+        s"SHALLOW CLONE: destination table '$dst' already exists")
+    }
+    val dstPath = location.getOrElse(
+      new Path(spark.sessionState.conf.warehousePath,
+        dstId.identifier).toString)
+    MorDml.morOptions(spark, tid(src)) match {
+      case Some(opts) =>
+        val path = opts.getOrElse("path", throw new IllegalArgumentException(
+          s"graft.mor table $src has no path option"))
+        val keys = opts.getOrElse("keys", "").split(",").toSeq
+          .map(_.trim).filter(_.nonEmpty)
+        opts.get("partition") match {
+          case Some(p) =>
+            PartitionedMorTable.resolve(spark, path, keys, p).cloneTo(dstPath)
+          case None =>
+            MorTable.resolve(spark, path, keys).cloneTo(dstPath)
+        }
+        // register the clone as its own graft.mor catalog table: the
+        // same keys/partition declaration over the new path
+        val partOpt = opts.get("partition")
+          .map(p => s", partition '$p'").getOrElse("")
+        spark.sql(s"CREATE TABLE ${dstId.quotedString} USING `graft.mor` " +
+          s"OPTIONS (path '$dstPath', keys '${keys.mkString(",")}'$partOpt)")
+        ()
+      case None => graft.GraftCatalog.handleOf(spark, src) match {
+        case Some(Left(t)) =>
+          graft.GraftCatalog.register(spark, dst, t.cloneTo(dstPath))
+        case Some(Right(p)) =>
+          graft.GraftCatalog.register(spark, dst, p.cloneTo(dstPath))
+        case None => throw new IllegalArgumentException(
+          s"SHALLOW CLONE: source '$src' is neither a graft.mor catalog " +
+            "table nor a GraftCatalog-registered handle")
+      }
+    }
+    Seq.empty
+  }
+}

@@ -91,6 +91,64 @@ class MorDataSourceSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS mor_boot_pt")
   }
 
+  test("CREATE TABLE … SHALLOW CLONE: DDL spelling routes onto cloneTo, both table forms") {
+    val srcPath = TestSpark.tmpDir("ddl-clone-src")
+    Seq(("id1", "Danny", 23), ("id2", "Emma", 20)).toDF("uuid", "name", "age")
+      .write.format("graft.mor").option("path", srcPath).option("keys", "uuid")
+      .save()
+    spark.sql(s"CREATE TABLE clone_src USING `graft.mor` OPTIONS " +
+      s"(path '$srcPath', keys 'uuid')")
+    try {
+      // boundary refusal surfaces through the DDL: live delta, no base yet
+      val dstPath = TestSpark.tmpDir("ddl-clone-dst")
+      intercept[IllegalStateException](spark.sql(
+        s"CREATE TABLE clone_dst SHALLOW CLONE clone_src LOCATION '$dstPath'"))
+      graft.lake.MorTable.resolve(spark, srcPath, Seq("uuid")).compact()
+      spark.sql(s"CREATE TABLE clone_dst SHALLOW CLONE clone_src LOCATION '$dstPath'")
+      // zero-copy + the source-side pin landed
+      assert(!new java.io.File(s"$dstPath/base").exists())
+      assert(graft.lake.MorTable.resolve(spark, srcPath, Seq("uuid"))
+        .savepoints().keys.exists(_.startsWith("clone_")))
+      // the clone is immediately SELECT-able and independently writable
+      assert(spark.sql("SELECT count(*) FROM clone_dst").head().getLong(0) == 2)
+      spark.sql("INSERT INTO clone_dst VALUES ('id3', 'Han', 56)")
+      assert(spark.sql("SELECT count(*) FROM clone_dst").head().getLong(0) == 3)
+      assert(spark.sql("SELECT count(*) FROM clone_src").head().getLong(0) == 2,
+        "clone writes must not leak into the source")
+      // IF NOT EXISTS on a taken name: no-op, no second pin
+      spark.sql("CREATE TABLE IF NOT EXISTS clone_dst SHALLOW CLONE clone_src")
+      intercept[IllegalArgumentException](spark.sql(
+        "CREATE TABLE clone_dst SHALLOW CLONE clone_src"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS clone_dst")
+      spark.sql("DROP TABLE IF EXISTS clone_src")
+    }
+  }
+
+  test("CREATE TABLE … SHALLOW CLONE, partitioned route") {
+    val srcPath = TestSpark.tmpDir("ddl-pclone-src")
+    Seq(("id1", "a", 1), ("id2", "b", 2)).toDF("uuid", "pt", "v")
+      .write.format("graft.mor").option("path", srcPath).option("keys", "uuid")
+      .option("partition", "pt").save()
+    spark.sql(s"CREATE TABLE pclone_src USING `graft.mor` OPTIONS " +
+      s"(path '$srcPath', keys 'uuid', partition 'pt')")
+    try {
+      graft.lake.PartitionedMorTable.resolve(spark, srcPath, Seq("uuid"), "pt")
+        .compactPartitions(Seq("a", "b"))
+      val dstPath = TestSpark.tmpDir("ddl-pclone-dst")
+      spark.sql(s"CREATE TABLE pclone_dst SHALLOW CLONE pclone_src LOCATION '$dstPath'")
+      assert(!new java.io.File(s"$dstPath/p=a/base").exists(),
+        "partitioned DDL clone must be zero-copy")
+      assert(spark.sql("SELECT count(*) FROM pclone_dst").head().getLong(0) == 2)
+      // partition pruning works through the cloned catalog entry
+      assert(spark.sql("SELECT count(*) FROM pclone_dst WHERE pt = 'a'")
+        .head().getLong(0) == 1)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS pclone_dst")
+      spark.sql("DROP TABLE IF EXISTS pclone_src")
+    }
+  }
+
   test("asOf time-travel and sinceSeq incremental reads through the format") {
     val path = TestSpark.tmpDir("dsv1-tt")
     def df(pairs: (String, Int)*) = pairs.toSeq.toDF("uuid", "v")
