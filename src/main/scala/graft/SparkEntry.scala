@@ -205,6 +205,8 @@ object SparkEntry {
     "r48_unpivot"         -> ((s, d) => RelationalOps.unpivotMeasures(s, d)),
     "r49_stream_outer_join" -> ((s, d) =>
       graft.streaming.StreamingQueries.streamOuterJoin(s, d)),
+    "r55_stream_full_outer" -> ((s, d) =>
+      graft.streaming.StreamingQueries.streamFullOuterJoin(s, d)),
     "r50_window_dist"     -> ((s, d) => RelationalOps.windowDistribution(s, d)),
     "r54_session_window"  -> ((s, d) =>
       graft.streaming.StreamingQueries.streamSessionWindow(s, d)),
@@ -1907,6 +1909,22 @@ object SparkEntry {
         |SELECT p.purchase_id, c.click_id,
         |       p.us // 1000 AS purchase_ms, c.us // 1000 AS click_ms
         |FROM p LEFT JOIN c ON p.user_id = c.user_id
+        |  AND c.us BETWEEN p.us - 3600000000 AND p.us""".stripMargin,
+    // the FULL OUTER completion of r49: same µs window, both null sides
+    "r55_stream_full_outer" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS us
+        |  FROM events
+        |), p AS (
+        |  SELECT event_id AS purchase_id, user_id, us FROM e
+        |  WHERE event_type = 'purchase'
+        |), c AS (
+        |  SELECT event_id AS click_id, user_id, us FROM e
+        |  WHERE event_type = 'click'
+        |)
+        |SELECT p.purchase_id, c.click_id,
+        |       p.us // 1000 AS purchase_ms, c.us // 1000 AS click_ms
+        |FROM p FULL JOIN c ON p.user_id = c.user_id
         |  AND c.us BETWEEN p.us - 3600000000 AND p.us""".stripMargin,
     "r29_cube_agg" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,

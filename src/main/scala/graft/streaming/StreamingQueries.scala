@@ -203,7 +203,25 @@ object StreamingQueries {
     * r30 whose contract is the ns-exact window via stateless post-filter
     * — an outer join cannot post-filter (it would drop null rows), so
     * its window IS the µs condition. */
-  def streamOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+  def streamOuterJoin(spark: SparkSession, dir: String): DataFrame =
+    streamOuterJoinImpl(spark, dir, "left_outer")
+
+  /** Stream-stream FULL OUTER join — [[streamOuterJoin]]'s family
+    * completed symmetrically: purchases with no click in the preceding
+    * hour AND clicks that preceded no purchase within the following hour
+    * both emit null-padded once the global watermark passes their state
+    * expiry. The same two-sentinel eviction drive works unchanged — each
+    * sentinel file carries BOTH event types, so both sides' watermarks
+    * advance and both null sides evict (right-null rows under the same
+    * batch-behind lag as left-null). Settles to EXACTLY the batch FULL
+    * JOIN at µs precision (oracle r55). Sentinel rows are removed from
+    * the materialized sink output with null-safe predicates — either id
+    * may now legitimately be null. */
+  def streamFullOuterJoin(spark: SparkSession, dir: String): DataFrame =
+    streamOuterJoinImpl(spark, dir, "full_outer")
+
+  private def streamOuterJoinImpl(spark: SparkSession, dir: String,
+                                  joinType: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/events.parquet"
     val batch = spark.read.parquet(path) // raw vintage (tsToNs normalizes)
@@ -266,7 +284,7 @@ object StreamingQueries {
         col("p_user") === col("user_id") &&
           col("click_ts") <= col("purchase_ts") &&
           col("click_ts") >= col("purchase_ts") - expr("interval 1 hour"),
-        "left_outer")
+        joinType)
       .select(col("purchase_id"), col("click_id"),
         unix_millis(col("purchase_ts")).as("purchase_ms"),
         unix_millis(col("click_ts")).as("click_ms"))
@@ -285,7 +303,12 @@ object StreamingQueries {
           s"[r49] batch=${p.batchId} in=${p.numInputRows} wm=${p.eventTime.get("watermark")} " +
             s"state=${p.stateOperators.toSeq.map(s => s"${s.numRowsTotal}/${s.numRowsRemoved}")}"))
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    spark.table(name).filter(col("purchase_id") >= 0)
+    // sentinel removal, null-safe (FULL OUTER legitimately nulls either
+    // id): a sentinel never pairs with a real row (user −1), so negative
+    // ids appear only on sentinel-sourced rows
+    spark.table(name).filter(
+      coalesce(col("purchase_id"), lit(0L)) >= 0 &&
+        coalesce(col("click_id"), lit(0L)) >= 0)
   }
 
   /** Streaming SESSION WINDOWS via Spark's BUILT-IN `session_window`
