@@ -65,6 +65,65 @@ object DebeziumSource {
       .option("maxFilesPerTrigger", "1")
       .json(watchDir)
 
+  /** SCHEMA-DRIFT contract for the wire (a Debezium payload that gains a
+    * column mid-stream — the upstream `ALTER TABLE ADD COLUMN` story):
+    *
+    *  - **Widen-on-read.** One inference pass over the segment dir (batch
+    *    JSON read, restart granularity — a production tail would sample
+    *    the newest segments) discovers the on-wire before/after fields;
+    *    fields absent from `declared` are ADDITIVE and appended, so a
+    *    restart parses old and new segments with ONE widened schema —
+    *    `from_json` with the superset nulls the field on pre-drift
+    *    segments, exactly the lake's additive-evolution read semantics,
+    *    and the downstream MOR commits widen additively for free
+    *    (unionByName/allowMissingColumns on every snapshot merge).
+    *  - **Narrowing is refused loudly.** A wire field whose inferred type
+    *    cannot up-cast to the declared type (string where a number was
+    *    declared, a struct reshape) throws — silently parsing it would
+    *    null or corrupt every post-drift value. Declared fields are
+    *    FOREVER: a field the wire stopped carrying stays declared (its
+    *    new rows read null) — dropping it would be lake-side narrowing,
+    *    which additive evolution forbids.
+    *
+    * Returns the widened schema (== `declared` when nothing drifted); an
+    * empty/missing segment dir returns `declared` unchanged. Feed the
+    * result to [[streamJsonDir]] and widen the [[Table]] col lists that
+    * should CARRY the new fields into the lake. */
+  def driftedSchema(spark: SparkSession, watchDir: String,
+                    declared: StructType): StructType = {
+    val dir = new java.io.File(watchDir)
+    val segs = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    if (segs.isEmpty) return declared
+    val inferred = spark.read.json(watchDir).schema
+    val payload = inferred.fields.find(_.name == "payload").map(_.dataType) match {
+      case Some(s: StructType) => s
+      case _ => throw new IllegalStateException(
+        s"segments in $watchDir carry no Debezium payload envelope")
+    }
+    val wire = StructType(Seq("before", "after").flatMap(side =>
+      payload.fields.find(_.name == side).map(_.dataType) match {
+        case Some(s: StructType) => s.fields.toSeq
+        case _ => Nil
+      }).groupBy(_.name).map(_._2.head).toSeq.sortBy(_.name))
+    def upcastable(from: org.apache.spark.sql.types.DataType,
+                   to: org.apache.spark.sql.types.DataType): Boolean =
+      from == to || from.isInstanceOf[NullType] ||
+        org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(from, to)
+    val additive = wire.fields.toSeq.flatMap { wf =>
+      declared.fields.find(_.name == wf.name) match {
+        case Some(df) if upcastable(wf.dataType, df.dataType) => None
+        case Some(df) => throw new IllegalStateException(
+          s"wire schema drift on '${wf.name}' is NOT additive: segments " +
+            s"carry ${wf.dataType.catalogString}, declared " +
+            s"${df.dataType.catalogString} — a type change needs a new " +
+            "column (additive evolution), not a silent re-parse")
+        case None => Some(wf.copy(nullable = true)) // additive: widen
+      }
+    }
+    StructType(declared.fields.toSeq ++ additive)
+  }
+
   /** One table's graft changelog envelope (op/key/before/after/seq — see
     * [[ChangelogSource]]) out of parsed Debezium rows. Works on a
     * streaming or batch DataFrame: it is a filter + projection, nothing

@@ -123,5 +123,43 @@ class ContinuousPipelineSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(finalState == Map("Annette" -> 7.5, "Bob" -> 6.0))
     assert(pipe.duplicateCheck().isEmpty)
+
+    // ---- CDC SCHEMA DRIFT (the upstream ALTER TABLE ADD COLUMN story):
+    // seg3's person payload gains `vip` mid-stream. The declared contract
+    // (DebeziumSource.driftedSchema): widen-on-read at restart — old
+    // segments null the new field, the state commit widens additively —
+    // and non-additive type drift refuses loudly.
+    seg("seg3.json",
+      """{"payload":{"op":"u","before":{"id":1.0,"full_name":"Annette"},"after":{"id":1.0,"full_name":"Annette","vip":true},"source":{"table":"person","lsn":5,"ts_ms":5}}}""")
+    val widened = DebeziumSource.driftedSchema(spark, watch, merged)
+    assert(widened.fieldNames.contains("vip"),
+      "driftedSchema must discover the additive wire field")
+    assert(merged.fields.forall(f => widened.fields.contains(f)),
+      "declared fields are forever — widening only appends")
+    val personV2 = DebeziumSource.Table("person",
+      Seq("id", "full_name", "vip"), Seq("id"))
+    val q3 = ContinuousPipeline.startFromDebezium(spark, pipe, watch, widened,
+      personV2, ticket, hist, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    assert(q3.awaitTermination(180000), "seg3 stream did not drain in 180s")
+    // additive-evolution commit: the person state widened; the pre-drift
+    // row reads null for the new column, the drifted row carries it
+    val vips = pipe.pState.read().collect()
+      .map(r => r.getAs[String]("full_name") ->
+        Option(r.getAs[Any]("vip"))).toMap
+    assert(vips == Map("Annette" -> Some(true), "Bob" -> None), vips.toString)
+    // sink semantics unchanged by the drift
+    assert(pipe.sink.read().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap ==
+      Map("Annette" -> 7.5, "Bob" -> 6.0))
+    // narrowing / type drift refuses loudly: a wire field whose inferred
+    // type cannot up-cast to the declaration (string where long declared)
+    val badWatch = TestSpark.tmpDir("dbz-wal-bad")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$badWatch/seg1.json"),
+      """{"payload":{"op":"c","before":null,"after":{"hid":"not-a-number"},"source":{"table":"hist","lsn":1,"ts_ms":1}}}"""
+        .getBytes("UTF-8"))
+    val e = intercept[IllegalStateException](
+      DebeziumSource.driftedSchema(spark, badWatch, merged))
+    assert(e.getMessage.contains("NOT additive"), e.getMessage)
   }
 }
