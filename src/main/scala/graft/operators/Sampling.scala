@@ -297,10 +297,34 @@ object Sampling {
   /** Per-group quota: at most `n` rows per value of `groupCol`, chosen as
     * the n smallest md5 buckets (a deterministic uniform draw). The cap a
     * curation pipeline puts on any one source/domain so no group dominates
-    * the training mix. */
+    * the training mix.
+    *
+    * Scale shape (the [[corpusShuffle]] two-level trick): a plain
+    * `row_number` over `partitionBy(group)` sorts EVERY row of a group in
+    * one task — dead when one domain approaches partition size at 100 TB.
+    * The top 8 bits of the 32-bit order key form a sub-bucket that agrees
+    * with the (hashBucket, key) total order (it is the order key's
+    * prefix), so per-(group, bucket) counts — a metadata-sized aggregate —
+    * give each bucket's prefix offset, buckets wholly past the quota drop
+    * BEFORE any ranking (for n ≪ group only ~n/group of each group ever
+    * enters a window), and the remaining rank windows are group/256-sized.
+    * The selected row set is EXACTLY the old single-window `row_number ≤ n`
+    * (SamplingSpec pins the equality). */
   def quotaPerGroup(df: DataFrame, groupCol: String, keyCol: String, n: Int): DataFrame = {
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(hashBucket(col(keyCol)), col(keyCol)) // key tiebreak: total order
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n).drop("__rn")
+    val withB = df.withColumn("__qh", hashBucket(col(keyCol)))
+      .withColumn("__qb", shiftright(col("__qh"), 24).cast("int"))
+    val offsets = withB.groupBy(col(groupCol), col("__qb"))
+      .agg(count(lit(1)).as("__qn"))
+      .withColumn("__qoff", coalesce(sum(col("__qn")).over(
+        Window.partitionBy(col(groupCol)).orderBy(col("__qb"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("__qoff") < n) // whole buckets past the quota never rank
+      .drop("__qn")
+    val w = Window.partitionBy(col(groupCol), col("__qb"))
+      .orderBy(col("__qh"), col(keyCol)) // key tiebreak: total order
+    withB.join(offsets, Seq(groupCol, "__qb")) // inner join prunes dropped buckets
+      .withColumn("__qrn", row_number().over(w) + col("__qoff"))
+      .filter(col("__qrn") <= n)
+      .select(df.columns.map(col): _*) // the join reordered; pin caller order
   }
 }

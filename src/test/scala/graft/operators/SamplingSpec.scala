@@ -33,6 +33,17 @@ class SamplingSpec extends AnyFunSuite {
     assert(q.groupBy("lang").count().filter(col("count") === 50).count() == before)
     val q2 = Sampling.quotaPerGroup(docs, "lang", "doc_id", 50)
     assert(q.exceptAll(q2).isEmpty)
+    // the two-level rank selects EXACTLY the naive single-window top-n
+    // (the bucket is the order key's prefix, so the orders agree)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      .orderBy(Sampling.hashBucket(col("doc_id")), col("doc_id"))
+    val naive = docs.withColumn("__rn",
+        org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") <= 50).drop("__rn")
+    assert(q.exceptAll(naive).isEmpty && naive.exceptAll(q).isEmpty,
+      "two-level quota must equal the single-window rank")
+    assert(q.columns.toSeq == docs.columns.toSeq,
+      "quota must preserve the caller's column order")
   }
 
   test("sequencePack: bins respect the budget up to one overflow doc; total preserved") {
