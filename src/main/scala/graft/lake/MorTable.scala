@@ -450,6 +450,22 @@ final class MorTable(
     * story. */
   def cloneTo(dstPath: String): MorTable = synchronized {
     val c = cloneBoundaryBase()
+    // clone AT a BOOTSTRAP boundary (the "onboard, then immediately
+    // branch a dev copy" workflow): the base is the USER's external
+    // parquet — forwarding the same reference IS the clone, and no pin is
+    // needed because the external dir is user-owned (this table's clean/
+    // rollback never touch it, per the bootstrap contract). The clone is
+    // literally an independent bootstrap of the same dir: same zero-copy,
+    // same rebase story, zero rewriting of the 100 TB onboarding.
+    if (c.bootstrapDir.isDefined && !c.bootstrapMeta) {
+      require(c.bootstrapPart.isEmpty,
+        s"cloneTo: $path is a partitioned-bootstrap CHILD — clone the " +
+          "parent table instead")
+      val dst = new MorTable(spark, dstPath, keyCols, compactionDeltaCommits,
+        compactionDeltaSeconds, autoCompact, writePartitions, bloomBits)
+      dst.bootstrap(c.bootstrapDir.get)
+      return dst
+    }
     // pin keyed by the DESTINATION's dir name — clones of one source must
     // use distinct dst names, or they would share (and co-release) a pin
     val pin = s"clone_${new Path(dstPath).getName.replaceAll("[^A-Za-z0-9-]", "_")}"
@@ -489,9 +505,13 @@ final class MorTable(
     require(deltas.isEmpty,
       s"cloneTo: $path has ${deltas.size} live delta commit(s) above the " +
         "base — clone is a compaction-boundary verb, compact() first")
-    require(c.bootstrapDir.isEmpty,
-      s"cloneTo: $path's base is itself external (bootstrap/clone) — " +
-        "compact() first to manage it")
+    // a meta-less BOOTSTRAP base is cloneable (forwarded as a fresh
+    // bootstrap of the same user-owned dir — see cloneTo); an adopted
+    // CLONE base is not: a clone-of-clone would need a cross-table pin on
+    // the ORIGINAL source, whose handle this table does not hold
+    require(c.bootstrapDir.isEmpty || !c.bootstrapMeta,
+      s"cloneTo: $path's base is an adopted CLONE base — compact() first " +
+        "to manage it")
     require(c.unfolded.isEmpty,
       s"cloneTo: base ${c.seq} carries unfolded straggler commits — " +
         "compact() again once they publish")

@@ -1406,6 +1406,45 @@ final class PartitionedMorTable(
     require(tokenBefore > 0, s"cloneTo: $path has no parent commits")
     // every child at a clean boundary BEFORE anything is pinned
     val bases = parts.map(v => v -> child(v).cloneBoundaryBase())
+    // clone AT the partitioned-bootstrap boundary: when EVERY child still
+    // serves its external Hive dir, the clone is an independent bootstrap
+    // of the same user-owned root — zero-copy, no pin (source-side
+    // housekeeping never touches external dirs). Mixed states (some
+    // children compacted managed, some still external) are refused: one
+    // parent instant cannot be both a token continuation and a bootstrap.
+    val bootChildren = bases.filter { case (_, c) =>
+      c.bootstrapDir.isDefined && !c.bootstrapMeta }
+    if (bootChildren.nonEmpty) {
+      require(bootChildren.size == bases.size,
+        s"cloneTo: $path mixes still-bootstrapped children " +
+          s"(${bootChildren.map(_._1).mkString(", ")}) with managed ones — " +
+          "compact the bootstrapped children first")
+      val root = parentTimeline().headOption
+        .filter(i => i.bootstrapDir.isDefined && !i.bootstrapMeta)
+        .flatMap(_.bootstrapDir)
+        .getOrElse(throw new IllegalStateException(
+          s"cloneTo: bootstrap children without a parent bootstrap instant on $path"))
+      // a dropPartitions on the source leaves its dirs in the user root —
+      // a clone (a fresh adoption of the WHOLE root) would resurrect
+      // them; refuse the surprise rather than silently diverging
+      val prefix = s"$partitionCol="
+      val rootParts = fs.listStatus(new Path(root)).toSeq
+        .map(_.getPath.getName).filter(_.startsWith(prefix))
+        .map(n => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(n.stripPrefix(prefix))).toSet
+      require(rootParts == parts.toSet,
+        s"cloneTo: the bootstrap root $root carries partition dirs the " +
+          s"source no longer serves (source: ${parts.mkString(", ")}; " +
+          s"root: ${rootParts.toSeq.sorted.mkString(", ")}) — clone from " +
+          "a fresh root or compact the source first")
+      val dst = new PartitionedMorTable(spark, dstPath, keyCols, partitionCol,
+        compactionDeltaCommits, compactionDeltaSeconds, autoCompact,
+        writePartitions)
+      require(dst.parentTimeline().isEmpty,
+        s"clone destination $dstPath already has commits")
+      dst.bootstrap(root)
+      return dst
+    }
     val pin = s"clone_${new Path(dstPath).getName.replaceAll("[^A-Za-z0-9-]", "_")}"
     // found-vs-created matters: a pre-existing pin may protect an EARLIER
     // live clone of this dst name — a failed retry must never release it

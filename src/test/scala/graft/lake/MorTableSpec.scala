@@ -1045,6 +1045,48 @@ class MorTableSpec extends AnyFunSuite {
     assert(dst.read().count() == 7)
   }
 
+  test("cloneTo at a bootstrap boundary: forwarded external reference, no pin, independent divergence") {
+    val ext = graft.TestSpark.tmpDir("mor-cob-ext")
+    t1Rows.write.mode("overwrite").parquet(ext)
+    val extBefore = spark.read.parquet(ext).collect().toSet
+    val src = MorTable(spark, graft.TestSpark.tmpDir("mor-cob-src"), Seq("uuid"),
+      compactionDeltaCommits = 100)
+    src.bootstrap(ext, batchId = 1L)
+    // onboard → immediately branch a dev copy: no 100 TB compact needed
+    val dstPath = graft.TestSpark.tmpDir("mor-cob-dst")
+    val dst = src.cloneTo(dstPath)
+    // the clone is an independent bootstrap of the same user-owned dir:
+    // zero-copy, and NO pin (external dirs are never cleaned source-side)
+    assert(!new java.io.File(s"$dstPath/base").exists())
+    assert(dst.timeline().head.bootstrapDir.contains(ext))
+    assert(src.savepoints().isEmpty, "bootstrap-boundary clone needs no pin")
+    assert(dst.read().count() == 8)
+    // two-way divergence isolation, straight off the shared reference
+    dst.upsert(Seq(("id1", "CloneEdit", 1, "2030-01-01 00:00:00"))
+      .toDF("uuid", "name", "age", "ts"), Seq(col("ts")))
+    src.deleteWhere(col("uuid") === "id2")
+    assert(dst.read().filter(col("uuid") === "id1").head()
+      .getAs[String]("name") == "CloneEdit")
+    assert(src.read().filter(col("uuid") === "id1").head()
+      .getAs[String]("name") == "Danny")
+    assert(dst.read().count() == 8 && src.read().count() == 7)
+    // both sides compact managed; the external dir is never touched
+    src.compact(); dst.compact()
+    assert(spark.read.parquet(ext).collect().toSet == extBefore)
+    // a bootstrap base WITH live deltas still refuses (boundary verb)
+    val src2 = MorTable(spark, graft.TestSpark.tmpDir("mor-cob-src2"), Seq("uuid"),
+      compactionDeltaCommits = 100)
+    src2.bootstrap(ext)
+    src2.deleteWhere(col("uuid") === "id3")
+    intercept[IllegalArgumentException](
+      src2.cloneTo(graft.TestSpark.tmpDir("mor-cob-x")))
+    // clone-of-CLONE stays refused (would need a cross-table pin)
+    val c1 = src.cloneTo(graft.TestSpark.tmpDir("mor-cob-c1"))
+    val e = intercept[IllegalArgumentException](
+      c1.cloneTo(graft.TestSpark.tmpDir("mor-cob-c2")))
+    assert(e.getMessage.contains("CLONE base"), e.getMessage)
+  }
+
   test("cloneTo retry after source advance never releases the live clone's pin") {
     val src = MorTable(spark, graft.TestSpark.tmpDir("mor-clone-pin-src"), Seq("uuid"),
       compactionDeltaCommits = 100)

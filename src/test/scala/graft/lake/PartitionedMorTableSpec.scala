@@ -758,6 +758,36 @@ class PartitionedMorTableSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](t2.bootstrap(carried))
   }
 
+  test("partitioned cloneTo at the bootstrap boundary: fresh adoption of the same root, no pin") {
+    val extDir = tmp() + "/ext"
+    Seq((1L, 10, 100), (2L, 20, 200)).toDF("k", "v", "dt")
+      .write.partitionBy("dt").parquet(extDir)
+    val src = new PartitionedMorTable(spark, tmp(), Seq("k"), "dt",
+      compactionDeltaCommits = 1000, autoCompact = false)
+    src.bootstrap(extDir, batchId = 1L)
+    val dstPath = tmp()
+    val dst = src.cloneTo(dstPath)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Int]("dt"), r.getAs[Int]("v"))).toSet
+    assert(rowsOf(dst.read()) == Set((1L, 100, 10), (2L, 200, 20)))
+    assert(src.savepoints().isEmpty, "bootstrap-boundary clone needs no pin")
+    dst.partitions().foreach(v =>
+      assert(!new java.io.File(s"$dstPath/p=$v/base").exists()))
+    // divergence both ways off the shared user-owned root
+    dst.upsert(Seq((1L, 100, 99)).toDF("k", "dt", "v"), Seq(col("v")), batchId = 2L)
+    src.delete(Seq((2L, 200)).toDF("k", "dt"), batchId = 2L)
+    assert(rowsOf(dst.read()) == Set((1L, 100, 99), (2L, 200, 20)))
+    assert(rowsOf(src.read()) == Set((1L, 100, 10)))
+    // mixed boundary (one child compacted managed, one still external)
+    // refuses: one parent instant cannot be both continuation + bootstrap
+    val src2 = new PartitionedMorTable(spark, tmp(), Seq("k"), "dt",
+      compactionDeltaCommits = 1000, autoCompact = false)
+    src2.bootstrap(extDir, batchId = 1L)
+    src2.compactPartitions(Seq("100"))
+    val e = intercept[IllegalArgumentException](src2.cloneTo(tmp()))
+    assert(e.getMessage.contains("mixes"), e.getMessage)
+  }
+
   test("bootstrap retry recovers a crash between child adoptions and the parent instant") {
     val extDir = tmp() + "/ext"
     Seq((1L, "x", 100), (2L, "y", 200)).toDF("k", "v", "dt")
