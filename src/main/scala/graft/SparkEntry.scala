@@ -56,6 +56,7 @@ object SparkEntry {
     "s72_clone"           -> ((s, d) => graft.lake.LakeQueries.shallowClone(s, d)),
     "s74_part_clone"      -> ((s, d) => graft.lake.LakeQueries.partShallowClone(s, d)),
     "s75_part_bootstrap"  -> ((s, d) => graft.lake.LakeQueries.partBootstrapOnboard(s, d)),
+    "s76_clone_of_bootstrap" -> ((s, d) => graft.lake.LakeQueries.cloneOfBootstrap(s, d)),
     "s73_incr_sketch_index" -> ((s, d) =>
       graft.lake.LakeQueries.incrementalSketchIndex(s, d)),
     "d31_incr_dedup"      -> ((s, d) =>
@@ -3277,6 +3278,9 @@ object SparkEntry {
     // the same onboarding story over the partitioned Hive layout — one
     // oracle for both table forms (s71's CASE / anti-filter semantics)
     "s75_part_bootstrap" -> BootstrapOracle,
+    // onboard → branch: the CLONE applies the same touch-ups off the
+    // forwarded external base; its diverged state == the shared oracle
+    "s76_clone_of_bootstrap" -> BootstrapOracle,
     // s53 replays the same savepoint→backfill→restore story with every
     // verb driven through CALL procedures — same final state by contract
     "s53_sql_procedures" -> SavepointOracle,

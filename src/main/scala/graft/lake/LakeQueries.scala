@@ -182,6 +182,46 @@ object LakeQueries {
         "c_mktsegment"), path)
   }
 
+  /** CLONE AT THE BOOTSTRAP BOUNDARY ([[MorTable.cloneTo]] forwarding the
+    * external reference — the "onboard 100 TB, then immediately branch a
+    * dev copy" workflow, no compact in between), oracle-checked: adopt
+    * the raw customer parquet METADATA-ONLY, clone the table AT that
+    * boundary (asserted zero-copy on BOTH tables and pin-free — the
+    * shared base is the user's own dir, which source-side housekeeping
+    * never touches), then diverge BOTH sides: the source deletes every
+    * 4th row, the clone applies the s71 touch-up story (every 10th
+    * custkey's balance zeroed, every 17th ≡ 3 deleted) and compacts into
+    * its first managed base. The returned CLONE state must equal the
+    * same CASE / anti-filter over the raw file (the s71/s75 shared
+    * oracle — three onboarding routes, one contract) and must NOT see
+    * the source's deletes. */
+  def cloneOfBootstrap(spark: SparkSession, dir: String): DataFrame = {
+    val srcPath = tempPath("mor-cob-src")
+    val clonePath = tempPath("mor-cob-dst")
+    val t = MorTable(spark, srcPath, keyCols = Seq("c_custkey"),
+      compactionDeltaCommits = 1000)
+    t.bootstrap(s"$dir/customer.parquet", batchId = 1L)
+    val c = t.cloneTo(clonePath)
+    assert(!new java.io.File(s"$srcPath/base").exists() &&
+      !new java.io.File(s"$clonePath/base").exists(),
+      "bootstrap-boundary clone must be zero-copy on both tables")
+    assert(t.savepoints().isEmpty,
+      "bootstrap-boundary clone must not pin (the base is user-owned)")
+    // divergence: the source's deletes must never reach the clone
+    t.deleteWhere(col("c_custkey") % 4 === 0, batchId = 2L)
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+    c.upsert(cust.filter(col("c_custkey") % 10 === 0)
+      .withColumn("c_acctbal", lit(0.0)), Seq(col("c_custkey")), batchId = 2L)
+    c.deleteWhere(col("c_custkey") % 17 === 3, batchId = 3L)
+    c.compact()
+    assert(t.read().filter(col("c_custkey") % 4 === 0).count() == 0 &&
+      c.read().filter(col("c_custkey") % 4 === 0).count() > 0,
+      "divergence leaked between the bootstrap clone and its source")
+    graft.TempDirs.materializeAndDelete(
+      c.read().select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment"), srcPath, clonePath)
+  }
+
   /** INCREMENTALLY-MAINTAINED distinct-count SKETCH INDEX over the lake
     * (per-event_type distinct USERS via mergeable HLL registers,
     * maintained off the events changelog): each maintenance cycle

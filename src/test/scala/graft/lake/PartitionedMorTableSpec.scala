@@ -589,6 +589,28 @@ class PartitionedMorTableSpec extends AnyFunSuite {
       Set((1L, "a", 11), (2L, "b", 99), (3L, "b", 30)))
   }
 
+  test("point reads on a FRESH partitioned clone scan the adopted external bases (pointScanPaths regression)") {
+    // regression: pointScanPaths' no-manifest fallback returned the
+    // MANAGED base path ($child/base/<seq>) for a clone-adopted base —
+    // which does not exist on a fresh clone — crashing readForKeys before
+    // the clone's first compaction
+    val src = new PartitionedMorTable(spark, tmp(), Seq("k"), "p",
+      compactionDeltaCommits = 1000, autoCompact = false)
+    src.upsert(Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "p", "v"),
+      Seq(col("k")), batchId = 1L)
+    src.compactPartitions(src.partitions())
+    val dst = src.cloneTo(tmp())
+    val got = dst.readForKeys(Seq("1")).collect()
+    assert(got.length == 1 && got.head.getAs[Int]("v") == 10)
+    assert(dst.readForKeys(Seq("1", "2")).count() == 2)
+    // unpartitioned form too: fresh clone, point read before compaction
+    val usrc = MorTable(spark, tmp(), Seq("k"), compactionDeltaCommits = 100)
+    usrc.upsert(Seq((1L, 10), (2L, 20)).toDF("k", "v"), Seq(col("v")), batchId = 1L)
+    usrc.compact()
+    val udst = usrc.cloneTo(tmp())
+    assert(udst.readForKeys(Seq("2")).head().getAs[Int]("v") == 20)
+  }
+
   test("partitioned cloneTo retry recovers a crash between child adoptions and the parent instant") {
     val src = new PartitionedMorTable(spark, tmp(), Seq("k"), "p",
       compactionDeltaCommits = 100, autoCompact = false)
