@@ -107,6 +107,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectHintResolutionRule(session => new graft.mor.MorTimeTravelResolution(session))
     ext.injectOptimizerRule(session => new graft.plans.ApproxDistinctRewrite(session))
     ext.injectOptimizerRule(session => new graft.plans.TopKRewrite(session))
+    // metadata-only COUNT(*) over mor snapshot scans at a clean boundary
+    ext.injectOptimizerRule(session => new graft.plans.MetadataCountRewrite(session))
   }
 }
 

@@ -57,6 +57,7 @@ object SparkEntry {
     "s74_part_clone"      -> ((s, d) => graft.lake.LakeQueries.partShallowClone(s, d)),
     "s75_part_bootstrap"  -> ((s, d) => graft.lake.LakeQueries.partBootstrapOnboard(s, d)),
     "s76_clone_of_bootstrap" -> ((s, d) => graft.lake.LakeQueries.cloneOfBootstrap(s, d)),
+    "s77_metadata_count"  -> ((s, d) => graft.lake.LakeQueries.metadataCount(s, d)),
     "s73_incr_sketch_index" -> ((s, d) =>
       graft.lake.LakeQueries.incrementalSketchIndex(s, d)),
     "d31_incr_dedup"      -> ((s, d) =>
@@ -3281,6 +3282,12 @@ object SparkEntry {
     // onboard → branch: the CLONE applies the same touch-ups off the
     // forwarded external base; its diverged state == the shared oracle
     "s76_clone_of_bootstrap" -> BootstrapOracle,
+    // metadata-only count(*) at two boundaries + the fail-closed scan in
+    // between (in-plan asserts prove WHICH path answered each phase)
+    "s77_metadata_count" ->
+      """SELECT (SELECT count(*) FROM events) AS n_boundary,
+        |       (SELECT count(*) FROM events WHERE user_id % 7 <> 0) AS n_scan,
+        |       (SELECT count(*) FROM events WHERE user_id % 7 <> 0) AS n_meta""".stripMargin,
     // s53 replays the same savepoint→backfill→restore story with every
     // verb driven through CALL procedures — same final state by contract
     "s53_sql_procedures" -> SavepointOracle,

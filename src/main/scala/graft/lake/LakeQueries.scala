@@ -222,6 +222,50 @@ object LakeQueries {
         "c_mktsegment"), srcPath, clonePath)
   }
 
+  /** METADATA-ONLY COUNT(*) ([[graft.plans.MetadataCountRewrite]] — the
+    * Delta/Hudi count-from-stats optimization), oracle-checked end-to-end
+    * with BOTH sides of the fail-closed contract asserted in-plan: load
+    * the events lake, compact, and `SELECT count(*)` through the SQL
+    * catalog — the optimized plan must contain NO relation at all (the
+    * manifest header answers); tombstone every user ≡ 0 (mod 7) — the
+    * live delta must fail CLOSED to a real scan (asserted) and the scan
+    * count must exclude the deletes; compact again — metadata-only again,
+    * now proving `liveRows` excludes the RETAINED tombstone rows the
+    * base still physically holds. At 100 TB: phase 1/3 are free answers;
+    * phase 2 is the correctness insurance. */
+  def metadataCount(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "value", "ts_ms")
+    val path = tempPath("mor-metacount")
+    val t = new MorTable(spark, path, keyCols = Seq("event_id"),
+      compactionDeltaCommits = 1000, writePartitions = 4)
+    t.upsert(ev, Seq(col("ts_ms"), col("event_id")), batchId = 1L)
+    t.compact()
+    spark.sql("DROP TABLE IF EXISTS graft_meta_count_t")
+    spark.sql(s"CREATE TABLE graft_meta_count_t USING `graft.mor` OPTIONS " +
+      s"(path '$path', keys 'event_id')")
+    def q() = spark.sql("SELECT count(*) AS n FROM graft_meta_count_t")
+    def metaOnly(df: DataFrame) = !df.queryExecution.optimizedPlan.exists {
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+      case _ => false
+    }
+    val b = q()
+    assert(metaOnly(b), "boundary count(*) must be metadata-only (no scan)")
+    val nBoundary = b.head().getLong(0)
+    t.deleteWhere(col("user_id") % 7 === 0, batchId = 2L)
+    val s = q()
+    assert(!metaOnly(s), "a live delta must fail closed to the real scan")
+    val nScan = s.head().getLong(0)
+    t.compact()
+    val m = q()
+    assert(metaOnly(m), "post-compact count(*) must be metadata-only again")
+    val nMeta = m.head().getLong(0)
+    spark.sql("DROP TABLE IF EXISTS graft_meta_count_t")
+    graft.TempDirs.materializeAndDelete(
+      spark.range(1).select(lit(nBoundary).as("n_boundary"),
+        lit(nScan).as("n_scan"), lit(nMeta).as("n_meta")), path)
+  }
+
   /** INCREMENTALLY-MAINTAINED distinct-count SKETCH INDEX over the lake
     * (per-event_type distinct USERS via mergeable HLL registers,
     * maintained off the events changelog): each maintenance cycle

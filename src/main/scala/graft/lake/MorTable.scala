@@ -809,7 +809,11 @@ final class MorTable(
         // tombstone flag: a file holding ANY retained tombstone is exempt
         // from secondary-index pruning (a tombstone's data cols are null —
         // no bloom could witness it; see readForColEquals)
-        max(when(col("_deleted"), 1).otherwise(0)).as("del")) ++
+        max(when(col("_deleted"), 1).otherwise(0)).as("del"),
+        // exact NON-tombstone row count — the metadata-only COUNT(*)
+        // source ([[exactLiveRowCount]]): at a clean boundary the base's
+        // live total IS the snapshot count, answered from one header field
+        sum(when(col("_deleted"), 0L).otherwise(1L)).as("live")) ++
         sCols.flatMap(c => Seq(
           min(col(c).cast("double")).as(s"mn_$c"),
           max(col(c).cast("double")).as(s"mx_$c"))) ++
@@ -862,7 +866,8 @@ final class MorTable(
       // interval check needs BOTH bounds — a numeric column with no
       // min/max reads as an EMPTY interval to FilterEstimation, not an
       // unknown one, and would estimate every literal to zero rows)
-      val rowsAggs = Seq(sum(col("rows")).as("total")) ++ sCols.flatMap(c =>
+      val rowsAggs = Seq(sum(col("rows")).as("total"),
+        sum(col("live")).as("liveTotal")) ++ sCols.flatMap(c =>
         Seq(min(col(s"mn_$c")).as(s"cmin_$c"), max(col(s"mx_$c")).as(s"cmax_$c")))
       scanObs
         .groupBy(regexp_extract(input_file_name(), "[^/]*$", 0).as("fname"))
@@ -874,6 +879,10 @@ final class MorTable(
       val dir = new Path(hPath, "manifest")
       fs.mkdirs(dir)
       val totalRows = rowsObs.get.get("total") match {
+        case Some(l: java.lang.Long) => l.longValue()
+        case _ => 0L
+      }
+      val liveRows = rowsObs.get.get("liveTotal") match {
         case Some(l: java.lang.Long) => l.longValue()
         case _ => 0L
       }
@@ -904,7 +913,7 @@ final class MorTable(
         }
       val json =
         s"""{"baseSeq":$seq,"filter":"_deleted = false",""" +
-          s""""fileCount":${files.size},"rows":$totalRows,$ndvJson""" +
+          s""""fileCount":${files.size},"rows":$totalRows,"liveRows":$liveRows,$ndvJson""" +
           s""""statCols":[${colArr(sCols)}],""" +
           s""""indexCols":[${colArr(iCols)}],""" +
           s""""statsDir":"stats/$seq"}"""
@@ -1544,6 +1553,24 @@ final class MorTable(
     deltas.foldLeft(base) { (acc, d) =>
       for (a <- acc; r <- footerRowCount(s"$path/delta/${d.seq}")) yield a + r
     }
+  }
+
+  /** EXACT snapshot row count from ONE manifest-header field — the
+    * metadata-only COUNT(*) source (the Delta/Hudi "count from stats"
+    * optimization, the free answer over 100 TB). Some ONLY when the
+    * metadata provably equals the snapshot count: the live state is
+    * exactly one MANAGED, fully-folded compact with NO live deltas (a
+    * delta's rows may update, insert, or tombstone — its footer count
+    * says nothing about the merged cardinality), no unfolded stragglers,
+    * and a round-13+ manifest that recorded the non-tombstone total.
+    * Everything else fails CLOSED to the real scan. */
+  def exactLiveRowCount(): Option[Long] = {
+    val tl = timeline()
+    if (tl.isEmpty) return None // loud-read contract: empty table ≠ count 0
+    val (lastCompact, deltas) = liveDeltas(tl)
+    lastCompact
+      .filter(c => deltas.isEmpty && c.unfolded.isEmpty && c.bootstrapDir.isEmpty)
+      .flatMap(c => manifestHeader(c.seq).map(_.liveRows).filter(_ >= 0L))
   }
 
   /** Planner COLUMN-NDV statistics: table-level HLL distinct-count
@@ -2594,7 +2621,11 @@ object MorTable {
                                                 rows: Long = -1L,
                                                 ndv: Map[String, Long] = Map.empty,
                                                 colMin: Map[String, Double] = Map.empty,
-                                                colMax: Map[String, Double] = Map.empty)
+                                                colMax: Map[String, Double] = Map.empty,
+                                                /** Exact non-tombstone base
+                                                  * rows (-1 = pre-round-13
+                                                  * manifest, unknown). */
+                                                liveRows: Long = -1L)
 
   /** One base file's stats row, driver-side regime (bounded by
     * [[smallManifestFiles]]). Absent per-column entries = null stats. */
@@ -2625,7 +2656,8 @@ object MorTable {
         "\"baseSeq\":(\\d+)".r.findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(0L),
         fc.group(1).toInt, cols("statCols"), cols("indexCols"),
         "\"rows\":(\\d+)".r.findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(-1L),
-        ndv, dblMap("colMin"), dblMap("colMax"))
+        ndv, dblMap("colMin"), dblMap("colMax"),
+        "\"liveRows\":(\\d+)".r.findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(-1L))
     }
 
   /** Read a (SMALL) stats relation driver-side via parquet-hadoop — no

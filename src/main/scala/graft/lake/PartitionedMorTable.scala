@@ -948,6 +948,17 @@ final class PartitionedMorTable(
     if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
   }
 
+  /** EXACT snapshot count, metadata-only ([[MorTable.exactLiveRowCount]]
+    * summed across the named children — all when `values` is empty): Some
+    * only when EVERY selected child sits at a clean manifest-covered
+    * boundary. One header field per child, zero jobs. */
+  def exactLiveRowCount(values: Seq[String] = Seq.empty): Option[Long] = {
+    val sel = if (values.nonEmpty) values else partitions()
+    if (sel.isEmpty) return None
+    val counts = parChildren(sel)(_.exactLiveRowCount())
+    if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
+  }
+
   /** True when some partition holds at least one delta commit dir — the
     * precondition of [[readChangelog]]/[[readIncremental]]. Lets a
     * streaming consumer distinguish "legitimately nothing to change-read"

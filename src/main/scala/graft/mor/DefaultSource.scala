@@ -391,6 +391,22 @@ final case class MorRelation(sqlContext: SQLContext, path: String,
     * CBO join estimation/reorder sees row counts for mor tables instead
     * of guessing from compressed bytes. Snapshot reads only — derived
     * reads (travel/incremental/CDC) have different cardinality. */
+  /** Metadata-only COUNT(*): the EXACT snapshot count from manifest
+    * headers ([[graft.lake.MorTable.exactLiveRowCount]]) — Some only for
+    * a PLAIN snapshot read (no travel/incremental/CDC/RO) of a table at a
+    * clean manifest-covered boundary; partitioned form sums the selected
+    * children's header fields. Consumed by
+    * [[graft.plans.MetadataCountRewrite]]. NOT pinned like the planner
+    * stats — evaluated at rewrite time, so the answer tracks the live
+    * timeline exactly as a scan would. */
+  private[graft] def metadataCount(): Option[Long] =
+    if (asOf.isDefined || sinceSeq.isDefined || changelogFrom.isDefined ||
+        readOptimized) None
+    else partitionCol match {
+      case Some(_) => partTable.exactLiveRowCount(partitionValues)
+      case None => table.exactLiveRowCount()
+    }
+
   @transient private[mor] lazy val rowCountStat: Option[Long] =
     if (asOf.isDefined || sinceSeq.isDefined || changelogFrom.isDefined ||
         readOptimized) None // RO cardinality = base only, not the live count
