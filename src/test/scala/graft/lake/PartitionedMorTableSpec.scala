@@ -711,6 +711,17 @@ class PartitionedMorTableSpec extends AnyFunSuite {
       (3L, 200, 30), (4L, 200, 40), (5L, 300, 50)))
     assert(rowsOf(t.readOptimized()) == rowsOf(t.read()))
     assert(rowsOf(t.read(Seq("200"))) == Set((3L, 200, 30), (4L, 200, 40)))
+    // partition pruning is LISTING-level on the discovery scan: a pruned
+    // read must not even open the other partitions' files
+    assert(t.read(Seq("200")).inputFiles.nonEmpty &&
+      t.read(Seq("200")).inputFiles.forall(_.contains("dt=200")),
+      "pruned bootstrap read listed files outside the selected partition")
+    // data-column predicates push into the external parquet scan
+    val pushed = t.read().filter(col("v") > 35)
+      .queryExecution.executedPlan.toString
+    assert(pushed.contains("PushedFilters") &&
+      pushed.replaceAll("\\s", "").contains("GreaterThan(v,35)"),
+      s"filter did not push into the bootstrap scan:\n$pushed")
     assert(rowsOf(t.readForKeys(Seq("3"))) == Set((3L, 200, 30)))
     assert(rowsOf(t.readForKeysOf(Seq("5").toDF("k"))) == Set((5L, 300, 50)))
     // exactly-once: a replayed bootstrap batch / completed retry no-ops
@@ -808,6 +819,15 @@ class PartitionedMorTableSpec extends AnyFunSuite {
     src2.compactPartitions(Seq("100"))
     val e = intercept[IllegalArgumentException](src2.cloneTo(tmp()))
     assert(e.getMessage.contains("mixes"), e.getMessage)
+    // partition TTL on a STILL-EXTERNAL bootstrap child removes only the
+    // child's metadata dir — the user's files in the source root survive
+    val extFiles = new java.io.File(s"$extDir/dt=200").listFiles()
+      .map(_.getName).toSet
+    src2.dropPartitions(Seq("200"))
+    assert(!src2.partitions().contains("200"))
+    assert(new java.io.File(s"$extDir/dt=200").listFiles()
+      .map(_.getName).toSet == extFiles,
+      "dropping a bootstrap partition touched the external source")
   }
 
   test("bootstrap retry recovers a crash between child adoptions and the parent instant") {
