@@ -830,6 +830,40 @@ class PartitionedMorTableSpec extends AnyFunSuite {
       "dropping a bootstrap partition touched the external source")
   }
 
+  test("bootstrap round-trips special-character partition values (three-encodings rule)") {
+    // the source dirs are HIVE-ESCAPED (partitionBy writes them), the
+    // child dirs and stats speak RAW values, and the discovery scan needs
+    // glob-escaping — any probe keyed on one encoding and fed another
+    // silently misses (CLAUDE.md three-encodings rule), so exercise all
+    // the hazard characters at once
+    val extDir = tmp() + "/ext"
+    Seq((1L, 10, "s r"), (2L, 20, "a%b"), (3L, 30, "s*r"), (4L, 40, "pl[ain"))
+      .toDF("k", "v", "dt").write.partitionBy("dt").parquet(extDir)
+    val t = new PartitionedMorTable(spark, tmp(), Seq("k"), "dt",
+      compactionDeltaCommits = 1000, autoCompact = false)
+    t.bootstrap(extDir, batchId = 1L)
+    assert(t.partitions().toSet == Set("s r", "a%b", "s*r", "pl[ain"))
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("dt"), r.getAs[Int]("v"))).toSet
+    assert(rowsOf(t.read()) == Set((1L, "s r", 10), (2L, "a%b", 20),
+      (3L, "s*r", 30), (4L, "pl[ain", 40)),
+      "discovery scan must reconstruct the UNESCAPED partition values")
+    // pruned reads address children by RAW value; the glob-hazard names
+    // must neither explode nor miss
+    assert(rowsOf(t.read(Seq("s*r"))) == Set((3L, "s*r", 30)))
+    assert(rowsOf(t.read(Seq("pl[ain"))) == Set((4L, "pl[ain", 40)))
+    assert(rowsOf(t.readForKeys(Seq("2"))) == Set((2L, "a%b", 20)))
+    // deltas + per-child compaction bake the synthesized value into the
+    // managed base; the mixed read still agrees on every encoding
+    t.upsert(Seq((3L, "s*r", 99)).toDF("k", "dt", "v"), Seq(col("v")), batchId = 2L)
+    t.compactPartitions(Seq("s*r", "pl[ain"))
+    assert(rowsOf(t.read()) == Set((1L, "s r", 10), (2L, "a%b", 20),
+      (3L, "s*r", 99), (4L, "pl[ain", 40)))
+    assert(rowsOf(t.readAt(1L)) == Set((1L, "s r", 10), (2L, "a%b", 20),
+      (3L, "s*r", 30), (4L, "pl[ain", 40)),
+      "travel must replay the bootstrap state across hazard names")
+  }
+
   test("bootstrap retry recovers a crash between child adoptions and the parent instant") {
     val extDir = tmp() + "/ext"
     Seq((1L, "x", 100), (2L, "y", 200)).toDF("k", "v", "dt")
