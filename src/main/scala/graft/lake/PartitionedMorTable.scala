@@ -953,8 +953,12 @@ final class PartitionedMorTable(
     * only when EVERY selected child sits at a clean manifest-covered
     * boundary. One header field per child, zero jobs. */
   def exactLiveRowCount(values: Seq[String] = Seq.empty): Option[Long] = {
-    val sel = if (values.nonEmpty) values else partitions()
-    if (sel.isEmpty) return None
+    val present = partitions()
+    // a value with NO child dir holds no rows by construction: it
+    // contributes an exact 0, it does not fail the metadata answer
+    val sel = if (values.nonEmpty) values.distinct.filter(present.contains)
+              else present
+    if (sel.isEmpty) return if (values.nonEmpty) Some(0L) else None
     val counts = parChildren(sel)(_.exactLiveRowCount())
     if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
   }

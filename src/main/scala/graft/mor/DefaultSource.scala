@@ -399,12 +399,23 @@ final case class MorRelation(sqlContext: SQLContext, path: String,
     * [[graft.plans.MetadataCountRewrite]]. NOT pinned like the planner
     * stats — evaluated at rewrite time, so the answer tracks the live
     * timeline exactly as a scan would. */
-  private[graft] def metadataCount(): Option[Long] =
+  private[graft] def metadataCount(): Option[Long] = metadataCount(Seq.empty)
+
+  /** [[metadataCount]] restricted to partition values a WHERE clause
+    * pinned ([[graft.plans.MetadataCountRewrite]]'s pruned-count form):
+    * only meaningful on a partitioned relation with no OPTIONS-level
+    * partition pin of its own (composing the two pin sources would need
+    * an intersection contract nobody asked for — fail closed). */
+  private[graft] def metadataCount(pinned: Seq[String]): Option[Long] =
     if (asOf.isDefined || sinceSeq.isDefined || changelogFrom.isDefined ||
         readOptimized) None
-    else partitionCol match {
-      case Some(_) => partTable.exactLiveRowCount(partitionValues)
-      case None => table.exactLiveRowCount()
+    else (partitionCol, pinned) match {
+      case (Some(_), Nil) => partTable.exactLiveRowCount(partitionValues)
+      case (Some(_), vs) =>
+        if (partitionValues.nonEmpty) None // two pin sources: fail closed
+        else partTable.exactLiveRowCount(vs)
+      case (None, Nil) => table.exactLiveRowCount()
+      case (None, _) => None // a filter on an unpartitioned scan never rewrites
     }
 
   @transient private[mor] lazy val rowCountStat: Option[Long] =

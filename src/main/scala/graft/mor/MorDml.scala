@@ -293,7 +293,7 @@ class MorTimeTravelResolution(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 }
 
-private[mor] object MorDml {
+private[graft] object MorDml {
   /** Options of a catalog-registered graft.mor table (the `path` option is
     * promoted to storage.locationUri by the catalog; keys lowercased). */
   def morOptions(spark: SparkSession,

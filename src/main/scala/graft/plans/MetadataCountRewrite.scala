@@ -46,6 +46,39 @@ class MetadataCountRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  /** A count whose only restriction is a partition-column pin:
+    * `Filter(pt = 'x' | pt IN (…), <plain scan>)` over a PARTITIONED
+    * relation — answered by summing the pinned children's header fields.
+    * The condition must be EXACTLY that single node (any residual
+    * predicate, OR-tree, null literal, cast around the attribute, or a
+    * pin on a non-partition column keeps the scan plan — fail closed).
+    * Values render through the same cast-to-string the engine's
+    * partition dirs use ([[MorDml.litEqValues]]'s contract). */
+  private object PartitionPinnedScan {
+    def unapply(plan: LogicalPlan): Option[(MorRelation, Seq[String])] = plan match {
+      case SubqueryAlias(_, child) => unapply(child)
+      case p: Project => unapply(p.child)
+      case f @ Filter(cond, PlainMorScan(rel)) if rel.partitionCol.isDefined =>
+        val pt = rel.partitionCol.get
+        val strictShape = cond match {
+          case EqualTo(a: AttributeReference, l: Literal) =>
+            a.name == pt && l.value != null
+          case EqualTo(l: Literal, a: AttributeReference) =>
+            a.name == pt && l.value != null
+          case In(a: AttributeReference, vs) => a.name == pt &&
+            vs.nonEmpty && vs.forall {
+              case l: Literal => l.value != null
+              case _ => false
+            }
+          case _ => false
+        }
+        if (!strictShape) None
+        else graft.mor.MorDml.litEqValues(SparkSession.active, cond).get(pt)
+          .filter(_.nonEmpty).map(vs => (rel, vs.distinct))
+      case _ => None
+    }
+  }
+
   private def isCountStar(e: NamedExpression): Boolean = e match {
     case Alias(ae: AggregateExpression, _) =>
       ae.filter.isEmpty && !ae.isDistinct && (ae.aggregateFunction match {
@@ -60,9 +93,14 @@ class MetadataCountRewrite(session: SparkSession) extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case agg @ Aggregate(Nil, aggExprs, PlainMorScan(rel), _)
+    case agg @ Aggregate(Nil, aggExprs, child, _)
         if aggExprs.nonEmpty && aggExprs.forall(isCountStar) =>
-      rel.metadataCount() match {
+      val answer = child match {
+        case PlainMorScan(rel) => rel.metadataCount()
+        case PartitionPinnedScan(rel, values) => rel.metadataCount(values)
+        case _ => None
+      }
+      answer match {
         case Some(n) =>
           LocalRelation(agg.output,
             Seq(InternalRow.fromSeq(Seq.fill(aggExprs.size)(n))))

@@ -75,6 +75,24 @@ class MetadataCountSpec extends AnyFunSuite {
     assert(!isMetadataOnly(count()) && count().head().getLong(0) == 2)
     p.compactPartitions(Seq("a"))
     assert(isMetadataOnly(count()) && count().head().getLong(0) == 2)
+    // partition-PRUNED counts answer from the pinned children's headers
+    def q(sql: String) = spark.sql(sql)
+    val eq = q("SELECT count(*) AS n FROM meta_count_p WHERE pt = 'b'")
+    assert(isMetadataOnly(eq) && eq.head().getLong(0) == 1)
+    val in = q("SELECT count(*) AS n FROM meta_count_p WHERE pt IN ('a','b','zz')")
+    assert(isMetadataOnly(in) && in.head().getLong(0) == 2,
+      "missing partitions contribute exact 0, never a scan fallback")
+    val none = q("SELECT count(*) AS n FROM meta_count_p WHERE pt = 'zz'")
+    assert(isMetadataOnly(none) && none.head().getLong(0) == 0)
+    // residual predicates / OR-trees / non-partition pins fail closed
+    assert(!isMetadataOnly(q(
+      "SELECT count(*) AS n FROM meta_count_p WHERE pt = 'a' AND v > 0")))
+    assert(!isMetadataOnly(q(
+      "SELECT count(*) AS n FROM meta_count_p WHERE pt = 'a' OR v > 99")))
+    assert(!isMetadataOnly(q(
+      "SELECT count(*) AS n FROM meta_count_p WHERE k = 2")))
+    assert(q("SELECT count(*) AS n FROM meta_count_p WHERE pt = 'a' AND v > 0")
+      .head().getLong(0) == 1)
   }
 
   test("exactLiveRowCount: direct contract, both forms") {
