@@ -299,6 +299,34 @@ object GraftProcedureCatalog {
         resolve(tbl).fold(_.bootstrap(src), _.bootstrap(src))
         Seq(Seq("bootstrapped", src))
       }),
+    Proc("show_stats",
+      "table statistics from metadata: exact/estimated row counts plus per-stat-column NDV and bounds (ANALYZE-style, zero data jobs)",
+      Seq(in("table", StringType)),
+      StructType(Seq(
+        StructField("stat", StringType, nullable = false),
+        StructField("column", StringType, nullable = false),
+        StructField("value", StringType, nullable = false))),
+      { case Seq(tbl: String) =>
+        // everything below is driver-side metadata (timeline listings +
+        // cached manifest headers): exact_live_rows is the metadata-only
+        // COUNT(*) answer (empty = not at a clean boundary, a real count
+        // would scan); est_live_rows the planner's bounded overestimate
+        def rows(exact: Option[Long], est: Option[Long], bytes: Long,
+                 ndv: Map[String, Long], bounds: Map[String, (Double, Double)]): Seq[Seq[Any]] =
+          exact.map(n => Seq[Any]("exact_live_rows", "", n.toString)).toSeq ++
+            est.map(n => Seq[Any]("est_live_rows", "", n.toString)).toSeq ++
+            Seq(Seq[Any]("live_bytes", "", bytes.toString)) ++
+            ndv.toSeq.sortBy(_._1).map { case (c, n) =>
+              Seq[Any]("ndv", c, n.toString) } ++
+            bounds.toSeq.sortBy(_._1).flatMap { case (c, (mn, mx)) =>
+              Seq(Seq[Any]("min", c, mn.toString), Seq[Any]("max", c, mx.toString)) }
+        resolve(tbl) match {
+          case Left(t) => rows(t.exactLiveRowCount(), t.liveRowCount(),
+            t.liveBytes(), t.colNdv(), t.colBounds())
+          case Right(p) => rows(p.exactLiveRowCount(), p.liveRowCount(),
+            p.liveBytes(), p.colNdv(), p.colBounds())
+        }
+      }),
     Proc("drop_partition", "drop a partition's storage and metadata (TTL verb)",
       Seq(in("table", StringType), in("value", StringType)),
       StructType(Seq(StructField("dropped", StringType, nullable = false))),

@@ -218,6 +218,30 @@ class ProcedureCatalogSpec extends AnyFunSuite {
     assert(sps.toSeq == Seq("pp"), "the pin itself survives the restore")
   }
 
+  test("CALL graft_ops.show_stats: metadata-only counts, NDV and bounds, zero data jobs") {
+    val t = new MorTable(spark, TestSpark.tmpDir("proc-stats"), Seq("uuid"),
+      compactionDeltaCommits = 100, autoCompact = false)
+    graft.GraftCatalog.register(spark, "proc_stats_t", t)
+    t.upsert(rows(8, "a"), Seq(col("v")))
+    def stats() = spark.sql("CALL graft_ops.show_stats(table => 'proc_stats_t')")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    // pre-boundary: no exact count (a real count would scan), estimate OK
+    val pre = stats()
+    assert(!pre.exists(_._1 == "exact_live_rows"))
+    assert(pre.exists(s => s._1 == "est_live_rows" && s._3 == "8"))
+    t.compactZOrder(Seq("v")) // declares v a stat column (NDV/bounds)
+    val post = stats()
+    assert(post.contains(("exact_live_rows", "", "8")), post.toSeq)
+    assert(post.contains(("min", "v", "1.0")) && post.contains(("max", "v", "8.0")),
+      post.toSeq)
+    assert(post.exists(s => s._1 == "ndv" && s._2 == "v"),
+      "declared stat column must report an NDV estimate")
+    // tombstones: the exact count excludes them after the next boundary
+    t.deleteWhere(col("uuid") === "id3")
+    t.compact()
+    assert(stats().contains(("exact_live_rows", "", "7")))
+  }
+
   test("CALL graft_ops.bootstrap routes to the partitioned form on a partitioned table") {
     val ext = TestSpark.tmpDir("proc-boot-src")
     Seq(("u1", 1, "2024-01"), ("u2", 2, "2024-01"), ("u3", 3, "2024-02"))
