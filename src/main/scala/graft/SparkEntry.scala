@@ -58,6 +58,7 @@ object SparkEntry {
     "s75_part_bootstrap"  -> ((s, d) => graft.lake.LakeQueries.partBootstrapOnboard(s, d)),
     "s76_clone_of_bootstrap" -> ((s, d) => graft.lake.LakeQueries.cloneOfBootstrap(s, d)),
     "s77_metadata_count"  -> ((s, d) => graft.lake.LakeQueries.metadataCount(s, d)),
+    "s78_part_range_read" -> ((s, d) => graft.lake.LakeQueries.partRangeRead(s, d)),
     "s73_incr_sketch_index" -> ((s, d) =>
       graft.lake.LakeQueries.incrementalSketchIndex(s, d)),
     "d31_incr_dedup"      -> ((s, d) =>
@@ -823,6 +824,15 @@ object SparkEntry {
         |FROM events
         |QUALIFY row_number() OVER
         |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        |  AND user_id >= 30 AND user_id < 90
+        |  AND value >= 0.0 AND value < 250.0""".stripMargin,
+    // the same 2-D box over the PARTITIONED layout: per-(partition, key)
+    // LWW, then the box — per-child colstats skipping changes only the plan
+    "s78_part_range_read" ->
+      """SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
+        |FROM events
+        |QUALIFY row_number() OVER
+        |  (PARTITION BY event_type, user_id ORDER BY ts DESC, event_id DESC) = 1
         |  AND user_id >= 30 AND user_id < 90
         |  AND value >= 0.0 AND value < 250.0""".stripMargin,
     // ONE oracle for the programmatic verb AND its SQL-text twin (s39/s61,

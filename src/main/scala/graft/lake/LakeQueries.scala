@@ -963,6 +963,35 @@ object LakeQueries {
         .select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
   }
 
+  /** Z-order clustered range read, PARTITIONED form
+    * ([[PartitionedMorTable.readForColRanges]] — the colstats skipping
+    * read at the 100 TB layout): replay the first time-half of events
+    * into a table partitioned by event_type, z-order EVERY child on
+    * (user_id, value) — per-file min/max in each child's own manifest —
+    * land the second half as a cross-partition delta, and read the s40
+    * 2-D box ACROSS partitions: one union of the children's colstats-
+    * surviving base files (pushed `box || _deleted` filter) plus one
+    * unfiltered delta scan, per-(partition, key) LWW, box re-applied
+    * post-merge. The oracle is the batch per-(partition, key) LWW
+    * filtered by the same box. */
+  def partRangeRead(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "value", "ts_ms", "ts_ns")
+    val bounds = ev.agg(min(col("ts_ns")).as("mn"), max(col("ts_ns")).as("mx")).head()
+    val mn = bounds.getLong(0); val mx = bounds.getLong(1)
+    val mid = mn + (mx - mn) / 2
+    val path = tempPath("pmor-zrange")
+    val t = new PartitionedMorTable(spark, path, Seq("user_id"), "event_type",
+      compactionDeltaCommits = 1000, autoCompact = false, writePartitions = 4)
+    val ord = Seq(col("ts_ns"), col("event_id"))
+    t.upsert(ev.filter(col("ts_ns") <= mid), ord, batchId = 1L)
+    t.compactZOrderPartitions(Seq("user_id", "value"), bits = 8, dueOnly = false)
+    t.upsert(ev.filter(col("ts_ns") > mid), ord, batchId = 2L)
+    graft.TempDirs.materializeAndDelete(
+      t.readForColRanges(Seq(("user_id", 30.0, 90.0), ("value", 0.0, 250.0)))
+        .select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
+  }
+
   /** Incrementally-maintained INVERTED TEXT INDEX (the lakehouse-search
     * story, s36's join-view machinery applied to search): a docs MOR table
     * and a postings MOR table keyed (token, doc_id). The initial index is

@@ -2192,25 +2192,7 @@ final class MorTable(
     val safeToPrune = lastCompact.forall(_.unfolded.isEmpty)
     val baseFiles =
       if (!safeToPrune) None
-      else lastCompact.flatMap { c =>
-        // only ranges over columns the manifest actually carries stats
-        // for can prune; a file with NULL stats for a column (e.g.
-        // tombstone-only) is conservatively kept — the null verdict
-        // filters to false on both regimes
-        val statCols = manifestHeader(c.seq).map(_.statCols).getOrElse(Nil)
-        val usable = ranges.filter(r => statCols.contains(r._1))
-        if (usable.isEmpty) None
-        else keptFiles(c.seq,
-          st => usable.exists { case (qc, lo, hi) =>
-            (st.colMn.get(qc), st.colMx.get(qc)) match {
-              case (Some(mn), Some(mx)) => mx < lo || mn >= hi
-              case _ => false
-            }
-          },
-          df => df.filter(usable.map { case (qc, lo, hi) =>
-            col(s"mx_$qc") < lit(lo) || col(s"mn_$qc") >= lit(hi)
-          }.reduce(_ || _)))
-      }
+      else lastCompact.flatMap(c => rangeKeptBaseFiles(c.seq, ranges))
     // tombstones are exempted from the pushed base filter outright (null
     // range cols would drop them); they must survive to the merge so the
     // reader's `_deleted` filter — not file layout — decides their fate
@@ -2218,6 +2200,59 @@ final class MorTable(
     dropMeta(snapshotMerged(tl, keyFilter = None, baseFiles = baseFiles,
       baseOnlyFilter = bof)
       .filter(!col("_deleted")).filter(rangeF))
+  }
+
+  /** Colstats file skip for a range read: the base files of compact `seq`
+    * that might hold in-range rows, or None when no stats column covers
+    * any queried range (callers fall back to the whole base dir). Only
+    * ranges over columns the manifest actually carries stats for can
+    * prune; a file with NULL stats for a column (e.g. tombstone-only) is
+    * conservatively kept — the null verdict filters to false on both
+    * regimes. Shared by [[readForColRanges]] and the partitioned form's
+    * per-child planning ([[colRangeScanParts]]). */
+  private def rangeKeptBaseFiles(seq: Long,
+      ranges: Seq[(String, Double, Double)]): Option[Seq[String]] = {
+    val statCols = manifestHeader(seq).map(_.statCols).getOrElse(Nil)
+    val usable = ranges.filter(r => statCols.contains(r._1))
+    if (usable.isEmpty) None
+    else keptFiles(seq,
+      st => usable.exists { case (qc, lo, hi) =>
+        (st.colMn.get(qc), st.colMx.get(qc)) match {
+          case (Some(mn), Some(mx)) => mx < lo || mn >= hi
+          case _ => false
+        }
+      },
+      df => df.filter(usable.map { case (qc, lo, hi) =>
+        col(s"mx_$qc") < lit(lo) || col(s"mn_$qc") >= lit(hi)
+      }.reduce(_ || _)))
+  }
+
+  /** Per-child scan planning for [[PartitionedMorTable.readForColRanges]]:
+    * (filterable base paths, unfilterable base paths, delta dirs).
+    * Filterable = this child's base-dropping is SOUND (no unfolded
+    * stragglers — the [[readForColRanges]] guard) and colstats-pruned
+    * when the manifest covers a queried column; a straggler-carrying
+    * child's base scans WHOLE and unfiltered instead. A meta-less
+    * bootstrap base is excluded entirely (the parent routes it through
+    * its synthesizing scan; its filterability is the same straggler
+    * check, read off the instant by the parent). */
+  private[lake] def colRangeScanParts(ranges: Seq[(String, Double, Double)])
+      : (Seq[String], Seq[String], Seq[String]) = {
+    val (lastCompact, deltas) = liveDeltas(timeline())
+    val deltaDirs = deltas.map(d => s"$path/delta/${d.seq}")
+    lastCompact match {
+      case None => (Nil, Nil, deltaDirs)
+      case Some(c) if c.bootstrapDir.isDefined && !c.bootstrapMeta =>
+        (Nil, Nil, deltaDirs)
+      case Some(c) if c.unfolded.nonEmpty =>
+        (Nil, Seq(baseDirOf(c)), deltaDirs)
+      case Some(c) =>
+        // a CLONE base has no local manifest: rangeKeptBaseFiles returns
+        // None (no usable stat cols) and the whole external dir scans —
+        // still filterable (its rows rank below every local delta)
+        (rangeKeptBaseFiles(c.seq, ranges).getOrElse(Seq(baseDirOf(c))),
+          Nil, deltaDirs)
+    }
   }
 
   /** Secondary-index equality read: live rows whose indexed column equals

@@ -62,10 +62,14 @@ final class PartitionedMorTable(
   private val hPath = new Path(path)
   private def fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Child table for one partition value (creates nothing until written). */
+  /** Child table for one partition value (creates nothing until written).
+    * The parent's declared `writePartitions` flows through, so PER-CHILD
+    * service writes (child-side compaction, z-order clustering) honor the
+    * same file-count declaration as the parent's batched staged writes. */
   def child(value: String): MorTable =
     new MorTable(spark, new Path(hPath, s"p=$value").toString, keyCols,
-      compactionDeltaCommits, compactionDeltaSeconds, autoCompact)
+      compactionDeltaCommits, compactionDeltaSeconds, autoCompact,
+      writePartitions)
 
   /** Partition values present on disk. */
   def partitions(): Seq[String] = {
@@ -857,6 +861,51 @@ final class PartitionedMorTable(
     val scan = scans.reduce(_.unionByName(_, allowMissingColumns = true))
     val restricted = scan.join(k, col("_record_key") === col("__pk"), "left_semi")
     lwwLatest(restricted).filter(!col("_deleted"))
+      .select(orderedDataCols(scan.columns).map(col): _*)
+  }
+
+  /** Column-range read across partitions ([[MorTable.readForColRanges]]
+    * over the partitioned layout — the z-order/colstats skipping read at
+    * the 100 TB shape): every straggler-free child contributes its
+    * colstats-SURVIVING base files (whole base when no stats cover a
+    * queried column), pruned at the LISTING level from the per-child
+    * manifests; the pushed base-only filter (`range || _deleted` — the
+    * same tombstone exemption and LWW soundness argument as the
+    * unpartitioned form, valid per child because its deltas always
+    * outrank its base) applies to ONE union of those base scans; delta
+    * dirs — plus the bases of straggler-carrying children, where
+    * base-dropping would be unsound — scan whole and unfiltered; the
+    * range re-applies post-merge so rows that moved out of range never
+    * resurrect. Still O(1) scans in partition count. Meta-less bootstrap
+    * children route through the synthesizing discovery scan (filtered
+    * only when straggler-free). */
+  def readForColRanges(ranges: Seq[(String, Double, Double)],
+                       values: Seq[String] = Seq.empty): DataFrame = {
+    require(ranges.nonEmpty, "readForColRanges needs at least one (col, lo, hi)")
+    val sel = if (values.nonEmpty) values else partitions()
+    require(sel.nonEmpty, s"PartitionedMorTable at $path has no partitions")
+    val perChild = parChildren(sel)(c =>
+      (c.colRangeScanParts(ranges), c.metalessBootstrapBase()))
+    val filterableBase = perChild.flatMap(_._1._1)
+    val rawDirs = perChild.flatMap(p => p._1._2 ++ p._1._3)
+    val boots = sel.zip(perChild).collect { case (v, (_, Some(i))) => (v, i) }
+    val (bootSafe, bootUnsafe) = boots.partition(_._2.unfolded.isEmpty)
+    def rangeFOf(df: DataFrame) = ranges.map { case (c, lo, hi) =>
+      val t = df.schema(c).dataType
+      col(c) >= lit(lo).cast(t) && col(c) < lit(hi).cast(t)
+    }.reduce(_ && _)
+    // tombstones are exempt from the pushed base filter (null range cols
+    // would drop them); the reader's _deleted filter decides their fate
+    val baseScans =
+      ((if (filterableBase.nonEmpty) Seq(scanDirs(filterableBase)) else Nil) ++
+        bootstrapScan(bootSafe).toSeq)
+        .map(df => df.filter(rangeFOf(df) || col("_deleted")))
+    val rawScans = (if (rawDirs.nonEmpty) Seq(scanDirs(rawDirs)) else Nil) ++
+      bootstrapScan(bootUnsafe).toSeq
+    val scans = baseScans ++ rawScans
+    require(scans.nonEmpty, s"PartitionedMorTable at $path has no commits")
+    val scan = scans.reduce(_.unionByName(_, allowMissingColumns = true))
+    lwwLatest(scan).filter(!col("_deleted")).filter(rangeFOf(scan))
       .select(orderedDataCols(scan.columns).map(col): _*)
   }
 

@@ -830,6 +830,41 @@ class PartitionedMorTableSpec extends AnyFunSuite {
       "dropping a bootstrap partition touched the external source")
   }
 
+  test("readForColRanges: per-child colstats skip files; straggler children fall back whole") {
+    val t = new PartitionedMorTable(spark, tmp(), Seq("k"), "p",
+      compactionDeltaCommits = 1000, autoCompact = false, writePartitions = 8)
+    val rows = (1 to 400).map(i => (i.toLong, if (i % 2 == 0) "A" else "B", i))
+      .toDF("k", "p", "v")
+    t.upsert(rows, Seq(col("k")), batchId = 1L)
+    // z-order children → per-file v min/max in each child manifest
+    t.compactZOrderPartitions(Seq("v"), dueOnly = false)
+    def baseFiles(v: String) =
+      new java.io.File(s"${t.path}/p=$v/base/${t.child(v).timeline().last.seq}")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+    val totalBase = baseFiles("A") + baseFiles("B")
+    assert(totalBase >= 4, s"need several base files per child, got $totalBase")
+    // a delta on top: an in-range update, an out-of-range move, an insert
+    t.upsert(Seq((10L, "A", 9999), (11L, "B", 55), (999L, "B", 60))
+      .toDF("k", "p", "v"), Seq(col("k")), batchId = 2L)
+    val got = t.readForColRanges(Seq(("v", 50.0, 100.0)))
+    // listing-level skip: strictly fewer base files than the full set
+    assert(got.inputFiles.count(_.contains("/base/")) < totalBase,
+      "colstats pruning should drop base files across children")
+    val expect = (50 to 99).map(_.toLong).toSet + 11L + 999L
+    val gotKeys = got.collect().map(_.getAs[Long]("k")).toSet
+    // ground truth: LWW state filtered by the range
+    val truth = t.read().filter(col("v") >= 50 && col("v") < 100)
+      .collect().map(_.getAs[Long]("k")).toSet
+    assert(gotKeys == truth, s"range read diverged: ${gotKeys.diff(truth)} / ${truth.diff(gotKeys)}")
+    assert(truth.contains(11L) && truth.contains(999L) && !truth.contains(10L),
+      "sanity: delta moves respected (10 moved out, 11 stays, 999 inserted)")
+    assert(expect == truth, "sanity: expected set arithmetic")
+    // partition-pruned form only consults the named child
+    val pruned = t.readForColRanges(Seq(("v", 50.0, 100.0)), values = Seq("A"))
+    assert(pruned.collect().map(_.getAs[Long]("k")).toSet ==
+      truth.filter(k => t.read(Seq("A")).filter(col("k") === k).count() == 1))
+  }
+
   test("bootstrap round-trips special-character partition values (three-encodings rule)") {
     // the source dirs are HIVE-ESCAPED (partitionBy writes them), the
     // child dirs and stats speak RAW values, and the discovery scan needs
