@@ -172,6 +172,20 @@ object GraftProcedureCatalog {
           }
         }
       }),
+    Proc("create_record_index",
+      "build the record-level index (exact key -> base-file postings) at " +
+        "the current compaction boundary; later compactions refresh it",
+      Seq(in("table", StringType)),
+      ack,
+      { case Seq(tbl: String) =>
+        resolve(tbl) match {
+          case Left(t) => t.buildRecordIndex(); Seq(Seq("indexed", tbl))
+          case Right(_) => throw new IllegalArgumentException(
+            "create_record_index: partitioned tables point-read through " +
+              "per-child bloom pruning (readForKeys); the record index is " +
+              "a single-table verb")
+        }
+      }),
     Proc("run_clean", "remove unreferenced files past the retention point",
       Seq(in("table", StringType)),
       StructType(Seq(StructField("removed", IntegerType, nullable = false))),

@@ -1264,6 +1264,48 @@ object LakeQueries {
     graft.TempDirs.materializeAndDelete(at.read(), aPath)
   }
 
+  /** RECORD-LEVEL-INDEX point read, oracle-checked (the Hudi 1.0
+    * record_index analog): replay events LWW, compact (range-partitioned
+    * base), build the exact key→file postings index, then drive it through
+    * BOTH maintenance paths — an `updateWhere(user_id BETWEEN 10 AND 14)`
+    * delta (string-contiguous keys, so most base files are untouched)
+    * folded by [[MorTable.compactMinor]] (the index refreshes through the
+    * CARRY path: carried files' postings are renamed via a broadcast map,
+    * only the re-merged files rescan) — then tombstone `user_id % 10 = 4`
+    * as a live delta and point-read the `{4, 12, 40..49}` key set through
+    * [[MorTable.readForKeysIndexed]]. The index pins EXACTLY the base
+    * files holding the probe keys (asserted in-entry: fewer base files
+    * scanned than exist — the bloom path's probabilistic prune made
+    * exact); the live tombstone merges on top. Must equal the full LWW
+    * dedup with the update applied, restricted to the undeleted probe
+    * keys — the oracle. */
+  def recordIndexRead(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "value", "ts_ms", "ts_ns")
+    val path = tempPath("mor-rli")
+    val t = new MorTable(spark, path, keyCols = Seq("user_id"),
+      compactionDeltaCommits = 1000, autoCompact = false, writePartitions = 4)
+    t.upsert(ev, orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 1L)
+    t.compact()
+    t.buildRecordIndex()
+    t.updateWhere(col("user_id").between(10, 14),
+      Map("value" -> (col("value") + 1000.0), "event_type" -> lit("rli")),
+      batchId = 2L)
+    t.compactMinor()
+    require(t.hasRecordIndex(),
+      "record index must survive compaction (auto-refresh)")
+    t.deleteWhere(col("user_id") % 10 === 4, batchId = 3L)
+    val keys = (Seq("4", "12") ++ (40 to 49).map(_.toString)).sorted
+    val out = t.readForKeysIndexed(keys)
+    val baseScanned = out.inputFiles.count(_.contains("/base/"))
+    val baseTotal = t.read().inputFiles.count(_.contains("/base/"))
+    require(baseScanned < baseTotal,
+      s"record index must pin a strict base-file subset " +
+        s"($baseScanned of $baseTotal scanned)")
+    graft.TempDirs.materializeAndDelete(
+      out.select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
+  }
+
   /** Minor (affected-only) compaction, oracle-checked end-to-end: full
     * events replay → major compact (range-partitioned base with per-file
     * key bounds) → an update batch for user_id < 30 plus a predicate

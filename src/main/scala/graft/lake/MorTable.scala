@@ -740,6 +740,10 @@ final class MorTable(
       spark.read.schema(sch).parquet(MorTable.globSafe(s"$path/base/$seq"))))
     publishInstant(Instant(seq, "compact", -1L, System.currentTimeMillis(), unfolded))
     writeManifest(seq, dst)
+    // an existing record-level index follows the table across compactions
+    // (carried-file postings rewrite instead of rescanning — see
+    // refreshRecordIndex); absent the opt-in, zero cost
+    if (recordIndexEnabled()) refreshRecordIndex(seq, lastC)
   }
 
   /** External snapshot manifest (the Hudi/Delta symlink-manifest analog of
@@ -1899,6 +1903,162 @@ final class MorTable(
   def readForKeyRange(lo: String, hi: String): DataFrame =
     dropMeta(snapshotForKeyRange(lo, hi))
 
+  // ------------------------------------------------ record-level index
+  //
+  // The Hudi 1.0 record_index analog: an EXACT `_record_key → base file
+  // name` relation for the latest compacted base, stored as parquet under
+  // `manifest/rli/<seq>/`, key-range-partitioned and key-sorted so a
+  // probe's pushed In() filter row-group-skips its way to the matching
+  // postings. Where the bloom index prunes PROBABILISTICALLY (false
+  // positives keep extra files, and a saturating filter keeps them all),
+  // the record index PINS: a point read scans precisely the base files
+  // that hold its keys — at 100 TB the difference between a handful of
+  // files and whatever a 0.1%-FP bloom leaves of 10⁶ files. Soundness is
+  // the bloom argument made exact: the index is built from a full scan of
+  // the base, so a file not listed for key k provably does not contain k,
+  // and the key predicate already restricts every scan; TOMBSTONE rows
+  // are indexed too, so a retained base tombstone keeps outranking an
+  // unfolded straggler's earlier image (never resurrect). The index is
+  // valid only AT its exact compact seq — a reader finding no index at
+  // the current boundary falls back to the bloom path (fail closed, a
+  // stale index is never consulted) — and compactions REFRESH an existing
+  // index automatically: minor compactions carry the carried files'
+  // postings under their new names (an fname rewrite against a broadcast
+  // rename map — zero byte rescan), so maintenance is O(re-merged files),
+  // the same affected-only bound as the compaction itself.
+
+  private def rliDir(seq: Long): Path = new Path(hPath, s"manifest/rli/$seq")
+
+  /** Create (or rebuild) the record-level index at the current compaction
+    * boundary. Refuses over a bootstrap/clone base — external dirs are
+    * scanned whole by every pruning path ([[pointScanPaths]]); compact()
+    * folds them managed first. Once built, every later compaction
+    * refreshes the index ([[adoptBase]]). Deltas are never indexed: point
+    * reads always scan live delta dirs (any of which may carry a key's
+    * newest version), so the index only has to be exact about the
+    * immutable base. */
+  def buildRecordIndex(): Unit = synchronized {
+    val (lastC, _) = liveDeltas(timeline())
+    val c = lastC.getOrElse(throw new IllegalStateException(
+      s"buildRecordIndex: $path has no compacted base — compact() first"))
+    require(c.bootstrapDir.isEmpty,
+      s"buildRecordIndex: the current boundary (seq ${c.seq}) references an " +
+        "external bootstrap/clone dir; compact() folds it into a managed " +
+        "base first")
+    writeRecordIndex(c.seq, recordIndexRows(c.seq))
+  }
+
+  /** All (key, fname) postings of managed base `seq` — one column-pruned
+    * scan, rows never visit the driver. */
+  private def recordIndexRows(seq: Long): DataFrame =
+    scanDir(s"$path/base/$seq").select(
+      col("_record_key").as("key"),
+      regexp_extract(input_file_name(), "[^/]*$", 0).as("fname"))
+
+  /** Stage-then-rename publish of the index relation for base `seq`
+    * (readers dispatch on dir EXISTENCE, so a half-written index must
+    * never be visible under its final name). Idempotent per seq — the
+    * relation is a pure function of the immutable base. */
+  private def writeRecordIndex(seq: Long, rows: DataFrame): Unit = {
+    val staging = new Path(hPath, s".staging-rli-${System.nanoTime()}")
+    rows.repartitionByRange(math.max(1, writePartitions), col("key"))
+      .sortWithinPartitions(col("key"))
+      .write.mode("overwrite").parquet(staging.toString)
+    val dst = rliDir(seq)
+    fs.mkdirs(dst.getParent)
+    fs.delete(dst, true)
+    if (!fs.rename(staging, dst))
+      throw new java.io.IOException(s"record-index rename failed: $dst")
+  }
+
+  /** Carry an existing index across a compaction (best-effort from
+    * [[adoptBase]], like the manifest — the timeline stays the source of
+    * truth and readers fail closed on a missing index). When the new base
+    * holds `carry-NNNNN-<old>` files (minor compaction's byte-for-byte
+    * carries) and the previous boundary has an index, the carried files'
+    * postings are REWRITTEN to their new names via a broadcast
+    * metadata-sized rename map — only the re-merged files rescan. */
+  private def refreshRecordIndex(newSeq: Long, prev: Option[Instant]): Unit =
+    try {
+      val files = baseFilesOf(newSeq)
+      val carryRe = "^carry-\\d{5}-".r
+      val carried = files.map(fnameOf).filter(n => carryRe.findPrefixOf(n).isDefined)
+      val prevRli = prev.filter(p =>
+        p.bootstrapDir.isEmpty && fs.exists(rliDir(p.seq)))
+      val rows = prevRli match {
+        case Some(p) if carried.nonEmpty =>
+          import spark.implicits._
+          val rename = carried.map(n => (carryRe.replaceFirstIn(n, ""), n))
+            .toDF("__orig", "__new")
+          val freshFiles = files.filter(f =>
+            carryRe.findPrefixOf(fnameOf(f)).isEmpty)
+          val fresh =
+            if (freshFiles.isEmpty)
+              Seq.empty[(String, String)].toDF("key", "fname")
+            else spark.read.parquet(MorTable.globSafe(freshFiles): _*).select(
+              col("_record_key").as("key"),
+              regexp_extract(input_file_name(), "[^/]*$", 0).as("fname"))
+          val carriedRows = scanDir(rliDir(p.seq).toString)
+            .join(broadcast(rename), col("fname") === col("__orig"))
+            .select(col("key"), col("__new").as("fname"))
+          fresh.unionByName(carriedRows)
+        case _ => recordIndexRows(newSeq)
+      }
+      writeRecordIndex(newSeq, rows)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"record-index refresh failed for $path base $newSeq", e)
+    }
+
+  /** True when a record-level index exists for ANY boundary — the signal
+    * [[adoptBase]] uses to keep it maintained across compactions. */
+  private def recordIndexEnabled(): Boolean =
+    try fs.listStatus(new Path(hPath, "manifest/rli")).nonEmpty
+    catch { case _: java.io.FileNotFoundException => false }
+
+  /** True when the record-level index exists at the CURRENT compaction
+    * boundary — what [[readForKeysIndexed]] dispatches on. */
+  def hasRecordIndex(): Boolean =
+    liveDeltas(timeline())._1.exists(c =>
+      c.bootstrapDir.isEmpty && fs.exists(rliDir(c.seq)))
+
+  /** Record-INDEXED point read: [[readForKeys]] with the base file set
+    * resolved EXACTLY by the record-level index instead of
+    * probabilistically by the per-file blooms — scans precisely the base
+    * files that hold the probe keys, plus every live delta dir. The index
+    * lookup itself is one pushed-In() scan of the key-sorted postings
+    * relation; only file NAMES reach the driver, and they resolve against
+    * the LISTED base dir (names are unique within it) — never by path
+    * string-match (the input_file_name/listStatus encoding rule). Falls
+    * back to [[readForKeys]] (fail closed) when no index exists at the
+    * CURRENT compaction boundary or the boundary is an external
+    * bootstrap/clone reference. */
+  def readForKeysIndexed(recordKeys: Seq[String]): DataFrame = {
+    require(recordKeys.size <= 100000,
+      s"readForKeysIndexed got ${recordKeys.size} keys — a literal In() " +
+        "this large bloats the plan; scan-and-join instead")
+    if (recordKeys.isEmpty) return readForKeys(recordKeys)
+    val tl = timeline()
+    val (lastC, _) = liveDeltas(tl)
+    val pinned: Option[Seq[String]] = lastC.flatMap { c =>
+      if (c.bootstrapDir.isDefined || !fs.exists(rliDir(c.seq))) None
+      else {
+        val hit = scanDir(rliDir(c.seq).toString)
+          .filter(col("key").isin(recordKeys: _*))
+          .select("fname").distinct().collect().map(_.getString(0)).toSet
+        Some(baseFilesOf(c.seq).filter(f => hit(fnameOf(f))))
+      }
+    }
+    pinned match {
+      case None => readForKeys(recordKeys)
+      case Some(files) =>
+        dropMeta(snapshotMerged(tl,
+          Some(col("_record_key").isin(recordKeys: _*)), Some(files))
+          .filter(!col("_deleted")))
+    }
+  }
+
   /** Snapshot without the lake metadata columns (user-facing read). */
   def read(): DataFrame = dropMeta(snapshot())
 
@@ -2444,6 +2604,7 @@ final class MorTable(
           if (i.kind == "compact") { // manifest of a cleaned base points at deleted files
             fs.delete(new Path(hPath, s"manifest/${i.seq}.json"), false)
             fs.delete(new Path(hPath, s"manifest/stats/${i.seq}"), true)
+            fs.delete(new Path(hPath, s"manifest/rli/${i.seq}"), true)
           }
           if (fs.exists(dir)) { fs.delete(dir, true); 1 } else 0
         }.sum
@@ -2495,6 +2656,7 @@ final class MorTable(
       if (i.kind == "compact") { // external readers take the HIGHEST manifest:
         fs.delete(new Path(hPath, s"manifest/${i.seq}.json"), false)
         fs.delete(new Path(hPath, s"manifest/stats/${i.seq}"), true)
+        fs.delete(new Path(hPath, s"manifest/rli/${i.seq}"), true)
       }
       val dir = new Path(hPath, s"${if (i.kind == "compact") "base" else "delta"}/${i.seq}")
       if (fs.exists(dir)) fs.delete(dir, true)

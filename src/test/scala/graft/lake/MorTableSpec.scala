@@ -385,6 +385,105 @@ class MorTableSpec extends AnyFunSuite {
     assert(t.readForKeys(keys).orderBy("uuid").collect().toSeq == full)
   }
 
+  test("record-level index pins point reads to exact base files") {
+    val path = TestSpark.tmpDir("mor-rli")
+    val rows = (0 until 400)
+      .map(i => (f"k$i%03d", s"n$i", i, "1970-01-01 00:00:01"))
+      .toDF("uuid", "name", "age", "ts")
+    val t = new MorTable(spark, path, Seq("uuid"),
+      compactionDeltaCommits = 1000, autoCompact = false, writePartitions = 4)
+    t.upsert(rows, orderWithinBatch = Seq(col("ts")), batchId = 1L)
+    // no compacted base yet: nothing to index
+    intercept[IllegalStateException](t.buildRecordIndex())
+    t.compact()
+    assert(!t.hasRecordIndex())
+    t.buildRecordIndex()
+    assert(t.hasRecordIndex())
+    t.upsert(Seq(("k050", "upd", -1, "1970-01-01 00:00:09"),
+      ("zzz", "new", -2, "1970-01-01 00:00:09"))
+      .toDF("uuid", "name", "age", "ts"),
+      orderWithinBatch = Seq(col("ts")), batchId = 2L)
+    // exact pinning: a single-key probe opens exactly ONE base file — the
+    // index is a total key→file map, not a probabilistic filter
+    val one = t.readForKeysIndexed(Seq("k123"))
+    assert(one.inputFiles.count(_.contains("/base/")) == 1,
+      "record index must pin a single-key probe to exactly one base file")
+    assert(one.collect().map(r =>
+      r.getAs[String]("uuid") -> r.getAs[Int]("age")).toSeq == Seq("k123" -> 123))
+    // the live delta still wins LWW over the pinned base file
+    assert(t.readForKeysIndexed(Seq("k050")).collect().map(r =>
+      r.getAs[String]("uuid") -> r.getAs[Int]("age")).toSeq == Seq("k050" -> -1))
+    // delta-only key: zero base files scanned, the delta answers
+    val deltaOnly = t.readForKeysIndexed(Seq("zzz"))
+    assert(deltaOnly.inputFiles.count(_.contains("/base/")) == 0)
+    assert(deltaOnly.collect().map(r =>
+      r.getAs[String]("uuid") -> r.getAs[Int]("age")).toSeq == Seq("zzz" -> -2))
+    // absent key: empty, and no base file opened
+    assert(t.readForKeysIndexed(Seq("nope")).isEmpty)
+    // equality with the unpruned filtered read for a multi-file key set
+    val keys = Seq("k001", "k123", "k250", "k399", "k050", "zzz")
+    val full = t.read().filter(col("uuid").isin(keys: _*))
+      .orderBy("uuid").collect().toSeq
+    assert(t.readForKeysIndexed(keys).orderBy("uuid").collect().toSeq == full)
+    // fail closed: with the index gone, the read falls back to the bloom
+    // path and still answers exactly
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path, "manifest/rli"), true)
+    assert(!t.hasRecordIndex())
+    assert(t.readForKeysIndexed(keys).orderBy("uuid").collect().toSeq == full)
+  }
+
+  test("record index refreshes across compactions; minor compaction carries postings") {
+    val path = TestSpark.tmpDir("mor-rli-refresh")
+    val rows = (0 until 400)
+      .map(i => (f"k$i%03d", s"n$i", i, "1970-01-01 00:00:01"))
+      .toDF("uuid", "name", "age", "ts")
+    val t = new MorTable(spark, path, Seq("uuid"),
+      compactionDeltaCommits = 1000, autoCompact = false, writePartitions = 4)
+    t.upsert(rows, orderWithinBatch = Seq(col("ts")), batchId = 1L)
+    t.compact()
+    t.buildRecordIndex()
+    // narrow touch: contiguous keys hit one of the 4 range-partitioned
+    // files; a tombstone lands in another — at least one file CARRIES
+    t.updateWhere(col("uuid").between("k010", "k019"),
+      Map("name" -> lit("patched")), batchId = 2L)
+    t.deleteWhere(col("uuid") === "k111", batchId = 3L)
+    t.compactMinor()
+    assert(t.hasRecordIndex(), "index must auto-refresh through compactMinor")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rliRoot = new org.apache.hadoop.fs.Path(path, "manifest/rli")
+    def latestRli(): String = fs.listStatus(rliRoot)
+      .map(_.getPath).maxBy(_.getName.toLong).toString
+    def indexRows(): Seq[(String, String)] =
+      spark.read.parquet(latestRli()).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    val carried = indexRows()
+    assert(carried.exists(_._2.startsWith("carry-")),
+      "minor refresh must carry postings under the carried file names")
+    // the carried index equals a from-scratch rebuild exactly
+    t.buildRecordIndex()
+    assert(indexRows() == carried,
+      "carry-path refresh must equal the full rebuild")
+    // point reads through the refreshed index: patched, deleted, untouched
+    assert(t.readForKeysIndexed(Seq("k015")).collect().map(r =>
+      r.getAs[String]("name")).toSeq == Seq("patched"))
+    assert(t.readForKeysIndexed(Seq("k111")).isEmpty)
+    assert(t.readForKeysIndexed(Seq("k300")).collect().map(r =>
+      r.getAs[Int]("age")).toSeq == Seq(300))
+    // a FULL compact refreshes too (no carried files: straight rebuild)
+    t.upsert(Seq(("k200", "upd2", -5, "1970-01-01 00:00:10"))
+      .toDF("uuid", "name", "age", "ts"),
+      orderWithinBatch = Seq(col("ts")), batchId = 4L)
+    t.compact()
+    assert(t.hasRecordIndex(), "index must auto-refresh through compact")
+    val afterFull = t.readForKeysIndexed(Seq("k200"))
+    assert(afterFull.inputFiles.count(_.contains("/base/")) == 1)
+    assert(afterFull.collect().map(r =>
+      r.getAs[Int]("age")).toSeq == Seq(-5))
+  }
+
   test("secondary bloom index: equality reads on a non-key column prune base files") {
     val path = TestSpark.tmpDir("mor-sidx")
     val rows = (0 until 400)
