@@ -28,11 +28,25 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       """([\w.`]+)\s+SHALLOW\s+CLONE\s+([\w.`]+)""" +
       """(?:\s+LOCATION\s+'([^']*)')?\s*;?\s*""").r
 
+  /** Delta-spelled table maintenance: `OPTIMIZE t [ZORDER BY (c1, c2)]`
+    * (→ compact / z-order clustering compaction) and `VACUUM t` (→
+    * clean). Same routing as the CALL procedures — these are the
+    * spellings an analyst's runbook already contains. */
+  private val OptimizeStmt =
+    ("""(?is)\s*OPTIMIZE\s+([\w.`]+)""" +
+      """(?:\s+ZORDER\s+BY\s+\(?\s*([\w`]+(?:\s*,\s*[\w`]+)*)\s*\)?)?\s*;?\s*""").r
+  private val VacuumStmt = """(?is)\s*VACUUM\s+([\w.`]+)\s*;?\s*""".r
+
   private def clean(ident: String): String = ident.replace("`", "")
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case CloneStmt(ine, dst, src, loc) =>
       GraftCloneTableCommand(clean(dst), clean(src), Option(loc), ine != null)
+    case OptimizeStmt(tbl, zcols) =>
+      GraftOptimizeCommand(clean(tbl),
+        Option(zcols).toSeq.flatMap(_.split(',')).map(c => clean(c.trim))
+          .filter(_.nonEmpty))
+    case VacuumStmt(tbl) => GraftVacuumCommand(clean(tbl))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -119,6 +133,68 @@ case class GraftCloneTableCommand(dst: String, src: String,
             "table nor a GraftCatalog-registered handle")
       }
     }
+    Seq.empty
+  }
+}
+
+/** Shared table resolution for the maintenance DDL: a `graft.mor`
+  * session-catalog table (OPTIONS give path/keys/partition) or a
+  * [[graft.GraftCatalog]]-registered handle — the same two surfaces the
+  * CALL procedures and SHALLOW CLONE resolve. */
+private[mor] object GraftMaintenance {
+  private def tid(n: String): TableIdentifier = n.split('.') match {
+    case Array(t) => TableIdentifier(t)
+    case Array(db, t) => TableIdentifier(t, Some(db))
+    case _ => throw new IllegalArgumentException(s"cannot parse table name '$n'")
+  }
+
+  def resolve(spark: SparkSession, name: String, verb: String)
+      : Either[MorTable, PartitionedMorTable] =
+    MorDml.morOptions(spark, tid(name)) match {
+      case Some(opts) =>
+        val path = opts.getOrElse("path", throw new IllegalArgumentException(
+          s"graft.mor table $name has no path option"))
+        val keys = opts.getOrElse("keys", "").split(",").toSeq
+          .map(_.trim).filter(_.nonEmpty)
+        opts.get("partition") match {
+          case Some(p) => Right(PartitionedMorTable.resolve(spark, path, keys, p))
+          case None => Left(MorTable.resolve(spark, path, keys))
+        }
+      case None => graft.GraftCatalog.handleOf(spark, name).getOrElse(
+        throw new IllegalArgumentException(
+          s"$verb: '$name' is neither a graft.mor catalog table nor a " +
+            "GraftCatalog-registered handle"))
+    }
+}
+
+/** `OPTIMIZE t [ZORDER BY (c1, c2)]` — the Delta maintenance spelling
+  * routed onto the engine's compaction verbs: plain → [[MorTable.compact]]
+  * (partitioned: every child), ZORDER BY → [[MorTable.compactZOrder]]
+  * (partitioned: every child re-clustered). Semantics — boundary
+  * creation, manifest stats/blooms publication, record-index refresh —
+  * all live in the verbs; this command only routes. */
+case class GraftOptimizeCommand(table: String, zorderCols: Seq[String])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftMaintenance.resolve(spark, table, "OPTIMIZE") match {
+      case Left(t) =>
+        if (zorderCols.nonEmpty) t.compactZOrder(zorderCols) else t.compact()
+      case Right(p) =>
+        if (zorderCols.nonEmpty)
+          p.compactZOrderPartitions(zorderCols, dueOnly = false,
+            only = p.partitions())
+        else p.compactPartitions(p.partitions())
+    }
+    Seq.empty
+  }
+}
+
+/** `VACUUM t` — the Delta spelling of [[MorTable.clean]]: remove
+  * unreferenced files past the retention point (savepoint pins, unfolded
+  * stragglers and the live boundary all survive — the verb's contract). */
+case class GraftVacuumCommand(table: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftMaintenance.resolve(spark, table, "VACUUM").fold(_.clean(), _.clean())
     Seq.empty
   }
 }

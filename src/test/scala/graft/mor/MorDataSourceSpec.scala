@@ -125,6 +125,52 @@ class MorDataSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("OPTIMIZE / VACUUM DDL spellings route onto compact / clean") {
+    val path = TestSpark.tmpDir("ddl-optimize")
+    Seq(("id1", "Danny", 23), ("id2", "Emma", 20)).toDF("uuid", "name", "age")
+      .write.format("graft.mor").option("path", path).option("keys", "uuid")
+      .save()
+    spark.sql(s"CREATE TABLE opt_t USING `graft.mor` OPTIONS " +
+      s"(path '$path', keys 'uuid')")
+    try {
+      val t = graft.lake.MorTable.resolve(spark, path, Seq("uuid"))
+      assert(t.readOptimized().isEmpty, "no base before the first OPTIMIZE")
+      spark.sql("OPTIMIZE opt_t")
+      assert(t.readOptimized().count() == 2, "OPTIMIZE must compact")
+      // ZORDER BY spelling routes onto the clustering compaction and
+      // publishes colstats for the z columns (header stat cols)
+      spark.sql("INSERT INTO opt_t VALUES ('id3', 'Han', 56)")
+      spark.sql("OPTIMIZE opt_t ZORDER BY (age)")
+      assert(t.readForColRanges(Seq(("age", 20.0, 25.0))).count() == 2)
+      // VACUUM removes the superseded base/delta dirs
+      val before = new java.io.File(s"$path/base").list().length
+      assert(before >= 2, s"two compacts must leave two base dirs ($before)")
+      spark.sql("VACUUM opt_t")
+      assert(new java.io.File(s"$path/base").list().length == 1,
+        "VACUUM must clean superseded bases")
+      assert(spark.sql("SELECT count(*) FROM opt_t").head().getLong(0) == 3)
+      // unknown table is refused loudly
+      intercept[IllegalArgumentException](spark.sql("OPTIMIZE no_such_table"))
+      intercept[IllegalArgumentException](spark.sql("VACUUM no_such_table"))
+    } finally spark.sql("DROP TABLE IF EXISTS opt_t")
+  }
+
+  test("OPTIMIZE, partitioned route: every child compacts") {
+    val path = TestSpark.tmpDir("ddl-optimize-part")
+    Seq(("id1", "a", 1), ("id2", "b", 2)).toDF("uuid", "pt", "v")
+      .write.format("graft.mor").option("path", path).option("keys", "uuid")
+      .option("partition", "pt").save()
+    spark.sql(s"CREATE TABLE opt_pt USING `graft.mor` OPTIONS " +
+      s"(path '$path', keys 'uuid', partition 'pt')")
+    try {
+      val p = graft.lake.PartitionedMorTable.resolve(spark, path, Seq("uuid"), "pt")
+      assert(p.readOptimized().isEmpty)
+      spark.sql("OPTIMIZE opt_pt")
+      assert(p.readOptimized().count() == 2,
+        "partitioned OPTIMIZE must compact every child")
+    } finally spark.sql("DROP TABLE IF EXISTS opt_pt")
+  }
+
   test("CREATE TABLE … SHALLOW CLONE, partitioned route") {
     val srcPath = TestSpark.tmpDir("ddl-pclone-src")
     Seq(("id1", "a", 1), ("id2", "b", 2)).toDF("uuid", "pt", "v")
