@@ -59,6 +59,7 @@ object SparkEntry {
     "s76_clone_of_bootstrap" -> ((s, d) => graft.lake.LakeQueries.cloneOfBootstrap(s, d)),
     "s77_metadata_count"  -> ((s, d) => graft.lake.LakeQueries.metadataCount(s, d)),
     "s78_part_range_read" -> ((s, d) => graft.lake.LakeQueries.partRangeRead(s, d)),
+    "s79_record_index"    -> ((s, d) => graft.lake.LakeQueries.recordIndexRead(s, d)),
     "s73_incr_sketch_index" -> ((s, d) =>
       graft.lake.LakeQueries.incrementalSketchIndex(s, d)),
     "d31_incr_dedup"      -> ((s, d) =>
@@ -176,6 +177,8 @@ object SparkEntry {
     "t31_temperature_mix" -> ((s, d) => graft.operators.Sampling.temperatureSample(
       graft.Tables.documents(s, d), "lang", "doc_id", alpha = 0.5)),
     "t16_bm25"            -> ((s, d) => graft.functions.LlmQueries.bm25TopK(s, d)),
+    "t43_hybrid_rrf"      -> ((s, d) => graft.functions.LlmQueries.hybridRrf(s, d)),
+    "t44_mmr_rerank"      -> ((s, d) => graft.functions.LlmQueries.mmrRerank(s, d)),
     "t17_mixture_epochs"  -> ((s, d) => graft.functions.LlmQueries.mixtureEpochs(s, d)),
     "d15_hll_registers"   -> ((s, d) => graft.functions.LlmQueries.hllRegisters(s, d)),
     "d16_hll_estimate"    -> ((s, d) => graft.functions.LlmQueries.hllEstimate(s, d)),
@@ -214,6 +217,7 @@ object SparkEntry {
     "r54_session_window"  -> ((s, d) =>
       graft.streaming.StreamingQueries.streamSessionWindow(s, d)),
     "r51_tpch_q1"         -> ((s, d) => RelationalOps.tpchQ1(s, d)),
+    "r56_bucketed_join"   -> ((s, d) => RelationalOps.bucketedJoin(s, d)),
     "r52_tpch_q3"         -> ((s, d) => RelationalOps.tpchQ3(s, d)),
     "r53_tpch_q6"         -> ((s, d) => RelationalOps.tpchQ6(s, d)),
     "r32_pivot"           -> ((s, d) => RelationalOps.pivotEventCounts(s, d)),
@@ -835,6 +839,26 @@ object SparkEntry {
         |  (PARTITION BY event_type, user_id ORDER BY ts DESC, event_id DESC) = 1
         |  AND user_id >= 30 AND user_id < 90
         |  AND value >= 0.0 AND value < 250.0""".stripMargin,
+    // record-level-index point read: LWW winners with the updateWhere
+    // patch applied, restricted to the undeleted probe keys (user_id % 10
+    // = 4 was tombstoned after the index refresh) — the index changes
+    // WHICH base files are scanned (asserted in-entry), never the answer
+    "s79_record_index" ->
+      """WITH lww AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
+        |  FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) = 1
+        |)
+        |SELECT user_id, event_id,
+        |       CASE WHEN user_id BETWEEN 10 AND 14 THEN 'rli'
+        |            ELSE event_type END AS event_type,
+        |       CASE WHEN user_id BETWEEN 10 AND 14 THEN value + 1000.0
+        |            ELSE value END AS value,
+        |       ts_ms
+        |FROM lww
+        |WHERE user_id IN (4,12,40,41,42,43,44,45,46,47,48,49)
+        |  AND user_id % 10 <> 4""".stripMargin,
     // ONE oracle for the programmatic verb AND its SQL-text twin (s39/s61,
     // s27/s60): the statement surface changed, the answer must not
     "s39_merge_into" -> MergeIntoOracle,
@@ -1313,6 +1337,125 @@ object SparkEntry {
         |                          ORDER BY score_u DESC, doc_id)::BIGINT AS rank
         |FROM sc
         |QUALIFY rank <= 10""".stripMargin,
+    // hybrid retrieval: the t16 BM25 pipeline (k=20) and the s9 exact
+    // cosine ranking (k=20) fused by reciprocal rank — integer `div`
+    // units, so the fused scores and the (rrf_u DESC, doc_id) total order
+    // are engine-exact
+    "t43_hybrid_rrf" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                            x -> x <> '')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2
+        |), dl AS (
+        |  SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1
+        |), st AS (
+        |  SELECT count(*)::BIGINT AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl
+        |), df AS (
+        |  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1
+        |), q AS (
+        |  SELECT doc_id AS query_id,
+        |         unnest(list_distinct(list_filter(
+        |           regexp_split_to_array(lower(text), '\s+'), x -> x <> ''))) AS term
+        |  FROM documents WHERE doc_id < 3
+        |), sc AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |         sum(CAST(round(ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5)) *
+        |               (tf.tf * 2.2 /
+        |                (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))) *
+        |               1000000.0) AS BIGINT))::BIGINT AS score_u
+        |  FROM q
+        |  JOIN tf USING (term)
+        |  JOIN dl ON tf.doc_id = dl.doc_id
+        |  JOIN df ON q.term = df.term
+        |  CROSS JOIN st
+        |  GROUP BY 1, 2
+        |), sparse AS (
+        |  SELECT query_id, doc_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score_u DESC, doc_id) AS s_rank
+        |  FROM sc QUALIFY s_rank <= 20
+        |), dense AS (
+        |  SELECT qv.vec_id AS query_id, c.vec_id AS doc_id,
+        |         round(list_cosine_similarity(qv.embedding::DOUBLE[],
+        |                                      c.embedding::DOUBLE[]), 6) AS cos_sim
+        |  FROM embeddings qv JOIN embeddings c ON qv.vec_id <> c.vec_id
+        |  WHERE qv.vec_id < 3
+        |  QUALIFY row_number() OVER (PARTITION BY qv.vec_id
+        |    ORDER BY cos_sim DESC, c.vec_id ASC) <= 20
+        |), dense_r AS (
+        |  SELECT query_id, doc_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cos_sim DESC, doc_id ASC) AS d_rank
+        |  FROM dense
+        |), fused AS (
+        |  SELECT coalesce(s.query_id, d.query_id) AS query_id,
+        |         coalesce(s.doc_id, d.doc_id) AS doc_id,
+        |         coalesce(1000000000 // (60 + s.s_rank), 0) +
+        |         coalesce(1000000000 // (60 + d.d_rank), 0) AS rrf_u
+        |  FROM sparse s
+        |  FULL JOIN dense_r d ON s.query_id = d.query_id AND s.doc_id = d.doc_id
+        |)
+        |SELECT query_id, doc_id, rrf_u::BIGINT AS rrf_u,
+        |       row_number() OVER (PARTITION BY query_id
+        |                          ORDER BY rrf_u DESC, doc_id)::BIGINT AS fused_rank
+        |FROM fused
+        |QUALIFY fused_rank <= 10""".stripMargin,
+    // MMR re-rank: all five greedy λ=0.7 rounds replayed exactly —
+    // candidate cut at 6 dp (the s9 rule), then pure integer score
+    // arithmetic (7·rel − 3·max_sim, no division) so every round's argmax
+    // and tie-break is engine-exact
+    "t44_mmr_rerank" -> {
+      val step = (i: Int) => s"""
+        |, s$i AS (
+        |  SELECT query_id, doc_id, $i::BIGINT AS step, mmr_u FROM (
+        |    SELECT c.query_id, c.doc_id, 7*c.rel_u - 3*max(p.sim_u) AS mmr_u
+        |    FROM cand c
+        |    JOIN pairs p ON p.query_id = c.query_id AND p.a = c.doc_id
+        |    JOIN sel${i - 1} s ON s.query_id = p.query_id AND s.doc_id = p.b
+        |    WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} x
+        |                      WHERE x.query_id = c.query_id AND x.doc_id = c.doc_id)
+        |    GROUP BY c.query_id, c.doc_id, c.rel_u
+        |  ) QUALIFY row_number() OVER (PARTITION BY query_id
+        |      ORDER BY mmr_u DESC, doc_id) = 1
+        |), sel$i AS (
+        |  SELECT query_id, doc_id FROM sel${i - 1}
+        |  UNION ALL SELECT query_id, doc_id FROM s$i
+        |)""".stripMargin
+      """WITH cand0 AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+        |         round(list_cosine_similarity(q.embedding::DOUBLE[],
+        |                                      c.embedding::DOUBLE[]), 6) AS cos
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 3
+        |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY cos DESC, c.vec_id) <= 20
+        |), cand AS (
+        |  SELECT query_id, doc_id, CAST(round(cos * 1000000) AS BIGINT) AS rel_u
+        |  FROM cand0
+        |), pairs AS (
+        |  SELECT a.query_id, a.doc_id AS a, b.doc_id AS b,
+        |         CAST(round(list_cosine_similarity(ea.embedding::DOUBLE[],
+        |                eb.embedding::DOUBLE[]) * 1000000) AS BIGINT) AS sim_u
+        |  FROM cand a JOIN cand b
+        |    ON a.query_id = b.query_id AND a.doc_id <> b.doc_id
+        |  JOIN embeddings ea ON ea.vec_id = a.doc_id
+        |  JOIN embeddings eb ON eb.vec_id = b.doc_id
+        |), s1 AS (
+        |  SELECT query_id, doc_id, 1::BIGINT AS step, 7 * rel_u AS mmr_u FROM cand
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rel_u DESC, doc_id) = 1
+        |), sel1 AS (SELECT query_id, doc_id FROM s1)""".stripMargin +
+        (2 to 5).map(step).mkString +
+        """
+        |SELECT query_id, doc_id, step, mmr_u::BIGINT AS mmr_u FROM s1
+        |UNION ALL SELECT query_id, doc_id, step, mmr_u::BIGINT FROM s2
+        |UNION ALL SELECT query_id, doc_id, step, mmr_u::BIGINT FROM s3
+        |UNION ALL SELECT query_id, doc_id, step, mmr_u::BIGINT FROM s4
+        |UNION ALL SELECT query_id, doc_id, step, mmr_u::BIGINT FROM s5""".stripMargin
+    },
     "t17_mixture_epochs" ->
       """WITH base AS (
         |  SELECT doc_id, lang,
@@ -2132,6 +2275,16 @@ object SparkEntry {
     "r19_salted_join" ->
       """SELECT o.o_orderkey, c.c_name, o.o_totalprice
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
+    // storage-bucketed co-located join: the bucketing changes WHERE the
+    // shuffle happens (write time, asserted in-entry), never the answer
+    "r56_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |       sum(CAST(round(l_quantity * 1e6) AS BIGINT))::BIGINT
+        |         AS sum_qty_micros,
+        |       sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 1e6)
+        |           AS BIGINT))::BIGINT AS rev_micros
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
     "t31_temperature_mix" ->
       """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
         |m AS (SELECT min(n) AS mn FROM c),

@@ -588,6 +588,56 @@ object LlmQueries {
     Retrieval.bm25TopK(docs, queries)
   }
 
+  /** HYBRID retrieval with reciprocal-rank fusion (the BM25 ⊕ dense-ANN
+    * combination every RAG/curation stack ships): the same three query
+    * docs are ranked twice — sparse ([[Retrieval.bm25TopK]], k=20) and
+    * dense (exact cosine over the aligned embeddings, k=20, the s9
+    * machinery) — and the two rankings fuse by RRF:
+    * `rrf_u = Σ_lists 1000000000 div (60 + rank)` (Cormack et al.'s
+    * k=60, scaled to INTEGER units with `div` so the fused scores are
+    * engine/partitioning-exact — no float-sum nondeterminism), top-10 per
+    * query under the (rrf_u DESC, doc_id) total order.
+    *
+    * Scale shape: both branch rankings are already bounded (k·queries
+    * rows); the fusion is a full outer join of two TINY relations + one
+    * window over ≤2k rows per query. The corpus is touched exactly twice
+    * — once tokenized (BM25's one postings pass), once scanned for
+    * cosine (swap in [[Similarity.ivfTopK]]'s bucketed candidates at
+    * 100 TB; the fusion logic is unchanged). */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    val queries = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+    val sparse = Retrieval.bm25TopK(docs, queries, k = 20)
+      .select(col("query_id"), col("doc_id"), col("rank").as("s_rank"))
+    val dw = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    val dense = Similarity
+      .bruteForceTopK(emb, emb.filter(col("vec_id") < 3), k = 20)
+      .withColumn("d_rank", row_number().over(dw).cast("long"))
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("d_rank"))
+    val fused = sparse.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_u",
+        coalesce(expr("1000000000 div (60 + s_rank)"), lit(0L)) +
+          coalesce(expr("1000000000 div (60 + d_rank)"), lit(0L)))
+    val fw = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_u").desc, col("doc_id"))
+    fused.withColumn("fused_rank", row_number().over(fw).cast("long"))
+      .filter(col("fused_rank") <= 10)
+      .select("query_id", "doc_id", "rrf_u", "fused_rank")
+  }
+
+  /** MMR diversified re-ranking over the embeddings table (gate entry
+    * t44): the same three query vectors as t43, top-20 exact-cosine
+    * candidates, 5 greedy λ=0.7 rounds — see [[Similarity.mmrRerank]].
+    * The oracle replays every greedy round in DuckDB on the identical
+    * integer score arithmetic. */
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.mmrRerank(emb, emb.filter(col("vec_id") < 3), k = 5, kCand = 20)
+  }
+
   /** Per-source HLL registers over the portable md5 hash family — pins the
     * hll_agg TypedImperativeAggregate itself against DuckDB (slot-max of
     * leading-zero ranks; see [[Sketch.registers]]). */

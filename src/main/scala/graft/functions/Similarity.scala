@@ -46,6 +46,68 @@ object Similarity {
   private def registerOn(df: DataFrame): Unit =
     graft.GraftFunctions.register(df.sparkSession)
 
+  /** MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell & Goldstein 1998 —
+    * the diversity-aware context selection every RAG stack and dedup-
+    * aware retrieval pipeline needs): from each query's top-`kCand`
+    * exact-cosine candidates, greedily pick `k` where step 1 takes the
+    * most relevant and every later step maximizes
+    * `mmr_u = 7·rel_u − 3·max_sim_u` (λ=0.7 in tenth-micro integer
+    * units — NO division, so there is no floor-vs-truncate hazard and
+    * the scores are engine/partitioning-exact; ties break on doc_id).
+    *
+    * Shape at 100 TB: the corpus is touched once by the candidate
+    * generator (swap [[ivfTopK]]'s bucketed candidates in for the exact
+    * scan — the greedy logic is unchanged); everything after is
+    * queries×kCand-sized. The k−1 greedy rounds are DataFrame joins over
+    * those tiny relations — the selection never visits the driver, and
+    * each round localCheckpoints so plans stay constant-size (the
+    * iterative-algorithm rule). Pairwise candidate similarities are
+    * computed ONCE (kCand² per query) before the loop, not per round. */
+  def mmrRerank(emb: DataFrame, queries: DataFrame, k: Int = 5,
+                kCand: Int = 20, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    registerOn(emb)
+    val cand = bruteForceTopK(emb, queries, kCand, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        round(col("cos_sim") * lit(1e6)).cast("long").as("rel_u"))
+      .localCheckpoint(true)
+    val vecs = emb.select(col(idCol).as("__vid"), col(vecCol).as("__v"))
+    val withVec = cand.join(vecs, cand("doc_id") === col("__vid"))
+    val aSide = withVec.select(col("query_id"), col("doc_id").as("a"),
+      col("__v").as("__va"))
+    val bSide = withVec.select(col("query_id"), col("doc_id").as("b"),
+      col("__v").as("__vb"))
+    val pairs = aSide.join(bSide, Seq("query_id"))
+      .filter(col("a") =!= col("b"))
+      .select(col("query_id"), col("a"), col("b"),
+        round(cosF(col("__va"), col("__vb")) * lit(1e6)).cast("long").as("sim_u"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("mmr_u").desc, col("doc_id"))
+    var selected = cand
+      .withColumn("mmr_u", lit(7L) * col("rel_u"))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("query_id"), col("doc_id"), lit(1L).as("step"), col("mmr_u"))
+      .localCheckpoint(true)
+    for (i <- 2 to k) {
+      val maxSim = pairs
+        .join(selected.select(col("query_id"), col("doc_id").as("b")),
+          Seq("query_id", "b"))
+        .groupBy(col("query_id"), col("a").as("doc_id"))
+        .agg(max(col("sim_u")).as("ms_u"))
+      val next = cand
+        .join(selected.select("query_id", "doc_id"),
+          Seq("query_id", "doc_id"), "left_anti")
+        .join(maxSim, Seq("query_id", "doc_id"))
+        .withColumn("mmr_u", lit(7L) * col("rel_u") - lit(3L) * col("ms_u"))
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col("query_id"), col("doc_id"), lit(i.toLong).as("step"),
+          col("mmr_u"))
+      selected = selected.unionByName(next).localCheckpoint(true)
+    }
+    selected
+  }
+
   /** Johnson–Lindenstrauss RANDOM PROJECTION — dimensionality reduction
     * for embedding pipelines (cheap pre-filter before exact verification;
     * JL: pairwise distances survive to (1±ε) at k = O(log n / ε²) dims).

@@ -669,6 +669,54 @@ object RelationalOps {
       .withColumn("cume", round(cume_dist().over(w), 6))
   }
 
+  /** STORAGE-BUCKETED co-located join (the write-once/join-free contract
+    * a 100 TB fact table lives by): lineitem and orders are written ONCE
+    * as bucketed tables — 8 buckets on the join key, bucket-sorted — and
+    * every later join on that key reads both sides ALREADY
+    * hash-partitioned: no exchange on either input, straight to
+    * SortMergeJoin. The shuffle a repeated join would pay per query is
+    * paid once at write time; at 1000 executors that is the difference
+    * between a metadata-planned scan-join and re-shuffling the fact
+    * table every morning. Asserted in-entry (with broadcast disabled so
+    * tiny SFs can't mask it): the ONLY exchange in the plan is the final
+    * aggregation's, and the join is a SortMergeJoin over bucketed scans.
+    * Money in integer micros; must equal the plain join aggregate — the
+    * oracle. */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val liName = "graft_bucketed_lineitem"
+    val ordName = "graft_bucketed_orders"
+    spark.sql(s"DROP TABLE IF EXISTS $liName")
+    spark.sql(s"DROP TABLE IF EXISTS $ordName")
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+      .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", graft.TempDirs.create("bucket-li")).saveAsTable(liName)
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderpriority")
+      .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", graft.TempDirs.create("bucket-ord")).saveAsTable(ordName)
+    def micros(c: Column) = sum(round(c * lit(1e6)).cast("long"))
+    def joined = spark.table(liName)
+      .join(spark.table(ordName), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        micros(col("l_quantity")).as("sum_qty_micros"),
+        micros(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("rev_micros"))
+    // pin the co-location property with broadcast off: exactly one
+    // exchange (the final agg) and a sort-merge join over bucketed scans
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = joined.queryExecution.executedPlan.toString()
+      require(p.sliding("Exchange".length).count(_ == "Exchange") == 1,
+        s"bucketed join must plan exactly one exchange (the agg):\n$p")
+      require(p.contains("SortMergeJoin"),
+        s"bucketed join must sort-merge over co-located buckets:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    joined
+  }
+
   /** TPC-H Q1 pricing-summary shape — THE canonical columnar scan+agg:
     * date-filtered lineitem rolled up by flag/status. Money math in
     * integer MICROS (each per-row product rounded ONCE, then long sums —

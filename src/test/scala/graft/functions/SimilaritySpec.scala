@@ -11,6 +11,54 @@ class SimilaritySpec extends AnyFunSuite {
   private lazy val emb = graft.Tables.embeddings(spark, TestSpark.sfDir).cache()
   private lazy val queries = emb.filter($"vec_id" < 5)
 
+  test("mmrRerank: diversity flips the greedy pick; deterministic under repartition") {
+    // q=(1,0,0,0); a,b near-duplicates at rel≈0.707/0.702; c diverse at
+    // rel≈0.697. Pure relevance ranks (a, b, c); MMR's step 2 must take
+    // c — b's 3·max_sim penalty to the already-picked a (~1.0) dwarfs its
+    // relevance edge, while cos(a, c)≈0.5.
+    val rows = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),   // the query
+      (1L, Seq(0.7f, 0.70f, 0.0f, 0.0f)),  // a
+      (2L, Seq(0.7f, 0.71f, 0.0f, 0.0f)),  // b ≈ a
+      (3L, Seq(0.69f, 0.0f, 0.71f, 0.0f)), // c, diverse
+      (4L, Seq(0.0f, 0.1f, 0.0f, 1.0f)))   // filler, low relevance
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mmrRerank(rows, rows.filter($"vec_id" === 0),
+      k = 3, kCand = 4)
+      .orderBy("query_id", "step").collect()
+      .map(r => (r.getAs[Long]("step"), r.getAs[Long]("doc_id")))
+    assert(got.toSeq == Seq(1L -> 1L, 2L -> 3L, 3L -> 2L),
+      s"expected greedy picks a, c, b — got ${got.mkString(", ")}")
+    // pure relevance would have picked b second
+    val pure = Similarity.bruteForceTopK(rows, rows.filter($"vec_id" === 0), k = 2)
+      .orderBy($"cos_sim".desc).collect().map(_.getAs[Long]("neighbor_id"))
+    assert(pure.toSeq == Seq(1L, 2L))
+    // partitioning invariance: same integer scores, same picks
+    val re = Similarity.mmrRerank(rows.repartition(7),
+      rows.filter($"vec_id" === 0), k = 3, kCand = 4)
+      .orderBy("query_id", "step").collect()
+      .map(r => (r.getAs[Long]("step"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("mmr_u")))
+    val base = Similarity.mmrRerank(rows, rows.filter($"vec_id" === 0),
+      k = 3, kCand = 4)
+      .orderBy("query_id", "step").collect()
+      .map(r => (r.getAs[Long]("step"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("mmr_u")))
+    assert(re.toSeq == base.toSeq)
+    // structure over the real corpus: k rows per query, distinct docs,
+    // step-1 equals the relevance argmax
+    val corpus = Similarity.mmrRerank(emb, queries, k = 5, kCand = 20)
+      .cache()
+    assert(corpus.groupBy("query_id").count().collect()
+      .forall(_.getLong(1) == 5))
+    assert(corpus.select("query_id", "doc_id").distinct().count() == corpus.count())
+    val top1 = Similarity.bruteForceTopK(emb, queries, k = 1)
+      .select($"query_id", $"neighbor_id".as("doc_id"))
+    assert(corpus.filter($"step" === 1).select("query_id", "doc_id")
+      .except(top1).isEmpty)
+    corpus.unpersist()
+  }
+
   test("cosine: unit self-similarity, sign sanity") {
     val r = emb.limit(3).select(Similarity.cosine($"embedding", $"embedding").as("c"))
       .collect().map(_.getDouble(0))
