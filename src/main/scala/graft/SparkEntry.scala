@@ -60,6 +60,7 @@ object SparkEntry {
     "s77_metadata_count"  -> ((s, d) => graft.lake.LakeQueries.metadataCount(s, d)),
     "s78_part_range_read" -> ((s, d) => graft.lake.LakeQueries.partRangeRead(s, d)),
     "s79_record_index"    -> ((s, d) => graft.lake.LakeQueries.recordIndexRead(s, d)),
+    "s80_part_record_index" -> ((s, d) => graft.lake.LakeQueries.partRecordIndexRead(s, d)),
     "s73_incr_sketch_index" -> ((s, d) =>
       graft.lake.LakeQueries.incrementalSketchIndex(s, d)),
     "d31_incr_dedup"      -> ((s, d) =>
@@ -758,6 +759,15 @@ object SparkEntry {
       """SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
         |FROM events
         |WHERE user_id % 13 = 1
+        |QUALIFY row_number() OVER
+        |  (PARTITION BY event_type, user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+    // the s50 shape through the partitioned record-level index: one
+    // cross-child postings lookup pins the base files (asserted
+    // in-entry), the answer is the same per-(partition, key) LWW
+    "s80_part_record_index" ->
+      """SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
+        |FROM events
+        |WHERE user_id IN (4,12,40,41,42,43,44,45,46,47,48,49)
         |QUALIFY row_number() OVER
         |  (PARTITION BY event_type, user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
     "s45_lake_stream_read" ->

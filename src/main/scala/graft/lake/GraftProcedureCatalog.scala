@@ -180,10 +180,9 @@ object GraftProcedureCatalog {
       { case Seq(tbl: String) =>
         resolve(tbl) match {
           case Left(t) => t.buildRecordIndex(); Seq(Seq("indexed", tbl))
-          case Right(_) => throw new IllegalArgumentException(
-            "create_record_index: partitioned tables point-read through " +
-              "per-child bloom pruning (readForKeys); the record index is " +
-              "a single-table verb")
+          case Right(p) =>
+            p.buildRecordIndex()
+            Seq(Seq("indexed", s"${p.partitions().size} partitions"))
         }
       }),
     Proc("run_clean", "remove unreferenced files past the retention point",

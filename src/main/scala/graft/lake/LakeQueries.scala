@@ -1886,6 +1886,44 @@ object LakeQueries {
         .select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
   }
 
+  /** PARTITIONED record-level-index point read, oracle-checked (the s79
+    * index at the 100 TB layout): the time-split events land across
+    * event_type children, children compact and build their per-child
+    * postings ([[PartitionedMorTable.buildRecordIndex]]), the second half
+    * stays live per-child deltas, and [[PartitionedMorTable
+    * .readForKeysIndexed]] probes the string-contiguous `{4, 12, 40..49}`
+    * key set — ONE union lookup job across every child's postings pins
+    * the base files (asserted in-entry: a strict subset of the base
+    * files scanned; contiguous keys land in 1–2 of each child's 8
+    * range-partitioned files), delta dirs scan on top, LWW per
+    * (partition, key). Oracle = the s50 shape with this probe. */
+  def partRecordIndexRead(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "value", "ts_ms", "ts_ns")
+    val bounds = ev.agg(min(col("ts_ns")).as("mn"), max(col("ts_ns")).as("mx")).head()
+    val mn = bounds.getLong(0); val mx = bounds.getLong(1)
+    val mid = mn + (mx - mn) / 2
+    val path = tempPath("mor-part-rli")
+    val t = new PartitionedMorTable(spark, path,
+      keyCols = Seq("user_id"), partitionCol = "event_type",
+      compactionDeltaCommits = 1000, autoCompact = false, writePartitions = 8)
+    t.upsert(ev.filter(col("ts_ns") <= mid),
+      orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 1L)
+    t.compactPartitions(t.partitions())
+    t.buildRecordIndex()
+    t.upsert(ev.filter(col("ts_ns") > mid),
+      orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 2L)
+    val keys = (Seq("4", "12") ++ (40 to 49).map(_.toString)).sorted
+    val out = t.readForKeysIndexed(keys)
+    val baseScanned = out.inputFiles.count(_.contains("/base/"))
+    val baseTotal = t.read().inputFiles.count(_.contains("/base/"))
+    require(baseScanned < baseTotal,
+      s"partitioned record index must pin a strict base-file subset " +
+        s"($baseScanned of $baseTotal scanned)")
+    graft.TempDirs.materializeAndDelete(
+      out.select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
+  }
+
   /** Additive schema evolution, oracle-checked: commit 2 carries a column
     * commit 1 never had (`tag`). The snapshot union reads old commits with
     * NULL for the new column (allowMissingColumns — the Hudi additive

@@ -1958,10 +1958,19 @@ final class MorTable(
   /** Stage-then-rename publish of the index relation for base `seq`
     * (readers dispatch on dir EXISTENCE, so a half-written index must
     * never be visible under its final name). Idempotent per seq — the
-    * relation is a pure function of the immutable base. */
+    * relation is a pure function of the immutable base. Rows additionally
+    * carry the full `file` path rebuilt from the LISTED prefix (the
+    * manifest-stats recipe): a cross-partition lookup
+    * ([[PartitionedMorTable.readForKeysIndexed]]) unions MANY children's
+    * postings into one scan and must hand spark.read paths in the listed
+    * encoding, never the input_file_name one. */
   private def writeRecordIndex(seq: Long, rows: DataFrame): Unit = {
     val staging = new Path(hPath, s".staging-rli-${System.nanoTime()}")
-    rows.repartitionByRange(math.max(1, writePartitions), col("key"))
+    val prefix = baseFilesOf(seq).headOption
+      .map(f => f.substring(0, f.lastIndexOf('/') + 1))
+      .getOrElse(s"$path/base/$seq/")
+    rows.withColumn("file", concat(lit(prefix), col("fname")))
+      .repartitionByRange(math.max(1, writePartitions), col("key"))
       .sortWithinPartitions(col("key"))
       .write.mode("overwrite").parquet(staging.toString)
     val dst = rliDir(seq)
@@ -2019,9 +2028,15 @@ final class MorTable(
 
   /** True when the record-level index exists at the CURRENT compaction
     * boundary — what [[readForKeysIndexed]] dispatches on. */
-  def hasRecordIndex(): Boolean =
-    liveDeltas(timeline())._1.exists(c =>
-      c.bootstrapDir.isEmpty && fs.exists(rliDir(c.seq)))
+  def hasRecordIndex(): Boolean = freshRliDir().isDefined
+
+  /** The index dir when it is FRESH (exists at the current managed
+    * compaction boundary) — what the partitioned cross-child lookup
+    * unions; None = this child point-reads through the bloom path. */
+  private[lake] def freshRliDir(): Option[String] =
+    liveDeltas(timeline())._1
+      .filter(c => c.bootstrapDir.isEmpty && fs.exists(rliDir(c.seq)))
+      .map(c => rliDir(c.seq).toString)
 
   /** Record-INDEXED point read: [[readForKeys]] with the base file set
     * resolved EXACTLY by the record-level index instead of

@@ -839,6 +839,63 @@ final class PartitionedMorTable(
       .select(orderedDataCols(scan.columns).map(col): _*)
   }
 
+  /** Cross-partition RECORD-INDEXED point read ([[MorTable
+    * .readForKeysIndexed]] at the 100 TB layout): children whose
+    * record-level index is FRESH at their compaction boundary resolve
+    * their base files through ONE union lookup over ALL those children's
+    * postings relations — a single Spark job in partition count, pushed
+    * key filter, only full `file` paths (written in the LISTED encoding
+    * at index time — the manifest-stats recipe) reach the driver; their
+    * deltas always scan. Children without a fresh index fall back to
+    * their bloom pruning ([[MorTable.pointScanPaths]]), meta-less
+    * bootstrap children to the synthesizing scan — per-child fail-closed,
+    * never a wrong answer from a stale index. Everything unions into ONE
+    * multi-path scan with the pushed key predicate; LWW per (partition,
+    * key) on the parent token. */
+  def readForKeysIndexed(recordKeys: Seq[String],
+                         values: Seq[String] = Seq.empty): DataFrame = {
+    require(recordKeys.size <= 100000,
+      s"readForKeysIndexed got ${recordKeys.size} keys — a literal In() " +
+        "this large bloats the plan; scan-and-join instead")
+    val sel = if (values.nonEmpty) values else partitions()
+    require(sel.nonEmpty, s"PartitionedMorTable at $path has no partitions")
+    if (recordKeys.isEmpty) return read(sel).limit(0)
+    val perChild = parChildren(sel)(c =>
+      (c.freshRliDir(), c.liveScanDirs()._2, c.pointScanPaths(recordKeys),
+        c.metalessBootstrapBase()))
+    val boots = sel.zip(perChild).collect { case (v, (_, _, _, Some(i))) => (v, i) }
+    val rliDirs = perChild.collect { case (Some(d), _, _, None) => d }
+    val pinnedFiles: Seq[String] =
+      if (rliDirs.isEmpty) Nil
+      else spark.read.parquet(MorTable.globSafe(rliDirs): _*)
+        .filter(col("key").isin(recordKeys: _*))
+        .select("file").distinct().collect().map(_.getString(0)).toSeq.sorted
+    val paths = perChild.flatMap {
+      case (Some(_), deltas, _, None) => deltas // base comes via the lookup
+      case (None, _, fallback, None) => fallback
+      case (_, _, _, Some(_)) => Nil // synthesizing scan below
+    } ++ pinnedFiles
+    val scans = ((if (paths.nonEmpty) Seq(scanDirs(paths)) else Nil) ++
+      bootstrapScan(boots).toSeq)
+      .map(_.filter(col("_record_key").isin(recordKeys: _*)))
+    if (scans.isEmpty) return read(sel).limit(0)
+    val scan = scans.reduce(_.unionByName(_, allowMissingColumns = true))
+    lwwLatest(scan).filter(!col("_deleted"))
+      .select(orderedDataCols(scan.columns).map(col): _*)
+  }
+
+  /** Build the record-level index on EVERY selected child ([[MorTable
+    * .buildRecordIndex]] per partition — the partitioned front door of
+    * `CALL graft_ops.create_record_index`). Loud on a child without a
+    * managed compacted base (the pruned-verb contract): compact first.
+    * Once built, per-child compactions refresh their own index. */
+  def buildRecordIndex(values: Seq[String] = Seq.empty): Unit = {
+    val sel = if (values.nonEmpty) values else partitions()
+    require(sel.nonEmpty, s"PartitionedMorTable at $path has no partitions")
+    parChildren(sel)(c => c.buildRecordIndex())
+    ()
+  }
+
   /** Cross-partition SCAN-AND-JOIN point read ([[MorTable.readForKeysOf]]
     * in the partitioned layout): the selected children's ONE multi-dir
     * scan semi-joins a record-key DataFrame of any size before the LWW

@@ -147,6 +147,59 @@ class PartitionedMorTableSpec extends AnyFunSuite {
     assert(t.readForKeys(keys).orderBy("k").collect().map(_.toSeq).toSeq == full)
   }
 
+  test("readForKeysIndexed: cross-child record index pins exact base files") {
+    val t = new PartitionedMorTable(spark, tmp(), Seq("k"), "p",
+      compactionDeltaCommits = 1000, autoCompact = false, writePartitions = 8)
+    val rows = (1 to 400).map(i => (f"k$i%04d", if (i % 2 == 0) "A" else "B", i))
+      .toDF("k", "p", "v")
+    t.upsert(rows, Seq(col("k")), batchId = 1L)
+    t.compactPartitions(Seq("A", "B"))
+    t.buildRecordIndex()
+    assert(Seq("A", "B").forall(v => t.child(v).hasRecordIndex()))
+    def baseFileCount(v: String) =
+      new java.io.File(s"${t.path}/p=$v/base/${t.child(v).timeline().last.seq}")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+    val totalBase = baseFileCount("A") + baseFileCount("B")
+    // a live delta on top (update one key, insert a brand-new one)
+    t.upsert(Seq(("k0002", "A", 9999), ("zzzz", "B", -1)).toDF("k", "p", "v"),
+      Seq(col("k")), batchId = 2L)
+    // cross-child probe: each key pins exactly one base file in its child
+    val two = t.readForKeysIndexed(Seq("k0123", "k0124"))
+    assert(two.inputFiles.count(_.contains("/base/")) == 2,
+      "one pinned base file per probed key across children")
+    assert(two.collect().map(r =>
+      (r.getAs[String]("k"), r.getAs[String]("p"), r.getAs[Int]("v"))).sorted.toSeq ==
+      Seq(("k0123", "B", 123), ("k0124", "A", 124)))
+    // delta rows win LWW over pinned bases; delta-only keys still answer
+    val got = t.readForKeysIndexed(Seq("k0002", "zzzz", "nope")).collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Int]("v"))).toMap
+    assert(got == Map("k0002" -> 9999, "zzzz" -> -1))
+    // partition selector composes
+    val pruned = t.readForKeysIndexed(Seq("k0123", "k0124"), values = Seq("A"))
+    assert(pruned.collect().map(_.getAs[String]("k")).toSeq == Seq("k0124"))
+    assert(pruned.inputFiles.forall(_.contains("p=A")))
+    // a LATE-BORN child without an index falls back per child, exactly
+    t.upsert(Seq(("newc", "C", 7)).toDF("k", "p", "v"), Seq(col("k")), batchId = 3L)
+    val mixed = t.readForKeysIndexed(Seq("k0123", "newc"))
+    assert(mixed.collect().map(r =>
+      (r.getAs[String]("k"), r.getAs[Int]("v"))).toMap ==
+      Map("k0123" -> 123, "newc" -> 7))
+    // equality with the filtered full read for a spread key set
+    val keys = Seq("k0001", "k0123", "k0200", "k0399", "k0002", "zzzz", "newc")
+    val full = t.read().filter(col("k").isin(keys: _*))
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    assert(t.readForKeysIndexed(keys).orderBy("k").collect().map(_.toSeq).toSeq == full)
+    // per-child compaction refresh: indexed children stay fresh, the
+    // never-indexed child keeps falling back (opt-in is per child)
+    t.compactPartitions(Seq("A", "B", "C"))
+    assert(Seq("A", "B").forall(v => t.child(v).hasRecordIndex()),
+      "existing indexes must refresh through the batched compaction")
+    assert(!t.child("C").hasRecordIndex())
+    val after = t.readForKeysIndexed(keys)
+    assert(after.orderBy("k").collect().map(_.toSeq).toSeq ==
+      t.read().filter(col("k").isin(keys: _*)).orderBy("k").collect().map(_.toSeq).toSeq)
+  }
+
   test("partition-pruned read opens only named children") {
     val t = new PartitionedMorTable(spark, tmp(), Seq("k"), "p")
     t.upsert(Seq((1L, "x", 1), (2L, "y", 2), (3L, "z", 3)).toDF("k", "p", "v"),
