@@ -109,6 +109,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(session => new graft.plans.TopKRewrite(session))
     // metadata-only COUNT(*) over mor snapshot scans at a clean boundary
     ext.injectOptimizerRule(session => new graft.plans.MetadataCountRewrite(session))
+    ext.injectOptimizerRule(session => new graft.plans.ViewRewrite(session))
   }
 }
 

@@ -61,6 +61,7 @@ object SparkEntry {
     "s78_part_range_read" -> ((s, d) => graft.lake.LakeQueries.partRangeRead(s, d)),
     "s79_record_index"    -> ((s, d) => graft.lake.LakeQueries.recordIndexRead(s, d)),
     "s80_part_record_index" -> ((s, d) => graft.lake.LakeQueries.partRecordIndexRead(s, d)),
+    "s81_mv_rewrite"      -> ((s, d) => graft.lake.LakeQueries.viewRewriteRead(s, d)),
     "s73_incr_sketch_index" -> ((s, d) =>
       graft.lake.LakeQueries.incrementalSketchIndex(s, d)),
     "d31_incr_dedup"      -> ((s, d) =>
@@ -761,6 +762,23 @@ object SparkEntry {
         |WHERE user_id % 13 = 1
         |QUALIFY row_number() OVER
         |  (PARTITION BY event_type, user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+    // materialized-view auto-substitution: the analyst's GROUP BY over
+    // the BASE table, served from the maintained view (rewrite/fail-
+    // closed/re-serve all asserted in-plan in-entry) — the answer is the
+    // LWW state's per-type count + exact micro sum after the delete
+    "s81_mv_rewrite" ->
+      """WITH lww AS (
+        |  SELECT user_id, event_type,
+        |         CAST(round(value * 1000000) AS BIGINT) AS value_micros
+        |  FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) = 1
+        |)
+        |SELECT event_type, count(*)::BIGINT AS n,
+        |       sum(value_micros)::BIGINT AS sv
+        |FROM lww
+        |WHERE user_id % 10 <> 3
+        |GROUP BY event_type""".stripMargin,
     // the s50 shape through the partitioned record-level index: one
     // cross-child postings lookup pins the base files (asserted
     // in-entry), the answer is the same per-(partition, key) LWW

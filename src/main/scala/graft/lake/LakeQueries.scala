@@ -1620,6 +1620,100 @@ object LakeQueries {
     graft.TempDirs.materializeAndDelete(view, path)
   }
 
+  /** MATERIALIZED-VIEW AUTO-SUBSTITUTION, oracle-checked end-to-end (the
+    * optimizer half of the s22 story — [[graft.plans.ViewRewrite]]): a
+    * keyed LWW base table is loaded in two batches and a per-event_type
+    * (count, exact micro sum) view is materialized and REGISTERED; the
+    * analyst's plain `GROUP BY` SQL over the BASE table then
+    * (a) rewrites onto the groups-sized view while fresh — asserted
+    * in-plan: the executed plan reads the view path and never the base;
+    * (b) fails CLOSED back to the base scan the moment a delete commit
+    * lands after the last maintenance cycle — asserted in-plan, and the
+    * scan answer is the ground truth; (c) after one O(changes)
+    * incremental maintenance cycle (the s22 changelog algebra: −before
+    * +after per net I/U/D) the SAME SQL serves from the view again,
+    * bit-identical to the scan answer (asserted in-entry). The returned
+    * result is (c)'s — the oracle recomputes it from the raw events. */
+  def viewRewriteRead(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        round(col("value") * 1000000).cast("long").as("value_micros"),
+        col("ts_ms"), col("ts_ns"))
+    val bounds = ev.agg(min(col("ts_ns")).as("mn"), max(col("ts_ns")).as("mx")).head()
+    val mid = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 2
+    val basePath = tempPath("mor-mv-base"); val viewPath = tempPath("mor-mv-view")
+    val bt = MorTable(spark, basePath, keyCols = Seq("user_id"),
+      compactionDeltaCommits = 1000)
+    bt.upsert(ev.filter(col("ts_ns") <= mid),
+      orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 1L)
+    bt.upsert(ev.filter(col("ts_ns") > mid),
+      orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 2L)
+    // materialize the view off the current state; record the folded seq
+    val vt = MorTable(spark, viewPath, keyCols = Seq("event_type"),
+      compactionDeltaCommits = 1000)
+    vt.upsert(bt.read().groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("value_micros")).as("sv")),
+      orderWithinBatch = Nil, batchId = 1L)
+    val maintained = new java.util.concurrent.atomic.AtomicLong(
+      bt.timeline().last.seq)
+    import graft.plans.ViewRewrite
+    ViewRewrite.register(ViewRewrite.ViewDef(
+      basePath = basePath, groupCols = Seq("event_type"),
+      measures = Seq(ViewRewrite.Measure("count", "", "n"),
+        ViewRewrite.Measure("sum", "value_micros", "sv")),
+      viewScan = () => vt.read(),
+      isFresh = () => bt.timeline().last.seq == maintained.get()))
+    val tbl = "graft_mv_base"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl USING `graft.mor` OPTIONS " +
+      s"(path '$basePath', keys 'user_id')")
+    try {
+      spark.conf.set(ViewRewrite.confKey, "true")
+      def q() = spark.sql(s"SELECT event_type, count(*) AS n, " +
+        s"sum(value_micros) AS sv FROM $tbl GROUP BY event_type")
+      def plan(df: DataFrame) = df.queryExecution.executedPlan.toString()
+      // (a) fresh: the SQL over the BASE serves from the VIEW
+      val fresh = q()
+      require(plan(fresh).contains(viewPath) && !plan(fresh).contains(basePath),
+        "fresh view must substitute the base scan")
+      require(fresh.count() > 0)
+      // (b) a delete commit lands → stale view fails closed to the scan
+      bt.deleteWhere(col("user_id") % 10 === 3, batchId = 3L)
+      val stale = q()
+      require(!plan(stale).contains(viewPath) && plan(stale).contains(basePath),
+        "stale view must fail closed to the base scan")
+      val truth = stale.collect().map(_.toSeq).toSet
+      // (c) one O(changes) maintenance cycle off the changelog (the s22
+      // algebra), bump the watermark → the view serves again, exactly
+      val cl = bt.readChangelog(maintained.get()).localCheckpoint(true)
+      val minus = cl.filter(col("op").isin("U", "D"))
+        .select(col("before_event_type").as("event_type"),
+          lit(-1L).as("dn"), (-col("before_value_micros")).as("ds"))
+      val plus = cl.filter(col("op").isin("I", "U"))
+        .select(col("event_type"), lit(1L).as("dn"), col("value_micros").as("ds"))
+      val delta = minus.union(plus).groupBy("event_type")
+        .agg(sum(col("dn")).as("dn"), sum(col("ds")).as("ds"))
+      val updated = vt.read().join(delta, Seq("event_type"), "full_outer")
+        .select(col("event_type"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+          (coalesce(col("sv"), lit(0L)) + coalesce(col("ds"), lit(0L))).as("sv"))
+        .localCheckpoint(true)
+      vt.upsert(updated.filter(col("n") > 0), orderWithinBatch = Nil, batchId = 2L)
+      vt.delete(updated.filter(col("n") <= 0).select("event_type"), batchId = 3L)
+      maintained.set(bt.timeline().last.seq)
+      val served = q()
+      require(plan(served).contains(viewPath) && !plan(served).contains(basePath),
+        "maintained view must serve again")
+      require(served.collect().map(_.toSeq).toSet == truth,
+        "view answer must equal the scan answer bit-for-bit")
+      graft.TempDirs.materializeAndDelete(served, basePath, viewPath)
+    } finally {
+      graft.plans.ViewRewrite.unregister(basePath)
+      spark.conf.unset(graft.plans.ViewRewrite.confKey)
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
+
   /** Incrementally-maintained JOIN view across TWO lake tables (the
     * multi-table generalization of [[incrementalView]]): customers and
     * orders replay as independent MOR tables (commit 1 = initial load;
