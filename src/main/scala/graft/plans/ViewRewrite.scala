@@ -137,23 +137,43 @@ class ViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     }
     if (gAttrs.size != groupExprs.size) return None
     val gNames = gAttrs.map(_.name)
-    if (gNames.sorted != vd.groupCols.sorted) return None
+    // exact grouping → pure projection of the view; a strict SUBSET of
+    // the view's grouping → ROLLUP over the groups-sized view (count(*)
+    // re-sums the view's count, sum(col) re-sums its partial — both
+    // decomposable by construction, which is exactly why only count/sum
+    // are registrable measures). Grouping columns the view lacks, or
+    // duplicates, fail closed.
+    if (gNames.distinct.size != gNames.size) return None
+    if (!gNames.forall(vd.groupCols.contains)) return None
+    // a grouping-free rollup (SELECT count(*) FROM t) would turn an
+    // EMPTY view into one NULL row where the scan answers 0 — fail
+    // closed (the metadata-count rewrite owns that shape anyway)
+    if (gNames.isEmpty) return None
+    val exact = gNames.sorted == vd.groupCols.sorted
     // analyze the view side ONCE per matched aggregate
     val viewPlan = vd.viewScan().queryExecution.analyzed
     def viewAttr(name: String): Option[Attribute] =
       viewPlan.output.find(_.name == name)
-    val projections: Seq[Option[NamedExpression]] = aggExprs.map {
+    def rollup(v: Attribute): Expression =
+      Sum(v).toAggregateExpression()
+    val outputs: Seq[Option[NamedExpression]] = aggExprs.map {
       case a: AttributeReference if gNames.contains(a.name) =>
         viewAttr(a.name).filter(_.dataType == a.dataType)
           .map(v => Alias(v, a.name)(exprId = a.exprId))
       case al @ Alias(ae: AggregateExpression, name) =>
         measureCol(vd, ae).flatMap(viewAttr)
+          .map(v => if (exact) v else rollup(v))
           .filter(_.dataType == al.dataType)
           .map(v => Alias(v, name)(exprId = al.exprId))
       case _ => None
     }
-    if (projections.exists(_.isEmpty)) return None
+    if (outputs.exists(_.isEmpty)) return None
     if (!vd.isFresh()) return None // freshness LAST: shape checks are free
-    Some(Project(projections.map(_.get), viewPlan))
+    if (exact) Some(Project(outputs.map(_.get), viewPlan))
+    else {
+      val vGroup = gNames.flatMap(viewAttr)
+      if (vGroup.size != gNames.size) return None
+      Some(Aggregate(vGroup, outputs.map(_.get), viewPlan))
+    }
   }
 }
