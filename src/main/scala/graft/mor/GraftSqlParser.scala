@@ -37,6 +37,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       """(?:\s+ZORDER\s+BY\s+\(?\s*([\w`]+(?:\s*,\s*[\w`]+)*)\s*\)?)?\s*;?\s*""").r
   private val VacuumStmt = """(?is)\s*VACUUM\s+([\w.`]+)\s*;?\s*""".r
 
+  /** Hudi 1.0 index DDL: `CREATE INDEX record_index ON t` builds the
+    * record-level index at the current compaction boundary;
+    * `CREATE INDEX <name> ON t (c1[, c2])` declares secondary bloom
+    * index columns (published by the NEXT compaction's stats pass — the
+    * async-indexer contract). */
+  private val CreateIndexStmt =
+    ("""(?is)\s*CREATE\s+INDEX\s+([\w`]+)\s+ON\s+(?:TABLE\s+)?([\w.`]+)""" +
+      """(?:\s*\(\s*([\w`]+(?:\s*,\s*[\w`]+)*)\s*\))?\s*;?\s*""").r
+
   private def clean(ident: String): String = ident.replace("`", "")
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
@@ -47,6 +56,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Option(zcols).toSeq.flatMap(_.split(',')).map(c => clean(c.trim))
           .filter(_.nonEmpty))
     case VacuumStmt(tbl) => GraftVacuumCommand(clean(tbl))
+    case CreateIndexStmt(name, tbl, cols) =>
+      GraftCreateIndexCommand(clean(name), clean(tbl),
+        Option(cols).toSeq.flatMap(_.split(','))
+          .map(c => clean(c.trim)).filter(_.nonEmpty))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -195,6 +208,41 @@ case class GraftOptimizeCommand(table: String, zorderCols: Seq[String])
 case class GraftVacuumCommand(table: String) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     GraftMaintenance.resolve(spark, table, "VACUUM").fold(_.clean(), _.clean())
+    Seq.empty
+  }
+}
+
+/** `CREATE INDEX …` — the Hudi 1.0 index-DDL spellings:
+  *
+  *  - `CREATE INDEX record_index ON t` → [[MorTable.buildRecordIndex]]
+  *    (both table forms; refuses before the first compaction like the
+  *    verb itself — indexes describe a compacted base).
+  *  - `CREATE INDEX <name> ON t (c1[, c2])` → declare secondary bloom
+  *    index columns ([[MorTable.indexColumns]]) and compact, so the
+  *    per-file filters EXIST when the statement returns (Hudi's
+  *    CREATE INDEX runs the indexer synchronously); the build rides the
+  *    compaction's single stats pass, never a dedicated scan, and later
+  *    plain compactions inherit the column set from the manifest header.
+  *    Single-table form only. */
+case class GraftCreateIndexCommand(name: String, table: String,
+                                   cols: Seq[String])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val resolved = GraftMaintenance.resolve(spark, table, "CREATE INDEX")
+    if (cols.isEmpty) {
+      require(name.equalsIgnoreCase("record_index"),
+        s"CREATE INDEX $name: a column-free index must be the " +
+          "record_index; secondary indexes need a column list")
+      resolved.fold(_.buildRecordIndex(), _.buildRecordIndex())
+    } else {
+      resolved match {
+        case Left(t) => t.indexColumns(cols).compact()
+        case Right(_) => throw new IllegalArgumentException(
+          "CREATE INDEX (columns): secondary bloom indexes are declared " +
+            "per child table; partitioned-table declaration is not " +
+            "supported — declare on the child or use the unpartitioned form")
+      }
+    }
     Seq.empty
   }
 }

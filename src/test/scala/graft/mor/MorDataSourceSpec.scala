@@ -155,6 +155,35 @@ class MorDataSourceSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS opt_t")
   }
 
+  test("CREATE INDEX DDL: record_index builds, column list declares secondary blooms") {
+    val path = TestSpark.tmpDir("ddl-index")
+    (0 until 200).map(i => (f"id$i%03d", i))
+      .toDF("uuid", "age")
+      .write.format("graft.mor").option("path", path).option("keys", "uuid")
+      .option("write.tasks", "4").save()
+    spark.sql(s"CREATE TABLE idx_t USING `graft.mor` OPTIONS " +
+      s"(path '$path', keys 'uuid')")
+    try {
+      val t = graft.lake.MorTable.resolve(spark, path, Seq("uuid"))
+      // record index needs a compacted base — the verb's refusal surfaces
+      intercept[IllegalStateException](
+        spark.sql("CREATE INDEX record_index ON idx_t"))
+      // secondary CREATE INDEX builds synchronously (declare + compact,
+      // blooms ride the stats pass); the record index then has a boundary
+      spark.sql("CREATE INDEX age_idx ON idx_t (age)")
+      spark.sql("CREATE INDEX record_index ON idx_t")
+      assert(t.hasRecordIndex())
+      val eq = t.readForColEquals("age", Seq(123))
+      assert(eq.collect().map(_.getAs[String]("uuid")).toSeq == Seq("id123"))
+      assert(eq.inputFiles.count(_.contains("/base/")) <
+        t.read().inputFiles.count(_.contains("/base/")),
+        "declared secondary index must prune base files after OPTIMIZE")
+      // a column-free index must be the record_index
+      intercept[IllegalArgumentException](
+        spark.sql("CREATE INDEX whatever ON idx_t"))
+    } finally spark.sql("DROP TABLE IF EXISTS idx_t")
+  }
+
   test("OPTIMIZE, partitioned route: every child compacts") {
     val path = TestSpark.tmpDir("ddl-optimize-part")
     Seq(("id1", "a", 1), ("id2", "b", 2)).toDF("uuid", "pt", "v")
