@@ -62,6 +62,7 @@ object SparkEntry {
     "s79_record_index"    -> ((s, d) => graft.lake.LakeQueries.recordIndexRead(s, d)),
     "s80_part_record_index" -> ((s, d) => graft.lake.LakeQueries.partRecordIndexRead(s, d)),
     "s81_mv_rewrite"      -> ((s, d) => graft.lake.LakeQueries.viewRewriteRead(s, d)),
+    "s82_part_secondary_index" -> ((s, d) => graft.lake.LakeQueries.partSecondaryIndexRead(s, d)),
     "s73_incr_sketch_index" -> ((s, d) =>
       graft.lake.LakeQueries.incrementalSketchIndex(s, d)),
     "d31_incr_dedup"      -> ((s, d) =>
@@ -754,6 +755,14 @@ object SparkEntry {
         |QUALIFY row_number() OVER
         |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
         |  AND event_id % 17 = 5""".stripMargin,
+    // the s51 secondary-index pruning over the PARTITIONED layout:
+    // per-(partition, key) LWW winners whose indexed column matches
+    "s82_part_secondary_index" ->
+      """SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
+        |FROM events
+        |QUALIFY row_number() OVER
+        |  (PARTITION BY event_type, user_id ORDER BY ts DESC, event_id DESC) = 1
+        |  AND event_id % 17 = 9""".stripMargin,
     // partitioned tables dedup per (partition, key) — a user appears once
     // per event_type it ever emitted
     "s50_part_point_read" ->

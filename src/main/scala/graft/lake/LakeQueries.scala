@@ -1948,6 +1948,41 @@ object LakeQueries {
         .select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
   }
 
+  /** PARTITIONED secondary-index equality read, oracle-checked (the s51
+    * pruning at the s78 scan shape): time-split events land across
+    * event_type children with `event_id` DECLARED as an index column on
+    * the parent (forwarded to every child handle), children compact —
+    * per-child manifests now carry per-file event_id blooms — the second
+    * half stays live deltas, and [[PartitionedMorTable.readForColEquals]]
+    * probes `event_id % 17 = 9` across all partitions: every child's
+    * surviving base files union into ONE scan with the pushed
+    * `eq || _deleted` filter, deltas merge on top, predicate re-applies
+    * post-merge. Must equal the per-(event_type, user_id) LWW winners
+    * whose event_id is in the probe set — the oracle. */
+  def partSecondaryIndexRead(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "value", "ts_ms", "ts_ns")
+    val bounds = ev.agg(min(col("ts_ns")).as("mn"), max(col("ts_ns")).as("mx")).head()
+    val mn = bounds.getLong(0); val mx = bounds.getLong(1)
+    val mid = mn + (mx - mn) / 2
+    val path = tempPath("mor-part-sidx")
+    val t = new PartitionedMorTable(spark, path,
+      keyCols = Seq("user_id"), partitionCol = "event_type",
+      compactionDeltaCommits = 1000, autoCompact = false, writePartitions = 4)
+      .indexColumns(Seq("event_id"))
+    t.upsert(ev.filter(col("ts_ns") <= mid),
+      orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 1L)
+    t.compactPartitions(t.partitions())
+    t.upsert(ev.filter(col("ts_ns") > mid),
+      orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 2L)
+    val ids = ev.select(col("event_id")).distinct()
+      .filter(col("event_id") % 17 === 9)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    graft.TempDirs.materializeAndDelete(
+      t.readForColEquals("event_id", ids)
+        .select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
+  }
+
   /** Cross-partition bloom point read, oracle-checked: replay the first
     * time-half of events into the PARTITIONED table (key user_id,
     * partition event_type), compact every child — per-child manifests now

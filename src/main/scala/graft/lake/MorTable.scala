@@ -2457,27 +2457,56 @@ final class MorTable(
     val safeToPrune = lastCompact.forall(_.unfolded.isEmpty)
     val baseFiles =
       if (!safeToPrune) None
-      else lastCompact.flatMap { cp =>
-        if (!manifestHeader(cp.seq).exists(_.indexCols.contains(c))) None
-        else {
-          graft.GraftFunctions.register(spark)
-          val posByBits = scala.collection.mutable.Map.empty[Int, Array[Array[Int]]]
-          keptFiles(cp.seq,
-            st => !st.del && st.colBloom.get(c).exists { buf =>
-              val pos = posByBits.getOrElseUpdate(buf.length * 8,
-                graft.functions.expr.KeyBloom.positionsFor(probes, buf.length * 8))
-              !graft.functions.expr.KeyBloom.anyMightContain(buf, pos)
-            },
-            df => df.filter(col("del") === 0 &&
-              !call_function("key_bloom_contains_any", col(s"bl_$c"),
-                array(probes.map(lit): _*))))
-        }
-      }
+      else lastCompact.flatMap(cp => secondaryKeptBaseFiles(cp.seq, c, probes))
     // tombstones exempt from the pushed filter (null data cols fail eqF)
     val bof = if (safeToPrune) Some(eqF || col("_deleted")) else None
     dropMeta(snapshotMerged(tl, keyFilter = None, baseFiles = baseFiles,
       baseOnlyFilter = bof)
       .filter(!col("_deleted")).filter(eqF))
+  }
+
+  /** Secondary-bloom file pruning: base files of compact `seq` that MIGHT
+    * hold one of the probe values in indexed column `c` (tombstone-
+    * holding files never prune — exemption (1) above). None when the
+    * manifest declares no index on `c`. */
+  private def secondaryKeptBaseFiles(seq: Long, c: String,
+                                     probes: Seq[String]): Option[Seq[String]] = {
+    if (!manifestHeader(seq).exists(_.indexCols.contains(c))) None
+    else {
+      graft.GraftFunctions.register(spark)
+      val posByBits = scala.collection.mutable.Map.empty[Int, Array[Array[Int]]]
+      keptFiles(seq,
+        st => !st.del && st.colBloom.get(c).exists { buf =>
+          val pos = posByBits.getOrElseUpdate(buf.length * 8,
+            graft.functions.expr.KeyBloom.positionsFor(probes, buf.length * 8))
+          !graft.functions.expr.KeyBloom.anyMightContain(buf, pos)
+        },
+        df => df.filter(col("del") === 0 &&
+          !call_function("key_bloom_contains_any", col(s"bl_$c"),
+            array(probes.map(lit): _*))))
+    }
+  }
+
+  /** Per-child scan-set contribution for the PARTITIONED secondary-index
+    * equality read — the [[colRangeScanParts]] twin: (secondary-bloom-
+    * surviving base files (whole base when `c` is unindexed here),
+    * unfilterable raw base dirs (unfolded stragglers), live delta dirs).
+    * A meta-less bootstrap child contributes nothing (the parent routes
+    * it through the synthesizing scan). */
+  private[lake] def colEqualScanParts(c: String, values: Seq[Any])
+      : (Seq[String], Seq[String], Seq[String]) = {
+    val (lastCompact, deltas) = liveDeltas(timeline())
+    val deltaDirs = deltas.map(d => s"$path/delta/${d.seq}")
+    lastCompact match {
+      case None => (Nil, Nil, deltaDirs)
+      case Some(cp) if cp.bootstrapDir.isDefined && !cp.bootstrapMeta =>
+        (Nil, Nil, deltaDirs)
+      case Some(cp) if cp.unfolded.nonEmpty =>
+        (Nil, Seq(baseDirOf(cp)), deltaDirs)
+      case Some(cp) =>
+        (secondaryKeptBaseFiles(cp.seq, c, values.map(String.valueOf))
+          .getOrElse(Seq(baseDirOf(cp))), Nil, deltaDirs)
+    }
   }
 
   /** Secondary-index column set of the newest manifest header below `seq`

@@ -66,10 +66,21 @@ final class PartitionedMorTable(
     * The parent's declared `writePartitions` flows through, so PER-CHILD
     * service writes (child-side compaction, z-order clustering) honor the
     * same file-count declaration as the parent's batched staged writes. */
-  def child(value: String): MorTable =
-    new MorTable(spark, new Path(hPath, s"p=$value").toString, keyCols,
+  def child(value: String): MorTable = {
+    val t = new MorTable(spark, new Path(hPath, s"p=$value").toString, keyCols,
       compactionDeltaCommits, compactionDeltaSeconds, autoCompact,
       writePartitions)
+    if (idxCols.nonEmpty) t.indexColumns(idxCols) else t
+  }
+
+  /** Declared secondary bloom-index columns, forwarded to every child
+    * handle so each child's NEXT compaction publishes the per-file
+    * filters ([[MorTable.indexColumns]]); once a child's manifest carries
+    * them, fresh handles inherit without redeclaration. */
+  @volatile private var idxCols: Seq[String] = Nil
+  def indexColumns(cols: Seq[String]): PartitionedMorTable = {
+    idxCols = cols; this
+  }
 
   /** Partition values present on disk. */
   def partitions(): Seq[String] = {
@@ -963,6 +974,44 @@ final class PartitionedMorTable(
     require(scans.nonEmpty, s"PartitionedMorTable at $path has no commits")
     val scan = scans.reduce(_.unionByName(_, allowMissingColumns = true))
     lwwLatest(scan).filter(!col("_deleted")).filter(rangeFOf(scan))
+      .select(orderedDataCols(scan.columns).map(col): _*)
+  }
+
+  /** Secondary-index equality read across partitions ([[MorTable
+    * .readForColEquals]] at the 100 TB layout — the s51 pruning over the
+    * s78 scan shape): every straggler-free child contributes its
+    * secondary-bloom-SURVIVING base files (whole base when the column is
+    * unindexed in that child), pruned at the LISTING level from the
+    * per-child manifests, into ONE union scan with the pushed
+    * `eq || _deleted` base-only filter (sound per child — its deltas
+    * always outrank its base; tombstones exempt, their data columns are
+    * null); delta dirs and straggler children's bases scan whole and
+    * unfiltered; the predicate re-applies post-merge so values that
+    * moved OUT of the probe set never resurrect. O(1) scans in partition
+    * count. Meta-less bootstrap children route through the synthesizing
+    * scan (filtered only when straggler-free). */
+  def readForColEquals(c: String, values: Seq[Any],
+                       partitionValues: Seq[String] = Seq.empty): DataFrame = {
+    require(values.nonEmpty, "readForColEquals needs at least one probe value")
+    val sel = if (partitionValues.nonEmpty) partitionValues else partitions()
+    require(sel.nonEmpty, s"PartitionedMorTable at $path has no partitions")
+    val perChild = parChildren(sel)(ch =>
+      (ch.colEqualScanParts(c, values), ch.metalessBootstrapBase()))
+    val filterableBase = perChild.flatMap(_._1._1)
+    val rawDirs = perChild.flatMap(p => p._1._2 ++ p._1._3)
+    val boots = sel.zip(perChild).collect { case (v, (_, Some(i))) => (v, i) }
+    val (bootSafe, bootUnsafe) = boots.partition(_._2.unfolded.isEmpty)
+    val eqF = col(c).isin(values: _*)
+    val baseScans =
+      ((if (filterableBase.nonEmpty) Seq(scanDirs(filterableBase)) else Nil) ++
+        bootstrapScan(bootSafe).toSeq)
+        .map(_.filter(eqF || col("_deleted")))
+    val rawScans = (if (rawDirs.nonEmpty) Seq(scanDirs(rawDirs)) else Nil) ++
+      bootstrapScan(bootUnsafe).toSeq
+    val scans = baseScans ++ rawScans
+    require(scans.nonEmpty, s"PartitionedMorTable at $path has no commits")
+    val scan = scans.reduce(_.unionByName(_, allowMissingColumns = true))
+    lwwLatest(scan).filter(!col("_deleted")).filter(eqF)
       .select(orderedDataCols(scan.columns).map(col): _*)
   }
 

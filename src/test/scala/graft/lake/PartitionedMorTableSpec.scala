@@ -200,6 +200,46 @@ class PartitionedMorTableSpec extends AnyFunSuite {
       t.read().filter(col("k").isin(keys: _*)).orderBy("k").collect().map(_.toSeq).toSeq)
   }
 
+  test("readForColEquals: secondary blooms prune base files across children") {
+    val t = new PartitionedMorTable(spark, tmp(), Seq("k"), "p",
+      compactionDeltaCommits = 1000, autoCompact = false, writePartitions = 8)
+      .indexColumns(Seq("v"))
+    val rows = (1 to 400).map(i => (f"k$i%04d", if (i % 2 == 0) "A" else "B", i))
+      .toDF("k", "p", "v")
+    t.upsert(rows, Seq(col("k")), batchId = 1L)
+    t.compactPartitions(Seq("A", "B")) // per-child manifests carry v-blooms
+    def baseFileCount(v: String) =
+      new java.io.File(s"${t.path}/p=$v/base/${t.child(v).timeline().last.seq}")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+    val totalBase = baseFileCount("A") + baseFileCount("B")
+    assert(totalBase >= 8, s"need several base files across children, got $totalBase")
+    // a live delta: k0050's v moves OUT of any probe; a delta-only probe hit
+    t.upsert(Seq(("k0050", "A", 7777), ("newk", "B", 123)).toDF("k", "p", "v"),
+      Seq(col("k")), batchId = 2L)
+    // single-value probe: most base files of BOTH children bloom-dropped
+    val one = t.readForColEquals("v", Seq(123))
+    assert(one.inputFiles.count(_.contains("/base/")) < totalBase,
+      "secondary blooms should drop base files across children")
+    assert(one.orderBy("k").collect().map(r =>
+      (r.getAs[String]("k"), r.getAs[Int]("v"))).toSeq ==
+      Seq("k0123" -> 123, "newk" -> 123))
+    // moved-out value never resurrects; the new value answers
+    assert(t.readForColEquals("v", Seq(50)).isEmpty)
+    assert(t.readForColEquals("v", Seq(7777))
+      .select("k").collect().map(_.getString(0)).toSeq == Seq("k0050"))
+    // partition selector composes
+    val pruned = t.readForColEquals("v", Seq(123, 124), Seq("A"))
+    assert(pruned.collect().map(_.getAs[String]("k")).toSeq == Seq("k0124"),
+      "123 and newk live in partition B — excluded by the selector")
+    assert(pruned.inputFiles.forall(_.contains("p=A")))
+    // equality with the filtered full read
+    val vals = Seq(1, 123, 250, 399, 7777)
+    val full = t.read().filter(col("v").isin(vals: _*))
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    assert(t.readForColEquals("v", vals).orderBy("k").collect().map(_.toSeq).toSeq
+      == full)
+  }
+
   test("partition-pruned read opens only named children") {
     val t = new PartitionedMorTable(spark, tmp(), Seq("k"), "p")
     t.upsert(Seq((1L, "x", 1), (2L, "y", 2), (3L, "z", 3)).toDF("k", "p", "v"),
