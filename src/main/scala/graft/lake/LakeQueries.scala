@@ -1648,6 +1648,7 @@ object LakeQueries {
       orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 1L)
     bt.upsert(ev.filter(col("ts_ns") > mid),
       orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 2L)
+    bt.compact() // boundary: view build and the stale-scan read skip the window
     // materialize the view off the current state; record the folded seq
     val vt = MorTable(spark, viewPath, keyCols = Seq("event_type"),
       compactionDeltaCommits = 1000)
