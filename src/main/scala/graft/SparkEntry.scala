@@ -63,6 +63,7 @@ object SparkEntry {
     "s80_part_record_index" -> ((s, d) => graft.lake.LakeQueries.partRecordIndexRead(s, d)),
     "s81_mv_rewrite"      -> ((s, d) => graft.lake.LakeQueries.viewRewriteRead(s, d)),
     "s82_part_secondary_index" -> ((s, d) => graft.lake.LakeQueries.partSecondaryIndexRead(s, d)),
+    "s83_stream_mv"       -> ((s, d) => graft.lake.LakeQueries.streamMvRead(s, d)),
     "s73_incr_sketch_index" -> ((s, d) =>
       graft.lake.LakeQueries.incrementalSketchIndex(s, d)),
     "d31_incr_dedup"      -> ((s, d) =>
@@ -106,6 +107,7 @@ object SparkEntry {
     "s10_ann_lsh"        -> ((s, d) => graft.functions.LlmQueries.annLsh(s, d)),
     "s11_ann_ivf"        -> ((s, d) => graft.functions.LlmQueries.annIvf(s, d)),
     "m1_multimodal_features" -> ((s, d) => graft.functions.LlmQueries.multimodalFeatures(s, d)),
+    "m3_binary_neardup"   -> ((s, d) => graft.functions.LlmQueries.binaryNearDup(s, d)),
     "m2_frame_sample"     -> ((s, d) => graft.functions.Multimodal.frameSample(
       graft.functions.Multimodal.attachBinary(graft.Tables.documents(s, d)))),
     "m0_multimodal_meta"  -> ((s, d) => graft.functions.LlmQueries.multimodalMeta(s, d)),
@@ -755,6 +757,22 @@ object SparkEntry {
         |QUALIFY row_number() OVER
         |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
         |  AND event_id % 17 = 5""".stripMargin,
+    // stream-maintained MV: the view is built commit-by-commit by the
+    // lake-stream-driven maintenance (never a full build) and serves the
+    // GROUP BY fresh (asserted in-plan) — answer = direct LWW recompute
+    "s83_stream_mv" ->
+      """WITH lww AS (
+        |  SELECT user_id, event_type,
+        |         CAST(round(value * 1000000) AS BIGINT) AS value_micros
+        |  FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) = 1
+        |)
+        |SELECT event_type, count(*)::BIGINT AS n,
+        |       sum(value_micros)::BIGINT AS sv
+        |FROM lww
+        |WHERE user_id % 7 <> 2
+        |GROUP BY event_type""".stripMargin,
     // the s51 secondary-index pruning over the PARTITIONED layout:
     // per-(partition, key) LWW winners whose indexed column matches
     "s82_part_secondary_index" ->
@@ -2405,6 +2423,42 @@ object SparkEntry {
         |WHERE len(list_filter(range(1, 65), i -> sa[i] = sb[i])) / 64.0 >= 0.3""".stripMargin,
     // the PRODUCTION simhash pair entry (md5 token family default since
     // r11): chunk-pigeonhole candidates, xor-popcount hamming <= 3
+    // byte-level payload near-dup: the d3 SimHash recurrence with hex
+    // 4-byte windows as the token stream (kernel lowercases, so the
+    // oracle hashes lower(hex)); pairs from chunk equality, hamming <= 3
+    "m3_binary_neardup" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_transform(range(0, octet_length(text::BLOB) // 4),
+        |           i -> substr(lower(hex(text::BLOB)), (i*8 + 1)::INT, 8)) AS toks
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id,
+        |         list_transform(toks,
+        |           t -> ('0x' || substr(md5(t), 1, 16))::UBIGINT) AS hs,
+        |         len(toks) AS n
+        |  FROM w
+        |), ch AS (
+        |  SELECT doc_id, list_transform(range(0, 4), c ->
+        |    (list_sum(list_transform(range(0, 16), j -> CASE
+        |      WHEN 2*len(list_filter(hs, x -> (x >> (c*16+j)) & 1 = 1)) > n
+        |      THEN (1<<j)::BIGINT ELSE 0 END)))::BIGINT) AS cs
+        |  FROM h
+        |), u AS (
+        |  SELECT doc_id, cs, chunk, cs[chunk + 1] AS cv
+        |  FROM ch, unnest(range(0, 4)) AS t(chunk)
+        |), p AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         a.cs AS ca, b.cs AS cb
+        |  FROM u a JOIN u b
+        |    ON a.chunk = b.chunk AND a.cv = b.cv AND a.doc_id < b.doc_id
+        |)
+        |SELECT id_a, id_b,
+        |  (list_sum(list_transform(range(1, 5),
+        |     i -> bit_count(xor(ca[i], cb[i])))))::BIGINT AS hamming
+        |FROM p
+        |WHERE list_sum(list_transform(range(1, 5),
+        |        i -> bit_count(xor(ca[i], cb[i])))) <= 3""".stripMargin,
     "d3_simhash_pairs" ->
       """WITH w AS (
         |  SELECT doc_id,

@@ -628,6 +628,29 @@ object LlmQueries {
       .select("query_id", "doc_id", "rrf_u", "fused_rank")
   }
 
+  /** BINARY-payload near-dup over the multimodal table (gate entry m3):
+    * byte-level media dedup — the exact-math cousin of perceptual
+    * hashing, and the technique that works TODAY on opaque payloads (no
+    * codec needed): SimHash over the payload's non-overlapping 4-byte
+    * windows (hex-encoded; each window is one token of the md5 family),
+    * chunk-pigeonhole candidate pairs, hamming ≤ 3. The SAME production
+    * kernel and banded self-join as d3 ([[Dedup.simhashNearDup]]),
+    * pointed at bytes instead of words — identical payloads land at
+    * hamming 0, re-encoded/trimmed variants within the window noise.
+    * Map-only window construction; candidates bounded by chunk
+    * collisions, never all-pairs. */
+  def binaryNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val mm = Multimodal.attachBinary(Tables.documents(spark, dir))
+    val hexp = hex(col("payload"))
+    val nwin = (col("meta.byte_len") / lit(4)).cast("int")
+    val toks = when(nwin > lit(0), concat_ws(" ",
+      transform(sequence(lit(0), nwin - lit(1)),
+        i => hexp.substr(i * lit(8) + lit(1), lit(8)))))
+      .otherwise(lit(""))
+    Dedup.simhashNearDup(mm.select(col("doc_id"), toks.as("btok")),
+      textCol = "btok")
+  }
+
   /** MMR diversified re-ranking over the embeddings table (gate entry
     * t44): the same three query vectors as t43, top-20 exact-cosine
     * candidates, 5 greedy λ=0.7 rounds — see [[Similarity.mmrRerank]].

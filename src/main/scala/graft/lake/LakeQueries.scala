@@ -1715,6 +1715,111 @@ object LakeQueries {
     }
   }
 
+  /** CONTINUOUSLY-maintained materialized view, oracle-checked (s81's
+    * freshness contract under STREAMING maintenance — the lakehouse
+    * "always-fresh dashboard" story): the base table takes three commits
+    * (two loads + a predicate delete) and a `readStream.format
+    * ("graft.mor")` query on the base DRIVES maintenance — one
+    * foreachBatch per delivered commit runs the s22 changelog algebra
+    * (−before +after per net I/U/D via [[MorTable.readChangelog]], which
+    * carries the before-images the maintenance needs) and advances the
+    * registered freshness watermark, each cycle O(that commit's
+    * changes). When the AvailableNow drain settles, the analyst's GROUP
+    * BY over the BASE serves from the view (asserted in-plan) and must
+    * equal the direct LWW recompute — the oracle. */
+  def streamMvRead(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        round(col("value") * 1000000).cast("long").as("value_micros"),
+        col("ts_ms"), col("ts_ns"))
+    val bounds = ev.agg(min(col("ts_ns")).as("mn"), max(col("ts_ns")).as("mx")).head()
+    val mid = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 2
+    val basePath = tempPath("mor-smv-base"); val viewPath = tempPath("mor-smv-view")
+    val bt = new MorTable(spark, basePath, keyCols = Seq("user_id"),
+      compactionDeltaCommits = 1000, autoCompact = false)
+    val vt = MorTable(spark, viewPath, keyCols = Seq("event_type"),
+      compactionDeltaCommits = 1000)
+    // view starts EMPTY at watermark 0: the stream maintains it into
+    // existence commit by commit (no full build ever runs)
+    val maintained = new java.util.concurrent.atomic.AtomicLong(0L)
+    val viewBatch = new java.util.concurrent.atomic.AtomicLong(0L)
+    def maintain(): Unit = {
+      val to = bt.timeline().last.seq
+      if (to == maintained.get()) return
+      val cl = bt.readChangelog(maintained.get(), to).localCheckpoint(true)
+      val minus = cl.filter(col("op").isin("U", "D"))
+        .select(col("before_event_type").as("event_type"),
+          lit(-1L).as("dn"), (-col("before_value_micros")).as("ds"))
+      val plus = cl.filter(col("op").isin("I", "U"))
+        .select(col("event_type"), lit(1L).as("dn"), col("value_micros").as("ds"))
+      val delta = minus.union(plus).groupBy("event_type")
+        .agg(sum(col("dn")).as("dn"), sum(col("ds")).as("ds"))
+      val current =
+        if (vt.timeline().isEmpty)
+          spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("event_type",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("n",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("sv",
+                org.apache.spark.sql.types.LongType))))
+        else vt.read()
+      val updated = current.join(delta, Seq("event_type"), "full_outer")
+        .select(col("event_type"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+          (coalesce(col("sv"), lit(0L)) + coalesce(col("ds"), lit(0L))).as("sv"))
+        .localCheckpoint(true)
+      vt.upsert(updated.filter(col("n") > 0), orderWithinBatch = Nil,
+        batchId = viewBatch.incrementAndGet())
+      vt.delete(updated.filter(col("n") <= 0).select("event_type"),
+        batchId = viewBatch.incrementAndGet())
+      maintained.set(to)
+    }
+    import graft.plans.ViewRewrite
+    ViewRewrite.register(ViewRewrite.ViewDef(
+      basePath = basePath, groupCols = Seq("event_type"),
+      measures = Seq(ViewRewrite.Measure("count", "", "n"),
+        ViewRewrite.Measure("sum", "value_micros", "sv")),
+      viewScan = () => vt.read(),
+      isFresh = () => bt.timeline().lastOption.exists(_.seq == maintained.get())))
+    val tbl = "graft_smv_base"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    try {
+      // three base commits land BEFORE the maintenance stream drains them
+      bt.upsert(ev.filter(col("ts_ns") <= mid),
+        orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 1L)
+      bt.upsert(ev.filter(col("ts_ns") > mid),
+        orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 2L)
+      bt.deleteWhere(col("user_id") % 7 === 2, batchId = 3L)
+      val q = spark.readStream.format("graft.mor")
+        .option("keys", "user_id").load(basePath)
+        .select(col("_commit_seqno"))
+        .writeStream
+        .option("checkpointLocation", tempPath("mor-smv-ckpt"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.count(): Unit // consume the notification batch
+          maintain()
+        }
+        .start()
+      q.awaitTermination()
+      spark.sql(s"CREATE TABLE $tbl USING `graft.mor` OPTIONS " +
+        s"(path '$basePath', keys 'user_id')")
+      spark.conf.set(ViewRewrite.confKey, "true")
+      val served = spark.sql(s"SELECT event_type, count(*) AS n, " +
+        s"sum(value_micros) AS sv FROM $tbl GROUP BY event_type")
+      val p = served.queryExecution.executedPlan.toString()
+      require(p.contains(viewPath) && !p.contains(basePath),
+        "the stream-maintained view must be FRESH and serve the query")
+      graft.TempDirs.materializeAndDelete(served, basePath, viewPath)
+    } finally {
+      graft.plans.ViewRewrite.unregister(basePath)
+      spark.conf.unset(graft.plans.ViewRewrite.confKey)
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
+
   /** Incrementally-maintained JOIN view across TWO lake tables (the
     * multi-table generalization of [[incrementalView]]): customers and
     * orders replay as independent MOR tables (commit 1 = initial load;

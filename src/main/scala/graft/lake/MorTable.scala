@@ -2030,6 +2030,14 @@ final class MorTable(
     * boundary — what [[readForKeysIndexed]] dispatches on. */
   def hasRecordIndex(): Boolean = freshRliDir().isDefined
 
+  /** Secondary-bloom index columns PUBLISHED at the current compaction
+    * boundary (the manifest header's declaration — what
+    * [[readForColEquals]] can actually prune on; a declared-but-not-yet-
+    * compacted column set is not listed). */
+  def indexedColumns(): Seq[String] =
+    liveDeltas(timeline())._1
+      .flatMap(c => manifestHeader(c.seq)).map(_.indexCols).getOrElse(Nil)
+
   /** The index dir when it is FRESH (exists at the current managed
     * compaction boundary) — what the partitioned cross-child lookup
     * unions; None = this child point-reads through the bloom path. */

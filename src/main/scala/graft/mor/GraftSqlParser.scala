@@ -3,7 +3,7 @@ package graft.mor
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -46,6 +46,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     ("""(?is)\s*CREATE\s+INDEX\s+([\w`]+)\s+ON\s+(?:TABLE\s+)?([\w.`]+)""" +
       """(?:\s*\(\s*([\w`]+(?:\s*,\s*[\w`]+)*)\s*\))?\s*;?\s*""").r
 
+  private val ShowIndexesStmt =
+    """(?is)\s*SHOW\s+INDEXES\s+(?:ON|FROM|IN)\s+([\w.`]+)\s*;?\s*""".r
+
   private def clean(ident: String): String = ident.replace("`", "")
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
@@ -60,6 +63,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftCreateIndexCommand(clean(name), clean(tbl),
         Option(cols).toSeq.flatMap(_.split(','))
           .map(c => clean(c.trim)).filter(_.nonEmpty))
+    case ShowIndexesStmt(tbl) => GraftShowIndexesCommand(clean(tbl))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -224,6 +228,38 @@ case class GraftVacuumCommand(table: String) extends LeafRunnableCommand {
   *    compaction's single stats pass, never a dedicated scan, and later
   *    plain compactions inherit the column set from the manifest header.
   *    Single-table form only. */
+/** `SHOW INDEXES ON t` — the index family's observability verb: one row
+  * per index at the CURRENT compaction boundary (a declared-but-not-yet-
+  * compacted secondary column set is not listed — what you see is what
+  * the reads can prune on). Partitioned tables report per child; a
+  * metadata-only listing, zero data jobs. */
+case class GraftShowIndexesCommand(table: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("index_name", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("kind", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("columns", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("partition", org.apache.spark.sql.types.StringType,
+      nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    def rowsOf(t: MorTable, part: String): Seq[Row] = {
+      val rli =
+        if (t.hasRecordIndex())
+          Seq(Row("record_index", "record_level", t.keyCols.mkString(","), part))
+        else Nil
+      rli ++ t.indexedColumns().map(c =>
+        Row(s"${c}_bloom", "secondary_bloom", c, part))
+    }
+    GraftMaintenance.resolve(spark, table, "SHOW INDEXES") match {
+      case Left(t) => rowsOf(t, "")
+      case Right(p) => p.partitions().flatMap(v => rowsOf(p.child(v), v))
+    }
+  }
+}
+
 case class GraftCreateIndexCommand(name: String, table: String,
                                    cols: Seq[String])
     extends LeafRunnableCommand {

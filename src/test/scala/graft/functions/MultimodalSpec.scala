@@ -18,6 +18,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.isEmpty)
   }
 
+  test("binaryNearDup: identical payloads pair at hamming 0; unrelated bytes do not pair") {
+    // controlled corpus through the SAME pipeline the m3 entry runs:
+    // 1/2 identical; 3 appends one byte, which lands in the DROPPED
+    // partial window (len(base) % 4 == 0) so its window stream — and
+    // signature — is identical; 4 is unrelated bytes
+    val base = "the quick brown fox jumps over the lazy dog " * 8
+    assert(base.length % 4 == 0)
+    val docs = Seq(
+      (1L, base), (2L, base), (3L, base + "!"),
+      (4L, new scala.util.Random(7).alphanumeric.take(base.length).mkString))
+      .toDF("doc_id", "text")
+    val mmc = Multimodal.attachBinary(docs)
+    val hexp = hex(col("payload"))
+    val nwin = (col("meta.byte_len") / lit(4)).cast("int")
+    val toks = concat_ws(" ", transform(sequence(lit(0), nwin - lit(1)),
+      i => hexp.substr(i * lit(8) + lit(1), lit(8))))
+    val pairs = Dedup.simhashNearDup(
+      mmc.select(col("doc_id"), toks.as("btok")), textCol = "btok")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L),
+      s"identical payloads must pair at hamming 0: $pairs")
+    // the partial-window append has the identical window stream
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 3L && p._3 == 0L),
+      s"a dropped-partial-window append must pair at hamming 0: $pairs")
+    // unrelated random bytes never pair with anything
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"unrelated payloads must not pair: $pairs")
+  }
+
   test("extractFeatures: deterministic, schema'd, histogram sums to ~1") {
     val f1 = Multimodal.extractFeatures(mm).orderBy("doc_id").collect()
     val f2 = Multimodal.extractFeatures(mm).orderBy("doc_id").collect()

@@ -181,6 +181,11 @@ class MorDataSourceSpec extends AnyFunSuite {
       // a column-free index must be the record_index
       intercept[IllegalArgumentException](
         spark.sql("CREATE INDEX whatever ON idx_t"))
+      // SHOW INDEXES lists what the boundary can actually prune on
+      val idx = spark.sql("SHOW INDEXES ON idx_t").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      assert(idx == Set(("record_index", "record_level", "uuid"),
+        ("age_bloom", "secondary_bloom", "age")))
     } finally spark.sql("DROP TABLE IF EXISTS idx_t")
   }
 
