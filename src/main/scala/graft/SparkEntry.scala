@@ -114,6 +114,7 @@ object SparkEntry {
     "d5_minhash_groups"   -> ((s, d) => graft.functions.LlmQueries.minhashGroups(s, d)),
     "d6_ngram_jaccard"    -> ((s, d) => graft.functions.LlmQueries.ngramJaccardPairs(s, d)),
     "d8_minhash_portable" -> ((s, d) => graft.functions.LlmQueries.minhashPortable(s, d)),
+    "d32_edit_verify"     -> ((s, d) => graft.functions.LlmQueries.editVerifiedPairs(s, d)),
     "d27_fuzzy_join"      -> ((s, d) => graft.functions.LlmQueries.fuzzyJoinDocs(s, d)),
     "t29_boilerplate"     -> ((s, d) => graft.functions.Dedup.boilerplateShingles(
       graft.Tables.documents(s, d))),
@@ -253,6 +254,7 @@ object SparkEntry {
     "r39_stream_static_join" -> ((s, d) => graft.streaming.StreamingQueries.streamStaticJoin(s, d)),
     "r41_stream_funnel"   -> ((s, d) => graft.streaming.StreamingQueries.streamFunnel(s, d)),
     "d10_stream_dedup"    -> ((s, d) => graft.streaming.StreamingQueries.streamDedup(s, d)),
+    "r57_stream_dedup_native" -> ((s, d) => graft.streaming.StreamingQueries.streamDedupNative(s, d)),
     "r20_semi_join"       -> ((s, d) => RelationalOps.semiJoin(s, d)),
     "r21_anti_join"       -> ((s, d) => RelationalOps.antiJoin(s, d)),
     "r22_outer_join_agg"  -> ((s, d) => RelationalOps.outerJoinAgg(s, d)),
@@ -2522,6 +2524,49 @@ object SparkEntry {
         |  round(len(list_filter(range(1, 65), i -> a.sig[i] = b.sig[i])) / 64.0, 6)
         |    AS est_jaccard
         |FROM sig a JOIN sig b ON a.source < b.source""".stripMargin,
+    // the d8 candidates re-scored with TRUE Levenshtein, kept at
+    // 10*dist <= 3*max_len (pure integer inequality, engine-exact)
+    "d32_edit_verify" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                     x -> x <> '') AS words
+        |  FROM documents
+        |), t AS (
+        |  SELECT doc_id, CASE WHEN len(words) >= 3 THEN
+        |      list_transform(range(1, len(words) - 1),
+        |        i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+        |    ELSE [array_to_string(words, ' ')] END AS sh
+        |  FROM w
+        |), sig AS (
+        |  SELECT doc_id, list_transform(range(0, 16), i ->
+        |    list_min(list_transform(sh,
+        |      s -> ('0x' || substr(md5(s || '#' || i::VARCHAR), 1, 8))::BIGINT))) AS sig
+        |  FROM t
+        |), bands AS (
+        |  SELECT doc_id, sig, unnest(range(0, 4)) AS band FROM sig
+        |), keyed AS (
+        |  SELECT doc_id, sig, band,
+        |         sig[band*4 + 1 : band*4 + 4] AS bk
+        |  FROM bands
+        |), p AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         a.sig AS sa, b.sig AS sb
+        |  FROM keyed a JOIN keyed b
+        |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+        |), cand AS (
+        |  SELECT id_a, id_b FROM p
+        |  WHERE len(list_filter(range(1, 17), i -> sa[i] = sb[i])) >= 4
+        |), v AS (
+        |  SELECT c.id_a, c.id_b,
+        |         levenshtein(da.text, db.text)::BIGINT AS dist,
+        |         greatest(length(da.text), length(db.text))::BIGINT AS mx
+        |  FROM cand c
+        |  JOIN documents da ON da.doc_id = c.id_a
+        |  JOIN documents db ON db.doc_id = c.id_b
+        |)
+        |SELECT id_a, id_b, dist FROM v
+        |WHERE dist * 10 <= mx * 3""".stripMargin,
     "d8_minhash_portable" ->
       """WITH w AS (
         |  SELECT doc_id,
@@ -3613,6 +3658,10 @@ object SparkEntry {
         |  value, ts_ms
         |FROM lww""".stripMargin,
     "d10_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+    // the BUILT-IN dropDuplicatesWithinWatermark operator settling to the
+    // same DISTINCT (the engine-native twin of d10's custom state engine)
+    "r57_stream_dedup_native" ->
       "SELECT DISTINCT user_id, event_type FROM events",
     "s17_mor_part_incremental" ->
       """WITH b AS (

@@ -628,6 +628,27 @@ object LlmQueries {
       .select("query_id", "doc_id", "rrf_u", "fused_rank")
   }
 
+  /** EDIT-DISTANCE verification stage over banded candidates (gate entry
+    * d32 — the record-linkage-grade second stage after sketch banding):
+    * the d8 MinHash+LSH candidate pairs are re-scored with TRUE
+    * Levenshtein distance and kept when edits ≤ 30% of the longer text —
+    * written as the pure integer inequality `10·dist ≤ 3·max_len`, no
+    * division, so the verdict is engine-exact. The expensive O(|a|·|b|)
+    * DP runs ONLY on the collision-bounded candidate set (never
+    * all-pairs); texts join back by id so the banded shuffle carries
+    * signatures, not documents. */
+  def editVerifiedPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    minhashPortable(spark, dir).select("id_a", "id_b")
+      .join(docs.select(col("doc_id").as("id_a"), col("text").as("__ta")), Seq("id_a"))
+      .join(docs.select(col("doc_id").as("id_b"), col("text").as("__tb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("__ta"), col("__tb")).cast("long").as("dist"),
+        greatest(length(col("__ta")), length(col("__tb"))).cast("long").as("mx"))
+      .filter(col("dist") * lit(10L) <= col("mx") * lit(3L))
+      .select("id_a", "id_b", "dist")
+  }
+
   /** BINARY-payload near-dup over the multimodal table (gate entry m3):
     * byte-level media dedup — the exact-math cousin of perceptual
     * hashing, and the technique that works TODAY on opaque payloads (no

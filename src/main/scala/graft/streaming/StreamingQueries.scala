@@ -487,6 +487,43 @@ object StreamingQueries {
     * ROW survives per pair is arrival-order-dependent, so the entry emits
     * only the deduped keys; those settle to exactly the batch DISTINCT,
     * hash-checked against DuckDB. */
+  /** Engine-NATIVE streaming dedup via `dropDuplicatesWithinWatermark`
+    * (Spark 3.5's built-in, next to d10's custom flatMapGroupsWithState
+    * engine — the r54-vs-r31 pairing applied to dedup): the first
+    * arrival per (user_id, event_type) emits immediately in append mode;
+    * state evicts on watermark passage, which on this single-file
+    * AvailableNow drain never fires mid-data, so the emitted set is
+    * exactly DISTINCT — d10's oracle verbatim. At production cadence the
+    * watermark bound is the whole point: state is bounded by the dedup
+    * horizon, not the stream's lifetime. */
+  def streamDedupNative(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val name = s"graft_stream_dedup_nat_${counter.incrementAndGet()}"
+    val watchDir = graft.TempDirs.create("stream-dedup-nat")
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(watchDir, "events.parquet"),
+      java.nio.file.Paths.get(path).toAbsolutePath)
+    val deduped = graft.Tables.tsToNs(spark.readStream.schema(schema).parquet(watchDir))
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = deduped.writeStream
+        .format("memory").queryName(name)
+        .option("checkpointLocation", graft.TempDirs.create(s"$name-ckpt"))
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    spark.table(name)
+  }
+
   def streamDedup(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/events.parquet"
