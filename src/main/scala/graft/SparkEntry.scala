@@ -255,6 +255,7 @@ object SparkEntry {
     "r41_stream_funnel"   -> ((s, d) => graft.streaming.StreamingQueries.streamFunnel(s, d)),
     "d10_stream_dedup"    -> ((s, d) => graft.streaming.StreamingQueries.streamDedup(s, d)),
     "r57_stream_dedup_native" -> ((s, d) => graft.streaming.StreamingQueries.streamDedupNative(s, d)),
+    "r58_asof_forward"    -> ((s, d) => RelationalOps.asofForwardClick(s, d)),
     "r20_semi_join"       -> ((s, d) => RelationalOps.semiJoin(s, d)),
     "r21_anti_join"       -> ((s, d) => RelationalOps.antiJoin(s, d)),
     "r22_outer_join_agg"  -> ((s, d) => RelationalOps.outerJoinAgg(s, d)),
@@ -2212,6 +2213,18 @@ object SparkEntry {
         |SELECT doc_id, list_min(list_transform(wins,
         |  s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)) AS fp
         |FROM t""".stripMargin,
+    // the forward direction: first click AT-OR-AFTER each purchase,
+    // ties to the min (ts, event_id) — r16's symmetric twin
+    "r58_asof_forward" ->
+      """SELECT user_id, p_event_id, p_ms, c_event_id, c_ms FROM (
+        |  SELECT p.user_id, p.event_id AS p_event_id, epoch_ms(p.ts) AS p_ms,
+        |         c.event_id AS c_event_id, epoch_ms(c.ts) AS c_ms,
+        |         row_number() OVER (PARTITION BY p.event_id
+        |                            ORDER BY c.ts ASC, c.event_id ASC) AS rn
+        |  FROM events p JOIN events c
+        |    ON c.user_id = p.user_id AND c.ts >= p.ts
+        |  WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |) WHERE rn = 1""".stripMargin,
     "r16_asof_join" ->
       """SELECT user_id, p_event_id, p_ms, c_event_id, c_ms FROM (
         |  SELECT p.user_id, p.event_id AS p_event_id, epoch_ms(p.ts) AS p_ms,

@@ -32,13 +32,24 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** `direction`: "backward" (default) finds the most recent right row
+    * with `rightTs <= leftTs`; "forward" (the pandas merge_asof
+    * direction='forward' analog — "first quote AFTER the trade") finds
+    * the EARLIEST right row with `rightTs >= leftTs`. Forward is the same
+    * merge-scan with the per-key order reversed: the running last(right)
+    * then carries the smallest not-earlier right timestamp, and among
+    * tied right rows the MIN tie-break wins (mirroring backward's max —
+    * both match a `row_number() = 1` oracle in their scan direction). */
   def asOf(left: DataFrame, right: DataFrame,
            leftKey: String, rightKey: String,
            leftTs: String, rightTs: String,
            rightTieBreak: Seq[String] = Seq.empty,
-           joinType: String = "inner"): DataFrame = {
+           joinType: String = "inner",
+           direction: String = "backward"): DataFrame = {
     require(Seq("inner", "left").contains(joinType),
       s"asOf supports inner|left, got $joinType")
+    require(Seq("backward", "forward").contains(direction),
+      s"asOf direction must be backward|forward, got $direction")
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty, s"left/right column names must be disjoint, both have: $overlap")
 
@@ -59,10 +70,16 @@ object AsOfJoin {
       lit(null).cast(rTagged.schema("__tie").dataType).as("__tie"),
       lPay.as("__l"), lit(null).cast(rPayType).as("__r"))
 
-    // at equal ts: right (side 0) sorts before left, so "<= ts" is inclusive;
-    // among tied right rows the max tie-break is scanned last and wins
+    // at equal ts: right (side 0) sorts before left, so the bound is
+    // inclusive in BOTH directions; among tied right rows the last-
+    // scanned one wins (max tie-break backward, min forward)
+    val ordering =
+      if (direction == "backward")
+        Seq(col("__ts").asc, col("__side").asc, col("__tie").asc_nulls_last)
+      else
+        Seq(col("__ts").desc, col("__side").asc, col("__tie").desc_nulls_last)
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__ts"), col("__side"), col("__tie").asc_nulls_last)
+      .orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = rTagged.unionByName(lTagged)
       .withColumn("__last", last(col("__r"), ignoreNulls = true).over(w))

@@ -210,6 +210,25 @@ object RelationalOps {
       .select("user_id", "p_event_id", "p_ms", "c_event_id", "c_ms")
   }
 
+  /** FORWARD as-of join (gate entry r58 — r16's symmetric direction, the
+    * pandas merge_asof direction='forward' analog): for every purchase,
+    * the FIRST click at-or-after it — "what did the user do next" instead
+    * of "what led here". Same merge-scan shape (one shuffle + per-key
+    * sort of |L|+|R|, no pair blow-up), reversed scan order; tied clicks
+    * resolve to the min (ts, event_id). */
+  def asofForwardClick(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_event_id"),
+        col("ts_ns").as("p_ns"), col("ts_ms").as("p_ms"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("c_event_id"),
+        col("ts_ns").as("c_ns"), col("ts_ms").as("c_ms"))
+    AsOfJoin.asOf(p, c, "user_id", "c_user", "p_ns", "c_ns",
+        rightTieBreak = Seq("c_ns", "c_event_id"), direction = "forward")
+      .select("user_id", "p_event_id", "p_ms", "c_event_id", "c_ms")
+  }
+
   /** Exact interpolated percentiles (p50/p90) per group — Spark
     * `percentile` and DuckDB `quantile_cont` share the linear-interpolation
     * definition, so this is hash-checkable. The approximate scale path is

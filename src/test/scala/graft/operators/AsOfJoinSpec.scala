@@ -30,6 +30,25 @@ class AsOfJoinSpec extends AnyFunSuite {
       ("t-eq", 6L, 4.0)))   // equal ts on another key, inclusive
   }
 
+  test("forward as-of: earliest quote at-or-after each trade; ties break by min id") {
+    val out = AsOfJoin.asOf(trades, quotes, "t_key", "q_key", "t_ts", "q_ts",
+        rightTieBreak = Seq("q_ts", "q_id"), direction = "forward")
+      .select("t_tag", "q_id", "q_px")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out == Set(
+      ("t-early", 1L, 2.0),   // first quote >= 10 is (20, id 1)
+      ("t-mid", 2L, 5.0),     // ts 50 inclusive; MIN tie (50, id 2) wins
+      ("t-nomatch", 5L, 0.7), // key 2: quote at 7 >= 5
+      ("t-eq", 6L, 4.0)))     // equal ts inclusive
+    // t-late (ts 100): no quote at-or-after → dropped (inner)
+    // left form keeps it with nulls
+    val left = AsOfJoin.asOf(trades, quotes, "t_key", "q_key", "t_ts", "q_ts",
+        rightTieBreak = Seq("q_ts", "q_id"), joinType = "left",
+        direction = "forward")
+    assert(left.filter(col("q_id").isNull)
+      .select("t_tag").as[String].collect().toSeq == Seq("t-late"))
+  }
+
   test("left as-of keeps unmatched rows with null quote columns") {
     val out = AsOfJoin.asOf(trades, quotes, "t_key", "q_key", "t_ts", "q_ts",
         rightTieBreak = Seq("q_ts", "q_id"), joinType = "left")
