@@ -64,6 +64,7 @@ object SparkEntry {
     "s81_mv_rewrite"      -> ((s, d) => graft.lake.LakeQueries.viewRewriteRead(s, d)),
     "s82_part_secondary_index" -> ((s, d) => graft.lake.LakeQueries.partSecondaryIndexRead(s, d)),
     "s83_stream_mv"       -> ((s, d) => graft.lake.LakeQueries.streamMvRead(s, d)),
+    "s84_access_policy"   -> ((s, d) => graft.lake.LakeQueries.accessPolicyRead(s, d)),
     "s73_incr_sketch_index" -> ((s, d) =>
       graft.lake.LakeQueries.incrementalSketchIndex(s, d)),
     "d31_incr_dedup"      -> ((s, d) =>
@@ -760,6 +761,19 @@ object SparkEntry {
         |QUALIFY row_number() OVER
         |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
         |  AND event_id % 17 = 5""".stripMargin,
+    // reader access policy: the LWW state through the declared column
+    // mask + row filter — policy changes WHAT a reader sees, never the
+    // underlying LWW resolution
+    "s84_access_policy" ->
+      """WITH lww AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
+        |  FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) = 1
+        |)
+        |SELECT user_id, event_id, md5(event_type) AS event_type, value, ts_ms
+        |FROM lww
+        |WHERE user_id % 2 = 0""".stripMargin,
     // stream-maintained MV: the view is built commit-by-commit by the
     // lake-stream-driven maintenance (never a full build) and serves the
     // GROUP BY fresh (asserted in-plan) — answer = direct LWW recompute

@@ -1620,6 +1620,40 @@ object LakeQueries {
     graft.TempDirs.materializeAndDelete(view, path)
   }
 
+  /** READER ACCESS POLICY, oracle-checked (the column-mask / row-filter
+    * governance surface — Databricks column masks / row filters, Ranger
+    * policies): the events LWW table is registered with
+    * `mask.event_type = md5` and `filter.where = user_id % 2 = 0`; every
+    * SQL read through the catalog entry sees md5'd event types and only
+    * even users — masks rewrite values BEFORE any pushed predicate
+    * evaluates (predicates on masked columns see masked semantics, never
+    * raw data), key/partition columns refuse masking so point/prune
+    * routing stays exact, and policy relations fail closed out of the
+    * metadata-count and MV rewrites. Must equal the LWW recompute with
+    * the same mask+filter — the oracle. */
+  def accessPolicyRead(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "value", "ts_ms", "ts_ns")
+    val bounds = ev.agg(min(col("ts_ns")).as("mn"), max(col("ts_ns")).as("mx")).head()
+    val mid = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 2
+    val path = tempPath("mor-policy")
+    val t = MorTable(spark, path, keyCols = Seq("user_id"),
+      compactionDeltaCommits = 1000)
+    t.upsert(ev.filter(col("ts_ns") <= mid),
+      orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 1L)
+    t.upsert(ev.filter(col("ts_ns") > mid),
+      orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 2L)
+    val tbl = "graft_policy_t"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl USING `graft.mor` OPTIONS " +
+      s"(path '$path', keys 'user_id', " +
+      s"'mask.event_type'='md5', 'filter.where'='user_id % 2 = 0')")
+    try {
+      graft.TempDirs.materializeAndDelete(spark.sql(
+        s"SELECT user_id, event_id, event_type, value, ts_ms FROM $tbl"), path)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   /** MATERIALIZED-VIEW AUTO-SUBSTITUTION, oracle-checked end-to-end (the
     * optimizer half of the s22 story — [[graft.plans.ViewRewrite]]): a
     * keyed LWW base table is loaded in two batches and a per-event_type

@@ -175,7 +175,12 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
       readOptimized = parameters.get("readOptimized").exists(_.trim.toBoolean),
       partitionCol = parameters.get("partition"),
       partitionValues = partitionValues(parameters),
-      expectOpts = parameters.filter(_._1.toLowerCase.startsWith("expect.")))
+      expectOpts = parameters.filter(_._1.toLowerCase.startsWith("expect.")),
+      maskOpts = parameters.collect {
+        case (k, v) if k.toLowerCase.startsWith("mask.") =>
+          k.substring("mask.".length) -> v.trim.toLowerCase
+      },
+      rowFilter = parameters.get("filter.where").map(_.trim).filter(_.nonEmpty))
   }
 
   private def expectationsOf(parameters: Map[String, String]) =
@@ -330,8 +335,28 @@ final case class MorRelation(sqlContext: SQLContext, path: String,
                              /** `expect.*` OPTIONS — enforced on the SQL
                                * INSERT INTO write path (the reader side
                                * ignores them). */
-                             expectOpts: Map[String, String] = Map.empty)
+                             expectOpts: Map[String, String] = Map.empty,
+                             /** Reader ACCESS POLICY (the column-mask /
+                               * row-filter governance surface): masks
+                               * (`mask.<col>` = md5|pii|null) rewrite the
+                               * column's VALUES before any user filter
+                               * evaluates — pushed predicates on a masked
+                               * column see masked semantics, never raw
+                               * data; `filter.where` restricts every scan
+                               * to its predicate. Key and partition
+                               * columns refuse masking (they drive
+                               * point/prune routing). Policy relations
+                               * fail CLOSED out of the metadata-count and
+                               * MV rewrites (a policy scan is not the raw
+                               * table). */
+                             maskOpts: Map[String, String] = Map.empty,
+                             rowFilter: Option[String] = None)
     extends BaseRelation with PrunedFilteredScan with InsertableRelation {
+
+  require(maskOpts.keySet.intersect(keys.toSet).isEmpty &&
+      !partitionCol.exists(maskOpts.contains),
+    s"graft.mor: key/partition columns cannot be masked " +
+      s"(${maskOpts.keySet.mkString(", ")} vs keys ${keys.mkString(", ")})")
 
   require(Seq(asOf, sinceSeq, changelogFrom).count(_.isDefined) <= 1,
     "graft.mor: asOf, sinceSeq and changelogFrom are mutually exclusive")
@@ -520,7 +545,37 @@ final case class MorRelation(sqlContext: SQLContext, path: String,
         }
       case _ => scanDf()
     }
-    val filtered = filters.flatMap(toColumn).foldLeft(routed)(_.filter(_))
+    // ACCESS POLICY before any pushed user predicate evaluates: the row
+    // filter restricts the scan, and masks rewrite column VALUES so the
+    // user's filters (re-applied below AND above by Spark) see masked
+    // semantics — applying them to raw values could OVER-filter (a
+    // predicate matching a masked value never matches its raw form).
+    // Key/partition columns cannot be masked (constructor refusal), so
+    // the point/prune ROUTING above always ran on real values.
+    val policed0 = rowFilter.foldLeft(routed)((df, p) =>
+      df.filter(org.apache.spark.sql.functions.expr(p)))
+    val policed = maskOpts.foldLeft(policed0) { case (df, (c, mode)) =>
+      if (!df.columns.contains(c)) df
+      else {
+        import org.apache.spark.sql.functions.{lit, md5}
+        val dt = df.schema(c).dataType
+        val masked = mode match {
+          case "null" => lit(null).cast(dt)
+          case "md5" =>
+            require(dt == org.apache.spark.sql.types.StringType,
+              s"graft.mor: mask.$c = md5 needs a string column, got $dt")
+            md5(col(c))
+          case "pii" =>
+            require(dt == org.apache.spark.sql.types.StringType,
+              s"graft.mor: mask.$c = pii needs a string column, got $dt")
+            graft.functions.TextAnalysis.redactPii(col(c))
+          case other => throw new IllegalArgumentException(
+            s"graft.mor: mask.$c must be md5|pii|null, got '$other'")
+        }
+        df.withColumn(c, masked)
+      }
+    }
+    val filtered = filters.flatMap(toColumn).foldLeft(policed)(_.filter(_))
     val cols = if (requiredColumns.isEmpty) Array(schema.fieldNames.head)
                else requiredColumns
     val projected = filtered.select(cols.map(col).toSeq: _*)

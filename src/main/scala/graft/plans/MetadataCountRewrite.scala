@@ -41,7 +41,11 @@ class MetadataCountRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       case SubqueryAlias(_, child) => unapply(child)
       case p: Project => unapply(p.child) // projections preserve row count
       case lr: LogicalRelation if lr.relation.isInstanceOf[MorRelation] =>
-        Some(lr.relation.asInstanceOf[MorRelation])
+        // a row-filter ACCESS POLICY restricts the scan invisibly to the
+        // logical plan — its count is NOT the table total (fail closed);
+        // masks rewrite values only, so they leave counts untouched
+        val rel = lr.relation.asInstanceOf[MorRelation]
+        if (rel.rowFilter.isEmpty) Some(rel) else None
       case _ => None
     }
   }

@@ -93,9 +93,13 @@ class ViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         unapply(p.child)
       case lr: LogicalRelation if lr.relation.isInstanceOf[MorRelation] =>
         val rel = lr.relation.asInstanceOf[MorRelation]
+        // access-policy relations fail closed: a row filter restricts the
+        // scan invisibly, and masks change the very values the view
+        // grouped/summed — neither aggregate equals the registered view's
         if (rel.asOf.isEmpty && rel.sinceSeq.isEmpty &&
           rel.changelogFrom.isEmpty && !rel.readOptimized &&
-          rel.partitionValues.isEmpty) Some(rel)
+          rel.partitionValues.isEmpty && rel.rowFilter.isEmpty &&
+          rel.maskOpts.isEmpty) Some(rel)
         else None
       case _ => None
     }

@@ -125,6 +125,50 @@ class MorDataSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("reader access policy: column masks and row filter on the catalog surface") {
+    val path = TestSpark.tmpDir("dsv1-policy")
+    Seq(("id1", "alice@x.com ok", 30, "a"), ("id2", "plain", 20, "b"),
+      ("id3", "bob@y.org hi", 40, "a"), ("id4", "zz", 10, "c"))
+      .toDF("uuid", "note", "age", "grp")
+      .write.format("graft.mor").option("path", path).option("keys", "uuid").save()
+    spark.sql("DROP TABLE IF EXISTS policy_t")
+    spark.sql(s"CREATE TABLE policy_t USING `graft.mor` OPTIONS " +
+      s"(path '$path', keys 'uuid', 'mask.note'='pii', 'mask.grp'='md5', " +
+      s"'filter.where'='age >= 20')")
+    try {
+      // row filter: id4 (age 10) is invisible
+      assert(spark.sql("SELECT uuid FROM policy_t").collect()
+        .map(_.getString(0)).toSet == Set("id1", "id2", "id3"))
+      // pii mask redacts emails; untouched text passes through
+      val notes = spark.sql("SELECT uuid, note FROM policy_t").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(!notes("id1").contains("alice@x.com") && notes("id1").contains("ok"))
+      assert(notes("id2") == "plain")
+      // a PUSHED predicate on a masked column sees MASKED semantics:
+      // probing the md5 of 'a' finds the two 'a' rows; probing raw 'a'
+      // finds nothing (never leak raw matches)
+      val h = spark.sql("SELECT md5('a') AS h").head().getString(0)
+      assert(spark.sql(s"SELECT uuid FROM policy_t WHERE grp = '$h'").collect()
+        .map(_.getString(0)).toSet == Set("id1", "id3"))
+      assert(spark.sql("SELECT uuid FROM policy_t WHERE grp = 'a'").isEmpty)
+      // count(*) respects the row filter (metadata-count fails closed)
+      val t = graft.lake.MorTable.resolve(spark, path, Seq("uuid"))
+      t.compact() // a clean boundary would otherwise enable the rewrite
+      assert(spark.sql("SELECT count(*) AS n FROM policy_t").head().getLong(0) == 3)
+      // masking a KEY column is refused loudly (at CREATE or first scan,
+      // whichever constructs the relation)
+      spark.sql("DROP TABLE IF EXISTS policy_bad")
+      intercept[Exception] {
+        spark.sql(s"CREATE TABLE policy_bad USING `graft.mor` OPTIONS " +
+          s"(path '$path', keys 'uuid', 'mask.uuid'='md5')")
+        spark.sql("SELECT * FROM policy_bad").collect()
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS policy_t")
+      spark.sql("DROP TABLE IF EXISTS policy_bad")
+    }
+  }
+
   test("OPTIMIZE / VACUUM DDL spellings route onto compact / clean") {
     val path = TestSpark.tmpDir("ddl-optimize")
     Seq(("id1", "Danny", 23), ("id2", "Emma", 20)).toDF("uuid", "name", "age")
