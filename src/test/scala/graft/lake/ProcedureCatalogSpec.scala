@@ -39,6 +39,12 @@ class ProcedureCatalogSpec extends AnyFunSuite {
     assert(spark.sql("CALL graft_ops.show_commits(table => 'proc_t1')")
       .collect().map(_.getString(1)).contains("compact"))
 
+    // record index via CALL: builds at the fresh boundary, point reads pin
+    val idx = spark.sql("CALL graft_ops.create_record_index(table => 'proc_t1')")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(idx.toSeq == Seq(("indexed", "proc_t1")))
+    assert(t.hasRecordIndex())
+
     // savepoint → more writes → restore rolls them back
     val sp = spark.sql("CALL graft_ops.create_savepoint(table => 'proc_t1', name => 'sp1')")
       .collect().head.getLong(0)
