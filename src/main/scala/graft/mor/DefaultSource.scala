@@ -525,7 +525,11 @@ final case class MorRelation(sqlContext: SQLContext, path: String,
       case _ if readOptimized => scanDf()
       case (None, None, None, None) =>
         keyValues(filters) match {
-          case Some(ks) => table.readForKeys(ks)
+          // SQL point queries inherit the record-level index when one is
+          // FRESH (exact file pinning — the Hudi behavior); the verb
+          // itself falls back to the bloom path otherwise, so this route
+          // never costs a plan when no index exists
+          case Some(ks) => table.readForKeysIndexed(ks)
           case None => keyRange(filters) match {
             case Some((lo, hi)) => table.readForKeyRange(lo, hi)
             case None => table.read()

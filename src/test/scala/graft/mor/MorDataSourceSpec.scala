@@ -222,6 +222,18 @@ class MorDataSourceSpec extends AnyFunSuite {
       assert(eq.inputFiles.count(_.contains("/base/")) <
         t.read().inputFiles.count(_.contains("/base/")),
         "declared secondary index must prune base files after OPTIMIZE")
+      // SQL point queries inherit the record index: the relation's key
+      // route pins exactly one base file for a single-key probe (DSv1
+      // relations report no inputFiles through spark.sql, so assert on
+      // the relation's own scan)
+      val point = spark.sql("SELECT uuid, age FROM idx_t WHERE uuid = 'id123'")
+      assert(point.collect().map(r => (r.getString(0), r.getInt(1))).toSeq ==
+        Seq("id123" -> 123))
+      val rel = MorRelation(spark.sqlContext, path, Seq("uuid"))
+      val routed = rel.scanWithFilters(Array("uuid", "age"),
+        Array(org.apache.spark.sql.sources.EqualTo("uuid", "id123")))
+      assert(routed.inputFiles.count(_.contains("/base/")) == 1,
+        "the SQL key route must pin through the record index")
       // a column-free index must be the record_index
       intercept[IllegalArgumentException](
         spark.sql("CREATE INDEX whatever ON idx_t"))
