@@ -120,7 +120,12 @@ object Bench {
     try {
       val dir = java.nio.file.Paths.get("bench_out")
       java.nio.file.Files.createDirectories(dir)
-      java.nio.file.Files.write(dir.resolve("BENCH_LAST.json"),
+      // an ISOLATED run (SPARK_GRAFT_ONLY bisection) must never clobber
+      // the authoritative full-suite map — the round-end copy to
+      // BENCH_r<N>_full.json reads BENCH_LAST.json, and r13 shipped a
+      // 1-entry map because an isolated re-run overwrote it
+      val fname = if (only.isDefined) "BENCH_ONLY_LAST.json" else "BENCH_LAST.json"
+      java.nio.file.Files.write(dir.resolve(fname),
         (fullLine + "\n" + diagLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: java.io.IOException => () } // stdout stays authoritative
     println(diagLine)

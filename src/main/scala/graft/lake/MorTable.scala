@@ -2064,15 +2064,21 @@ final class MorTable(
     if (recordKeys.isEmpty) return readForKeys(recordKeys)
     val tl = timeline()
     val (lastC, _) = liveDeltas(tl)
-    val pinned: Option[Seq[String]] = lastC.flatMap { c =>
-      if (c.bootstrapDir.isDefined || !fs.exists(rliDir(c.seq))) None
-      else {
-        val hit = scanDir(rliDir(c.seq).toString)
-          .filter(col("key").isin(recordKeys: _*))
-          .select("fname").distinct().collect().map(_.getString(0)).toSet
-        Some(baseFilesOf(c.seq).filter(f => hit(fnameOf(f))))
+    // the lookup is best-effort like the refresh: a concurrent
+    // compaction+clean can delete the rli dir between the exists check and
+    // the postings scan — fall back to the bloom path instead of failing
+    // the read (the answer is identical, only the file pinning is lost)
+    val pinned: Option[Seq[String]] = try {
+      lastC.flatMap { c =>
+        if (c.bootstrapDir.isDefined || !fs.exists(rliDir(c.seq))) None
+        else {
+          val hit = scanDir(rliDir(c.seq).toString)
+            .filter(col("key").isin(recordKeys: _*))
+            .select("fname").distinct().collect().map(_.getString(0)).toSet
+          Some(baseFilesOf(c.seq).filter(f => hit(fnameOf(f))))
+        }
       }
-    }
+    } catch { case scala.util.control.NonFatal(_) => None }
     pinned match {
       case None => readForKeys(recordKeys)
       case Some(files) =>

@@ -871,9 +871,16 @@ final class PartitionedMorTable(
     val sel = if (values.nonEmpty) values else partitions()
     require(sel.nonEmpty, s"PartitionedMorTable at $path has no partitions")
     if (recordKeys.isEmpty) return read(sel).limit(0)
-    val perChild = parChildren(sel)(c =>
-      (c.freshRliDir(), c.liveScanDirs()._2, c.pointScanPaths(recordKeys),
-        c.metalessBootstrapBase()))
+    // resolve the dispatch FIRST: a child with a fresh index (or a
+    // meta-less bootstrap) never pays its bloom/manifest pruning —
+    // pointScanPaths runs only on the fallback children
+    val perChild = parChildren(sel) { c =>
+      val boot = c.metalessBootstrapBase()
+      val rli = if (boot.isDefined) None else c.freshRliDir()
+      val fallback = if (boot.isDefined || rli.isDefined) Nil
+                     else c.pointScanPaths(recordKeys)
+      (rli, c.liveScanDirs()._2, fallback, boot)
+    }
     val boots = sel.zip(perChild).collect { case (v, (_, _, _, Some(i))) => (v, i) }
     val rliDirs = perChild.collect { case (Some(d), _, _, None) => d }
     val pinnedFiles: Seq[String] =
