@@ -19,16 +19,20 @@ object SparkEntry {
     graft.streaming.PipelineQueries.ticketView(spark, "/root/testdata/sf0.001")
 
   /** Gate entries. Every entry has a DuckDB oracle in [[oracleSql]] EXCEPT
-    * four that are rows-only BY DESIGN — their production hash family
+    * three that are rows-only BY DESIGN — their production hash family
     * (xxhash64 / Spark murmur3) has no DuckDB equivalent, so each is
     * instead pinned by an ORACLE-GREEN portable twin (same algorithm over
     * md5, which both engines share) and/or an exact-ground-truth recall
     * spec. Do not re-litigate these; the mapping (also in COVERAGE.md):
     *   d4_embed_neardup   → exact d7_embed_neardup_exact (recall ≥0.8 spec)
-    *   s10_ann_lsh        → twin s20_ann_lsh_portable (recall ≥0.9 spec)
     *   s11_ann_ivf        → twin s18_ann_ivf_portable (recall ≥0.6 spec)
     *   t3_text_enrich     → twin t25_enrich_portable (composed output:
     *                        lang_pred + quality + md5-family fingerprint)
+    * s10_ann_lsh left this set in r14: the entry is now the fixed-plane
+    * MULTI-PROBE pipeline (md5 planes + 1-bit-flip probes — pure integer
+    * XOR an independent engine replays), oracle-checked bit-for-bit; the
+    * xxhash plane family (Similarity.lshTopK) stays the documented
+    * production source, recall-pinned in SimilaritySpec.
     * The dedup family (d2/d3/d5) oracle-checks DIRECTLY since round 11:
     * the portable md5 hash family is the gate-scale default (xxhash sits
     * behind the `family = "xx"` flag for raw throughput at 100 TB — same
@@ -64,6 +68,8 @@ object SparkEntry {
     "s81_mv_rewrite"      -> ((s, d) => graft.lake.LakeQueries.viewRewriteRead(s, d)),
     "s82_part_secondary_index" -> ((s, d) => graft.lake.LakeQueries.partSecondaryIndexRead(s, d)),
     "s83_stream_mv"       -> ((s, d) => graft.lake.LakeQueries.streamMvRead(s, d)),
+    "s85_matview_ddl"     -> ((s, d) => graft.lake.LakeQueries.matViewDdl(s, d)),
+    "s86_matview_rollup"  -> ((s, d) => graft.lake.LakeQueries.matViewRollup(s, d)),
     "s84_access_policy"   -> ((s, d) => graft.lake.LakeQueries.accessPolicyRead(s, d)),
     "s73_incr_sketch_index" -> ((s, d) =>
       graft.lake.LakeQueries.incrementalSketchIndex(s, d)),
@@ -810,6 +816,36 @@ object SparkEntry {
     // the BASE table, served from the maintained view (rewrite/fail-
     // closed/re-serve all asserted in-plan in-entry) — the answer is the
     // LWW state's per-type count + exact micro sum after the delete
+    "s85_matview_ddl" ->
+      """WITH lww AS (
+        |  SELECT user_id, event_type,
+        |         CAST(round(value * 1000000) AS BIGINT) AS value_micros
+        |  FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) = 1
+        |)
+        |SELECT event_type, count(*)::BIGINT AS n,
+        |       sum(value_micros)::BIGINT AS sv,
+        |       avg(value_micros) AS av,
+        |       min(value_micros)::BIGINT AS mnv,
+        |       max(value_micros)::BIGINT AS mxv
+        |FROM lww
+        |WHERE user_id % 10 <> 3
+        |GROUP BY event_type""".stripMargin,
+    "s86_matview_rollup" ->
+      """WITH lww AS (
+        |  SELECT user_id, event_type,
+        |         CAST(round(value * 1000000) AS BIGINT) AS value_micros
+        |  FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) = 1
+        |)
+        |SELECT event_type, count(*)::BIGINT AS n,
+        |       sum(value_micros)::BIGINT AS sv,
+        |       avg(value_micros) AS av,
+        |       min(value_micros)::BIGINT AS mnv
+        |FROM lww
+        |GROUP BY event_type""".stripMargin,
     "s81_mv_rewrite" ->
       """WITH lww AS (
         |  SELECT user_id, event_type,
@@ -1006,6 +1042,41 @@ object SparkEntry {
         |SELECT 'D', l.user_id, -1::BIGINT, -1.0, -1::BIGINT,
         |       l.event_id, l.value, l.ts_ms
         |FROM lww1 l WHERE l.user_id IN (SELECT user_id FROM del)""".stripMargin,
+    // s10 = s20's pipeline + MULTI-PROBE: each query probes its bucket
+    // and every 1-bit-flip neighbor (xor with 1<<j) in each table —
+    // integer arithmetic both engines share
+    "s10_ann_lsh" ->
+      """WITH p AS (
+        |  SELECT t.t, j.j,
+        |         list_transform(range(0, 64), i ->
+        |           ((('0x' || substr(md5('p#' || t.t || '#' || j.j || '#' || i), 1, 8))::BIGINT
+        |             % 2000000) - 1000000) / 1000000.0) AS pl
+        |  FROM range(0, 4) t(t), range(0, 8) j(j)
+        |), b AS (
+        |  SELECT e.vec_id, p.t,
+        |         sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.pl) > 0
+        |             THEN (1 << p.j) ELSE 0 END)::BIGINT AS bucket
+        |  FROM embeddings e CROSS JOIN p
+        |  GROUP BY e.vec_id, p.t
+        |), probes AS (
+        |  SELECT q.vec_id AS query_id, q.t,
+        |         unnest(list_prepend(q.bucket,
+        |           list_transform(range(0, 8),
+        |             j -> xor(q.bucket, (1::BIGINT << j))))) AS bucket
+        |  FROM b q WHERE q.vec_id < 5
+        |), cand AS (
+        |  SELECT DISTINCT pr.query_id, c.vec_id AS neighbor_id
+        |  FROM probes pr JOIN b c ON pr.t = c.t AND pr.bucket = c.bucket
+        |  WHERE c.vec_id <> pr.query_id
+        |)
+        |SELECT cand.query_id, cand.neighbor_id,
+        |       round(list_cosine_similarity(qe.embedding::DOUBLE[],
+        |                                    ce.embedding::DOUBLE[]), 6) AS cos_sim
+        |FROM cand
+        |JOIN embeddings qe ON qe.vec_id = cand.query_id
+        |JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+        |QUALIFY row_number() OVER (PARTITION BY cand.query_id
+        |  ORDER BY cos_sim DESC, cand.neighbor_id ASC) <= 10""".stripMargin,
     "s20_ann_lsh_portable" ->
       """WITH p AS (
         |  SELECT t.t, j.j,

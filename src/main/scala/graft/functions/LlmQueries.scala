@@ -168,8 +168,16 @@ object LlmQueries {
 
   /** LSH-bucketed ANN, same queries (rows-only; recall tested ≥ 0.9). */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    // fixed md5 planes + FULL multi-probe (every 1-bit-flip neighbor
+    // bucket): the complete production pipeline shape, oracle-checked
+    // bit-for-bit since r14 — probe sets are integer XOR arithmetic an
+    // independent engine replays exactly. The xxhash plane family
+    // (Similarity.lshTopK) remains the documented production source,
+    // recall-pinned in SimilaritySpec rather than oracled (xxhash64 has
+    // no DuckDB equivalent).
     val emb = Tables.embeddings(spark, dir)
-    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+    Similarity.lshTopKPortable(emb, emb.filter(col("vec_id") < 5), k = 10,
+        multiProbe = true)
       .select("query_id", "neighbor_id", "cos_sim")
   }
 

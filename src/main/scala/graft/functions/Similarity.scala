@@ -257,22 +257,37 @@ object Similarity {
   }
 
   /** Portable-LSH ANN: the [[lshTopK]] pipeline (bucketing → candidate
-    * equi-join on (table, bucket) → exact cosine top-k; no multi-probe)
-    * over md5-derived hyperplanes ([[graft.functions.expr.LshBucketsMd5]]),
-    * so an independent SQL engine rebuilds the identical planes, buckets,
-    * candidates, and ranking — gate entry `s20_ann_lsh_portable`. The
-    * xxhash-family [[lshTopK]] stays the production path. */
+    * equi-join on (table, bucket) → exact cosine top-k) over md5-derived
+    * hyperplanes ([[graft.functions.expr.LshBucketsMd5]]), so an
+    * independent SQL engine rebuilds the identical planes, buckets,
+    * candidates, and ranking — gate entries `s20_ann_lsh_portable`
+    * (single-probe) and `s10_ann_lsh` (`multiProbe = true`: queries
+    * additionally probe every 1-bit-flip neighbor bucket — the full
+    * production pipeline shape, bit-for-bit oracle-checkable because the
+    * probe set is pure integer XOR arithmetic). The xxhash-family
+    * [[lshTopK]] stays the documented production plane source
+    * (SimilaritySpec recall-pins it against the exact top-k). */
   def lshTopKPortable(corpus: DataFrame, queries: DataFrame, k: Int = 10,
                       planes: Int = 8, tables: Int = 4,
+                      multiProbe: Boolean = false,
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     registerOn(corpus)
     def buckets(vec: Column) = call_function("lsh_buckets_md5", vec, lit(planes), lit(tables))
+    val pow2 = array((0 until planes).map(p => lit(1L << p)): _*)
     val c = corpus.select(col(idCol), col(vecCol), posexplode(buckets(col(vecCol))))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
     val qb = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       posexplode(buckets(col(vecCol))))
-      .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
-    val scored = c.join(qb, Seq("table", "bucket"))
+      .withColumnRenamed("pos", "table").withColumnRenamed("col", "b0")
+    val probes =
+      if (!multiProbe)
+        qb.select(col("query_id"), col("qv"), col("table"), col("b0").as("bucket"))
+      else qb.select(col("query_id"), col("qv"), col("table"),
+        explode(concat(array(col("b0")),
+          transform(sequence(lit(0), lit(planes - 1)),
+            j => col("b0").bitwiseXOR(element_at(pow2, (j + 1).cast("int"))))))
+          .as("bucket"))
+    val scored = c.join(probes, Seq("table", "bucket"))
       .filter(col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol).as("neighbor_id"),
         round(cosF(col("qv"), col(vecCol)), 6).as("cos_sim"))

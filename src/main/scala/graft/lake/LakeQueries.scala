@@ -1854,6 +1854,154 @@ object LakeQueries {
     }
   }
 
+  /** MATERIALIZED VIEW via DDL, persistent ACROSS SESSIONS, oracle-checked
+    * (s85 — the declaration surface the r13 verdict called the highest-
+    * leverage gap; the optimizer half is s81): the base table replays two
+    * batches and compacts; ONE `CREATE MATERIALIZED VIEW` statement
+    * builds the view (count, sum, avg, min, max measures), persists the
+    * declaration in the base's manifest plane, and registers the rewrite.
+    * PERSISTENCE is then proven the hard way: the in-memory registry is
+    * WIPED and a FRESH SparkSession's first query over the base must
+    * (a) auto-register from the persisted declaration and serve from the
+    * view — asserted in-plan; (b) fail CLOSED to the scan when a delete
+    * commit lands past the watermark; (c) serve again, bit-identical to
+    * the scan answer, after one `REFRESH MATERIALIZED VIEW` — DDL and
+    * maintenance CALLs only, zero programmatic setup. The returned result
+    * is (c)'s; the oracle recomputes it from raw events. */
+  def matViewDdl(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        round(col("value") * 1000000).cast("long").as("value_micros"),
+        col("ts_ms"), col("ts_ns"))
+    val bounds = ev.agg(min(col("ts_ns")).as("mn"), max(col("ts_ns")).as("mx")).head()
+    val mid = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 2
+    val basePath = tempPath("mor-mvddl-base"); val viewPath = tempPath("mor-mvddl-view")
+    val bt = MorTable(spark, basePath, keyCols = Seq("user_id"),
+      compactionDeltaCommits = 1000)
+    bt.upsert(ev.filter(col("ts_ns") <= mid),
+      orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 1L)
+    bt.upsert(ev.filter(col("ts_ns") > mid),
+      orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 2L)
+    bt.compact()
+    val tbl = "graft_mvddl_base"; val vname = "graft_mvddl_v"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"DROP TABLE IF EXISTS $vname")
+    spark.sql(s"CREATE TABLE $tbl USING `graft.mor` OPTIONS " +
+      s"(path '$basePath', keys 'user_id')")
+    try {
+      spark.sql(s"CREATE MATERIALIZED VIEW $vname ON $tbl GROUP BY event_type " +
+        "AS (count, sum(value_micros), avg(value_micros), min(value_micros), " +
+        s"max(value_micros)) LOCATION '$viewPath'")
+      // declaration is visible and fresh
+      val shown = spark.sql(s"SHOW MATERIALIZED VIEWS ON $tbl").collect()
+      require(shown.length == 1 && shown.head.getBoolean(4),
+        "declared view must list as fresh")
+      // the view is directly SELECTable by name (a mor table of groups)
+      require(spark.sql(s"SELECT * FROM $vname").count() > 0)
+      // prove PERSISTENCE: wipe the in-memory registry, then let a FRESH
+      // session's first base query re-arm it from views.json alone
+      graft.plans.ViewRewrite.unregister(basePath)
+      val s2 = spark.newSession()
+      s2.conf.set(graft.plans.ViewRewrite.confKey, "true")
+      def q(s: SparkSession) = s.sql(s"SELECT event_type, count(*) AS n, " +
+        s"sum(value_micros) AS sv, avg(value_micros) AS av, " +
+        s"min(value_micros) AS mnv, max(value_micros) AS mxv " +
+        s"FROM $tbl GROUP BY event_type")
+      def plan(df: DataFrame) = df.queryExecution.executedPlan.toString()
+      // plan asserts match the distinctive dir-name stems (FileScan
+      // locations truncate long paths in plan strings)
+      val fresh = q(s2)
+      require(plan(fresh).contains("mor-mvddl-view") &&
+          !plan(fresh).contains("mor-mvddl-base"),
+        "a FRESH session must serve from the persisted view via DDL alone")
+      require(fresh.count() > 0)
+      // a delete commit lands → stale → fail closed to the scan
+      bt.deleteWhere(col("user_id") % 10 === 3, batchId = 3L)
+      val stale = q(s2)
+      require(!plan(stale).contains("mor-mvddl-view") &&
+          plan(stale).contains("mor-mvddl-base"),
+        "stale view must fail closed to the base scan")
+      val truth = stale.collect().map(_.toSeq).toSet
+      // one DDL maintenance cycle → served again, bit-identical
+      s2.sql(s"REFRESH MATERIALIZED VIEW $vname")
+      val served = q(s2)
+      require(plan(served).contains("mor-mvddl-view") &&
+          !plan(served).contains("mor-mvddl-base"),
+        "refreshed view must serve again")
+      require(served.collect().map(_.toSeq).toSet == truth,
+        "view answer must equal the scan answer bit-for-bit")
+      graft.TempDirs.materializeAndDelete(served, basePath, viewPath)
+    } finally {
+      spark.sql(s"DROP MATERIALIZED VIEW IF EXISTS $vname")
+      graft.plans.ViewRewrite.unregister(basePath)
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
+
+  /** MV ROLLUP + avg/min decomposition, oracle-checked (s86 — r13 verdict
+    * #4): the DDL view groups by TWO columns (event_type, ub=user_id%8);
+    * the analyst's coarser `GROUP BY event_type` must re-aggregate the
+    * groups-sized view — count/sum re-sum, min re-mins, avg recombines
+    * the maintained (sum, count) pair — asserted in-plan for BOTH the
+    * exact and the rollup shape, and the rollup must equal the direct
+    * scan answer bit-for-bit (asserted in-entry; the oracle recomputes it
+    * from raw events). */
+  def matViewRollup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        (col("user_id") % 8).as("ub"),
+        round(col("value") * 1000000).cast("long").as("value_micros"),
+        col("ts_ms"), col("ts_ns"))
+    val bounds = ev.agg(min(col("ts_ns")).as("mn"), max(col("ts_ns")).as("mx")).head()
+    val mid = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 2
+    val basePath = tempPath("mor-mvroll-base"); val viewPath = tempPath("mor-mvroll-view")
+    val bt = MorTable(spark, basePath, keyCols = Seq("user_id"),
+      compactionDeltaCommits = 1000)
+    bt.upsert(ev.filter(col("ts_ns") <= mid),
+      orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 1L)
+    bt.upsert(ev.filter(col("ts_ns") > mid),
+      orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 2L)
+    bt.compact()
+    val tbl = "graft_mvroll_base"; val vname = "graft_mvroll_v"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"DROP TABLE IF EXISTS $vname")
+    spark.sql(s"CREATE TABLE $tbl USING `graft.mor` OPTIONS " +
+      s"(path '$basePath', keys 'user_id')")
+    try {
+      spark.sql(s"CREATE MATERIALIZED VIEW $vname ON $tbl " +
+        "GROUP BY event_type, ub AS (count, sum(value_micros), " +
+        s"avg(value_micros), min(value_micros)) LOCATION '$viewPath'")
+      def qRollup() = spark.sql(s"SELECT event_type, count(*) AS n, " +
+        s"sum(value_micros) AS sv, avg(value_micros) AS av, " +
+        s"min(value_micros) AS mnv FROM $tbl GROUP BY event_type")
+      def plan(df: DataFrame) = df.queryExecution.executedPlan.toString()
+      // ground truth from the raw scan (rewrite off)
+      spark.conf.unset(graft.plans.ViewRewrite.confKey)
+      val truth = qRollup().collect().map(_.toSeq).toSet
+      spark.conf.set(graft.plans.ViewRewrite.confKey, "true")
+      // exact shape: both group columns → pure view projection
+      val exact = spark.sql(s"SELECT event_type, ub, count(*) AS n, " +
+        s"avg(value_micros) AS av FROM $tbl GROUP BY event_type, ub")
+      require(plan(exact).contains("mor-mvroll-view") &&
+          !plan(exact).contains("mor-mvroll-base"),
+        "exact grouping must serve from the view")
+      require(exact.count() > 0)
+      // rollup shape: subset grouping → re-aggregate the view
+      val rolled = qRollup()
+      require(plan(rolled).contains("mor-mvroll-view") &&
+          !plan(rolled).contains("mor-mvroll-base"),
+        "subset grouping must roll up over the view")
+      require(rolled.collect().map(_.toSeq).toSet == truth,
+        "rollup over the view must equal the scan answer bit-for-bit")
+      graft.TempDirs.materializeAndDelete(rolled, basePath, viewPath)
+    } finally {
+      spark.conf.unset(graft.plans.ViewRewrite.confKey)
+      spark.sql(s"DROP MATERIALIZED VIEW IF EXISTS $vname")
+      graft.plans.ViewRewrite.unregister(basePath)
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
+
   /** Incrementally-maintained JOIN view across TWO lake tables (the
     * multi-table generalization of [[incrementalView]]): customers and
     * orders replay as independent MOR tables (commit 1 = initial load;

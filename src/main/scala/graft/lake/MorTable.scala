@@ -974,7 +974,12 @@ final class MorTable(
     * that every cond-satisfying row carries one of `recordKeys`). */
   def deleteWhereKeys(recordKeys: Seq[String], cond: Column,
                       batchId: Long = -1L): MorTable =
-    delete(readForKeys(recordKeys).filter(cond).select(keyCols.map(col): _*), batchId)
+    // indexed form: a FRESH record index pins the touched base files
+    // exactly (readForKeysIndexed fails closed to the bloom path) — the
+    // same soundness argument as the read path, since only rows carrying
+    // one of `recordKeys` can satisfy the SQL layer's proved predicate
+    delete(readForKeysIndexed(recordKeys).filter(cond)
+      .select(keyCols.map(col): _*), batchId)
 
   /** Predicate update (the `MERGE INTO … WHEN MATCHED UPDATE` / SQL
     * `UPDATE t SET … WHERE …` analog): rewrite the matching rows' images
@@ -992,7 +997,7 @@ final class MorTable(
     * [[deleteWhereKeys]] for the contract). */
   def updateWhereKeys(recordKeys: Seq[String], cond: Column,
                       set: Map[String, Column], batchId: Long = -1L): MorTable =
-    updateOver(readForKeys(recordKeys).filter(cond), set, batchId)
+    updateOver(readForKeysIndexed(recordKeys).filter(cond), set, batchId)
 
   private def updateOver(base: DataFrame, set: Map[String, Column],
                          batchId: Long): MorTable = {
@@ -1117,7 +1122,9 @@ final class MorTable(
     val head = keyed.limit(MorTable.mergeKeyCollectCap + 1).collect()
     if (head.length <= MorTable.mergeKeyCollectCap) {
       require(head.forall(_.getLong(1) == 1L), dupMsg)
-      (pinned, readForKeys(head.map(_.getString(0)).toSeq))
+      // a FRESH record index pins the touched base files EXACTLY instead
+      // of probabilistically (fails closed to the bloom path otherwise)
+      (pinned, readForKeysIndexed(head.map(_.getString(0)).toSeq))
     } else {
       require(keyed.filter(col("__n") > 1).limit(1).count() == 0L, dupMsg)
       (pinned, readForKeysOf(keyed.select("__pk")))
@@ -1137,7 +1144,7 @@ final class MorTable(
       .select(col(batchKeys.columns.head).cast("string").as("__pk")).distinct()
     val head = k.limit(MorTable.mergeKeyCollectCap + 1).collect()
     if (head.length <= MorTable.mergeKeyCollectCap)
-      readForKeys(head.map(_.getString(0)).toSeq)
+      readForKeysIndexed(head.map(_.getString(0)).toSeq)
     else readForKeysOf(k)
   }
 

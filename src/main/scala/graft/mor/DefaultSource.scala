@@ -167,6 +167,13 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
           if (t.timeline().isEmpty) { t.bootstrap(src); () }
       }
     }
+    // persistent-MV auto-registration: a base table with DDL-declared
+    // views ([[graft.lake.MatViews]]) arms the optimizer rewrite on first
+    // contact in ANY session — the Glue-catalog contract for MVs. One
+    // fs.exists on tables without views; best-effort (a broken views.json
+    // must never take down reads — the rewrite just stays cold).
+    if (parameters.get("partition").isEmpty)
+      graft.lake.MatViews.autoRegister(sqlContext.sparkSession, path, keys)
     MorRelation(sqlContext, path, keys,
       asOf = parameters.get("asOf").map(_.toLong).orElse(asOfTs),
       sinceSeq = parameters.get("sinceSeq").map(_.toLong),
@@ -353,11 +360,6 @@ final case class MorRelation(sqlContext: SQLContext, path: String,
                              rowFilter: Option[String] = None)
     extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
-  require(maskOpts.keySet.intersect(keys.toSet).isEmpty &&
-      !partitionCol.exists(maskOpts.contains),
-    s"graft.mor: key/partition columns cannot be masked " +
-      s"(${maskOpts.keySet.mkString(", ")} vs keys ${keys.mkString(", ")})")
-
   require(Seq(asOf, sinceSeq, changelogFrom).count(_.isDefined) <= 1,
     "graft.mor: asOf, sinceSeq and changelogFrom are mutually exclusive")
   require(changelogTo.isEmpty || changelogFrom.isDefined,
@@ -391,6 +393,31 @@ final case class MorRelation(sqlContext: SQLContext, path: String,
   }
 
   override val schema: StructType = scanDf().schema
+
+  /** Mask keys resolved against the relation schema under the SESSION's
+    * case sensitivity, validated at relation creation — a policy fails
+    * CLOSED: a `mask.<col>` key that matches no schema column (typo, or a
+    * case mismatch that Spark's case-insensitive resolution would have
+    * accepted in a query) throws here instead of silently serving RAW
+    * values at scan time, and a mask that resolves onto a key/partition
+    * column (under ANY casing) is refused because point/prune routing must
+    * see real values. */
+  private val resolvedMasks: Map[String, String] = {
+    val caseSensitive = sqlContext.sparkSession.sessionState.conf.caseSensitiveAnalysis
+    def same(a: String, b: String) = if (caseSensitive) a == b else a.equalsIgnoreCase(b)
+    maskOpts.map { case (k, mode) =>
+      val hits = schema.fieldNames.filter(same(_, k))
+      require(hits.length == 1,
+        s"graft.mor: mask.$k matches ${hits.length} schema columns " +
+          s"(schema: ${schema.fieldNames.mkString(", ")}) — a masked column " +
+          "must resolve exactly; refusing to serve raw values")
+      val c = hits.head
+      require(!keys.exists(same(_, c)) && !partitionCol.exists(same(_, c)),
+        s"graft.mor: key/partition column '$c' cannot be masked " +
+          "(point/prune routing needs real values)")
+      c -> mode
+    }
+  }
 
   /** Planner statistic: live on-disk bytes at relation creation. Without
     * it the relation reports `spark.sql.defaultSizeInBytes` (effectively
@@ -535,10 +562,17 @@ final case class MorRelation(sqlContext: SQLContext, path: String,
             case None => table.read()
           }
         }
-      case (Some(pc), None, None, None) if partitionValues.isEmpty =>
-        colValues(filters, pc) match {
-          case Some(vs) => partTable.read(vs)
-          case None => scanDf()
+      // partitioned point path: key equality/IN routes the indexed
+      // cross-partition point read (fresh-index children pin exact base
+      // files, the rest bloom-prune — per-child fail-closed), restricted
+      // to the OPTIONS partition pin or the filter's partition values
+      case (Some(pc), None, None, None) =>
+        val sel = if (partitionValues.nonEmpty) partitionValues
+                  else colValues(filters, pc).getOrElse(Seq.empty)
+        (keyValues(filters), partitionValues.isEmpty) match {
+          case (Some(ks), _) => partTable.readForKeysIndexed(ks, sel)
+          case (None, true) if sel.nonEmpty => partTable.read(sel)
+          case _ => scanDf()
         }
       // partitioned time travel keeps partition pruning: the token read
       // restricted to the filter's partition values
@@ -558,25 +592,30 @@ final case class MorRelation(sqlContext: SQLContext, path: String,
     // the point/prune ROUTING above always ran on real values.
     val policed0 = rowFilter.foldLeft(routed)((df, p) =>
       df.filter(org.apache.spark.sql.functions.expr(p)))
-    val policed = maskOpts.foldLeft(policed0) { case (df, (c, mode)) =>
-      if (!df.columns.contains(c)) df
-      else {
+    val policed = resolvedMasks.foldLeft(policed0) { case (df, (c, mode)) =>
+      require(df.columns.contains(c), // resolved at creation — can't miss
+        s"graft.mor: masked column '$c' absent from the scan (${df.columns.mkString(", ")})")
+      // a CDC read carries the key's previous image as `before_<col>` —
+      // mask it under the same mode, or the changelog leaks the raw value
+      // the snapshot surface masks
+      val targets = c +: Seq(s"before_$c").filter(df.columns.contains)
+      targets.foldLeft(df) { (d, t) =>
         import org.apache.spark.sql.functions.{lit, md5}
-        val dt = df.schema(c).dataType
+        val dt = d.schema(t).dataType
         val masked = mode match {
           case "null" => lit(null).cast(dt)
           case "md5" =>
             require(dt == org.apache.spark.sql.types.StringType,
               s"graft.mor: mask.$c = md5 needs a string column, got $dt")
-            md5(col(c))
+            md5(col(t))
           case "pii" =>
             require(dt == org.apache.spark.sql.types.StringType,
               s"graft.mor: mask.$c = pii needs a string column, got $dt")
-            graft.functions.TextAnalysis.redactPii(col(c))
+            graft.functions.TextAnalysis.redactPii(col(t))
           case other => throw new IllegalArgumentException(
             s"graft.mor: mask.$c must be md5|pii|null, got '$other'")
         }
-        df.withColumn(c, masked)
+        d.withColumn(t, masked)
       }
     }
     val filtered = filters.flatMap(toColumn).foldLeft(policed)(_.filter(_))
@@ -586,10 +625,42 @@ final case class MorRelation(sqlContext: SQLContext, path: String,
     if (requiredColumns.isEmpty) projected.drop(cols.head) else projected
   }
 
-  /** Key-column equality/IN values (single-key tables only — the record
-    * key IS the value cast to string there). */
-  private def keyValues(filters: Array[Filter]): Option[Seq[String]] =
-    if (keys.size != 1) None else colValues(filters, keys.head)
+  /** Key equality/IN values translated to `_record_key` probe strings.
+    * Single-key tables: the record key IS the value cast to string.
+    * COMPOSITE keys: a top-level conjunction of equality/IN filters
+    * covering ALL key columns builds the composite key exactly as the
+    * writer does (`concat_ws("|", cast(string))`), so multi-column-key
+    * point queries inherit the record-level index / bloom point path too.
+    * The translation must be EXACT — a misrendered key string silently
+    * DROPS rows (the restricted scan never sees them and Spark's
+    * re-applied filter can't resurrect them) — so composite rendering is
+    * limited to types whose Java string form provably equals Spark's
+    * cast-to-string (string, integral, boolean); any other key type, a
+    * missing key column, or an IN×IN cross product past 1000 probes
+    * falls back to the unrouted scan. */
+  private def keyValues(filters: Array[Filter]): Option[Seq[String]] = {
+    import org.apache.spark.sql.sources._
+    if (keys.size == 1) return colValues(filters, keys.head)
+    def render(v: Any): Option[String] = v match {
+      case s: String => Some(s)
+      case _: java.lang.Integer | _: java.lang.Long | _: java.lang.Short |
+           _: java.lang.Byte | _: java.lang.Boolean => Some(String.valueOf(v))
+      case _ => None
+    }
+    val perKey: Seq[Seq[String]] = keys.map { k =>
+      filters.collectFirst {
+        case EqualTo(a, v) if a == k && v != null && render(v).isDefined =>
+          Seq(render(v).get)
+        case In(a, vs) if a == k && vs.exists(_ != null) &&
+            vs.forall(x => x == null || render(x).isDefined) =>
+          vs.filter(_ != null).map(x => render(x).get).toSeq
+      }.getOrElse(Seq.empty)
+    }
+    if (perKey.exists(_.isEmpty)) return None
+    if (perKey.map(_.size.toLong).product > 1000L) return None
+    Some(perKey.foldLeft(Seq(Vector.empty[String]))((acc, vs) =>
+      for (a <- acc; v <- vs) yield a :+ v).map(_.mkString("|")))
+  }
 
   /** Both-sided range bounds on a single STRING key column → the
     * [lo, hi) the listing-level key-bounds pruning understands

@@ -49,21 +49,87 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val ShowIndexesStmt =
     """(?is)\s*SHOW\s+INDEXES\s+(?:ON|FROM|IN)\s+([\w.`]+)\s*;?\s*""".r
 
+  /** Materialized-view DDL (the persistent-registry surface of
+    * [[graft.lake.MatViews]] / [[graft.plans.ViewRewrite]]):
+    *
+    * {{{
+    *   CREATE MATERIALIZED VIEW [IF NOT EXISTS] v ON t
+    *     GROUP BY c1[, c2] AS (count, sum(x), avg(y), min(z), max(w))
+    *     [LOCATION 'p']
+    *   REFRESH MATERIALIZED VIEW v
+    *   DROP MATERIALIZED VIEW [IF EXISTS] v
+    *   SHOW MATERIALIZED VIEWS ON t
+    * }}}
+    *
+    * Vanilla Spark has no MATERIALIZED VIEW statements, so these always
+    * intercept (no `graftManaged` gate needed). */
+  private val CreateMatViewStmt =
+    ("""(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?""" +
+      """([\w.`]+)\s+ON\s+(?:TABLE\s+)?([\w.`]+)\s+""" +
+      """GROUP\s+BY\s+([\w`]+(?:\s*,\s*[\w`]+)*)\s+AS\s+\((.+)\)""" +
+      """(?:\s+LOCATION\s+'([^']*)')?\s*;?\s*""").r
+  private val RefreshMatViewStmt =
+    """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s*;?\s*""".r
+  private val DropMatViewStmt =
+    """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.`]+)\s*;?\s*""".r
+  private val ShowMatViewsStmt =
+    """(?is)\s*SHOW\s+MATERIALIZED\s+VIEWS\s+(?:ON|FROM|IN)\s+([\w.`]+)\s*;?\s*""".r
+
   private def clean(ident: String): String = ident.replace("`", "")
+
+  /** `count` / `count(*)` / `fn(col)` tokens of the AS (...) list. */
+  private def parseMeasures(s: String): Seq[graft.lake.MatViews.MeasureSpec] = {
+    val FnCol = """(?i)(count|sum|min|max|avg)\s*\(\s*(\*|[\w`]+)\s*\)""".r
+    s.split(',').map(_.trim).filter(_.nonEmpty).toSeq.map {
+      case t if t.equalsIgnoreCase("count") =>
+        graft.lake.MatViews.MeasureSpec("count", "")
+      case FnCol(fn, "*") if fn.equalsIgnoreCase("count") =>
+        graft.lake.MatViews.MeasureSpec("count", "")
+      case FnCol(fn, c) if !"*".equals(c) =>
+        graft.lake.MatViews.MeasureSpec(fn.toLowerCase, clean(c))
+      case other => throw new IllegalArgumentException(
+        s"CREATE MATERIALIZED VIEW: measure '$other' must be count, " +
+          "count(*), or count|sum|min|max|avg(<column>)")
+    }
+  }
+
+  /** Parse-time gate for spellings OTHER formats also own (`OPTIMIZE`,
+    * `VACUUM`, `CREATE INDEX`, `SHOW INDEXES`): intercept only when the
+    * named table resolves on a graft surface, so a mixed-catalog session
+    * keeps the native/other-format handling of those statements (ADVICE
+    * r13 — previously this parser hijacked them for ALL table names).
+    * No active session, or a resolution error, intercepts anyway: the
+    * graft command's runtime error names the actual problem. The
+    * graft-only spellings (SHALLOW CLONE, MATERIALIZED VIEW) skip the
+    * gate — no other parser accepts them. */
+  private def graftManaged(name: String): Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession.forall { spark =>
+      try GraftMaintenance.isManaged(spark, clean(name))
+      catch { case scala.util.control.NonFatal(_) => true }
+    }
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case CloneStmt(ine, dst, src, loc) =>
       GraftCloneTableCommand(clean(dst), clean(src), Option(loc), ine != null)
-    case OptimizeStmt(tbl, zcols) =>
+    case CreateMatViewStmt(ine, v, t, gcols, meas, loc) =>
+      GraftCreateMatViewCommand(clean(v), clean(t),
+        gcols.split(',').map(c => clean(c.trim)).toSeq.filter(_.nonEmpty),
+        parseMeasures(meas), Option(loc), ine != null)
+    case RefreshMatViewStmt(v) => GraftRefreshMatViewCommand(clean(v))
+    case DropMatViewStmt(ife, v) =>
+      GraftDropMatViewCommand(clean(v), ife != null)
+    case ShowMatViewsStmt(t) => GraftShowMatViewsCommand(clean(t))
+    case OptimizeStmt(tbl, zcols) if graftManaged(tbl) =>
       GraftOptimizeCommand(clean(tbl),
         Option(zcols).toSeq.flatMap(_.split(',')).map(c => clean(c.trim))
           .filter(_.nonEmpty))
-    case VacuumStmt(tbl) => GraftVacuumCommand(clean(tbl))
-    case CreateIndexStmt(name, tbl, cols) =>
+    case VacuumStmt(tbl) if graftManaged(tbl) => GraftVacuumCommand(clean(tbl))
+    case CreateIndexStmt(name, tbl, cols) if graftManaged(tbl) =>
       GraftCreateIndexCommand(clean(name), clean(tbl),
         Option(cols).toSeq.flatMap(_.split(','))
           .map(c => clean(c.trim)).filter(_.nonEmpty))
-    case ShowIndexesStmt(tbl) => GraftShowIndexesCommand(clean(tbl))
+    case ShowIndexesStmt(tbl) if graftManaged(tbl) =>
+      GraftShowIndexesCommand(clean(tbl))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -159,11 +225,19 @@ case class GraftCloneTableCommand(dst: String, src: String,
   * [[graft.GraftCatalog]]-registered handle — the same two surfaces the
   * CALL procedures and SHALLOW CLONE resolve. */
 private[mor] object GraftMaintenance {
-  private def tid(n: String): TableIdentifier = n.split('.') match {
+  private[mor] def tid(n: String): TableIdentifier = n.split('.') match {
     case Array(t) => TableIdentifier(t)
     case Array(db, t) => TableIdentifier(t, Some(db))
     case _ => throw new IllegalArgumentException(s"cannot parse table name '$n'")
   }
+
+  /** True when `name` resolves on either graft surface — the parser's
+    * interception gate. A 3-part or otherwise unparseable name is not
+    * ours (→ delegate). */
+  def isManaged(spark: SparkSession, name: String): Boolean =
+    try MorDml.morOptions(spark, tid(name)).isDefined ||
+      graft.GraftCatalog.lookup(spark, name).isDefined
+    catch { case scala.util.control.NonFatal(_) => false }
 
   def resolve(spark: SparkSession, name: String, verb: String)
       : Either[MorTable, PartitionedMorTable] =
@@ -273,12 +347,176 @@ case class GraftCreateIndexCommand(name: String, table: String,
     } else {
       resolved match {
         case Left(t) => t.indexColumns(cols).compact()
-        case Right(_) => throw new IllegalArgumentException(
-          "CREATE INDEX (columns): secondary bloom indexes are declared " +
-            "per child table; partitioned-table declaration is not " +
-            "supported — declare on the child or use the unpartitioned form")
+        case Right(p) =>
+          // partitioned form: declare on every child handle and compact
+          // them all, so each child's manifest publishes the per-file
+          // filters before the statement returns (the synchronous-indexer
+          // contract, same as the single-table form); later plain
+          // compactions inherit the column set from each child's manifest
+          // header
+          p.indexColumns(cols).compactPartitions(p.partitions())
       }
     }
     Seq.empty
+  }
+}
+
+/** `CREATE MATERIALIZED VIEW v ON t GROUP BY … AS (…)` — declares, FULLY
+  * BUILDS, persists and registers a materialized view over a graft base
+  * table ([[graft.lake.MatViews]]):
+  *
+  *  1. the view table materializes at LOCATION (default
+  *     `<warehouse>/<v>`) as a mor table keyed by the group columns;
+  *  2. the spec (group cols, measures, maintained-seq watermark) persists
+  *     in the BASE table's manifest plane (`manifest/views.json`), so
+  *     EVERY future session that touches the base auto-registers the
+  *     rewrite — the reference's persistent-catalog contract
+  *     (rds-cdc-flink-hudi-stack.ts:458-519) for MVs;
+  *  3. `v` registers as a `graft.mor` catalog table (directly SELECTable;
+  *     its `mv.*` OPTIONS let REFRESH/DROP resolve the declaration).
+  *
+  * One view per base table (the optimizer registry is keyed by base
+  * path); unpartitioned bases only in this release. */
+case class GraftCreateMatViewCommand(view: String, base: String,
+                                     groupCols: Seq[String],
+                                     measures: Seq[graft.lake.MatViews.MeasureSpec],
+                                     location: Option[String],
+                                     ifNotExists: Boolean)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.lake.MatViews
+    require(groupCols.nonEmpty, "CREATE MATERIALIZED VIEW needs GROUP BY columns")
+    val bt = GraftMaintenance.resolve(spark, base, "CREATE MATERIALIZED VIEW") match {
+      case Left(t) => t
+      case Right(_) => throw new IllegalArgumentException(
+        "CREATE MATERIALIZED VIEW: partitioned base tables are not " +
+          "supported — declare the view on an unpartitioned table")
+    }
+    val viewId = GraftMaintenance.tid(view)
+    val taken = spark.sessionState.catalog.tableExists(viewId) ||
+      graft.GraftCatalog.lookup(spark, view).isDefined
+    if (taken) {
+      if (ifNotExists) return Seq.empty
+      throw new IllegalArgumentException(
+        s"CREATE MATERIALIZED VIEW: '$view' already exists")
+    }
+    val existing = MatViews.readSpecs(spark, bt.path)
+    require(existing.isEmpty,
+      s"CREATE MATERIALIZED VIEW: base '$base' already has view " +
+        s"'${existing.head.name}' (one materialized view per base table)")
+    // validate referenced columns against the base schema up front — the
+    // build would fail anyway, but name the declaration error
+    val cols = bt.read().columns.toSet
+    val missing = (groupCols ++ measures.map(_.arg).filter(_.nonEmpty))
+      .filterNot(cols.contains)
+    require(missing.isEmpty,
+      s"CREATE MATERIALIZED VIEW: column(s) ${missing.mkString(", ")} not in " +
+        s"base '$base' (${cols.toSeq.sorted.mkString(", ")})")
+    val viewPath = location.getOrElse(
+      new Path(spark.sessionState.conf.warehousePath, viewId.identifier).toString)
+    val spec = MatViews.build(spark, bt.path, bt.keyCols,
+      MatViews.ViewSpec(view, viewPath, groupCols, measures, 0L))
+    spark.sql(s"CREATE TABLE ${viewId.quotedString} USING `graft.mor` OPTIONS " +
+      s"(path '$viewPath', keys '${groupCols.mkString(",")}', " +
+      s"'mv.base' = '${bt.path}', 'mv.basekeys' = '${bt.keyCols.mkString(",")}', " +
+      s"'mv.name' = '${spec.name}')")
+    MatViews.autoRegister(spark, bt.path, bt.keyCols)
+    Seq.empty
+  }
+}
+
+/** Shared resolution for REFRESH/DROP: the view's catalog `mv.*` OPTIONS
+  * point back at the base's persisted declaration. */
+private[mor] object MatViewResolve {
+  def apply(spark: SparkSession, view: String, verb: String)
+      : (String, Seq[String], graft.lake.MatViews.ViewSpec) = {
+    val opts = MorDml.morOptions(spark, GraftMaintenance.tid(view)).getOrElse(
+      throw new IllegalArgumentException(
+        s"$verb: '$view' is not a graft.mor catalog table"))
+    val basePath = opts.getOrElse("mv.base", throw new IllegalArgumentException(
+      s"$verb: '$view' is not a materialized view (no mv.base option)"))
+    val baseKeys = opts.getOrElse("mv.basekeys", "").split(",").toSeq
+      .map(_.trim).filter(_.nonEmpty)
+    val name = opts.getOrElse("mv.name", view)
+    val spec = graft.lake.MatViews.readSpecs(spark, basePath)
+      .find(_.name == name).getOrElse(throw new IllegalStateException(
+        s"$verb: declaration of '$name' missing from $basePath/manifest/" +
+          "views.json (dropped concurrently?)"))
+    (basePath, baseKeys, spec)
+  }
+}
+
+/** `REFRESH MATERIALIZED VIEW v` — one affected-group maintenance cycle
+  * ([[graft.lake.MatViews.refresh]]): brings the view to the base's
+  * current commit seq and advances the persisted watermark, after which
+  * every session serves the view again. No-op when already fresh. */
+case class GraftRefreshMatViewCommand(view: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (basePath, baseKeys, spec) =
+      MatViewResolve(spark, view, "REFRESH MATERIALIZED VIEW")
+    graft.lake.MatViews.refresh(spark, basePath, baseKeys, spec)
+    Seq.empty
+  }
+}
+
+/** `DROP MATERIALIZED VIEW [IF EXISTS] v` — removes the persisted
+  * declaration, unregisters the rewrite, drops the view table's data and
+  * its catalog entry. Cleanup is best-effort past the mv.* resolution: a
+  * base table dropped out from under the view must not strand the view's
+  * catalog entry undropppable. */
+case class GraftDropMatViewCommand(view: String, ifExists: Boolean)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    import scala.util.control.NonFatal
+    val optsOpt = MorDml.morOptions(spark, GraftMaintenance.tid(view))
+    optsOpt.flatMap(o => o.get("mv.base").map((o, _))) match {
+      case None =>
+        if (!ifExists) throw new IllegalArgumentException(
+          s"DROP MATERIALIZED VIEW: '$view' is not a materialized view")
+      case Some((opts, basePath)) =>
+        val name = opts.getOrElse("mv.name", view)
+        try graft.lake.MatViews.removeSpec(spark, basePath, name)
+        catch { case NonFatal(_) => () } // base dir gone: nothing to remove
+        graft.plans.ViewRewrite.unregister(basePath)
+        val keys = opts.getOrElse("keys", "").split(",").toSeq
+          .map(_.trim).filter(_.nonEmpty)
+        try opts.get("path").foreach(p =>
+          graft.lake.MorTable.resolve(spark, p, keys).drop())
+        catch { case NonFatal(_) => () }
+        spark.sql(s"DROP TABLE IF EXISTS ${GraftMaintenance.tid(view).quotedString}")
+        ()
+    }
+    Seq.empty
+  }
+}
+
+/** `SHOW MATERIALIZED VIEWS ON t` — the declarations persisted on the
+  * base table, with live freshness (watermark vs current timeline).
+  * Metadata-only. */
+case class GraftShowMatViewsCommand(base: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("view_name", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("group_cols", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("measures", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("maintained_seq", org.apache.spark.sql.types.LongType,
+      nullable = false)(),
+    AttributeReference("fresh", org.apache.spark.sql.types.BooleanType,
+      nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val bt = GraftMaintenance.resolve(spark, base, "SHOW MATERIALIZED VIEWS") match {
+      case Left(t) => t
+      case Right(_) => return Seq.empty // partitioned bases carry no views
+    }
+    val live = bt.timeline().lastOption.map(_.seq).getOrElse(0L)
+    graft.lake.MatViews.readSpecs(spark, bt.path).map { s =>
+      Row(s.name, s.groupCols.mkString(","),
+        s.measures.map(m => if (m.arg.isEmpty) m.fn else s"${m.fn}(${m.arg})")
+          .mkString(","),
+        s.maintainedSeq, s.maintainedSeq == live)
+    }
   }
 }

@@ -163,9 +163,131 @@ class MorDataSourceSpec extends AnyFunSuite {
           s"(path '$path', keys 'uuid', 'mask.uuid'='md5')")
         spark.sql("SELECT * FROM policy_bad").collect()
       }
+      // masks fail CLOSED on a name mismatch (ADVICE r13): an unknown
+      // column throws at relation creation instead of silently serving
+      // raw values …
+      spark.sql("DROP TABLE IF EXISTS policy_bad")
+      intercept[Exception] {
+        spark.sql(s"CREATE TABLE policy_bad USING `graft.mor` OPTIONS " +
+          s"(path '$path', keys 'uuid', 'mask.notacolumn'='md5')")
+        spark.sql("SELECT * FROM policy_bad").collect()
+      }
+      // … while a CASE-mismatched declaration resolves under the
+      // session's (default case-insensitive) analysis and masks — the
+      // same resolution a query against the column would get
+      spark.sql("DROP TABLE IF EXISTS policy_case")
+      spark.sql(s"CREATE TABLE policy_case USING `graft.mor` OPTIONS " +
+        s"(path '$path', keys 'uuid', 'mask.GRP'='md5')")
+      try {
+        val g = spark.sql("SELECT grp FROM policy_case WHERE uuid = 'id2'")
+          .head().getString(0)
+        assert(g != "b" && g.length == 32, s"case-mismatched mask must apply ($g)")
+        // a case-mismatched KEY mask is still a key mask — refused
+        spark.sql("DROP TABLE IF EXISTS policy_bad")
+        intercept[Exception] {
+          spark.sql(s"CREATE TABLE policy_bad USING `graft.mor` OPTIONS " +
+            s"(path '$path', keys 'uuid', 'mask.UUID'='md5')")
+          spark.sql("SELECT * FROM policy_bad").collect()
+        }
+      } finally spark.sql("DROP TABLE IF EXISTS policy_case")
+      // CDC reads mask the BEFORE image too: the changelog of a masked
+      // relation must not leak the raw previous value
+      spark.sql("DROP TABLE IF EXISTS policy_cdc")
+      spark.sql(s"CREATE TABLE policy_cdc USING `graft.mor` OPTIONS " +
+        s"(path '$path', keys 'uuid', 'mask.grp'='md5', 'changelogFrom'='0')")
+      try {
+        val rows = spark.sql("SELECT grp, before_grp FROM policy_cdc").collect()
+        assert(rows.nonEmpty)
+        rows.foreach { r =>
+          assert(r.isNullAt(0) || r.getString(0).length == 32)
+          assert(r.isNullAt(1) || r.getString(1).length == 32)
+        }
+      } finally spark.sql("DROP TABLE IF EXISTS policy_cdc")
     } finally {
       spark.sql("DROP TABLE IF EXISTS policy_t")
       spark.sql("DROP TABLE IF EXISTS policy_bad")
+    }
+  }
+
+  test("CREATE MATERIALIZED VIEW DDL: persistent declaration, stale fail-closed, " +
+      "REFRESH, DROP") {
+    val path = TestSpark.tmpDir("ddl-matview")
+    Seq(("k1", "a", Some(10L)), ("k2", "a", None), ("k3", "b", Some(7L)))
+      .toDF("k", "g", "v")
+      .write.format("graft.mor").option("path", path).option("keys", "k").save()
+    spark.sql("DROP TABLE IF EXISTS mvddl_t")
+    spark.sql("DROP TABLE IF EXISTS mvddl_v")
+    spark.sql(s"CREATE TABLE mvddl_t USING `graft.mor` OPTIONS " +
+      s"(path '$path', keys 'k')")
+    val viewPath = TestSpark.tmpDir("ddl-mvv-view")
+    // match on the distinctive dir-name stem: FileScan locations in plan
+    // strings truncate long paths, so full-path containment is fragile
+    def served(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString().contains("ddl-mvv-view")
+    val sql = "SELECT g, count(*) AS n, sum(v) AS sv, avg(v) AS av, " +
+      "min(v) AS mn FROM mvddl_t GROUP BY g"
+    try {
+      // an unknown measure column is refused loudly, before anything builds
+      intercept[Exception](spark.sql(
+        "CREATE MATERIALIZED VIEW mv_bad ON mvddl_t GROUP BY g AS (sum(nope))"))
+      // an unparseable measure is a declaration error
+      intercept[Exception](spark.sql(
+        "CREATE MATERIALIZED VIEW mv_bad ON mvddl_t GROUP BY g AS (median(v))"))
+      spark.sql("CREATE MATERIALIZED VIEW mvddl_v ON mvddl_t GROUP BY g " +
+        s"AS (count, sum(v), avg(v), min(v)) LOCATION '$viewPath'")
+      // declaration persisted + fresh; the view is SELECTable by name
+      val shown = spark.sql("SHOW MATERIALIZED VIEWS ON mvddl_t").collect()
+      assert(shown.length == 1 && shown.head.getString(0) == "mvddl_v" &&
+        shown.head.getBoolean(4))
+      assert(spark.sql("SELECT * FROM mvddl_v").count() == 2)
+      // a second view on the same base is refused (registry is per base)
+      intercept[Exception](spark.sql(
+        s"CREATE MATERIALIZED VIEW mv_other ON mvddl_t GROUP BY g AS (count)"))
+      // IF NOT EXISTS downgrades an existing NAME to a no-op
+      spark.sql("CREATE MATERIALIZED VIEW IF NOT EXISTS mvddl_v ON mvddl_t " +
+        "GROUP BY g AS (count)")
+      // rewrite serves from the view (null-aware avg: a → (10+null)/1 = 10)
+      spark.conf.set(graft.plans.ViewRewrite.confKey, "true")
+      val fresh = spark.sql(sql)
+      assert(served(fresh), "fresh view must serve")
+      assert(fresh.collect().map(_.toSeq).toSet ==
+        Set(Seq("a", 2L, 10L, 10.0, 10L), Seq("b", 1L, 7L, 7.0, 7L)))
+      // a write past the watermark → stale → fail closed to the scan
+      Seq(("k4", "b", Some(3L))).toDF("k", "g", "v")
+        .write.format("graft.mor").option("path", path).option("keys", "k")
+        .mode("append").save()
+      val stale = spark.sql(sql)
+      assert(!served(stale), "stale view must fail closed")
+      assert(spark.sql("SHOW MATERIALIZED VIEWS ON mvddl_t")
+        .collect().head.getBoolean(4) == false)
+      // REFRESH brings it back, values track the new state
+      spark.sql("REFRESH MATERIALIZED VIEW mvddl_v")
+      val again = spark.sql(sql)
+      assert(served(again), "refreshed view must serve")
+      assert(again.collect().map(_.toSeq).toSet ==
+        Set(Seq("a", 2L, 10L, 10.0, 10L), Seq("b", 2L, 10L, 5.0, 3L)))
+      // group death: delete every 'a' row, refresh → group leaves the view
+      val t = graft.lake.MorTable.resolve(spark, path, Seq("k"))
+      t.deleteWhere(col("g") === "a")
+      spark.sql("REFRESH MATERIALIZED VIEW mvddl_v")
+      assert(spark.sql("SELECT * FROM mvddl_v").collect().map(_.getString(0))
+        .toSeq == Seq("b"), "dead group must leave the view")
+      val afterDel = spark.sql(sql)
+      assert(served(afterDel))
+      assert(afterDel.collect().map(_.toSeq).toSet ==
+        Set(Seq("b", 2L, 10L, 5.0, 3L)))
+      // DROP removes declaration, data and catalog entry
+      spark.sql("DROP MATERIALIZED VIEW mvddl_v")
+      assert(spark.sql("SHOW MATERIALIZED VIEWS ON mvddl_t").collect().isEmpty)
+      assert(!served(spark.sql(sql)), "dropped view must never serve")
+      intercept[Exception](spark.sql("SELECT * FROM mvddl_v").collect())
+      spark.sql("DROP MATERIALIZED VIEW IF EXISTS mvddl_v") // no-op
+      intercept[Exception](spark.sql("DROP MATERIALIZED VIEW mvddl_v"))
+    } finally {
+      spark.sql("DROP MATERIALIZED VIEW IF EXISTS mvddl_v")
+      spark.conf.unset(graft.plans.ViewRewrite.confKey)
+      graft.plans.ViewRewrite.unregister(path)
+      spark.sql("DROP TABLE IF EXISTS mvddl_t")
     }
   }
 
@@ -193,9 +315,19 @@ class MorDataSourceSpec extends AnyFunSuite {
       assert(new java.io.File(s"$path/base").list().length == 1,
         "VACUUM must clean superseded bases")
       assert(spark.sql("SELECT count(*) FROM opt_t").head().getLong(0) == 3)
-      // unknown table is refused loudly
-      intercept[IllegalArgumentException](spark.sql("OPTIMIZE no_such_table"))
-      intercept[IllegalArgumentException](spark.sql("VACUUM no_such_table"))
+      // a table NOT on a graft surface falls through to the delegate
+      // parser (mixed-catalog sessions keep other formats' spellings —
+      // ADVICE r13); vanilla Spark then rejects the statement itself
+      intercept[org.apache.spark.sql.catalyst.parser.ParseException](
+        spark.sql("OPTIMIZE no_such_table"))
+      intercept[org.apache.spark.sql.catalyst.parser.ParseException](
+        spark.sql("VACUUM no_such_table"))
+      val plainTbl = "opt_plain_parquet"
+      spark.sql(s"DROP TABLE IF EXISTS $plainTbl")
+      spark.sql(s"CREATE TABLE $plainTbl (id INT) USING parquet")
+      try intercept[org.apache.spark.sql.catalyst.parser.ParseException](
+        spark.sql(s"OPTIMIZE $plainTbl"))
+      finally spark.sql(s"DROP TABLE IF EXISTS $plainTbl")
     } finally spark.sql("DROP TABLE IF EXISTS opt_t")
   }
 
@@ -243,6 +375,114 @@ class MorDataSourceSpec extends AnyFunSuite {
       assert(idx == Set(("record_index", "record_level", "uuid"),
         ("age_bloom", "secondary_bloom", "age")))
     } finally spark.sql("DROP TABLE IF EXISTS idx_t")
+  }
+
+  test("CREATE INDEX DDL, partitioned: columns form declares on every child; " +
+      "SHOW INDEXES reports per child") {
+    val path = TestSpark.tmpDir("ddl-index-part")
+    (0 until 120).map(i => (f"id$i%03d", if (i % 2 == 0) "a" else "b", i))
+      .toDF("uuid", "pt", "age")
+      .write.format("graft.mor").option("path", path).option("keys", "uuid")
+      .option("partition", "pt").option("write.tasks", "4").save()
+    spark.sql(s"CREATE TABLE idx_pt USING `graft.mor` OPTIONS " +
+      s"(path '$path', keys 'uuid', partition 'pt')")
+    try {
+      val p = graft.lake.PartitionedMorTable.resolve(spark, path, Seq("uuid"), "pt")
+      // the columns form routes through the partitioned table: declare on
+      // every child + compact, so the blooms EXIST when the DDL returns
+      spark.sql("CREATE INDEX age_idx ON idx_pt (age)")
+      val eq = p.readForColEquals("age", Seq(57))
+      assert(eq.collect().map(_.getAs[String]("uuid")).toSeq == Seq("id057"))
+      val idx = spark.sql("SHOW INDEXES ON idx_pt").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+      assert(idx.toSet == Set(("age_bloom", "secondary_bloom", "age", "a"),
+        ("age_bloom", "secondary_bloom", "age", "b")),
+        s"both children must list the bloom (${idx.mkString("; ")})")
+      // record index on top: listed per child alongside the bloom
+      spark.sql("CREATE INDEX record_index ON idx_pt")
+      val idx2 = spark.sql("SHOW INDEXES ON idx_pt").collect()
+        .map(r => (r.getString(0), r.getString(3))).toSet
+      assert(idx2 == Set(("record_index", "a"), ("record_index", "b"),
+        ("age_bloom", "a"), ("age_bloom", "b")))
+      // post-compaction refresh visibility: a later PLAIN compaction
+      // inherits the column set from each child's manifest header and the
+      // record index refreshes — SHOW INDEXES is unchanged
+      (200 until 260).map(i => (f"id$i%03d", if (i % 2 == 0) "a" else "b", i))
+        .toDF("uuid", "pt", "age")
+        .write.format("graft.mor").option("path", path).option("keys", "uuid")
+        .option("partition", "pt").mode("append").save()
+      spark.sql("OPTIMIZE idx_pt")
+      val idx3 = spark.sql("SHOW INDEXES ON idx_pt").collect()
+        .map(r => (r.getString(0), r.getString(3))).toSet
+      assert(idx3 == idx2, "plain compaction must keep every index listed")
+    } finally spark.sql("DROP TABLE IF EXISTS idx_pt")
+  }
+
+  test("SHOW INDEXES, partitioned: an index on SOME children lists only those") {
+    val path = TestSpark.tmpDir("ddl-index-some")
+    (0 until 60).map(i => (f"id$i%03d", if (i % 2 == 0) "a" else "b", i))
+      .toDF("uuid", "pt", "age")
+      .write.format("graft.mor").option("path", path).option("keys", "uuid")
+      .option("partition", "pt").save()
+    spark.sql(s"CREATE TABLE idx_some USING `graft.mor` OPTIONS " +
+      s"(path '$path', keys 'uuid', partition 'pt')")
+    try {
+      val p = graft.lake.PartitionedMorTable.resolve(spark, path, Seq("uuid"), "pt")
+      // programmatic per-child declaration (the asymmetric layout a real
+      // lake accrues): child 'a' gets the bloom + record index, 'b' nothing
+      p.child("a").indexColumns(Seq("age")).compact()
+      p.child("a").buildRecordIndex()
+      val idx = spark.sql("SHOW INDEXES ON idx_some").collect()
+        .map(r => (r.getString(0), r.getString(3))).toSet
+      assert(idx == Set(("record_index", "a"), ("age_bloom", "a")),
+        s"only child a is indexed ($idx)")
+    } finally spark.sql("DROP TABLE IF EXISTS idx_some")
+  }
+
+  test("composite-key SQL point routing: equality on ALL key columns " +
+      "inherits the record index") {
+    val path = TestSpark.tmpDir("ddl-index-composite")
+    (0 until 200).map(i => (f"u$i%03d", i % 7, i))
+      .toDF("uid", "region", "age")
+      .write.format("graft.mor").option("path", path)
+      .option("keys", "uid,region").option("write.tasks", "4").save()
+    spark.sql(s"CREATE TABLE idx_ck USING `graft.mor` OPTIONS " +
+      s"(path '$path', keys 'uid,region')")
+    try {
+      spark.sql("OPTIMIZE idx_ck")
+      spark.sql("CREATE INDEX record_index ON idx_ck")
+      // SQL point query with a conjunction covering BOTH key columns
+      val point = spark.sql(
+        "SELECT uid, region, age FROM idx_ck WHERE uid = 'u123' AND region = 4")
+      assert(point.collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+        .toSeq == Seq(("u123", 4, 123)))
+      // the route builds the composite _record_key exactly as the writer
+      // (concat_ws "|") and pins through the index: exactly one base file
+      val rel = MorRelation(spark.sqlContext, path, Seq("uid", "region"))
+      val routed = rel.scanWithFilters(Array("uid", "region", "age"),
+        Array(org.apache.spark.sql.sources.EqualTo("uid", "u123"),
+          org.apache.spark.sql.sources.EqualTo("region", 4)))
+      assert(routed.collect().map(r => (r.getString(0), r.getInt(1))).toSeq ==
+        Seq("u123" -> 4))
+      assert(routed.inputFiles.count(_.contains("/base/")) == 1,
+        "composite-key SQL route must pin through the record index")
+      // an IN on one key column × equality on the other routes too
+      // IN × equality cross-product: u123 (123%7=4) and u060 (60%7=4)
+      // both exist at region 4; u061 (61%7=5) builds composite u061|4
+      // which matches nothing — probed but correctly absent
+      val multi = rel.scanWithFilters(Array("uid", "age"),
+        Array(org.apache.spark.sql.sources.In("uid",
+            Array("u123", "u060", "u061")),
+          org.apache.spark.sql.sources.EqualTo("region", 4)))
+      assert(multi.collect().map(_.getString(0)).toSet == Set("u123", "u060"))
+      // a PARTIAL key conjunction must NOT route (falls back to the scan)
+      val partial = rel.scanWithFilters(Array("uid", "age"),
+        Array(org.apache.spark.sql.sources.EqualTo("uid", "u123")))
+      assert(partial.collect().map(_.getString(0)).toSeq == Seq("u123"),
+        "partial-key filter still answers correctly via the full scan")
+      assert(partial.inputFiles.count(_.contains("/base/")) > 1,
+        "partial key must not pretend to route")
+    } finally spark.sql("DROP TABLE IF EXISTS idx_ck")
   }
 
   test("OPTIMIZE, partitioned route: every child compacts") {
@@ -1241,6 +1481,48 @@ class MorDataSourceSpec extends AnyFunSuite {
         .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq
       assert(got == Seq(("id2", "a", 2), ("id4", "b", 14), ("id5", "c", 500)), got)
     } finally spark.sql("DROP TABLE IF EXISTS mor_pin_t")
+  }
+
+  test("DML through the record index: MERGE/DELETE/UPDATE key-pruned reads pin " +
+      "exact base files when a fresh index exists") {
+    val path = TestSpark.tmpDir("dsv1-dml-rli")
+    spark.sql("DROP TABLE IF EXISTS mor_rli_dml")
+    try {
+      (0 until 400).map(i => (f"id$i%03d", i))
+        .toDF("uuid", "v")
+        .write.format("graft.mor").option("keys", "uuid")
+        .option("write.tasks", "8").mode("append").save(path)
+      spark.sql(s"CREATE TABLE mor_rli_dml USING `graft.mor` " +
+        s"OPTIONS (path '$path', keys 'uuid')")
+      spark.sql("OPTIMIZE mor_rli_dml")
+      spark.sql("CREATE INDEX record_index ON mor_rli_dml")
+      val t = graft.lake.MorTable.resolve(spark, path, Seq("uuid"))
+      assert(t.hasRecordIndex())
+      // the shared point-read path pins exactly ONE base file for one key
+      // (this is the read the key-pinned DELETE/UPDATE and the MERGE
+      // target resolution now dispatch through)
+      assert(t.readForKeysIndexed(Seq("id123")).inputFiles
+        .count(_.contains("/base/")) == 1,
+        "the DML point path must pin through the record index")
+      // key-pinned DELETE / UPDATE stay correct over the indexed read
+      spark.sql("DELETE FROM mor_rli_dml WHERE uuid = 'id123'")
+      spark.sql("UPDATE mor_rli_dml SET v = 9999 WHERE uuid = 'id200'")
+      assert(spark.sql("SELECT count(*) AS n FROM mor_rli_dml").head().getLong(0) == 399)
+      assert(spark.sql("SELECT v FROM mor_rli_dml WHERE uuid = 'id200'")
+        .head().getInt(0) == 9999)
+      // MERGE resolves its target through the same indexed point read
+      spark.sql("""MERGE INTO mor_rli_dml t USING (
+        |  SELECT 'id050' AS uuid, -1 AS v UNION ALL
+        |  SELECT 'id123' AS uuid, -2 AS v
+        |) s ON t.uuid = s.uuid
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (uuid, v) VALUES (s.uuid, s.v)""".stripMargin)
+      val got = spark.sql(
+        "SELECT uuid, v FROM mor_rli_dml WHERE uuid IN ('id050', 'id123')")
+        .collect().map(r => (r.getString(0), r.getInt(1))).toMap
+      assert(got == Map("id050" -> -1, "id123" -> -2),
+        "matched row updates; the deleted key re-inserts")
+    } finally spark.sql("DROP TABLE IF EXISTS mor_rli_dml")
   }
 
   test("SQL UPDATE: interdependent SET assignments see the ORIGINAL row (swap)") {

@@ -99,4 +99,111 @@ class ViewRewriteSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS mv_t")
     }
   }
+
+  test("min/max/avg measures: exact + rollup forms, null-aware avg — " +
+      "bit-identical to the scan") {
+    val basePath = TestSpark.tmpDir("mv2-base")
+    val viewPath = TestSpark.tmpDir("mv2-view")
+    val bt = MorTable(spark, basePath, Seq("k"), compactionDeltaCommits = 100)
+    // v carries a NULL: avg(v)/count(v) must use the non-null count, not n
+    bt.upsert(Seq(("k1", "a", "x", Some(10L)), ("k2", "a", "x", None),
+      ("k3", "a", "y", Some(30L)), ("k4", "b", "x", Some(7L)))
+      .toDF("k", "g", "h", "v"), Seq(col("k")), batchId = 1L)
+    val vt = MorTable(spark, viewPath, Seq("g", "h"), compactionDeltaCommits = 100)
+    vt.upsert(bt.read().groupBy("g", "h")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"),
+        count(col("v")).as("cnt_v"), min(col("v")).as("min_v"),
+        max(col("v")).as("max_v")),
+      orderWithinBatch = Nil, batchId = 1L)
+    ViewRewrite.register(ViewRewrite.ViewDef(basePath, Seq("g", "h"),
+      Seq(ViewRewrite.Measure("count", "", "n"),
+        ViewRewrite.Measure("count", "v", "cnt_v"),
+        ViewRewrite.Measure("sum", "v", "sum_v"),
+        ViewRewrite.Measure("min", "v", "min_v"),
+        ViewRewrite.Measure("max", "v", "max_v"),
+        ViewRewrite.Measure("avg", "v", "sum_v", "cnt_v")),
+      () => vt.read(), () => true))
+    spark.sql("DROP TABLE IF EXISTS mv2_t")
+    spark.sql(s"CREATE TABLE mv2_t USING `graft.mor` OPTIONS " +
+      s"(path '$basePath', keys 'k')")
+    val queries = Seq(
+      // exact grouping: projection (avg recombines sum/cnt in-place)
+      "SELECT g, h, count(*) AS n, count(v) AS c, avg(v) AS av, " +
+        "min(v) AS mn, max(v) AS mx FROM mv2_t GROUP BY g, h",
+      // subset grouping: rollup (min re-mins, avg = sum(sum)/sum(cnt))
+      "SELECT g, count(*) AS n, count(v) AS c, avg(v) AS av, " +
+        "min(v) AS mn, max(v) AS mx, sum(v) AS sv FROM mv2_t GROUP BY g")
+    try {
+      queries.foreach { sql =>
+        spark.conf.unset(ViewRewrite.confKey)
+        val truth = spark.sql(sql).collect().map(_.toSeq).toSet
+        spark.conf.set(ViewRewrite.confKey, "true")
+        val served = spark.sql(sql)
+        assert(servedFromView(served, viewPath), s"must serve from view: $sql")
+        assert(served.collect().map(_.toSeq).toSet == truth,
+          s"view answer must equal scan answer: $sql")
+      }
+      // sanity on the null-aware numbers: group a has v ∈ {10, null, 30}
+      val a = spark.sql("SELECT count(*) AS n, count(v) AS c, avg(v) AS av " +
+        "FROM mv2_t WHERE g = 'a' GROUP BY g")
+      // (WHERE g='a' disables the rewrite — scan truth): n=3, c=2, av=20.0
+      assert(a.collect().head.toSeq == Seq(3L, 2L, 20.0))
+      val aServed = spark.sql(
+        "SELECT g, count(*) AS n, count(v) AS c, avg(v) AS av FROM mv2_t GROUP BY g")
+      assert(servedFromView(aServed, viewPath))
+      assert(aServed.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3))).toSet ==
+        Set(("a", 3L, 2L, 20.0), ("b", 1L, 1L, 7.0)))
+    } finally {
+      ViewRewrite.unregister(basePath)
+      spark.conf.unset(ViewRewrite.confKey)
+      spark.sql("DROP TABLE IF EXISTS mv2_t")
+    }
+  }
+
+  test("analyzed view plan caches per version token: one analysis per view commit") {
+    val basePath = TestSpark.tmpDir("mv3-base")
+    val viewPath = TestSpark.tmpDir("mv3-view")
+    val bt = MorTable(spark, basePath, Seq("k"), compactionDeltaCommits = 100)
+    bt.upsert(Seq(("k1", "a", 10L), ("k2", "b", 20L)).toDF("k", "g", "v"),
+      Seq(col("k")), batchId = 1L)
+    val vt = MorTable(spark, viewPath, Seq("g"), compactionDeltaCommits = 100)
+    vt.upsert(bt.read().groupBy("g")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv")),
+      orderWithinBatch = Nil, batchId = 1L)
+    val scans = new java.util.concurrent.atomic.AtomicInteger(0)
+    val version = new java.util.concurrent.atomic.AtomicLong(1L)
+    ViewRewrite.register(ViewRewrite.ViewDef(basePath, Seq("g"),
+      Seq(ViewRewrite.Measure("count", "", "n"),
+        ViewRewrite.Measure("sum", "v", "sv")),
+      () => { scans.incrementAndGet(); vt.read() },
+      () => true, () => version.get()))
+    spark.sql("DROP TABLE IF EXISTS mv3_t")
+    spark.sql(s"CREATE TABLE mv3_t USING `graft.mor` OPTIONS " +
+      s"(path '$basePath', keys 'k')")
+    val sql = "SELECT g, count(*) AS n, sum(v) AS sv FROM mv3_t GROUP BY g"
+    try {
+      spark.conf.set(ViewRewrite.confKey, "true")
+      assert(servedFromView(spark.sql(sql), viewPath))
+      val afterFirst = scans.get()
+      assert(afterFirst >= 1)
+      // identical queries at the same version reuse the cached plan —
+      // ZERO further analyses (the dashboard-storm scenario)
+      (1 to 5).foreach(_ => assert(servedFromView(spark.sql(sql), viewPath)))
+      assert(scans.get() == afterFirst,
+        s"repeat queries must not re-analyze (${scans.get()} vs $afterFirst)")
+      assert(ViewRewrite.cachedPlanVersion(basePath).contains(1L))
+      // a maintenance commit bumps the version → exactly one re-analysis
+      version.set(2L)
+      assert(servedFromView(spark.sql(sql), viewPath))
+      assert(scans.get() == afterFirst + 1, "version bump must re-analyze once")
+      assert(servedFromView(spark.sql(sql), viewPath))
+      assert(scans.get() == afterFirst + 1)
+      assert(ViewRewrite.cachedPlanVersion(basePath).contains(2L))
+    } finally {
+      ViewRewrite.unregister(basePath)
+      spark.conf.unset(ViewRewrite.confKey)
+      spark.sql("DROP TABLE IF EXISTS mv3_t")
+    }
+  }
 }
