@@ -70,6 +70,7 @@ object SparkEntry {
     "s83_stream_mv"       -> ((s, d) => graft.lake.LakeQueries.streamMvRead(s, d)),
     "s85_matview_ddl"     -> ((s, d) => graft.lake.LakeQueries.matViewDdl(s, d)),
     "s86_matview_rollup"  -> ((s, d) => graft.lake.LakeQueries.matViewRollup(s, d)),
+    "s87_part_matview"    -> ((s, d) => graft.lake.LakeQueries.partMatViewRead(s, d)),
     "s84_access_policy"   -> ((s, d) => graft.lake.LakeQueries.accessPolicyRead(s, d)),
     "s73_incr_sketch_index" -> ((s, d) =>
       graft.lake.LakeQueries.incrementalSketchIndex(s, d)),
@@ -816,6 +817,18 @@ object SparkEntry {
     // the BASE table, served from the maintained view (rewrite/fail-
     // closed/re-serve all asserted in-plan in-entry) — the answer is the
     // LWW state's per-type count + exact micro sum after the delete
+    "s87_part_matview" ->
+      """WITH lww AS (
+        |  SELECT user_id, event_type,
+        |         CAST(round(value * 1000000) AS BIGINT) AS value_micros
+        |  FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY event_type, user_id
+        |    ORDER BY ts DESC, event_id DESC) = 1
+        |)
+        |SELECT event_type, count(*)::BIGINT AS n,
+        |       sum(value_micros)::BIGINT AS sv
+        |FROM lww
+        |GROUP BY event_type""".stripMargin,
     "s85_matview_ddl" ->
       """WITH lww AS (
         |  SELECT user_id, event_type,

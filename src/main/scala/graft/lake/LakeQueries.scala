@@ -2002,6 +2002,73 @@ object LakeQueries {
     }
   }
 
+  /** PARTITIONED-base MATERIALIZED VIEW via DDL, oracle-checked (s87 —
+    * the table form s85 could not declare on until r14's BaseOps
+    * generalization): the base is a PartitionedMorTable (key user_id,
+    * partition event_type); `CREATE MATERIALIZED VIEW` builds off the
+    * PARENT timeline, REFRESH maintains off the cross-child changelog —
+    * and because the grouping IS the partition column, "affected groups"
+    * = churned partitions, so maintenance prunes to exactly those
+    * children. Fresh-serve, stale-fail-closed and refreshed-re-serve all
+    * asserted in-plan; the answer must equal the per-(partition, key) LWW
+    * recompute — the oracle. */
+  def partMatViewRead(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        round(col("value") * 1000000).cast("long").as("value_micros"),
+        col("ts_ms"), col("ts_ns"))
+    val bounds = ev.agg(min(col("ts_ns")).as("mn"), max(col("ts_ns")).as("mx")).head()
+    val mn = bounds.getLong(0); val mx = bounds.getLong(1)
+    val lo = mn + (mx - mn) / 3; val hi = mn + 2 * ((mx - mn) / 3)
+    val basePath = tempPath("mor-pmv-base"); val viewPath = tempPath("mor-pmv-view")
+    val t = new PartitionedMorTable(spark, basePath, keyCols = Seq("user_id"),
+      partitionCol = "event_type", compactionDeltaCommits = 1000,
+      autoCompact = false, writePartitions = 4)
+    t.upsert(ev.filter(col("ts_ns") <= lo),
+      orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 1L)
+    t.upsert(ev.filter(col("ts_ns") > lo && col("ts_ns") <= hi),
+      orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 2L)
+    val tbl = "graft_pmv_base"; val vname = "graft_pmv_v"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"DROP TABLE IF EXISTS $vname")
+    spark.sql(s"CREATE TABLE $tbl USING `graft.mor` OPTIONS " +
+      s"(path '$basePath', keys 'user_id', partition 'event_type')")
+    try {
+      spark.sql(s"CREATE MATERIALIZED VIEW $vname ON $tbl GROUP BY event_type " +
+        s"AS (count, sum(value_micros)) LOCATION '$viewPath'")
+      spark.conf.set(graft.plans.ViewRewrite.confKey, "true")
+      def q() = spark.sql(s"SELECT event_type, count(*) AS n, " +
+        s"sum(value_micros) AS sv FROM $tbl GROUP BY event_type")
+      def plan(df: DataFrame) = df.queryExecution.executedPlan.toString()
+      val fresh = q()
+      require(plan(fresh).contains("mor-pmv-view") &&
+          !plan(fresh).contains("mor-pmv-base"),
+        "fresh partitioned-base view must serve")
+      require(fresh.count() > 0)
+      // a third replay batch churns SOME partitions → stale → scan
+      t.upsert(ev.filter(col("ts_ns") > hi),
+        orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 3L)
+      val stale = q()
+      require(!plan(stale).contains("mor-pmv-view") &&
+          plan(stale).contains("mor-pmv-base"),
+        "stale partitioned-base view must fail closed")
+      val truth = stale.collect().map(_.toSeq).toSet
+      spark.sql(s"REFRESH MATERIALIZED VIEW $vname")
+      val served = q()
+      require(plan(served).contains("mor-pmv-view") &&
+          !plan(served).contains("mor-pmv-base"),
+        "refreshed partitioned-base view must serve again")
+      require(served.collect().map(_.toSeq).toSet == truth,
+        "view answer must equal the scan answer bit-for-bit")
+      graft.TempDirs.materializeAndDelete(served, basePath, viewPath)
+    } finally {
+      spark.conf.unset(graft.plans.ViewRewrite.confKey)
+      spark.sql(s"DROP MATERIALIZED VIEW IF EXISTS $vname")
+      graft.plans.ViewRewrite.unregister(basePath)
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
+
   /** Incrementally-maintained JOIN view across TWO lake tables (the
     * multi-table generalization of [[incrementalView]]): customers and
     * orders replay as independent MOR tables (commit 1 = initial load;

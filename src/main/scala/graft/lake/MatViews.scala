@@ -167,6 +167,30 @@ object MatViews {
     (ViewRewrite.Measure("count", "", "n") +: declared).distinct
   }
 
+  // ------------------------------------------------ base-table adapters
+
+  /** The three base-table capabilities the MV machinery needs, over
+    * either table form. The partitioned adapter reads the PARENT timeline
+    * (the table-global token space) and its changelog/travel reads span
+    * every child — identity is per (partition, key) there, which is
+    * exactly what read()/readChangelog() describe, so the group algebra
+    * is unchanged. */
+  private[lake] sealed trait BaseOps {
+    def lastSeq(): Long
+    def readAt(seq: Long): DataFrame
+    def readChangelog(from: Long, to: Long): DataFrame
+  }
+  private final class SingleOps(t: MorTable) extends BaseOps {
+    def lastSeq(): Long = t.timeline().lastOption.map(_.seq).getOrElse(0L)
+    def readAt(seq: Long): DataFrame = t.readAt(seq)
+    def readChangelog(from: Long, to: Long): DataFrame = t.readChangelog(from, to)
+  }
+  private final class PartOps(t: PartitionedMorTable) extends BaseOps {
+    def lastSeq(): Long = t.parentTimeline().lastOption.map(_.seq).getOrElse(0L)
+    def readAt(seq: Long): DataFrame = t.readAt(seq)
+    def readChangelog(from: Long, to: Long): DataFrame = t.readChangelog(from, to)
+  }
+
   // --------------------------------------------------- register / serve
 
   /** Register every persisted view of `basePath` with the optimizer rule
@@ -177,14 +201,26 @@ object MatViews {
     * commit seq ([[ViewRewrite.analyzedViewPlan]]). One fs.exists on
     * tables with no views — the only cost on the common path. */
   def autoRegister(spark: SparkSession, basePath: String,
-                   baseKeys: Seq[String]): Unit = {
+                   baseKeys: Seq[String]): Unit =
+    autoRegisterOps(spark, basePath,
+      () => new SingleOps(MorTable.resolve(spark, basePath, baseKeys)))
+
+  /** [[autoRegister]] for a PARTITIONED base table (freshness reads the
+    * parent timeline). */
+  def autoRegisterPartitioned(spark: SparkSession, basePath: String,
+                              baseKeys: Seq[String],
+                              partitionCol: String): Unit =
+    autoRegisterOps(spark, basePath, () => new PartOps(
+      PartitionedMorTable.resolve(spark, basePath, baseKeys, partitionCol)))
+
+  private def autoRegisterOps(spark: SparkSession, basePath: String,
+                              mkOps: () => BaseOps): Unit = {
     val specs =
       try readSpecs(spark, basePath)
       catch { case scala.util.control.NonFatal(_) => return }
-    // registry holds ONE ViewDef per base path (CREATE refuses a second
-    // view on the same base) — register the first spec
-    specs.headOption.foreach { spec =>
-      val bt = MorTable.resolve(spark, basePath, baseKeys)
+    if (specs.isEmpty) return // common path: one fs.exists, no handles
+    val ops = mkOps()
+    specs.foreach { spec =>
       val vt = MorTable.resolve(spark, spec.viewPath, spec.groupCols)
       ViewRewrite.register(ViewRewrite.ViewDef(
         basePath = basePath,
@@ -192,11 +228,12 @@ object MatViews {
         measures = rewriteMeasures(spec.measures),
         viewScan = () => vt.read(),
         isFresh = () => {
-          val live = bt.timeline().lastOption.map(_.seq).getOrElse(0L)
+          val live = ops.lastSeq()
           readSpecs(spark, basePath).find(_.name == spec.name)
             .exists(_.maintainedSeq == live)
         },
-        version = () => vt.timeline().lastOption.map(_.seq).getOrElse(-1L)))
+        version = () => vt.timeline().lastOption.map(_.seq).getOrElse(-1L),
+        name = spec.name))
     }
   }
 
@@ -206,15 +243,26 @@ object MatViews {
     * seq into the view table (batch 1) and persist the spec at that
     * watermark. */
   def build(spark: SparkSession, basePath: String, baseKeys: Seq[String],
-            spec: ViewSpec): ViewSpec = {
-    val bt = MorTable.resolve(spark, basePath, baseKeys)
-    val seq = bt.timeline().lastOption.map(_.seq).getOrElse(
-      throw new IllegalStateException(
-        s"CREATE MATERIALIZED VIEW: base table $basePath has no commits — " +
-          "load it first"))
+            spec: ViewSpec): ViewSpec =
+    buildOps(spark, basePath,
+      new SingleOps(MorTable.resolve(spark, basePath, baseKeys)), spec)
+
+  /** [[build]] over a PARTITIONED base. */
+  def buildPartitioned(spark: SparkSession, basePath: String,
+                       baseKeys: Seq[String], partitionCol: String,
+                       spec: ViewSpec): ViewSpec =
+    buildOps(spark, basePath, new PartOps(
+      PartitionedMorTable.resolve(spark, basePath, baseKeys, partitionCol)), spec)
+
+  private def buildOps(spark: SparkSession, basePath: String, ops: BaseOps,
+                       spec: ViewSpec): ViewSpec = {
+    val seq = ops.lastSeq()
+    require(seq > 0L,
+      s"CREATE MATERIALIZED VIEW: base table $basePath has no commits — " +
+        "load it first")
     val vt = MorTable.resolve(spark, spec.viewPath, spec.groupCols)
     val aggs = maintainedAggs(spec.measures)
-    val agg = bt.readAt(seq).groupBy(spec.groupCols.map(col): _*)
+    val agg = ops.readAt(seq).groupBy(spec.groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
     vt.upsert(agg, orderWithinBatch = Nil, batchId = 1L)
     val done = spec.copy(maintainedSeq = seq)
@@ -227,13 +275,27 @@ object MatViews {
     * doc). Idempotent across retries — view commits are batch-tagged by
     * the target seq. No-op when already fresh. */
   def refresh(spark: SparkSession, basePath: String, baseKeys: Seq[String],
-              spec: ViewSpec): ViewSpec = {
-    val bt = MorTable.resolve(spark, basePath, baseKeys)
-    val to = bt.timeline().lastOption.map(_.seq).getOrElse(0L)
+              spec: ViewSpec): ViewSpec =
+    refreshOps(spark, basePath,
+      new SingleOps(MorTable.resolve(spark, basePath, baseKeys)), spec)
+
+  /** [[refresh]] over a PARTITIONED base (touched groups come from the
+    * cross-child changelog; when the grouping includes the partition
+    * column, "affected groups" = churned partitions — the restriction
+    * prunes the recompute to exactly those children's timelines). */
+  def refreshPartitioned(spark: SparkSession, basePath: String,
+                         baseKeys: Seq[String], partitionCol: String,
+                         spec: ViewSpec): ViewSpec =
+    refreshOps(spark, basePath, new PartOps(
+      PartitionedMorTable.resolve(spark, basePath, baseKeys, partitionCol)), spec)
+
+  private def refreshOps(spark: SparkSession, basePath: String, ops: BaseOps,
+                         spec: ViewSpec): ViewSpec = {
+    val to = ops.lastSeq()
     if (to == spec.maintainedSeq) return spec
     val vt = MorTable.resolve(spark, spec.viewPath, spec.groupCols)
     val g = spec.groupCols
-    val cl = bt.readChangelog(spec.maintainedSeq, to)
+    val cl = ops.readChangelog(spec.maintainedSeq, to)
     // touched groups: after-images of I/U plus BEFORE-images of U/D —
     // metadata-sized (distinct groups), checkpointed so both consumers
     // below share one computation
@@ -243,7 +305,7 @@ object MatViews {
     val touched = after.union(before).distinct().localCheckpoint(true)
     // recompute exactly those groups from the base state AT `to`
     val aggs = maintainedAggs(spec.measures)
-    val refreshed = bt.readAt(to)
+    val refreshed = ops.readAt(to)
       .join(broadcast(touched), g, "left_semi")
       .groupBy(g.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)

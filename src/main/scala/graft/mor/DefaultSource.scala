@@ -172,8 +172,12 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
     // contact in ANY session — the Glue-catalog contract for MVs. One
     // fs.exists on tables without views; best-effort (a broken views.json
     // must never take down reads — the rewrite just stays cold).
-    if (parameters.get("partition").isEmpty)
-      graft.lake.MatViews.autoRegister(sqlContext.sparkSession, path, keys)
+    parameters.get("partition") match {
+      case Some(pc) => graft.lake.MatViews.autoRegisterPartitioned(
+        sqlContext.sparkSession, path, keys, pc)
+      case None =>
+        graft.lake.MatViews.autoRegister(sqlContext.sparkSession, path, keys)
+    }
     MorRelation(sqlContext, path, keys,
       asOf = parameters.get("asOf").map(_.toLong).orElse(asOfTs),
       sinceSeq = parameters.get("sinceSeq").map(_.toLong),

@@ -386,11 +386,13 @@ case class GraftCreateMatViewCommand(view: String, base: String,
   override def run(spark: SparkSession): Seq[Row] = {
     import graft.lake.MatViews
     require(groupCols.nonEmpty, "CREATE MATERIALIZED VIEW needs GROUP BY columns")
-    val bt = GraftMaintenance.resolve(spark, base, "CREATE MATERIALIZED VIEW") match {
-      case Left(t) => t
-      case Right(_) => throw new IllegalArgumentException(
-        "CREATE MATERIALIZED VIEW: partitioned base tables are not " +
-          "supported — declare the view on an unpartitioned table")
+    // both table forms: a partitioned base maintains off its parent
+    // timeline / cross-child changelog
+    val resolved = GraftMaintenance.resolve(spark, base, "CREATE MATERIALIZED VIEW")
+    val (basePath, baseKeys, basePart, baseCols) = resolved match {
+      case Left(t) => (t.path, t.keyCols, None, t.read().columns.toSet)
+      case Right(p) => (p.path, p.keyCols, Some(p.partitionCol),
+        p.read().columns.toSet)
     }
     val viewId = GraftMaintenance.tid(view)
     val taken = spark.sessionState.catalog.tableExists(viewId) ||
@@ -400,27 +402,36 @@ case class GraftCreateMatViewCommand(view: String, base: String,
       throw new IllegalArgumentException(
         s"CREATE MATERIALIZED VIEW: '$view' already exists")
     }
-    val existing = MatViews.readSpecs(spark, bt.path)
-    require(existing.isEmpty,
-      s"CREATE MATERIALIZED VIEW: base '$base' already has view " +
-        s"'${existing.head.name}' (one materialized view per base table)")
+    // several views per base are fine (the rewrite picks by shape, exact
+    // grouping preferred) — only a NAME collision in the declaration
+    // plane is refused (the catalog-name check above covers the common
+    // case; this covers a declaration orphaned of its catalog entry)
+    val existing = MatViews.readSpecs(spark, basePath)
+    require(!existing.exists(_.name == view),
+      s"CREATE MATERIALIZED VIEW: base '$base' already declares '$view'")
     // validate referenced columns against the base schema up front — the
     // build would fail anyway, but name the declaration error
-    val cols = bt.read().columns.toSet
     val missing = (groupCols ++ measures.map(_.arg).filter(_.nonEmpty))
-      .filterNot(cols.contains)
+      .filterNot(baseCols.contains)
     require(missing.isEmpty,
       s"CREATE MATERIALIZED VIEW: column(s) ${missing.mkString(", ")} not in " +
-        s"base '$base' (${cols.toSeq.sorted.mkString(", ")})")
+        s"base '$base' (${baseCols.toSeq.sorted.mkString(", ")})")
     val viewPath = location.getOrElse(
       new Path(spark.sessionState.conf.warehousePath, viewId.identifier).toString)
-    val spec = MatViews.build(spark, bt.path, bt.keyCols,
-      MatViews.ViewSpec(view, viewPath, groupCols, measures, 0L))
+    val spec0 = MatViews.ViewSpec(view, viewPath, groupCols, measures, 0L)
+    val spec = basePart match {
+      case Some(pc) => MatViews.buildPartitioned(spark, basePath, baseKeys, pc, spec0)
+      case None => MatViews.build(spark, basePath, baseKeys, spec0)
+    }
+    val partOpt = basePart.map(pc => s", 'mv.basepartition' = '$pc'").getOrElse("")
     spark.sql(s"CREATE TABLE ${viewId.quotedString} USING `graft.mor` OPTIONS " +
       s"(path '$viewPath', keys '${groupCols.mkString(",")}', " +
-      s"'mv.base' = '${bt.path}', 'mv.basekeys' = '${bt.keyCols.mkString(",")}', " +
-      s"'mv.name' = '${spec.name}')")
-    MatViews.autoRegister(spark, bt.path, bt.keyCols)
+      s"'mv.base' = '$basePath', 'mv.basekeys' = '${baseKeys.mkString(",")}', " +
+      s"'mv.name' = '${spec.name}'$partOpt)")
+    basePart match {
+      case Some(pc) => MatViews.autoRegisterPartitioned(spark, basePath, baseKeys, pc)
+      case None => MatViews.autoRegister(spark, basePath, baseKeys)
+    }
     Seq.empty
   }
 }
@@ -429,7 +440,7 @@ case class GraftCreateMatViewCommand(view: String, base: String,
   * point back at the base's persisted declaration. */
 private[mor] object MatViewResolve {
   def apply(spark: SparkSession, view: String, verb: String)
-      : (String, Seq[String], graft.lake.MatViews.ViewSpec) = {
+      : (String, Seq[String], Option[String], graft.lake.MatViews.ViewSpec) = {
     val opts = MorDml.morOptions(spark, GraftMaintenance.tid(view)).getOrElse(
       throw new IllegalArgumentException(
         s"$verb: '$view' is not a graft.mor catalog table"))
@@ -442,7 +453,7 @@ private[mor] object MatViewResolve {
       .find(_.name == name).getOrElse(throw new IllegalStateException(
         s"$verb: declaration of '$name' missing from $basePath/manifest/" +
           "views.json (dropped concurrently?)"))
-    (basePath, baseKeys, spec)
+    (basePath, baseKeys, opts.get("mv.basepartition"), spec)
   }
 }
 
@@ -452,9 +463,13 @@ private[mor] object MatViewResolve {
   * every session serves the view again. No-op when already fresh. */
 case class GraftRefreshMatViewCommand(view: String) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    val (basePath, baseKeys, spec) =
+    val (basePath, baseKeys, basePart, spec) =
       MatViewResolve(spark, view, "REFRESH MATERIALIZED VIEW")
-    graft.lake.MatViews.refresh(spark, basePath, baseKeys, spec)
+    basePart match {
+      case Some(pc) =>
+        graft.lake.MatViews.refreshPartitioned(spark, basePath, baseKeys, pc, spec)
+      case None => graft.lake.MatViews.refresh(spark, basePath, baseKeys, spec)
+    }
     Seq.empty
   }
 }
@@ -477,7 +492,7 @@ case class GraftDropMatViewCommand(view: String, ifExists: Boolean)
         val name = opts.getOrElse("mv.name", view)
         try graft.lake.MatViews.removeSpec(spark, basePath, name)
         catch { case NonFatal(_) => () } // base dir gone: nothing to remove
-        graft.plans.ViewRewrite.unregister(basePath)
+        graft.plans.ViewRewrite.unregister(basePath, name)
         val keys = opts.getOrElse("keys", "").split(",").toSeq
           .map(_.trim).filter(_.nonEmpty)
         try opts.get("path").foreach(p =>
@@ -507,12 +522,14 @@ case class GraftShowMatViewsCommand(base: String) extends LeafRunnableCommand {
       nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val bt = GraftMaintenance.resolve(spark, base, "SHOW MATERIALIZED VIEWS") match {
-      case Left(t) => t
-      case Right(_) => return Seq.empty // partitioned bases carry no views
-    }
-    val live = bt.timeline().lastOption.map(_.seq).getOrElse(0L)
-    graft.lake.MatViews.readSpecs(spark, bt.path).map { s =>
+    val (basePath, live) =
+      GraftMaintenance.resolve(spark, base, "SHOW MATERIALIZED VIEWS") match {
+        case Left(t) =>
+          (t.path, t.timeline().lastOption.map(_.seq).getOrElse(0L))
+        case Right(p) =>
+          (p.path, p.parentTimeline().lastOption.map(_.seq).getOrElse(0L))
+      }
+    graft.lake.MatViews.readSpecs(spark, basePath).map { s =>
       Row(s.name, s.groupCols.mkString(","),
         s.measures.map(m => if (m.arg.isEmpty) m.fn else s"${m.fn}(${m.arg})")
           .mkString(","),

@@ -240,9 +240,24 @@ class MorDataSourceSpec extends AnyFunSuite {
       assert(shown.length == 1 && shown.head.getString(0) == "mvddl_v" &&
         shown.head.getBoolean(4))
       assert(spark.sql("SELECT * FROM mvddl_v").count() == 2)
-      // a second view on the same base is refused (registry is per base)
+      // MULTIPLE views per base: a second view at a different granularity
+      // coexists; the rewrite picks by SHAPE (each query routes to the
+      // view whose grouping answers it)
+      spark.sql("CREATE MATERIALIZED VIEW mv_other ON mvddl_t GROUP BY k " +
+        "AS (count, sum(v))")
+      assert(spark.sql("SHOW MATERIALIZED VIEWS ON mvddl_t").count() == 2)
+      spark.conf.set(graft.plans.ViewRewrite.confKey, "true")
+      val byK = spark.sql("SELECT k, count(*) AS n FROM mvddl_t GROUP BY k")
+      assert(byK.queryExecution.executedPlan.toString().contains("mv_other"),
+        "the k-grouped query must route to the k-grouped view")
+      assert(served(spark.sql(sql)), "the g-grouped query still routes to mvddl_v")
+      // redeclaring an existing NAME on the same base is refused
       intercept[Exception](spark.sql(
-        s"CREATE MATERIALIZED VIEW mv_other ON mvddl_t GROUP BY g AS (count)"))
+        "CREATE MATERIALIZED VIEW mvddl_v ON mvddl_t GROUP BY k AS (count)"))
+      spark.sql("DROP MATERIALIZED VIEW mv_other")
+      assert(spark.sql("SHOW MATERIALIZED VIEWS ON mvddl_t").count() == 1)
+      assert(served(spark.sql(sql)),
+        "dropping one view must keep the base's others registered")
       // IF NOT EXISTS downgrades an existing NAME to a no-op
       spark.sql("CREATE MATERIALIZED VIEW IF NOT EXISTS mvddl_v ON mvddl_t " +
         "GROUP BY g AS (count)")
@@ -285,6 +300,7 @@ class MorDataSourceSpec extends AnyFunSuite {
       intercept[Exception](spark.sql("DROP MATERIALIZED VIEW mvddl_v"))
     } finally {
       spark.sql("DROP MATERIALIZED VIEW IF EXISTS mvddl_v")
+      spark.sql("DROP MATERIALIZED VIEW IF EXISTS mv_other")
       spark.conf.unset(graft.plans.ViewRewrite.confKey)
       graft.plans.ViewRewrite.unregister(path)
       spark.sql("DROP TABLE IF EXISTS mvddl_t")

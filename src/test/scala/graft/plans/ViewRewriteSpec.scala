@@ -161,6 +161,62 @@ class ViewRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("multiple views per base: shape routes to the right view, exact beats rollup") {
+    val basePath = TestSpark.tmpDir("mv4-base")
+    val coarsePath = TestSpark.tmpDir("mv4-coarse")
+    val finePath = TestSpark.tmpDir("mv4-fine")
+    val bt = MorTable(spark, basePath, Seq("k"), compactionDeltaCommits = 100)
+    bt.upsert(Seq(("k1", "a", "x", 10L), ("k2", "a", "y", 20L),
+      ("k3", "b", "x", 5L)).toDF("k", "g", "h", "v"),
+      Seq(col("k")), batchId = 1L)
+    val coarse = MorTable(spark, coarsePath, Seq("g"), compactionDeltaCommits = 100)
+    coarse.upsert(bt.read().groupBy("g")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv")),
+      orderWithinBatch = Nil, batchId = 1L)
+    val fine = MorTable(spark, finePath, Seq("g", "h"), compactionDeltaCommits = 100)
+    fine.upsert(bt.read().groupBy("g", "h")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv")),
+      orderWithinBatch = Nil, batchId = 1L)
+    def reg(name: String, path: String, t: MorTable, cols: Seq[String]): Unit =
+      ViewRewrite.register(ViewRewrite.ViewDef(basePath, cols,
+        Seq(ViewRewrite.Measure("count", "", "n"),
+          ViewRewrite.Measure("sum", "v", "sv")),
+        () => t.read(), () => true, name = name))
+    reg("coarse", coarsePath, coarse, Seq("g"))
+    reg("fine", finePath, fine, Seq("g", "h"))
+    spark.sql("DROP TABLE IF EXISTS mv4_t")
+    spark.sql(s"CREATE TABLE mv4_t USING `graft.mor` OPTIONS " +
+      s"(path '$basePath', keys 'k')")
+    val byG = "SELECT g, count(*) AS n, sum(v) AS sv FROM mv4_t GROUP BY g"
+    val byGH = "SELECT g, h, count(*) AS n, sum(v) AS sv FROM mv4_t GROUP BY g, h"
+    try {
+      spark.conf.set(ViewRewrite.confKey, "true")
+      // exact match beats the other view's rollup, per query
+      assert(servedFromView(spark.sql(byG), coarsePath),
+        "g-grouping routes to the g view (exact over rollup)")
+      assert(servedFromView(spark.sql(byGH), finePath),
+        "(g,h)-grouping routes to the (g,h) view")
+      val gTruth = Set(("a", 2L, 30L), ("b", 1L, 5L))
+      assert(spark.sql(byG).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet == gTruth)
+      // dropping ONE view keeps the other registered; the g query now
+      // ROLLS UP over the (g,h) view — same answer
+      ViewRewrite.unregister(basePath, "coarse")
+      assert(servedFromView(spark.sql(byG), finePath),
+        "with the exact view gone, g-grouping rolls up over the fine view")
+      assert(spark.sql(byG).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet == gTruth)
+      // full unregister removes every route
+      ViewRewrite.unregister(basePath)
+      assert(!servedFromView(spark.sql(byG), finePath))
+      assert(!servedFromView(spark.sql(byGH), finePath))
+    } finally {
+      ViewRewrite.unregister(basePath)
+      spark.conf.unset(ViewRewrite.confKey)
+      spark.sql("DROP TABLE IF EXISTS mv4_t")
+    }
+  }
+
   test("analyzed view plan caches per version token: one analysis per view commit") {
     val basePath = TestSpark.tmpDir("mv3-base")
     val viewPath = TestSpark.tmpDir("mv3-view")
