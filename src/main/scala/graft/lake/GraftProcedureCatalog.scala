@@ -185,6 +185,53 @@ object GraftProcedureCatalog {
             Seq(Seq("indexed", s"${p.partitions().size} partitions"))
         }
       }),
+    Proc("refresh_materialized_view",
+      "one affected-group maintenance cycle for the table's DDL-declared " +
+        "materialized view(s) (name '' = every view); advances each " +
+        "persisted freshness watermark so the rewrite serves again",
+      Seq(in("table", StringType), inDefault("name", StringType, "''")),
+      ack,
+      { case Seq(tbl: String, name: String) =>
+        val spark = SparkSession.active
+        val (basePath, runOne) = resolve(tbl) match {
+          case Left(t) => (t.path, (s: MatViews.ViewSpec) =>
+            MatViews.refresh(spark, t.path, t.keyCols, s))
+          case Right(p) => (p.path, (s: MatViews.ViewSpec) =>
+            MatViews.refreshPartitioned(spark, p.path, p.keyCols, p.partitionCol, s))
+        }
+        val specs = MatViews.readSpecs(spark, basePath)
+          .filter(s => name.isEmpty || s.name == name)
+        require(specs.nonEmpty,
+          s"CALL refresh_materialized_view: no materialized view" +
+            s"${if (name.nonEmpty) s" '$name'" else "s"} declared on '$tbl'")
+        specs.map { s =>
+          val done = runOne(s)
+          Seq("refreshed", s"${done.name} -> seq ${done.maintainedSeq}")
+        }
+      }),
+    Proc("show_materialized_views",
+      "declared materialized views of the table with live freshness",
+      Seq(in("table", StringType)),
+      StructType(Seq(
+        StructField("view_name", StringType, nullable = false),
+        StructField("group_cols", StringType, nullable = false),
+        StructField("measures", StringType, nullable = false),
+        StructField("maintained_seq", LongType, nullable = false),
+        StructField("fresh", StringType, nullable = false))),
+      { case Seq(tbl: String) =>
+        val spark = SparkSession.active
+        val (basePath, live) = resolve(tbl) match {
+          case Left(t) => (t.path, t.timeline().lastOption.map(_.seq).getOrElse(0L))
+          case Right(p) =>
+            (p.path, p.parentTimeline().lastOption.map(_.seq).getOrElse(0L))
+        }
+        MatViews.readSpecs(spark, basePath).map { s =>
+          Seq(s.name, s.groupCols.mkString(","),
+            s.measures.map(m => if (m.arg.isEmpty) m.fn else s"${m.fn}(${m.arg})")
+              .mkString(","),
+            Long.box(s.maintainedSeq), String.valueOf(s.maintainedSeq == live))
+        }
+      }),
     Proc("run_clean", "remove unreferenced files past the retention point",
       Seq(in("table", StringType)),
       StructType(Seq(StructField("removed", IntegerType, nullable = false))),

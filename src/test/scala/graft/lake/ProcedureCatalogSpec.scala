@@ -266,4 +266,44 @@ class ProcedureCatalogSpec extends AnyFunSuite {
       assert(!new java.io.File(s"$path/p=$v/base").exists()))
     assert(spark.sql("SELECT count(*) FROM proc_boot_p").head().getLong(0) == 3)
   }
+  test("CALL refresh_materialized_view / show_materialized_views: the ops " +
+      "surface of the MV lifecycle") {
+    val basePath = TestSpark.tmpDir("proc-mvb")
+    val viewPath = TestSpark.tmpDir("proc-mvv")
+    val t = MorTable(spark, basePath, Seq("uuid"), compactionDeltaCommits = 100)
+    graft.GraftCatalog.register(spark, "proc_mv_t", t)
+    t.upsert(Seq(("id1", "a", 1L), ("id2", "a", 2L), ("id3", "b", 3L))
+      .toDF("uuid", "g", "v"), Seq(col("v")))
+    // declare programmatically on the same persistence plane the DDL uses
+    val spec = MatViews.build(spark, basePath, Seq("uuid"),
+      MatViews.ViewSpec("mv1", viewPath, Seq("g"),
+        Seq(MatViews.MeasureSpec("count", ""), MatViews.MeasureSpec("sum", "v")), 0L))
+    assert(spec.maintainedSeq == 1L)
+    val shown0 = spark.sql(
+      "CALL graft_ops.show_materialized_views(table => 'proc_mv_t')")
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getString(4)))
+    assert(shown0.toSeq == Seq(("mv1", 1L, "true")))
+    // a new commit → stale in the listing; CALL refresh brings it back
+    t.upsert(Seq(("id4", "b", 4L)).toDF("uuid", "g", "v"), Seq(col("v")))
+    assert(spark.sql(
+      "CALL graft_ops.show_materialized_views(table => 'proc_mv_t')")
+      .collect().head.getString(4) == "false")
+    val ack = spark.sql(
+      "CALL graft_ops.refresh_materialized_view(table => 'proc_mv_t')")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(ack.toSeq == Seq(("refreshed", "mv1 -> seq 2")))
+    assert(spark.sql(
+      "CALL graft_ops.show_materialized_views(table => 'proc_mv_t')")
+      .collect().head.getString(4) == "true")
+    // the refreshed view table holds the updated groups
+    val vt = MorTable.resolve(spark, viewPath, Seq("g"))
+    assert(vt.read().collect().map(r => (r.getAs[String]("g"),
+      r.getAs[Long]("n"), r.getAs[Long]("sum_v"))).toSet ==
+      Set(("a", 2L, 3L), ("b", 2L, 7L)))
+    // unknown view name refused loudly
+    intercept[Exception](spark.sql(
+      "CALL graft_ops.refresh_materialized_view(table => 'proc_mv_t', name => 'nope')")
+      .collect())
+  }
+
 }
