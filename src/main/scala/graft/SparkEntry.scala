@@ -71,6 +71,8 @@ object SparkEntry {
     "s85_matview_ddl"     -> ((s, d) => graft.lake.LakeQueries.matViewDdl(s, d)),
     "s86_matview_rollup"  -> ((s, d) => graft.lake.LakeQueries.matViewRollup(s, d)),
     "s87_part_matview"    -> ((s, d) => graft.lake.LakeQueries.partMatViewRead(s, d)),
+    "s88_composite_key_index" -> ((s, d) =>
+      graft.lake.LakeQueries.compositeKeyIndexRead(s, d)),
     "s84_access_policy"   -> ((s, d) => graft.lake.LakeQueries.accessPolicyRead(s, d)),
     "s73_incr_sketch_index" -> ((s, d) =>
       graft.lake.LakeQueries.incrementalSketchIndex(s, d)),
@@ -817,6 +819,21 @@ object SparkEntry {
     // the BASE table, served from the maintained view (rewrite/fail-
     // closed/re-serve all asserted in-plan in-entry) — the answer is the
     // LWW state's per-type count + exact micro sum after the delete
+    "s88_composite_key_index" ->
+      """WITH lww AS (
+        |  SELECT user_id, event_type, event_id, value, epoch_ms(ts) AS ts_ms
+        |  FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts DESC, event_id DESC) = 1
+        |)
+        |SELECT user_id, event_type, event_id,
+        |       CASE WHEN user_id BETWEEN 10 AND 14 THEN value + 1000.0
+        |            ELSE value END AS value,
+        |       ts_ms
+        |FROM lww
+        |WHERE user_id IN (4,12,40,41,42,43,44,45,46,47,48,49)
+        |  AND event_type = 'click'
+        |  AND user_id % 10 <> 4""".stripMargin,
     "s87_part_matview" ->
       """WITH lww AS (
         |  SELECT user_id, event_type,

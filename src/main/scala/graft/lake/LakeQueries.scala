@@ -1306,6 +1306,63 @@ object LakeQueries {
       out.select("user_id", "event_id", "event_type", "value", "ts_ms"), path)
   }
 
+  /** COMPOSITE-KEY record index + SQL point routing, oracle-checked (s88
+    * — r13 verdict #2's done criterion, the s79 story on a TWO-column
+    * key): events replay keyed (user_id, event_type) — LWW per pair —
+    * then compact, build the record index, update a key slice (minor
+    * compaction exercises carry-refresh over composite postings) and
+    * predicate-delete part of the probe set. The analyst's plain SQL
+    * `WHERE user_id IN (…) AND event_type = 'click'` — a conjunction
+    * covering BOTH key columns — must route through the indexed point
+    * read (the route builds the composite `_record_key` exactly as the
+    * writer; asserted in-entry: the relation's key route scans a STRICT
+    * base-file subset) and equal the per-pair LWW recompute restricted
+    * to those keys — the oracle. */
+  def compositeKeyIndexRead(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "value", "ts_ms", "ts_ns")
+    val path = tempPath("mor-ckrli")
+    // 8 range-partitioned base files: the 12-pair probe set clusters in a
+    // few key ranges, so the strict-subset pinning assert has headroom
+    val t = new MorTable(spark, path, keyCols = Seq("user_id", "event_type"),
+      compactionDeltaCommits = 1000, autoCompact = false, writePartitions = 8)
+    t.upsert(ev, orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 1L)
+    t.compact()
+    t.buildRecordIndex()
+    t.updateWhere(col("user_id").between(10, 14) && col("event_type") === "click",
+      Map("value" -> (col("value") + 1000.0)), batchId = 2L)
+    t.compactMinor()
+    require(t.hasRecordIndex(),
+      "record index must survive minor compaction on a composite-key table")
+    t.deleteWhere(col("user_id") % 10 === 4 && col("event_type") === "click",
+      batchId = 3L)
+    val ids = Seq(4L, 12L) ++ (40L to 49L)
+    val tbl = "graft_ck_t"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl USING `graft.mor` OPTIONS " +
+      s"(path '$path', keys 'user_id,event_type')")
+    try {
+      // the SQL surface's own routing, asserted on the relation scan (DSv1
+      // reports no inputFiles through spark.sql — the s79 discipline)
+      val rel = graft.mor.MorRelation(spark.sqlContext, path,
+        Seq("user_id", "event_type"))
+      val routed = rel.scanWithFilters(
+        Array("user_id", "event_type", "event_id", "value", "ts_ms"),
+        Array(org.apache.spark.sql.sources.In("user_id",
+            ids.map(Long.box).toArray[Any]),
+          org.apache.spark.sql.sources.EqualTo("event_type", "click")))
+      val baseScanned = routed.inputFiles.count(_.contains("/base/"))
+      val baseTotal = t.read().inputFiles.count(_.contains("/base/"))
+      require(baseScanned < baseTotal,
+        s"composite-key SQL route must pin a strict base-file subset " +
+          s"($baseScanned of $baseTotal scanned)")
+      val out = spark.sql(s"SELECT user_id, event_type, event_id, value, ts_ms " +
+        s"FROM $tbl WHERE user_id IN (${ids.mkString(",")}) " +
+        "AND event_type = 'click'")
+      graft.TempDirs.materializeAndDelete(out, path)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   /** Minor (affected-only) compaction, oracle-checked end-to-end: full
     * events replay → major compact (range-partitioned base with per-file
     * key bounds) → an update batch for user_id < 30 plus a predicate

@@ -541,7 +541,7 @@ final case class MorRelation(sqlContext: SQLContext, path: String,
                          filters: Array[Filter]): RDD[Row] =
     scanWithFilters(requiredColumns, filters).rdd
 
-  private[mor] def scanWithFilters(requiredColumns: Array[String],
+  private[graft] def scanWithFilters(requiredColumns: Array[String],
                                    filters: Array[Filter]): DataFrame = {
     import org.apache.spark.sql.sources._
     val routed = (partitionCol, asOf, sinceSeq, changelogFrom) match {
