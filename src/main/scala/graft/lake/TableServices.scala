@@ -160,6 +160,41 @@ object TableServices {
   def apply(p: PartitionedMorTable, periodMs: Long, cleanEvery: Int): TableServices =
     apply(p, periodMs, cleanEvery, Nil, 0, 0L)
 
+  /** Service that keeps a base table's DECLARED materialized views FRESH
+    * (the async-maintenance analog of `REFRESH MATERIALIZED VIEW` — Hudi's
+    * async table services applied to the MV plane): each tick reads the
+    * persisted declarations ([[MatViews.readSpecs]], one metadata file),
+    * and every view whose watermark trails the live timeline gets ONE
+    * affected-group refresh cycle — O(changes since its watermark), so a
+    * busy dashboard table converges at the tick cadence while idle tables
+    * cost one fs read per tick. Returns did-work per the service contract;
+    * a failed refresh records in [[TableServices.lastError]] and the
+    * cadence continues. Run standalone or alongside the compaction
+    * service — refresh and compaction commute (the changelog algebra reads
+    * through compaction boundaries). */
+  def matViews(spark: org.apache.spark.sql.SparkSession, t: MorTable,
+               periodMs: Long = 60000L): TableServices =
+    custom(() => {
+      val live = t.timeline().lastOption.map(_.seq).getOrElse(0L)
+      val stale = MatViews.readSpecs(spark, t.path)
+        .filter(_.maintainedSeq != live)
+      stale.foreach(s => MatViews.refresh(spark, t.path, t.keyCols, s))
+      stale.nonEmpty
+    }, periodMs)
+
+  /** [[matViews]], partitioned-base form (freshness on the parent
+    * timeline, refresh off the cross-child changelog). */
+  def matViews(spark: org.apache.spark.sql.SparkSession, p: PartitionedMorTable,
+               periodMs: Long): TableServices =
+    custom(() => {
+      val live = p.parentTimeline().lastOption.map(_.seq).getOrElse(0L)
+      val stale = MatViews.readSpecs(spark, p.path)
+        .filter(_.maintainedSeq != live)
+      stale.foreach(s =>
+        MatViews.refreshPartitioned(spark, p.path, p.keyCols, p.partitionCol, s))
+      stale.nonEmpty
+    }, periodMs)
+
   /** Service wired from the table's PERSISTED policy (the `CREATE TABLE …
     * WITH (…)` declaration surface): clustering columns/cadence, clean
     * cadence and savepoint TTL all come from `manifest/policy.json`, so

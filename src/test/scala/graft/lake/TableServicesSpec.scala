@@ -172,4 +172,32 @@ class TableServicesSpec extends AnyFunSuite {
     assert(svc.lastError.isEmpty, "success clears the recorded error")
     assert(svc.compactionsRun == 1)
   }
+  test("materialized-view service: stale views refresh each tick, fresh ticks no-op") {
+    val basePath = TestSpark.tmpDir("svc-mv-base")
+    val viewPath = TestSpark.tmpDir("svc-mv-view")
+    val t = new MorTable(spark, basePath, Seq("k"),
+      compactionDeltaCommits = 100, autoCompact = false)
+    t.upsert(Seq(("k1", "a", 1L), ("k2", "b", 2L)).toDF("k", "g", "v"),
+      Seq(col("v")), batchId = 1L)
+    MatViews.build(spark, basePath, Seq("k"),
+      MatViews.ViewSpec("svc_mv", viewPath, Seq("g"),
+        Seq(MatViews.MeasureSpec("count", ""), MatViews.MeasureSpec("sum", "v")), 0L))
+    val svc = TableServices.matViews(spark, t, periodMs = 60000L)
+    // fresh: a tick is a no-op
+    assert(!svc.runOnce(), "fresh views must not refresh")
+    // two commits land → one tick brings the view to the live seq
+    t.upsert(Seq(("k3", "a", 10L)).toDF("k", "g", "v"), Seq(col("v")), batchId = 2L)
+    t.upsert(Seq(("k4", "b", 20L)).toDF("k", "g", "v"), Seq(col("v")), batchId = 3L)
+    assert(svc.runOnce(), "stale view must refresh")
+    assert(svc.lastError.isEmpty)
+    val spec = MatViews.readSpecs(spark, basePath).head
+    assert(spec.maintainedSeq == t.timeline().last.seq)
+    val vt = MorTable.resolve(spark, viewPath, Seq("g"))
+    assert(vt.read().collect().map(r => (r.getAs[String]("g"),
+      r.getAs[Long]("n"), r.getAs[Long]("sum_v"))).toSet ==
+      Set(("a", 2L, 11L), ("b", 2L, 22L)))
+    // converged: the next tick is a no-op again
+    assert(!svc.runOnce())
+  }
+
 }
