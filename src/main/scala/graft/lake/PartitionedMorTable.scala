@@ -677,7 +677,7 @@ final class PartitionedMorTable(
   /** Run one FS-metadata task per selected partition concurrently (child
     * timelines are independent; a sequential loop over 1000 partitions
     * would make the driver the bottleneck before any task runs). */
-  private def parChildren[A](sel: Seq[String])(f: MorTable => A): Seq[A] = {
+  private[graft] def parChildren[A](sel: Seq[String])(f: MorTable => A): Seq[A] = {
     if (sel.sizeIs <= 1) return sel.map(v => f(child(v)))
     import scala.concurrent.{Await, ExecutionContext, Future}
     val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(32, sel.size))

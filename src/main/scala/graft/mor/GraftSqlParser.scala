@@ -329,7 +329,18 @@ case class GraftShowIndexesCommand(table: String) extends LeafRunnableCommand {
     }
     GraftMaintenance.resolve(spark, table, "SHOW INDEXES") match {
       case Left(t) => rowsOf(t, "")
-      case Right(p) => p.partitions().flatMap(v => rowsOf(p.child(v), v))
+      case Right(p) =>
+        // per-child metadata listings run CONCURRENTLY (the parChildren
+        // pool): at 10^4+ partitions the serial driver loop this replaced
+        // turned a metadata command into minutes (r13 advisory)
+        p.partitions().zip(
+          p.parChildren(p.partitions())(c => (c.hasRecordIndex(), c.indexedColumns()))
+        ).flatMap { case (v, (hasRli, idxCols)) =>
+          val rli = if (hasRli)
+            Seq(Row("record_index", "record_level", p.keyCols.mkString(","), v))
+          else Nil
+          rli ++ idxCols.map(c => Row(s"${c}_bloom", "secondary_bloom", c, v))
+        }
     }
   }
 }

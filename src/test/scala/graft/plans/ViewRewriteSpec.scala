@@ -161,6 +161,54 @@ class ViewRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("policy relations never serve from a view; HAVING/ORDER BY compose " +
+      "over the substituted plan") {
+    val basePath = TestSpark.tmpDir("mv5-base")
+    val viewPath = TestSpark.tmpDir("mv5-view")
+    val bt = MorTable(spark, basePath, Seq("k"), compactionDeltaCommits = 100)
+    bt.upsert(Seq(("k1", "a", 10L), ("k2", "a", 20L), ("k3", "b", 5L))
+      .toDF("k", "g", "v"), Seq(col("k")), batchId = 1L)
+    val vt = MorTable(spark, viewPath, Seq("g"), compactionDeltaCommits = 100)
+    vt.upsert(bt.read().groupBy("g")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv")),
+      orderWithinBatch = Nil, batchId = 1L)
+    ViewRewrite.register(ViewRewrite.ViewDef(basePath, Seq("g"),
+      Seq(ViewRewrite.Measure("count", "", "n"),
+        ViewRewrite.Measure("sum", "v", "sv")),
+      () => vt.read(), () => true))
+    spark.sql("DROP TABLE IF EXISTS mv5_t")
+    spark.sql("DROP TABLE IF EXISTS mv5_pol")
+    spark.sql(s"CREATE TABLE mv5_t USING `graft.mor` OPTIONS " +
+      s"(path '$basePath', keys 'k')")
+    // SAME base path behind an access policy: masks/row filters change
+    // the very values the view aggregated — must NEVER serve from it
+    spark.sql(s"CREATE TABLE mv5_pol USING `graft.mor` OPTIONS " +
+      s"(path '$basePath', keys 'k', 'filter.where'='v > 6')")
+    try {
+      spark.conf.set(ViewRewrite.confKey, "true")
+      val pol = spark.sql(
+        "SELECT g, count(*) AS n, sum(v) AS sv FROM mv5_pol GROUP BY g")
+      assert(!servedFromView(pol, viewPath),
+        "a policy relation must fail closed out of the MV rewrite")
+      assert(pol.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet == Set(("a", 2L, 30L)), "and answer under the row filter")
+      // HAVING and ORDER BY sit ABOVE the substituted aggregate: parents
+      // re-resolve against the view projection (preserved exprIds)
+      val having = spark.sql("SELECT g, count(*) AS n, sum(v) AS sv " +
+        "FROM mv5_t GROUP BY g HAVING sum(v) > 6 ORDER BY sv DESC")
+      assert(servedFromView(having, viewPath),
+        "HAVING/ORDER BY over the registered shape still serves")
+      assert(having.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+        Seq(("a", 2L, 30L)), "HAVING filters on the substituted measure")
+    } finally {
+      ViewRewrite.unregister(basePath)
+      spark.conf.unset(ViewRewrite.confKey)
+      spark.sql("DROP TABLE IF EXISTS mv5_t")
+      spark.sql("DROP TABLE IF EXISTS mv5_pol")
+    }
+  }
+
   test("multiple views per base: shape routes to the right view, exact beats rollup") {
     val basePath = TestSpark.tmpDir("mv4-base")
     val coarsePath = TestSpark.tmpDir("mv4-coarse")
