@@ -73,6 +73,8 @@ object SparkEntry {
     "s87_part_matview"    -> ((s, d) => graft.lake.LakeQueries.partMatViewRead(s, d)),
     "s88_composite_key_index" -> ((s, d) =>
       graft.lake.LakeQueries.compositeKeyIndexRead(s, d)),
+    "s89_filtered_matview" -> ((s, d) =>
+      graft.lake.LakeQueries.filteredMatViewRead(s, d)),
     "s84_access_policy"   -> ((s, d) => graft.lake.LakeQueries.accessPolicyRead(s, d)),
     "s73_incr_sketch_index" -> ((s, d) =>
       graft.lake.LakeQueries.incrementalSketchIndex(s, d)),
@@ -819,6 +821,19 @@ object SparkEntry {
     // the BASE table, served from the maintained view (rewrite/fail-
     // closed/re-serve all asserted in-plan in-entry) — the answer is the
     // LWW state's per-type count + exact micro sum after the delete
+    "s89_filtered_matview" ->
+      """WITH lww AS (
+        |  SELECT user_id, event_type,
+        |         CAST(round(value * 1000000) AS BIGINT) AS value_micros
+        |  FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) = 1
+        |)
+        |SELECT event_type, count(*)::BIGINT AS n,
+        |       sum(value_micros)::BIGINT AS sv
+        |FROM lww
+        |WHERE user_id % 10 <> 3 AND user_id % 3 = 1
+        |GROUP BY event_type""".stripMargin,
     "s88_composite_key_index" ->
       """WITH lww AS (
         |  SELECT user_id, event_type, event_id, value, epoch_ms(ts) AS ts_ms

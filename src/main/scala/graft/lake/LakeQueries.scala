@@ -1995,6 +1995,82 @@ object LakeQueries {
     }
   }
 
+  /** WHERE-FILTERED materialized view via DDL, oracle-checked (s89): the
+    * view materializes only the `user_id % 3 = 1` slice of the base; the
+    * analyst's SQL repeating that predicate (its Filter is semantically
+    * equal after analysis — the int literal coerces to bigint on both
+    * sides) serves from the groups-sized view, while the UNFILTERED shape
+    * and any other predicate fail closed to the scan (asserted in-plan).
+    * A delete commit staggers the watermark; one REFRESH (affected-group
+    * recompute UNDER the slice — rows leaving the predicate shrink their
+    * group) re-serves, bit-identical to the scan. Oracle = LWW recompute
+    * with the same slice + delete. */
+  def filteredMatViewRead(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        round(col("value") * 1000000).cast("long").as("value_micros"),
+        col("ts_ms"), col("ts_ns"))
+    val bounds = ev.agg(min(col("ts_ns")).as("mn"), max(col("ts_ns")).as("mx")).head()
+    val mid = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 2
+    val basePath = tempPath("mor-fmv-base"); val viewPath = tempPath("mor-fmv-view")
+    val bt = MorTable(spark, basePath, keyCols = Seq("user_id"),
+      compactionDeltaCommits = 1000)
+    bt.upsert(ev.filter(col("ts_ns") <= mid),
+      orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 1L)
+    bt.upsert(ev.filter(col("ts_ns") > mid),
+      orderWithinBatch = Seq(col("ts_ns"), col("event_id")), batchId = 2L)
+    bt.compact()
+    val tbl = "graft_fmv_base"; val vname = "graft_fmv_v"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"DROP TABLE IF EXISTS $vname")
+    spark.sql(s"CREATE TABLE $tbl USING `graft.mor` OPTIONS " +
+      s"(path '$basePath', keys 'user_id')")
+    try {
+      spark.sql(s"CREATE MATERIALIZED VIEW $vname ON $tbl " +
+        "WHERE user_id % 3 = 1 GROUP BY event_type " +
+        s"AS (count, sum(value_micros)) LOCATION '$viewPath'")
+      spark.conf.set(graft.plans.ViewRewrite.confKey, "true")
+      def q() = spark.sql(s"SELECT event_type, count(*) AS n, " +
+        s"sum(value_micros) AS sv FROM $tbl " +
+        "WHERE user_id % 3 = 1 GROUP BY event_type")
+      def plan(df: DataFrame) = df.queryExecution.executedPlan.toString()
+      val fresh = q()
+      require(plan(fresh).contains("mor-fmv-view") &&
+          !plan(fresh).contains("mor-fmv-base"),
+        "the matching filtered shape must serve from the view")
+      require(fresh.count() > 0)
+      // the UNFILTERED shape and a different predicate stay with the scan
+      val unfiltered = spark.sql(s"SELECT event_type, count(*) AS n, " +
+        s"sum(value_micros) AS sv FROM $tbl GROUP BY event_type")
+      require(!plan(unfiltered).contains("mor-fmv-view"),
+        "the unfiltered shape must fail closed")
+      val other = spark.sql(s"SELECT event_type, count(*) AS n, " +
+        s"sum(value_micros) AS sv FROM $tbl " +
+        "WHERE user_id % 3 = 2 GROUP BY event_type")
+      require(!plan(other).contains("mor-fmv-view"),
+        "a different predicate must fail closed")
+      // stale → refresh → re-serve, bit-identical
+      bt.deleteWhere(col("user_id") % 10 === 3, batchId = 3L)
+      val stale = q()
+      require(!plan(stale).contains("mor-fmv-view"),
+        "stale filtered view must fail closed")
+      val truth = stale.collect().map(_.toSeq).toSet
+      spark.sql(s"REFRESH MATERIALIZED VIEW $vname")
+      val served = q()
+      require(plan(served).contains("mor-fmv-view") &&
+          !plan(served).contains("mor-fmv-base"),
+        "refreshed filtered view must serve again")
+      require(served.collect().map(_.toSeq).toSet == truth,
+        "view answer must equal the scan answer bit-for-bit")
+      graft.TempDirs.materializeAndDelete(served, basePath, viewPath)
+    } finally {
+      spark.conf.unset(graft.plans.ViewRewrite.confKey)
+      spark.sql(s"DROP MATERIALIZED VIEW IF EXISTS $vname")
+      graft.plans.ViewRewrite.unregister(basePath)
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
+
   /** MV ROLLUP + avg/min decomposition, oracle-checked (s86 — r13 verdict
     * #4): the DDL view groups by TWO columns (event_type, ub=user_id%8);
     * the analyst's coarser `GROUP BY event_type` must re-aggregate the

@@ -51,11 +51,15 @@ object MatViews {
   final case class MeasureSpec(fn: String, arg: String)
 
   /** A persisted view declaration. `maintainedSeq` is the freshness
-    * watermark: the base commit seq whose state the view reflects. */
+    * watermark: the base commit seq whose state the view reflects;
+    * `where` ("" = none) restricts the view to rows satisfying the SQL
+    * predicate — the rewrite then answers only queries filtered by a
+    * semantically-equal predicate. */
   final case class ViewSpec(name: String, viewPath: String,
                             groupCols: Seq[String],
                             measures: Seq[MeasureSpec],
-                            maintainedSeq: Long)
+                            maintainedSeq: Long,
+                            where: String = "")
 
   private def viewsFile(basePath: String) =
     new Path(new Path(basePath), "manifest/views.json")
@@ -70,9 +74,12 @@ object MatViews {
     val p = viewsFile(basePath)
     if (!fs.exists(p)) return Seq.empty
     val json = new String(MorTable.readFully(fs, p), StandardCharsets.UTF_8)
+    // `where` is optional in the wire format (round-14 files omit it when
+    // empty; pre-filtered-view files never carry it)
     val viewRe = ("""\{"name":"""" + MorTable.jsEscapedRe +
       """","viewPath":"""" + MorTable.jsEscapedRe +
       """","groupCols":\[([^\]]*)\],"measures":\[([^\]]*)\],""" +
+      """(?:"where":"""" + MorTable.jsEscapedRe + """",)?""" +
       """"maintainedSeq":(\d+)\}""").r
     val strRe = ("\"" + MorTable.jsEscapedRe + "\"").r
     viewRe.findAllMatchIn(json).map { m =>
@@ -83,7 +90,8 @@ object MatViews {
         MeasureSpec(t.substring(0, i), t.substring(i + 1))
       }
       ViewSpec(MorTable.jsUnescape(m.group(1)), MorTable.jsUnescape(m.group(2)),
-        strs(m.group(3)), ms, m.group(5).toLong)
+        strs(m.group(3)), ms, m.group(6).toLong,
+        Option(m.group(5)).map(MorTable.jsUnescape).getOrElse(""))
     }.toSeq
   }
 
@@ -92,9 +100,11 @@ object MatViews {
     val fs = fsOf(spark, basePath)
     def js(s: String) = "\"" + MorTable.jsEscape(s) + "\""
     val body = specs.map { v =>
+      val whereField = if (v.where.isEmpty) "" else s""""where":${js(v.where)},"""
       s"""{"name":${js(v.name)},"viewPath":${js(v.viewPath)},""" +
         s""""groupCols":[${v.groupCols.map(js).mkString(",")}],""" +
         s""""measures":[${v.measures.map(m => js(s"${m.fn}:${m.arg}")).mkString(",")}],""" +
+        whereField +
         s""""maintainedSeq":${v.maintainedSeq}}"""
     }.mkString("[", ",", "]")
     val dir = viewsFile(basePath).getParent
@@ -233,9 +243,17 @@ object MatViews {
             .exists(_.maintainedSeq == live)
         },
         version = () => vt.timeline().lastOption.map(_.seq).getOrElse(-1L),
-        name = spec.name))
+        name = spec.name,
+        filterSql = Some(spec.where).filter(_.nonEmpty)))
     }
   }
+
+  /** The base restricted to a spec's WHERE predicate (identity when
+    * none). Applied to every build/refresh read, so the view only ever
+    * sees — and the rewrite only ever serves — the declared slice. */
+  private def filtered(df: DataFrame, spec: ViewSpec): DataFrame =
+    if (spec.where.isEmpty) df
+    else df.filter(org.apache.spark.sql.functions.expr(spec.where))
 
   // ----------------------------------------------------- build / refresh
 
@@ -262,7 +280,8 @@ object MatViews {
         "load it first")
     val vt = MorTable.resolve(spark, spec.viewPath, spec.groupCols)
     val aggs = maintainedAggs(spec.measures)
-    val agg = ops.readAt(seq).groupBy(spec.groupCols.map(col): _*)
+    val agg = filtered(ops.readAt(seq), spec)
+      .groupBy(spec.groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
     vt.upsert(agg, orderWithinBatch = Nil, batchId = 1L)
     val done = spec.copy(maintainedSeq = seq)
@@ -303,9 +322,13 @@ object MatViews {
     val before = cl.filter(col("op").isin("U", "D"))
       .select(g.map(c => col(s"before_$c").as(c)): _*)
     val touched = after.union(before).distinct().localCheckpoint(true)
-    // recompute exactly those groups from the base state AT `to`
+    // recompute exactly those groups from the base state AT `to` (under
+    // the view's WHERE slice — touched groups are a SUPERSET for filtered
+    // views, since a changed row may sit outside the predicate; the
+    // filtered recompute of a superset is still exact, rows leaving the
+    // slice shrink their group and slice-empty groups die below)
     val aggs = maintainedAggs(spec.measures)
-    val refreshed = ops.readAt(to)
+    val refreshed = filtered(ops.readAt(to), spec)
       .join(broadcast(touched), g, "left_semi")
       .groupBy(g.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)

@@ -65,8 +65,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     * intercept (no `graftManaged` gate needed). */
   private val CreateMatViewStmt =
     ("""(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?""" +
-      """([\w.`]+)\s+ON\s+(?:TABLE\s+)?([\w.`]+)\s+""" +
-      """GROUP\s+BY\s+([\w`]+(?:\s*,\s*[\w`]+)*)\s+AS\s+\((.+)\)""" +
+      """([\w.`]+)\s+ON\s+(?:TABLE\s+)?([\w.`]+)""" +
+      """(?:\s+WHERE\s+(.+?))?""" +
+      """\s+GROUP\s+BY\s+([\w`]+(?:\s*,\s*[\w`]+)*)\s+AS\s+\((.+)\)""" +
       """(?:\s+LOCATION\s+'([^']*)')?\s*;?\s*""").r
   private val RefreshMatViewStmt =
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s*;?\s*""".r
@@ -111,10 +112,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case CloneStmt(ine, dst, src, loc) =>
       GraftCloneTableCommand(clean(dst), clean(src), Option(loc), ine != null)
-    case CreateMatViewStmt(ine, v, t, gcols, meas, loc) =>
+    case CreateMatViewStmt(ine, v, t, where, gcols, meas, loc) =>
       GraftCreateMatViewCommand(clean(v), clean(t),
         gcols.split(',').map(c => clean(c.trim)).toSeq.filter(_.nonEmpty),
-        parseMeasures(meas), Option(loc), ine != null)
+        parseMeasures(meas), Option(where).map(_.trim).filter(_.nonEmpty),
+        Option(loc), ine != null)
     case RefreshMatViewStmt(v) => GraftRefreshMatViewCommand(clean(v))
     case DropMatViewStmt(ife, v) =>
       GraftDropMatViewCommand(clean(v), ife != null)
@@ -391,6 +393,7 @@ case class GraftCreateIndexCommand(name: String, table: String,
 case class GraftCreateMatViewCommand(view: String, base: String,
                                      groupCols: Seq[String],
                                      measures: Seq[graft.lake.MatViews.MeasureSpec],
+                                     where: Option[String],
                                      location: Option[String],
                                      ifNotExists: Boolean)
     extends LeafRunnableCommand {
@@ -429,7 +432,8 @@ case class GraftCreateMatViewCommand(view: String, base: String,
         s"base '$base' (${baseCols.toSeq.sorted.mkString(", ")})")
     val viewPath = location.getOrElse(
       new Path(spark.sessionState.conf.warehousePath, viewId.identifier).toString)
-    val spec0 = MatViews.ViewSpec(view, viewPath, groupCols, measures, 0L)
+    val spec0 = MatViews.ViewSpec(view, viewPath, groupCols, measures, 0L,
+      where = where.getOrElse(""))
     val spec = basePart match {
       case Some(pc) => MatViews.buildPartitioned(spark, basePath, baseKeys, pc, spec0)
       case None => MatViews.build(spark, basePath, baseKeys, spec0)
@@ -530,6 +534,8 @@ case class GraftShowMatViewsCommand(base: String) extends LeafRunnableCommand {
     AttributeReference("maintained_seq", org.apache.spark.sql.types.LongType,
       nullable = false)(),
     AttributeReference("fresh", org.apache.spark.sql.types.BooleanType,
+      nullable = false)(),
+    AttributeReference("where_clause", org.apache.spark.sql.types.StringType,
       nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
@@ -544,7 +550,7 @@ case class GraftShowMatViewsCommand(base: String) extends LeafRunnableCommand {
       Row(s.name, s.groupCols.mkString(","),
         s.measures.map(m => if (m.arg.isEmpty) m.fn else s"${m.fn}(${m.arg})")
           .mkString(","),
-        s.maintainedSeq, s.maintainedSeq == live)
+        s.maintainedSeq, s.maintainedSeq == live, s.where)
     }
   }
 }

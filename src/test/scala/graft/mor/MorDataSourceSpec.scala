@@ -307,6 +307,69 @@ class MorDataSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("WHERE-filtered materialized view: serves only the semantically-" +
+      "matching filtered shape") {
+    val path = TestSpark.tmpDir("ddl-fmv")
+    Seq(("k1", "a", 10L), ("k2", "a", 2L), ("k3", "b", 7L), ("k4", "b", 4L))
+      .toDF("k", "g", "v")
+      .write.format("graft.mor").option("path", path).option("keys", "k").save()
+    spark.sql("DROP TABLE IF EXISTS fmv_t")
+    spark.sql("DROP TABLE IF EXISTS fmv_v")
+    spark.sql(s"CREATE TABLE fmv_t USING `graft.mor` OPTIONS " +
+      s"(path '$path', keys 'k')")
+    val viewPath = TestSpark.tmpDir("ddl-fmvv")
+    def served(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString().contains("ddl-fmvv")
+    def rows3(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    try {
+      spark.sql("CREATE MATERIALIZED VIEW fmv_v ON fmv_t " +
+        "WHERE v > 5 AND g <> 'zz' GROUP BY g " +
+        s"AS (count, sum(v)) LOCATION '$viewPath'")
+      assert(spark.sql("SHOW MATERIALIZED VIEWS ON fmv_t")
+        .collect().head.getString(5) == "v > 5 AND g <> 'zz'")
+      spark.conf.set(graft.plans.ViewRewrite.confKey, "true")
+      val truth = Set(("a", 1L, 10L), ("b", 1L, 7L))
+      // verbatim predicate serves
+      val q1 = spark.sql("SELECT g, count(*) AS n, sum(v) AS sv FROM fmv_t " +
+        "WHERE v > 5 AND g <> 'zz' GROUP BY g")
+      assert(served(q1), "verbatim filtered shape must serve")
+      assert(rows3(q1) == truth)
+      // COMMUTED conjunction is semantically equal — serves
+      val q2 = spark.sql("SELECT g, count(*) AS n, sum(v) AS sv FROM fmv_t " +
+        "WHERE g <> 'zz' AND v > 5 GROUP BY g")
+      assert(served(q2), "commuted conjunction must serve")
+      assert(rows3(q2) == truth)
+      // a WEAKER predicate (one conjunct) must fail closed with the scan
+      val q3 = spark.sql("SELECT g, count(*) AS n, sum(v) AS sv FROM fmv_t " +
+        "WHERE v > 5 GROUP BY g")
+      assert(!served(q3), "a different predicate must fail closed")
+      assert(rows3(q3) == truth) // same rows here, but from the SCAN
+      // the UNFILTERED shape must never touch the filtered view
+      val q4 = spark.sql(
+        "SELECT g, count(*) AS n, sum(v) AS sv FROM fmv_t GROUP BY g")
+      assert(!served(q4), "the unfiltered shape must fail closed")
+      assert(rows3(q4) == Set(("a", 2L, 12L), ("b", 2L, 11L)))
+      // rows move IN and OUT of the slice; refresh tracks both directions
+      Seq(("k1", "a", 1L), ("k2", "a", 9L)).toDF("k", "g", "v")
+        .write.format("graft.mor").option("path", path).option("keys", "k")
+        .mode("append").save()
+      assert(!served(spark.sql("SELECT g, count(*) AS n, sum(v) AS sv " +
+        "FROM fmv_t WHERE v > 5 AND g <> 'zz' GROUP BY g")), "stale fails closed")
+      spark.sql("REFRESH MATERIALIZED VIEW fmv_v")
+      val q5 = spark.sql("SELECT g, count(*) AS n, sum(v) AS sv FROM fmv_t " +
+        "WHERE v > 5 AND g <> 'zz' GROUP BY g")
+      assert(served(q5), "refreshed filtered view must serve")
+      assert(rows3(q5) == Set(("a", 1L, 9L), ("b", 1L, 7L)),
+        "k1 left the slice, k2 entered it")
+    } finally {
+      spark.sql("DROP MATERIALIZED VIEW IF EXISTS fmv_v")
+      spark.conf.unset(graft.plans.ViewRewrite.confKey)
+      graft.plans.ViewRewrite.unregister(path)
+      spark.sql("DROP TABLE IF EXISTS fmv_t")
+    }
+  }
+
   test("OPTIMIZE / VACUUM DDL spellings route onto compact / clean") {
     val path = TestSpark.tmpDir("ddl-optimize")
     Seq(("id1", "Danny", 23), ("id2", "Emma", 20)).toDF("uuid", "name", "age")
