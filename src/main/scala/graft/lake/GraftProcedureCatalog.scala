@@ -217,7 +217,8 @@ object GraftProcedureCatalog {
         StructField("group_cols", StringType, nullable = false),
         StructField("measures", StringType, nullable = false),
         StructField("maintained_seq", LongType, nullable = false),
-        StructField("fresh", StringType, nullable = false))),
+        StructField("fresh", StringType, nullable = false),
+        StructField("where_clause", StringType, nullable = false))),
       { case Seq(tbl: String) =>
         val spark = SparkSession.active
         val (basePath, live) = resolve(tbl) match {
@@ -229,7 +230,8 @@ object GraftProcedureCatalog {
           Seq(s.name, s.groupCols.mkString(","),
             s.measures.map(m => if (m.arg.isEmpty) m.fn else s"${m.fn}(${m.arg})")
               .mkString(","),
-            Long.box(s.maintainedSeq), String.valueOf(s.maintainedSeq == live))
+            Long.box(s.maintainedSeq), String.valueOf(s.maintainedSeq == live),
+            s.where)
         }
       }),
     Proc("run_clean", "remove unreferenced files past the retention point",
