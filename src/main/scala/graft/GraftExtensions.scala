@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions.call_function
-import graft.functions.expr.{BloomAny64, C4Rules, CmsAgg, CosineSimilarity, HistAgg, HllAgg, KeyBloomAgg, KeyBloomContains, KeyBloomContainsAny, LangId, LongBloomAgg, LshBuckets, LshBucketsMd5, MinHashAgg, MinHashBands, MinHashSignature, MinHashMd5, NearestCells, PqEncode, Quantize127, ShingleHashes, TextQuality, UnicodeClean, GopherMetrics, GopherNgrams, DedupLines, SigOverlap, SimHashChunks, SimHashMd5, TokenHashes, TopKRowsAgg}
+import graft.functions.expr.{BloomAny64, C4Rules, CmsAgg, CosineSimilarity, HistAgg, HllAgg, KeyBloomAgg, KeyBloomContains, KeyBloomContainsAny, LangId, LongBloomAgg, LshBuckets, LshBucketsMd5, MinHashAgg, MinHashBands, MinHashSignature, MinHashMd5, NearestCells, PqEncode, Quantize127, ShingleHashes, TextQuality, UnicodeClean, GopherMetrics, GopherNgrams, DedupLines, SigOverlap, SimHashChunks, SimHashMd5, TokenHashes, TopKRowsAgg, WordShingles}
 
 /** Engine extension wiring.
   *
@@ -55,6 +55,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => ShingleHashes(exprs.head, exprs(1), raw = true)))
     ext.injectFunction((FunctionIdentifier("shingle_hashes_pos"), ShingleHashes.infoPos,
       exprs => ShingleHashes(exprs.head, exprs(1), raw = true, positional = true)))
+    ext.injectFunction((FunctionIdentifier("word_shingles"), WordShingles.info,
+      exprs => WordShingles(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("word_shingles_distinct"), WordShingles.infoDistinct,
+      exprs => WordShingles(exprs.head, exprs(1), distinct = true)))
     ext.injectFunction((FunctionIdentifier("token_hashes"), TokenHashes.info,
       exprs => TokenHashes(exprs.head)))
     ext.injectFunction((FunctionIdentifier("minhash_md5"), MinHashMd5.info,
@@ -183,6 +187,12 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("shingle_hashes_pos"), ShingleHashes.infoPos,
       exprs => ShingleHashes(exprs.head, exprs(1), raw = true, positional = true))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("word_shingles"), WordShingles.info,
+      exprs => WordShingles(exprs.head, exprs(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("word_shingles_distinct"), WordShingles.infoDistinct,
+      exprs => WordShingles(exprs.head, exprs(1), distinct = true))
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("token_hashes"), TokenHashes.info,
       exprs => TokenHashes(exprs.head))

@@ -66,8 +66,15 @@ object JobAudit {
         }
     })
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    // SPARK_GRAFT_AUDIT=<gate entry name> audits that entry; default s8 core
+    val fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+      sys.env.get("SPARK_GRAFT_AUDIT") match {
+        case Some(name) => SparkEntry.queries.getOrElse(name,
+          sys.error(s"unknown gate entry $name"))
+        case None => (s, d) => graft.streaming.PipelineQueries.ticketView(s, d)
+      }
     val t0 = System.currentTimeMillis()
-    val n = graft.streaming.PipelineQueries.ticketView(spark, dir).count()
+    val n = fn(spark, dir).count()
     val wallMs = System.currentTimeMillis() - t0
     // merge job spans → time covered by at least one running job; the rest
     // of the wall is pure driver work (planning, FS metadata, scheduling)

@@ -329,8 +329,16 @@ object Dedup {
 
   // ---------------------------------------------------------------- minhash
 
-  /** Word k-shingles (lowercased), the MinHash input set. */
-  def shingles(text: Column, k: Int = 3): Column = {
+  /** Word k-shingles (lowercased), the MinHash input set — the compiled
+    * [[graft.functions.expr.WordShingles]] kernel (one pass, no interpreted
+    * transform/slice/concat per window; bit-identical to
+    * [[shinglesDeclarative]], equality-pinned in DedupSpec). */
+  def shingles(text: Column, k: Int = 3): Column =
+    call_function("word_shingles_distinct", text, lit(k))
+
+  /** The declarative reference implementation of [[shingles]] (interpreted
+    * higher-order pipeline) — kept for the kernel-equality spec. */
+  private[graft] def shinglesDeclarative(text: Column, k: Int = 3): Column = {
     val toks = TextAnalysis.tokens(lower(text))
     when(size(toks) >= k,
       array_distinct(transform(sequence(lit(0), size(toks) - k),
@@ -454,12 +462,13 @@ object Dedup {
                           idCol: String = "doc_id", shingleK: Int = 3,
                           minDocs: Int = 5): DataFrame = {
     // raw (NON-distinct) windows — occurrence counts need every repeat,
-    // unlike the MinHash set front end
-    val toks = TextAnalysis.tokens(lower(col(textCol)))
-    val raw = when(size(toks) >= shingleK,
-      transform(sequence(lit(0), size(toks) - shingleK),
-        i => concat_ws(" ", slice(toks, i + 1, lit(shingleK)))))
-      .otherwise(array(concat_ws(" ", toks)))
+    // unlike the MinHash set front end. Compiled WordShingles kernel: the
+    // declarative transform(slice → concat_ws) form is an interpreted
+    // CodegenFallback that re-copies k tokens per window (t29 measured
+    // ~5 s of task time in this one Project at sf0.1; the kernel builds
+    // each window once from token spans).
+    graft.GraftFunctions.register(docs.sparkSession)
+    val raw = call_function("word_shingles", col(textCol), lit(shingleK))
     docs.select(col(idCol), explode(raw).as("shingle"))
       .groupBy(col("shingle"), col(idCol))
       .agg(count(lit(1)).as("__occ"))

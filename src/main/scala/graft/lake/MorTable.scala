@@ -140,15 +140,28 @@ final class MorTable(
     * cache is purged wholesale by clean()/rollback() (the only operations
     * that delete dirs) and bounded by size. Pruned file-subset scans are
     * NOT cached (they vary per probe). */
-  @transient @volatile private var scanCache: Map[String, DataFrame] = Map.empty
+  // (cross-handle since r14: see MorTable.scanCacheG — fresh handles are
+  // the common case on the SQL/partitioned paths, and a per-handle cache
+  // made each of them re-pay the footer-inference job per dir)
+  private def scanCacheKey(dir: String): (Int, String) =
+    (System.identityHashCode(spark), MorTable.canonPath(dir))
 
-  private def scanDir(dir: String): DataFrame =
-    scanCache.getOrElse(dir, {
+  private def cacheScan(dir: String, df: DataFrame): Unit = {
+    if (MorTable.scanCacheG.size > 2048) MorTable.scanCacheG.clear()
+    MorTable.scanCacheG.put(scanCacheKey(dir), df)
+    ()
+  }
+
+  private def scanDir(dir: String): DataFrame = {
+    val k = scanCacheKey(dir)
+    val hit = MorTable.scanCacheG.get(k)
+    if (hit != null) hit
+    else {
       val df = spark.read.parquet(MorTable.globSafe(dir))
-      if (scanCache.size > 64) scanCache = Map.empty
-      scanCache += (dir -> df)
+      cacheScan(dir, df)
       df
-    })
+    }
+  }
 
   /** Parse cache: instant CONTENT by seq. One `listStatus` per operation
     * stays the source of truth (other handles/processes may have committed),
@@ -158,7 +171,12 @@ final class MorTable(
     * trips per op, the S3 metadata bottleneck at a 1-min commit cadence.
     * Now an op costs 1 list + reads only for instants it has never seen
     * (typically 0), and [[clean]] archival bounds the list itself. */
-  @transient @volatile private var instantCache: Map[Long, Instant] = Map.empty
+  // (cross-handle since r14, keyed (canonical table path, instant FILE
+  // name) — the file name pins seq AND kind, so a rollback-reclaimed seq of
+  // a different kind can never collide; same-kind reclaim is covered by the
+  // rollback purge. Consulted only for names in THIS listing, so deleted
+  // instants are never served.)
+  private def canonTablePath: String = MorTable.canonPath(path)
 
   /** All committed instants, ascending by seq. */
   def timeline(): Seq[Instant] = {
@@ -166,16 +184,18 @@ final class MorTable(
     val names =
       try { MorTable.timelineLists.incrementAndGet(); fs.listStatus(dir).toSeq.map(_.getPath.getName) }
       catch { case _: java.io.FileNotFoundException => return Seq.empty }
-    val cached = instantCache
-    val all = names.filter(instantFileRe.matcher(_).matches).map { n =>
-      val seq = n.takeWhile(_ != '.').toLong
-      cached.getOrElse(seq, {
+    val tp = canonTablePath
+    names.filter(instantFileRe.matcher(_).matches).map { n =>
+      val hit = MorTable.instantCacheG.get((tp, n))
+      if (hit != null) hit
+      else {
         MorTable.instantReads.incrementAndGet()
-        parseInstant(new String(readFully(fs, new Path(dir, n)), StandardCharsets.UTF_8))
-      })
+        val i = parseInstant(new String(readFully(fs, new Path(dir, n)), StandardCharsets.UTF_8))
+        if (MorTable.instantCacheG.size > 65536) MorTable.instantCacheG.clear()
+        MorTable.instantCacheG.put((tp, n), i)
+        i
+      }
     }.sortBy(_.seq)
-    instantCache = all.map(i => i.seq -> i).toMap
-    all
   }
 
   private val instantFileRe = java.util.regex.Pattern.compile("\\d+\\.[a-z]+\\.json")
@@ -253,7 +273,8 @@ final class MorTable(
     val out = fs.create(tmp, true)
     try out.write(i.toJson.getBytes(StandardCharsets.UTF_8)) finally out.close()
     if (!fs.rename(tmp, dst)) throw new java.io.IOException(s"commit rename failed: $dst")
-    instantCache += (i.seq -> i)
+    MorTable.instantCacheG.put((canonTablePath, instantFileName(i)), i)
+    ()
   }
 
   // ------------------------------------------------------- archived timeline
@@ -736,7 +757,7 @@ final class MorTable(
     // footer-inference job (carried files may be schema-narrower - the
     // explicit schema reads their missing columns as null, exactly the
     // allowMissingColumns contract)
-    schemaHint.foreach(sch => scanCache += (s"$path/base/$seq" ->
+    schemaHint.foreach(sch => cacheScan(s"$path/base/$seq",
       spark.read.schema(sch).parquet(MorTable.globSafe(s"$path/base/$seq"))))
     publishInstant(Instant(seq, "compact", -1L, System.currentTimeMillis(), unfolded))
     writeManifest(seq, dst)
@@ -1298,7 +1319,7 @@ final class MorTable(
     }
     // the writer knows the exact on-disk schema: register the commit dir's
     // relation so no later scan pays the footer-inference job (scanDir)
-    scanCache += (s"$path/delta/$seq" ->
+    cacheScan(s"$path/delta/$seq",
       spark.read.schema(out0.schema).parquet(MorTable.globSafe(s"$path/delta/$seq")))
     publishInstant(Instant(seq, "delta", batchId, now,
       insertOnly = insertOnly || firstCommit))
@@ -1736,34 +1757,43 @@ final class MorTable(
   // Both start from the LISTED base files (the ground truth): a file
   // without a stats verdict is conservatively kept, never dropped.
 
-  /** Parsed tiny manifest header, cached per seq (headers are immutable). */
-  @transient @volatile private var headerCache: Map[Long, MorTable.ManifestHeader] = Map.empty
-
-  private def manifestHeader(seq: Long): Option[MorTable.ManifestHeader] =
-    headerCache.get(seq).orElse {
+  /** Parsed tiny manifest header, cached per seq (headers are immutable;
+    * cross-handle since r14 — see MorTable.headerCacheG). */
+  private def manifestHeader(seq: Long): Option[MorTable.ManifestHeader] = {
+    val k = (canonTablePath, seq)
+    Option(MorTable.headerCacheG.get(k)).orElse {
       val p = new Path(hPath, s"manifest/$seq.json")
       if (!fs.exists(p)) None
       else {
         val h = MorTable.parseHeader(
           new String(readFully(fs, p), StandardCharsets.UTF_8))
-        h.foreach(hdr => headerCache += (seq -> hdr))
+        h.foreach { hdr =>
+          if (MorTable.headerCacheG.size > 16384) MorTable.headerCacheG.clear()
+          MorTable.headerCacheG.put(k, hdr)
+        }
         h
       }
     }
+  }
 
   /** Driver-side stats rows for a SMALL manifest (regime 1) — read via
-    * parquet-hadoop (no Spark job), cached per seq. */
-  @transient @volatile private var statsCache: Map[Long, Seq[MorTable.FileStat]] = Map.empty
-
-  private def driverStats(seq: Long, hdr: MorTable.ManifestHeader): Seq[MorTable.FileStat] =
-    statsCache.getOrElse(seq, {
+    * parquet-hadoop (no Spark job), cached per seq (cross-handle since r14;
+    * newest-only PER TABLE, the same memory bound as before). */
+  private def driverStats(seq: Long, hdr: MorTable.ManifestHeader): Seq[MorTable.FileStat] = {
+    val tp = canonTablePath
+    val k = (tp, seq)
+    val hit = MorTable.statsCacheG.get(k)
+    if (hit != null) hit
+    else {
       val loaded = MorTable.readStatsDriverSide(fs,
         new Path(hPath, s"manifest/stats/$seq"), hdr.statCols, hdr.indexCols,
         spark.sparkContext.hadoopConfiguration)
       MorTable.statsDriverRows.addAndGet(loaded.size)
-      statsCache = Map(seq -> loaded) // newest only; manifests are immutable
+      MorTable.statsCacheG.keySet.removeIf { case (p, s) => p == tp && s != seq }
+      MorTable.statsCacheG.put(k, loaded)
       loaded
-    })
+    }
+  }
 
   /** The stats relation as a DataFrame (regime 2) — through the
     * immutable-dir cache, so repeated probes of one manifest never re-pay
@@ -2673,9 +2703,7 @@ final class MorTable(
           }
           if (fs.exists(dir)) { fs.delete(dir, true); 1 } else 0
         }.sum
-        headerCache = headerCache -- old.map(_.seq)
-        statsCache = statsCache -- old.map(_.seq)
-        scanCache = Map.empty
+        MorTable.purgeCaches(canonTablePath)
         if (old.nonEmpty) {
           val ids = (archivedBatchIds ++ old.map(_.batchId).filter(_ >= 0)).toSeq.sorted
           val tmp = new Path(hPath, "timeline/._archived.tmp")
@@ -2687,7 +2715,6 @@ final class MorTable(
             throw new java.io.IOException(s"archive rename failed: $archivePath")
           archivedCache = ids.toSet
           old.foreach(i => fs.delete(new Path(hPath, s"timeline/${instantFileName(i)}"), false))
-          instantCache = instantCache -- old.map(_.seq)
         }
         removed
     }
@@ -2727,13 +2754,10 @@ final class MorTable(
       if (fs.exists(dir)) fs.delete(dir, true)
       ()
     }
-    headerCache = headerCache -- doomed.map(_.seq)
-    statsCache = statsCache -- doomed.map(_.seq)
-    scanCache = Map.empty
+    MorTable.purgeCaches(canonTablePath)
     // savepoints pinned above the target point at commits that no longer
     // exist — release them rather than leave dangling pins
     savepoints().collect { case (n, s) if s > toSeq => n }.foreach(releaseSavepoint)
-    instantCache = instantCache -- doomed.map(_.seq)
     doomed.size
   } }
 
@@ -2809,7 +2833,10 @@ final class MorTable(
   }
 
   /** S5 — drop the table (catalog + storage). */
-  def drop(): Unit = { fs.delete(hPath, true); () }
+  def drop(): Unit = {
+    fs.delete(hPath, true)
+    MorTable.purgeCaches(canonTablePath)
+  }
 }
 
 object MorTable {
@@ -2822,6 +2849,60 @@ object MorTable {
     * cost must not grow with timeline length). */
   private[lake] val timelineLists = new java.util.concurrent.atomic.AtomicLong
   private[lake] val instantReads = new java.util.concurrent.atomic.AtomicLong
+
+  // ------------------- cross-handle caches of IMMUTABLE published artifacts
+  //
+  // Published commit dirs, timeline instant files and manifest files never
+  // mutate in place — only clean()/rollback()/dropPartitions()/drop() delete
+  // them, and each of those purges the affected table's entries
+  // ([[purgeCaches]]). Keeping the caches PER-HANDLE made every freshly
+  // constructed handle re-pay the footer-inference job per commit dir and
+  // the instant/manifest JSON reads — and fresh handles are the COMMON case:
+  // [[PartitionedMorTable.child]] builds one per call, the SQL route builds
+  // a MorRelation (→ new MorTable) per query, procedures per CALL. Measured
+  // on s13_mor_partitioned: 10 footer-inference jobs and ~7 s of driver-only
+  // wall per entry run, most of it these re-reads (guide §5 "the driver
+  // should do almost no data work", §6 file-listing cost).
+  //
+  // Soundness: identical to the old per-handle caches —
+  //  - instants: consulted only for file names returned by THIS operation's
+  //    fresh listing, so a deleted instant is never served; content per name
+  //    is immutable (seqs are only reclaimed after rollback, which purges).
+  //  - scan relations: keyed by (session, dir); dirs are immutable until a
+  //    purge-site deletes them.
+  //  - headers/stats: manifest/<seq>.json is immutable per seq modulo
+  //    rollback (purged).
+  // Bounds: coarse size caps with wholesale clear, as before (a cleared
+  // cache only costs re-reads).
+  private[lake] val scanCacheG =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+  private[lake] val instantCacheG =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Instant]()
+  private[lake] val headerCacheG =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), ManifestHeader]()
+  private[lake] val statsCacheG =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Seq[FileStat]]()
+
+  /** Canonical path form for cache keys and purge matching: a catalog
+    * table's location round-trips as a `file:/…` URI while engine handles
+    * use the raw `/…` form (the CLAUDE.md three-encodings family) — without
+    * canonicalization a purge under one form would strand entries cached
+    * under the other. */
+  private[lake] def canonPath(p: String): String = new Path(p).toUri.getPath
+
+  /** Drop every cached artifact of the table at `path` (and, because the
+    * match is prefix-based, of its partition children) — called by every
+    * operation that deletes published dirs/files. Callers pass the
+    * CANONICAL path ([[canonPath]]). */
+  private[lake] def purgeCaches(path: String): Unit = {
+    val pfx = path + "/"
+    def matches(p: String): Boolean = p == path || p.startsWith(pfx)
+    scanCacheG.keySet.removeIf { case (_, d) => matches(d) }
+    instantCacheG.keySet.removeIf { case (p, _) => matches(p) }
+    headerCacheG.keySet.removeIf { case (p, _) => matches(p) }
+    statsCacheG.keySet.removeIf { case (p, _) => matches(p) }
+    ()
+  }
 
   /** Regime threshold for the sharded manifest: stats of manifests with
     * at most this many base files are read driver-side (bounded, cached);

@@ -67,11 +67,20 @@ final class PartitionedMorTable(
     * service writes (child-side compaction, z-order clustering) honor the
     * same file-count declaration as the parent's batched staged writes. */
   def child(value: String): MorTable = {
-    val t = new MorTable(spark, new Path(hPath, s"p=$value").toString, keyCols,
-      compactionDeltaCommits, compactionDeltaSeconds, autoCompact,
-      writePartitions)
+    // memoized per value: parChildren builds handles per CALL, and a fresh
+    // handle re-derives per-handle state (archived-batch cache, inherited
+    // stats/index columns) each time — the commit-dir/instant caches are
+    // cross-handle (MorTable.scanCacheG family) but handle construction
+    // itself is not free at a per-op fan-out of O(partitions)
+    val t = childHandles.computeIfAbsent(value, v =>
+      new MorTable(spark, new Path(hPath, s"p=$v").toString, keyCols,
+        compactionDeltaCommits, compactionDeltaSeconds, autoCompact,
+        writePartitions))
     if (idxCols.nonEmpty) t.indexColumns(idxCols) else t
   }
+
+  @transient private lazy val childHandles =
+    new java.util.concurrent.ConcurrentHashMap[String, MorTable]()
 
   /** Declared secondary bloom-index columns, forwarded to every child
     * handle so each child's NEXT compaction publishes the per-file
@@ -1384,7 +1393,11 @@ final class PartitionedMorTable(
       require(busy.isEmpty,
         s"dropPartitions: writer(s) mid-publish on $path (${busy.mkString(", ")}) — " +
           "quiesce writers first")
-      victims.foreach { v => fs.delete(new Path(hPath, s"p=$v"), true); () }
+      victims.foreach { v =>
+        fs.delete(new Path(hPath, s"p=$v"), true)
+        childHandles.remove(v)
+        MorTable.purgeCaches(MorTable.canonPath(new Path(hPath, s"p=$v").toString))
+      }
       val token = nextToken("drop")
       writeParentInstant(MorTable.Instant(token, "drop", -1L,
         System.currentTimeMillis()))
@@ -1777,7 +1790,12 @@ final class PartitionedMorTable(
     var rolled = 0
     partitions().foreach { v =>
       if (saved.contains(v)) rolled += child(v).restore(name)
-      else { fs.delete(new Path(hPath, s"p=$v"), true); rolled += 1 }
+      else {
+        fs.delete(new Path(hPath, s"p=$v"), true)
+        childHandles.remove(v)
+        MorTable.purgeCaches(MorTable.canonPath(new Path(hPath, s"p=$v").toString))
+        rolled += 1
+      }
     }
     val doomed = parentTimeline().filter(_.seq > token)
     doomed.reverse.foreach { i =>
@@ -1798,7 +1816,11 @@ final class PartitionedMorTable(
   }
 
   /** Drop table (all partitions). */
-  def drop(): Unit = { fs.delete(hPath, true); () }
+  def drop(): Unit = {
+    fs.delete(hPath, true)
+    childHandles.clear()
+    MorTable.purgeCaches(MorTable.canonPath(path))
+  }
 }
 
 object PartitionedMorTable {

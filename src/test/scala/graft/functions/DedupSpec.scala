@@ -36,6 +36,41 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("word_shingles kernel == declarative reference (raw + distinct), codegen covered") {
+    graft.GraftFunctions.register(spark)
+    // real corpus + hand-picked degenerates (empty, whitespace-only, <k
+    // tokens, mixed \s classes, uppercase, repeated windows)
+    val docs = graft.Tables.documents(spark, TestSpark.sfDir).limit(200)
+      .select(col("text"))
+      .unionByName(Seq("", "   ", "\t\n", "one", "one two", "AB\fC\rD",
+        "UPPER lower MiXeD case", "a b a b a b a b").toDF("text"))
+    // declarative raw form (the t29 reference shape)
+    val toks = graft.functions.TextAnalysis.tokens(lower(col("text")))
+    val rawRef = when(size(toks) >= 3,
+      transform(sequence(lit(0), size(toks) - 3),
+        i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
+      .otherwise(array(concat_ws(" ", toks)))
+    val cmp = docs.select(
+      call_function("word_shingles", col("text"), lit(3)).as("k_raw"),
+      rawRef.as("r_raw"),
+      call_function("word_shingles_distinct", col("text"), lit(3)).as("k_dst"),
+      Dedup.shinglesDeclarative(col("text"), 3).as("r_dst"))
+    val bad = cmp.filter(col("k_raw") =!= col("r_raw") ||
+      col("k_dst") =!= col("r_dst")).count()
+    assert(bad == 0, "kernel must be bit-identical to the declarative form")
+    // stays inside whole-stage codegen (the point of the kernel) — checked
+    // on a real scan; the union's literal branch folds to a LocalTableScan
+    // whose projection never codegens regardless of the expression
+    val df = graft.Tables.documents(spark, TestSpark.sfDir).limit(10)
+      .selectExpr("word_shingles(text, 3) AS s")
+    val covered = df.queryExecution.executedPlan.exists {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec =>
+        w.toString().contains("word_shingles")
+      case _ => false
+    }
+    assert(covered, s"word_shingles fell out of codegen:\n${df.queryExecution.executedPlan}")
+  }
+
   test("long-domain bloom: no false negatives, OR-merge law, probe codegen") {
     graft.GraftFunctions.register(spark)
     // SQL-built filter over array input == scalar replay of the same sets
