@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions.call_function
-import graft.functions.expr.{BloomAny64, C4Rules, CmsAgg, CosineSimilarity, HistAgg, HllAgg, KeyBloomAgg, KeyBloomContains, KeyBloomContainsAny, LangId, LongBloomAgg, LshBuckets, LshBucketsMd5, MinHashAgg, MinHashBands, MinHashSignature, MinHashMd5, NearestCells, PqEncode, Quantize127, ShingleHashes, TextQuality, UnicodeClean, GopherMetrics, GopherNgrams, DedupLines, SigOverlap, SimHashChunks, SimHashMd5, TokenHashes, TopKRowsAgg, WordShingles}
+import graft.functions.expr.{BloomAny64, C4Rules, CmsAgg, CosineSimilarity, HistAgg, HllAgg, KeyBloomAgg, KeyBloomContains, KeyBloomContainsAny, LangId, LongBloomAgg, LshBuckets, LshBucketsMd5, MinHashAgg, MinHashBands, MinHashSignature, MinHashMd5, NearestCells, PqEncode, Quantize127, ShingleHashes, TextQuality, UnicodeClean, GopherMetrics, GopherNgrams, DedupLines, SigOverlap, SimHashChunks, SimHashMd5, TokenHashes, TopKRowsAgg, WordShingles, MmrSelect}
 
 /** Engine extension wiring.
   *
@@ -59,6 +59,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => WordShingles(exprs.head, exprs(1))))
     ext.injectFunction((FunctionIdentifier("word_shingles_distinct"), WordShingles.infoDistinct,
       exprs => WordShingles(exprs.head, exprs(1), distinct = true)))
+    ext.injectFunction((FunctionIdentifier("mmr_select"), MmrSelect.info,
+      exprs => MmrSelect(exprs.head, exprs(1), exprs(2))))
     ext.injectFunction((FunctionIdentifier("token_hashes"), TokenHashes.info,
       exprs => TokenHashes(exprs.head)))
     ext.injectFunction((FunctionIdentifier("minhash_md5"), MinHashMd5.info,
@@ -193,6 +195,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("word_shingles_distinct"), WordShingles.infoDistinct,
       exprs => WordShingles(exprs.head, exprs(1), distinct = true))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("mmr_select"), MmrSelect.info,
+      exprs => MmrSelect(exprs.head, exprs(1), exprs(2)))
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("token_hashes"), TokenHashes.info,
       exprs => TokenHashes(exprs.head))

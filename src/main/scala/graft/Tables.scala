@@ -17,8 +17,22 @@ import org.apache.spark.sql.functions._
   * applies on its side of the hash compare.
   */
 object Tables {
+  /** Relation cache for the READ-ONLY driver testdata files: building
+    * `spark.read.parquet(file)` pays a footer-inference job per CALL, and
+    * a full gate sweep loads the same ten immutable files a few hundred
+    * times (~0.1–0.4 s of pure driver/job overhead per entry — the same
+    * cost class MorTable's commit-dir cache removes for lake dirs; at
+    * scale this is what a catalog's cached schema does). Keyed by session
+    * identity + path; the testdata never mutates, so entries cannot go
+    * stale. This caches the RELATION (schema + file index) only — every
+    * query still scans the parquet. */
+  private val relCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    relCache.computeIfAbsent(
+      (System.identityHashCode(spark), s"$dir/$name.parquet"),
+      k => spark.read.parquet(k._2))
 
   /** Normalize a raw events frame (batch OR streaming) of either vintage:
     * `ts` (nanos long | timestamp) → `ts_ns` (epoch-nanos long, same column

@@ -58,14 +58,41 @@ object Similarity {
     * Shape at 100 TB: the corpus is touched once by the candidate
     * generator (swap [[ivfTopK]]'s bucketed candidates in for the exact
     * scan — the greedy logic is unchanged); everything after is
-    * queries×kCand-sized. The k−1 greedy rounds are DataFrame joins over
-    * those tiny relations — the selection never visits the driver, and
-    * each round localCheckpoints so plans stay constant-size (the
-    * iterative-algorithm rule). Pairwise candidate similarities are
-    * computed ONCE (kCand² per query) before the loop, not per round. */
+    * queries×kCand-sized. The greedy selection runs as ONE compiled
+    * per-group loop (`mmr_select`) over each query's collected candidate
+    * and pairwise-sim lists — work per group is O(k·kCand²), groups
+    * shuffle once. (The k−1-round DataFrame formulation is kept as
+    * [[mmrRerankLoop]], the equality-pinned reference: per round it paid
+    * a max-sim agg, two joins, a rank window and an eager checkpoint over
+    * kCand²-bounded relations — round-trip latency, not bytes.) Pairwise
+    * candidate similarities are computed ONCE (kCand² per query). */
   def mmrRerank(emb: DataFrame, queries: DataFrame, k: Int = 5,
                 kCand: Int = 20, idCol: String = "vec_id",
                 vecCol: String = "embedding"): DataFrame = {
+    val (cand, pairs) = mmrInputs(emb, queries, kCand, idCol, vecCol)
+    val candAgg = cand.groupBy("query_id")
+      .agg(collect_list(struct(col("doc_id"), col("rel_u"))).as("__cs"))
+    val pairAgg = pairs.groupBy("query_id")
+      .agg(collect_list(struct(col("a"), col("b"), col("sim_u"))).as("__ps"))
+    candAgg
+      // left: a query whose candidate set is a singleton has no pairs but
+      // still emits its step-1 pick (the loop's union-of-step-1 behavior)
+      .join(pairAgg, Seq("query_id"), "left")
+      .select(col("query_id"), explode(call_function("mmr_select", col("__cs"),
+        coalesce(col("__ps"), array().cast("array<struct<a:bigint,b:bigint,sim_u:bigint>>")),
+        lit(k))).as("__sel"))
+      .select(col("query_id"), col("__sel.doc_id").as("doc_id"),
+        col("__sel.step").as("step"), col("__sel.mmr_u").as("mmr_u"))
+  }
+
+  /** Candidate and pairwise-similarity relations shared by [[mmrRerank]]
+    * and its reference loop: per query the top-`kCand` candidates with
+    * integer relevance, and all directed candidate pairs with integer
+    * cosine. `cand` is pinned (read by both the pair join and the
+    * aggregation); `pairs` is consumed once per formulation. */
+  private[graft] def mmrInputs(emb: DataFrame, queries: DataFrame, kCand: Int,
+                               idCol: String = "vec_id",
+                               vecCol: String = "embedding"): (DataFrame, DataFrame) = {
     registerOn(emb)
     val cand = bruteForceTopK(emb, queries, kCand, idCol, vecCol)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
@@ -81,7 +108,13 @@ object Similarity {
       .filter(col("a") =!= col("b"))
       .select(col("query_id"), col("a"), col("b"),
         round(cosF(col("__va"), col("__vb")) * lit(1e6)).cast("long").as("sim_u"))
-      .localCheckpoint(true)
+    (cand, pairs)
+  }
+
+  /** The k-round DataFrame formulation of [[mmrRerank]]'s greedy selection —
+    * the reference implementation the compiled `mmr_select` kernel is
+    * equality-tested against (SimilaritySpec). */
+  private[graft] def mmrRerankLoop(cand: DataFrame, pairs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("mmr_u").desc, col("doc_id"))
     var selected = cand

@@ -44,18 +44,28 @@ case class MinHashMd5(left: Expression, right: Expression)
     val k = kAny.asInstanceOf[Int]
     val text = textAny.asInstanceOf[UTF8String].toLowerCase.toString
     val words = text.split("\\s+").filter(_.nonEmpty)
-    val shingles: Seq[String] =
-      if (words.length >= 3) (0 to words.length - 3).map(i => s"${words(i)} ${words(i + 1)} ${words(i + 2)}")
-      else Seq(words.mkString(" "))
+    // DISTINCT shingles before hashing — min over a multiset equals min
+    // over its set, and k md5 digests per repeated window were the row's
+    // dominant cost on boilerplate-heavy docs (same digests, fewer calls)
+    val shingles = new java.util.LinkedHashSet[String]()
+    if (words.length >= 3) {
+      var i = 0
+      while (i <= words.length - 3) {
+        shingles.add(s"${words(i)} ${words(i + 1)} ${words(i + 2)}"): Unit
+        i += 1
+      }
+    } else shingles.add(words.mkString(" ")): Unit
     val md = java.security.MessageDigest.getInstance("MD5")
+    val suffixes = MinHashMd5.suffixBytes(k)
     val mins = Array.fill(k)(Long.MaxValue)
-    shingles.foreach { s =>
-      val sb = s.getBytes("UTF-8")
+    val it = shingles.iterator()
+    while (it.hasNext) {
+      val sb = it.next().getBytes("UTF-8")
       var i = 0
       while (i < k) {
         md.reset()
         md.update(sb)
-        md.update(s"#$i".getBytes("UTF-8"))
+        md.update(suffixes(i))
         val d = md.digest()
         val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
           ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
@@ -83,4 +93,12 @@ case class MinHashMd5(left: Expression, right: Expression)
 
 object MinHashMd5 {
   val info: ExpressionInfo = new ExpressionInfo(classOf[MinHashMd5].getName, "minhash_md5")
+
+  /** Cached `"#i"` suffix bytes per family width — previously re-built
+    * (string format + encode) once per shingle per component. */
+  private val suffixCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Byte]]]()
+  private[expr] def suffixBytes(k: Int): Array[Array[Byte]] =
+    suffixCache.computeIfAbsent(k,
+      kk => Array.tabulate(kk)(i => s"#$i".getBytes("UTF-8")))
 }

@@ -36,7 +36,14 @@ case class SimHashMd5(child: Expression)
     val text = textAny.asInstanceOf[UTF8String].toLowerCase.toString
     val md = java.security.MessageDigest.getInstance("MD5")
     val sums = new Array[Int](64)
+    // one digest per DISTINCT token, weighted by its count — n identical
+    // tokens contribute n × the same ±1 vector, so counting first gives the
+    // same sums with far fewer md5 calls on natural (Zipf-heavy) text
+    val counts = new java.util.HashMap[String, Int]()
     text.split("\\s+").iterator.filter(_.nonEmpty).foreach { tok =>
+      counts.merge(tok, 1, Integer.sum): Unit
+    }
+    counts.forEach { (tok, n) =>
       md.reset()
       val d = md.digest(tok.getBytes("UTF-8"))
       var h = 0L
@@ -44,7 +51,7 @@ case class SimHashMd5(child: Expression)
       while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
       var j = 0
       while (j < 64) {
-        if (((h >>> j) & 1L) == 1L) sums(j) += 1 else sums(j) -= 1
+        if (((h >>> j) & 1L) == 1L) sums(j) += n else sums(j) -= n
         j += 1
       }
     }

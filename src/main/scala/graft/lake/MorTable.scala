@@ -708,7 +708,8 @@ final class MorTable(
     * [[PartitionedMorTable]] commits — ONE staged cluster write for the
     * whole batch, then per-partition metadata-only adoption. */
   private[lake] def adoptDelta(src: Path, batchId: Long,
-                               insertOnly: Boolean = false): Unit = synchronized {
+                               insertOnly: Boolean = false,
+                               schemaHint: Option[org.apache.spark.sql.types.StructType] = None): Unit = synchronized {
     if (isCommitted(batchId)) { fs.delete(src, true); return } // replay no-op
     // same first-commit rule as commitDelta: nothing to collide with
     val firstCommit = timeline().isEmpty && inflightDeltaSeqs().isEmpty
@@ -716,6 +717,11 @@ final class MorTable(
     val dst = new Path(hPath, s"delta/$seq")
     fs.mkdirs(dst.getParent)
     if (!fs.rename(src, dst)) throw new java.io.IOException(s"delta adopt rename failed: $dst")
+    // the stager knows the written schema (commitDelta's rule): register
+    // the relation so no later snapshot read pays a footer-inference job —
+    // measured 1 job per child per staged commit on the partitioned replays
+    schemaHint.foreach(sch => cacheScan(s"$path/delta/$seq",
+      spark.read.schema(sch).parquet(MorTable.globSafe(s"$path/delta/$seq"))))
     publishInstant(Instant(seq, "delta", batchId, System.currentTimeMillis(),
       insertOnly = insertOnly || firstCommit))
     // compaction is the parent's job (it batches all due partitions into one
@@ -2897,7 +2903,9 @@ object MorTable {
   private[lake] def purgeCaches(path: String): Unit = {
     val pfx = path + "/"
     def matches(p: String): Boolean = p == path || p.startsWith(pfx)
-    scanCacheG.keySet.removeIf { case (_, d) => matches(d) }
+    // scan keys: single dirs (prefix match) AND the partitioned multi-dir
+    // sets ("|"-joined) — containment over-purges at worst (benign re-read)
+    scanCacheG.keySet.removeIf { case (_, d) => matches(d) || d.contains(path) }
     instantCacheG.keySet.removeIf { case (p, _) => matches(p) }
     headerCacheG.keySet.removeIf { case (p, _) => matches(p) }
     statsCacheG.keySet.removeIf { case (p, _) => matches(p) }

@@ -400,7 +400,8 @@ final class PartitionedMorTable(
             s"violated by $bad row(s) — partitioned commit $token refused")
       }
     }
-    adoptStaged(stagingDir, batchId)
+    adoptStaged(stagingDir, batchId,
+      schemaHint = Some(staged.drop("__p").schema))
     writeParentInstant(MorTable.Instant(token, "delta", batchId, now))
     }
     if (autoCompact) { maybeCompact(); () }
@@ -412,13 +413,15 @@ final class PartitionedMorTable(
     * `provenNew` children get the insert-only flag on their instant
     * ([[upsertIfNew]]'s per-partition proof). */
   private def adoptStaged(stagingDir: Path, batchId: Long,
-                          provenNew: Set[String] = Set.empty): Unit = {
+                          provenNew: Set[String] = Set.empty,
+                          schemaHint: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
     if (fs.exists(stagingDir)) {
       fs.listStatus(stagingDir).toSeq.map(_.getPath)
         .filter(_.getName.startsWith("__p=")).foreach { p =>
           val value = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
             .unescapePathName(p.getName.stripPrefix("__p="))
-          child(value).adoptDelta(p, batchId, insertOnly = provenNew(value))
+          child(value).adoptDelta(p, batchId, insertOnly = provenNew(value),
+            schemaHint = schemaHint)
         }
       fs.delete(stagingDir, true)
     }
@@ -526,7 +529,8 @@ final class PartitionedMorTable(
       .filterNot(bootDowngrade).toSet
     val stagingDir = new Path(hPath, s".staging/$token")
     staged.write.partitionBy("__p").mode("overwrite").parquet(stagingDir.toString)
-    adoptStaged(stagingDir, batchId, proven)
+    adoptStaged(stagingDir, batchId, proven,
+      schemaHint = Some(staged.drop("__p").schema))
     writeParentInstant(MorTable.Instant(token, "delta", batchId, now))
     stats.map(r => r.getString(0) -> proven(r.getString(0))).toMap
     }
@@ -635,7 +639,8 @@ final class PartitionedMorTable(
       .withColumn("__p", col(partitionCol).cast("string"))
     val stagingDir = new Path(hPath, s".staging/$token")
     staged.write.partitionBy("__p").mode("overwrite").parquet(stagingDir.toString)
-    adoptStaged(stagingDir, batchId)
+    adoptStaged(stagingDir, batchId,
+      schemaHint = Some(staged.drop("__p").schema))
     writeParentInstant(MorTable.Instant(token, "delta", batchId, now))
     }
     if (autoCompact) { maybeCompact(); () }
@@ -663,7 +668,8 @@ final class PartitionedMorTable(
       .withColumn("__p", col(partitionCol).cast("string"))
     val stagingDir = new Path(hPath, s".staging/$token")
     staged.write.partitionBy("__p").mode("overwrite").parquet(stagingDir.toString)
-    adoptStaged(stagingDir, batchId)
+    adoptStaged(stagingDir, batchId,
+      schemaHint = Some(staged.drop("__p").schema))
     writeParentInstant(MorTable.Instant(token, "delete", batchId, now))
     }
     this
@@ -697,9 +703,24 @@ final class PartitionedMorTable(
   }
 
   /** One scan over many commit dirs; mergeSchema covers narrow commits
-    * (staged deletes write key+meta-only tombstone rows). */
-  private def scanDirs(dirs: Seq[String]): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(MorTable.globSafe(dirs): _*)
+    * (staged deletes write key+meta-only tombstone rows). Cached per
+    * exact dir SET (commit dirs are immutable; the set changes only when
+    * a commit lands, which keys a different entry) — the mergeSchema
+    * footer pass is a job per call otherwise. Purge-by-containment in
+    * [[MorTable.purgeCaches]] covers these multi-dir keys. */
+  private def scanDirs(dirs: Seq[String]): DataFrame = {
+    val key = (System.identityHashCode(spark),
+      dirs.map(MorTable.canonPath).sorted.mkString("|"))
+    val hit = MorTable.scanCacheG.get(key)
+    if (hit != null) hit
+    else {
+      val df = spark.read.option("mergeSchema", "true")
+        .parquet(MorTable.globSafe(dirs): _*)
+      if (MorTable.scanCacheG.size > 2048) MorTable.scanCacheG.clear()
+      MorTable.scanCacheG.put(key, df)
+      df
+    }
+  }
 
   /** Table-global last-write-wins: `_commit_seqno` is the parent token. */
   private def lwwLatest(df: DataFrame): DataFrame = {

@@ -11,6 +11,25 @@ class SimilaritySpec extends AnyFunSuite {
   private lazy val emb = graft.Tables.embeddings(spark, TestSpark.sfDir).cache()
   private lazy val queries = emb.filter($"vec_id" < 5)
 
+  test("mmr_select kernel == k-round DataFrame loop (same inputs, bit-identical)") {
+    graft.GraftFunctions.register(spark)
+    // real corpus inputs + the synthetic flip corpus; compare full rows
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "doc_id", "step", "mmr_u")
+      .collect().map(_.toSeq).toSet
+    val (cand, pairs) = Similarity.mmrInputs(emb, queries, kCand = 20)
+    val kernel = Similarity.mmrRerank(emb, queries, k = 5, kCand = 20)
+    val loop = Similarity.mmrRerankLoop(cand, pairs, k = 5)
+    assert(rowsOf(kernel) == rowsOf(loop),
+      "compiled greedy selection must equal the k-round loop")
+    // k larger than the candidate pool: both stop at pool exhaustion
+    val tiny = emb.filter($"vec_id" < 4)
+    val (c2, p2) = Similarity.mmrInputs(tiny, tiny.filter($"vec_id" === 0), kCand = 3)
+    assert(rowsOf(Similarity.mmrRerank(tiny, tiny.filter($"vec_id" === 0),
+        k = 9, kCand = 3)) ==
+      rowsOf(Similarity.mmrRerankLoop(c2, p2, k = 9)))
+  }
+
   test("mmrRerank: diversity flips the greedy pick; deterministic under repartition") {
     // q=(1,0,0,0); a,b near-duplicates at rel≈0.707/0.702; c diverse at
     // rel≈0.697. Pure relevance ranks (a, b, c); MMR's step 2 must take
