@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions.call_function
-import graft.functions.expr.{BloomAny64, C4Rules, CmsAgg, CosineSimilarity, HistAgg, HllAgg, KeyBloomAgg, KeyBloomContains, KeyBloomContainsAny, LangId, LongBloomAgg, LshBuckets, LshBucketsMd5, MinHashAgg, MinHashBands, MinHashSignature, MinHashMd5, NearestCells, PqEncode, Quantize127, ShingleHashes, TextQuality, UnicodeClean, GopherMetrics, GopherNgrams, DedupLines, SigOverlap, SimHashChunks, SimHashMd5, TokenHashes, TopKRowsAgg, WordShingles, MmrSelect}
+import graft.functions.expr.{BloomAny64, C4Rules, CmsAgg, CosineSimilarity, HistAgg, HllAgg, KeyBloomAgg, KeyBloomContains, KeyBloomContainsAny, LangId, LongBloomAgg, LshBuckets, LshBucketsMd5, MinHashAgg, MinHashBands, MinHashSignature, MinHashMd5, NearestCells, PqEncode, Quantize127, ShingleHashes, TextQuality, UnicodeClean, GopherMetrics, GopherNgrams, DedupLines, SigOverlap, SigMatches, SimHashChunks, SimHashMd5, TokenHashes, TopKRowsAgg, WordShingles, MmrSelect}
 
 /** Engine extension wiring.
   *
@@ -49,6 +49,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => MinHashBands(exprs.head, exprs(1))))
     ext.injectFunction((FunctionIdentifier("sig_overlap"), SigOverlap.info,
       exprs => SigOverlap(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("sig_matches"), SigMatches.info,
+      exprs => SigMatches(exprs.head, exprs(1))))
     ext.injectFunction((FunctionIdentifier("shingle_hashes"), ShingleHashes.info,
       exprs => ShingleHashes(exprs.head, exprs(1))))
     ext.injectFunction((FunctionIdentifier("shingle_hashes64"), ShingleHashes.info64,
@@ -180,6 +182,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("sig_overlap"), SigOverlap.info,
       exprs => SigOverlap(exprs.head, exprs(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("sig_matches"), SigMatches.info,
+      exprs => SigMatches(exprs.head, exprs(1)))
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("shingle_hashes"), ShingleHashes.info,
       exprs => ShingleHashes(exprs.head, exprs(1)))

@@ -200,6 +200,9 @@ object Dedup {
   def decontaminatePortable(corpus: DataFrame, benchmark: DataFrame,
                             textCol: String = "text", idCol: String = "doc_id",
                             shingleK: Int = 3, minShared: Int = 3): DataFrame = {
+    // shingles() resolves the registered word_shingles_distinct function —
+    // register here so the builder works on sessions without GraftExtensions
+    graft.GraftFunctions.register(corpus.sparkSession)
     def stringed(df: DataFrame, cols: Column*) = df.select(
       (cols :+ explode(shingles(col(textCol), shingleK)).as("__s")): _*)
     sharedShingleCounts(stringed(corpus, col(idCol)), stringed(benchmark),
@@ -332,7 +335,11 @@ object Dedup {
   /** Word k-shingles (lowercased), the MinHash input set — the compiled
     * [[graft.functions.expr.WordShingles]] kernel (one pass, no interpreted
     * transform/slice/concat per window; bit-identical to
-    * [[shinglesDeclarative]], equality-pinned in DedupSpec). */
+    * [[shinglesDeclarative]], equality-pinned in DedupSpec).
+    *
+    * Requires `word_shingles_distinct` to be registered on the session
+    * (GraftExtensions, or call [[graft.GraftFunctions.register]] first —
+    * the DataFrame-level builders here do so). */
   def shingles(text: Column, k: Int = 3): Column =
     call_function("word_shingles_distinct", text, lit(k))
 
@@ -520,6 +527,9 @@ object Dedup {
   def ngramJaccard(pairs: DataFrame, docs: DataFrame,
                    textCol: String = "text", idCol: String = "doc_id",
                    shingleK: Int = 3): DataFrame = {
+    // shingles() resolves the registered word_shingles_distinct function —
+    // register here so the builder works on sessions without GraftExtensions
+    graft.GraftFunctions.register(docs.sparkSession)
     val sh = docs.select(col(idCol), shingles(col(textCol), shingleK).as("sh"))
     pairs
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")

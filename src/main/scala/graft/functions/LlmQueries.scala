@@ -71,10 +71,10 @@ object LlmQueries {
     a.join(b, Seq("band", "bk"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(first("sa").as("sa"), first("sb").as("sb"))
+      // compiled per-pair match count (sig_matches) — the interpreted
+      // aggregate-over-zip_with form allocated an array per candidate pair
       .select(col("id_a"), col("id_b"),
-        aggregate(zip_with(col("sa"), col("sb"),
-          (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (s, x) => s + x)
-          .as("n_match"))
+        call_function("sig_matches", col("sa"), col("sb")).as("n_match"))
       .filter(col("n_match") >= 4)
   }
 
@@ -297,15 +297,18 @@ object LlmQueries {
     * shingle array is consumed exactly ONCE (array_distinct) — the
     * CollapseProject re-inlining trap this repo's rules call out. */
   def repetitionRatio(spark: SparkSession, dir: String): DataFrame = {
-    val toks = TextAnalysis.tokens(lower(col("text")))
-    val sh = when(size(toks) >= 3,
-      transform(sequence(lit(0), size(toks) - 3),
-        i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
-      .otherwise(array(concat_ws(" ", toks)))
-    val nSh = when(size(toks) >= 3, size(toks) - lit(2)).otherwise(lit(1))
+    // compiled one-pass distinct-shingle kernel — size(array_distinct(sh))
+    // over the interpreted transform(sequence→slice→concat_ws) ladder is
+    // exactly size(word_shingles_distinct(text, 3)) (equality pinned in
+    // DedupSpec, incl. <k-token, empty and NULL degenerates); the token
+    // count for the denominator needs no lowercasing (case preserves count)
+    graft.GraftFunctions.register(spark)
+    val nTok = TextAnalysis.tokenCount(col("text"))
+    val nSh = when(nTok >= 3, nTok - lit(2)).otherwise(lit(1))
     Tables.documents(spark, dir).select(col("doc_id"),
-      round(lit(1.0) - size(array_distinct(sh)).cast("double") /
-        greatest(nSh, lit(1)), 6).as("rep_ratio"))
+      round(lit(1.0) -
+        size(call_function("word_shingles_distinct", col("text"), lit(3)))
+          .cast("double") / greatest(nSh, lit(1)), 6).as("rep_ratio"))
   }
 
   /** Per-label mean embedding (class centroids): map-side posexplode
@@ -506,8 +509,9 @@ object LlmQueries {
     val a = sigs.select(col("source").as("src_a"), col("gsig").as("ga"))
     val b = sigs.select(col("source").as("src_b"), col("gsig").as("gb"))
     a.join(b, col("src_a") < col("src_b"))
+      // compiled sig_overlap == estJaccard on equal-length sigs (eq / 64)
       .select(col("src_a"), col("src_b"),
-        round(Dedup.estJaccard(col("ga"), col("gb")), 6).as("est_jaccard"))
+        round(call_function("sig_overlap", col("ga"), col("gb")), 6).as("est_jaccard"))
   }
 
   /** Unigram log-prob quality scoring, oracle-checked (see

@@ -137,3 +137,52 @@ object SigOverlap {
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[SigOverlap].getName, "sig_overlap")
 }
+
+/** Count of equal components between two equal-length long arrays — the
+  * integer form of [[SigOverlap]] for consumers whose output is the match
+  * COUNT (d8's `n_match >= 4` band filter). Same compiled per-pair loop;
+  * replaces an interpreted aggregate-over-zip_with ladder that allocated
+  * an intermediate array per candidate pair.
+  */
+case class SigMatches(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"sig_matches expects (array<bigint>, array<bigint>), got " +
+        s"(${l.simpleString}, ${r.simpleString})")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sig_matches"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var eq = 0L; var i = 0
+    while (i < n) { if (x.getLong(i) == y.getLong(i)) eq += 1; i += 1 }
+    eq
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${ev.value} = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) ${ev.value}++;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SigMatches =
+    copy(left = newLeft, right = newRight)
+}
+
+object SigMatches {
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[SigMatches].getName, "sig_matches")
+}

@@ -97,7 +97,11 @@ case class MmrSelect(first: Expression, second: Expression, third: Expression)
       i += 1
     }
     val selected = new Array[Boolean](n)
-    val outDoc = new Array[Long](math.min(k, n))
+    // k <= 0 still emits the step-1 pick: the reference loop
+    // (Similarity.mmrRerankLoop) unconditionally selects step 1 and only
+    // iterates steps 2..k, so sizing by k alone would both crash (write to
+    // a 0-length array) and diverge from the pinned equality semantics.
+    val outDoc = new Array[Long](math.min(math.max(k, 1), n))
     val outStep = new Array[Long](outDoc.length)
     val outMmr = new Array[Long](outDoc.length)
     var picked = 0

@@ -1,8 +1,10 @@
 package graft.functions.expr
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -113,11 +115,46 @@ case class WordShingles(left: Expression, right: Expression,
   def compute(text: AnyRef, k: Int): ArrayData =
     nullSafeEval(text, k).asInstanceOf[ArrayData]
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (t, kk) => {
-      val ref = ctx.addReferenceObj("wordShingles", this, classOf[WordShingles].getName)
-      s"${ev.value} = $ref.compute($t, $kk);"
-    })
+  // NULL text behaves as "" (→ one empty shingle): the declarative
+  // reference's otherwise-branch `array(concat_ws(" ", toks))` skips the
+  // NULL and yields [""], so a null-INTOLERANT eval here would silently
+  // drop NULL-text rows from explode() consumers that previously counted
+  // them. Only a NULL k (never the case for the literal-k SQL surface)
+  // makes the result NULL.
+  override def nullable: Boolean = right.nullable
+
+  override def eval(input: InternalRow): Any = {
+    val kAny = right.eval(input)
+    if (kAny == null) null
+    else {
+      val tAny = left.eval(input)
+      nullSafeEval(if (tAny == null) UTF8String.EMPTY_UTF8 else tAny, kAny)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordShingles", this, classOf[WordShingles].getName)
+    val lg = left.genCode(ctx)
+    val rg = right.genCode(ctx)
+    val empty = "org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8"
+    val javaType = CodeGenerator.javaType(dataType)
+    if (nullable) {
+      ev.copy(code = code"""
+        ${rg.code}
+        boolean ${ev.isNull} = ${rg.isNull};
+        $javaType ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${lg.code}
+          ${ev.value} = $ref.compute(${lg.isNull} ? $empty : (Object) ${lg.value}, ${rg.value});
+        }""")
+    } else {
+      ev.copy(code = code"""
+        ${rg.code}
+        ${lg.code}
+        $javaType ${ev.value} = $ref.compute(${lg.isNull} ? $empty : (Object) ${lg.value}, ${rg.value});""",
+        isNull = FalseLiteral)
+    }
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): WordShingles =

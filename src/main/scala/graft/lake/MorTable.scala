@@ -172,27 +172,37 @@ final class MorTable(
     * Now an op costs 1 list + reads only for instants it has never seen
     * (typically 0), and [[clean]] archival bounds the list itself. */
   // (cross-handle since r14, keyed (canonical table path, instant FILE
-  // name) — the file name pins seq AND kind, so a rollback-reclaimed seq of
-  // a different kind can never collide; same-kind reclaim is covered by the
-  // rollback purge. Consulted only for names in THIS listing, so deleted
-  // instants are never served.)
+  // name + length + mtime) — the file name pins seq AND kind; the
+  // (len, mtime) suffix from the operation's own fresh listing pins the
+  // CONTENT, so a seq reclaimed and republished by ANOTHER process (which
+  // this JVM's rollback purge can't see) misses the cache instead of
+  // serving a stale parse. Consulted only for names in THIS listing, so
+  // deleted instants are never served.)
   private def canonTablePath: String = MorTable.canonPath(path)
 
   /** All committed instants, ascending by seq. */
   def timeline(): Seq[Instant] = {
     val dir = new Path(hPath, "timeline")
-    val names =
-      try { MorTable.timelineLists.incrementAndGet(); fs.listStatus(dir).toSeq.map(_.getPath.getName) }
+    val stats =
+      try { MorTable.timelineLists.incrementAndGet(); fs.listStatus(dir).toSeq }
       catch { case _: java.io.FileNotFoundException => return Seq.empty }
     val tp = canonTablePath
-    names.filter(instantFileRe.matcher(_).matches).map { n =>
-      val hit = MorTable.instantCacheG.get((tp, n))
+    stats.filter(st => instantFileRe.matcher(st.getPath.getName).matches).map { st =>
+      // cache key carries (len, mtime) from THIS listing: an ANOTHER-process
+      // rollback that reclaims a seq and republishes the same file NAME with
+      // different content (batchId/insertOnly/unfolded) yields a different
+      // status, so the stale parse is never served — the in-process purge
+      // (rollback → purgeCaches) only covers this JVM's own deletes.
+      // listStatus already returned FileStatus, so validation is free.
+      val n = st.getPath.getName
+      val key = (tp, s"$n@${st.getLen}@${st.getModificationTime}")
+      val hit = MorTable.instantCacheG.get(key)
       if (hit != null) hit
       else {
         MorTable.instantReads.incrementAndGet()
-        val i = parseInstant(new String(readFully(fs, new Path(dir, n)), StandardCharsets.UTF_8))
+        val i = parseInstant(new String(readFully(fs, st.getPath), StandardCharsets.UTF_8))
         if (MorTable.instantCacheG.size > 65536) MorTable.instantCacheG.clear()
-        MorTable.instantCacheG.put((tp, n), i)
+        MorTable.instantCacheG.put(key, i)
         i
       }
     }.sortBy(_.seq)
@@ -2893,8 +2903,17 @@ object MorTable {
     * table's location round-trips as a `file:/…` URI while engine handles
     * use the raw `/…` form (the CLAUDE.md three-encodings family) — without
     * canonicalization a purge under one form would strand entries cached
-    * under the other. */
-  private[lake] def canonPath(p: String): String = new Path(p).toUri.getPath
+    * under the other. The scheme/authority are KEPT (scheme-less paths
+    * default to the local `file` FS, which is what a bare `/…` handle
+    * means here): dropping them would let tables at the same path on
+    * DIFFERENT filesystems (file:/x vs hdfs://nn/x) share cache keys and
+    * serve each other's artifacts. */
+  private[lake] def canonPath(p: String): String = {
+    val u = new Path(p).toUri
+    val scheme = Option(u.getScheme).getOrElse("file")
+    val auth = Option(u.getAuthority).getOrElse("")
+    s"$scheme://$auth${u.getPath}"
+  }
 
   /** Drop every cached artifact of the table at `path` (and, because the
     * match is prefix-based, of its partition children) — called by every

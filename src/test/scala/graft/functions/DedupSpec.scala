@@ -39,9 +39,11 @@ class DedupSpec extends AnyFunSuite {
   test("word_shingles kernel == declarative reference (raw + distinct), codegen covered") {
     graft.GraftFunctions.register(spark)
     // real corpus + hand-picked degenerates (empty, whitespace-only, <k
-    // tokens, mixed \s classes, uppercase, repeated windows)
+    // tokens, mixed \s classes, uppercase, repeated windows, NULL — the
+    // reference yields [""] for NULL text and the kernel must too)
     val docs = graft.Tables.documents(spark, TestSpark.sfDir).limit(200)
       .select(col("text"))
+      .unionByName(Seq(Option.empty[String]).toDF("text"))
       .unionByName(Seq("", "   ", "\t\n", "one", "one two", "AB\fC\rD",
         "UPPER lower MiXeD case", "a b a b a b a b").toDF("text"))
     // declarative raw form (the t29 reference shape)
@@ -55,8 +57,10 @@ class DedupSpec extends AnyFunSuite {
       rawRef.as("r_raw"),
       call_function("word_shingles_distinct", col("text"), lit(3)).as("k_dst"),
       Dedup.shinglesDeclarative(col("text"), 3).as("r_dst"))
-    val bad = cmp.filter(col("k_raw") =!= col("r_raw") ||
-      col("k_dst") =!= col("r_dst")).count()
+    // null-safe compare: a kernel that returned NULL where the reference
+    // yields [""] must COUNT as divergence, not vanish under =!='s NULL
+    val bad = cmp.filter(!(col("k_raw") <=> col("r_raw")) ||
+      !(col("k_dst") <=> col("r_dst"))).count()
     assert(bad == 0, "kernel must be bit-identical to the declarative form")
     // stays inside whole-stage codegen (the point of the kernel) — checked
     // on a real scan; the union's literal branch folds to a LocalTableScan

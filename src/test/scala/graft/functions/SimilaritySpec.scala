@@ -28,6 +28,11 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rowsOf(Similarity.mmrRerank(tiny, tiny.filter($"vec_id" === 0),
         k = 9, kCand = 3)) ==
       rowsOf(Similarity.mmrRerankLoop(c2, p2, k = 9)))
+    // k <= 0: the reference loop still emits its unconditional step-1 pick
+    // (its round loop is 2..k = empty); the kernel must match, not crash
+    assert(rowsOf(Similarity.mmrRerank(tiny, tiny.filter($"vec_id" === 0),
+        k = 0, kCand = 3)) ==
+      rowsOf(Similarity.mmrRerankLoop(c2, p2, k = 0)))
   }
 
   test("mmrRerank: diversity flips the greedy pick; deterministic under repartition") {
