@@ -15,6 +15,10 @@ object JobAudit {
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", TempDirs.sparkLocalDir())
       .config("spark.cleaner.referenceTracking", "false")
+      // diagnostic A/B only (never the bench path): SPARK_GRAFT_AQE=0
+      // replays the entry with AQE globally off
+      .config("spark.sql.adaptive.enabled",
+        !sys.env.get("SPARK_GRAFT_AQE").contains("0"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val sites = mutable.Map.empty[String, Int].withDefaultValue(0)
@@ -65,6 +69,24 @@ object JobAudit {
           jobStartMs.remove(e.jobId).foreach(s => jobSpans += ((s, e.time)))
         }
     })
+    // per-SQL-execution wall + top plan node: where the driver's planning/
+    // execution round-trips go inside one entry (descriptions are empty on
+    // AQE stage futures, so job-level traces can't attribute them)
+    val execStart = new java.util.concurrent.ConcurrentHashMap[Long, (Long, String)]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+        case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+          execStart.put(s.executionId,
+            (s.time, s.physicalPlanDescription.linesIterator
+              .filter(_.nonEmpty).take(3).mkString(" | ").take(180)))
+          ()
+        case en: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionEnd =>
+          Option(execStart.get(en.executionId)).foreach { case (t0, desc) =>
+            System.err.println(f"SQLEXEC id=${en.executionId} ms=${en.time - t0}%5d  $desc")
+          }
+        case _ => ()
+      }
+    })
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     // SPARK_GRAFT_AUDIT=<gate entry name> audits that entry; default s8 core
     val fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
@@ -73,6 +95,17 @@ object JobAudit {
           sys.error(s"unknown gate entry $name"))
         case None => (s, d) => graft.streaming.PipelineQueries.ticketView(s, d)
       }
+    // SPARK_GRAFT_AUDIT_REPEAT=2 → run the entry N times, report the LAST
+    // (JIT-warm) run — the stable per-execution numbers for bisection
+    val repeats = sys.env.get("SPARK_GRAFT_AUDIT_REPEAT").flatMap(_.toIntOption).getOrElse(1)
+    var i = 1
+    while (i < repeats) {
+      fn(spark, dir).count(); System.err.println(s"--- warmup run $i done ---"); i += 1
+    }
+    if (repeats > 1) { // report the warm run only
+      Thread.sleep(300)
+      jobSpans.clear(); sites.clear(); stageTime.clear(); stageCnt.clear()
+    }
     val t0 = System.currentTimeMillis()
     val n = fn(spark, dir).count()
     val wallMs = System.currentTimeMillis() - t0

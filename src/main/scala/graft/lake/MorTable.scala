@@ -283,7 +283,15 @@ final class MorTable(
     val out = fs.create(tmp, true)
     try out.write(i.toJson.getBytes(StandardCharsets.UTF_8)) finally out.close()
     if (!fs.rename(tmp, dst)) throw new java.io.IOException(s"commit rename failed: $dst")
-    MorTable.instantCacheG.put((canonTablePath, instantFileName(i)), i)
+    // pre-populate under the SAME (name, len, mtime) key timeline() probes
+    // (one metadata round-trip — not a content read), so the writer's own
+    // next op stays at zero instant reads; if the status is somehow
+    // unavailable the next timeline() just re-reads the file
+    try {
+      val st = fs.getFileStatus(dst)
+      MorTable.instantCacheG.put(
+        (canonTablePath, s"${instantFileName(i)}@${st.getLen}@${st.getModificationTime}"), i)
+    } catch { case _: java.io.IOException => () }
     ()
   }
 
