@@ -334,9 +334,10 @@ object MatViews {
       .agg(aggs.head, aggs.tail: _*)
       .localCheckpoint(true)
     // groups that died (touched but no surviving base rows) leave the view
+    // — folded into the SAME delta commit as the refreshed groups (they
+    // are key-disjoint by construction), one commit round instead of two
     val dead = touched.join(refreshed.select(g.map(col): _*), g, "left_anti")
-    vt.upsert(refreshed, orderWithinBatch = Nil, batchId = 2L * to)
-    vt.delete(dead, batchId = 2L * to + 1L)
+    vt.upsertAndDelete(refreshed, dead, batchId = 2L * to)
     val done = spec.copy(maintainedSeq = to)
     upsertSpec(spark, basePath, done)
     done

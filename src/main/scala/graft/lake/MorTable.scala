@@ -720,6 +720,25 @@ final class MorTable(
     this
   }
 
+  /** One delta commit carrying live rows AND tombstones — the MV-refresh
+    * shape, which previously paid TWO full commit rounds (upsert + delete)
+    * per maintenance cycle. `rows` must carry the full table schema (the
+    * view's group cols + maintained aggregates); `deadKeys` needs the key
+    * columns only and MUST be key-disjoint from `rows` (the caller's
+    * contract — MV refresh derives dead = touched ∖ refreshed, disjoint by
+    * construction), since both sides share one `_commit_seqno`. */
+  private[lake] def upsertAndDelete(rows: DataFrame, deadKeys: DataFrame,
+                                    batchId: Long = -1L): MorTable = {
+    if (isCommitted(batchId)) return this
+    val padded = rows.schema.fields.filterNot(f => keyCols.contains(f.name))
+      .foldLeft(deadKeys.select(keyCols.map(col): _*)) { (df, f) =>
+        df.withColumn(f.name, lit(null).cast(f.dataType))
+      }
+    commitDelta(withMeta(rows, deleted = false)
+      .unionByName(withMeta(padded, deleted = true)), batchId)
+    this
+  }
+
   /** Adopt an already-written delta directory (all rows carrying the meta
     * columns, `_commit_seqno` included) as this table's next commit: one
     * rename + one timeline instant, no Spark job. This is how
