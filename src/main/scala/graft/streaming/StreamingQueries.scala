@@ -290,6 +290,14 @@ object StreamingQueries {
         unix_millis(col("click_ts")).as("click_ms"))
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // measured probe (r15): RocksDB state store on the outer-join entries —
+    // flag-gated, DEFAULT OFF; at this state size the HDFS-backed provider
+    // over tmpfs checkpoints is the faster floor (see OPTIMIZATION_r15.md)
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    if (sys.env.get("GRAFT_STREAM_ROCKSDB").contains("1"))
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
       val q = joined.writeStream
         .format("memory").queryName(name)
@@ -302,7 +310,15 @@ object StreamingQueries {
         q.recentProgress.foreach(p => Console.err.println(
           s"[r49] batch=${p.batchId} in=${p.numInputRows} wm=${p.eventTime.get("watermark")} " +
             s"state=${p.stateOperators.toSeq.map(s => s"${s.numRowsTotal}/${s.numRowsRemoved}")}"))
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
     // sentinel removal, null-safe (FULL OUTER legitimately nulls either
     // id): a sentinel never pairs with a real row (user −1), so negative
     // ids appear only on sentinel-sourced rows
